@@ -1,13 +1,310 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.operators.Relational._
+
+/** Driver contract — one judged query per implemented operator
+  * (SURVEY.md §2), each paired with ANSI SQL for the DuckDB oracle.
+  *
+  * Conventions (keep these invariant — the driver hashes by key):
+  *  - query keys never change once added;
+  *  - every output column is aliased identically in the Spark plan and the
+  *    oracle SQL (driver sorts columns by name before hashing);
+  *  - every query ends in an ORDER BY over a unique column prefix so row
+  *    order is deterministic on both sides (Catalyst's EliminateSorts drops
+  *    these under Bench's count(), so determinism costs nothing at bench);
+  *  - integer-valued DuckDB functions are CAST to match Spark's types
+  *    (hour() → INT, count(*) stays BIGINT, etc.).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def tmpPath(name: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_rt/$name"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The songplays-style fact build of SURVEY.md §7.1. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    factBuild(spark, "/root/testdata/sf0.001", materialize = false)
+
+  /** SURVEY §7.1 minimum slice: filter → derive time dims → left join a
+    * dim lookup → surrogate id → (optionally) partitioned write + re-read.
+    * Mirrors the reference's songplays build (etl.py:141-174). */
+  private def factBuild(spark: SparkSession, dir: String, materialize: Boolean): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+
+    // J3 dim×dim lookup (etl.py:149-151 analog). customer is the bounded
+    // side here; at 100 TB orders is fact-sized, so we broadcast customer
+    // into the join rather than hinting orders.
+    val lookup = dimJoin(orders.select("o_orderkey", "o_custkey"),
+        broadcast(customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+
+    val plays = li.filter(col("l_returnflag") === "R") // F1
+      .withColumn("year", year(col("l_shipdate"))) // C4 (fixed: calendar year)
+      .withColumn("month", month(col("l_shipdate")))
+
+    // J4: left join keeps unmatched fact rows with null enrichment.
+    val enriched = factLeftJoin(plays, lookup, plays("l_orderkey") === lookup("o_orderkey"))
+      .select(
+        surrogateId(plays("l_orderkey"), plays("l_linenumber")).as("play_id"), // C5
+        plays("l_orderkey").as("orderkey"),
+        plays("l_linenumber").as("linenumber"),
+        plays("l_quantity").as("qty"),
+        plays("l_extendedprice").as("price"),
+        lookup("o_custkey").as("custkey"),
+        lookup("c_mktsegment").as("segment"),
+        col("year"), col("month"))
+
+    val result =
+      if (!materialize) enriched
+      else {
+        // S4→S2 materialization barrier, as in the reference pipeline
+        // (write at etl.py:171-174, re-read pattern of etl.py:141).
+        val path = tmpPath("fact_build")
+        writePartitioned(enriched, path, Seq("year", "month"))
+        readTable(spark, path)
+      }
+    // play_id is xxhash64-derived — deterministic but not expressible in
+    // DuckDB, so the judged projection drops it (SURVEY.md §2c).
+    result.select("orderkey", "linenumber", "qty", "price", "custkey",
+        "segment", "year", "month")
+      .orderBy("orderkey", "linenumber")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----- reference-surface operators (SURVEY §2a) -----
+
+    // F1 + P1/P2: pushed-down equality filter, projection with renames.
+    "q_filter_project" -> ((s, dir) =>
+      projectRename(
+        filterEq(t(s, dir, "lineitem"), "l_returnflag", "R"),
+        "l_orderkey" -> "orderkey", "l_linenumber" -> "linenumber",
+        "l_quantity" -> "qty", "l_extendedprice" -> "price")
+        .orderBy("orderkey", "linenumber")),
+
+    // P2: pure projection+rename (etl.py:56-60 analog).
+    "q_project_rename" -> ((s, dir) =>
+      projectRename(t(s, dir, "customer"),
+        "c_custkey" -> "cust_id", "c_name" -> "name", "c_mktsegment" -> "segment")
+        .orderBy("cust_id")),
+
+    // D1/D2: DISTINCT (etl.py:61,102,132).
+    "q_dedup" -> ((s, dir) =>
+      dedupAll(projectRename(t(s, dir, "orders"),
+        "o_custkey" -> "custkey", "o_orderstatus" -> "status"))
+        .orderBy("custkey", "status")),
+
+    // J1+J2: per-key prefer one value (paid-over-free pattern, etl.py:106-116).
+    "q_prefer_status" -> ((s, dir) =>
+      preferValue(
+        projectRename(t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
+          "o_custkey" -> "custkey", "o_orderstatus" -> "status"),
+        "custkey", "status", "O")
+        .orderBy("custkey", "status")),
+
+    // J3: inner equi-join dim×dim with explicit broadcast (etl.py:149-151).
+    "q_dim_join" -> ((s, dir) =>
+      dimJoin(t(s, dir, "nation"), broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("nationkey"),
+          col("n_name").as("nation"), col("r_name").as("region"))
+        .orderBy("nationkey")),
+
+    // J4: LEFT OUTER join on a two-column composite key; unmatched rows
+    // survive with nulls (etl.py:152-155).
+    "q_fact_left_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      factLeftJoin(li, dim,
+        li("l_orderkey") === dim("o_orderkey") &&
+          li("l_linestatus") === dim("o_orderstatus"))
+        .select(li("l_orderkey").as("orderkey"),
+          li("l_linenumber").as("linenumber"),
+          li("l_linestatus").as("linestatus"),
+          dim("o_orderstatus").as("status"))
+        .orderBy("orderkey", "linenumber", "linestatus")
+    }),
+
+    // C2-C4: time-dimension table (etl.py:124-138), distinct over derived cols.
+    "q_time_dims" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      dedupAll(ev.select((col("ts").as("start_time") +: timeDims(col("ts"))): _*))
+        .orderBy("start_time")
+    }),
+
+    // C1: epoch-ms ↔ timestamp round-trip (etl.py:92) — exact integer math.
+    "q_epoch_roundtrip" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), epochMsToTs(tsToEpochMs(col("ts"))).as("start_time"))
+        .orderBy("event_id")),
+
+    // C5: deterministic surrogate key (xxhash64 replaces the reference's
+    // monotonically_increasing_id — SURVEY §7.4). Not DuckDB-expressible →
+    // no oracle entry; driver records rows-only.
+    "q_surrogate_id" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"),
+          surrogateId(col("o_orderkey")).as("sk"))
+        .orderBy("orderkey")),
+
+    // §7.1 flagship: scan→filter→derive→join→join→project→partitioned
+    // write→re-read (the reference's songplays build end-to-end).
+    "q_fact_build" -> ((s, dir) => factBuild(s, dir, materialize = true)),
+
+    // S4→S2: partitioned-write round-trip verified by aggregation on re-read.
+    "q_write_roundtrip" -> ((s, dir) => {
+      val path = tmpPath("orders_by_year")
+      writePartitioned(
+        t(s, dir, "orders").withColumn("year", year(col("o_orderdate"))),
+        path, Seq("year"))
+      readTable(s, path).groupBy("year").agg(count(lit(1)).as("n")).orderBy("year")
+    }),
+
+    // ----- aggregation surface (SURVEY §2a A0 extension) -----
+
+    // TPC-H Q1-style wide aggregate: partial (map-side) agg + single shuffle.
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Global top-k: agg + TakeOrderedAndProject (no full sort at scale).
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("revenue").desc, col("custkey"))
+        .limit(10)),
+
+    // Per-group top-n via window function (rank within partition).
+    "q_group_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus").as("status"),
+          col("o_orderkey").as("orderkey"),
+          col("o_totalprice").as("totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("status", "rn")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+
+    "q_filter_project" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |       l_quantity AS qty, l_extendedprice AS price
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY orderkey, linenumber""".stripMargin,
+
+    "q_project_rename" ->
+      """SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment
+        |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "q_dedup" ->
+      """SELECT DISTINCT o_custkey AS custkey, o_orderstatus AS status
+        |FROM orders ORDER BY custkey, status""".stripMargin,
+
+    "q_prefer_status" ->
+      """SELECT DISTINCT o_custkey AS custkey, o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |  AND NOT (o_orderstatus = 'F' AND o_custkey IN
+        |       (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |ORDER BY custkey, status""".stripMargin,
+
+    "q_dim_join" ->
+      """SELECT n_nationkey AS nationkey, n_name AS nation, r_name AS region
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_fact_left_join" ->
+      """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+        |       l.l_linestatus AS linestatus, o.o_orderstatus AS status
+        |FROM lineitem l
+        |LEFT JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey AND l.l_linestatus = o.o_orderstatus
+        |ORDER BY orderkey, linenumber, linestatus""".stripMargin,
+
+    "q_time_dims" ->
+      """SELECT DISTINCT ts AS start_time,
+        |       CAST(hour(ts) AS INT) AS hour,
+        |       CAST(day(ts) AS INT) AS day,
+        |       CAST(weekofyear(ts) AS INT) AS week,
+        |       CAST(month(ts) AS INT) AS month,
+        |       CAST(year(ts) AS INT) AS year,
+        |       dayname(ts) AS weekday
+        |FROM events ORDER BY start_time""".stripMargin,
+
+    "q_epoch_roundtrip" ->
+      """SELECT event_id, make_timestamp(epoch_ms(ts) * 1000) AS start_time
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fact_build" ->
+      """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+        |       l.l_quantity AS qty, l.l_extendedprice AS price,
+        |       oc.o_custkey AS custkey, oc.c_mktsegment AS segment,
+        |       CAST(year(l.l_shipdate) AS INT) AS year,
+        |       CAST(month(l.l_shipdate) AS INT) AS month
+        |FROM lineitem l
+        |LEFT JOIN (SELECT o_orderkey, o_custkey, c_mktsegment
+        |           FROM orders JOIN customer ON o_custkey = c_custkey) oc
+        |  ON l.l_orderkey = oc.o_orderkey
+        |WHERE l.l_returnflag = 'R'
+        |ORDER BY orderkey, linenumber""".stripMargin,
+
+    "q_write_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY year""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice) AS sum_base_price,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |       avg(l_quantity) AS avg_qty,
+        |       avg(l_discount) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_custkey AS custkey, sum(o_totalprice) AS revenue
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, custkey LIMIT 10""".stripMargin,
+
+    "q_group_topn" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus AS status, o_orderkey AS orderkey,
+        |         o_totalprice AS totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY status, rn""".stripMargin
+  )
 }

@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source layer: every read the engine performs goes through here.
+  *
+  * Mirrors the reference's two scan shapes (SURVEY.md §2a S1/S2):
+  * JSON with glob paths (etl.py:43,87) and parquet re-reads (etl.py:141,145)
+  * — but with explicit schemas on JSON (no inference in judged paths) and a
+  * single seam for the harness parquet tables so a table-format swap
+  * (Delta/Iceberg, not shipped in this image) stays a one-line change.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S2: parquet scan of a harness table. Filters/projections composed on
+    * top of this are pushed into the parquet reader by Catalyst
+    * (PushedFilters / ReadSchema — verified in PlanSpec).
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read nanos as long
+    * (legacy conf) and truncate to microsecond timestamps — the same
+    * truncation DuckDB applies, keeping the oracle comparable.
+    */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** S1: JSON scan with declared schema; `path` may contain globs
+    * (the reference's four-deep song_data glob, etl.py:37). */
+  def readJson(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Inference-mode JSON ingest — kept only to document the drift the
+    * reference is exposed to (SURVEY.md §1.2); never used in judged paths. */
+  def readJsonInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity relational operators — one named, testable function per
+  * row of SURVEY.md §2a. Each Scaladoc cites the reference site whose
+  * semantics it reproduces (/root/reference/etl.py).
+  *
+  * Design stance (SURVEY.md §7): everything here is plain declarative
+  * DataFrame API so Catalyst gets full visibility — predicate pushdown,
+  * column pruning, join-strategy selection and AQE all apply with zero
+  * custom rules.
+  */
+object Relational {
+
+  /** P1/P2 — projection with renames (etl.py:46, 56-60, 96-101, 156-163). */
+  def projectRename(df: DataFrame, cols: (String, String)*): DataFrame =
+    df.select(cols.map { case (from, to) => col(from).as(to) }: _*)
+
+  /** F1 — equality filter (etl.py:91 `page == "NextSong"`). */
+  def filterEq(df: DataFrame, c: String, v: Any): DataFrame =
+    df.filter(col(c) === lit(v))
+
+  /** C1 — epoch-milliseconds → timestamp (etl.py:92).
+    *
+    * The reference does `(ts/1000).cast(TimestampType)`: a double division
+    * whose fractional part carries the sub-second precision. We keep exact
+    * integer semantics instead — `timestamp_micros(ms * 1000)` — which is
+    * bit-deterministic (no double rounding) and therefore oracle-safe, while
+    * preserving the same millisecond precision.
+    */
+  def epochMsToTs(ms: Column): Column = timestamp_micros(ms * 1000L)
+
+  /** Inverse helper: timestamp → epoch milliseconds (exact integer math;
+    * truncates sub-millisecond precision, matching DuckDB's epoch_ms). */
+  def tsToEpochMs(ts: Column): Column = unix_millis(ts)
+
+  /** C2–C4 — time-dimension derivation (etl.py:124-131, 165-168).
+    *
+    * ⚠ The reference derives its partition year/month via
+    * `date_format(ts,'YYYY')` (etl.py:165-168) — week-based year, which both
+    * throws on Spark ≥3 and mis-buckets Dec 28-31. The *intent* is calendar
+    * year/month, so this implements `year()`/`month()` (deliberate,
+    * documented divergence — SURVEY.md §7.4).
+    */
+  def timeDims(ts: Column): Seq[Column] = Seq(
+    hour(ts).as("hour"),
+    dayofmonth(ts).as("day"),
+    weekofyear(ts).as("week"),
+    month(ts).as("month"),
+    year(ts).as("year"),
+    date_format(ts, "EEEE").as("weekday")
+  )
+
+  /** C5 — surrogate key. The reference uses `monotonically_increasing_id()`
+    * (etl.py:164), which is nondeterministic across runs/partitionings and
+    * therefore untestable; we derive the key from the natural key with
+    * xxhash64 — deterministic, shuffle-free, collision-safe at 100 TB row
+    * counts for practical purposes (64-bit). */
+  def surrogateId(naturalKey: Column*): Column = xxhash64(naturalKey: _*)
+
+  /** D1/D2 — global dedup / DISTINCT (etl.py:61, 102, 132). Same physical
+    * hash-aggregate for both. */
+  def dedupAll(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** J1+J2 — "prefer one value per key" (etl.py:106-116).
+    *
+    * The reference finds users that appear at both `free` and `paid` level
+    * via an inner self-join with a theta predicate (J1), then removes the
+    * non-preferred rows via LEFT JOIN + IS NULL (J2). Net semantics: per
+    * key, if both values are present keep only the preferred one. We express
+    * J2 as the idiomatic `left_anti` (identical result, clearer plan); the
+    * J1 theta self-join is kept faithful — equi component on the key makes
+    * it hash-joinable, the `=!=` inequality rides along as the join residual
+    * (null-rejecting, matching the reference).
+    *
+    * Input must carry exactly the (key, value) shape of the reference's
+    * users frame: pass a pre-projected df. Scale: both joins shuffle on
+    * `key` only; at 1000 executors this is a standard hash-partitioned
+    * self-join, no skew expected on near-unique keys.
+    */
+  def preferValue(df: DataFrame, key: String, value: String, preferred: String): DataFrame = {
+    val distinct = df.select(col(key), col(value)).distinct()
+    // J1: rows of the *preferred* side for keys that also have another value.
+    val dupes = distinct.alias("l")
+      .join(
+        distinct.select(col(key).as("key1"), col(value).as("value1")).alias("r"),
+        col(value) =!= col("value1") && col(key) === col("key1") && col(value) === lit(preferred))
+      .select(col("key1"), col("value1")) // = the non-preferred rows to drop
+    // J2 as left_anti: drop those rows.
+    distinct.join(
+      dupes,
+      distinct(key) === dupes("key1") && distinct(value) === dupes("value1"),
+      "left_anti")
+  }
+
+  /** Window-function equivalent of [[preferValue]] — same output, one
+    * shuffle instead of two joins; the formulation to prefer at scale.
+    * Kept alongside the join form so tests can assert equivalence. */
+  def preferValueWindow(df: DataFrame, key: String, value: String, preferred: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key))
+      .orderBy(when(col(value) === lit(preferred), 0).otherwise(1), col(value))
+    df.select(col(key), col(value)).distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** J3 — inner equi-join, dim × dim (etl.py:149-151). Small dims are
+    * explicitly broadcast by callers when bounded; otherwise Catalyst/AQE
+    * picks broadcast-hash below the threshold. */
+  def dimJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond)
+
+  /** J4 — LEFT OUTER equi-join on a composite key, fact enrichment
+    * (etl.py:152-155). Unmatched fact rows survive with nulls — the
+    * load-bearing fact-table join. */
+  def factLeftJoin(fact: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    fact.join(dim, cond, "left")
+
+  /** S3/S4 — parquet sink, optionally hive-partitioned (etl.py:49-52,
+    * 64-66, 119-121, 135-138, 171-174). Always `overwrite`, like the
+    * reference.
+    *
+    * Scale: the reference writes without repartitioning, so every task
+    * writes every partition directory it sees — the classic small-files
+    * hazard at 1000 executors. We repartition on the partition columns
+    * first (one shuffle) so each dynamic partition is written by few tasks.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w =
+      if (partitionCols.isEmpty) df.write
+      else df.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*)
+    w.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** S2 — re-read of a written table (etl.py:141,145); partition columns
+    * reappear from the directory layout. */
+  def readTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
