@@ -40,11 +40,13 @@ object SparkEntry {
     val orders = t(spark, dir, "orders")
     val customer = t(spark, dir, "customer")
 
-    // J3 dim×dim lookup (etl.py:149-151 analog). customer is the bounded
-    // side here; at 100 TB orders is fact-sized, so we broadcast customer
-    // into the join rather than hinting orders.
+    // J3 dim×dim lookup (etl.py:149-151 analog). customer SCALES with the
+    // data (fact-sized at 100 TB), so no unconditional broadcast hint —
+    // AQE + autoBroadcastJoinThreshold pick broadcast-hash when the built
+    // side is actually small and fall back to shuffle-hash/sort-merge when
+    // it isn't.
     val lookup = dimJoin(orders.select("o_orderkey", "o_custkey"),
-        broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
 
@@ -112,6 +114,24 @@ object SparkEntry {
           "o_custkey" -> "custkey", "o_orderstatus" -> "status"),
         "custkey", "status", "O")
         .orderBy("custkey", "status")),
+
+    // J1+J2 via one window shuffle — the formulation to prefer at scale;
+    // judged against the same oracle as q_prefer_status so equivalence is
+    // itself oracle-checked.
+    "q_prefer_status_w" -> ((s, dir) =>
+      preferValueWindow(
+        projectRename(t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
+          "o_custkey" -> "custkey", "o_orderstatus" -> "status"),
+        "custkey", "status", "O")
+        .orderBy("custkey", "status")),
+
+    // C5 verification: xxhash64 surrogate keys are injective on this data —
+    // count(distinct sk) must equal count(distinct natural key). DuckDB
+    // can't compute xxhash64, but it CAN predict both counts.
+    "q_surrogate_unique" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(surrogateId(col("o_orderkey"))).as("n_keys"))),
 
     // J3: inner equi-join dim×dim with explicit broadcast (etl.py:149-151).
     "q_dim_join" -> ((s, dir) =>
@@ -235,6 +255,18 @@ object SparkEntry {
         |  AND NOT (o_orderstatus = 'F' AND o_custkey IN
         |       (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
         |ORDER BY custkey, status""".stripMargin,
+
+    "q_prefer_status_w" ->
+      """SELECT DISTINCT o_custkey AS custkey, o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |  AND NOT (o_orderstatus = 'F' AND o_custkey IN
+        |       (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |ORDER BY custkey, status""".stripMargin,
+
+    "q_surrogate_unique" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys
+        |FROM orders""".stripMargin,
 
     "q_dim_join" ->
       """SELECT n_nationkey AS nationkey, n_name AS nation, r_name AS region

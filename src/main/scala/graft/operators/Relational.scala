@@ -96,6 +96,27 @@ object Relational {
       "left_anti")
   }
 
+  /** Full-row variant of [[preferValue]]: keeps every column of `df`
+    * while applying the same per-key preference. This is the exact shape of
+    * the reference's users build (etl.py:96-121): distinct 5-column rows,
+    * then for users present at both levels drop the non-preferred rows.
+    * Both joins shuffle on (key, value) only. */
+  def preferValueAll(df: DataFrame, key: String, value: String, preferred: String): DataFrame = {
+    val distinct = df.distinct()
+    val kv = distinct.select(col(key), col(value)).distinct()
+    // J1: keys that also carry the preferred value → their other-value rows.
+    val dupes = kv.alias("l")
+      .join(
+        kv.select(col(key).as("key1"), col(value).as("value1")).alias("r"),
+        col(value) =!= col("value1") && col(key) === col("key1") && col(value) === lit(preferred))
+      .select(col("key1"), col("value1"))
+    // J2 as left_anti: drop those (key, value) rows, keeping all columns.
+    distinct.join(
+      dupes,
+      distinct(key) === dupes("key1") && distinct(value) === dupes("value1"),
+      "left_anti")
+  }
+
   /** Window-function equivalent of [[preferValue]] — same output, one
     * shuffle instead of two joins; the formulation to prefer at scale.
     * Kept alongside the join form so tests can assert equivalence. */
@@ -121,19 +142,43 @@ object Relational {
   def factLeftJoin(fact: DataFrame, dim: DataFrame, cond: Column): DataFrame =
     fact.join(dim, cond, "left")
 
+  /** Number of salt buckets per dynamic partition value in
+    * [[saltedRepartition]]: bounds files-per-partition-dir while keeping
+    * write parallelism ≈ min(shufflePartitions, distinctValues × SALT). */
+  val WRITE_SALT_BUCKETS = 8
+
+  /** Pre-write exchange for a hive-partitioned sink.
+    *
+    * Repartitioning on the partition columns alone collapses parallelism to
+    * the number of distinct values (at 100 TB: one task per `year`). We add
+    * a deterministic salt — `xxhash64(all columns) mod SALT` — to the
+    * shuffle key, so each partition value spreads over up to
+    * [[WRITE_SALT_BUCKETS]] tasks (bounded small-files, restored
+    * parallelism), then drop the salt; a projection does not disturb the
+    * exchange, so the writer still sees ≤ SALT writers per directory.
+    */
+  def saltedRepartition(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(WRITE_SALT_BUCKETS))
+    df.withColumn("__salt", salt)
+      .repartition((partitionCols :+ "__salt").map(col): _*)
+      .drop("__salt")
+  }
+
   /** S3/S4 — parquet sink, optionally hive-partitioned (etl.py:49-52,
     * 64-66, 119-121, 135-138, 171-174). Always `overwrite`, like the
     * reference.
     *
     * Scale: the reference writes without repartitioning, so every task
     * writes every partition directory it sees — the classic small-files
-    * hazard at 1000 executors. We repartition on the partition columns
-    * first (one shuffle) so each dynamic partition is written by few tasks.
+    * hazard at 1000 executors. We shuffle by (partitionCols, salt) first —
+    * see [[saltedRepartition]] — so each dynamic partition is written by a
+    * bounded number of tasks without collapsing job parallelism to the
+    * number of distinct partition values.
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
     val w =
       if (partitionCols.isEmpty) df.write
-      else df.repartition(partitionCols.map(col): _*)
+      else saltedRepartition(df, partitionCols)
         .write.partitionBy(partitionCols: _*)
     w.mode(SaveMode.Overwrite).parquet(path)
   }
