@@ -260,6 +260,33 @@ object SparkEntry {
       Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id", 0.5)
         .orderBy("da", "db")),
 
+    // Exact cosine top-5 for the first 10 vectors as queries: the §2b
+    // similarity-search baseline (oracle: list_cosine_similarity).
+    "q_vec_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.operators.Vectors
+        .bruteForceTopK(e, "vec_id", "v", q, "qid", "qv", 5)
+        .select(col("qid"), col("neighbor"), col("sim"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Hyperplane-LSH bucketed ANN over the same queries — the 100 TB
+    // scale path (probabilistic recall → rows-only; recall asserted vs
+    // brute force in VectorSpec).
+    "q_vec_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.operators.Vectors
+        .annTopK(e, "vec_id", "v", q, "qid", "qv", 5)
+        .select(col("qid"), col("neighbor"), col("sim"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // ----- aggregation surface (SURVEY §2a A0 extension) -----
 
     // TPC-H Q1-style wide aggregate: partial (map-side) agg + single shuffle.
@@ -438,6 +465,19 @@ object SparkEntry {
         |FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
         |WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8
         |ORDER BY da, db""".stripMargin,
+
+    "q_vec_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |pairs AS (SELECT qid, vec_id AS neighbor,
+        |            list_cosine_similarity(qv, v) AS sim
+        |          FROM q, e WHERE vec_id <> qid),
+        |ranked AS (SELECT qid, neighbor, sim,
+        |            CAST(row_number() OVER (PARTITION BY qid
+        |                 ORDER BY sim DESC, neighbor) AS INT) AS rank
+        |           FROM pairs)
+        |SELECT qid, neighbor, sim, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

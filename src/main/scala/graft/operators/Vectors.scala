@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (SURVEY.md §2b row 3;
+  * `embeddings.parquet`: vec_id, embedding array<float>, label).
+  *
+  * Two paths, per the north star: brute-force cosine top-k as the exact
+  * baseline (oracle-checkable), and hyperplane-LSH bucketed search as the
+  * scale path (candidates from shared buckets only — probabilistic
+  * recall, judged rows-only).
+  *
+  * All arithmetic is double (`array<float>` widened at the scan) so the
+  * result is comparable with DuckDB's `list_cosine_similarity` on
+  * `DOUBLE[]` within the comparator's 1e-9 tolerance. Pure higher-order
+  * column expressions — no UDFs, vectors never leave Tungsten rows.
+  */
+object Vectors {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    *
+    * `queries`(qid, qv) x `corpus`(id, v) → (qid, neighbor, sim, rank<=k),
+    * self-matches excluded, ties broken by neighbor id.
+    *
+    * Scale: the query side is expected to be small and broadcast (the
+    * corpus side streams through in one pass — O(|corpus| x |queries|)
+    * comparisons but no shuffle of the corpus); the per-query top-k window
+    * shuffles only (qid, neighbor, sim) triples, k rows of which survive.
+    * For corpus-x-corpus joins use [[annTopK]] buckets instead.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val pairs = corpus
+      .join(broadcast(queries), col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("qid"), col(idCol).as("neighbor"),
+        cosine(col(qvecCol), col(vecCol)).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes for SimHash
+    * bucketing: `numPlanes` x `dim` doubles from a fixed seed. Driver-side
+    * constants folded into the plan as literals. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** SimHash bucket id of a vector: bit p = sign(v . plane_p). Buckets
+    * partition the corpus into 2^numPlanes cells; cosine-similar vectors
+    * land in the same cell with probability (1 - theta/pi)^numPlanes. */
+  def simhashBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: hyperplane-LSH bucketed search with multi-probe.
+    *
+    * The corpus is bucketed once (scan-stage expression, no shuffle);
+    * each query probes its own bucket plus all `numPlanes` Hamming-1
+    * neighbors (multi-probe LSH — recovers most of the recall lost to
+    * boundary vectors at ~(P+1)/2^P of the brute-force cost). Candidates
+    * come from a bucket equi-join, then exact cosine + per-query top-k.
+    *
+    * Probabilistic recall → judged rows-only; unit tests assert recall
+    * against [[bruteForceTopK]] on the test corpus.
+    */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = corpus
+      .withColumn("__bucket", simhashBucket(col(vecCol), planes))
+    val probes = queries
+      .withColumn("__qbucket", simhashBucket(col(qvecCol), planes))
+      .withColumn("__probe", explode(array(
+        (col("__qbucket") +: (0 until numPlanes).map(p =>
+          col("__qbucket").bitwiseXOR(lit(1 << p)))): _*)))
+    val pairs = bucketed
+      .join(broadcast(probes),
+        col("__bucket") === col("__probe") && col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("qid"), col(idCol).as("neighbor"),
+        cosine(col(qvecCol), col(vecCol)).as("sim"))
+      .distinct() // a neighbor can match several probes of one query
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
