@@ -287,6 +287,30 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Lag-gap sessionization (30-min inactivity) + per-session aggregates
+    // — one window shuffle on user_id, one agg shuffle on (user, session).
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Events
+        .sessionize(t(s, dir, "events"), "user_id", "ts", "value",
+          gapMinutes = 30, orderTiebreak = "event_id")
+        .select(col("user_id"), col("session_seq"), col("session_start"),
+          col("session_end"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_seq")),
+
+    // Epoch-aligned tumbling 1-hour windows by event type.
+    "q_window_agg" -> ((s, dir) =>
+      graft.operators.Events
+        .tumblingAgg(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    // JSON property extraction from the props string column (from_json
+    // with explicit schema — no inference in judged paths).
+    "q_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          graft.operators.Events.jsonProp(col("props"), "k").as("k_val"))
+        .orderBy("event_id")),
+
     // ----- aggregation surface (SURVEY §2a A0 extension) -----
 
     // TPC-H Q1-style wide aggregate: partial (map-side) agg + single shuffle.
