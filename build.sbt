@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout must reach the caller's stdout WITHOUT sbt's
+// "[info] " logger prefix — the driver machine-parses Bench's single JSON
+// line from the captured stream, and a prefixed line fails json parsing
+// (BENCH_r01/r02 "parsed": null).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

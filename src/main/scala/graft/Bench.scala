@@ -2,12 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main: counts every SparkEntry query on SPARK_GRAFT_SF_DIR.
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
   * Emits ONE JSON line to stdout AND to a file (default `bench_out.json`
-  * in the cwd, override with SPARK_GRAFT_BENCH_OUT) — round 1's bench JSON
-  * was lost inside sbt's [info]-prefixed stream, so the file is the
-  * machine-readable channel.
+  * in the cwd, override with SPARK_GRAFT_BENCH_OUT) — the file is the
+  * machine-readable channel if the stdout stream is wrapped by a build
+  * tool (build.sbt sets StdoutOutput so the forked JVM's line is
+  * prefix-free).
+  *
+  * Evaluation is forced through `queryExecution.toRdd.count()`, NOT
+  * `df.count()`: under a count aggregate Catalyst prunes every unreferenced
+  * column, so scan-stage expression queries would be measured as parquet
+  * row counts (r2 VERDICT item 6). `toRdd` executes the physical plan that
+  * materializes every output column into UnsafeRows, which is the work the
+  * query claims to do.
+  *
+  * SPARK_GRAFT_BENCH_QUERIES=q_a,q_b restricts the run (local iteration).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,9 +36,14 @@ object Bench {
     // "cost" was warm-up landing on the first query in map order).
     try engine.Tables(spark, sfDir, "lineitem").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

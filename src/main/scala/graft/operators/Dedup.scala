@@ -1,114 +1,150 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.functions.TextOps
 
 /** Deduplication operators for the LLM-data-pipeline surface
   * (SURVEY.md §2b rows 1-2): exact dedup, exact set-similarity join
   * (prefix-filtered), and MinHash-LSH candidate generation.
   *
-  * Scale stance (100 TB): never shuffle wide text when an 8-byte hash
-  * carries the same grouping information; never build the all-pairs
-  * product — candidates come from shared prefix shingles (guaranteed
-  * recall) or shared LSH bands (probabilistic recall), both of which
-  * shuffle on short keys.
+  * Scale stance (100 TB): tokenized text is hashed to 64-bit values ONCE,
+  * at the scan stage, and every downstream sort / join / intersect runs in
+  * hash space — 8-byte keys, integer comparisons, no string ever crosses a
+  * shuffle. Candidate pairs travel as bare (id, id) tuples; wide payloads
+  * (shingle sets, signatures) are attached only after the pair set is
+  * deduplicated. The per-doc relations feeding a self-join are persisted so
+  * the join does not re-execute the shingling subplan for each side.
   */
 object Dedup {
 
-  /** Exact dedup, hash-first: keep the minimum-id row per distinct value
-    * of `textCol`.
+  /** Exact dedup: keep the minimum-id row per distinct value of `textCol`.
     *
-    * The groupBy key is `xxhash64(text)` — 8 bytes — so the pre-aggregation
-    * and shuffle carry (hash, id) pairs instead of full documents; the
-    * surviving ids are then semi-joined back to recover the full rows.
-    * At 100 TB this is the difference between shuffling ~16 bytes/row and
-    * shuffling the corpus. 64-bit collisions would merge distinct texts;
-    * at 10^10 docs the expected collision count is ~10^20/2^65 ≈ 0.003 —
-    * acceptable for corpus dedup (and deterministic for a fixed corpus).
+    * The groupBy key is a 128-bit composite of two independent xxhash64
+    * values — 16 bytes — so the pre-aggregation and shuffle carry
+    * (hash, id) tuples instead of full documents; the surviving ids are
+    * then semi-joined back to recover the full rows. At 100 TB this is the
+    * difference between shuffling ~24 bytes/row and shuffling the corpus.
+    * Collisions would silently merge distinct texts; with a single 64-bit
+    * key the expectation at 10^10 docs is C(10^10,2)/2^64 ≈ 2.7 merges —
+    * not acceptable — so we widen to 128 bits, where the expectation is
+    * C(10^10,2)/2^128 ≈ 1.5e-19 (negligible, and deterministic for a
+    * fixed corpus).
     *
     * Same (key-hash, min-id, semi-join-back) shape as the reference's
     * `drop_duplicates()` intent (etl.py:61) lifted to wide-text inputs.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keep = df
-      .select(xxhash64(col(textCol)).as("__h"), col(idCol))
-      .groupBy(col("__h"))
+      .select(xxhash64(col(textCol)).as("__h1"),
+        xxhash64(col(textCol), lit(1L)).as("__h2"), col(idCol))
+      .groupBy(col("__h1"), col("__h2"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Per-doc distinct shingle sets: (idCol, sh array<string>, n int).
-    * Docs with no shingles (fewer than `width` tokens) are dropped — they
-    * cannot reach any Jaccard threshold against a real set. */
-  private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
-      width: Int): DataFrame =
-    docs
-      .select(col(idCol),
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), width)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("n", size(col("sh")))
+  /** One row per (doc, shingle-hash): the word `width`-gram at each token
+    * position, space-joined (exactly the oracle's `t[i]||' '||t[i+1]||...`
+    * string) and hashed to 64 bits — the ONLY place a shingle string ever
+    * exists.
+    *
+    * Formulation note (r2 VERDICT item 1): the per-doc array version of
+    * this (`transform`/`element_at` higher-order functions) evaluated
+    * interpreted — ~60 µs/shingle, 16 s for 5,000 docs, and THAT was the
+    * real near-dup scale-killer, not the joins. This explode + window-lead
+    * + hash pipeline stays inside whole-stage codegen end to end (measured
+    * 0.28 s for the same 260k shingles) at the price of one shuffle on
+    * `idCol` — 16-byte (id, position) rows, the same order of magnitude
+    * the downstream candidate join shuffles anyway. Docs with fewer than
+    * `width` tokens yield no rows (the trailing-lead filter), matching the
+    * oracle's empty `generate_series`. */
+  private def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
+      width: Int): DataFrame = {
+    val ex = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__i", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val gram = (0 until width).map(j =>
+      if (j == 0) col("__w") else lead(col("__w"), j).over(w))
+    ex.select(col(idCol), concat_ws(" ", gram: _*).as("__s"),
+        lead(col("__w"), width - 1).over(w).as("__last"))
+      .filter(col("__last").isNotNull) // partial windows at the doc tail
+      .select(col(idCol), xxhash64(col("__s")).as("h"))
+  }
 
-  /** Canonical global shingle order for prefix filtering: by
-    * (xxhash64(s), s). Hash-first ordering spreads "popular" shingles
-    * uniformly so prefixes are not all the same stopword n-gram. */
-  private val shingleCmp: (Column, Column) => Column = (x, y) =>
-    when(xxhash64(x) < xxhash64(y), -1)
-      .when(xxhash64(x) > xxhash64(y), 1)
-      .when(x < y, -1).when(x > y, 1)
-      .otherwise(0)
+  /** Per-doc distinct shingle-hash sets, canonically ordered:
+    * (idCol, sh array<long> ascending-sorted, n int).
+    *
+    * Ascending numeric order doubles as the global canonical order
+    * required by prefix filtering (hash order also spreads "popular"
+    * shingles uniformly, so prefixes are not all the same stopword
+    * n-gram). The groupBy rides the exchange [[shingleHashRows]] already
+    * produced on `idCol`, so no second shuffle. */
+  private def shingleHashSets(docs: DataFrame, textCol: String, idCol: String,
+      width: Int): DataFrame =
+    shingleHashRows(docs, textCol, idCol, width)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("h"))).as("sh"))
+      .withColumn("n", size(col("sh")))
 
   /** Exact n-gram Jaccard similarity self-join: all pairs (a < b) with
     * `J(shingles(a), shingles(b)) >= threshold`, via AllPairs-style prefix
     * filtering (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06 —
     * public algorithms).
     *
-    * Candidate generation: order each doc's shingle set by a global
-    * canonical order and keep only the first `n - ceil(t*n) + 1` shingles;
-    * any pair with J >= t must share a prefix shingle (overlap >= ceil(t*n)
-    * on both sides), so recall is exact — this is what makes the operator
-    * oracle-checkable against an all-pairs SQL join. Verification computes
-    * true Jaccard on the candidates via `array_intersect` on the full sets.
+    * Candidate generation: keep only the first `n - ceil(t*n) + 1` hashes
+    * of each doc's canonically-sorted shingle-hash set; any pair with
+    * J >= t must share a prefix hash (overlap >= ceil(t*n) on both sides),
+    * so recall is exact — which is what makes the operator oracle-checkable
+    * against an all-pairs SQL join (hash-space Jaccard equals string-space
+    * Jaccard absent 64-bit collisions, whose in-doc probability at ~10^2
+    * shingles is ~1e-16). Verification computes true Jaccard on the
+    * candidate pairs via sorted-array `array_intersect` on the full sets.
     *
-    * Scale: the only wide shuffle is the candidate equi-join on prefix
-    * shingle strings (~(1-t) of all shingle occurrences); verification
-    * joins candidate PAIRS (small) back to the per-doc sets. No all-pairs
-    * product is ever formed.
+    * Scale: the only self-join is the candidate equi-join on 8-byte prefix
+    * hashes (~(1-t) of all shingle occurrences); candidates are bare
+    * (da, db) pairs, deduplicated before the (small) per-doc sets are
+    * attached. `sets` is persisted: it feeds both join sides and the
+    * verification, and at ~8 bytes/shingle it is ~2 orders of magnitude
+    * smaller than the corpus (checkpoint instead if executor memory is
+    * tight at full scale). No all-pairs product is ever formed.
     */
   def jaccardJoin(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, width: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, width)
+    val sets = shingleHashSets(docs, textCol, idCol, width).persist()
     val prefixLen = (col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
     val prefix = sets
-      .select(col(idCol), col("n"),
-        slice(array_sort(col("sh"), shingleCmp), lit(1), prefixLen).as("pref"))
-      .select(col(idCol), explode(col("pref")).as("s"))
+      .select(col(idCol), explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
 
     val cand = prefix.alias("a")
-      .join(prefix.alias("b"), col("a.s") === col("b.s") &&
+      .join(prefix.alias("b"), col("a.h") === col("b.h") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
       .distinct()
 
-    val verified = cand
+    cand
       .join(sets.select(col(idCol).as("da"), col("sh").as("sha"), col("n").as("na")), "da")
       .join(sets.select(col(idCol).as("db"), col("sh").as("shb"), col("n").as("nb")), "db")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-    verified.select(col("da"), col("db"), col("jaccard"))
+      .select(col("da"), col("db"), col("jaccard"))
   }
 
-  /** MinHash signature of a distinct-shingle array: `numHashes`
-    * independent permutations simulated as `xxhash64(i, s)`, min per
-    * permutation. Pure column expression — signatures are computed in the
-    * scan stage with no shuffle. */
-  def minHashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+  /** MinHash signatures, built as ONE codegen'd hash-aggregate: per doc,
+    * `numHashes` columns `min(xxhash64(i, h))` — the i-th "permutation" is
+    * derived arithmetically from the 64-bit shingle hash (two-long integer
+    * hashing, never re-touching the string), and the min-per-permutation
+    * IS the aggregation, so partial (map-side) aggregation compresses each
+    * task's contribution to one row per doc before the shuffle.
+    * Returns (idCol, sig array<long> of length numHashes). */
+  private def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      width: Int, numHashes: Int): DataFrame =
+    shingleHashRows(docs, textCol, idCol, width)
+      .groupBy(col(idCol))
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("h")))): _*).as("sig"))
 
   /** Banded LSH over a MinHash signature: `bands` hashes, each over a
     * contiguous `rows`-slice of the signature (b x r = numHashes). */
@@ -125,30 +161,35 @@ object Dedup {
     * fraction of agreeing signature positions. Probabilistic recall, so
     * this is judged rows-only; the exact-recall path is [[jaccardJoin]].
     *
-    * Scale: candidates come from a self-equi-join on (band index, band
-    * hash) — 16 bytes — after an unshuffled signature scan; near-identical
-    * docs collide in almost every band, so the post-join `distinct`
-    * bounds the blow-up at b x pairs.
+    * Scale: `sigs` (id + 32 longs ≈ 300 B/doc) is materialized once and
+    * persisted — it feeds both sides of the band join and the final
+    * estimate — so the signature subplan runs exactly one corpus scan.
+    * Candidates come from a self-equi-join on (band index, band hash) —
+    * 16 bytes — and are deduplicated as bare (da, db) pairs BEFORE the
+    * signatures are joined back for the estimate, so no signature array
+    * ever rides through the candidate shuffle.
     */
   def minHashLsh(docs: DataFrame, textCol: String, idCol: String,
       estThreshold: Double, numHashes: Int = 32, bands: Int = 8,
       width: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = shingleSets(docs, textCol, idCol, width)
-      .select(col(idCol), minHashSignature(col("sh"), numHashes).as("sig"))
+    val sigs = minHashSignatures(docs, textCol, idCol, width, numHashes)
+      .persist()
     val banded = sigs
-      .select(col(idCol), col("sig"),
-        posexplode(bandHashes(col("sig"), bands, rows)))
+      .select(col(idCol), posexplode(bandHashes(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
-    banded.alias("a")
+    val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
       .distinct()
+
+    cand
+      .join(sigs.select(col(idCol).as("da"), col("sig").as("siga")), "da")
+      .join(sigs.select(col(idCol).as("db"), col("sig").as("sigb")), "db")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
           b => b)).cast("double") / numHashes)
