@@ -127,6 +127,17 @@ object SparkEntry {
         "custkey", "status", "O")
         .orderBy("custkey", "status")),
 
+    // J1+J2 full-row variant — the reference's actual 5-column users build
+    // (etl.py:96-121): distinct full rows, then per key drop non-preferred
+    // rows when the preferred value exists.
+    "q_prefer_status_all" -> ((s, dir) =>
+      preferValueAll(
+        projectRename(t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
+          "o_custkey" -> "custkey", "o_orderstatus" -> "status",
+          "o_orderpriority" -> "priority"),
+        "custkey", "status", "O")
+        .orderBy("custkey", "status", "priority")),
+
     // C5 verification: xxhash64 surrogate keys are injective on this data —
     // count(distinct sk) must equal count(distinct natural key). DuckDB
     // can't compute xxhash64, but it CAN predict both counts.
@@ -191,6 +202,17 @@ object SparkEntry {
         t(s, dir, "orders").withColumn("year", year(col("o_orderdate"))),
         path, Seq("year"))
       readTable(s, path).groupBy("year").agg(count(lit(1)).as("n")).orderBy("year")
+    }),
+
+    // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
+    // artists/users writes) — exercises the empty-partitionCols branch.
+    "q_write_unpart" -> ((s, dir) => {
+      val path = tmpPath("customer_unpart")
+      writePartitioned(
+        projectRename(t(s, dir, "customer"),
+          "c_custkey" -> "cust_id", "c_name" -> "name", "c_acctbal" -> "acctbal"),
+        path, Seq.empty)
+      readTable(s, path).orderBy("cust_id")
     }),
 
     // ----- LLM-data-pipeline operators (SURVEY §2b) -----
@@ -274,8 +296,8 @@ object SparkEntry {
     }),
 
     // Hyperplane-LSH bucketed ANN over the same queries — the 100 TB
-    // scale path (probabilistic recall → rows-only; recall asserted vs
-    // brute force in VectorSpec).
+    // scale path (probabilistic recall → rows-only; VectorSpec asserts
+    // recall >= 0.9 vs brute force on this corpus).
     "q_vec_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -383,6 +405,46 @@ object SparkEntry {
         |  AND NOT (o_orderstatus = 'F' AND o_custkey IN
         |       (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
         |ORDER BY custkey, status""".stripMargin,
+
+    "q_prefer_status_all" ->
+      """WITH d AS (SELECT DISTINCT o_custkey AS custkey, o_orderstatus AS status,
+        |                           o_orderpriority AS priority
+        |           FROM orders WHERE o_orderstatus IN ('O','F'))
+        |SELECT custkey, status, priority FROM d
+        |WHERE NOT (status = 'F' AND custkey IN
+        |     (SELECT custkey FROM d WHERE status = 'O'))
+        |ORDER BY custkey, status, priority""".stripMargin,
+
+    "q_write_unpart" ->
+      """SELECT c_custkey AS cust_id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |        CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |                      THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS session_seq
+        |      FROM o)
+        |SELECT user_id, session_seq, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events,
+        |       sum(value) AS total_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n, sum(value) AS sum_value, avg(value) AS avg_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_surrogate_unique" ->
       """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys

@@ -75,17 +75,28 @@ object Vectors {
     * boundary vectors at ~(P+1)/2^P of the brute-force cost). Candidates
     * come from a bucket equi-join, then exact cosine + per-query top-k.
     *
-    * Probabilistic recall → judged rows-only; unit tests assert recall
+    * Probabilistic recall → judged rows-only; VectorSpec asserts recall
     * against [[bruteForceTopK]] on the test corpus.
+    *
+    * `dim` defaults to the width of the first corpus vector (one 1-row
+    * driver lookup). A vector of any OTHER width would silently zip_with
+    * null-pad, null every dot product, and collapse the "ANN" join into a
+    * cross product — so bucketing fails fast on width mismatch instead
+    * (`raise_error`, evaluated inside the scan projection).
     */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+      numPlanes: Int = 8, dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(corpus.select(size(col(vecCol))).head.getInt(0))
+    val planes = hyperplanes(numPlanes, d)
+    def guarded(v: Column): Column =
+      when(size(v) === d, simhashBucket(v, planes))
+        .otherwise(raise_error(concat(
+          lit(s"annTopK: embedding width != $d: "), size(v).cast("string"))))
     val bucketed = corpus
-      .withColumn("__bucket", simhashBucket(col(vecCol), planes))
+      .withColumn("__bucket", guarded(col(vecCol)))
     val probes = queries
-      .withColumn("__qbucket", simhashBucket(col(qvecCol), planes))
+      .withColumn("__qbucket", guarded(col(qvecCol)))
       .withColumn("__probe", explode(array(
         (col("__qbucket") +: (0 until numPlanes).map(p =>
           col("__qbucket").bitwiseXOR(lit(1 << p)))): _*)))
