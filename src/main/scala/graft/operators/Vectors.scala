@@ -67,16 +67,30 @@ object Vectors {
       when(dot(v, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** All XOR masks within Hamming distance `maxDist` of zero, over
+    * `numPlanes` bits — the multi-probe sequence (driver-side constants;
+    * e.g. 8 planes, dist 2 → 1+8+28 = 37 probes of 256 buckets). */
+  def probeMasks(numPlanes: Int, maxDist: Int): Seq[Int] =
+    (0 until (1 << numPlanes)).filter(m => Integer.bitCount(m) <= maxDist)
+
   /** Approximate top-k: hyperplane-LSH bucketed search with multi-probe.
     *
     * The corpus is bucketed once (scan-stage expression, no shuffle);
-    * each query probes its own bucket plus all `numPlanes` Hamming-1
-    * neighbors (multi-probe LSH — recovers most of the recall lost to
-    * boundary vectors at ~(P+1)/2^P of the brute-force cost). Candidates
-    * come from a bucket equi-join, then exact cosine + per-query top-k.
+    * each query probes its own bucket plus every bucket within Hamming
+    * distance `hamming` (multi-probe LSH — recovers the recall lost to
+    * boundary vectors at a fraction of the brute-force cost: 8 planes,
+    * hamming=2 → 37/256 ≈ 14% of the corpus per query in expectation).
+    * Candidates come from a bucket equi-join, then exact cosine +
+    * per-query top-k.
     *
-    * Probabilistic recall → judged rows-only; VectorSpec asserts recall
-    * against [[bruteForceTopK]] on the test corpus.
+    * Recall is DATA-DEPENDENT: hyperplane collision probability is
+    * (1-θ/π) per plane, so the method presumes neighbor structure (true
+    * neighbors at small angles). On uniform-random vectors — e.g. the
+    * harness `embeddings` corpus, whose top-1 cosine is ≈0.37 — no
+    * bucketing scheme prunes without losing recall (curse of
+    * dimensionality); use [[bruteForceTopK]] there. VectorSpec asserts
+    * recall >= 0.9 on a clustered corpus and documents the uniform case.
+    * Probabilistic recall → judged rows-only.
     *
     * `dim` defaults to the width of the first corpus vector (one 1-row
     * driver lookup). A vector of any OTHER width would silently zip_with
@@ -86,7 +100,7 @@ object Vectors {
     */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      numPlanes: Int = 8, dim: Option[Int] = None): DataFrame = {
+      numPlanes: Int = 8, dim: Option[Int] = None, hamming: Int = 1): DataFrame = {
     val d = dim.getOrElse(corpus.select(size(col(vecCol))).head.getInt(0))
     val planes = hyperplanes(numPlanes, d)
     def guarded(v: Column): Column =
@@ -98,8 +112,8 @@ object Vectors {
     val probes = queries
       .withColumn("__qbucket", guarded(col(qvecCol)))
       .withColumn("__probe", explode(array(
-        (col("__qbucket") +: (0 until numPlanes).map(p =>
-          col("__qbucket").bitwiseXOR(lit(1 << p)))): _*)))
+        probeMasks(numPlanes, hamming).map(m =>
+          col("__qbucket").bitwiseXOR(lit(m))): _*)))
     val pairs = bucketed
       .join(broadcast(probes),
         col("__bucket") === col("__probe") && col(qidCol) =!= col(idCol))

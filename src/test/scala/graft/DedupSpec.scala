@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Unit tests for the dedup operators: exact keep-min semantics and
+  * idempotence, hand-computed Jaccard values through the prefix-filtered
+  * join, the short-doc (no-shingle) contract, and MinHash-LSH behavior on
+  * exact duplicates vs disjoint docs. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactDedup keeps the minimum-id row per distinct text") {
+    val df = Seq(
+      (3L, "same text here"), (1L, "same text here"),
+      (2L, "other text"), (4L, "same text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "same text here"), (2L, "other text")))
+  }
+
+  test("exactDedup is idempotent") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val once = Dedup.exactDedup(df, "text", "doc_id")
+    val twice = Dedup.exactDedup(once, "text", "doc_id")
+    assert(once.as[(Long, String)].collect().toSet ===
+      twice.as[(Long, String)].collect().toSet)
+  }
+
+  // d1/d3 identical; d1 vs d2 share 3 of 5 distinct shingles (J = 0.6);
+  // d4 has 2 tokens -> zero 3-gram shingles -> can never pair.
+  private lazy val docs = Seq(
+    (1L, "a b c d e f"),
+    (2L, "a b c d e g"),
+    (3L, "a b c d e f"),
+    (4L, "x y"))
+    .toDF("doc_id", "text")
+
+  test("jaccardJoin computes exact Jaccard on 3-gram shingle sets") {
+    val out = Dedup.jaccardJoin(docs, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b, math.rint(j * 1e9) / 1e9) }.toSet
+    // shingles(d1) = {abc,bcd,cde,def}; shingles(d2) = {abc,bcd,cde,deg}
+    // inter = 3, union = 5 -> J = 0.6; d1 vs d3 -> J = 1.0
+    assert(out === Set((1L, 2L, 0.6), (1L, 3L, 1.0), (2L, 3L, 0.6)))
+  }
+
+  test("jaccardJoin threshold filters below-threshold pairs") {
+    val out = Dedup.jaccardJoin(docs, "text", "doc_id", threshold = 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L)))
+  }
+
+  test("docs shorter than the shingle width never pair (empty-shingle contract)") {
+    val ids = Dedup.jaccardJoin(docs, "text", "doc_id", threshold = 0.0)
+      .select(explode(array(col("da"), col("db")))).as[Long].collect().toSet
+    assert(!ids.contains(4L))
+  }
+
+  test("pairs are emitted once, ordered da < db") {
+    val pairs = Dedup.jaccardJoin(docs, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall { case (a, b, _) => a < b })
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+  }
+
+  test("minHashLsh finds exact duplicates with estimated Jaccard 1.0") {
+    val out = Dedup.minHashLsh(docs, "text", "doc_id", estThreshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 3L, 1.0)))
+  }
+
+  test("minHashLsh yields nothing for shingle-disjoint docs") {
+    val disjoint = Seq(
+      (1L, "a b c d e f g h"), (2L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minHashLsh(disjoint, "text", "doc_id", estThreshold = 0.1)
+      .count() === 0L)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Physical-plan assertions (SURVEY §4): predicate pushdown and column
+  * pruning reach the parquet scan, small dims broadcast, and judged
+  * queries stay free of cartesian products. */
+class PlanSpec extends SparkTestBase {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("equality filter is pushed down to the parquet scan") {
+    val df = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_returnflag")
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(2000))
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val df = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = executedPlan(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan.take(2000))
+  }
+
+  test("dim x dim join broadcasts the small side") {
+    val plan = executedPlan(
+      SparkEntry.queries("q_dim_join")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("no judged query plans a cartesian product") {
+    // The ANN/brute-force vector joins are inequality-join by design but
+    // keep an equi component (bucket) or broadcast; nothing should fall
+    // back to CartesianProduct, which would never survive 100 TB.
+    for ((name, fn) <- SparkEntry.queries if !name.startsWith("q_write") &&
+        name != "q_fact_build") { // write queries execute on construction
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Relational._
+
+/** Unit + property tests for the reference-parity operators (SURVEY §5
+  * items 2-3): the J1+J2 preference semantics with edge users, C1
+  * sub-second cast, the C4 week-year trap, dedup idempotence, anti-join
+  * complement, and the salted partitioned-write layout. */
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def checkProp(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // J1+J2 edge users: one with both levels, one free-only, one paid-only.
+  private lazy val users =
+    Seq((1L, "free"), (1L, "paid"), (2L, "free"), (3L, "paid"), (1L, "paid"))
+      .toDF("user_id", "level")
+
+  test("preferValue keeps the preferred row only where both levels exist") {
+    val out = preferValue(users, "user_id", "level", "paid")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "paid"), (2L, "free"), (3L, "paid")))
+  }
+
+  test("preferValue and preferValueWindow are equivalent (incl. null value)") {
+    val withNull = users.union(Seq((4L, null.asInstanceOf[String])).toDF)
+    val a = preferValue(withNull, "user_id", "level", "paid")
+      .as[(Long, Option[String])].collect().toSet
+    val b = preferValueWindow(withNull, "user_id", "level", "paid")
+      .as[(Long, Option[String])].collect().toSet
+    assert(a === b)
+    assert(a.contains((4L, None))) // =!= is null-rejecting: null-only keys survive
+  }
+
+  test("preferValueAll keeps all columns and drops only non-preferred dual-key rows") {
+    val df = Seq(
+      (1L, "free", "x"), (1L, "paid", "y"), (2L, "free", "z"), (2L, "free", "z"))
+      .toDF("user_id", "level", "name")
+    val out = preferValueAll(df, "user_id", "level", "paid")
+      .as[(Long, String, String)].collect().toSet
+    assert(out === Set((1L, "paid", "y"), (2L, "free", "z")))
+  }
+
+  test("epochMsToTs preserves sub-second milliseconds exactly (C1)") {
+    val out = Seq(123L, 1500000000123L).toDF("ms")
+      .select(epochMsToTs(col("ms")).as("ts")).as[java.sql.Timestamp].collect()
+    assert(out(0).getTime === 123L)
+    assert(out(1).getTime === 1500000000123L)
+  }
+
+  test("tsToEpochMs inverts epochMsToTs") {
+    val ms = Seq(0L, 999L, 1700000000001L)
+    val out = ms.toDF("ms")
+      .select(tsToEpochMs(epochMsToTs(col("ms"))).as("ms2")).as[Long].collect()
+    assert(out.toSeq === ms)
+  }
+
+  test("timeDims uses calendar year, not week-based year (C4 trap)") {
+    // 2019-12-30 is a Monday in ISO week 2020-W01: week-based 'YYYY' would
+    // yield 2020 (the reference's latent bug); calendar year must be 2019.
+    val row = Seq(java.sql.Timestamp.valueOf("2019-12-30 12:00:00")).toDF("ts")
+      .select(timeDims(col("ts")): _*).head
+    assert(row.getAs[Int]("year") === 2019)
+    assert(row.getAs[Int]("month") === 12)
+    assert(row.getAs[Int]("week") === 1) // ISO week number itself is 1
+    assert(row.getAs[String]("weekday") === "Monday")
+    assert(row.getAs[Int]("day") === 30)
+    assert(row.getAs[Int]("hour") === 12)
+  }
+
+  test("dedupAll is idempotent (property)") {
+    val gen = Gen.listOf(Gen.zip(Gen.choose(0, 4), Gen.oneOf("a", "b")))
+    checkProp(Prop.forAll(gen) { xs =>
+      val df = (("sentinel", 99) :: xs.map(_.swap)).toDF("v", "k")
+      val once = dedupAll(df).as[(String, Int)].collect().toSet
+      val twice = dedupAll(dedupAll(df)).as[(String, Int)].collect().toSet
+      once == twice && once == (("sentinel", 99) :: xs.map(_.swap)).toSet
+    })
+  }
+
+  test("left_semi and left_anti partition the left side (property)") {
+    val gen = Gen.zip(Gen.listOf(Gen.choose(0, 9)), Gen.listOf(Gen.choose(0, 9)))
+    checkProp(Prop.forAll(gen) { case (left, right) =>
+      val l = left.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+      val r = right.toDF("k").distinct()
+      val semi = l.join(r, Seq("k"), "left_semi").select("id").as[Long].collect().toSet
+      val anti = l.join(r, Seq("k"), "left_anti").select("id").as[Long].collect().toSet
+      semi.intersect(anti).isEmpty &&
+        (semi ++ anti) == l.select("id").as[Long].collect().toSet
+    })
+  }
+
+  test("surrogateId is deterministic and injective on distinct keys") {
+    val keys = (1L to 1000L).toDF("k")
+    val a = keys.select(surrogateId(col("k")).as("sk")).as[Long].collect()
+    val b = keys.select(surrogateId(col("k")).as("sk")).as[Long].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.distinct.length === 1000)
+  }
+
+  test("writePartitioned lays out hive dirs with bounded files per partition") {
+    val dir = Files.createTempDirectory("graft_wp").toString
+    val df = (1 to 500).map(i => (i.toLong, 2000 + i % 3)).toDF("id", "year")
+    writePartitioned(df, dir, Seq("year"))
+    val root = new java.io.File(dir)
+    val partDirs = root.listFiles().filter(_.getName.startsWith("year="))
+    assert(partDirs.map(_.getName).toSet === Set("year=2000", "year=2001", "year=2002"))
+    partDirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts <= WRITE_SALT_BUCKETS, s"${d.getName} has $parts files")
+    }
+    val back = readTable(spark, dir).as[(Long, Int)].collect().toSet
+    assert(back === df.as[(Long, Int)].collect().toSet)
+  }
+
+  test("writePartitioned with no partition columns round-trips (S3)") {
+    val dir = Files.createTempDirectory("graft_wu").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    writePartitioned(df, dir, Seq.empty)
+    assert(readTable(spark, dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+  }
+}

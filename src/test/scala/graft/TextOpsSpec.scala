@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Text-analysis semantics pinned to the DuckDB-equivalent contracts the
+  * oracles rely on: single-space tokenization, the empty-shingle rule for
+  * short docs, marker scoring/argmax tie order, and md5 fingerprints. */
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.Dataset[T]): T = df.collect().head
+
+  test("tokens splits on single spaces exactly (matching string_split)") {
+    val out = one(Seq("a b  c").toDF("t")
+      .select(TextOps.tokens(col("t")).as("x")).as[Seq[String]])
+    assert(out === Seq("a", "b", "", "c")) // double space -> empty token, like DuckDB
+  }
+
+  test("shingles of width 3 join consecutive tokens with spaces") {
+    val out = one(Seq("a b c d").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("x")).as[Seq[String]])
+    assert(out === Seq("a b c", "b c d"))
+  }
+
+  test("shingles yields an empty array for docs shorter than the width") {
+    val out = Seq("a b", "a", "").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("x"))
+      .as[Seq[String]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("langPredict argmax with fixed tie order and 'und' fallback") {
+    val df = Seq("the cat is here", "zzz qqq", "der la").toDF("t")
+      .select((col("t") +: TextOps.langScores(TextOps.tokens(col("t")))): _*)
+    val scores = TextOps.langMarkers.map { case (l, _) => l -> col(s"s_$l") }.toMap
+    val out = df.select(TextOps.langPredict(scores).as("p")).as[String].collect()
+    assert(out(0) === "en")
+    assert(out(1) === "und")
+    assert(out(2) === "de") // 1-1 tie between de and fr resolves in marker order
+  }
+
+  test("fingerprint is the md5 hex of the UTF-8 text") {
+    val out = one(Seq("abc").toDF("t")
+      .select(TextOps.fingerprint(col("t")).as("f")).as[String])
+    assert(out === "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("minShingleFingerprint is the min of per-shingle md5s; null when short") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(TextOps.minShingleFingerprint(col("t")).as("f"))
+      .as[Option[String]].collect()
+    val expected = Seq("a b c", "b c d")
+      .map(s => org.apache.commons.codec.digest.DigestUtils.md5Hex(s)).min
+    assert(out(0) === Some(expected))
+    assert(out(1) === None)
+  }
+
+  test("avgTokenLen and markerRatio match hand computation") {
+    val row = Seq("the cat is xx").toDF("t")
+      .select(TextOps.tokens(col("t")).as("tk"))
+      .select(TextOps.avgTokenLen(col("tk")).as("a"),
+        TextOps.markerRatio(col("tk"), TextOps.langMarkers.head._2).as("r"))
+      .as[(Double, Double)]
+    val (a, r) = one(row)
+    assert(math.abs(a - 10.0 / 4) < 1e-12) // lengths 3+3+2+2
+    assert(math.abs(r - 2.0 / 4) < 1e-12)  // "the", "is" are markers
+  }
+}
