@@ -204,6 +204,24 @@ object SparkEntry {
       readTable(s, path).groupBy("year").agg(count(lit(1)).as("n")).orderBy("year")
     }),
 
+    // S1: JSON source scan with explicit schema + glob (etl.py:43,87 —
+    // both reference inputs are glob JSON reads). Spark writes the ndjson
+    // itself, re-reads it through Tables.readJson with a declared
+    // StructType (no inference in judged paths), and aggregates; the
+    // oracle aggregates the same rows straight from parquet.
+    "q_json_source" -> ((s, dir) => {
+      val path = tmpPath("orders_json")
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").json(path)
+      graft.engine.Tables.readJson(s, graft.engine.Schemas.ordersJsonSlice,
+          s"$path/part-*.json")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        .select(col("o_orderstatus").as("status"), col("n"), col("total"))
+        .orderBy("status")
+    }),
+
     // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
     // artists/users writes) — exercises the empty-partitionCols branch.
     "q_write_unpart" -> ((s, dir) => {
@@ -418,6 +436,11 @@ object SparkEntry {
     "q_write_unpart" ->
       """SELECT c_custkey AS cust_id, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "q_json_source" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       sum(o_totalprice) AS total
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts, value,

@@ -47,6 +47,15 @@ object Schemas {
     StructField("userAgent", StringType)
   ))
 
+  /** Four-column orders slice used by the judged JSON round-trip
+    * (`q_json_source`): the S1 explicit-schema scan over ndjson. */
+  val ordersJsonSlice: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)
+  ))
+
   // -------------------------------------------------------------------------
   // B. Harness parquet tables (/root/testdata/sf*/; FIXTURES.md §B).
   //    Parquet carries its own schema — these are declared so tests can

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.StarSchema
+
+/** End-to-end pipeline test (SURVEY §5 item 4): the reference's full
+  * 11-step workflow over FIXTURES.md §A fixture JSON — asserts all five
+  * tables' schemas, partition layouts, the paid-over-free users build,
+  * null-preserving songplays, the J3 artist disambiguation, and the C4
+  * calendar-year semantics on a Dec-30 timestamp.
+  */
+class StarSchemaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def write(path: Path, content: String): Unit = {
+    Files.createDirectories(path.getParent)
+    Files.writeString(path, content)
+  }
+
+  /** Fixture checklist (FIXTURES.md §A): two songs by one artist (artists
+    * dedup), a title collision across artists (J3 disambiguation), null
+    * lat/long, a non-NextSong row, a user at both levels, matched and
+    * unmatched plays, two events at the same ts, a Dec-30 ts (week-year
+    * trap), and a sub-second-millisecond ts. */
+  private lazy val outDir: String = {
+    val root = Files.createTempDirectory("graft_star")
+    val song = (id: String, title: String, aid: String, yr: Long, dur: Double,
+        aname: String, aloc: String, lat: Option[Double], lon: Option[Double]) =>
+      s"""{"song_id":"$id","title":"$title","artist_id":"$aid","year":$yr,"duration":$dur,"artist_name":"$aname","artist_location":"$aloc"""" +
+        lat.map(v => s""","artist_latitude":$v""").getOrElse("") +
+        lon.map(v => s""","artist_longitude":$v""").getOrElse("") + "}"
+    write(root.resolve("song_data/A/A/A/TRA1.json"),
+      song("SOA001", "Song Alpha", "AR001", 2019, 180.5, "Artist One", "NYC", Some(40.7), Some(-74.0)))
+    write(root.resolve("song_data/A/A/B/TRA2.json"),
+      song("SOA002", "Song Beta", "AR001", 0, 200.0, "Artist One", "NYC", Some(40.7), Some(-74.0)))
+    write(root.resolve("song_data/A/B/A/TRB1.json"),
+      song("SOB001", "Song Alpha", "AR002", 2020, 150.25, "Artist Two", "", None, None))
+
+    val log = (page: String, ts: Long, uid: String, first: String, last: String,
+        gender: String, level: String, sng: String, art: String, sess: Long) =>
+      s"""{"page":"$page","ts":$ts,"userId":"$uid","firstName":"$first","lastName":"$last","gender":"$gender","level":"$level","song":"$sng","artist":"$art","sessionId":$sess,"location":"Loc","userAgent":"UA"}"""
+    write(root.resolve("log_data/2019/12/events1.json"), Seq(
+      // matched play, sub-second ms (2019-12-01 00:00:00.123 UTC)
+      log("NextSong", 1575158400123L, "10", "Sara", "Johnson", "F", "free",
+        "Song Alpha", "Artist One", 100),
+      // non-NextSong row -> dropped by F1
+      log("Home", 1575158401000L, "10", "Sara", "Johnson", "F", "free", "", "", 100),
+      // unmatched play; Dec-30 week-year trap; user 10 now paid (dual level)
+      log("NextSong", 1577664000000L, "10", "Sara", "Johnson", "F", "paid",
+        "Unknown Tune", "Nobody", 101),
+      // same ts as previous (time-table distinct); title-collision match -> AR002
+      log("NextSong", 1577664000000L, "20", "Ben", "Lee", "M", "paid",
+        "Song Alpha", "Artist Two", 200),
+      // free-only user, matched play
+      log("NextSong", 1575244800500L, "30", "Amy", "Cole", "F", "free",
+        "Song Beta", "Artist One", 300)
+    ).mkString("\n"))
+
+    val out = root.resolve("warehouse").toString
+    StarSchema.run(spark,
+      s"$root/song_data/*/*/*/*.json", s"$root/log_data/*/*/*.json", out)
+    out
+  }
+
+  private def table(name: String) = spark.read.parquet(s"$outDir/$name")
+
+  test("all five tables exist with the reference schemas") {
+    assert(table("songs").columns.toSet ===
+      Set("song_id", "title", "artist_id", "year", "duration"))
+    assert(table("artists").columns.toSet ===
+      Set("artist_id", "name", "location", "latitude", "longitude"))
+    assert(table("users").columns.toSet ===
+      Set("user_id", "first_name", "last_name", "gender", "level"))
+    assert(table("time").columns.toSet ===
+      Set("start_time", "hour", "day", "week", "month", "year", "weekday"))
+    assert(table("songplays").columns.toSet ===
+      Set("songplay_id", "start_time", "user_id", "level", "song_id",
+        "artist_id", "session_id", "location", "user_agent", "year", "month"))
+  }
+
+  test("partition layouts match the reference (etl.py:51,137,173)") {
+    def dirs(p: String) = new java.io.File(p).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs(s"$outDir/songs") === Set("year=0", "year=2019", "year=2020"))
+    assert(dirs(s"$outDir/songs/year=2019") === Set("artist_id=AR001"))
+    assert(dirs(s"$outDir/time") === Set("year=2019"))
+    assert(dirs(s"$outDir/time/year=2019") === Set("month=12"))
+    assert(dirs(s"$outDir/songplays") === Set("year=2019"))
+  }
+
+  test("artists are deduplicated across songs") {
+    val a = table("artists").as[(String, String, String, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(a === Set(
+      ("AR001", "Artist One", "NYC", Some(40.7), Some(-74.0)),
+      ("AR002", "Artist Two", "", None, None)))
+  }
+
+  test("users prefer paid over free; single-level users survive") {
+    val u = table("users").select("user_id", "level").as[(String, String)]
+      .collect().toSet
+    assert(u === Set(("10", "paid"), ("20", "paid"), ("30", "free")))
+  }
+
+  test("time has one row per distinct ts, calendar year, sub-second precision") {
+    val t = table("time")
+      .select("start_time", "year", "month", "week", "weekday")
+      .as[(java.sql.Timestamp, Int, Int, Int, String)].collect()
+    assert(t.length === 3) // the two ts=1577664000000 events collapse to one
+    val dec30 = t.find(_._1.getTime == 1577664000000L).get
+    assert((dec30._2, dec30._3, dec30._4, dec30._5) === ((2019, 12, 1, "Monday")))
+    assert(t.exists(_._1.getTime == 1575158400123L)) // .123 ms preserved
+  }
+
+  test("songplays preserve unmatched plays with null ids and disambiguate artists") {
+    val sp = table("songplays")
+      .select("session_id", "song_id", "artist_id")
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(sp === Set(
+      (100L, Some("SOA001"), Some("AR001")), // matched
+      (101L, None, None),                    // unmatched survives (J4 left)
+      (200L, Some("SOB001"), Some("AR002")), // title collision -> right artist
+      (300L, Some("SOA002"), Some("AR001"))))
+    assert(table("songplays").select("songplay_id").distinct().count() === 4L)
+  }
+}
