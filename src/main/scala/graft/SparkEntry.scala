@@ -280,13 +280,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Document fingerprinting: full-text md5 + min-shingle-md5 sketch.
-    "q_doc_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.fingerprint(col("text")).as("fp"),
-          TextOps.minShingleFingerprint(col("text")).as("fp_shingle"))
-        .orderBy("doc_id")),
+    // Document fingerprinting: full-text md5 + min-shingle-md5 sketch
+    // (the sketch via the codegen explode/agg path; short docs keep a
+    // null sketch through the left join).
+    "q_doc_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .join(TextOps.minShingleFingerprints(d, "text", "doc_id"),
+          Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    }),
 
     // Near-dup detection with EXACT recall: prefix-filtered n-gram Jaccard
     // self-join at J >= 0.8 (oracle: all-pairs shingle join in SQL).

@@ -24,8 +24,13 @@ object Tables {
     * ([PARQUET_TYPE_ILLEGAL]); reading nanos as long lets [[apply]]
     * truncate to microsecond timestamps — the same truncation DuckDB
     * applies, keeping the oracle comparable. */
-  def bootstrap(spark: SparkSession): Unit =
+  def bootstrap(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Native expressions (graft_dot) for sessions built without
+    // spark.sql.extensions=graft.functions.GraftExtensions.
+    val (ident, info, builder) = graft.functions.VectorExprs.dotFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
 
   /** S2: parquet scan of a harness table. Filters/projections composed on
     * top of this are pushed into the parquet reader by Catalyst

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -92,7 +93,40 @@ object TextOps {
   /** Shingle fingerprint: lexicographic min of per-shingle md5 digests —
     * a 1-permutation MinHash / winnowing-style document sketch. Equal for
     * exact dups, stable under small reorderings far from the min shingle.
-    * Null for docs shorter than the shingle width (empty array → null). */
+    * Null for docs shorter than the shingle width (empty array → null).
+    *
+    * Column form for literals/one-offs: the higher-order functions here
+    * evaluate INTERPRETED (~60 µs/shingle). Corpus-scale callers must use
+    * [[minShingleFingerprints]], the whole-stage-codegen formulation;
+    * TextOpsSpec asserts the two agree. */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(tokens(text), n), s => md5(s.cast("binary"))))
+
+  /** One row per (doc, shingle string): word `width`-grams via
+    * explode + window-lead — the codegen-friendly shingle pipeline
+    * (see Dedup.shingleHashRows for the measured rationale). Docs shorter
+    * than `width` yield no rows. One shuffle on `idCol`. */
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String,
+      width: Int): DataFrame = {
+    val ex = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__i", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val gram = (0 until width).map(j =>
+      if (j == 0) col("__w") else lead(col("__w"), j).over(w))
+    ex.select(col(idCol), concat_ws(" ", gram: _*).as("__s"),
+        lead(col("__w"), width - 1).over(w).as("__last"))
+      .filter(col("__last").isNotNull)
+      .select(col(idCol), col("__s"))
+  }
+
+  /** Corpus-scale [[minShingleFingerprint]]: (idCol, fp_shingle) with the
+    * min-md5 computed as a codegen'd hash-aggregate over exploded
+    * shingles (partial min per task, then one row per doc through the
+    * shuffle). Docs shorter than `width` are absent — left-join and keep
+    * the null to match the Column form's contract. */
+  def minShingleFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      width: Int = 3): DataFrame =
+    shingleRows(docs, textCol, idCol, width)
+      .groupBy(col(idCol))
+      .agg(min(md5(col("__s").cast("binary"))).as("fp_shingle"))
 }

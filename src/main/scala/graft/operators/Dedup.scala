@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface
@@ -60,17 +59,9 @@ object Dedup {
     * `width` tokens yield no rows (the trailing-lead filter), matching the
     * oracle's empty `generate_series`. */
   private def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
-      width: Int): DataFrame = {
-    val ex = docs.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("__i", "__w")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__i"))
-    val gram = (0 until width).map(j =>
-      if (j == 0) col("__w") else lead(col("__w"), j).over(w))
-    ex.select(col(idCol), concat_ws(" ", gram: _*).as("__s"),
-        lead(col("__w"), width - 1).over(w).as("__last"))
-      .filter(col("__last").isNotNull) // partial windows at the doc tail
+      width: Int): DataFrame =
+    graft.functions.TextOps.shingleRows(docs, textCol, idCol, width)
       .select(col(idCol), xxhash64(col("__s")).as("h"))
-  }
 
   /** Per-doc distinct shingle-hash sets, canonically ordered:
     * (idCol, sh array<long> ascending-sorted, n int).

@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<double> columns — the native codegen
+    * expression (graft.functions.DotProduct), registered as `graft_dot`
+    * by Tables.bootstrap / GraftExtensions. The pure-builtin
+    * `aggregate(zip_with(...))` form is kept as [[dotHof]] for
+    * differential testing: HOFs evaluate interpreted and allocate an
+    * intermediate array per row, which is exactly the per-pair cost the
+    * brute-force join multiplies by |corpus| x |queries|. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Built-in higher-order-function dot product (interpreted; see [[dot]]). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity of two array<double> columns. */

@@ -57,6 +57,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1) === None)
   }
 
+  test("minShingleFingerprints (codegen path) agrees with the Column form") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "one two three"))
+      .toDF("doc_id", "text")
+    val colForm = docs.select(col("doc_id"),
+        TextOps.minShingleFingerprint(col("text")).as("fp_shingle"))
+      .as[(Long, Option[String])].collect().toSet
+    val dfForm = docs.select("doc_id")
+      .join(TextOps.minShingleFingerprints(docs, "text", "doc_id"),
+        Seq("doc_id"), "left")
+      .as[(Long, Option[String])].collect().toSet
+    assert(dfForm === colForm)
+  }
+
   test("avgTokenLen and markerRatio match hand computation") {
     val row = Seq("the cat is xx").toDF("t")
       .select(TextOps.tokens(col("t")).as("tk"))

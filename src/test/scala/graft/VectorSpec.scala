@@ -81,6 +81,42 @@ class VectorSpec extends SparkTestBase {
     shared.foreach(k => assert(math.abs(exact(k) - ann(k)) < 1e-12))
   }
 
+  test("native graft_dot matches the HOF formulation and propagates nulls") {
+    val df = Seq(
+      (Option(Seq(1.0, 2.0, 3.0)), Option(Seq(4.0, 5.0, 6.0))),
+      (Option(Seq(0.5, -0.5)), Option(Seq(2.0, 2.0))),
+      (None, Option(Seq(1.0))),
+      (Option(Seq(1.0)), None))
+      .toDF("a", "b")
+    val out = df.select(
+      Vectors.dot(col("a"), col("b")).as("native"),
+      Vectors.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(out(0).getDouble(0) === 32.0)
+    assert(out(1).getDouble(0) === 0.0)
+    out.take(2).foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(out(2).isNullAt(0) && out(3).isNullAt(0))
+  }
+
+  test("graft_dot agrees with the HOF dot on random vectors (property)") {
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(50)((Seq.fill(16)(rng.nextGaussian()),
+      Seq.fill(16)(rng.nextGaussian())))
+    val out = rows.toDF("a", "b").select(
+        Vectors.dot(col("a"), col("b")).as("n"),
+        Vectors.dotHof(col("a"), col("b")).as("h"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) => assert(math.abs(n - h) < 1e-12) }
+  }
+
+  test("graft_dot rejects non-double-array inputs at analysis time") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(Vectors.dot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("graft_dot") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("annTopK fails fast on mismatched embedding width") {
     val corpus = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
     val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
