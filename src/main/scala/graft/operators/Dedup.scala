@@ -123,6 +123,67 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** 64-bit SimHash fingerprints (Charikar, STOC'02), built as ONE
+    * codegen'd hash-aggregate: per doc, bit j of the fingerprint is the
+    * sign of Σ over shingles of (±1 per bit j of the shingle hash) —
+    * 64 `sum(when(...))` aggregate columns folded into one long. Partial
+    * aggregation compresses each task's contribution to one row per doc
+    * before the shuffle; nothing wider than (id, 64 longs) ever moves. */
+  def simHashFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      width: Int = 3): DataFrame = {
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$j"))
+    val sums = shingleHashRows(docs, textCol, idCol, width)
+      .groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col(idCol),
+      (0 until 64).map(j =>
+        when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("fp"))
+  }
+
+  /** SimHash near-dup pairs: (da < db) whose fingerprints differ in at
+    * most `maxHamming` of 64 bits.
+    *
+    * Candidates via the Manku-Das Sarma-Garg (WWW'07) pigeonhole split:
+    * the fingerprint is cut into `maxHamming + 1` disjoint bands, and any
+    * pair within the distance budget must agree EXACTLY on at least one
+    * band — so the band equi-join has exact recall with respect to the
+    * fingerprints, and the final `bit_count(xor)` filter is a
+    * verification, not a heuristic. (What remains probabilistic is
+    * SimHash itself: fingerprint distance ≈ angular distance of shingle
+    * sets — hence judged rows-only, like MinHash-LSH.)
+    *
+    * Scale: fingerprints are 8 bytes/doc; the band join shuffles
+    * (band-index, band-bits, id) triples; pairs are deduplicated bare
+    * before fingerprints are joined back.
+    */
+  def simHashNearDup(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, width: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0, s"maxHamming+1 must divide 64, got $bands")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val fps = simHashFingerprints(docs, textCol, idCol, width).persist()
+    val banded = fps.select(col(idCol),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("fp"), b * w).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+      .distinct()
+    cand
+      .join(fps.select(col(idCol).as("da"), col("fp").as("fpa")), "da")
+      .join(fps.select(col(idCol).as("db"), col("fp").as("fpb")), "db")
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
   /** MinHash signatures, built as ONE codegen'd hash-aggregate: per doc,
     * `numHashes` columns `min(xxhash64(i, h))` — the i-th "permutation" is
     * derived arithmetically from the 64-bit shingle hash (two-long integer

@@ -76,6 +76,56 @@ object Vectors {
       when(dot(v, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs, EXACT: all (da < db) with
+    * `cosine >= threshold`. Norms are computed once per side before the
+    * join, so the per-pair work is a single native dot product.
+    *
+    * The pair space is quadratic — this is the oracle-checkable baseline
+    * for bounded corpora (≤ ~10^5 vectors; one side broadcast, the other
+    * streamed). At 100 TB use [[cosineNearDupBucketed]], which prunes the
+    * pair space through the same SimHash buckets as [[annTopK]].
+    */
+  def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+    val a = e.select(col(idCol).as("da"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = e.select(col(idCol).as("db"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("da") < col("db"))
+      .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("da"), col("db"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, bucketed (the 100 TB path):
+    * candidates limited to pairs whose SimHash buckets lie within Hamming
+    * distance `hamming` (multi-probe on one side), then exact cosine +
+    * threshold. Probabilistic recall — a pair at angle θ survives with
+    * P(≤ hamming of numPlanes bits differ), each bit differing with
+    * probability θ/π — so judged rows-only; the exact twin is
+    * [[cosineNearDup]]. */
+  def cosineNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, hamming: Int = 2,
+      dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(emb.select(size(col(vecCol))).head.getInt(0))
+    val planes = hyperplanes(numPlanes, d)
+    val e = emb.select(col(idCol), col(vecCol),
+      simhashBucket(col(vecCol), planes).as("__bucket"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+    // a-side expands to its probe set; b-side keeps its exact bucket.
+    val probed = e.select(col(idCol).as("da"), col(vecCol).as("__va"),
+      col("__n").as("__na"),
+      explode(array(probeMasks(numPlanes, hamming).map(m =>
+        col("__bucket").bitwiseXOR(lit(m))): _*)).as("__probe"))
+    val other = e.select(col(idCol).as("db"), col(vecCol).as("__vb"),
+      col("__n").as("__nb"), col("__bucket"))
+    probed.join(other, col("__probe") === col("__bucket") && col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct() // a pair can meet through several probes
+  }
+
   /** All XOR masks within Hamming distance `maxDist` of zero, over
     * `numPlanes` bits — the multi-probe sequence (driver-side constants;
     * e.g. 8 planes, dist 2 → 1+8+28 = 37 probes of 256 buckets). */

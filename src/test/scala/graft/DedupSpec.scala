@@ -79,4 +79,30 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minHashLsh(disjoint, "text", "doc_id", estThreshold = 0.1)
       .count() === 0L)
   }
+
+  test("simHashNearDup: exact duplicates at distance 0, near-dups close, disjoint absent") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val oneEdit = base.replace("tok20", "changed")
+    val docs2 = Seq(
+      (1L, base), (2L, base), (3L, oneEdit),
+      (4L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHashNearDup(docs2, "text", "doc_id", maxHamming = 15)
+      .as[(Long, Long, Int)].collect()
+    val byPair = out.map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(byPair((1L, 2L)) === 0) // identical text -> identical fingerprint
+    // one word edit flips 3 of 38 shingles -> measured (deterministic)
+    // fingerprint distance 8 of 64; token-disjoint doc 4 sits at 31+.
+    assert(byPair((1L, 3L)) === 8)
+    assert(!byPair.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simHashFingerprints is deterministic and 64-bit complete") {
+    val docs2 = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val a = Dedup.simHashFingerprints(docs2, "text", "doc_id")
+      .as[(Long, Long)].collect().head
+    val b = Dedup.simHashFingerprints(docs2, "text", "doc_id")
+      .as[(Long, Long)].collect().head
+    assert(a === b)
+  }
 }

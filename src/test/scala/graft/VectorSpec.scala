@@ -117,6 +117,38 @@ class VectorSpec extends SparkTestBase {
       ex.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("cosineNearDup finds exactly the above-threshold pairs") {
+    val (corpus, _) = clustered
+    val sub = corpus.filter(col("vec_id") < 60) // deterministic subset (not limit)
+    val out = graft.operators.Vectors
+      .cosineNearDup(sub, "vec_id", "v", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, s) => a < b && s >= 0.9 })
+    // differential check vs a driver-side brute force on the same 60 rows
+    val vecs = sub.as[(Long, Seq[Double])].collect().toSeq
+    val expected = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      d = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = math.sqrt(va.map(x => x * x).sum); nb = math.sqrt(vb.map(x => x * x).sum)
+      if d / (na * nb) >= 0.9
+    } yield (a, b)).toSet
+    assert(out.map(p => (p._1, p._2)).toSet === expected)
+  }
+
+  test("cosineNearDupBucketed is a high-recall subset of the exact pairs") {
+    val (corpus, _) = clustered
+    val exact = graft.operators.Vectors
+      .cosineNearDup(corpus, "vec_id", "v", 0.9)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val bucketed = graft.operators.Vectors
+      .cosineNearDupBucketed(corpus, "vec_id", "v", 0.9)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact)) // verify step is exact -> no false positives
+    assert(bucketed.size.toDouble / exact.size >= 0.9, // tight pairs, hamming<=2 probes
+      s"recall ${bucketed.size.toDouble / exact.size}")
+  }
+
   test("annTopK fails fast on mismatched embedding width") {
     val corpus = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
     val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
