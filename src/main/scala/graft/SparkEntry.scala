@@ -360,6 +360,34 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Multimodal: text wrapped as opaque binary assets, stub header
+    // "decode" through the real mapPartitions batch plumbing; the fake
+    // header arithmetic is reproducible in DuckDB (ascii/octet_length),
+    // so the decode PATH is oracle-checked even though the codec is a
+    // stub (no media libs in this container — Multimodal.scala).
+    "q_mm_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.decodeMeta(
+        graft.operators.Multimodal.assetsFromText(
+          t(s, dir, "documents"), "text", "doc_id"))
+        .toDF()
+        .orderBy("asset_id")),
+
+    // Multimodal feature extraction (stub byte-histogram embedding)
+    // composed with exact top-k vector search — the decode→embed→search
+    // pipeline shape. Histograms are kernel-derived → rows-only;
+    // MultimodalSpec pins the kernel semantics.
+    "q_mm_sim" -> ((s, dir) => {
+      val f = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.assetsFromText(
+          t(s, dir, "documents"), "text", "doc_id")).toDF()
+      val q = f.filter(col("asset_id") < 5)
+        .select(col("asset_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Vectors
+        .bruteForceTopK(f, "asset_id", "embedding", q, "qid", "qv", 3)
+        .select(col("qid"), col("neighbor"), col("sim"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Lag-gap sessionization (30-min inactivity) + per-session aggregates
     // — one window shuffle on user_id, one agg shuffle on (user, session).
     "q_sessionize" -> ((s, dir) =>
@@ -474,6 +502,13 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       sum(o_totalprice) AS total
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q_mm_meta" ->
+      """SELECT doc_id AS asset_id, 'text' AS modality,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       CAST(1 + ascii(substr(text, 1, 1)) % 16 AS INT) AS width,
+        |       CAST(1 + ascii(substr(text, 2, 1)) % 16 AS INT) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts, value,

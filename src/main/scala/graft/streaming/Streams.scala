@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.operators.Events
+
+/** Structured-Streaming surface (SURVEY §7.4 optional slice; the
+  * reference is batch-only, so everything here EXTENDS the §2b event
+  * operators to unbounded inputs rather than reproducing reference
+  * semantics).
+  *
+  * Design stance: the batch operators in [[graft.operators.Events]] are
+  * built from declarative primitives only (`window()` grouping, plain
+  * aggregates), so the streaming variants REUSE them verbatim — the only
+  * streaming-specific additions are the watermark (bounding state for
+  * append-mode emission) and `session_window` (the streaming-safe
+  * sessionizer; the batch lag-gap formulation needs an unbounded sort).
+  * StreamingSpec asserts batch/stream parity by feeding the same rows
+  * through a MemoryStream.
+  */
+object Streams {
+
+  /** Streaming tumbling-window aggregation: identical logical plan to
+    * [[Events.tumblingAgg]] plus an event-time watermark. In append mode
+    * a window emits once the watermark passes its end; state is bounded
+    * by (watermark delay / width) windows per key. */
+  def tumblingAggStream(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, width: String, watermarkDelay: String): DataFrame =
+    Events.tumblingAgg(events.withWatermark(tsCol, watermarkDelay),
+      tsCol, keyCol, valueCol, width)
+
+  /** Streaming sessionization via `session_window` — gap-merged sessions
+    * with bounded state (the engine merges adjacent windows closer than
+    * `gap`). Output matches [[Events.sessionize]] minus the per-user
+    * session ordinal, which would require total order over an unbounded
+    * stream; sessions are identified by their start time instead. */
+  def sessionizeStream(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gap: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom incremental state via `mapGroupsWithState`: running per-user
+    * event count + value total, updated per micro-batch. The same code
+    * path runs in batch (state starts empty, one pass), which is what
+    * StreamingSpec uses to assert stream/batch agreement. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserTotal(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+}

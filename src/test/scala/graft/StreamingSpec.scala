@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.streaming.Streams
+
+/** Stream/batch parity for the event operators: the same rows produce
+  * the same windows whether read as a table or fed through a
+  * MemoryStream in micro-batches, and mapGroupsWithState accumulates
+  * across batches to the batch-mode totals. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2026-01-01 10:05:00"), "click", 1.0),
+    (1L, ts("2026-01-01 10:20:00"), "click", 2.0),
+    (1L, ts("2026-01-01 11:05:00"), "click", 4.0),
+    (2L, ts("2026-01-01 10:40:00"), "view", 8.0),
+    (2L, ts("2026-01-01 10:55:00"), "view", 16.0))
+
+  test("tumblingAggStream (complete mode) matches batch tumblingAgg") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamed = Streams.tumblingAggStream(
+      in.toDF.toDF("user_id", "ts", "event_type", "value"),
+      "ts", "event_type", "value", "1 hour", "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_agg").outputMode("complete").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("t_agg")
+        .as[(Timestamp, String, Long, Double, Double)].collect().toSet
+      val want = Events.tumblingAgg(
+        rows.toDF("user_id", "ts", "event_type", "value"),
+        "ts", "event_type", "value", "1 hour")
+        .as[(Timestamp, String, Long, Double, Double)].collect().toSet
+      assert(got === want)
+      assert(want.size === 3) // (10h click), (11h click), (10h view)
+    } finally q.stop()
+  }
+
+  test("sessionizeStream merges gap-adjacent events like the batch sessionizer") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamed = Streams.sessionizeStream(
+      in.toDF.toDF("user_id", "ts", "event_type", "value"),
+      "user_id", "ts", "value", "30 minutes", "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_sess").outputMode("complete").start()
+    try {
+      in.addData(rows); q.processAllAvailable()
+      val got = spark.table("t_sess")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // batch lag-gap sessionizer on the same rows (30-min gap):
+      // user 1 -> {10:05,10:20} and {11:05}; user 2 -> {10:40,10:55}
+      val batch = Events.sessionize(
+        rows.toDF("user_id", "ts", "event_type", "value"),
+        "user_id", "ts", "value", gapMinutes = 30, orderTiebreak = "value")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === batch)
+      assert(got === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 2L, 24.0)))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals accumulates across micro-batches to batch totals") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("t_tot")
+      .outputMode("update").start()
+    try {
+      in.addData(Streams.UserEvent(1, 1.0), Streams.UserEvent(2, 10.0))
+      q.processAllAvailable()
+      in.addData(Streams.UserEvent(1, 2.0), Streams.UserEvent(1, 4.0))
+      q.processAllAvailable()
+      // latest update per user is the running total
+      val latest = spark.table("t_tot").groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(latest === Set((1L, 3L, 7.0), (2L, 1L, 10.0)))
+      // batch mode over all rows agrees with the streamed final state
+      val batch = Streams.runningUserTotals(Seq(
+        Streams.UserEvent(1, 1.0), Streams.UserEvent(2, 10.0),
+        Streams.UserEvent(1, 2.0), Streams.UserEvent(1, 4.0)).toDS())
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch === latest)
+    } finally q.stop()
+  }
+}
