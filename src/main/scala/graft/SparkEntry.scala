@@ -169,6 +169,19 @@ object SparkEntry {
         .orderBy("orderkey", "linenumber", "linestatus")
     }),
 
+    // Skew-salted equi-join: semantics-preserving salt spread of a hot
+    // key, judged against the PLAIN join oracle (the point of the test:
+    // salting must not change results).
+    "q_skew_join" -> ((s, dir) => {
+      val li = projectRename(t(s, dir, "lineitem"),
+        "l_orderkey" -> "orderkey", "l_linenumber" -> "linenumber",
+        "l_quantity" -> "qty")
+      val o = projectRename(t(s, dir, "orders"),
+        "o_orderkey" -> "orderkey", "o_orderstatus" -> "status")
+      skewSaltedJoin(li, o, "orderkey", "left")
+        .orderBy("orderkey", "linenumber")
+    }),
+
     // C2-C4: time-dimension table (etl.py:124-138), distinct over derived cols.
     "q_time_dims" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -553,6 +566,12 @@ object SparkEntry {
         |LEFT JOIN orders o
         |  ON l.l_orderkey = o.o_orderkey AND l.l_linestatus = o.o_orderstatus
         |ORDER BY orderkey, linenumber, linestatus""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+        |       l.l_quantity AS qty, o.o_orderstatus AS status
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY orderkey, linenumber""".stripMargin,
 
     "q_time_dims" ->
       """SELECT DISTINCT ts AS start_time,

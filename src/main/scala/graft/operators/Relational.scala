@@ -164,6 +164,30 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Skew-safe equi-join: spread a hot join key over [[WRITE_SALT_BUCKETS]]
+    * tasks by salting the fact side deterministically (`xxhash64` of the
+    * full row, mod SALT) and replicating the dim side once per salt value,
+    * then joining on (key, salt).
+    *
+    * Semantically identical to `fact.join(dim, key, joinType)` for
+    * fact-preserving join types (inner / left / left_semi / left_anti —
+    * enforced), because every fact salt bucket sees the complete dim side.
+    * Use when ONE key's rows exceed a task (AQE's skew split handles
+    * sort-merge skew at runtime but not the single-key hash-aggregate
+    * case); cost = SALT× replication of the dim side's shuffle. Judged
+    * against a plain-join oracle (`q_skew_join`).
+    */
+  def skewSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "inner", salt: Int = WRITE_SALT_BUCKETS): DataFrame = {
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType), s"dim side is replicated: $joinType join unsupported")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salt)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until salt).map(lit(_)): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** S3/S4 — parquet sink, optionally hive-partitioned (etl.py:49-52,
     * 64-66, 119-121, 135-138, 171-174). Always `overwrite`, like the
     * reference.

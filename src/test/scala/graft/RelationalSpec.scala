@@ -107,6 +107,22 @@ class RelationalSpec extends SparkTestBase {
     assert(a.distinct.length === 1000)
   }
 
+  test("skewSaltedJoin matches the plain join for inner/left/anti on skewed keys") {
+    // hot key 1 dominates; key 3 has no dim match; dim key 9 has no fact rows
+    val fact = ((1 to 200).map(i => (1L, s"r$i")) ++ Seq((2L, "x"), (3L, "y")))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "one"), (2L, "two"), (9L, "nine")).toDF("k", "name")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = fact.join(dim, Seq("k"), jt)
+      val salted = skewSaltedJoin(fact, dim, "k", jt)
+      assert(salted.columns.toSeq === plain.columns.toSeq, jt)
+      assert(salted.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet, jt)
+    }
+    intercept[IllegalArgumentException] {
+      skewSaltedJoin(fact, dim, "k", "right")
+    }
+  }
+
   test("writePartitioned lays out hive dirs with bounded files per partition") {
     val dir = Files.createTempDirectory("graft_wp").toString
     val df = (1 to 500).map(i => (i.toLong, 2000 + i % 3)).toDF("id", "year")
