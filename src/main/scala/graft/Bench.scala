@@ -31,15 +31,22 @@ object Bench {
       .getOrCreate()
     engine.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: JIT + codegen + parquet footer caches, so the first measured
-    // query isn't charged for session spin-up (VERDICT r1: q_surrogate_id
-    // "cost" was warm-up landing on the first query in map order).
-    try engine.Tables(spark, sfDir, "lineitem").count()
-    catch { case _: Throwable => () }
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
+    // Warm-up: run EVERY query shape once at the smallest SF. A bare
+    // table-count warm-up leaves ~10s of JIT + codegen-compiler + window/
+    // json/shuffle-path initialization charged to whichever query happens
+    // to run first in map order (r2: q_surrogate_id; r3 pre-fix:
+    // q_doc_fingerprint 14.3s vs 3.2s isolated). Caches are dropped after
+    // so measured runs keep their own persist() behavior.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    selected.foreach { case (_, fn) =>
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
