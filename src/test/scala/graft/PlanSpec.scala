@@ -34,6 +34,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("aggregates plan map-side partial aggregation") {
+    val plan = executedPlan(SparkEntry.queries("q1_agg")(spark, sfDir))
+    assert(plan.contains("partial_sum"), plan.take(2000))
+  }
+
+  test("near-dup self-joins read the persisted shingle relation, not the scan twice") {
+    val plan = executedPlan(SparkEntry.queries("q_near_dup")(spark, sfDir))
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
