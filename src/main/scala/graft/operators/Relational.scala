@@ -184,7 +184,7 @@ object Relational {
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col): _*), lit(salt)))
     val replicated = dim.withColumn("__salt",
-      explode(array((0 until salt).map(lit(_)): _*)))
+      explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
