@@ -417,6 +417,21 @@ object SparkEntry {
         .tumblingAgg(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
         .orderBy("window_start", "event_type")),
 
+    // As-of join: most recent purchase value at or before each click,
+    // per user — judged against DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Events
+        .asofJoin(clicks, purchases, "user_id", "ts", "value", "last_purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          col("last_purchase"))
+        .orderBy("event_id")
+    }),
+
     // JSON property extraction from the props string column (from_json
     // with explicit schema — no inference in judged paths).
     "q_json_props" -> ((s, dir) =>
@@ -557,6 +572,15 @@ object SparkEntry {
     "q_json_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS v FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts AS click_ts, r.v AS last_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q_surrogate_unique" ->
       """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys

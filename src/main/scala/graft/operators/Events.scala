@@ -65,6 +65,42 @@ object Events {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"), col("avg_value"))
 
+  /** As-of join — an operator Spark has no primitive for, composed from
+    * existing ops (SURVEY §7.3 escalation ladder step (a)): for every
+    * `left` row, attach the `payloadCol` of the LATEST `right` row with
+    * `right.ts <= left.ts` and the same key (the "most recent prior
+    * observation" join; DuckDB expresses it natively as ASOF LEFT JOIN,
+    * which is the oracle).
+    *
+    * Formulation: tag and union both sides, then one per-key ordered
+    * window carries the last non-null payload forward
+    * (`last(_, ignoreNulls)` over rows-unbounded-preceding); right rows
+    * sort BEFORE left rows at equal ts, making the match inclusive.
+    * Right rows are first collapsed to one per (key, ts) via max — DuckDB
+    * leaves duplicate-instant ASOF matches unspecified, so the operator
+    * pins a deterministic choice.
+    *
+    * Scale: ONE shuffle (the union is narrow; both the window and the
+    * implicit dedup group ride the same (key) hash partitioning); no join
+    * node at all, so there is nothing to skew — a hot key serializes one
+    * task, same caveat as [[withSessionSeq]].
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      payloadCol: String, asofCol: String): DataFrame = {
+    val r = right
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(payloadCol)).as("__p"))
+      .withColumn("__is_left", lit(0))
+    val l = left.withColumn("__is_left", lit(1))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(asofCol, last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .drop("__p", "__is_left")
+  }
+
   /** JSON property extraction from a string column via `from_json` with an
     * explicit one-field schema (`props` is `{"k": <long>}` in the test
     * corpus). Declarative JsonToStructs — codegen-friendly, pushdown-safe. */

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+
+/** Event-operator unit tests: as-of join boundary semantics (before /
+  * exactly-at / after, no-match nulls, duplicate-instant determinism) and
+  * JSON extraction edge cases. The full-table behaviors are
+  * oracle-checked (q_sessionize / q_window_agg / q_asof_join); these pin
+  * the edges literals make obvious. */
+class EventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin attaches the latest right payload at or before each left ts") {
+    val clicks = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")), // before any purchase -> null
+      (2L, 10L, ts("2026-01-01 11:00:00")), // exactly at a purchase -> inclusive
+      (3L, 10L, ts("2026-01-01 12:30:00")), // between purchases -> the 11:00 one
+      (4L, 10L, ts("2026-01-01 14:00:00")), // after the last -> the 13:00 one
+      (5L, 20L, ts("2026-01-01 12:00:00"))) // user with no purchases -> null
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2026-01-01 11:00:00"), 1.5),
+      (10L, ts("2026-01-01 11:00:00"), 2.5), // duplicate instant -> max wins
+      (10L, ts("2026-01-01 13:00:00"), 4.0))
+      .toDF("user_id", "ts", "value")
+    val out = Events.asofJoin(clicks, purchases, "user_id", "ts", "value", "v")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      1L -> None, 2L -> Some(2.5), 3L -> Some(2.5), 4L -> Some(4.0), 5L -> None))
+  }
+
+  test("asofJoin keeps every left row exactly once") {
+    val left = (1L to 100L).map(i => (i, i % 7, ts(f"2026-01-01 10:00:${i % 60}%02d")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts("2026-01-01 10:00:30"), 9.0)).toDF("user_id", "ts", "value")
+    val out = Events.asofJoin(left, right, "user_id", "ts", "value", "v")
+    assert(out.count() === 100L)
+    assert(out.select("event_id").distinct().count() === 100L)
+  }
+
+  test("jsonProp extracts the field and yields null on missing key or junk") {
+    val out = Seq("""{"k": 7}""", """{"other": 1}""", "not json", null)
+      .toDF("props")
+      .select(Events.jsonProp(col("props"), "k").as("v"))
+      .as[Option[Long]].collect().toSeq
+    assert(out === Seq(Some(7L), None, None, None))
+  }
+}
