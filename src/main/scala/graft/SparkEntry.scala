@@ -432,6 +432,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Range join: error events paired with clicks within ±120 minutes,
+    // same user — bucketed equi-join, judged against a BETWEEN join.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      graft.operators.Events
+        .rangeJoin(errors, "error_ts", clicks, "click_ts", "user_id", 120)
+        .select(col("user_id"), col("error_id"), col("click_id"),
+          col("error_ts"), col("click_ts"))
+        .orderBy("error_id", "click_id")
+    }),
+
     // JSON property extraction from the props string column (from_json
     // with explicit schema — no inference in judged paths).
     "q_json_props" -> ((s, dir) =>
@@ -572,6 +587,15 @@ object SparkEntry {
     "q_json_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+        |       e.ts AS error_ts, c.ts AS click_ts
+        |FROM events e JOIN events c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |  AND c.ts BETWEEN e.ts - INTERVAL 120 MINUTE
+        |                AND e.ts + INTERVAL 120 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events

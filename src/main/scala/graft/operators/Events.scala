@@ -101,6 +101,33 @@ object Events {
       .drop("__p", "__is_left")
   }
 
+  /** Range (interval) join — the second "operator Spark lacks" composed
+    * from existing ops: all pairs with equal `keyCol` whose timestamps
+    * lie within `toleranceMinutes` of each other.
+    *
+    * The naive formulation (equi-key + |Δts| ≤ tol as a join residual)
+    * hash-joins on the key alone, so a hot key degenerates to its full
+    * pair product. Instead: time is cut into tolerance-width buckets; a
+    * right row belongs to exactly ONE bucket, a left row explodes to its
+    * bucket ±1 (any within-tolerance partner must lie there), and the
+    * join becomes a plain equi-join on (key, bucket) + exact filter.
+    * Each qualifying pair meets in exactly one bucket — single-sided
+    * explode — so no dedup pass is needed, and the shuffle key (key,
+    * bucket) spreads a hot key across its time range. Exact results →
+    * DuckDB BETWEEN-join oracle (`q_range_join`).
+    */
+  def rangeJoin(left: DataFrame, ltsCol: String, right: DataFrame, rtsCol: String,
+      keyCol: String, toleranceMinutes: Int): DataFrame = {
+    val tolUs = toleranceMinutes * 60L * 1000000L
+    def bucket(ts: Column): Column = floor(unix_micros(ts) / lit(tolUs))
+    val l = left.withColumn("__bucket", explode(array(
+      bucket(col(ltsCol)) - 1, bucket(col(ltsCol)), bucket(col(ltsCol)) + 1)))
+    val r = right.withColumn("__bucket", bucket(col(rtsCol)))
+    l.join(r, Seq(keyCol, "__bucket"))
+      .filter(abs(unix_micros(col(ltsCol)) - unix_micros(col(rtsCol))) <= tolUs)
+      .drop("__bucket")
+  }
+
   /** JSON property extraction from a string column via `from_json` with an
     * explicit one-field schema (`props` is `{"k": <long>}` in the test
     * corpus). Declarative JsonToStructs — codegen-friendly, pushdown-safe. */

@@ -44,6 +44,27 @@ class EventsSpec extends SparkTestBase {
     assert(out.select("event_id").distinct().count() === 100L)
   }
 
+  test("rangeJoin pairs exactly the within-tolerance rows, once each") {
+    val errors = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")),
+      (2L, 10L, ts("2026-01-01 18:00:00")),
+      (3L, 20L, ts("2026-01-01 10:00:00"))) // other user
+      .toDF("error_id", "user_id", "error_ts")
+      .select(col("user_id"), col("error_id"), col("error_ts"))
+    val clicks = Seq(
+      (1L, 10L, ts("2026-01-01 10:30:00")), // within, same bucket region
+      (2L, 10L, ts("2026-01-01 11:00:00")), // exactly at tolerance -> inclusive
+      (3L, 10L, ts("2026-01-01 11:00:01")), // one second outside -> excluded
+      (4L, 10L, ts("2026-01-01 09:10:00")), // within, bucket below
+      (5L, 20L, ts("2026-01-01 10:05:00"))) // other user, within
+      .toDF("click_id0", "user_id", "click_ts")
+      .select(col("user_id"), col("click_id0").as("click_id"), col("click_ts"))
+    val out = Events.rangeJoin(errors, "error_ts", clicks, "click_ts", "user_id", 60)
+      .select("error_id", "click_id").as[(Long, Long)].collect()
+    assert(out.length === out.distinct.length) // single-sided explode: no dupes
+    assert(out.toSet === Set((1L, 1L), (1L, 2L), (1L, 4L), (3L, 5L)))
+  }
+
   test("jsonProp extracts the field and yields null on missing key or junk") {
     val out = Seq("""{"k": 7}""", """{"other": 1}""", "not json", null)
       .toDF("props")
