@@ -273,7 +273,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
         .select(col("doc_id"),
-          size(col("t")).as("n_tokens"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
           size(array_distinct(col("t"))).as("n_uniq"),
           TextOps.avgTokenLen(col("t")).as("avg_len"),
           TextOps.markerRatio(col("t"), TextOps.langMarkers.head._2).as("stop_ratio"),
@@ -293,12 +293,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Document fingerprinting: full-text md5 + min-shingle-md5 sketch
-    // (the sketch via the codegen explode/agg path; short docs keep a
-    // null sketch through the left join).
+    // Document fingerprinting: md5 of the whitespace-NORMALIZED text
+    // (trim + collapse runs — so re-spaced copies fingerprint equal) +
+    // min-shingle-md5 sketch via the codegen explode/agg path; short
+    // docs keep a null sketch through the left join.
     "q_doc_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      d.select(col("doc_id"),
+          TextOps.fingerprint(TextOps.normalized(col("text"))).as("fp"))
         .join(TextOps.minShingleFingerprints(d, "text", "doc_id"),
           Seq("doc_id"), "left")
         .orderBy("doc_id")
@@ -700,7 +702,7 @@ object SparkEntry {
 
     "q_doc_fingerprint" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents)
-        |SELECT doc_id, md5(text) AS fp,
+        |SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
         |  list_aggregate(list_transform(list_transform(
         |    generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2]),
         |    x -> md5(x)), 'min') AS fp_shingle
