@@ -293,6 +293,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF term weighting: tf per (doc, token) for a doc slice, df over
+    // the WHOLE corpus, idf joined in via a 1-row broadcast (no
+    // driver-side count). Partial aggregation bounds both shuffles.
+    "q_tfidf" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.filter(col("doc_id") < 20)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // End-to-end corpus curation — the LLM-data pipeline in one judged
+    // query: quality gate (length + stopword evidence) → exact dedup
+    // (keep min id) → near-dup drop (greedy: remove the larger id of any
+    // J>=0.8 pair). Output = surviving doc ids, fully oracle-checked.
+    "q_curate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
+        .withColumn("n_tokens", size(col("t")))
+        .withColumn("stop_hits",
+          TextOps.markerCount(col("t"), TextOps.langMarkers.head._2))
+      val quality = scored
+        .filter(col("n_tokens") >= 30 && col("stop_hits") > 0)
+        .select("doc_id", "text")
+      val exact = Dedup.exactDedup(quality, "text", "doc_id")
+      val nearDupLosers = Dedup.jaccardJoin(exact, "text", "doc_id", 0.8)
+        .select(col("db").as("doc_id")).distinct()
+      exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Document fingerprinting: md5 of the whitespace-NORMALIZED text
     // (trim + collapse runs — so re-spaced copies fingerprint equal) +
     // min-shingle-md5 sketch via the codegen explode/agg path; short
@@ -707,6 +747,39 @@ object SparkEntry {
         |    generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2]),
         |    x -> md5(x)), 'min') AS fp_shingle
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE doc_id < 20 GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |       tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df) AS tfidf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+
+    "q_curate" ->
+      """WITH q AS (SELECT doc_id, text FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 30
+        |             AND len(list_filter(string_split(text, ' '),
+        |                     x -> x IN ('the','a','of','and','is'))) > 0),
+        |e AS (SELECT doc_id, text FROM q
+        |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |         generate_series(1, len(t)-2),
+        |         i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT db FROM inter
+        |           JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |           WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8)
+        |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT db FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_near_dup" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
