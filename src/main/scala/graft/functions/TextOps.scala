@@ -8,11 +8,17 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 /** Text-analysis column functions for the LLM-data-pipeline surface
   * (SURVEY.md §2b: tokenize/count/score over `documents.text`).
   *
-  * Everything here is a pure `Column` expression built from Spark
-  * higher-order functions (`transform`/`filter`/`aggregate`) — fully
-  * codegen'd, no UDFs, no shuffles of its own. DuckDB can express each of
-  * these with `string_split`/`list_*` lambdas, which is what makes the
-  * judged queries oracle-checkable.
+  * Everything here is a pure `Column` expression — no UDFs, no shuffles
+  * of its own — and DuckDB can express each one with
+  * `string_split`/`list_*` lambdas, which is what makes the judged
+  * queries oracle-checkable. Honesty note on cost: Spark higher-order
+  * functions (`transform`/`filter`/`aggregate`) evaluate their lambdas
+  * INTERPRETED, not in whole-stage codegen (measured ~60 µs/element on
+  * this box). That is acceptable for the bounded per-token scoring
+  * below (a few ops per token, no combinatorial blowup) but NOT for
+  * per-shingle hot paths — those use the exploded codegen formulation
+  * ([[shingleRows]] / [[minShingleFingerprints]]); see Dedup.scala for
+  * the measured rationale.
   */
 object TextOps {
 
