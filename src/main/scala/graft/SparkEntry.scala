@@ -443,6 +443,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-style ANN over the same queries — the second scale path
+    // (coarse-quantizer cells + nProbe nearest cells per query;
+    // probabilistic recall → rows-only; VectorSpec measures recall).
+    "q_vec_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.operators.Vectors
+        .ivfTopK(e, "vec_id", "v", q, "qid", "qv", 5)
+        .select(col("qid"), col("neighbor"), col("sim"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Lag-gap sessionization (30-min inactivity) + per-session aggregates
     // — one window shuffle on user_id, one agg shuffle on (user, session).
     "q_sessionize" -> ((s, dir) =>

@@ -76,6 +76,63 @@ object Vectors {
       when(dot(v, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF-style approximate top-k (the second scale path besides
+    * [[annTopK]]'s hyperplane LSH): a coarse quantizer of `nCentroids`
+    * vectors sampled DETERMINISTICALLY from the corpus (lowest
+    * xxhash64(id) — a seeded uniform sample; k-means would sharpen cells
+    * but needs iterative passes), each corpus vector assigned to its
+    * max-cosine centroid in the scan stage (codegen argmax over
+    * `graft_dot` expressions — no shuffle), and each query probing its
+    * `nProbe` nearest cells. Cost ≈ nProbe/nCentroids of brute force;
+    * recall is data-dependent like all ANN (VectorSpec measures it on
+    * the clustered corpus).
+    *
+    * The centroid collect is a driver-side CONFIG read (nCentroids
+    * vectors, a few KB) folded into the plan as literals — same pattern
+    * as [[hyperplanes]], not a data collect.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = corpus
+      .select(col(vecCol)).orderBy(xxhash64(col(idCol)))
+      .limit(nCentroids).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    // per-centroid direction similarity; |v| is constant across centroids
+    // for a given row, so argmax over dot/|c| == argmax over cosine
+    def sims(v: Column): Seq[Column] =
+      cents.zip(norms).map { case (c, n) => dot(v, typedLit(c)) / lit(n) }
+    def assign(v: Column): Column = {
+      val s = sims(v)
+      val m = greatest(s: _*)
+      s.zipWithIndex.tail.foldLeft(when(s.head === m, 0)) {
+        case (acc, (si, i)) => acc.when(si === m, i)
+      }
+    }
+    // query side: nProbe best cells via sorted (−sim, cid) struct array —
+    // a 16-element HOF per QUERY row (queries are few; corpus side stays
+    // in the codegen argmax above)
+    def probeCells(v: Column): Column = {
+      val arr = array(sims(v).zipWithIndex.map { case (si, i) =>
+        struct((-si).as("neg"), lit(i).as("cid")) }: _*)
+      transform(slice(array_sort(arr), 1, nProbe), x => x.getField("cid"))
+    }
+    val bucketed = corpus.withColumn("__cell", assign(col(vecCol)))
+    val probes = queries
+      .withColumn("__cell", explode(probeCells(col(qvecCol))))
+    // a corpus row lives in ONE cell and a query's probe cells are
+    // distinct, so each (query, neighbor) pair matches at most once —
+    // no dedup pass needed
+    val pairs = bucketed
+      .join(broadcast(probes),
+        bucketed("__cell") === probes("__cell") && col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("qid"), col(idCol).as("neighbor"),
+        cosine(col(qvecCol), col(vecCol)).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT: all (da < db) with
     * `cosine >= threshold`. Norms are computed once per side before the
     * join, so the per-pair work is a single native dot product.

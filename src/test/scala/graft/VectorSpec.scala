@@ -117,6 +117,21 @@ class VectorSpec extends SparkTestBase {
       ex.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("ivfTopK recall >= 0.9 vs brute force on the clustered corpus") {
+    val (corpus, queries) = clustered
+    def pairs(df: DataFrame) = df.select("qid", "neighbor")
+      .as[(Long, Long)].collect().toSet
+    val exact = pairs(Vectors.bruteForceTopK(corpus, "vec_id", "v", queries, "qid", "qv", 5))
+    val ivf = pairs(Vectors.ivfTopK(corpus, "vec_id", "v", queries, "qid", "qv", 5,
+      nCentroids = 16, nProbe = 4))
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // no duplicate (qid, neighbor) pairs: one cell per corpus row
+    val all = Vectors.ivfTopK(corpus, "vec_id", "v", queries, "qid", "qv", 5)
+      .select("qid", "neighbor").as[(Long, Long)].collect()
+    assert(all.length === all.distinct.length)
+  }
+
   test("cosineNearDup finds exactly the above-threshold pairs") {
     val (corpus, _) = clustered
     val sub = corpus.filter(col("vec_id") < 60) // deterministic subset (not limit)
