@@ -295,10 +295,13 @@ object SparkEntry {
 
     // TF-IDF term weighting: tf per (doc, token) for a doc slice, df over
     // the WHOLE corpus, idf joined in via a 1-row broadcast (no
-    // driver-side count). Partial aggregation bounds both shuffles.
+    // driver-side count). Partial aggregation bounds both shuffles; the
+    // exploded token relation is persisted so tf and df share ONE corpus
+    // scan + explode (r3 VERDICT item 7).
     "q_tfidf" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .persist()
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = toks.select("doc_id", "token").distinct()
@@ -326,7 +329,10 @@ object SparkEntry {
       val quality = scored
         .filter(col("n_tokens") >= 30 && col("stop_hits") > 0)
         .select("doc_id", "text")
-      val exact = Dedup.exactDedup(quality, "text", "doc_id")
+      // The quality-scan + dedup subplan feeds the near-dup join's shingle
+      // build AND the final anti-join — persist so it executes once
+      // (r3 VERDICT item 2; Bench/Verify clear the cache between queries).
+      val exact = Dedup.exactDedup(quality, "text", "doc_id").persist()
       val nearDupLosers = Dedup.jaccardJoin(exact, "text", "doc_id", 0.8)
         .select(col("db").as("doc_id")).distinct()
       exact.join(nearDupLosers, Seq("doc_id"), "left_anti")

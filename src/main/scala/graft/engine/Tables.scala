@@ -26,10 +26,13 @@ object Tables {
     * applies, keeping the oracle comparable. */
   def bootstrap(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Native expressions (graft_dot) for sessions built without
-    // spark.sql.extensions=graft.functions.GraftExtensions.
-    val (ident, info, builder) = graft.functions.VectorExprs.dotFunction
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    // Native expressions (graft_dot, graft_shingle_* family) for sessions
+    // built without spark.sql.extensions=graft.functions.GraftExtensions.
+    val all = graft.functions.VectorExprs.dotFunction +:
+      graft.functions.ShingleExprs.functions
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
   }
 
   /** S2: parquet scan of a harness table. Filters/projections composed on

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -108,22 +107,17 @@ object TextOps {
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(tokens(text), n), s => md5(s.cast("binary"))))
 
-  /** One row per (doc, shingle string): word `width`-grams via
-    * explode + window-lead — the codegen-friendly shingle pipeline
-    * (see Dedup.shingleHashRows for the measured rationale). Docs shorter
-    * than `width` yield no rows. One shuffle on `idCol`. */
+  /** One row per (doc, shingle string): word `width`-grams emitted by the
+    * native [[graft.functions.ShingleKernel]] expression in the SCAN stage
+    * and exploded — ZERO shuffles (r3 VERDICT item 1: the previous
+    * explode + window-lead formulation exchanged a (doc, pos, token-string)
+    * row for every token in the corpus; a doc's tokens are coresident in
+    * its row, so no exchange is semantically needed). Docs shorter than
+    * `width` yield no rows (empty array under explode). */
   def shingleRows(docs: DataFrame, textCol: String, idCol: String,
-      width: Int): DataFrame = {
-    val ex = docs.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("__i", "__w")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__i"))
-    val gram = (0 until width).map(j =>
-      if (j == 0) col("__w") else lead(col("__w"), j).over(w))
-    ex.select(col(idCol), concat_ws(" ", gram: _*).as("__s"),
-        lead(col("__w"), width - 1).over(w).as("__last"))
-      .filter(col("__last").isNotNull)
-      .select(col(idCol), col("__s"))
-  }
+      width: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(call_function("graft_shingles", col(textCol), lit(width))).as("__s"))
 
   /** Corpus-scale [[minShingleFingerprint]]: (idCol, fp_shingle) with the
     * min-md5 computed as a codegen'd hash-aggregate over exploded

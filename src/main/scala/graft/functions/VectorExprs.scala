@@ -88,5 +88,6 @@ object VectorExprs {
   * `Tables.bootstrap`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(VectorExprs.dotFunction)
+    (VectorExprs.dotFunction +: ShingleExprs.functions)
+      .foreach(ext.injectFunction)
 }

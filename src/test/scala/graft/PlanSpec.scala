@@ -44,6 +44,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("InMemoryTableScan"), plan.take(2000))
   }
 
+  test("shingle pipeline plans no Window node (kernel expression, not window-lead)") {
+    // r3 VERDICT item 1: shingles must come out of the scan as per-row
+    // arrays, never via a corpus-wide (doc, pos, token) window exchange.
+    for (name <- Seq("q_near_dup", "q_simhash", "q_minhash_lsh", "q_doc_fingerprint")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plans a Window node")
+    }
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall

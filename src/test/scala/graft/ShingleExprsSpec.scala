@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Pins the native shingle-kernel expressions to their load-bearing
+  * contracts: hash values bit-identical to Spark's `xxhash64` over the
+  * shingle STRING (what keeps every judged dedup output stable across the
+  * window→kernel rewrite), string output identical to the HOF `shingles`
+  * Column form, and the sketch expressions identical to their previous
+  * aggregate formulations. */
+class ShingleExprsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Assorted shapes: normal, double space (empty token), trailing space,
+  // exactly-width, shorter-than-width, empty, multibyte UTF-8.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a b  c d"),
+    (3L, "x y z "),
+    (4L, "one two three"),
+    (5L, "a b"),
+    (6L, ""),
+    (7L, "über straße café naïve übung"))
+    .toDF("doc_id", "text")
+
+  test("graft_shingle_hashes equals xxhash64 of the concat_ws shingle string") {
+    val kernel = docs.select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("h"))
+      .as[(Long, Long)].collect().toVector.sorted
+    val reference = docs.select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)].collect().toVector.sorted
+    assert(kernel === reference)
+    assert(kernel.nonEmpty)
+  }
+
+  test("graft_shingles equals the HOF shingles Column form, in order") {
+    val kernel = docs.select(col("doc_id"),
+        call_function("graft_shingles", col("text"), lit(3)).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val reference = docs.select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel === reference)
+    assert(kernel(5L).isEmpty && kernel(6L).isEmpty) // short docs: empty array
+  }
+
+  test("graft_simhash equals the sign-of-bit-sums of the shingle hashes; null when short") {
+    val fps = docs.select(col("doc_id"),
+        call_function("graft_simhash", col("text"), lit(3)).as("fp"))
+      .as[(Long, Option[Long])].collect().toMap
+    val hashes = docs.select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    for ((id, hs) <- hashes) {
+      var expected = 0L
+      for (j <- 0 until 64) {
+        val s = hs.map { case (_, h) => if (((h >>> j) & 1L) == 1L) 1 else -1 }.sum
+        if (s > 0) expected |= (1L << j)
+      }
+      assert(fps(id) === Some(expected), s"doc $id")
+    }
+    assert(fps(5L) === None && fps(6L) === None)
+  }
+
+  test("graft_minhash equals min(xxhash64(i, h)) per position; null when short") {
+    val k = 8
+    val sigs = docs.select(col("doc_id"),
+        call_function("graft_minhash", col("text"), lit(3), lit(k)).as("sig"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    val reference = docs.select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("h"))
+      .groupBy("doc_id")
+      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("h")))): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, sig) <- reference) assert(sigs(id) === Some(sig), s"doc $id")
+    assert(sigs(5L) === None && sigs(6L) === None)
+  }
+}
