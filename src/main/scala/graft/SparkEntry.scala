@@ -235,6 +235,23 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // S4→S2 + partition pruning (SURVEY §4's promised slice): re-read of a
+    // year-partitioned write with a year literal filter — the scan must
+    // touch ONE partition directory (PartitionFilters asserted in
+    // PlanSpec); judged against the same aggregate computed from the
+    // unpartitioned source.
+    "q_prune_read" -> ((s, dir) => {
+      val path = tmpPath("orders_prune")
+      writePartitioned(
+        t(s, dir, "orders").withColumn("year", year(col("o_orderdate"))),
+        path, Seq("year"))
+      readTable(s, path)
+        .filter(col("year") === 1995)
+        .groupBy("year")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        .orderBy("year")
+    }),
+
     // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
     // artists/users writes) — exercises the empty-partitionCols branch.
     "q_write_unpart" -> ((s, dir) => {
@@ -244,6 +261,72 @@ object SparkEntry {
           "c_custkey" -> "cust_id", "c_name" -> "name", "c_acctbal" -> "acctbal"),
         path, Seq.empty)
       readTable(s, path).orderBy("cust_id")
+    }),
+
+    // X2 end-to-end: the reference's ENTIRE product (etl.py:177-188) judged
+    // through the oracle. Fixture song/log ndjson is derived
+    // deterministically from the harness `nation`/`orders` tables (so
+    // DuckDB can re-derive every expected value from the same parquet),
+    // StarSchema.run executes all 11 steps — JSON glob scans, dedup,
+    // paid-over-free users, time dims, the materialize barrier, the
+    // null-preserving songplays join, three partitioned writes — and the
+    // five re-read tables are summarized as (tbl, n, k) rows.
+    "q_star_schema" -> ((s, dir) => {
+      val root = tmpPath("star_schema")
+      val nation = t(s, dir, "nation")
+      // song_data: one song per nation; artist per region (5 artists
+      // spread over 25 songs exercises the artists dedup and the J3 fan).
+      nation.select(
+          concat(lit("S"), col("n_nationkey")).as("song_id"),
+          col("n_name").as("title"),
+          concat(lit("A"), col("n_regionkey")).as("artist_id"),
+          (lit(1990) + col("n_nationkey") % 10).cast("long").as("year"),
+          (col("n_nationkey") * lit(10.0)).as("duration"),
+          concat(lit("ART"), col("n_regionkey")).as("artist_name"),
+          lit("LOC").as("artist_location"),
+          lit(null).cast("double").as("artist_latitude"),
+          lit(null).cast("double").as("artist_longitude"))
+        .write.mode("overwrite").json(s"$root/song_data")
+      // log_data: one event per order; every 10th is a non-NextSong page,
+      // every 3rd play references a song that is NOT in the catalog (the
+      // unmatched-play path), user attributes are functions of the user id
+      // so paid-over-free is the only source of per-user row variation.
+      t(s, dir, "orders")
+        .join(nation, col("o_orderkey") % 25 === col("n_nationkey"))
+        .select(
+          when(col("o_orderkey") % 10 === 0, "Home").otherwise("NextSong").as("page"),
+          // o_orderdate is TIMESTAMP_NTZ in the parquet; the cast to LTZ is
+          // value-identical under the fixed UTC session zone.
+          (unix_millis(col("o_orderdate").cast("timestamp")) + col("o_orderkey") % 1000).as("ts"),
+          concat(lit("U"), col("o_custkey") % 97).as("userId"),
+          concat(lit("F"), col("o_custkey") % 97).as("firstName"),
+          concat(lit("L"), col("o_custkey") % 97).as("lastName"),
+          when((col("o_custkey") % 97) % 2 === 0, "F").otherwise("M").as("gender"),
+          when(col("o_orderstatus") === "O", "paid").otherwise("free").as("level"),
+          when(col("o_orderkey") % 3 === 0,
+            concat(lit("NOMATCH-"), col("o_orderkey")))
+            .otherwise(col("n_name")).as("song"),
+          when(col("o_orderkey") % 3 === 0, lit("NOART"))
+            .otherwise(concat(lit("ART"), col("n_regionkey"))).as("artist"),
+          col("o_orderkey").as("sessionId"),
+          lit("Loc").as("location"),
+          lit("UA").as("userAgent"))
+        .write.mode("overwrite").json(s"$root/log_data")
+
+      val out = s"$root/warehouse"
+      graft.pipeline.StarSchema.run(s,
+        s"$root/song_data/part-*.json", s"$root/log_data/part-*.json", out)
+
+      def stat(name: String, k: org.apache.spark.sql.Column) =
+        readTable(s, s"$out/$name")
+          .agg(count(lit(1)).as("n"), k.as("k"))
+          .select(lit(name).as("tbl"), col("n"), col("k"))
+      stat("songs", countDistinct(col("artist_id")))
+        .unionAll(stat("artists", countDistinct(col("name"))))
+        .unionAll(stat("users", count(when(col("level") === "paid", 1))))
+        .unionAll(stat("time", countDistinct(col("year"))))
+        .unionAll(stat("songplays", count(when(col("song_id").isNotNull, 1))))
+        .orderBy("tbl")
     }),
 
     // ----- LLM-data-pipeline operators (SURVEY §2b) -----
@@ -721,6 +804,50 @@ object SparkEntry {
     "q_write_roundtrip" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY year""".stripMargin,
+
+    "q_prune_read" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n,
+        |       sum(o_totalprice) AS total
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY year""".stripMargin,
+
+    "q_star_schema" ->
+      """WITH songs AS (
+        |  SELECT 'S' || n_nationkey AS song_id, n_name AS title,
+        |         'A' || n_regionkey AS artist_id, 'ART' || n_regionkey AS artist_name
+        |  FROM nation),
+        |logs AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'Home' ELSE 'NextSong' END AS page,
+        |         epoch_ms(o_orderdate) + o_orderkey % 1000 AS ts,
+        |         'U' || (o_custkey % 97) AS user_id,
+        |         CASE WHEN o_orderstatus = 'O' THEN 'paid' ELSE 'free' END AS level,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'NOMATCH-' || o_orderkey
+        |              ELSE n_name END AS song,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'NOART'
+        |              ELSE 'ART' || n_regionkey END AS artist
+        |  FROM orders JOIN nation ON o_orderkey % 25 = n_nationkey),
+        |next AS (SELECT * FROM logs WHERE page = 'NextSong'),
+        |u0 AS (SELECT DISTINCT user_id, level FROM next),
+        |users AS (SELECT * FROM u0 WHERE NOT (level = 'free' AND user_id IN
+        |          (SELECT user_id FROM u0 WHERE level = 'paid'))),
+        |sp AS (SELECT next.song, s.song_id FROM next LEFT JOIN songs s
+        |       ON next.song = s.title AND next.artist = s.artist_name)
+        |SELECT * FROM (
+        |  SELECT 'songs' AS tbl, (SELECT count(*) FROM songs) AS n,
+        |         (SELECT count(DISTINCT artist_id) FROM songs) AS k
+        |  UNION ALL
+        |  SELECT 'artists', (SELECT count(DISTINCT artist_id) FROM songs),
+        |         (SELECT count(DISTINCT artist_name) FROM songs)
+        |  UNION ALL
+        |  SELECT 'users', (SELECT count(*) FROM users),
+        |         (SELECT count(CASE WHEN level = 'paid' THEN 1 END) FROM users)
+        |  UNION ALL
+        |  SELECT 'time', (SELECT count(DISTINCT ts) FROM next),
+        |         (SELECT count(DISTINCT year(make_timestamp(ts * 1000))) FROM next)
+        |  UNION ALL
+        |  SELECT 'songplays', (SELECT count(*) FROM next),
+        |         (SELECT count(song_id) FROM sp)
+        |) ORDER BY tbl""".stripMargin,
 
     "q_exact_dedup" ->
       """WITH u AS (SELECT * FROM documents

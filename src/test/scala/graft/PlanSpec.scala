@@ -54,12 +54,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("partition-literal filter prunes the re-read to one directory") {
+    // SURVEY §4: the partitioned layout must pay off on the READ side —
+    // a `year = literal` filter becomes a PartitionFilter (directory
+    // pruning), never a row-level PushedFilter over every file.
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_rt/prune_spec"
+    graft.operators.Relational.writePartitioned(
+      Tables(spark, sfDir, "orders").withColumn("year", year(col("o_orderdate"))),
+      path, Seq("year"))
+    val plan = executedPlan(
+      spark.read.parquet(path).filter(col("year") === 1995)
+        .groupBy("year").agg(count(lit(1)).as("n")))
+    assert(plan.contains("PartitionFilters: [isnotnull(year"), plan.take(3000))
+    assert(plan.contains("= 1995)"), plan.take(3000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
     // back to CartesianProduct, which would never survive 100 TB.
     for ((name, fn) <- SparkEntry.queries if !name.startsWith("q_write") &&
-        name != "q_fact_build") { // write queries execute on construction
+        !Set("q_fact_build", "q_prune_read", "q_star_schema").contains(name)) { // write queries execute on construction
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
