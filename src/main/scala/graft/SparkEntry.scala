@@ -413,9 +413,12 @@ object SparkEntry {
         .filter(col("n_tokens") >= 30 && col("stop_hits") > 0)
         .select("doc_id", "text")
       // The quality-scan + dedup subplan feeds the near-dup join's shingle
-      // build AND the final anti-join — persist so it executes once
-      // (r3 VERDICT item 2; Bench/Verify clear the cache between queries).
+      // build AND the final anti-join — persist AND force materialization,
+      // so the downstream subplans all hit a complete cache instead of
+      // racing to populate it within one job (r3 VERDICT item 2;
+      // Bench/Verify clear the cache between queries).
       val exact = Dedup.exactDedup(quality, "text", "doc_id").persist()
+      exact.count()
       val nearDupLosers = Dedup.jaccardJoin(exact, "text", "doc_id", 0.8)
         .select(col("db").as("doc_id")).distinct()
       exact.join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -31,7 +31,10 @@ object StarSchema {
   /** Steps 1-4 (etl.py:28-66): song catalog → `songs` (partitioned by
     * year, artist_id) and `artists` (deduped, unpartitioned). */
   def processSongData(spark: SparkSession, songJsonGlob: String, outDir: String): Unit = {
-    val raw = Tables.readJson(spark, Schemas.songData, songJsonGlob)
+    // Both table builds consume the same JSON scan; persist so the glob is
+    // listed and parsed once, not once per sink (JSON parsing is the
+    // dominant cost of this stage — there is no parquet pushdown to lose).
+    val raw = Tables.readJson(spark, Schemas.songData, songJsonGlob).persist()
 
     val songs = raw.select("song_id", "title", "artist_id", "year", "duration")
     writePartitioned(songs, s"$outDir/songs", Seq("year", "artist_id"))
@@ -41,6 +44,7 @@ object StarSchema {
       "artist_location" -> "location", "artist_latitude" -> "latitude",
       "artist_longitude" -> "longitude"))
     writePartitioned(artists, s"$outDir/artists", Seq.empty)
+    raw.unpersist()
   }
 
   /** Steps 5-11 (etl.py:69-174): activity logs → `users` (paid preferred
@@ -49,8 +53,13 @@ object StarSchema {
     * songs/artists parquet, partitioned by year, month). */
   def processLogData(spark: SparkSession, logJsonGlob: String, outDir: String): Unit = {
     val raw = Tables.readJson(spark, Schemas.logData, logJsonGlob)
+    // Three consumers (users, time, songplays) would each re-list and
+    // re-parse the log JSON; persist the filtered plays once. At full scale
+    // this spills to disk rather than re-running the parse — still the
+    // right trade: parsed-and-filtered rows are far narrower than raw JSON.
     val plays = filterEq(raw, "page", "NextSong")
       .withColumn("ts", epochMsToTs(col("ts")))
+      .persist()
 
     // users: distinct 5-column rows; where a user appears at both levels
     // keep only the paid row (J1+J2, etl.py:96-121).
@@ -90,6 +99,7 @@ object StarSchema {
       year(plays("ts")).as("year"),
       month(plays("ts")).as("month"))
     writePartitioned(songplays, s"$outDir/songplays", Seq("year", "month"))
+    plays.unpersist()
   }
 
   /** main()-equivalent (etl.py:177-188): song data first — the log stage
