@@ -350,25 +350,29 @@ object SparkEntry {
         .orderBy(desc("n"), col("token"))),
 
     // Per-document quality scoring: token/unique counts, mean token
-    // length, stopword ratio, BPE-ish subword count — all codegen'd
-    // higher-order functions in the scan stage, zero shuffles.
+    // length, stopword ratio, BPE-ish subword count — ONE pass over the
+    // document bytes via the native graft_text_stats kernel (r4; replaced
+    // the interpreted higher-order-function scoring), zero shuffles.
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), TextOps.textStats(col("text")).as("st"))
         .select(col("doc_id"),
-          TextOps.tokenCount(col("text")).as("n_tokens"),
-          size(array_distinct(col("t"))).as("n_uniq"),
-          TextOps.avgTokenLen(col("t")).as("avg_len"),
-          TextOps.markerRatio(col("t"), TextOps.langMarkers.head._2).as("stop_ratio"),
-          TextOps.subwordCount(col("text")).as("n_subwords"))
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_uniq").as("n_uniq"),
+          (col("st.sum_chars").cast("double") / col("st.n_tokens")).as("avg_len"),
+          (col("st.s_en").cast("double") / col("st.n_tokens")).as("stop_ratio"),
+          col("st.n_subwords").as("n_subwords"))
         .orderBy("doc_id")),
 
     // Language-ID heuristic: per-language marker-word scores + argmax
-    // with fixed tie order ("und" when no markers hit).
+    // with fixed tie order ("und" when no markers hit); scores from the
+    // same one-pass kernel.
     "q_lang_id" -> ((s, dir) => {
       val scored = t(s, dir, "documents")
-        .select((col("doc_id") +: col("lang") +:
-          TextOps.langScores(TextOps.tokens(col("text")))): _*)
+        .select(col("doc_id"), col("lang"), TextOps.textStats(col("text")).as("st"))
+        .select(col("doc_id"), col("lang"),
+          col("st.s_en").as("s_en"), col("st.s_de").as("s_de"),
+          col("st.s_fr").as("s_fr"), col("st.s_es").as("s_es"))
       val scores = TextOps.langMarkers.map { case (l, _) => l -> col(s"s_$l") }.toMap
       scored
         .select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
@@ -404,13 +408,9 @@ object SparkEntry {
     // J>=0.8 pair). Output = surviving doc ids, fully oracle-checked.
     "q_curate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val scored = d
-        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
-        .withColumn("n_tokens", size(col("t")))
-        .withColumn("stop_hits",
-          TextOps.markerCount(col("t"), TextOps.langMarkers.head._2))
-      val quality = scored
-        .filter(col("n_tokens") >= 30 && col("stop_hits") > 0)
+      val quality = d
+        .select(col("doc_id"), col("text"), TextOps.textStats(col("text")).as("st"))
+        .filter(col("st.n_tokens") >= 30 && col("st.s_en") > 0)
         .select("doc_id", "text")
       // The quality-scan + dedup subplan feeds the near-dup join's shingle
       // build AND the final anti-join — persist AND force materialization,

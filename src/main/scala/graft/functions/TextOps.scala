@@ -91,6 +91,13 @@ object TextOps {
     }
   }
 
+  /** One-pass native text-statistics struct (n_tokens, n_uniq, sum_chars,
+    * per-language marker scores, n_subwords) — the corpus-scale form of
+    * the scoring functions above; see
+    * [[graft.functions.TextStatsKernel]] for field semantics and
+    * TextStatsSpec for the per-field equivalence to the HOF forms. */
+  def textStats(text: Column): Column = call_function("graft_text_stats", text)
+
   /** Full-document fingerprint: md5 of the raw text. Matches DuckDB's
     * `md5(text)` byte-for-byte (lowercase hex of UTF-8). */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))

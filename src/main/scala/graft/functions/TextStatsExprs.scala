@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text statistics kernel: everything the quality/lang-ID scoring
+  * surface needs, computed in a single scan over the document's UTF-8
+  * bytes inside whole-stage codegen.
+  *
+  * Why: the Column formulations (`aggregate`/`filter` higher-order
+  * functions in TextOps) evaluate their lambdas INTERPRETED — documented at
+  * TextOps.scala as "acceptable for bounded per-token scoring", but still
+  * the dominant cost of `q_text_quality` / `q_lang_id` / `q_curate`'s
+  * quality gate once the shingle family moved to native kernels. This is
+  * the same escalation as [[ShingleKernel]]: per-row, scan-stage, zero
+  * shuffles, and a spec (TextStatsSpec) pins each field to the HOF/oracle
+  * formulation it replaces.
+  *
+  * Field semantics (bit-compatible with the DuckDB oracle forms):
+  *  - n_tokens: `len(string_split(text, ' '))` — single-space split, empty
+  *    tokens preserved, so always ≥ 1 (empty text has one empty token).
+  *  - n_uniq: `len(list_distinct(tokens))` — distinct by exact bytes.
+  *  - sum_chars: Σ token length in CODEPOINTS (= `list_aggregate(
+  *    list_transform(t, x -> length(x)), 'sum')`); equals codepoints(text)
+  *    minus the separator spaces.
+  *  - s_en/s_de/s_fr/s_es: marker-token hit counts WITH multiplicity, the
+  *    [[TextOps.langMarkers]] lexicons in fixed order.
+  *  - n_subwords: matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — letter
+  *    runs, digit runs, single non-ASCII-alnum non-whitespace codepoints
+  *    (multibyte chars count once: continuation bytes don't advance the
+  *    state machine).
+  */
+object TextStatsKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("sum_chars", LongType, nullable = false),
+    StructField("s_en", IntegerType, nullable = false),
+    StructField("s_de", IntegerType, nullable = false),
+    StructField("s_fr", IntegerType, nullable = false),
+    StructField("s_es", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false)
+  ))
+
+  /** Marker lexicons as UTF-8 bytes, [lang][word] in
+    * [[TextOps.langMarkers]] order (en, de, fr, es). */
+  private val markers: Array[Array[Array[Byte]]] =
+    TextOps.langMarkers.map { case (_, ws) =>
+      ws.map(_.getBytes("UTF-8")).toArray
+    }.toArray
+
+  private def isLetter(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  private def isAsciiWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+  private def isContinuation(b: Byte): Boolean = (b & 0xc0) == 0x80
+
+  private def tokenEquals(b: Array[Byte], from: Int, len: Int, w: Array[Byte]): Boolean = {
+    if (len != w.length) return false
+    var i = 0
+    while (i < len) { if (b(from + i) != w(i)) return false; i += 1 }
+    true
+  }
+
+  def textStats(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    var nSpaces = 0
+    var codepoints = 0L
+    // subword state machine
+    var nSub = 0
+    var inLetters = false
+    var inDigits = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (!isContinuation(c)) {
+        codepoints += 1L
+        if (c == 0x20) nSpaces += 1
+        if (isLetter(c)) {
+          if (!inLetters) nSub += 1
+          inLetters = true; inDigits = false
+        } else if (isDigit(c)) {
+          if (!inDigits) nSub += 1
+          inDigits = true; inLetters = false
+        } else if (isAsciiWs(c)) {
+          inLetters = false; inDigits = false
+        } else {
+          nSub += 1
+          inLetters = false; inDigits = false
+        }
+      }
+      i += 1
+    }
+    val nTokens = nSpaces + 1
+    val sumChars = codepoints - nSpaces
+
+    // token pass: distinct set + marker hits
+    val seen = new java.util.HashSet[UTF8String](Math.max(16, nTokens * 2))
+    val hits = new Array[Int](markers.length)
+    var start = 0
+    var t = 0
+    while (t < nTokens) {
+      var end = start
+      while (end < b.length && b(end) != 0x20) end += 1
+      val len = end - start
+      seen.add(UTF8String.fromBytes(b, start, len))
+      var l = 0
+      while (l < markers.length) {
+        val ws = markers(l)
+        var w = 0
+        while (w < ws.length) {
+          if (tokenEquals(b, start, len, ws(w))) hits(l) += 1
+          w += 1
+        }
+        l += 1
+      }
+      start = end + 1
+      t += 1
+    }
+    new GenericInternalRow(Array[Any](nTokens, seen.size(), sumChars,
+      hits(0), hits(1), hits(2), hits(3), nSub))
+  }
+}
+
+/** `graft_text_stats(text)` → struct — see [[TextStatsKernel]]. */
+case class TextStats(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = TextStatsKernel.schema
+  override def prettyName: String = "graft_text_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextStatsKernel.textStats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextStatsKernel.textStats($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextStatsExprs {
+  val function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_text_stats"),
+    new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
+    (c: Seq[Expression]) => TextStats(c.head)
+  )
+}

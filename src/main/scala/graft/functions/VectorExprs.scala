@@ -88,6 +88,6 @@ object VectorExprs {
   * `Tables.bootstrap`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    (VectorExprs.dotFunction +: ShingleExprs.functions)
+    (VectorExprs.dotFunction +: TextStatsExprs.function +: ShingleExprs.functions)
       .foreach(ext.injectFunction)
 }

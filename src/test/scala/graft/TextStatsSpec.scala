@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Pins every field of the one-pass `graft_text_stats` kernel to the HOF
+  * Column formulation it replaced (which in turn is pinned to the DuckDB
+  * oracle semantics by TextOpsSpec): single-space tokenization with empty
+  * tokens, codepoint lengths, marker multiplicity, and the subword regex
+  * state machine, over tricky shapes (double/trailing spaces, empty text,
+  * multibyte UTF-8, digits/punct runs). */
+class TextStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox is near the old dog"),
+    (2L, "a b  c d"),             // empty token from double space
+    (3L, "x y z "),               // trailing empty token
+    (4L, ""),                     // single empty token
+    (5L, "über straße café 123 foo42bar!? der und ist"),
+    (6L, "the the the a a of"),   // marker multiplicity
+    (7L, "le la les et est el los las y es")) // fr + es markers
+    .toDF("doc_id", "text")
+
+  private def kernel = docs
+    .select(col("doc_id"), TextOps.textStats(col("text")).as("st"))
+
+  test("n_tokens, n_uniq, sum_chars match the HOF token formulation") {
+    val k = kernel.select(col("doc_id"), col("st.n_tokens"), col("st.n_uniq"),
+        col("st.sum_chars")).as[(Long, Int, Int, Long)].collect().toSet
+    val r = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"),
+        size(array_distinct(col("t"))).as("u"),
+        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).as("sc"))
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(k === r)
+  }
+
+  test("marker scores match markerCount for all four lexicons, with multiplicity") {
+    val k = kernel.select(col("doc_id"), col("st.s_en"), col("st.s_de"),
+        col("st.s_fr"), col("st.s_es"))
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    val r = docs.select((col("doc_id") +:
+        TextOps.langScores(TextOps.tokens(col("text")))): _*)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    assert(k === r)
+    val six = k.find(_._1 == 6L).get
+    assert(six._2 === 6) // the×3 + a×2 + of×1
+  }
+
+  test("n_subwords matches the regexp_extract_all formulation") {
+    val k = kernel.select(col("doc_id"), col("st.n_subwords"))
+      .as[(Long, Int)].collect().toSet
+    val r = docs.select(col("doc_id"), TextOps.subwordCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toSet
+    assert(k === r)
+  }
+
+  test("derived avg_len and stop_ratio equal the HOF forms") {
+    val k = kernel.select(col("doc_id"),
+        (col("st.sum_chars").cast("double") / col("st.n_tokens")).as("a"),
+        (col("st.s_en").cast("double") / col("st.n_tokens")).as("sr"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, sr) => id -> ((a, sr)) }.toMap
+    val r = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextOps.avgTokenLen(col("t")).as("a"),
+        TextOps.markerRatio(col("t"), TextOps.langMarkers.head._2).as("sr"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, sr) => id -> ((a, sr)) }.toMap
+    for ((id, (a, sr)) <- r) {
+      assert(math.abs(k(id)._1 - a) < 1e-12, s"avg_len doc $id")
+      assert(math.abs(k(id)._2 - sr) < 1e-12, s"stop_ratio doc $id")
+    }
+  }
+}
