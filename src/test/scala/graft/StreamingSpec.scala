@@ -71,6 +71,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("deterministic sampling is stateless, so it streams unchanged") {
+    // Sampling.sample is a pure scan-stage filter — the SAME operator
+    // works on an unbounded stream with no state store, and membership
+    // matches the batch sample exactly (the auditable-sample property,
+    // now also under continuous ingestion).
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val sampled = graft.operators.Sampling.sample(
+      in.toDF.toDF("id"), graft.operators.Sampling.fibHash(col("id")), 0.4)
+    val q = sampled.writeStream.format("memory")
+      .queryName("t_sample").outputMode("append").start()
+    try {
+      in.addData(0L until 500L); q.processAllAvailable()
+      in.addData(500L until 1000L); q.processAllAvailable()
+      val got = spark.table("t_sample").as[Long].collect().toSet
+      val batch = graft.operators.Sampling.sample(
+        spark.range(0, 1000).toDF("id"),
+        graft.operators.Sampling.fibHash(col("id")), 0.4)
+        .as[Long].collect().toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates across micro-batches to batch totals") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Streams.UserEvent]
