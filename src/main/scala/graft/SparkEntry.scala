@@ -425,6 +425,26 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Scale-path twin of q_curate: same quality gate and exact dedup, but
+    // the near-dup drop uses MinHash-LSH candidates (linear banded join)
+    // instead of the exact AllPairs join — the formulation a 100 TB run
+    // would use. LSH recall is probabilistic → rows-only; the exact-recall
+    // twin q_curate is fully oracled, and at est-threshold 0.8 with b=8/r=4
+    // the capture probability of a true J>=0.8 pair is ~0.97.
+    "q_curate_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val quality = d
+        .select(col("doc_id"), col("text"), TextOps.textStats(col("text")).as("st"))
+        .filter(col("st.n_tokens") >= 30 && col("st.s_en") > 0)
+        .select("doc_id", "text")
+      val exact = Dedup.exactDedup(quality, "text", "doc_id").persist()
+      exact.count()
+      val losers = Dedup.minHashLsh(exact, "text", "doc_id", 0.8)
+        .select(col("db").as("doc_id")).distinct()
+      exact.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Document fingerprinting: md5 of the whitespace-NORMALIZED text
     // (trim + collapse runs — so re-spaced copies fingerprint equal) +
     // min-shingle-md5 sketch via the codegen explode/agg path; short
