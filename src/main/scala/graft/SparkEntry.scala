@@ -329,6 +329,20 @@ object SparkEntry {
         .orderBy("tbl")
     }),
 
+    // Small-files compaction: multi-file unpartitioned write → one-shot
+    // compact to the byte target → re-read. Judged on content preservation
+    // (same oracle as the plain round-trip); the file-count contract is
+    // asserted in RelationalSpec.
+    "q_compact" -> ((s, dir) => {
+      val path = tmpPath("customer_compact")
+      writePartitioned(
+        projectRename(t(s, dir, "customer"),
+          "c_custkey" -> "cust_id", "c_name" -> "name", "c_acctbal" -> "acctbal"),
+        path, Seq.empty)
+      compact(s, path)
+      readTable(s, path).orderBy("cust_id")
+    }),
+
     // ----- LLM-data-pipeline operators (SURVEY §2b) -----
 
     // Exact dedup, hash-first (8-byte shuffle keys, not wide text). The
@@ -780,6 +794,10 @@ object SparkEntry {
         |ORDER BY custkey, status, priority""".stripMargin,
 
     "q_write_unpart" ->
+      """SELECT c_custkey AS cust_id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "q_compact" ->
       """SELECT c_custkey AS cust_id, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY cust_id""".stripMargin,
 

@@ -211,4 +211,36 @@ object Relational {
     * reappear from the directory layout. */
   def readTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-files maintenance: rewrite a parquet directory into
+    * `ceil(totalBytes / targetBytes)` files — the operational complement
+    * of [[writePartitioned]]'s salting (salting BOUNDS files per write;
+    * repeated writes still accumulate, and at 1000 executors a table of
+    * 4 KB files makes every downstream scan seek-bound).
+    *
+    * Scope and honesty notes: operates on ONE directory (for a
+    * hive-partitioned table, run per partition directory — compaction is
+    * embarrassingly parallel across partitions); the swap is
+    * write-tmp → delete → rename, which is NOT atomic — a crash between
+    * the last two steps loses the directory (a transactional table format
+    * (Delta/Iceberg) is the real fix; those jars are absent from this
+    * image, see SURVEY §7.4 — this is the plain-parquet best effort).
+    * Readers racing the swap see a missing directory rather than partial
+    * data. Returns the new file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    n
+  }
 }

@@ -145,4 +145,24 @@ class RelationalSpec extends SparkTestBase {
     assert(readTable(spark, dir).as[(Long, String)].collect().toSet ===
       Set((1L, "a"), (2L, "b")))
   }
+
+  test("compact merges a many-file directory to the byte target, content intact") {
+    val dir = Files.createTempDirectory("graft_cp").toString
+    val df = spark.range(0, 1000).toDF("id")
+    df.repartition(8).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles === 8)
+    val n = compact(spark, dir) // default 128 MB target -> one file
+    assert(n === 1 && parquetFiles === 1)
+    assert(readTable(spark, dir).as[Long].collect().toSet ===
+      (0L until 1000L).toSet)
+    // and splitting: a tiny target yields multiple files
+    df.repartition(8).write.mode("overwrite").parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n2 = compact(spark, dir, targetBytes = bytes / 3 + 1)
+    assert(n2 >= 2 && parquetFiles === n2)
+    assert(readTable(spark, dir).count() === 1000L)
+  }
 }
