@@ -45,6 +45,45 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  case class DocRow(doc_id: Long, text: String)
+
+  /** Streaming exact dedup: emit only the FIRST occurrence of each
+    * distinct text across the whole stream — the streaming face of
+    * [[graft.operators.Dedup.exactDedup]], with the same hash-first scale
+    * stance: state is keyed by the 128-bit text hash (two xxhash64
+    * values, ~16 bytes + one boolean per distinct document ever seen),
+    * never the text. `flatMapGroupsWithState` rather than
+    * `dropDuplicates` because the state must outlive any watermark — a
+    * duplicate of a day-old document is still a duplicate. (Unbounded
+    * state is inherent to exact global dedup; callers bounding state by
+    * recency should use `dropDuplicatesWithinWatermark` semantics
+    * instead.) Within a micro-batch, first occurrence = the group
+    * iterator's head, which Spark feeds in encounter order; across
+    * batches, state wins. The same code path runs in batch — used by
+    * StreamingSpec to assert stream/batch agreement (batch `exactDedup`
+    * keeps min-id; the streaming contract is first-SEEN, which for an
+    * id-ordered replay is the same set). */
+  def exactDedupStream(docs: Dataset[DocRow]): Dataset[DocRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("__h1", xxhash64(col("text")))
+      .withColumn("__h2", xxhash64(col("text"), lit(1L)))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (_, _, h1, h2) => (h1, h2) }
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Long, Long), it: Iterator[(Long, String, Long, Long)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val (id, text, _, _) = it.next()
+            Iterator.single(DocRow(id, text))
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -94,6 +94,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exactDedupStream emits first occurrence only, across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Streams.DocRow]
+    val q = Streams.exactDedupStream(in.toDS())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(Streams.DocRow(1, "same text"), Streams.DocRow(2, "other"))
+      q.processAllAvailable()
+      // batch 2: duplicate of batch-1 text must NOT re-emit (state wins)
+      in.addData(Streams.DocRow(3, "same text"), Streams.DocRow(4, "third"))
+      q.processAllAvailable()
+      val got = spark.table("t_dedup")
+        .as[Streams.DocRow].collect().map(d => (d.doc_id, d.text)).toSet
+      assert(got === Set((1L, "same text"), (2L, "other"), (4L, "third")))
+      // agreement with batch exactDedup on the id-ordered replay
+      val batch = graft.operators.Dedup.exactDedup(
+        Seq((1L, "same text"), (2L, "other"), (3L, "same text"), (4L, "third"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, String)].collect().toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates across micro-batches to batch totals") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Streams.UserEvent]
