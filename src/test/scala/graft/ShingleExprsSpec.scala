@@ -66,6 +66,29 @@ class ShingleExprsSpec extends SparkTestBase {
     assert(fps(5L) === None && fps(6L) === None)
   }
 
+  test("randomized corpus: kernel shingles equal the sliding-window reference") {
+    // 200 seeded random docs over an alphabet with multibyte chars, empty
+    // tokens (consecutive spaces), and boundary whitespace — the kernel's
+    // byte-scan tokenization must equal split-on-space + sliding window
+    // for every one of them.
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = Vector("a", "bb", "ccc", "Ü", "日本", "x1", "", "?!", "longtokenword")
+    val corpus = (0 until 200).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        call_function("graft_shingles", col("text"), lit(3)).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    for ((id, text) <- corpus) {
+      val toks = text.split(" ", -1).toSeq
+      val expected =
+        if (toks.length < 3) Seq.empty else toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(got(id) === expected, s"doc $id text='$text'")
+    }
+  }
+
   test("graft_minhash equals min(xxhash64(i, h)) per position; null when short") {
     val k = 8
     val sigs = docs.select(col("doc_id"),
