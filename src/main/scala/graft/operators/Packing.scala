@@ -28,7 +28,8 @@ case class PackedDoc(doc_id: Long, bin_id: Long, n_tokens: Int)
   * asserts this). Bin ids are globally unique: `partitionId << 32 | seq`.
   *
   * Packing quality: first-fit over a bounded window of `openBins` open
-  * bins (close the oldest when the window is full). Pure next-fit wastes
+  * bins (classic online bin packing — Johnson '73 first-fit, bounded to
+  * constant state; close the oldest when the window is full). Pure next-fit wastes
   * the tail of every bin; unbounded first-fit holds unbounded state; a
   * small window captures most of the fill-factor win (PackingSpec asserts
   * ≥ 0.75 mean fill on mixed sizes) at O(1) memory. Docs larger than the

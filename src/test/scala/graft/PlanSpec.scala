@@ -69,6 +69,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("= 1995)"), plan.take(3000))
   }
 
+  test("joining a partitioned fact on its partition key plans dynamic pruning") {
+    // SURVEY §4's "dynamic" half: when the pruning value is only known at
+    // runtime (it comes from the filtered dim side of a join), the scan
+    // must plan a dynamicpruning subquery rather than reading every year.
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_rt/dpp_spec"
+    graft.operators.Relational.writePartitioned(
+      Tables(spark, sfDir, "orders").withColumn("year", year(col("o_orderdate"))),
+      path, Seq("year"))
+    val dim = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(year(col("l_shipdate")).as("year")).distinct()
+    val joined = spark.read.parquet(path).join(broadcast(dim), "year")
+      .groupBy("year").agg(count(lit(1)).as("n"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"),
+      joined.queryExecution.executedPlan.toString.take(3000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
