@@ -241,8 +241,8 @@ object Dedup {
       .join(sigs.select(col(idCol).as("da"), col("sig").as("siga")), "da")
       .join(sigs.select(col(idCol).as("db"), col("sig").as("sigb")), "db")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes)
+        call_function("graft_sig_agree", col("siga"), col("sigb"))
+          .cast("double") / numHashes)
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("da"), col("db"), col("est_jaccard"))
   }

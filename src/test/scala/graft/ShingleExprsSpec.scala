@@ -89,6 +89,19 @@ class ShingleExprsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_sig_agree counts agreeing positions (the MinHash estimator numerator)") {
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L), 3),
+      (Seq(1L, 2L), Seq(1L, 2L), 2),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), 0))
+      .toDF("a", "b", "expected")
+    val got = rows.select(
+        call_function("graft_sig_agree", col("a"), col("b")).as("n"),
+        col("expected"))
+      .as[(Int, Int)].collect()
+    assert(got.forall { case (n, e) => n == e })
+  }
+
   test("graft_minhash equals min(xxhash64(i, h)) per position; null when short") {
     val k = 8
     val sigs = docs.select(col("doc_id"),
