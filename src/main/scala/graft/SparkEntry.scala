@@ -439,6 +439,15 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Gopher-style quality gate (Rae et al. 2021, Table A1 subset): word
+    // count, mean word length, symbol ratio, alpha-word fraction, and
+    // stopword evidence — one scan-stage kernel filter, fully oracled.
+    "q_gopher" -> ((s, dir) =>
+      graft.operators.QualityFilters.gopherLite(
+        t(s, dir, "documents").select("doc_id", "text"), "text", minWords = 30)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // Scale-path twin of q_curate: same quality gate and exact dedup, but
     // the near-dup drop uses MinHash-LSH candidates (linear banded join)
     // instead of the exact AllPairs join — the formulation a 100 TB run
@@ -1033,6 +1042,29 @@ object SparkEntry {
         |           JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
         |           WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8)
         |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT db FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_gopher" ->
+      """WITH st AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(t) AS n,
+        |    CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+        |      / len(t) AS mean_len,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |       + length(text) - length(replace(text, chr(8230), ''))
+        |       + len(regexp_extract_all(text, '\.{3,}')) AS DOUBLE) / len(t) AS sym_ratio,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(t) AS alpha_frac,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS stops
+        |  FROM st)
+        |SELECT doc_id FROM m
+        |WHERE n >= 30 AND n <= 100000
+        |  AND mean_len >= 3.0 AND mean_len <= 10.0
+        |  AND sym_ratio <= 0.1
+        |  AND alpha_frac >= 0.8
+        |  AND stops >= 2
         |ORDER BY doc_id""".stripMargin,
 
     "q_near_dup" ->

@@ -34,6 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    runs, digit runs, single non-ASCII-alnum non-whitespace codepoints
   *    (multibyte chars count once: continuation bytes don't advance the
   *    state machine).
+  *  - n_alpha_tokens: tokens containing at least one ASCII letter (the
+  *    Gopher "words with an alphabetic character" rule).
+  *  - n_symbols: `#` chars + `…` codepoints + maximal runs of ≥3 dots
+  *    (`\.{3,}` non-overlapping matches) — the Gopher symbol-to-word
+  *    numerator.
   */
 object TextStatsKernel {
 
@@ -45,7 +50,9 @@ object TextStatsKernel {
     StructField("s_de", IntegerType, nullable = false),
     StructField("s_fr", IntegerType, nullable = false),
     StructField("s_es", IntegerType, nullable = false),
-    StructField("n_subwords", IntegerType, nullable = false)
+    StructField("n_subwords", IntegerType, nullable = false),
+    StructField("n_alpha_tokens", IntegerType, nullable = false),
+    StructField("n_symbols", IntegerType, nullable = false)
   ))
 
   /** Marker lexicons as UTF-8 bytes, [lang][word] in
@@ -77,6 +84,8 @@ object TextStatsKernel {
     var nSub = 0
     var inLetters = false
     var inDigits = false
+    var nSymbols = 0
+    var dotRun = 0
     var i = 0
     while (i < b.length) {
       val c = b(i)
@@ -95,20 +104,33 @@ object TextStatsKernel {
           nSub += 1
           inLetters = false; inDigits = false
         }
+        if (c == '#') nSymbols += 1
+        // '…' is E2 80 A6; the lead byte check + two continuations
+        if ((c & 0xff) == 0xe2 && i + 2 < b.length &&
+            (b(i + 1) & 0xff) == 0x80 && (b(i + 2) & 0xff) == 0xa6) nSymbols += 1
+        if (c == '.') dotRun += 1
+        else { if (dotRun >= 3) nSymbols += 1; dotRun = 0 }
       }
       i += 1
     }
+    if (dotRun >= 3) nSymbols += 1
     val nTokens = nSpaces + 1
     val sumChars = codepoints - nSpaces
 
-    // token pass: distinct set + marker hits
+    // token pass: distinct set + marker hits + alpha-token count
     val seen = new java.util.HashSet[UTF8String](Math.max(16, nTokens * 2))
     val hits = new Array[Int](markers.length)
+    var nAlpha = 0
     var start = 0
     var t = 0
     while (t < nTokens) {
       var end = start
-      while (end < b.length && b(end) != 0x20) end += 1
+      var hasAlpha = false
+      while (end < b.length && b(end) != 0x20) {
+        if (isLetter(b(end))) hasAlpha = true
+        end += 1
+      }
+      if (hasAlpha) nAlpha += 1
       val len = end - start
       seen.add(UTF8String.fromBytes(b, start, len))
       var l = 0
@@ -125,7 +147,7 @@ object TextStatsKernel {
       t += 1
     }
     new GenericInternalRow(Array[Any](nTokens, seen.size(), sumChars,
-      hits(0), hits(1), hits(2), hits(3), nSub))
+      hits(0), hits(1), hits(2), hits(3), nSub, nAlpha, nSymbols))
   }
 }
 

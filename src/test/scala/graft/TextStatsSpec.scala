@@ -57,6 +57,31 @@ class TextStatsSpec extends SparkTestBase {
     assert(k === r)
   }
 
+  test("n_alpha_tokens and n_symbols match their SQL-expressible definitions") {
+    val tricky = Seq(
+      (10L, "abc 123 x9 ### no.more... wait…now #tag ...."),
+      (11L, "… .. . .... only dots"),
+      (12L, ""))
+      .toDF("doc_id", "text")
+    val k = tricky.select(col("doc_id"), TextOps.textStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_alpha_tokens"), col("st.n_symbols"))
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, a, b) => id -> ((a, b)) }.toMap
+    val r = tricky.select(col("doc_id"),
+        size(filter(TextOps.tokens(col("text")),
+          t => t.rlike("[A-Za-z]"))).as("alpha"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) - length(regexp_replace(col("text"), "…", ""))) +
+          size(regexp_extract_all(col("text"), lit("\\.{3,}"), lit(0)))).as("sym"))
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, a, b) => id -> ((a, b)) }.toMap
+    assert(k === r)
+    // hand check doc 10: alpha tokens = abc, x9, no.more..., wait…now, #tag
+    // = 5; symbols = 4×'#' (### + #tag) + 1×'…' + 2 dot-runs
+    // ('...' in no.more..., '....')
+    assert(k(10L) === ((5, 7)))
+  }
+
   test("derived avg_len and stop_ratio equal the HOF forms") {
     val k = kernel.select(col("doc_id"),
         (col("st.sum_chars").cast("double") / col("st.n_tokens")).as("a"),
