@@ -64,8 +64,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (errors.contains(name)) -1.0 else dt)
     }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Escape ALL control chars too — an error message with a tab (common
+    // in AnalysisException schema fragments) must not break the driver's
+    // parse of this single stdout line (same contract as Verify's q()).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }

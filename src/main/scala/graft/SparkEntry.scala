@@ -84,6 +84,21 @@ object SparkEntry {
       .orderBy("orderkey", "linenumber")
   }
 
+  /** Shared prefix of the two curation queries: quality gate (length +
+    * stopword evidence via the one-pass kernel) → exact dedup, persisted
+    * and MATERIALIZED so the near-dup join and the final anti-join hit a
+    * complete cache instead of racing to populate it within one job.
+    * Extracted so the exact/LSH twins cannot drift. */
+  private def curatedExact(s: SparkSession, dir: String): DataFrame = {
+    val quality = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TextOps.textStats(col("text")).as("st"))
+      .filter(col("st.n_tokens") >= 30 && col("st.s_en") > 0)
+      .select("doc_id", "text")
+    val exact = Dedup.exactDedup(quality, "text", "doc_id").persist()
+    exact.count()
+    exact
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -403,6 +418,7 @@ object SparkEntry {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .persist()
+      toks.count() // materialize before tf/df fan out (see q_curate note)
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = toks.select("doc_id", "token").distinct()
@@ -421,18 +437,7 @@ object SparkEntry {
     // (keep min id) → near-dup drop (greedy: remove the larger id of any
     // J>=0.8 pair). Output = surviving doc ids, fully oracle-checked.
     "q_curate" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val quality = d
-        .select(col("doc_id"), col("text"), TextOps.textStats(col("text")).as("st"))
-        .filter(col("st.n_tokens") >= 30 && col("st.s_en") > 0)
-        .select("doc_id", "text")
-      // The quality-scan + dedup subplan feeds the near-dup join's shingle
-      // build AND the final anti-join — persist AND force materialization,
-      // so the downstream subplans all hit a complete cache instead of
-      // racing to populate it within one job (r3 VERDICT item 2;
-      // Bench/Verify clear the cache between queries).
-      val exact = Dedup.exactDedup(quality, "text", "doc_id").persist()
-      exact.count()
+      val exact = curatedExact(s, dir)
       val nearDupLosers = Dedup.jaccardJoin(exact, "text", "doc_id", 0.8)
         .select(col("db").as("doc_id")).distinct()
       exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -455,13 +460,7 @@ object SparkEntry {
     // twin q_curate is fully oracled, and at est-threshold 0.8 with b=8/r=4
     // the capture probability of a true J>=0.8 pair is ~0.97.
     "q_curate_lsh" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val quality = d
-        .select(col("doc_id"), col("text"), TextOps.textStats(col("text")).as("st"))
-        .filter(col("st.n_tokens") >= 30 && col("st.s_en") > 0)
-        .select("doc_id", "text")
-      val exact = Dedup.exactDedup(quality, "text", "doc_id").persist()
-      exact.count()
+      val exact = curatedExact(s, dir)
       val losers = Dedup.minHashLsh(exact, "text", "doc_id", 0.8)
         .select(col("db").as("doc_id")).distinct()
       exact.join(losers, Seq("doc_id"), "left_anti")
@@ -1102,7 +1101,8 @@ object SparkEntry {
 
     "q_pack_invariant" ->
       """SELECT count(*) AS n_docs,
-        |       sum(CAST(len(string_split(text, ' ')) AS INT)) AS total_tokens
+        |       CAST(sum(CAST(len(string_split(text, ' ')) AS INT)) AS BIGINT)
+        |         AS total_tokens
         |FROM documents""".stripMargin,
 
     "q_sample" ->

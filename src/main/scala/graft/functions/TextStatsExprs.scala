@@ -149,6 +149,64 @@ object TextStatsKernel {
     new GenericInternalRow(Array[Any](nTokens, seen.size(), sumChars,
       hits(0), hits(1), hits(2), hits(3), nSub, nAlpha, nSymbols))
   }
+
+  /** The full Gopher-lite gate in one pass — see [[GopherPass]]. Field
+    * indexes follow [[schema]]. */
+  def gopherPass(s: UTF8String, minWords: Int, maxWords: Int): Boolean = {
+    import GopherRules._
+    val r = textStats(s)
+    val n = r.getInt(0)
+    if (n < minWords || n > maxWords) return false
+    val meanLen = r.getLong(2).toDouble / n
+    meanLen >= MIN_MEAN_WORD_LEN && meanLen <= MAX_MEAN_WORD_LEN &&
+      r.getInt(9).toDouble / n <= MAX_SYMBOL_RATIO &&
+      r.getInt(8).toDouble / n >= MIN_ALPHA_FRACTION &&
+      r.getInt(3) >= MIN_STOPWORD_HITS
+  }
+}
+
+object GopherRules {
+  /** Gopher rule thresholds (Rae et al. 2021, Table A1 subset) — shared
+    * by the [[GopherPass]] kernel and the composable Column predicate in
+    * `operators.QualityFilters` so the two formulations cannot drift. */
+  val MIN_MEAN_WORD_LEN = 3.0
+  val MAX_MEAN_WORD_LEN = 10.0
+  val MAX_SYMBOL_RATIO = 0.1
+  val MIN_ALPHA_FRACTION = 0.8
+  val MIN_STOPWORD_HITS = 2
+}
+
+/** `graft_gopher_pass(text, minWords, maxWords)` → boolean: the whole
+  * Gopher-lite quality gate in ONE kernel pass. Exists because a filter
+  * over `graft_text_stats(text).field` conjuncts gets the struct
+  * expression substituted per conjunct when Catalyst pushes the predicate
+  * through the projection — up to ~11 full text scans per document;
+  * this expression restores the one-pass contract. */
+case class GopherPass(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with Serializable {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_gopher_pass"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && second.dataType == IntegerType &&
+        third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, int, int), got " +
+        Seq(first, second, third).map(_.dataType.simpleString).mkString("(", ", ", ")"))
+
+  override protected def nullSafeEval(t: Any, lo: Any, hi: Any): Any =
+    TextStatsKernel.gopherPass(t.asInstanceOf[UTF8String],
+      lo.asInstanceOf[Int], hi.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, lo, hi) =>
+      s"${ev.value} = graft.functions.TextStatsKernel.gopherPass($t, $lo, $hi);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** `graft_text_stats(text)` → struct — see [[TextStatsKernel]]. */
@@ -173,9 +231,12 @@ case class TextStats(child: Expression) extends UnaryExpression with Serializabl
 }
 
 object TextStatsExprs {
-  val function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_text_stats"),
-    new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
-    (c: Seq[Expression]) => TextStats(c.head)
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
+      (c: Seq[Expression]) => TextStats(c.head)),
+    (FunctionIdentifier("graft_gopher_pass"),
+      new ExpressionInfo(classOf[GopherPass].getName, "graft_gopher_pass"),
+      (c: Seq[Expression]) => GopherPass(c.head, c(1), c(2)))
   )
 }

@@ -88,6 +88,7 @@ object VectorExprs {
   * `Tables.bootstrap`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    (VectorExprs.dotFunction +: TextStatsExprs.function +: ShingleExprs.functions)
+    (VectorExprs.dotFunction +:
+      (TextStatsExprs.functions ++ ShingleExprs.functions))
       .foreach(ext.injectFunction)
 }

@@ -197,10 +197,14 @@ object Dedup {
       .filter(col("sig").isNotNull)
 
   /** Banded LSH over a MinHash signature: `bands` hashes, each over a
-    * contiguous `rows`-slice of the signature (b x r = numHashes). */
+    * contiguous `rows`-slice of the signature (b x r = numHashes).
+    * `bands` is known at plan time, so the per-band hashes unroll to a
+    * plain codegen `array(...)` — no interpreted `transform` lambda on
+    * the per-document path (hash values identical to the lambda form:
+    * same `xxhash64(1, slice(sig, ...))` expression per band). */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      j => xxhash64(lit(1), slice(sig, j * lit(rows) + 1, lit(rows))))
+    array((0 until bands).map(j =>
+      xxhash64(lit(1), slice(sig, j * rows + 1, rows))): _*)
 
   /** MinHash-LSH near-dup candidates (SURVEY §2b row 2): docs sharing at
     * least one of `bands` band hashes, with the signature-estimated

@@ -31,21 +31,30 @@ import graft.functions.TextOps
   */
 object QualityFilters {
 
-  /** The Gopher-lite predicate over a [[TextOps.textStats]] struct
-    * column — exposed separately so callers can compose it with their own
-    * rules or project the failing rule for debugging. */
+  /** The Gopher-lite predicate over an ALREADY-PROJECTED
+    * [[TextOps.textStats]] struct column — for composing with other rules
+    * or projecting the failing rule for debugging. Thresholds come from
+    * [[graft.functions.GopherRules]], shared with the kernel so the two
+    * formulations cannot drift (QualityFiltersSpec asserts equality).
+    * ⚠ Do NOT call this with `textStats(col)` inline as the filter of a
+    * scan: Catalyst substitutes the struct expression into every conjunct
+    * when pushing the predicate down — ~11 kernel passes per document.
+    * [[gopherLite]] uses the single-pass `graft_gopher_pass` kernel. */
   def gopherPredicate(st: Column, minWords: Int, maxWords: Int): Column = {
+    import graft.functions.GopherRules._
     val n = st.getField("n_tokens")
     val meanLen = st.getField("sum_chars").cast("double") / n
     n >= minWords && n <= maxWords &&
-      meanLen >= 3.0 && meanLen <= 10.0 &&
-      st.getField("n_symbols").cast("double") / n <= 0.1 &&
-      st.getField("n_alpha_tokens").cast("double") / n >= 0.8 &&
-      st.getField("s_en") >= 2
+      meanLen >= MIN_MEAN_WORD_LEN && meanLen <= MAX_MEAN_WORD_LEN &&
+      st.getField("n_symbols").cast("double") / n <= MAX_SYMBOL_RATIO &&
+      st.getField("n_alpha_tokens").cast("double") / n >= MIN_ALPHA_FRACTION &&
+      st.getField("s_en") >= MIN_STOPWORD_HITS
   }
 
-  /** Apply [[gopherPredicate]] to `textCol`, keeping the input columns. */
+  /** Apply the gate to `textCol` in ONE kernel pass per document,
+    * keeping the input columns. */
   def gopherLite(df: DataFrame, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame =
-    df.filter(gopherPredicate(TextOps.textStats(col(textCol)), minWords, maxWords))
+    df.filter(call_function("graft_gopher_pass",
+      col(textCol), lit(minWords), lit(maxWords)))
 }

@@ -248,8 +248,13 @@ object Relational {
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    // HDFS-style FileSystems signal failure by RETURNING false, not
+    // throwing — an unchecked delete/rename would report success while
+    // losing or misplacing the table.
+    if (!fs.delete(hPath, true))
+      throw new java.io.IOException(s"compact: delete failed for $path (data intact at $tmp)")
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed; data at $tmp")
     n
   }
 }

@@ -57,12 +57,13 @@ object Streams {
     * duplicate of a day-old document is still a duplicate. (Unbounded
     * state is inherent to exact global dedup; callers bounding state by
     * recency should use `dropDuplicatesWithinWatermark` semantics
-    * instead.) Within a micro-batch, first occurrence = the group
-    * iterator's head, which Spark feeds in encounter order; across
-    * batches, state wins. The same code path runs in batch — used by
-    * StreamingSpec to assert stream/batch agreement (batch `exactDedup`
-    * keeps min-id; the streaming contract is first-SEEN, which for an
-    * id-ordered replay is the same set). */
+    * instead.) Within a micro-batch the group's survivor is the
+    * MINIMUM id — post-shuffle iterator order is fetch order, not
+    * encounter order, so "iterator head" would be nondeterministic;
+    * min-id also matches batch `exactDedup` exactly for same-batch
+    * duplicates. Across batches, state wins (first-SEEN): a later batch
+    * can never resurrect a smaller id — the inherent streaming/batch
+    * divergence, pinned in StreamingSpec. */
   def exactDedupStream(docs: Dataset[DocRow]): Dataset[DocRow] = {
     import docs.sparkSession.implicits._
     docs
@@ -78,7 +79,7 @@ object Streams {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            val (id, text, _, _) = it.next()
+            val (id, text, _, _) = it.minBy(_._1)
             Iterator.single(DocRow(id, text))
           }
       }

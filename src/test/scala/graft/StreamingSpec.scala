@@ -101,7 +101,11 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("t_dedup")
       .outputMode("append").start()
     try {
-      in.addData(Streams.DocRow(1, "same text"), Streams.DocRow(2, "other"))
+      // same-batch duplicate fed LARGER id first: survivor must still be
+      // the min id (iterator order after the shuffle is not encounter
+      // order — the kernel takes minBy explicitly)
+      in.addData(Streams.DocRow(5, "same text"), Streams.DocRow(1, "same text"),
+        Streams.DocRow(2, "other"))
       q.processAllAvailable()
       // batch 2: duplicate of batch-1 text must NOT re-emit (state wins)
       in.addData(Streams.DocRow(3, "same text"), Streams.DocRow(4, "third"))
@@ -109,9 +113,10 @@ class StreamingSpec extends SparkTestBase {
       val got = spark.table("t_dedup")
         .as[Streams.DocRow].collect().map(d => (d.doc_id, d.text)).toSet
       assert(got === Set((1L, "same text"), (2L, "other"), (4L, "third")))
-      // agreement with batch exactDedup on the id-ordered replay
+      // agreement with batch exactDedup over the full replay
       val batch = graft.operators.Dedup.exactDedup(
-        Seq((1L, "same text"), (2L, "other"), (3L, "same text"), (4L, "third"))
+        Seq((5L, "same text"), (1L, "same text"), (2L, "other"),
+          (3L, "same text"), (4L, "third"))
           .toDF("doc_id", "text"), "text", "doc_id")
         .as[(Long, String)].collect().toSet
       assert(got === batch)

@@ -82,6 +82,19 @@ class TextStatsSpec extends SparkTestBase {
     assert(k(10L) === ((5, 7)))
   }
 
+  test("graft_gopher_pass (one-pass kernel) equals the composable gopherPredicate") {
+    val d = graft.engine.Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val viaKernel = graft.operators.QualityFilters
+      .gopherLite(d, "text", minWords = 30)
+      .select("doc_id").as[Long].collect().toSet
+    val viaPredicate = d
+      .select(col("doc_id"), TextOps.textStats(col("text")).as("st"))
+      .filter(graft.operators.QualityFilters.gopherPredicate(col("st"), 30, 100000))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaKernel === viaPredicate)
+    assert(viaKernel.nonEmpty && viaKernel.size < d.count())
+  }
+
   test("derived avg_len and stop_ratio equal the HOF forms") {
     val k = kernel.select(col("doc_id"),
         (col("st.sum_chars").cast("double") / col("st.n_tokens")).as("a"),
