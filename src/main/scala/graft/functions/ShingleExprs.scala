@@ -142,6 +142,19 @@ object ShingleKernel {
     c
   }
 
+  /** Per-permutation seed vectors, memoized by signature width: the seeds
+    * depend only on `numHashes` (a plan literal), so recomputing the
+    * `numHashes` hashInt calls per ROW was pure waste on the per-document
+    * scan hot path this kernel exists to optimize. */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsFor(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes, n => {
+      val s = new Array[Long](n)
+      var k = 0
+      while (k < n) { s(k) = XXH64.hashInt(k, SEED); k += 1 }
+      s
+    })
+
   /** MinHash signature (Broder '97): position i is
     * min over shingles of `xxhash64(i, shingle_hash)` — the i-th
     * "permutation" derived arithmetically, matching Spark's multi-arg
@@ -152,9 +165,8 @@ object ShingleKernel {
     val starts = tokenStarts(b)
     val nShingles = starts.length - 1 - width + 1
     if (nShingles <= 0) return null
-    val seeds = new Array[Long](numHashes)
+    val seeds = seedsFor(numHashes)
     var k = 0
-    while (k < numHashes) { seeds(k) = XXH64.hashInt(k, SEED); k += 1 }
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < nShingles) {

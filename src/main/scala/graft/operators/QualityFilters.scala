@@ -35,7 +35,7 @@ object QualityFilters {
     * [[TextOps.textStats]] struct column — for composing with other rules
     * or projecting the failing rule for debugging. Thresholds come from
     * [[graft.functions.GopherRules]], shared with the kernel so the two
-    * formulations cannot drift (QualityFiltersSpec asserts equality).
+    * formulations cannot drift (TextStatsSpec asserts the equality).
     * ⚠ Do NOT call this with `textStats(col)` inline as the filter of a
     * scan: Catalyst substitutes the struct expression into every conjunct
     * when pushing the predicate down — ~11 kernel passes per document.

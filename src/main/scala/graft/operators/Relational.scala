@@ -167,28 +167,85 @@ object Relational {
       .drop("__salt")
   }
 
-  /** Skew-safe equi-join: spread a hot join key over [[WRITE_SALT_BUCKETS]]
-    * tasks by salting the fact side deterministically (`xxhash64` of the
-    * full row, mod SALT) and replicating the dim side once per salt value,
-    * then joining on (key, salt).
+  /** Hot keys of `fact` by sampled frequency: keys whose estimated row
+    * count is at least `minRows`, from a `sampleFraction` Bernoulli sample
+    * (fixed seed — deterministic for a fixed partition layout; detection
+    * determinism is NOT load-bearing, because [[skewSaltedJoin]]'s output
+    * is identical whichever keys are flagged hot). Runs as a lazy subplan
+    * under the broadcast in [[skewSaltedJoin]] — no driver-side action;
+    * the sample's aggregate output is at most |distinct sampled keys|
+    * rows, and only keys above the threshold survive to the broadcast. */
+  def hotKeys(fact: DataFrame, key: String, minRows: Long = 1000000L,
+      sampleFraction: Double = 0.01): DataFrame = {
+    require(minRows > 0 && sampleFraction > 0 && sampleFraction <= 1)
+    val minSampled = math.max(1L, math.round(minRows * sampleFraction))
+    fact.select(col(key)).sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= lit(minSampled))
+      .select(col(key))
+  }
+
+  /** Fact side of [[skewSaltedJoin]]: rows whose key is in `hot` get a
+    * deterministic salt in [0, salt) (`xxhash64` of the full row, mod
+    * SALT); the cold majority keeps salt 0. `hot` must be key-distinct. */
+  def saltHotFact(fact: DataFrame, key: String, hot: DataFrame, salt: Int): DataFrame =
+    fact.join(broadcast(hot.withColumn("__hot", lit(true))), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"),
+          pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+
+  /** Dim side of [[skewSaltedJoin]]: ONLY rows whose key is in `hot` are
+    * replicated once per salt value; the cold majority passes through with
+    * salt 0 — so the extra shuffle volume is bounded by |hot dim rows| ×
+    * SALT, not |dim| × SALT (RelationalSpec asserts the bound). */
+  def replicateHotDim(dim: DataFrame, key: String, hot: DataFrame, salt: Int): DataFrame =
+    dim.join(broadcast(hot.withColumn("__hot", lit(true))), Seq(key), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot"),
+          array((0 until salt).map(s => lit(s.toLong)): _*))
+          .otherwise(array(lit(0L)))))
+      .drop("__hot")
+
+  /** Skew-safe equi-join, hot-key-bounded: detect the fact side's hot keys
+    * (sampled frequency via [[hotKeys]], or a caller-provided set), salt
+    * ONLY the hot fact rows across `salt` buckets, replicate ONLY the hot
+    * keys' dim rows once per bucket, and join on (key, salt) — the cold
+    * majority flows through the same join with a constant salt, i.e. as a
+    * plain equi-join.
     *
     * Semantically identical to `fact.join(dim, key, joinType)` for
     * fact-preserving join types (inner / left / left_semi / left_anti —
-    * enforced), because every fact salt bucket sees the complete dim side.
-    * Use when ONE key's rows exceed a task (AQE's skew split handles
-    * sort-merge skew at runtime but not the single-key hash-aggregate
-    * case); cost = SALT× replication of the dim side's shuffle. Judged
-    * against a plain-join oracle (`q_skew_join`).
+    * enforced), because a hot fact row in any salt bucket sees every dim
+    * row of its key, and a cold fact row sees its key's dim rows at the
+    * shared salt 0.
+    *
+    * Scale: the r4 formulation replicated the ENTIRE dim side SALT×
+    * unconditionally — fine for a true dimension table, a scale-killer
+    * when the "dim" side is itself large (the judged query's dim is
+    * `orders`, fact-sized). Here the replication overhead is
+    * |hotKeys| × SALT dim rows — bounded by the hot-key count, which is
+    * by definition small — plus one broadcast of the hot-key set and one
+    * sampled aggregate of the fact keys. When no key is hot (the common
+    * case), the plan degenerates to the plain join plus a cheap sampled
+    * probe. Note AQE's skew-join handling (on by default in Spark 4)
+    * already splits oversized SORT-MERGE partitions at runtime; this
+    * operator's residual value is the broadcast/shuffled-hash case, the
+    * single-pathological-key case, and engines/configs without AQE.
+    * Judged against a plain-join oracle (`q_skew_join` — salting must not
+    * change results).
     */
   def skewSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      joinType: String = "inner", salt: Int = WRITE_SALT_BUCKETS): DataFrame = {
+      joinType: String = "inner", salt: Int = WRITE_SALT_BUCKETS,
+      hot: Option[DataFrame] = None, hotMinRows: Long = 1000000L): DataFrame = {
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
       .contains(joinType), s"dim side is replicated: $joinType join unsupported")
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salt)))
-    val replicated = dim.withColumn("__salt",
-      explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+    val hotSet = hot.getOrElse(hotKeys(fact, key, hotMinRows))
+      .select(col(key)).distinct()
+    saltHotFact(fact, key, hotSet, salt)
+      .join(replicateHotDim(dim, key, hotSet, salt), Seq(key, "__salt"), joinType)
+      .drop("__salt")
   }
 
   /** S3/S4 — parquet sink, optionally hive-partitioned (etl.py:49-52,
@@ -227,34 +284,55 @@ object Relational {
     * repeated writes still accumulate, and at 1000 executors a table of
     * 4 KB files makes every downstream scan seek-bound).
     *
-    * Scope and honesty notes: operates on ONE directory (for a
-    * hive-partitioned table, run per partition directory — compaction is
-    * embarrassingly parallel across partitions); the swap is
-    * write-tmp → delete → rename, which is NOT atomic — a crash between
-    * the last two steps loses the directory (a transactional table format
-    * (Delta/Iceberg) is the real fix; those jars are absent from this
-    * image, see SURVEY §7.4 — this is the plain-parquet best effort).
-    * Readers racing the swap see a missing directory rather than partial
-    * data. Returns the new file count. */
+    * Scope and honesty notes: operates on ONE flat directory of parquet
+    * files — a hive-partitioned table ROOT is rejected up front (its
+    * top-level entries are partition directories, so the old behavior
+    * would have computed totalBytes = 0 and rewritten the whole tree into
+    * one file with the partition columns flattened away; run per
+    * partition directory instead — compaction is embarrassingly parallel
+    * across partitions). The swap is write-tmp → rename-aside → rename-in
+    * → delete-backup: a crash mid-swap leaves the data recoverable at
+    * `path + ".compact-old"` (a transactional table format (Delta/
+    * Iceberg) is the real fix; those jars are absent from this image, see
+    * SURVEY §7.4 — this is the plain-parquet best effort). Readers racing
+    * the swap see a missing directory rather than partial data. Returns
+    * the new file count. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hPath).filter(f =>
+    val entries = fs.listStatus(hPath)
+    val dirs = entries.filter(_.isDirectory)
+    require(dirs.isEmpty,
+      s"compact: $path contains subdirectories (partitioned table root? " +
+        s"compact each partition directory instead): " +
+        dirs.take(3).map(_.getPath.getName).mkString(", "))
+    val files = entries.filter(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"compact: no parquet files at $path")
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // HDFS-style FileSystems signal failure by RETURNING false, not
-    // throwing — an unchecked delete/rename would report success while
-    // losing or misplacing the table.
-    if (!fs.delete(hPath, true))
-      throw new java.io.IOException(s"compact: delete failed for $path (data intact at $tmp)")
-    if (!fs.rename(tmp, hPath))
-      throw new java.io.IOException(s"compact: rename $tmp -> $path failed; data at $tmp")
+    // throwing — an unchecked rename would report success while losing or
+    // misplacing the table. The original is renamed ASIDE (not deleted)
+    // before the new data moves in, so every crash window leaves a full
+    // copy on disk: before rename-in → original at `bak`; after → new
+    // data live, stale `bak` swept by the next run.
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"compact: could not clear stale backup $bak")
+    if (!fs.rename(hPath, bak))
+      throw new java.io.IOException(s"compact: rename $path -> $bak failed (original intact)")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // best-effort restore of the original
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed; original restored")
+    }
+    if (!fs.delete(bak, true))
+      throw new java.io.IOException(s"compact: new data live at $path but backup $bak not deleted")
     n
   }
 }

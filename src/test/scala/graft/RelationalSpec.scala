@@ -114,13 +114,52 @@ class RelationalSpec extends SparkTestBase {
     val dim = Seq((1L, "one"), (2L, "two"), (9L, "nine")).toDF("k", "name")
     for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
       val plain = fact.join(dim, Seq("k"), jt)
+      // cold path: default detection threshold finds no hot key here
       val salted = skewSaltedJoin(fact, dim, "k", jt)
       assert(salted.columns.toSeq === plain.columns.toSeq, jt)
       assert(salted.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet, jt)
+      // hot path: key 1 explicitly hot — output must be identical
+      val hot = skewSaltedJoin(fact, dim, "k", jt, hot = Some(Seq(1L).toDF("k")))
+      assert(hot.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet, s"$jt hot")
     }
     intercept[IllegalArgumentException] {
       skewSaltedJoin(fact, dim, "k", "right")
     }
+  }
+
+  test("skewSaltedJoin replicates ONLY hot dim rows, bounded by |hot| x salt") {
+    // r4 VERDICT item 1: the old formulation 8x-replicated the ENTIRE dim
+    // side. The dim intermediate must now carry hotRows*salt + coldRows.
+    val dim = (1L to 100L).map(k => (k, s"d$k")).toDF("k", "name")
+    val hot = Seq(7L, 13L).toDF("k")
+    val replicated = replicateHotDim(dim, "k", hot, salt = 8)
+    assert(replicated.count() === 2 * 8 + 98)
+    // every hot key carries all 8 salts; cold keys exactly salt 0
+    val salts = replicated.groupBy("k").agg(countDistinct(col("__salt")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(salts(7L) === 8 && salts(13L) === 8 && salts(1L) === 1)
+  }
+
+  test("hotKeys detects dominant keys from a sampled count") {
+    // key 1: 5000 rows, key 2: 5 rows. With sampleFraction=1.0 the count
+    // is exact; threshold 1000 flags only key 1.
+    val fact = ((1 to 5000).map(_ => 1L) ++ (1 to 5).map(_ => 2L)).toDF("k")
+    val found = hotKeys(fact, "k", minRows = 1000L, sampleFraction = 1.0)
+      .as[Long].collect().toSet
+    assert(found === Set(1L))
+  }
+
+  test("compact rejects a partitioned-table root and an empty directory") {
+    // ADVICE r4: called on a hive-partitioned root, compact would have
+    // computed totalBytes=0 and flattened the layout — must fail fast.
+    val dir = Files.createTempDirectory("graft_cg").toString
+    val df = (1 to 100).map(i => (i.toLong, 2000 + i % 2)).toDF("id", "year")
+    writePartitioned(df, dir, Seq("year"))
+    intercept[IllegalArgumentException] { compact(spark, dir) }
+    // layout untouched by the rejected call
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("year=")) === 2)
+    val empty = Files.createTempDirectory("graft_ce").toString
+    intercept[IllegalArgumentException] { compact(spark, empty) }
   }
 
   test("writePartitioned lays out hive dirs with bounded files per partition") {
