@@ -444,6 +444,35 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Connected-components labels over the exact near-dup pair graph:
+    // every doc in some J>=0.8 pair, labeled with the min doc id of its
+    // duplicate CLUSTER (transitive closure of pairs). Fully oracled —
+    // DuckDB computes the same components via a recursive CTE on the
+    // all-pairs edge set.
+    "q_cc_labels" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardJoin(t(s, dir, "documents"), "text", "doc_id", 0.8),
+        "da", "db")
+        .orderBy("id")),
+
+    // Cluster-aware curation: same gate + exact dedup as q_curate, but the
+    // near-dup stage keeps ONE doc per duplicate cluster (connected
+    // components of the pair graph, keep the min id) instead of greedily
+    // dropping the larger doc of each pair — the published pipeline
+    // semantics (Gopher / RefinedWeb / FineWeb dedup via clustering), and
+    // genuinely different output: a doc with no direct pair to the cluster
+    // min is still dropped if CONNECTED through intermediates. Fully
+    // oracled via the same recursive-CTE components.
+    "q_curate_cc" -> ((s, dir) => {
+      val exact = curatedExact(s, dir)
+      val losers = Dedup.connectedComponents(
+          Dedup.jaccardJoin(exact, "text", "doc_id", 0.8), "da", "db")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      exact.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Gopher-style quality gate (Rae et al. 2021, Table A1 subset): word
     // count, mean word length, symbol ratio, alpha-word fraction, and
     // stopword evidence — one scan-stage kernel filter, fully oracled.
@@ -452,6 +481,28 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "text"), "text", minWords = 30)
         .select("doc_id")
         .orderBy("doc_id")),
+
+    // Gopher LINE-SHAPE rules (bullet starts / ellipsis ends / duplicate
+    // lines) over a multi-line fixture derived deterministically from the
+    // single-line harness corpus (the q_star_schema fixture trick):
+    // sentences become lines, and doc_id mod 4 selects a derivation that
+    // isolates one rule — 1: every line bullet-prefixed (distinct lines,
+    // so ONLY the bullet rule fires), 2: every sentence ellipsis-ended,
+    // 3: 40 identical appended lines (duplicate-line rule), 0: plain
+    // sentence lines (control). Fully oracled via string_split(chr(10)).
+    "q_gopher_lines" -> ((s, dir) => {
+      val base = regexp_replace(col("text"), "\\. ", ".\n")
+      val doc = when(col("doc_id") % 4 === 1,
+          concat(lit("- "), regexp_replace(col("text"), "\\. ", ".\n- ")))
+        .when(col("doc_id") % 4 === 2,
+          regexp_replace(col("text"), "\\. ", "...\n"))
+        .when(col("doc_id") % 4 === 3,
+          concat(base, repeat(lit("\nsame line"), 40)))
+        .otherwise(base)
+      graft.operators.QualityFilters.gopherLines(
+          t(s, dir, "documents").select(col("doc_id"), doc.as("text")), "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // Scale-path twin of q_curate: same quality gate and exact dedup, but
     // the near-dup drop uses MinHash-LSH candidates (linear banded join)
@@ -1043,6 +1094,52 @@ object SparkEntry {
         |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT db FROM losers)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_cc_labels" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT da, db FROM inter
+        |      JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |      WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8),
+        |sym AS (SELECT da AS u, db AS v FROM e UNION SELECT db AS u, da AS v FROM e),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+        |SELECT id, component FROM comp ORDER BY id""".stripMargin,
+
+    "q_curate_cc" ->
+      """WITH RECURSIVE q AS (SELECT doc_id, text FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 30
+        |             AND len(list_filter(string_split(text, ' '),
+        |                     x -> x IN ('the','a','of','and','is'))) > 0),
+        |e AS (SELECT doc_id, text FROM q
+        |      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |         generate_series(1, len(t)-2),
+        |         i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |edges AS (SELECT da, db FROM inter
+        |          JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |          WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8),
+        |sym AS (SELECT da AS u, db AS v FROM edges
+        |        UNION SELECT db AS u, da AS v FROM edges),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |losers AS (SELECT u AS id FROM reach GROUP BY u HAVING min(v) < u)
+        |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_gopher" ->
       """WITH st AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
@@ -1064,6 +1161,26 @@ object SparkEntry {
         |  AND sym_ratio <= 0.1
         |  AND alpha_frac >= 0.8
         |  AND stops >= 2
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 4 = 1 THEN '- ' || replace(text, '. ', '.' || chr(10) || '- ')
+        |    WHEN doc_id % 4 = 2 THEN replace(text, '. ', '...' || chr(10))
+        |    WHEN doc_id % 4 = 3 THEN replace(text, '. ', '.' || chr(10))
+        |                             || repeat(chr(10) || 'same line', 40)
+        |    ELSE replace(text, '. ', '.' || chr(10)) END AS doc
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(doc, chr(10)) AS ls FROM d),
+        |m AS (SELECT doc_id, len(ls) AS n,
+        |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+        |      OR starts_with(x, '•'))) AS nb,
+        |  len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS ne,
+        |  len(ls) - len(list_distinct(ls)) AS nd
+        | FROM l)
+        |SELECT doc_id FROM m
+        |WHERE nb <= 0.9 * n AND ne <= 0.3 * n AND nd <= 0.3 * n
         |ORDER BY doc_id""".stripMargin,
 
     "q_near_dup" ->

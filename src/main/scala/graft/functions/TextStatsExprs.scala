@@ -174,6 +174,162 @@ object GopherRules {
   val MAX_SYMBOL_RATIO = 0.1
   val MIN_ALPHA_FRACTION = 0.8
   val MIN_STOPWORD_HITS = 2
+  /** Line-shape thresholds (Rae et al. 2021, Table A1 — the rules the r4
+    * gate omitted because the harness corpus is single-line): discard when
+    * more than 90% of lines start with a bullet, more than 30% end with an
+    * ellipsis, or more than 30% of lines are duplicates of another line. */
+  val MAX_BULLET_LINE_RATIO = 0.9
+  val MAX_ELLIPSIS_LINE_RATIO = 0.3
+  val MAX_DUP_LINE_FRACTION = 0.3
+}
+
+/** One-pass line-shape statistics: everything the Gopher line rules need,
+  * computed in a single scan over the document's UTF-8 bytes (same
+  * escalation as [[TextStatsKernel]] — per-row, scan-stage, zero shuffle).
+  *
+  * Lines are maximal runs between 0x0a bytes, `string_split(text,
+  * chr(10))` semantics: empty lines count, a trailing newline yields a
+  * trailing empty line, and a document with no newline is one line.
+  * Field semantics (bit-compatible with the DuckDB oracle forms):
+  *  - n_lines: `len(string_split(text, chr(10)))`.
+  *  - n_bullet: lines whose first codepoint is `-`, `*`, or `•` (U+2022).
+  *  - n_ellipsis: lines ending with `...` (three dots) or `…` (U+2026).
+  *  - n_dup: n_lines − distinct lines (by exact bytes) — the duplicate-
+  *    line count of the Gopher duplicate-line-fraction rule.
+  */
+object LineStatsKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false),
+    StructField("n_dup", IntegerType, nullable = false)
+  ))
+
+  def lineStats(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    var nLines = 0
+    var nBullet = 0
+    var nEllipsis = 0
+    val seen = new java.util.HashSet[UTF8String]()
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x0a) {
+        val len = i - start
+        nLines += 1
+        if (len > 0) {
+          val c = b(start)
+          // bullet: '-', '*', or '•' (E2 80 A2)
+          if (c == '-' || c == '*' ||
+              ((c & 0xff) == 0xe2 && len >= 3 &&
+                (b(start + 1) & 0xff) == 0x80 && (b(start + 2) & 0xff) == 0xa2))
+            nBullet += 1
+          // ellipsis end: "..." or '…' (E2 80 A6)
+          val e = start + len
+          if ((len >= 3 && b(e - 1) == '.' && b(e - 2) == '.' && b(e - 3) == '.') ||
+              (len >= 3 && (b(e - 3) & 0xff) == 0xe2 &&
+                (b(e - 2) & 0xff) == 0x80 && (b(e - 1) & 0xff) == 0xa6))
+            nEllipsis += 1
+        }
+        seen.add(UTF8String.fromBytes(b, start, len))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nLines, nBullet, nEllipsis,
+      nLines - seen.size()))
+  }
+
+  /** The line-shape gate alone (see [[GopherRules]] line thresholds);
+    * single-line docs trivially pass every rule except a lone bullet /
+    * ellipsis line, mirroring the published intent. */
+  def linePass(s: UTF8String): Boolean = {
+    import GopherRules._
+    val r = lineStats(s)
+    val n = r.getInt(0).toDouble
+    r.getInt(1) <= MAX_BULLET_LINE_RATIO * n &&
+      r.getInt(2) <= MAX_ELLIPSIS_LINE_RATIO * n &&
+      r.getInt(3) <= MAX_DUP_LINE_FRACTION * n
+  }
+
+  /** The COMPLETE Gopher gate: word-level rules ([[TextStatsKernel
+    * .gopherPass]]) AND line-shape rules, still one kernel invocation per
+    * document (two byte passes inside). */
+  def gopherFullPass(s: UTF8String, minWords: Int, maxWords: Int): Boolean =
+    TextStatsKernel.gopherPass(s, minWords, maxWords) && linePass(s)
+}
+
+/** `graft_line_stats(text)` → struct — see [[LineStatsKernel]]. */
+case class LineStats(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = LineStatsKernel.schema
+  override def prettyName: String = "graft_line_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    LineStatsKernel.lineStats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.LineStatsKernel.lineStats($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_line_pass(text)` → boolean: the Gopher line-shape gate in one
+  * kernel pass (same single-entry-point rationale as [[GopherPass]]). */
+case class LinePass(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_line_pass"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    LineStatsKernel.linePass(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.LineStatsKernel.linePass($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_gopher_full_pass(text, minWords, maxWords)` → boolean: word AND
+  * line rules — the complete Gopher gate for multi-line corpora. */
+case class GopherFullPass(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with Serializable {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_gopher_full_pass"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType && second.dataType == IntegerType &&
+        third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, int, int), got " +
+        Seq(first, second, third).map(_.dataType.simpleString).mkString("(", ", ", ")"))
+
+  override protected def nullSafeEval(t: Any, lo: Any, hi: Any): Any =
+    LineStatsKernel.gopherFullPass(t.asInstanceOf[UTF8String],
+      lo.asInstanceOf[Int], hi.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, lo, hi) =>
+      s"${ev.value} = graft.functions.LineStatsKernel.gopherFullPass($t, $lo, $hi);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** `graft_gopher_pass(text, minWords, maxWords)` → boolean: the whole
@@ -237,6 +393,15 @@ object TextStatsExprs {
       (c: Seq[Expression]) => TextStats(c.head)),
     (FunctionIdentifier("graft_gopher_pass"),
       new ExpressionInfo(classOf[GopherPass].getName, "graft_gopher_pass"),
-      (c: Seq[Expression]) => GopherPass(c.head, c(1), c(2)))
+      (c: Seq[Expression]) => GopherPass(c.head, c(1), c(2))),
+    (FunctionIdentifier("graft_line_stats"),
+      new ExpressionInfo(classOf[LineStats].getName, "graft_line_stats"),
+      (c: Seq[Expression]) => LineStats(c.head)),
+    (FunctionIdentifier("graft_line_pass"),
+      new ExpressionInfo(classOf[LinePass].getName, "graft_line_pass"),
+      (c: Seq[Expression]) => LinePass(c.head)),
+    (FunctionIdentifier("graft_gopher_full_pass"),
+      new ExpressionInfo(classOf[GopherFullPass].getName, "graft_gopher_full_pass"),
+      (c: Seq[Expression]) => GopherFullPass(c.head, c(1), c(2)))
   )
 }

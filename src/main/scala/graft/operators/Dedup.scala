@@ -124,6 +124,96 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Connected components over an undirected edge list of long node ids:
+    * returns (id, component) for every node that appears in `pairs`, where
+    * `component` is the MINIMUM id in the node's component — the cluster
+    * representative a curation pipeline keeps.
+    *
+    * Algorithm: alternating large-star / small-star contraction (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public). Each round:
+    *   large-star — for every node u, each LARGER neighbor v is re-pointed
+    *     at m = min(Γ(u) ∪ {u});
+    *   small-star — for every node u (over the now larger→smaller directed
+    *     edges), u and each of its smaller neighbors are pointed at the
+    *     minimum of that in-neighborhood.
+    * The edge set converges to a star forest (every node → its component
+    * min) in O(log² n) rounds — in practice a handful; near-dup clusters
+    * are tight, so 2-3 rounds close them.
+    *
+    * Why not plain min-label propagation: its round count is the component
+    * DIAMETER — a pathological duplicate chain at 100 TB (boilerplate docs
+    * chained by sliding near-identity) can be thousands of hops; star
+    * contraction collapses such chains logarithmically.
+    *
+    * Scale: each round is two (groupBy + join) rounds over bare (long,
+    * long) edges — 16-byte shuffle rows, no payload. Every round's edge
+    * set is materialized through an EAGER `localCheckpoint`, which is
+    * load-bearing twice over: it truncates the logical plan (without it
+    * the round-N plan embeds round-(N−1)'s plan ~12×, i.e. EXPONENTIAL
+    * analysis/codegen growth — the classic iterative-algorithm trap), and
+    * it doubles as the materialization barrier for the convergence check.
+    * On a cluster where executor loss matters, swap for reliable
+    * `checkpoint` (one line — needs a checkpoint dir). The driver-side
+    * work per round is ONE (count, hash-xor) action — no edge ever
+    * reaches the driver. Throws if `maxRounds` is hit unconverged (never
+    * expected below ~10^9 nodes) rather than returning non-minimal
+    * labels.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val nodes = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+    // canonical directed larger -> smaller edges
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    // convergence fingerprint: (edge count, XOR of edge hashes) — cheap,
+    // order-independent, overflow-free (a SUM of hashes trips ANSI long
+    // overflow), and collision-safe for all practical purposes
+    def stat(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = stat(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: symmetrize; per node u, point each larger neighbor at
+      // m = min(neighborhood ∪ {u}). Emitted edges are larger -> smaller.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: per node u over larger->smaller edges, point u and all
+      // its smaller neighbors at the minimum of that in-neighborhood.
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint(true) // eager: lineage cut + barrier
+      val nextStat = stat(next)
+      edges.unpersist()
+      converged = nextStat == cur
+      cur = nextStat
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxRounds rounds")
+    nodes.join(edges.groupBy("u").agg(min(col("v")).as("__c")),
+        nodes("id") === col("u"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+  }
+
   /** 64-bit SimHash fingerprints (Charikar, STOC'02), computed PER ROW by
     * the native `graft_simhash` codegen expression in the scan stage — no
     * explode, no aggregate, no shuffle at all (r3 VERDICT item 5: the

@@ -24,10 +24,11 @@ import graft.functions.TextOps
   *  - ≥ 80% of words contain an alphabetic character
   *  - ≥ 2 stopword hits (the en function-word lexicon)
   *
-  * Omitted Gopher rules — line-shape heuristics (bullet/ellipsis line
-  * starts, duplicate lines) — need line structure the harness corpus
-  * (single-line docs) cannot exercise; they belong in the same kernel the
-  * day a multi-line corpus exists.
+  * The line-shape rules (bullet line starts, ellipsis line ends,
+  * duplicate lines) live in [[gopherLines]] / [[gopherFull]] over the
+  * [[graft.functions.LineStatsKernel]] — judged on a multi-line fixture
+  * derived deterministically from the harness corpus (`q_gopher_lines`),
+  * since the corpus itself is single-line.
   */
 object QualityFilters {
 
@@ -56,5 +57,21 @@ object QualityFilters {
   def gopherLite(df: DataFrame, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame =
     df.filter(call_function("graft_gopher_pass",
+      col(textCol), lit(minWords), lit(maxWords)))
+
+  /** The Gopher LINE-SHAPE rules alone (Rae et al. 2021, Table A1 — the
+    * rules [[gopherLite]] omits on single-line corpora): ≤90% of lines
+    * bullet-started, ≤30% ellipsis-ended, ≤30% duplicate lines. One
+    * scan-stage kernel filter (`graft_line_pass`), no shuffle, fully
+    * DuckDB-expressible over `string_split(text, chr(10))` (judged
+    * `q_gopher_lines`). */
+  def gopherLines(df: DataFrame, textCol: String): DataFrame =
+    df.filter(call_function("graft_line_pass", col(textCol)))
+
+  /** The COMPLETE Gopher gate — word-level rules AND line-shape rules —
+    * still one kernel invocation per document. */
+  def gopherFull(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    df.filter(call_function("graft_gopher_full_pass",
       col(textCol), lit(minWords), lit(maxWords)))
 }

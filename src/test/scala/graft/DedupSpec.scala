@@ -105,4 +105,34 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().head
     assert(a === b)
   }
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("da", "db"), "da", "db")
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents labels every node with its component minimum") {
+    // a 6-chain (worst case for naive propagation), a triangle reached
+    // only through a shared hub, and an isolated pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6
+      (10L, 12L), (12L, 11L), (11L, 10L), // triangle
+      (20L, 21L)) // pair
+    val comp = components(edges)
+    assert((1L to 6L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) === 20L && comp(21L) === 20L)
+  }
+
+  test("connectedComponents closes transitive clusters greedy pair-drops miss") {
+    // pairs (1,3),(2,3): greedy drops only 3 (the db side) and keeps 2;
+    // clustering must put 2 in component 1 via the shared neighbor 3.
+    val comp = components(Seq((1L, 3L), (2L, 3L)))
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents handles duplicate/reversed edges and empty input") {
+    val comp = components(Seq((2L, 1L), (1L, 2L), (2L, 1L)))
+    assert(comp === Map(1L -> 1L, 2L -> 1L))
+    assert(components(Seq.empty) === Map.empty)
+  }
 }

@@ -95,6 +95,9 @@ class PlanSpec extends SparkTestBase {
         !Set("q_fact_build", "q_prune_read", "q_star_schema").contains(name)) { // write queries execute on construction
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      // queries that persist() internally (curation/dedup family) must not
+      // pile cached relations across this all-queries loop (ADVICE r4)
+      spark.catalog.clearCache()
     }
   }
 }

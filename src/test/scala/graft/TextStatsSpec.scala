@@ -111,4 +111,59 @@ class TextStatsSpec extends SparkTestBase {
       assert(math.abs(k(id)._2 - sr) < 1e-12, s"stop_ratio doc $id")
     }
   }
+
+  private def lineStats(text: String): (Int, Int, Int, Int) =
+    Seq(text).toDF("t")
+      .select(call_function("graft_line_stats", col("t")).as("ls"))
+      .select("ls.n_lines", "ls.n_bullet", "ls.n_ellipsis", "ls.n_dup")
+      .as[(Int, Int, Int, Int)].collect().head
+
+  test("graft_line_stats counts lines, bullets, ellipsis ends, duplicates") {
+    // string_split(chr(10)) semantics: single-line doc = 1 line; trailing
+    // newline yields a trailing empty line; empty lines count and dup.
+    assert(lineStats("one line, no newline") === ((1, 0, 0, 0)))
+    assert(lineStats("a\nb\nc") === ((3, 0, 0, 0)))
+    assert(lineStats("a\n") === ((2, 0, 0, 0)))
+    assert(lineStats("x\n\n\ny") === ((4, 0, 0, 1))) // two empty lines, one dup
+    assert(lineStats("- one\n* two\n• three\nplain") === ((4, 3, 0, 0)))
+    assert(lineStats("wait...\nmore…\nend.") === ((3, 0, 2, 0)))
+    assert(lineStats("same\nsame\nsame\nother") === ((4, 0, 0, 2)))
+    // bullet char must be the FIRST codepoint; dots inside a line no-op
+    assert(lineStats(" - indented\na...b") === ((2, 0, 0, 0)))
+  }
+
+  test("graft_line_pass applies each Gopher line rule at its threshold") {
+    import graft.functions.GopherRules._
+    def pass(text: String): Boolean =
+      Seq(text).toDF("t")
+        .select(call_function("graft_line_pass", col("t")).as("p"))
+        .as[Boolean].collect().head
+    // 10 lines: 9 bullets (= 0.9 boundary, pass), then 10 bullets of 10 (fail)
+    val nine = ((1 to 9).map(i => s"- b$i") :+ "plain").mkString("\n")
+    assert(pass(nine))
+    assert(!pass((1 to 10).map(i => s"- b$i").mkString("\n")))
+    // ellipsis: 3 of 10 (= 0.3 boundary, pass), 4 of 10 (fail)
+    def ell(k: Int) = ((1 to k).map(i => s"e$i...") ++
+      (k + 1 to 10).map(i => s"p$i")).mkString("\n")
+    assert(pass(ell(3)) && !pass(ell(4)))
+    // duplicate lines: 3 dups of 10 (pass), 4 of 10 (fail)
+    def dup(k: Int) = ((0 to k).map(_ => "d") ++
+      (1 to 9 - k).map(i => s"u$i")).mkString("\n")
+    assert(pass(dup(3)) && !pass(dup(4)))
+    // single-line docs trivially pass (the r4 gate's implicit behavior)
+    assert(pass("just one line"))
+    assert(MAX_BULLET_LINE_RATIO === 0.9 && MAX_ELLIPSIS_LINE_RATIO === 0.3 &&
+      MAX_DUP_LINE_FRACTION === 0.3)
+  }
+
+  test("graft_gopher_full_pass = word gate AND line gate") {
+    // passes words, fails lines (all duplicate lines); and vice versa
+    val wordsOk = (1 to 40).map(_ => "the quick brown fox is here").mkString("\n")
+    val d = Seq((1L, wordsOk), (2L, "short text"), (3L,
+      (1 to 40).map(i => s"the quick brown fox is here again line $i").mkString("\n")))
+      .toDF("doc_id", "text")
+    val full = graft.operators.QualityFilters.gopherFull(d, "text", minWords = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full === Set(3L)) // 1 fails dup-lines, 2 fails word count
+  }
 }
