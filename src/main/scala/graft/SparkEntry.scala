@@ -370,6 +370,38 @@ object SparkEntry {
       Dedup.exactDedup(dup, "text", "doc_id").orderBy("doc_id")
     }),
 
+    // Streaming exact dedup, DRIVER-JUDGED (r4 VERDICT item 7 — the last
+    // test-only component): the same forced-duplicate fixture as
+    // q_exact_dedup is written as ONE parquet file, streamed through
+    // Streams.exactDedupStream under an AvailableNow trigger into a file
+    // sink, and the sunk table is read back. One input file ⇒ one
+    // micro-batch ⇒ the min-id survivor rule is deterministic and equals
+    // the batch semantics, so the finite stream is fully oracled.
+    // Checkpoint/state/sink are wiped per call — streaming state must
+    // never leak between runs.
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val root = tmpPath("stream_dedup")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rootPath, true)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.union(d.withColumn("doc_id", col("doc_id") + 10000))
+        .coalesce(1)
+        .write.parquet(s"$root/in")
+      val in = s.readStream.schema("doc_id LONG, text STRING")
+        .parquet(s"$root/in")
+      val q = graft.streaming.Streams
+        .exactDedupStream(in.as[graft.streaming.Streams.DocRow])
+        .writeStream
+        .format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readTable(s, s"$root/out").select("doc_id").orderBy("doc_id")
+    }),
+
     // Token frequency: tokenize → explode → count (the §2b text-analysis
     // baseline; partial agg keeps the shuffle at |vocab| rows per task).
     "q_text_tokens" -> ((s, dir) =>
@@ -1020,6 +1052,14 @@ object SparkEntry {
         |           UNION ALL
         |           SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)
         |SELECT doc_id, text, lang, source, n_chars FROM u
+        |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_stream_dedup" ->
+      """WITH u AS (SELECT * FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)
+        |SELECT doc_id FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
 

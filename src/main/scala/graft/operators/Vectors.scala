@@ -78,35 +78,52 @@ object Vectors {
 
   /** IVF-style approximate top-k (the second scale path besides
     * [[annTopK]]'s hyperplane LSH): a coarse quantizer of `nCentroids`
-    * vectors sampled DETERMINISTICALLY from the corpus (lowest
-    * xxhash64(id) — a seeded uniform sample; k-means would sharpen cells
-    * but needs iterative passes), each corpus vector assigned to its
-    * max-cosine centroid in the scan stage (codegen argmax over
-    * `graft_dot` expressions — no shuffle), and each query probing its
-    * `nProbe` nearest cells. Cost ≈ nProbe/nCentroids of brute force;
-    * recall is data-dependent like all ANN (VectorSpec measures it on
-    * the clustered corpus).
+    * cells — seeded with `nCentroids` vectors sampled DETERMINISTICALLY
+    * from the corpus (lowest xxhash64(id)), then sharpened by
+    * `lloydIters` rounds of Lloyd's k-means (Lloyd 1982, public) — each
+    * corpus vector assigned to its max-cosine centroid in the scan stage
+    * (codegen argmax over `graft_dot` expressions — no shuffle), and each
+    * query probing its `nProbe` nearest cells. Cost ≈ nProbe/nCentroids
+    * of brute force; recall is data-dependent like all ANN (VectorSpec
+    * measures it on the clustered corpus — the Lloyd rounds buy the same
+    * ≥0.9 recall at HALF the r4 probe cost, nProbe 4 → 2).
     *
-    * The centroid collect is a driver-side CONFIG read (nCentroids
-    * vectors, a few KB) folded into the plan as literals — same pattern
-    * as [[hyperplanes]], not a data collect.
+    * Each Lloyd round is fully distributed: one scan-stage assignment
+    * plus one (cell, position) → mean aggregate — partial aggregation
+    * compresses per task to ≤ nCentroids × dim rows, so the shuffle and
+    * the driver-side collect are both a few KB of centroid state, the
+    * same bounded CONFIG read as the seeding (never a data collect).
+    * Empty cells keep their previous centroid.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = corpus
+      nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    var cents: Seq[Seq[Double]] = corpus
       .select(col(vecCol)).orderBy(xxhash64(col(idCol)))
       .limit(nCentroids).collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     // per-centroid direction similarity; |v| is constant across centroids
     // for a given row, so argmax over dot/|c| == argmax over cosine
-    def sims(v: Column): Seq[Column] =
+    def sims(v: Column): Seq[Column] = {
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
       cents.zip(norms).map { case (c, n) => dot(v, typedLit(c)) / lit(n) }
+    }
     def assign(v: Column): Column = {
       val s = sims(v)
       val m = greatest(s: _*)
       s.zipWithIndex.tail.foldLeft(when(s.head === m, 0)) {
         case (acc, (si, i)) => acc.when(si === m, i)
+      }
+    }
+    for (_ <- 1 to lloydIters) {
+      val means = corpus.withColumn("__cell", assign(col(vecCol)))
+        .select(col("__cell"), posexplode(col(vecCol)))
+        .groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell).fold(old) { rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
       }
     }
     // query side: nProbe best cells via sorted (−sim, cid) struct array —

@@ -117,13 +117,15 @@ class VectorSpec extends SparkTestBase {
       ex.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
-  test("ivfTopK recall >= 0.9 vs brute force on the clustered corpus") {
+  test("ivfTopK recall >= 0.9 vs brute force at HALF the r4 probe cost") {
     val (corpus, queries) = clustered
     def pairs(df: DataFrame) = df.select("qid", "neighbor")
       .as[(Long, Long)].collect().toSet
     val exact = pairs(Vectors.bruteForceTopK(corpus, "vec_id", "v", queries, "qid", "qv", 5))
+    // r4 needed nProbe=4 on the raw seeded centroids; the Lloyd rounds
+    // must hold the same recall bar at nProbe=2
     val ivf = pairs(Vectors.ivfTopK(corpus, "vec_id", "v", queries, "qid", "qv", 5,
-      nCentroids = 16, nProbe = 4))
+      nCentroids = 16, nProbe = 2))
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
     // no duplicate (qid, neighbor) pairs: one cell per corpus row
