@@ -536,6 +536,25 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // The COMPLETE Gopher gate — word rules AND line rules in one kernel
+    // invocation (graft_gopher_full_pass) — over the same multi-line
+    // fixture. Fully oracled: DuckDB evaluates both rule families over
+    // the identically-derived doc.
+    "q_gopher_full" -> ((s, dir) => {
+      val base = regexp_replace(col("text"), "\\. ", ".\n")
+      val doc = when(col("doc_id") % 4 === 1,
+          concat(lit("- "), regexp_replace(col("text"), "\\. ", ".\n- ")))
+        .when(col("doc_id") % 4 === 2,
+          regexp_replace(col("text"), "\\. ", "...\n"))
+        .when(col("doc_id") % 4 === 3,
+          concat(base, repeat(lit("\nsame line"), 40)))
+        .otherwise(base)
+      graft.operators.QualityFilters.gopherFull(
+          t(s, dir, "documents").select(col("doc_id"), doc.as("text")), "text",
+          minWords = 30)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Scale-path twin of q_curate: same quality gate and exact dedup, but
     // the near-dup drop uses MinHash-LSH candidates (linear banded join)
     // instead of the exact AllPairs join — the formulation a 100 TB run
@@ -1222,6 +1241,43 @@ object SparkEntry {
         |SELECT doc_id FROM m
         |WHERE nb <= 0.9 * n AND ne <= 0.3 * n AND nd <= 0.3 * n
         |ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_full" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 4 = 1 THEN '- ' || replace(text, '. ', '.' || chr(10) || '- ')
+        |    WHEN doc_id % 4 = 2 THEN replace(text, '. ', '...' || chr(10))
+        |    WHEN doc_id % 4 = 3 THEN replace(text, '. ', '.' || chr(10))
+        |                             || repeat(chr(10) || 'same line', 40)
+        |    ELSE replace(text, '. ', '.' || chr(10)) END AS doc
+        |  FROM documents),
+        |w AS (SELECT doc_id, doc, string_split(doc, ' ') AS t FROM d),
+        |wm AS (SELECT doc_id,
+        |    len(t) AS n,
+        |    CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+        |      / len(t) AS mean_len,
+        |    CAST(length(doc) - length(replace(doc, '#', ''))
+        |       + length(doc) - length(replace(doc, chr(8230), ''))
+        |       + len(regexp_extract_all(doc, '\.{3,}')) AS DOUBLE) / len(t) AS sym_ratio,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(t) AS alpha_frac,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS stops
+        |  FROM w),
+        |l AS (SELECT doc_id, string_split(doc, chr(10)) AS ls FROM d),
+        |lm AS (SELECT doc_id, len(ls) AS n,
+        |  len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+        |      OR starts_with(x, '•'))) AS nb,
+        |  len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS ne,
+        |  len(ls) - len(list_distinct(ls)) AS nd
+        | FROM l)
+        |SELECT wm.doc_id FROM wm JOIN lm ON wm.doc_id = lm.doc_id
+        |WHERE wm.n >= 30 AND wm.n <= 100000
+        |  AND wm.mean_len >= 3.0 AND wm.mean_len <= 10.0
+        |  AND wm.sym_ratio <= 0.1
+        |  AND wm.alpha_frac >= 0.8
+        |  AND wm.stops >= 2
+        |  AND lm.nb <= 0.9 * lm.n AND lm.ne <= 0.3 * lm.n AND lm.nd <= 0.3 * lm.n
+        |ORDER BY 1""".stripMargin,
 
     "q_near_dup" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
