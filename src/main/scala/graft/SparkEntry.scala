@@ -476,6 +476,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Gopher repetition statistic (Rae et al. 2021 Table A1): top word
+    // {2,3,4}-gram character-coverage fraction per doc — the
+    // boilerplate/spam signal, computed by the one-pass graft_rep_frac
+    // kernel at the scan. Max of (count x gram-chars) makes the statistic
+    // deterministic under frequency ties. Fully oracled.
+    "q_rep_ngram" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          call_function("graft_rep_frac", col("text"), lit(2)).as("top2"),
+          call_function("graft_rep_frac", col("text"), lit(3)).as("top3"),
+          call_function("graft_rep_frac", col("text"), lit(4)).as("top4"))
+        .orderBy("doc_id")),
+
     // Connected-components labels over the exact near-dup pair graph:
     // every doc in some J>=0.8 pair, labeled with the min doc id of its
     // duplicate CLUSTER (transitive closure of pairs). Fully oracled —
@@ -1152,6 +1164,30 @@ object SparkEntry {
         |           WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8)
         |SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT db FROM losers)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_rep_ngram" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |         i -> t[i]||' '||t[i+1])) AS gram FROM toks),
+        |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+        |         i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS gram FROM toks),
+        |g4 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-3),
+        |         i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3])) AS gram FROM toks),
+        |c2 AS (SELECT doc_id, max(cnt * length(gram)) AS cov FROM
+        |       (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |c3 AS (SELECT doc_id, max(cnt * length(gram)) AS cov FROM
+        |       (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        |c4 AS (SELECT doc_id, max(cnt * length(gram)) AS cov FROM
+        |       (SELECT doc_id, gram, count(*) AS cnt FROM g4 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT toks.doc_id,
+        |  coalesce(CAST(c2.cov AS DOUBLE) / length(text), 0.0) AS top2,
+        |  coalesce(CAST(c3.cov AS DOUBLE) / length(text), 0.0) AS top3,
+        |  coalesce(CAST(c4.cov AS DOUBLE) / length(text), 0.0) AS top4
+        |FROM toks
+        |LEFT JOIN c2 ON toks.doc_id = c2.doc_id
+        |LEFT JOIN c3 ON toks.doc_id = c3.doc_id
+        |LEFT JOIN c4 ON toks.doc_id = c4.doc_id
+        |ORDER BY 1""".stripMargin,
 
     "q_cc_labels" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

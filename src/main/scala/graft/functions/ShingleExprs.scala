@@ -132,6 +132,54 @@ object ShingleKernel {
     java.lang.Long.valueOf(fp)
   }
 
+  /** Top word-n-gram character coverage — the Gopher repetition rule
+    * numerator (Rae et al. 2021, Table A1: "fraction of characters in the
+    * most frequent n-gram"): max over distinct word n-grams of
+    * (occurrences × codepoints(gram)), divided by codepoints(text).
+    * Taking the max of the PRODUCT makes the statistic deterministic
+    * under frequency ties (no "pick one mode" ambiguity — the tied gram
+    * with more characters wins, and equal products give the same max).
+    * 0.0 when the doc has fewer than n tokens or no characters. One pass:
+    * token offsets, then a byte-range hash map gram → (count, cp-length).
+    */
+  def topNgramCharFraction(s: UTF8String, n: Int): Double = {
+    val b = s.getBytes
+    if (b.length == 0) return 0.0
+    val starts = tokenStarts(b)
+    val nGrams = starts.length - 1 - n + 1
+    if (nGrams <= 0) return 0.0
+    var totalCp = 0L
+    var i = 0
+    while (i < b.length) { if ((b(i) & 0xc0) != 0x80) totalCp += 1; i += 1 }
+    if (totalCp == 0L) return 0.0
+    // gram -> (occurrences, codepoint length); UTF8String keys compare by
+    // exact bytes, so this is string equality without allocation games
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val until = starts(i + n) - 1
+      val g = UTF8String.fromBytes(b, from, until - from)
+      val e = counts.get(g)
+      if (e != null) e(0) += 1L
+      else {
+        var cp = 0L
+        var j = from
+        while (j < until) { if ((b(j) & 0xc0) != 0x80) cp += 1; j += 1 }
+        counts.put(g, Array(1L, cp))
+      }
+      i += 1
+    }
+    var best = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cov = e(0) * e(1)
+      if (cov > best) best = cov
+    }
+    best.toDouble / totalCp
+  }
+
   /** Count of positions where two long arrays agree (up to the shorter
     * length) — see [[SigAgree]]. */
   def sigAgree(a: ArrayData, b: ArrayData): Int = {
@@ -232,6 +280,20 @@ case class Shingles(left: Expression, right: Expression)
   override protected def kernelMethod: String = "shingles"
   override protected def nullSafeEval(t: Any, w: Any): Any =
     ShingleKernel.shingles(t.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_rep_frac(text, n)` → double: top word-n-gram character coverage
+  * fraction — the Gopher repetition-rule statistic (0.0 for short/empty
+  * docs). See [[ShingleKernel.topNgramCharFraction]]. */
+case class RepFrac(left: Expression, right: Expression)
+    extends ShingleExpressionBase {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_rep_frac"
+  override protected def kernelMethod: String = "topNgramCharFraction"
+  override protected def nullSafeEval(t: Any, w: Any): Any =
+    ShingleKernel.topNgramCharFraction(t.asInstanceOf[UTF8String], w.asInstanceOf[Int])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -352,6 +414,9 @@ object ShingleExprs {
       (c: Seq[Expression]) => MinHashSig(c.head, c(1), c(2))),
     (FunctionIdentifier("graft_sig_agree"),
       info("graft_sig_agree", classOf[SigAgree]),
-      (c: Seq[Expression]) => SigAgree(c.head, c(1)))
+      (c: Seq[Expression]) => SigAgree(c.head, c(1))),
+    (FunctionIdentifier("graft_rep_frac"),
+      info("graft_rep_frac", classOf[RepFrac]),
+      (c: Seq[Expression]) => RepFrac(c.head, c(1)))
   )
 }

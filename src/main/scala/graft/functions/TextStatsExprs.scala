@@ -181,6 +181,12 @@ object GopherRules {
   val MAX_BULLET_LINE_RATIO = 0.9
   val MAX_ELLIPSIS_LINE_RATIO = 0.3
   val MAX_DUP_LINE_FRACTION = 0.3
+  /** Repetition thresholds (Rae et al. 2021, Table A1): discard when the
+    * most frequent word n-gram covers more than this fraction of the
+    * document's characters. */
+  val MAX_TOP_2GRAM_CHAR_FRAC = 0.20
+  val MAX_TOP_3GRAM_CHAR_FRAC = 0.18
+  val MAX_TOP_4GRAM_CHAR_FRAC = 0.16
 }
 
 /** One-pass line-shape statistics: everything the Gopher line rules need,

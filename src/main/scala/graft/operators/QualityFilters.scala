@@ -74,4 +74,17 @@ object QualityFilters {
       minWords: Int = 50, maxWords: Int = 100000): DataFrame =
     df.filter(call_function("graft_gopher_full_pass",
       col(textCol), lit(minWords), lit(maxWords)))
+
+  /** Gopher REPETITION rules (Rae et al. 2021, Table A1): drop documents
+    * whose most frequent word {2,3,4}-gram covers more than
+    * {20%, 18%, 16%} of the characters — the boilerplate/spam signal. One
+    * `graft_rep_frac` kernel pass per n, all scan-stage (judged
+    * `q_rep_ngram` for the statistic itself, fully oracled). */
+  def repetitionFilter(df: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.GopherRules._
+    df.filter(
+      call_function("graft_rep_frac", col(textCol), lit(2)) <= MAX_TOP_2GRAM_CHAR_FRAC &&
+        call_function("graft_rep_frac", col(textCol), lit(3)) <= MAX_TOP_3GRAM_CHAR_FRAC &&
+        call_function("graft_rep_frac", col(textCol), lit(4)) <= MAX_TOP_4GRAM_CHAR_FRAC)
+  }
 }

@@ -115,4 +115,25 @@ class ShingleExprsSpec extends SparkTestBase {
     for ((id, sig) <- reference) assert(sigs(id) === Some(sig), s"doc $id")
     assert(sigs(5L) === None && sigs(6L) === None)
   }
+
+  test("graft_rep_frac: top n-gram character coverage, hand-computed") {
+    def frac(text: String, n: Int): Double = Seq(text).toDF("t")
+      .select(call_function("graft_rep_frac", col("t"), lit(n)).as("f"))
+      .as[Double].collect().head
+    // "a b a b c" (9 codepoints): 2-gram "a b" occurs 2x, 3 chars -> 6/9;
+    // all 3-grams unique, 5 chars -> 5/9; all 4-grams unique, 7 chars -> 7/9
+    assert(math.abs(frac("a b a b c", 2) - 6.0 / 9) < 1e-12)
+    assert(math.abs(frac("a b a b c", 3) - 5.0 / 9) < 1e-12)
+    assert(math.abs(frac("a b a b c", 4) - 7.0 / 9) < 1e-12)
+    // multibyte: codepoints, not bytes — "é é x" top-2-gram "é é" 2x? no,
+    // occurs once (3 cp); "é é" vs "é x": max cov = 3 -> 3/5
+    assert(math.abs(frac("é é x", 2) - 3.0 / 5) < 1e-12)
+    // short/empty docs
+    assert(frac("x", 2) === 0.0)
+    assert(frac("", 2) === 0.0)
+    // overlapping occurrences each count: "spam spam spam" 2-gram
+    // "spam spam" 2x, 9 chars -> 18/14 (> 1 by design; a statistic, not
+    // a probability)
+    assert(math.abs(frac("spam spam spam", 2) - 18.0 / 14) < 1e-12)
+  }
 }

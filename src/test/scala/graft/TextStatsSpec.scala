@@ -156,6 +156,17 @@ class TextStatsSpec extends SparkTestBase {
       MAX_DUP_LINE_FRACTION === 0.3)
   }
 
+  test("repetitionFilter drops boilerplate, keeps varied text") {
+    val varied = (1 to 40).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (1L, ("spam spam " * 20).trim), // top-2-gram coverage >> 0.2
+      (2L, varied))                   // all n-grams unique, tiny coverage
+      .toDF("doc_id", "text")
+    val kept = graft.operators.QualityFilters.repetitionFilter(d, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
   test("graft_gopher_full_pass = word gate AND line gate") {
     // passes words, fails lines (all duplicate lines); and vice versa
     val wordsOk = (1 to 40).map(_ => "the quick brown fox is here").mkString("\n")
