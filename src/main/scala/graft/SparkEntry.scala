@@ -402,6 +402,35 @@ object SparkEntry {
       readTable(s, s"$root/out").select("doc_id").orderBy("doc_id")
     }),
 
+    // Streaming tumbling-window aggregation with a WATERMARK, driver-
+    // judged: the events fixture streams through Streams.tumblingAggStream
+    // (1h windows, 30min watermark delay) in APPEND mode — a window emits
+    // only once the watermark (max event time − delay) passes its end, so
+    // the sunk table is exactly the FINALIZED windows: window_end ≤
+    // max(ts) − 30min. One input file ⇒ one data micro-batch (plus the
+    // no-data flush batch) ⇒ deterministic, and the oracle expresses the
+    // same finalization cut in SQL.
+    "q_stream_window" -> ((s, dir) => {
+      val root = tmpPath("stream_window")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rootPath, true)
+      t(s, dir, "events").select("ts", "event_type", "value")
+        .coalesce(1).write.parquet(s"$root/in")
+      val in = s.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(s"$root/in")
+      val q = graft.streaming.Streams
+        .tumblingAggStream(in, "ts", "event_type", "value", "1 hour", "30 minutes")
+        .writeStream
+        .format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readTable(s, s"$root/out").orderBy("window_start", "event_type")
+    }),
+
     // Token frequency: tokenize → explode → count (the §2b text-analysis
     // baseline; partial agg keeps the shuffle at |vocab| rows per task).
     "q_text_tokens" -> ((s, dir) =>
@@ -1085,6 +1114,16 @@ object SparkEntry {
         |SELECT doc_id, text, lang, source, n_chars FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_stream_window" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |             count(*) AS n, sum(value) AS sum_value, avg(value) AS avg_value
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT window_start, event_type, n, sum_value, avg_value
+        |FROM w, m
+        |WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_stream_dedup" ->
       """WITH u AS (SELECT * FROM documents
