@@ -124,6 +124,39 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Exact duplicated-span detection — the "exact substring dedup" of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", public), in its hash-join formulation: all doc pairs
+    * (da < db) sharing at least one exact `spanTokens`-token span, with
+    * the count of DISTINCT shared span hashes. (The paper's suffix-array
+    * formulation finds arbitrary-length duplicates; fixed-width spans at
+    * a stride of one token are the standard scalable approximation — any
+    * duplicate run of ≥ spanTokens tokens is caught.)
+    *
+    * Scale: span hashes come out of the scan per-row via the
+    * `graft_shingle_hashes` kernel (width = spanTokens) — 8-byte values,
+    * no span string ever materialized; per-doc dedup happens BEFORE the
+    * self-join, so the join input is one row per distinct (doc, span).
+    * Caveat for 100 TB: a span shared by k docs fans out to C(k,2) pairs —
+    * true boilerplate (licenses, headers) should be dropped by frequency
+    * (count docs per hash, filter k below a cap) before pairing; the cap
+    * is left to callers because "how common is boilerplate" is corpus
+    * policy. Judged `q_span_dup`, fully oracled (hash-space counts equal
+    * string-space counts absent 64-bit collisions, as in [[jaccardJoin]]).
+    */
+  def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int): DataFrame = {
+    val spans = docs.select(col(idCol),
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(spanTokens)))
+          .as("h"))
+      .distinct()
+    spans.alias("a")
+      .join(spans.alias("b"), col("a.h") === col("b.h") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_spans"))
+  }
+
   /** Connected components over an undirected edge list of long node ids:
     * returns (id, component) for every node that appears in `pairs`, where
     * `component` is the MINIMUM id in the node's component — the cluster

@@ -278,6 +278,27 @@ object Relational {
   def readTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed external-table write: hash-partition rows into `nBuckets`
+    * files by `bucketCol` and record the layout in the catalog, so a
+    * subsequent equi-join (or aggregation) on the bucket column of two
+    * identically-bucketed tables needs NO shuffle exchange — the join is
+    * co-located by construction (PlanSpec asserts the exchange-free
+    * plan). This is THE standing-layout answer for a fact table joined
+    * repeatedly on the same key at 100 TB: pay one shuffle at write time,
+    * never again at read time. `sortBy` within buckets additionally lets
+    * the sort-merge join skip its sort.
+    *
+    * Bucketing requires the catalog (`saveAsTable`) because the bucket
+    * spec lives in table metadata, not the files; `path` makes it an
+    * external table so the data sits where every other sink writes. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** Small-files maintenance: rewrite a parquet directory into
     * `ceil(totalBytes / targetBytes)` files — the operational complement
     * of [[writePartitioned]]'s salting (salting BOUNDS files per write;

@@ -87,6 +87,27 @@ class PlanSpec extends SparkTestBase {
       joined.queryExecution.executedPlan.toString.take(3000))
   }
 
+  test("bucketed co-located join plans no shuffle exchange") {
+    // writeBucketed's contract: pay one shuffle at write time, then an
+    // equi-join on the bucket column of identically-bucketed tables must
+    // read co-located buckets — zero Exchange nodes in the join plan.
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    graft.operators.Relational.writeBucketed(
+      Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity"),
+      "plan_bkt_li", s"$tmp/graft_rt/plan_bkt_li", "l_orderkey", 4)
+    graft.operators.Relational.writeBucketed(
+      Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus"),
+      "plan_bkt_o", s"$tmp/graft_rt/plan_bkt_o", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val plan = executedPlan(spark.table("plan_bkt_li")
+        .join(spark.table("plan_bkt_o"), col("l_orderkey") === col("o_orderkey")))
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
