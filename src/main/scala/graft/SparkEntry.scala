@@ -903,6 +903,21 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Pivot (long→wide reshape): per-year order counts spread over the
+    // status values — Expand-free single shuffle with EXPLICIT pivot
+    // values (no extra distinct-values job, the scale-correct form).
+    // Missing combinations are zero-filled to match SQL's count(CASE).
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("year", year(col("o_orderdate")))
+        .groupBy("year")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("year"), col("F").as("n_f"), col("O").as("n_o"),
+          col("P").as("n_p"))
+        .na.fill(0L, Seq("n_f", "n_o", "n_p"))
+        .orderBy("year")),
+
     // Global top-k: agg + TakeOrderedAndProject (no full sort at scale).
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1485,6 +1500,13 @@ object SparkEntry {
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY year""".stripMargin,
 
     "q_topk" ->
       """SELECT o_custkey AS custkey, sum(o_totalprice) AS revenue
