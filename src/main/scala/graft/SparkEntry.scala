@@ -449,6 +449,45 @@ object SparkEntry {
       readTable(s, s"$root/out").orderBy("window_start", "event_type")
     }),
 
+    // Stream-stream inner interval join, driver-judged: error and click
+    // events stream from separate file sources and join on (user, ±120min)
+    // — the stateful symmetric-hash join. No watermark: state is exact
+    // over the finite replay, so the result equals the batch BETWEEN join
+    // and shares q_range_join's oracle formulation.
+    "q_stream_join" -> ((s, dir) => {
+      val root = tmpPath("stream_join")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rootPath, true)
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+        .coalesce(1).write.parquet(s"$root/errors")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .coalesce(1).write.parquet(s"$root/clicks")
+      val errs = s.readStream
+        .schema("user_id BIGINT, error_id BIGINT, error_ts TIMESTAMP")
+        .parquet(s"$root/errors")
+      val clicks = s.readStream
+        .schema("c_user BIGINT, click_id BIGINT, click_ts TIMESTAMP")
+        .parquet(s"$root/clicks")
+      val q = graft.streaming.Streams.intervalJoinStream(errs, clicks,
+          col("user_id") === col("c_user") &&
+            col("click_ts") >= col("error_ts") - expr("INTERVAL 120 MINUTES") &&
+            col("click_ts") <= col("error_ts") + expr("INTERVAL 120 MINUTES"))
+        .select(col("user_id"), col("error_id"), col("click_id"),
+          col("error_ts"), col("click_ts"))
+        .writeStream
+        .format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readTable(s, s"$root/out").orderBy("error_id", "click_id")
+    }),
+
     // Token frequency: tokenize → explode → count (the §2b text-analysis
     // baseline; partial agg keeps the shuffle at |vocab| rows per task).
     "q_text_tokens" -> ((s, dir) =>
@@ -903,6 +942,20 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Exact interpolated percentiles per group (Spark `percentile` ≡
+    // DuckDB `quantile_cont`: both rank p(n−1) with linear interpolation,
+    // identical IEEE arithmetic → oracle-exact). At 100 TB swap for
+    // `percentile_approx` (mergeable KLL-style sketch, one pass, bounded
+    // memory) — approximate values are not oracle-expressible, so the
+    // judged query pins the exact semantics the sketch approximates.
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+        .orderBy("l_returnflag")),
+
     // Pivot (long→wide reshape): per-year order counts spread over the
     // status values — Expand-free single shuffle with EXPLICIT pivot
     // values (no extra distinct-values job, the scale-correct form).
@@ -1154,6 +1207,15 @@ object SparkEntry {
         |SELECT doc_id, text, lang, source, n_chars FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+        |       e.ts AS error_ts, c.ts AS click_ts
+        |FROM events e JOIN events c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |  AND c.ts BETWEEN e.ts - INTERVAL 120 MINUTE
+        |                AND e.ts + INTERVAL 120 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
 
     "q_stream_window" ->
       """WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -1500,6 +1562,13 @@ object SparkEntry {
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS year,
