@@ -250,6 +250,56 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // S1 variant: CSV source scan with explicit schema (no inference in
+    // judged paths) — same derive-then-read shape as q_json_source, so
+    // the oracle aggregates the same rows straight from parquet.
+    "q_csv_source" -> ((s, dir) => {
+      val path = tmpPath("orders_csv")
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("header", "true")
+        .csv(s"$path/part-*.csv")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        .select(col("o_orderstatus").as("status"), col("n"), col("total"))
+        .orderBy("status")
+    }),
+
+    // S3 variant: ORC sink + source round-trip (the third columnar format
+    // Spark bundles; DuckDB oracles from the original parquet).
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = tmpPath("customer_orc")
+      projectRename(t(s, dir, "customer"),
+          "c_custkey" -> "cust_id", "c_name" -> "name", "c_acctbal" -> "acctbal")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("cust_id")
+    }),
+
+    // S4 operational variant: DYNAMIC partition overwrite — a second
+    // write replaces ONLY the partition directories it touches (year
+    // 1995 rewritten with negated prices), other years keep their
+    // original data. The static-overwrite default would wipe the whole
+    // table; the oracle expresses the expected merged state.
+    "q_dynamic_overwrite" -> ((s, dir) => {
+      val path = tmpPath("orders_dynover")
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("year"))
+      base.write.mode("overwrite").partitionBy("year").parquet(path)
+      base.filter(col("year") === 1995)
+        .withColumn("o_totalprice", -col("o_totalprice"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year").parquet(path)
+      readTable(s, path)
+        .groupBy("year")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        .orderBy("year")
+    }),
+
     // S4→S2 + partition pruning (SURVEY §4's promised slice): re-read of a
     // year-partitioned write with a year literal filter — the scan must
     // touch ONE partition directory (PartitionFilters asserted in
@@ -942,6 +992,27 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Exact distinct users per event type — the oracled twin of the
+    // HLL sketch query below.
+    "q_distinct_count" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    // HyperLogLog++ approximate distinct (the mergeable one-pass sketch
+    // that replaces exact distinct at 100 TB — no per-key state blowup,
+    // partial aggregates merge associatively). rsd=0.01 is a relative
+    // STANDARD DEVIATION, not a bound — estimates are not SQL-predictable
+    // → rows-only; the exact twin q_distinct_count is oracled, and
+    // RelationalSpec asserts a 5×rsd error ceiling on a deterministic
+    // fixture.
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+        .orderBy("event_type")),
+
     // Exact interpolated percentiles per group (Spark `percentile` ≡
     // DuckDB `quantile_cont`: both rank p(n−1) with linear interpolation,
     // identical IEEE arithmetic → oracle-exact). At 100 TB swap for
@@ -1049,6 +1120,25 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       sum(o_totalprice) AS total
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q_csv_source" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       sum(o_totalprice) AS total
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT c_custkey AS cust_id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "q_dynamic_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n,
+        |       sum(CASE WHEN year(o_orderdate) = 1995
+        |                THEN -o_totalprice ELSE o_totalprice END) AS total
+        |FROM orders GROUP BY 1 ORDER BY year""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id, 'text' AS modality,

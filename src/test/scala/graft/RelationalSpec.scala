@@ -149,6 +149,22 @@ class RelationalSpec extends SparkTestBase {
     assert(found === Set(1L))
   }
 
+  test("approx_count_distinct stays within 5x its relative standard deviation") {
+    // the rows-only q_approx_distinct's documented accuracy claim: rsd is
+    // a standard deviation, not a bound (the default-rsd version measured
+    // 6.9% on this very fixture) — assert a 5-sigma ceiling at rsd=0.01,
+    // matching the query's setting, on a deterministic fixture
+    val df = (1L to 20000L).map(i => (i % 7, i % 9000)).toDF("k", "u")
+    val got = df.groupBy("k")
+      .agg(countDistinct(col("u")).as("exact"),
+        approx_count_distinct(col("u"), 0.01).as("approx"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (k, exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"k=$k exact=$exact approx=$approx")
+    }
+  }
+
   test("compact rejects a partitioned-table root and an empty directory") {
     // ADVICE r4: called on a hive-partitioned root, compact would have
     // computed totalBytes=0 and flattened the layout — must fail fast.
