@@ -894,6 +894,15 @@ object SparkEntry {
         .orderBy("error_id", "click_id")
     }),
 
+    // Conversion funnel: users completing signup → view → click →
+    // purchase in order, greedy earliest match per step; k−1 chained
+    // min-agg joins on (user, ts) pairs — no full-stream window. Fully
+    // oracled via the same chained-CTE formulation.
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Events.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))),
+
     // JSON property extraction from the props string column (from_json
     // with explicit schema — no inference in judged paths).
     "q_json_props" -> ((s, dir) =>
@@ -1173,6 +1182,26 @@ object SparkEntry {
     "q_json_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'view' AND e.ts >= s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0 AS step_idx, 'signup' AS step,
+        |         (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,

@@ -135,4 +135,38 @@ object Events {
     from_json(props, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(field,
         org.apache.spark.sql.types.LongType)))).getField(field)
+
+  /** Conversion funnel: per-user greedy earliest completion of an ORDERED
+    * step sequence — a user counts for step i iff they performed
+    * `steps(i)` at-or-after their earliest completion of step i−1.
+    * Returns one row per step: (step_idx, step, n_users), monotonically
+    * non-increasing by construction.
+    *
+    * Greedy-earliest is the standard funnel semantics (each step matched
+    * to its earliest eligible event), and makes the result expressible as
+    * k−1 chained min-aggregations — each stage is one filter + broadcast-
+    * or-shuffle join on the user key + partial-agg min, so the whole
+    * funnel is k−1 shuffles of (user, timestamp) pairs regardless of
+    * event volume. No window over the full event stream, no per-user
+    * event collection. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import org.apache.spark.sql.functions.{count => fcount}
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val counts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def stageCount(i: Int, df: DataFrame) =
+      df.agg(fcount(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(steps(i)).as("step"), col("n_users"))
+    counts += stageCount(0, reached)
+    for (i <- 1 until steps.length) {
+      reached = events.filter(col(typeCol) === steps(i))
+        .join(reached.select(col(userCol), col("__t").as("__prev")), userCol)
+        .filter(col(tsCol) >= col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      counts += stageCount(i, reached)
+    }
+    counts.reduce(_.unionAll(_)).orderBy("step_idx")
+  }
 }

@@ -72,4 +72,26 @@ class EventsSpec extends SparkTestBase {
       .as[Option[Long]].collect().toSeq
     assert(out === Seq(Some(7L), None, None, None))
   }
+
+  test("funnel counts ordered completions with greedy earliest matching") {
+    // user 1 completes all three in order; user 2's only view PRECEDES
+    // their signup (order violated -> stops after signup); user 3 never
+    // signs up (counts nowhere); equal timestamps satisfy >= (user 4).
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 10:05:00", "view"),
+      (1L, "2024-01-01 10:10:00", "click"),
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:30:00", "signup"),
+      (3L, "2024-01-01 08:00:00", "view"),
+      (3L, "2024-01-01 08:10:00", "click"),
+      (4L, "2024-01-01 07:00:00", "signup"),
+      (4L, "2024-01-01 07:00:00", "view"))
+      .toDF("user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((0, "signup", 3L), (1, "view", 2L), (2, "click", 1L)))
+  }
 }
