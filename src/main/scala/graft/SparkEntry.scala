@@ -1001,6 +1001,15 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Column profiling: per-column null + distinct counts in ONE
+    // multi-distinct aggregate pass, long-form via stack. The ingest
+    // data-quality check; fully oracled.
+    "q_profile" -> ((s, dir) =>
+      profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+        .orderBy("col_name")),
+
     // Exact distinct users per event type — the oracled twin of the
     // HLL sketch query below.
     "q_distinct_count" -> ((s, dir) =>
@@ -1148,6 +1157,25 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |         count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |         count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(CASE WHEN o_custkey IS NULL THEN 1 END),
+        |         count(DISTINCT o_custkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |         count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+        |         count(DISTINCT o_totalprice) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |         count(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY col_name""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id, 'text' AS modality,
