@@ -894,6 +894,18 @@ object SparkEntry {
         .orderBy("error_id", "click_id")
     }),
 
+    // Time-series resampling with gap filling: dense hourly spine over
+    // the event span, empty buckets at n=0 / null sum. Fully oracled.
+    "q_resample" -> ((s, dir) =>
+      graft.operators.Events.resampleHourly(t(s, dir, "events"), "ts", "value")
+        .orderBy("window_start")),
+
+    // Cohort retention triangle: first-event week cohorts × active-week
+    // offsets × distinct users. Fully oracled.
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Events.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort", "week_offset")),
+
     // Conversion funnel: users completing signup → view → click →
     // purchase in order, greedy earliest match per step; k−1 chained
     // min-agg joins on (user, ts) pairs — no full-stream window. Fully
@@ -1210,6 +1222,28 @@ object SparkEntry {
     "q_json_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT cohort,
+        |       CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q_resample" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS w, count(*) AS n,
+        |             sum(value) AS sum_value
+        |           FROM events GROUP BY 1),
+        |span AS (SELECT min(date_trunc('hour', ts)) AS lo,
+        |                max(date_trunc('hour', ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |            AS window_start FROM span)
+        |SELECT window_start, coalesce(n, 0) AS n, sum_value
+        |FROM spine LEFT JOIN b ON b.w = spine.window_start
+        |ORDER BY window_start""".stripMargin,
 
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events

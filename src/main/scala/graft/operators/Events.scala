@@ -136,6 +136,47 @@ object Events {
       org.apache.spark.sql.types.StructField(field,
         org.apache.spark.sql.types.LongType)))).getField(field)
 
+  /** Time-series resampling with GAP FILLING: a complete epoch-aligned
+    * hourly bucket spine spanning [min(ts), max(ts)] is generated with
+    * `sequence()` from the 1-row span aggregate, left-joined with the
+    * per-bucket aggregates — empty buckets appear with n = 0 and a null
+    * sum (absence of data is not a zero sum). The downstream-ML staple
+    * that turns sparse event streams into dense training series.
+    *
+    * Scale note: the spine explodes from ONE row, so it materializes on
+    * one task — fine up to millions of buckets (a decade of seconds);
+    * `repartition` the spine first if the bucket count times downstream
+    * work exceeds a task. The aggregate side shuffles normally. */
+  def resampleHourly(events: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val bucket = date_trunc("hour", col(tsCol))
+    val agg = events.groupBy(bucket.as("window_start"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+    val spine = events
+      .agg(min(bucket).as("lo"), max(bucket).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("window_start"))
+    spine.join(agg, Seq("window_start"), "left")
+      .select(col("window_start"), coalesce(col("n"), lit(0L)).as("n"),
+        col("sum_value"))
+  }
+
+  /** Cohort retention: users grouped by the ISO week of their FIRST
+    * event (the cohort), counted in each later week they were active —
+    * the (cohort, week_offset, n_users) retention triangle. Two shuffles
+    * on the user key (first-week aggregate, distinct active weeks) plus
+    * the final (cohort, offset) aggregate; week offsets are exact
+    * (both sides Monday-truncated, so day-difference / 7 is integral). */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wk = date_trunc("week", col(tsCol))
+    val first = events.groupBy(col(userCol)).agg(min(wk).as("cohort"))
+    val active = events.select(col(userCol), wk.as("__wk")).distinct()
+    first.join(active, userCol)
+      .withColumn("week_offset",
+        (datediff(col("__wk"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Conversion funnel: per-user greedy earliest completion of an ORDERED
     * step sequence — a user counts for step i iff they performed
     * `steps(i)` at-or-after their earliest completion of step i−1.
