@@ -73,6 +73,25 @@ class EventsSpec extends SparkTestBase {
     assert(out === Seq(Some(7L), None, None, None))
   }
 
+  test("resampleHourly fills gaps with n=0 and NULL sums") {
+    // the harness corpus is dense (zero empty buckets at sf0.01), so the
+    // gap-fill contract is pinned here: 10:00 and 13:00 have events,
+    // 11:00 and 12:00 must appear with n=0 and null sum_value
+    val ev = Seq(
+      ("2024-03-01 10:15:00", 1.0), ("2024-03-01 10:45:00", 2.0),
+      ("2024-03-01 13:05:00", 4.0))
+      .toDF("s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.resampleHourly(ev, "ts", "value")
+      .orderBy("window_start")
+      .as[(Timestamp, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (ts("2024-03-01 10:00:00"), 2L, Some(3.0)),
+      (ts("2024-03-01 11:00:00"), 0L, None),
+      (ts("2024-03-01 12:00:00"), 0L, None),
+      (ts("2024-03-01 13:00:00"), 1L, Some(4.0))))
+  }
+
   test("funnel counts ordered completions with greedy earliest matching") {
     // user 1 completes all three in order; user 2's only view PRECEDES
     // their signup (order violated -> stops after signup); user 3 never
