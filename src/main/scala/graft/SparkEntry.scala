@@ -546,6 +546,19 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("token"))),
 
+    // Text normalization / PII-style masking: lowercase + URL/email
+    // masking over a fixture that injects a real email and URL per doc
+    // (derived from doc_id, the q_gopher_lines trick), compared by md5 so
+    // the full cleaned text is judged without shipping it. Fully oracled.
+    "q_text_clean" -> ((s, dir) => {
+      val doc = concat(col("text"),
+        lit(" Contact User"), col("doc_id"),
+        lit("@Example.COM via https://Ex.com/p/"), col("doc_id"), lit(" now"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(TextOps.cleanText(doc).cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // Per-document quality scoring: token/unique counts, mean token
     // length, stopword ratio, BPE-ish subword count — ONE pass over the
     // document bytes via the native graft_text_stats kernel (r4; replaced
@@ -1415,6 +1428,16 @@ object SparkEntry {
         |SELECT doc_id FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """SELECT doc_id, md5(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      lower(text || ' Contact User' || doc_id ||
+        |            '@Example.COM via https://Ex.com/p/' || doc_id || ' now'),
+        |      'https?://[^ ]+', '<url>', 'g'),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT t AS token, count(*) AS n

