@@ -871,6 +871,23 @@ object SparkEntry {
           col("session_end"), col("n_events"), col("total_value"))
         .orderBy("user_id", "session_seq")),
 
+    // Rolling 1-hour RANGE window per user: for each event, the sum of
+    // values over the preceding hour (inclusive bounds, peer rows
+    // included — tie-order independent, unlike ROWS frames). Spark's
+    // rangeBetween on unix_micros ≡ DuckDB's RANGE INTERVAL frame; the
+    // corpus has no sub-microsecond components (verified), so the
+    // boundary is exact on both sides. Fully oracled.
+    "q_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("__us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          sum(col("value")).over(w).as("roll_1h"))
+        .orderBy("event_id")
+    }),
+
     // Epoch-aligned tumbling 1-hour windows by event type.
     "q_window_agg" -> ((s, dir) =>
       graft.operators.Events
@@ -1234,6 +1251,13 @@ object SparkEntry {
 
     "q_json_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |       sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |         AS roll_1h
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_retention" ->
