@@ -146,10 +146,13 @@ object Dedup {
     */
   def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
       spanTokens: Int): DataFrame = {
+    // persisted: feeds BOTH sides of the self-join (the repo rule —
+    // without it the distinct-span shuffle runs twice whenever exchange
+    // reuse doesn't fire); callers/harness clear cache per query
     val spans = docs.select(col(idCol),
         explode(call_function("graft_shingle_hashes", col(textCol), lit(spanTokens)))
           .as("h"))
-      .distinct()
+      .distinct().persist()
     spans.alias("a")
       .join(spans.alias("b"), col("a.h") === col("b.h") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -195,14 +198,21 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 25): DataFrame = {
-    val nodes = pairs.select(col(aCol).cast("long").as("id"))
-      .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
-    // canonical directed larger -> smaller edges
-    var edges = pairs
+    // canonical directed larger -> smaller edges; self-pairs (a == b) are
+    // dropped here, so the node set below intentionally ignores nodes
+    // that ONLY self-pair — matching the recursive-CTE oracle, which also
+    // only sees nodes of real edges
+    val initial = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint(true)
+    // derive nodes from the CHECKPOINTED edges, not from `pairs`: the
+    // caller's pair-generation plan (e.g. the whole jaccardJoin) would
+    // otherwise re-execute when the final join materializes
+    val nodes = initial.select(col("u").as("id"))
+      .union(initial.select(col("v").as("id"))).distinct()
+    var edges = initial
     // convergence fingerprint: (edge count, XOR of edge hashes) — cheap,
     // order-independent, overflow-free (a SUM of hashes trips ANSI long
     // overflow), and collision-safe for all practical purposes
@@ -233,7 +243,9 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint(true) // eager: lineage cut + barrier
       val nextStat = stat(next)
-      edges.unpersist()
+      // previous rounds' checkpoint RDDs are freed by the ContextCleaner
+      // once dereferenced (Dataset.unpersist does not reach RDD-level
+      // checkpoint caches); bounded: one edge set per round
       converged = nextStat == cur
       cur = nextStat
       edges = next

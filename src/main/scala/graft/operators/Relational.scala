@@ -366,8 +366,17 @@ object Relational {
     if (!fs.rename(hPath, bak))
       throw new java.io.IOException(s"compact: rename $path -> $bak failed (original intact)")
     if (!fs.rename(tmp, hPath)) {
-      fs.rename(bak, hPath) // best-effort restore of the original
-      throw new java.io.IOException(s"compact: rename $tmp -> $path failed; original restored")
+      // attempt to restore the original — and report which state the
+      // table is ACTUALLY in, checking this rename's result too (the
+      // whole point of checking FS return codes)
+      if (fs.rename(bak, hPath)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"compact: rename $tmp -> $path failed; original restored")
+      }
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $path failed AND restore failed; " +
+          s"table missing — original at $bak, new data at $tmp")
     }
     if (!fs.delete(bak, true))
       throw new java.io.IOException(s"compact: new data live at $path but backup $bak not deleted")
