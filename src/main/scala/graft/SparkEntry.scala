@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.engine.{Caches, Tables}
 import graft.functions.TextOps
 import graft.operators.Dedup
 import graft.operators.Relational._
@@ -94,7 +94,7 @@ object SparkEntry {
       .select(col("doc_id"), col("text"), TextOps.textStats(col("text")).as("st"))
       .filter(col("st.n_tokens") >= 30 && col("st.s_en") > 0)
       .select("doc_id", "text")
-    val exact = Dedup.exactDedup(quality, "text", "doc_id").persist()
+    val exact = Caches.persisted(Dedup.exactDedup(quality, "text", "doc_id"))
     exact.count()
     exact
   }
@@ -156,8 +156,9 @@ object SparkEntry {
     readTable(s, s"$root/out")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 — see
+    * [[queries]] for the published (cache-scoped) map. */
+  private def queryImpls: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----- reference-surface operators (SURVEY §2a) -----
 
@@ -483,6 +484,28 @@ object SparkEntry {
       readTable(s, path).orderBy("cust_id")
     }),
 
+    // Partitioned-table compaction (r5 VERDICT item 4): orders written
+    // hive-partitioned by status with DELIBERATE file bloat (a raw 8-way
+    // repartition before partitionBy fan-writes up to 8 files into every
+    // status directory — exactly the accumulation pattern repeated
+    // appends produce), then compactPartitioned walks the partition dirs
+    // and rewrites each; the re-read is judged on content, and
+    // RelationalSpec asserts the per-directory file counts collapse and
+    // partition pruning still works on the compacted layout.
+    "q_compact_part" -> ((s, dir) => {
+      val path = tmpPath("orders_compact_part")
+      projectRename(t(s, dir, "orders"),
+          "o_orderkey" -> "orderkey", "o_custkey" -> "custkey",
+          "o_orderstatus" -> "status")
+        .repartition(8)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("status").parquet(path)
+      compactPartitioned(s, path)
+      readTable(s, path)
+        .select(col("orderkey"), col("custkey"), col("status"))
+        .orderBy("orderkey")
+    }),
+
     // ----- LLM-data-pipeline operators (SURVEY §2b) -----
 
     // Exact dedup, hash-first (8-byte shuffle keys, not wide text). The
@@ -493,6 +516,26 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val dup = d.union(d.withColumn("doc_id", col("doc_id") + 10000))
       Dedup.exactDedup(dup, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // Incremental ingest with dedup-on-arrival (r5 VERDICT item 8): the
+    // standing corpus is documents exact-deduped; the arriving batch
+    // carries, per base doc, an exact duplicate of its text (id+10000,
+    // even ids) or a genuinely new revision (text || ' rev2', odd ids) —
+    // PLUS a full second copy at id+20000, so the batch has internal
+    // duplicates too. ingestDedup must drop corpus-known texts AND batch-
+    // internal duplicates; the judged output (corpus ∪ appended delta) is
+    // oracled against the from-scratch min-id dedup of everything, which
+    // coincides with first-seen because ingest ids are monotonic.
+    "q_ingest_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val existing = Dedup.exactDedup(d, "text", "doc_id")
+      val revised = when(col("doc_id") % 2 === 1,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+      val batch = d.select((col("doc_id") + 10000).as("doc_id"), revised.as("text"))
+        .union(d.select((col("doc_id") + 20000).as("doc_id"), revised.as("text")))
+      existing.union(Dedup.ingestDedup(existing, batch, "text", "doc_id"))
+        .orderBy("doc_id")
     }),
 
     // Streaming exact dedup, DRIVER-JUDGED (r4 VERDICT item 7 — the last
@@ -558,6 +601,58 @@ object SparkEntry {
         .orderBy("error_id", "click_id")
     }),
 
+    // The WATERMARKED stream-stream interval join — the bounded-state
+    // production shape (r5 VERDICT item 3): watermarks on BOTH sides let
+    // Spark derive state-eviction predicates from the ±120min range
+    // condition, so neither buffer grows unboundedly. The single-file
+    // replay is one micro-batch, during which the watermark still sits at
+    // its initial floor — every match is watermark-safe by construction —
+    // so the result equals the batch BETWEEN join and the same oracle
+    // judges the bounded-state plan. (StreamingSpec separately pins the
+    // multi-batch behavior: state actually evicts, and a too-late row's
+    // matches are dropped.)
+    "q_stream_join_wm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      runStream(s, "stream_join_wm",
+        Seq(
+          ("errors", ev.filter(col("event_type") === "error")
+            .select(col("user_id"), col("event_id").as("error_id"),
+              col("ts").as("error_ts")),
+            "user_id BIGINT, error_id BIGINT, error_ts TIMESTAMP"),
+          ("clicks", ev.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("click_ts")),
+            "c_user BIGINT, click_id BIGINT, click_ts TIMESTAMP")),
+        in => graft.streaming.Streams.intervalJoinStreamWm(
+            in("errors"), "error_ts", in("clicks"), "click_ts", "30 minutes",
+            col("user_id") === col("c_user") &&
+              col("click_ts") >= col("error_ts") - expr("INTERVAL 120 MINUTES") &&
+              col("click_ts") <= col("error_ts") + expr("INTERVAL 120 MINUTES"))
+          .select(col("user_id"), col("error_id"), col("click_id"),
+            col("error_ts"), col("click_ts")))
+        .orderBy("error_id", "click_id")
+    }),
+
+    // Streaming sessionization, driver-judged (r5 VERDICT item 2 — the
+    // last test-only streaming operator): session_window(30min gap) with a
+    // 30min watermark in APPEND mode — a session emits once the watermark
+    // passes its end (= last event + gap; no later event can merge into
+    // it), so the sunk table is exactly the FINALIZED sessions:
+    // session_end ≤ max(ts) − 30min. The session containing max(ts) is
+    // never finalized (its end is max(ts)+gap > watermark), which the
+    // oracle's cut expresses identically: DuckDB reproduces the sessions
+    // with the batch lag-gap formulation (same merge rule — gap > 30min
+    // starts a new session ⟺ session windows within 30min merge) plus
+    // end = last_ts + gap, and applies the same finalization predicate.
+    "q_stream_session" -> ((s, dir) =>
+      runStream(s, "stream_session",
+        Seq(("in", t(s, dir, "events").select("user_id", "ts", "value"),
+          "user_id BIGINT, ts TIMESTAMP, value DOUBLE")),
+        in => graft.streaming.Streams
+          .sessionizeStream(in("in"), "user_id", "ts", "value",
+            "30 minutes", "30 minutes"))
+        .orderBy("user_id", "session_start")),
+
     // Token frequency: tokenize → explode → count (the §2b text-analysis
     // baseline; partial agg keeps the shuffle at |vocab| rows per task).
     "q_text_tokens" -> ((s, dir) =>
@@ -616,9 +711,8 @@ object SparkEntry {
     // exploded token relation is persisted so tf and df share ONE corpus
     // scan + explode (r3 VERDICT item 7).
     "q_tfidf" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-        .persist()
+      val toks = Caches.persisted(t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token")))
       toks.count() // materialize before tf/df fan out (see q_curate note)
       val tf = toks.filter(col("doc_id") < 20)
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -1125,6 +1219,26 @@ object SparkEntry {
     })
   )
 
+  /** The driver contract: one judged query per implemented operator.
+    *
+    * Cache contract (ON the API, r5 VERDICT item 5): several operators in
+    * the dedup/curation family persist intermediates that feed both sides
+    * of a self-join — a necessary persist the operator cannot release
+    * itself (the returned plan is lazy). Those persists register with
+    * [[graft.engine.Caches]], and invoking ANY query from this map first
+    * releases the previous query's registrations — so a caller running
+    * many dedup queries in one session holds at most ONE query's cached
+    * relations, with no clearCache knowledge required. (Run queries
+    * sequentially; concurrent query builds would release each other's
+    * caches — results stay correct, caching benefit lost.) */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryImpls.map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        Caches.releaseAll()
+        fn(s, dir)
+      }
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1175,6 +1289,11 @@ object SparkEntry {
     "q_compact" ->
       """SELECT c_custkey AS cust_id, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "q_compact_part" ->
+      """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+        |       o_orderstatus AS status
+        |FROM orders ORDER BY orderkey""".stripMargin,
 
     "q_json_source" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
@@ -1426,6 +1545,25 @@ object SparkEntry {
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
 
+    // from-scratch recompute: min-id dedup over (deduped corpus ∪ batch)
+    // must equal corpus ∪ incremental delta, because ingest ids are
+    // monotonic (first-seen ≡ min-id)
+    "q_ingest_dedup" ->
+      """WITH ex0 AS (SELECT doc_id, text FROM documents),
+        |ex AS (SELECT doc_id, text FROM ex0
+        |       WHERE doc_id IN (SELECT min(doc_id) FROM ex0 GROUP BY text)),
+        |b AS (SELECT doc_id + 10000 AS doc_id,
+        |             CASE WHEN doc_id % 2 = 1 THEN text || ' rev2' ELSE text END AS text
+        |      FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 20000,
+        |             CASE WHEN doc_id % 2 = 1 THEN text || ' rev2' ELSE text END
+        |      FROM documents),
+        |u AS (SELECT * FROM ex UNION ALL SELECT * FROM b)
+        |SELECT doc_id, text FROM u
+        |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_stream_join" ->
       """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
         |       e.ts AS error_ts, c.ts AS click_ts
@@ -1452,6 +1590,40 @@ object SparkEntry {
         |SELECT doc_id FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+
+    // identical to q_stream_join: the watermark changes state retention,
+    // not results, over a single-micro-batch replay (see the query doc)
+    "q_stream_join_wm" ->
+      """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+        |       e.ts AS error_ts, c.ts AS click_ts
+        |FROM events e JOIN events c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |  AND c.ts BETWEEN e.ts - INTERVAL 120 MINUTE
+        |                AND e.ts + INTERVAL 120 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
+
+    // batch lag-gap sessions (the q_sessionize formulation) with
+    // session_end = last event + gap (session_window's end), restricted
+    // to sessions FINALIZED by the watermark: end <= max(ts) - delay
+    "q_stream_session" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |      FROM o),
+        |g AS (SELECT user_id, min(ts) AS session_start,
+        |             max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |             count(*) AS n_events, sum(value) AS total_value
+        |      FROM s GROUP BY user_id, seq),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM g, m
+        |WHERE session_end <= mx - INTERVAL 30 MINUTE
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_text_clean" ->
       """SELECT doc_id, md5(

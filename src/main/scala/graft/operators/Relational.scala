@@ -171,15 +171,21 @@ object Relational {
     * count is at least `minRows`, from a `sampleFraction` Bernoulli sample
     * (fixed seed — deterministic for a fixed partition layout; detection
     * determinism is NOT load-bearing, because [[skewSaltedJoin]]'s output
-    * is identical whichever keys are flagged hot). Runs as a lazy subplan
-    * under the broadcast in [[skewSaltedJoin]] — no driver-side action;
-    * the sample's aggregate output is at most |distinct sampled keys|
-    * rows, and only keys above the threshold survive to the broadcast. */
+    * is identical whichever keys are flagged hot). The sample's aggregate
+    * output is at most |distinct sampled keys| rows, and only keys above
+    * the threshold survive.
+    *
+    * The effective sample fraction is raised to at least `1 / minRows` so
+    * the sampled-count threshold `minRows × fraction` is never floored up
+    * from below 1 (ADVICE r5: at e.g. minRows=50 with the default 1%
+    * sample the floor made EVERY sampled key "hot", degrading the cost
+    * bound to broad salting — correct results, pointless replication). */
   def hotKeys(fact: DataFrame, key: String, minRows: Long = 1000000L,
       sampleFraction: Double = 0.01): DataFrame = {
     require(minRows > 0 && sampleFraction > 0 && sampleFraction <= 1)
-    val minSampled = math.max(1L, math.round(minRows * sampleFraction))
-    fact.select(col(key)).sample(withReplacement = false, sampleFraction, seed = 42L)
+    val fraction = math.min(1.0, math.max(sampleFraction, 1.0 / minRows))
+    val minSampled = math.max(1L, math.round(minRows * fraction))
+    fact.select(col(key)).sample(withReplacement = false, fraction, seed = 42L)
       .groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= lit(minSampled))
       .select(col(key))
@@ -241,8 +247,17 @@ object Relational {
       hot: Option[DataFrame] = None, hotMinRows: Long = 1000000L): DataFrame = {
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
       .contains(joinType), s"dim side is replicated: $joinType join unsupported")
+    // Materialized ONCE (eager localCheckpoint) before fanning out to the
+    // two broadcasts (ADVICE r5): the lazy subplan form evaluated the
+    // sampled aggregate independently under saltHotFact AND
+    // replicateHotDim — double work, and worse, consistency between the
+    // two hot sets rested on sample(seed)'s partition-layout determinism;
+    // had AQE re-planned `fact` between the two evaluations, the sides
+    // could disagree on hotness and silently drop salted matches. The
+    // checkpointed hot set is small by definition (keys above minRows),
+    // so the extra job is one sampled aggregate.
     val hotSet = hot.getOrElse(hotKeys(fact, key, hotMinRows))
-      .select(col(key)).distinct()
+      .select(col(key)).distinct().localCheckpoint(true)
     saltHotFact(fact, key, hotSet, salt)
       .join(replicateHotDim(dim, key, hotSet, salt), Seq(key, "__salt"), joinType)
       .drop("__salt")
@@ -381,5 +396,45 @@ object Relational {
     if (!fs.delete(bak, true))
       throw new java.io.IOException(s"compact: new data live at $path but backup $bak not deleted")
     n
+  }
+
+  /** [[compact]] for a hive-partitioned table root: walks the partition
+    * tree to its LEAF directories (the ones holding parquet files — any
+    * depth, so `year=/month=` layouts work) and compacts each with the
+    * same rename-aside swap, leaving the partition layout intact —
+    * partition values live in directory names, so per-directory rewrites
+    * never touch them and PartitionFilters pruning still applies
+    * (asserted in RelationalSpec). Completes the r5 story where the
+    * flat-dir operator rejected a partitioned root and left the caller to
+    * assemble the loop.
+    *
+    * Partitions are processed sequentially on the driver, one Spark job
+    * each — each job parallelizes across the cluster, and compaction is
+    * embarrassingly parallel across partitions (at many-thousand-partition
+    * scale, submit the per-directory jobs from a thread pool; kept
+    * sequential here so failure attribution is per-partition). A partition
+    * already at its target file count is still rewritten — idempotent,
+    * and skipping would need byte-size heuristics that fight row-group
+    * compression. Crash recovery is per-partition: an interrupted run
+    * leaves at most one partition mid-swap, recoverable from its
+    * `.compact-old`, with every other partition fully consistent. Returns
+    * (relative partition path → new file count). */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, root: String,
+      targetBytes: Long = 128L << 20): Map[String, Int] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val dirs = fs.listStatus(p).filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith(".")) // skip .compact-* residue
+        .map(_.getPath).toSeq
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(leafDirs)
+    }
+    require(fs.listStatus(rootPath).exists(_.isDirectory),
+      s"compactPartitioned: $root has no partition directories (flat table? use compact)")
+    val rootUri = rootPath.toUri.getPath
+    leafDirs(rootPath).map { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      rel -> compact(spark, leaf.toString, targetBytes)
+    }.toMap
   }
 }

@@ -60,6 +60,25 @@ object Streams {
       cond: org.apache.spark.sql.Column): DataFrame =
     left.join(right, cond)
 
+  /** The PRODUCTION shape of [[intervalJoinStream]]: watermarks on both
+    * sides so the time-range join condition bounds state — each side's
+    * buffer evicts rows once the other side's watermark guarantees no
+    * future match (Spark derives the state-cleanup predicate from the
+    * range condition + watermarks; the physical plan carries explicit
+    * state watermarks on both join children). Exactness contract: rows
+    * arriving later than `delay` behind the max event time can be dropped
+    * before joining — bounded memory traded for late-data loss. Over a
+    * replay whose matches all precede the watermark (in particular any
+    * single-micro-batch replay, where the watermark is still at its
+    * initial floor while every row is processed) the result equals the
+    * batch join exactly, which is what lets `q_stream_join_wm` share the
+    * BETWEEN oracle while exercising the bounded-state plan. */
+  def intervalJoinStreamWm(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String, delay: String,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay), cond)
+
   case class DocRow(doc_id: Long, text: String)
 
   /** Streaming exact dedup: emit only the FIRST occurrence of each
@@ -106,7 +125,14 @@ object Streams {
   /** Custom incremental state via `mapGroupsWithState`: running per-user
     * event count + value total, updated per micro-batch. The same code
     * path runs in batch (state starts empty, one pass), which is what
-    * StreamingSpec uses to assert stream/batch agreement. */
+    * StreamingSpec uses to assert stream/batch agreement.
+    *
+    * Deliberately TEST-ONLY (not driver-judged): `mapGroupsWithState`
+    * requires Update output mode — every micro-batch re-emits revised
+    * per-user rows — and the driver's oracle channel is a file sink,
+    * which is append-only and rejects Update queries. Its siblings all
+    * have judged queries; this one's semantics are pinned by the
+    * MemoryStream batch-parity test instead. */
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
