@@ -29,6 +29,44 @@ class DedupSpec extends SparkTestBase {
       twice.as[(Long, String)].collect().toSet)
   }
 
+  test("ingestDedup appends only corpus-novel, batch-deduped rows") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "alpha"),  // known to the corpus -> dropped
+      (12L, "gamma"), (13L, "gamma"), // batch-internal dup -> keep min id
+      (14L, "delta")).toDF("doc_id", "text")
+    val delta = Dedup.ingestDedup(corpus, batch, "text", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(delta === Set((12L, "gamma"), (14L, "delta")))
+    // the incremental invariant: corpus ∪ delta == from-scratch dedup of
+    // corpus ∪ batch (ids monotonic, so first-seen ≡ min-id)
+    val scratch = Dedup.exactDedup(corpus.union(batch), "text", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(corpus.as[(Long, String)].collect().toSet ++ delta === scratch)
+    // idempotence: re-ingesting the same batch appends nothing
+    val again = Dedup.ingestDedup(
+      corpus.union(Seq((12L, "gamma"), (14L, "delta")).toDF("doc_id", "text")),
+      batch, "text", "doc_id")
+    assert(again.count() === 0L)
+  }
+
+  test("SparkEntry.queries holds at most one query's cached relations (cache contract)") {
+    // r5 VERDICT item 5: three dedup-family queries in one session must
+    // not accumulate each other's operator-internal persists — invoking a
+    // query through the published map releases the previous query's
+    // registrations.
+    spark.catalog.clearCache()
+    graft.engine.Caches.releaseAll()
+    val qs = SparkEntry.queries
+    for (name <- Seq("q_near_dup", "q_simhash", "q_minhash_lsh")) {
+      qs(name)(spark, sfDir).count()
+      assert(graft.engine.Caches.liveCount === 1,
+        s"after $name: ${graft.engine.Caches.liveCount} registered caches")
+    }
+    spark.catalog.clearCache()
+    graft.engine.Caches.releaseAll()
+  }
+
   // d1/d3 identical; d1 vs d2 share 3 of 5 distinct shingles (J = 0.6);
   // d4 has 2 tokens -> zero 3-gram shingles -> can never pair.
   private lazy val docs = Seq(

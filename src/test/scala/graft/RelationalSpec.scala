@@ -201,6 +201,31 @@ class RelationalSpec extends SparkTestBase {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("compactPartitioned compacts every partition dir; layout and pruning intact") {
+    val dir = Files.createTempDirectory("graft_cpp").toString
+    val df = (1 to 300).map(i => (i.toLong, 2000 + i % 3)).toDF("id", "year")
+    // deliberate bloat: 6 writer tasks fan into every partition directory
+    df.repartition(6).write.mode("overwrite").partitionBy("year").parquet(dir)
+    def filesIn(part: String) = new java.io.File(s"$dir/$part").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesIn("year=2000") > 1, "fixture should start bloated")
+    val res = compactPartitioned(spark, dir)
+    assert(res === Map("year=2000" -> 1, "year=2001" -> 1, "year=2002" -> 1))
+    Seq("year=2000", "year=2001", "year=2002").foreach(p => assert(filesIn(p) === 1, p))
+    // content and partition layout intact
+    assert(readTable(spark, dir).as[(Long, Int)].collect().toSet ===
+      df.as[(Long, Int)].collect().toSet)
+    // directory pruning still plans on the compacted layout
+    val plan = readTable(spark, dir).filter(col("year") === 2001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"), plan.take(3000))
+    // a FLAT directory is the other operator's job — fail fast, untouched
+    val flat = Files.createTempDirectory("graft_cpf").toString
+    df.drop("year").repartition(2).write.mode("overwrite").parquet(flat)
+    intercept[IllegalArgumentException] { compactPartitioned(spark, flat) }
+    assert(readTable(spark, flat).count() === 300L)
+  }
+
   test("compact merges a many-file directory to the byte target, content intact") {
     val dir = Files.createTempDirectory("graft_cp").toString
     val df = spark.range(0, 1000).toDF("id")
