@@ -121,6 +121,32 @@ class StreamingSpec extends SparkTestBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("session ending exactly AT the watermark is emitted (non-strict cut)") {
+    // Guards q_stream_session's oracle, whose finalization predicate is
+    // `session_end <= max(ts) - delay`: Spark's append-mode session
+    // eviction is likewise NON-strict, so a dataset where some session
+    // ends exactly on the watermark still hash-matches. (Discovered
+    // empirically — the random-stream property can't hit this boundary
+    // because its sentinel sits far past every real session.)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.sessionizeStream(
+        in.toDF.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("t_sess_boundary")
+      .outputMode("append").start()
+    try {
+      // user 1 session ends at exactly 10:30 (= 10:00 + gap); the 11:00
+      // event puts the watermark at exactly 10:30 after this batch
+      in.addData((1L, ts("2026-01-01 10:00:00"), 1.0),
+        (2L, ts("2026-01-01 11:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("t_sess_boundary")
+        .select("user_id").as[Long].collect().toSet
+      assert(got === Set(1L), "exact-tie session must emit, user-2 tail must not")
+    } finally q.stop()
+  }
+
   test("watermarked interval join bounds state: late matches drop, fresh ones flow") {
     // q_stream_join_wm's production claim, exercised across REAL batch
     // boundaries (the judged single-file replay never advances the
