@@ -538,6 +538,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental aggregate maintenance: a standing per-user rollup built
+    // from two thirds of events is refreshed with the remaining third via
+    // mergeCountSum — one shuffle over the DELTA, history untouched. The
+    // oracle is the from-scratch aggregate of everything: mergeability is
+    // the judged property.
+    "q_ingest_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val state = ev.filter(col("event_id") % 3 =!= 2)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      val batch = ev.filter(col("event_id") % 3 === 2)
+        .select(col("user_id"), col("value"))
+      mergeCountSum(state, batch, "user_id", "value").orderBy("user_id")
+    }),
+
     // Streaming exact dedup, DRIVER-JUDGED (r4 VERDICT item 7 — the last
     // test-only component): the same forced-duplicate fixture as
     // q_exact_dedup is written as ONE parquet file, streamed through
@@ -555,6 +570,29 @@ object SparkEntry {
           "doc_id LONG, text STRING")),
         in => graft.streaming.Streams
           .exactDedupStream(in("in").as[graft.streaming.Streams.DocRow]).toDF())
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Bounded-state streaming dedup (dropDuplicatesWithinWatermark —
+    // the DeduplicateWithinWatermark stateful operator), driver-judged:
+    // duplicates are IDENTICAL full rows (so the arbitrary-survivor
+    // semantics is deterministic), event times derive from doc_id, and
+    // the single-file replay holds every key in-horizon — output = one
+    // row per distinct text, equal to global dedup here, while the PLAN
+    // is the recency-bounded production shape. The horizon semantics
+    // (late duplicate re-emits after state eviction) is pinned across
+    // real batches in StreamingSpec.
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          // +1 day: a doc_id-0 event time of exactly epoch 0 would sit ON
+          // the initial watermark floor and be dropped as late (observed:
+          // 499/500 rows)
+          timestamp_micros(col("doc_id") * 60000000L + 86400000000L).as("ts"))
+      runStream(s, "stream_dedup_wm",
+        Seq(("in", d.union(d), "doc_id LONG, text STRING, ts TIMESTAMP")),
+        in => graft.streaming.Streams
+          .exactDedupStreamWm(in("in"), "text", "ts", "30 minutes"))
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -1564,6 +1602,12 @@ object SparkEntry {
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
 
+    // mergeability: state(2/3 of events) + delta(1/3) must equal the
+    // from-scratch aggregate
+    "q_ingest_agg" ->
+      """SELECT user_id, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_stream_join" ->
       """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
         |       e.ts AS error_ts, c.ts AS click_ts
@@ -1590,6 +1634,12 @@ object SparkEntry {
         |SELECT doc_id FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+
+    // duplicate rows are identical and every key stays in-horizon over
+    // the one-batch replay, so bounded-state dedup equals global dedup
+    // (texts are distinct per doc in the corpus; q_exact_dedup verifies)
+    "q_stream_dedup_wm" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
 
     // identical to q_stream_join: the watermark changes state retention,
     // not results, over a single-micro-batch replay (see the query doc)

@@ -119,6 +119,26 @@ object Streams {
       }
   }
 
+  /** BOUNDED-STATE streaming dedup — the production counterpart of
+    * [[exactDedupStream]] for corpora where "duplicate" means "repeated
+    * within the recency horizon": rows are keyed by the same 128-bit text
+    * hash, but state rides `dropDuplicatesWithinWatermark`, so a key's
+    * entry is evicted once the watermark passes its event time (+ delay)
+    * and a sufficiently LATE duplicate re-emits — the explicit trade
+    * (bounded memory, horizon-scoped dedup) that global exact dedup
+    * cannot make. Within one micro-batch an arbitrary row per key
+    * survives (Spark semantics); callers needing a judged/deterministic
+    * output feed identical duplicate rows, as `q_stream_dedup_wm` does.
+    * StreamingSpec pins the horizon semantics across batches: in-horizon
+    * duplicates suppressed, post-eviction duplicates re-emitted. */
+  def exactDedupStreamWm(docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .withColumn("__h1", xxhash64(col(textCol)))
+      .withColumn("__h2", xxhash64(col(textCol), lit(1L)))
+      .dropDuplicatesWithinWatermark("__h1", "__h2")
+      .drop("__h1", "__h2")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

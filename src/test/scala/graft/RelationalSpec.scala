@@ -201,6 +201,26 @@ class RelationalSpec extends SparkTestBase {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("mergeCountSum merges a delta into standing aggregates, keys on either side") {
+    // key 1 in both, key 2 state-only, key 3 batch-only — the merge must
+    // equal the from-scratch aggregate of the union (mergeability)
+    val history = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDF("k", "v")
+    val state = history.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_value"))
+    val batch = Seq((1L, 7.0), (3L, 11.0)).toDF("k", "v")
+    val merged = mergeCountSum(state, batch, "k", "v")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(merged === Set((1L, 3L, 12.0), (2L, 1L, 5.0), (3L, 1L, 11.0)))
+    val scratch = history.union(batch).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(merged === scratch)
+    // merging an EMPTY delta is the identity
+    val idem = mergeCountSum(state, batch.limit(0), "k", "v")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(idem === Set((1L, 2L, 5.0), (2L, 1L, 5.0)))
+  }
+
   test("compactPartitioned compacts every partition dir; layout and pruning intact") {
     val dir = Files.createTempDirectory("graft_cpp").toString
     val df = (1 to 300).map(i => (i.toLong, 2000 + i % 3)).toDF("id", "year")

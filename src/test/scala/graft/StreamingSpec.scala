@@ -238,6 +238,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exactDedupStreamWm: in-horizon duplicates suppressed, evicted keys re-emit") {
+    // the bounded-state trade q_stream_dedup_wm's plan makes, exercised
+    // across real batches: a duplicate inside the watermark horizon is
+    // dropped; once the watermark evicts the key's state, the same text
+    // re-emits (global dedup would suppress it forever — exactDedupStream
+    // covers that contract).
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.exactDedupStreamWm(
+        in.toDF.toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("t_dedup_wm")
+      .outputMode("append").start()
+    try {
+      // batch 1: first occurrence + an in-horizon duplicate
+      in.addData((1L, "alpha", ts("2026-01-01 10:00:00")),
+        (2L, "alpha", ts("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      // batch 2: advance the watermark far past alpha's eviction point
+      in.addData((3L, "beta", ts("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 3: alpha returns AFTER eviction -> re-emitted
+      in.addData((4L, "alpha", ts("2026-01-01 12:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("t_dedup_wm")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === Set(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates across micro-batches to batch totals") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Streams.UserEvent]
