@@ -538,6 +538,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SCD2 dimension history: the events stream read as a change log of
+    // each user's event_type — consecutive duplicates collapse into runs,
+    // each run versioned [valid_from, valid_to) with an is_current flag.
+    // The reference's users build keeps only the current preferred value;
+    // this is its history-preserving generalization. Fully oracled (lag
+    // dedup + lead close-out are identical window semantics in DuckDB).
+    "q_scd2" -> ((s, dir) =>
+      scd2FromChanges(
+        t(s, dir, "events").select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "valid_from", "event_type")),
+
     // Incremental aggregate maintenance: a standing per-user rollup built
     // from two thirds of events is refreshed with the remaining third via
     // mergeCountSum — one shuffle over the DELTA, history untouched. The
@@ -1601,6 +1613,20 @@ object SparkEntry {
         |SELECT doc_id, text FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |d AS (SELECT user_id, event_type, ts, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS valid_to,
+        |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS NULL AS INT) AS is_current
+        |FROM d ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     // mergeability: state(2/3 of events) + delta(1/3) must equal the
     // from-scratch aggregate

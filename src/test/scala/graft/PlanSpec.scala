@@ -108,6 +108,18 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("scd2 plans BOTH window passes over one hash exchange") {
+    // scd2FromChanges's scale claim: the lag (run dedup) and lead (close-
+    // out) windows share the same (key) partitioning and (ts, tiebreak)
+    // order, so Catalyst must plan ONE hashpartitioning exchange — a
+    // second exchange would mean the history pays the shuffle twice.
+    val plan = SparkEntry.queries("q_scd2")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length === 1,
+      plan.take(3000))
+    assert("Window".r.findAllMatchIn(plan).length === 2, plan.take(3000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall

@@ -201,6 +201,32 @@ class RelationalSpec extends SparkTestBase {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("scd2FromChanges collapses runs and versions them with closed intervals") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, "a", t("2026-01-01 10:00:00"), 1L),
+      (1L, "a", t("2026-01-01 11:00:00"), 2L), // consecutive dup -> collapsed
+      (1L, "b", t("2026-01-01 12:00:00"), 3L),
+      (1L, "a", t("2026-01-01 13:00:00"), 4L), // value RETURNS -> new run
+      (2L, "x", t("2026-01-01 09:00:00"), 5L))
+      .toDF("k", "v", "ts", "id")
+    val got = scd2FromChanges(log, "k", "v", "ts", "id")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, "a", t("2026-01-01 10:00:00"), Some(t("2026-01-01 12:00:00")), 0),
+      (1L, "b", t("2026-01-01 12:00:00"), Some(t("2026-01-01 13:00:00")), 0),
+      (1L, "a", t("2026-01-01 13:00:00"), None, 1),
+      (2L, "x", t("2026-01-01 09:00:00"), None, 1)))
+    // same-instant changes: the tiebreak column orders them deterministically
+    val tie = Seq((1L, "a", t("2026-01-01 10:00:00"), 2L),
+      (1L, "b", t("2026-01-01 10:00:00"), 1L)).toDF("k", "v", "ts", "id")
+    val runs = scd2FromChanges(tie, "k", "v", "ts", "id")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+      .collect().toSet
+    assert(runs.map(r => (r._2, r._5)) === Set(("b", 0), ("a", 1))) // id order: b first
+  }
+
   test("mergeCountSum merges a delta into standing aggregates, keys on either side") {
     // key 1 in both, key 2 state-only, key 3 batch-only — the merge must
     // equal the from-scratch aggregate of the union (mergeability)
