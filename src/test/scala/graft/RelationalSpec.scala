@@ -227,6 +227,31 @@ class RelationalSpec extends SparkTestBase {
     assert(runs.map(r => (r._2, r._5)) === Set(("b", 0), ("a", 1))) // id order: b first
   }
 
+  test("scd2Lookup stamps points with the containing period's value") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, "bronze", t("2026-01-01 10:00:00"), 1L),
+      (1L, "silver", t("2026-01-01 12:00:00"), 2L),
+      // same-instant double change: "gold" run is EMPTY [13:00,13:00),
+      // "plat" holds from 13:00 — a point AT 13:00 must see plat, not
+      // max("gold","plat")
+      (1L, "gold", t("2026-01-01 13:00:00"), 3L),
+      (1L, "plat", t("2026-01-01 13:00:00"), 4L))
+      .toDF("k", "v", "ts", "id")
+    val history = scd2FromChanges(log, "k", "v", "ts", "id")
+    val points = Seq(
+      (100L, 1L, t("2026-01-01 09:00:00")), // before any period -> null
+      (101L, 1L, t("2026-01-01 10:00:00")), // exactly at first from -> bronze
+      (102L, 1L, t("2026-01-01 11:59:59")), // inside first period
+      (103L, 1L, t("2026-01-01 13:00:00")), // at the double-change instant
+      (104L, 2L, t("2026-01-01 12:00:00"))) // key with no history -> null
+      .toDF("pid", "k", "ts")
+    val got = scd2Lookup(points, history, "k", "ts", "v", "v_at")
+      .select("pid", "v_at").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(100L -> None, 101L -> Some("bronze"),
+      102L -> Some("bronze"), 103L -> Some("plat"), 104L -> None))
+  }
+
   test("mergeCountSum merges a delta into standing aggregates, keys on either side") {
     // key 1 in both, key 2 state-only, key 3 batch-only — the merge must
     // equal the from-scratch aggregate of the union (mergeability)
