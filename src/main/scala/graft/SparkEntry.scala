@@ -722,6 +722,18 @@ object SparkEntry {
             "30 minutes", "30 minutes"))
         .orderBy("user_id", "session_start")),
 
+    // Sliding-window chunking (32-token chunks, stride 24 — 8-token
+    // overlap): the chunk-for-embedding step, scan-stage only (sequence/
+    // explode/slice/array_join, no lambda HOFs, no shuffle). Chunks are
+    // judged by md5 so the full window content is hash-checked without
+    // shipping it.
+    "q_chunk" -> ((s, dir) =>
+      TextOps.chunkByTokens(t(s, dir, "documents"), "text", "doc_id", 32, 24)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"),
+          col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // Token frequency: tokenize → explode → count (the §2b text-analysis
     // baseline; partial agg keeps the shuffle at |vocab| rows per task).
     "q_text_tokens" -> ((s, dir) =>
@@ -1752,6 +1764,19 @@ object SparkEntry {
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY token ORDER BY n DESC, token""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0,
+        |          CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS ci
+        |      FROM x)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |       md5(array_to_string(toks[ci*24 + 1 : least(n, ci*24 + 32)], ' '))
+        |         AS chunk_md5,
+        |       CAST(least(n - ci*24, 32) AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_text_quality" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)

@@ -31,6 +31,40 @@ object TextOps {
   def normalized(text: Column): Column =
     regexp_replace(trim(text), "\\s+", " ")
 
+  /** Sliding-window document chunking: one row per (doc, chunk) where
+    * chunk c covers tokens `[c·stride + 1, c·stride + chunkTokens]`
+    * (1-based, final chunk truncated at the doc end) — the
+    * chunk-for-embedding step of every RAG/embedding pipeline, sized in
+    * tokens so downstream encoders see bounded inputs, with
+    * `stride < chunkTokens` giving overlap so no span straddles a chunk
+    * boundary unseen. Chunk count = `ceil(max(n − chunk, 0)/stride) + 1`:
+    * always ≥1 per doc (a short doc is its own single chunk), last chunk
+    * starts at or before the last token, never fully inside its
+    * predecessor.
+    *
+    * Built from non-lambda collection functions only (`sequence` +
+    * `explode` + `slice` + `array_join` — all whole-stage codegen; the
+    * interpreted-HOF trap does not apply because no lambda is involved),
+    * entirely scan-stage: no shuffle, output fan-out bounded by
+    * n/stride per doc. Judged `q_chunk` with chunks compared by md5 —
+    * DuckDB reproduces the windows with list slicing. */
+  def chunkByTokens(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      "need 0 < stride <= chunk")
+    val nChunksMinus1 = ceil(
+      greatest(size(col("__toks")) - chunkTokens, lit(0)) / lit(strideTokens.toDouble))
+      .cast("int")
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunksMinus1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * strideTokens + 1,
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(size(col("__toks")) - col("chunk_idx") * strideTokens,
+          lit(chunkTokens)).as("n_tokens"))
+  }
+
   /** Word n-gram shingles (contiguous token windows joined by a space).
     * Documents with fewer than `n` tokens yield an empty array — the same
     * contract as the oracle's `generate_series(1, len-n+1)` (empty when

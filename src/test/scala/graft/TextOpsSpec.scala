@@ -18,6 +18,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(out === Seq("a", "b", "", "c")) // double space -> empty token, like DuckDB
   }
 
+  test("chunkByTokens: sliding windows with stride overlap, short docs whole") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"))                            // shorter than one chunk
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextOps.chunkByTokens(docs, "text", "doc_id", 4, 3)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t4 t5 t6 t7", 4),  // stride 3 -> one-token overlap
+      (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "a b", 2)))
+    // stride == chunk (no overlap): concatenating chunks reconstructs the doc
+    val rebuilt = graft.functions.TextOps
+      .chunkByTokens(docs, "text", "doc_id", 4, 4)
+      .orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("whole"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt === Map(1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", 2L -> "a b"))
+  }
+
   test("shingles of width 3 join consecutive tokens with spaces") {
     val out = one(Seq("a b c d").toDF("t")
       .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("x")).as[Seq[String]])
