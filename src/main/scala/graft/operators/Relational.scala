@@ -508,7 +508,14 @@ object Relational {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val dirs = fs.listStatus(p).filter(_.isDirectory)
-        .filterNot(_.getPath.getName.startsWith(".")) // skip .compact-* residue
+        // skip hidden dirs (_spark_metadata-style) AND a crashed prior
+        // compact's rename-aside residue (`<leaf>.compact-old`/`-tmp`
+        // sit NEXT TO their leaf) — compacting residue as if it were a
+        // partition would resurrect superseded data; recovery of a
+        // half-swapped leaf is deliberate and manual (see compact's doc)
+        .filterNot(d => d.getPath.getName.startsWith(".") ||
+          d.getPath.getName.startsWith("_") ||
+          d.getPath.getName.contains(".compact-"))
         .map(_.getPath).toSeq
       if (dirs.isEmpty) Seq(p) else dirs.flatMap(leafDirs)
     }

@@ -50,6 +50,32 @@ class DedupSpec extends SparkTestBase {
     assert(again.count() === 0L)
   }
 
+  test("ingestDedup equals from-scratch dedup at ANY corpus/batch split (property)") {
+    // the incremental invariant generalized: for any corpus and any split
+    // point (monotonic ids), deduping the prefix then ingesting the rest
+    // equals deduping everything at once — duplicates within the prefix,
+    // within the batch, and across the boundary all covered by the
+    // 5-letter alphabet forcing heavy collisions
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      texts <- Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      k <- Gen.choose(0, texts.length)
+    } yield (texts, k)
+    val prop = Prop.forAll(gen) { case (texts, k) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (first, rest) = rows.splitAt(k)
+      val existing = Dedup.exactDedup(first.toDF("doc_id", "text"), "text", "doc_id")
+      val incremental = existing
+        .union(Dedup.ingestDedup(existing, rest.toDF("doc_id", "text"), "text", "doc_id"))
+        .as[(Long, String)].collect().toSet
+      val scratch = Dedup.exactDedup(rows.toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, String)].collect().toSet
+      incremental == scratch
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("SparkEntry.queries holds at most one query's cached relations (cache contract)") {
     // r5 VERDICT item 5: three dedup-family queries in one session must
     // not accumulate each other's operator-internal persists — invoking a
