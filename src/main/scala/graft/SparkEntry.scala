@@ -861,6 +861,20 @@ object SparkEntry {
           call_function("graft_rep_frac", col("text"), lit(4)).as("top4"))
         .orderBy("doc_id")),
 
+    // PageRank by power iteration (3 fixed rounds, d=0.85) over a
+    // deterministic part→supplier co-occurrence graph derived from
+    // lineitem. Fixed rounds make the recurrence oracle-expressible —
+    // DuckDB unrolls the identical chained CTEs and must match to FP
+    // tolerance. Bare long edges, two shuffles per round, lineage cut
+    // per round (the connectedComponents pattern).
+    "q_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(
+        t(s, dir, "lineitem")
+          .select(pmod(col("l_partkey"), lit(100)).as("src"),
+            pmod(col("l_suppkey"), lit(100)).as("dst")),
+        "src", "dst", iterations = 3)
+        .orderBy("id")),
+
     // Connected-components labels over the exact near-dup pair graph:
     // every doc in some J>=0.8 pair, labeled with the min doc id of its
     // duplicate CLUSTER (transitive closure of pairs). Fully oracled —
@@ -1898,6 +1912,33 @@ object SparkEntry {
         |LEFT JOIN c3 ON toks.doc_id = c3.doc_id
         |LEFT JOIN c4 ON toks.doc_id = c4.doc_id
         |ORDER BY 1""".stripMargin,
+
+    // the same recurrence pageRank iterates, unrolled: r_{i+1} =
+    // 0.15/N + 0.85 * sum of r_i(u)/outdeg(u) over in-edges; `e0`
+    // literals force DOUBLE (DuckDB parses bare 0.15 as DECIMAL)
+    "q_pagerank" ->
+      """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
+        |                           l_suppkey % 100 AS dst FROM lineitem),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1e0 / n AS rank FROM nodes, nn),
+        |m1 AS (SELECT e.dst AS id, sum(r0.rank / deg.deg) AS mass
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m1.mass, 0) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m1 ON m1.id = nodes.id),
+        |m2 AS (SELECT e.dst AS id, sum(r1.rank / deg.deg) AS mass
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m2.mass, 0) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m2 ON m2.id = nodes.id),
+        |m3 AS (SELECT e.dst AS id, sum(r2.rank / deg.deg) AS mass
+        |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m3.mass, 0) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m3 ON m3.id = nodes.id)
+        |SELECT id, rank FROM r3 ORDER BY id""".stripMargin,
 
     "q_cc_labels" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

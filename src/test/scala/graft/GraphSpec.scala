@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Graph
+
+/** Unit tests for the graph family beyond connected components:
+  * PageRank's recurrence against hand computation, mass conservation on
+  * dangling-free graphs, and the documented dangling-node leak. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRank matches the hand-computed recurrence after one iteration") {
+    // 1->2, 1->3, 2->3, 3->1; N=3, r0 = 1/3 each, deg(1)=2, deg(2)=deg(3)=1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r1(1L) - (0.05 + 0.85 / 3)) < 1e-12) // mass from 3
+    assert(math.abs(r1(2L) - (0.05 + 0.85 / 6)) < 1e-12) // half of 1's rank
+    assert(math.abs(r1(3L) - (0.05 + 0.85 * 0.5)) < 1e-12) // 1's half + all of 2
+    // dangling-free graph: total mass conserved at any horizon. Node 2
+    // (one in-edge carrying HALF of 1's rank) stays lightest; 1 and 3
+    // trade the lead through the 3->1 cycle (1 holds it at depth 5:
+    // ~0.395 vs ~0.387).
+    val r5 = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .as[(Long, Double)].collect()
+    assert(math.abs(r5.map(_._2).sum - 1.0) < 1e-9)
+    val m = r5.toMap
+    assert(m(1L) > m(2L) && m(3L) > m(2L))
+  }
+
+  test("dangling nodes leak mass by documented design") {
+    // node 2 has no out-edges: its rank mass is dropped, not redistributed
+    // (the operator doc states the trade and the normalized alternative)
+    val r = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 0.075) < 1e-12)
+    assert(math.abs(r(2L) - (0.075 + 0.85 * 0.5)) < 1e-12)
+  }
+}
