@@ -261,6 +261,31 @@ object SparkEntry {
         .orderBy("orderkey", "linenumber", "linestatus")
     }),
 
+    // FULL OUTER join — the join type the reference never uses but a
+    // reconciliation query always does: customers vs a filtered order
+    // slice, keeping unmatched rows from BOTH sides (customers with no
+    // F-orders / orders whose custkey has no customer row).
+    "q_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"),
+          col("o_custkey").as("o_custkey"), col("n_orders"))
+        .orderBy("custkey", "o_custkey")
+    }),
+
+    // Set operations: EXCEPT and INTERSECT (DISTINCT semantics) between
+    // two order slices, tagged and unioned into one judged result.
+    "q_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+      f.except(p).withColumn("op", lit("except"))
+        .unionAll(f.intersect(p).withColumn("op", lit("intersect")))
+        .orderBy("op", "custkey")
+    }),
+
     // Skew-salted equi-join: semantics-preserving salt spread of a hot
     // key, judged against the PLAIN join oracle (the point of the test:
     // salting must not change results).
@@ -1368,6 +1393,23 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "q_sql" -> tpchQ3Sql,
+
+    "q_full_outer" ->
+      """SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+        |       o.o_custkey AS o_custkey, o.n_orders
+        |FROM customer c FULL OUTER JOIN
+        |  (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |   WHERE o_orderstatus = 'F' GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey, o_custkey""".stripMargin,
+
+    "q_setops" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+        |SELECT custkey, 'except' AS op FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM p)
+        |UNION ALL
+        |SELECT custkey, 'intersect' FROM (SELECT custkey FROM f INTERSECT SELECT custkey FROM p)
+        |ORDER BY op, custkey""".stripMargin,
 
     "q_filter_project" ->
       """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
