@@ -1104,6 +1104,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Product-quantization ANN over the same queries — the third scale
+    // path, and the memory one: the whole-corpus scoring pass touches
+    // 4 small codes per vector (ADC lookups), with an exact-cosine
+    // re-rank on the shortlist. Probabilistic recall → rows-only;
+    // VectorSpec asserts recall >= 0.9 vs brute force.
+    "q_vec_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.operators.Vectors
+        .pqTopK(e, "vec_id", "v", q, "qid", "qv", 5)
+        .select(col("qid"), col("neighbor"), col("sim"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Lag-gap sessionization (30-min inactivity) + per-session aggregates
     // — one window shuffle on user_id, one agg shuffle on (user, session).
     "q_sessionize" -> ((s, dir) =>

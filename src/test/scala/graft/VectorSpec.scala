@@ -81,6 +81,26 @@ class VectorSpec extends SparkTestBase {
     shared.foreach(k => assert(math.abs(exact(k) - ann(k)) < 1e-12))
   }
 
+  test("pqTopK recall >= 0.9 vs brute force; sims are exact on returned pairs") {
+    // the PQ path compresses each 32-dim vector to 4 codes and scores by
+    // ADC lookups; the exact-cosine re-rank must leave returned sims
+    // identical to brute force on shared pairs
+    val (corpus, queries) = clustered
+    def result(df: DataFrame) = df.select("qid", "neighbor", "sim")
+      .as[(Long, Long, Double)].collect()
+    val exact = result(Vectors.bruteForceTopK(corpus, "vec_id", "v", queries, "qid", "qv", 5))
+    val pq = result(Vectors.pqTopK(corpus, "vec_id", "v", queries, "qid", "qv", 5))
+    val recall = exact.map(r => (r._1, r._2)).toSet
+      .intersect(pq.map(r => (r._1, r._2)).toSet).size.toDouble / exact.length
+    assert(recall >= 0.9, s"recall $recall")
+    val exactSims = exact.map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, n, s) =>
+      exactSims.get((q, n)).foreach(e => assert(math.abs(e - s) < 1e-12)) }
+    // no duplicate pairs, exactly k rows per query
+    assert(pq.map(r => (r._1, r._2)).distinct.length === pq.length)
+    assert(pq.groupBy(_._1).values.forall(_.length === 5))
+  }
+
   test("native graft_dot matches the HOF formulation and propagates nulls") {
     val df = Seq(
       (Option(Seq(1.0, 2.0, 3.0)), Option(Seq(4.0, 5.0, 6.0))),
