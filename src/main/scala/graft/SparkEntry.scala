@@ -668,8 +668,15 @@ object SparkEntry {
     // (late duplicate re-emits after state eviction) is pinned across
     // real batches in StreamingSpec.
     "q_stream_dedup_wm" -> ((s, dir) => {
+      // doc_id is appended to the text so every key is unique BY
+      // CONSTRUCTION and the only duplicates are the injected identical
+      // rows: the base corpus carries duplicate texts at some SFs (8
+      // pairs at sf0.1), and dropDuplicatesWithinWatermark keeps an
+      // ARBITRARY survivor among distinct rows — not oracle-expressible
+      // (caught by the r6 sf0.1 cross-check, invisible at the judged SF)
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"),
+          concat(col("text"), lit(" #"), col("doc_id")).as("text"),
           // +1 day: a doc_id-0 event time of exactly epoch 0 would sit ON
           // the initial watermark floor and be dropped as late (observed:
           // 499/500 rows)
@@ -1813,9 +1820,9 @@ object SparkEntry {
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
 
-    // duplicate rows are identical and every key stays in-horizon over
-    // the one-batch replay, so bounded-state dedup equals global dedup
-    // (texts are distinct per doc in the corpus; q_exact_dedup verifies)
+    // duplicate rows are identical (keys made unique by appending the
+    // doc id) and every key stays in-horizon over the one-batch replay,
+    // so bounded-state dedup keeps exactly one row per doc at ANY SF
     "q_stream_dedup_wm" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
 
