@@ -182,19 +182,24 @@ object Vectors {
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       subspaces: Int = 8, codebookSize: Int = 16, lloydIters: Int = 2,
       shortlistFactor: Int = 10): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    // The corpus is scanned once per Lloyd round plus twice after (encode,
+    // shortlist re-rank join) — persist for the operator's lifetime via the
+    // registry so the next SparkEntry query releases it.
+    val cached = graft.engine.Caches.persisted(corpus)
+
+    // per-subspace codebooks from the deterministic seed rows; `dim` comes
+    // from the same collect (no separate size-probe job)
+    val seeds = cached.select(col(vecCol)).orderBy(xxhash64(col(idCol)))
+      .limit(codebookSize).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == codebookSize,
+      s"corpus smaller than codebookSize=$codebookSize")
+    val dim = seeds.head.length
     require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
     val ds = dim / subspaces
     def sub(v: Column, m: Int): Column = slice(v, m * ds + 1, ds)
 
-    // per-subspace codebooks from the deterministic seed rows
-    var books: Array[Array[Seq[Double]]] = {
-      val seeds = corpus.select(col(vecCol)).orderBy(xxhash64(col(idCol)))
-        .limit(codebookSize).collect().map(_.getSeq[Double](0).toArray)
-      require(seeds.length == codebookSize,
-        s"corpus smaller than codebookSize=$codebookSize")
+    var books: Array[Array[Seq[Double]]] =
       Array.tabulate(subspaces)(m => seeds.map(v => v.slice(m * ds, (m + 1) * ds).toSeq))
-    }
     // argmin-L2 code of sub-vector m under the current codebook
     def encodeSub(v: Column, m: Int): Column = {
       val dists = books(m).map(c =>
@@ -204,21 +209,31 @@ object Vectors {
         case (acc, (d, i)) => acc.when(d === mn, i)
       }
     }
+    // ONE aggregate job per Lloyd round covering ALL subspaces at once
+    // (explode (m, code, sub-vector) per row, then (m, code, pos) → mean):
+    // the per-round cost is a single scan + shuffle of ≤ subspaces ×
+    // codebookSize × dim partial rows per task, instead of `subspaces`
+    // separate full-corpus jobs whose scheduling overhead dominated at
+    // small SF (6.5s → job-count-bound) and whose scans repeat at large.
     for (_ <- 1 to lloydIters) {
+      val perSub = array((0 until subspaces).map(m =>
+        struct(lit(m).as("m"), encodeSub(col(vecCol), m).as("c"),
+          sub(col(vecCol), m).as("sv"))): _*)
+      val means = cached.select(explode(perSub).as("e"))
+        .select(col("e.m").as("m"), col("e.c").as("c"), posexplode(col("e.sv")))
+        .groupBy(col("m"), col("c"), col("pos")).agg(avg(col("col")).as("mu"))
+        .collect()
+      val bySub = means.groupBy(_.getInt(0))
       books = Array.tabulate(subspaces) { m =>
-        val means = corpus.withColumn("__c", encodeSub(col(vecCol), m))
-          .select(col("__c"), posexplode(sub(col(vecCol), m)))
-          .groupBy(col("__c"), col("pos")).agg(avg(col("col")).as("mu"))
-          .collect()
-        val byCell = means.groupBy(_.getInt(0))
+        val byCell = bySub.getOrElse(m, Array.empty).groupBy(_.getInt(1))
         books(m).zipWithIndex.map { case (old, cell) =>
           byCell.get(cell).fold(old)(rows =>
-            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
         }
       }
     }
 
-    val encoded = corpus.select(col(idCol),
+    val encoded = cached.select(col(idCol),
       array((0 until subspaces).map(m => encodeSub(col(vecCol), m)): _*).as("__codes"))
     val qlut = queries.select(col(qidCol), col(qvecCol),
       array((0 until subspaces).map(m =>
@@ -240,7 +255,7 @@ object Vectors {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("neighbor"))
     shortlist
-      .join(corpus.select(col(idCol).as("neighbor"), col(vecCol).as("__v")), "neighbor")
+      .join(cached.select(col(idCol).as("neighbor"), col(vecCol).as("__v")), "neighbor")
       .select(col("qid"), col("neighbor"), cosine(col("__qv"), col("__v")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
