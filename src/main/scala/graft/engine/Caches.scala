@@ -40,7 +40,17 @@ object Caches {
     * recompute, and a stopped SparkContext is tolerated (tests stop
     * sessions between suites). */
   def releaseAll(): Unit = synchronized {
-    live.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    // NonFatal only: swallowing OutOfMemoryError here would hide a dying
+    // JVM, and eating InterruptedException would lose the thread's
+    // interrupt status (r6 ADVICE) — re-set the flag and keep releasing,
+    // so one interrupted unpersist doesn't leak the rest of the registry.
+    live.foreach { df =>
+      try df.unpersist(false)
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
+    }
     live.clear()
   }
 }

@@ -428,7 +428,7 @@ object Relational {
     * partition directory instead — compaction is embarrassingly parallel
     * across partitions). The swap is write-tmp → rename-aside → rename-in
     * → delete-backup: a crash mid-swap leaves the data recoverable at
-    * `path + ".compact-old"` (a transactional table format (Delta/
+    * `.<name>.compact-old` beside it (a transactional table format (Delta/
     * Iceberg) is the real fix; those jars are absent from this image, see
     * SURVEY §7.4 — this is the plain-parquet best effort). Readers racing
     * the swap see a missing directory rather than partial data. Returns
@@ -449,8 +449,18 @@ object Relational {
     require(files.nonEmpty, s"compact: no parquet files at $path")
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    // Staging dirs are DOT-PREFIXED so they are invisible to Spark's
+    // partition discovery and file listing (r6 ADVICE): when the target is
+    // a partition leaf `<root>/status=F`, a bare `status=F.compact-tmp`
+    // sibling is hive-parseable and a concurrent reader of the root would
+    // see every row again under partition value 'F.compact-tmp' (and a
+    // crash would leave superseded data silently readable). `.`-prefixed
+    // names are skipped by readers, so mid-compaction and crash states
+    // expose at worst a missing leaf — the same guarantee as the flat case.
+    val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
+      "." + hPath.getName + ".compact-tmp")
+    val bak = new org.apache.hadoop.fs.Path(hPath.getParent,
+      "." + hPath.getName + ".compact-old")
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // HDFS-style FileSystems signal failure by RETURNING false, not
@@ -508,11 +518,12 @@ object Relational {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val dirs = fs.listStatus(p).filter(_.isDirectory)
-        // skip hidden dirs (_spark_metadata-style) AND a crashed prior
-        // compact's rename-aside residue (`<leaf>.compact-old`/`-tmp`
-        // sit NEXT TO their leaf) — compacting residue as if it were a
-        // partition would resurrect superseded data; recovery of a
-        // half-swapped leaf is deliberate and manual (see compact's doc)
+        // skip hidden dirs (_spark_metadata-style): compact's staging/
+        // backup residue is dot-prefixed (`.<leaf>.compact-old`/`-tmp`)
+        // so the first clause covers it — compacting residue as if it
+        // were a partition would resurrect superseded data; recovery of a
+        // half-swapped leaf is deliberate and manual (see compact's doc).
+        // The bare `.compact-` clause still guards pre-r7 residue.
         .filterNot(d => d.getPath.getName.startsWith(".") ||
           d.getPath.getName.startsWith("_") ||
           d.getPath.getName.contains(".compact-"))

@@ -290,6 +290,21 @@ class RelationalSpec extends SparkTestBase {
     val plan = readTable(spark, dir).filter(col("year") === 2001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(year"), plan.take(3000))
+    // ADVICE r6: crash residue must be INVISIBLE to partition discovery.
+    // Simulate a crash that left a backup beside its leaf (the staging
+    // names are dot-prefixed exactly so this is skipped): a reader of the
+    // root must see neither duplicated rows nor a bogus partition value.
+    val leaf = new java.io.File(s"$dir/year=2000")
+    val residue = new java.io.File(s"$dir/.year=2000.compact-old")
+    java.nio.file.Files.createDirectory(residue.toPath)
+    leaf.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
+      java.nio.file.Files.copy(f.toPath, residue.toPath.resolve(f.getName)))
+    assert(readTable(spark, dir).count() === 300L,
+      "dot-prefixed compact residue leaked into the read")
+    // and a re-run of compactPartitioned skips the residue rather than
+    // compacting it as a partition
+    assert(compactPartitioned(spark, dir).keySet ===
+      Set("year=2000", "year=2001", "year=2002"))
     // a FLAT directory is the other operator's job — fail fast, untouched
     val flat = Files.createTempDirectory("graft_cpf").toString
     df.drop("year").repartition(2).write.mode("overwrite").parquet(flat)
