@@ -29,7 +29,8 @@ object Tables {
     // Native expressions (graft_dot, graft_shingle_* family) for sessions
     // built without spark.sql.extensions=graft.functions.GraftExtensions.
     val all = graft.functions.VectorExprs.dotFunction +:
-      (graft.functions.TextStatsExprs.functions ++
+      (graft.functions.VectorExprs.pqFunctions ++
+        graft.functions.TextStatsExprs.functions ++
         graft.functions.ShingleExprs.functions)
     all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

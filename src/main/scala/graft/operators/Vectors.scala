@@ -196,32 +196,35 @@ object Vectors {
     val dim = seeds.head.length
     require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
     val ds = dim / subspaces
-    def sub(v: Column, m: Int): Column = slice(v, m * ds + 1, ds)
 
     var books: Array[Array[Seq[Double]]] =
       Array.tabulate(subspaces)(m => seeds.map(v => v.slice(m * ds, (m + 1) * ds).toSeq))
-    // argmin-L2 code of sub-vector m under the current codebook
-    def encodeSub(v: Column, m: Int): Column = {
-      val dists = books(m).map(c =>
-        lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub(v, m), typedLit(c)))
-      val mn = least(dists: _*)
-      dists.zipWithIndex.tail.foldLeft(when(dists.head === mn, 0)) {
-        case (acc, (d, i)) => acc.when(d === mn, i)
-      }
-    }
+    // Encode/LUT are ONE native kernel expression each (graft_pq_encode /
+    // graft_pq_lut over the flat subspace-major codebook literal): the
+    // composed-builtin form needed subspaces × codebookSize dot-product
+    // expressions under a least() + a codebookSize-branch CASE WHEN per
+    // subspace — ~256 expression nodes per encode whose ANALYSIS and
+    // codegen cost dominated the query's wall time (13.9s at sf0.1 for a
+    // 2000-row corpus; r7 fix). The codebook rides along as corpus
+    // metadata — a KB-scale array literal, never a data-shaped input.
+    def bookLit: Column =
+      typedLit(books.iterator.flatMap(_.iterator.flatten).toSeq)
+    def encodeCol(v: Column): Column =
+      call_function("graft_pq_encode", v, bookLit, lit(subspaces))
     // ONE aggregate job per Lloyd round covering ALL subspaces at once
-    // (explode (m, code, sub-vector) per row, then (m, code, pos) → mean):
-    // the per-round cost is a single scan + shuffle of ≤ subspaces ×
-    // codebookSize × dim partial rows per task, instead of `subspaces`
-    // separate full-corpus jobs whose scheduling overhead dominated at
-    // small SF (6.5s → job-count-bound) and whose scans repeat at large.
+    // (posexplode codes to (m, code), re-slice the sub-vector, then
+    // (m, code, pos) → mean): the per-round cost is a single scan + a
+    // shuffle of ≤ subspaces × codebookSize × dim partial rows per task,
+    // instead of `subspaces` separate full-corpus jobs whose scheduling
+    // overhead dominated at small SF (6.5s → job-count-bound) and whose
+    // scans repeat at large.
     for (_ <- 1 to lloydIters) {
-      val perSub = array((0 until subspaces).map(m =>
-        struct(lit(m).as("m"), encodeSub(col(vecCol), m).as("c"),
-          sub(col(vecCol), m).as("sv"))): _*)
-      val means = cached.select(explode(perSub).as("e"))
-        .select(col("e.m").as("m"), col("e.c").as("c"), posexplode(col("e.sv")))
-        .groupBy(col("m"), col("c"), col("pos")).agg(avg(col("col")).as("mu"))
+      val means = cached
+        .select(col(vecCol).as("__v"),
+          posexplode(encodeCol(col(vecCol))).as(Seq("m", "c")))
+        .select(col("m"), col("c"),
+          posexplode(slice(col("__v"), col("m") * ds + 1, lit(ds))).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("c"), col("pos")).agg(avg(col("x")).as("mu"))
         .collect()
       val bySub = means.groupBy(_.getInt(0))
       books = Array.tabulate(subspaces) { m =>
@@ -233,19 +236,19 @@ object Vectors {
       }
     }
 
-    val encoded = cached.select(col(idCol),
-      array((0 until subspaces).map(m => encodeSub(col(vecCol), m)): _*).as("__codes"))
+    val encoded = cached.select(col(idCol), encodeCol(col(vecCol)).as("__codes"))
+    // flat (subspaces × codebookSize) LUT per query; entry s·K + c is
+    // q_s · centroid_{s,c}
     val qlut = queries.select(col(qidCol), col(qvecCol),
-      array((0 until subspaces).map(m =>
-        array(books(m).map(c => dot(sub(col(qvecCol), m), typedLit(c))): _*)): _*)
-        .as("__lut"))
+      call_function("graft_pq_lut", col(qvecCol), bookLit, lit(subspaces)).as("__lut"))
     // ADC pass over codes only: subspaces lookups + adds per pair
     val adc = encoded.join(broadcast(qlut), col(qidCol) =!= col(idCol))
       .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"),
         col(idCol).as("neighbor"),
         (0 until subspaces).map(m =>
-          element_at(element_at(col("__lut"), m + 1),
-            element_at(col("__codes"), m + 1) + 1)).reduce(_ + _).as("__adc"))
+          element_at(col("__lut"),
+            lit(m * codebookSize) + element_at(col("__codes"), m + 1) + 1))
+          .reduce(_ + _).as("__adc"))
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("__adc").desc, col("neighbor"))
     val shortlist = adc.withColumn("__r", row_number().over(wShort))
