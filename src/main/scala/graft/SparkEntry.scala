@@ -816,6 +816,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: train docs (doc_id % 17 != 0) sharing
+    // any word 3-gram with the held-out eval slice (doc_id % 17 == 0)
+    // are flagged with their shared-gram count. Eval side collapses to a
+    // broadcast distinct-hash set (benchmarks are MBs against a 100 TB
+    // corpus); the train scan is never shuffled. Fully oracled at the
+    // string level, so the 64-bit hash equality is itself judged.
+    "q_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.decontaminate(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", width = 3)
+        .orderBy("doc_id")
+    }),
+
+    // PII audit + redaction: emails, IPv4s, phone numbers masked with
+    // per-category counts, over a fixture injecting all three per doc
+    // (derived from doc_id). Scan-stage regex chain; md5-compared clean
+    // text. Fully oracled (same RE2-safe patterns in DuckDB).
+    "q_pii_redact" -> ((s, dir) => {
+      val doc = concat(col("text"),
+        lit(" reach User"), col("doc_id"),
+        lit("@Mail.Example.org from 10.0."), col("doc_id") % 256,
+        lit(".7 tel +1 555-867-5309"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.redactPii(doc).as("p"))
+        .select(col("doc_id"), col("p.n_email").as("n_email"),
+          col("p.n_ip").as("n_ip"), col("p.n_phone").as("n_phone"),
+          md5(col("p.clean").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Inter-document boilerplate removal over the shared multi-line
+    // fixture: lines occurring in >= 3 distinct docs (the 'same line'
+    // block and any cross-doc repeated sentence) are dropped, docs
+    // reassembled in line order, judged by md5. Fully oracled.
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), multilineFixture.as("doc"))
+      TextOps.stripBoilerplate(docs, "doc_id", "doc", minDf = 3)
+        .select(col("doc_id"), md5(col("clean").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // Per-document quality scoring: token/unique counts, mean token
     // length, stopword ratio, BPE-ish subword count — ONE pass over the
     // document bytes via the native graft_text_stats kernel (r4; replaced
@@ -1040,6 +1084,27 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       graft.operators.Vectors.cosineNearDupBucketed(e, "vec_id", "v", 0.4)
         .orderBy("da", "db")
+    }),
+
+    // Semantic dedup (SemDeDup): keep a row unless a LOWER-id row sits
+    // within cosine >= 0.4 — greedy-by-id keep policy over the exact
+    // pair relation, fully oracled via NOT EXISTS.
+    "q_sem_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      graft.operators.Vectors.semanticDedup(e, "vec_id", "v", 0.4)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
+    // Scale twin: drop decisions from SimHash-bucketed candidate pairs
+    // (linear, multi-probe Hamming<=2) — a missed pair keeps both rows,
+    // never false-drops. Probabilistic recall -> rows-only; the exact
+    // twin q_sem_dedup is fully oracled.
+    "q_sem_dedup_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      graft.operators.Vectors.semanticDedupBucketed(e, "vec_id", "v", 0.4)
+        .select(col("vec_id")).orderBy("vec_id")
     }),
 
     // Exact cosine top-5 for the first 10 vectors as queries: the §2b
@@ -1870,6 +1935,32 @@ object SparkEntry {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE doc_id % 17 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH lc AS (SELECT doc_id,
+        |  lower(text || ' reach User' || doc_id || '@Mail.Example.org from 10.0.'
+        |        || (doc_id % 256) || '.7 tel +1 555-867-5309') AS x
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(x, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(x, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(x, '\+?\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(x,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ip>', 'g'),
+        |    '\+?\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<phone>', 'g')) AS fp
+        |FROM lc ORDER BY doc_id""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -2086,6 +2177,28 @@ object SparkEntry {
         |SELECT doc_id FROM m
         |WHERE nb <= 0.9 * n AND ne <= 0.3 * n AND nd <= 0.3 * n
         |ORDER BY doc_id""".stripMargin),
+
+    "q_boilerplate" ->
+      (s"WITH d AS ($multilineFixtureSql),\n" +
+      """ls AS (SELECT doc_id, string_split(doc, chr(10)) AS l FROM d),
+        |lines AS (SELECT doc_id, unnest(l) AS line,
+        |    unnest(generate_series(1, len(l))) AS pos FROM ls),
+        |drops AS (SELECT line FROM
+        |  (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        |  WHERE df >= 3),
+        |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+        |  FROM lines WHERE line NOT IN (SELECT line FROM drops)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, md5(coalesce(reb.clean, '')) AS fp
+        |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q_sem_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id FROM e a
+        |WHERE NOT EXISTS (SELECT 1 FROM e b WHERE b.vec_id < a.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.4)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_bucket_join" ->
       """SELECT o_orderstatus AS status, count(*) AS n, sum(l_quantity) AS qty

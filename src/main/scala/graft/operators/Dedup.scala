@@ -435,4 +435,36 @@ object Dedup {
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("da"), col("db"), col("est_jaccard"))
   }
+
+  /** Benchmark decontamination: flag every `train` doc sharing at least
+    * one word `width`-gram with ANY doc of the held-out `eval` set —
+    * the standard pre-training hygiene pass (an eval example whose
+    * n-grams leak into the training corpus inflates the benchmark; the
+    * n-gram-overlap rule is the published practice of GPT-3 appendix C /
+    * Gopher §A.3 / Lee et al. 2022 §6, all public).
+    * Returns (idCol, n_shared) per CONTAMINATED train doc — n_shared =
+    * how many distinct `width`-grams of the doc appear anywhere in the
+    * eval set (the evidence a filtering run reports), ordered by caller.
+    *
+    * Scale shape: the eval side — benchmarks are MBs against a 100 TB
+    * corpus — collapses to a distinct 8-byte-hash set computed by the
+    * scan-stage [[graft.functions.ShingleKernel]] and BROADCAST: the
+    * train corpus is scanned once, never shuffled, and only flagged
+    * (id, hash) pairs reach the per-doc count aggregate. Hash equality
+    * stands in for string equality at the usual 64-bit false-positive
+    * odds (≈ |doc grams| × |eval grams| / 2^64 — negligible, and judged
+    * against the string-level DuckDB oracle in `q_decontam`). */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, width: Int = 3): DataFrame = {
+    val evalGrams = eval
+      .select(explode(array_distinct(
+        call_function("graft_shingle_hashes", col(textCol), lit(width)))).as("__h"))
+      .distinct()
+    train
+      .select(col(idCol), explode(array_distinct(
+        call_function("graft_shingle_hashes", col(textCol), lit(width)))).as("__h"))
+      .join(broadcast(evalGrams), "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -373,4 +373,37 @@ object Vectors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023, public): keep
+    * one representative of every group of embedding-near-identical docs.
+    * The keep policy is deterministic and SQL-expressible — a row is
+    * DROPPED iff some LOWER-id row sits within cosine ≥ `threshold` —
+    * so the exact form is fully oracle-checkable with a NOT EXISTS
+    * (`q_sem_dedup`); note this is greedy-by-id, not transitive-closure
+    * (for cluster-closure curation see the connected-components path,
+    * `q_curate_cc`). Returns the KEPT rows of `emb` unchanged.
+    *
+    * Exact form is quadratic in the pair space (the [[cosineNearDup]]
+    * baseline, documented ≤10^5 rows); [[semanticDedupBucketed]] is the
+    * linear scale path over SimHash buckets. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val drops = cosineNearDup(emb, idCol, vecCol, threshold)
+      .select(col("db").as(idCol)).distinct()
+    emb.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedup]]'s 100 TB twin: candidate pairs from SimHash
+    * buckets within Hamming distance `hamming` ([[cosineNearDupBucketed]]
+    * — linear in corpus size for clustered data) instead of the quadratic
+    * all-pairs join. Drop decisions are exact cosine on candidates only;
+    * a near-pair missed by bucketing keeps both rows (recall loss, never
+    * a false drop), so judged rows-only with the exact twin oracled. */
+  def semanticDedupBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, hamming: Int = 2): DataFrame = {
+    val drops = cosineNearDupBucketed(emb, idCol, vecCol, threshold,
+        numPlanes, hamming)
+      .select(col("db").as(idCol)).distinct()
+    emb.join(drops, Seq(idCol), "left_anti")
+  }
 }

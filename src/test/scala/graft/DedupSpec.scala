@@ -199,4 +199,24 @@ class DedupSpec extends SparkTestBase {
     assert(comp === Map(1L -> 1L, 2L -> 1L))
     assert(components(Seq.empty) === Map.empty)
   }
+
+  test("decontaminate flags train docs by distinct shared 3-grams with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "the quick brown", "quick brown fox"
+      (2L, "totally clean document here now"),  // no overlap
+      (3L, "lazy dog sleeps all day long"))     // shares "lazy dog sleeps"
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "the quick brown fox runs"),
+      (101L, "a lazy dog sleeps"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, evalSet, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 3L -> 1L)) // clean doc 2 absent, counts are DISTINCT grams
+    // repeated grams in a train doc count once (set semantics)
+    val rep = Seq((9L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val ev2 = Seq((200L, "x y z x y")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(rep, ev2, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap === Map(9L -> 3L)) // "x y z","y z x","z x y"
+  }
 }

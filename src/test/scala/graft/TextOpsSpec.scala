@@ -112,4 +112,39 @@ class TextOpsSpec extends SparkTestBase {
     assert(clean("go http://u@h.com/x here") === "go <url> here")
     assert(clean("No Links Here.") === "no links here.")
   }
+
+  test("redactPii counts and masks emails, IPv4s and phones independently") {
+    val out = one(Seq("Ping A@b.co or c.d@e.org, box 10.0.0.7, tel +1 555-867-5309 done")
+      .toDF("t").select(TextOps.redactPii(col("t")).as("p"))
+      .select(col("p.n_email"), col("p.n_ip"), col("p.n_phone"), col("p.clean"))
+      .as[(Int, Int, Int, String)])
+    assert(out === ((2, 1, 1,
+      "ping <email> or <email>, box <ip>, tel <phone> done")))
+    // no PII -> zero counts, text only lowercased
+    val none = one(Seq("Plain words only").toDF("t")
+      .select(TextOps.redactPii(col("t")).as("p"))
+      .select(col("p.n_email"), col("p.n_ip"), col("p.n_phone"), col("p.clean"))
+      .as[(Int, Int, Int, String)])
+    assert(none === ((0, 0, 0, "plain words only")))
+  }
+
+  test("stripBoilerplate drops lines in >= minDf docs, keeps order, keeps empty docs") {
+    val docs = Seq(
+      (1L, "keep one\ncookie banner\nkeep two"),
+      (2L, "cookie banner\nunique to two"),
+      (3L, "also unique\ncookie banner"),
+      (4L, "cookie banner")) // every line boilerplate -> empty doc survives
+      .toDF("doc_id", "text")
+    val got = TextOps.stripBoilerplate(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "keep one\nkeep two", // order preserved across the dropped line
+      2L -> "unique to two",
+      3L -> "also unique",
+      4L -> ""))
+    // below the df threshold nothing is dropped
+    val loose = TextOps.stripBoilerplate(docs, "doc_id", "text", minDf = 5)
+      .as[(Long, String)].collect().toMap
+    assert(loose(1L) === "keep one\ncookie banner\nkeep two")
+  }
 }

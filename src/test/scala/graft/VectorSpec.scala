@@ -186,6 +186,27 @@ class VectorSpec extends SparkTestBase {
       s"recall ${bucketed.size.toDouble / exact.size}")
   }
 
+  test("semanticDedup keeps exactly the rows with no lower-id near-neighbor") {
+    val (corpus, _) = clustered
+    val kept = graft.operators.Vectors
+      .semanticDedup(corpus, "vec_id", "v", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // reference: greedy-by-id over the exact pair relation
+    val drops = graft.operators.Vectors
+      .cosineNearDup(corpus, "vec_id", "v", 0.9)
+      .select("db").as[Long].collect().toSet
+    val all = corpus.select("vec_id").as[Long].collect().toSet
+    assert(kept === all -- drops)
+    assert(drops.nonEmpty, "fixture must actually deduplicate something")
+    // the bucketed twin can only MISS pairs -> it keeps a superset
+    val keptB = graft.operators.Vectors
+      .semanticDedupBucketed(corpus, "vec_id", "v", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.subsetOf(keptB))
+    assert(kept.size.toDouble / keptB.size >= 0.9, // high recall on clustered data
+      s"bucketed kept ${keptB.size} vs exact ${kept.size}")
+  }
+
   test("annTopK fails fast on mismatched embedding width") {
     val corpus = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
     val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
