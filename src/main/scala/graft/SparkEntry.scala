@@ -860,6 +860,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Soft quality score: logistic model over the one-pass kernel's
+    // features — the THRESHOLDABLE counterpart of the hard Gopher gate
+    // (quality-weighted sampling needs a gradient). Scan-stage
+    // arithmetic, fully oracled within the float tolerance.
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.textStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          graft.operators.QualityFilters.qualityScore(col("st")).as("q_score"))
+        .withColumn("pass", (col("q_score") >= 0.5).cast("int"))
+        .orderBy("doc_id")),
+
+    // Deterministic training-order shuffle: (shard, rank) per doc as a
+    // pure function of the key — two-level so ranking parallelizes per
+    // shard instead of one global window partition. Fibonacci-hash
+    // flavor -> fully oracled.
+    "q_shuffle_order" -> ((s, dir) =>
+      graft.operators.Sampling
+        .shuffleOrder(t(s, dir, "documents").select("doc_id"), col("doc_id"), 8)
+        .select(col("doc_id"), col("shard"), col("rank_in_shard"))
+        .orderBy("shard", "rank_in_shard")),
+
+    // Snapshot diff audit: orders vs a deterministically mutated copy
+    // (%13 keys removed, %7 totalprice bumped, %11 re-keyed as adds) —
+    // added/removed/changed classification via one full-outer join with
+    // null-safe column compares. Fully oracled (IS DISTINCT FROM).
+    "q_table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val after = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      graft.operators.Relational
+        .snapshotDiff(o, after, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // Per-document quality scoring: token/unique counts, mean token
     // length, stopword ratio, BPE-ish subword count — ONE pass over the
     // document bytes via the native graft_text_stats kernel (r4; replaced
@@ -1988,6 +2029,56 @@ object SparkEntry {
         |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t) AS stop_ratio,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(t) AS DOUBLE) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / len(t) AS stop_ratio,
+        |    CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+        |      / len(t) AS avg_len
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |z AS (SELECT doc_id,
+        |    -3.0 + 0.6 * ln(1.0 + n_tokens) + 2.0 * uniq_ratio
+        |    + 4.0 * stop_ratio - 0.3 * abs(avg_len - 5.0) AS zv
+        |  FROM f)
+        |SELECT doc_id, 1.0 / (1.0 + exp(-zv)) AS q_score,
+        |  CAST(1.0 / (1.0 + exp(-zv)) >= 0.5 AS INT) AS pass
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_order" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(floor(((doc_id * 2654435769) % 4294967296) * 1000000.0
+        |         / 4294967296.0) AS BIGINT) AS bucket
+        |  FROM documents),
+        |s AS (SELECT doc_id, bucket,
+        |    CAST(floor(bucket * 8.0 / 1000000.0) AS INT) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY bucket, doc_id)
+        |       AS INT) AS rank_in_shard
+        |FROM s ORDER BY shard, rank_in_shard""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |aft AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+        |  FROM o WHERE o_orderkey % 11 = 0),
+        |j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN a.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
+        |           OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |           THEN 'changed' END AS change
+        |  FROM o b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey)
+        |SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_lang_id" ->
       """WITH sc AS (SELECT doc_id, lang,

@@ -91,4 +91,29 @@ object Sampling {
     legs.map { case (tag, df, bucket, rate) =>
       sample(df, bucket, rate).withColumn("mix_source", lit(tag))
     }.reduce(_ unionByName _)
+
+  /** Deterministic training-order shuffle: every row gets a stable
+    * (shard, rank) position — global order = shards ascending, ranks
+    * within — as a pure function of its key, so the epoch-0 data order
+    * is reproducible across runs and auditable like the samples above.
+    *
+    * The TWO-LEVEL shape is the 100 TB point: a single global
+    * `row_number` would funnel the corpus through ONE window partition
+    * (one task); here the hash's high bits pick one of `shards`
+    * partitions and ranking runs per-shard in parallel — the same
+    * hash-then-local-sort plan a shuffled sharded-file write
+    * (`repartitionByRange` + sorted parquet) executes, judged in
+    * relational form. Within-shard order is (bucket, key): the hash
+    * shuffles, the key breaks bucket collisions deterministically.
+    * Built on [[fibHash]] → fully DuckDB-oracled (`q_shuffle_order`);
+    * production keys swap in [[keyHash]]. */
+  def shuffleOrder(df: DataFrame, key: Column, shards: Int): DataFrame = {
+    val bucket = fibHash(key)
+    val shard = floor(bucket * lit(shards.toDouble) / lit(BUCKETS.toDouble))
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(bucket, key)
+    df.withColumn("shard", shard)
+      .withColumn("rank_in_shard", row_number().over(w))
+  }
 }

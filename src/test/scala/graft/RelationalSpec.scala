@@ -312,6 +312,29 @@ class RelationalSpec extends SparkTestBase {
     assert(readTable(spark, flat).count() === 300L)
   }
 
+  test("snapshotDiff classifies added/removed/changed with null-safe compares") {
+    val before = Seq(
+      (1L, Option("a"), Option(10)),  // unchanged
+      (2L, Option("b"), Option(20)),  // value change
+      (3L, None, Option(30)),         // null -> value = changed
+      (4L, Option("d"), None),        // null == null = unchanged
+      (5L, Option("e"), Option(50)))  // removed
+      .toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Option("a"), Option(10)),
+      (2L, Option("B"), Option(20)),
+      (3L, Option("c"), Option(30)),
+      (4L, Option("d"), Option.empty[Int]),
+      (6L, Option("f"), Option(60)))  // added
+      .toDF("k", "s", "v")
+    val got = snapshotDiff(before, after, "k", Seq("s", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "changed",
+      5L -> "removed", 6L -> "added"))
+    // identical snapshots -> empty diff
+    assert(snapshotDiff(before, before, "k", Seq("s", "v")).count() === 0L)
+  }
+
   test("compact merges a many-file directory to the byte target, content intact") {
     val dir = Files.createTempDirectory("graft_cp").toString
     val df = spark.range(0, 1000).toDF("id")

@@ -61,4 +61,25 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(out("x") / 10000.0 - 0.5) < 0.02)
     assert(math.abs(out("y") / 10000.0 - 0.1) < 0.02)
   }
+
+  test("shuffleOrder: positions are a deterministic permutation, ranks dense per shard") {
+    val small = spark.range(0, 1000).toDF("id")
+    val got = Sampling.shuffleOrder(small, col("id"), 8)
+      .select("id", "shard", "rank_in_shard")
+      .as[(Long, Int, Int)].collect()
+    assert(got.length === 1000)
+    // every row gets exactly one position; positions are unique
+    assert(got.map(r => (r._2, r._3)).distinct.length === 1000)
+    // ranks are 1..n within each shard (dense, no gaps)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length), s"shard $shard")
+    }
+    // deterministic across invocations
+    val again = Sampling.shuffleOrder(small, col("id"), 8)
+      .select("id", "shard", "rank_in_shard").as[(Long, Int, Int)].collect()
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // and it actually shuffles: global order != key order
+    val globalOrder = got.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(globalOrder !== globalOrder.sorted)
+  }
 }
