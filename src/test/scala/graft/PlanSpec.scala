@@ -153,6 +153,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("decontamination broadcasts the eval-set grams; train side never shuffles") {
+    val plan = executedPlan(SparkEntry.queries("q_decontam")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the only exchange feeding the flag join is the broadcast; the train
+    // relation reaches its per-doc count straight from the scan (the
+    // aggregate's hash exchange shuffles only flagged (id, gram) pairs)
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("boilerplate drop-list anti-join broadcasts (line strings never shuffle for the df count)") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").as("doc"))
+    val plan = executedPlan(
+      graft.functions.TextOps.stripBoilerplate(docs, "doc_id", "doc", 3))
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(3000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
