@@ -1429,6 +1429,38 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // CUBE completes the grouping-sets surface beside ROLLUP: all four
+    // (status, priority) marginals in one Expand pass — one shuffle, not
+    // four queries. grouping_id disambiguates real nulls from subtotal
+    // rows. Fully oracled (DuckDB GROUPING SETS semantics identical).
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))),
+
+    // Ranking-window completeness: ntile quartiles, percent_rank and
+    // cume_dist per status over the price order — one window shuffle,
+    // the analytic functions a switching SQL user expects. Fully
+    // oracled (identical tie semantics on the unique (price, key)
+    // order).
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("status"))
+        .orderBy(col("o_totalprice"), col("orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select(col("orderkey"), col("status"), col("quartile"),
+          col("pr"), col("cd"))
+        .orderBy("status", "orderkey")
+    }),
+
     // Column profiling: per-column null + distinct counts in ONE
     // multi-distinct aggregate pass, long-form via stack. The ingest
     // data-quality check; fully oracled.
@@ -2043,6 +2075,24 @@ object SparkEntry {
         |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t) AS stop_ratio,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  sum(o_totalprice) AS sum_price, count(*) AS n,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY status, orderkey""".stripMargin,
 
     "q_quality_score" ->
       """WITH f AS (SELECT doc_id,
