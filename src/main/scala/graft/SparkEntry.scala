@@ -445,6 +445,32 @@ object SparkEntry {
 
     // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
     // artists/users writes) — exercises the empty-partitionCols branch.
+    // Dense contiguous ids 0..n-1 (distributed zipWithIndex): two-level
+    // shard-rank + tiny offset prefix-sum — no global window partition.
+    // The oracle IS the global row_number equivalence. Fully oracled.
+    "q_dense_ids" -> ((s, dir) =>
+      graft.operators.Sampling
+        .denseIds(t(s, dir, "documents").select("doc_id"), col("doc_id"), 8)
+        .select(col("doc_id"), col("id"))
+        .orderBy("doc_id")),
+
+    // Frequency-ranked vocabulary: token -> (count, dense id by count
+    // desc, token asc) — the id-assignment step of every tokenizer
+    // build. The ranking window runs over the VOCAB (orders smaller
+    // than the corpus — the token count aggregate map-side-combines
+    // first); a vocabulary too large for one partition would band by
+    // count first. Fully oracled.
+    "q_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("n").desc, col("token")))
+            .cast("long") - 1)
+        .orderBy("id")
+    }),
+
     // Row-level upsert (MERGE INTO shape): state = orders slice; updates
     // bump %7 prices and re-key %11 rows as inserts. Updates win per key,
     // untouched state passes through — one anti-join + union, no
@@ -2114,6 +2140,21 @@ object SparkEntry {
         |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t) AS stop_ratio,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_dense_ids" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(floor(((doc_id * 2654435769) % 4294967296) * 1000000.0
+        |         / 4294967296.0) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY bucket, doc_id) - 1 AS BIGINT) AS id
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT t AS token, count(*) AS n,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, t) - 1 AS BIGINT) AS id
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY id""".stripMargin,
 
     "q_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),

@@ -116,4 +116,31 @@ object Sampling {
     df.withColumn("shard", shard)
       .withColumn("rank_in_shard", row_number().over(w))
   }
+
+  /** Dense contiguous ids 0..n−1 — the distributed `zipWithIndex` every
+    * id-mapping build needs (vocabulary ids, surrogate ints for an
+    * embedding table) without the trap of a GLOBAL `row_number`, which
+    * funnels the corpus through one window partition.
+    *
+    * Shape: [[shuffleOrder]] ranks per shard in parallel; per-shard
+    * COUNTS (≤ `shards` rows — config-scale, never data-scale) prefix-sum
+    * into offsets on a single tiny window and broadcast back; a row's id
+    * is `offset(shard) + rank − 1`. Ids follow the same total order as
+    * `(hash bucket, key)`, so the assignment is layout-independent and
+    * reproducible — and oracle-expressible as one global `row_number()`
+    * in SQL (`q_dense_ids`, fully oracled), which is exactly the
+    * equivalence that proves the two-level form correct. */
+  def denseIds(df: DataFrame, key: Column, shards: Int = 256): DataFrame = {
+    val so = shuffleOrder(df, key, shards)
+    val offsets = so.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("shard"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("shard"), col("__offset"))
+    so.join(broadcast(offsets), "shard")
+      .withColumn("id", col("__offset") + col("rank_in_shard") - 1)
+      .drop("__offset")
+  }
 }

@@ -82,4 +82,21 @@ class SamplingSpec extends SparkTestBase {
     val globalOrder = got.sortBy(r => (r._2, r._3)).map(_._1).toSeq
     assert(globalOrder !== globalOrder.sorted)
   }
+
+  test("denseIds: contiguous 0..n-1, layout-independent, equals the global-order rank") {
+    val df = spark.range(0, 777).toDF("id0")
+    val got = Sampling.denseIds(df, col("id0"), 8)
+      .select(col("id0"), col("id")).as[(Long, Long)].collect()
+    assert(got.map(_._2).sorted.toSeq === (0L until 777L)) // dense, no gaps
+    // same assignment regardless of input partitioning
+    val re = Sampling.denseIds(df.repartition(13), col("id0"), 8)
+      .select(col("id0"), col("id")).as[(Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq === re.sortBy(_._1).toSeq)
+    // two-level form == one global row_number over (bucket, key)
+    val expected = df
+      .withColumn("b", Sampling.fibHash(col("id0")))
+      .orderBy("b", "id0").as[(Long, Long)].collect()
+      .map(_._1).zipWithIndex.map { case (k, i) => (k, i.toLong) }.toMap
+    assert(got.map(r => r._1 -> r._2).toMap === expected)
+  }
 }
