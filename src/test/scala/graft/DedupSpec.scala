@@ -219,4 +219,33 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.decontaminate(rep, ev2, "doc_id", "text")
       .as[(Long, Long)].collect().toMap === Map(9L -> 3L)) // "x y z","y z x","z x y"
   }
+
+  test("decontaminate equals driver-side brute force on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val gen = for {
+      train <- Gen.listOf(doc).map(_.take(12))
+      ev <- Gen.listOf(doc).map(_.take(4))
+    } yield (train, ev)
+    def grams(s: String): Set[String] = {
+      val t = s.split(" ", -1)
+      (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val prop = Prop.forAll(gen) { case (train, ev) =>
+      val trainDf = train.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val evDf = ev.zipWithIndex.map { case (s, i) => (1000L + i, s) }
+        .toDF("doc_id", "text")
+      val got = Dedup.decontaminate(trainDf, evDf, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      val evGrams = ev.flatMap(grams).toSet
+      val expected = train.zipWithIndex
+        .map { case (s, i) => i.toLong -> (grams(s) & evGrams).size.toLong }
+        .filter(_._2 > 0).toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
