@@ -445,6 +445,26 @@ object SparkEntry {
 
     // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
     // artists/users writes) — exercises the empty-partitionCols branch.
+    // Exactly-k-per-stratum sample (balanced per-source training draw):
+    // first 20 docs of each source under the deterministic hash order.
+    // Fully oracled.
+    "q_group_sample" -> ((s, dir) =>
+      graft.operators.Sampling
+        .groupSample(t(s, dir, "documents").select("doc_id", "source"),
+          col("source"), col("doc_id"), 20)
+        .orderBy("doc_id")),
+
+    // Intra-doc duplicate-line removal (first occurrence kept, order
+    // preserved) over the multi-line fixture — the removal counterpart
+    // of the Gopher duplicate-line filter. Fully oracled, md5-compared.
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), multilineFixture.as("doc"))
+      TextOps.dedupLines(docs, "doc_id", "doc")
+        .select(col("doc_id"), md5(col("clean").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // Dense contiguous ids 0..n-1 (distributed zipWithIndex): two-level
     // shard-rank + tiny offset prefix-sum — no global window partition.
     // The oracle IS the global row_number equivalence. Fully oracled.
@@ -2140,6 +2160,25 @@ object SparkEntry {
         |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t) AS stop_ratio,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_group_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST(floor(((doc_id * 2654435769) % 4294967296) * 1000000.0
+        |           / 4294967296.0) AS BIGINT), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_line_dedup" ->
+      (s"WITH d AS ($multilineFixtureSql),\n" +
+      """ls AS (SELECT doc_id, string_split(doc, chr(10)) AS l FROM d),
+        |lines AS (SELECT doc_id, unnest(l) AS line,
+        |    unnest(generate_series(1, len(l))) AS pos FROM ls),
+        |firsts AS (SELECT doc_id, line, min(pos) AS pos
+        |  FROM lines GROUP BY doc_id, line)
+        |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS fp
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "q_dense_ids" ->
       """WITH h AS (SELECT doc_id,

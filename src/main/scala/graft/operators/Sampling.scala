@@ -117,6 +117,23 @@ object Sampling {
       .withColumn("rank_in_shard", row_number().over(w))
   }
 
+  /** Exactly-k-per-stratum sample: the first `k` rows of each stratum
+    * under the deterministic hash order — the BALANCED counterpart of
+    * [[stratifiedSample]]'s rate-based draw (a training set wanting 1000
+    * docs per language, not 0.1% of each). Same auditability: membership
+    * is a pure function of (strata, key, k).
+    *
+    * One window shuffle on the stratum; a stratum is one task at the
+    * extreme (the per-key window caveat) — for few huge strata,
+    * pre-filter with `sample()` at a rate safely above k/|stratum| and
+    * top off exactly, so the window sees a sliver. */
+  def groupSample(df: DataFrame, strata: Column, key: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(fibHash(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Dense contiguous ids 0..n−1 — the distributed `zipWithIndex` every
     * id-mapping build needs (vocabulary ids, surrogate ints for an
     * embedding table) without the trap of a GLOBAL `row_number`, which

@@ -83,6 +83,20 @@ class SamplingSpec extends SparkTestBase {
     assert(globalOrder !== globalOrder.sorted)
   }
 
+  test("groupSample takes exactly k per stratum (or the whole small stratum), deterministically") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("s", when(col("id") < 900, "big").otherwise(when(col("id") < 995, "mid").otherwise("tiny")))
+    val got = Sampling.groupSample(df, col("s"), col("id"), 10)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(got === Map("big" -> 10L, "mid" -> 10L, "tiny" -> 5L)) // tiny has only 5 rows
+    // deterministic membership
+    val a = Sampling.groupSample(df, col("s"), col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.groupSample(df.repartition(7), col("s"), col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("denseIds: contiguous 0..n-1, layout-independent, equals the global-order rank") {
     val df = spark.range(0, 777).toDF("id0")
     val got = Sampling.denseIds(df, col("id0"), 8)

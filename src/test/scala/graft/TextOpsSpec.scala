@@ -128,6 +128,17 @@ class TextOpsSpec extends SparkTestBase {
     assert(none === ((0, 0, 0, "plain words only")))
   }
 
+  test("dedupLines keeps each line's first occurrence in order, one row per doc") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb\na"),
+      (2L, "same\nsame\nsame"),
+      (3L, "only one line"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a\nb\nc", 2L -> "same", 3L -> "only one line"))
+  }
+
   test("stripBoilerplate drops lines in >= minDf docs, keeps order, keeps empty docs") {
     val docs = Seq(
       (1L, "keep one\ncookie banner\nkeep two"),
