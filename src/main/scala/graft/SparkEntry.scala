@@ -445,6 +445,21 @@ object SparkEntry {
 
     // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
     // artists/users writes) — exercises the empty-partitionCols branch.
+    // Token-budget selection: the best-quality docs whose cumulative
+    // token count fits a 15k budget — quality score orders, the kernel
+    // token count weighs, banded prefix-sum selects. The oracle is the
+    // single-window cumulative-sum equivalence. Fully oracled.
+    "q_budget_select" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.textStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          graft.operators.QualityFilters.qualityScore(col("st")).as("q"),
+          col("st.n_tokens").as("w"))
+      graft.operators.Sampling
+        .budgetSelect(scored, col("q"), col("doc_id"), col("w"), 15000L)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // Exactly-k-per-stratum sample (balanced per-source training draw):
     // first 20 docs of each source under the deterministic hash order.
     // Fully oracled.
@@ -1101,6 +1116,33 @@ object SparkEntry {
         Dedup.jaccardJoin(t(s, dir, "documents"), "text", "doc_id", 0.8),
         "da", "db")
         .orderBy("id")),
+
+    // Quality-aware cluster representative: keep the HIGHEST-quality doc
+    // of each near-dup cluster (tie -> min id) instead of q_curate_cc's
+    // min-id policy — what production dedup actually ships (the best
+    // duplicate survives, not the earliest). Labels from connected
+    // components, winner per cluster by one window over the label
+    // relation (cluster-scale, tiny), survivors by anti-join. Fully
+    // oracled (recursive-CTE labels + the same window in SQL).
+    "q_cc_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val scored = docs
+        .select(col("doc_id"), TextOps.textStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          graft.operators.QualityFilters.qualityScore(col("st")).as("q"))
+      val labels = Dedup.connectedComponents(
+        Dedup.jaccardJoin(docs, "text", "doc_id", 0.8), "da", "db")
+      val losers = labels
+        .join(scored, labels("id") === scored("doc_id"))
+        .select(col("id"), col("component"), col("q"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("component")).orderBy(col("q").desc, col("id"))))
+        .filter(col("rn") > 1)
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // Cluster-aware curation: same gate + exact dedup as q_curate, but the
     // near-dup stage keeps ONE doc per duplicate cluster (connected
@@ -2161,6 +2203,24 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
         |FROM toks ORDER BY doc_id""".stripMargin,
 
+    "q_budget_select" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(t) AS DOUBLE) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / len(t) AS stop_ratio,
+        |    CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+        |      / len(t) AS avg_len
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |q AS (SELECT doc_id, n_tokens,
+        |    1.0 / (1.0 + exp(-(-3.0 + 0.6 * ln(1.0 + n_tokens) + 2.0 * uniq_ratio
+        |      + 4.0 * stop_ratio - 0.3 * abs(avg_len - 5.0)))) AS qs
+        |  FROM f),
+        |c AS (SELECT doc_id,
+        |    sum(CAST(n_tokens AS BIGINT)) OVER (ORDER BY qs DESC, doc_id) AS cum
+        |  FROM q)
+        |SELECT doc_id FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+
     "q_group_sample" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
@@ -2408,6 +2468,43 @@ object SparkEntry {
         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
         |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
         |SELECT id, component FROM comp ORDER BY id""".stripMargin,
+
+    "q_cc_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT da, db FROM inter
+        |      JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |      WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8),
+        |sym AS (SELECT da AS u, db AS v FROM e UNION SELECT db AS u, da AS v FROM e),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        |f AS (SELECT doc_id,
+        |    CAST(len(t) AS DOUBLE) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / len(t) AS stop_ratio,
+        |    CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+        |      / len(t) AS avg_len
+        |  FROM toks),
+        |qs AS (SELECT doc_id,
+        |    1.0 / (1.0 + exp(-(-3.0 + 0.6 * ln(1.0 + n_tokens) + 2.0 * uniq_ratio
+        |      + 4.0 * stop_ratio - 0.3 * abs(avg_len - 5.0)))) AS q
+        |  FROM f),
+        |lose AS (SELECT id FROM (
+        |    SELECT comp.id,
+        |      row_number() OVER (PARTITION BY comp.component
+        |                         ORDER BY qs.q DESC, comp.id) AS rn
+        |    FROM comp JOIN qs ON qs.doc_id = comp.id) x WHERE rn > 1)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM lose)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_curate_cc" ->
       """WITH RECURSIVE q AS (SELECT doc_id, text FROM documents

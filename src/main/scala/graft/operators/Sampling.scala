@@ -134,6 +134,45 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Token-budget selection: keep the maximal PREFIX of the corpus in
+    * `(score desc, key)` order whose cumulative `weight` stays within
+    * `budget` — "fill a training mix with the best-quality tokens", the
+    * selection step after [[graft.operators.QualityFilters.qualityScore]]
+    * scores and a token-count kernel weighs.
+    *
+    * The distributed shape (the point at 100 TB): a global cumulative
+    * window would order the corpus through ONE partition, so the prefix
+    * sum is computed BANDED — scores band by `width_bucket` over [0,1]
+    * (bands affect only parallelism, never the result: the selected set
+    * depends solely on the total order and the weights), per-band totals
+    * prefix-sum into offsets on a config-scale window, and each band
+    * cumsums internally in parallel; a row survives iff
+    * `offset(band) + cum_in_band ≤ budget`. Same two-level proof shape
+    * as [[denseIds]], and the oracle IS the one-window equivalence
+    * (`q_budget_select`, fully oracled). Cross-engine caveat: ordering
+    * by a computed float score assumes no two docs' scores collide
+    * within FP noise (same standing assumption as every float-ordered
+    * judged query). */
+  def budgetSelect(df: DataFrame, score: Column, key: Column, weight: Column,
+      budget: Long, bands: Int = 32): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__score", score).withColumn("__w", weight.cast("long"))
+      .withColumn("__band",
+        (lit(bands) + 1 - width_bucket(col("__score"), lit(0.0), lit(1.0), lit(bands)))
+          .cast("int"))
+    val offsets = base.groupBy(col("__band")).agg(sum(col("__w")).as("__bw"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bw")).over(
+          W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__offset"))
+    base
+      .withColumn("__cum", sum(col("__w")).over(
+        W.partitionBy(col("__band")).orderBy(col("__score").desc, key)))
+      .join(broadcast(offsets), "__band")
+      .filter(col("__offset") + col("__cum") <= budget)
+      .drop("__score", "__w", "__band", "__cum", "__offset")
+  }
+
   /** Dense contiguous ids 0..n−1 — the distributed `zipWithIndex` every
     * id-mapping build needs (vocabulary ids, surrogate ints for an
     * embedding table) without the trap of a GLOBAL `row_number`, which

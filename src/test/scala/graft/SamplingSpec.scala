@@ -97,6 +97,24 @@ class SamplingSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("budgetSelect keeps the maximal global-order prefix within budget, band-count independent") {
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("sc", (col("id") % 97).cast("double") / 100.0) // scores in [0, 0.96]
+      .withColumn("w", col("id") % 7 + 1)
+    def kept(bands: Int): Set[Long] =
+      Sampling.budgetSelect(df, col("sc"), col("id"), col("w"), 300L, bands)
+        .select("id").as[Long].collect().toSet
+    // reference: driver-side global cumulative sum over (score desc, id)
+    val rows = df.select("id", "sc", "w").as[(Long, Double, Long)].collect()
+      .sortBy { case (id, sc, _) => (-sc, id) }
+    val expected = rows.scanLeft((0L, 0L)) { case ((_, cum), (id, _, w)) => (id, cum + w) }
+      .drop(1).takeWhile(_._2 <= 300L).map(_._1).toSet
+    assert(kept(32) === expected)
+    assert(expected.nonEmpty && expected.size < 500)
+    // bands change parallelism, never the result
+    assert(kept(1) === expected && kept(7) === expected)
+  }
+
   test("denseIds: contiguous 0..n-1, layout-independent, equals the global-order rank") {
     val df = spark.range(0, 777).toDF("id0")
     val got = Sampling.denseIds(df, col("id0"), 8)
