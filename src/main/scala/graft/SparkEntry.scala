@@ -167,7 +167,7 @@ object SparkEntry {
       |  SELECT o_orderkey, o_totalprice + 10 AS o_totalprice, o_orderstatus
       |  FROM o WHERE o_orderkey % 7 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      |  SELECT o_orderkey + 1000000000000, o_totalprice, o_orderstatus
       |  FROM o WHERE o_orderkey % 11 = 0)
       |SELECT * FROM upd
       |UNION ALL
@@ -487,8 +487,6 @@ object SparkEntry {
         .orderBy("year")
     }),
 
-    // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
-    // artists/users writes) — exercises the empty-partitionCols branch.
     // Token-budget selection: the best-quality docs whose cumulative
     // token count fits a 15k budget — quality score orders, the kernel
     // token count weighs, banded prefix-sum selects. The oracle is the
@@ -560,7 +558,7 @@ object SparkEntry {
       val updates = o.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 10)
         .unionByName(o.filter(col("o_orderkey") % 11 === 0)
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + 1000000000000L).as("o_orderkey"),
             col("o_totalprice"), col("o_orderstatus")))
       graft.operators.Relational.upsert(o, updates, "o_orderkey")
         .orderBy("o_orderkey")
@@ -589,6 +587,8 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
+    // artists/users writes) — exercises the empty-partitionCols branch.
     "q_write_unpart" -> ((s, dir) => {
       val path = tmpPath("customer_unpart")
       writePartitioned(
@@ -726,7 +726,7 @@ object SparkEntry {
     // duplicate texts.
     "q_exact_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val dup = d.union(d.withColumn("doc_id", col("doc_id") + 10000))
+      val dup = d.union(d.withColumn("doc_id", col("doc_id") + 1000000000000L))
       Dedup.exactDedup(dup, "text", "doc_id").orderBy("doc_id")
     }),
 
@@ -734,7 +734,7 @@ object SparkEntry {
     // standing corpus is documents exact-deduped; the arriving batch
     // carries, per base doc, an exact duplicate of its text (id+10000,
     // even ids) or a genuinely new revision (text || ' rev2', odd ids) —
-    // PLUS a full second copy at id+20000, so the batch has internal
+    // PLUS a full second copy re-keyed far above any real id, so the batch has internal
     // duplicates too. ingestDedup must drop corpus-known texts AND batch-
     // internal duplicates; the judged output (corpus ∪ appended delta) is
     // oracled against the from-scratch min-id dedup of everything, which
@@ -744,8 +744,8 @@ object SparkEntry {
       val existing = Dedup.exactDedup(d, "text", "doc_id")
       val revised = when(col("doc_id") % 2 === 1,
         concat(col("text"), lit(" rev2"))).otherwise(col("text"))
-      val batch = d.select((col("doc_id") + 10000).as("doc_id"), revised.as("text"))
-        .union(d.select((col("doc_id") + 20000).as("doc_id"), revised.as("text")))
+      val batch = d.select((col("doc_id") + 1000000000000L).as("doc_id"), revised.as("text"))
+        .union(d.select((col("doc_id") + 2000000000000L).as("doc_id"), revised.as("text")))
       existing.union(Dedup.ingestDedup(existing, batch, "text", "doc_id"))
         .orderBy("doc_id")
     }),
@@ -809,7 +809,7 @@ object SparkEntry {
       import s.implicits._
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       runStream(s, "stream_dedup",
-        Seq(("in", d.union(d.withColumn("doc_id", col("doc_id") + 10000)),
+        Seq(("in", d.union(d.withColumn("doc_id", col("doc_id") + 1000000000000L)),
           "doc_id LONG, text STRING")),
         in => graft.streaming.Streams
           .exactDedupStream(in("in").as[graft.streaming.Streams.DocRow]).toDF())
@@ -839,7 +839,7 @@ object SparkEntry {
       import s.implicits._
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       runStream(s, "stream_curate",
-        Seq(("in", d.union(d.withColumn("doc_id", col("doc_id") + 20000)),
+        Seq(("in", d.union(d.withColumn("doc_id", col("doc_id") + 1000000000000L)),
           "doc_id LONG, text STRING")),
         in => graft.streaming.Streams.exactDedupStream(
           graft.operators.QualityFilters
@@ -865,7 +865,7 @@ object SparkEntry {
       val updates = o.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 10)
         .unionByName(o.filter(col("o_orderkey") % 11 === 0)
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + 1000000000000L).as("o_orderkey"),
             col("o_totalprice"), col("o_orderstatus")))
       updates.coalesce(1).write.parquet(s"$root/in")
       val st = s.readStream
@@ -1124,7 +1124,7 @@ object SparkEntry {
           when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10)
             .otherwise(col("o_totalprice")))
         .unionByName(o.filter(col("o_orderkey") % 11 === 0)
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + 1000000000000L).as("o_orderkey"),
             col("o_totalprice"), col("o_orderstatus")))
       graft.operators.Relational
         .snapshotDiff(o, after, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
@@ -2126,7 +2126,7 @@ object SparkEntry {
     "q_exact_dedup" ->
       """WITH u AS (SELECT * FROM documents
         |           UNION ALL
-        |           SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)
+        |           SELECT doc_id + 1000000000000, text, lang, source, n_chars FROM documents)
         |SELECT doc_id, text, lang, source, n_chars FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
@@ -2138,11 +2138,11 @@ object SparkEntry {
       """WITH ex0 AS (SELECT doc_id, text FROM documents),
         |ex AS (SELECT doc_id, text FROM ex0
         |       WHERE doc_id IN (SELECT min(doc_id) FROM ex0 GROUP BY text)),
-        |b AS (SELECT doc_id + 10000 AS doc_id,
+        |b AS (SELECT doc_id + 1000000000000 AS doc_id,
         |             CASE WHEN doc_id % 2 = 1 THEN text || ' rev2' ELSE text END AS text
         |      FROM documents
         |      UNION ALL
-        |      SELECT doc_id + 20000,
+        |      SELECT doc_id + 2000000000000,
         |             CASE WHEN doc_id % 2 = 1 THEN text || ' rev2' ELSE text END
         |      FROM documents),
         |u AS (SELECT * FROM ex UNION ALL SELECT * FROM b)
@@ -2210,7 +2210,7 @@ object SparkEntry {
     "q_stream_dedup" ->
       """WITH u AS (SELECT * FROM documents
         |           UNION ALL
-        |           SELECT doc_id + 10000, text, lang, source, n_chars FROM documents)
+        |           SELECT doc_id + 1000000000000, text, lang, source, n_chars FROM documents)
         |SELECT doc_id FROM u
         |WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
@@ -2284,11 +2284,11 @@ object SparkEntry {
         |SELECT doc_id,
         |  len(regexp_extract_all(x, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
         |  len(regexp_extract_all(x, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
-        |  len(regexp_extract_all(x, '\+?\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone,
+        |  len(regexp_extract_all(x, '(\+?\d{1,2}[- ])?\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone,
         |  md5(regexp_replace(regexp_replace(regexp_replace(x,
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ip>', 'g'),
-        |    '\+?\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<phone>', 'g')) AS fp
+        |    '(\+?\d{1,2}[- ])?\d{3}[- ]\d{3}[- ]\d{4}', '<phone>', 'g')) AS fp
         |FROM lc ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
@@ -2441,7 +2441,7 @@ object SparkEntry {
         |    o_orderstatus
         |  FROM o WHERE o_orderkey % 13 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+        |  SELECT o_orderkey + 1000000000000, o_totalprice, o_orderstatus
         |  FROM o WHERE o_orderkey % 11 = 0),
         |j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
         |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
@@ -2648,7 +2648,7 @@ object SparkEntry {
 
     "q_stream_curate" ->
       ("WITH u AS (SELECT doc_id, text FROM documents\n" +
-        "           UNION ALL SELECT doc_id + 20000, text FROM documents),\n" +
+        "           UNION ALL SELECT doc_id + 1000000000000, text FROM documents),\n" +
         s"${gopherGateSql("u")}\n" +
       """SELECT doc_id FROM gop
         |WHERE doc_id IN (SELECT min(doc_id) FROM gop GROUP BY text)

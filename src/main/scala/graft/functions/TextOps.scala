@@ -201,10 +201,13 @@ object TextOps {
     * Java-regex/RE2 compatibility rule as [[URL_RE]]. */
   val IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Phone pattern for [[redactPii]] — optional +CC, then 3-3-4 digit
-    * groups separated by `-` or space (the NANP shape the fixture
-    * derives; real deployments swap in a locale pattern set here). */
-  val PHONE_RE = "\\+?\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}"
+  /** Phone pattern for [[redactPii]] — 3-3-4 digit groups separated by
+    * `-` or space, with a TRULY optional `+CC ` prefix (the prefix is
+    * one optional group — r7 review: the first cut made the CC digits
+    * mandatory, so plain `555-867-5309` leaked through unredacted; the
+    * NANP shape the fixture derives; real deployments swap in a locale
+    * pattern set here). */
+  val PHONE_RE = "(\\+?\\d{1,2}[- ])?\\d{3}[- ]\\d{3}[- ]\\d{4}"
 
   /** PII audit + redaction for pretraining ingest (beyond [[cleanText]]'s
     * URL/email masking): masks emails, IPv4 addresses and phone numbers
@@ -246,6 +249,17 @@ object TextOps {
     * and broadcasts to an anti-join at the scan. Reassembly shuffles
     * each doc's surviving (pos, line) rows once; the per-doc sort runs
     * inside the aggregate's collected array (docs are KB-scale). */
+  /** Reassemble per-doc lines in position order: `sort_array` over the
+    * collected (pos, line) structs sorts by the FIRST field with no
+    * lambda, and `.getField` on the sorted array projects the line field
+    * array-wise (`GetArrayStructFields`, codegen'd) — zero interpreted
+    * higher-order functions on the reassembly path (r7 review; the first
+    * cut used a `transform` lambda, the CLAUDE.md HOF trap). */
+  private def linesInOrder: Column =
+    array_join(
+      array_sort(collect_list(struct(col("__pos"), col("__line"))))
+        .getField("__line"), "\n")
+
   /** Intra-document duplicate-line removal: keep each line's FIRST
     * occurrence within its doc, preserving order — the removal
     * counterpart of the Gopher duplicate-line FILTER (which rejects the
@@ -253,26 +267,29 @@ object TextOps {
     * cross-doc pass. Every doc keeps at least one line, so row count is
     * stable by construction.
     *
-    * Per-doc group on (id, line-hash) with min-position, then the same
-    * hash-keyed reassembly as [[stripBoilerplate]] — full line strings
-    * ride only (pos, line) pairs into the per-doc aggregate, never a
-    * corpus-wide relation. Judged `q_line_dedup`, md5-compared, fully
-    * oracled. */
+    * The first-occurrence aggregate shuffles on (id, xxhash64(line)) —
+    * 16-byte keys, with the line string riding as the payload each group
+    * resolves by `min_by` position (all rows of a group carry the
+    * IDENTICAL string, the usual 64-bit hash-equality contract) — then
+    * one per-doc reassembly aggregate. Judged `q_line_dedup`,
+    * md5-compared, fully oracled. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .groupBy(col(idCol), col("__line"))
-      .agg(min(col("__pos")).as("__pos"))
+      .groupBy(col(idCol), xxhash64(col("__line")).as("__lh"))
+      .agg(min(col("__pos")).as("__pos"), min(col("__line")).as("__line"))
       .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          e => e.getField("__line")), "\n").as("clean"))
+      .agg(linesInOrder.as("clean"))
 
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long): DataFrame = {
-    val lines = docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .withColumn("__lh", xxhash64(col("__line")))
+    // the exploded relation feeds BOTH the df aggregate and the
+    // anti-join — persist via the registry or the corpus is scanned and
+    // re-split twice (r7 review; the jaccardJoin precedent)
+    val lines = graft.engine.Caches.persisted(
+      docs.select(col(idCol),
+          posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        .withColumn("__lh", xxhash64(col("__line"))))
     val dropList = lines.groupBy(col("__lh"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
@@ -280,9 +297,7 @@ object TextOps {
     val rebuilt = lines
       .join(broadcast(dropList), Seq("__lh"), "left_anti")
       .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          e => e.getField("__line")), "\n").as("clean"))
+      .agg(linesInOrder.as("clean"))
     docs.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
       .na.fill("", Seq("clean"))

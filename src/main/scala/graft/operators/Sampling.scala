@@ -156,10 +156,13 @@ object Sampling {
   def budgetSelect(df: DataFrame, score: Column, key: Column, weight: Column,
       budget: Long, bands: Int = 32): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val base = df.withColumn("__score", score).withColumn("__w", weight.cast("long"))
-      .withColumn("__band",
-        (lit(bands) + 1 - width_bucket(col("__score"), lit(0.0), lit(1.0), lit(bands)))
-          .cast("int"))
+    // feeds both the per-band totals and the in-band cumsum — persist
+    // via the registry so scoring/weighing run once
+    val base = graft.engine.Caches.persisted(
+      df.withColumn("__score", score).withColumn("__w", weight.cast("long"))
+        .withColumn("__band",
+          (lit(bands) + 1 - width_bucket(col("__score"), lit(0.0), lit(1.0), lit(bands)))
+            .cast("int")))
     val offsets = base.groupBy(col("__band")).agg(sum(col("__w")).as("__bw"))
       .withColumn("__offset",
         coalesce(sum(col("__bw")).over(
@@ -187,7 +190,9 @@ object Sampling {
     * in SQL (`q_dense_ids`, fully oracled), which is exactly the
     * equivalence that proves the two-level form correct. */
   def denseIds(df: DataFrame, key: Column, shards: Int = 256): DataFrame = {
-    val so = shuffleOrder(df, key, shards)
+    // feeds both the offsets aggregate and the final join — persist via
+    // the registry so the ranked relation is not computed twice
+    val so = graft.engine.Caches.persisted(shuffleOrder(df, key, shards))
     val offsets = so.groupBy(col("shard"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",

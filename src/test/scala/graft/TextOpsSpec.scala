@@ -120,6 +120,11 @@ class TextOpsSpec extends SparkTestBase {
       .as[(Int, Int, Int, String)])
     assert(out === ((2, 1, 1,
       "ping <email> or <email>, box <ip>, tel <phone> done")))
+    // bare NANP number (no country code) is still caught (r7 review)
+    val bare = one(Seq("dial 555-867-5309 ok").toDF("t")
+      .select(TextOps.redactPii(col("t")).as("p"))
+      .select(col("p.n_phone"), col("p.clean")).as[(Int, String)])
+    assert(bare === ((1, "dial <phone> ok")))
     // no PII -> zero counts, text only lowercased
     val none = one(Seq("Plain words only").toDF("t")
       .select(TextOps.redactPii(col("t")).as("p"))
