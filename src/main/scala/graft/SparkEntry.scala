@@ -1783,7 +1783,29 @@ object SparkEntry {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("status", "rn")
-    })
+    }),
+
+    // Two-pass exact heavy hitters: mergeable Misra-Gries candidate sketch
+    // (one scan, k-bounded state per task) + exact count of only the
+    // candidates. The HAVING-on-exact-count step makes the approximate
+    // pass invisible in the output — fully oracled, integer threshold
+    // (n * 2000 >= N_tokens, i.e. support >= 0.05%).
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token")),
+        "token", denom = 2000L)),
+
+    // Key-distribution skew diagnostic (the exact sibling of the sampled
+    // hotKeys probe behind q_skew_join): a derived key collapses 30% of
+    // lineitem onto 5 hot values; the profile must surface exactly those
+    // with integer-exact count / ppm share / x-mean columns.
+    "q_skew_profile" -> ((s, dir) =>
+      graft.operators.Relational.skewProfile(
+        t(s, dir, "lineitem").select(
+          when(col("l_orderkey") % 10 < 3, -(col("l_orderkey") % 5) - 1)
+            .otherwise(col("l_orderkey")).as("key")),
+        "key", hotFactor = 8L, topN = 20))
   )
 
   /** The driver contract: one judged query per implemented operator.
@@ -2857,6 +2879,28 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY o_orderstatus
         |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         |  FROM orders) t
-        |WHERE rn <= 3 ORDER BY status, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY status, rn""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT token, count(*) AS n
+        |FROM toks, tot
+        |GROUP BY token, n_total
+        |HAVING count(*) * 2000 >= n_total
+        |ORDER BY n DESC, token""".stripMargin,
+
+    "q_skew_profile" ->
+      """WITH k AS (SELECT CASE WHEN l_orderkey % 10 < 3
+        |                       THEN -(l_orderkey % 5) - 1
+        |                       ELSE l_orderkey END AS key FROM lineitem),
+        |pk AS (SELECT key, count(*) AS n FROM k GROUP BY key),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows FROM pk)
+        |SELECT key, n,
+        |       CAST((n * 1000000) // n_rows AS BIGINT) AS share_ppm,
+        |       CAST((n * n_keys) // n_rows AS BIGINT) AS x_mean
+        |FROM pk, s
+        |WHERE n * n_keys >= 8 * n_rows
+        |ORDER BY n DESC, key LIMIT 20""".stripMargin
   )
 }

@@ -589,4 +589,33 @@ object Relational {
       rel -> compact(spark, leaf.toString, targetBytes)
     }.toMap
   }
+
+  /** Key-distribution skew diagnostic — the EXACT counterpart of the
+    * sampled [[hotKeys]] probe, for when the answer itself is the product
+    * (capacity planning, choosing a salt factor, explaining a slow join):
+    * the keys whose row count is at least `hotFactor`× the mean rows/key,
+    * with their count and corpus share.
+    *
+    * All derived columns are integer arithmetic (floor-division ppm, a
+    * `n × n_keys ≥ hotFactor × N` hotness test) so the DuckDB oracle
+    * reproduces them bit-for-bit — no float thresholds to disagree on.
+    *
+    * Scale: one hash-aggregate over the keys (map-side partials compress
+    * each partition to its distinct keys), one single-row global summary
+    * broadcast back over the per-key counts. Output is bounded by the
+    * number of hot keys — by definition few. The full per-key relation is
+    * never collected or re-shuffled. */
+  def skewProfile(df: DataFrame, key: String, hotFactor: Long = 8L,
+      topN: Int = 100): DataFrame = {
+    require(hotFactor >= 1 && topN >= 1)
+    val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val summary = perKey.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+    perKey.crossJoin(broadcast(summary))
+      .filter(col("n") * col("n_keys") >= lit(hotFactor) * col("n_rows"))
+      .select(col(key), col("n"),
+        expr("(n * 1000000) div n_rows").as("share_ppm"),
+        expr("(n * n_keys) div n_rows").as("x_mean"))
+      .orderBy(desc("n"), col(key))
+      .limit(topN)
+  }
 }
