@@ -1553,6 +1553,22 @@ object SparkEntry {
         .orderBy("error_id", "click_id")
     }),
 
+    // Interval-overlap join (two-sided rangeJoin): shipment intervals
+    // [l_shipdate, +l_linenumber days] against sparse 14-day audit
+    // windows, counted per window. Bin-equi-join + canonical-bin filter —
+    // never a theta join. Fully oracled.
+    "q_interval_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("ls"),
+          expr("l_shipdate + make_interval(0, 0, 0, l_linenumber, 0, 0, 0)").as("le"))
+      val win = t(s, dir, "orders").filter(col("o_orderkey") % 997 === 1)
+        .select(col("o_orderkey").as("wkey"), col("o_orderdate").as("ws"),
+          expr("o_orderdate + make_interval(0, 0, 2, 0, 0, 0, 0)").as("we"))
+      graft.operators.Events.intervalJoin(li, "ls", "le", win, "ws", "we")
+        .groupBy("wkey").agg(count(lit(1)).as("n_li"))
+        .orderBy("wkey")
+    }),
+
     // Time-series resampling with gap filling: dense hourly spine over
     // the event span, empty buckets at n=0 / null sum. Fully oracled.
     "q_resample" -> ((s, dir) =>
@@ -2037,6 +2053,14 @@ object SparkEntry {
         |  AND c.ts BETWEEN e.ts - INTERVAL 120 MINUTE
         |                AND e.ts + INTERVAL 120 MINUTE
         |ORDER BY error_id, click_id""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT o.o_orderkey AS wkey, count(*) AS n_li
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate <= o.o_orderdate + INTERVAL 14 DAY
+        | AND o.o_orderdate <= l.l_shipdate + l.l_linenumber * INTERVAL 1 DAY
+        |WHERE o.o_orderkey % 997 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events

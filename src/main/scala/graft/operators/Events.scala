@@ -128,6 +128,45 @@ object Events {
       .drop("__bucket")
   }
 
+  /** Interval-overlap join: all (left, right) pairs whose timestamp
+    * intervals `[lStart, lEnd]` and `[rStart, rEnd]` overlap (inclusive
+    * endpoints) — the two-sided generalization of [[rangeJoin]] (where
+    * the right side is a point). Standard temporal-join surface the
+    * reference lacks: "which audit windows does each shipment span".
+    *
+    * Same scale discipline as rangeJoin: never an un-keyed theta join.
+    * Time is cut into `binDays`-wide bins; each side explodes to the bins
+    * its interval covers, the join is a plain equi-join on the bin, and
+    * the exact overlap predicate filters the residue. An overlapping pair
+    * meets in EVERY shared bin, so the canonical-bin filter
+    * (`bin == bin(max(lStart, rStart))` — the later start lies inside
+    * both intervals, by overlap) keeps exactly one copy per pair with no
+    * distinct pass. Monotonicity of the bin function is all that's needed
+    * for that bin to be generated by both sides, so float flooring is
+    * safe. Shuffle key = bin: co-temporal rows co-locate, and a long
+    * interval costs `len/binDays` replicas — size binDays near the
+    * typical interval length (for multi-year intervals, split the hot
+    * side by key first or raise binDays). Exact results → plain
+    * overlap-predicate oracle (`q_interval_join`). */
+  def intervalJoin(left: DataFrame, lStartCol: String, lEndCol: String,
+      right: DataFrame, rStartCol: String, rEndCol: String,
+      binDays: Int = 32): DataFrame = {
+    require(binDays >= 1, s"binDays must be positive, got $binDays")
+    val binUs = binDays * 86400L * 1000000L
+    // cast accepts TIMESTAMP_NTZ sources too (session TZ is UTC); the bin
+    // only needs monotonicity, so the NTZ→LTZ reinterpretation is safe
+    def bin(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / lit(binUs)).cast("long")
+    val lb = left.withColumn("__bin",
+      explode(sequence(bin(col(lStartCol)), bin(col(lEndCol)))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(bin(col(rStartCol)), bin(col(rEndCol)))))
+    lb.join(rb, "__bin")
+      .filter(col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol))
+      .filter(col("__bin") === bin(greatest(col(lStartCol), col(rStartCol))))
+      .drop("__bin")
+  }
+
   /** JSON property extraction from a string column via `from_json` with an
     * explicit one-field schema (`props` is `{"k": <long>}` in the test
     * corpus). Declarative JsonToStructs — codegen-friendly, pushdown-safe. */

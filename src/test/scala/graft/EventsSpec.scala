@@ -65,6 +65,38 @@ class EventsSpec extends SparkTestBase {
     assert(out.toSet === Set((1L, 1L), (1L, 2L), (1L, 4L), (3L, 5L)))
   }
 
+  test("intervalJoin equals brute-force overlap on random intervals (property)") {
+    // intervals spanning 0..3 bins (binDays=2, lengths to 5 days) with
+    // boundary-exact endpoints; every overlapping pair appears EXACTLY
+    // once, non-overlapping never — against the O(n·m) definition
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val base = ts("2026-01-01 00:00:00").getTime
+    val iv = for {
+      start <- Gen.choose(0L, 20L * 24) // hour offsets over ~3 weeks
+      len <- Gen.choose(0L, 5L * 24)
+    } yield (new Timestamp(base + start * 3600000L),
+      new Timestamp(base + (start + len) * 3600000L))
+    val gen = for {
+      ls <- Gen.listOfN(12, iv)
+      rs <- Gen.listOfN(8, iv)
+    } yield (ls, rs)
+    val prop = Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val right = rs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val got = Events.intervalJoin(
+          left.toDF("lid", "ls", "le"), "ls", "le",
+          right.toDF("rid", "rs", "re"), "rs", "re", binDays = 2)
+        .select("lid", "rid").as[(Long, Long)].collect().toList
+      val expect = for {
+        (li, s1, e1) <- left; (ri, s2, e2) <- right
+        if !s1.after(e2) && !s2.after(e1)
+      } yield (li, ri)
+      got.sorted == expect.sorted // exactly-once: sorted lists, not sets
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("jsonProp extracts the field and yields null on missing key or junk") {
     val out = Seq("""{"k": 7}""", """{"other": 1}""", "not json", null)
       .toDF("props")
