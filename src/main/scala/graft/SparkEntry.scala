@@ -1078,6 +1078,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Domain-level corpus statistics: extract every URL host (fixture
+    // injects two per doc, derived from doc_id), count referencing docs
+    // and total references per domain — the keying surface for domain
+    // blocklists/mixing weights. Fully oracled.
+    "q_domain_stats" -> ((s, dir) => {
+      val doc = concat(col("text"),
+        lit(" see https://site"), col("doc_id") % 97,
+        lit(".example.com/p/"), col("doc_id"),
+        lit(" and http://mirror"), col("doc_id") % 13, lit(".org"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.urlDomains(doc)).as("domain"))
+        .groupBy("domain")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_refs"))
+        .orderBy("domain")
+    }),
+
+    // Compression-ratio quality signal (deflate length / raw length via
+    // the graft_deflate_len codegen kernel) with a pass band. Rows-only:
+    // zlib output is not DuckDB-expressible; monotonicity/determinism
+    // contracts pinned in TextOpsSpec, and the oracled q_quality_score /
+    // q_gopher family covers the thresholded-gate shape.
+    "q_compress_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.compressionRatio(col("text")).as("c_ratio"))
+        .withColumn("pass",
+          (col("c_ratio") >= 0.25 && col("c_ratio") <= 0.95).cast("int"))
+        .orderBy("doc_id")),
+
     // Inter-document boilerplate removal over the shared multi-line
     // fixture: lines occurring in >= 3 distinct docs (the 'same line'
     // block and any cross-doc repeated sentence) are dropped, docs
@@ -2341,6 +2370,14 @@ object SparkEntry {
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY token ORDER BY n DESC, token""".stripMargin,
+
+    "q_domain_stats" ->
+      """WITH d AS (SELECT doc_id, unnest(regexp_extract_all(lower(
+        |    text || ' see https://site' || (doc_id % 97) || '.example.com/p/'
+        |         || doc_id || ' and http://mirror' || (doc_id % 13) || '.org'),
+        |  'https?://([a-z0-9.-]+)', 1)) AS domain FROM documents)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_refs
+        |FROM d GROUP BY 1 ORDER BY domain""".stripMargin,
 
     "q_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -31,7 +31,8 @@ object Tables {
     val all = graft.functions.VectorExprs.dotFunction +:
       (graft.functions.VectorExprs.pqFunctions ++
         graft.functions.TextStatsExprs.functions ++
-        graft.functions.ShingleExprs.functions)
+        graft.functions.ShingleExprs.functions ++
+        graft.functions.CompressExprs.functions)
     all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

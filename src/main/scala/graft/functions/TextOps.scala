@@ -302,4 +302,28 @@ object TextOps {
       .join(rebuilt, Seq(idCol), "left")
       .na.fill("", Seq("clean"))
   }
+
+  /** Capture group 1 = the host of each http(s) URL. Both Java regex and
+    * RE2 compatible (no backtracking constructs), lowercased input so the
+    * DuckDB oracle matches byte-for-byte. */
+  val URL_DOMAIN_RE = "https?://([a-z0-9.-]+)"
+
+  /** All URL domains mentioned in `c`, in document order (with
+    * multiplicity) — the unit of web-corpus curation policy: domain-level
+    * quality priors, blocklists, and mixing weights all key on this.
+    * Scan-stage `regexp_extract_all`; aggregation composes on top
+    * (`q_domain_stats` counts docs and refs per domain). */
+  def urlDomains(c: Column): Column =
+    regexp_extract_all(lower(c), lit(URL_DOMAIN_RE), lit(1))
+
+  /** Compression-ratio quality signal: raw-deflate length over raw UTF-8
+    * length, via the [[graft.functions.DeflateLen]] codegen kernel.
+    * Repetitive/templated junk lands well below prose (~0.3); ratios
+    * near or above 1 mean high-entropy noise. Empty text → ratio over a
+    * floor of 1 byte (deflate of empty input is a 2-byte block, ratio 2
+    * — harmlessly "incompressible"). Not DuckDB-expressible: judged
+    * rows-only, contracts pinned in TextOpsSpec. */
+  def compressionRatio(c: Column): Column =
+    call_function("graft_deflate_len", c).cast("double") /
+      greatest(octet_length(c), lit(1)).cast("double")
 }

@@ -275,6 +275,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     (VectorExprs.dotFunction +:
       (VectorExprs.pqFunctions ++
-        TextStatsExprs.functions ++ ShingleExprs.functions))
+        TextStatsExprs.functions ++ ShingleExprs.functions ++
+        CompressExprs.functions))
       .foreach(ext.injectFunction)
 }

@@ -163,4 +163,33 @@ class TextOpsSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(loose(1L) === "keep one\ncookie banner\nkeep two")
   }
+
+  test("urlDomains extracts hosts in order with multiplicity, case-folded") {
+    val rows = Seq(
+      (1L, "see https://A.Example.com/x and http://b.org/y?z=1 plus https://a.example.com"),
+      (2L, "no urls here"),
+      (3L, "ftp://not.this one"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), TextOps.urlDomains(col("text")).as("d"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a.example.com", "b.org", "a.example.com"))
+    assert(got(2L) === Seq() && got(3L) === Seq())
+  }
+
+  test("compressionRatio: repetition compresses below prose, noise above, deterministic") {
+    val prose = "the quick brown fox jumps over the lazy dog and keeps going " * 20
+    val repet = "same line again " * 80
+    val noise = { val rng = new scala.util.Random(42); Seq.fill(1200)(rng.nextPrintableChar()).mkString }
+    val rows = Seq((1L, prose), (2L, repet), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    def ratios = rows
+      .select(col("doc_id"), TextOps.compressionRatio(col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    val r = ratios
+    assert(r(2L) < r(1L), s"repetition ${r(2L)} must compress below prose ${r(1L)}")
+    assert(r(1L) < r(3L), s"prose ${r(1L)} must compress below noise ${r(3L)}")
+    assert(r(3L) > 0.7 && r(2L) < 0.2)
+    assert(r(4L) === 2.0) // empty text: 2-byte deflate block over the 1-byte floor
+    assert(ratios === r) // deterministic across plans
+  }
 }
