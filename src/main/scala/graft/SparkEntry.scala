@@ -487,6 +487,23 @@ object SparkEntry {
         .orderBy("year")
     }),
 
+    // Range-clustered layout: write lineitem range-partitioned + sorted
+    // by l_shipdate (every file covers a narrow time interval — parquet
+    // min-max stats skip the rest), re-read one month through the
+    // pushable range filter. Oracle = the same filter on the source
+    // table, so the layout must be content-preserving. Fully oracled.
+    "q_cluster_prune" -> ((s, dir) => {
+      val path = tmpPath("cluster_write")
+      graft.operators.Relational.writeClustered(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
+        path, "l_shipdate", nRanges = 16, maxRecordsPerFile = 20000L)
+      readTable(s, path)
+        .filter(expr("l_shipdate >= TIMESTAMP_NTZ'1995-03-01 00:00:00' AND " +
+          "l_shipdate < TIMESTAMP_NTZ'1995-04-01 00:00:00'"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Token-budget selection: the best-quality docs whose cumulative
     // token count fits a 15k budget — quality score orders, the kernel
     // token count weighs, banded prefix-sum selects. The oracle is the
@@ -1158,6 +1175,26 @@ object SparkEntry {
       graft.operators.Relational
         .snapshotDiff(o, after, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
         .orderBy("o_orderkey")
+    }),
+
+    // Declarative constraint report (the Deequ shape): every rule —
+    // row predicates, domain membership, uniqueness — compiled into ONE
+    // aggregate pass and reshaped to (rule, n_violations) in-plan. The
+    // fixture re-appends a mutated slice (negative price, status 'X',
+    // duplicated keys) so each rule counts real violations. Fully
+    // oracled.
+    "q_dq_checks" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+      val broken = base.filter(col("o_orderkey") % 1000 === 7)
+        .withColumn("o_totalprice", -col("o_totalprice"))
+        .withColumn("o_orderstatus", lit("X"))
+      graft.operators.Relational.dqReport(base.unionByName(broken),
+          rowRules = Seq(
+            "custkey_notnull" -> col("o_custkey").isNotNull,
+            "status_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+            "totalprice_positive" -> (col("o_totalprice") > 0)),
+          uniqueKeys = Seq("orderkey_unique" -> Seq("o_orderkey")))
+        .orderBy("rule")
     }),
 
     // Per-document quality scoring: token/unique counts, mean token
@@ -2535,6 +2572,36 @@ object SparkEntry {
         |  FROM o b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey)
         |SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cluster_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_dq_checks" ->
+      """WITH u AS (
+        |  SELECT * FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, -o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 1000 = 7),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, false)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+        |  CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), false)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+        |  CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS v_positive,
+        |  count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+        |    - count(DISTINCT o_orderkey) AS v_unique
+        |  FROM u)
+        |SELECT 'custkey_notnull' AS rule, v_notnull AS n_violations FROM a
+        |UNION ALL SELECT 'orderkey_unique', v_unique FROM a
+        |UNION ALL SELECT 'status_domain', v_domain FROM a
+        |UNION ALL SELECT 'totalprice_positive', v_positive FROM a
+        |ORDER BY rule""".stripMargin,
 
     "q_lang_id" ->
       """WITH sc AS (SELECT doc_id, lang,

@@ -314,6 +314,29 @@ object Relational {
       .sortBy(bucketCol)
       .saveAsTable(tableName)
 
+  /** Range-clustered write — the file-level analogue of hive
+    * partitioning for HIGH-CARDINALITY keys (a timestamp can't be a
+    * partition directory; it can be a sort key): `repartitionByRange`
+    * puts disjoint key ranges in each task (boundaries from a sampled
+    * sketch of the key distribution), the in-task sort makes every
+    * emitted FILE cover a narrow key interval, and `maxRecordsPerFile`
+    * bounds file size. Readers filtering on the key then skip whole
+    * files/row-groups via parquet min-max statistics — at 100 TB the
+    * difference between scanning a day and scanning the corpus. This is
+    * the standing-LAYOUT third of the trio: hive dirs prune by LOW-card
+    * columns (q_prune_read), bucketing co-locates JOIN keys
+    * (q_bucket_join), range-clustering localizes RANGE predicates.
+    * Judged `q_cluster_prune` (clustered write → filtered re-read vs the
+    * direct SQL filter); per-file range disjointness asserted in
+    * RelationalSpec. */
+  def writeClustered(df: DataFrame, path: String, sortCol: String,
+      nRanges: Int, maxRecordsPerFile: Long = 0L): Unit =
+    df.repartitionByRange(nRanges, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Column profiling: (col_name, n_nulls, n_distinct) for each named
     * column, in ONE aggregate pass over the table (the multi-distinct
     * plans through Catalyst's Expand — a single shuffle, not one job per
@@ -329,6 +352,39 @@ object Relational {
     val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+  }
+
+  /** Declarative data-quality constraint report (the Deequ/Great-
+    * Expectations shape, [[profile]]'s rule-driven sibling): each row
+    * rule is a predicate that must hold — a row violates it when the
+    * predicate is false OR null (a null price is not a positive price) —
+    * and each uniqueness rule counts excess rows over distinct keys
+    * among rows whose key components are all non-null (a null key is not
+    * a duplicate of anything — add an explicit not-null row rule for the
+    * keys if nulls must count).
+    *
+    * All rules compile into ONE aggregate pass — conditional sums and
+    * count-distincts side by side, map-side partials doing the heavy
+    * lifting — then `stack` reshapes the single row to (rule,
+    * n_violations) inside the plan. One scan, one tiny shuffle, output =
+    * |rules| rows, no driver collect: the gate a 100 TB ingest runs
+    * before committing a batch. Judged `q_dq_checks` on a fixture that
+    * injects violations of every rule, fully oracled. */
+  def dqReport(df: DataFrame, rowRules: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
+    val names = (rowRules.map(_._1) ++ uniqueKeys.map(_._1))
+    require(names.distinct.size == names.size, "duplicate rule names")
+    val aggs = rowRules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
+    } ++ uniqueKeys.map { case (name, ks) =>
+      val allSet = ks.map(col(_).isNotNull).reduce(_ && _)
+      (count(when(allSet, 1)) -
+        countDistinct(col(ks.head), ks.tail.map(col): _*)).as(s"__v_$name")
+    }
+    val stackArgs = names.map(n => s"'$n', `__v_$n`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${names.length}, $stackArgs) AS (rule, n_violations)")
   }
 
   /** Incremental aggregate maintenance — refresh a standing

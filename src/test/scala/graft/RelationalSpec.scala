@@ -368,4 +368,54 @@ class RelationalSpec extends SparkTestBase {
     assert(n2 >= 2 && parquetFiles === n2)
     assert(readTable(spark, dir).count() === 1000L)
   }
+
+  test("writeClustered: files cover near-disjoint key ranges, content preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val df = (0L until 4000L).map(i => ((i * 2654435769L) % 4096, i)).toDF("k", "id")
+    graft.operators.Relational.writeClustered(df, dir, "k",
+      nRanges = 4, maxRecordsPerFile = 500L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length >= 8, s"expected many files, got ${files.length}")
+    // each file spans a narrow interval; across files the intervals may
+    // touch only at their endpoints (a boundary key can straddle files)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(lo2 >= hi, s"file ranges overlap beyond a boundary: $hi vs $lo2")
+      case _ =>
+    }
+    // a range predicate's matching keys live in few files
+    val hit = ranges.count { case (lo, hi) => lo <= 300L && 200L <= hi }
+    assert(hit <= 2, s"a 100-wide window should hit <=2 of ${ranges.length} files, hit $hit")
+    assert(spark.read.parquet(dir).count() === 4000L)
+  }
+
+  test("dqReport: null predicates violate, null keys never count as duplicates") {
+    val df = Seq[(Option[Long], Option[Double])](
+      (Some(1L), Some(10.0)), // clean
+      (Some(1L), Some(-5.0)), // duplicate key + negative value
+      (Some(2L), None),       // null value -> violates v_positive
+      (None, Some(3.0)),      // null key -> violates k_notnull, NOT k_unique
+      (None, Some(4.0)))      // second null key: still no "duplicate null"
+      .toDF("k", "v")
+    val rep = graft.operators.Relational.dqReport(df,
+        rowRules = Seq(
+          "v_positive" -> (col("v") > 0),
+          "k_notnull" -> col("k").isNotNull),
+        uniqueKeys = Seq("k_unique" -> Seq("k")))
+      .as[(String, Long)].collect().toMap
+    assert(rep === Map(
+      "v_positive" -> 2L, "k_notnull" -> 2L, "k_unique" -> 1L))
+    // one aggregate pass: the plan contains exactly one logical Aggregate
+    val plan = graft.operators.Relational.dqReport(df,
+      Seq("a" -> (col("v") > 0)), Seq("b" -> Seq("k"))).queryExecution.optimizedPlan
+    val nAgg = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAgg === 1, s"expected one Aggregate, got:\n$plan")
+  }
 }
