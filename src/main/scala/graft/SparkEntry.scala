@@ -1299,6 +1299,32 @@ object SparkEntry {
         "da", "db")
         .orderBy("id")),
 
+    // Leakage-free splitting: split membership hashes the near-dup
+    // CLUSTER id, so duplicate documents can never straddle train/eval
+    // (the contamination q_decontam detects, prevented structurally).
+    // Singletons hash their own id. Fully oracled.
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val labels = Dedup.connectedComponents(
+        Dedup.jaccardJoin(docs, "text", "doc_id", 0.8), "da", "db")
+      graft.operators.Sampling
+        .leakFreeSplit(docs, col("doc_id"), labels, valFrac = 0.1, testFrac = 0.1)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
+    // Exact triangle count over a derived co-occurrence graph:
+    // degree-ordered orientation (wedge volume bounded by sqrt(m) per
+    // node) -> wedge enumeration -> edge semi-join. The clustering-
+    // coefficient denominator of graph analytics. Fully oracled against
+    // the canonical triple-join.
+    "q_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCount(
+        t(s, dir, "orders")
+          .select((col("o_orderkey") % 2000).as("src"),
+            (col("o_custkey") % 2000).as("dst")),
+        "src", "dst")),
+
     // Quality-aware cluster representative: keep the HIGHEST-quality doc
     // of each near-dup cluster (tie -> min id) instead of q_curate_cc's
     // min-id policy — what production dedup actually ships (the best
@@ -2727,6 +2753,42 @@ object SparkEntry {
         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
         |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
         |SELECT id, component FROM comp ORDER BY id""".stripMargin,
+
+    "q_split_leakfree" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT da, db FROM inter
+        |      JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |      WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.8),
+        |sym AS (SELECT da AS u, db AS v FROM e UNION SELECT db AS u, da AS v FROM e),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        |b AS (SELECT d.doc_id,
+        |        CAST(floor(((coalesce(c.component, d.doc_id) * 2654435769)
+        |          % 4294967296) * 1000000.0 / 4294967296.0) AS BIGINT) AS bucket
+        |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id, CASE WHEN bucket < 100000 THEN 'test'
+        |                    WHEN bucket < 200000 THEN 'val'
+        |                    ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH raw AS (SELECT least(o_orderkey % 2000, o_custkey % 2000) AS a,
+        |                    greatest(o_orderkey % 2000, o_custkey % 2000) AS b
+        |             FROM orders
+        |             WHERE (o_orderkey % 2000) <> (o_custkey % 2000)),
+        |e AS (SELECT DISTINCT a, b FROM raw)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.a = e1.b
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
     "q_cc_best" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -35,4 +35,20 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(r(1L) - 0.075) < 1e-12)
     assert(math.abs(r(2L) - (0.075 + 0.85 * 0.5)) < 1e-12)
   }
+
+  test("triangleCount: K4 has 4, a taped square has 2, noise ignored") {
+    def count(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+        .as[Long].head()
+    // K4: every 3-subset is a triangle
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j)
+    assert(count(k4) === 4L)
+    // square + one diagonal = two triangles; reversed duplicates,
+    // self-loops and a dangling pendant must not change the count
+    val taped = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (3L, 1L), (2L, 1L), (2L, 2L), (4L, 9L))
+    assert(count(taped) === 2L)
+    // triangle-free: a star and a path
+    assert(count(Seq((0L, 1L), (0L, 2L), (0L, 3L), (5L, 6L), (6L, 7L))) === 0L)
+  }
 }

@@ -131,4 +131,24 @@ class SamplingSpec extends SparkTestBase {
       .map(_._1).zipWithIndex.map { case (k, i) => (k, i.toLong) }.toMap
     assert(got.map(r => r._1 -> r._2).toMap === expected)
   }
+
+  test("leakFreeSplit: cluster members share one split, singletons hash their key") {
+    val docs = (0L until 200L).toDF("doc_id")
+    // two clusters: {0..9} labeled 0, {10..14} labeled 10; rest singleton
+    val labels = ((0L until 10L).map((_, 0L)) ++ (10L until 15L).map((_, 10L)))
+      .toDF("id", "component")
+    val got = Sampling.leakFreeSplit(docs, col("doc_id"), labels, 0.3, 0.3)
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 200)
+    assert((0L until 10L).map(got).toSet.size === 1) // cluster 0: one split
+    assert((10L until 15L).map(got).toSet.size === 1)
+    // the shared split is the component id's split; singletons their own
+    def splitOf(k: Long): String = docs.sparkSession.range(1)
+      .select(Sampling.splitColumn(Sampling.fibHash(lit(k)), 0.3, 0.3))
+      .as[String].head()
+    assert(got(3L) === splitOf(0L) && got(12L) === splitOf(10L))
+    assert(got(77L) === splitOf(77L))
+    // leak check by construction: no cluster straddles the eval boundary
+    assert(Set("train", "val", "test").contains(got(0L)))
+  }
 }
