@@ -487,6 +487,18 @@ object SparkEntry {
         .orderBy("year")
     }),
 
+    // Exact equi-depth histogram: 16 equal-count price buckets with
+    // their value ranges — the boundary-estimation primitive behind the
+    // range-clustered layout, as a two-level rank (no global window
+    // funnel). The oracle is the one-window row_number equivalence.
+    // Fully oracled.
+    "q_histogram" -> ((s, dir) =>
+      graft.operators.Relational.equiDepthHistogram(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        col("l_extendedprice"),
+        Seq(col("l_orderkey"), col("l_linenumber")), nBuckets = 16)),
+
     // Range-clustered layout: write lineitem range-partitioned + sorted
     // by l_shipdate (every file covers a narrow time interval — parquet
     // min-max stats skip the rest), re-read one month through the
@@ -2598,6 +2610,15 @@ object SparkEntry {
         |  FROM o b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey)
         |SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_histogram" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |  row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |    - 1 AS rk,
+        |  count(*) OVER () AS n FROM lineitem)
+        |SELECT CAST((rk * 16) // n AS BIGINT) AS bucket,
+        |       min(v) AS lo, max(v) AS hi, count(*) AS n_rows
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_cluster_prune" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity

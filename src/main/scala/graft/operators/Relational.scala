@@ -387,6 +387,56 @@ object Relational {
       .selectExpr(s"stack(${names.length}, $stackArgs) AS (rule, n_violations)")
   }
 
+  /** Exact equi-depth histogram: `nBuckets` buckets of (near-)equal row
+    * count with their value ranges — the boundary-estimation primitive
+    * behind [[writeClustered]]'s range layout, salting factors, and AQE-
+    * style partition sizing, as a first-class judged operator (the exact
+    * counterpart of `approxQuantile`, whose Greenwald-Khanna sketch is
+    * the documented 100 TB swap when exactness isn't required).
+    *
+    * Scale shape: a global `ntile` would funnel the corpus through ONE
+    * window partition. Instead the global rank is two-level (the
+    * [[Sampling.denseIds]] trick, value-ordered): an equal-WIDTH
+    * pre-shard over [min, max] (monotone in the value, from a broadcast
+    * 1-row span aggregate) parallelizes per-shard `row_number`, a
+    * config-scale offset window composes shard offsets, and
+    * `bucket = rank·k div n` converts rank to an equal-DEPTH bucket with
+    * integer arithmetic. Value-dense regions concentrate in one
+    * pre-shard — size `nShards` ≫ k so the skew bound is n/nShards, and
+    * a pathological single-VALUE spike degrades one shard's sort, not
+    * the plan. Ties order by `tiebreak` so bucket membership at cut
+    * points is deterministic. Judged `q_histogram`, fully oracled (the
+    * oracle IS the one-window row_number equivalence). */
+  def equiDepthHistogram(df: DataFrame, value: Column, tiebreak: Seq[Column],
+      nBuckets: Int, nShards: Int = 1024): DataFrame = {
+    require(nBuckets >= 1 && nShards >= 1)
+    val span = df.agg(min(value).as("__lo"), max(value).as("__hi"),
+      count(lit(1)).as("__n"))
+    val sharded = df.crossJoin(broadcast(span))
+      .withColumn("__shard",
+        least(
+          floor((value - col("__lo")) * nShards /
+            (col("__hi") - col("__lo") + lit(1e-9))).cast("long"),
+          lit(nShards - 1L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy((value +: tiebreak): _*)
+    val ranked = graft.engine.Caches.persisted(
+      sharded.withColumn("__rk", row_number().over(w)))
+    val offsets = ranked.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__sn"))
+      .withColumn("__offset",
+        coalesce(sum(col("__sn")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__shard"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__shard"), col("__offset"))
+    ranked.join(broadcast(offsets), "__shard")
+      .withColumn("__grk", col("__offset") + col("__rk") - 1)
+      .withColumn("bucket", expr(s"(__grk * $nBuckets) div __n"))
+      .groupBy(col("bucket"))
+      .agg(min(value).as("lo"), max(value).as("hi"), count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+  }
+
   /** Incremental aggregate maintenance — refresh a standing
     * (key, n, sum_value) rollup from an arriving batch WITHOUT touching
     * the already-aggregated history: the batch is reduced to its own

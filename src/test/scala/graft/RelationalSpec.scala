@@ -394,6 +394,30 @@ class RelationalSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() === 4000L)
   }
 
+  test("equiDepthHistogram equals the one-window rank form, shard-count independent") {
+    // values with heavy duplication and a skew spike so shard boundaries
+    // and tie-breaking both matter
+    val rows = ((0L until 300L).map(i => (i, (i % 7).toDouble)) ++
+      (300L until 400L).map(i => (i, 3.0)) ++ // value spike at 3.0
+      (400L until 500L).map(i => (i, i.toDouble))).toDF("id", "v")
+    def hist(shards: Int) = graft.operators.Relational
+      .equiDepthHistogram(rows, col("v"), Seq(col("id")), nBuckets = 8, nShards = shards)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    // brute-force one-window reference
+    val expect = rows.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("v"), col("id"))) - 1)
+      .withColumn("bucket", expr("(rk * 8) div 500"))
+      .groupBy("bucket")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(hist(1024) === expect)
+    assert(hist(3) === expect) // fewer shards than buckets: still exact
+    assert(hist(1) === expect) // degenerate single shard
+    assert(expect.map(_._4).sum === 500L)
+  }
+
   test("dqReport: null predicates violate, null keys never count as duplicates") {
     val df = Seq[(Option[Long], Option[Double])](
       (Some(1L), Some(10.0)), // clean
