@@ -1107,6 +1107,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance-1 fuzzy token pairs via SymSpell deletion blocking,
+    // over the alpha vocabulary plus two injected typo classes per token
+    // (leading-char substitution, trailing insertion). The exact
+    // levenshtein verify makes blocking invisible in the output. Fully
+    // oracled vs all-pairs levenshtein.
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+        .filter(col("tok").rlike("^[a-z]{4,20}$")).distinct()
+      val withTypos = base
+        .unionByName(base.select(concat(lit("x"), expr("substr(tok, 2)")).as("tok")))
+        .unionByName(base.select(concat(col("tok"), lit("s")).as("tok")))
+      graft.operators.Dedup.fuzzyPairs(withTypos, "tok")
+        .orderBy("ta", "tb")
+    }),
+
+    // Pairwise correlation / covariance profile in one aggregate pass —
+    // the numeric-relationship half of the profiling surface (q_profile
+    // covers nulls/cardinality). Fully oracled within float tolerance.
+    "q_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        corr(col("l_quantity"), col("l_discount")).as("corr_qty_disc"),
+        corr(col("l_extendedprice"), col("l_discount")).as("corr_price_disc"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price"),
+        stddev_samp(col("l_quantity")).as("sd_qty"))),
+
     // Domain-level corpus statistics: extract every URL host (fixture
     // injects two per doc, derived from doc_id), count referencing docs
     // and total references per domain — the keying surface for domain
@@ -2445,6 +2472,27 @@ object SparkEntry {
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY token ORDER BY n DESC, token""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH tok0 AS (SELECT DISTINCT lower(t) AS tok FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE regexp_matches(lower(t), '^[a-z]{4,20}$')),
+        |tok AS (SELECT DISTINCT tok FROM (
+        |  SELECT tok FROM tok0
+        |  UNION ALL SELECT 'x' || substr(tok, 2) FROM tok0
+        |  UNION ALL SELECT tok || 's' FROM tok0))
+        |SELECT a.tok AS ta, b.tok AS tb
+        |FROM tok a JOIN tok b
+        |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+        |ORDER BY ta, tb""".stripMargin,
+
+    "q_corr" ->
+      """SELECT corr(l_quantity, l_extendedprice) AS corr_qty_price,
+        |       corr(l_quantity, l_discount) AS corr_qty_disc,
+        |       corr(l_extendedprice, l_discount) AS corr_price_disc,
+        |       covar_samp(l_quantity, l_extendedprice) AS cov_qty_price,
+        |       stddev_samp(l_quantity) AS sd_qty
+        |FROM lineitem""".stripMargin,
 
     "q_domain_stats" ->
       """WITH d AS (SELECT doc_id, unnest(regexp_extract_all(lower(

@@ -76,6 +76,34 @@ class DedupSpec extends SparkTestBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("fuzzyPairs finds exactly the distance<=1 pairs; transpositions excluded") {
+    val toks = Seq("word", "ward", "words", "wrd", "xyz", "ab", "ba")
+      .toDF("tok")
+    val got = Dedup.fuzzyPairs(toks, "tok").as[(String, String)].collect().toSet
+    // ab/ba share a deletion block (both delete to "a"/"b") but are
+    // distance 2 (no transposition edit) -> the verify must reject them
+    assert(got === Set(
+      ("ward", "word"), ("word", "words"), ("ward", "wrd"), ("word", "wrd")))
+  }
+
+  test("fuzzyPairs equals all-pairs levenshtein on random vocabularies (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = Gen.nonEmptyListOf(word).map(_.distinct)
+    val prop = Prop.forAll(gen) { words =>
+      val df = words.toDF("tok")
+      val got = Dedup.fuzzyPairs(df, "tok").as[(String, String)].collect().toSet
+      val expect = (for {
+        a <- words; b <- words if a < b
+        if org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+          .apply(a, b) <= 1
+      } yield (a, b)).toSet
+      got == expect
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("SparkEntry.queries holds at most one query's cached relations (cache contract)") {
     // r5 VERDICT item 5: three dedup-family queries in one session must
     // not accumulate each other's operator-internal persists — invoking a

@@ -171,6 +171,28 @@ class PlanSpec extends SparkTestBase {
       plan.contains("LeftAnti"), plan.take(3000))
   }
 
+  test("heavy-hitters verify pass pushes the candidate set into the scan filter") {
+    // the second pass must be a filtered aggregate over <= k candidate
+    // values (an In/InSet on the token), never a full re-aggregation
+    val plan = executedPlan(SparkEntry.queries("q_heavy_hitters")(spark, sfDir))
+    assert(plan.contains(" IN ") || plan.contains("INSET") || plan.contains("In("),
+      plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("clustered re-read pushes the range predicate to the parquet scan") {
+    val plan = executedPlan(SparkEntry.queries("q_cluster_prune")(spark, sfDir))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"), plan.take(3000))
+  }
+
+  test("skewProfile broadcasts the one-row summary, never shuffles per-key counts again") {
+    val plan = executedPlan(SparkEntry.queries("q_skew_profile")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
