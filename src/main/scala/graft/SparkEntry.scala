@@ -1783,6 +1783,18 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    // Size-biased sampling: keep probability proportional to document
+    // length (capped), so the doc-level sample represents the TOKEN
+    // distribution. Exact integer-rational membership test. Fully
+    // oracled.
+    "q_sample_sizebiased" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          graft.operators.Sampling.fibHash(col("doc_id")),
+          least(col("n_chars"), lit(1000L)), wMax = 1000L)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
     // Weighted two-source mix: each leg is its own pruned scan + filter,
     // union is plan-level only — the data-mixture primitive.
     "q_mix" -> ((s, dir) => {
@@ -3081,6 +3093,13 @@ object SparkEntry {
         |            WHEN bucket < 200000 THEN 'val'
         |            ELSE 'train' END AS split, count(*) AS n
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_sample_sizebiased" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(floor(((doc_id * 2654435769) % 4294967296)
+        |        * 1000000.0 / 4294967296.0) AS BIGINT) * 1000
+        |      < least(n_chars, 1000) * 1000000
+        |ORDER BY doc_id""".stripMargin,
 
     "q_mix" ->
       """SELECT item_id, mix_source FROM (

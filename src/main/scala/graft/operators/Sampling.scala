@@ -82,6 +82,24 @@ object Sampling {
       .otherwise("train")
   }
 
+  /** Size-biased deterministic sample: keep a row with probability
+    * `weight / wMax` (weights ≤ wMax; the length-proportional selection
+    * that makes a by-DOCUMENT sample represent the by-TOKEN distribution
+    * — sampling docs uniformly under-represents long docs' tokens).
+    * Membership is the exact rational comparison
+    * `bucket · wMax < weight · BUCKETS` — pure integer arithmetic, no
+    * float division, so any SQL engine reproduces it bit-for-bit, and
+    * the usual Sampling guarantees hold (pure function of (key, salt,
+    * weight); scan-stage filter; re-derivable). Requires
+    * `wMax · BUCKETS < 2^63` (wMax below ~9·10^12). Judged
+    * `q_sample_sizebiased`, fully oracled. */
+  def weightedSample(df: DataFrame, bucket: Column, weight: Column,
+      wMax: Long): DataFrame = {
+    require(wMax > 0 && wMax < Long.MaxValue / BUCKETS,
+      s"wMax $wMax out of the overflow-safe range")
+    df.filter(bucket * lit(wMax) < weight * lit(BUCKETS))
+  }
+
   /** Leakage-free train/val/test split: rows are assigned by their
     * near-dup CLUSTER, not their own key — two near-duplicate documents
     * landing on opposite sides of a train/eval split is evaluation-set

@@ -83,15 +83,18 @@ class EventsSpec extends SparkTestBase {
     val prop = Prop.forAll(gen) { case (ls, rs) =>
       val left = ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
       val right = rs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
-      val got = Events.intervalJoin(
-          left.toDF("lid", "ls", "le"), "ls", "le",
-          right.toDF("rid", "rs", "re"), "rs", "re", binDays = 2)
-        .select("lid", "rid").as[(Long, Long)].collect().toList
-      val expect = for {
+      val expect = (for {
         (li, s1, e1) <- left; (ri, s2, e2) <- right
         if !s1.after(e2) && !s2.after(e1)
-      } yield (li, ri)
-      got.sorted == expect.sorted // exactly-once: sorted lists, not sets
+      } yield (li, ri)).sorted
+      // result must be bin-width independent (intervals span 0..N bins)
+      Seq(1, 2, 7).forall { bd =>
+        val got = Events.intervalJoin(
+            left.toDF("lid", "ls", "le"), "ls", "le",
+            right.toDF("rid", "rs", "re"), "rs", "re", binDays = bd)
+          .select("lid", "rid").as[(Long, Long)].collect().toList
+        got.sorted == expect // exactly-once: sorted lists, not sets
+      }
     }
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(r.passed, r.status.toString)

@@ -132,6 +132,24 @@ class SamplingSpec extends SparkTestBase {
     assert(got.map(r => r._1 -> r._2).toMap === expected)
   }
 
+  test("weightedSample keeps rows at exactly weight/wMax rates, deterministic") {
+    val df = (0L until 40000L).map(i => (i, i % 5)).toDF("id", "w") // weights 0..4
+    val kept = Sampling.weightedSample(df, Sampling.fibHash(col("id")), col("w"), 4L)
+      .as[(Long, Long)].collect()
+    assert(!kept.exists(_._2 == 0)) // zero weight: never sampled
+    val byW = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byW(4L) === 8000) // weight == wMax: every row
+    for (w <- 1L to 3L) {
+      val want = 8000.0 * w / 4
+      assert(math.abs(byW(w) - want) / want < 0.05, s"w=$w got ${byW(w)}")
+    }
+    // membership is layout-independent
+    val again = Sampling
+      .weightedSample(df.repartition(13), Sampling.fibHash(col("id")), col("w"), 4L)
+      .as[(Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === kept.sortBy(_._1).toSeq)
+  }
+
   test("leakFreeSplit: cluster members share one split, singletons hash their key") {
     val docs = (0L until 200L).toDF("doc_id")
     // two clusters: {0..9} labeled 0, {10..14} labeled 10; rest singleton
