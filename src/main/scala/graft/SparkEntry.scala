@@ -233,6 +233,20 @@ object SparkEntry {
       |GROUP BY o_orderkey, o_orderdate
       |ORDER BY orderkey""".stripMargin
 
+  /** Shared constant for `q_grouping_sets` (the q_sql dialect-portability
+    * pattern): explicit GROUPING SETS — the general form of which ROLLUP
+    * (`q_rollup`) and CUBE (`q_cube`) are presets — with NULLS FIRST
+    * pinned because Spark and DuckDB default null ordering differently.
+    * One Expand pass computes all three marginals. */
+  private val groupingSetsSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS year,
+      |       o_orderstatus AS status,
+      |       count(*) AS n, sum(o_totalprice) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((year(o_orderdate)),
+      |                        (year(o_orderdate), o_orderstatus), ())
+      |ORDER BY year ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2 — see
     * [[queries]] for the published (cache-scoped) map. */
   private def queryImpls: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -365,6 +379,14 @@ object SparkEntry {
       Seq("customer", "orders", "lineitem")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(tpchQ3Sql)
+    }),
+
+    // Explicit GROUPING SETS — the general form behind ROLLUP/CUBE,
+    // three marginals in one Expand pass; shared-constant SQL so the
+    // dialect (incl. the pinned NULLS FIRST ordering) is itself judged.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(groupingSetsSql)
     }),
 
     // C2-C4: time-dimension table (etl.py:124-138), distinct over derived cols.
@@ -1992,6 +2014,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "q_sql" -> tpchQ3Sql,
+
+    "q_grouping_sets" -> groupingSetsSql,
 
     "q_full_outer" ->
       """SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
