@@ -509,6 +509,22 @@ object SparkEntry {
         .orderBy("year")
     }),
 
+    // Bloom-filtered parquet layout: write orders with a bloom filter on
+    // the high-cardinality customer key, re-read one customer's orders
+    // through the pushed equality predicate (bloom skips row groups
+    // min-max can't). Oracle = the same filter on the source. Fully
+    // oracled.
+    "q_bloom_read" -> ((s, dir) => {
+      val path = tmpPath("bloom_write")
+      graft.operators.Relational.writeWithBloom(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, Seq("o_custkey"))
+      readTable(s, path)
+        .filter(col("o_custkey") === 371)
+        .orderBy("o_orderkey")
+    }),
+
     // Exact equi-depth histogram: 16 equal-count price buckets with
     // their value ranges — the boundary-estimation primitive behind the
     // range-clustered layout, as a two-level rank (no global window
@@ -2693,6 +2709,11 @@ object SparkEntry {
         |           THEN 'changed' END AS change
         |  FROM o b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey)
         |SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bloom_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey = 371
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_histogram" ->

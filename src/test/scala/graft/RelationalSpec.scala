@@ -418,6 +418,32 @@ class RelationalSpec extends SparkTestBase {
     assert(expect.map(_._4).sum === 500L)
   }
 
+  test("writeWithBloom: footer carries a bloom filter for the flagged column only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val df = (0L until 5000L).map(i => (i, i * 37 % 4096)).toDF("id", "k")
+      .repartition(1) // one file, so the inspected footer covers every key
+    graft.operators.Relational.writeWithBloom(df, dir, Seq("k"), ndv = 4096L)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val byName = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("k").getBloomFilterOffset >= 0, "k must carry a bloom filter")
+      assert(byName("id").getBloomFilterOffset < 0, "id must not")
+      // and the filter actually answers membership
+      val bloom = reader.getBloomFilterDataReader(reader.getFooter.getBlocks.get(0))
+        .readBloomFilter(byName("k"))
+      val hit = bloom.findHash(bloom.hash(37L))
+      assert(hit, "written key must hash-hit the bloom filter")
+    } finally reader.close()
+    assert(spark.read.parquet(dir).filter(col("k") === 37L).count() === 2L)
+  }
+
   test("dqReport: null predicates violate, null keys never count as duplicates") {
     val df = Seq[(Option[Long], Option[Double])](
       (Some(1L), Some(10.0)), // clean
