@@ -1738,6 +1738,29 @@ object SparkEntry {
         .orderBy("wkey")
     }),
 
+    // Per-type z-score anomalies: group stats broadcast back over the
+    // stream (no second shuffle, no per-group sort), |z| > 3 flags.
+    // Fully oracled within float tolerance.
+    "q_outliers" -> ((s, dir) =>
+      graft.operators.Events
+        .zScoreOutliers(t(s, dir, "events")
+          .select("event_id", "event_type", "value"), "event_type", "value")
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")),
+
+    // ROWS-frame moving average (the physical-row sibling of
+    // q_rolling's RANGE frame): 4-event trailing mean per user, ordered
+    // deterministically by (ts, event_id). Fully oracled.
+    "q_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          avg(col("value")).over(w).as("ma4"))
+        .orderBy("event_id")
+    }),
+
     // Time-series resampling with gap filling: dense hourly spine over
     // the event span, empty buckets at n=0 / null sum. Fully oracled.
     "q_resample" -> ((s, dir) =>
@@ -2236,6 +2259,20 @@ object SparkEntry {
         |  AND c.ts BETWEEN e.ts - INTERVAL 120 MINUTE
         |                AND e.ts + INTERVAL 120 MINUTE
         |ORDER BY error_id, click_id""".stripMargin,
+
+    "q_outliers" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, (e.value - s.m) / s.sd AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs(e.value - s.m) > 3 * s.sd
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        |       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_interval_join" ->
       """SELECT o.o_orderkey AS wkey, count(*) AS n_li

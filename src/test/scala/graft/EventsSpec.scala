@@ -100,6 +100,16 @@ class EventsSpec extends SparkTestBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("zScoreOutliers flags beyond sigma; singleton groups never flag") {
+    val rows = ((1 to 20).map(i => ("a", 1.0 + (i % 3 - 1) * 0.1)) ++
+      Seq(("a", 100.0), ("b", 42.0))) // clear outlier; singleton group
+      .zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+    val got = Events.zScoreOutliers(
+        rows.toDF("event_id", "event_type", "value"), "event_type", "value")
+      .select("event_id").as[Long].collect().toSet
+    assert(got === Set(20L)) // the 100.0; the singleton's null sd never flags
+  }
+
   test("jsonProp extracts the field and yields null on missing key or junk") {
     val out = Seq("""{"k": 7}""", """{"other": 1}""", "not json", null)
       .toDF("props")
