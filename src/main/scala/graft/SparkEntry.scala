@@ -1738,6 +1738,19 @@ object SparkEntry {
         .orderBy("wkey")
     }),
 
+    // Group-mean imputation (the repair half of dq_checks): a fixture
+    // nulls ~3% of values; each takes its event_type's observed mean via
+    // one broadcast aggregate. Fully oracled within float tolerance.
+    "q_impute" -> ((s, dir) =>
+      graft.operators.Relational.imputeGroupMean(
+          t(s, dir, "events")
+            .select(col("event_id"), col("event_type"),
+              when(col("event_id") % 37 === 0, lit(null)).otherwise(col("value"))
+                .as("value")),
+          "event_type", "value")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")),
+
     // Per-type z-score anomalies: group stats broadcast back over the
     // stream (no second shuffle, no per-group sort), |z| > 3 flags.
     // Fully oracled within float tolerance.
@@ -2259,6 +2272,15 @@ object SparkEntry {
         |  AND c.ts BETWEEN e.ts - INTERVAL 120 MINUTE
         |                AND e.ts + INTERVAL 120 MINUTE
         |ORDER BY error_id, click_id""".stripMargin,
+
+    "q_impute" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |m AS (SELECT event_type, avg(value) AS mean FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, coalesce(e.value, m.mean) AS value
+        |FROM e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd

@@ -418,6 +418,19 @@ class RelationalSpec extends SparkTestBase {
     assert(expect.map(_._4).sum === 500L)
   }
 
+  test("imputeGroupMean fills nulls with the observed mean; all-null groups stay null") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None), // -> 2.0
+      ("b", Some(10.0)), ("b", None),                  // -> 10.0
+      ("c", None), ("c", None))                        // all null -> stays null
+      .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      .toDF("id", "k", "v")
+    val got = graft.operators.Relational.imputeGroupMean(df, "k", "v")
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(0L -> Some(1.0), 1L -> Some(3.0), 2L -> Some(2.0),
+      3L -> Some(10.0), 4L -> Some(10.0), 5L -> None, 6L -> None))
+  }
+
   test("writeWithBloom: footer carries a bloom filter for the flagged column only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
     val df = (0L until 5000L).map(i => (i, i * 37 % 4096)).toDF("id", "k")
