@@ -389,7 +389,9 @@ object Relational {
     * oracled within float tolerance. */
   def imputeGroupMean(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val means = df.groupBy(col(keyCol)).agg(avg(col(valueCol)).as("__mean"))
-    df.join(broadcast(means), keyCol)
+    // LEFT join: a null group key matches no group and must survive
+    // unimputed, not silently drop out of the corpus
+    df.join(broadcast(means), Seq(keyCol), "left")
       .withColumn(valueCol, coalesce(col(valueCol), col("__mean")))
       .drop("__mean")
   }

@@ -429,6 +429,14 @@ class RelationalSpec extends SparkTestBase {
       .select("id", "v").as[(Long, Option[Double])].collect().toMap
     assert(got === Map(0L -> Some(1.0), 1L -> Some(3.0), 2L -> Some(2.0),
       3L -> Some(10.0), 4L -> Some(10.0), 5L -> None, 6L -> None))
+    // a null GROUP KEY survives unimputed (left join, not inner)
+    val withNullKey = Seq((0L, Option("a"), Option(1.0)), (1L, Option("a"), None),
+      (2L, Option.empty[String], Option(7.0)), (3L, Option.empty[String], None))
+      .toDF("id", "k", "v")
+    val got2 = graft.operators.Relational.imputeGroupMean(withNullKey, "k", "v")
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got2 === Map(0L -> Some(1.0), 1L -> Some(1.0),
+      2L -> Some(7.0), 3L -> None))
   }
 
   test("writeWithBloom: footer carries a bloom filter for the flagged column only") {
