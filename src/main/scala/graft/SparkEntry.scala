@@ -1707,6 +1707,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: each click gets the NEXT purchase at or after it
+    // (time-to-conversion shape) — asofJoin mirrored, same one-shuffle
+    // tag-union, judged against DuckDB's forward ASOF. Fully oracled.
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Events
+        .asofJoinForward(clicks, purchases, "user_id", "ts", "value", "next_purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          col("next_purchase"))
+        .orderBy("event_id")
+    }),
+
     // Range join: error events paired with clicks within ±120 minutes,
     // same user — bucketed equi-join, judged against a BETWEEN join.
     "q_range_join" -> ((s, dir) => {
@@ -2311,6 +2327,15 @@ object SparkEntry {
         |      WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.ts AS click_ts, r.v AS last_purchase
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_fwd" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS v FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts AS click_ts, r.v AS next_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY event_id""".stripMargin,
 
     "q_surrogate_unique" ->

@@ -101,6 +101,33 @@ object Events {
       .drop("__p", "__is_left")
   }
 
+  /** Forward as-of join — the time-mirror of [[asofJoin]]: each left row
+    * gets the payload of the EARLIEST right row at or after its
+    * timestamp ("what happens next": next maintenance window, next
+    * price tick, time-to-conversion). Same one-shuffle tag-union shape,
+    * mirrored: right rows sort AFTER left rows at an equal instant (so
+    * the same-instant right row is still visible to the left row's
+    * forward frame — inclusive, like the backward join), and the frame
+    * runs currentRow → unboundedFollowing under `first(ignoreNulls)`.
+    * Duplicate right instants collapse to max payload, the same
+    * deterministic policy as the backward join. Judged `q_asof_fwd`
+    * against DuckDB's native forward ASOF (`l.ts <= r.ts`). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCol: String, asofCol: String): DataFrame = {
+    val r = right
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(payloadCol)).as("__p"))
+      .withColumn("__is_left", lit(0))
+    val l = left.withColumn("__is_left", lit(1))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(asofCol, first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .drop("__p", "__is_left")
+  }
+
   /** Range (interval) join — the second "operator Spark lacks" composed
     * from existing ops: all pairs with equal `keyCol` whose timestamps
     * lie within `toleranceMinutes` of each other.

@@ -35,6 +35,25 @@ class EventsSpec extends SparkTestBase {
       1L -> None, 2L -> Some(2.5), 3L -> Some(2.5), 4L -> Some(4.0), 5L -> None))
   }
 
+  test("asofJoinForward attaches the earliest right payload at or after each left ts") {
+    val clicks = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")), // before both -> the 11:00 one
+      (2L, 10L, ts("2026-01-01 11:00:00")), // exactly at a purchase -> inclusive
+      (3L, 10L, ts("2026-01-01 12:30:00")), // between -> the 13:00 one
+      (4L, 10L, ts("2026-01-01 14:00:00")), // after the last -> null
+      (5L, 20L, ts("2026-01-01 12:00:00"))) // user with no purchases -> null
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2026-01-01 11:00:00"), 1.5),
+      (10L, ts("2026-01-01 11:00:00"), 2.5), // duplicate instant -> max wins
+      (10L, ts("2026-01-01 13:00:00"), 4.0))
+      .toDF("user_id", "ts", "value")
+    val out = Events.asofJoinForward(clicks, purchases, "user_id", "ts", "value", "v")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      1L -> Some(2.5), 2L -> Some(2.5), 3L -> Some(4.0), 4L -> None, 5L -> None))
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val left = (1L to 100L).map(i => (i, i % 7, ts(f"2026-01-01 10:00:${i % 60}%02d")))
       .toDF("event_id", "user_id", "ts")
