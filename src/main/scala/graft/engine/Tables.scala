@@ -28,12 +28,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Native expressions (graft_dot, graft_shingle_* family) for sessions
     // built without spark.sql.extensions=graft.functions.GraftExtensions.
-    val all = graft.functions.VectorExprs.dotFunction +:
-      (graft.functions.VectorExprs.pqFunctions ++
-        graft.functions.TextStatsExprs.functions ++
-        graft.functions.ShingleExprs.functions ++
-        graft.functions.CompressExprs.functions)
-    all.foreach { case (ident, info, builder) =>
+    graft.functions.GraftFunctions.all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
   }

@@ -267,15 +267,23 @@ object VectorExprs {
   )
 }
 
+/** The complete native-kernel registration list — the ONE source both
+  * registration paths (`Tables.bootstrap` and [[GraftExtensions]])
+  * consume, so a new kernel family cannot be registered on one path and
+  * silently missing ("Undefined function") on the other. */
+object GraftFunctions {
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    VectorExprs.dotFunction +:
+      (VectorExprs.pqFunctions ++
+        TextStatsExprs.functions ++ ShingleExprs.functions ++
+        CompressExprs.functions)
+}
+
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
   * registers the engine's native expressions at session build. Sessions
   * built without the config get the same registration from
   * `Tables.bootstrap`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    (VectorExprs.dotFunction +:
-      (VectorExprs.pqFunctions ++
-        TextStatsExprs.functions ++ ShingleExprs.functions ++
-        CompressExprs.functions))
-      .foreach(ext.injectFunction)
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

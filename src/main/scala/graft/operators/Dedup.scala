@@ -494,12 +494,15 @@ object Dedup {
     val toks = tokens.select(col(tokenCol).as("__tok")).distinct()
     // the token itself + each single-deletion variant, as 8-byte hashes
     val t = col("__tok")
-    val variants = toks.select(t, explode(array_distinct(transform(
-        sequence(lit(0), length(t)),
-        i => when(i === lit(0), xxhash64(t))
-          .otherwise(xxhash64(concat(
-            t.substr(lit(1), i - lit(1)),
-            t.substr(i + lit(1), length(t)))))))).as("__v"))
+    // both sides of the block self-join — persist via the registry so
+    // the corpus-wide distinct + variant generation run once, not twice
+    val variants = graft.engine.Caches.persisted(
+      toks.select(t, explode(array_distinct(transform(
+          sequence(lit(0), length(t)),
+          i => when(i === lit(0), xxhash64(t))
+            .otherwise(xxhash64(concat(
+              t.substr(lit(1), i - lit(1)),
+              t.substr(i + lit(1), length(t)))))))).as("__v")))
     variants.as("a").join(variants.as("b"),
         col("a.__v") === col("b.__v") && col("a.__tok") < col("b.__tok"))
       .select(col("a.__tok").as("ta"), col("b.__tok").as("tb"))

@@ -105,13 +105,16 @@ object Events {
     * gets the payload of the EARLIEST right row at or after its
     * timestamp ("what happens next": next maintenance window, next
     * price tick, time-to-conversion). Same one-shuffle tag-union shape,
-    * mirrored: right rows sort AFTER left rows at an equal instant (so
-    * the same-instant right row is still visible to the left row's
-    * forward frame — inclusive, like the backward join), and the frame
-    * runs currentRow → unboundedFollowing under `first(ignoreNulls)`.
-    * Duplicate right instants collapse to max payload, the same
-    * deterministic policy as the backward join. Judged `q_asof_fwd`
-    * against DuckDB's native forward ASOF (`l.ts <= r.ts`). */
+    * implemented by REVERSING the traversal, not the frame: a shrinking
+    * currentRow → unboundedFollowing frame re-evaluates its aggregate
+    * per row (quadratic in a hot key's partition), so instead the window
+    * orders ts DESCENDING and keeps the backward join's LINEAR running
+    * `last(ignoreNulls)` frame — the most recently seen right row in
+    * descending traversal IS the earliest one at or after the current
+    * instant. Duplicate right instants collapse to max
+    * payload, the same deterministic policy as the backward join.
+    * Judged `q_asof_fwd` against DuckDB's native forward ASOF
+    * (`l.ts <= r.ts`). */
   def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payloadCol: String, asofCol: String): DataFrame = {
     val r = right
@@ -119,11 +122,13 @@ object Events {
       .agg(max(col(payloadCol)).as("__p"))
       .withColumn("__is_left", lit(0))
     val l = left.withColumn("__is_left", lit(1))
+    // ts desc; at an equal instant the right row (0) precedes the left
+    // row (1) in traversal, keeping the same-instant match inclusive
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__is_left").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(tsCol).desc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(asofCol, first(col("__p"), ignoreNulls = true).over(w))
+      .withColumn(asofCol, last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
       .drop("__p", "__is_left")
   }

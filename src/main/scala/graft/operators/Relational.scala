@@ -417,6 +417,10 @@ object Relational {
     require(rowRules.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
     val names = (rowRules.map(_._1) ++ uniqueKeys.map(_._1))
     require(names.distinct.size == names.size, "duplicate rule names")
+    // names are spliced into a selectExpr stack() — keep the API total
+    // over its string inputs instead of parse-erroring on a quote
+    names.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"rule name must be [A-Za-z0-9_]+: '$n'"))
     val aggs = rowRules.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$name")
     } ++ uniqueKeys.map { case (name, ks) =>
@@ -756,7 +760,10 @@ object Relational {
   def skewProfile(df: DataFrame, key: String, hotFactor: Long = 8L,
       topN: Int = 100): DataFrame = {
     require(hotFactor >= 1 && topN >= 1)
-    val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // feeds both the summary aggregate and the output leg — persist via
+    // the registry so the corpus scan + key shuffle run once, not twice
+    val perKey = graft.engine.Caches.persisted(
+      df.groupBy(col(key)).agg(count(lit(1)).as("n")))
     val summary = perKey.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
     perKey.crossJoin(broadcast(summary))
       .filter(col("n") * col("n_keys") >= lit(hotFactor) * col("n_rows"))
