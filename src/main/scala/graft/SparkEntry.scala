@@ -1060,6 +1060,32 @@ object SparkEntry {
         .orderBy("error_id", "click_id")
     }),
 
+    // LEFT OUTER watermarked stream-stream join: errors with no click in
+    // ±120min emit null-extended once the watermark closes their join
+    // window; still-open windows at stream end emit nothing. The oracle
+    // reproduces the watermark cut in SQL (see intervalJoinStreamOuterWm).
+    "q_stream_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      runStream(s, "stream_outer",
+        Seq(
+          ("errors", ev.filter(col("event_type") === "error")
+            .select(col("user_id"), col("event_id").as("error_id"),
+              col("ts").as("error_ts")),
+            "user_id BIGINT, error_id BIGINT, error_ts TIMESTAMP"),
+          ("clicks", ev.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("click_ts")),
+            "c_user BIGINT, click_id BIGINT, click_ts TIMESTAMP")),
+        in => graft.streaming.Streams.intervalJoinStreamOuterWm(
+            in("errors"), "error_ts", in("clicks"), "click_ts", "30 minutes",
+            col("user_id") === col("c_user") &&
+              col("click_ts") >= col("error_ts") - expr("INTERVAL 120 MINUTES") &&
+              col("click_ts") <= col("error_ts") + expr("INTERVAL 120 MINUTES"))
+          .select(col("user_id"), col("error_id"), col("click_id"),
+            col("error_ts"), col("click_ts")))
+        .orderBy("error_id", "click_id")
+    }),
+
     // Streaming sessionization, driver-judged (r5 VERDICT item 2 — the
     // last test-only streaming operator): session_window(30min gap) with a
     // 30min watermark in APPEND mode — a session emits once the watermark
@@ -2012,6 +2038,50 @@ object SparkEntry {
         .na.fill(0L, Seq("n_f", "n_o", "n_p"))
         .orderBy("year")),
 
+    // Unpivot (wide→long, q_pivot's inverse): the part table's numeric
+    // attributes melt to (key, metric, value) rows through one Expand
+    // node — scan-stage row multiplication, no shuffle, no join.
+    "q_unpivot" -> ((s, dir) =>
+      graft.operators.Relational.melt(
+          t(s, dir, "part").select(col("p_partkey"),
+            col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          Seq("p_partkey"), Seq("p_size", "p_retailprice"),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")),
+
+    // Ordered group concatenation (LISTAGG): nation names per region,
+    // ascending, comma-joined — the dimension-scale label aggregate.
+    "q_string_agg" -> ((s, dir) =>
+      graft.operators.Relational.stringAgg(
+          t(s, dir, "nation")
+            .join(t(s, dir, "region"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("r_name"), col("n_name")),
+          Seq("r_name"), "n_name", ",")
+        .orderBy("r_name")),
+
+    // Forward fill (LOCF): a fixture nulls ~4% of event values; each
+    // null takes the latest prior non-null for its user in (ts, id)
+    // order — one per-user window pass, leading nulls stay null.
+    "q_ffill" -> ((s, dir) =>
+      graft.operators.Events.forwardFill(
+          t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("ts"),
+              when(col("event_id") % 23 === 0, lit(null)).otherwise(col("value"))
+                .as("value")),
+          "user_id", Seq("ts", "event_id"), "value")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")),
+
+    // Unigram LM quality scoring (CCNet-style): per-doc mean negative
+    // log-likelihood under the corpus's own unigram distribution —
+    // vocabulary-scale shuffle + broadcast score join; see
+    // TextOps.unigramLmScore for the 100 TB plan shape.
+    "q_unigram_lm" -> ((s, dir) =>
+      graft.functions.TextOps.unigramLmScore(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Global top-k: agg + TakeOrderedAndProject (no full sort at scale).
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2543,6 +2613,31 @@ object SparkEntry {
         |WHERE e.event_type = 'error' AND c.event_type = 'click'
         |  AND c.ts BETWEEN e.ts - INTERVAL 120 MINUTE
         |                AND e.ts + INTERVAL 120 MINUTE
+        |ORDER BY error_id, click_id""".stripMargin,
+
+    // outer semantics under the final watermark: null rows only for
+    // errors whose ±120min window closed before min(max error ts,
+    // max click ts) − 30min delay — open windows emit nothing
+    "q_stream_outer" ->
+      """WITH e AS (SELECT user_id, event_id AS error_id, ts AS error_ts
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click'),
+        |w AS (SELECT least((SELECT max(error_ts) FROM e),
+        |                   (SELECT max(click_ts) FROM c))
+        |             - INTERVAL 30 MINUTE AS wm),
+        |pairs AS (SELECT e.user_id, e.error_id, c.click_id,
+        |                 e.error_ts, c.click_ts
+        |          FROM e JOIN c ON e.user_id = c.c_user
+        |           AND c.click_ts BETWEEN e.error_ts - INTERVAL 120 MINUTE
+        |                              AND e.error_ts + INTERVAL 120 MINUTE)
+        |SELECT * FROM pairs
+        |UNION ALL
+        |SELECT e.user_id, e.error_id, CAST(NULL AS BIGINT) AS click_id,
+        |       e.error_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+        |FROM e, w
+        |WHERE e.error_id NOT IN (SELECT error_id FROM pairs)
+        |  AND e.error_ts + INTERVAL 120 MINUTE < w.wm
         |ORDER BY error_id, click_id""".stripMargin,
 
     // batch lag-gap sessions (the q_sessionize formulation) with
@@ -3273,6 +3368,39 @@ object SparkEntry {
         |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         |FROM orders GROUP BY 1 ORDER BY year""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS n_name_list,
+        |       count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_ffill" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |v AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS n FROM v)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       avg(-ln(CAST(v.cnt AS DOUBLE) / tot.n)) AS nll
+        |FROM toks t JOIN v USING (token) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q_topk" ->
       """SELECT o_custkey AS custkey, sum(o_totalprice) AS revenue

@@ -326,4 +326,34 @@ object TextOps {
   def compressionRatio(c: Column): Column =
     call_function("graft_deflate_len", c).cast("double") /
       greatest(octet_length(c), lit(1)).cast("double")
+
+  /** Unigram language-model scoring (the CCNet/Wenzek et al. 2020 LM
+    * quality filter, with the n=1 model the corpus itself can train in
+    * one pass): per document, the mean negative log-likelihood of its
+    * tokens under the corpus-wide unigram distribution. Templated /
+    * common-token documents score LOW (well-modeled), rare-token noise
+    * scores HIGH — rank and cut at a percentile, as with
+    * [[compressionRatio]].
+    *
+    * Plan shape for 100 TB: the exploded token relation feeds (a) the
+    * vocabulary aggregate — map-side partials compress each partition to
+    * its distinct tokens, so the token shuffle carries vocabulary-scale
+    * rows, not corpus-scale — and (b) the per-doc score join, where the
+    * finished vocabulary (vocabulary-scale, with the 1-row token total
+    * already folded in) is BROADCAST back, so the only corpus-scale
+    * shuffle is the final groupBy(doc). The token relation is persisted
+    * via the cache registry because both legs consume it. Judged
+    * `q_unigram_lm`, fully oracled within float tolerance. */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.engine.Caches.persisted(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("token")))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).as("__n"))
+    val probs = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        (-log(col("__cnt").cast("double") / col("__n"))).as("__nll"))
+    toks.join(broadcast(probs), "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__nll")).as("nll"))
+  }
 }

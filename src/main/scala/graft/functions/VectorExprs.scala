@@ -276,7 +276,7 @@ object GraftFunctions {
     VectorExprs.dotFunction +:
       (VectorExprs.pqFunctions ++
         TextStatsExprs.functions ++ ShingleExprs.functions ++
-        CompressExprs.functions)
+        CompressExprs.functions ++ ZOrder2.functions)
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`

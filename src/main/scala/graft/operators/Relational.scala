@@ -361,6 +361,28 @@ object Relational {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** Z-order clustered write — [[writeClustered]]'s TWO-dimensional
+    * sibling: rows sort by the Morton interleave of two dimension
+    * encodings (`graft_zorder2` kernel, see [[graft.functions.ZOrder2]]),
+    * so every emitted file covers a small axis-aligned BOX in both
+    * dimensions at once and parquet min-max stats skip files for
+    * 2-dimensional box predicates — the layout a single-column sort
+    * cannot give (sorting by `a` leaves `b` uniform in every file). The
+    * z column itself is dropped before the write: it is layout, not
+    * data. Judged `q_zorder` (z-clustered write → box-filtered re-read
+    * vs the direct SQL filter); interleave algebra + per-file box
+    * locality asserted in RelationalSpec. */
+  def writeZOrdered(df: DataFrame, path: String, dimA: Column, dimB: Column,
+      nRanges: Int, maxRecordsPerFile: Long = 0L): Unit =
+    df.withColumn("__z", call_function("graft_zorder2",
+        dimA.cast("long"), dimB.cast("long")))
+      .repartitionByRange(nRanges, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Column profiling: (col_name, n_nulls, n_distinct) for each named
     * column, in ONE aggregate pass over the table (the multi-distinct
     * plans through Catalyst's Expand — a single shuffle, not one job per
@@ -773,4 +795,35 @@ object Relational {
       .orderBy(desc("n"), col(key))
       .limit(topN)
   }
+
+  /** Wide→long reshape (melt / UNPIVOT — the inverse of `q_pivot`'s
+    * pivot): each input row becomes |values| rows of (ids…, varName,
+    * valName). Uses the built-in `Dataset.unpivot`, which plans a single
+    * Expand node — a pure map-side row multiplication inside the scan
+    * stage, no shuffle, no join against a column-name table. The value
+    * columns must share a least-common type (cast beforehand; Spark and
+    * ANSI UNPIVOT both reject mixed incompatible types rather than
+    * silently coercing). Judged `q_unpivot`, fully oracled against the
+    * equivalent UNION ALL. */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String, valName: String): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
+
+  /** Ordered group concatenation (LISTAGG / string_agg): one row per
+    * group with the group's values joined by `sep` in ascending value
+    * order. `collect_list` gives no order guarantee post-shuffle, so the
+    * deterministic form sorts the COLLECTED ARRAY (per-group, after the
+    * aggregate — not a per-row window) before joining.
+    *
+    * Scale stance: the output row materializes the whole group — this is
+    * a DIMENSION-scale aggregate (labels per entity, names per region).
+    * On a fact-scale group the concatenated string itself is the
+    * bottleneck regardless of engine; cap the group first (group_topn)
+    * if cardinality is unbounded. Judged `q_string_agg`, fully oracled
+    * against DuckDB's ORDER BY-qualified string_agg. */
+  def stringAgg(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      sep: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(array_join(array_sort(collect_list(col(valueCol))), sep)
+        .as(s"${valueCol}_list"), count(lit(1)).as("n"))
 }

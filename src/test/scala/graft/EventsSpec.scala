@@ -177,4 +177,20 @@ class EventsSpec extends SparkTestBase {
       .as[(Int, String, Long)].collect().toSeq
     assert(out === Seq((0, "signup", 3L), (1, "view", 2L), (2, "click", 1L)))
   }
+
+  test("forwardFill carries the latest prior non-null per key; leading nulls stay") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00", None),           // leading null -> stays
+      (2L, 10L, "2026-01-01 11:00:00", Some(5.0)),
+      (3L, 10L, "2026-01-01 12:00:00", None),           // -> 5.0
+      (4L, 10L, "2026-01-01 13:00:00", None),           // run of nulls -> 5.0
+      (5L, 10L, "2026-01-01 14:00:00", Some(7.0)),      // own value survives
+      (6L, 20L, "2026-01-01 12:30:00", None))           // other key: no bleed
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.forwardFill(ev, "user_id", Seq("ts", "event_id"), "value")
+      .select("event_id", "value").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(1L -> None, 2L -> Some(5.0), 3L -> Some(5.0),
+      4L -> Some(5.0), 5L -> Some(7.0), 6L -> None))
+  }
 }

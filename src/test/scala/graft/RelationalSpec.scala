@@ -489,4 +489,26 @@ class RelationalSpec extends SparkTestBase {
     }.size
     assert(nAgg === 1, s"expected one Aggregate, got:\n$plan")
   }
+
+  test("melt emits |values| rows per input row and round-trips through pivot") {
+    val df = Seq((1L, 2.0, 30.0), (2L, 4.0, 50.0)).toDF("id", "a", "b")
+    val long = graft.operators.Relational.melt(
+      df, Seq("id"), Seq("a", "b"), "metric", "value")
+    assert(long.count() === 4)
+    val got = long.as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "a", 2.0), (1L, "b", 30.0),
+      (2L, "a", 4.0), (2L, "b", 50.0)))
+    // inverse reshape recovers the wide table
+    val wide = long.groupBy("id").pivot("metric", Seq("a", "b"))
+      .agg(first(col("value"))).as[(Long, Double, Double)].collect().toSet
+    assert(wide === Set((1L, 2.0, 30.0), (2L, 4.0, 50.0)))
+  }
+
+  test("stringAgg joins group values in ascending order regardless of layout") {
+    val df = Seq(("g1", "b"), ("g1", "a"), ("g1", "c"), ("g2", "z"))
+      .toDF("k", "v").repartition(4) // scramble physical order
+    val got = graft.operators.Relational.stringAgg(df, Seq("k"), "v", ",")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("g1", "a,b,c", 3L), ("g2", "z", 1L)))
+  }
 }

@@ -192,4 +192,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(r(4L) === 2.0) // empty text: 2-byte deflate block over the 1-byte floor
     assert(ratios === r) // deterministic across plans
   }
+
+  test("unigramLmScore: common-token docs score below rare-token docs, exact nll") {
+    // corpus: 8 tokens total — "the" x4, "cat" x2, "dog" x1, "zq" x1
+    val docs = Seq(
+      (1L, "the the the the"), // all common
+      (2L, "cat cat dog"),
+      (3L, "zq"))              // rare singleton
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    graft.engine.Caches.releaseAll()
+    val ln = (x: Double) => math.log(x)
+    assert(out(1L)._1 === 4L)
+    assert(math.abs(out(1L)._2 - -ln(4.0 / 8)) < 1e-12)
+    assert(math.abs(out(2L)._2 - (-(2 * ln(2.0 / 8) + ln(1.0 / 8)) / 3)) < 1e-12)
+    assert(math.abs(out(3L)._2 - -ln(1.0 / 8)) < 1e-12)
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+  }
 }
