@@ -554,6 +554,26 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Z-order clustered write (writeClustered's 2-D sibling): orders
+    // laid out along the Morton curve of (custkey, order epoch-day) —
+    // each file covers a small box in BOTH dimensions, so min-max stats
+    // skip files for the 2-D box predicate below. Content oracled
+    // against the direct filter on the source table; interleave algebra
+    // and per-file box locality pinned in RelationalSpec.
+    "q_zorder" -> ((s, dir) => {
+      val path = tmpPath("zorder_write")
+      graft.operators.Relational.writeZOrdered(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        path, col("o_custkey"), unix_date(col("o_orderdate").cast("date")),
+        nRanges = 16, maxRecordsPerFile = 20000L)
+      readTable(s, path)
+        .filter(col("o_custkey").between(40, 120) &&
+          expr("o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+            "o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"))
+        .orderBy("o_orderkey")
+    }),
+
     // Token-budget selection: the best-quality docs whose cumulative
     // token count fits a 15k budget — quality score orders, the kernel
     // token count weighs, banded prefix-sum selects. The oracle is the
@@ -2910,6 +2930,14 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 40 AND 120
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_dq_checks" ->
       """WITH u AS (

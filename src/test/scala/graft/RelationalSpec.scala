@@ -504,6 +504,51 @@ class RelationalSpec extends SparkTestBase {
     assert(wide === Set((1L, 2.0, 30.0), (2L, 4.0, 50.0)))
   }
 
+  test("zorder2 interleave matches a bit-by-bit reference; sort order is the z-curve") {
+    val rnd = new scala.util.Random(7)
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32) {
+        z |= ((a >>> i) & 1L) << (2 * i)
+        z |= ((b >>> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    for (_ <- 1 to 200) {
+      val a = rnd.nextLong() & 0xFFFFFFFFL
+      val b = rnd.nextLong() & 0xFFFFFFFFL
+      assert(graft.functions.ZOrder2.interleave(a, b) === ref(a, b))
+    }
+    // kernel vs interpreted eval agree through the SQL surface
+    val df = Seq((3L, 5L), (0L, 0L), (0xFFFFFFFFL, 1L)).toDF("a", "b")
+      .select(call_function("graft_zorder2", col("a"), col("b")).as("z"))
+    assert(df.as[Long].collect().toSeq ===
+      Seq(ref(3, 5), 0L, ref(0xFFFFFFFFL, 1L)))
+  }
+
+  test("writeZOrdered: content round-trips and files cover boxes bounded in BOTH dims") {
+    val n = 64
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).as("x"), expr(s"id div $n").as("y"))
+    val path = s"/tmp/graft-test-zorder-${System.nanoTime()}"
+    graft.operators.Relational.writeZOrdered(grid, path, col("x"), col("y"), 16)
+    val back = spark.read.parquet(path)
+    assert(back.count() === n.toLong * n)
+    assert(back.select("x", "y").as[(Long, Long)].collect().toSet ===
+      grid.as[(Long, Long)].collect().toSet)
+    // per-file bounding boxes: a 1-D sort by x leaves dy = full range in
+    // EVERY file; the z-layout bounds most files in both dimensions
+    val boxes = back.select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f").agg(
+        (max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .as[(String, Long, Long)].collect()
+    val tight = boxes.count { case (_, dx, dy) => dx <= n / 2 && dy <= n / 2 }
+    assert(tight >= boxes.length * 3 / 4,
+      s"expected >=3/4 of files box-bounded, got $tight/${boxes.length}: " +
+        boxes.map { case (_, dx, dy) => s"($dx,$dy)" }.mkString(" "))
+    new java.io.File(path).listFiles().foreach(_.delete()); new java.io.File(path).delete()
+  }
+
   test("stringAgg joins group values in ascending order regardless of layout") {
     val df = Seq(("g1", "b"), ("g1", "a"), ("g1", "c"), ("g2", "z"))
       .toDF("k", "v").repartition(4) // scramble physical order
