@@ -1411,6 +1411,20 @@ object SparkEntry {
         "src", "dst", iterations = 3)
         .orderBy("id")),
 
+    // Multi-source BFS hop counts over a sparse directed graph derived
+    // from orders (every 17th order contributes one edge over 500
+    // nodes), seeds {1, 2}, depth cap 6 — min-hop label per reached
+    // node; unreached nodes absent. Oracle = depth-capped recursive CTE.
+    "q_bfs" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 17 === 0)
+        .select(pmod(col("o_orderkey"), lit(500)).as("src"),
+          pmod(expr("o_orderkey div 7"), lit(500)).as("dst"))
+      val seeds = s.range(1, 3).select(col("id").as("seed"))
+      graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "seed", 6)
+        .orderBy("id")
+    }),
+
     // Connected-components labels over the exact near-dup pair graph:
     // every doc in some J>=0.8 pair, labeled with the min doc id of its
     // duplicate CLUSTER (transitive closure of pairs). Fully oracled —
@@ -3045,6 +3059,18 @@ object SparkEntry {
     // the same recurrence pageRank iterates, unrolled: r_{i+1} =
     // 0.15/N + 0.85 * sum of r_i(u)/outdeg(u) over in-edges; `e0`
     // literals force DOUBLE (DuckDB parses bare 0.15 as DECIMAL)
+    "q_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_orderkey % 500 AS src, (o_orderkey // 7) % 500 AS dst
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |walk(id, d) AS (
+        |  SELECT CAST(s AS BIGINT), 0 FROM (VALUES (1), (2)) AS seeds(s)
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+        |  WHERE w.d < 6)
+        |SELECT id, CAST(min(d) AS INT) AS hops
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
     "q_pagerank" ->
       """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
         |                           l_suppkey % 100 AS dst FROM lineitem),

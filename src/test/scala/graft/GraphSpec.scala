@@ -51,4 +51,29 @@ class GraphSpec extends SparkTestBase {
     // triangle-free: a star and a path
     assert(count(Seq((0L, 1L), (0L, 2L), (0L, 3L), (5L, 6L), (6L, 7L))) === 0L)
   }
+
+  test("bfsHops: min hops, direction respected, depth cap, early stop, multi-seed") {
+    // 1→2→3→4→5 (chain), 1→3 (shortcut), 9→1 (INTO the seed: must not
+    // be followed backwards), 7→8 disconnected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (9L, 1L), (7L, 8L)).toDF("src", "dst")
+    def run(seeds: Seq[Long], cap: Int): Map[Long, Int] = {
+      val out = Graph.bfsHops(edges, "src", "dst",
+        seeds.toDF("seed"), "seed", cap)
+        .as[(Long, Int)].collect().toMap
+      graft.engine.Caches.releaseAll()
+      out
+    }
+    // shortcut wins: 3 is at hop 1, not 2; 9 unreachable (wrong direction)
+    assert(run(Seq(1L), 6) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // depth cap truncates the frontier expansion
+    assert(run(Seq(1L), 1) === Map(1L -> 0, 2L -> 1, 3L -> 1))
+    // multi-seed: labels are the min over seeds; disconnected seed keeps
+    // its own island
+    assert(run(Seq(1L, 7L), 6) ===
+      Map(1L -> 0, 7L -> 0, 2L -> 1, 3L -> 1, 8L -> 1, 4L -> 2, 5L -> 3))
+    // seedless node set: a seed absent from the edge list is still hop 0
+    assert(run(Seq(42L), 3) === Map(42L -> 0))
+  }
 }
