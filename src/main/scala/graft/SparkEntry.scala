@@ -1673,6 +1673,23 @@ object SparkEntry {
         .toDF()
         .orderBy("asset_id")),
 
+    // Frame sampling (the video shape: one asset row in, n frame rows
+    // out): stub slicer chunks the payload into ≤8 equal frames;
+    // posexplode to per-frame rows with byte length + md5. The ASCII
+    // payload makes the byte slices SQL-expressible, so unlike the
+    // other stub kernels this one is FULLY oracled.
+    "q_mm_frames" -> ((s, dir) =>
+      graft.operators.Multimodal.frameSample(
+          graft.operators.Multimodal.assetsFromText(
+            t(s, dir, "documents"), "text", "doc_id"), 8)
+        .toDF()
+        .select(col("asset_id").as("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).as("n_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")),
+
     // Multimodal feature extraction (stub byte-histogram embedding)
     // composed with exact top-k vector search — the decode→embed→search
     // pipeline shape. Histograms are kernel-derived → rows-only;
@@ -2300,6 +2317,19 @@ object SparkEntry {
         |  SELECT 'o_orderpriority', count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
         |         count(DISTINCT o_orderpriority) FROM orders)
         |ORDER BY col_name""".stripMargin,
+
+    "q_mm_frames" ->
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |                  CAST(greatest(1, ceil(length(text) / 8.0)) AS BIGINT) AS sz
+        |           FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       CAST(length(substring(text, CAST(1 + i*sz AS INT),
+        |                             CAST(sz AS INT))) AS INT) AS n_bytes,
+        |       md5(substring(text, CAST(1 + i*sz AS INT),
+        |                     CAST(sz AS INT))) AS frame_md5
+        |FROM p, UNNEST(generate_series(0,
+        |         CAST(ceil(len/(sz*1.0)) AS BIGINT) - 1)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id AS asset_id, 'text' AS modality,
