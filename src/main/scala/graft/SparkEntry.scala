@@ -1867,6 +1867,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // EWMA (α = 0.3) per user in (ts, id) order — the inherently
+    // sequential per-key recurrence, via the mapPartitions escalation;
+    // oracle applies the identical recurrence as a recursive CTE.
+    "q_ewma" -> ((s, dir) =>
+      graft.operators.Events.ewma(
+          t(s, dir, "events")
+            .select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", 0.3)
+        .select("event_id", "user_id", "value", "ewma")
+        .orderBy("event_id")),
+
     // Time-series resampling with gap filling: dense hourly spine over
     // the event span, empty buckets at n=0 / null sum. Fully oracled.
     "q_resample" -> ((s, dir) =>
@@ -2123,6 +2134,15 @@ object SparkEntry {
           "user_id", Seq("ts", "event_id"), "value")
         .select("event_id", "user_id", "value")
         .orderBy("event_id")),
+
+    // Byte-distribution entropy per document (kernel, scan-stage): the
+    // cheap gibberish detector; oracle recomputes −Σ p·ln p from
+    // per-character counts.
+    "q_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextOps.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
 
     // Unigram LM quality scoring (CCNet-style): per-doc mean negative
     // log-likelihood under the corpus's own unigram distribution —
@@ -2439,6 +2459,21 @@ object SparkEntry {
         |FROM events e JOIN s USING (event_type)
         |WHERE abs(e.value - s.m) > 3 * s.sd
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_ewma" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w(user_id, event_id, value, rn, ewma) AS (
+        |  SELECT user_id, event_id, value, rn, value FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.value, r.rn,
+        |         0.3 * r.value + (1 - 0.3) * w.ewma
+        |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |SELECT event_id, user_id, value, ewma FROM w
+        |ORDER BY event_id""".stripMargin,
 
     "q_moving_avg" ->
       """SELECT event_id, user_id, value,
@@ -3475,6 +3510,17 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+        |            FROM documents,
+        |                 UNNEST(generate_series(1, length(text))) AS t(i)),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY 1)
+        |SELECT cnt.doc_id,
+        |       -sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE))) AS entropy
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY cnt.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

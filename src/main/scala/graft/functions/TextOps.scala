@@ -327,6 +327,13 @@ object TextOps {
     call_function("graft_deflate_len", c).cast("double") /
       greatest(octet_length(c), lit(1)).cast("double")
 
+  /** Byte-distribution Shannon entropy (nats) via the
+    * [[graft.functions.CharEntropy]] codegen kernel — the cheap
+    * gibberish/spam detector: ~0 for repeated-character junk, high for
+    * random noise, a stable mid band for prose. Scan-stage, no shuffle;
+    * judged `q_char_entropy`, fully oracled. */
+  def charEntropy(c: Column): Column = call_function("graft_char_entropy", c)
+
   /** Unigram language-model scoring (the CCNet/Wenzek et al. 2020 LM
     * quality filter, with the n=1 model the corpus itself can train in
     * one pass): per document, the mean negative log-likelihood of its

@@ -276,7 +276,8 @@ object GraftFunctions {
     VectorExprs.dotFunction +:
       (VectorExprs.pqFunctions ++
         TextStatsExprs.functions ++ ShingleExprs.functions ++
-        CompressExprs.functions ++ ZOrder2.functions)
+        CompressExprs.functions ++ ZOrder2.functions ++
+        EntropyExprs.functions)
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`

@@ -193,4 +193,18 @@ class EventsSpec extends SparkTestBase {
     assert(out === Map(1L -> None, 2L -> Some(5.0), 3L -> Some(5.0),
       4L -> Some(5.0), 5L -> Some(7.0), 6L -> None))
   }
+
+  test("ewma applies the sequential recurrence per key in order, keys isolated") {
+    val a = 0.5
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00", 2.0),
+      (2L, 10L, "2026-01-01 11:00:00", 4.0),  // 0.5*4 + 0.5*2 = 3
+      (3L, 10L, "2026-01-01 12:00:00", 8.0),  // 0.5*8 + 0.5*3 = 5.5
+      (4L, 20L, "2026-01-01 09:00:00", 100.0)) // fresh key restarts state
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.ewma(ev, "user_id", "ts", "event_id", "value", a)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 2.0, 2L -> 3.0, 3L -> 5.5, 4L -> 100.0))
+  }
 }

@@ -193,6 +193,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(ratios === r) // deterministic across plans
   }
 
+  test("charEntropy: 0 for uniform-repeat and empty, ln(k) for k uniform chars") {
+    val rows = Seq((1L, "aaaaaaaa"), (2L, "abcdabcd"), (3L, ""),
+      (4L, "abababababab"))
+      .toDF("doc_id", "text")
+    val h = rows.select(col("doc_id"),
+        TextOps.charEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(h(1L) === 0.0)
+    assert(math.abs(h(2L) - math.log(4)) < 1e-12)
+    assert(h(3L) === 0.0)
+    assert(math.abs(h(4L) - math.log(2)) < 1e-12)
+  }
+
   test("unigramLmScore: common-token docs score below rare-token docs, exact nll") {
     // corpus: 8 tokens total — "the" x4, "cat" x2, "dog" x1, "zq" x1
     val docs = Seq(
