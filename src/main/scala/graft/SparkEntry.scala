@@ -1867,6 +1867,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Per-user OLS trend over event time (regr_* aggregates, one
+    // partial-aggregated pass): the drift detector. Fully oracled.
+    "q_trend" -> ((s, dir) =>
+      graft.operators.Events.trendByKey(
+          t(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id")),
+
+    // Interval coalescing: per-user [ts, ts+90min] heartbeat windows
+    // merged into connected spans — one window pass + rollup. Fully
+    // oracled via the identical window SQL.
+    "q_interval_merge" -> ((s, dir) =>
+      graft.operators.Events.mergeIntervals(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts").as("s"),
+              (col("ts") + expr("INTERVAL 90 MINUTES")).as("e")),
+          "user_id", "s", "e")
+        .orderBy("user_id", "span_start")),
+
     // EWMA (α = 0.3) per user in (ts, id) order — the inherently
     // sequential per-key recurrence, via the mapPartitions escalation;
     // oracle applies the identical recurrence as a recursive CTE.
@@ -2459,6 +2477,28 @@ object SparkEntry {
         |FROM events e JOIN s USING (event_type)
         |WHERE abs(e.value - s.m) > 3 * s.sd
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_trend" ->
+      """SELECT user_id, regr_slope(value, epoch_us(ts)/1e6) AS slope,
+        |       regr_intercept(value, epoch_us(ts)/1e6) AS intercept,
+        |       count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, ts AS s,
+        |                   ts + INTERVAL 90 MINUTE AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM iv),
+        |g AS (SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |      FROM m)
+        |SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+        |       count(*) AS n_merged
+        |FROM g GROUP BY user_id, span
+        |ORDER BY user_id, span_start""".stripMargin,
 
     "q_ewma" ->
       """WITH RECURSIVE r AS (

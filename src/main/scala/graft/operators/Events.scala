@@ -237,6 +237,51 @@ object Events {
     events.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Per-key OLS trend line over event time: `(slope, intercept, n)`
+    * from the `regr_slope` / `regr_intercept` aggregates — the
+    * degradation / drift detector ("is this sensor's value trending
+    * down?") as ONE partial-aggregated pass, no window, no sort, no
+    * per-key iteration: every 100 TB-scale concern is the aggregate
+    * framework's. X is epoch SECONDS (double) so slopes read as
+    * units/second. Groups need ≥2 distinct x for a defined slope —
+    * singletons yield null (both engines agree). Judged `q_trend`,
+    * fully oracled within FP tolerance. */
+  def trendByKey(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val x = unix_micros(col(tsCol)) / lit(1e6)
+    events.groupBy(col(keyCol))
+      .agg(regr_slope(col(valueCol), x).as("slope"),
+        regr_intercept(col(valueCol), x).as("intercept"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Interval coalescing: merge overlapping-or-touching `[start, end]`
+    * intervals per key into their connected spans — dedup for
+    * time-range data (sessions from heartbeats, covered-time union,
+    * on-call windows). The classic one-window formulation: order by
+    * (start, end), a new span begins where `start` exceeds the running
+    * max of all PRIOR ends, and the span ordinal is the running sum of
+    * those breaks — so the whole operator is one shuffle + sort on the
+    * key, then a partial-aggregated rollup of (span) groups. Touching
+    * intervals (`start = prior max end`) merge; mirror the comparison
+    * exactly when porting the oracle. Judged `q_interval_merge`, fully
+    * oracled via the identical window SQL. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1).otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__span"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__span")
+  }
+
   /** Exponentially weighted moving average per key:
     * `s_1 = x_1; s_t = α·x_t + (1−α)·s_{t−1}` in `(tsCol, tieCol)`
     * order. The recurrence is INHERENTLY SEQUENTIAL per key — no window

@@ -194,6 +194,26 @@ class EventsSpec extends SparkTestBase {
       4L -> Some(5.0), 5L -> Some(7.0), 6L -> None))
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, nesting absorbed") {
+    val iv = Seq(
+      (1L, "2026-01-01 10:00:00", "2026-01-01 11:00:00"),
+      (1L, "2026-01-01 10:30:00", "2026-01-01 10:40:00"), // nested -> absorbed
+      (1L, "2026-01-01 11:00:00", "2026-01-01 12:00:00"), // touching -> merges
+      (1L, "2026-01-01 12:30:00", "2026-01-01 13:00:00"), // gap -> new span
+      (2L, "2026-01-01 10:30:00", "2026-01-01 10:45:00")) // other key isolated
+      .toDF("k", "ss", "es")
+      .select(col("k"), to_timestamp(col("ss")).as("s"),
+        to_timestamp(col("es")).as("e"))
+    val out = Events.mergeIntervals(iv, "k", "s", "e")
+      .select(col("k"), col("span_start").cast("string"),
+        col("span_end").cast("string"), col("n_merged"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(out === Set(
+      (1L, "2026-01-01 10:00:00", "2026-01-01 12:00:00", 3L),
+      (1L, "2026-01-01 12:30:00", "2026-01-01 13:00:00", 1L),
+      (2L, "2026-01-01 10:30:00", "2026-01-01 10:45:00", 1L)))
+  }
+
   test("ewma applies the sequential recurrence per key in order, keys isolated") {
     val a = 0.5
     val ev = Seq(
