@@ -65,6 +65,26 @@ object Events {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"), col("avg_value"))
 
+  /** SLIDING-window aggregation — [[tumblingAgg]] with a hop smaller
+    * than the width, via the same `window()` grouping primitive: each
+    * event expands to width/slide window assignments inside one Expand
+    * node (scan-stage row multiplication, same machinery as unpivot),
+    * then the one (window, key) shuffle partial-aggregates as usual —
+    * overlap costs a constant row-fan-out, never a self-join or a
+    * per-window rescan. Streams unchanged under a watermark, like its
+    * tumbling sibling. Judged `q_sliding_window`, fully oracled (the
+    * oracle materializes the same width/slide assignments as a UNION
+    * ALL). */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_value"),
+        avg(col(valueCol)).as("avg_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"), col("avg_value"))
+
   /** As-of join — an operator Spark has no primitive for, composed from
     * existing ops (SURVEY §7.3 escalation ladder step (a)): for every
     * `left` row, attach the `payloadCol` of the LATEST `right` row with
