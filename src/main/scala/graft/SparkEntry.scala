@@ -1690,6 +1690,14 @@ object SparkEntry {
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")),
 
+    // Per-label centroid distance (SSL-prototypes / SemDeDup extremity
+    // signal): centroids from one dim-scale shuffle broadcast back,
+    // per-row distance on the graft_dot kernel. Fully oracled.
+    "q_vec_centroid" -> ((s, dir) =>
+      graft.operators.Vectors.centroidDistance(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("vec_id")),
+
     // Multimodal feature extraction (stub byte-histogram embedding)
     // composed with exact top-k vector search — the decode→embed→search
     // pipeline shape. Histograms are kernel-derived → rows-only;
@@ -2384,6 +2392,23 @@ object SparkEntry {
         |  SELECT 'o_orderpriority', count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
         |         count(DISTINCT o_orderpriority) FROM orders)
         |ORDER BY col_name""".stripMargin,
+
+    "q_vec_centroid" ->
+      """WITH c AS (SELECT label, p, avg(x) AS m
+        |           FROM (SELECT label,
+        |                        unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |                        generate_subscripts(embedding, 1) AS p
+        |                 FROM embeddings)
+        |           GROUP BY 1, 2),
+        |cl AS (SELECT label, list(m ORDER BY p) AS c FROM c GROUP BY 1)
+        |SELECT e.vec_id, e.label,
+        |       sqrt(greatest(
+        |           list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(e.embedding AS DOUBLE[]))
+        |         - 2*list_inner_product(CAST(e.embedding AS DOUBLE[]), cl.c)
+        |         + list_inner_product(cl.c, cl.c), 0)) AS dist
+        |FROM embeddings e JOIN cl USING (label)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_mm_frames" ->
       """WITH p AS (SELECT doc_id, text, length(text) AS len,

@@ -406,4 +406,32 @@ object Vectors {
       .select(col("db").as(idCol)).distinct()
     emb.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Per-label centroid distance — the embedding-space outlier /
+    * prototypicality score (the SSL-prototypes pruning signal of
+    * Sorscher et al. 2022, and SemDeDup's cluster-extremity ranking):
+    * Euclidean distance from each vector to its label's mean vector.
+    *
+    * Plan shape: centroids come from ONE posexplode + (label, pos)
+    * partial-aggregated avg — the shuffle carries labels×dim rows, not
+    * the corpus — and broadcast back; the per-row distance is
+    * `√(|v|² − 2·v·c + |c|²)` with both inner products on the native
+    * `graft_dot` kernel, so the corpus pass stays in whole-stage
+    * codegen with zero corpus shuffle. Judged `q_vec_centroid`, fully
+    * oracled via DuckDB list/unnest arithmetic. */
+  def centroidDistance(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val cents = emb
+      .select(col(labelCol), posexplode(v).as(Seq("__p", "__x")))
+      .groupBy(col(labelCol), col("__p"))
+      .agg(avg(col("__x")).as("__m"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__m"))))
+        .getField("__m").as("__c"))
+    emb.join(broadcast(cents), labelCol)
+      .select(col(idCol), col(labelCol),
+        sqrt(greatest(dot(v, v) - lit(2.0) * dot(v, col("__c")) +
+          dot(col("__c"), col("__c")), lit(0.0))).as("dist"))
+  }
 }

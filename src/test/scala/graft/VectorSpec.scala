@@ -207,6 +207,23 @@ class VectorSpec extends SparkTestBase {
       s"bucketed kept ${keptB.size} vs exact ${kept.size}")
   }
 
+  test("centroidDistance: exact distances to the per-label mean; singleton at 0") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), "a"), // centroid a = (2, 0)
+      (1L, Seq(3.0, 0.0), "a"),
+      (2L, Seq(2.0, 2.0), "a"),
+      (3L, Seq(5.0, 5.0), "b")) // singleton: distance 0
+      .toDF("vec_id", "v", "label")
+      // centroid path averages over THREE a-vectors: (2, 2/3)
+    val out = Vectors.centroidDistance(emb, "vec_id", "v", "label")
+      .select("vec_id", "dist").as[(Long, Double)].collect().toMap
+    val cy = 2.0 / 3
+    assert(math.abs(out(0L) - math.sqrt(1 + cy * cy)) < 1e-12)
+    assert(math.abs(out(1L) - math.sqrt(1 + cy * cy)) < 1e-12)
+    assert(math.abs(out(2L) - (2 - cy)) < 1e-12)
+    assert(math.abs(out(3L)) < 1e-12)
+  }
+
   test("annTopK fails fast on mismatched embedding width") {
     val corpus = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
     val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
