@@ -2190,6 +2190,23 @@ object SparkEntry {
         .select("event_id", "user_id", "value")
         .orderBy("event_id")),
 
+    // Per-type min-max scaling to [0,1]: extrema broadcast back over
+    // the stream, scan-stage arithmetic. Fully oracled.
+    "q_minmax_scale" -> ((s, dir) =>
+      graft.operators.Events.minMaxScale(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select("event_id", "event_type", "value", "scaled")
+        .orderBy("event_id")),
+
+    // Bigram conditional-LM scoring: mean −ln p(w_i|w_{i−1}) under the
+    // corpus MLE — kernel bigrams, vocab²-bounded count tables
+    // broadcast back. Fully oracled.
+    "q_bigram_lm" -> ((s, dir) =>
+      graft.functions.TextOps.bigramLmScore(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Byte-distribution entropy per document (kernel, scan-stage): the
     // cheap gibberish detector; oracle recomputes −Σ p·ln p from
     // per-character counts.
@@ -3630,6 +3647,27 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_minmax_scale" ->
+      """WITH s AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       (value - lo) / NULLIF(hi - lo, 0) AS scaled
+        |FROM events JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b, t[i] AS w1
+        |       FROM toks,
+        |            UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+        |cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |       avg(-ln(CAST(cb.cb AS DOUBLE) / cw.cw)) AS nll2
+        |FROM bg JOIN cb USING (b) JOIN cw USING (w1)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c

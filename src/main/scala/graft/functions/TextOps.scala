@@ -363,4 +363,32 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), avg(col("__nll")).as("nll"))
   }
+
+  /** Bigram conditional-LM scoring — [[unigramLmScore]] with one order
+    * of context: per document, the mean of `−ln p(w_i | w_{i−1})` under
+    * the corpus MLE `count(w_{i−1} w_i) / count(w_{i−1} ·)`. Catches
+    * scrambled/concatenated text that unigram statistics can't (every
+    * token common, every transition rare).
+    *
+    * Bigrams come straight from the scan-stage `graft_shingles` kernel
+    * (width 2) — no window, no per-position self-join; the denominator
+    * reuses the SAME bigram relation (count of bigrams starting with
+    * w₁ = count of w₁ in non-final position, the standard MLE
+    * denominator). Both count tables are vocabulary²-bounded and
+    * broadcast at harness scale; at a scale where the bigram vocabulary
+    * outgrows broadcast, drop the hint and the same plan shuffle-joins
+    * on the bigram key. Docs with < 2 tokens have no bigrams and no
+    * row. Judged `q_bigram_lm`, fully oracled. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = graft.engine.Caches.persisted(
+      docs.select(col(idCol),
+          explode(call_function("graft_shingles", col(textCol), lit(2))).as("b"))
+        .withColumn("w1", substring_index(col("b"), " ", 1)))
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("__cb"))
+    val cw = bg.groupBy("w1").agg(count(lit(1)).as("__cw"))
+    bg.join(broadcast(cb), "b").join(broadcast(cw), "w1")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(col("__cb").cast("double") / col("__cw"))).as("nll2"))
+  }
 }
