@@ -1690,6 +1690,16 @@ object SparkEntry {
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")),
 
+    // PCA projection onto the top 2 components: one-pass moment
+    // accumulation (partials-to-driver, never rows), driver-side
+    // 64×64 eigen, kernel-dot projection. Eigenvectors aren't
+    // SQL-expressible → rows-only; direction/variance contracts in
+    // VectorSpec.
+    "q_vec_pca" -> ((s, dir) =>
+      graft.operators.Vectors.pcaProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 2)
+        .orderBy("vec_id")),
+
     // Per-label centroid distance (SSL-prototypes / SemDeDup extremity
     // signal): centroids from one dim-scale shuffle broadcast back,
     // per-row distance on the graft_dot kernel. Fully oracled.

@@ -419,6 +419,108 @@ object Vectors {
     * `graft_dot` kernel, so the corpus pass stays in whole-stage
     * codegen with zero corpus shuffle. Judged `q_vec_centroid`, fully
     * oracled via DuckDB list/unnest arithmetic. */
+  /** PCA projection onto the top-`k` principal components — the
+    * embedding dimensionality reduction step (visualization, whitening
+    * before clustering, cheap pre-filters ahead of exact cosine).
+    *
+    * Shape, stage by stage, sized for 100 TB:
+    *  1. MOMENTS: one `mapPartitions` pass accumulates per-partition
+    *     `(n, Σv, Σvvᵀ)` — d + d² doubles of state per TASK — and
+    *     `reduce` merges the per-partition triples; the driver ends up
+    *     holding ONE (d, d²) summary (64 KB at d = 64), never rows.
+    *     This is the treeAggregate pattern, not a corpus shuffle: the
+    *     only data movement is partials-to-driver.
+    *  2. EIGEN: covariance `E[vvᵀ] − μμᵀ` and top-k eigenvectors by
+    *     power iteration with deflation, driver-side on the d×d matrix
+    *     — config-scale math, the same bounded-state stance as
+    *     [[ivfTopK]]'s centroids; sign canonicalized (first
+    *     nonzero component positive) so output is deterministic.
+    *  3. PROJECT: scan-stage `graft_dot` against each (broadcast-
+    *     literal) component minus the centering constant — zero
+    *     shuffle, whole-stage codegen.
+    *
+    * Eigenvectors aren't SQL-expressible → judged `q_vec_pca`
+    * rows-only; VectorSpec pins direction recovery and the variance
+    * ordering on an anisotropic corpus. */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val vecs = emb.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    val (n, sums, raw) = vecs
+      .mapPartitions { it =>
+        var n = 0L
+        var sums: Array[Double] = null
+        var s: Array[Double] = null
+        it.foreach { v =>
+          val d = v.size
+          if (sums == null) { sums = new Array[Double](d); s = new Array[Double](d * d) }
+          var i = 0
+          while (i < d) {
+            val vi = v(i)
+            sums(i) += vi
+            var j = 0
+            while (j < d) { s(i * d + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((n, sums.toSeq, s.toSeq))
+      }
+      .reduce { (a, b) =>
+        (a._1 + b._1,
+          a._2.lazyZip(b._2).map(_ + _),
+          a._3.lazyZip(b._3).map(_ + _))
+      }
+    val d = sums.size
+    require(n > 1, s"pcaProject needs > 1 vector, got $n")
+    val mean = sums.map(_ / n).toArray
+    val cov = Array.tabulate(d, d)((i, j) => raw(i * d + j) / n - mean(i) * mean(j))
+    val pcs = Vectors.topEigenvectors(cov, k)
+    val vCol = col(vecCol).cast("array<double>")
+    val projections = pcs.zipWithIndex.map { case (pc, c) =>
+      val pcLit = typedLit(pc.toSeq)
+      val center = pc.lazyZip(mean).map(_ * _).sum
+      (dot(vCol, pcLit) - lit(center)).as(s"pc${c + 1}")
+    }
+    emb.select(col(idCol) +: projections: _*)
+  }
+
+  /** Top-k eigenvectors of a small symmetric matrix by power iteration
+    * with deflation — driver-side config-scale math for [[pcaProject]];
+    * deterministic start vector and canonical sign. */
+  private[operators] def topEigenvectors(m0: Array[Array[Double]],
+      k: Int): Seq[Array[Double]] = {
+    val d = m0.length
+    val m = m0.map(_.clone())
+    def mul(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }
+        s
+      })
+    (0 until math.min(k, d)).map { _ =>
+      var v = Array.tabulate(d)(i => 1.0 + 0.01 * i) // deterministic, generic
+      var it = 0
+      while (it < 300) {
+        val w = mul(v)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm == 0) it = 300 // null space: keep current v
+        else { v = w.map(_ / nrm); it += 1 }
+      }
+      val lambda = v.lazyZip(mul(v)).map(_ * _).sum
+      // deflate: m -= λ v vᵀ
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { m(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      val sign = v.find(math.abs(_) > 1e-12).map(x => if (x < 0) -1.0 else 1.0).getOrElse(1.0)
+      v.map(_ * sign)
+    }
+  }
+
   def centroidDistance(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")

@@ -224,6 +224,44 @@ class VectorSpec extends SparkTestBase {
     assert(math.abs(out(3L)) < 1e-12)
   }
 
+  test("pcaProject recovers the dominant direction; component variances ordered") {
+    // anisotropic 4-D corpus: huge spread along (1,1,0,0)/√2, medium
+    // along (0,0,1,0), tiny deterministic jitter along (0,0,0,1)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val a = rnd.nextGaussian() * 10 // dominant
+      val b = rnd.nextGaussian() * 2  // secondary
+      val c = rnd.nextGaussian() * 0.1
+      (i.toLong, Seq(a / math.sqrt(2) + 5, a / math.sqrt(2) - 3, b + 1, c))
+    }
+    val emb = rows.toDF("vec_id", "v")
+    val out = Vectors.pcaProject(emb, "vec_id", "v", 2)
+      .select("vec_id", "pc1", "pc2").as[(Long, Double, Double)].collect()
+    assert(out.length === 400)
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = variance(out.map(_._2).toSeq)
+    val v2 = variance(out.map(_._3).toSeq)
+    // pc1 captures the dominant axis (σ²≈100), pc2 the secondary (≈4)
+    assert(v1 > 50 && v1 > 10 * v2, s"v1=$v1 v2=$v2")
+    assert(v2 > 1 && v2 < 50, s"v2=$v2")
+    // pc1 projection ≈ the generating coordinate `a` (up to sign):
+    // correlation with the true dominant coordinate is ~±1
+    val as = rows.map(r => (r._2(0) + r._2(1)) / math.sqrt(2)) // = a + const
+    val p1 = out.sortBy(_._1).map(_._2).toSeq
+    val corr = {
+      val ma = as.sum / as.size; val mp = p1.sum / p1.size
+      val cov = as.lazyZip(p1).map((x, y) => (x - ma) * (y - mp)).sum
+      cov / math.sqrt(as.map(x => (x - ma) * (x - ma)).sum *
+        p1.map(y => (y - mp) * (y - mp)).sum)
+    }
+    assert(math.abs(corr) > 0.999, s"corr=$corr")
+    // projections are centered: mean ≈ 0
+    assert(math.abs(out.map(_._2).sum / out.length) < 1e-6)
+  }
+
   test("annTopK fails fast on mismatched embedding width") {
     val corpus = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
     val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
