@@ -2209,6 +2209,24 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "scaled")
         .orderBy("event_id")),
 
+    // Robust scaling (median/IQR): the outlier-proof normalizer;
+    // exact percentiles bit-identical to quantile_cont. Fully oracled.
+    "q_robust_scale" -> ((s, dir) =>
+      graft.operators.Events.robustScale(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select("event_id", "event_type", "value", "scaled")
+        .orderBy("event_id")),
+
+    // K-means cluster assignment (5 Lloyd rounds, k=8): scan-stage
+    // argmin over kernel dots, k×d centroid state per round. Cluster
+    // ids aren't SQL-expressible → rows-only; recovery contracts in
+    // VectorSpec.
+    "q_kmeans" -> ((s, dir) =>
+      graft.operators.Vectors.kmeansAssign(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .orderBy("vec_id")),
+
     // Bigram conditional-LM scoring: mean −ln p(w_i|w_{i−1}) under the
     // corpus MLE — kernel bigrams, vocab²-bounded count tables
     // broadcast back. Fully oracled.
@@ -3657,6 +3675,16 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH s AS (SELECT event_type,
+        |             quantile_cont(value, 0.5) AS med,
+        |             quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       (value - med) / NULLIF(iqr, 0) AS scaled
+        |FROM events JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_minmax_scale" ->
       """WITH s AS (SELECT event_type, min(value) AS lo, max(value) AS hi

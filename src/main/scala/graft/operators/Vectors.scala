@@ -419,6 +419,78 @@ object Vectors {
     * `graft_dot` kernel, so the corpus pass stays in whole-stage
     * codegen with zero corpus shuffle. Judged `q_vec_centroid`, fully
     * oracled via DuckDB list/unnest arithmetic. */
+  /** K-means cluster assignment (Lloyd 1982) — clustering as a
+    * first-class operator rather than [[ivfTopK]]'s internal
+    * quantizer: SemDeDup-style curation clusters FIRST and prunes
+    * within clusters, and mixture analysis / stratified pruning key on
+    * the cluster id. Euclidean objective; `argmin ‖v−c‖²` reduces to
+    * `argmin (‖c‖² − 2v·c)` so each round's assignment is a codegen
+    * argmin over k `graft_dot` terms in the SCAN stage — no shuffle,
+    * no crossJoin against a centroid table. Each Lloyd round costs one
+    * (cluster, position) partial-aggregated mean — the shuffle and the
+    * driver-side state are k×d doubles, the same bounded CONFIG read
+    * as [[ivfTopK]]'s seeding (never a data collect). Deterministic:
+    * FARTHEST-FIRST seeding (Gonzalez 1985 k-center traversal — seed 1
+    * is the first vector in xxhash64(id) order, each next seed
+    * maximizes its distance to the chosen set, ties by the hash) —
+    * hash-order-only seeding can put two seeds in one true cluster and
+    * Lloyd then converges to the split/merge local optimum; farthest-
+    * first provably covers well-separated clusters before refinement.
+    * Costs k extra scan+top-1 passes (each a TakeOrdered, no shuffle);
+    * at a scale where k full scans hurt, run the traversal on a
+    * deterministic sample instead (same code path on a `sample`
+    * input). Outlier-prone by construction — the Lloyd rounds pull
+    * seeds back to mass. Ties in the argmin break to the lower cluster
+    * id. Keep k modest (≤ ~32): the
+    * assignment expression is k dot terms wide (the q_vec_pq
+    * expression-tree lesson — at larger k, encode the centroid table
+    * in a kernel as pq does). Cluster ids aren't SQL-expressible →
+    * judged `q_kmeans` rows-only; exact recovery of separated clusters
+    * pinned in VectorSpec. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val v = col(vecCol).cast("array<double>")
+    var cents: Seq[Seq[Double]] = Seq(emb
+      .select(v.as("__v")).orderBy(xxhash64(col(idCol)))
+      .limit(1).collect().map(_.getSeq[Double](0).toSeq).head)
+    while (cents.size < k) {
+      // next seed: maximal min-distance² to the chosen set (ties by
+      // hash). |v|² matters here — the comparison is across ROWS, not
+      // across centroids, so the per-row constant doesn't cancel.
+      val terms = cents.map(c =>
+        lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedLit(c)))
+      val minDist = dot(v, v) +
+        (if (terms.size == 1) terms.head else least(terms: _*))
+      val next = emb
+        .select(v.as("__v"), minDist.as("__d"), xxhash64(col(idCol)).as("__t"))
+        .orderBy(col("__d").desc, col("__t"))
+        .limit(1).collect().head.getSeq[Double](0).toSeq
+      cents = cents :+ next
+    }
+    def assign(vc: Column): Column = {
+      val scores = cents.map(c =>
+        lit(c.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(c)))
+      val m = least(scores: _*)
+      scores.zipWithIndex.tail.foldLeft(when(scores.head === m, 0)) {
+        case (acc, (si, i)) => acc.when(si === m, i)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val means = emb.withColumn("__cell", assign(v))
+        .select(col("__cell"), posexplode(v))
+        .groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell).fold(old) { rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      }
+    }
+    emb.select(col(idCol), assign(v).as("cluster"))
+  }
+
   /** PCA projection onto the top-`k` principal components — the
     * embedding dimensionality reduction step (visualization, whitening
     * before clustering, cheap pre-filters ahead of exact cosine).

@@ -224,6 +224,28 @@ class VectorSpec extends SparkTestBase {
     assert(math.abs(out(3L)) < 1e-12)
   }
 
+  test("kmeansAssign recovers well-separated clusters exactly, deterministically") {
+    val rnd = new scala.util.Random(5)
+    val centers = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, i % 3, c.map(_ + rnd.nextGaussian() * 0.3))
+    }
+    val emb = rows.map { case (id, t, v) => (id, v) }.toDF("vec_id", "v")
+    def run() = Vectors.kmeansAssign(emb, "vec_id", "v", 3, iters = 5)
+      .as[(Long, Int)].collect().toMap
+    val got = run()
+    val truth = rows.map(r => r._1 -> r._2).toMap
+    // each true cluster maps to exactly one predicted label, and the
+    // three predicted labels are distinct (exact recovery up to relabel)
+    val mapping = truth.groupBy(_._2).map { case (t, m) =>
+      t -> m.keys.map(got).toSet
+    }
+    assert(mapping.values.forall(_.size == 1), s"split cluster: $mapping")
+    assert(mapping.values.flatten.toSet.size === 3, s"merged clusters: $mapping")
+    assert(run() === got) // deterministic across invocations
+  }
+
   test("pcaProject recovers the dominant direction; component variances ordered") {
     // anisotropic 4-D corpus: huge spread along (1,1,0,0)/√2, medium
     // along (0,0,1,0), tiny deterministic jitter along (0,0,0,1)
