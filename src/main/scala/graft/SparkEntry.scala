@@ -817,6 +817,20 @@ object SparkEntry {
       Dedup.exactDedup(dup, "text", "doc_id").orderBy("doc_id")
     }),
 
+    // Containment (asymmetric near-dup): a fixture injects a half-length
+    // truncated copy of every 20th doc — high containment, low Jaccard,
+    // exactly the pairs q_near_dup misses. Fully oracled at string level.
+    "q_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val half = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(lit(4), (size(toks) / 2).cast("int"))), " ").as("text"))
+      Dedup.containmentJoin(d.union(half), "text", "doc_id", 0.9)
+        .orderBy("da", "db")
+    }),
+
     // Incremental ingest with dedup-on-arrival (r5 VERDICT item 8): the
     // standing corpus is documents exact-deduped; the arriving batch
     // carries, per base doc, an exact duplicate of its text (id+10000,
@@ -1020,6 +1034,21 @@ object SparkEntry {
         in => graft.streaming.Streams
           .tumblingAggStream(in("in"), "ts", "event_type", "value",
             "1 hour", "30 minutes"))
+        .orderBy("window_start", "event_type")),
+
+    // Streaming sliding windows (2h/1h hop + 30min watermark): append
+    // mode emits watermark-FINALIZED windows only; DECIMAL sums keep
+    // the overlapping-group compare exact (the q_sliding_window rule).
+    "q_stream_sliding" -> ((s, dir) =>
+      runStream(s, "stream_sliding",
+        Seq(("in", t(s, dir, "events")
+            .select(col("ts"), col("event_type"),
+              col("value").cast("decimal(18,2)").as("value")),
+          "ts TIMESTAMP, event_type STRING, value DECIMAL(18,2)")),
+        in => graft.streaming.Streams
+          .slidingAggStream(in("in"), "ts", "event_type", "value",
+            "2 hours", "1 hour", "30 minutes")
+          .select("window_start", "event_type", "n", "sum_value"))
         .orderBy("window_start", "event_type")),
 
     // Stream-stream inner interval join, driver-judged: error and click
@@ -2844,6 +2873,26 @@ object SparkEntry {
         |                AND e.ts + INTERVAL 120 MINUTE
         |ORDER BY error_id, click_id""".stripMargin,
 
+    // sliding assignments + the q_stream_window finalization cut:
+    // only windows whose END the final watermark passed emit
+    "q_stream_sliding" ->
+      """WITH a AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         CAST(value AS DECIMAL(18,2)) AS value, ts
+        |  FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type,
+        |         CAST(value AS DECIMAL(18,2)), ts
+        |  FROM events),
+        |m AS (SELECT max(ts) AS mx FROM events),
+        |w AS (SELECT window_start, event_type, count(*) AS n,
+        |             sum(value) AS sum_value
+        |      FROM a GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, sum_value
+        |FROM w, m
+        |WHERE window_start + INTERVAL 2 HOUR <= mx - INTERVAL 30 MINUTE
+        |ORDER BY window_start, event_type""".stripMargin,
+
     "q_stream_window" ->
       """WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
         |             count(*) AS n, sum(value) AS sum_value, avg(value) AS avg_value
@@ -3539,6 +3588,27 @@ object SparkEntry {
         |  AND wm.stops >= 2
         |  AND lm.nb <= 0.9 * lm.n AND lm.ne <= 0.3 * lm.n AND lm.nd <= 0.3 * lm.n
         |ORDER BY 1""".stripMargin),
+
+    "q_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 1000000000000,
+        |                     array_to_string(list_slice(string_split(text, ' '), 1,
+        |                       greatest(4, len(string_split(text, ' ')) // 2)), ' ')
+        |              FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM base),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da, db, CAST(i AS BIGINT) AS inter,
+        |       CAST(i AS DOUBLE)/x.n AS c_ab, CAST(i AS DOUBLE)/y.n AS c_ba
+        |FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |WHERE greatest(CAST(i AS DOUBLE)/x.n, CAST(i AS DOUBLE)/y.n) >= 0.9
+        |ORDER BY da, db""".stripMargin,
 
     "q_near_dup" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -81,6 +81,45 @@ object Dedup {
       .agg(sort_array(collect_set(col("h"))).as("sh"))
       .withColumn("n", size(col("sh")))
 
+  /** Exact n-gram CONTAINMENT self-join — the asymmetric sibling of
+    * [[jaccardJoin]]: all pairs (a < b) where the smaller shingle set is
+    * mostly inside the other, `inter / min(|A|, |B|) >= threshold`, with
+    * both directional containments reported. Jaccard misses exactly
+    * these pairs (a quote or truncated copy has high containment but low
+    * Jaccard when sizes differ), and partial-copy detection is a
+    * curation pass of its own (Lee et al. 2022 §4 discuss the
+    * substring-duplication regime; [[sharedSpanPairs]] is the
+    * span-level view, this is the set-level one).
+    *
+    * Formulation: per-doc DISTINCT shingle hashes (scan-stage kernel)
+    * self-join on the hash — bare (8-byte, id, id) rows — and the pair's
+    * intersection size falls out of one (da, db) partial-aggregated
+    * count; sizes attach afterward from the persisted set relation. Any
+    * qualifying pair shares ≥ 1 shingle, so recall is exact and the
+    * all-pairs SQL oracle is checkable. Skew: a boilerplate shingle
+    * shared by k docs emits k² candidate rows — same hot-shingle cap
+    * policy as [[sharedSpanPairs]] (drop shingles above a document-
+    * frequency ceiling first; boilerplate is [[graft.functions.TextOps
+    * .stripBoilerplate]]'s job). Judged `q_containment` on a fixture
+    * injecting truncated copies, fully oracled. */
+  def containmentJoin(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, width: Int = 3): DataFrame = {
+    val sets = Caches.persisted(shingleHashSets(docs, textCol, idCol, width))
+    val sh = sets.select(col(idCol), explode(col("sh")).as("h"))
+    val pairs = sh.alias("a")
+      .join(sh.alias("b"), col("a.h") === col("b.h") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sets.select(col(idCol).as("da"), col("n").as("na")), "da")
+      .join(sets.select(col(idCol).as("db"), col("n").as("nb")), "db")
+      .withColumn("c_ab", col("inter").cast("double") / col("na"))
+      .withColumn("c_ba", col("inter").cast("double") / col("nb"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("da"), col("db"), col("inter"), col("c_ab"), col("c_ba"))
+  }
+
   /** Exact n-gram Jaccard similarity self-join: all pairs (a < b) with
     * `J(shingles(a), shingles(b)) >= threshold`, via AllPairs-style prefix
     * filtering (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06 —

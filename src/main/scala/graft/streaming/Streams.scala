@@ -41,6 +41,18 @@ object Streams {
     Events.tumblingAgg(events.withWatermark(tsCol, watermarkDelay),
       tsCol, keyCol, valueCol, width)
 
+  /** Streaming SLIDING-window aggregation: [[Events.slidingAgg]] plus a
+    * watermark — each event updates width/slide overlapping windows'
+    * state, and in append mode a window emits once the watermark passes
+    * its END; state is bounded by (delay + width)/slide windows per key.
+    * Judged `q_stream_sliding` with the finalization cut expressed in
+    * the oracle, like its tumbling sibling. */
+  def slidingAggStream(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, width: String, slide: String,
+      watermarkDelay: String): DataFrame =
+    Events.slidingAgg(events.withWatermark(tsCol, watermarkDelay),
+      tsCol, keyCol, valueCol, width, slide)
+
   /** Streaming sessionization via `session_window` — gap-merged sessions
     * with bounded state (the engine merges adjacent windows closer than
     * `gap`). Output matches [[Events.sessionize]] minus the per-user
