@@ -276,4 +276,26 @@ class DedupSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("containmentJoin finds subset pairs Jaccard misses; directions correct") {
+    // doc 2 = the first third of doc 1: containment(2→1) = 1.0 but
+    // Jaccard ≈ 1/3; doc 3 unrelated
+    val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d2 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d3 = (100 to 120).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(docs, "text", "doc_id", 0.9)
+      .select("da", "db", "c_ab", "c_ba")
+      .as[(Long, Long, Double, Double)].collect()
+    graft.engine.Caches.releaseAll()
+    assert(out.length === 1)
+    val (da, db, cab, cba) = out.head
+    assert((da, db) === (1L, 2L))
+    assert(cba === 1.0) // all of doc 2's shingles inside doc 1
+    assert(cab < 0.5)   // doc 1 is NOT mostly inside doc 2
+    // and the Jaccard operator indeed misses this pair at the same bar
+    val jac = Dedup.jaccardJoin(docs, "text", "doc_id", 0.9).collect()
+    graft.engine.Caches.releaseAll()
+    assert(jac.isEmpty)
+  }
 }
