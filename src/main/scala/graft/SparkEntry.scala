@@ -817,6 +817,22 @@ object SparkEntry {
       Dedup.exactDedup(dup, "text", "doc_id").orderBy("doc_id")
     }),
 
+    // End-to-end LLM curation pipeline in ONE call — quality gate →
+    // exact dedup → training chunks — the §2b composition story: each
+    // stage is an already-judged operator, and the chunk md5s judge the
+    // composed CONTENT, not just row counts. Scale shape is the stages'
+    // own: scan-stage gate, 128-bit-hash dedup shuffle, scan-stage
+    // chunking.
+    "q_llm_pipeline" -> ((s, dir) => {
+      val gated = graft.operators.QualityFilters.gopherLite(
+        t(s, dir, "documents").select("doc_id", "text"), "text", minWords = 30)
+      val deduped = Dedup.exactDedup(gated, "text", "doc_id")
+      TextOps.chunkByTokens(deduped, "text", "doc_id", 32, 24)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Containment (asymmetric near-dup): a fixture injects a half-length
     // truncated copy of every 20th doc — high containment, low Jaccard,
     // exactly the pairs q_near_dup misses. Fully oracled at string level.
@@ -3495,6 +3511,23 @@ object SparkEntry {
 
     "q_gopher" ->
       s"WITH ${gopherGateSql()}\nSELECT doc_id FROM gop ORDER BY doc_id",
+
+    // gate CTE shared with q_gopher, dedup clause with q_stream_curate,
+    // chunk arithmetic with q_chunk — the stages cannot drift apart
+    "q_llm_pipeline" ->
+      (s"WITH ${gopherGateSql()},\n" +
+      """ded AS (SELECT doc_id, text FROM gop
+        |        WHERE doc_id IN (SELECT min(doc_id) FROM gop GROUP BY text)),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ded),
+        |x2 AS (SELECT doc_id, toks, len(toks) AS n FROM t2),
+        |c2 AS (SELECT doc_id, toks, n,
+        |         unnest(generate_series(0,
+        |           CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS ci
+        |       FROM x2)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |       md5(array_to_string(toks[ci*24 + 1 : least(n, ci*24 + 32)], ' '))
+        |         AS chunk_md5
+        |FROM c2 ORDER BY doc_id, chunk_idx""".stripMargin),
 
     "q_stream_curate" ->
       ("WITH u AS (SELECT doc_id, text FROM documents\n" +
