@@ -193,6 +193,53 @@ class PlanSpec extends SparkTestBase {
       plan.take(3000))
   }
 
+  test("LM scorers broadcast the probability tables; corpus never re-shuffles for them") {
+    for (q <- Seq("q_unigram_lm", "q_bigram_lm")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      graft.engine.Caches.releaseAll()
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+
+  test("interval merge: the rollup reuses the window's hash exchange (one shuffle total)") {
+    val plan = executedPlan(SparkEntry.queries("q_interval_merge")(spark, sfDir))
+    // hash(user_id) partitioning satisfies the (user_id, span) aggregate's
+    // clustered distribution, so only the window's exchange (plus the
+    // final orderBy's range exchange) appears
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(3000)}")
+  }
+
+  test("scaling trio plans one stats aggregate broadcast back, no per-key window sort") {
+    for (q <- Seq("q_minmax_scale", "q_robust_scale", "q_trend")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("Window"), s"$q should not plan a window:\n${plan.take(3000)}")
+      if (q != "q_trend") // trend is pure aggregate; the scalers broadcast stats back
+        assert(plan.contains("BroadcastHashJoin"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+
+  test("zorder re-read pushes both box predicates to the parquet scan") {
+    val plan = executedPlan(SparkEntry.queries("q_zorder")(spark, sfDir))
+    // the PushedFilters display truncates a long list — assert the
+    // pushdown marker plus all four bounds in the data-filter text
+    assert(plan.contains("GreaterThanOrEqual(o_custkey,40)") &&
+      plan.contains(">= 40)") && plan.contains("<= 120)") &&
+      plan.contains(">= 1996-01-01") && plan.contains("< 1998-01-01"),
+      plan.take(3000))
+  }
+
+  test("melt plans a single Expand with no shuffle before the sort") {
+    val plan = executedPlan(
+      graft.operators.Relational.melt(
+        Tables(spark, sfDir, "part")
+          .select(col("p_partkey"), col("p_retailprice"),
+            col("p_size").cast("double").as("p_size")),
+        Seq("p_partkey"), Seq("p_size", "p_retailprice"), "metric", "value"))
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
