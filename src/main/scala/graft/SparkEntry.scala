@@ -1977,6 +1977,16 @@ object SparkEntry {
           "user_id", "s", "e")
         .orderBy("user_id", "span_start")),
 
+    // Capped sessionization (30min gap OR 4h max duration): the
+    // production sessionizer; the cap makes assignment sequential →
+    // mapPartitions escalation, recursive-CTE oracle.
+    "q_session_capped" -> ((s, dir) =>
+      graft.operators.Events.sessionizeCapped(
+          t(s, dir, "events").select("event_id", "user_id", "ts"),
+          "user_id", "ts", "event_id", 30, 240)
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id")),
+
     // EWMA (α = 0.3) per user in (ts, id) order — the inherently
     // sequential per-key recurrence, via the mapPartitions escalation;
     // oracle applies the identical recurrence as a recursive CTE.
@@ -2669,6 +2679,29 @@ object SparkEntry {
         |       count(*) AS n_merged
         |FROM g GROUP BY user_id, span
         |ORDER BY user_id, span_start""".stripMargin,
+
+    // identical recurrence to the operator: new session on gap > 30min
+    // OR offset from the running session start > 4h (strict >, so an
+    // exact-boundary event continues the session on both sides)
+    "q_session_capped" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w(user_id, event_id, ts, rn, seq, sess_start) AS (
+        |  SELECT user_id, event_id, ts, rn, 1, ts FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.ts, r.rn,
+        |         CASE WHEN r.ts > w.ts + INTERVAL 30 MINUTE
+        |                OR r.ts > w.sess_start + INTERVAL 240 MINUTE
+        |              THEN w.seq + 1 ELSE w.seq END,
+        |         CASE WHEN r.ts > w.ts + INTERVAL 30 MINUTE
+        |                OR r.ts > w.sess_start + INTERVAL 240 MINUTE
+        |              THEN r.ts ELSE w.sess_start END
+        |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |SELECT event_id, user_id, CAST(seq AS INT) AS session_seq
+        |FROM w ORDER BY event_id""".stripMargin,
 
     "q_ewma" ->
       """WITH RECURSIVE r AS (

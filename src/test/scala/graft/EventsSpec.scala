@@ -214,6 +214,29 @@ class EventsSpec extends SparkTestBase {
       (2L, "2026-01-01 10:30:00", "2026-01-01 10:45:00", 1L)))
   }
 
+  test("sessionizeCapped splits on gap OR duration cap; boundaries continue") {
+    // gap 30min, cap 120min. Events at 0, 25, 50, ... keep the gap
+    // alive; the cap forces a split at the first event strictly past
+    // session_start + 120min — and the new session's clock restarts.
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00"), // s1 start
+      (2L, 10L, "2026-01-01 10:25:00"), // 25min gap: s1
+      (3L, 10L, "2026-01-01 10:50:00"), // s1
+      (4L, 10L, "2026-01-01 11:15:00"), // s1
+      (5L, 10L, "2026-01-01 11:40:00"), // s1
+      (6L, 10L, "2026-01-01 12:00:00"), // EXACTLY at cap (120min): continues
+      (7L, 10L, "2026-01-01 12:25:00"), // gap fine but offset 145 > cap -> s2
+      (8L, 10L, "2026-01-01 12:55:00"), // EXACTLY 30min gap: continues s2
+      (9L, 10L, "2026-01-01 13:30:00"), // 35min gap -> s3
+      (10L, 20L, "2026-01-01 10:00:00")) // other key: own s1
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.sessionizeCapped(ev, "user_id", "ts", "event_id", 30, 120)
+      .select("event_id", "session_seq").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 1,
+      7L -> 2, 8L -> 2, 9L -> 3, 10L -> 1))
+  }
+
   test("ewma applies the sequential recurrence per key in order, keys isolated") {
     val a = 0.5
     val ev = Seq(
