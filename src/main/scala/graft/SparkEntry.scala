@@ -2290,6 +2290,26 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Corpus health report: per-source quality signals in ONE pass —
+    // docs, token mass, mean entropy, mean token count, Gopher pass
+    // rate — the dashboard a 100 TB ingest watches per refresh. All
+    // signals are kernel columns, so the scan stage computes everything
+    // and the shuffle carries |sources| partial rows. Fully oracled.
+    "q_corpus_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.TextOps.charEntropy(col("text")).as("__h"),
+          TextOps.textStats(col("text")).getField("n_tokens").as("__nt"),
+          call_function("graft_gopher_pass", col("text"), lit(30), lit(100000))
+            .as("__gp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt").cast("long")).as("n_tokens"),
+          avg(col("__h")).as("avg_entropy"),
+          avg(col("__nt").cast("double")).as("avg_tokens"),
+          avg(col("__gp").cast("int").cast("double")).as("gopher_rate"))
+        .orderBy("source")),
+
     // Byte-distribution entropy per document (kernel, scan-stage): the
     // cheap gibberish detector; oracle recomputes −Σ p·ln p from
     // per-character counts.
@@ -3842,6 +3862,28 @@ object SparkEntry {
         |       avg(-ln(CAST(cb.cb AS DOUBLE) / cw.cw)) AS nll2
         |FROM bg JOIN cb USING (b) JOIN cw USING (w1)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // gate CTE shared with q_gopher, entropy CTE with q_char_entropy
+    "q_corpus_report" ->
+      (s"WITH ${gopherGateSql()},\n" +
+      """ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+        |       FROM documents,
+        |            UNNEST(generate_series(1, length(text))) AS t(i)),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |ent AS (SELECT cnt.doc_id,
+        |          -sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE))) AS h
+        |        FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id),
+        |base AS (SELECT d.source, len(string_split(d.text, ' ')) AS nt,
+        |                CASE WHEN g.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS gp,
+        |                e.h
+        |         FROM documents d
+        |         LEFT JOIN gop g ON d.doc_id = g.doc_id
+        |         JOIN ent e ON e.doc_id = d.doc_id)
+        |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       avg(h) AS avg_entropy, avg(CAST(nt AS DOUBLE)) AS avg_tokens,
+        |       avg(gp) AS gopher_rate
+        |FROM base GROUP BY source ORDER BY source""".stripMargin),
 
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c

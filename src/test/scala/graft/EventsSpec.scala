@@ -214,6 +214,41 @@ class EventsSpec extends SparkTestBase {
       (2L, "2026-01-01 10:30:00", "2026-01-01 10:45:00", 1L)))
   }
 
+  test("mergeIntervals equals brute-force interval union on random inputs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val base = ts("2026-01-01 00:00:00").getTime
+    val iv = for {
+      k <- Gen.choose(1L, 3L)
+      start <- Gen.choose(0L, 200L)
+      len <- Gen.choose(0L, 30L)
+    } yield (k, new Timestamp(base + start * 3600000L),
+      new Timestamp(base + (start + len) * 3600000L))
+    val prop = Prop.forAll(Gen.listOfN(25, iv)) { ivs =>
+      // brute force: per key, sort by (start, end), fold into spans
+      // merging when start <= running max end (touch merges)
+      val expect = ivs.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.map(r => (r._2.getTime, r._3.getTime))
+          .sortBy(identity)
+        val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        for ((s, e) <- sorted) {
+          if (spans.nonEmpty && s <= spans.last._2)
+            spans(spans.size - 1) =
+              (spans.last._1, math.max(spans.last._2, e), spans.last._3 + 1)
+          else spans += ((s, e, 1L))
+        }
+        spans.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+      val got = Events.mergeIntervals(
+          ivs.toDF("k", "s", "e"), "k", "s", "e")
+        .select(col("k"), col("span_start"), col("span_end"), col("n_merged"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map(r => (r._1, r._2.getTime, r._3.getTime, r._4)).toSet
+      got == expect
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("sessionizeCapped splits on gap OR duration cap; boundaries continue") {
     // gap 30min, cap 120min. Events at 0, 25, 50, ... keep the gap
     // alive; the cap forces a split at the first event strictly past

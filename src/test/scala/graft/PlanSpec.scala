@@ -240,6 +240,17 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("sequential-scan operators (ewma, capped sessions) plan exactly one exchange") {
+    for (q <- Seq("q_ewma", "q_session_capped")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      // one hash exchange for the repartition(key); the orderBy adds a
+      // range exchange — nothing else (no window, no extra shuffle)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges === 1, s"$q: $hashExchanges hash exchanges\n${plan.take(3000)}")
+      assert(!plan.contains("Window"), s"$q should not plan a window")
+    }
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
