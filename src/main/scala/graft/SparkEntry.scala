@@ -1456,6 +1456,17 @@ object SparkEntry {
         "src", "dst", iterations = 3)
         .orderBy("id")),
 
+    // Weighted PageRank over the same part→supplier graph with edge
+    // multiplicity as the weight (the signal the unweighted walk
+    // throws away). Two distributed rounds, fully oracled.
+    "q_pagerank_w" -> ((s, dir) =>
+      graft.operators.Graph.pageRankWeighted(
+        t(s, dir, "lineitem")
+          .select(pmod(col("l_partkey"), lit(100)).as("src"),
+            pmod(col("l_suppkey"), lit(100)).as("dst"), lit(1.0).as("w")),
+        "src", "dst", "w", iterations = 2)
+        .orderBy("id")),
+
     // Multi-source BFS hop counts over a sparse directed graph derived
     // from orders (every 17th order contributes one edge over 500
     // nodes), seeds {1, 2}, depth cap 6 — min-hop label per reached
@@ -2288,6 +2299,16 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, dir) =>
       graft.functions.TextOps.bigramLmScore(
           t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // BM25 keyword retrieval over the corpus: scan-stage term filter,
+    // (doc, term) tf shuffle only on matches, broadcast N/avgdl/df
+    // stats. All matching docs keyed by id (ranking at the caller —
+    // float top-k cuts are where cross-engine ulp drift bites). Fully
+    // oracled.
+    "q_search" -> ((s, dir) =>
+      TextOps.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "stream", "fast"))
         .orderBy("doc_id")),
 
     // Corpus health report: per-source quality signals in ONE pass —
@@ -3419,6 +3440,28 @@ object SparkEntry {
         |SELECT id, CAST(min(d) AS INT) AS hops
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
+    // same unroll as q_pagerank with multiplicity weights: mass flows
+    // rank·w/W_u instead of rank/outdeg
+    "q_pagerank_w" ->
+      """WITH e AS (SELECT l_partkey % 100 AS src, l_suppkey % 100 AS dst,
+        |                  CAST(count(*) AS DOUBLE) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |wd AS (SELECT src, sum(w) AS wd FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1e0 / n AS rank FROM nodes, nn),
+        |m1 AS (SELECT e.dst AS id, sum(r0.rank * e.w / wd.wd) AS mass
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN wd ON e.src = wd.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m1.mass, 0) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m1 ON m1.id = nodes.id),
+        |m2 AS (SELECT e.dst AS id, sum(r1.rank * e.w / wd.wd) AS mass
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN wd ON e.src = wd.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m2.mass, 0) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN m2 ON m2.id = nodes.id)
+        |SELECT id, rank FROM r2 ORDER BY id""".stripMargin,
+
     "q_pagerank" ->
       """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
         |                           l_suppkey % 100 AS dst FROM lineitem),
@@ -3862,6 +3905,23 @@ object SparkEntry {
         |       avg(-ln(CAST(cb.cb AS DOUBLE) / cw.cw)) AS nll2
         |FROM bg JOIN cb USING (b) JOIN cw USING (w1)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_search" ->
+      """WITH lens AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |c AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        |m AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM m
+        |       WHERE token IN ('vector', 'stream', 'fast') GROUP BY 1, 2),
+        |dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, count(*) AS n_terms,
+        |       sum(ln(1.0 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+        |           * (tf.tf * (1.2 + 1)) /
+        |             (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * lens.dl / c.avgdl)))
+        |         AS score
+        |FROM tf JOIN dft USING (token) JOIN lens USING (doc_id) CROSS JOIN c
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
 
     // gate CTE shared with q_gopher, entropy CTE with q_char_entropy
     "q_corpus_report" ->

