@@ -526,6 +526,8 @@ object Vectors {
         it.foreach { v =>
           val d = v.size
           if (sums == null) { sums = new Array[Double](d); s = new Array[Double](d * d) }
+          require(d == sums.length,
+            s"pcaProject: ragged embedding width $d vs ${sums.length}")
           var i = 0
           while (i < d) {
             val vi = v(i)
@@ -540,6 +542,9 @@ object Vectors {
         else Iterator.single((n, sums.toSeq, s.toSeq))
       }
       .reduce { (a, b) =>
+        // cross-partition ragged widths would silently truncate in zip
+        require(a._2.size == b._2.size,
+          s"pcaProject: ragged embedding width ${b._2.size} vs ${a._2.size}")
         (a._1 + b._1,
           a._2.lazyZip(b._2).map(_ + _),
           a._3.lazyZip(b._3).map(_ + _))
