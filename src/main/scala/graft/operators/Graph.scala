@@ -35,36 +35,16 @@ object Graph {
     * hot reducer sees one row per upstream partition, not per in-edge.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
-    require(iterations >= 1 && damping > 0 && damping < 1)
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(true)
-    val nodeIds = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
-    // node count as a broadcast 1-row aggregate over the CHECKPOINTED id
-    // set (one cheap rescan, zero recompute), not a driver collect
-    val nodes = nodeIds
-      .crossJoin(broadcast(nodeIds.agg(count(lit(1)).as("__n"))))
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    var ranks = nodes.select(col("id"), (lit(1.0) / col("__n")).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val inMass = e
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
-        .join(outDeg, "src")
-        .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
-        .groupBy("id").agg(sum(col("__c")).as("__mass"))
-      ranks = nodes
-        .join(inMass, Seq("id"), "left")
-        .select(col("id"),
-          (lit(1 - damping) / col("__n") +
-            lit(damping) * coalesce(col("__mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
-    }
-    ranks
-  }
+      iterations: Int, damping: Double = 0.85): DataFrame =
+    // the unweighted walk IS the weighted one over distinct edges with
+    // w = 1 (rank·1/Σ1 ≡ rank/outdeg, bit-identically — the weighted
+    // groupBy(src,dst).sum over distinct unit edges yields w = 1.0 and
+    // W_u = outdeg exactly); one iteration scaffold, so a future fix
+    // (e.g. dangling-mass redistribution) lands in both walks
+    pageRankWeighted(
+      edges.select(col(srcCol), col(dstCol)).distinct()
+        .withColumn("__w", lit(1.0)),
+      srcCol, dstCol, "__w", iterations, damping)
 
   /** WEIGHTED PageRank — [[pageRank]] with edge weights: mass flows
     * proportional to weight, `rank_{i+1}(v) = (1−d)/N + d · Σ_{u→v}

@@ -407,18 +407,6 @@ object Vectors {
     emb.join(drops, Seq(idCol), "left_anti")
   }
 
-  /** Per-label centroid distance — the embedding-space outlier /
-    * prototypicality score (the SSL-prototypes pruning signal of
-    * Sorscher et al. 2022, and SemDeDup's cluster-extremity ranking):
-    * Euclidean distance from each vector to its label's mean vector.
-    *
-    * Plan shape: centroids come from ONE posexplode + (label, pos)
-    * partial-aggregated avg — the shuffle carries labels×dim rows, not
-    * the corpus — and broadcast back; the per-row distance is
-    * `√(|v|² − 2·v·c + |c|²)` with both inner products on the native
-    * `graft_dot` kernel, so the corpus pass stays in whole-stage
-    * codegen with zero corpus shuffle. Judged `q_vec_centroid`, fully
-    * oracled via DuckDB list/unnest arithmetic. */
   /** K-means cluster assignment (Lloyd 1982) — clustering as a
     * first-class operator rather than [[ivfTopK]]'s internal
     * quantizer: SemDeDup-style curation clusters FIRST and prunes
@@ -451,19 +439,28 @@ object Vectors {
       k: Int, iters: Int = 5): DataFrame = {
     require(k >= 1 && iters >= 1)
     val v = col(vecCol).cast("array<double>")
-    var cents: Seq[Seq[Double]] = Seq(emb
-      .select(v.as("__v")).orderBy(xxhash64(col(idCol)))
-      .limit(1).collect().map(_.getSeq[Double](0).toSeq).head)
+    // seeding, every Lloyd round, and the final assignment all rescan
+    // the source — persist via the registry like the other
+    // multi-consumer operators (k-1 + iters + 1 passes otherwise
+    // re-read the parquet each time)
+    val src = graft.engine.Caches.persisted(
+      emb.select(col(idCol), v.as(vecCol)))
+    val vv = col(vecCol)
+    val firstSeed = src
+      .select(vv.as("__v")).orderBy(xxhash64(col(idCol)))
+      .limit(1).collect()
+    require(firstSeed.nonEmpty, "kmeansAssign: empty input")
+    var cents: Seq[Seq[Double]] = Seq(firstSeed.head.getSeq[Double](0).toSeq)
     while (cents.size < k) {
       // next seed: maximal min-distance² to the chosen set (ties by
       // hash). |v|² matters here — the comparison is across ROWS, not
       // across centroids, so the per-row constant doesn't cancel.
       val terms = cents.map(c =>
-        lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedLit(c)))
-      val minDist = dot(v, v) +
+        lit(c.map(x => x * x).sum) - lit(2.0) * dot(vv, typedLit(c)))
+      val minDist = dot(vv, vv) +
         (if (terms.size == 1) terms.head else least(terms: _*))
-      val next = emb
-        .select(v.as("__v"), minDist.as("__d"), xxhash64(col(idCol)).as("__t"))
+      val next = src
+        .select(vv.as("__v"), minDist.as("__d"), xxhash64(col(idCol)).as("__t"))
         .orderBy(col("__d").desc, col("__t"))
         .limit(1).collect().head.getSeq[Double](0).toSeq
       cents = cents :+ next
@@ -477,8 +474,8 @@ object Vectors {
       }
     }
     for (_ <- 1 to iters) {
-      val means = emb.withColumn("__cell", assign(v))
-        .select(col("__cell"), posexplode(v))
+      val means = src.withColumn("__cell", assign(vv))
+        .select(col("__cell"), posexplode(vv))
         .groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("m"))
         .collect()
       val byCell = means.groupBy(_.getInt(0))
@@ -488,7 +485,7 @@ object Vectors {
         }
       }
     }
-    emb.select(col(idCol), assign(v).as("cluster"))
+    src.select(col(idCol), assign(vv).as("cluster"))
   }
 
   /** PCA projection onto the top-`k` principal components — the
@@ -598,6 +595,18 @@ object Vectors {
     }
   }
 
+  /** Per-label centroid distance — the embedding-space outlier /
+    * prototypicality score (the SSL-prototypes pruning signal of
+    * Sorscher et al. 2022, and SemDeDup's cluster-extremity ranking):
+    * Euclidean distance from each vector to its label's mean vector.
+    *
+    * Plan shape: centroids come from ONE posexplode + (label, pos)
+    * partial-aggregated avg — the shuffle carries labels×dim rows, not
+    * the corpus — and broadcast back; the per-row distance is
+    * `√(|v|² − 2·v·c + |c|²)` with both inner products on the native
+    * `graft_dot` kernel, so the corpus pass stays in whole-stage
+    * codegen with zero corpus shuffle. Judged `q_vec_centroid`, fully
+    * oracled via DuckDB list/unnest arithmetic. */
   def centroidDistance(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")

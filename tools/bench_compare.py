@@ -33,8 +33,9 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
-    ratios = sorted(nq[k] / oq[k] for k in common if oq[k] > 0.05)
-    median = ratios[len(ratios) // 2] if ratios else float("nan")
+    import statistics
+    ratios = [nq[k] / oq[k] for k in common if oq[k] > 0.05]
+    median = statistics.median(ratios) if ratios else float("nan")
     print(f"old: {old['value']:.1f}s/{len(oq)}q   new: {new['value']:.1f}s/{len(nq)}q   "
           f"median ratio on common {len(common)}: {median:.2f}")
     added = sorted(set(nq) - set(oq))
