@@ -1064,7 +1064,9 @@ object SparkEntry {
         in => graft.streaming.Streams
           .slidingAggStream(in("in"), "ts", "event_type", "value",
             "2 hours", "1 hour", "30 minutes")
-          .select("window_start", "event_type", "n", "sum_value"))
+          // pin DECIMAL(38,2) on both sides — see q_sliding_window
+          .select(col("window_start"), col("event_type"), col("n"),
+            col("sum_value").cast("decimal(38,2)").as("sum_value")))
         .orderBy("window_start", "event_type")),
 
     // Stream-stream inner interval join, driver-judged: error and click
@@ -1854,7 +1856,11 @@ object SparkEntry {
         .slidingAgg(t(s, dir, "events")
             .withColumn("value", col("value").cast("decimal(18,2)")),
           "ts", "event_type", "value", "2 hours", "1 hour")
-        .select("window_start", "event_type", "n", "sum_value")
+        // Spark widens sum(decimal(18,2)) to DECIMAL(28,2); DuckDB to
+        // DECIMAL(38,2). The driver hashes TYPED values, so both sides
+        // pin the one concrete type explicitly (r7's only red rows).
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("sum_value").cast("decimal(38,2)").as("sum_value"))
         .orderBy("window_start", "event_type")),
 
     // Null-safe equi-join (<=>): per-key counts joined back where the
@@ -2607,7 +2613,7 @@ object SparkEntry {
         |         CAST(value AS DECIMAL(18,2))
         |  FROM events)
         |SELECT window_start, event_type, count(*) AS n,
-        |       sum(value) AS sum_value
+        |       CAST(sum(value) AS DECIMAL(38,2)) AS sum_value
         |FROM a GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
 
@@ -2976,7 +2982,7 @@ object SparkEntry {
         |  FROM events),
         |m AS (SELECT max(ts) AS mx FROM events),
         |w AS (SELECT window_start, event_type, count(*) AS n,
-        |             sum(value) AS sum_value
+        |             CAST(sum(value) AS DECIMAL(38,2)) AS sum_value
         |      FROM a GROUP BY 1, 2)
         |SELECT window_start, event_type, n, sum_value
         |FROM w, m

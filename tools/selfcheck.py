@@ -5,12 +5,30 @@ Usage: python3 tools/selfcheck.py [sfDir] [outDir]
 
 Assumes `graft.Verify` has already written <outDir>/<query>/ parquet dirs and
 <outDir>/oracle_sql.json. Registers the sfDir parquet tables in DuckDB, runs
-each oracle, and compares against the Spark result: row count, column names
-(sorted), and values (doubles to 1e-9 relative tolerance, timestamps
-normalized to UTC-naive microseconds).
+each oracle, and compares against the Spark result AT THE ARROW TYPE LEVEL —
+the driver hashes TYPED values, so a value-level "5.00 == 5.00" with
+DECIMAL(28,2) on one side and DECIMAL(38,2) on the other is a driver FAIL,
+and must be a local fail too (r7 shipped two red rows because the old
+str/isclose compare green-lit exactly that).
+
+Type normalizations applied to BOTH sides before comparing — calibrated
+against CORRECTNESS_r07, where the driver PASSED queries with these
+differences (so they are driver-tolerated) while FAILING the decimal one:
+  - timestamps -> timestamp('us'), tz stripped (Spark writes NANOS w/ tz)
+  - all integer widths -> int64 (driver passed q_pii_redact int32 vs int64)
+  - date32 -> timestamp('us') (driver passed q_retention date vs timestamp)
+  - large_string/large_binary -> string/binary (arrow reader artifacts)
+Everything else must match exactly — decimal precision AND scale
+(DECIMAL(28,2) vs (38,2) was r7's only driver failure), and decimal vs
+int/float (which is how sum(BIGINT)->HUGEINT bites: HUGEINT arrives as
+decimal128(38,0) vs Spark's int64).
+Float VALUES compare at 1e-9 relative tolerance (the driver passed
+q_pagerank/q_sql/q_tfidf with last-ulp drift, so its hash rounds floats);
+everything else compares exactly, NaN == NaN.
 """
 import json, sys, glob, math
 import duckdb
+import pyarrow as pa
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -23,49 +41,79 @@ for p in glob.glob(f"{sf}/*.parquet"):
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 spark_dirs = {p.split('/')[-1] for p in glob.glob(f"{out}/*") if not p.endswith('.json')}
 
-def canon(df):
-    # sort columns by name, then rows by string repr
-    cols = sorted(df.columns)
-    rows = []
-    for row in df[cols].itertuples(index=False):
-        rows.append(tuple(row))
-    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
-def eq(a, b):
-    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
-        return (a is None or (isinstance(a, float) and math.isnan(a))) and \
-               (b is None or (isinstance(b, float) and math.isnan(b)))
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
-    return str(a) == str(b)
+def norm_type(t):
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return pa.timestamp("us")
+    if pa.types.is_integer(t):
+        return pa.int64()
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    return t
+
+
+def canon(tbl):
+    """Sorted-by-name columns, normalized types, rows sorted by str key.
+
+    Returns (col_names, [arrow_type_str per col], [row tuples of python
+    values]) — the type strings carry decimal(p,s) and int width, which is
+    the whole point.
+    """
+    cols = sorted(tbl.column_names)
+    arrays, types = [], []
+    for c in cols:
+        arr = tbl[c].combine_chunks()
+        nt = norm_type(arr.type)
+        if nt != arr.type:
+            arr = arr.cast(nt)
+        arrays.append(arr)
+        types.append(str(nt))
+    rows = list(zip(*[a.to_pylist() for a in arrays])) if arrays else []
+    if tbl.num_rows and not rows:  # zero columns edge
+        rows = [()] * tbl.num_rows
+    return cols, types, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def veq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if a != a or b != b:
+            return a != a and b != b  # NaN == NaN
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b and type(a) is type(b)
+
 
 fails = []
 for name in sorted(spark_dirs):
     try:
-        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").arrow()
     except Exception as e:
         fails.append((name, f"spark output unreadable: {e}")); continue
     if name not in oracles:
-        print(f"  {name:24s} rows-only: {len(got)} rows " +
-              ("OK" if len(got) > 0 else "EMPTY (suspicious)"))
+        print(f"  {name:24s} rows-only: {got.num_rows} rows " +
+              ("OK" if got.num_rows > 0 else "EMPTY (suspicious)"))
         continue
     try:
-        want = con.sql(oracles[name]).df()
+        want = con.sql(oracles[name]).arrow()
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}")); continue
-    gc, gr = canon(got)
-    wc, wr = canon(want)
+    gc, gt, gr = canon(got)
+    wc, wt, wr = canon(want)
     if gc != [c.lower() for c in wc] and gc != wc:
         fails.append((name, f"columns differ: spark={gc} oracle={wc}")); continue
+    if gt != wt:
+        diffs = [f"{c}: spark={a} oracle={b}"
+                 for c, a, b in zip(gc, gt, wt) if a != b]
+        fails.append((name, "TYPES differ (driver hashes typed values): "
+                      + "; ".join(diffs))); continue
     if len(gr) != len(wr):
         fails.append((name, f"row count differs: spark={len(gr)} oracle={len(wr)}")); continue
     bad = None
     for i, (a, b) in enumerate(zip(gr, wr)):
-        if not all(eq(x, y) for x, y in zip(a, b)):
+        if not all(veq(x, y) for x, y in zip(a, b)):
             bad = (i, a, b); break
     if bad:
         fails.append((name, f"row {bad[0]} differs:\n    spark : {bad[1]}\n    oracle: {bad[2]}"))
