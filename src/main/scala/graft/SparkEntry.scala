@@ -2339,9 +2339,16 @@ object SparkEntry {
 
     // Byte-distribution entropy per document (kernel, scan-stage): the
     // cheap gibberish detector; oracle recomputes −Σ p·ln p from
-    // per-character counts.
+    // per-character counts. Byte and char entropy coincide ONLY on
+    // ASCII text — both sides assert ASCII-ness so a non-ASCII corpus
+    // fails loudly instead of silently drifting the compare (r7
+    // ADVICE); the oracle carries the matching error() guard.
     "q_char_entropy" -> ((s, dir) =>
       t(s, dir, "documents")
+        .where(assert_true(
+          coalesce(length(col("text")) === octet_length(col("text")), lit(true)),
+          lit("q_char_entropy: non-ASCII text — byte entropy diverges from char oracle")
+        ).isNull)
         .select(col("doc_id"),
           graft.functions.TextOps.charEntropy(col("text")).as("entropy"))
         .orderBy("doc_id")),
@@ -3953,10 +3960,17 @@ object SparkEntry {
 
     // LEFT JOIN from documents + coalesce: an empty text has no
     // character rows but the kernel still scores it 0.0 — the oracle
-    // must keep the row
+    // must keep the row. The g CTE error()s on any non-ASCII text,
+    // mirroring the Spark side's assert_true (byte vs char entropy
+    // coincide only on ASCII).
     "q_char_entropy" ->
-      """WITH ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
-        |            FROM documents,
+      """WITH g AS (SELECT doc_id,
+        |             CASE WHEN length(text) <> octet_length(encode(text))
+        |                  THEN error('non-ASCII text: byte entropy diverges')
+        |                  ELSE text END AS text
+        |           FROM documents),
+        |ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+        |            FROM g,
         |                 UNNEST(generate_series(1, length(text))) AS t(i)),
         |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
         |tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY 1),

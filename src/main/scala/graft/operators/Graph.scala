@@ -41,8 +41,12 @@ object Graph {
     // groupBy(src,dst).sum over distinct unit edges yields w = 1.0 and
     // W_u = outdeg exactly); one iteration scaffold, so a future fix
     // (e.g. dangling-mass redistribution) lands in both walks
+    // cast to long BEFORE distinct: inputs equal only after the cast
+    // (fractional/string keys) must collapse to ONE unit edge, not
+    // survive distinct and then sum to weight 2.0 downstream
     pageRankWeighted(
-      edges.select(col(srcCol), col(dstCol)).distinct()
+      edges.select(col(srcCol).cast("long").as(srcCol),
+          col(dstCol).cast("long").as(dstCol)).distinct()
         .withColumn("__w", lit(1.0)),
       srcCol, dstCol, "__w", iterations, damping)
 

@@ -465,14 +465,19 @@ object Vectors {
         .limit(1).collect().head.getSeq[Double](0).toSeq
       cents = cents :+ next
     }
-    def assign(vc: Column): Column = {
-      val scores = cents.map(c =>
-        lit(c.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(c)))
-      val m = least(scores: _*)
-      scores.zipWithIndex.tail.foldLeft(when(scores.head === m, 0)) {
-        case (acc, (si, i)) => acc.when(si === m, i)
+    def assign(vc: Column): Column =
+      // k = 1: every row is cluster 0, and Spark's least() requires
+      // >= 2 args — same single-centroid special case as the seeding
+      // loop's minDist above.
+      if (cents.size == 1) lit(0)
+      else {
+        val scores = cents.map(c =>
+          lit(c.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(c)))
+        val m = least(scores: _*)
+        scores.zipWithIndex.tail.foldLeft(when(scores.head === m, 0)) {
+          case (acc, (si, i)) => acc.when(si === m, i)
+        }
       }
-    }
     for (_ <- 1 to iters) {
       val means = src.withColumn("__cell", assign(vv))
         .select(col("__cell"), posexplode(vv))
@@ -515,7 +520,7 @@ object Vectors {
       k: Int): DataFrame = {
     import emb.sparkSession.implicits._
     val vecs = emb.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
-    val (n, sums, raw) = vecs
+    val (n, sums, raw) = try vecs
       .mapPartitions { it =>
         var n = 0L
         var sums: Array[Double] = null
@@ -546,6 +551,13 @@ object Vectors {
           a._2.lazyZip(b._2).map(_ + _),
           a._3.lazyZip(b._3).map(_ + _))
       }
+    catch {
+      // empty input reaches reduce's bare "empty collection" error
+      // before the n > 1 require below — re-throw the contract message
+      case _: UnsupportedOperationException =>
+        throw new IllegalArgumentException(
+          "requirement failed: pcaProject needs > 1 vector, got 0")
+    }
     val d = sums.size
     require(n > 1, s"pcaProject needs > 1 vector, got $n")
     val mean = sums.map(_ / n).toArray

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
-import graft.engine.{Schemas, Tables}
+import graft.engine.{Caches, Schemas, Tables}
 import graft.operators.Relational._
 
 /** The reference's entire product: the 11-step song/log ETL composing a
@@ -34,17 +34,21 @@ object StarSchema {
     // Both table builds consume the same JSON scan; persist so the glob is
     // listed and parsed once, not once per sink (JSON parsing is the
     // dominant cost of this stage — there is no parquet pushdown to lose).
-    val raw = Tables.readJson(spark, Schemas.songData, songJsonGlob).persist()
+    // Registered via Caches (the repo cache contract) so an exception
+    // between persist and the prompt unpersist below still gets released
+    // at the next query boundary; the finally keeps the prompt path.
+    val raw = Caches.persisted(
+      Tables.readJson(spark, Schemas.songData, songJsonGlob))
+    try {
+      val songs = raw.select("song_id", "title", "artist_id", "year", "duration")
+      writePartitioned(songs, s"$outDir/songs", Seq("year", "artist_id"))
 
-    val songs = raw.select("song_id", "title", "artist_id", "year", "duration")
-    writePartitioned(songs, s"$outDir/songs", Seq("year", "artist_id"))
-
-    val artists = dedupAll(projectRename(raw,
-      "artist_id" -> "artist_id", "artist_name" -> "name",
-      "artist_location" -> "location", "artist_latitude" -> "latitude",
-      "artist_longitude" -> "longitude"))
-    writePartitioned(artists, s"$outDir/artists", Seq.empty)
-    raw.unpersist()
+      val artists = dedupAll(projectRename(raw,
+        "artist_id" -> "artist_id", "artist_name" -> "name",
+        "artist_location" -> "location", "artist_latitude" -> "latitude",
+        "artist_longitude" -> "longitude"))
+      writePartitioned(artists, s"$outDir/artists", Seq.empty)
+    } finally raw.unpersist()
   }
 
   /** Steps 5-11 (etl.py:69-174): activity logs → `users` (paid preferred
@@ -57,9 +61,10 @@ object StarSchema {
     // re-parse the log JSON; persist the filtered plays once. At full scale
     // this spills to disk rather than re-running the parse — still the
     // right trade: parsed-and-filtered rows are far narrower than raw JSON.
-    val plays = filterEq(raw, "page", "NextSong")
-      .withColumn("ts", epochMsToTs(col("ts")))
-      .persist()
+    // Caches-registered + finally, same rationale as processSongData.
+    val plays = Caches.persisted(filterEq(raw, "page", "NextSong")
+      .withColumn("ts", epochMsToTs(col("ts"))))
+    try {
 
     // users: distinct 5-column rows; where a user appears at both levels
     // keep only the paid row (J1+J2, etl.py:96-121).
@@ -99,7 +104,7 @@ object StarSchema {
       year(plays("ts")).as("year"),
       month(plays("ts")).as("month"))
     writePartitioned(songplays, s"$outDir/songplays", Seq("year", "month"))
-    plays.unpersist()
+    } finally plays.unpersist()
   }
 
   /** main()-equivalent (etl.py:177-188): song data first — the log stage

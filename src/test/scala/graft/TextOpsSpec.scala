@@ -206,6 +206,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(h(4L) - math.log(2)) < 1e-12)
   }
 
+  test("charEntropy: kernel is BYTE entropy; corpus ASCII-ness is load-bearing") {
+    // On ASCII, byte and character entropy coincide — that identity is
+    // what keeps q_char_entropy/q_corpus_report oracle-able. Pin the
+    // divergence on non-ASCII ("éé" is one distinct CHAR but two
+    // distinct UTF-8 BYTES, 0xC3 0xA9 → byte entropy ln 2, char 0)...
+    val h = Seq((1L, "éé")).toDF("doc_id", "text")
+      .select(TextOps.charEntropy(col("text"))).as[Double].head()
+    assert(math.abs(h - math.log(2)) < 1e-12,
+      s"byte-entropy contract changed: got $h")
+    // ...and assert the harness corpus IS pure ASCII, so a fixture
+    // change breaks here (and in the judged query's assert_true guard)
+    // loudly rather than silently drifting the oracle compare.
+    val nonAscii = graft.engine.Tables(spark, sfDir, "documents")
+      .where(length(col("text")) =!= octet_length(col("text"))).count()
+    assert(nonAscii === 0L, s"$nonAscii non-ASCII docs in $sfDir")
+  }
+
   test("unigramLmScore: common-token docs score below rare-token docs, exact nll") {
     // corpus: 8 tokens total — "the" x4, "cat" x2, "dog" x1, "zq" x1
     val docs = Seq(
