@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** The per-round materialization barrier for iterative operators
+  * (connected components, PageRank, BFS, the skew-profile fan-out).
+  *
+  * Two jobs in one call: (1) EAGER materialization — round N's plan must
+  * not embed round N−1's plan, or the tree grows exponentially (repo
+  * rule; r5's q_cc_labels OOM'd explainString that way); (2) lineage
+  * durability, where the two modes differ:
+  *
+  *  - `localCheckpoint(eager = true)` (the default): blocks are
+  *    EXECUTOR-RESIDENT. Fastest, and correct on a healthy cluster — but
+  *    a lost executor loses blocks whose lineage was just truncated, and
+  *    the job dies. The right trade in local mode and short jobs.
+  *  - `checkpoint(eager = true)`: blocks go to the RELIABLE checkpoint
+  *    directory (`spark.sparkContext.setCheckpointDir`, typically
+  *    HDFS/object storage on a real cluster). Survives executor churn —
+  *    the production posture for long iterative jobs at 100 TB, paying
+  *    one distributed-FS write per round of (long,long)-scale state.
+  *
+  * The mode is picked off the session: callers opt in to reliability by
+  * configuring a checkpoint dir (one line at bootstrap), and every
+  * iterative operator in the library follows without per-operator flags.
+  * Results are identical either way (asserted in BarriersSpec) — only
+  * failure-recovery semantics change.
+  */
+object Barriers {
+
+  /** Materialize `df` eagerly and cut its lineage, reliably iff the
+    * session has a checkpoint directory configured. */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Postfix form: `plan.barrierCut` reads like the
+    * `.localCheckpoint(true)` it replaces. */
+  implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
+    def barrierCut: DataFrame = cut(df)
+  }
+}

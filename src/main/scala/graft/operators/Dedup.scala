@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Barriers.BarrierOps
 
 import graft.engine.Caches
 
@@ -248,7 +249,7 @@ object Dedup {
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().barrierCut
     // derive nodes from the CHECKPOINTED edges, not from `pairs`: the
     // caller's pair-generation plan (e.g. the whole jaccardJoin) would
     // otherwise re-execute when the final join materializes
@@ -283,7 +284,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint(true) // eager: lineage cut + barrier
+        .distinct().barrierCut // eager: lineage cut + barrier
       val nextStat = stat(next)
       // previous rounds' checkpoint RDDs are freed by the ContextCleaner
       // once dereferenced (Dataset.unpersist does not reach RDD-level

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.engine.Barriers.BarrierOps
 
 /** Graph analytics over bare (long, long) edge lists — the second graph
   * operator family after [[Dedup.connectedComponents]] (near-dup
@@ -69,15 +70,15 @@ object Graph {
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("double").as("w"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
+      .barrierCut
     val nodeIds = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().barrierCut
     val nodes = nodeIds
       .crossJoin(broadcast(nodeIds.agg(count(lit(1)).as("__n"))))
     val wDeg = e.groupBy("src").agg(sum(col("w")).as("__wd"))
     var ranks = nodes.select(col("id"), (lit(1.0) / col("__n")).as("rank"))
-      .localCheckpoint(true)
+      .barrierCut
     for (_ <- 1 to iterations) {
       val inMass = e
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
@@ -90,7 +91,7 @@ object Graph {
         .select(col("id"),
           (lit(1 - damping) / col("__n") +
             lit(damping) * coalesce(col("__mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .barrierCut
     }
     ranks
   }
@@ -165,17 +166,17 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .distinct())
     var visited = seeds.select(col(seedCol).cast("long").as("id"))
-      .distinct().withColumn("hops", lit(0)).localCheckpoint(true)
+      .distinct().withColumn("hops", lit(0)).barrierCut
     var frontier = visited.select("id")
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
       val next = frontier.join(e, col("id") === col("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .barrierCut
       visited = visited
         .union(next.withColumn("hops", lit(h)))
-        .localCheckpoint(true)
+        .barrierCut
       frontier = next
       h += 1
     }

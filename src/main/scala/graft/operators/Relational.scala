@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import graft.engine.Barriers.BarrierOps
 import org.apache.spark.sql.types._
 
 /** Reference-parity relational operators — one named, testable function per
@@ -257,7 +258,7 @@ object Relational {
     // checkpointed hot set is small by definition (keys above minRows),
     // so the extra job is one sampled aggregate.
     val hotSet = hot.getOrElse(hotKeys(fact, key, hotMinRows))
-      .select(col(key)).distinct().localCheckpoint(true)
+      .select(col(key)).distinct().barrierCut
     saltHotFact(fact, key, hotSet, salt)
       .join(replicateHotDim(dim, key, hotSet, salt), Seq(key, "__salt"), joinType)
       .drop("__salt")
