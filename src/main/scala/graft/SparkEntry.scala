@@ -201,8 +201,13 @@ object SparkEntry {
     // this to STATE VOLUME, not to the batch-side CPU count — the
     // per-query conf is the knob (restored after the run; the checkpoint
     // is wiped per run, so the count never conflicts with a prior run).
+    // Cluster deployments size it to input volume via
+    // SPARK_GRAFT_STREAM_PARTITIONS (r7 VERDICT: a knob, not a pin);
+    // the local default stays 4.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    require(streamParts.toInt > 0, s"bad SPARK_GRAFT_STREAM_PARTITIONS=$streamParts")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
       val q = build(streams).writeStream
         .format("parquet").option("path", s"$root/out")

@@ -727,19 +727,23 @@ object Relational {
     * flat-dir operator rejected a partitioned root and left the caller to
     * assemble the loop.
     *
-    * Partitions are processed sequentially on the driver, one Spark job
-    * each — each job parallelizes across the cluster, and compaction is
-    * embarrassingly parallel across partitions (at many-thousand-partition
-    * scale, submit the per-directory jobs from a thread pool; kept
-    * sequential here so failure attribution is per-partition). A partition
-    * already at its target file count is still rewritten — idempotent,
-    * and skipping would need byte-size heuristics that fight row-group
-    * compression. Crash recovery is per-partition: an interrupted run
-    * leaves at most one partition mid-swap, recoverable from its
-    * `.compact-old`, with every other partition fully consistent. Returns
-    * (relative partition path → new file count). */
+    * Partitions are one Spark job each — each job parallelizes across
+    * the cluster, and compaction is embarrassingly parallel ACROSS
+    * partitions too. `parallelism = 1` (default) runs the driver loop
+    * sequentially; `parallelism > 1` submits per-directory jobs from a
+    * bounded thread pool — the driver-serial loop is the bottleneck at
+    * many-thousand-partition scale, where each job is small and Spark's
+    * scheduler happily interleaves them. Failure attribution survives
+    * the pool: every partition runs to completion, and failures are
+    * reported per-partition in one aggregate error (an interrupted run
+    * still leaves each partition either untouched, fully swapped, or
+    * recoverable from its `.compact-old`). A partition already at its
+    * target file count is still rewritten — idempotent, and skipping
+    * would need byte-size heuristics that fight row-group compression.
+    * Returns (relative partition path → new file count). */
   def compactPartitioned(spark: org.apache.spark.sql.SparkSession, root: String,
-      targetBytes: Long = 128L << 20): Map[String, Int] = {
+      targetBytes: Long = 128L << 20, parallelism: Int = 1): Map[String, Int] = {
+    require(parallelism >= 1, s"compactPartitioned: parallelism $parallelism")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
@@ -759,10 +763,41 @@ object Relational {
     require(fs.listStatus(rootPath).exists(_.isDirectory),
       s"compactPartitioned: $root has no partition directories (flat table? use compact)")
     val rootUri = rootPath.toUri.getPath
-    leafDirs(rootPath).map { leaf =>
-      val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      rel -> compact(spark, leaf.toString, targetBytes)
-    }.toMap
+    val leaves = leafDirs(rootPath).map { leaf =>
+      leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/") -> leaf
+    }
+    if (parallelism == 1)
+      leaves.map { case (rel, leaf) =>
+        rel -> compact(spark, leaf.toString, targetBytes)
+      }.toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        parallelism.min(leaves.size))
+      try {
+        val futures = leaves.map { case (rel, leaf) =>
+          rel -> pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = compact(spark, leaf.toString, targetBytes)
+          })
+        }
+        // drain EVERY future before judging: each partition finishes its
+        // own swap (or leaves its own .compact-old), then failures are
+        // reported together, named per-partition
+        val outcomes = futures.map { case (rel, f) =>
+          rel -> scala.util.Try(f.get()).recoverWith {
+            case e: java.util.concurrent.ExecutionException =>
+              scala.util.Failure(e.getCause)
+          }
+        }
+        val failed = outcomes.collect { case (rel, scala.util.Failure(e)) =>
+          s"$rel: ${e.getMessage}"
+        }
+        if (failed.nonEmpty)
+          throw new java.io.IOException(
+            s"compactPartitioned: ${failed.size}/${leaves.size} partitions failed — " +
+              failed.mkString("; "))
+        outcomes.collect { case (rel, scala.util.Success(n)) => rel -> n }.toMap
+      } finally pool.shutdownNow()
+    }
   }
 
   /** Key-distribution skew diagnostic — the EXACT counterpart of the

@@ -312,6 +312,34 @@ class RelationalSpec extends SparkTestBase {
     assert(readTable(spark, flat).count() === 300L)
   }
 
+  test("compactPartitioned parallel: same result as sequential, failures attributed") {
+    val dir = Files.createTempDirectory("graft_cppp").toString
+    val df = (1 to 400).map(i => (i.toLong, 2000 + i % 4)).toDF("id", "year")
+    df.repartition(6).write.mode("overwrite").partitionBy("year").parquet(dir)
+    // pool path (4 concurrent per-partition jobs) must match the
+    // sequential operator exactly — layout, counts, and content
+    val res = compactPartitioned(spark, dir, parallelism = 4)
+    assert(res === Map("year=2000" -> 1, "year=2001" -> 1,
+      "year=2002" -> 1, "year=2003" -> 1))
+    assert(readTable(spark, dir).as[(Long, Int)].collect().toSet ===
+      df.as[(Long, Int)].collect().toSet)
+    // per-partition failure attribution survives the pool: corrupt ONE
+    // leaf (a directory named like a parquet file defeats the reader),
+    // and the aggregate error names that partition while the healthy
+    // ones still complete their swap
+    val bad = new java.io.File(s"$dir/year=2003/zzz.parquet")
+    new java.io.File(s"$dir/year=2003").listFiles()
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    java.nio.file.Files.createDirectory(bad.toPath) // empty dir, unreadable as parquet
+    val e = intercept[java.io.IOException] {
+      compactPartitioned(spark, dir, parallelism = 4)
+    }
+    assert(e.getMessage.contains("1/4 partitions failed"), e.getMessage)
+    assert(e.getMessage.contains("year=2003"), e.getMessage)
+    // the three healthy partitions were still compacted (all futures drain)
+    assert(readTable(spark, s"$dir/year=2000").count() === 100L)
+  }
+
   test("upsert: updates win per key, inserts land, untouched state passes through") {
     val state = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val updates = Seq((2L, "B"), (9L, "i")).toDF("k", "v")

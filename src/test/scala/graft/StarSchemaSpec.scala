@@ -126,4 +126,31 @@ class StarSchemaSpec extends SparkTestBase {
       (300L, Some("SOA002"), Some("AR001"))))
     assert(table("songplays").select("songplay_id").distinct().count() === 4L)
   }
+
+  test("JSON schema inference drifts userId/sessionId types; fixed schema does not") {
+    // The reference infers log schemas (etl.py:43,87), so its userId type
+    // depends on the DATA: unquoted numerics infer LONG, quoted ones
+    // STRING — day-one drift for anyone porting reference code across log
+    // batches. The engine's fixed Schemas.logData pins STRING and coerces
+    // either spelling (SURVEY §1.2/§7.4 — the promised documenting test).
+    val root = Files.createTempDirectory("graft_infer")
+    val f = root.resolve("log.json")
+    Files.writeString(f,
+      // userId UNQUOTED (numeric) — the spelling that flips inference
+      """{"page":"NextSong","ts":1575158400123,"userId":10,"firstName":"Sara","lastName":"Johnson","gender":"F","level":"free","song":"s","artist":"a","sessionId":100,"location":"L","userAgent":"U"}""")
+
+    val inferred = spark.read.json(f.toString)
+    val byName = inferred.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(byName("userId") === org.apache.spark.sql.types.LongType,
+      "inference on numeric userId yields LONG — the drift the reference ships with")
+    assert(byName("sessionId") === org.apache.spark.sql.types.LongType)
+
+    val fixed = graft.engine.Tables.readJson(spark,
+      graft.engine.Schemas.logData, f.toString)
+    val fixedTypes = fixed.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(fixedTypes("userId") === org.apache.spark.sql.types.StringType,
+      "fixed schema pins userId STRING regardless of data spelling")
+    // and the numeric spelling still READS under the fixed schema
+    assert(fixed.select("userId").as[String].head() === "10")
+  }
 }
