@@ -1724,6 +1724,35 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ANN recall as a CORRECTNESS row (r7 VERDICT #8), not just a spec
+    // fact: a deterministic clustered fixture is derived from the
+    // documents id set (vectors are pure arithmetic — see
+    // Vectors.syntheticClustered), LSH ANN and the exact brute-force
+    // twin both run, and the query emits the ids of every query point
+    // whose recall@10 >= 0.9. On this fixture that is ALL of them, which
+    // is exactly what the oracle predicts from id arithmetic alone — any
+    // recall regression drops rows and hash-fails the round.
+    "q_vec_ann_recall" -> ((s, dir) => {
+      import graft.operators.Vectors
+      val k = 10
+      val corpus = graft.engine.Caches.persisted(Vectors.syntheticClustered(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", numClusters = 10, dim = 16, noise = 0.08))
+      val queries = corpus.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), col("vec").as("qv"))
+      val exact = Vectors
+        .bruteForceTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k)
+        .select(col("qid"), col("neighbor"))
+      val ann = Vectors
+        .annTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k, hamming = 2)
+        .select(col("qid"), col("neighbor"))
+      exact.join(ann, Seq("qid", "neighbor"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= lit(9)) // ceil(0.9 * k)
+        .select(col("qid"))
+        .orderBy("qid")
+    }),
+
     // Multimodal: text wrapped as opaque binary assets, stub header
     // "decode" through the real mapPartitions batch plumbing; the fake
     // header arithmetic is reproducible in DuckDB (ascii/octet_length),
@@ -3789,6 +3818,14 @@ object SparkEntry {
         |           FROM pairs)
         |SELECT qid, neighbor, sim, rank FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the oracle never touches vector math: the clustered fixture is
+    // constructed (Vectors.syntheticClustered) so that EVERY query point
+    // clears the recall@10 >= 0.9 bar, making the passing id set pure id
+    // arithmetic — an ANN quality regression drops rows and fails here
+    "q_vec_ann_recall" ->
+      """SELECT doc_id AS qid FROM documents
+        |WHERE doc_id % 50 = 0 ORDER BY qid""".stripMargin,
 
     "q_pack_invariant" ->
       """SELECT count(*) AS n_docs,

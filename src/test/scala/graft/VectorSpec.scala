@@ -284,6 +284,28 @@ class VectorSpec extends SparkTestBase {
     assert(math.abs(out.map(_._2).sum / out.length) < 1e-6)
   }
 
+  test("syntheticClustered: deterministic, clustered by id % C, separated") {
+    // the judged-recall fixture (q_vec_ann_recall): same ids → identical
+    // vectors across invocations, and within-cluster cosine dominates
+    // cross-cluster by a wide margin (that margin is what lets the
+    // oracle predict the passing id set from arithmetic alone)
+    val ids = (0L until 100L).toDF("doc_id")
+    def gen() = Vectors.syntheticClustered(ids, "doc_id", 10, 16, 0.08)
+      .as[(Long, Seq[Double])].collect().toMap
+    val a = gen()
+    assert(a === gen(), "fixture must be deterministic")
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.lazyZip(y).map(_ * _).sum
+      d / math.sqrt(x.map(v => v * v).sum * y.map(v => v * v).sum)
+    }
+    val within = for (c <- 0 until 10; i <- 1 until 10)
+      yield cos(a(c.toLong), a((c + 10 * i).toLong))
+    val cross = for (c1 <- 0 until 10; c2 <- 0 until 10 if c1 != c2)
+      yield cos(a(c1.toLong), a(c2.toLong))
+    assert(within.min > 0.98, s"within-cluster min ${within.min}")
+    assert(cross.max < 0.4, s"cross-cluster max ${cross.max}")
+  }
+
   test("annTopK fails fast on mismatched embedding width") {
     val corpus = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
     val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
