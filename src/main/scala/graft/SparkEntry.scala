@@ -1286,6 +1286,29 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // URL canonicalization (graft_url_canon kernel): the page-key
+    // normalization under URL-level dedup. The fixture derives three raw
+    // spellings per doc_id — mixed-case scheme/host + www + default port
+    // + tracking params + fragment; unsorted params; bare host with a
+    // valueless param — plus a non-URL branch (null canon). The oracle
+    // predicts every canonical string from id arithmetic, so each rule
+    // (lowercase, strips, param filter + sort) is hash-judged.
+    "q_url_canon" -> ((s, dir) => {
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Site"), col("doc_id") % 97,
+            lit(".Example.COM:443/A/b/?b=2&a=1&utm_source=x&fbclid=z#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://site"), col("doc_id") % 97,
+            lit(".example.com/A/b?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTP://Mirror"), col("doc_id") % 13,
+            lit(".ORG:80/?ref=x&flag")))
+        .otherwise(lit("not a url"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.canonicalUrl(raw).as("url_canon"))
+        .orderBy("doc_id")
+    }),
+
     // Compression-ratio quality signal (deflate length / raw length via
     // the graft_deflate_len codegen kernel) with a pass band. Rows-only:
     // zlib output is not DuckDB-expressible; monotonicity/determinism
@@ -3174,6 +3197,19 @@ object SparkEntry {
         |       covar_samp(l_quantity, l_extendedprice) AS cov_qty_price,
         |       stddev_samp(l_quantity) AS sd_qty
         |FROM lineitem""".stripMargin,
+
+    // the oracle predicts each branch's canonical string from id
+    // arithmetic (the q_vec_ann_recall pattern): any kernel rule bug —
+    // case, strips, param filter/sort, null contract — changes the
+    // output string and hash-fails
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'https://site' || (doc_id % 97) || '.example.com/A/b?a=1&b=2'
+        |    WHEN 1 THEN 'http://site' || (doc_id % 97) || '.example.com/A/b?a=1&b=2'
+        |    WHEN 2 THEN 'http://mirror' || (doc_id % 13) || '.org?flag'
+        |    ELSE NULL END AS url_canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_domain_stats" ->
       """WITH d AS (SELECT doc_id, unnest(regexp_extract_all(lower(

@@ -316,6 +316,14 @@ object TextOps {
   def urlDomains(c: Column): Column =
     regexp_extract_all(lower(c), lit(URL_DOMAIN_RE), lit(1))
 
+  /** Canonical page key for an http(s) URL via the
+    * [[graft.functions.UrlCanon]] codegen kernel (scheme/host lowercase,
+    * `www.` + default-port strip, fragment drop, tracking-param removal,
+    * query-param sort, trailing-slash strip; null for non-web input) —
+    * the normalization under URL-level dedup and per-page frequency.
+    * Scan-stage, one pass per row; judged `q_url_canon`. */
+  def canonicalUrl(c: Column): Column = call_function("graft_url_canon", c)
+
   /** Compression-ratio quality signal: raw-deflate length over raw UTF-8
     * length, via the [[graft.functions.DeflateLen]] codegen kernel.
     * Repetitive/templated junk lands well below prose (~0.3); ratios

@@ -277,7 +277,7 @@ object GraftFunctions {
       (VectorExprs.pqFunctions ++
         TextStatsExprs.functions ++ ShingleExprs.functions ++
         CompressExprs.functions ++ ZOrder2.functions ++
-        EntropyExprs.functions)
+        EntropyExprs.functions ++ UrlExprs.functions)
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`

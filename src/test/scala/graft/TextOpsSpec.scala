@@ -223,6 +223,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(nonAscii === 0L, s"$nonAscii non-ASCII docs in $sfDir")
   }
 
+  test("canonicalUrl: rule matrix, idempotence, null for non-web input") {
+    val cases = Seq(
+      // lowercase scheme+host, www/default-port strip, fragment drop,
+      // tracking filter, param sort, trailing-slash strip — all at once
+      "HTTPS://WWW.Ex.COM:443/A/b/?b=2&a=1&utm_source=x&fbclid=z#f" ->
+        Some("https://ex.com/A/b?a=1&b=2"),
+      // http default port; valueless param kept; ref dropped
+      "HTTP://Mirror.ORG:80/?ref=x&flag" -> Some("http://mirror.org?flag"),
+      // path case preserved; non-default port preserved
+      "https://ex.com:8443/Path" -> Some("https://ex.com:8443/Path"),
+      // bare host; empty query vanishes entirely
+      "https://ex.com/?utm_campaign=a" -> Some("https://ex.com"),
+      // second '?' belongs to the first param's value, sorted intact
+      "https://ex.com/p?b=1?x&a=2" -> Some("https://ex.com/p?a=2&b=1?x"),
+      // not web URLs
+      "ftp://ex.com/a" -> None,
+      "no url here" -> None,
+      "https://" -> None)
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalUrl(col("u")))
+      .as[Option[String]].collect().toSeq
+    assert(got === cases.map(_._2))
+    // canonicalization is idempotent: canon(canon(u)) == canon(u)
+    val canon = cases.flatMap(_._2).toDF("u")
+    val twice = canon.select(TextOps.canonicalUrl(col("u")))
+      .as[String].collect().toSeq
+    assert(twice === cases.flatMap(_._2))
+  }
+
   test("unigramLmScore: common-token docs score below rare-token docs, exact nll") {
     // corpus: 8 tokens total — "the" x4, "cat" x2, "dog" x1, "zq" x1
     val docs = Seq(
