@@ -108,11 +108,16 @@ object Vectors {
       cents.zip(norms).map { case (c, n) => dot(v, typedLit(c)) / lit(n) }
     }
     def assign(v: Column): Column = {
-      val s = sims(v)
-      val m = greatest(s: _*)
-      s.zipWithIndex.tail.foldLeft(when(s.head === m, 0)) {
-        case (acc, (si, i)) => acc.when(si === m, i)
-      }
+      // sims evaluated ONCE into a kCells-slot array, argmax =
+      // first position of the max (same tie-break and float compares
+      // as a CASE chain, bit-identical output). The previous K-branch
+      // CASE re-inlined greatest(K dots) into every branch — ~K² dot
+      // evaluations in generated source — and overflowed janino's
+      // 64 KB method limit at K=16, d=64 (observed: q_vec_ivf codegen
+      // fallback in the r8 bench; the q_vec_pq expression-tree lesson,
+      // CLAUDE.md, in milder form).
+      val arr = array(sims(v): _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
     }
     for (_ <- 1 to lloydIters) {
       val means = corpus.withColumn("__cell", assign(col(vecCol)))
@@ -466,17 +471,18 @@ object Vectors {
       cents = cents :+ next
     }
     def assign(vc: Column): Column =
-      // k = 1: every row is cluster 0, and Spark's least() requires
-      // >= 2 args — same single-centroid special case as the seeding
-      // loop's minDist above.
+      // k = 1: every row is cluster 0 (array_min needs no special case,
+      // but skipping the array build entirely is free)
       if (cents.size == 1) lit(0)
       else {
+        // scores once into an array, argmin = first position of the
+        // min — the K-branch CASE form re-inlined least(K dots) per
+        // branch and overflows codegen method limits as K·d grows
+        // (the q_vec_ivf fix, applied to the same pattern here)
         val scores = cents.map(c =>
           lit(c.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(c)))
-        val m = least(scores: _*)
-        scores.zipWithIndex.tail.foldLeft(when(scores.head === m, 0)) {
-          case (acc, (si, i)) => acc.when(si === m, i)
-        }
+        val arr = array(scores: _*)
+        (array_position(arr, array_min(arr)) - 1).cast("int")
       }
     for (_ <- 1 to iters) {
       val means = src.withColumn("__cell", assign(vv))
