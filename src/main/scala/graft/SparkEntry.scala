@@ -1286,6 +1286,23 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // Unicode NFC normalization (graft_nfc kernel): composed vs
+    // combining-mark spellings of the same text are byte-different and
+    // defeat every hash-keyed operator until normalized. The fixture
+    // appends a decomposed e+U+0301 AND its composed U+00E9 twin to the
+    // (ASCII) corpus text; both engines' NFC must agree on codepoint
+    // counts (2 -> 1 for the pair) and on the UTF-8 md5 of the result.
+    "q_text_nfc" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(" nfc:e\u0301 \u00e9 "), // decomposed pair, composed twin
+        (col("doc_id") % 7).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(raw).cast("bigint").as("n_before"),
+          length(TextOps.nfcNormalize(raw)).cast("bigint").as("n_after"),
+          md5(TextOps.nfcNormalize(raw).cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization (graft_url_canon kernel): the page-key
     // normalization under URL-level dedup. The fixture derives three raw
     // spellings per doc_id — mixed-case scheme/host + www + default port
@@ -3197,6 +3214,20 @@ object SparkEntry {
         |       covar_samp(l_quantity, l_extendedprice) AS cov_qty_price,
         |       stddev_samp(l_quantity) AS sd_qty
         |FROM lineitem""".stripMargin,
+
+    // chr(769) = U+0301 combining acute (the decomposed pair's mark),
+    // chr(233) = U+00E9 composed; DuckDB's utf8proc NFC and the
+    // kernel's java.text.Normalizer must agree on codepoint counts and
+    // UTF-8 md5 exactly
+    "q_text_nfc" ->
+      """WITH r AS (SELECT doc_id,
+        |    text || ' nfc:e' || chr(769) || ' ' || chr(233) || ' '
+        |         || (doc_id % 7) AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS n_before,
+        |       length(nfc_normalize(raw)) AS n_after,
+        |       md5(nfc_normalize(raw)) AS fp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the oracle predicts each branch's canonical string from id
     // arithmetic (the q_vec_ann_recall pattern): any kernel rule bug —

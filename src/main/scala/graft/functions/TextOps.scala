@@ -316,6 +316,13 @@ object TextOps {
   def urlDomains(c: Column): Column =
     regexp_extract_all(lower(c), lit(URL_DOMAIN_RE), lit(1))
 
+  /** Unicode NFC normalization via the [[graft.functions.NfcNormalize]]
+    * codegen kernel (ASCII fast path, zero-copy for already-normalized
+    * input) — run it BEFORE any hash-keyed operator when the corpus may
+    * mix composed and decomposed spellings; judged `q_text_nfc` against
+    * DuckDB's utf8proc `nfc_normalize`. */
+  def nfcNormalize(c: Column): Column = call_function("graft_nfc", c)
+
   /** Canonical page key for an http(s) URL via the
     * [[graft.functions.UrlCanon]] codegen kernel (scheme/host lowercase,
     * `www.` + default-port strip, fragment drop, tracking-param removal,

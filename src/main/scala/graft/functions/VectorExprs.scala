@@ -277,7 +277,8 @@ object GraftFunctions {
       (VectorExprs.pqFunctions ++
         TextStatsExprs.functions ++ ShingleExprs.functions ++
         CompressExprs.functions ++ ZOrder2.functions ++
-        EntropyExprs.functions ++ UrlExprs.functions)
+        EntropyExprs.functions ++ UrlExprs.functions ++
+        UnicodeExprs.functions)
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`

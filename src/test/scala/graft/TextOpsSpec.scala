@@ -223,6 +223,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(nonAscii === 0L, s"$nonAscii non-ASCII docs in $sfDir")
   }
 
+  test("nfcNormalize: composes combining marks, ASCII/NFC zero-copy, idempotent") {
+    val decomposed = "cafe\u0301" // 5 codepoints, NFD spelling
+    val composed = "caf\u00e9"     // 4 codepoints, NFC spelling
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, "")).toDF("id", "t")
+    val out = rows.select(col("id"), TextOps.nfcNormalize(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === composed, "NFD must compose to NFC")
+    assert(out(2L) === composed)
+    assert(out(3L) === "plain ascii")
+    assert(out(4L) === "")
+    // idempotent: normalizing the normalized output changes nothing
+    val twice = rows.select(
+      TextOps.nfcNormalize(TextOps.nfcNormalize(col("t"))).as("n"))
+      .as[String].collect().toSet
+    assert(twice === Set(composed, "plain ascii", ""))
+    // the byte-identity that makes hash-keyed dedup work post-normalize
+    assert(out(1L).getBytes("UTF-8").toSeq === out(2L).getBytes("UTF-8").toSeq)
+  }
+
   test("canonicalUrl: rule matrix, idempotence, null for non-web input") {
     val cases = Seq(
       // lowercase scheme+host, www/default-port strip, fragment drop,
