@@ -1686,6 +1686,23 @@ object SparkEntry {
       Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id", 0.5)
         .orderBy("da", "db")),
 
+    // MinHash-LSH made driver-judgeable (the q_vec_ann_recall pattern):
+    // synthetic texts derived from doc_id % 250 — EXACT duplicates
+    // within a group (identical shingle sets → identical signatures →
+    // est_jaccard exactly 1.0, found in every band regardless of hash
+    // choice), token streams disjoint across groups (estimate ~0). The
+    // found-pair set is therefore pure id arithmetic, which is exactly
+    // what the oracle states — a banding/signature regression drops or
+    // corrupts pairs and hash-fails.
+    "q_minhash_dup" -> ((s, dir) => {
+      val g = col("doc_id") % 250
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", (0 until 10).map(j =>
+          concat(lit("tok"), g, lit(s"x$j"))): _*).as("text"))
+      Dedup.minHashLsh(synth, "text", "doc_id", 0.9)
+        .orderBy("da", "db")
+    }),
+
     // SimHash near-dup (the third member of the dedup family): 64-bit
     // shingle-set fingerprints, pigeonhole band join, bit_count verify.
     // Fingerprints are xxhash64-derived → not DuckDB-expressible → judged
@@ -2372,6 +2389,31 @@ object SparkEntry {
       graft.operators.Vectors.kmeansAssign(
           t(s, dir, "embeddings"), "vec_id", "embedding", 8)
         .orderBy("vec_id")),
+
+    // K-means made driver-judgeable: on the separated clustered fixture
+    // the farthest-first-seeded Lloyd rounds recover the true partition
+    // exactly (the VectorSpec contract), and raw cluster IDS — which
+    // depend on seeding order — are canonicalized to each cluster's
+    // MINIMUM member id. Ids 0..9 hit all ten clusters, so the canonical
+    // label of doc i is exactly i % 10: pure id arithmetic, stated by
+    // the oracle. A clustering regression (split/merge/drift) changes
+    // labels and hash-fails.
+    "q_kmeans_recover" -> ((s, dir) => {
+      import graft.operators.Vectors
+      val corpus = Vectors.syntheticClustered(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", numClusters = 10, dim = 16, noise = 0.08)
+      val assigned = Vectors.kmeansAssign(corpus, "doc_id", "vec",
+        k = 10, iters = 5)
+      // canon derives FROM assigned — alias both sides (the
+      // ambiguous-self-join rule, q_nullsafe_join)
+      val canon = assigned.groupBy(col("cluster"))
+        .agg(min(col("doc_id")).as("label"))
+      assigned.as("a")
+        .join(broadcast(canon.as("c")), col("a.cluster") === col("c.cluster"))
+        .select(col("a.doc_id").as("doc_id"), col("c.label").as("label"))
+        .orderBy("doc_id")
+    }),
 
     // Bigram conditional-LM scoring: mean −ln p(w_i|w_{i−1}) under the
     // corpus MLE — kernel bigrams, vocab²-bounded count tables
@@ -3893,6 +3935,21 @@ object SparkEntry {
     "q_vec_ann_recall" ->
       """SELECT doc_id AS qid FROM documents
         |WHERE doc_id % 50 = 0 ORDER BY qid""".stripMargin,
+
+    // exact recovery + min-member-id label canonicalization make the
+    // k-means output pure id arithmetic on the separated fixture
+    "q_kmeans_recover" ->
+      """SELECT doc_id, doc_id % 10 AS label
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact duplicates share every band; disjoint token streams share
+    // none — the found-pair set is the within-group pair lattice
+    "q_minhash_dup" ->
+      """SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 250 = b.doc_id % 250 AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin,
 
     "q_pack_invariant" ->
       """SELECT count(*) AS n_docs,
