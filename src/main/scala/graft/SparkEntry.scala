@@ -1713,6 +1713,20 @@ object SparkEntry {
         maxHamming = 3)
         .orderBy("da", "db")),
 
+    // SimHash driver-judged twin (same fixture family as q_minhash_dup):
+    // within-group exact dups fingerprint identically (hamming 0, every
+    // band matches); cross-group texts are disjoint, and any accidental
+    // 16-bit band collision dies at the hamming <= 3 verify (P ~ 2^-44
+    // per colliding pair) — output is the within-group pair lattice.
+    "q_simhash_dup" -> ((s, dir) => {
+      val g = col("doc_id") % 250
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", (0 until 10).map(j =>
+          concat(lit("tok"), g, lit(s"x$j"))): _*).as("text"))
+      Dedup.simHashNearDup(synth, "text", "doc_id", maxHamming = 3)
+        .orderBy("da", "db")
+    }),
+
     // Embedding-cosine near-dup, exact: all pairs above threshold, norms
     // precomputed, native dot per pair (oracle: list_cosine_similarity).
     // Quadratic pair space — the oracle-checkable baseline; the 100 TB
@@ -1809,6 +1823,40 @@ object SparkEntry {
         .select(col("qid"))
         .orderBy("qid")
     }),
+
+    // IVF recall twin of q_vec_ann_recall — same fixture, same oracle
+    // shape (ids clearing recall@10 >= 0.9, predicted by id arithmetic);
+    // measured 10/10 hits for every query at sf0.01 AND sf0.1. PQ
+    // deliberately has NO such twin: within a tight cluster every
+    // member's ADC codes are identical, so once cluster population
+    // exceeds the exact-rerank shortlist (k × shortlistFactor) the
+    // shortlist cuts arbitrarily among ties and per-query recall becomes
+    // scale-dependent (measured: 10/10 at sf0.01, min 1/10 at sf0.1) —
+    // inherent to ADC on near-duplicate points, not a defect, and
+    // exactly why q_vec_pq stays rows-only with spec-based recall on a
+    // corpus shaped for what PQ is for (many distinguishable neighbors,
+    // shortlist ≥ tie-group size).
+    "q_vec_ivf_recall" -> ((s, dir) => {
+      import graft.operators.Vectors
+      val k = 10
+      val corpus = graft.engine.Caches.persisted(Vectors.syntheticClustered(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", numClusters = 10, dim = 16, noise = 0.08))
+      val queries = corpus.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), col("vec").as("qv"))
+      val exact = Vectors
+        .bruteForceTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k)
+        .select(col("qid"), col("neighbor"))
+      val ivf = Vectors
+        .ivfTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k)
+        .select(col("qid"), col("neighbor"))
+      exact.join(ivf, Seq("qid", "neighbor"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= lit(9))
+        .select(col("qid"))
+        .orderBy("qid")
+    }),
+
 
     // Multimodal: text wrapped as opaque binary assets, stub header
     // "decode" through the real mapPartitions batch plumbing; the fake
@@ -3935,6 +3983,18 @@ object SparkEntry {
     "q_vec_ann_recall" ->
       """SELECT doc_id AS qid FROM documents
         |WHERE doc_id % 50 = 0 ORDER BY qid""".stripMargin,
+
+    "q_vec_ivf_recall" ->
+      """SELECT doc_id AS qid FROM documents
+        |WHERE doc_id % 50 = 0 ORDER BY qid""".stripMargin,
+
+    // within-group exact dups at hamming 0; accidental band collisions
+    // die at the hamming verify
+    "q_simhash_dup" ->
+      """SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 250 = b.doc_id % 250 AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin,
 
     // exact recovery + min-member-id label canonicalization make the
     // k-means output pure id arithmetic on the separated fixture
