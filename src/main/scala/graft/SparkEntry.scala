@@ -2347,6 +2347,20 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
         .orderBy("event_type")),
 
+    // The HLL++ ACCURACY CONTRACT as a CORRECTNESS row (raw estimates
+    // stay rows-only above): per group, |approx − exact| must sit within
+    // the 5×rsd ceiling the spec already pins — the oracle predicts
+    // all-TRUE, so an estimator regression flips booleans and hash-fails.
+    "q_approx_distinct_bound" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("na"),
+          countDistinct(col("user_id")).as("ne"))
+        .select(col("event_type"),
+          (abs(col("na") - col("ne")) <= ceil(col("ne") * lit(0.05)))
+            .as("within_5rsd"))
+        .orderBy("event_type")),
+
     // Exact interpolated percentiles per group (Spark `percentile` ≡
     // DuckDB `quantile_cont`: both rank p(n−1) with linear interpolation,
     // identical IEEE arithmetic → oracle-exact). At 100 TB swap for
@@ -3995,6 +4009,12 @@ object SparkEntry {
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 250 = b.doc_id % 250 AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+
+    // the estimator contract is the judged fact: all groups inside the
+    // 5×rsd ceiling
+    "q_approx_distinct_bound" ->
+      """SELECT event_type, TRUE AS within_5rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // exact recovery + min-member-id label canonicalization make the
     // k-means output pure id arithmetic on the separated fixture
