@@ -251,6 +251,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("url/nfc kernels run scan-stage: pruned read, only the sort exchanges") {
+    // q_url_canon's fixture derives URLs from doc_id alone — text must
+    // not even be read (column pruning through the kernel expression)
+    val url = executedPlan(SparkEntry.queries("q_url_canon")(spark, sfDir))
+    assert(url.contains("ReadSchema: struct<doc_id:bigint>"), url.take(3000))
+    assert(url.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"more than the sort's exchange:\n${url.take(3000)}")
+    val nfc = executedPlan(SparkEntry.queries("q_text_nfc")(spark, sfDir))
+    assert(nfc.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      nfc.take(3000))
+    assert(nfc.contains("graft_nfc"), nfc.take(3000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
