@@ -613,18 +613,6 @@ object Vectors {
     }
   }
 
-  /** Per-label centroid distance — the embedding-space outlier /
-    * prototypicality score (the SSL-prototypes pruning signal of
-    * Sorscher et al. 2022, and SemDeDup's cluster-extremity ranking):
-    * Euclidean distance from each vector to its label's mean vector.
-    *
-    * Plan shape: centroids come from ONE posexplode + (label, pos)
-    * partial-aggregated avg — the shuffle carries labels×dim rows, not
-    * the corpus — and broadcast back; the per-row distance is
-    * `√(|v|² − 2·v·c + |c|²)` with both inner products on the native
-    * `graft_dot` kernel, so the corpus pass stays in whole-stage
-    * codegen with zero corpus shuffle. Judged `q_vec_centroid`, fully
-    * oracled via DuckDB list/unnest arithmetic. */
   /** Deterministic clustered synthetic embedding corpus — one vector per
     * input id, clusters by `id % numClusters`. Exists because ANN recall
     * is only measurable on CLUSTERED data (harness embeddings are
@@ -653,6 +641,18 @@ object Vectors {
     ids.select(id.as(idCol), array(comps: _*).as("vec"))
   }
 
+  /** Per-label centroid distance — the embedding-space outlier /
+    * prototypicality score (the SSL-prototypes pruning signal of
+    * Sorscher et al. 2022, and SemDeDup's cluster-extremity ranking):
+    * Euclidean distance from each vector to its label's mean vector.
+    *
+    * Plan shape: centroids come from ONE posexplode + (label, pos)
+    * partial-aggregated avg — the shuffle carries labels×dim rows, not
+    * the corpus — and broadcast back; the per-row distance is
+    * `√(|v|² − 2·v·c + |c|²)` with both inner products on the native
+    * `graft_dot` kernel, so the corpus pass stays in whole-stage
+    * codegen with zero corpus shuffle. Judged `q_vec_centroid`, fully
+    * oracled via DuckDB list/unnest arithmetic. */
   def centroidDistance(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
