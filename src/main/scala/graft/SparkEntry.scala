@@ -2589,7 +2589,93 @@ object SparkEntry {
         t(s, dir, "lineitem").select(
           when(col("l_orderkey") % 10 < 3, -(col("l_orderkey") % 5) - 1)
             .otherwise(col("l_orderkey")).as("key")),
-        "key", hotFactor = 8L, topN = 20))
+        "key", hotFactor = 8L, topN = 20)),
+
+    // Mergeable distinct sketches (DataSketches HLL): per-(group, day)
+    // sketches unioned, estimate judged against exact within the 5×rsd
+    // ceiling (rsd ≈ 1.6% at lgk=12 → 8%) — the q_approx_distinct_bound
+    // pattern for the PERSISTABLE sketch the incremental-refresh story
+    // needs. Deliberately NOT judged: equality with a one-shot global
+    // sketch — exact only below sparse-mode promotion (~2^(lgk−3) keys);
+    // in dense mode promotion order shifts estimates a few ppt
+    // (measured; both regimes pinned in SketchesSpec).
+    "q_hll_merge" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = t(s, dir, "events")
+      val merged = Sketches.mergedDistinctEstimates(
+        Sketches.distinctSketches(ev, "event_type", dayofyear(col("ts")), "user_id"),
+        "event_type").withColumnRenamed("n_approx", "n_merged")
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"),
+          (abs(col("n_merged") - col("n_exact")) <=
+            greatest(ceil(col("n_exact") * lit(0.08)), lit(2))).as("within_bound"))
+        .orderBy("event_type")
+    }),
+
+    // The approx_percentile ACCURACY CONTRACT as a judged row (the
+    // q_approx_distinct_bound pattern for quantiles): per group, the
+    // exact rank of the approximate median must sit within the
+    // documented n/accuracy rank-error window (±1 slack for the
+    // boundary-value convention). Both rank probes run in ONE pass over
+    // the corpus against the broadcast per-group approx values — the
+    // same audit shape a 100 TB quantile-sketch validation would use.
+    "q_approx_quantile_bound" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val ap = ev.groupBy("event_type")
+        .agg(approx_percentile(col("value"), lit(0.5), lit(100)).as("apx"),
+          count(lit(1)).as("n"))
+      // ap derives from ev — alias both sides (the ambiguous-self-join
+      // rule, q_nullsafe_join)
+      ev.as("e").join(broadcast(ap.as("a")),
+          col("e.event_type") === col("a.event_type"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(
+          (sum(when(col("e.value") <= col("a.apx"), 1L).otherwise(0L)) >=
+            first(col("a.n")) * lit(0.5) - first(col("a.n")) / lit(100.0) - lit(1)).as("lo_ok"),
+          (sum(when(col("e.value") < col("a.apx"), 1L).otherwise(0L)) <=
+            first(col("a.n")) * lit(0.5) + first(col("a.n")) / lit(100.0) + lit(1)).as("hi_ok"))
+        .select(col("event_type"),
+          (col("lo_ok") && col("hi_ok")).as("within_rank_err"))
+        .orderBy("event_type")
+    }),
+
+    // HTML -> text normalization: tag strip, one-level entity decode
+    // (&amp; last), whitespace collapse — every rule hash-judged against
+    // the identical chain in DuckDB on a markup fixture derived from the
+    // corpus (tags, a double-escaped &amp;lt;, nbsp, numeric &#39;).
+    "q_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><Body class=\"x\"><h1>Doc "), col("doc_id") % 7,
+        lit("</h1><p>"), substring(col("text"), 1, 40),
+        lit("</p><p>a&nbsp;&quot;b&quot; &amp;lt; c &#39;d&#39; &amp; <b>tail</b></p></Body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.stripHtml(html).as("txt"))
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered join: dim keys -> Bloom filter -> scan-stage
+    // might_contain on the fact BEFORE the join. No false negatives, and
+    // false positives die at the join, so the result is EXACTLY the
+    // plain inner join (the oracle) — the judged fact is that the
+    // shuffle-saving prefilter is invisible in the output. ~2% of orders
+    // qualify, so ~98% of lineitem dies at the scan (SketchesSpec
+    // asserts the pruning).
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Sketches.bloomPrefilteredJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+            col("l_quantity"), col("l_extendedprice")),
+          dim, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    })
   )
 
   /** The driver contract: one judged query per implemented operator.
@@ -4278,6 +4364,47 @@ object SparkEntry {
         |       CAST((n * n_keys) // n_rows AS BIGINT) AS x_mean
         |FROM pk, s
         |WHERE n * n_keys >= 8 * n_rows
-        |ORDER BY n DESC, key LIMIT 20""".stripMargin
+        |ORDER BY n DESC, key LIMIT 20""".stripMargin,
+
+    // the 5×rsd accuracy ceiling is the judged contract (sketch-vs-
+    // one-shot equality is sparse-mode-only — see the query comment);
+    // the fixture's per-group cardinality sits far inside the ceiling
+    "q_hll_merge" ->
+      """SELECT event_type, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the rank-error window n/accuracy is the published
+    // approx_percentile guarantee; the fixture sits far inside it
+    "q_approx_quantile_bound" ->
+      """SELECT event_type, TRUE AS within_rank_err
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the identical three-stage chain: tags -> space, one-level entity
+    // decode with &amp; LAST (so &amp;lt; yields literal '&lt;' text,
+    // not '<'), whitespace collapse + trim
+    "q_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><Body class="x"><h1>Doc ' || (doc_id % 7) ||
+        |    '</h1><p>' || substring(text, 1, 40) ||
+        |    '</p><p>a&nbsp;&quot;b&quot; &amp;lt; c &#39;d&#39; &amp; <b>tail</b></p></Body></html>'
+        |      AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '<[^>]*>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+        |  FROM s1)
+        |SELECT doc_id,
+        |       trim(regexp_replace(t, '\s+', ' ', 'g')) AS txt
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // the bloom prefilter must be invisible in the output: the oracle is
+    // the PLAIN inner join + aggregate
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 50 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -316,6 +316,29 @@ object TextOps {
   def urlDomains(c: Column): Column =
     regexp_extract_all(lower(c), lit(URL_DOMAIN_RE), lit(1))
 
+  /** HTML → text normalization — the markup-removal step between "crawl
+    * HTML" and every text operator in this file (quality gates, shingles,
+    * LM scores all assume prose, and tag soup wrecks each of them).
+    * Three stages, all codegen'd `regexp_replace`/`replace` (no UDF, no
+    * parse tree — a real DOM-aware extractor is a boilerplate-quality
+    * tradeoff; this is the deterministic baseline every pipeline runs
+    * first): (1) tags `<[^>]*>` → space (space, not empty: `a</p><p>b`
+    * must not fuse into `ab`); (2) the five standard named entities +
+    * `&#39;` decoded INNERMOST-FIRST with `&amp;` last, so double-escaped
+    * text (`&amp;lt;`) decodes one level per the HTML spec, not two;
+    * (3) whitespace collapsed + trimmed. Judged `q_html_strip` against
+    * the identical chain in DuckDB. */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (acc, (ent, ch)) =>
+      replace(acc, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Unicode NFC normalization via the [[graft.functions.NfcNormalize]]
     * codegen kernel (ASCII fast path, zero-copy for already-normalized
     * input) — run it BEFORE any hash-keyed operator when the corpus may

@@ -272,13 +272,25 @@ object VectorExprs {
   * consume, so a new kernel family cannot be registered on one path and
   * silently missing ("Undefined function") on the other. */
 object GraftFunctions {
+  // Spark ships BloomFilterMightContain (the probe half of its runtime
+  // filters, codegen'd) but does NOT register it for SQL use; exposing
+  // it under a graft name lets Sketches.bloomPrefilteredJoin reuse the
+  // stock expression instead of shipping a parallel kernel.
+  private val mightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (ch: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(ch.head, ch(1)))
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     VectorExprs.dotFunction +:
       (VectorExprs.pqFunctions ++
         TextStatsExprs.functions ++ ShingleExprs.functions ++
         CompressExprs.functions ++ ZOrder2.functions ++
         EntropyExprs.functions ++ UrlExprs.functions ++
-        UnicodeExprs.functions)
+        UnicodeExprs.functions :+ mightContain)
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`

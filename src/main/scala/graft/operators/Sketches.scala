@@ -86,6 +86,78 @@ object Sketches {
     def outputEncoder: Encoder[Array[String]] = ExpressionEncoder()
   }
 
+  /** Sharded mergeable distinct-count sketches — the incremental /
+    * partitioned form of `approx_count_distinct`, which computes a
+    * one-shot estimate but never exposes reusable state. Here each
+    * (group, shard) cell — shard = ingest day, partition, source — gets
+    * one Apache DataSketches HLL sketch (Spark's `hll_sketch_agg`,
+    * public since 3.5) as a BINARY column that can be written to
+    * parquet alongside the shard. The 100 TB point is
+    * [[mergedDistinctEstimates]]: a distinct-users-per-group refresh
+    * touches ONLY new shards' raw rows, then unions kilobyte sketches —
+    * the same append-only refresh shape as
+    * [[Relational.incrementalAgg]], extended to the one aggregate that
+    * is NOT algebraic over partial counts.
+    *
+    * Accuracy contract (what `q_hll_merge` judges): the merged estimate
+    * sits within the configured rsd band of exact. NOT contracted:
+    * bit-equality with a one-shot global sketch — DataSketches HLL is
+    * exact (coupon list/set) below ~2^(lgk−3) distinct keys, where
+    * union IS value-identical to one-shot, but once partials promote to
+    * dense HLL the promotion ORDER shifts estimates a few parts per
+    * thousand between merge trees (measured: 797 vs 787 on 800 keys at
+    * lgk=12 — both within rsd of exact; SketchesSpec pins both regimes).
+    * Resharding therefore moves the estimate within the band, never
+    * outside it. */
+  def distinctSketches(df: DataFrame, groupCol: String, shard: org.apache.spark.sql.Column,
+      keyCol: String, lgk: Int = 12): DataFrame =
+    df.groupBy(col(groupCol), shard.as("shard"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgk)).as("sketch"))
+
+  /** Collapse [[distinctSketches]] state to per-group estimates:
+    * `hll_union_agg` over the shard sketches (same lgConfigK — the
+    * strict mode; heterogeneous precisions downgrade silently and are
+    * refused), then one estimate per group. */
+  def mergedDistinctEstimates(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(false))).as("n_approx"))
+
+  /** Bloom-prefiltered inner equi-join — the runtime-filter pattern made
+    * an explicit operator: build a Bloom filter over the dim side's
+    * distinct keys (distributed insert, driver-merged — bounded config
+    * state like the k-means codebooks: ~1.2 MB per million keys at 1%
+    * fpp), broadcast it inside a scan-stage `might_contain` predicate
+    * (Spark's own codegen'd [[org.apache.spark.sql.catalyst.expressions
+    * .BloomFilterMightContain]], registered as `graft_might_contain`),
+    * and only then join. Result is EXACTLY the plain inner join — Bloom
+    * filters have no false negatives; false positives only survive to
+    * the join, which drops them — so `q_bloom_join` is fully oracled
+    * against the plain-join SQL. The 100 TB win is shuffle volume: at a
+    * 1% dim hit-rate, ~99% of fact rows die at the scan instead of
+    * crossing the exchange (SketchesSpec asserts the prefilter actually
+    * prunes). AQE's injected runtime filters do this opportunistically;
+    * the explicit form survives plans AQE declines (pre-shuffled
+    * inputs, disabled-broadcast sessions) and documents the intent. */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame, key: String,
+      fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(key).cast("long").as(key)).distinct()
+    val expected = keys.count()
+    // empty dim: stat.bloomFilter NPEs on zero rows, and the join result
+    // is empty regardless — keep the same schema, skip the build
+    if (expected == 0L)
+      return fact.filter(lit(false)).join(dim, Seq(key))
+    val bf = keys.stat.bloomFilter(key, expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    fact.filter(call_function("graft_might_contain",
+        lit(bytes), col(key).cast("long")))
+      .join(dim, Seq(key))
+  }
+
   /** Exact heavy hitters: all values of `valueCol` whose count `n`
     * satisfies `n * denom >= N` (i.e. frequency ≥ 1/denom of the N total
     * rows — integer arithmetic so the oracle reproduces it bit-for-bit).

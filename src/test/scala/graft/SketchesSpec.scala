@@ -67,4 +67,66 @@ class SketchesSpec extends SparkTestBase {
     val uniform = (0L until 1000L).map(i => i % 100).toDF("key")
     assert(Relational.skewProfile(uniform, "key", hotFactor = 8L).count() === 0L)
   }
+
+  test("HLL merge, sparse regime: union == one-shot global == exact") {
+    // 300 distinct keys per group — below sparse-mode promotion at
+    // lgk=12, where DataSketches HLL is an exact coupon set and union
+    // is value-identical to building one sketch over everything
+    val df = (0 until 3000).map { i =>
+      (s"g${i % 3}", i % 13, s"k${i % 900}")
+    }.toDF("g", "shard", "k").repartition(9)
+    val merged = Sketches.mergedDistinctEstimates(
+      Sketches.distinctSketches(df, "g", col("shard"), "k"), "g")
+      .withColumnRenamed("n_approx", "m")
+    val global = df.groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(12))).as("gl"),
+        count_distinct(col("k")).as("ex"))
+    val rows = merged.join(global, "g").as[(String, Double, Double, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(rows.size === 3)
+    rows.foreach { case (g, m, gl, ex) =>
+      assert(m === gl, s"group $g: merged $m != global $gl")
+      assert(math.round(m) === ex, s"group $g: $m vs exact $ex")
+    }
+  }
+
+  test("HLL merge, dense regime: every merge tree lands within the rsd band") {
+    // 800 distinct keys — past sparse promotion, where the one-shot
+    // sketch and differently-sharded unions are NOT bit-equal (the
+    // documented non-contract; measured 787 vs 797 here) but every
+    // variant must sit within 5×rsd ≈ 8% of exact
+    val df = (0 until 5000).map(i => (s"k${i % 800}", i)).toDF("k", "i")
+    def est(shard: org.apache.spark.sql.Column): Double =
+      Sketches.mergedDistinctEstimates(
+        Sketches.distinctSketches(df.withColumn("g", lit("all")), "g", shard, "k"), "g")
+        .as[(String, Double)].head()._2
+    val ests = Seq(est(col("i") % 7), est(col("i") % 64), est(lit(0)))
+    ests.foreach(e => assert(math.abs(e - 800.0) <= 800.0 * 0.08, ests.toString))
+  }
+
+  test("bloomPrefilteredJoin equals the plain join and actually prunes") {
+    val fact = (0L until 20000L).map(i => (i % 4000, i)).toDF("key", "payload")
+    val dim = (0L until 4000L).filter(_ % 100 == 0).map(k => (k, s"d$k"))
+      .toDF("key", "attr") // 1% of fact keys survive
+    val plain = fact.join(dim, Seq("key"))
+      .select("key", "payload", "attr").as[(Long, Long, String)].collect().toSet
+    val bloomed = Sketches.bloomPrefilteredJoin(fact, dim, "key")
+      .select("key", "payload", "attr").as[(Long, Long, String)].collect().toSet
+    assert(bloomed === plain)
+    // the prefilter alone (before the join drops false positives) must
+    // cut the fact side by an order of magnitude at 1% selectivity
+    val keys = dim.select(col("key").cast("long").as("key")).distinct()
+    val bf = keys.stat.bloomFilter("key", 40L, 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val pruned = fact.filter(call_function("graft_might_contain",
+      lit(bytes), col("key").cast("long"))).count()
+    assert(pruned < fact.count() / 10, s"prefilter kept $pruned of 20000")
+    assert(pruned >= plain.map(_._2).size, "prefilter must keep every true match")
+  }
+
+  test("bloomPrefilteredJoin on an empty dim returns an empty result") {
+    val fact = (0L until 100L).map(i => (i, i)).toDF("key", "payload")
+    val dim = Seq.empty[(Long, String)].toDF("key", "attr")
+    assert(Sketches.bloomPrefilteredJoin(fact, dim, "key").count() === 0L)
+  }
 }

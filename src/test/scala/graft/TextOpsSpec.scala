@@ -289,4 +289,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(out(3L)._2 - -ln(1.0 / 8)) < 1e-12)
     assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
   }
+
+  test("stripHtml: tags separate words, entities decode one level, idempotent-ish") {
+    val cases = Seq(
+      // adjacent block tags must NOT fuse words
+      "<p>alpha</p><p>beta</p>" -> "alpha beta",
+      // one-level decode: &amp;lt; is the TEXT '&lt;', not '<'
+      "x &amp;lt; y" -> "x &lt; y",
+      "a&nbsp;b &quot;q&quot; &#39;s&#39; 1 &lt; 2 &amp; 3" ->
+        "a b \"q\" 's' 1 < 2 & 3",
+      // attributes with > inside quotes are out of scope (documented
+      // regex baseline); plain attrs strip fine
+      "<a href=\"u\" class='c'>link</a> tail" -> "link tail",
+      "   no    markup\t\nhere " -> "no markup here",
+      "" -> "")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextOps.stripHtml(col("h"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+    // stripping already-clean text is a no-op (safe to run defensively) —
+    // except where the output intentionally still contains an entity
+    // (the one-level-decode row: a second pass decodes the next level,
+    // exactly as the HTML spec intends for double-escaped text)
+    val fixpoint = cases.map(_._2).filterNot(_.contains("&lt;"))
+    val clean = fixpoint.toDF("h")
+      .select(TextOps.stripHtml(col("h"))).as[String].collect().toSeq
+    assert(clean === fixpoint)
+  }
 }
