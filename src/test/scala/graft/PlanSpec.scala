@@ -264,6 +264,41 @@ class PlanSpec extends SparkTestBase {
     assert(nfc.contains("graft_nfc"), nfc.take(3000))
   }
 
+  test("bloom prefilter evaluates scan-stage, below the join's exchange") {
+    // the operator's whole point: might_contain kills ~98% of fact rows
+    // BEFORE they cross an exchange. The probe must sit in the same
+    // stage as the fact scan — i.e. the plan text shows the filter
+    // strictly below (after, in toString order) every Exchange.
+    // (prints as `might_contain`, the expression's prettyName — the
+    // graft_ alias exists only in the function registry)
+    val lines = executedPlan(SparkEntry.queries("q_bloom_join")(spark, sfDir)).linesIterator.toSeq
+    val probe = lines.indexWhere(l =>
+      l.contains("might_contain") && l.contains("l_orderkey"))
+    assert(probe >= 0, lines.mkString("\n").take(3000))
+    val below = lines.drop(probe + 1).takeWhile(!_.trim.startsWith("+- Filter"))
+    assert(below.headOption.exists(l =>
+        l.contains("FileScan parquet") && l.contains("lineitem")),
+      s"probe not directly on the fact scan:\n${lines.mkString("\n").take(3000)}")
+  }
+
+  test("html strip runs scan-stage: pruned read, only the sort exchanges") {
+    val plan = executedPlan(SparkEntry.queries("q_html_strip")(spark, sfDir))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.take(3000))
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"more than the sort's exchange:\n${plan.take(3000)}")
+  }
+
+  test("hll merge plans two partial-aggregated shuffles, no raw-key re-shuffle") {
+    // shard sketches partial-agg map-side (hll_sketch_agg partials), the
+    // union partial-aggs again — raw (group, key) rows cross at most the
+    // FIRST exchange; the second carries kilobyte sketch rows
+    val plan = executedPlan(SparkEntry.queries("q_hll_merge")(spark, sfDir))
+    assert(plan.contains("partial_hll_sketch_agg") ||
+      plan.contains("partial_hllsketchagg") ||
+      plan.toLowerCase.contains("partial_hll"), plan.take(3000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
