@@ -2614,6 +2614,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Pairwise segment overlap on HLL sketch state (inclusion-
+    // exclusion over hll_union of the per-segment sketches): the
+    // audience-overlap matrix without re-shuffling raw ids per pair.
+    // The fixture varies membership per segment ((user_id + len(type))
+    // % 4 != 0 — different drop patterns per type), and in the sparse
+    // regime every estimate is integer-exact, so the oracle computes
+    // the same matrix from the exact SQL intersection. lgk=16 sizes the
+    // sparse regime (~2^(lgk−3) keys) past sf0.1's 1500 users — the
+    // general rule: pick lgk so segments stay sparse when you need the
+    // matrix exact, accept the rsd band when you don't.
+    "q_segment_overlap" -> ((s, dir) =>
+      graft.operators.Sketches.segmentOverlap(
+        t(s, dir, "events")
+          .filter((col("user_id") + length(col("event_type"))) % 4 =!= 0)
+          .select(col("event_type"), col("user_id")),
+        "event_type", "user_id", lgk = 16)
+        .orderBy("seg_a", "seg_b")),
+
     // The approx_percentile ACCURACY CONTRACT as a judged row (the
     // q_approx_distinct_bound pattern for quantiles): per group, the
     // exact rank of the approximate median must sit within the
@@ -4372,6 +4390,23 @@ object SparkEntry {
     "q_hll_merge" ->
       """SELECT event_type, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // sparse-regime sketches are integer-exact, so the judged matrix
+    // equals the exact intersection matrix computed relationally
+    "q_segment_overlap" ->
+      """WITH m AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE (user_id + length(event_type)) % 4 <> 0),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM m GROUP BY event_type)
+        |SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+        |       na.n AS n_a, nb.n AS n_b,
+        |       CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM m a JOIN m b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |JOIN n na ON na.event_type = a.event_type
+        |JOIN n nb ON nb.event_type = b.event_type
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY seg_a, seg_b""".stripMargin,
 
     // the rank-error window n/accuracy is the published
     // approx_percentile guarantee; the fixture sits far inside it

@@ -123,6 +123,37 @@ object Sketches {
       .agg(hll_sketch_estimate(
         hll_union_agg(col("sketch"), lit(false))).as("n_approx"))
 
+  /** Pairwise segment overlap — "how many distinct keys do segments A
+    * and B share" for every segment pair, computed entirely on
+    * [[distinctSketches]]-style HLL state: one sketch per segment, then
+    * inclusion–exclusion `|A∩B| = |A| + |B| − |A∪B|` with `hll_union`
+    * on the PAIRED sketches. The raw (segment, key) rows cross exactly
+    * one partial-aggregated exchange to build the sketch table; the
+    * pair join runs on |segments| kilobyte rows — at 100 TB the
+    * audience-overlap matrix never touches raw ids again (the exact
+    * alternative is a distinct self-join that re-shuffles the corpus
+    * per pair).
+    *
+    * Accuracy: exact (estimates are integer-valued) while every segment
+    * stays in the sketch's sparse regime — `q_segment_overlap` judges
+    * integer equality against the exact SQL intersection there. Past
+    * dense promotion, inclusion–exclusion compounds the rsd of three
+    * estimates, so overlaps far smaller than the segments drown in
+    * noise — the documented trade; raise lgk to push the exact regime
+    * out (SketchesSpec pins both). */
+  def segmentOverlap(df: DataFrame, segCol: String, keyCol: String,
+      lgk: Int = 12): DataFrame = {
+    val sk = df.groupBy(col(segCol).as("seg"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgk)).as("sk"))
+    val est = (c: org.apache.spark.sql.Column) =>
+      round(hll_sketch_estimate(c)).cast("bigint")
+    sk.as("a").join(sk.as("b"), col("a.seg") < col("b.seg"))
+      .select(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"),
+        est(col("a.sk")).as("n_a"), est(col("b.sk")).as("n_b"),
+        (est(col("a.sk")) + est(col("b.sk")) -
+          est(hll_union(col("a.sk"), col("b.sk")))).as("n_overlap"))
+  }
+
   /** Bloom-prefiltered inner equi-join — the runtime-filter pattern made
     * an explicit operator: build a Bloom filter over the dim side's
     * distinct keys (distributed insert, driver-merged — bounded config

@@ -104,6 +104,40 @@ class SketchesSpec extends SparkTestBase {
     ests.foreach(e => assert(math.abs(e - 800.0) <= 800.0 * 0.08, ests.toString))
   }
 
+  test("segmentOverlap: sparse regime equals the exact intersection matrix") {
+    // 3 segments with engineered memberships: A = 0..599, B = 300..899,
+    // C = evens of 0..899 → |A∩B| = 300, |A∩C| = 300, |B∩C| = 300
+    val rows =
+      (0 until 600).map(k => ("A", k.toLong)) ++
+      (300 until 900).map(k => ("B", k.toLong)) ++
+      (0 until 900 by 2).map(k => ("C", k.toLong))
+    // duplicate rows must not move distinct counts. lgk=14: the sparse
+    // (exact) regime ends near 2^(lgk−3) keys — 512 at the default 12,
+    // which these 600-key segments already exceed (measured 598/596
+    // there); 2048 at 14 keeps them exact
+    val df = (rows ++ rows).toDF("seg", "k").repartition(7)
+    val got = Sketches.segmentOverlap(df, "seg", "k", lgk = 14)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", "B", 600L, 600L, 300L),
+      ("A", "C", 600L, 450L, 300L),
+      ("B", "C", 600L, 450L, 300L)))
+  }
+
+  test("segmentOverlap: dense regime stays within compounded rsd of exact") {
+    // 6000-key segments with a 3000-key overlap — past sparse promotion
+    // at lgk=12; inclusion-exclusion compounds three estimates, so
+    // allow 3 × 5×rsd ≈ 25% of the SEGMENT size (the documented trade:
+    // overlaps much smaller than the segments drown in noise)
+    val rows = (0 until 6000).map(k => ("A", k.toLong)) ++
+      (3000 until 9000).map(k => ("B", k.toLong))
+    val Seq((_, _, na, nb, ov)) = Sketches.segmentOverlap(rows.toDF("seg", "k"), "seg", "k")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(math.abs(na - 6000L) <= 480, s"n_a $na")
+    assert(math.abs(nb - 6000L) <= 480, s"n_b $nb")
+    assert(math.abs(ov - 3000L) <= 1500, s"overlap $ov")
+  }
+
   test("bloomPrefilteredJoin equals the plain join and actually prunes") {
     val fact = (0L until 20000L).map(i => (i % 4000, i)).toDF("key", "payload")
     val dim = (0L until 4000L).filter(_ % 100 == 0).map(k => (k, s"d$k"))
