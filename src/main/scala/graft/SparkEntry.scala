@@ -2614,6 +2614,59 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Mergeable KLL quantile sketches: per-partition sketch state (the
+    // persistable twin of approx_percentile, like q_hll_merge is for
+    // approx_count_distinct), merged on bounded config state, judged via
+    // the normalized-rank-error CONTRACT — KLL compaction flips random
+    // coins, so raw quantile VALUES are run-dependent inside the
+    // guarantee; the exact rank of each returned value must sit within
+    // 2·ε·n of the requested rank (ε = the sketch's own two-sided 99%
+    // bound; doubled so a judged row never rides the 1% tail).
+    "q_kll_quantiles" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = t(s, dir, "events").select(col("value").cast("double").as("value"))
+      val qs = Sketches.mergedQuantiles(
+        Sketches.quantileSketchShards(ev, "value"), Seq(0.1, 0.5, 0.9))
+      ev.as("e").crossJoin(broadcast(qs.as("q")))
+        .groupBy(col("q.rank").as("rank"))
+        .agg(sum(when(col("e.value") <= col("q.value"), 1L).otherwise(0L)).as("le"),
+          sum(when(col("e.value") < col("q.value"), 1L).otherwise(0L)).as("lt"),
+          count(lit(1)).as("n"), first(col("q.rank_error")).as("eps"))
+        .select(col("rank"),
+          ((col("le") >= (col("rank") - lit(2) * col("eps")) * col("n") - lit(1)) &&
+            (col("lt") <= (col("rank") + lit(2) * col("eps")) * col("n") + lit(1)))
+            .as("within_rank_err"))
+        .orderBy("rank")
+    }),
+
+    // Semantic decontamination (embedding sibling of q_decontam's n-gram
+    // pass): train vectors within cosine 0.34 of ANY eval vector are
+    // flagged with evidence (n_close, max_sim). Eval = the vec_id % 40
+    // slice (benchmarks are tiny vs the corpus — broadcast); train =
+    // the rest, scanned once, never shuffled. Fully oracled via
+    // list_cosine_similarity.
+    "q_sem_decontam" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Vectors.semanticDecontaminate(
+        e.filter(col("vec_id") % 40 =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 40 === 0), "embedding", 0.34)
+        .orderBy("vec_id")
+    }),
+
+    // Mixture-rate solver (the math upstream of q_mix's weightedMix):
+    // waterfill rates that hit target proportions with no up-sampling —
+    // C = min_s(n_s/target_s), rate_s = C·target_s/n_s, untargeted
+    // sources surfaced at rate 0. |sources|-row arithmetic, corpus
+    // untouched. Fully oracled (targets CAST AS DOUBLE in the oracle —
+    // DuckDB numeric literals are DECIMAL, the q_minhash_dup rule).
+    "q_mix_rates" -> ((s, dir) =>
+      graft.operators.Sampling.mixRates(
+        t(s, dir, "documents").groupBy("source")
+          .agg(sum(col("n_chars")).as("n_tokens")),
+        "source", "n_tokens",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .orderBy("source")),
+
     // Pairwise segment overlap on HLL sketch state (inclusion-
     // exclusion over hll_union of the per-segment sketches): the
     // audience-overlap matrix without re-shuffling raw ids per pair.
@@ -4390,6 +4443,39 @@ object SparkEntry {
     "q_hll_merge" ->
       """SELECT event_type, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the 2ε rank-error window is the judged contract; ranks as DOUBLE
+    // (DuckDB literals are DECIMAL)
+    "q_kll_quantiles" ->
+      """SELECT CAST(v AS DOUBLE) AS rank, TRUE AS within_rank_err
+        |FROM (VALUES (0.1), (0.5), (0.9)) t(v) ORDER BY rank""".stripMargin,
+
+    "q_sem_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT v FROM e WHERE vec_id % 40 = 0),
+        |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 40 <> 0)
+        |SELECT tr.vec_id AS vec_id, CAST(count(*) AS BIGINT) AS n_close,
+        |       max(list_cosine_similarity(tr.v, ev.v)) AS max_sim
+        |FROM tr, ev
+        |WHERE list_cosine_similarity(tr.v, ev.v) >= 0.34
+        |GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    // identical waterfill arithmetic, same operation order; targets as
+    // DOUBLE (DuckDB numeric literals are DECIMAL — the judged rate
+    // column must be double on both sides)
+    "q_mix_rates" ->
+      """WITH cnt AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY source),
+        |t(src, target) AS (VALUES
+        |  ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |  ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+        |j AS (SELECT source, n_tokens, coalesce(target, CAST(0 AS DOUBLE)) AS target
+        |      FROM cnt LEFT JOIN t ON source = src),
+        |c AS (SELECT min(n_tokens / target) AS c FROM j WHERE target > 0)
+        |SELECT source, n_tokens,
+        |       CASE WHEN target > 0 THEN c * target / n_tokens
+        |            ELSE CAST(0 AS DOUBLE) END AS rate
+        |FROM j, c ORDER BY source""".stripMargin,
 
     // sparse-regime sketches are integer-exact, so the judged matrix
     // equals the exact intersection matrix computed relationally

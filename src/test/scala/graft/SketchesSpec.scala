@@ -104,6 +104,36 @@ class SketchesSpec extends SparkTestBase {
     ests.foreach(e => assert(math.abs(e - 800.0) <= 800.0 * 0.08, ests.toString))
   }
 
+  test("KLL shards merge to quantiles within the rank-error guarantee") {
+    // 10k uniform values over many partitions: exact rank-r value = r·10k
+    val df = (0 until 10000).map(_.toDouble).toDF("v").repartition(17)
+    val got = Sketches.mergedQuantiles(
+        Sketches.quantileSketchShards(df, "v"), Seq(0.1, 0.5, 0.9))
+      .as[(Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0.1, 0.5, 0.9))
+    got.foreach { case (r, v, eps) =>
+      assert(eps > 0 && eps < 0.05, s"suspicious eps $eps")
+      assert(math.abs(v - r * 10000) <= 2 * eps * 10000 + 1,
+        s"rank $r: value $v outside 2eps of ${r * 10000}")
+    }
+  }
+
+  test("KLL shard count does not move quantiles outside the guarantee") {
+    val vals = (0 until 8000).map(_.toDouble)
+    def med(parts: Int): Double = Sketches.mergedQuantiles(
+        Sketches.quantileSketchShards(vals.toDF("v").repartition(parts), "v"),
+        Seq(0.5)).as[(Double, Double, Double)].head()._2
+    Seq(1, 4, 32).map(med).foreach(m =>
+      assert(math.abs(m - 4000) <= 300, s"median $m"))
+  }
+
+  test("mergedQuantiles fails fast on empty input") {
+    val empty = Seq.empty[Double].toDF("v")
+    intercept[IllegalArgumentException] {
+      Sketches.mergedQuantiles(Sketches.quantileSketchShards(empty, "v"), Seq(0.5))
+    }
+  }
+
   test("segmentOverlap: sparse regime equals the exact intersection matrix") {
     // 3 segments with engineered memberships: A = 0..599, B = 300..899,
     // C = evens of 0..899 → |A∩B| = 300, |A∩C| = 300, |B∩C| = 300

@@ -306,6 +306,27 @@ class VectorSpec extends SparkTestBase {
     assert(cross.max < 0.4, s"cross-cluster max ${cross.max}")
   }
 
+  test("semanticDecontaminate flags exactly the train rows near an eval vector") {
+    // eval = two orthogonal axes; train: doc 1 ≈ axis-0 paraphrase
+    // (cos ≈ 0.995), doc 2 = on-axis-1 exact leak, docs 3-4 far
+    val eval = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)).toDF("v")
+    val train = Seq(
+      (1L, Seq(10.0, 1.0, 0.0)),   // norm-invariant: scaled paraphrase
+      (2L, Seq(0.0, 0.5, 0.0)),
+      (3L, Seq(0.0, 0.0, 7.0)),
+      (4L, Seq(1.0, 1.0, 1.4)))     // cos to both axes < 0.51
+      .toDF("vec_id", "v")
+    val got = Vectors.semanticDecontaminate(train, "vec_id", "v", eval, "v", 0.6)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 1L && got(1L)._2 > 0.99 && got(1L)._2 < 1.0)
+    assert(got(2L) === ((1L, 1.0)))
+    // threshold low enough to catch doc 4's 0.507 on both axes → n_close 2
+    val loose = Vectors.semanticDecontaminate(train, "vec_id", "v", eval, "v", 0.5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(loose(4L) === 2L)
+  }
+
   test("annTopK fails fast on mismatched embedding width") {
     val corpus = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
     val q = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qv")
