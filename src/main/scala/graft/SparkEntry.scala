@@ -2639,6 +2639,30 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Grouped KLL state (per-segment percentiles — the production shape:
+    // latency by endpoint, doc length by source): per-(group, partition)
+    // sketches merge DISTRIBUTED per group, judged via the same 2·ε
+    // rank-error contract per (group, rank).
+    "q_kll_grouped" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value").cast("double").as("value"))
+      val qs = Sketches.mergedGroupQuantiles(
+        Sketches.groupedQuantileSketchShards(ev, "event_type", "value"),
+        "event_type", Seq(0.5, 0.9))
+      ev.as("e").join(broadcast(qs.as("q")),
+          col("e.event_type") === col("q.event_type"))
+        .groupBy(col("q.event_type").as("event_type"), col("q.rank").as("rank"))
+        .agg(sum(when(col("e.value") <= col("q.value"), 1L).otherwise(0L)).as("le"),
+          sum(when(col("e.value") < col("q.value"), 1L).otherwise(0L)).as("lt"),
+          count(lit(1)).as("n"), first(col("q.rank_error")).as("eps"))
+        .select(col("event_type"), col("rank"),
+          ((col("le") >= (col("rank") - lit(2) * col("eps")) * col("n") - lit(1)) &&
+            (col("lt") <= (col("rank") + lit(2) * col("eps")) * col("n") + lit(1)))
+            .as("within_rank_err"))
+        .orderBy("event_type", "rank")
+    }),
+
     // Semantic decontamination (embedding sibling of q_decontam's n-gram
     // pass): train vectors within cosine 0.34 of ANY eval vector are
     // flagged with evidence (n_close, max_sim). Eval = the vec_id % 40
@@ -4449,6 +4473,13 @@ object SparkEntry {
     "q_kll_quantiles" ->
       """SELECT CAST(v AS DOUBLE) AS rank, TRUE AS within_rank_err
         |FROM (VALUES (0.1), (0.5), (0.9)) t(v) ORDER BY rank""".stripMargin,
+
+    "q_kll_grouped" ->
+      """SELECT event_type, CAST(r AS DOUBLE) AS rank,
+        |       TRUE AS within_rank_err
+        |FROM (SELECT DISTINCT event_type FROM events),
+        |     (VALUES (0.5), (0.9)) t(r)
+        |ORDER BY event_type, rank""".stripMargin,
 
     "q_sem_decontam" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -170,6 +170,53 @@ object Sketches {
       .toDF("rank", "value", "rank_error")
   }
 
+  /** Grouped [[quantileSketchShards]] — per-(group, partition) KLL
+    * state, the production shape for per-segment percentiles (latency
+    * by endpoint, doc length by source): each task folds its rows into
+    * one in-place sketch PER GROUP seen in the partition (bounded by
+    * groups-per-partition, each ~KB), so raw values still never cross
+    * the wire. Pair with [[mergedGroupQuantiles]]; shard rows persist
+    * and re-merge per group exactly like the ungrouped family. */
+  def groupedQuantileSketchShards(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int = 200): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(groupCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val m = mutable.HashMap.empty[String, org.apache.datasketches.kll.KllDoublesSketch]
+        it.foreach { case (g, v) =>
+          m.getOrElseUpdate(g,
+            org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k))
+            .update(v)
+        }
+        m.iterator.map { case (g, sk) => (g, sk.toByteArray) }
+      }.toDF(groupCol, "sketch")
+  }
+
+  /** Merge [[groupedQuantileSketchShards]] state per group and evaluate
+    * the given ranks: one (group, rank, value, rank_error) row per
+    * (group, rank). Merging runs DISTRIBUTED — shard rows shuffle by
+    * group (≤ shards×groups kilobyte rows, never raw values) and each
+    * group's sketches fold in one task. */
+  def mergedGroupQuantiles(shards: DataFrame, groupCol: String,
+      ranks: Seq[Double]): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0 && r <= 1),
+      s"ranks must be in [0, 1]: $ranks")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards.select(col(groupCol).cast("string"), col("sketch").cast("binary"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val merged = it.map(r => KllDoublesSketch.heapify(Memory.wrap(r._2)))
+          .reduceLeft { (a, b) => a.merge(b); a }
+        val eps = merged.getNormalizedRankError(false)
+        ranks.iterator.map(r => (g, r, merged.getQuantile(r), eps))
+      }.toDF(groupCol, "rank", "value", "rank_error")
+  }
+
   /** Pairwise segment overlap — "how many distinct keys do segments A
     * and B share" for every segment pair, computed entirely on
     * [[distinctSketches]]-style HLL state: one sketch per segment, then

@@ -127,6 +127,20 @@ class SketchesSpec extends SparkTestBase {
       assert(math.abs(m - 4000) <= 300, s"median $m"))
   }
 
+  test("grouped KLL: per-group guarantees hold with disjoint distributions") {
+    // group a: 0..999, group b: 0..99990 by 10 — medians 500 and 50000
+    val rows = (0 until 1000).map(i => ("a", i.toDouble)) ++
+      (0 until 10000).map(i => ("b", i * 10.0))
+    val df = rows.toDF("g", "v").repartition(13)
+    val got = Sketches.mergedGroupQuantiles(
+        Sketches.groupedQuantileSketchShards(df, "g", "v"), "g", Seq(0.5))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got.keySet === Set("a", "b"))
+    assert(math.abs(got("a")._1 - 500.0) <= 2 * got("a")._2 * 1000 + 1)
+    assert(math.abs(got("b")._1 - 50000.0) <= 2 * got("b")._2 * 10000 * 10 + 10)
+  }
+
   test("mergedQuantiles fails fast on empty input") {
     val empty = Seq.empty[Double].toDF("v")
     intercept[IllegalArgumentException] {
