@@ -1057,6 +1057,21 @@ object SparkEntry {
             "1 hour", "30 minutes"))
         .orderBy("window_start", "event_type")),
 
+    // Streaming windowed approx-distinct: HLL sketch state inside the
+    // streaming aggregate (bounded ~KB per open window/key vs a
+    // distinct-set that grows with cardinality). lgk=16 keeps every
+    // window in the sketch's sparse (exact) regime at both driver
+    // scales, so the judged value is integer-EQUAL to the batch
+    // COUNT(DISTINCT) over watermark-finalized windows.
+    "q_stream_hll" -> ((s, dir) =>
+      runStream(s, "stream_hll",
+        Seq(("in", t(s, dir, "events").select("ts", "event_type", "user_id"),
+          "ts TIMESTAMP, event_type STRING, user_id BIGINT")),
+        in => graft.streaming.Streams
+          .approxDistinctStream(in("in"), "ts", "event_type", "user_id",
+            "1 hour", "30 minutes"))
+        .orderBy("window_start", "event_type")),
+
     // Streaming sliding windows (2h/1h hop + 30min watermark): append
     // mode emits watermark-FINALIZED windows only; DECIMAL sums keep
     // the overlapping-group compare exact (the q_sliding_window rule).
@@ -3368,6 +3383,18 @@ object SparkEntry {
         |           FROM events GROUP BY 1, 2),
         |m AS (SELECT max(ts) AS mx FROM events)
         |SELECT window_start, event_type, n, sum_value, avg_value
+        |FROM w, m
+        |WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // sparse-regime sketches are integer-exact, so the streaming
+    // estimate equals the batch distinct count over finalized windows
+    "q_stream_hll" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |             CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT window_start, event_type, n_distinct
         |FROM w, m
         |WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
         |ORDER BY window_start, event_type""".stripMargin,

@@ -53,6 +53,29 @@ object Streams {
     Events.slidingAgg(events.withWatermark(tsCol, watermarkDelay),
       tsCol, keyCol, valueCol, width, slide)
 
+  /** Streaming windowed approx-distinct — HLL sketch state INSIDE the
+    * streaming aggregate (`hll_sketch_agg` is a typed imperative
+    * aggregate, so the state store holds one ~KB sketch per open
+    * (window, key) instead of a distinct-set that grows with
+    * cardinality — the whole point at scale: windowed `count_distinct`
+    * state is unbounded per window, sketch state is not). Append mode
+    * emits a window's estimate once the watermark passes its end.
+    *
+    * Sized like [[graft.operators.Sketches.segmentOverlap]]: with
+    * per-(window, key) cardinality inside the sketch's sparse regime
+    * (~2^(lgk−3) keys) the estimate IS the exact count — `q_stream_hll`
+    * judges integer equality against the batch COUNT(DISTINCT) oracle
+    * at lgk=16; past that regime the rsd band applies. */
+  def approxDistinctStream(events: DataFrame, tsCol: String, keyCol: String,
+      idCol: String, width: String, watermarkDelay: String,
+      lgk: Int = 16): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(round(hll_sketch_estimate(
+        hll_sketch_agg(col(idCol), lit(lgk)))).cast("bigint").as("n_distinct"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_distinct"))
+
   /** Streaming sessionization via `session_window` — gap-merged sessions
     * with bounded state (the engine merges adjacent windows closer than
     * `gap`). Output matches [[Events.sessionize]] minus the per-user

@@ -46,6 +46,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("approxDistinctStream (complete mode) equals batch distinct counts (sparse regime)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamed = Streams.approxDistinctStream(
+      in.toDF.toDF("user_id", "ts", "event_type", "value"),
+      "ts", "event_type", "user_id", "1 hour", "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_hll").outputMode("complete").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable() // dup users merge across batches
+      val got = spark.table("t_hll")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val want = rows.toDF("user_id", "ts", "event_type", "value")
+        .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("sessionizeStream merges gap-adjacent events like the batch sessionizer") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
