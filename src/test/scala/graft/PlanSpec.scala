@@ -299,6 +299,25 @@ class PlanSpec extends SparkTestBase {
       plan.toLowerCase.contains("partial_hll"), plan.take(3000))
   }
 
+  test("semantic decontam broadcasts the eval side; corpus never shuffles raw vectors") {
+    val plan = executedPlan(SparkEntry.queries("q_sem_decontam")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the only exchanges: broadcast of eval + the flagged-pair aggregate
+    // + the final sort — never a repartition of the train corpus rows
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => l.contains("Broadcast") ||
+        l.contains("hashpartitioning(vec_id") || l.contains("rangepartitioning")),
+      exchanges.mkString("\n"))
+  }
+
+  test("mixRates never touches the corpus after the counts aggregate") {
+    // |sources|-row arithmetic: one partial-agg shuffle for the counts,
+    // a broadcast of the 1-row waterfill constant, the final sort
+    val plan = executedPlan(SparkEntry.queries("q_mix_rates")(spark, sfDir))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
