@@ -497,6 +497,28 @@ object SparkEntry {
         .orderBy("year")
     }),
 
+    // Targeted key deletion (right-to-be-forgotten): delete list =
+    // every 7th orderkey PLUS all of 1995 (so one partition dies
+    // ENTIRELY — the dynamic-overwrite blind spot the operator handles
+    // explicitly); only partitions containing a listed key rewrite.
+    // Judged on the re-read: surviving rows equal the oracle's NOT IN.
+    "q_forget" -> ((s, dir) => {
+      val path = tmpPath("orders_forget")
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("year"))
+      base.write.mode("overwrite").partitionBy("year").parquet(path)
+      val keys = base.filter(col("o_orderkey") % 7 === 0 || col("year") === 1995)
+        .select(col("o_orderkey"))
+      graft.operators.Relational.deleteKeys(s, path, "year", "o_orderkey", keys)
+      readTable(s, path)
+        .groupBy("year")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("total"))
+        .orderBy("year")
+    }),
+
     // S4→S2 + partition pruning (SURVEY §4's promised slice): re-read of a
     // year-partitioned write with a year literal filter — the scan must
     // touch ONE partition directory (PartitionFilters asserted in
@@ -2904,6 +2926,15 @@ object SparkEntry {
         |       sum(CASE WHEN year(o_orderdate) = 1995
         |                THEN -o_totalprice ELSE o_totalprice END) AS total
         |FROM orders GROUP BY 1 ORDER BY year""".stripMargin,
+
+    // the fully-deleted 1995 partition must be ABSENT, not empty
+    "q_forget" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND year(o_orderdate) <> 1995
+        |GROUP BY 1 ORDER BY year""".stripMargin,
 
     "q_distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users

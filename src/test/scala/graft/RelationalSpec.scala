@@ -584,4 +584,27 @@ class RelationalSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got === Set(("g1", "a,b,c", 3L), ("g2", "z", 1L)))
   }
+
+  test("deleteKeys: untouched partitions keep their files, emptied ones vanish") {
+    val dir = Files.createTempDirectory("graft_dk").toString
+    Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d", 2), (5L, "e", 3), (6L, "f", 3))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    def files(p: Int): Set[String] =
+      Option(new java.io.File(s"$dir/p=$p").listFiles()).map(
+        _.map(_.getName).filter(_.endsWith(".parquet")).toSet).getOrElse(Set.empty)
+    val p3Before = files(3)
+    assert(p3Before.nonEmpty)
+    // p=1 partial delete, p=2 total delete, p=3 untouched
+    val (rewritten, dropped) = graft.operators.Relational.deleteKeys(
+      spark, dir, "p", "k", Seq(1L, 3L, 4L).toDF("k"))
+    assert(rewritten === Seq(1) && dropped === Seq(2))
+    assert(files(3) === p3Before, "untouched partition was rewritten")
+    assert(!new java.io.File(s"$dir/p=2").exists(), "emptied partition survived")
+    val left = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(left === Set(2L, 5L, 6L))
+    // idempotent / no-op on a miss list: nothing touched
+    assert(graft.operators.Relational.deleteKeys(
+      spark, dir, "p", "k", Seq(99L).toDF("k")) === ((Nil, Nil)))
+  }
 }
