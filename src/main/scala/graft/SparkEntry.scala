@@ -252,6 +252,48 @@ object SparkEntry {
       |                        (year(o_orderdate), o_orderstatus), ())
       |ORDER BY year ASC NULLS FIRST, status ASC NULLS FIRST""".stripMargin
 
+  /** Shared fixture for the driver-judged MinHash/SimHash twins
+    * (`q_minhash_dup` / `q_simhash_dup`): synthetic texts derived from
+    * doc_id % 250 — EXACT duplicates within a group (identical token
+    * streams → identical shingle sets), disjoint across groups — so the
+    * found-pair set is pure id arithmetic, which is exactly what the
+    * oracle states. One definition so the paired queries cannot
+    * silently diverge. */
+  private def synthDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val g = col("doc_id") % 250
+    t(s, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("tok"), g, lit(s"x$j"))): _*).as("text"))
+  }
+
+  /** Shared scaffold for the driver-judged ANN recall rows
+    * (`q_vec_ann_recall` / `q_vec_ivf_recall`): deterministic clustered
+    * fixture from the documents id set, exact brute-force twin, and the
+    * ids of every query point whose recall@10 >= 0.9 — on this fixture
+    * ALL of them, which the oracle predicts from id arithmetic alone.
+    * `approx(corpus, queries)` supplies the method under test; the
+    * fixture, recall bar, and query-point selection live HERE once so
+    * the paired queries cannot drift apart. */
+  private def annRecallIds(s: SparkSession, dir: String)(
+      approx: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import graft.operators.Vectors
+    val k = 10
+    val corpus = graft.engine.Caches.persisted(Vectors.syntheticClustered(
+      t(s, dir, "documents").select(col("doc_id")),
+      "doc_id", numClusters = 10, dim = 16, noise = 0.08))
+    val queries = corpus.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"), col("vec").as("qv"))
+    val exact = Vectors
+      .bruteForceTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k)
+      .select(col("qid"), col("neighbor"))
+    val found = approx(corpus, queries).select(col("qid"), col("neighbor"))
+    exact.join(found, Seq("qid", "neighbor"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= lit(9)) // ceil(0.9 * k)
+      .select(col("qid"))
+      .orderBy("qid")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 — see
     * [[queries]] for the published (cache-scoped) map. */
   private def queryImpls: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1731,14 +1773,9 @@ object SparkEntry {
     // found-pair set is therefore pure id arithmetic, which is exactly
     // what the oracle states — a banding/signature regression drops or
     // corrupts pairs and hash-fails.
-    "q_minhash_dup" -> ((s, dir) => {
-      val g = col("doc_id") % 250
-      val synth = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws(" ", (0 until 10).map(j =>
-          concat(lit("tok"), g, lit(s"x$j"))): _*).as("text"))
-      Dedup.minHashLsh(synth, "text", "doc_id", 0.9)
-        .orderBy("da", "db")
-    }),
+    "q_minhash_dup" -> ((s, dir) =>
+      Dedup.minHashLsh(synthDupDocs(s, dir), "text", "doc_id", 0.9)
+        .orderBy("da", "db")),
 
     // SimHash near-dup (the third member of the dedup family): 64-bit
     // shingle-set fingerprints, pigeonhole band join, bit_count verify.
@@ -1755,14 +1792,10 @@ object SparkEntry {
     // band matches); cross-group texts are disjoint, and any accidental
     // 16-bit band collision dies at the hamming <= 3 verify (P ~ 2^-44
     // per colliding pair) — output is the within-group pair lattice.
-    "q_simhash_dup" -> ((s, dir) => {
-      val g = col("doc_id") % 250
-      val synth = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws(" ", (0 until 10).map(j =>
-          concat(lit("tok"), g, lit(s"x$j"))): _*).as("text"))
-      Dedup.simHashNearDup(synth, "text", "doc_id", maxHamming = 3)
-        .orderBy("da", "db")
-    }),
+    "q_simhash_dup" -> ((s, dir) =>
+      Dedup.simHashNearDup(synthDupDocs(s, dir), "text", "doc_id",
+        maxHamming = 3)
+        .orderBy("da", "db")),
 
     // Embedding-cosine near-dup, exact: all pairs above threshold, norms
     // precomputed, native dot per pair (oracle: list_cosine_similarity).
@@ -1840,26 +1873,10 @@ object SparkEntry {
     // whose recall@10 >= 0.9. On this fixture that is ALL of them, which
     // is exactly what the oracle predicts from id arithmetic alone — any
     // recall regression drops rows and hash-fails the round.
-    "q_vec_ann_recall" -> ((s, dir) => {
-      import graft.operators.Vectors
-      val k = 10
-      val corpus = graft.engine.Caches.persisted(Vectors.syntheticClustered(
-        t(s, dir, "documents").select(col("doc_id")),
-        "doc_id", numClusters = 10, dim = 16, noise = 0.08))
-      val queries = corpus.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("qid"), col("vec").as("qv"))
-      val exact = Vectors
-        .bruteForceTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k)
-        .select(col("qid"), col("neighbor"))
-      val ann = Vectors
-        .annTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k, hamming = 2)
-        .select(col("qid"), col("neighbor"))
-      exact.join(ann, Seq("qid", "neighbor"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("hits"))
-        .filter(col("hits") >= lit(9)) // ceil(0.9 * k)
-        .select(col("qid"))
-        .orderBy("qid")
-    }),
+    "q_vec_ann_recall" -> ((s, dir) =>
+      annRecallIds(s, dir)((corpus, queries) =>
+        graft.operators.Vectors.annTopK(
+          corpus, "doc_id", "vec", queries, "qid", "qv", 10, hamming = 2))),
 
     // IVF recall twin of q_vec_ann_recall — same fixture, same oracle
     // shape (ids clearing recall@10 >= 0.9, predicted by id arithmetic);
@@ -1873,26 +1890,10 @@ object SparkEntry {
     // exactly why q_vec_pq stays rows-only with spec-based recall on a
     // corpus shaped for what PQ is for (many distinguishable neighbors,
     // shortlist ≥ tie-group size).
-    "q_vec_ivf_recall" -> ((s, dir) => {
-      import graft.operators.Vectors
-      val k = 10
-      val corpus = graft.engine.Caches.persisted(Vectors.syntheticClustered(
-        t(s, dir, "documents").select(col("doc_id")),
-        "doc_id", numClusters = 10, dim = 16, noise = 0.08))
-      val queries = corpus.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("qid"), col("vec").as("qv"))
-      val exact = Vectors
-        .bruteForceTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k)
-        .select(col("qid"), col("neighbor"))
-      val ivf = Vectors
-        .ivfTopK(corpus, "doc_id", "vec", queries, "qid", "qv", k)
-        .select(col("qid"), col("neighbor"))
-      exact.join(ivf, Seq("qid", "neighbor"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("hits"))
-        .filter(col("hits") >= lit(9))
-        .select(col("qid"))
-        .orderBy("qid")
-    }),
+    "q_vec_ivf_recall" -> ((s, dir) =>
+      annRecallIds(s, dir)((corpus, queries) =>
+        graft.operators.Vectors.ivfTopK(
+          corpus, "doc_id", "vec", queries, "qid", "qv", 10))),
 
 
     // Multimodal: text wrapped as opaque binary assets, stub header

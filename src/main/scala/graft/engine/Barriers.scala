@@ -31,9 +31,17 @@ object Barriers {
   /** Materialize `df` eagerly and cut its lineage, reliably iff the
     * session has a checkpoint directory configured. */
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // checkpoint(eager) runs TWO jobs — the eager count, then the
+      // checkpoint-file write — and on an unpersisted plan the second
+      // re-executes the full lineage, doubling every round of an
+      // iterative operator. Cache for the duration so the plan runs
+      // once; release right after (the checkpoint files are now the
+      // source of truth).
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = true)
 
   /** Postfix form: `plan.barrierCut` reads like the
     * `.localCheckpoint(true)` it replaces. */

@@ -334,7 +334,18 @@ object Relational {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     dropped.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v"), true)
+      // Hive-escaped dir name (spaces/colons → %XX, null →
+      // __HIVE_DEFAULT_PARTITION__) via the same util Spark's writer
+      // used to create it — raw s"$col=$v" interpolation misses such
+      // dirs, and an unchecked delete would let a "forgotten" partition
+      // silently survive. A false return means the path mapping is wrong
+      // or the FS refused; either way the deletion contract is broken.
+      val dir = new org.apache.hadoop.fs.Path(root,
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partitionCol, Option(v).map(_.toString).orNull))
+      if (!fs.delete(dir, true))
+        throw new java.io.IOException(
+          s"deleteKeys: emptied partition $dir was not removed")
     }
     (affected.filter(kept), dropped)
   }

@@ -154,6 +154,17 @@ object Sampling {
       s"targets must sum to 1, got ${targets.values.sum}")
     val spark = counts.sparkSession
     import spark.implicits._
+    // Every targeted source must exist in counts with positive mass: a
+    // typo'd source would otherwise silently get rate 0 (the achieved
+    // mix no longer matches the requested targets), and a zero-mass
+    // source makes C = 0 and its own rate 0·t/0 = NaN. `counts` is the
+    // |sources|-row aggregate by contract, so the collect is config-scale.
+    val have = counts
+      .select(col(sourceCol).cast("string"), col(nCol).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bad = targets.keys.filterNot(s => have.get(s).exists(_ > 0)).toSeq.sorted
+    require(bad.isEmpty,
+      s"mixRates: targeted sources absent or massless in counts: ${bad.mkString(", ")}")
     val tgt = targets.toSeq.toDF("__src", "__target")
     val joined = counts
       .join(tgt, col(sourceCol) === col("__src"), "left")

@@ -266,7 +266,11 @@ object Sketches {
     * inputs, disabled-broadcast sessions) and documents the intent. */
   def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame, key: String,
       fpp: Double = 0.01): DataFrame = {
-    val keys = dim.select(col(key).cast("long").as(key)).distinct()
+    // two actions read this relation (the count sizing the filter, then
+    // the distributed insert) — persist via the cache contract so the
+    // dim scan + distinct shuffle runs once, not twice
+    val keys = graft.engine.Caches.persisted(
+      dim.select(col(key).cast("long").as(key)).distinct())
     val expected = keys.count()
     // empty dim: stat.bloomFilter NPEs on zero rows, and the join result
     // is empty regardless — keep the same schema, skip the build

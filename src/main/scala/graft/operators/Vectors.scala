@@ -589,8 +589,11 @@ object Vectors {
       }
     catch {
       // empty input reaches reduce's bare "empty collection" error
-      // before the n > 1 require below — re-throw the contract message
-      case _: UnsupportedOperationException =>
+      // before the n > 1 require below — re-throw the contract message.
+      // Message-guarded so an unrelated UOE from inside the partition
+      // function isn't mislabeled as the empty-input case.
+      case e: UnsupportedOperationException
+          if e.getMessage != null && e.getMessage.contains("empty collection") =>
         throw new IllegalArgumentException(
           "requirement failed: pcaProject needs > 1 vector, got 0")
     }

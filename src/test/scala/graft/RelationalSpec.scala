@@ -607,4 +607,18 @@ class RelationalSpec extends SparkTestBase {
     assert(graft.operators.Relational.deleteKeys(
       spark, dir, "p", "k", Seq(99L).toDF("k")) === ((Nil, Nil)))
   }
+
+  test("deleteKeys removes emptied partitions whose values Hive-escape") {
+    // 'a b:c' is stored as 'p=a%20b%3Ac' — raw s"p=$v" interpolation
+    // would miss the dir and the "forgotten" rows would survive re-read
+    val dir = Files.createTempDirectory("graft_dke").toString
+    Seq((1L, "a b:c"), (2L, "a b:c"), (3L, "plain"))
+      .toDF("k", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val (rewritten, dropped) = graft.operators.Relational.deleteKeys(
+      spark, dir, "p", "k", Seq(1L, 2L).toDF("k"))
+    assert(rewritten === Nil && dropped === Seq("a b:c"))
+    val left = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(left === Set(3L), "escaped emptied partition survived the delete")
+  }
 }

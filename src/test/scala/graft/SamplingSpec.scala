@@ -197,5 +197,20 @@ class SamplingSpec extends SparkTestBase {
       Sampling.mixRates(counts, "source", "n_tokens",
         Map("a" -> 1.5, "b" -> -0.5))
     }
+    // a typo'd source (absent from counts) must fail loudly, not
+    // silently realize a different mixture with the leg at rate 0
+    val two = Seq(("a", 10L), ("b", 10L)).toDF("source", "n_tokens")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.mixRates(two, "source", "n_tokens",
+        Map("a" -> 0.5, "bee" -> 0.5))
+    }
+    assert(e1.getMessage.contains("bee"))
+    // a targeted source with zero mass would make C = 0 and rate NaN
+    val zero = Seq(("a", 10L), ("b", 0L)).toDF("source", "n_tokens")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.mixRates(zero, "source", "n_tokens",
+        Map("a" -> 0.5, "b" -> 0.5))
+    }
+    assert(e2.getMessage.contains("b"))
   }
 }
