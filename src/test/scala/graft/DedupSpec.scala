@@ -298,4 +298,24 @@ class DedupSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
     assert(jac.isEmpty)
   }
+
+  test("ingestNearDup: corpus dups and later within-batch dups rejected") {
+    def doc(id: Long, g: Int) =
+      (id, (0 until 10).map(j => s"tok${g}x$j").mkString(" "))
+    val corpus = Seq(doc(1, 0), doc(2, 1)).toDF("doc_id", "text")
+    // 10: dup of corpus group 0 -> rejected; 11: fresh group 2 -> kept;
+    // 12: dup of lower-id batch doc 11 -> rejected; 13: fresh -> kept
+    val batch = Seq(doc(10, 0), doc(11, 2), doc(12, 2), doc(13, 3))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minHashIndex(corpus, "text", "doc_id")
+    val got = Dedup.ingestNearDup(idx, batch, "text", "doc_id", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    graft.engine.Caches.releaseAll()
+    assert(got === Set(11L, 13L))
+    // empty batch against a populated index: no rows, no failure
+    val none = Dedup.ingestNearDup(idx,
+      batch.filter(col("doc_id") < 0), "text", "doc_id", 0.9)
+    assert(none.count() === 0L)
+    graft.engine.Caches.releaseAll()
+  }
 }
