@@ -318,6 +318,28 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("rrf fusion plans one aggregate shuffle over pre-cut ranklists") {
+    // legs arrive already cut to top-k; the union is plan-level only and
+    // the fused score is a partial-aggregated groupBy — the one shuffle
+    // carries legs×k (id, rank) rows, never anything corpus-scale
+    val plan = executedPlan(SparkEntry.queries("q_hybrid_search")(spark, sfDir))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("ingestNearDup joins band keys; corpus text never enters the plan") {
+    // the corpus side is the signature index — its text is structurally
+    // absent; candidates join on (band, bh) equi keys (SortMerge or
+    // ShuffledHash, never a broadcast-less nested loop)
+    val plan = executedPlan(SparkEntry.queries("q_ingest_neardup")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("band"), plan.take(3000))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
