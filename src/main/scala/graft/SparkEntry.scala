@@ -2660,6 +2660,33 @@ object SparkEntry {
           .select(explode(TextOps.tokens(col("text"))).as("token")),
         "token", denom = 2000L)),
 
+    // Approximate heavy hitters on MERGEABLE sketch state — the
+    // frequent-items member of the persistable-sketch trio (HLL / KLL /
+    // FI); exact twin q_heavy_hitters, same token stream and support.
+    // The judged contract is the sketch's guarantee, not its estimates:
+    // every exact heavy hitter found, true count inside [lb, ub].
+    // Deterministic because the harness vocabulary (~31 tokens) sits
+    // UNDER the 64-counter map at every SF — no eviction ever, max
+    // error 0, bounds exact (the q_stream_hll sparse-regime pinning
+    // pattern; the eviction regime's conditional guarantee is pinned in
+    // SketchesSpec). Oracle = the exact-hitter SQL plus TRUE literals.
+    "q_heavy_sketch" -> ((s, dir) => {
+      val toks = graft.engine.Caches.persisted(
+        t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token")))
+      val sk = graft.operators.Sketches.mergedHeavyHitters(
+        graft.operators.Sketches.frequencySketchShards(toks, "token"),
+        denom = 2000L)
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val total = exact.agg(sum(col("n")).as("nt"))
+      exact.crossJoin(broadcast(total)).filter(col("n") * 2000 >= col("nt"))
+        .join(sk.withColumnRenamed("value", "token"), Seq("token"), "left")
+        .select(col("token"), col("n"),
+          col("est").isNotNull.as("found"),
+          (col("lb") <= col("n") && col("n") <= col("ub")).as("within"))
+        .orderBy(desc("n"), col("token"))
+    }),
+
     // Key-distribution skew diagnostic (the exact sibling of the sampled
     // hotKeys probe behind q_skew_join): a derived key collapses 30% of
     // lineitem onto 5 hot values; the profile must surface exactly those
@@ -4567,6 +4594,17 @@ object SparkEntry {
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |tot AS (SELECT count(*) AS n_total FROM toks)
         |SELECT token, count(*) AS n
+        |FROM toks, tot
+        |GROUP BY token, n_total
+        |HAVING count(*) * 2000 >= n_total
+        |ORDER BY n DESC, token""".stripMargin,
+
+    // The sketch's guarantee is deterministic, so the oracle is the
+    // exact-hitter set with TRUE literals for both contract booleans.
+    "q_heavy_sketch" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT token, count(*) AS n, TRUE AS found, TRUE AS within
         |FROM toks, tot
         |GROUP BY token, n_total
         |HAVING count(*) * 2000 >= n_total

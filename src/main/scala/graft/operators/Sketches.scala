@@ -217,6 +217,59 @@ object Sketches {
       }.toDF(groupCol, "rank", "value", "rank_error")
   }
 
+  /** Mergeable frequent-items sketch state (Apache DataSketches
+    * `ItemsSketch` — the space-saving/Misra-Gries family with a
+    * serialized, mergeable form): ONE sketch per input partition via
+    * `mapPartitions`, the [[quantileSketchShards]] shape — in-place
+    * update per row, ≤ `maxMapSize` counters each, only finished ~KB
+    * sketches cross the wire. Completes the persistable-sketch trio
+    * (HLL distinct / KLL quantiles / FI heavy hitters): a corpus
+    * refresh appends the new shard's sketch instead of recounting the
+    * key space, and [[heavyHitters]]'s exact second pass stays
+    * available when the answer must be exact. */
+  def frequencySketchShards(df: DataFrame, valueCol: String,
+      maxMapSize: Int = 64): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(valueCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        // serde built inside the task: it is not Serializable
+        val serde = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+        val sk = new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+        it.foreach(sk.update)
+        if (sk.isEmpty) Iterator.empty
+        else Iterator(sk.toByteArray(serde))
+      }.toDF("sketch")
+  }
+
+  /** Merge [[frequencySketchShards]] state and report every item whose
+    * UPPER-bound count clears `n_total / denom` — the NO-FALSE-NEGATIVES
+    * read: an item with true frequency ≥ 1/denom is GUARANTEED present
+    * (upper ≥ true count always), and every returned (lb, ub) pair is a
+    * deterministic bracket of the item's true count — the sketch's
+    * hard guarantee, not a probabilistic band, which is what makes the
+    * accuracy contract driver-judgeable (`q_heavy_sketch`). Shard rows
+    * are collected — bounded config state, numPartitions × ~KB. */
+  def mergedHeavyHitters(shards: DataFrame, denom: Long,
+      maxMapSize: Int = 64): DataFrame = {
+    require(denom > 0, "support denominator must be positive")
+    import org.apache.datasketches.frequencies.{ItemsSketch, ErrorType}
+    import org.apache.datasketches.memory.Memory
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val serde = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+    val parts = shards.select(col("sketch").cast("binary")).as[Array[Byte]].collect()
+    require(parts.nonEmpty, "mergedHeavyHitters: no sketches (empty input?)")
+    val merged = parts
+      .map(b => ItemsSketch.getInstance(Memory.wrap(b), serde))
+      .reduceLeft { (a, b) => a.merge(b) }
+    val n = merged.getStreamLength
+    val threshold = (n + denom - 1) / denom // ceil(n/denom): true count >= it qualifies
+    merged.getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
+      .iterator.map(r =>
+        (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .toSeq.toDF("value", "est", "lb", "ub")
+  }
+
   /** Pairwise segment overlap — "how many distinct keys do segments A
     * and B share" for every segment pair, computed entirely on
     * [[distinctSketches]]-style HLL state: one sketch per segment, then

