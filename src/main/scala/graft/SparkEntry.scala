@@ -2750,6 +2750,33 @@ object SparkEntry {
     // latency by endpoint, doc length by source): per-(group, partition)
     // sketches merge DISTRIBUTED per group, judged via the same 2·ε
     // rank-error contract per (group, rank).
+    // Grouped heavy hitters on per-(source, partition) FI sketch state —
+    // q_heavy_sketch's per-segment form (per-source hot tokens). Same
+    // sub-capacity determinism: each source's vocabulary is a subset of
+    // the ~31-token harness vocab, far under the 64-counter map, so no
+    // eviction, zero error, and the per-group contract booleans are
+    // deterministic TRUEs over the exact per-source hitter sets.
+    "q_heavy_grouped" -> ((s, dir) => {
+      val toks = graft.engine.Caches.persisted(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("token")))
+      val sk = graft.operators.Sketches.mergedGroupHeavyHitters(
+        graft.operators.Sketches.groupedFrequencySketchShards(
+          toks, "source", "token"),
+        "source", denom = 50L)
+      val exact = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+      exact.join(broadcast(totals), "source")
+        .filter(col("n") * 50 >= col("nt"))
+        .join(sk.withColumnRenamed("value", "token"),
+          Seq("source", "token"), "left")
+        .select(col("source"), col("token"), col("n"),
+          col("est").isNotNull.as("found"),
+          (col("lb") <= col("n") && col("n") <= col("ub")).as("within"))
+        .orderBy("source", "token")
+    }),
+
     "q_kll_grouped" -> ((s, dir) => {
       import graft.operators.Sketches
       val ev = t(s, dir, "events")
@@ -4642,6 +4669,19 @@ object SparkEntry {
         |FROM (SELECT DISTINCT event_type FROM events),
         |     (VALUES (0.5), (0.9)) t(r)
         |ORDER BY event_type, rank""".stripMargin,
+
+    // Per-source exact hitters at 1/50 support, contract booleans TRUE
+    // (sub-capacity regime: zero sketch error — see the query comment).
+    "q_heavy_grouped" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |tot AS (SELECT source, count(*) AS nt FROM toks GROUP BY source)
+        |SELECT toks.source AS source, token, count(*) AS n,
+        |       TRUE AS found, TRUE AS within
+        |FROM toks JOIN tot ON toks.source = tot.source
+        |GROUP BY toks.source, token, nt
+        |HAVING count(*) * 50 >= nt
+        |ORDER BY toks.source, token""".stripMargin,
 
     "q_sem_decontam" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -270,6 +270,55 @@ object Sketches {
       .toSeq.toDF("value", "est", "lb", "ub")
   }
 
+  /** Grouped [[frequencySketchShards]] — one FI sketch per (group,
+    * partition), the [[groupedQuantileSketchShards]] shape: per-source
+    * hot tokens, per-domain hot URLs, per-tenant hot keys, with raw
+    * values never crossing the wire. Pair with
+    * [[mergedGroupHeavyHitters]]. */
+  def groupedFrequencySketchShards(df: DataFrame, groupCol: String,
+      valueCol: String, maxMapSize: Int = 64): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(groupCol).cast("string"), col(valueCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val serde = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+        val m = mutable.HashMap
+          .empty[String, org.apache.datasketches.frequencies.ItemsSketch[String]]
+        it.foreach { case (g, v) =>
+          m.getOrElseUpdate(g,
+            new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize))
+            .update(v)
+        }
+        m.iterator.map { case (g, sk) => (g, sk.toByteArray(serde)) }
+      }.toDF(groupCol, "sketch")
+  }
+
+  /** Merge [[groupedFrequencySketchShards]] per group and report each
+    * group's items clearing `n_group / denom` under NO-FALSE-NEGATIVES
+    * (the [[mergedHeavyHitters]] read, per group). Merging runs
+    * DISTRIBUTED — shard rows shuffle by group as kilobyte rows and
+    * each group folds in one task ([[mergedGroupQuantiles]] economics). */
+  def mergedGroupHeavyHitters(shards: DataFrame, groupCol: String,
+      denom: Long): DataFrame = {
+    require(denom > 0, "support denominator must be positive")
+    import org.apache.datasketches.frequencies.{ItemsSketch, ErrorType}
+    import org.apache.datasketches.memory.Memory
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards.select(col(groupCol).cast("string"), col("sketch").cast("binary"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val serde = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+        val merged = it.map(r => ItemsSketch.getInstance(Memory.wrap(r._2), serde))
+          .reduceLeft { (a, b) => a.merge(b) }
+        val threshold = (merged.getStreamLength + denom - 1) / denom
+        merged.getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
+          .iterator.map(r =>
+            (g, r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      }.toDF(groupCol, "value", "est", "lb", "ub")
+  }
+
   /** Pairwise segment overlap — "how many distinct keys do segments A
     * and B share" for every segment pair, computed entirely on
     * [[distinctSketches]]-style HLL state: one sketch per segment, then

@@ -236,5 +236,16 @@ class SketchesSpec extends SparkTestBase {
     assert(found.contains("hot"), s"hot key missing from $found")
     val (_, lb, ub) = found("hot")
     assert(lb <= 6000L && 6000L <= ub, s"bounds [$lb,$ub] miss true count 6000")
+    // GROUPED form: per-group sketches stay independent — disjoint hot
+    // sets per group, each exact in the sub-capacity regime
+    val grouped = (0 until 300).map(i => (s"g${i % 2}", s"g${i % 2}_k${i % 3}"))
+    val ghh = Sketches.mergedGroupHeavyHitters(
+      Sketches.groupedFrequencySketchShards(
+        grouped.toDF("g", "v").repartition(5), "g", "v"),
+      "g", denom = 4L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ghh.keySet === (for (g <- 0 until 2; k <- 0 until 3)
+      yield (s"g$g", s"g${g}_k$k")).toSet)
+    assert(ghh.values.forall(_ === 50L), s"grouped counts not exact: $ghh")
   }
 }
