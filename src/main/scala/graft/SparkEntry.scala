@@ -755,6 +755,28 @@ object SparkEntry {
       readTable(s, path).orderBy("cust_id")
     }),
 
+    // Write-audit-publish sink: the staged version is audited by
+    // re-reading its BYTES (non-null key + unique orderkey, through
+    // dqChecks) before the rename-aside swap makes it live — a failed
+    // audit leaves the previous table untouched (pinned in
+    // RelationalSpec). Judged on the PUBLISHED table's re-read
+    // aggregate, so the oracle sees exactly what a downstream consumer
+    // would; same aggregate shape as q_json_source.
+    "q_publish" -> ((s, dir) => {
+      val path = tmpPath("orders_publish")
+      graft.operators.Relational.publishTable(s,
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        path,
+        rowRules = Seq("key_not_null" -> col("o_orderkey").isNotNull),
+        uniqueKeys = Seq(("unique_key", Seq("o_orderkey"))))
+      readTable(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        .select(col("o_orderstatus").as("status"), col("n"), col("total"))
+        .orderBy("status")
+    }),
+
     // X2 end-to-end: the reference's ENTIRE product (etl.py:177-188) judged
     // through the oracle. Fixture song/log ndjson is derived
     // deterministically from the harness `nation`/`orders` tables (so
@@ -1294,6 +1316,22 @@ object SparkEntry {
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("token"))),
+
+    // OOV / tokenizer-coverage report against the top-20 corpus vocab:
+    // vocabulary is config-scale (the ranking window runs over ~31
+    // distinct tokens, not the corpus) and broadcasts into the flagging
+    // join; per-doc rate is one IEEE division — exact cross-engine.
+    "q_oov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .select(col("token"), row_number()
+          .over(Window.orderBy(desc("n"), col("token"))).as("r"))
+        .filter(col("r") <= 20).select("token")
+      TextOps.oovReport(t(s, dir, "documents"), "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
 
     // Text normalization / PII-style masking: lowercase + URL/email
     // masking over a fixture that injects a real email and URL per doc
@@ -3009,6 +3047,13 @@ object SparkEntry {
         |       sum(o_totalprice) AS total
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
 
+    // publish is audited-then-swapped; the published bytes are the same
+    // rows, so the consumer-side aggregate equals the direct one
+    "q_publish" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       sum(o_totalprice) AS total
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
     "q_csv_source" ->
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       sum(o_totalprice) AS total
@@ -3648,6 +3693,20 @@ object SparkEntry {
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY token ORDER BY n DESC, token""".stripMargin,
+
+    "q_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        |voc AS (SELECT token FROM
+        |  (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS r
+        |   FROM cnt) WHERE r <= 20)
+        |SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
+        |       count(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+        |       CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+        |         / count(*) AS oov_rate
+        |FROM toks t LEFT JOIN voc v ON t.token = v.token
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_fuzzy_pairs" ->
       """WITH tok0 AS (SELECT DISTINCT lower(t) AS tok FROM

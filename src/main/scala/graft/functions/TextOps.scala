@@ -471,6 +471,32 @@ object TextOps {
         count(lit(1)).as("n_legs"))
   }
 
+  /** Out-of-vocabulary coverage report: per document, how many tokens
+    * fall outside a fixed vocabulary — the tokenizer-fit signal a
+    * training-data pipeline checks before committing a corpus to a
+    * tokenizer (high OOV → byte-fallback blowup in sequence length, or
+    * the wrong corpus for the vocab). `vocab` is a one-column relation
+    * of in-vocabulary tokens (e.g. the [[graft.operators.Sampling]]
+    * vocabulary build, or a tokenizer's token list ingested as a table).
+    *
+    * Plan shape: tokens explode in the scan stage, the vocabulary —
+    * config-scale next to the corpus — BROADCASTS into a left join
+    * whose null-ness is the OOV flag, and the per-doc aggregate is the
+    * only shuffle. `oov_rate` is one IEEE division per row — exact
+    * cross-engine. Judged `q_oov`, fully oracled. */
+  def oovReport(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val vocabCol = vocab.columns.head
+    val v = vocab.select(col(vocabCol).as("__v")).distinct()
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .join(broadcast(v), col("__t") === col("__v"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__v").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Bigram conditional-LM scoring — [[unigramLmScore]] with one order
     * of context: per document, the mean of `−ln p(w_i | w_{i−1})` under
     * the corpus MLE `count(w_{i−1} w_i) / count(w_{i−1} ·)`. Catches

@@ -608,6 +608,39 @@ class RelationalSpec extends SparkTestBase {
       spark, dir, "p", "k", Seq(99L).toDF("k")) === ((Nil, Nil)))
   }
 
+  test("publishTable: failed audit leaves the live table byte-untouched") {
+    val dir = Files.createTempDirectory("graft_pub").toString + "/tbl"
+    val good = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // first publish succeeds and reports zero violations
+    val report = graft.operators.Relational.publishTable(
+      spark, good, dir,
+      rowRules = Seq("k_not_null" -> col("k").isNotNull),
+      uniqueKeys = Seq(("k_unique", Seq("k"))))
+      .as[(String, Long)].collect().toMap
+    assert(report === Map("k_not_null" -> 0L, "k_unique" -> 0L))
+    assert(spark.read.parquet(dir).count() === 2L)
+    // a duplicate-key batch fails the audit: live table untouched,
+    // staging swept
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Relational.publishTable(spark, dup, dir,
+        uniqueKeys = Seq(("k_unique", Seq("k"))))
+    }
+    assert(e.getMessage.contains("k_unique=1"))
+    val live = spark.read.parquet(dir)
+      .as[(Long, String)].collect().toSet
+    assert(live === Set((1L, "a"), (2L, "b")), "failed audit mutated the table")
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("publish-tmp")),
+      "staging dir not swept after failed audit")
+    // a passing second publish replaces the table
+    graft.operators.Relational.publishTable(spark,
+      Seq((3L, "c")).toDF("k", "v"), dir,
+      uniqueKeys = Seq(("k_unique", Seq("k"))))
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ===
+      Set((3L, "c")))
+  }
+
   test("deleteKeys removes emptied partitions whose values Hive-escape") {
     // 'a b:c' is stored as 'p=a%20b%3Ac' — raw s"p=$v" interpolation
     // would miss the dir and the "forgotten" rows would survive re-read

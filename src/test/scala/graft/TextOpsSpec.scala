@@ -316,6 +316,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(clean === fixpoint)
   }
 
+  test("oovReport counts tokens outside the vocab; all-known docs rate 0") {
+    val docs = Seq((1L, "a b zz"), (2L, "a a"), (3L, "qq ww"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val got = TextOps.oovReport(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 1L, 1.0 / 3)))
+    assert(got(2L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((2L, 2L, 1.0)))
+  }
+
   test("rrfFuse: rank-only fusion; a doc missing from a leg adds no term") {
     val kw = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
     val vec = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
