@@ -1318,18 +1318,21 @@ object SparkEntry {
         .orderBy(desc("n"), col("token"))),
 
     // OOV / tokenizer-coverage report against the top-20 corpus vocab:
-    // vocabulary is config-scale (the ranking window runs over ~31
-    // distinct tokens, not the corpus) and broadcasts into the flagging
-    // join; per-doc rate is one IEEE division — exact cross-engine.
+    // ONE persisted (doc_id, token) scan serves both the vocab
+    // aggregate (config-scale ranking window over ~31 distinct tokens,
+    // never the corpus) and the flagging join; per-doc rate is one IEEE
+    // division — exact cross-engine.
     "q_oov" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val vocab = t(s, dir, "documents")
-        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val toks = graft.engine.Caches.persisted(
+        t(s, dir, "documents").select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token")))
+      val vocab = toks
         .groupBy("token").agg(count(lit(1)).as("n"))
         .select(col("token"), row_number()
           .over(Window.orderBy(desc("n"), col("token"))).as("r"))
         .filter(col("r") <= 20).select("token")
-      TextOps.oovReport(t(s, dir, "documents"), "doc_id", "text", vocab)
+      TextOps.oovReportTokens(toks, "doc_id", "token", vocab)
         .orderBy("doc_id")
     }),
 
@@ -2615,8 +2618,7 @@ object SparkEntry {
         .orderBy(desc(key), col("doc_id")).limit(100)
         .select(col("doc_id"), row_number()
           .over(Window.orderBy(desc(key), col("doc_id"))).as("rank"))
-      TextOps.rrfFuse(
-          Seq("kw" -> leg("__nt"), "vec" -> leg("__nd")), "doc_id")
+      TextOps.rrfFuse(Seq(leg("__nt"), leg("__nd")), "doc_id")
         .orderBy("doc_id")
     }),
 

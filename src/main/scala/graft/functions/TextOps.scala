@@ -460,12 +460,11 @@ object TextOps {
     * so the fused floats are bit-stable across engines (3+ legs could
     * in principle ulp-drift with aggregation order; the judged query
     * uses two). */
-  def rrfFuse(legs: Seq[(String, DataFrame)], idCol: String,
+  def rrfFuse(legs: Seq[DataFrame], idCol: String,
       k: Int = 60): DataFrame = {
     require(legs.nonEmpty && k >= 0)
-    legs.map { case (_, df) =>
-        df.select(col(idCol), col("rank").cast("long").as("rank"))
-      }.reduce(_ unionByName _)
+    legs.map(df => df.select(col(idCol), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
       .groupBy(col(idCol))
       .agg(sum(lit(1.0) / (lit(k.toLong) + col("rank"))).as("rrf"),
         count(lit(1)).as("n_legs"))
@@ -485,10 +484,20 @@ object TextOps {
     * only shuffle. `oov_rate` is one IEEE division per row — exact
     * cross-engine. Judged `q_oov`, fully oracled. */
   def oovReport(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    oovReportTokens(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("__t")),
+      idCol, "__t", vocab)
+
+  /** [[oovReport]] over a pre-exploded (id, token) relation — the form
+    * to use when the token relation already exists (or is shared with
+    * the vocabulary build, as `q_oov` does: one corpus scan serves both
+    * the vocab aggregate and the report). */
+  def oovReportTokens(tokenRows: DataFrame, idCol: String, tokenCol: String,
       vocab: DataFrame): DataFrame = {
     val vocabCol = vocab.columns.head
     val v = vocab.select(col(vocabCol).as("__v")).distinct()
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    tokenRows.select(col(idCol), col(tokenCol).as("__t"))
       .join(broadcast(v), col("__t") === col("__v"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

@@ -504,7 +504,19 @@ object Dedup {
     * accepted set is pure id arithmetic (fully oracled). */
   def ingestNearDup(index: DataFrame, batch: DataFrame, textCol: String,
       idCol: String, estThreshold: Double, numHashes: Int = 32,
-      bands: Int = 8, width: Int = 3): DataFrame = {
+      bands: Int = 8, width: Int = 3): DataFrame =
+    ingestNearDupWithSigs(index, batch, textCol, idCol, estThreshold,
+      numHashes, bands, width)._1
+
+  /** [[ingestNearDup]] returning BOTH the accepted batch rows and their
+    * (`idCol`, `sig`) rows — the slice of the just-computed batch
+    * signatures the caller APPENDS to the persisted index, honoring
+    * [[minHashIndex]]'s compute-once contract (without this seam every
+    * refresh would re-sign the accepted text it already signed). */
+  def ingestNearDupWithSigs(index: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, estThreshold: Double,
+      numHashes: Int = 32, bands: Int = 8,
+      width: Int = 3): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val bSig = Caches.persisted(
@@ -534,7 +546,9 @@ object Dedup {
         .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
         .distinct(),
       bSig, bSig).select(col("db").as(idCol))
-    batch.join(vsIndex.union(vsBatch).distinct(), Seq(idCol), "left_anti")
+    val rejected = vsIndex.union(vsBatch).distinct()
+    (batch.join(rejected, Seq(idCol), "left_anti"),
+      bSig.join(rejected, Seq(idCol), "left_anti"))
   }
 
   /** Benchmark decontamination: flag every `train` doc sharing at least

@@ -790,6 +790,11 @@ object Relational {
   def publishTable(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       path: String, rowRules: Seq[(String, Column)] = Nil,
       uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    // an audit-less publish is a contradiction in terms — and dqReport
+    // would reject the empty rule set anyway, AFTER the expensive staged
+    // write; fail before any bytes move
+    require(rowRules.nonEmpty || uniqueKeys.nonEmpty,
+      "publish: at least one audit rule required (rowRules or uniqueKeys)")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
@@ -803,9 +808,13 @@ object Relational {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val bad = report.filter(_._2 != 0L)
     if (bad.nonEmpty) {
-      fs.delete(tmp, true)
+      // report the sweep result honestly (the "return codes checked"
+      // contract): a surviving staging dir is cleared by the next run's
+      // stale-staging sweep, but the error must not claim otherwise
+      val swept = fs.delete(tmp, true)
       throw new IllegalStateException("publish: audit failed, target " +
-        s"untouched: ${bad.map { case (n, v) => s"$n=$v" }.mkString(", ")}")
+        s"untouched: ${bad.map { case (n, v) => s"$n=$v" }.mkString(", ")}" +
+        (if (swept) "" else s"; staging NOT swept at $tmp"))
     }
     if (fs.exists(bak) && !fs.delete(bak, true))
       throw new java.io.IOException(s"publish: could not clear stale backup $bak")
@@ -814,9 +823,10 @@ object Relational {
       throw new java.io.IOException(s"publish: rename $path -> $bak failed (original intact)")
     if (!fs.rename(tmp, hPath)) {
       if (!hadPrev || fs.rename(bak, hPath)) {
-        fs.delete(tmp, true)
+        val swept = fs.delete(tmp, true)
         throw new java.io.IOException(
-          s"publish: rename $tmp -> $path failed; original restored")
+          s"publish: rename $tmp -> $path failed; original restored" +
+            (if (swept) "" else s"; staging NOT swept at $tmp"))
       }
       throw new java.io.IOException(
         s"publish: rename $tmp -> $path failed AND restore failed; " +

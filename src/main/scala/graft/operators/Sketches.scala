@@ -249,8 +249,7 @@ object Sketches {
     * hard guarantee, not a probabilistic band, which is what makes the
     * accuracy contract driver-judgeable (`q_heavy_sketch`). Shard rows
     * are collected — bounded config state, numPartitions × ~KB. */
-  def mergedHeavyHitters(shards: DataFrame, denom: Long,
-      maxMapSize: Int = 64): DataFrame = {
+  def mergedHeavyHitters(shards: DataFrame, denom: Long): DataFrame = {
     require(denom > 0, "support denominator must be positive")
     import org.apache.datasketches.frequencies.{ItemsSketch, ErrorType}
     import org.apache.datasketches.memory.Memory
@@ -258,7 +257,10 @@ object Sketches {
     import spark.implicits._
     val serde = new org.apache.datasketches.common.ArrayOfStringsSerDe()
     val parts = shards.select(col("sketch").cast("binary")).as[Array[Byte]].collect()
-    require(parts.nonEmpty, "mergedHeavyHitters: no sketches (empty input?)")
+    // an empty stream's heavy-hitter set is legitimately empty — the
+    // df.stat.bloomFilter empty-input footgun class, handled not thrown
+    if (parts.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)].toDF("value", "est", "lb", "ub")
     val merged = parts
       .map(b => ItemsSketch.getInstance(Memory.wrap(b), serde))
       .reduceLeft { (a, b) => a.merge(b) }

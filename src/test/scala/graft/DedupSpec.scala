@@ -308,10 +308,21 @@ class DedupSpec extends SparkTestBase {
     val batch = Seq(doc(10, 0), doc(11, 2), doc(12, 2), doc(13, 3))
       .toDF("doc_id", "text")
     val idx = Dedup.minHashIndex(corpus, "text", "doc_id")
-    val got = Dedup.ingestNearDup(idx, batch, "text", "doc_id", 0.9)
+    val (accepted, sigs) = Dedup.ingestNearDupWithSigs(
+      idx, batch, "text", "doc_id", 0.9)
+    val got = accepted.select("doc_id").as[Long].collect().toSet
+    assert(got === Set(11L, 13L))
+    // the returned signatures are exactly the accepted slice, ready to
+    // append to the index without re-signing the text...
+    val sigRows = sigs.select("doc_id").as[Long].collect().toSet
+    assert(sigRows === Set(11L, 13L))
+    // ...and the grown index rejects a day-2 dup of a day-1 accept
+    val grown = idx.union(sigs)
+    val batch2 = Seq(doc(20, 2), doc(21, 4)).toDF("doc_id", "text")
+    val got2 = Dedup.ingestNearDup(grown, batch2, "text", "doc_id", 0.9)
       .select("doc_id").as[Long].collect().toSet
     graft.engine.Caches.releaseAll()
-    assert(got === Set(11L, 13L))
+    assert(got2 === Set(21L)) // 20 dups accepted doc 11 (group 2)
     // empty batch against a populated index: no rows, no failure
     val none = Dedup.ingestNearDup(idx,
       batch.filter(col("doc_id") < 0), "text", "doc_id", 0.9)

@@ -230,12 +230,17 @@ class SketchesSpec extends SparkTestBase {
     val skew = (Seq.fill(6000)("hot") ++ (0 until 2000).map(i => s"u$i"))
     val shards = Sketches.frequencySketchShards(
       skew.toDF("v").repartition(7), "v", maxMapSize = 8)
-    val found = Sketches.mergedHeavyHitters(shards, denom = 2L, maxMapSize = 8)
+    val found = Sketches.mergedHeavyHitters(shards, denom = 2L)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(found.contains("hot"), s"hot key missing from $found")
     val (_, lb, ub) = found("hot")
     assert(lb <= 6000L && 6000L <= ub, s"bounds [$lb,$ub] miss true count 6000")
+    // an empty stream yields the empty hitter set, not an exception
+    val none = Sketches.mergedHeavyHitters(
+      Sketches.frequencySketchShards(
+        skew.toDF("v").filter(col("v") === "absent"), "v"), denom = 2L)
+    assert(none.count() === 0L)
     // GROUPED form: per-group sketches stay independent — disjoint hot
     // sets per group, each exact in the sub-capacity regime
     val grouped = (0 until 300).map(i => (s"g${i % 2}", s"g${i % 2}_k${i % 3}"))

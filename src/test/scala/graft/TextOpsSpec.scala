@@ -331,13 +331,13 @@ class TextOpsSpec extends SparkTestBase {
   test("rrfFuse: rank-only fusion; a doc missing from a leg adds no term") {
     val kw = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
     val vec = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
-    val got = TextOps.rrfFuse(Seq("kw" -> kw, "vec" -> vec), "doc_id", k = 60)
+    val got = TextOps.rrfFuse(Seq(kw, vec), "doc_id", k = 60)
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(got(1L) === ((1.0 / 61, 1L)))         // kw only
     assert(got(2L) === ((1.0 / 62 + 1.0 / 61, 2L))) // both legs
     assert(got(3L) === ((1.0 / 62, 1L)))         // vec only
     // k=0 degenerates to plain 1/rank
-    val bare = TextOps.rrfFuse(Seq("kw" -> kw), "doc_id", k = 0)
+    val bare = TextOps.rrfFuse(Seq(kw), "doc_id", k = 0)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(bare === Map(1L -> 1.0, 2L -> 0.5))
   }
