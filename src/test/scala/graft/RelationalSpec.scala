@@ -639,6 +639,20 @@ class RelationalSpec extends SparkTestBase {
       uniqueKeys = Seq(("k_unique", Seq("k"))))
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ===
       Set((3L, "c")))
+    // partitioned publish: hive layout on disk, atomic whole-root swap
+    graft.operators.Relational.publishTable(spark,
+      Seq((4L, "d", "p1"), (5L, "e", "p2")).toDF("k", "v", "p"), dir,
+      uniqueKeys = Seq(("k_unique", Seq("k"))),
+      partitionCols = Seq("p"))
+    assert(new java.io.File(s"$dir/p=p1").isDirectory, "hive layout missing")
+    assert(spark.read.parquet(dir).select("k", "v", "p")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((4L, "d", "p1"), (5L, "e", "p2")))
+    // an audit-less call fails BEFORE any bytes move
+    intercept[IllegalArgumentException] {
+      graft.operators.Relational.publishTable(spark,
+        Seq((9L, "z")).toDF("k", "v"), dir)
+    }
   }
 
   test("deleteKeys removes emptied partitions whose values Hive-escape") {
