@@ -847,6 +847,33 @@ object Relational {
     report.toSeq.toDF("rule", "n_violations")
   }
 
+  /** Janitor for the rename-aside family: remove stale dot-prefixed
+    * staging/backup siblings (`.{name}.compact-tmp/-old`,
+    * `.{name}.publish-tmp/-old`) that a crashed [[compact]] or
+    * [[publishTable]] left behind. Safe by the dot-prefix rule — these
+    * dirs are invisible to readers, so reclaiming them never changes
+    * query results; both writers also self-heal (they clear their own
+    * stale dirs on the next run), this just reclaims the disk earlier
+    * and sweeps tables that are never rewritten again. Returns the
+    * removed paths for the ops log. Never touches the live `path`
+    * itself. Pinned in RelationalSpec. */
+  def vacuumStaging(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val suffixes = Seq(".compact-tmp", ".compact-old",
+      ".publish-tmp", ".publish-old")
+    suffixes.flatMap { sfx =>
+      val p = new org.apache.hadoop.fs.Path(hPath.getParent,
+        "." + hPath.getName + sfx)
+      if (fs.exists(p)) {
+        if (!fs.delete(p, true))
+          throw new java.io.IOException(s"vacuum: could not remove $p")
+        Some(p.toString)
+      } else None
+    }
+  }
+
   /** [[compact]] for a hive-partitioned table root: walks the partition
     * tree to its LEAF directories (the ones holding parquet files — any
     * depth, so `year=/month=` layouts work) and compacts each with the

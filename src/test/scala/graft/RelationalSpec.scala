@@ -653,6 +653,16 @@ class RelationalSpec extends SparkTestBase {
       graft.operators.Relational.publishTable(spark,
         Seq((9L, "z")).toDF("k", "v"), dir)
     }
+    // vacuum reclaims crash-orphaned staging dirs, never the live table
+    val parent2 = new java.io.File(dir).getParentFile
+    val name = new java.io.File(dir).getName
+    new java.io.File(parent2, s".$name.publish-old").mkdir()
+    new java.io.File(parent2, s".$name.compact-tmp").mkdir()
+    val removed = graft.operators.Relational.vacuumStaging(spark, dir)
+    assert(removed.size === 2, s"expected 2 sweeps, got $removed")
+    assert(!new java.io.File(parent2, s".$name.publish-old").exists())
+    assert(spark.read.parquet(dir).count() === 2L, "vacuum touched the table")
+    assert(graft.operators.Relational.vacuumStaging(spark, dir).isEmpty)
   }
 
   test("deleteKeys removes emptied partitions whose values Hive-escape") {
