@@ -40,11 +40,23 @@ object Tables {
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) harness era: nanosAsLong reads a raw long;
+      // truncate to micros exactly as DuckDB does.
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) harness era: Spark reads
+      // TIMESTAMP_NTZ, which instant-typed operators (unix_micros, window)
+      // reject; the session TZ is pinned UTC, so the LTZ cast is a pure
+      // retype — bit-identical micros, same values DuckDB sees.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** S1: JSON scan with declared schema; `path` may contain globs
