@@ -755,6 +755,41 @@ object SparkEntry {
       readTable(s, path).orderBy("cust_id")
     }),
 
+    // Versioned commit-log table format (graft.tables.VersionedTable):
+    // a five-commit lifecycle — create (keys ≡0 mod 3), append (≡1),
+    // copy-on-write delete (status F), upsert (all ≡1 keys with shifted
+    // custkeys: replaces survivors, re-inserts the deleted), rollback to
+    // v2 — then TIME-TRAVELS every version from the final log state.
+    // Each version's (n, key_sum, cust_sum) is pure arithmetic over
+    // `orders`, so snapshot isolation, COW delete, merge semantics, and
+    // rollback are all driver-hash-judged in one query. COW economics
+    // (clean dirs carry over by NAME) and vacuum are pinned in
+    // VersionedTableSpec.
+    "q_table_log" -> ((s, dir) => {
+      val root = tmpPath("vtable_log")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      import graft.tables.VersionedTable
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      VersionedTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      VersionedTable.upsert(s, root,
+        orders.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("o_custkey", col("o_custkey") + 1000000),
+        Seq("o_orderkey"))
+      VersionedTable.rollback(s, root, 2)
+      (1 to 5).map { v =>
+        VersionedTable.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .select(lit(v).as("version"), col("n"), col("key_sum"),
+            col("cust_sum"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // Write-audit-publish sink: the staged version is audited by
     // re-reading its BYTES (non-null key + unique orderkey, through
     // dqChecks) before the rename-aside swap makes it live — a failed
@@ -3048,6 +3083,37 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n,
         |       sum(o_totalprice) AS total
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // every version's snapshot is a deterministic predicate over orders:
+    // v1 create (≡0 mod 3), v2 append (≡0,1), v3 delete status F,
+    // v4 upsert all ≡1 keys with custkey+1e6, v5 rollback to v2
+    "q_table_log" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey FROM base WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT o_orderkey, o_custkey FROM base WHERE o_orderkey % 3 IN (0,1)),
+        |v3 AS (SELECT o_orderkey, o_custkey FROM base
+        |       WHERE o_orderkey % 3 IN (0,1) AND o_orderstatus <> 'F'),
+        |v4 AS (SELECT o_orderkey, o_custkey FROM base
+        |       WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
+        |       UNION ALL
+        |       SELECT o_orderkey, o_custkey + 1000000 FROM base
+        |       WHERE o_orderkey % 3 = 1)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT) FROM v3
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT) FROM v4
+        |UNION ALL
+        |SELECT 5, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
 
     // publish is audited-then-swapped; the published bytes are the same
     // rows, so the consumer-side aggregate equals the direct one

@@ -1,0 +1,274 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned table format: a commit log of immutable data directories.
+  *
+  * `BASELINE.json`'s north star names "Spark + Delta/Iceberg tables" as the
+  * production posture; no table-format jar ships in this image (zero
+  * egress, checked r7 — SURVEY.md §7.3), so this is the format seam made
+  * real with nothing beyond Hadoop FS primitives: a monotonically numbered
+  * JSON manifest log (`_log/%08d.json`) over immutable parquet data
+  * directories (`d-%08d/`), giving snapshot-isolated reads, time travel,
+  * O(1)-metadata appends, copy-on-write deletes/upserts, rollback, and a
+  * reference-counting vacuum — the five capabilities a 100 TB pipeline
+  * actually leans on a table format for.
+  *
+  * Scale design:
+  *  - A manifest lists data DIRECTORIES, not files: commit metadata is
+  *    O(commits since last compaction), never O(files). At 100 TB a
+  *    snapshot is a handful of path strings; the log stays kilobytes.
+  *    (File-level manifests buy per-file skipping — that niche is already
+  *    covered by [[graft.operators.Relational.clusterBy]]-style layouts
+  *    WITHIN each directory, parquet footer stats, and partition pruning
+  *    on hive-partitioned dirs inside a snapshot.)
+  *  - Append writes one new directory and never touches existing bytes —
+  *    ingest cost is the new data alone.
+  *  - Delete/upsert are copy-on-write at directory granularity: a
+  *    directory provably free of matching rows (a pushed-down existence
+  *    probe — predicate reaches the parquet scan) is carried into the new
+  *    snapshot untouched; only dirty directories are rewritten.
+  *  - Readers never lock: a snapshot is the manifest's directory list, and
+  *    those directories are immutable until every manifest referencing
+  *    them is vacuumed.
+  *  - Commits are atomic via write-tmp-then-rename of the manifest file
+  *    (the HDFS atomic-publish idiom; on HDFS a rename onto an existing
+  *    path fails, making the highest-version check race-free — on the
+  *    local FS the pre-rename existence check narrows the same race to a
+  *    window this single-writer harness never exercises).
+  *
+  * Not copied from Delta/Iceberg: no protocol/txn identifiers, no column
+  * stats in manifests, no checkpoints of the log — the log IS small here
+  * because it is directory-granular; `compact` (op that rewrites the
+  * snapshot as one directory) doubles as log-growth control.
+  */
+object VersionedTable {
+
+  final case class Manifest(version: Int, op: String, baseVersion: Int,
+      dataDirs: Seq[String])
+
+  private val LogDir = "_log"
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(root: Path, v: Int): Path =
+    new Path(new Path(root, LogDir), f"$v%08d.json")
+
+  /** Hand-rolled writer/parser for the 4-field manifest: the only JSON this
+    * format needs, kept free of any library so the format definition is
+    * self-contained in this file. Dir names are `d-%08d` by construction —
+    * no escaping required (enforced on write). */
+  private def renderManifest(m: Manifest): String = {
+    require(m.dataDirs.forall(_.matches("d-\\d{8}")), s"illegal dir in $m")
+    s"""{"version":${m.version},"op":"${m.op}","baseVersion":${m.baseVersion},""" +
+      s""""dataDirs":[${m.dataDirs.map("\"" + _ + "\"").mkString(",")}]}"""
+  }
+
+  private def parseManifest(text: String): Manifest = {
+    def field(name: String): String = {
+      val i = text.indexOf("\"" + name + "\":")
+      require(i >= 0, s"manifest missing $name: $text")
+      text.substring(i + name.length + 3)
+    }
+    val dirs = field("dataDirs").dropWhile(_ != '[').drop(1).takeWhile(_ != ']')
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    Manifest(
+      field("version").takeWhile(_.isDigit).toInt,
+      field("op").drop(1).takeWhile(_ != '"'),
+      field("baseVersion").takeWhile(c => c.isDigit || c == '-').toInt,
+      dirs)
+  }
+
+  private def readManifest(fs: FileSystem, root: Path, v: Int): Manifest = {
+    val in = fs.open(manifestPath(root, v))
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(manifestPath(root, v)).getLen.toInt)
+      in.readFully(bytes)
+      parseManifest(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  /** Highest committed version, or 0 if the table does not exist. */
+  def latestVersion(spark: SparkSession, root: String): Int = {
+    val (fs, rootP) = fsOf(spark, root)
+    val log = new Path(rootP, LogDir)
+    if (!fs.exists(log)) 0
+    else fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json"))
+      .map(_.take(8).toInt).foldLeft(0)(math.max)
+  }
+
+  /** Atomic commit of `m` as version `m.version`: the manifest is fully
+    * written to a dot-prefixed temp (invisible to `latestVersion` and to
+    * [[graft.operators.Relational.vacuumStaging]]-style sweeps), then
+    * renamed into the log. A concurrent committer that won the race leaves
+    * the destination present → this commit fails with the data dir swept,
+    * the winner's log intact. */
+  private def commit(fs: FileSystem, root: Path, m: Manifest): Manifest = {
+    val log = new Path(root, LogDir)
+    if (!fs.exists(log)) fs.mkdirs(log)
+    val dst = manifestPath(root, m.version)
+    if (fs.exists(dst))
+      throw new java.util.ConcurrentModificationException(
+        s"version ${m.version} already committed at $dst")
+    val tmp = new Path(log, f".${m.version}%08d.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"commit of version ${m.version} lost the publish race for $dst")
+    }
+    m
+  }
+
+  private def writeDataDir(df: DataFrame, root: Path, v: Int): String = {
+    val dir = f"d-$v%08d"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, dir).toString)
+    dir
+  }
+
+  /** Create version 1. Fails if the table already has commits. */
+  def create(spark: SparkSession, root: String, df: DataFrame): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    require(latestVersion(spark, root) == 0, s"table exists at $root")
+    commit(fs, rootP, Manifest(1, "create", 0, Seq(writeDataDir(df, rootP, 1))))
+  }
+
+  /** Append-only commit: one new directory, prior bytes untouched. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    commit(fs, rootP, Manifest(base.version + 1, "append", base.version,
+      base.dataDirs :+ writeDataDir(df, rootP, base.version + 1)))
+  }
+
+  /** Replace the snapshot wholesale (the `SaveMode.Overwrite` analogue —
+    * but old readers' snapshots stay valid until vacuum). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val base = requireExists(spark, root)
+    commit(fs, rootP, Manifest(base + 1, "overwrite", base,
+      Seq(writeDataDir(df, rootP, base + 1))))
+  }
+
+  private def requireExists(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root)
+    require(v > 0, s"no table at $root")
+    v
+  }
+
+  private def readDirs(spark: SparkSession, root: Path, dirs: Seq[String]): DataFrame =
+    spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
+
+  /** Snapshot read at an explicit version (time travel). */
+  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    readDirs(spark, rootP, readManifest(fs, rootP, v).dataDirs)
+  }
+
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, requireExists(spark, root))
+
+  /** Copy-on-write delete: each snapshot directory is probed with the
+    * pushed-down predicate; clean directories carry over by NAME (zero
+    * IO beyond the probe), dirty ones are rewritten without the matching
+    * rows into the new version's directory. A delete that empties the
+    * table still commits (an empty data dir is a valid snapshot). */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val (dirty, clean) = base.dataDirs.partition { d =>
+      !readDirs(spark, rootP, Seq(d)).filter(cond).isEmpty
+    }
+    val dirs =
+      if (dirty.isEmpty) base.dataDirs
+      else clean :+ writeDataDir(
+        readDirs(spark, rootP, dirty).filter(!coalesce(cond, lit(false))),
+        rootP, v)
+    commit(fs, rootP, Manifest(v, "delete", base.version, dirs))
+  }
+
+  /** Copy-on-write MERGE upsert on `keyCols`: directories holding a
+    * matching key are rewritten with those rows replaced; unmatched
+    * update rows land in the same new directory (insert). Last-writer-
+    * wins within `updates` is the caller's contract (pre-dedupe if the
+    * batch can carry key collisions). */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String]): Manifest = {
+    require(keyCols.nonEmpty, "upsert requires key columns")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val (dirty, clean) = base.dataDirs.partition { d =>
+      !readDirs(spark, rootP, Seq(d)).join(keys, keyCols, "left_semi").isEmpty
+    }
+    val survivors = if (dirty.isEmpty) None
+      else Some(readDirs(spark, rootP, dirty).join(keys, keyCols, "left_anti"))
+    val merged = survivors.fold(updates)(_.unionByName(updates))
+    commit(fs, rootP, Manifest(v, "upsert", base.version,
+      clean :+ writeDataDir(merged, rootP, v)))
+  }
+
+  /** Roll the table back to `toVersion`'s snapshot as a NEW commit (the
+    * log is append-only; history is never erased). */
+  def rollback(spark: SparkSession, root: String, toVersion: Int): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val base = requireExists(spark, root)
+    val target = readManifest(fs, rootP, toVersion)
+    commit(fs, rootP, Manifest(base + 1, "rollback", base, target.dataDirs))
+  }
+
+  /** Rewrite the current snapshot as ONE directory (small-file + log-growth
+    * control in a single op): subsequent manifests restart from a
+    * single-entry dir list, and vacuum can then reclaim every prior dir. */
+  def compact(spark: SparkSession, root: String): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    commit(fs, rootP, Manifest(v, "compact", base.version,
+      Seq(writeDataDir(readDirs(spark, rootP, base.dataDirs), rootP, v))))
+  }
+
+  /** Commit-log history as a DataFrame (version, op, base_version, n_dirs)
+    * over the manifests still present (vacuum trims the old tail). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    requireExists(spark, root)
+    val log = new Path(rootP, LogDir)
+    val ms = fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json")).map(_.take(8).toInt).sorted
+      .map(readManifest(fs, rootP, _)).toSeq
+    import spark.implicits._
+    ms.map(m => (m.version, m.op, m.baseVersion, m.dataDirs.size))
+      .toDF("version", "op", "base_version", "n_dirs")
+  }
+
+  /** Reference-counting vacuum: drop manifests older than the newest
+    * `keepVersions`, then delete every `d-*` directory no RETAINED
+    * manifest references. Time travel remains exact for the retained
+    * window; returns the reclaimed directory names. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, "must retain at least the latest version")
+    val (fs, rootP) = fsOf(spark, root)
+    val latest = requireExists(spark, root)
+    val keepFrom = math.max(1, latest - keepVersions + 1)
+    val referenced = (keepFrom to latest)
+      .flatMap(readManifest(fs, rootP, _).dataDirs).toSet
+    (1 until keepFrom).foreach(v => fs.delete(manifestPath(rootP, v), false))
+    val dead = fs.listStatus(rootP).map(_.getPath.getName)
+      .filter(n => n.matches("d-\\d{8}") && !referenced.contains(n)).toSeq.sorted
+    dead.foreach(d => fs.delete(new Path(rootP, d), true))
+    dead
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.tables.VersionedTable
+
+/** Commit-log table format: snapshot isolation, time travel, copy-on-write
+  * economics (clean directories carry over by name), rollback, vacuum
+  * reference counting, and the concurrent-commit conflict. */
+class VersionedTableSpec extends SparkTestBase {
+
+  private def freshRoot(name: String): String = {
+    val p = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vt/$name"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    p
+  }
+
+  private def orders = Tables(spark, sfDir, "orders")
+    .select("o_orderkey", "o_custkey", "o_orderstatus")
+
+  test("create + append: latest is the union, v1 snapshot unchanged (time travel)") {
+    val root = freshRoot("basic")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") % 2 === 1))
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count())
+    assert(VersionedTable.readVersion(spark, root, 1).count() ===
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
+  test("overwrite replaces the snapshot; prior version still readable") {
+    val root = freshRoot("overwrite")
+    VersionedTable.create(spark, root, orders)
+    VersionedTable.overwrite(spark, root, orders.limit(10))
+    assert(VersionedTable.readLatest(spark, root).count() === 10)
+    assert(VersionedTable.readVersion(spark, root, 1).count() === orders.count())
+  }
+
+  test("deleteWhere is copy-on-write: clean directories carry over by name") {
+    val root = freshRoot("delete")
+    // two dirs with disjoint key ranges: the delete touches only one
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") <= 3000))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") > 3000))
+    val m = VersionedTable.deleteWhere(spark, root, col("o_orderkey") <= 100)
+    assert(m.dataDirs.contains("d-00000002"),
+      s"untouched dir must survive by name: ${m.dataDirs}")
+    assert(!m.dataDirs.contains("d-00000001"), "dirty dir must be rewritten")
+    val left = VersionedTable.readLatest(spark, root)
+    assert(left.filter(col("o_orderkey") <= 100).isEmpty)
+    assert(left.count() === orders.filter(col("o_orderkey") > 100).count())
+  }
+
+  test("deleteWhere matching nothing keeps the snapshot dirs verbatim") {
+    val root = freshRoot("delete_noop")
+    val v1 = VersionedTable.create(spark, root, orders)
+    val m = VersionedTable.deleteWhere(spark, root, col("o_orderkey") < 0)
+    assert(m.dataDirs === v1.dataDirs)
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count())
+  }
+
+  test("upsert replaces matched keys, inserts the rest; null-free contract") {
+    val root = freshRoot("upsert")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") <= 3000))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") > 3000))
+    import spark.implicits._
+    val updates = Seq(
+      (4L, 999L, "X"),    // replaces an existing key (dir 1)
+      (999999L, 1L, "N")) // brand-new key (insert)
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val m = VersionedTable.upsert(spark, root, updates, Seq("o_orderkey"))
+    assert(m.dataDirs.contains("d-00000002"), "clean dir carries over")
+    val now = VersionedTable.readLatest(spark, root)
+    assert(now.count() === orders.count() + 1)
+    assert(now.filter(col("o_orderkey") === 4).select("o_orderstatus")
+      .head().getString(0) === "X")
+    assert(now.filter(col("o_orderkey") === 999999).count() === 1)
+  }
+
+  test("rollback restores an old snapshot as a new append-only commit") {
+    val root = freshRoot("rollback")
+    VersionedTable.create(spark, root, orders)
+    VersionedTable.overwrite(spark, root, orders.limit(5))
+    val m = VersionedTable.rollback(spark, root, 1)
+    assert(m.version === 3 && m.op === "rollback")
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count())
+    // history is append-only: the bad v2 is still inspectable
+    assert(VersionedTable.readVersion(spark, root, 2).count() === 5)
+  }
+
+  test("vacuum reclaims unreferenced dirs; retained window still time-travels") {
+    val root = freshRoot("vacuum")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") % 2 === 1))
+    VersionedTable.overwrite(spark, root, orders.limit(7))   // v3 orphans d-1,d-2
+    VersionedTable.compact(spark, root)                      // v4 orphans d-3
+    val dead = VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(dead === Seq("d-00000001", "d-00000002", "d-00000003"))
+    assert(VersionedTable.readLatest(spark, root).count() === 7)
+    // the vacuumed tail is gone from history; the retained head remains
+    val hist = VersionedTable.history(spark, root)
+      .orderBy("version").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(hist === Array((4, "compact")))
+    intercept[Exception](VersionedTable.readVersion(spark, root, 1).count())
+  }
+
+  test("conflicting commit for the same version loses with the log intact") {
+    val root = freshRoot("conflict")
+    VersionedTable.create(spark, root, orders.limit(3))
+    // simulate a racing writer that already published version 2
+    VersionedTable.append(spark, root, orders.limit(1))
+    intercept[java.util.ConcurrentModificationException] {
+      // a second committer computed base=1 concurrently; its commit of
+      // version 2 must fail now that the log already holds 00000002.json
+      val m = graft.tables.VersionedTable.Manifest(2, "append", 1, Seq("d-00000001"))
+      val method = VersionedTable.getClass.getDeclaredMethods
+        .find(_.getName == "commit").get
+      method.setAccessible(true)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try method.invoke(VersionedTable, fs, new org.apache.hadoop.fs.Path(root), m)
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.readLatest(spark, root).count() === 4)
+  }
+
+  test("delete that empties the table still commits a readable empty snapshot") {
+    val root = freshRoot("empty")
+    VersionedTable.create(spark, root, orders.limit(20))
+    VersionedTable.deleteWhere(spark, root, lit(true))
+    val now = VersionedTable.readLatest(spark, root)
+    assert(now.isEmpty && now.columns.toSeq ===
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+  }
+}
