@@ -790,6 +790,69 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Change-data feed over the commit log: multiset snapshot diff
+    // (insert/delete tagged via exceptAll — cost bounded by the two
+    // snapshots, never a log replay). Lifecycle: create (≡0 mod 3) →
+    // COW-delete status F → rollback; the v1→v2 diff is exactly the
+    // deleted F rows, v2→v3 re-inserts them — both pure predicates
+    // over orders, so the CDF row multiset is fully ORACLED.
+    "q_table_cdf" -> ((s, dir) => {
+      val root = tmpPath("vtable_cdf")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey",
+        "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      VersionedTable.rollback(s, root, 1)
+      Seq((1, 2), (2, 3)).map { case (a, b) =>
+        VersionedTable.changes(s, root, a, b)
+          .groupBy(col("change"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit(a).as("from_v"), lit(b).as("to_v"), col("change"),
+            col("n"), col("key_sum"))
+      }.reduce(_.unionByName(_)).orderBy("from_v")
+    }),
+
+    // Exactly-once streaming sink into the versioned table: foreachBatch
+    // commits each micro-batch via appendIfAbsent tagged with the
+    // batchId — a replayed batch is recognized BY THE LOG, so
+    // at-least-once delivery yields exactly-once contents; the query
+    // re-drives the same batch commit a second time to prove the no-op.
+    // Judged on the final snapshot, which equals the input slice (fully
+    // ORACLED).
+    "q_stream_table_sink" -> ((s, dir) => {
+      val root = tmpPath("stream_table_sink")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val table = s"$root/table"
+      val slice = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .filter(col("o_orderkey") % 5 === 0)
+      slice.coalesce(1).write.parquet(s"$root/in")
+      VersionedTable.create(s, root = table,
+        slice.filter(lit(false)))  // v1: empty table, schema fixed
+      val st = s.readStream
+        .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING")
+        .parquet(s"$root/in")
+      val q = st.writeStream
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          VersionedTable.appendIfAbsent(batch.sparkSession, table, batch,
+            s"batch-$batchId")
+          // simulated redelivery of the same batch: must be a no-op
+          VersionedTable.appendIfAbsent(batch.sparkSession, table, batch,
+            s"batch-$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      VersionedTable.readLatest(s, table).orderBy("o_orderkey")
+    }),
+
     // Write-audit-publish sink: the staged version is audited by
     // re-reading its BYTES (non-null key + unique orderkey, through
     // dqChecks) before the rename-aside swap makes it live — a failed
@@ -3114,6 +3177,25 @@ object SparkEntry {
         |SELECT 5, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
         |       CAST(sum(o_custkey) AS BIGINT) FROM v2
         |ORDER BY version""".stripMargin,
+
+    // the CDF between v1 (create ≡0 mod 3) and v2 (delete status F) is
+    // exactly the deleted F rows; v2→v3 (rollback to v1) re-inserts them
+    "q_table_cdf" ->
+      """WITH f AS (SELECT o_orderkey FROM orders
+        |           WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F')
+        |SELECT 1 AS from_v, 2 AS to_v, 'delete' AS change,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM f
+        |UNION ALL
+        |SELECT 2, 3, 'insert', CAST(count(*) AS BIGINT),
+        |       CAST(sum(o_orderkey) AS BIGINT) FROM f
+        |ORDER BY from_v""".stripMargin,
+
+    // exactly-once sink: the doubly-delivered batch commits once, so the
+    // final snapshot is the input slice verbatim
+    "q_stream_table_sink" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""".stripMargin,
 
     // publish is audited-then-swapped; the published bytes are the same
     // rows, so the consumer-side aggregate equals the direct one

@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   final case class Manifest(version: Int, op: String, baseVersion: Int,
-      dataDirs: Seq[String])
+      dataDirs: Seq[String], tag: String = "")
 
   private val LogDir = "_log"
 
@@ -65,7 +65,9 @@ object VersionedTable {
     * no escaping required (enforced on write). */
   private def renderManifest(m: Manifest): String = {
     require(m.dataDirs.forall(_.matches("d-\\d{8}")), s"illegal dir in $m")
+    require(!m.tag.exists(c => c == '"' || c == '\\'), s"illegal tag: ${m.tag}")
     s"""{"version":${m.version},"op":"${m.op}","baseVersion":${m.baseVersion},""" +
+      s""""tag":"${m.tag}",""" +
       s""""dataDirs":[${m.dataDirs.map("\"" + _ + "\"").mkString(",")}]}"""
   }
 
@@ -82,7 +84,10 @@ object VersionedTable {
       field("version").takeWhile(_.isDigit).toInt,
       field("op").drop(1).takeWhile(_ != '"'),
       field("baseVersion").takeWhile(c => c.isDigit || c == '-').toInt,
-      dirs)
+      dirs,
+      // tag is absent in pre-tag manifests: default to untagged
+      if (text.contains("\"tag\":")) field("tag").drop(1).takeWhile(_ != '"')
+      else "")
   }
 
   private def readManifest(fs: FileSystem, root: Path, v: Int): Manifest = {
@@ -131,7 +136,11 @@ object VersionedTable {
 
   private def writeDataDir(df: DataFrame, root: Path, v: Int): String = {
     val dir = f"d-$v%08d"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(root, dir).toString)
+    // d-{v} can pre-exist only as the orphan of an attempt that crashed
+    // between data write and manifest publish (committed manifests never
+    // reference a dir numbered above their own version), so Overwrite is
+    // the crash-retry semantics, not a data risk.
+    df.write.mode(SaveMode.Overwrite).parquet(new Path(root, dir).toString)
     dir
   }
 
@@ -143,11 +152,38 @@ object VersionedTable {
   }
 
   /** Append-only commit: one new directory, prior bytes untouched. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Manifest = {
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      tag: String = ""): Manifest = {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     commit(fs, rootP, Manifest(base.version + 1, "append", base.version,
-      base.dataDirs :+ writeDataDir(df, rootP, base.version + 1)))
+      base.dataDirs :+ writeDataDir(df, rootP, base.version + 1), tag))
+  }
+
+  /** Idempotent tagged append — the exactly-once sink primitive: if any
+    * manifest already carries `tag`, the batch was committed by a prior
+    * (possibly crashed-and-retried) attempt and this call is a no-op
+    * returning that manifest. A foreachBatch sink tagging each commit
+    * with its batchId gets exactly-once table contents from Structured
+    * Streaming's at-least-once replay, because the replayed batch is
+    * recognized BY THE LOG rather than by sink-side state. */
+  def appendIfAbsent(spark: SparkSession, root: String, df: DataFrame,
+      tag: String): Manifest = {
+    require(tag.nonEmpty, "appendIfAbsent requires a non-empty tag")
+    val (fs, rootP) = fsOf(spark, root)
+    requireExists(spark, root)
+    // only manifests still present count — vacuuming a tagged manifest
+    // intentionally retires its dedup claim with its retention window
+    existingVersions(fs, rootP).map(readManifest(fs, rootP, _))
+      .find(_.tag == tag)
+      .getOrElse(append(spark, root, df, tag))
+  }
+
+  private def existingVersions(fs: FileSystem, root: Path): Seq[Int] = {
+    val log = new Path(root, LogDir)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json")).map(_.take(8).toInt).sorted.toSeq
   }
 
   /** Replace the snapshot wholesale (the `SaveMode.Overwrite` analogue —
@@ -245,13 +281,26 @@ object VersionedTable {
   def history(spark: SparkSession, root: String): DataFrame = {
     val (fs, rootP) = fsOf(spark, root)
     requireExists(spark, root)
-    val log = new Path(rootP, LogDir)
-    val ms = fs.listStatus(log).map(_.getPath.getName)
-      .filter(_.matches("\\d{8}\\.json")).map(_.take(8).toInt).sorted
-      .map(readManifest(fs, rootP, _)).toSeq
+    val ms = existingVersions(fs, rootP).map(readManifest(fs, rootP, _))
     import spark.implicits._
     ms.map(m => (m.version, m.op, m.baseVersion, m.dataDirs.size))
       .toDF("version", "op", "base_version", "n_dirs")
+  }
+
+  /** Change-data feed between two snapshots: multiset row difference —
+    * rows present in `toVersion` but not `fromVersion` tagged `insert`,
+    * the reverse tagged `delete` (an update surfaces as delete+insert;
+    * the format is row-content-addressed, there is no stable row id).
+    * `exceptAll` keeps duplicate multiplicity honest, and both sides are
+    * plain snapshot scans — the diff is a hash anti-semi pair, never a
+    * log replay, so its cost is bounded by the two snapshots regardless
+    * of how many commits separate them. */
+  def changes(spark: SparkSession, root: String, fromVersion: Int,
+      toVersion: Int): DataFrame = {
+    val from = readVersion(spark, root, fromVersion)
+    val to = readVersion(spark, root, toVersion)
+    to.exceptAll(from).withColumn("change", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("change", lit("delete")))
   }
 
   /** Reference-counting vacuum: drop manifests older than the newest

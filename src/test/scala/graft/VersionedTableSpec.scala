@@ -126,6 +126,35 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readLatest(spark, root).count() === 4)
   }
 
+  test("changes reports the multiset snapshot diff as insert/delete rows") {
+    val root = freshRoot("cdf")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") <= 100))
+    VersionedTable.deleteWhere(spark, root, col("o_orderkey") <= 50)
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") === 200))
+    val d12 = VersionedTable.changes(spark, root, 1, 2)
+    assert(d12.filter(col("change") === "delete").count() ===
+      orders.filter(col("o_orderkey") <= 50).count())
+    assert(d12.filter(col("change") === "insert").isEmpty)
+    val d23 = VersionedTable.changes(spark, root, 2, 3)
+    assert(d23.collect().map(r => (r.getLong(0), r.getString(3))).toSeq ===
+      Seq((200L, "insert")))
+    // identity diff is empty
+    assert(VersionedTable.changes(spark, root, 3, 3).isEmpty)
+  }
+
+  test("appendIfAbsent: a replayed tag is a no-op returning the prior commit") {
+    val root = freshRoot("idem")
+    VersionedTable.create(spark, root, orders.limit(0))
+    val first = VersionedTable.appendIfAbsent(spark, root, orders.limit(8), "b0")
+    val replay = VersionedTable.appendIfAbsent(spark, root, orders.limit(8), "b0")
+    assert(first.version === 2 && replay.version === 2)
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.readLatest(spark, root).count() === 8)
+    // a different tag commits normally
+    VersionedTable.appendIfAbsent(spark, root, orders.limit(2), "b1")
+    assert(VersionedTable.readLatest(spark, root).count() === 10)
+  }
+
   test("delete that empties the table still commits a readable empty snapshot") {
     val root = freshRoot("empty")
     VersionedTable.create(spark, root, orders.limit(20))
