@@ -815,6 +815,33 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("from_v")
     }),
 
+    // Schema evolution on the commit-log table: an evolved append is just
+    // an append (evolution is a READ-side choice, exactly parquet's);
+    // readLatest(mergeSchema) unions the directory footers, so rows
+    // predating the new column read it as null. Judged on the merged
+    // aggregate — null flags for the v1 slice, real ones for v2 — fully
+    // ORACLED. COW-after-evolution (null-cond cleanliness, union-schema
+    // rewrites) pinned in VersionedTableSpec.
+    "q_table_evolve" -> ((s, dir) => {
+      val root = tmpPath("vtable_evolve")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+      VersionedTable.create(s, root, orders
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus")))
+      VersionedTable.append(s, root, orders
+        .filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_custkey") % 10).cast("long").as("flag")))
+      VersionedTable.readLatest(s, root, mergeSchema = true)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("flag")).as("flag_sum"))
+        .select(col("o_orderstatus").as("status"), col("n"), col("flag_sum"))
+        .orderBy("status")
+    }),
+
     // Exactly-once streaming sink into the versioned table: foreachBatch
     // commits each micro-batch via appendIfAbsent tagged with the
     // batchId — a replayed batch is recognized BY THE LOG, so
@@ -3190,6 +3217,19 @@ object SparkEntry {
         |SELECT 2, 3, 'insert', CAST(count(*) AS BIGINT),
         |       CAST(sum(o_orderkey) AS BIGINT) FROM f
         |ORDER BY from_v""".stripMargin,
+
+    // merged-schema read: the pre-evolution slice reads flag as NULL,
+    // the evolved slice carries o_custkey % 10
+    "q_table_evolve" ->
+      """WITH u AS (
+        |  SELECT o_orderstatus, CAST(NULL AS BIGINT) AS flag FROM orders
+        |  WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey % 10 FROM orders
+        |  WHERE o_orderkey % 4 = 1)
+        |SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(flag) AS BIGINT) AS flag_sum
+        |FROM u GROUP BY 1 ORDER BY status""".stripMargin,
 
     // exactly-once sink: the doubly-delivered batch commits once, so the
     // final snapshot is the input slice verbatim

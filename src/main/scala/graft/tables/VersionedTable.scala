@@ -201,17 +201,36 @@ object VersionedTable {
     v
   }
 
-  private def readDirs(spark: SparkSession, root: Path, dirs: Seq[String]): DataFrame =
-    spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
-
-  /** Snapshot read at an explicit version (time travel). */
-  def readVersion(spark: SparkSession, root: String, v: Int): DataFrame = {
-    val (fs, rootP) = fsOf(spark, root)
-    readDirs(spark, rootP, readManifest(fs, rootP, v).dataDirs)
+  private def readDirs(spark: SparkSession, root: Path, dirs: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    reader.parquet(dirs.map(d => new Path(root, d).toString): _*)
   }
 
-  def readLatest(spark: SparkSession, root: String): DataFrame =
-    readVersion(spark, root, requireExists(spark, root))
+  /** Per-dir read pinned to an explicit (snapshot-union) schema: columns
+    * the directory predates come back null — the mechanism that lets COW
+    * probes/rewrites treat pre-evolution directories uniformly. */
+  private def readDirsAs(spark: SparkSession, root: Path, dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .parquet(dirs.map(d => new Path(root, d).toString): _*)
+
+  /** Snapshot read at an explicit version (time travel). `mergeSchema`
+    * opts into schema-evolution reads: the snapshot schema is the union
+    * over its directories' footers (columns a directory predates read as
+    * null), at the cost of one footer read per directory — the evolved
+    * append itself is just [[append]]; evolution is a READ-side choice,
+    * exactly parquet's. Off by default: the single-footer fast path. */
+  def readVersion(spark: SparkSession, root: String, v: Int,
+      mergeSchema: Boolean = false): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    readDirs(spark, rootP, readManifest(fs, rootP, v).dataDirs, mergeSchema)
+  }
+
+  def readLatest(spark: SparkSession, root: String,
+      mergeSchema: Boolean = false): DataFrame =
+    readVersion(spark, root, requireExists(spark, root), mergeSchema)
 
   /** Copy-on-write delete: each snapshot directory is probed with the
     * pushed-down predicate; clean directories carry over by NAME (zero
@@ -223,13 +242,20 @@ object VersionedTable {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
+    // probes and rewrites run under the SNAPSHOT's union schema (merged
+    // once over all dirs, then pinned per-dir) so an evolved table
+    // behaves: a directory predating a predicate's column reads it as
+    // null (cond null → dir clean), and a dirty-dir rewrite keeps the
+    // union schema instead of silently dropping late columns
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true).schema
     val (dirty, clean) = base.dataDirs.partition { d =>
-      !readDirs(spark, rootP, Seq(d)).filter(cond).isEmpty
+      !readDirsAs(spark, rootP, Seq(d), snap).filter(cond).isEmpty
     }
     val dirs =
       if (dirty.isEmpty) base.dataDirs
       else clean :+ writeDataDir(
-        readDirs(spark, rootP, dirty).filter(!coalesce(cond, lit(false))),
+        readDirsAs(spark, rootP, dirty, snap)
+          .filter(!coalesce(cond, lit(false))),
         rootP, v)
     commit(fs, rootP, Manifest(v, "delete", base.version, dirs))
   }
@@ -246,12 +272,18 @@ object VersionedTable {
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
     val keys = updates.select(keyCols.map(col): _*).distinct()
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true).schema
     val (dirty, clean) = base.dataDirs.partition { d =>
-      !readDirs(spark, rootP, Seq(d)).join(keys, keyCols, "left_semi").isEmpty
+      !readDirsAs(spark, rootP, Seq(d), snap)
+        .join(keys, keyCols, "left_semi").isEmpty
     }
     val survivors = if (dirty.isEmpty) None
-      else Some(readDirs(spark, rootP, dirty).join(keys, keyCols, "left_anti"))
-    val merged = survivors.fold(updates)(_.unionByName(updates))
+      else Some(readDirsAs(spark, rootP, dirty, snap)
+        .join(keys, keyCols, "left_anti"))
+    // allowMissingColumns: survivors and updates may sit on either side
+    // of a schema evolution; the union schema fills the gap with nulls
+    val merged = survivors.fold(updates)(
+      _.unionByName(updates, allowMissingColumns = true))
     commit(fs, rootP, Manifest(v, "upsert", base.version,
       clean :+ writeDataDir(merged, rootP, v)))
   }
@@ -273,7 +305,8 @@ object VersionedTable {
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
     commit(fs, rootP, Manifest(v, "compact", base.version,
-      Seq(writeDataDir(readDirs(spark, rootP, base.dataDirs), rootP, v))))
+      Seq(writeDataDir(
+        readDirs(spark, rootP, base.dataDirs, mergeSchema = true), rootP, v))))
   }
 
   /** Commit-log history as a DataFrame (version, op, base_version, n_dirs)

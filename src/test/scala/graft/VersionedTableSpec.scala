@@ -155,6 +155,30 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readLatest(spark, root).count() === 10)
   }
 
+  test("schema evolution: merged read nulls the old slice; COW + compact keep the union schema") {
+    val root = freshRoot("evolve")
+    VersionedTable.create(spark, root,
+      orders.filter(col("o_orderkey") <= 3000).select("o_orderkey"))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") > 3000)
+        .select(col("o_orderkey"), col("o_custkey").as("extra")))
+    val merged = VersionedTable.readLatest(spark, root, mergeSchema = true)
+    assert(merged.columns.toSeq === Seq("o_orderkey", "extra"))
+    assert(merged.filter(col("extra").isNull).count() ===
+      orders.filter(col("o_orderkey") <= 3000).count())
+    // delete keyed on the NEW column: the pre-evolution dir reads it as
+    // null (cond null = clean) and must carry over untouched by name
+    val m = VersionedTable.deleteWhere(spark, root, col("extra") > 0)
+    assert(m.dataDirs.contains("d-00000001"), m.dataDirs.toString)
+    assert(VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .filter(col("extra").isNotNull).count() ===
+      orders.filter(col("o_orderkey") > 3000 && col("o_custkey") <= 0).count())
+    // compact must not silently drop the evolved column
+    VersionedTable.compact(spark, root)
+    assert(VersionedTable.readLatest(spark, root).columns.toSeq
+      .sorted === Seq("extra", "o_orderkey"))
+  }
+
   test("delete that empties the table still commits a readable empty snapshot") {
     val root = freshRoot("empty")
     VersionedTable.create(spark, root, orders.limit(20))
