@@ -299,14 +299,25 @@ object VersionedTable {
 
   /** Rewrite the current snapshot as ONE directory (small-file + log-growth
     * control in a single op): subsequent manifests restart from a
-    * single-entry dir list, and vacuum can then reclaim every prior dir. */
-  def compact(spark: SparkSession, root: String): Manifest = {
+    * single-entry dir list, and vacuum can then reclaim every prior dir.
+    *
+    * `clusterCol` additionally range-clusters the rewrite (the
+    * [[graft.operators.Relational.writeClustered]] layout): rows
+    * range-partition then sort on the column, so every emitted file
+    * covers a narrow key range and parquet min-max stats skip files for
+    * range predicates on it — OPTIMIZE with a sort order, the layout
+    * maintenance a long-lived table needs as append order diverges from
+    * query order. */
+  def compact(spark: SparkSession, root: String,
+      clusterCol: Option[String] = None, nRanges: Int = 8): Manifest = {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
+    val snapshot = readDirs(spark, rootP, base.dataDirs, mergeSchema = true)
+    val laidOut = clusterCol.fold(snapshot)(c =>
+      snapshot.repartitionByRange(nRanges, col(c)).sortWithinPartitions(c))
     commit(fs, rootP, Manifest(v, "compact", base.version,
-      Seq(writeDataDir(
-        readDirs(spark, rootP, base.dataDirs, mergeSchema = true), rootP, v))))
+      Seq(writeDataDir(laidOut, rootP, v))))
   }
 
   /** Commit-log history as a DataFrame (version, op, base_version, n_dirs)

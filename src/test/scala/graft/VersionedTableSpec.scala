@@ -179,6 +179,29 @@ class VersionedTableSpec extends SparkTestBase {
       .sorted === Seq("extra", "o_orderkey"))
   }
 
+  test("clustered compact rewrites the snapshot into range-disjoint files") {
+    val root = freshRoot("optimize")
+    // three appends in key-interleaved order: every dir spans the whole
+    // key domain, so pre-compact min-max stats skip nothing
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") % 3 === 1))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") % 3 === 2))
+    val m = VersionedTable.compact(spark, root,
+      clusterCol = Some("o_orderkey"), nRanges = 4)
+    assert(m.dataDirs.size === 1)
+    val now = VersionedTable.readLatest(spark, root)
+    assert(now.count() === orders.count())
+    // per-file key ranges must not overlap (the data-skipping property)
+    val ranges = now
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2, s"expected multiple files, got $ranges")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: $ranges")
+    }
+  }
+
   test("delete that empties the table still commits a readable empty snapshot") {
     val root = freshRoot("empty")
     VersionedTable.create(spark, root, orders.limit(20))
