@@ -160,6 +160,38 @@ object VersionedTable {
       base.dataDirs :+ writeDataDir(df, rootP, base.version + 1), tag))
   }
 
+  /** Write-audit-publish INSIDE the format: the batch is staged as its
+    * data directory (unreachable — no manifest references it yet), the
+    * STAGED BYTES are audited through
+    * [[graft.operators.Relational.dqReport]] (what a reader will see,
+    * not the input plan), and only a clean audit publishes the manifest.
+    * A failed audit sweeps the staged dir and throws with the violation
+    * counts; the table's last committed version is untouched — the
+    * [[graft.operators.Relational.publishTable]] guarantee, inherited by
+    * every downstream snapshot instead of one swap-managed path. */
+  def appendAudited(spark: SparkSession, root: String, df: DataFrame,
+      rowRules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      tag: String = ""): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val dir = writeDataDir(df, rootP, v)
+    val report = graft.operators.Relational.dqReport(
+        readDirs(spark, rootP, Seq(dir)), rowRules, uniqueKeys)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bad = report.filter(_._2 != 0L)
+    if (bad.nonEmpty) {
+      val swept = fs.delete(new Path(rootP, dir), true)
+      throw new IllegalStateException("appendAudited: audit failed, " +
+        s"table untouched at version ${base.version}: " +
+        bad.map { case (n, c) => s"$n=$c" }.mkString(", ") +
+        (if (swept) "" else s"; staging NOT swept at $dir"))
+    }
+    commit(fs, rootP, Manifest(v, "append", base.version,
+      base.dataDirs :+ dir, tag))
+  }
+
   /** Idempotent tagged append — the exactly-once sink primitive: if any
     * manifest already carries `tag`, the batch was committed by a prior
     * (possibly crashed-and-retried) attempt and this call is a no-op

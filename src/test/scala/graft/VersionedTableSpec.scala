@@ -202,6 +202,31 @@ class VersionedTableSpec extends SparkTestBase {
     }
   }
 
+  test("appendAudited: a failed audit leaves the version untouched and sweeps staging") {
+    val root = freshRoot("audited")
+    VersionedTable.create(spark, root, orders.limit(5))
+    // clean batch commits
+    VersionedTable.appendAudited(spark, root,
+      orders.filter(col("o_orderkey") > 100).limit(5),
+      rowRules = Seq("key_positive" -> (col("o_orderkey") > 0)))
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    // violating batch: audit fails, no new version, staged dir swept
+    val e = intercept[IllegalStateException] {
+      VersionedTable.appendAudited(spark, root,
+        orders.limit(3).withColumn("o_orderkey", lit(-1L)),
+        rowRules = Seq("key_positive" -> (col("o_orderkey") > 0)))
+    }
+    assert(e.getMessage.contains("key_positive=3"))
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.readLatest(spark, root).count() === 10)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "d-00000003")))
+    // the version number is not burned: the next clean append takes it
+    VersionedTable.append(spark, root, orders.limit(1))
+    assert(VersionedTable.latestVersion(spark, root) === 3)
+  }
+
   test("delete that empties the table still commits a readable empty snapshot") {
     val root = freshRoot("empty")
     VersionedTable.create(spark, root, orders.limit(20))
