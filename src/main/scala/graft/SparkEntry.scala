@@ -1777,6 +1777,30 @@ object SparkEntry {
         "src", "dst", "w", iterations = 2)
         .orderBy("id")),
 
+    // Synchronous label propagation (community detection): mod-5 blocks
+    // of order keys form complete mini-cliques, where even-budget sync
+    // LPA provably converges to the BLOCK MIN for cliques of ≥3 and
+    // resolves the classic 2-cycle back to self-labels for pairs — so
+    // the converged labeling is pure arithmetic and fully ORACLED.
+    // Isolated nodes (singleton blocks, no edges) keep their own label
+    // via the coalesce. The CC-vs-LPA divergence on bridged communities
+    // is pinned in GraphSpec.
+    "q_communities" -> ((s, dir) => {
+      val n = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), expr("o_orderkey div 5").as("blk"))
+      val e = n.as("l").join(n.as("r"),
+          col("l.blk") === col("r.blk") && col("l.k") < col("r.k"))
+        .select(col("l.k").as("src"), col("r.k").as("dst"))
+      // 2 rounds suffice: complete blocks of >=3 provably converge to
+      // the min by round 2, and pairs resolve their 2-cycle on any even
+      // budget — same oracle, half the scheduling cost of 4 rounds
+      val lp = graft.operators.Graph.labelPropagation(e, "src", "dst",
+        iterations = 2)
+      n.join(lp, n("k") === lp("id"), "left")
+        .select(col("k").as("node"), coalesce(col("label"), col("k")).as("label"))
+        .orderBy("node")
+    }),
+
     // Multi-source BFS hop counts over a sparse directed graph derived
     // from orders (every 17th order contributes one edge over 500
     // nodes), seeds {1, 2}, depth cap 6 — min-hop label per reached
@@ -4303,6 +4327,16 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m3.mass, 0) AS rank
         |       FROM nodes CROSS JOIN nn LEFT JOIN m3 ON m3.id = nodes.id)
         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin,
+
+    // even-budget sync LPA over complete mod-5 blocks: cliques of >=3
+    // converge to the block min, pairs 2-cycle back to self, singletons
+    // have no edges and keep self
+    "q_communities" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderkey // 5 AS blk FROM orders),
+        |s AS (SELECT blk, count(*) AS m, min(k) AS mn FROM b GROUP BY 1)
+        |SELECT b.k AS node,
+        |       CASE WHEN s.m >= 3 THEN s.mn ELSE b.k END AS label
+        |FROM b JOIN s ON b.blk = s.blk ORDER BY node""".stripMargin,
 
     "q_cc_labels" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -182,4 +182,55 @@ object Graph {
     }
     visited
   }
+
+  /** Synchronous label propagation (Raghavan, Albert, Kumara 2007 —
+    * public): community detection, the graph family's complement to
+    * [[Dedup.connectedComponents]] — CC answers "reachable at all" and
+    * merges two dense groups joined by ONE stray edge, LPA answers
+    * "densely connected" and keeps them apart (the property that matters
+    * when near-dup clusters are bridged by a boilerplate false positive;
+    * divergence pinned in GraphSpec on a bridged-triangles fixture).
+    *
+    * Every node starts labeled with its own id; each round every node
+    * adopts the most frequent label among its NEIGHBORS (undirected),
+    * ties to the smallest label, isolated nodes keep their label. A
+    * FIXED round budget rather than convergence detection, for the same
+    * two reasons as [[pageRank]]: deterministic judged output and
+    * production round scheduling. Synchronous LPA can 2-cycle on
+    * bipartite-ish structures (the classic caveat) — with an EVEN budget
+    * that denegerates deterministically to the pre-cycle labels, which
+    * the oracle encodes.
+    *
+    * Scale: labels are (long, long) rows; a round is edges ⋈ labels on
+    * dst (hash join), a (node, label) partial-aggregated count, and a
+    * per-node argmax via `max(struct(cnt, -label))` — ALL partial-agg
+    * shapes, no windows; `barrierCut` per round keeps the plan flat.
+    * Skew: a hub's neighbor-label multiset partial-aggregates map-side,
+    * one row per (node, distinct label) per upstream partition. Judged
+    * `q_communities` over mod-blocks of `orders` keys whose converged
+    * label is pure arithmetic; bridged-community divergence from CC in
+    * GraphSpec. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations % 2 == 0,
+      "iterations must be positive and EVEN (sync-LPA 2-cycles resolve " +
+        "deterministically only on an even budget)")
+    val fwd = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = graft.engine.Caches.persisted(
+      fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).barrierCut
+    for (_ <- 1 to iterations) {
+      labels = und
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("id"), (-col("best.neg")).as("lbl"))
+        .barrierCut
+    }
+    labels.select(col("id"), col("lbl").as("label"))
+  }
 }

@@ -248,6 +248,34 @@ object VersionedTable {
     spark.read.schema(schema)
       .parquet(dirs.map(d => new Path(root, d).toString): _*)
 
+  /** COW dirty-probe over the snapshot's directories, `parallelism`
+    * probes in flight (each an independent pushed-down existence job —
+    * read-only, so concurrency is free; the [[graft.operators.Relational
+    * .compactPartitioned]] bounded-pool pattern). A long-lived table is
+    * many directories and the probes were the one driver-serial loop in
+    * the COW path; results keep directory order either way. */
+  private def partitionDirty(dirs: Seq[String], parallelism: Int)(
+      isDirty: String => Boolean): (Seq[String], Seq[String]) = {
+    require(parallelism >= 1, s"probe parallelism $parallelism")
+    if (parallelism == 1 || dirs.size <= 1) dirs.partition(isDirty)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        parallelism.min(dirs.size))
+      try {
+        val flags = dirs.map(d => d -> pool.submit(
+          new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = isDirty(d)
+          }))
+          .map { case (d, f) =>
+            d -> (try f.get() catch {
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            })
+          }
+        (flags.filter(_._2).map(_._1), flags.filterNot(_._2).map(_._1))
+      } finally pool.shutdown()
+    }
+  }
+
   /** Snapshot read at an explicit version (time travel). `mergeSchema`
     * opts into schema-evolution reads: the snapshot schema is the union
     * over its directories' footers (columns a directory predates read as
@@ -270,7 +298,8 @@ object VersionedTable {
     * rows into the new version's directory. A delete that empties the
     * table still commits (an empty data dir is a valid snapshot). */
   def deleteWhere(spark: SparkSession, root: String,
-      cond: org.apache.spark.sql.Column): Manifest = {
+      cond: org.apache.spark.sql.Column,
+      probeParallelism: Int = 4): Manifest = {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
@@ -280,7 +309,7 @@ object VersionedTable {
     // null (cond null → dir clean), and a dirty-dir rewrite keeps the
     // union schema instead of silently dropping late columns
     val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true).schema
-    val (dirty, clean) = base.dataDirs.partition { d =>
+    val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
       !readDirsAs(spark, rootP, Seq(d), snap).filter(cond).isEmpty
     }
     val dirs =
@@ -298,14 +327,18 @@ object VersionedTable {
     * wins within `updates` is the caller's contract (pre-dedupe if the
     * batch can carry key collisions). */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-      keyCols: Seq[String]): Manifest = {
+      keyCols: Seq[String], probeParallelism: Int = 4): Manifest = {
     require(keyCols.nonEmpty, "upsert requires key columns")
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
-    val keys = updates.select(keyCols.map(col): _*).distinct()
+    // the key set is probed once per directory then drives the anti-join
+    // — persist via the registry so it computes once (released by the
+    // published cache contract)
+    val keys = graft.engine.Caches.persisted(
+      updates.select(keyCols.map(col): _*).distinct())
     val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true).schema
-    val (dirty, clean) = base.dataDirs.partition { d =>
+    val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
       !readDirsAs(spark, rootP, Seq(d), snap)
         .join(keys, keyCols, "left_semi").isEmpty
     }

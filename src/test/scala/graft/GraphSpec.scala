@@ -76,4 +76,33 @@ class GraphSpec extends SparkTestBase {
     // seedless node set: a seed absent from the edge list is still hop 0
     assert(run(Seq(42L), 3) === Map(42L -> 0))
   }
+
+  test("labelPropagation separates bridged communities that CC merges") {
+    // two triangles joined by ONE bridge edge: CC sees one component,
+    // LPA keeps two communities — the property that matters when
+    // near-dup clusters are bridged by a boilerplate false positive
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L)).toDF("src", "dst")
+    val lp = Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lp(0L) === lp(1L) && lp(1L) === lp(2L))
+    assert(lp(3L) === lp(4L) && lp(4L) === lp(5L))
+    assert(lp(0L) !== lp(3L), s"bridge must not merge communities: $lp")
+    val cc = graft.operators.Dedup
+      .connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size === 1, "CC merges across the bridge")
+  }
+
+  test("labelPropagation: cliques >=3 converge to min id, pairs resolve to self on an even budget") {
+    val clique = Seq((10L, 11L), (10L, 12L), (11L, 12L), // triangle
+      (20L, 21L)).toDF("src", "dst")                     // pair
+    val lp = Graph.labelPropagation(clique, "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lp(10L) === 10L && lp(11L) === 10L && lp(12L) === 10L)
+    assert(lp(20L) === 20L && lp(21L) === 21L)
+    // odd budgets are rejected: the 2-cycle would make results depend on parity
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(clique, "src", "dst", iterations = 3))
+  }
 }
