@@ -808,7 +808,7 @@ object SparkEntry {
       VersionedTable.rollback(s, root, 1)
       Seq((1, 2), (2, 3)).map { case (a, b) =>
         VersionedTable.changes(s, root, a, b)
-          .groupBy(col("change"))
+          .groupBy(col("_change").as("change"))
           .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
           .select(lit(a).as("from_v"), lit(b).as("to_v"), col("change"),
             col("n"), col("key_sum"))

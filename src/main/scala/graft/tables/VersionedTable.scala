@@ -397,19 +397,32 @@ object VersionedTable {
   }
 
   /** Change-data feed between two snapshots: multiset row difference —
-    * rows present in `toVersion` but not `fromVersion` tagged `insert`,
-    * the reverse tagged `delete` (an update surfaces as delete+insert;
-    * the format is row-content-addressed, there is no stable row id).
-    * `exceptAll` keeps duplicate multiplicity honest, and both sides are
-    * plain snapshot scans — the diff is a hash anti-semi pair, never a
-    * log replay, so its cost is bounded by the two snapshots regardless
-    * of how many commits separate them. */
+    * rows present in `toVersion` but not `fromVersion` tagged `insert`
+    * in the `_change` column, the reverse tagged `delete` (an update
+    * surfaces as delete+insert; the format is row-content-addressed,
+    * there is no stable row id). `exceptAll` keeps duplicate
+    * multiplicity honest, and both sides are plain snapshot scans — the
+    * diff is a hash anti-semi pair, never a log replay, so its cost is
+    * bounded by the two snapshots regardless of how many commits
+    * separate them. Snapshots on either side of a schema evolution
+    * align on the union schema first (a column one side predates reads
+    * as null there — so evolving a column surfaces as delete+insert for
+    * rows whose value changed, and as NOTHING for null-to-null rows). */
   def changes(spark: SparkSession, root: String, fromVersion: Int,
       toVersion: Int): DataFrame = {
-    val from = readVersion(spark, root, fromVersion)
-    val to = readVersion(spark, root, toVersion)
-    to.exceptAll(from).withColumn("change", lit("insert"))
-      .unionByName(from.exceptAll(to).withColumn("change", lit("delete")))
+    val from = readVersion(spark, root, fromVersion, mergeSchema = true)
+    val to = readVersion(spark, root, toVersion, mergeSchema = true)
+    val union = from.schema.fields ++
+      to.schema.fields.filterNot(f => from.schema.fieldNames.contains(f.name))
+    require(!union.exists(_.name == "_change"),
+      "changes: the table already has a _change column")
+    def align(df: DataFrame): DataFrame = df.select(union.map { f =>
+      if (df.schema.fieldNames.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    align(to).exceptAll(align(from)).withColumn("_change", lit("insert"))
+      .unionByName(align(from).exceptAll(align(to))
+        .withColumn("_change", lit("delete")))
   }
 
   /** Reference-counting vacuum: drop manifests older than the newest

@@ -132,14 +132,29 @@ class VersionedTableSpec extends SparkTestBase {
     VersionedTable.deleteWhere(spark, root, col("o_orderkey") <= 50)
     VersionedTable.append(spark, root, orders.filter(col("o_orderkey") === 200))
     val d12 = VersionedTable.changes(spark, root, 1, 2)
-    assert(d12.filter(col("change") === "delete").count() ===
+    assert(d12.filter(col("_change") === "delete").count() ===
       orders.filter(col("o_orderkey") <= 50).count())
-    assert(d12.filter(col("change") === "insert").isEmpty)
+    assert(d12.filter(col("_change") === "insert").isEmpty)
     val d23 = VersionedTable.changes(spark, root, 2, 3)
     assert(d23.collect().map(r => (r.getLong(0), r.getString(3))).toSeq ===
       Seq((200L, "insert")))
     // identity diff is empty
     assert(VersionedTable.changes(spark, root, 3, 3).isEmpty)
+  }
+
+  test("changes across a schema evolution aligns on the union schema") {
+    val root = freshRoot("cdf_evolve")
+    VersionedTable.create(spark, root,
+      orders.filter(col("o_orderkey") <= 10).select("o_orderkey"))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") === 20)
+        .select(col("o_orderkey"), col("o_custkey").as("extra")))
+    val d = VersionedTable.changes(spark, root, 1, 2)
+    // the pre-evolution rows are unchanged (null extra on both sides);
+    // only the evolved append surfaces, as an insert carrying its extra
+    assert(d.columns.toSeq === Seq("o_orderkey", "extra", "_change"))
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(rows === Seq((20L, "insert")), rows.toString)
   }
 
   test("appendIfAbsent: a replayed tag is a no-op returning the prior commit") {
