@@ -772,7 +772,11 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
       import graft.tables.VersionedTable
-      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      // hive-partitioned by status: the judged lifecycle drives the
+      // partitioned layout through create/append/COW/rollback (identical
+      // output; the COW delete's probe prunes on the partition column)
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0),
+        partitionCols = Seq("o_orderstatus"))
       VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 3 === 1))
       VersionedTable.deleteWhere(s, root, col("o_orderstatus") === "F")
       VersionedTable.upsert(s, root,

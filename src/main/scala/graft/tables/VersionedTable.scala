@@ -47,7 +47,8 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   final case class Manifest(version: Int, op: String, baseVersion: Int,
-      dataDirs: Seq[String], tag: String = "")
+      dataDirs: Seq[String], tag: String = "",
+      partitionCols: Seq[String] = Nil)
 
   private val LogDir = "_log"
 
@@ -66,8 +67,11 @@ object VersionedTable {
   private def renderManifest(m: Manifest): String = {
     require(m.dataDirs.forall(_.matches("d-\\d{8}")), s"illegal dir in $m")
     require(!m.tag.exists(c => c == '"' || c == '\\'), s"illegal tag: ${m.tag}")
+    require(m.partitionCols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"partition column names must be [A-Za-z0-9_]+: ${m.partitionCols}")
     s"""{"version":${m.version},"op":"${m.op}","baseVersion":${m.baseVersion},""" +
       s""""tag":"${m.tag}",""" +
+      s""""partitionCols":[${m.partitionCols.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""dataDirs":[${m.dataDirs.map("\"" + _ + "\"").mkString(",")}]}"""
   }
 
@@ -77,9 +81,12 @@ object VersionedTable {
       require(i >= 0, s"manifest missing $name: $text")
       text.substring(i + name.length + 3)
     }
-    val dirs = field("dataDirs").dropWhile(_ != '[').drop(1).takeWhile(_ != ']')
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
+    def array(name: String): Seq[String] =
+      if (!text.contains("\"" + name + "\":")) Seq.empty
+      else field(name).dropWhile(_ != '[').drop(1).takeWhile(_ != ']')
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    val dirs = array("dataDirs")
     Manifest(
       field("version").takeWhile(_.isDigit).toInt,
       field("op").drop(1).takeWhile(_ != '"'),
@@ -87,7 +94,9 @@ object VersionedTable {
       dirs,
       // tag is absent in pre-tag manifests: default to untagged
       if (text.contains("\"tag\":")) field("tag").drop(1).takeWhile(_ != '"')
-      else "")
+      else "",
+      // absent in pre-partitioning manifests: unpartitioned
+      array("partitionCols"))
   }
 
   private def readManifest(fs: FileSystem, root: Path, v: Int): Manifest = {
@@ -134,21 +143,32 @@ object VersionedTable {
     m
   }
 
-  private def writeDataDir(df: DataFrame, root: Path, v: Int): String = {
+  private def writeDataDir(df: DataFrame, root: Path, v: Int,
+      partitionCols: Seq[String] = Nil): String = {
     val dir = f"d-$v%08d"
     // d-{v} can pre-exist only as the orphan of an attempt that crashed
     // between data write and manifest publish (committed manifests never
     // reference a dir numbered above their own version), so Overwrite is
     // the crash-retry semantics, not a data risk.
-    df.write.mode(SaveMode.Overwrite).parquet(new Path(root, dir).toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(new Path(root, dir).toString)
     dir
   }
 
-  /** Create version 1. Fails if the table already has commits. */
-  def create(spark: SparkSession, root: String, df: DataFrame): Manifest = {
+  /** Create version 1. Fails if the table already has commits.
+    * `partitionCols` fixes a table-level hive layout: every data
+    * directory (appends AND copy-on-write rewrites) is written
+    * partitioned by these columns, so partition predicates prune inside
+    * every directory of every snapshot — recorded in the manifest and
+    * inherited by all subsequent commits. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Manifest = {
     val (fs, rootP) = fsOf(spark, root)
     require(latestVersion(spark, root) == 0, s"table exists at $root")
-    commit(fs, rootP, Manifest(1, "create", 0, Seq(writeDataDir(df, rootP, 1))))
+    commit(fs, rootP, Manifest(1, "create", 0,
+      Seq(writeDataDir(df, rootP, 1, partitionCols)),
+      partitionCols = partitionCols))
   }
 
   /** Append-only commit: one new directory, prior bytes untouched. */
@@ -157,7 +177,9 @@ object VersionedTable {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     commit(fs, rootP, Manifest(base.version + 1, "append", base.version,
-      base.dataDirs :+ writeDataDir(df, rootP, base.version + 1), tag))
+      base.dataDirs :+
+        writeDataDir(df, rootP, base.version + 1, base.partitionCols),
+      tag, base.partitionCols))
   }
 
   /** Write-audit-publish INSIDE the format: the batch is staged as its
@@ -176,7 +198,7 @@ object VersionedTable {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
-    val dir = writeDataDir(df, rootP, v)
+    val dir = writeDataDir(df, rootP, v, base.partitionCols)
     val report = graft.operators.Relational.dqReport(
         readDirs(spark, rootP, Seq(dir)), rowRules, uniqueKeys)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -189,7 +211,7 @@ object VersionedTable {
         (if (swept) "" else s"; staging NOT swept at $dir"))
     }
     commit(fs, rootP, Manifest(v, "append", base.version,
-      base.dataDirs :+ dir, tag))
+      base.dataDirs :+ dir, tag, base.partitionCols))
   }
 
   /** Idempotent tagged append — the exactly-once sink primitive: if any
@@ -222,9 +244,10 @@ object VersionedTable {
     * but old readers' snapshots stay valid until vacuum). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Manifest = {
     val (fs, rootP) = fsOf(spark, root)
-    val base = requireExists(spark, root)
-    commit(fs, rootP, Manifest(base + 1, "overwrite", base,
-      Seq(writeDataDir(df, rootP, base + 1))))
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    commit(fs, rootP, Manifest(base.version + 1, "overwrite", base.version,
+      Seq(writeDataDir(df, rootP, base.version + 1, base.partitionCols)),
+      partitionCols = base.partitionCols))
   }
 
   private def requireExists(spark: SparkSession, root: String): Int = {
@@ -234,19 +257,29 @@ object VersionedTable {
   }
 
   private def readDirs(spark: SparkSession, root: Path, dirs: Seq[String],
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false, partitioned: Boolean = false): DataFrame = {
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    reader.parquet(dirs.map(d => new Path(root, d).toString): _*)
+    // hive-partitioned dirs cannot share one multi-path read (partition
+    // discovery across several roots is CONFLICTING_DIRECTORY_STRUCTURES):
+    // read each dir as its own root and union by name — O(commits) plans,
+    // the same order as the manifest itself
+    if (partitioned && dirs.size > 1)
+      dirs.map(d => reader.parquet(new Path(root, d).toString))
+        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    else reader.parquet(dirs.map(d => new Path(root, d).toString): _*)
   }
 
   /** Per-dir read pinned to an explicit (snapshot-union) schema: columns
     * the directory predates come back null — the mechanism that lets COW
-    * probes/rewrites treat pre-evolution directories uniformly. */
+    * probes/rewrites treat pre-evolution directories uniformly. Always
+    * one read per directory (partition discovery then has a single
+    * root), unioned by name. */
   private def readDirsAs(spark: SparkSession, root: Path, dirs: Seq[String],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema)
-      .parquet(dirs.map(d => new Path(root, d).toString): _*)
+    dirs.map(d => spark.read.schema(schema)
+        .parquet(new Path(root, d).toString))
+      .reduce(_.unionByName(_))
 
   /** COW dirty-probe over the snapshot's directories, `parallelism`
     * probes in flight (each an independent pushed-down existence job —
@@ -285,7 +318,8 @@ object VersionedTable {
   def readVersion(spark: SparkSession, root: String, v: Int,
       mergeSchema: Boolean = false): DataFrame = {
     val (fs, rootP) = fsOf(spark, root)
-    readDirs(spark, rootP, readManifest(fs, rootP, v).dataDirs, mergeSchema)
+    val m = readManifest(fs, rootP, v)
+    readDirs(spark, rootP, m.dataDirs, mergeSchema, m.partitionCols.nonEmpty)
   }
 
   def readLatest(spark: SparkSession, root: String,
@@ -308,7 +342,8 @@ object VersionedTable {
     // behaves: a directory predating a predicate's column reads it as
     // null (cond null → dir clean), and a dirty-dir rewrite keeps the
     // union schema instead of silently dropping late columns
-    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true).schema
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema
     val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
       !readDirsAs(spark, rootP, Seq(d), snap).filter(cond).isEmpty
     }
@@ -317,8 +352,9 @@ object VersionedTable {
       else clean :+ writeDataDir(
         readDirsAs(spark, rootP, dirty, snap)
           .filter(!coalesce(cond, lit(false))),
-        rootP, v)
-    commit(fs, rootP, Manifest(v, "delete", base.version, dirs))
+        rootP, v, base.partitionCols)
+    commit(fs, rootP, Manifest(v, "delete", base.version, dirs,
+      partitionCols = base.partitionCols))
   }
 
   /** Copy-on-write MERGE upsert on `keyCols`: directories holding a
@@ -337,7 +373,8 @@ object VersionedTable {
     // published cache contract)
     val keys = graft.engine.Caches.persisted(
       updates.select(keyCols.map(col): _*).distinct())
-    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true).schema
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema
     val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
       !readDirsAs(spark, rootP, Seq(d), snap)
         .join(keys, keyCols, "left_semi").isEmpty
@@ -350,7 +387,8 @@ object VersionedTable {
     val merged = survivors.fold(updates)(
       _.unionByName(updates, allowMissingColumns = true))
     commit(fs, rootP, Manifest(v, "upsert", base.version,
-      clean :+ writeDataDir(merged, rootP, v)))
+      clean :+ writeDataDir(merged, rootP, v, base.partitionCols),
+      partitionCols = base.partitionCols))
   }
 
   /** Roll the table back to `toVersion`'s snapshot as a NEW commit (the
@@ -359,7 +397,8 @@ object VersionedTable {
     val (fs, rootP) = fsOf(spark, root)
     val base = requireExists(spark, root)
     val target = readManifest(fs, rootP, toVersion)
-    commit(fs, rootP, Manifest(base + 1, "rollback", base, target.dataDirs))
+    commit(fs, rootP, Manifest(base + 1, "rollback", base, target.dataDirs,
+      partitionCols = target.partitionCols))
   }
 
   /** Rewrite the current snapshot as ONE directory (small-file + log-growth
@@ -378,11 +417,13 @@ object VersionedTable {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
-    val snapshot = readDirs(spark, rootP, base.dataDirs, mergeSchema = true)
+    val snapshot = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty)
     val laidOut = clusterCol.fold(snapshot)(c =>
       snapshot.repartitionByRange(nRanges, col(c)).sortWithinPartitions(c))
     commit(fs, rootP, Manifest(v, "compact", base.version,
-      Seq(writeDataDir(laidOut, rootP, v))))
+      Seq(writeDataDir(laidOut, rootP, v, base.partitionCols)),
+      partitionCols = base.partitionCols))
   }
 
   /** Commit-log history as a DataFrame (version, op, base_version, n_dirs)

@@ -242,6 +242,44 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.latestVersion(spark, root) === 3)
   }
 
+  test("partitioned layout: fixed at create, inherited by append and COW rewrites") {
+    val root = freshRoot("partitioned")
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).as("yr"))
+    val m1 = VersionedTable.create(spark, root,
+      o.filter(col("o_orderkey") % 2 === 0), partitionCols = Seq("yr"))
+    assert(m1.partitionCols === Seq("yr"))
+    VersionedTable.append(spark, root, o.filter(col("o_orderkey") % 2 === 1))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both data dirs carry hive partition subdirs
+    for (d <- Seq("d-00000001", "d-00000002")) {
+      val subdirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, d))
+        .filter(_.isDirectory).map(_.getPath.getName)
+      assert(subdirs.exists(_.startsWith("yr=")), s"$d: ${subdirs.toSeq}")
+    }
+    // snapshot read reconstitutes the partition column across dirs
+    val now = VersionedTable.readLatest(spark, root)
+    assert(now.columns.contains("yr"))
+    assert(now.count() === o.count())
+    // a COW delete's rewrite keeps the layout (manifest + disk)
+    val m3 = VersionedTable.deleteWhere(spark, root, col("o_orderstatus") === "F")
+    assert(m3.partitionCols === Seq("yr"))
+    val rewritten = m3.dataDirs.filter(_ == "d-00000003")
+    assert(rewritten.nonEmpty)
+    val sub3 = fs.listStatus(new org.apache.hadoop.fs.Path(root, "d-00000003"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(sub3.exists(_.startsWith("yr=")), sub3.toSeq.toString)
+    assert(VersionedTable.readLatest(spark, root).count() ===
+      o.filter(col("o_orderstatus") =!= "F").count())
+    // partition-predicate reads prune: plan shows a partition filter
+    val plan = VersionedTable.readLatest(spark, root)
+      .filter(col("yr") === 1995)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan.take(2000))
+  }
+
   test("delete that empties the table still commits a readable empty snapshot") {
     val root = freshRoot("empty")
     VersionedTable.create(spark, root, orders.limit(20))
