@@ -221,16 +221,21 @@ object Graph {
       fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).barrierCut
-    for (_ <- 1 to iterations) {
-      labels = und
-        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a").as("id"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("id")
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
-        .select(col("id"), (-col("best.neg")).as("lbl"))
-        .barrierCut
-    }
+    for (_ <- 1 to iterations)
+      labels = lpaRound(und, labels).barrierCut
     labels.select(col("id"), col("lbl").as("label"))
   }
+
+  /** One synchronous LPA round — exposed package-private so PlanSpec can
+    * pin its shape pre-barrier (the barrier executes rounds eagerly, so
+    * the returned frame's plan no longer contains them): join + two
+    * partial-agg levels, argmax as `max(struct(cnt, -label))`, never a
+    * window. */
+  private[graft] def lpaRound(und: DataFrame, labels: DataFrame): DataFrame =
+    und.join(labels.withColumnRenamed("id", "b"), Seq("b"))
+      .groupBy(col("a").as("id"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
+      .select(col("id"), (-col("best.neg")).as("lbl"))
 }

@@ -340,6 +340,22 @@ class PlanSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("label propagation rounds are partial-agg argmax shapes, never windows") {
+    // the per-round per-node argmax must stay max(struct(cnt,-label))
+    // (partial-aggregated both levels) — a row_number-over-window
+    // rewrite would shuffle-and-sort the full neighbor-label multiset.
+    // Asserted on the round function directly: inside labelPropagation
+    // the barrier executes rounds eagerly, so the returned frame's plan
+    // no longer contains them.
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "lbl")
+    val plan = executedPlan(graft.operators.Graph.lpaRound(und, labels))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_count"), plan.take(2000))
+    assert(plan.contains("partial_max"), plan.take(2000))
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
