@@ -143,14 +143,36 @@ object VersionedTable {
     m
   }
 
+  /** Exclusive data-dir allocation: claim the first free `d-%08d` at or
+    * above `startV` by atomically creating its `.claim` marker
+    * (`create(overwrite = false)` — exclusive on HDFS), then write with
+    * APPEND semantics into the claimed-and-fresh directory. Nothing is
+    * ever overwritten: a concurrent writer racing for the same number
+    * loses the claim and takes the next one, so the losing commit can
+    * never have clobbered the winner's bytes (the hazard an
+    * overwrite-by-version-number convention would carry). Crash orphans
+    * — claimed or written but never referenced by a manifest — are
+    * exactly what [[vacuum]] reclaims; dir numbers may therefore run
+    * ahead of versions, which nothing assumes away (manifests reference
+    * dirs by NAME). The dot-prefixed marker is invisible to parquet
+    * readers and to `d-\\d{8}` sweeps. */
   private def writeDataDir(df: DataFrame, root: Path, v: Int,
       partitionCols: Seq[String] = Nil): String = {
-    val dir = f"d-$v%08d"
-    // d-{v} can pre-exist only as the orphan of an attempt that crashed
-    // between data write and manifest publish (committed manifests never
-    // reference a dir numbered above their own version), so Overwrite is
-    // the crash-retry semantics, not a data risk.
-    val w = df.write.mode(SaveMode.Overwrite)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    var n = v
+    var dir: String = null
+    while (dir == null) {
+      val cand = f"d-$n%08d"
+      if (!fs.exists(new Path(root, cand))) {
+        try {
+          val out = fs.create(new Path(new Path(root, cand), ".claim"), false)
+          out.close()
+          dir = cand
+        } catch { case _: java.io.IOException => () } // lost the claim race
+      }
+      n += 1
+    }
+    val w = df.write.mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(new Path(root, dir).toString)
     dir

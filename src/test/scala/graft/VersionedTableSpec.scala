@@ -280,6 +280,28 @@ class VersionedTableSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan.take(2000))
   }
 
+  test("data-dir allocation skips occupied numbers instead of overwriting") {
+    val root = freshRoot("alloc")
+    VersionedTable.create(spark, root, orders.limit(4))
+    // simulate a concurrent writer's claimed-but-uncommitted dir at the
+    // next number: the append must NOT clobber it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foreign = new org.apache.hadoop.fs.Path(root, "d-00000002")
+    fs.mkdirs(foreign)
+    fs.create(new org.apache.hadoop.fs.Path(foreign, ".claim"), false).close()
+    val m = VersionedTable.append(spark, root, orders.limit(2))
+    assert(m.version === 2)
+    assert(m.dataDirs === Seq("d-00000001", "d-00000003"),
+      s"must skip the foreign dir: ${m.dataDirs}")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(foreign, ".claim")),
+      "foreign claim must survive untouched")
+    assert(VersionedTable.readLatest(spark, root).count() === 6)
+    // the orphan is unreferenced -> vacuum reclaims it
+    val dead = VersionedTable.vacuum(spark, root, keepVersions = 2)
+    assert(dead === Seq("d-00000002"))
+  }
+
   test("delete that empties the table still commits a readable empty snapshot") {
     val root = freshRoot("empty")
     VersionedTable.create(spark, root, orders.limit(20))
