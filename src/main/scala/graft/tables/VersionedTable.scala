@@ -193,15 +193,43 @@ object VersionedTable {
       partitionCols = partitionCols))
   }
 
-  /** Append-only commit: one new directory, prior bytes untouched. */
+  /** Append-only commit: one new directory, prior bytes untouched.
+    * CONCURRENT appenders all succeed: appends commute (each commit is
+    * "base snapshot + my directory"), so losing the manifest race just
+    * re-reads the new base and re-commits the already-written directory
+    * — no data is rewritten on retry, and the claim-allocated directory
+    * cannot have been clobbered by the winner. Non-commuting commits
+    * (delete/upsert/overwrite, whose rewrite is against a specific
+    * snapshot) deliberately do NOT retry: they throw, and the caller
+    * re-runs the whole operation against the new state. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      tag: String = ""): Manifest = {
+      tag: String = "", maxRetries: Int = 5): Manifest = {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
-    commit(fs, rootP, Manifest(base.version + 1, "append", base.version,
-      base.dataDirs :+
-        writeDataDir(df, rootP, base.version + 1, base.partitionCols),
-      tag, base.partitionCols))
+    val dir = writeDataDir(df, rootP, base.version + 1, base.partitionCols)
+    commitAppendLoop(fs, rootP, dir, tag, base.version, maxRetries)
+  }
+
+  /** Optimistic append-commit loop (package-visible so the spec can
+    * drive the retry branch with a deliberately stale base guess). */
+  private[graft] def commitAppendLoop(fs: FileSystem, rootP: Path,
+      dir: String, tag: String, baseGuess: Int, maxRetries: Int): Manifest = {
+    var baseV = baseGuess
+    var attempt = 0
+    while (true) {
+      val base = readManifest(fs, rootP, baseV)
+      try {
+        return commit(fs, rootP, Manifest(base.version + 1, "append",
+          base.version, base.dataDirs :+ dir, tag, base.partitionCols))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          baseV = existingVersions(fs, rootP).lastOption.getOrElse(
+            throw new IllegalStateException(s"log vanished under $rootP", e))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write-audit-publish INSIDE the format: the batch is staged as its
@@ -232,8 +260,7 @@ object VersionedTable {
         bad.map { case (n, c) => s"$n=$c" }.mkString(", ") +
         (if (swept) "" else s"; staging NOT swept at $dir"))
     }
-    commit(fs, rootP, Manifest(v, "append", base.version,
-      base.dataDirs :+ dir, tag, base.partitionCols))
+    commitAppendLoop(fs, rootP, dir, tag, base.version, maxRetries = 5)
   }
 
   /** Idempotent tagged append — the exactly-once sink primitive: if any

@@ -302,6 +302,29 @@ class VersionedTableSpec extends SparkTestBase {
     assert(dead === Seq("d-00000002"))
   }
 
+  test("append retries past a lost commit race, re-committing the same dir") {
+    val root = freshRoot("retry")
+    VersionedTable.create(spark, root, orders.limit(3))       // v1, d-1
+    VersionedTable.append(spark, root, orders.limit(2))       // v2, d-2 (the "racer")
+    // stage a directory the way a concurrent appender would have, then
+    // drive the commit loop with a STALE base guess (v1): the first
+    // attempt collides with the racer's v2 and must retry onto v3,
+    // committing the already-written directory without rewriting it
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    orders.limit(1).write.parquet(new org.apache.hadoop.fs.Path(rootP, "d-00000099").toString)
+    val m = VersionedTable.commitAppendLoop(fs, rootP, "d-00000099", "",
+      baseGuess = 1, maxRetries = 5)
+    assert(m.version === 3 && m.baseVersion === 2)
+    assert(m.dataDirs === Seq("d-00000001", "d-00000002", "d-00000099"))
+    assert(VersionedTable.readLatest(spark, root).count() === 6)
+    // retries exhausted -> the conflict surfaces
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commitAppendLoop(fs, rootP, "d-00000099", "",
+        baseGuess = 1, maxRetries = 0)
+    }
+  }
+
   test("delete that empties the table still commits a readable empty snapshot") {
     val root = freshRoot("empty")
     VersionedTable.create(spark, root, orders.limit(20))
