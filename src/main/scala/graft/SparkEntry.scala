@@ -2700,6 +2700,19 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "scaled")
         .orderBy("event_id")),
 
+    // Per-type exact quartile binning: boundaries broadcast back over
+    // the stream (the scaling-trio shape), bucket = codegen'd when-chain
+    // count of boundaries strictly below the value. Fully oracled
+    // (percentile == quantile_cont, ties to the lower bucket on both
+    // sides).
+    "q_bucketize" -> ((s, dir) =>
+      graft.operators.Events.quantileBucketize(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "event_type", "value", Seq(0.25, 0.5, 0.75))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("bucket").cast("int").as("bucket"))
+        .orderBy("event_id")),
+
     // K-means cluster assignment (5 Lloyd rounds, k=8): scan-stage
     // argmin over kernel dots, k×d centroid state per round. Cluster
     // ids aren't SQL-expressible → rows-only; recovery contracts in
@@ -4780,6 +4793,20 @@ object SparkEntry {
         |SELECT event_id, event_type, value,
         |       (value - med) / NULLIF(iqr, 0) AS scaled
         |FROM events JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // exact quartile binning; ties to the LOWER bucket (strict >), the
+    // same interpolation parity as q_robust_scale
+    "q_bucketize" ->
+      """WITH b AS (SELECT event_type,
+        |             quantile_cont(value, 0.25) AS b1,
+        |             quantile_cont(value, 0.5)  AS b2,
+        |             quantile_cont(value, 0.75) AS b3
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |       CAST(CASE WHEN value > b3 THEN 3 WHEN value > b2 THEN 2
+        |                 WHEN value > b1 THEN 1 ELSE 0 END AS INT) AS bucket
+        |FROM events JOIN b USING (event_type)
         |ORDER BY event_id""".stripMargin,
 
     "q_minmax_scale" ->

@@ -289,6 +289,37 @@ object Events {
       .drop("__med", "__iqr")
   }
 
+  /** Per-key exact quantile bucketization (feature binning — the
+    * discretizer every tabular feature pipeline ships): boundaries are
+    * the EXACT per-key quantiles at `probs` (Spark's `percentile`, with
+    * linear interpolation bit-identical to `quantile_cont` — parity
+    * already proven by [[robustScale]]'s judged oracle), broadcast back
+    * over the stream like the scaling trio, and the bucket id is the
+    * count of boundaries strictly below the value, computed as a
+    * codegen'd `when`-chain over `element_at` — NOT a higher-order
+    * `filter` lambda (interpreted per row; the CLAUDE.md hot-path rule)
+    * and NOT a window (no sort, no per-key partition). Keep `probs`
+    * modest (≤ ~16): the chain is `probs.size` branches wide — past
+    * that, the q_vec_pq lesson says move the boundary table into a
+    * kernel. Ties sit in the LOWER bucket (strict `>`), identically in
+    * the oracle's CASE. Judged `q_bucketize`, fully oracled. */
+  def quantileBucketize(events: DataFrame, keyCol: String, valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.size <= 16 &&
+      probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
+      s"probs must be sorted in (0,1), at most 16: $probs")
+    val bnd = events.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))")
+        .as("__bnd"))
+    val bucket = probs.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col(valueCol) > element_at(col("__bnd"), i + 1), 1)
+        .otherwise(0)
+    }
+    events.join(broadcast(bnd), keyCol)
+      .withColumn("bucket", bucket)
+      .drop("__bnd")
+  }
+
   /** Per-key OLS trend line over event time: `(slope, intercept, n)`
     * from the `regr_slope` / `regr_intercept` aggregates — the
     * degradation / drift detector ("is this sensor's value trending

@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions._
   *    path fails, making the highest-version check race-free — on the
   *    local FS the pre-rename existence check narrows the same race to a
   *    window this single-writer harness never exercises).
+  *  - Concurrency: data dirs are claim-allocated (exclusive `.claim`
+  *    create; nothing ever overwritten), so racing writers cannot
+  *    clobber each other's bytes. APPENDS retry optimistically and all
+  *    succeed (they commute — see [[append]]); non-commuting commits
+  *    (delete/upsert/overwrite) fail the loser, who re-runs against the
+  *    new snapshot.
   *
   * Not copied from Delta/Iceberg: no protocol/txn identifiers, no column
   * stats in manifests, no checkpoints of the log — the log IS small here

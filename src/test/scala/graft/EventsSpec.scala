@@ -285,4 +285,27 @@ class EventsSpec extends SparkTestBase {
       .select("event_id", "ewma").as[(Long, Double)].collect().toMap
     assert(out === Map(1L -> 2.0, 2L -> 3.0, 3L -> 5.5, 4L -> 100.0))
   }
+
+  test("quantileBucketize: ties to the lower bucket, keys isolated, probs validated") {
+    // key A: values 1..4 — quartile boundaries 1.75/2.5/3.25 (linear
+    // interpolation); key B shifted by 100 must bin independently
+    val ev = (1L to 4L).map(i => (i, "A", i.toDouble)) ++
+      (5L to 8L).map(i => (i, "B", (i - 4).toDouble + 100))
+    val df = ev.toDF("event_id", "event_type", "value")
+    val out = Events.quantileBucketize(df, "event_type", "value",
+        Seq(0.25, 0.5, 0.75))
+      .select("event_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3,
+      5L -> 0, 6L -> 1, 7L -> 2, 8L -> 3))
+    // a value EQUAL to a boundary sits in the lower bucket (strict >)
+    val tie = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0))
+      .toDF("event_id", "event_type", "value")
+    val tied = Events.quantileBucketize(tie, "event_type", "value", Seq(0.5))
+      .select("event_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(tied === Map(1L -> 0, 2L -> 0, 3L -> 1)) // median 2.0: the 2.0 row stays low
+    intercept[IllegalArgumentException](
+      Events.quantileBucketize(df, "event_type", "value", Seq(0.75, 0.25)))
+    intercept[IllegalArgumentException](
+      Events.quantileBucketize(df, "event_type", "value", Seq.empty))
+  }
 }
