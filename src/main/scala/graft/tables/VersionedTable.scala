@@ -521,6 +521,26 @@ object VersionedTable {
         .withColumn("_change", lit("delete")))
   }
 
+  /** Incremental-consumer pull: everything that changed after
+    * `sinceVersion`, i.e. [[changes]] from there to the current latest,
+    * plus that latest version number (the consumer's next cursor). The
+    * polling shape every downstream replica / index / cache runs:
+    * `val (delta, cursor) = changesSince(spark, root, lastCursor)` —
+    * apply `delta`, persist `cursor`, repeat. Cost stays two snapshot
+    * scans however many commits elapsed (never a log replay), and a
+    * caller whose cursor is already latest gets an empty frame without
+    * reading any data bytes. */
+  def changesSince(spark: SparkSession, root: String,
+      sinceVersion: Int): (DataFrame, Int) = {
+    val latest = requireExists(spark, root)
+    require(sinceVersion >= 1 && sinceVersion <= latest,
+      s"cursor $sinceVersion outside committed range [1, $latest]")
+    if (sinceVersion == latest)
+      (readVersion(spark, root, latest).limit(0)
+        .withColumn("_change", lit("")), latest)
+    else (changes(spark, root, sinceVersion, latest), latest)
+  }
+
   /** Reference-counting vacuum: drop manifests older than the newest
     * `keepVersions`, then delete every `d-*` directory no RETAINED
     * manifest references. Time travel remains exact for the retained

@@ -142,6 +142,25 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.changes(spark, root, 3, 3).isEmpty)
   }
 
+  test("changesSince: cursor-based incremental pull across several commits") {
+    val root = freshRoot("since")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") <= 100))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") === 200))
+    VersionedTable.deleteWhere(spark, root, col("o_orderkey") <= 10)
+    val (delta, cursor) = VersionedTable.changesSince(spark, root, 1)
+    assert(cursor === 3)
+    // net effect of commits 2..3 vs snapshot 1: +1 insert, 10 deletes
+    assert(delta.filter(col("_change") === "insert").count() === 1)
+    assert(delta.filter(col("_change") === "delete").count() ===
+      orders.filter(col("o_orderkey") <= 10).count())
+    // caught-up cursor: empty delta, same cursor, schema intact
+    val (empty, c2) = VersionedTable.changesSince(spark, root, cursor)
+    assert(c2 === cursor && empty.isEmpty)
+    assert(empty.columns.last === "_change")
+    intercept[IllegalArgumentException](
+      VersionedTable.changesSince(spark, root, 99))
+  }
+
   test("changes across a schema evolution aligns on the union schema") {
     val root = freshRoot("cdf_evolve")
     VersionedTable.create(spark, root,
