@@ -446,6 +446,48 @@ object VersionedTable {
       partitionCols = base.partitionCols))
   }
 
+  /** CDC apply — [[changesSince]]'s consumer half: replays a delta frame
+    * (rows tagged `_change` insert/delete, exactly what [[changes]]
+    * emits) onto THIS table as one commit, keeping a replica an exact
+    * multiset copy of its primary: `val (delta, cursor) =
+    * changesSince(spark, primary, lastCursor); applyChanges(spark,
+    * replica, delta)`. Deletes are full-row MULTISET removals
+    * (`exceptAll` — each delta occurrence removes one instance), applied
+    * copy-on-write: directories provably free of any delete row (full-
+    * row semi-join probe) carry over by name; dirty ones rewrite minus
+    * the deletes, with the inserts landing in the same new directory.
+    * An empty delta commits a no-op version (the sync IS recorded). */
+  def applyChanges(spark: SparkSession, root: String, delta: DataFrame,
+      probeParallelism: Int = 4): Manifest = {
+    require(delta.columns.contains("_change"),
+      "applyChanges expects the _change column produced by changes()")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema
+    val cols = snap.fieldNames.toSeq
+    def shaped(tag: String): DataFrame = graft.engine.Caches.persisted(
+      delta.filter(col("_change") === tag).select(cols.map(col): _*))
+    val deletes = shaped("delete")
+    val inserts = shaped("insert")
+    val (dirty, clean) =
+      if (deletes.isEmpty) (Seq.empty[String], base.dataDirs)
+      else partitionDirty(base.dataDirs, probeParallelism) { d =>
+        !readDirsAs(spark, rootP, Seq(d), snap)
+          .join(deletes, cols, "left_semi").isEmpty
+      }
+    val survivors =
+      if (dirty.isEmpty) None
+      else Some(readDirsAs(spark, rootP, dirty, snap).exceptAll(deletes))
+    val incoming = survivors.fold(inserts)(_.unionByName(inserts))
+    val dirs =
+      if (dirty.isEmpty && inserts.isEmpty) base.dataDirs
+      else clean :+ writeDataDir(incoming, rootP, v, base.partitionCols)
+    commit(fs, rootP, Manifest(v, "cdc", base.version, dirs,
+      partitionCols = base.partitionCols))
+  }
+
   /** Roll the table back to `toVersion`'s snapshot as a NEW commit (the
     * log is append-only; history is never erased). */
   def rollback(spark: SparkSession, root: String, toVersion: Int): Manifest = {

@@ -161,6 +161,36 @@ class VersionedTableSpec extends SparkTestBase {
       VersionedTable.changesSince(spark, root, 99))
   }
 
+  test("applyChanges replays a CDF delta: replica converges to the primary multiset") {
+    val primary = freshRoot("cdc_primary")
+    val replica = freshRoot("cdc_replica")
+    VersionedTable.create(spark, primary, orders.filter(col("o_orderkey") <= 3000))
+    // replica seeded from the primary's v1 snapshot
+    VersionedTable.create(spark, replica,
+      VersionedTable.readVersion(spark, primary, 1))
+    // primary moves on: append, COW delete, upsert
+    VersionedTable.append(spark, primary,
+      orders.filter(col("o_orderkey") > 3000))
+    VersionedTable.deleteWhere(spark, primary, col("o_orderstatus") === "P")
+    import spark.implicits._
+    VersionedTable.upsert(spark, primary,
+      Seq((8L, 777L, "Z")).toDF("o_orderkey", "o_custkey", "o_orderstatus"),
+      Seq("o_orderkey"))
+    // one pull + one apply
+    val (delta, cursor) = VersionedTable.changesSince(spark, primary, 1)
+    VersionedTable.applyChanges(spark, replica, delta)
+    val p = VersionedTable.readLatest(spark, primary)
+    val r = VersionedTable.readLatest(spark, replica)
+    assert(r.count() === p.count())
+    assert(r.exceptAll(p).isEmpty && p.exceptAll(r).isEmpty,
+      "replica must equal the primary as a multiset")
+    // a second, empty sync still commits (the sync is recorded)
+    val (d2, _) = VersionedTable.changesSince(spark, primary, cursor)
+    val m = VersionedTable.applyChanges(spark, replica, d2)
+    assert(m.op === "cdc")
+    assert(VersionedTable.readLatest(spark, replica).count() === p.count())
+  }
+
   test("changes across a schema evolution aligns on the union schema") {
     val root = freshRoot("cdf_evolve")
     VersionedTable.create(spark, root,
