@@ -137,9 +137,17 @@ object VersionedTable {
     if (fs.exists(dst))
       throw new java.util.ConcurrentModificationException(
         s"version ${m.version} already committed at $dst")
-    val tmp = new Path(log, f".${m.version}%08d.json.tmp")
+    // tmp name is salted with the manifest CONTENT hash: two committers
+    // racing for the same version never share a tmp file (with one
+    // shared name, a racer's create-overwrite could swap content under
+    // the first writer between its write and its rename — publishing a
+    // manifest the "winner" never wrote). Identical content hashing to
+    // the same name is harmless: either rename publishes the same bytes.
+    val body = renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val salt = f"${java.util.Arrays.hashCode(body) & 0x7fffffff}%08x"
+    val tmp = new Path(log, f".${m.version}%08d-$salt.json.tmp")
     val out = fs.create(tmp, true)
-    try out.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(body)
     finally out.close()
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
@@ -586,18 +594,37 @@ object VersionedTable {
   /** Reference-counting vacuum: drop manifests older than the newest
     * `keepVersions`, then delete every `d-*` directory no RETAINED
     * manifest references. Time travel remains exact for the retained
-    * window; returns the reclaimed directory names. */
+    * window; returns the reclaimed directory names.
+    *
+    * MAINTENANCE-WINDOW CONTRACT: run with no in-flight writers. A
+    * writer between claim and commit holds a directory no manifest
+    * references yet — indistinguishable from a crash orphan, so this
+    * sweep would reclaim it (the same tradeoff Delta resolves with a
+    * retention-hours threshold; a version-count format has no wall
+    * clock to threshold on, and a nightly vacuum in the compaction
+    * window is the deployment shape anyway). */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the latest version")
     val (fs, rootP) = fsOf(spark, root)
     val latest = requireExists(spark, root)
     val keepFrom = math.max(1, latest - keepVersions + 1)
-    val referenced = (keepFrom to latest)
+    // intersect with what still exists: a prior vacuum with a TIGHTER
+    // retention may already have trimmed into this window, and a
+    // re-widened keepVersions must not try to read those manifests back
+    val have = existingVersions(fs, rootP).toSet
+    val referenced = (keepFrom to latest).filter(have)
       .flatMap(readManifest(fs, rootP, _).dataDirs).toSet
-    (1 until keepFrom).foreach(v => fs.delete(manifestPath(rootP, v), false))
+    (1 until keepFrom).filter(have)
+      .foreach(v => fs.delete(manifestPath(rootP, v), false))
     val dead = fs.listStatus(rootP).map(_.getPath.getName)
       .filter(n => n.matches("d-\\d{8}") && !referenced.contains(n)).toSeq.sorted
     dead.foreach(d => fs.delete(new Path(rootP, d), true))
+    // manifest tmps orphaned by a crash between write and rename:
+    // dot-prefixed, invisible to readers, safe to sweep under the
+    // no-in-flight-writers contract
+    fs.listStatus(new Path(rootP, LogDir)).map(_.getPath)
+      .filter(_.getName.matches("\\..*\\.json\\.tmp"))
+      .foreach(fs.delete(_, false))
     dead
   }
 }

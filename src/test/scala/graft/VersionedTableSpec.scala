@@ -105,6 +105,18 @@ class VersionedTableSpec extends SparkTestBase {
     intercept[Exception](VersionedTable.readVersion(spark, root, 1).count())
   }
 
+  test("vacuum with a re-widened retention tolerates the already-trimmed tail") {
+    val root = freshRoot("revacuum")
+    VersionedTable.create(spark, root, orders.limit(5))
+    VersionedTable.overwrite(spark, root, orders.limit(4))
+    VersionedTable.overwrite(spark, root, orders.limit(3))
+    VersionedTable.vacuum(spark, root, keepVersions = 1) // trims v1, v2
+    // a LARGER window than what survives must not read deleted manifests
+    val dead = VersionedTable.vacuum(spark, root, keepVersions = 5)
+    assert(dead.isEmpty)
+    assert(VersionedTable.readLatest(spark, root).count() === 3)
+  }
+
   test("conflicting commit for the same version loses with the log intact") {
     val root = freshRoot("conflict")
     VersionedTable.create(spark, root, orders.limit(3))
