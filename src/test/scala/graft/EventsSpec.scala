@@ -286,6 +286,29 @@ class EventsSpec extends SparkTestBase {
     assert(out === Map(1L -> 2.0, 2L -> 3.0, 3L -> 5.5, 4L -> 100.0))
   }
 
+  test("interpolateLinear: line between brackets, edge fill both directions, keys isolated") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00", Some(2.0)),
+      (2L, 10L, "2026-01-01 11:00:00", None),       // 1/3 of the way 10:00->13:00
+      (3L, 10L, "2026-01-01 13:00:00", Some(8.0)),  // => 2 + 6*(1/3) = 4
+      (4L, 10L, "2026-01-01 14:00:00", None),       // trailing -> hold 8
+      (5L, 20L, "2026-01-01 09:00:00", None),       // leading -> backfill 50
+      (6L, 20L, "2026-01-01 10:00:00", Some(50.0)))
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.interpolateLinear(ev, "user_id", "ts", "event_id", "value")
+      .select("event_id", "filled").as[(Long, Double)].collect().toMap
+    assert(out(1L) === 2.0 && out(3L) === 8.0)
+    assert(out(2L) === 4.0, s"interpolated ${out(2L)}")
+    assert(out(4L) === 8.0 && out(5L) === 50.0 && out(6L) === 50.0)
+    // an all-null key stays null
+    val allNull = Seq((7L, 30L, "2026-01-01 10:00:00", Option.empty[Double]))
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    assert(Events.interpolateLinear(allNull, "user_id", "ts", "event_id", "value")
+      .filter(col("filled").isNull).count() === 1)
+  }
+
   test("quantileBucketize: ties to the lower bucket, keys isolated, probs validated") {
     // key A: values 1..4 — quartile boundaries 1.75/2.5/3.25 (linear
     // interpolation); key B shifted by 100 must bin independently
