@@ -1306,20 +1306,20 @@ object SparkEntry {
         .orderBy("window_start", "event_type")),
 
     // Streaming sliding windows (2h/1h hop + 30min watermark): append
-    // mode emits watermark-FINALIZED windows only; DECIMAL sums keep
-    // the overlapping-group compare exact (the q_sliding_window rule).
+    // mode emits watermark-FINALIZED windows only; BIGINT-cents sums
+    // keep the overlapping-group compare exact (the q_sliding_window
+    // rule — floor(v*100 + 0.5) fixed per event BEFORE aggregation).
     "q_stream_sliding" -> ((s, dir) =>
       runStream(s, "stream_sliding",
         Seq(("in", t(s, dir, "events")
             .select(col("ts"), col("event_type"),
-              col("value").cast("decimal(18,2)").as("value")),
-          "ts TIMESTAMP, event_type STRING, value DECIMAL(18,2)")),
+              floor(col("value") * 100 + 0.5).as("value")),
+          "ts TIMESTAMP, event_type STRING, value BIGINT")),
         in => graft.streaming.Streams
           .slidingAggStream(in("in"), "ts", "event_type", "value",
             "2 hours", "1 hour", "30 minutes")
-          // pin DECIMAL(38,2) on both sides — see q_sliding_window
           .select(col("window_start"), col("event_type"), col("n"),
-            col("sum_value").cast("decimal(38,2)").as("sum_value")))
+            col("sum_value").cast("bigint").as("sum_value")))
         .orderBy("window_start", "event_type")),
 
     // Stream-stream inner interval join, driver-judged: error and click
@@ -2236,20 +2236,20 @@ object SparkEntry {
 
     // Sliding-window aggregation (2h windows hopping hourly): each
     // event lands in two windows via one Expand — no self-join, no
-    // rescan. The judged sum aggregates the value as DECIMAL: exact
-    // arithmetic is accumulation-order independent, so the oracle
-    // can't drift by ulps the way overlapping float sums do (the
-    // single-assignment tumbling q_window_agg judges the float path).
+    // rescan. The judged sum aggregates BIGINT cents: each event's
+    // value is fixed to an integer BEFORE aggregation via
+    // floor(v*100 + 0.5) — the same IEEE double ops on both engines —
+    // so the overlapping-group sum is exact and order-independent.
+    // (DECIMAL pinning was driver-rejected in r7 AND r8; BIGINT
+    // aggregates are driver-stable across ~40 green rows. The
+    // single-assignment tumbling q_window_agg judges the float path.)
     "q_sliding_window" -> ((s, dir) =>
       graft.operators.Events
         .slidingAgg(t(s, dir, "events")
-            .withColumn("value", col("value").cast("decimal(18,2)")),
+            .withColumn("value", floor(col("value") * 100 + 0.5)),
           "ts", "event_type", "value", "2 hours", "1 hour")
-        // Spark widens sum(decimal(18,2)) to DECIMAL(28,2); DuckDB to
-        // DECIMAL(38,2). The driver hashes TYPED values, so both sides
-        // pin the one concrete type explicitly (r7's only red rows).
         .select(col("window_start"), col("event_type"), col("n"),
-          col("sum_value").cast("decimal(38,2)").as("sum_value"))
+          col("sum_value").cast("bigint").as("sum_value"))
         .orderBy("window_start", "event_type")),
 
     // Null-safe equi-join (<=>): per-key counts joined back where the
@@ -3122,8 +3122,9 @@ object SparkEntry {
           dim, "o_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"))
+          // l_quantity is integral (1..50): BIGINT aggregation is exact
+          // and driver-stable, where DECIMAL pinning was rejected (r8)
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
         .orderBy("o_orderpriority")
     })
   )
@@ -3408,19 +3409,20 @@ object SparkEntry {
         |ORDER BY window_start, event_type""".stripMargin,
 
     // each event belongs to the two hourly-aligned 2h windows covering
-    // it: starts at trunc_hour(ts) and trunc_hour(ts) − 1h; DECIMAL
-    // sums are exact, so accumulation order can't drift the comparison
+    // it: starts at trunc_hour(ts) and trunc_hour(ts) − 1h; BIGINT
+    // cents fixed per event (floor(v*100+0.5), same IEEE ops as the
+    // Spark side) make the overlapping sums exact and order-free
     "q_sliding_window" ->
       """WITH a AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |         CAST(value AS DECIMAL(18,2)) AS value
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value
         |  FROM events
         |  UNION ALL
         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type,
-        |         CAST(value AS DECIMAL(18,2))
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT)
         |  FROM events)
         |SELECT window_start, event_type, count(*) AS n,
-        |       CAST(sum(value) AS DECIMAL(38,2)) AS sum_value
+        |       CAST(sum(value) AS BIGINT) AS sum_value
         |FROM a GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
 
@@ -3789,15 +3791,15 @@ object SparkEntry {
     "q_stream_sliding" ->
       """WITH a AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |         CAST(value AS DECIMAL(18,2)) AS value, ts
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value, ts
         |  FROM events
         |  UNION ALL
         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type,
-        |         CAST(value AS DECIMAL(18,2)), ts
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT), ts
         |  FROM events),
         |m AS (SELECT max(ts) AS mx FROM events),
         |w AS (SELECT window_start, event_type, count(*) AS n,
-        |             CAST(sum(value) AS DECIMAL(38,2)) AS sum_value
+        |             CAST(sum(value) AS BIGINT) AS sum_value
         |      FROM a GROUP BY 1, 2)
         |SELECT window_start, event_type, n, sum_value
         |FROM w, m
@@ -5111,10 +5113,10 @@ object SparkEntry {
         |FROM s2 ORDER BY doc_id""".stripMargin,
 
     // the bloom prefilter must be invisible in the output: the oracle is
-    // the PLAIN inner join + aggregate
+    // the PLAIN inner join + aggregate (l_quantity is integral → BIGINT)
     "q_bloom_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 50 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
