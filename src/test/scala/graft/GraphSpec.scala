@@ -27,6 +27,20 @@ class GraphSpec extends SparkTestBase {
     assert(m(1L) > m(2L) && m(3L) > m(2L))
   }
 
+  test("pageRank collapses non-long keys BEFORE distinct (unit edges stay unit)") {
+    // "1" and "1.0"-style inputs that equal only after the long cast
+    // must collapse to ONE unit edge; casting after distinct would let
+    // both survive and double the edge weight downstream (r8 advice)
+    val stringEdges = Seq(("1", "2"), ("01", "2"), ("2", "1"))
+      .toDF("src", "dst")
+    val longEdges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = Graph.pageRank(stringEdges, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(longEdges, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+  }
+
   test("dangling nodes leak mass by documented design") {
     // node 2 has no out-edges: its rank mass is dropped, not redistributed
     // (the operator doc states the trade and the normalized alternative)

@@ -246,6 +246,24 @@ class VectorSpec extends SparkTestBase {
     assert(run() === got) // deterministic across invocations
   }
 
+  test("kmeansAssign k = 1: every row lands in cluster 0") {
+    // the k = 1 degenerate case short-circuits the argmin (no array
+    // build, no farthest-first traversal) — r8 advice regression pin
+    val emb = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(-3.0, 4.0)),
+      (2L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    val out = Vectors.kmeansAssign(emb, "vec_id", "v", k = 1, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(0L -> 0, 1L -> 0, 2L -> 0))
+  }
+
+  test("pcaProject rejects empty input with the contract message") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Vectors.pcaProject(empty, "vec_id", "v", 1)
+    }
+    assert(e.getMessage.contains("pcaProject needs > 1 vector, got 0"))
+  }
+
   test("pcaProject recovers the dominant direction; component variances ordered") {
     // anisotropic 4-D corpus: huge spread along (1,1,0,0)/√2, medium
     // along (0,0,1,0), tiny deterministic jitter along (0,0,0,1)
