@@ -341,9 +341,13 @@ object Events {
     * the oracle's CASE. Judged `q_bucketize`, fully oracled. */
   def quantileBucketize(events: DataFrame, keyCol: String, valueCol: String,
       probs: Seq[Double]): DataFrame = {
+    // STRICTLY increasing: a duplicated prob duplicates its boundary,
+    // the when-chain then counts it twice and a bucket id is silently
+    // skipped — diverging from any oracle with distinct CASE branches
     require(probs.nonEmpty && probs.size <= 16 &&
-      probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
-      s"probs must be sorted in (0,1), at most 16: $probs")
+      probs.sliding(2).forall(p => p.size < 2 || p.head < p.last) &&
+      probs.forall(p => p > 0 && p < 1),
+      s"probs must be strictly increasing in (0,1), at most 16: $probs")
     val bnd = events.groupBy(col(keyCol))
       .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))")
         .as("__bnd"))

@@ -36,14 +36,17 @@ import org.apache.spark.sql.functions._
   *  - Commits are atomic via write-tmp-then-rename of the manifest file
   *    (the HDFS atomic-publish idiom; on HDFS a rename onto an existing
   *    path fails, making the highest-version check race-free — on the
-  *    local FS the pre-rename existence check narrows the same race to a
-  *    window this single-writer harness never exercises).
+  *    local FS POSIX rename silently replaces, so after the rename the
+  *    destination is read back and byte-compared: a committer whose
+  *    manifest was swapped out detects it and throws instead of
+  *    reporting a dropped commit as success).
   *  - Concurrency: data dirs are claim-allocated (exclusive `.claim`
   *    create; nothing ever overwritten), so racing writers cannot
   *    clobber each other's bytes. APPENDS retry optimistically and all
-  *    succeed (they commute — see [[append]]); non-commuting commits
-  *    (delete/upsert/overwrite) fail the loser, who re-runs against the
-  *    new snapshot.
+  *    succeed (they commute — see [[append]]); the guarantee is exact on
+  *    HDFS-semantics filesystems and read-back-verified on the local FS.
+  *    Non-commuting commits (delete/upsert/overwrite) fail the loser,
+  *    who re-runs against the new snapshot.
   *
   * Not copied from Delta/Iceberg: no protocol/txn identifiers, no column
   * stats in manifests, no checkpoints of the log — the log IS small here
@@ -154,6 +157,25 @@ object VersionedTable {
       throw new java.util.ConcurrentModificationException(
         s"commit of version ${m.version} lost the publish race for $dst")
     }
+    // POSIX (RawLocalFileSystem) rename silently REPLACES an existing
+    // destination, unlike HDFS — two same-version committers could both
+    // "succeed" with one manifest dropped. Re-reading the destination
+    // and comparing bytes narrows that window to near-zero on local FS
+    // (and is a no-op read of a tiny file on HDFS, where rename-no-
+    // replace already guarantees exclusivity).
+    val published = {
+      val in = fs.open(dst)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var r = in.read(chunk)
+        while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    }
+    if (!java.util.Arrays.equals(published, body))
+      throw new java.util.ConcurrentModificationException(
+        s"commit of version ${m.version} was replaced at $dst by a racing committer")
     m
   }
 
@@ -186,8 +208,17 @@ object VersionedTable {
       }
       n += 1
     }
+    // a hive-partitioned write of an EMPTY frame emits no parquet files
+    // at all (no partition values → no dirs), leaving a snapshot that
+    // later fails schema inference; write empty frames unpartitioned —
+    // the partition columns stay as ordinary columns in the one
+    // schema-carrying empty file, and unionByName across directories is
+    // unaffected (pruning is moot on zero rows). The probe is a limit-1
+    // job, paid only on partitioned tables.
+    val effectiveCols =
+      if (partitionCols.nonEmpty && df.isEmpty) Nil else partitionCols
     val w = df.write.mode(SaveMode.Append)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+    (if (effectiveCols.nonEmpty) w.partitionBy(effectiveCols: _*) else w)
       .parquet(new Path(root, dir).toString)
     dir
   }
@@ -586,7 +617,12 @@ object VersionedTable {
     require(sinceVersion >= 1 && sinceVersion <= latest,
       s"cursor $sinceVersion outside committed range [1, $latest]")
     if (sinceVersion == latest)
-      (readVersion(spark, root, latest).limit(0)
+      // mergeSchema: the caught-up empty delta must still carry the
+      // UNION schema — a single-footer read on a schema-evolved table
+      // can omit evolved columns, and applyChanges on that frame would
+      // then fail selecting the replica's union schema instead of
+      // committing the documented no-op sync version
+      (readVersion(spark, root, latest, mergeSchema = true).limit(0)
         .withColumn("_change", lit("")), latest)
     else (changes(spark, root, sinceVersion, latest), latest)
   }

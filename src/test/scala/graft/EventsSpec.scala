@@ -330,5 +330,9 @@ class EventsSpec extends SparkTestBase {
       Events.quantileBucketize(df, "event_type", "value", Seq(0.75, 0.25)))
     intercept[IllegalArgumentException](
       Events.quantileBucketize(df, "event_type", "value", Seq.empty))
+    // duplicated prob → duplicated boundary → a bucket id silently
+    // skipped; rejected up front (strict monotonicity, r9 advice)
+    intercept[IllegalArgumentException](
+      Events.quantileBucketize(df, "event_type", "value", Seq(0.5, 0.5)))
   }
 }

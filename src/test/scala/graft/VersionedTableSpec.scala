@@ -394,4 +394,42 @@ class VersionedTableSpec extends SparkTestBase {
     assert(now.isEmpty && now.columns.toSeq ===
       Seq("o_orderkey", "o_custkey", "o_orderstatus"))
   }
+
+  test("PARTITIONED delete that empties the table commits a readable empty snapshot") {
+    // a hive-partitioned write of an empty rewrite frame emits no
+    // parquet files (no partition values → no dirs) — the empty frame
+    // must land unpartitioned so the snapshot keeps a schema-carrying
+    // file (r9 advice: the unpartitioned twin above passed while this
+    // case committed an unreadable latest version)
+    val root = freshRoot("empty_part")
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).as("yr"))
+    VersionedTable.create(spark, root, o.limit(20), partitionCols = Seq("yr"))
+    VersionedTable.deleteWhere(spark, root, lit(true))
+    val now = VersionedTable.readLatest(spark, root)
+    assert(now.isEmpty)
+    assert(now.columns.toSet === Set("o_orderkey", "o_orderstatus", "yr"))
+  }
+
+  test("changesSince caught-up on an evolved table: empty delta carries the union schema") {
+    val root = freshRoot("since_evolved")
+    VersionedTable.create(spark, root,
+      orders.filter(col("o_orderkey") <= 10).select("o_orderkey"))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") === 20)
+        .select(col("o_orderkey"), col("o_custkey").as("extra")))
+    val latest = 2
+    val (empty, c) = VersionedTable.changesSince(spark, root, latest)
+    assert(c === latest && empty.isEmpty)
+    // the single-footer fast path could drop "extra"; the caught-up
+    // branch must read with mergeSchema so a replica's applyChanges
+    // commits the documented no-op sync instead of failing the select
+    assert(empty.columns.toSeq === Seq("o_orderkey", "extra", "_change"))
+    val replica = freshRoot("since_evolved_replica")
+    VersionedTable.create(spark, replica,
+      VersionedTable.readLatest(spark, root, mergeSchema = true))
+    val m = VersionedTable.applyChanges(spark, replica, empty)
+    assert(m.version === 2) // no-op sync version committed
+  }
 }
