@@ -884,6 +884,34 @@ object SparkEntry {
       VersionedTable.readLatest(s, table).orderBy("o_orderkey")
     }),
 
+    // Streaming READ of the versioned table — the consumer half of the
+    // CDC loop (q_stream_table_sink is the producer half): commits
+    // after the cursor stream via streamSince + AvailableNow into a
+    // parquet sink. The judged fact is the incremental contract — the
+    // sink holds EXACTLY the two appended slices, v1's snapshot never
+    // re-delivered, catch-up cost = the delta directories' bytes.
+    "q_table_stream_read" -> ((s, dir) => {
+      val root = tmpPath("table_stream_read")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val table = s"$root/table"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      VersionedTable.create(s, table, o.filter(col("o_orderkey") % 7 === 0))
+      VersionedTable.append(s, table, o.filter(col("o_orderkey") % 7 === 1))
+      VersionedTable.append(s, table, o.filter(col("o_orderkey") % 7 === 2))
+      val (st, cursor) = VersionedTable.streamSince(s, table, sinceVersion = 1)
+      require(cursor == 3, s"expected cursor 3, got $cursor")
+      val q = st.writeStream
+        .format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      readTable(s, s"$root/out").orderBy("o_orderkey")
+    }),
+
     // Write-audit-publish sink: the staged version is audited by
     // re-reading its BYTES (non-null key + unique orderkey, through
     // dqChecks) before the rename-aside swap makes it live — a failed
@@ -3293,6 +3321,12 @@ object SparkEntry {
     "q_stream_table_sink" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    // streaming read from cursor 1 delivers exactly commits 2..3 (the
+    // %7=1 and %7=2 appends), never the created %7=0 snapshot
+    "q_table_stream_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 7 IN (1, 2) ORDER BY o_orderkey""".stripMargin,
 
     // publish is audited-then-swapped; the published bytes are the same
     // rows, so the consumer-side aggregate equals the direct one

@@ -412,6 +412,70 @@ class VersionedTableSpec extends SparkTestBase {
     assert(now.columns.toSet === Set("o_orderkey", "o_orderstatus", "yr"))
   }
 
+  private def drainStream(df: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("streamSince delivers exactly the appended commits, cursor advances") {
+    val root = freshRoot("stream_since")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") <= 100))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey").between(101, 200)))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey").between(201, 300)))
+    val (st, cursor) = VersionedTable.streamSince(spark, root, 1)
+    assert(cursor === 3)
+    assert(st.isStreaming)
+    val got = drainStream(st, "ss_basic")
+    // exactly the two appends' rows — v1's snapshot never re-delivered
+    assert(got.count() ===
+      orders.filter(col("o_orderkey").between(101, 300)).count())
+    assert(got.agg(min("o_orderkey")).head.getLong(0) > 100)
+    // caught-up cursor: schema-correct stream that emits nothing
+    val (empty, c2) = VersionedTable.streamSince(spark, root, cursor)
+    assert(c2 === cursor)
+    assert(drainStream(empty, "ss_caught_up").isEmpty)
+  }
+
+  test("streamSince refuses a rewrite in range unless ignoreChanges") {
+    val root = freshRoot("stream_since_cow")
+    VersionedTable.create(spark, root, orders.limit(50))
+    VersionedTable.deleteWhere(spark, root, col("o_orderkey") % 2 === 0)
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.streamSince(spark, root, 1))
+    assert(e.getMessage.contains("v2=delete"))
+    // the escape hatch streams the rewrite dir (survivor re-delivery,
+    // the documented at-least-once trade — Delta's ignoreChanges)
+    val (st, _) = VersionedTable.streamSince(spark, root, 1,
+      ignoreChanges = true)
+    assert(drainStream(st, "ss_cow").count() ===
+      VersionedTable.readLatest(spark, root).count())
+  }
+
+  test("streamSince on a partitioned table reconstitutes partition columns") {
+    val root = freshRoot("stream_since_part")
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).as("yr"))
+    VersionedTable.create(spark, root, o.filter(col("o_orderkey") <= 100),
+      partitionCols = Seq("yr"))
+    VersionedTable.append(spark, root,
+      o.filter(col("o_orderkey").between(101, 180)))
+    val (st, _) = VersionedTable.streamSince(spark, root, 1)
+    val got = drainStream(st, "ss_part")
+    assert(got.columns.contains("yr"))
+    val want = o.filter(col("o_orderkey").between(101, 180))
+    assert(got.count() === want.count())
+    // partition values survive the dir-name round trip
+    assert(got.groupBy("yr").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      === want.groupBy("yr").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+  }
+
   test("changesSince caught-up on an evolved table: empty delta carries the union schema") {
     val root = freshRoot("since_evolved")
     VersionedTable.create(spark, root,
