@@ -38,6 +38,8 @@ object Bench {
       .getOrCreate()
     engine.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("WARN")
+    engine.Tables.schemaDrift(spark, sfDir)
+      .foreach(l => System.err.println(s"[drift] $l"))
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>

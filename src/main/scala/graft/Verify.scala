@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     engine.Tables.bootstrap(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // name any fixture-era drift up front (r8 presented as ~50 cryptic
+    // analysis errors); non-fatal — Tables.apply absorbs known eras
+    engine.Tables.schemaDrift(spark, sfDir)
+      .foreach(l => System.err.println(s"[drift] $l"))
     new java.io.File(outDir).mkdirs()
     // optional subset for local iteration (the driver never sets this)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")

@@ -59,6 +59,93 @@ object Tables {
     }
   }
 
+  /** Expected type FAMILY per harness column — the drift probe's
+    * reference list. Families, not concrete types: the harness
+    * regenerates fixtures between rounds and has already flipped
+    * physical eras (r8: events.ts TIMESTAMP(NANOS) → (MICROS, NTZ)),
+    * so the probe tolerates within-family changes every operator
+    * already absorbs (int widths, timestamp flavors handled by
+    * [[apply]]) and names anything else. */
+  private val expectedFamilies: Map[String, Map[String, String]] = Map(
+    "region" -> Map("r_regionkey" -> "integral", "r_name" -> "string"),
+    "nation" -> Map("n_nationkey" -> "integral", "n_name" -> "string",
+      "n_regionkey" -> "integral"),
+    "customer" -> Map("c_custkey" -> "integral", "c_name" -> "string",
+      "c_nationkey" -> "integral", "c_acctbal" -> "fractional",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Map("s_suppkey" -> "integral", "s_name" -> "string",
+      "s_nationkey" -> "integral", "s_acctbal" -> "fractional"),
+    "part" -> Map("p_partkey" -> "integral", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "integral",
+      "p_retailprice" -> "fractional"),
+    "orders" -> Map("o_orderkey" -> "integral", "o_custkey" -> "integral",
+      "o_orderstatus" -> "string", "o_totalprice" -> "fractional",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Map("l_orderkey" -> "integral", "l_partkey" -> "integral",
+      "l_suppkey" -> "integral", "l_linenumber" -> "integral",
+      "l_quantity" -> "fractional", "l_extendedprice" -> "fractional",
+      "l_discount" -> "fractional", "l_tax" -> "fractional",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Map("event_id" -> "integral", "ts" -> "event-ts",
+      "user_id" -> "integral", "event_type" -> "string",
+      "value" -> "fractional", "props" -> "string"),
+    "documents" -> Map("doc_id" -> "integral", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integral"),
+    "embeddings" -> Map("vec_id" -> "integral",
+      "embedding" -> "numeric-array", "label" -> "integral"))
+
+  private def familyOf(dt: org.apache.spark.sql.types.DataType): Set[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType => Set("integral")
+      // a raw long is ALSO the nanosAsLong read of a NANOS timestamp
+      case LongType => Set("integral", "event-ts")
+      case FloatType | DoubleType | _: DecimalType => Set("fractional")
+      case StringType => Set("string")
+      case TimestampType | TimestampNTZType | DateType =>
+        Set("timestamp", "event-ts")
+      case ArrayType(e, _) if familyOf(e).contains("integral") ||
+        familyOf(e).contains("fractional") => Set("numeric-array")
+      case _ => Set.empty
+    }
+  }
+
+  /** Fixture schema-drift probe: diff each harness table's read schema
+    * against [[expectedFamilies]] and return one human-readable line per
+    * drift — naming the table, column, found type, and expected family —
+    * instead of letting a regenerated fixture surface as dozens of
+    * cryptic per-query analysis errors (how r8's TIMESTAMP-era flip
+    * presented). Missing table files are skipped (partial dirs are a
+    * test concern only); entry points print the lines and continue, so
+    * a drift that [[apply]] actually absorbs costs a warning, not the
+    * round. */
+  def schemaDrift(spark: SparkSession, sfDir: String): Seq[String] =
+    names.flatMap { t =>
+      val path = s"$sfDir/$t.parquet"
+      val exp = expectedFamilies(t)
+      val read =
+        try Some(spark.read.parquet(path).schema)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None // absent: skip
+          case e: Exception =>
+            return Seq(s"$t: unreadable fixture at $path: ${e.getMessage}")
+        }
+      read.toSeq.flatMap { schema =>
+        val found = schema.fields.map(f => f.name -> f.dataType).toMap
+        val missing = (exp.keySet -- found.keySet).toSeq.sorted
+          .map(c => s"$t.$c: column MISSING from fixture (expected ${exp(c)})")
+        val added = (found.keySet -- exp.keySet).toSeq.sorted
+          .map(c => s"$t.$c: unexpected new column (${found(c).simpleString})")
+        val retyped = exp.toSeq.sortBy(_._1).collect {
+          case (c, fam) if found.contains(c) && !familyOf(found(c)).contains(fam) =>
+            s"$t.$c: fixture era changed — read type ${found(c).simpleString} " +
+              s"outside expected family '$fam'; extend Tables.apply for the new era"
+        }
+        missing ++ added ++ retyped
+      }
+    }
+
   /** S1: JSON scan with declared schema; `path` may contain globs
     * (the reference's four-deep song_data glob, etl.py:37). */
   def readJson(spark: SparkSession, schema: StructType, path: String): DataFrame =

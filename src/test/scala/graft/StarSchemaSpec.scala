@@ -153,4 +153,27 @@ class StarSchemaSpec extends SparkTestBase {
     // and the numeric spelling still READS under the fixed schema
     assert(fixed.select("userId").as[String].head() === "10")
   }
+
+  test("schemaDrift: clean on the harness fixture, NAMES a re-typed column") {
+    // the current fixture is by definition a known era — zero drift
+    assert(graft.engine.Tables.schemaDrift(spark, sfDir) === Seq.empty)
+
+    // doctored events fixture: ts re-typed to STRING, props dropped,
+    // a column added — the probe must name each, per table.column,
+    // instead of the ~50 cryptic per-query analysis errors r8 opened
+    // with when the harness flipped events.ts timestamp eras
+    val root = Files.createTempDirectory("graft_drift")
+    spark.range(3)
+      .selectExpr("id AS event_id", "CAST(id AS STRING) AS ts",
+        "id AS user_id", "'click' AS event_type",
+        "CAST(id AS DOUBLE) AS value", "id AS surprise")
+      .write.mode("overwrite").parquet(root.resolve("events.parquet").toString)
+    val drift = graft.engine.Tables.schemaDrift(spark, root.toString)
+    assert(drift.exists(l => l.startsWith("events.ts:") &&
+      l.contains("string") && l.contains("event-ts")), drift.toString)
+    assert(drift.exists(_.startsWith("events.props: column MISSING")), drift.toString)
+    assert(drift.exists(_.startsWith("events.surprise: unexpected new column")), drift.toString)
+    // absent tables are skipped, so only the doctored table reports
+    assert(drift.forall(_.startsWith("events.")), drift.toString)
+  }
 }
