@@ -74,6 +74,15 @@ object Bench {
         // relations across the whole run, charging late queries for early
         // queries' memory pressure
         spark.catalog.clearCache()
+        // localCheckpoint blocks (the barrier family's per-round state)
+        // are freed by the ContextCleaner only after a GC proves the RDDs
+        // unreachable; on an 8g heap with low allocation pressure that
+        // lag let blocks pile across best-of-3 repeats and showed up as
+        // multi-second spreads (r8: q_split_leakfree 15.5s max−min).
+        // Prompting a GC here — off the measured path — bounds each
+        // repeat to its own blocks while honoring reachability (a block
+        // still referenced by a live frame is never touched).
+        System.gc()
         dt
       }.takeWhile(_ => !errors.contains(name)).toSeq // an error ends the query's runs
       if (errors.contains(name)) name -> -1.0
