@@ -201,6 +201,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dsir weights broadcast the log-ratio table; no window, no cartesian-scale join") {
+    val plan = executedPlan(SparkEntry.queries("q_dsir_select")(spark, sfDir))
+    graft.engine.Caches.releaseAll()
+    // the ratio table (bucket-bounded) must come back as a broadcast —
+    // a hash-exchange join here would shuffle the corpus token relation
+    // a second time for vocabulary-scale state
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("interval merge: the rollup reuses the window's hash exchange (one shuffle total)") {
     val plan = executedPlan(SparkEntry.queries("q_interval_merge")(spark, sfDir))
     // hash(user_id) partitioning satisfies the (user_id, span) aggregate's

@@ -476,6 +476,25 @@ class VersionedTableSpec extends SparkTestBase {
       === want.groupBy("yr").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
   }
 
+  test("applyChanges whose deletes empty every dirty dir commits a readable PARTITIONED snapshot") {
+    // the second scenario of the r9 empty-rewrite advice: a CDF delta of
+    // pure deletes covering all rows, applied to a hive-partitioned
+    // replica — the rewrite frame is empty and must still land as a
+    // schema-carrying (unpartitioned) file
+    val root = freshRoot("cdc_empty_part")
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        year(col("o_orderdate")).as("yr"))
+    VersionedTable.create(spark, root, o.limit(10), partitionCols = Seq("yr"))
+    val delta = VersionedTable.readLatest(spark, root)
+      .withColumn("_change", lit("delete"))
+    val m = VersionedTable.applyChanges(spark, root, delta)
+    assert(m.version === 2)
+    val now = VersionedTable.readLatest(spark, root)
+    assert(now.isEmpty)
+    assert(now.columns.toSet === Set("o_orderkey", "o_orderstatus", "yr"))
+  }
+
   test("changesSince caught-up on an evolved table: empty delta carries the union schema") {
     val root = freshRoot("since_evolved")
     VersionedTable.create(spark, root,
