@@ -2294,6 +2294,15 @@ object SparkEntry {
         .tumblingAgg(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
         .orderBy("window_start", "event_type")),
 
+    // Missing-interval detection (the monitoring complement of
+    // sessionize): per-user silences longer than 6h, with integer-second
+    // lengths (`div`, matching DuckDB's //). Fully oracled.
+    "q_gaps" -> ((s, dir) =>
+      graft.operators.Events
+        .gaps(t(s, dir, "events"), "user_id", "ts",
+          gapMinutes = 360, orderTiebreak = "event_id")
+        .orderBy("user_id", "gap_end")),
+
     // Sliding-window aggregation (2h windows hopping hourly): each
     // event lands in two windows via one Expand — no self-join, no
     // rescan. The judged sum aggregates BIGINT cents: each event's
@@ -3491,6 +3500,23 @@ object SparkEntry {
         |       CAST(sum(value) AS BIGINT) AS sum_value
         |FROM a GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // silences = lag pairs over (ts, event_id) order more than 6h apart
+    "q_gaps" ->
+      """WITH l AS (
+        |  SELECT user_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS gap_start,
+        |         ts AS gap_end
+        |  FROM events)
+        |SELECT user_id, gap_start, gap_end,
+        |       (epoch_us(gap_end) - epoch_us(gap_start)) // 1000000
+        |         AS gap_seconds
+        |FROM l
+        |WHERE gap_start IS NOT NULL
+        |  AND epoch_us(gap_end) - epoch_us(gap_start)
+        |      > CAST(360 AS BIGINT) * 60 * 1000000
+        |ORDER BY user_id, gap_end""".stripMargin,
 
     "q_nullsafe_join" ->
       """WITH l AS (SELECT o_orderkey AS orderkey,

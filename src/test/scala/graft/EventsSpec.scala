@@ -335,4 +335,26 @@ class EventsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Events.quantileBucketize(df, "event_type", "value", Seq(0.5, 0.5)))
   }
+
+  test("gaps: silences over the threshold only, keys isolated, duplicate ts safe") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 00:00:00"),
+      (2L, 10L, "2026-01-01 00:20:00"),  // 20 min — under
+      (3L, 10L, "2026-01-01 02:20:00"),  // 120 min — gap
+      (4L, 10L, "2026-01-01 02:20:00"),  // duplicate ts — gap 0, never a silence
+      (5L, 20L, "2026-01-01 00:00:00"),
+      (6L, 20L, "2026-01-02 00:00:00"))  // 24h — gap (key isolated)
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = Events.gaps(ev, "user_id", "ts", gapMinutes = 30,
+        orderTiebreak = "event_id")
+      .select("user_id", "gap_seconds").as[(Long, Long)].collect().sorted
+    assert(out === Seq((10L, 7200L), (20L, 86400L)))
+    // threshold is strict: exactly-30-min spacing is not a silence
+    val edge = Seq((1L, 1L, "2026-01-01 00:00:00"), (2L, 1L, "2026-01-01 00:30:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    assert(Events.gaps(edge, "user_id", "ts", 30, "event_id").isEmpty)
+    intercept[IllegalArgumentException](Events.gaps(ev, "user_id", "ts", 0, "event_id"))
+  }
 }
