@@ -297,6 +297,17 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Forced-ladder BPE fixture: one word per document, a^16 for 75% of
+    * ids (the dominant length that pins every round's top pair to the
+    * next power-of-two run) and a^L, L = 3 + (id div 4) % 13 ∈ [3,15],
+    * for the rest — lengths the learned ladder then decomposes
+    * binarily. Shared by `q_bpe_merges` / `q_bpe_encode` so the two
+    * judged halves cannot drift apart. */
+  private def bpeFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      expr("repeat('a', CASE WHEN doc_id % 4 > 0 THEN 16 " +
+        "ELSE CAST(3 + (doc_id div 4) % 13 AS INT) END)").as("text"))
+
   /** One entry per implemented operator from SURVEY.md §2 — see
     * [[queries]] for the published (cache-scoped) map. */
   private def queryImpls: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2037,6 +2048,29 @@ object SparkEntry {
           buckets = 4096, smoothing = 0.01)
         .filter(col("weight") > 0)
         .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE vocabulary learning on the forced-ladder fixture: 75% of docs
+    // are a^16, the rest a^L for L in [3,15], so each round's top pair
+    // is the next power-of-two run with ~10x count margin — merge k is
+    // exactly (a^2^k, a^2^k), which the oracle generates arithmetically.
+    // A pair-count, tie-break, or greedy-rewrite regression reorders or
+    // rewrites the ladder and hash-fails.
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.functions.TextOps.learnBpeMerges(bpeFixture(s, dir), "text", 4)
+        .orderBy("merge_rank")),
+
+    // BPE encode on the same fixture: with the power-of-two ladder,
+    // greedy left-to-right merging decomposes a^L into its binary
+    // representation, so n_tokens = bit_count(L) (and 1 for the fully
+    // merged a^16) — learning AND encoding judged end-to-end by pure
+    // arithmetic. Fully ORACLED.
+    "q_bpe_encode" -> ((s, dir) => {
+      val f = bpeFixture(s, dir)
+      val m = graft.functions.TextOps.learnBpeMerges(f, "text", 4)
+      graft.functions.TextOps.bpeEncode(f, "doc_id", "text", m)
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -4804,6 +4838,27 @@ object SparkEntry {
     "q_dsir_select" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 250 < 10 ORDER BY doc_id""".stripMargin,
+
+    // the forced ladder: merge k is (a^2^k, a^2^k), generated
+    // arithmetically — no BPE in the oracle at all
+    "q_bpe_merges" ->
+      """SELECT CAST(k AS INT) AS merge_rank,
+        |       repeat('a', CAST(pow(2, k) AS INT)) AS lhs,
+        |       repeat('a', CAST(pow(2, k) AS INT)) AS rhs
+        |FROM generate_series(0, 3) t(k) ORDER BY merge_rank""".stripMargin,
+
+    // greedy merging with power-of-two units = binary decomposition:
+    // n_tokens is bit_count(L), and 1 for the fully merged a^16
+    "q_bpe_encode" ->
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 > 0 THEN 16
+        |         ELSE 3 + (doc_id // 4) % 13 END AS L
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN L = 16 THEN 1
+        |                 ELSE bit_count(CAST(L AS BIGINT)) END AS INT)
+        |         AS n_tokens
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_pack_invariant" ->
       """SELECT count(*) AS n_docs,

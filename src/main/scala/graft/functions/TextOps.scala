@@ -593,4 +593,113 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         avg(-log(col("__cb").cast("double") / col("__cw"))).as("nll2"))
   }
+
+  /** Greedy non-overlapping merge application — the BPE apply step,
+    * shared by [[learnBpeMerges]]'s per-round rewrite and
+    * [[bpeEncode]]. Left-to-right: at each position, merge `(lhs,rhs)`
+    * if adjacent, else advance one symbol (the standard BPE convention,
+    * so `aaaa` under `(a,a)` becomes `[aa,aa]`, never `[a,aa,a]`). */
+  private[graft] def bpeApply(syms: IndexedSeq[String], lhs: String,
+      rhs: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+        out += lhs + rhs; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Distributed BPE vocabulary learning (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"): `numMerges`
+    * rounds of "count adjacent symbol pairs, merge the most frequent",
+    * starting from characters. Returns the merge table
+    * `(merge_rank, lhs, rhs)` in learned order — the artifact a
+    * tokenizer trainer ships.
+    *
+    * Scale shape, the part that matters at 100 TB: the corpus is
+    * scanned ONCE, into a (word, count) relation — all K merge rounds
+    * run over that VOCABULARY-scale table (exactly how production BPE
+    * trainers factor the problem), so per-round cost is a pair-count
+    * shuffle of vocab × word-length partial rows plus a vocab-scale
+    * rewrite, never a corpus rescan. Per round the driver receives ONE
+    * (pair, count) row (config-scale, like the k-means centroids); the
+    * word rewrite is a typed map (the documented mapPartitions-class
+    * escalation — inherently sequential per-word merge application),
+    * and `barrierCut` caps the K-round lineage exactly as the CC/LPA
+    * loops do. Ties break deterministically: count desc, then (lhs,
+    * rhs) ascending. Rounds stop early if no pair remains.
+    *
+    * Judged `q_bpe_merges` on a forced-ladder fixture (the power-of-two
+    * run corpus, ~10x count margins per round — see the query comment);
+    * multi-character and tie cases pinned in TextOpsSpec. */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.engine.Barriers.BarrierOps
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .as[(String, Long)]
+      .map { case (w, n) => (w.map(_.toString).toIndexedSeq: Seq[String], n) }
+      .toDF("syms", "n")
+      .barrierCut
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    for (_ <- 0 until numMerges if !exhausted) {
+      val top = words.as[(Seq[String], Long)]
+        .flatMap { case (s, n) =>
+          (0 until s.length - 1).map(i => (s(i), s(i + 1), n)) }
+        .toDF("lhs", "rhs", "n")
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        merges += ((l, r))
+        words = words.as[(Seq[String], Long)]
+          .map { case (s, n) => (bpeApply(s.toIndexedSeq, l, r): Seq[String], n) }
+          .toDF("syms", "n")
+          .barrierCut
+      }
+    }
+    merges.zipWithIndex
+      .map { case ((l, r), k) => (k, l, r) }.toSeq
+      .toDF("merge_rank", "lhs", "rhs")
+  }
+
+  /** Apply a learned merge table to the corpus: per document, tokenize
+    * on whitespace, split each word to characters, replay the merges in
+    * rank order (greedy, [[bpeApply]]), and return the concatenated
+    * subword sequence. The merge table is collected once (config-scale
+    * — it IS the trained vocabulary, kilobytes) and rides the closure;
+    * the per-doc rewrite is a typed map over the corpus — the
+    * mapPartitions-class escalation, inherently sequential per word,
+    * exactly the shape of a production tokenizer's encode pass.
+    * Judged `q_bpe_encode` (token counts = binary decomposition on the
+    * ladder fixture), fully ORACLED. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    docs.select(col(idCol), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1).iterator.filter(_.nonEmpty).flatMap { w =>
+          var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+          table.foreach { case (l, r) => syms = bpeApply(syms, l, r) }
+          syms
+        }.toSeq
+        (id, toks)
+      }
+      .toDF(idCol, "tokens")
+  }
 }

@@ -374,4 +374,43 @@ class TextOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TextOps.dsirWeights(docs, "doc_id", "text", target, "text", smoothing = 0))
   }
+
+  test("learnBpeMerges: count order, lexicographic ties, greedy rewrite, early stop") {
+    // "abab" contributes (a,b)x2 + (b,a); "ab" one (a,b): (a,b) wins
+    val docs = Seq((1L, "abab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val m = TextOps.learnBpeMerges(docs, "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // round 2: (ab,ab) from "abab" ties (c,d) at 1 — lexicographic
+    // ascending prefers the earlier lhs string "ab"
+    assert(m === Seq((0, "a", "b"), (1, "ab", "ab")))
+
+    // tie at round 1 breaks on lhs then rhs ascending
+    val tie = Seq((1L, "xy"), (2L, "ab")).toDF("doc_id", "text")
+    val mt = TextOps.learnBpeMerges(tie, "text", 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(mt === Seq(("a", "b")))
+
+    // exhaustion: single-char words have no pairs — fewer merges than
+    // asked, not a crash or a fabricated merge
+    val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(TextOps.learnBpeMerges(tiny, "text", 3).count() === 0)
+    intercept[IllegalArgumentException](TextOps.learnBpeMerges(tiny, "text", 0))
+  }
+
+  test("bpeEncode: greedy left-to-right, rank order replay, lossless concat") {
+    val docs = Seq((1L, "aaaaa ab"), (2L, "b")).toDF("doc_id", "text")
+    val merges = Seq((0, "a", "a"), (1, "aa", "aa")).toDF("merge_rank", "lhs", "rhs")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    // a^5 -> [aa,aa,a] -> [aaaa,a]; "ab" has no applicable merge
+    assert(got(1L) === Seq("aaaa", "a", "a", "b"))
+    assert(got(2L) === Seq("b"))
+    // lossless: concatenating tokens reproduces the whitespace-free text
+    assert(got(1L).mkString === "aaaaaab")
+    // empty merge table degrades to character tokens
+    val none = TextOps.bpeEncode(docs, "doc_id", "text",
+      Seq.empty[(Int, String, String)].toDF("merge_rank", "lhs", "rhs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(none(2L) === Seq("b") && none(1L).forall(_.length == 1))
+  }
 }
