@@ -833,6 +833,44 @@ object SparkEntry {
     }),
 
     // Schema evolution on the commit-log table: an evolved append is just
+    // Merge-on-read delete on the commit-log table (the Iceberg v2
+    // equality-delete / deletion-vector capability class): the delete
+    // commits an O(|keys|) TOMBSTONE instead of rewriting data dirs;
+    // readers subtract it with an anti-join scoped to the snapshot the
+    // delete saw (later appends with a tombstoned key are LIVE — the
+    // sequence-number rule), and compact materializes the subtraction.
+    // Lifecycle judged per version — create, append, MOR delete (data
+    // dirs untouched), delete-then-reinsert append, compact — every
+    // snapshot a deterministic predicate over orders. Fully ORACLED;
+    // COW interplay, rollback and vacuum edges pinned in
+    // VersionedTableSpec.
+    "q_table_mor" -> ((s, dir) => {
+      val root = tmpPath("vtable_mor")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      VersionedTable.deleteKeysMor(s, root,
+        orders.filter(col("o_orderkey") % 3 < 2 &&
+            col("o_orderkey") % 7 === 0)
+          .select("o_orderkey"))
+      VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0 &&
+          col("o_orderkey") % 7 === 0 && col("o_orderkey") % 2 === 0))
+      VersionedTable.compact(s, root)
+      (1 to 5).map { v =>
+        VersionedTable.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .select(lit(v).as("version"), col("n"), col("key_sum"),
+            col("cust_sum"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // an append (evolution is a READ-side choice, exactly parquet's);
     // readLatest(mergeSchema) unions the directory footers, so rows
     // predating the new column read it as null. Judged on the merged
@@ -3149,6 +3187,22 @@ object SparkEntry {
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
         .orderBy("source")),
 
+    // Temperature sampling (p_s ∝ n_s^alpha, the mBERT/XLM-R mixture
+    // policy) at alpha=0.5 over the per-source token counts, with the
+    // effective epochs at a 1M-token budget. The normalizer is a sum of
+    // 4 doubles whose accumulation ORDER differs between engines →
+    // judged in BIGINT micros (floor(x·1e6 + 0.5) absorbs ulp drift;
+    // the CLAUDE.md float-aggregate rule). Fully oracled.
+    "q_temp_sample" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureRates(
+        t(s, dir, "documents").groupBy("source")
+          .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens")),
+        "source", "n_tokens", alpha = 0.5, budgetTokens = 1000000L)
+        .select(col("source"), col("n_tokens"),
+          floor(col("p") * 1e6 + 0.5).cast("long").as("p_micro"),
+          floor(col("epochs") * 1e6 + 0.5).cast("long").as("epochs_micro"))
+        .orderBy("source")),
+
     // Pairwise segment overlap on HLL sketch state (inclusion-
     // exclusion over hll_union of the per-segment sketches): the
     // audience-overlap matrix without re-shuffling raw ids per pair.
@@ -3377,6 +3431,38 @@ object SparkEntry {
         |SELECT 2, 3, 'insert', CAST(count(*) AS BIGINT),
         |       CAST(sum(o_orderkey) AS BIGINT) FROM f
         |ORDER BY from_v""".stripMargin,
+
+    // every MOR snapshot is a predicate over orders: the tombstone
+    // (key%7=0 over the first two dirs) subtracts at v3, the v4 append
+    // re-inserts the even half of the deleted ≡0-mod-3 keys (scoped
+    // tombstones never mask the new dir), compact at v5 changes nothing
+    "q_table_mor" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT * FROM base WHERE o_orderkey % 3 IN (0,1)),
+        |v3 AS (SELECT * FROM base
+        |       WHERE o_orderkey % 3 IN (0,1) AND o_orderkey % 7 <> 0),
+        |v4 AS (SELECT * FROM v3
+        |       UNION ALL
+        |       SELECT * FROM base
+        |       WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+        |         AND o_orderkey % 2 = 0)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT) FROM v3
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT) FROM v4
+        |UNION ALL
+        |SELECT 5, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(o_custkey) AS BIGINT) FROM v4
+        |ORDER BY version""".stripMargin,
 
     // merged-schema read: the pre-evolution slice reads flag as NULL,
     // the evolved slice carries o_custkey % 10
@@ -5230,6 +5316,21 @@ object SparkEntry {
         |       CASE WHEN target > 0 THEN c * target / n_tokens
         |            ELSE CAST(0 AS DOUBLE) END AS rate
         |FROM j, c ORDER BY source""".stripMargin,
+
+    // identical per-source arithmetic (pow/div correctly rounded, the
+    // 4-term normalizer sum is the one order-sensitive step — absorbed
+    // by the micros floor)
+    "q_temp_sample" ->
+      """WITH cnt AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM cnt)
+        |SELECT source, n_tokens,
+        |  CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5) / z * 1e6 + 0.5)
+        |    AS BIGINT) AS p_micro,
+        |  CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5) / z * 1000000.0
+        |    / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS epochs_micro
+        |FROM cnt, z ORDER BY source""".stripMargin,
 
     // sparse-regime sketches are integer-exact, so the judged matrix
     // equals the exact intersection matrix computed relationally

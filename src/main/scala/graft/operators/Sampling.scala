@@ -132,6 +132,37 @@ object Sampling {
       sample(df, bucket, rate).withColumn("mix_source", lit(tag))
     }.reduce(_ unionByName _)
 
+  /** Temperature-scaled sampling distribution across sources — the other
+    * standard mixture policy next to [[mixRates]]' explicit targets:
+    * `p_s ∝ n_s^alpha` (written `n^(1/T)` in the multilingual-pretraining
+    * literature — mBERT / XLM-R exponential smoothing; alpha = 1 is
+    * proportional-to-size, alpha → 0 is uniform). Low-resource sources
+    * are up-weighted without anyone hand-picking per-source targets.
+    *
+    * Output adds to each counts row the sampling probability `p` and
+    * `epochs` — how many times the source is traversed when
+    * `budgetTokens` are drawn from the mixture (`p·B/n_s`; > 1 means the
+    * source repeats, the number a curriculum designer actually reads).
+    * Pure arithmetic over the |sources|-row counts aggregate: the corpus
+    * is never touched, the normalizer is a one-row aggregate broadcast
+    * back — config-scale at any corpus size. Judged `q_temp_sample`,
+    * fully oracled (sums compared in BIGINT micros — see CLAUDE.md's
+    * float-aggregate rule). */
+  def temperatureRates(counts: DataFrame, sourceCol: String, nCol: String,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val scaled = counts.select(col(sourceCol),
+      col(nCol).cast("long").as("n_tokens"),
+      pow(col(nCol).cast("double"), lit(alpha)).as("__s"))
+    val z = scaled.agg(sum(col("__s")).as("__z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n_tokens"),
+        (col("__s") / col("__z")).as("p"),
+        (col("__s") / col("__z") * lit(budgetTokens.toDouble) /
+          col("n_tokens").cast("double")).as("epochs"))
+  }
+
   /** The mixture math UPSTREAM of [[weightedMix]]: given per-source mass
     * (token counts) and target proportions, solve the per-source
     * down-sampling rates that hit the targets with the LARGEST corpus no

@@ -57,7 +57,8 @@ object VersionedTable {
 
   final case class Manifest(version: Int, op: String, baseVersion: Int,
       dataDirs: Seq[String], tag: String = "",
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      deleteDirs: Seq[String] = Nil)
 
   private val LogDir = "_log"
 
@@ -75,12 +76,14 @@ object VersionedTable {
     * no escaping required (enforced on write). */
   private def renderManifest(m: Manifest): String = {
     require(m.dataDirs.forall(_.matches("d-\\d{8}")), s"illegal dir in $m")
+    require(m.deleteDirs.forall(_.matches("d-\\d{8}")), s"illegal dir in $m")
     require(!m.tag.exists(c => c == '"' || c == '\\'), s"illegal tag: ${m.tag}")
     require(m.partitionCols.forall(_.matches("[A-Za-z0-9_]+")),
       s"partition column names must be [A-Za-z0-9_]+: ${m.partitionCols}")
     s"""{"version":${m.version},"op":"${m.op}","baseVersion":${m.baseVersion},""" +
       s""""tag":"${m.tag}",""" +
       s""""partitionCols":[${m.partitionCols.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""deleteDirs":[${m.deleteDirs.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""dataDirs":[${m.dataDirs.map("\"" + _ + "\"").mkString(",")}]}"""
   }
 
@@ -105,7 +108,9 @@ object VersionedTable {
       if (text.contains("\"tag\":")) field("tag").drop(1).takeWhile(_ != '"')
       else "",
       // absent in pre-partitioning manifests: unpartitioned
-      array("partitionCols"))
+      array("partitionCols"),
+      // absent in pre-MOR manifests: no outstanding tombstones
+      array("deleteDirs"))
   }
 
   private def readManifest(fs: FileSystem, root: Path, v: Int): Manifest = {
@@ -265,7 +270,10 @@ object VersionedTable {
       val base = readManifest(fs, rootP, baseV)
       try {
         return commit(fs, rootP, Manifest(base.version + 1, "append",
-          base.version, base.dataDirs :+ dir, tag, base.partitionCols))
+          base.version, base.dataDirs :+ dir, tag, base.partitionCols,
+          // outstanding tombstones ride along: they mask only the dirs
+          // in their recorded scope, never the appended one
+          base.deleteDirs))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -375,6 +383,114 @@ object VersionedTable {
         .parquet(new Path(root, d).toString))
       .reduce(_.unionByName(_))
 
+  // ---- merge-on-read tombstones ----------------------------------------
+
+  /** Sidecar file inside a tombstone directory listing the data
+    * directories the tombstone masks. Underscore-prefixed, so parquet
+    * readers of the directory never see it. */
+  private val AppliesFile = "_applies"
+
+  private def writeApplies(fs: FileSystem, root: Path, tombDir: String,
+      applies: Seq[String]): Unit = {
+    val out = fs.create(new Path(new Path(root, tombDir), AppliesFile), false)
+    try out.write(applies.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The tombstones of `m` with their masked-directory sets — one tiny
+    * sidecar read per tombstone, O(tombstones since last compact). */
+  private def tombScopes(fs: FileSystem, root: Path,
+      m: Manifest): Seq[(String, Set[String])] =
+    m.deleteDirs.map { t =>
+      val p = new Path(new Path(root, t), AppliesFile)
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        t -> new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).toSet
+      } finally in.close()
+    }
+
+  /** Subtract tombstone key files from `df` — one anti-join per
+    * tombstone, on the tombstone parquet's OWN columns (the tombstone is
+    * self-describing; different deletes may use different key sets).
+    * Rows whose key columns are null never match an anti-join: kept. */
+  private def applyTombs(spark: SparkSession, root: Path, df: DataFrame,
+      tombs: Seq[String]): DataFrame =
+    tombs.foldLeft(df) { (acc, t) =>
+      val keys = spark.read.parquet(new Path(root, t).toString)
+      acc.join(keys, keys.columns.toSeq, "left_anti")
+    }
+
+  /** Snapshot read with outstanding tombstones subtracted. Directories
+    * group by WHICH tombstones mask them (a tombstone masks only the
+    * snapshot it was committed against — later dirs are live), each
+    * group anti-joins its tombstones, groups union back by name. With
+    * tombstones present the read always pins the snapshot-union schema
+    * (groups on either side of a schema evolution must align). */
+  private def resolvedRead(spark: SparkSession, fs: FileSystem, root: Path,
+      m: Manifest, mergeSchema: Boolean): DataFrame =
+    if (m.deleteDirs.isEmpty)
+      readDirs(spark, root, m.dataDirs, mergeSchema, m.partitionCols.nonEmpty)
+    else {
+      val snap = readDirs(spark, root, m.dataDirs, mergeSchema = true,
+        m.partitionCols.nonEmpty).schema
+      val tombs = tombScopes(fs, root, m)
+      m.dataDirs.groupBy(d => tombs.filter(_._2.contains(d)).map(_._1))
+        .toSeq.sortBy(_._2.head) // deterministic plan shape
+        .map { case (ts, dirs) =>
+          applyTombs(spark, root, readDirsAs(spark, root, dirs, snap), ts)
+        }
+        .reduce(_.unionByName(_))
+    }
+
+  /** MERGE-ON-READ delete — the Iceberg v2 equality-delete / Delta
+    * deletion-vector capability class, next to [[deleteWhere]]'s
+    * copy-on-write: instead of rewriting every directory holding a
+    * matching row (write cost ∝ data touched — the wrong economics for
+    * a trickle of deletes against a 100 TB table), the commit writes a
+    * TOMBSTONE — a small parquet directory holding the deleted key
+    * values, whose columns ARE the equality columns — and every reader
+    * subtracts it with an anti-join. Write cost is O(|keys|) whatever
+    * the table size; the read-side anti-join (broadcast — tombstones are
+    * key files) is the rent, paid until [[compact]] materializes the
+    * subtraction and clears the tombstones — exactly the
+    * write-fast/read-pays/compact-settles triangle of the real formats.
+    *
+    * Scope (Iceberg's sequence-number rule, made explicit): the
+    * tombstone records in an `_applies` sidecar the data directories of
+    * the snapshot it was committed against and masks ONLY those. Rows
+    * later appended or upserted with a tombstoned key are live — new
+    * directories are never masked by older tombstones, which is what
+    * makes delete-then-reinsert behave. ALL rows matching a key are
+    * removed (equality-delete semantics); rows whose key columns are
+    * null never match and are kept. COW rewrites fold applicable
+    * tombstones in and re-emit survivors under a NEW directory name, so
+    * carried tombstones never double-apply; a tombstone whose every
+    * masked directory left the snapshot is dropped from the manifest.
+    * Judged `q_table_mor`, fully oracled; lifecycle edges pinned in
+    * VersionedTableSpec. */
+  def deleteKeysMor(spark: SparkSession, root: String,
+      keys: DataFrame): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val snapCols = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema.fieldNames.toSet
+    val bad = keys.columns.filterNot(snapCols)
+    require(bad.isEmpty,
+      s"deleteKeysMor: key column(s) not in table: ${bad.mkString(", ")}")
+    // tombstones are key files: written unpartitioned whatever the
+    // table's layout, deduped so the mask is minimal
+    val dir = writeDataDir(keys.distinct(), rootP, v)
+    writeApplies(fs, rootP, dir, base.dataDirs)
+    commit(fs, rootP, Manifest(v, "mor-delete", base.version, base.dataDirs,
+      partitionCols = base.partitionCols,
+      deleteDirs = base.deleteDirs :+ dir))
+  }
+
   /** COW dirty-probe over the snapshot's directories, `parallelism`
     * probes in flight (each an independent pushed-down existence job —
     * read-only, so concurrency is free; the [[graft.operators.Relational
@@ -413,7 +529,7 @@ object VersionedTable {
       mergeSchema: Boolean = false): DataFrame = {
     val (fs, rootP) = fsOf(spark, root)
     val m = readManifest(fs, rootP, v)
-    readDirs(spark, rootP, m.dataDirs, mergeSchema, m.partitionCols.nonEmpty)
+    resolvedRead(spark, fs, rootP, m, mergeSchema)
   }
 
   def readLatest(spark: SparkSession, root: String,
@@ -438,17 +554,36 @@ object VersionedTable {
     // union schema instead of silently dropping late columns
     val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
       base.partitionCols.nonEmpty).schema
+    // probes and rewrites see the MOR-RESOLVED per-dir contents: a dir
+    // whose only matching rows are tombstoned is clean, and a rewrite
+    // folds its tombstones in (survivors re-emit under a NEW name, so
+    // carried tombstones never double-apply)
+    val tombs = tombScopes(fs, rootP, base)
+    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap),
+      tombs.filter(_._2.contains(d)).map(_._1))
     val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
-      !readDirsAs(spark, rootP, Seq(d), snap).filter(cond).isEmpty
+      !resolved(d).filter(cond).isEmpty
     }
     val dirs =
       if (dirty.isEmpty) base.dataDirs
       else clean :+ writeDataDir(
-        readDirsAs(spark, rootP, dirty, snap)
+        dirty.map(resolved).reduce(_.unionByName(_))
           .filter(!coalesce(cond, lit(false))),
         rootP, v, base.partitionCols)
     commit(fs, rootP, Manifest(v, "delete", base.version, dirs,
-      partitionCols = base.partitionCols))
+      partitionCols = base.partitionCols,
+      deleteDirs = liveTombs(tombs, dirs)))
+  }
+
+  /** Tombstones still masking at least one directory of the NEW dir
+    * list (rewritten dirs have new names and leave their tombstones'
+    * scopes; a fully-escaped tombstone is dropped — vacuum reclaims
+    * its bytes with its retention window). */
+  private def liveTombs(tombs: Seq[(String, Set[String])],
+      newDirs: Seq[String]): Seq[String] = {
+    val dirSet = newDirs.toSet
+    tombs.filter(_._2.exists(dirSet)).map(_._1)
   }
 
   /** Copy-on-write MERGE upsert on `keyCols`: directories holding a
@@ -469,20 +604,26 @@ object VersionedTable {
       updates.select(keyCols.map(col): _*).distinct())
     val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
       base.partitionCols.nonEmpty).schema
+    // MOR-resolved per-dir view (see deleteWhere): tombstoned rows are
+    // neither probed dirty nor resurrected by a rewrite
+    val tombs = tombScopes(fs, rootP, base)
+    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap),
+      tombs.filter(_._2.contains(d)).map(_._1))
     val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
-      !readDirsAs(spark, rootP, Seq(d), snap)
-        .join(keys, keyCols, "left_semi").isEmpty
+      !resolved(d).join(keys, keyCols, "left_semi").isEmpty
     }
     val survivors = if (dirty.isEmpty) None
-      else Some(readDirsAs(spark, rootP, dirty, snap)
+      else Some(dirty.map(resolved).reduce(_.unionByName(_))
         .join(keys, keyCols, "left_anti"))
     // allowMissingColumns: survivors and updates may sit on either side
     // of a schema evolution; the union schema fills the gap with nulls
     val merged = survivors.fold(updates)(
       _.unionByName(updates, allowMissingColumns = true))
-    commit(fs, rootP, Manifest(v, "upsert", base.version,
-      clean :+ writeDataDir(merged, rootP, v, base.partitionCols),
-      partitionCols = base.partitionCols))
+    val dirs = clean :+ writeDataDir(merged, rootP, v, base.partitionCols)
+    commit(fs, rootP, Manifest(v, "upsert", base.version, dirs,
+      partitionCols = base.partitionCols,
+      deleteDirs = liveTombs(tombs, dirs)))
   }
 
   /** CDC apply — [[changesSince]]'s consumer half: replays a delta frame
@@ -510,21 +651,27 @@ object VersionedTable {
       delta.filter(col("_change") === tag).select(cols.map(col): _*))
     val deletes = shaped("delete")
     val inserts = shaped("insert")
+    // MOR-resolved per-dir view (see deleteWhere)
+    val tombs = tombScopes(fs, rootP, base)
+    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap),
+      tombs.filter(_._2.contains(d)).map(_._1))
     val (dirty, clean) =
       if (deletes.isEmpty) (Seq.empty[String], base.dataDirs)
       else partitionDirty(base.dataDirs, probeParallelism) { d =>
-        !readDirsAs(spark, rootP, Seq(d), snap)
-          .join(deletes, cols, "left_semi").isEmpty
+        !resolved(d).join(deletes, cols, "left_semi").isEmpty
       }
     val survivors =
       if (dirty.isEmpty) None
-      else Some(readDirsAs(spark, rootP, dirty, snap).exceptAll(deletes))
+      else Some(dirty.map(resolved).reduce(_.unionByName(_))
+        .exceptAll(deletes))
     val incoming = survivors.fold(inserts)(_.unionByName(inserts))
     val dirs =
       if (dirty.isEmpty && inserts.isEmpty) base.dataDirs
       else clean :+ writeDataDir(incoming, rootP, v, base.partitionCols)
     commit(fs, rootP, Manifest(v, "cdc", base.version, dirs,
-      partitionCols = base.partitionCols))
+      partitionCols = base.partitionCols,
+      deleteDirs = liveTombs(tombs, dirs)))
   }
 
   /** Roll the table back to `toVersion`'s snapshot as a NEW commit (the
@@ -534,7 +681,8 @@ object VersionedTable {
     val base = requireExists(spark, root)
     val target = readManifest(fs, rootP, toVersion)
     commit(fs, rootP, Manifest(base + 1, "rollback", base, target.dataDirs,
-      partitionCols = target.partitionCols))
+      partitionCols = target.partitionCols,
+      deleteDirs = target.deleteDirs))
   }
 
   /** Rewrite the current snapshot as ONE directory (small-file + log-growth
@@ -553,8 +701,10 @@ object VersionedTable {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
     val v = base.version + 1
-    val snapshot = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
-      base.partitionCols.nonEmpty)
+    // MOR-resolved: compact is also what MATERIALIZES outstanding
+    // tombstones (the subtraction is burned into the rewrite and the
+    // manifest carries none forward — read-side anti-joins end here)
+    val snapshot = resolvedRead(spark, fs, rootP, base, mergeSchema = true)
     val laidOut = clusterCol.fold(snapshot)(c =>
       snapshot.repartitionByRange(nRanges, col(c)).sortWithinPartitions(c))
     commit(fs, rootP, Manifest(v, "compact", base.version,
@@ -708,7 +858,10 @@ object VersionedTable {
     // re-widened keepVersions must not try to read those manifests back
     val have = existingVersions(fs, rootP).toSet
     val referenced = (keepFrom to latest).filter(have)
-      .flatMap(readManifest(fs, rootP, _).dataDirs).toSet
+      .flatMap { v =>
+        val m = readManifest(fs, rootP, v)
+        m.dataDirs ++ m.deleteDirs // tombstones are referenced dirs too
+      }.toSet
     (1 until keepFrom).filter(have)
       .foreach(v => fs.delete(manifestPath(rootP, v), false))
     val dead = fs.listStatus(rootP).map(_.getPath.getName)

@@ -188,6 +188,34 @@ class SamplingSpec extends SparkTestBase {
       .forall { case (p, t) => math.abs(p - t) < 1e-12 })
   }
 
+  test("temperatureRates: alpha=1 is proportional, alpha<1 boosts small sources, epochs conserve the budget") {
+    val counts = Seq(("big", 90000L), ("mid", 9000L), ("small", 1000L))
+      .toDF("source", "n_tokens")
+    def rates(alpha: Double) =
+      Sampling.temperatureRates(counts, "source", "n_tokens", alpha, 100000L)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._3, r._4)).toMap
+    val prop = rates(1.0)
+    assert(math.abs(prop("big")._1 - 0.9) < 1e-12)
+    assert(math.abs(prop("small")._1 - 0.01) < 1e-12)
+    // alpha=1: every source is traversed the same fraction of an epoch
+    assert(Seq("big", "mid", "small")
+      .forall(s => math.abs(prop(s)._2 - 1.0) < 1e-12))
+    // alpha=0.5: exact closed form p = sqrt(n) / sum(sqrt(n))
+    val t = rates(0.5)
+    val z = math.sqrt(90000.0) + math.sqrt(9000.0) + math.sqrt(1000.0)
+    assert(math.abs(t("small")._1 - math.sqrt(1000.0) / z) < 1e-12)
+    // smaller source → more epochs (the up-weighting direction)
+    assert(t("small")._2 > t("mid")._2 && t("mid")._2 > t("big")._2)
+    // drawn tokens sum to the budget: sum over s of p_s·B = B
+    val drawn = Seq("big", "mid", "small")
+      .map(s => t(s)._1 * 100000.0).sum
+    assert(math.abs(drawn - 100000.0) < 1e-6)
+    assert(intercept[IllegalArgumentException] {
+      Sampling.temperatureRates(counts, "source", "n_tokens", 0.0, 1L)
+    }.getMessage.contains("alpha"))
+  }
+
   test("mixRates validates targets") {
     val counts = Seq(("a", 10L)).toDF("source", "n_tokens")
     intercept[IllegalArgumentException] {

@@ -515,4 +515,122 @@ class VersionedTableSpec extends SparkTestBase {
     val m = VersionedTable.applyChanges(spark, replica, empty)
     assert(m.version === 2) // no-op sync version committed
   }
+
+  test("deleteKeysMor: O(keys) write, readers subtract, time travel intact") {
+    val root = freshRoot("mor_basic")
+    val v1 = VersionedTable.create(spark, root, orders)
+    import spark.implicits._
+    val m = VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+    // data dirs untouched — the delete wrote only the tombstone
+    assert(m.dataDirs === v1.dataDirs)
+    assert(m.deleteDirs.size === 1)
+    val latest = VersionedTable.readLatest(spark, root)
+    assert(latest.filter(col("o_orderkey") % 7 === 0).isEmpty)
+    assert(latest.count() ===
+      orders.filter(col("o_orderkey") % 7 =!= 0).count())
+    // pre-delete snapshot unaffected
+    assert(VersionedTable.readVersion(spark, root, 1).count() === orders.count())
+    // unknown key column refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.deleteKeysMor(spark, root,
+        Seq(1L).toDF("no_such_col"))
+    }.getMessage.contains("no_such_col"))
+  }
+
+  test("MOR scope: a later append with a tombstoned key is live (delete-then-reinsert)") {
+    val root = freshRoot("mor_scope")
+    VersionedTable.create(spark, root, orders)
+    val dead = orders.filter(col("o_orderkey") % 5 === 0)
+    VersionedTable.deleteKeysMor(spark, root, dead.select("o_orderkey"))
+    // re-append half the deleted keys: the tombstone masks only v1's dir
+    val revived = dead.filter(col("o_orderkey") % 10 === 0)
+    VersionedTable.append(spark, root, revived)
+    val latest = VersionedTable.readLatest(spark, root)
+    assert(latest.filter(col("o_orderkey") % 5 === 0).count() ===
+      revived.count())
+    assert(latest.count() ===
+      orders.filter(col("o_orderkey") % 5 =!= 0).count() + revived.count())
+  }
+
+  test("MOR + COW interplay: rewrite folds tombstones in, escaped tombstones drop") {
+    val root = freshRoot("mor_cow")
+    // two dirs with disjoint NONEMPTY key ranges (sf0.001 keys run 0..1499)
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") <= 700))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") > 700))
+    // tombstone keys in BOTH dirs
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+    // COW delete dirtying only the low dir: its rewrite must fold the
+    // tombstone in (no resurrection), the high dir keeps its tombstone
+    val m = VersionedTable.deleteWhere(spark, root, col("o_orderkey") <= 100)
+    assert(m.deleteDirs.size === 1, "tombstone still masks the clean dir")
+    val latest = VersionedTable.readLatest(spark, root)
+    assert(latest.filter(col("o_orderkey") % 7 === 0).isEmpty)
+    assert(latest.filter(col("o_orderkey") <= 100).isEmpty)
+    assert(latest.count() === orders.filter(
+      col("o_orderkey") % 7 =!= 0 && col("o_orderkey") > 100).count())
+    // a COW rewrite dirtying EVERY masked dir retires the tombstone
+    val m2 = VersionedTable.deleteWhere(spark, root, col("o_orderkey") % 2 === 0)
+    assert(m2.deleteDirs.isEmpty, s"escaped tombstone must drop: ${m2.deleteDirs}")
+    assert(VersionedTable.readLatest(spark, root).count() === orders.filter(
+      col("o_orderkey") % 7 =!= 0 && col("o_orderkey") > 100 &&
+        col("o_orderkey") % 2 =!= 0).count())
+  }
+
+  test("MOR compact materializes the subtraction; vacuum spares live tombstones") {
+    val root = freshRoot("mor_compact")
+    VersionedTable.create(spark, root, orders)
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_custkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey").distinct())
+    val expected = VersionedTable.readLatest(spark, root).count()
+    // vacuum keeping both versions must NOT reclaim the tombstone dir
+    VersionedTable.vacuum(spark, root, keepVersions = 2)
+    assert(VersionedTable.readLatest(spark, root).count() === expected)
+    val m = VersionedTable.compact(spark, root)
+    assert(m.deleteDirs.isEmpty)
+    assert(m.dataDirs.size === 1)
+    assert(VersionedTable.readLatest(spark, root).count() === expected)
+    // after compact + vacuum(1) the tombstone bytes are reclaimable
+    val dead = VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(dead.nonEmpty)
+    assert(VersionedTable.readLatest(spark, root).count() === expected)
+  }
+
+  test("MOR rollback restores the tombstone set; upsert revives a tombstoned key") {
+    val root = freshRoot("mor_rb")
+    VersionedTable.create(spark, root, orders)
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderkey") % 4 === 0).select("o_orderkey"))
+    val afterDelete = VersionedTable.readLatest(spark, root).count()
+    // upsert one tombstoned key: lands in the NEW dir, immune to the
+    // tombstone — the key is live again
+    val one = orders.filter(col("o_orderkey") % 4 === 0).limit(1)
+    VersionedTable.upsert(spark, root, one, Seq("o_orderkey"))
+    assert(VersionedTable.readLatest(spark, root).count() === afterDelete + 1)
+    // rollback to the create: full table, no tombstones
+    VersionedTable.rollback(spark, root, 1)
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count())
+    // rollback to the MOR version: tombstones back in force
+    VersionedTable.rollback(spark, root, 2)
+    assert(VersionedTable.readLatest(spark, root).count() === afterDelete)
+  }
+
+  test("MOR on a partitioned table; null keys are never matched away") {
+    val root = freshRoot("mor_part")
+    VersionedTable.create(spark, root, orders,
+      partitionCols = Seq("o_orderstatus"))
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey").limit(50))
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count() - 50)
+    // a null key row survives any tombstone (anti-join null semantics)
+    val withNull = orders.limit(1).withColumn("o_orderkey",
+      lit(null).cast("long"))
+    VersionedTable.append(spark, root, withNull)
+    VersionedTable.deleteKeysMor(spark, root, withNull.select("o_orderkey"))
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("o_orderkey").isNull).count() === 1)
+  }
 }
