@@ -1382,6 +1382,27 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // STREAMING near-dup flagging against a static MinHash index (the
+    // ingest-time hygiene check as a continuous query): arriving docs
+    // are signed in the projection, LSH bands stream-static join the
+    // banded index, verify gates on estimated Jaccard. Fixture = the
+    // arithmetic dup-group family (q_minhash_dup): index = the one
+    // sub-250 representative per group, stream = the rest — every
+    // stream doc flags exactly its group rep at est 1.0, cross-group
+    // band collisions die at the verify, so the flag set is pure id
+    // arithmetic. Fully ORACLED.
+    "q_stream_neardup" -> ((s, dir) => {
+      val docs = synthDupDocs(s, dir)
+      val index = graft.operators.Dedup.minHashIndex(
+        docs.filter(col("doc_id") < 250), "text", "doc_id")
+      runStream(s, "stream_neardup",
+        Seq(("in", docs.filter(col("doc_id") >= 250),
+          "doc_id LONG, text STRING")),
+        in => graft.streaming.Streams.nearDupFlagStream(
+          in("in"), "text", "doc_id", index, "doc_id", 0.9))
+        .orderBy("da", "db")
+    }),
+
     // Streaming tumbling-window aggregation with a WATERMARK, driver-
     // judged: the events fixture streams through Streams.tumblingAggStream
     // (1h windows, 30min watermark delay) in APPEND mode — a window emits
@@ -4092,6 +4113,16 @@ object SparkEntry {
     // so bounded-state dedup keeps exactly one row per doc at ANY SF
     "q_stream_dedup_wm" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
+
+    // every streamed doc flags exactly its group representative (the
+    // sub-250 id of its mod-250 class) with identical signatures
+    // agreeing 32/32 → est exactly 1.0 (CAST: DuckDB literals are
+    // DECIMAL, the q_minhash_dup rule)
+    "q_stream_neardup" ->
+      """SELECT doc_id AS da, doc_id % 250 AS db,
+        |       CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id >= 250
+        |ORDER BY da, db""".stripMargin,
 
     // identical to q_stream_join: the watermark changes state retention,
     // not results, over a single-micro-batch replay (see the query doc)

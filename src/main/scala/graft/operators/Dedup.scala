@@ -414,8 +414,8 @@ object Dedup {
     * bit-identical to the previous `min(xxhash64(lit(i), h))` aggregate
     * formulation. Docs with no shingles return NULL and are filtered.
     * Returns (idCol, sig array<long> of length numHashes). */
-  private def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
-      width: Int, numHashes: Int): DataFrame =
+  private[graft] def minHashSignatures(docs: DataFrame, textCol: String,
+      idCol: String, width: Int, numHashes: Int): DataFrame =
     docs.select(col(idCol),
         call_function("graft_minhash", col(textCol), lit(width), lit(numHashes))
           .as("sig"))

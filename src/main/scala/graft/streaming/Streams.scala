@@ -202,6 +202,61 @@ object Streams {
       .dropDuplicatesWithinWatermark("__h1", "__h2")
       .drop("__h1", "__h2")
 
+  /** STREAMING near-dup flagging against a static MinHash index — the
+    * ingest-time hygiene check ([[graft.operators.Dedup.ingestNearDup]]'s
+    * corpus-side half) as a continuous query: each arriving doc is
+    * signed in the projection (the same scan-stage `graft_minhash`
+    * kernel — stateless, no shuffle), its LSH bands stream-static join
+    * the banded index, and band collisions are verified against the
+    * estimated-Jaccard threshold before a `(da, db, est_jaccard)` flag
+    * row emits. `dropDuplicates` collapses multi-band hits to one row
+    * per pair.
+    *
+    * Scale shape: the stream row CARRIES its own signature, so the
+    * verify needs no join back to a stream-side relation (one
+    * stream-static hash join total); the index side is
+    * [[graft.operators.Dedup.minHashIndex]] rows — banded 16-byte keys
+    * with the ~256 B signature attached, corpus text never read. State
+    * is the emitted pair set (dedup only); a deployment whose pair space
+    * outgrows memory bounds it with a watermark +
+    * `dropDuplicatesWithinWatermark` on the doc's event time, trading
+    * per-pair-once for per-pair-once-per-horizon exactly as
+    * [[exactDedupStreamWm]] does.
+    *
+    * WITHIN-batch near-dup (new doc vs new doc) is deliberately not
+    * here: it is a stream self-join; the production shape for it is
+    * `foreachBatch` over [[graft.operators.Dedup.ingestNearDupWithSigs]],
+    * which also appends accepted signatures to the index. Judged
+    * `q_stream_neardup` on the arithmetic dup-group fixture (fully
+    * oracled); semantics pinned in StreamingSpec. */
+  def nearDupFlagStream(docs: DataFrame, textCol: String, idCol: String,
+      indexSigs: DataFrame, indexIdCol: String, estThreshold: Double,
+      numHashes: Int = 32, bands: Int = 8, width: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    import graft.operators.Dedup
+    val signed = docs
+      .select(col(idCol),
+        call_function("graft_minhash", col(textCol), lit(width),
+          lit(numHashes)).as("siga"))
+      .filter(col("siga").isNotNull)
+      .select(col(idCol), col("siga"),
+        posexplode(Dedup.bandHashes(col("siga"), bands, rows)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val idx = indexSigs
+      .select(col(indexIdCol).as("__db"), col("sig").as("sigb"))
+      .select(col("__db"), col("sigb"),
+        posexplode(Dedup.bandHashes(col("sigb"), bands, rows)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    signed.join(idx, Seq("band", "bh"))
+      .withColumn("est_jaccard",
+        call_function("graft_sig_agree", col("siga"), col("sigb"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col(idCol).as("da"), col("__db").as("db"), col("est_jaccard"))
+      .dropDuplicates("da", "db")
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -259,6 +259,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupFlagStream flags index near-dups once per pair, skips disjoint docs") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minHashIndex(corpus, "text", "doc_id")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.nearDupFlagStream(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        index, "doc_id", 0.9)
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // exact dup of corpus doc 1 → flags (10, 1, 1.0)
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        // token-disjoint → no flag
+        (11L, "red orange yellow green blue indigo violet pink"))
+      q.processAllAvailable()
+      // the SAME dup again in a later batch: pair state dedups it
+      in.addData((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      val got = spark.table("t_neardup")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got === Seq((10L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("exactDedupStreamWm: in-horizon duplicates suppressed, evicted keys re-emit") {
     // the bounded-state trade q_stream_dedup_wm's plan makes, exercised
     // across real batches: a duplicate inside the watermark horizon is
