@@ -2290,6 +2290,34 @@ object SparkEntry {
         (corpus, queries) => graft.operators.Vectors.pqTopK(
           corpus, "doc_id", "vec", queries, "qid", "qv", 10))),
 
+    // Scalar (int8) quantization: per-vector affine map + 1-byte codes
+    // (4x smaller than float32), reconstruction error bounded at
+    // scale/2 per component. Judged on the per-vector MAX error — the
+    // kernel's quantize+dequantize arithmetic is plain IEEE double ops
+    // (floor(x+0.5) rounding, exact clamp) that DuckDB's list lambda
+    // reproduces bit-for-bit, compared in micros. Fully ORACLED.
+    "q_vec_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.select(col("vec_id"),
+          array_min(col("v")).as("__mn"),
+          ((array_max(col("v")) - array_min(col("v"))) / lit(255.0))
+            .as("__sc"), col("v"))
+        .select(col("vec_id"),
+          floor(call_function("graft_sq8_err", col("v"), col("__mn"),
+            col("__sc")) * lit(1e6) + lit(0.5)).cast("long").as("err_micro"))
+        .orderBy("vec_id")
+    }),
+
+    // SQ8 approximate top-k recall (ANN path 4): corpus pass over 1-byte
+    // codes with on-the-fly dequantized dots, exact re-rank of the
+    // shortlist — driver-judged on the same clustered fixture/bar as
+    // the LSH/IVF/PQ rows.
+    "q_vec_sq8_recall" -> ((s, dir) =>
+      annRecallIds(s, dir, maxId = 1600, numClusters = 20)(
+        (corpus, queries) => graft.operators.Vectors.sq8TopK(
+          corpus, "doc_id", "vec", queries, "qid", "qv", 10))),
+
 
     // Multimodal: text wrapped as opaque binary assets, stub header
     // "decode" through the real mapPartitions batch plumbing; the fake
@@ -4956,6 +4984,26 @@ object SparkEntry {
     // both judged SFs) so every tie group fits the shortlist and all
     // query points clear the bar — see the query comment
     "q_vec_pq_recall" ->
+      """SELECT doc_id AS qid FROM documents
+        |WHERE doc_id < 1600 AND doc_id % 50 = 0 ORDER BY qid""".stripMargin,
+
+    // identical quantize+dequantize arithmetic in a list lambda:
+    // floor(x+0.5) rounding, [0,255] clamp, max over exact abs errors
+    "q_vec_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |r AS (SELECT vec_id, v, list_min(v) AS vmin,
+        |             (list_max(v) - list_min(v)) / 255.0 AS scale FROM e)
+        |SELECT vec_id,
+        |  CAST(floor(list_max(list_transform(v, x ->
+        |    abs(x - (vmin + LEAST(GREATEST(floor((x - vmin) / scale + 0.5),
+        |                                   0), 255) * scale))))
+        |    * 1e6 + 0.5) AS BIGINT) AS err_micro
+        |FROM r ORDER BY vec_id""".stripMargin,
+
+    // same fixture and bar as the other ANN recall rows: every query
+    // point clears recall@10 >= 0.9
+    "q_vec_sq8_recall" ->
       """SELECT doc_id AS qid FROM documents
         |WHERE doc_id < 1600 AND doc_id % 50 = 0 ORDER BY qid""".stripMargin,
 

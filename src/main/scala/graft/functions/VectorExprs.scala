@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -246,6 +246,256 @@ case class PqLut(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Scalar (int8) quantization encode: `graft_sq8_codes(vec, vmin, scale)`
+  * → `binary` of `len(vec)` bytes, code `i` = `clamp(round((x_i − vmin) /
+  * scale), 0, 255)` stored as an unsigned byte — 1 byte/dim against the
+  * float vector's 4 (the storage economics of SQ8 indexes). A
+  * non-positive `scale` (constant vector) encodes all-zero codes, so
+  * dequantize returns exactly `vmin`. Kernel for the usual reason: a
+  * `transform` lambda evaluates interpreted on the per-row corpus path.
+  * Rounding is `floor(x + 0.5)` — the convention every judged float→int
+  * projection in this repo uses, reproducible in any SQL engine. */
+case class Sq8Codes(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && second.dataType == DoubleType && third.dataType == DoubleType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_codes expects (array<double>, double, double), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_sq8_codes"
+
+  override protected def nullSafeEval(v: Any, mn: Any, sc: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val vmin = mn.asInstanceOf[Double]
+    val scale = sc.asInstanceOf[Double]
+    val n = vec.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = if (scale > 0.0) {
+        val r = math.floor((vec.getDouble(i) - vmin) / scale + 0.5)
+        if (r < 0.0) 0 else if (r > 255.0) 255 else r.toInt
+      } else 0
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, sc) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val r = ctx.freshName("r")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $v.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $c = 0;
+         |  if ($sc > 0.0) {
+         |    double $r = java.lang.Math.floor(($v.getDouble($i) - $mn) / $sc + 0.5);
+         |    $c = $r < 0.0 ? 0 : ($r > 255.0 ? 255 : (int) $r);
+         |  }
+         |  $out[$i] = (byte) $c;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** SQ8 reconstruction-error kernel: `graft_sq8_err(vec, vmin, scale)` →
+  * `max_i |x_i − (vmin + code_i·scale)|` in one pass (quantize +
+  * dequantize fused; the quantization contract `err ≤ scale/2 + ulps` a
+  * spec can assert and an oracle can recompute bit-for-bit). */
+case class Sq8Err(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && second.dataType == DoubleType && third.dataType == DoubleType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_err expects (array<double>, double, double), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_err"
+
+  override protected def nullSafeEval(v: Any, mn: Any, sc: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val vmin = mn.asInstanceOf[Double]
+    val scale = sc.asInstanceOf[Double]
+    val n = vec.numElements()
+    var worst = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vec.getDouble(i)
+      val c = if (scale > 0.0) {
+        val r = math.floor((x - vmin) / scale + 0.5)
+        if (r < 0.0) 0.0 else if (r > 255.0) 255.0 else r
+      } else 0.0
+      val e = math.abs(x - (vmin + c * scale))
+      if (e > worst) worst = e
+      i += 1
+    }
+    worst
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, sc) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val worst = ctx.freshName("worst"); val r = ctx.freshName("r")
+      val c = ctx.freshName("c"); val x = ctx.freshName("x")
+      val e = ctx.freshName("e")
+      s"""
+         |int $n = $v.numElements();
+         |double $worst = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $v.getDouble($i);
+         |  double $c = 0.0;
+         |  if ($sc > 0.0) {
+         |    double $r = java.lang.Math.floor(($x - $mn) / $sc + 0.5);
+         |    $c = $r < 0.0 ? 0.0 : ($r > 255.0 ? 255.0 : $r);
+         |  }
+         |  double $e = java.lang.Math.abs($x - ($mn + $c * $sc));
+         |  if ($e > $worst) $worst = $e;
+         |}
+         |${ev.value} = $worst;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Asymmetric SQ8 dot product: `graft_sq8_dot(q, codes, vmin, scale)` →
+  * `Σ q_i · (vmin + (codes_i & 0xFF)·scale)` — the query stays float,
+  * the corpus side is read as 1-byte codes (the memory-bound scan SQ8
+  * search wants: 4× fewer corpus bytes than a float dot). Lengths are
+  * read up to the shorter side, matching [[DotProduct]]'s contract. */
+case class Sq8Dot(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && second.dataType == BinaryType &&
+      third.dataType == DoubleType && fourth.dataType == DoubleType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_dot expects (array<double>, binary, double, double), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString}, ${fourth.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_dot"
+
+  override protected def nullSafeEval(q: Any, cd: Any, mn: Any, sc: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val codes = cd.asInstanceOf[Array[Byte]]
+    val vmin = mn.asInstanceOf[Double]
+    val scale = sc.asInstanceOf[Double]
+    val n = math.min(qv.numElements(), codes.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += qv.getDouble(i) * (vmin + (codes(i) & 0xff) * scale)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, cd, mn, sc) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($q.numElements(), $cd.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $q.getDouble($i) * ($mn + (($cd[$i]) & 0xff) * $sc);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
+/** Norm of the DEQUANTIZED vector: `graft_sq8_norm(codes, vmin, scale)`
+  * → `sqrt(Σ (vmin + (codes_i & 0xFF)·scale)²)` — computed once per
+  * corpus row at index time so cosine ranking over SQ8 codes needs no
+  * float vector at query time. */
+case class Sq8Norm(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType &&
+      second.dataType == DoubleType && third.dataType == DoubleType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_norm expects (binary, double, double), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_norm"
+
+  override protected def nullSafeEval(cd: Any, mn: Any, sc: Any): Any = {
+    val codes = cd.asInstanceOf[Array[Byte]]
+    val vmin = mn.asInstanceOf[Double]
+    val scale = sc.asInstanceOf[Double]
+    var s = 0.0
+    var i = 0
+    while (i < codes.length) {
+      val x = vmin + (codes(i) & 0xff) * scale
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cd, mn, sc) => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $cd.length; $i++) {
+         |  double $x = $mn + (($cd[$i]) & 0xff) * $sc;
+         |  $s += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExprs {
   /** Registration triple for [[DotProduct]] as SQL function `graft_dot`,
     * shared by the [[GraftExtensions]] session-build path and the
@@ -264,6 +514,22 @@ object VectorExprs {
     (FunctionIdentifier("graft_pq_lut"),
       new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
       (ch: Seq[Expression]) => PqLut(ch.head, ch(1), ch(2)))
+  )
+
+  /** SQ8 kernel registrations (see Tables.bootstrap). */
+  val sq8Functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_sq8_codes"),
+      new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8_codes"),
+      (ch: Seq[Expression]) => Sq8Codes(ch.head, ch(1), ch(2))),
+    (FunctionIdentifier("graft_sq8_err"),
+      new ExpressionInfo(classOf[Sq8Err].getName, "graft_sq8_err"),
+      (ch: Seq[Expression]) => Sq8Err(ch.head, ch(1), ch(2))),
+    (FunctionIdentifier("graft_sq8_dot"),
+      new ExpressionInfo(classOf[Sq8Dot].getName, "graft_sq8_dot"),
+      (ch: Seq[Expression]) => Sq8Dot(ch.head, ch(1), ch(2), ch(3))),
+    (FunctionIdentifier("graft_sq8_norm"),
+      new ExpressionInfo(classOf[Sq8Norm].getName, "graft_sq8_norm"),
+      (ch: Seq[Expression]) => Sq8Norm(ch.head, ch(1), ch(2)))
   )
 }
 
@@ -286,7 +552,7 @@ object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     VectorExprs.dotFunction +:
-      (VectorExprs.pqFunctions ++
+      (VectorExprs.pqFunctions ++ VectorExprs.sq8Functions ++
         TextStatsExprs.functions ++ ShingleExprs.functions ++
         CompressExprs.functions ++ ZOrder2.functions ++
         EntropyExprs.functions ++ UrlExprs.functions ++

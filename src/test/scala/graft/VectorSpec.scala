@@ -101,6 +101,46 @@ class VectorSpec extends SparkTestBase {
     assert(pq.groupBy(_._1).values.forall(_.length === 5))
   }
 
+  test("scalarQuantize: error bounded at scale/2, constant vector round-trips to vmin") {
+    val (corpus, _) = clustered
+    val q = Vectors.scalarQuantize(corpus, "vec_id", "v")
+    val checked = q.join(corpus, "vec_id")
+      .select($"vec_id", $"scale",
+        org.apache.spark.sql.functions.call_function(
+          "graft_sq8_err", $"v", $"vmin", $"scale").as("err"),
+        org.apache.spark.sql.functions.length($"codes").as("n_codes"))
+      .as[(Long, Double, Double, Int)].collect()
+    assert(checked.length === 500)
+    checked.foreach { case (id, scale, err, n) =>
+      assert(n === 32, s"vec $id codes length $n")
+      assert(err <= scale / 2 * (1 + 1e-9), s"vec $id err $err vs scale $scale")
+    }
+    // constant vector: scale 0, all-zero codes, dequantizes to exactly vmin
+    val const = Seq((1L, Seq.fill(8)(0.25))).toDF("vec_id", "v")
+    val row = Vectors.scalarQuantize(const, "vec_id", "v")
+      .select($"vmin", $"scale",
+        org.apache.spark.sql.functions.call_function(
+          "graft_sq8_err", org.apache.spark.sql.functions.typedLit(
+            Seq.fill(8)(0.25)), $"vmin", $"scale").as("err"))
+      .as[(Double, Double, Double)].head()
+    assert(row === ((0.25, 0.0, 0.0)))
+  }
+
+  test("sq8TopK recall >= 0.9 vs brute force; sims exact on returned pairs") {
+    val (corpus, queries) = clustered
+    def result(df: DataFrame) = df.select("qid", "neighbor", "sim")
+      .as[(Long, Long, Double)].collect()
+    val exact = result(Vectors.bruteForceTopK(corpus, "vec_id", "v", queries, "qid", "qv", 5))
+    val sq = result(Vectors.sq8TopK(corpus, "vec_id", "v", queries, "qid", "qv", 5))
+    val recall = exact.map(r => (r._1, r._2)).toSet
+      .intersect(sq.map(r => (r._1, r._2)).toSet).size.toDouble / exact.length
+    assert(recall >= 0.9, s"recall $recall")
+    val exactSims = exact.map(r => (r._1, r._2) -> r._3).toMap
+    sq.foreach { case (q, n, s) =>
+      exactSims.get((q, n)).foreach(e => assert(math.abs(e - s) < 1e-12)) }
+    assert(sq.groupBy(_._1).values.forall(_.length === 5))
+  }
+
   test("native graft_dot matches the HOF formulation and propagates nulls") {
     val df = Seq(
       (Option(Seq(1.0, 2.0, 3.0)), Option(Seq(4.0, 5.0, 6.0))),
