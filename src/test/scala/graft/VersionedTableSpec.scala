@@ -516,6 +516,40 @@ class VersionedTableSpec extends SparkTestBase {
     assert(m.version === 2) // no-op sync version committed
   }
 
+  test("tags: resolve, re-tag moves, drop releases; vacuum pins tagged versions") {
+    val root = freshRoot("tags")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    VersionedTable.tagVersion(spark, root, "baseline", 1)
+    VersionedTable.overwrite(spark, root, orders.filter(col("o_orderkey") % 2 === 1))
+    VersionedTable.overwrite(spark, root, orders.limit(10))
+    val evens = orders.filter(col("o_orderkey") % 2 === 0).count()
+    assert(VersionedTable.readTag(spark, root, "baseline").count() === evens)
+    // vacuum keeping ONLY the latest: v1 is outside the window but
+    // tagged — manifest and dirs must survive and still read
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(VersionedTable.readTag(spark, root, "baseline").count() === evens)
+    // v2 (untagged, unreferenced) was reclaimed
+    assert(intercept[Exception] {
+      VersionedTable.readVersion(spark, root, 2).count()
+    } != null)
+    // re-tag moves the name; drop releases the pin for the NEXT sweep
+    VersionedTable.tagVersion(spark, root, "baseline", 3)
+    assert(VersionedTable.readTag(spark, root, "baseline").count() === 10)
+    assert(VersionedTable.dropTag(spark, root, "baseline"))
+    assert(!VersionedTable.dropTag(spark, root, "baseline"))
+    val dead = VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(dead.nonEmpty, "v1's dir reclaimed once its tag is gone")
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.readTag(spark, root, "baseline")
+    }.getMessage.contains("no tag"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.tagVersion(spark, root, "nope", 99)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.tagVersion(spark, root, "bad name", 3)
+    }
+  }
+
   test("deleteKeysMor: O(keys) write, readers subtract, time travel intact") {
     val root = freshRoot("mor_basic")
     val v1 = VersionedTable.create(spark, root, orders)
