@@ -899,6 +899,67 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("tag")
     }),
 
+    // Directory-level data skipping on the commit-log table (the
+    // Delta/Iceberg file-statistics capability at dir granularity):
+    // every data directory carries footer-scraped min/max/rowcount
+    // stats in an `_stats` sidecar (zero extra jobs — scraped from the
+    // parquet footers at commit), and a range read scans only the
+    // directories whose [min,max] overlaps. The table is loaded one
+    // order-year per append — the natural ingest-batch clustering — so
+    // the 1994-03→1995-06 range read must touch exactly the dirs whose
+    // actual date range overlaps, which the oracle recomputes from the
+    // per-year min/max in SQL: the SKIP RATE itself is oracled, not
+    // just the result. Pruning edges (all-null dirs, kind mismatches,
+    // MOR interplay) pinned in VersionedTableSpec.
+    "q_table_skip" -> ((s, dir) => {
+      val root = tmpPath("vtable_skip")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val years = orders.select(year(col("o_orderdate")).as("y"))
+        .distinct().collect().map(_.getInt(0)).sorted // bounded: ~7 values
+      VersionedTable.create(s, root,
+        orders.filter(year(col("o_orderdate")) === years.head))
+      years.tail.foreach { y =>
+        VersionedTable.append(s, root,
+          orders.filter(year(col("o_orderdate")) === y))
+      }
+      val lo = java.time.LocalDateTime.parse("1994-03-01T00:00:00")
+      val hi = java.time.LocalDateTime.parse("1995-06-30T23:59:59")
+      val (kept, all) = VersionedTable.pruneDirs(s, root, "o_orderdate", lo, hi)
+      VersionedTable.readWhereBetween(s, root, "o_orderdate", lo, hi)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .select(col("n"), col("key_sum"), lit(kept.size).as("dirs_read"),
+          lit(all.size).as("dirs_total"))
+    }),
+
+    // Metadata-only counts from the same sidecar stats (Delta's
+    // count(*) fast path — zero data IO): exact through append and COW
+    // delete (rewrites re-scrape their new dirs), honestly unanswerable
+    // (-1) while merge-on-read tombstones are outstanding, exact again
+    // once compact materializes the subtraction. Each version's count
+    // is a pure predicate over orders — fully oracled.
+    "q_table_meta_count" -> ((s, dir) => {
+      val root = tmpPath("vtable_meta")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      VersionedTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      VersionedTable.deleteKeysMor(s, root,
+        VersionedTable.readLatest(s, root)
+          .filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      VersionedTable.compact(s, root)
+      import s.implicits._
+      (1 to 5).map { v =>
+        (v, VersionedTable.metadataCount(s, root, version = v).getOrElse(-1L))
+      }.toDF("version", "n_meta").orderBy("version")
+    }),
+
     // Incremental view maintenance over the CDF — the consumer that
     // makes the change feed worth emitting: a count/sum view built at
     // v1 is refreshed by FOLDING IN the delta since its cursor
@@ -3599,6 +3660,42 @@ object SparkEntry {
         |SELECT 'post-clean', CAST(count(*) AS BIGINT),
         |       CAST(sum(o_orderkey) AS BIGINT) FROM p
         |ORDER BY tag""".stripMargin,
+
+    // the skip rate is oracled, not just the result: the table holds one
+    // order-year per directory, so the dirs a [lo, hi] range read must
+    // scan are exactly the years whose actual min/max date range
+    // overlaps — recomputable in SQL from the per-year min/max (the
+    // same values the parquet footers record)
+    "q_table_skip" ->
+      """WITH y AS (SELECT year(o_orderdate) AS yr,
+        |                  min(o_orderdate) AS mn, max(o_orderdate) AS mx
+        |           FROM orders GROUP BY 1),
+        |sel AS (SELECT count(*) AS n, sum(o_orderkey) AS ks FROM orders
+        |        WHERE o_orderdate BETWEEN TIMESTAMP '1994-03-01 00:00:00'
+        |                              AND TIMESTAMP '1995-06-30 23:59:59')
+        |SELECT CAST(sel.n AS BIGINT) AS n, CAST(sel.ks AS BIGINT) AS key_sum,
+        |       CAST((SELECT count(*) FROM y
+        |             WHERE mn <= TIMESTAMP '1995-06-30 23:59:59'
+        |               AND mx >= TIMESTAMP '1994-03-01 00:00:00') AS INT)
+        |         AS dirs_read,
+        |       CAST((SELECT count(*) FROM y) AS INT) AS dirs_total
+        |FROM sel""".stripMargin,
+
+    // every metadata count is a predicate over orders; v4 is the honest
+    // -1 (outstanding MOR tombstones make the count data-dependent),
+    // v5 re-answers after compact materializes the subtraction
+    "q_table_meta_count" ->
+      """WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (0,1)),
+        |v3 AS (SELECT o_orderkey FROM orders
+        |       WHERE o_orderkey % 3 IN (0,1) AND o_orderstatus <> 'F')
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_meta FROM v1
+        |UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM v2
+        |UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM v3
+        |UNION ALL SELECT 4, CAST(-1 AS BIGINT)
+        |UNION ALL SELECT 5, CAST(count(*) AS BIGINT) FROM v3
+        |          WHERE o_orderkey % 7 <> 0
+        |ORDER BY version""".stripMargin,
 
     // the IVM invariant: the incrementally refreshed view equals the
     // direct aggregate over the table's final state (full table minus

@@ -225,6 +225,11 @@ object VersionedTable {
     val w = df.write.mode(SaveMode.Append)
     (if (effectiveCols.nonEmpty) w.partitionBy(effectiveCols: _*) else w)
       .parquet(new Path(root, dir).toString)
+    // dir-level column stats, scraped from the parquet FOOTERS just
+    // written (no extra Spark job — Iceberg's commit-time economics);
+    // failure to scrape costs only skipping ability, never the commit
+    try writeStats(fs, new Path(root, dir))
+    catch { case scala.util.control.NonFatal(_) => () }
     dir
   }
 
@@ -903,6 +908,302 @@ object VersionedTable {
   def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
     val (fs, rootP) = fsOf(spark, root)
     fs.delete(new Path(refsDir(rootP), name), false)
+  }
+
+  // ---- directory-level column statistics & data skipping ---------------
+
+  /** Sidecar file inside a data directory holding footer-scraped column
+    * stats (underscore-prefixed: invisible to parquet readers, dies with
+    * the directory at vacuum). One `rows` line, then one line per
+    * prunable column. This is the Delta/Iceberg file-statistics
+    * capability at DIRECTORY granularity — metadata stays O(commits),
+    * and on an append-mostly table whose batches are naturally
+    * range-clustered (event time, ingest date, monotone ids) a range
+    * read touches only the overlapping directories. */
+  private val StatsFile = "_stats"
+
+  /** Column stat domain kinds. `kind` disambiguates the LOGICAL domain,
+    * not just the physical one, so a caller's bound can never be
+    * compared against the wrong unit: 'L' plain integral, 'T' timestamp
+    * (micros since epoch — MILLIS annotations normalized, NANOS
+    * unprunable), 'A' date (days since epoch), 'D' float/double,
+    * 'S' ASCII-only string (ASCII keeps parquet's unsigned-byte order,
+    * Java's UTF-16 order and Spark's UTF8 binary order identical;
+    * non-ASCII min/max poison the column instead of risking a wrong
+    * prune). `hasValues=false` means every value in the directory is
+    * NULL — range predicates can never match it. */
+  private final case class ColStat(kind: Char, min: String, max: String,
+      hasValues: Boolean)
+  private final case class DirStat(rows: Long, cols: Map[String, ColStat])
+
+  private def isAscii(s: String): Boolean = s.forall(c => c < 0x80)
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def urlDec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def parquetFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) parquetFiles(fs, st.getPath)
+      else if (n.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+
+  /** Scrape min/max/row-count stats for the directory's TOP-LEVEL
+    * columns from the parquet footers (driver-side metadata reads, no
+    * Spark job) and write the [[StatsFile]] sidecar. Columns whose
+    * chunks lack usable statistics — nested paths, unsupported physical
+    * types, non-ASCII string bounds, NANOS timestamps — are omitted
+    * (absence = unprunable = always read: conservative, never wrong).
+    * Footer min/max are BOUNDS by contract (parquet-mr truncates long
+    * binaries with proper boundary adjustment), which is exactly what
+    * range pruning needs. Hive-partition columns live in directory
+    * names, not footers, so they are naturally absent here — partition
+    * pruning inside the scan already covers them. */
+  private def writeStats(fs: FileSystem, dirP: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = fs.getConf
+    var rows = 0L
+    // None = poisoned (seen, but not prunable); LinkedHashMap keeps
+    // footer column order in the sidecar for readability
+    val acc = scala.collection.mutable.LinkedHashMap[String, Option[ColStat]]()
+    def poison(name: String): Unit = acc.update(name, None)
+    def mergeRange(name: String, kind: Char, mn: String, mx: String,
+        lt: (String, String) => Boolean): Unit = acc.get(name) match {
+      case Some(None) => ()
+      case None | Some(Some(ColStat(_, _, _, false))) =>
+        acc.update(name, Some(ColStat(kind, mn, mx, hasValues = true)))
+      case Some(Some(prev)) =>
+        if (prev.kind != kind) poison(name)
+        else acc.update(name, Some(ColStat(kind,
+          if (lt(mn, prev.min)) mn else prev.min,
+          if (lt(prev.max, mx)) mx else prev.max, hasValues = true)))
+    }
+    def longLt(a: String, b: String) = a.toLong < b.toLong
+    def dblLt(a: String, b: String) = a.toDouble < b.toDouble
+    def strLt(a: String, b: String) = a < b
+    def allNull(name: String): Unit = acc.get(name) match {
+      case None => acc.update(name,
+        Some(ColStat('L', "", "", hasValues = false)))
+      case _ => () // existing range or poison stands
+    }
+    for (file <- parquetFiles(fs, dirP)) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        for (block <- reader.getFooter.getBlocks.asScala) {
+          rows += block.getRowCount
+          for (c <- block.getColumns.asScala) {
+            val path = c.getPath.toArray
+            if (path.length == 1) {
+              val name = path(0)
+              val st = c.getStatistics
+              if (st == null) poison(name)
+              else if (st.hasNonNullValue) {
+                val pt = c.getPrimitiveType
+                val ann = pt.getLogicalTypeAnnotation
+                def longKind: Char = ann match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MICROS => 'T'
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => 't'
+                      case _ => '!' // NANOS etc: unprunable
+                    }
+                  case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'A'
+                  case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                    if (i.isSigned) 'L' else '!'
+                  case null => 'L'
+                  case _ => '!'
+                }
+                pt.getPrimitiveTypeName match {
+                  case INT32 | INT64 =>
+                    val k = longKind
+                    val mn = st.genericGetMin.asInstanceOf[Number].longValue
+                    val mx = st.genericGetMax.asInstanceOf[Number].longValue
+                    k match {
+                      case 't' => mergeRange(name, 'T',
+                        Math.multiplyExact(mn, 1000L).toString,
+                        Math.multiplyExact(mx, 1000L).toString, longLt)
+                      case '!' => poison(name)
+                      case kk => mergeRange(name, kk, mn.toString, mx.toString,
+                        longLt)
+                    }
+                  case FLOAT | DOUBLE =>
+                    val mn = st.genericGetMin.asInstanceOf[Number].doubleValue
+                    val mx = st.genericGetMax.asInstanceOf[Number].doubleValue
+                    // NaN-polluted chunk stats are unreliable bounds
+                    if (mn.isNaN || mx.isNaN) poison(name)
+                    else mergeRange(name, 'D', mn.toString, mx.toString, dblLt)
+                  case BINARY =>
+                    val mn = st.genericGetMin
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8
+                    val mx = st.genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8
+                    if (isAscii(mn) && isAscii(mx))
+                      mergeRange(name, 'S', mn, mx, strLt)
+                    else poison(name)
+                  case _ => poison(name)
+                }
+              } else if (st.isNumNullsSet) allNull(name) // all-null chunk
+              else poison(name) // stats absent entirely
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val lines = s"rows\t$rows" +: acc.toSeq.collect {
+      case (name, Some(cs)) =>
+        s"${urlEnc(name)}\t${cs.kind}\t${if (cs.hasValues) 1 else 0}" +
+          s"\t${urlEnc(cs.min)}\t${urlEnc(cs.max)}"
+    }
+    val out = fs.create(new Path(dirP, StatsFile), false)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a directory's stats sidecar; None (absent/unparsable) means
+    * the directory predates stats or scraping failed — unprunable. */
+  private def readStats(fs: FileSystem, root: Path, dir: String): Option[DirStat] = {
+    val p = new Path(new Path(root, dir), StatsFile)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        val lines = text.split("\n").filter(_.nonEmpty)
+        val rows = lines.head.stripPrefix("rows\t").toLong
+        val cols = lines.tail.map { l =>
+          val f = l.split("\t", -1)
+          urlDec(f(0)) -> ColStat(f(1).head, urlDec(f(3)), urlDec(f(4)),
+            f(2) == "1")
+        }.toMap
+        Some(DirStat(rows, cols))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** A caller-supplied bound mapped into a stats domain: (kind, value
+    * rendered in the sidecar encoding). Timestamp-flavored bounds all
+    * land in micros ('T'), date-flavored in days ('A') — the kind tag
+    * is what stops a days bound from being compared against a micros
+    * column. */
+  private def toBound(x: Any): (Char, String) = x match {
+    case n: Byte => ('L', n.toLong.toString)
+    case n: Short => ('L', n.toLong.toString)
+    case n: Int => ('L', n.toLong.toString)
+    case n: Long => ('L', n.toString)
+    case i: java.time.Instant =>
+      ('T', (Math.multiplyExact(i.getEpochSecond, 1000000L) +
+        i.getNano / 1000L).toString)
+    case t: java.sql.Timestamp =>
+      ('T', (Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L) +
+        t.getNanos / 1000L).toString)
+    case ldt: java.time.LocalDateTime =>
+      ('T', (Math.multiplyExact(
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+        ldt.getNano / 1000L).toString)
+    case d: java.sql.Date => ('A', d.toLocalDate.toEpochDay.toString)
+    case ld: java.time.LocalDate => ('A', ld.toEpochDay.toString)
+    case f: Float => ('D', f.toDouble.toString)
+    case d: Double => ('D', d.toString)
+    case s: String =>
+      require(isAscii(s), s"string bound must be ASCII for stats pruning: $s")
+      ('S', s)
+    case other => throw new IllegalArgumentException(
+      s"unsupported stats bound type: ${other.getClass.getName}")
+  }
+
+  /** Can the directory contain a row with `column` in [lo, hi]?
+    * Conservative in every uncertain case: missing sidecar, missing
+    * column entry (schema evolution, partition columns, poisoned
+    * stats) and kind mismatches all answer yes. */
+  private def mayContain(stat: Option[DirStat], column: String,
+      bk: Char, lo: String, hi: String): Boolean = stat match {
+    case None => true
+    case Some(ds) if ds.rows == 0L => false
+    case Some(ds) => ds.cols.get(column) match {
+      case None => true
+      case Some(cs) if !cs.hasValues => false // all NULL: BETWEEN never matches
+      case Some(cs) if cs.kind != bk => true
+      case Some(cs) => bk match {
+        case 'L' | 'T' | 'A' =>
+          !(hi.toLong < cs.min.toLong || lo.toLong > cs.max.toLong)
+        case 'D' =>
+          !(hi.toDouble < cs.min.toDouble || lo.toDouble > cs.max.toDouble)
+        case _ => !(hi < cs.min || lo > cs.max)
+      }
+    }
+  }
+
+  /** Data-skipping probe: (directories of version `v` that may hold a
+    * row with `column` in [lower, upper], all directories). Bounds are
+    * inclusive; see [[toBound]] for accepted types. `version` 0 means
+    * latest. Public so callers (and specs) can audit the skip rate —
+    * the honest analogue of Delta's `numFilesSkipped` metrics. */
+  def pruneDirs(spark: SparkSession, root: String, column: String,
+      lower: Any, upper: Any, version: Int = 0): (Seq[String], Seq[String]) = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = if (version > 0) version else requireExists(spark, root)
+    val m = readManifest(fs, rootP, v)
+    val (lk, lo) = toBound(lower)
+    val (hk, hi) = toBound(upper)
+    require(lk == hk, s"bound kinds differ: $lower vs $upper")
+    (m.dataDirs.filter(d => mayContain(readStats(fs, rootP, d), column, lk, lo, hi)),
+      m.dataDirs)
+  }
+
+  /** Snapshot range read with directory-level data skipping: only
+    * directories whose footer-scraped [min, max] for `column` overlaps
+    * [lower, upper] are scanned (the others provably hold no matching
+    * row), then the predicate filters within the survivors — where it
+    * also pushes down to parquet row-group stats. Tombstones only ever
+    * REMOVE rows, so pruning commutes with merge-on-read subtraction.
+    * On an append-mostly table whose ingest batches track the range
+    * column (event time, ingest date), a narrow range read touches a
+    * constant number of directories however long the table lives. */
+  def readWhereBetween(spark: SparkSession, root: String, column: String,
+      lower: Any, upper: Any, version: Int = 0): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = if (version > 0) version else requireExists(spark, root)
+    val m = readManifest(fs, rootP, v)
+    val (kept, all) = pruneDirs(spark, root, column, lower, upper, v)
+    // all pruned: scan ONE directory anyway — it returns zero rows by
+    // construction and carries the snapshot schema (cheap: the filter
+    // still skips its row groups)
+    val dirs = if (kept.nonEmpty) kept else all.take(1)
+    val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+    resolvedRead(spark, fs, rootP, m.copy(dataDirs = dirs),
+      mergeSchema = m.deleteDirs.nonEmpty).filter(pred)
+  }
+
+  /** Metadata-only row count (Delta's `SELECT count(*)` fast path): the
+    * sum of footer-scraped directory row counts — zero data IO. None
+    * when the count is not answerable from metadata alone: outstanding
+    * merge-on-read tombstones (their subtraction needs the data) or a
+    * directory without a stats sidecar. Exact whenever Some: COW
+    * rewrites and compactions re-scrape their new directories. */
+  def metadataCount(spark: SparkSession, root: String,
+      version: Int = 0): Option[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = if (version > 0) version else requireExists(spark, root)
+    val m = readManifest(fs, rootP, v)
+    if (m.deleteDirs.nonEmpty) None
+    else m.dataDirs.foldLeft(Option(0L)) { (acc, d) =>
+      for (a <- acc; s <- readStats(fs, rootP, d)) yield a + s.rows
+    }
   }
 
   /** Reference-counting vacuum: drop manifests older than the newest

@@ -667,4 +667,111 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readLatest(spark, root)
       .filter(col("o_orderkey").isNull).count() === 1)
   }
+
+  // ---- directory stats, data skipping, metadata counts -----------------
+
+  test("readWhereBetween skips non-overlapping directories, result equals plain filter") {
+    val root = freshRoot("skip")
+    VersionedTable.create(spark, root,
+      orders.filter(col("o_orderkey") < 1000))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") >= 3000))
+    val (kept, all) = VersionedTable.pruneDirs(spark, root, "o_orderkey",
+      1200L, 1800L)
+    assert(all.size === 3)
+    assert(kept.size === 1) // only the middle batch can match
+    val got = VersionedTable.readWhereBetween(spark, root, "o_orderkey",
+      1200L, 1800L)
+    val want = orders.filter(col("o_orderkey").between(1200, 1800))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("pruning a range no directory overlaps returns an empty, schema-carrying frame") {
+    val root = freshRoot("skip_empty")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") < 500))
+    val got = VersionedTable.readWhereBetween(spark, root, "o_orderkey",
+      100000000L, 200000000L)
+    assert(got.isEmpty)
+    assert(got.columns.toSeq === orders.columns.toSeq)
+  }
+
+  test("string-column pruning uses lexicographic bounds; unknown column is unprunable") {
+    val root = freshRoot("skip_str")
+    VersionedTable.create(spark, root,
+      orders.filter(col("o_orderstatus") === "F"))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderstatus") === "P"))
+    val (kept, all) = VersionedTable.pruneDirs(spark, root, "o_orderstatus",
+      "O", "Q")
+    assert(all.size === 2 && kept.size === 1)
+    // a column with no stats entry (not in the table at all) never prunes
+    val (k2, a2) = VersionedTable.pruneDirs(spark, root, "no_such_col",
+      0L, 1L)
+    assert(k2 === a2)
+    // a bound whose KIND differs from the stats domain never prunes
+    // (days bound against an integral column)
+    val (k3, a3) = VersionedTable.pruneDirs(spark, root, "o_orderkey",
+      java.time.LocalDate.parse("1994-01-01"),
+      java.time.LocalDate.parse("1994-12-31"))
+    assert(k3 === a3)
+  }
+
+  test("timestamp pruning in micros; all-null and empty directories are pruned") {
+    val root = freshRoot("skip_ts")
+    val dated = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderdate")
+    VersionedTable.create(spark, root,
+      dated.filter(year(col("o_orderdate")) === 1994))
+    VersionedTable.append(spark, root,
+      dated.filter(year(col("o_orderdate")) === 1996))
+    VersionedTable.append(spark, root, // all-null range column
+      dated.limit(5).withColumn("o_orderdate",
+        lit(null).cast(dated.schema("o_orderdate").dataType)))
+    VersionedTable.append(spark, root, dated.filter(lit(false))) // empty dir
+    val lo = java.time.LocalDateTime.parse("1996-02-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1996-11-30T23:59:59")
+    val (kept, all) = VersionedTable.pruneDirs(spark, root, "o_orderdate",
+      lo, hi)
+    assert(all.size === 4 && kept.size === 1)
+    val got = VersionedTable.readWhereBetween(spark, root, "o_orderdate",
+      lo, hi)
+    val want = dated.filter(col("o_orderdate").between(lit(lo), lit(hi)))
+    assert(got.count() === want.count() && got.count() > 0)
+  }
+
+  test("metadataCount: exact through append/COW/compact, None under MOR tombstones") {
+    val root = freshRoot("meta_count")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    val n1 = orders.filter(col("o_orderkey") % 3 === 0).count()
+    assert(VersionedTable.metadataCount(spark, root) === Some(n1))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") % 3 === 1))
+    VersionedTable.deleteWhere(spark, root, col("o_orderstatus") === "F")
+    val n3 = VersionedTable.readLatest(spark, root).count()
+    assert(VersionedTable.metadataCount(spark, root) === Some(n3))
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+    assert(VersionedTable.metadataCount(spark, root) === None) // honest fallback
+    VersionedTable.compact(spark, root)
+    assert(VersionedTable.metadataCount(spark, root) ===
+      Some(VersionedTable.readLatest(spark, root).count()))
+    // time travel: versioned counts stay answerable
+    assert(VersionedTable.metadataCount(spark, root, version = 1) === Some(n1))
+  }
+
+  test("MOR pruning commutes with tombstone subtraction") {
+    val root = freshRoot("skip_mor")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") < 2000))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") >= 2000))
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+    val got = VersionedTable.readWhereBetween(spark, root, "o_orderkey",
+      0L, 1999L)
+    val want = orders.filter(col("o_orderkey") < 2000 &&
+      col("o_orderkey") % 5 =!= 0)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty)
+  }
 }
