@@ -934,6 +934,48 @@ object SparkEntry {
           lit(all.size).as("dirs_total"))
     }),
 
+    // Persistent CHECK constraints on the commit-log table (Delta
+    // ADD CONSTRAINT semantics): adding a constraint the existing data
+    // violates is REJECTED; once stored, every write of table rows is
+    // gated on its staged bytes — a violating append is swept with the
+    // table untouched, a clean one commits. The judged frame proves
+    // both rejections happened (audit columns) and that the final table
+    // holds exactly the clean batches. NULL-pass semantics, upsert/COW
+    // gating and MOR-key exemption pinned in VersionedTableSpec.
+    "q_table_constraint" -> ((s, dir) => {
+      val root = tmpPath("vtable_constraint")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.addConstraint(s, root, "key_nonneg", "o_orderkey >= 0")
+      val addRejected =
+        try {
+          VersionedTable.addConstraint(s, root, "only_f", "o_orderstatus = 'F'")
+          0
+        } catch {
+          case _: VersionedTable.ConstraintViolationException => 1
+        }
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      val appendRejected =
+        try {
+          VersionedTable.append(s, root,
+            orders.filter(col("o_orderkey") % 3 === 2)
+              .withColumn("o_orderkey", -col("o_orderkey") - 1))
+          0
+        } catch {
+          case _: VersionedTable.ConstraintViolationException => 1
+        }
+      val nConstraints = VersionedTable.tableConstraints(s, root).count()
+      VersionedTable.readLatest(s, root)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .select(col("n"), col("key_sum"), lit(addRejected).as("add_rejected"),
+          lit(appendRejected).as("append_rejected"),
+          lit(nConstraints).as("n_constraints"))
+    }),
+
     // Metadata-only counts from the same sidecar stats (Delta's
     // count(*) fast path — zero data IO): exact through append and COW
     // delete (rewrites re-scrape their new dirs), honestly unanswerable
@@ -3680,6 +3722,25 @@ object SparkEntry {
         |         AS dirs_read,
         |       CAST((SELECT count(*) FROM y) AS INT) AS dirs_total
         |FROM sel""".stripMargin,
+
+    // the final table is exactly the clean batches (≡0,1 mod 3); the
+    // audit columns are recomputable: the only_f add is rejected iff a
+    // non-F row exists in the v1 slice, the negated-keys append is
+    // rejected iff the ≡2 slice is non-empty (all fixture keys are
+    // non-negative, so every negated key violates key_nonneg)
+    "q_table_constraint" ->
+      """WITH v AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (0,1)),
+        |v1 AS (SELECT o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(CASE WHEN EXISTS(SELECT 1 FROM v1
+        |                             WHERE o_orderstatus <> 'F')
+        |            THEN 1 ELSE 0 END AS INT) AS add_rejected,
+        |       CAST(CASE WHEN EXISTS(SELECT 1 FROM orders
+        |                             WHERE o_orderkey % 3 = 2)
+        |            THEN 1 ELSE 0 END AS INT) AS append_rejected,
+        |       CAST(1 AS BIGINT) AS n_constraints
+        |FROM v""".stripMargin,
 
     // every metadata count is a predicate over orders; v4 is the honest
     // -1 (outstanding MOR tombstones make the count data-dependent),

@@ -60,6 +60,12 @@ object VersionedTable {
       partitionCols: Seq[String] = Nil,
       deleteDirs: Seq[String] = Nil)
 
+  /** A CHECK constraint rejected a write (or [[addConstraint]] found
+    * existing rows violating the new constraint). The staged directory
+    * is swept before this is thrown; the table is untouched. */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
   private val LogDir = "_log"
 
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
@@ -198,7 +204,7 @@ object VersionedTable {
     * dirs by NAME). The dot-prefixed marker is invisible to parquet
     * readers and to `d-\\d{8}` sweeps. */
   private def writeDataDir(df: DataFrame, root: Path, v: Int,
-      partitionCols: Seq[String] = Nil): String = {
+      partitionCols: Seq[String] = Nil, enforce: Boolean = true): String = {
     val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     var n = v
     var dir: String = null
@@ -225,6 +231,27 @@ object VersionedTable {
     val w = df.write.mode(SaveMode.Append)
     (if (effectiveCols.nonEmpty) w.partitionBy(effectiveCols: _*) else w)
       .parquet(new Path(root, dir).toString)
+    // CHECK constraints gate every TABLE-ROW directory before it can be
+    // committed (tombstone key dirs are not table rows — exempt). The
+    // probe runs on the STAGED BYTES — what a reader will see — and a
+    // violation sweeps the directory and throws with the table
+    // untouched: no manifest references the dir yet.
+    if (enforce) {
+      val cs = activeConstraints(fs, root)
+      if (cs.nonEmpty) {
+        val staged = df.sparkSession.read.parquet(new Path(root, dir).toString)
+        cs.foreach { case (n, e) =>
+          // SQL CHECK semantics: NULL passes, only FALSE violates
+          val bad = !staged
+            .filter(!coalesce(expr(e), lit(true))).isEmpty
+          if (bad) {
+            fs.delete(new Path(root, dir), true)
+            throw new ConstraintViolationException(
+              s"write rejected by CHECK constraint '$n' ($e)")
+          }
+        }
+      }
+    }
     // dir-level column stats, scraped from the parquet FOOTERS just
     // written (no extra Spark job — Iceberg's commit-time economics);
     // failure to scrape costs only skipping ability, never the commit
@@ -490,8 +517,9 @@ object VersionedTable {
     require(bad.isEmpty,
       s"deleteKeysMor: key column(s) not in table: ${bad.mkString(", ")}")
     // tombstones are key files: written unpartitioned whatever the
-    // table's layout, deduped so the mask is minimal
-    val dir = writeDataDir(keys.distinct(), rootP, v)
+    // table's layout, deduped so the mask is minimal (and exempt from
+    // CHECK constraints — key files are not table rows)
+    val dir = writeDataDir(keys.distinct(), rootP, v, enforce = false)
     writeApplies(fs, rootP, dir, base.dataDirs)
     commit(fs, rootP, Manifest(v, "mor-delete", base.version, base.dataDirs,
       partitionCols = base.partitionCols,
@@ -910,6 +938,69 @@ object VersionedTable {
     fs.delete(new Path(refsDir(rootP), name), false)
   }
 
+  // ---- CHECK constraints (Delta table-invariant semantics) -------------
+
+  /** Constraint store: one file per constraint under `_log/constraints/`
+    * (filename = constraint name, content = SQL boolean expression) —
+    * the refs pattern, not commits: constraints gate FUTURE writes and
+    * are not part of any snapshot's data. */
+  private def constraintsDir(root: Path): Path =
+    new Path(new Path(root, LogDir), "constraints")
+
+  private def activeConstraints(fs: FileSystem, root: Path): Seq[(String, String)] = {
+    val d = constraintsDir(root)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath).sortBy(_.getName).map { p =>
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        p.getName -> new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+  }
+
+  /** ADD CONSTRAINT, Delta semantics: the EXISTING data is validated
+    * first (a constraint the current snapshot violates is rejected —
+    * so at all times every committed row satisfies every active
+    * constraint), then every subsequent write of table rows — append,
+    * audited/idempotent append, upsert, applyChanges, COW rewrites —
+    * is gated on the staged bytes before its commit, and a violating
+    * write is swept with the table untouched. SQL CHECK null
+    * semantics: a row where the expression is NULL passes; only FALSE
+    * violates. The expression is any Spark SQL boolean expression over
+    * the table's columns. Duplicate names are rejected (exclusive
+    * create). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"illegal constraint name: $name")
+    val (fs, rootP) = fsOf(spark, root)
+    requireExists(spark, root)
+    val existingBad = !readLatest(spark, root, mergeSchema = true)
+      .filter(!coalesce(expr(sqlExpr), lit(true))).isEmpty
+    if (existingBad)
+      throw new ConstraintViolationException(
+        s"cannot add CHECK constraint '$name' ($sqlExpr): existing rows violate it")
+    val dst = new Path(constraintsDir(rootP), name)
+    val out = fs.create(dst, false) // exclusive: duplicate add fails
+    try out.write(sqlExpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Drop a constraint; subsequent writes are no longer gated by it.
+    * Returns whether it existed. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    fs.delete(new Path(constraintsDir(rootP), name), false)
+  }
+
+  /** Active constraints as a DataFrame (name, expression). */
+  def tableConstraints(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    import spark.implicits._
+    activeConstraints(fs, rootP).toDF("name", "expression")
+  }
+
   // ---- directory-level column statistics & data skipping ---------------
 
   /** Sidecar file inside a data directory holding footer-scraped column
@@ -1003,7 +1094,8 @@ object VersionedTable {
             val path = c.getPath.toArray
             if (path.length == 1) {
               val name = path(0)
-              val st = c.getStatistics
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                c.getStatistics
               if (st == null) poison(name)
               else if (st.hasNonNullValue) {
                 val pt = c.getPrimitiveType

@@ -668,6 +668,70 @@ class VersionedTableSpec extends SparkTestBase {
       .filter(col("o_orderkey").isNull).count() === 1)
   }
 
+  // ---- CHECK constraints ----------------------------------------------
+
+  test("CHECK constraint gates appends; violating staged dir is swept, table untouched") {
+    import graft.tables.VersionedTable.ConstraintViolationException
+    val root = freshRoot("constraint")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    VersionedTable.addConstraint(spark, root, "key_nonneg", "o_orderkey >= 0")
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") % 2 === 1))
+    val before = VersionedTable.readLatest(spark, root).count()
+    val beforeDirs = new java.io.File(root).list().count(_.startsWith("d-"))
+    intercept[ConstraintViolationException] {
+      VersionedTable.append(spark, root,
+        orders.limit(3).withColumn("o_orderkey", lit(-5L)))
+    }
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.readLatest(spark, root).count() === before)
+    // the violating staged directory was swept — no orphan bytes
+    assert(new java.io.File(root).list().count(_.startsWith("d-")) === beforeDirs)
+  }
+
+  test("addConstraint validates existing data; NULL passes; drop re-opens the gate") {
+    import graft.tables.VersionedTable.ConstraintViolationException
+    val root = freshRoot("constraint_add")
+    VersionedTable.create(spark, root, orders)
+    // existing rows violate: rejected, and NOT stored
+    intercept[ConstraintViolationException] {
+      VersionedTable.addConstraint(spark, root, "only_o", "o_orderstatus = 'O'")
+    }
+    assert(VersionedTable.tableConstraints(spark, root).count() === 0)
+    VersionedTable.addConstraint(spark, root, "key_nonneg", "o_orderkey >= 0")
+    // SQL CHECK null semantics: a NULL expression result passes
+    VersionedTable.append(spark, root,
+      orders.limit(2).withColumn("o_orderkey", lit(null).cast("long")))
+    intercept[ConstraintViolationException] {
+      VersionedTable.append(spark, root,
+        orders.limit(1).withColumn("o_orderkey", lit(-7L)))
+    }
+    assert(VersionedTable.dropConstraint(spark, root, "key_nonneg"))
+    VersionedTable.append(spark, root,
+      orders.limit(1).withColumn("o_orderkey", lit(-7L)))
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("o_orderkey") === -7L).count() === 1)
+  }
+
+  test("constraints gate upsert payloads and survive COW; MOR key files are exempt") {
+    import graft.tables.VersionedTable.ConstraintViolationException
+    val root = freshRoot("constraint_cow")
+    VersionedTable.create(spark, root, orders)
+    VersionedTable.addConstraint(spark, root, "cust_nonneg", "o_custkey >= 0")
+    intercept[ConstraintViolationException] {
+      VersionedTable.upsert(spark, root,
+        orders.limit(2).withColumn("o_custkey", lit(-1L)), Seq("o_orderkey"))
+    }
+    // COW delete rewrites valid rows — passes the gate
+    VersionedTable.deleteWhere(spark, root, col("o_orderstatus") === "F")
+    // MOR tombstone keys are not table rows: a key FILE with values that
+    // would violate a row constraint on another column still commits
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"))
+    assert(VersionedTable.readLatest(spark, root).count() ===
+      orders.filter(col("o_orderstatus") =!= "F" &&
+        col("o_orderkey") % 11 =!= 0).count())
+  }
+
   // ---- directory stats, data skipping, metadata counts -----------------
 
   test("readWhereBetween skips non-overlapping directories, result equals plain filter") {
