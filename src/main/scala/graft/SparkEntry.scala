@@ -1993,6 +1993,16 @@ object SparkEntry {
         .orderBy("doc_id", "token")
     }),
 
+    // Per-document keyword extraction: top-5 terms per doc (doc_id < 50
+    // slice) ranked by milli-scaled integer TF-IDF — the judged-double
+    // rule applied to a SORT KEY (a raw-double rank cut is where
+    // cross-engine ln ulp drift could flip membership); df over the
+    // whole corpus, ties broken on the token. Fully oracled.
+    "q_keywords" -> ((s, dir) =>
+      TextOps.keywords(t(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") < 50, k = 5)
+        .orderBy("doc_id", "rank")),
+
     // End-to-end corpus curation — the LLM-data pipeline in one judged
     // query: quality gate (length + stopword evidence) → exact dedup
     // (keep min id) → near-dup drop (greedy: remove the larger id of any
@@ -4780,6 +4790,27 @@ object SparkEntry {
         |       tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n
         |ORDER BY doc_id, token""".stripMargin,
+
+    // same tf/df machinery as q_tfidf; the rank key is the milli-scaled
+    // INTEGER score (identical IEEE divide/ln/multiply/floor on both
+    // sides), ties on the token — a total order no ulp can flip
+    "q_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE doc_id < 50 GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |       CAST(floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df)
+        |                  * 1000.0 + 0.5) AS BIGINT) AS score_milli
+        |       FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score_milli DESC, token ASC) AS rank
+        |           FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, score_milli
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q_curate" ->
       """WITH q AS (SELECT doc_id, text FROM documents

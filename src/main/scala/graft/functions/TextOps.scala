@@ -503,6 +503,47 @@ object TextOps {
       .agg(count(lit(1)).as("n_terms"), sum(col("__s")).as("score"))
   }
 
+  /** Top-k TF-IDF keywords per document — the per-doc summarization /
+    * topic-tag primitive over the same tf·idf weighting as the corpus
+    * report. `docFilter` bounds WHICH documents get keyword rows (the
+    * typical call tags a slice); document frequency is computed over
+    * the WHOLE corpus either way, so a slice's keywords are scored
+    * against global rarity.
+    *
+    * Ranking is by `score_milli` = round(1000·tf·ln(N/df)) — the
+    * repo's judged-double rule applied to ORDERING: a raw-double sort
+    * key is exactly where a 1-ulp cross-engine `ln` difference could
+    * flip a rank boundary, while the milli-scaled integer is stable
+    * (and ties break on the token itself, a total order). Plan shape:
+    * one corpus scan + explode persisted and shared by tf and df
+    * (the q_tfidf contract), both aggregates partial-combined, idf in
+    * via a 1-row broadcast, and the only per-doc work is a
+    * row_number window over each doc's own candidate terms. Judged
+    * `q_keywords`, fully oracled. */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+      docFilter: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val toks = graft.engine.Caches.persisted(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("token")))
+    toks.count() // materialize before tf/df fan out
+    val tf = toks.filter(docFilter)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(nDocs))
+      .withColumn("score_milli",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) *
+          lit(1000.0) + lit(0.5)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("score_milli").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        col("score_milli"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * merge the ranklists of several retrieval legs into one score,
     * `rrf(d) = Σ_legs 1/(k + rank_leg(d))`. RRF is the standard

@@ -413,4 +413,27 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
     assert(none(2L) === Seq("b") && none(1L).forall(_.length == 1))
   }
+
+  test("keywords: global df scores a slice; rare terms outrank common; k cuts; ties on token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare common common common"), // doc 1: in the scored slice
+      (2L, "common filler filler"),
+      (3L, "common noise"),
+      (4L, "common dust")).toDF("doc_id", "text")
+    val got = TextOps.keywords(docs, "doc_id", "text", col("doc_id") === 1L, k = 2)
+      .orderBy("rank").collect()
+    assert(got.length === 2) // only doc 1 gets rows; k=2 cuts its 2 terms
+    // tf("common")=3 but df=4 -> idf=0 -> score 0; "rare" df=1 wins
+    assert(got(0).getAs[String]("token") === "rare")
+    assert(got(0).getAs[Long]("score_milli") ===
+      math.floor(math.log(4.0) * 1000.0 + 0.5).toLong)
+    assert(got(1).getAs[String]("token") === "common")
+    assert(got(1).getAs[Long]("score_milli") === 0L)
+    // equal scores order by token: two df=1 tf=1 terms in one doc
+    val tie = Seq((9L, "beta alpha"), (10L, "x")).toDF("doc_id", "text")
+    val t2 = TextOps.keywords(tie, "doc_id", "text", col("doc_id") === 9L, k = 2)
+      .orderBy("rank").collect()
+    assert(t2.map(_.getAs[String]("token")).toSeq === Seq("alpha", "beta"))
+  }
 }
