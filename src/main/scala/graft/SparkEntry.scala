@@ -2076,6 +2076,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // k-core decomposition (Montresor H-index iteration) over an
+    // engineered fixture whose coreness is known in closed form — a
+    // K6 clique (core 5), a 10-cycle (core 2) and an 11-vertex star
+    // (core 1); peeling is not expressible as a monotone recursive CTE,
+    // so the oracle is the closed form (the FIXTURES.md convention).
+    // Structural edges (bridged cliques, direction independence,
+    // self-loops) pinned in GraphSpec.
+    "q_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val clique = for (i <- 0L to 5L; j <- (i + 1) to 5L) yield (i, j)
+      val cycle = (0L to 9L).map(i => (10L + i, 10L + (i + 1) % 10))
+      val star = (21L to 30L).map(l => (20L, l))
+      val edges = (clique ++ cycle ++ star).toDF("src", "dst")
+      graft.operators.Graph.coreness(edges, "src", "dst").orderBy("id")
+    }),
+
     // Multi-source BFS hop counts over a sparse directed graph derived
     // from orders (every 17th order contributes one edge over 500
     // nodes), seeds {1, 2}, depth cap 6 — min-hop label per reached
@@ -4856,6 +4872,15 @@ object SparkEntry {
         |LEFT JOIN c3 ON toks.doc_id = c3.doc_id
         |LEFT JOIN c4 ON toks.doc_id = c4.doc_id
         |ORDER BY 1""".stripMargin,
+
+    // closed-form coreness of the engineered fixture: a clique's
+    // coreness is n-1, a cycle's 2, a star's 1 (center included — it
+    // peels once every leaf has)
+    "q_kcore" ->
+      """SELECT CAST(i AS BIGINT) AS id, 5 AS core FROM range(0, 6) t(i)
+        |UNION ALL SELECT CAST(i AS BIGINT), 2 FROM range(10, 20) t(i)
+        |UNION ALL SELECT CAST(i AS BIGINT), 1 FROM range(20, 31) t(i)
+        |ORDER BY id""".stripMargin,
 
     // the same recurrence pageRank iterates, unrolled: r_{i+1} =
     // 0.15/N + 0.85 * sum of r_i(u)/outdeg(u) over in-edges; `e0`

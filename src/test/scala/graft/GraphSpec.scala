@@ -119,4 +119,44 @@ class GraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Graph.labelPropagation(clique, "src", "dst", iterations = 3))
   }
+
+  test("coreness: path 1, cycle 2, clique n-1; star collapses to 1") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.coreness(path, "src", "dst")
+      .as[(Long, Int)].collect().toMap.values.toSet === Set(1))
+    val cycle = (0L to 4L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    assert(Graph.coreness(cycle, "src", "dst")
+      .as[(Long, Int)].collect().toMap.values.toSet === Set(2))
+    val k4 = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j))
+      .toDF("src", "dst")
+    assert(Graph.coreness(k4, "src", "dst")
+      .as[(Long, Int)].collect().toMap.values.toSet === Set(3))
+    val star = (1L to 6L).map(l => (0L, l)).toDF("src", "dst")
+    val s = Graph.coreness(star, "src", "dst").as[(Long, Int)].collect().toMap
+    assert(s.values.toSet === Set(1), s"center peels with its leaves: $s")
+  }
+
+  test("coreness: a bridge and a tail do not inflate the cores they touch") {
+    // K4 (core 3) -bridge- triangle (core 2) with a pendant tail (core 1):
+    // the bridge endpoints keep their own core, the tail vertex gets 1
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val tri = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = (k4 ++ tri ++ Seq((3L, 10L), (12L, 20L))).toDF("src", "dst")
+    val c = Graph.coreness(edges, "src", "dst").as[(Long, Int)].collect().toMap
+    assert((0L to 3L).forall(c(_) === 3))
+    assert(Seq(10L, 11L, 12L).forall(c(_) === 2))
+    assert(c(20L) === 1)
+    // kCore(2) drops exactly the tail
+    val core2 = Graph.kCore(edges, "src", "dst", 2)
+      .as[Long].collect().toSet
+    assert(core2 === (0L to 3L).toSet ++ Set(10L, 11L, 12L))
+  }
+
+  test("coreness: direction-independent, self-loops and duplicate edges ignored") {
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val messy = (tri ++ tri.map(_.swap) ++ Seq((0L, 0L), (1L, 1L)))
+      .toDF("src", "dst")
+    val c = Graph.coreness(messy, "src", "dst").as[(Long, Int)].collect().toMap
+    assert(c === Map(0L -> 2, 1L -> 2, 2L -> 2))
+  }
 }
