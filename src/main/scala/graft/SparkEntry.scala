@@ -2656,6 +2656,18 @@ object SparkEntry {
           gapMinutes = 360, orderTiebreak = "event_id")
         .orderBy("user_id", "gap_end")),
 
+    // Weekly seasonal indices by classical decomposition (centered
+    // 7-day MA detrend, full windows only, phase = epoch-day mod 7):
+    // every sum runs in BIGINT cents and the detrended value stays the
+    // exact integer 7·day − window_sum, so the single per-phase
+    // division is the only float op — deterministic under any
+    // aggregation order (the multi-assignment trap a centered MA
+    // would otherwise hit). Fully oracled.
+    "q_seasonal" -> ((s, dir) =>
+      graft.operators.Events
+        .seasonalIndices(t(s, dir, "events"), "ts", "value", period = 7)
+        .orderBy("phase")),
+
     // Sliding-window aggregation (2h windows hopping hourly): each
     // event lands in two windows via one Expand — no self-join, no
     // rescan. The judged sum aggregates BIGINT cents: each event's
@@ -4005,6 +4017,31 @@ object SparkEntry {
         |ORDER BY window_start, event_type""".stripMargin,
 
     // silences = lag pairs over (ts, event_id) order more than 6h apart
+    // identical integer path: daily BIGINT-cents sums, centered 7-row
+    // window sum, exact 7·day − win_sum numerator, ONE division per
+    // phase; phase from epoch-day arithmetic (no weekday-numbering
+    // convention crosses the engines)
+    "q_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_cents
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, day_cents,
+        |         sum(day_cents) OVER w AS win_sum,
+        |         count(*) OVER w AS win_n
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |p AS (
+        |  SELECT CAST((day - DATE '1970-01-01') % 7 AS INT) AS phase,
+        |         day_cents * 7 - win_sum AS num
+        |  FROM t WHERE win_n = 7)
+        |SELECT phase, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(CAST(sum(num) AS BIGINT) AS DOUBLE) /
+        |         (count(*) * 700.0) AS seasonal
+        |FROM p GROUP BY phase
+        |ORDER BY phase""".stripMargin,
+
     "q_gaps" ->
       """WITH l AS (
         |  SELECT user_id,

@@ -603,4 +603,54 @@ object Events {
     }
     counts.reduce(_.unionAll(_)).orderBy("step_idx")
   }
+
+  /** Seasonal indices by classical decomposition (the moving-average
+    * step of STL / the X-11 family, public since Macaulay 1931): bucket
+    * the series to days, detrend each day against its centered
+    * `period`-day moving average (full windows only — the standard
+    * endpoint rule), and average the detrended values by phase
+    * (day-index mod `period`) — the additive seasonal profile, e.g.
+    * "weekends run +12 above trend". The calendar-pattern signal a
+    * pipeline checks before interpreting any daily metric shift.
+    *
+    * Determinism discipline (the CLAUDE.md multi-assignment float-sum
+    * trap — a centered MA feeds every day into `period` windows): all
+    * sums run in BIGINT cents (`floor(value·100 + 0.5)`, the repo's
+    * judged-double convention), the detrended value is kept as the
+    * EXACT integer `period·day − window_sum` (never the divided
+    * double), and the one floating-point op in the whole operator is
+    * the final per-phase division — identical IEEE on any engine and
+    * any aggregation order. Phase is epoch-day mod `period` (pure
+    * integer arithmetic; no engine weekday-numbering convention).
+    *
+    * Scale: the daily aggregate partial-combines to one row per day
+    * BEFORE the unpartitioned window — a global daily series is
+    * bounded by the calendar (365 rows/year), so the single-partition
+    * sort is config-scale state, the same stance as the sketch shards;
+    * everything event-scale stays in the groupBy. Judged `q_seasonal`,
+    * fully oracled; window/endpoint/phase edges pinned in EventsSpec. */
+  def seasonalIndices(events: DataFrame, tsCol: String, valueCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 (centered window), got $period")
+    val half = period / 2
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("day_cents"))
+    val w = Window.orderBy("day").rowsBetween(-half, half)
+    daily
+      .withColumn("win_sum", sum(col("day_cents")).over(w))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .filter(col("win_n") === period)
+      .select(
+        pmod(datediff(col("day"),
+          lit(java.sql.Date.valueOf("1970-01-01"))), lit(period)).as("phase"),
+        (col("day_cents") * period - col("win_sum")).as("num"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n"), sum(col("num")).as("num_sum"))
+      .select(col("phase"), col("n"),
+        (col("num_sum").cast("double") /
+          (col("n") * period * 100L).cast("double")).as("seasonal"))
+  }
 }

@@ -357,4 +357,32 @@ class EventsSpec extends SparkTestBase {
     assert(Events.gaps(edge, "user_id", "ts", 30, "event_id").isEmpty)
     intercept[IllegalArgumentException](Events.gaps(ev, "user_id", "ts", 0, "event_id"))
   }
+
+  test("seasonalIndices: recovers an injected weekly pattern; endpoints excluded; constant series is flat") {
+    // 21 days from a Thursday (1970-01-01): value = 100 + boost on
+    // phase 2; the additive decomposition must surface the boost spread
+    // as +boost·6/7 on phase 2 and −boost/7 elsewhere (centered MA
+    // absorbs boost/7 into the trend of every full window)
+    def mkDays(vals: Int => Double) = (0 until 21).map { d =>
+      (d.toLong, f"1970-01-${d + 1}%02d 12:00:00", vals(d))
+    }.toDF("event_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val boosted = mkDays(d => if (d % 7 == 2) 170.0 else 100.0)
+    val got = Events.seasonalIndices(boosted, "ts", "value")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    // full windows: days 3..17 -> 15 rows; phases 3..6 have n=2, 0..2 n=3
+    assert(got.map(_._1).toSeq === (0 to 6))
+    assert(got.map(_._2).sum === 15L)
+    val byPhase = got.map(g => g._1 -> g._3).toMap
+    assert(math.abs(byPhase(2) - 70.0 * 6 / 7) < 1e-9)
+    (0 to 6).filter(_ != 2).foreach(p =>
+      assert(math.abs(byPhase(p) + 70.0 / 7) < 1e-9, s"phase $p: $byPhase"))
+    // constant series: every seasonal index exactly 0
+    val flat = Events.seasonalIndices(mkDays(_ => 42.0), "ts", "value")
+      .as[(Int, Long, Double)].collect()
+    assert(flat.forall(_._3 === 0.0))
+    // even periods have no centered window
+    intercept[IllegalArgumentException](
+      Events.seasonalIndices(boosted, "ts", "value", period = 4))
+  }
 }
