@@ -1985,6 +1985,36 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // Referential-integrity report (the cross-table DQ complement):
+    // lineitem→orders and orders→customer must be clean (the harness
+    // fact/dim contract), a third constraint injects orphans (every
+    // 500th lineitem re-pointed past the part key space) and a fourth
+    // proves the SQL MATCH SIMPLE null exemption — nulled keys are
+    // never orphans. Each count is one anti-join; fully oracled.
+    "q_dq_fk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val corrupted = li
+        .withColumn("l_partkey",
+          when(col("l_orderkey") % 500 === 0, col("l_partkey") + 100000000L)
+            .otherwise(col("l_partkey")))
+      val nulled = li
+        .withColumn("l_suppkey",
+          when(col("l_orderkey") % 2 === 0, lit(null).cast("long"))
+            .otherwise(lit(-1L)))
+      graft.operators.Relational.fkReport(li, Seq(
+          ("li_orders", Seq("l_orderkey"), t(s, dir, "orders"),
+            Seq("o_orderkey"))))
+        .unionAll(graft.operators.Relational.fkReport(t(s, dir, "orders"), Seq(
+          ("orders_customer", Seq("o_custkey"), t(s, dir, "customer"),
+            Seq("c_custkey")))))
+        .unionAll(graft.operators.Relational.fkReport(corrupted, Seq(
+          ("li_part", Seq("l_partkey"), t(s, dir, "part"), Seq("p_partkey")))))
+        .unionAll(graft.operators.Relational.fkReport(nulled, Seq(
+          ("null_exempt", Seq("l_suppkey"), t(s, dir, "supplier"),
+            Seq("s_suppkey")))))
+        .orderBy("rule")
+    }),
+
     // Per-document quality scoring: token/unique counts, mean token
     // length, stopword ratio, BPE-ish subword count — ONE pass over the
     // document bytes via the native graft_text_stats kernel (r4; replaced
@@ -4839,6 +4869,33 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // each rule is one NOT EXISTS count; no constants assumed — the
+    // oracle recomputes even the "clean" constraints from the data
+    "q_dq_fk" ->
+      """SELECT 'li_orders' AS rule, CAST(count(*) AS BIGINT) AS n_orphans
+        |FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_customer', CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE o.o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer cu
+        |                  WHERE cu.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'li_part', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT CASE WHEN l_orderkey % 500 = 0
+        |              THEN l_partkey + 100000000 ELSE l_partkey END AS pk
+        |  FROM lineitem) c
+        |WHERE pk IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.pk)
+        |UNION ALL
+        |SELECT 'null_exempt', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN NULL ELSE -1 END AS sk
+        |  FROM lineitem) c
+        |WHERE sk IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = c.sk)
+        |ORDER BY rule""".stripMargin,
 
     "q_dq_checks" ->
       """WITH u AS (

