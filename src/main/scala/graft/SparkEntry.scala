@@ -2551,6 +2551,32 @@ object SparkEntry {
           corpus, "doc_id", "vec", queries, "qid", "qv", 10))),
 
 
+    // Binary (1-bit) quantization: sign-bit packing into longs + the
+    // XOR/POPCNT Hamming kernel, judged PAIRWISE against an oracle that
+    // recomputes each distance from the raw components — any packing or
+    // popcount bug flips some pair among 200. Fully oracled.
+    "q_vec_bq" -> ((s, dir) => {
+      val packed = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          call_function("graft_bq_pack",
+            col("embedding").cast("array<double>")).as("c"))
+      packed.as("x").join(packed.as("y"),
+          col("y.vec_id") === col("x.vec_id") + 100)
+        .filter(col("x.vec_id") < 200)
+        .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"),
+          call_function("graft_hamming", col("x.c"), col("y.c"))
+            .as("hamming"))
+        .orderBy("ida")
+    }),
+
+    // BQ approximate top-k recall (ANN path 5): sign-bit code scan +
+    // Hamming shortlist + exact re-rank — driver-judged on the same
+    // clustered fixture/bar as the LSH/IVF/PQ/SQ8 rows.
+    "q_vec_bq_recall" -> ((s, dir) =>
+      annRecallIds(s, dir, maxId = 1600, numClusters = 20)(
+        (corpus, queries) => graft.operators.Vectors.bqTopK(
+          corpus, "doc_id", "vec", queries, "qid", "qv", 10))),
+
     // Multimodal: text wrapped as opaque binary assets, stub header
     // "decode" through the real mapPartitions batch plumbing; the fake
     // header arithmetic is reproducible in DuckDB (ascii/octet_length),
@@ -5419,6 +5445,25 @@ object SparkEntry {
         |                                   0), 255) * scale))))
         |    * 1e6 + 0.5) AS BIGINT) AS err_micro
         |FROM r ORDER BY vec_id""".stripMargin,
+
+    // each Hamming distance recomputed from raw components: positions
+    // where the sign bit (x > 0) differs; strictly-positive convention
+    // on both sides
+    "q_vec_bq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+        |    i -> CASE WHEN (a.v[i] > 0) <> (b.v[i] > 0)
+        |         THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 100
+        |WHERE a.vec_id < 200
+        |ORDER BY ida""".stripMargin,
+
+    // same fixture and bar as the other ANN recall rows
+    "q_vec_bq_recall" ->
+      """SELECT doc_id AS qid FROM documents
+        |WHERE doc_id < 1600 AND doc_id % 50 = 0 ORDER BY qid""".stripMargin,
 
     // same fixture and bar as the other ANN recall rows: every query
     // point clears recall@10 >= 0.9

@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -496,6 +496,111 @@ case class Sq8Norm(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Binary (1-bit) quantization pack: `graft_bq_pack(vec)` → `array<long>`
+  * of `ceil(dim/64)` words, bit `i mod 64` of word `i div 64` set iff
+  * `vec[i] > 0` (strictly positive; zero packs as 0 — one convention on
+  * both engines). 32× smaller than SQ8 codes: dim-64 vectors become ONE
+  * long, so a billion-vector code scan is 8 GB — the coarsest rung of
+  * the quantization ladder (BQ → SQ8 → PQ → exact), paired with
+  * [[HammingDistance]] for the code-space scan. Null vector → null;
+  * elements assumed non-null (the embedding contract). */
+case class BqPack(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bq_pack expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bq_pack"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (x.getDouble(i) > 0.0) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val words = ctx.freshName("words")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $words = new long[($n + 63) / 64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.getDouble($i) > 0.0) $words[$i / 64] |= (1L << ($i % 64));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two bit-packed code arrays (the
+  * [[BqPack]] output): `Σ bit_count(a[j] ^ b[j])` over the shorter
+  * length — one XOR + POPCNT per 64 dimensions, the cheapest similarity
+  * scan there is (the built-in composition `aggregate(zip_with(...))`
+  * evaluates interpreted; this generates the tight loop). Null if
+  * either side is null. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hamming expects (array<long>, array<long>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hamming"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $s = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Registration triple for [[DotProduct]] as SQL function `graft_dot`,
     * shared by the [[GraftExtensions]] session-build path and the
@@ -517,6 +622,16 @@ object VectorExprs {
   )
 
   /** SQ8 kernel registrations (see Tables.bootstrap). */
+  /** [[BqPack]] / [[HammingDistance]] registrations (see Tables.bootstrap). */
+  val bqFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_bq_pack"),
+      new ExpressionInfo(classOf[BqPack].getName, "graft_bq_pack"),
+      (ch: Seq[Expression]) => BqPack(ch.head)),
+    (FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (ch: Seq[Expression]) => HammingDistance(ch.head, ch(1)))
+  )
+
   val sq8Functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_sq8_codes"),
       new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8_codes"),
@@ -553,6 +668,7 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     VectorExprs.dotFunction +:
       (VectorExprs.pqFunctions ++ VectorExprs.sq8Functions ++
+        VectorExprs.bqFunctions ++
         TextStatsExprs.functions ++ ShingleExprs.functions ++
         CompressExprs.functions ++ ZOrder2.functions ++
         EntropyExprs.functions ++ UrlExprs.functions ++

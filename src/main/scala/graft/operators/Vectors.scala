@@ -337,6 +337,49 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** Binary-quantization approximate top-k (ANN path 5, the COARSEST
+    * rung of the quantization ladder: BQ → SQ8 → PQ → exact): the
+    * corpus pass reads sign-bit codes — `ceil(dim/64)` longs per
+    * vector, 8 bytes for a dim-64 embedding, 32× less traffic than even
+    * SQ8 — ranked by Hamming distance (one XOR+POPCNT per 64 dims in
+    * the `graft_hamming` kernel; for sign codes, Hamming is a monotone
+    * proxy for angular distance — the SimHash identity), then the
+    * `k·shortlistFactor` shortlist re-ranks by EXACT cosine with the
+    * true vectors joined back, the same shortlist-then-exact shape as
+    * [[sq8TopK]]/[[pqTopK]]. The scan-everything-cheaply alternative to
+    * [[annTopK]]'s bucket pruning: no recall cliff from bucket misses,
+    * corpus traffic 1 bit/dimension. Judged `q_vec_bq` (pack+Hamming
+    * kernels fully oracled pairwise) and `q_vec_bq_recall` (recall@10
+    * on the clustered fixture, driver-judged like the other ANN rows). */
+  def bqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      shortlistFactor: Int = 10): DataFrame = {
+    val cached = graft.engine.Caches.persisted(corpus)
+    val index = cached.select(col(idCol),
+      call_function("graft_bq_pack", col(vecCol)).as("__codes"))
+    val qs = queries.select(col(qidCol), col(qvecCol),
+      call_function("graft_bq_pack", col(qvecCol)).as("__qcodes"))
+    val approx = index.join(broadcast(qs), col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"),
+        col(idCol).as("neighbor"),
+        call_function("graft_hamming", col("__codes"), col("__qcodes"))
+          .as("__h"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("__h").asc, col("neighbor"))
+    val shortlist = approx.withColumn("__r", row_number().over(wShort))
+      .filter(col("__r") <= k * shortlistFactor)
+      .select(col("qid"), col("__qv"), col("neighbor"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    shortlist
+      .join(cached.select(col(idCol).as("neighbor"), col(vecCol).as("__v")),
+        "neighbor")
+      .select(col("qid"), col("neighbor"),
+        cosine(col("__qv"), col("__v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT: all (da < db) with
     * `cosine >= threshold`. Norms are computed once per side before the
     * join, so the per-pair work is a single native dot product.

@@ -395,4 +395,45 @@ class VectorSpec extends SparkTestBase {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("embedding width")))
   }
+
+  test("bq kernels: sign packing (strict > 0), multi-word boundary, Hamming") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    // dim 3: [1, -1, 0.5] -> bits 0,2 -> word 5; zero packs as 0
+    val small = Seq((1L, Seq(1.0, -1.0, 0.5)), (2L, Seq(0.0, 2.0, -3.0)))
+      .toDF("id", "v")
+    val words = small
+      .select(col("id"), call_function("graft_bq_pack", col("v")).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(words(1L) === Seq(5L) && words(2L) === Seq(2L))
+    // dim 66 crosses the word boundary: bits 64 and 65 land in word 1
+    val wide = Seq((3L, Seq.fill(64)(-1.0) ++ Seq(1.0, 1.0))).toDF("id", "v")
+    assert(wide.select(call_function("graft_bq_pack", col("v")))
+      .as[Seq[Long]].head() === Seq(0L, 3L))
+    // Hamming = popcount of the XOR across words
+    val h = small.as("a").join(small.as("b"),
+        col("a.id") === 1L && col("b.id") === 2L)
+      .select(call_function("graft_hamming",
+        call_function("graft_bq_pack", col("a.v")),
+        call_function("graft_bq_pack", col("b.v"))))
+      .as[Int].head()
+    assert(h === 3) // 5 ^ 2 = 7 -> 3 bits
+  }
+
+  test("bqTopK equals brute force on the separated clustered fixture") {
+    import spark.implicits._
+    val corpus = graft.operators.Vectors.syntheticClustered(
+      (0L until 400L).toDF("doc_id"), "doc_id", 8, dim = 16, noise = 0.05)
+    val queries = corpus.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("qid"), col("vec").as("qv"))
+    val exact = graft.operators.Vectors
+      .bruteForceTopK(corpus, "doc_id", "vec", queries, "qid", "qv", 5)
+      .select("qid", "neighbor")
+    val approx = graft.operators.Vectors
+      .bqTopK(corpus, "doc_id", "vec", queries, "qid", "qv", 5)
+      .select("qid", "neighbor")
+    // exact re-rank of a Hamming shortlist that holds the whole home
+    // cluster: the top-5 sets coincide on separated clusters
+    assert(exact.exceptAll(approx).isEmpty && approx.exceptAll(exact).isEmpty)
+  }
 }
