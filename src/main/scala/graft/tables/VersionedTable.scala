@@ -970,7 +970,10 @@ object VersionedTable {
     * semantics: a row where the expression is NULL passes; only FALSE
     * violates. The expression is any Spark SQL boolean expression over
     * the table's columns. Duplicate names are rejected (exclusive
-    * create). */
+    * create). Concurrency: a write racing BETWEEN the existing-data
+    * validation and the constraint-file publish commits unvalidated
+    * rows — run ADD CONSTRAINT in the same no-in-flight-writers window
+    * as [[vacuum]] (the schema-change posture of the real formats). */
   def addConstraint(spark: SparkSession, root: String, name: String,
       sqlExpr: String): Unit = {
     require(name.matches("[A-Za-z0-9_.-]+"), s"illegal constraint name: $name")
@@ -1267,7 +1270,8 @@ object VersionedTable {
     * column (event time, ingest date), a narrow range read touches a
     * constant number of directories however long the table lives. */
   def readWhereBetween(spark: SparkSession, root: String, column: String,
-      lower: Any, upper: Any, version: Int = 0): DataFrame = {
+      lower: Any, upper: Any, version: Int = 0,
+      mergeSchema: Boolean = false): DataFrame = {
     val (fs, rootP) = fsOf(spark, root)
     val v = if (version > 0) version else requireExists(spark, root)
     val m = readManifest(fs, rootP, v)
@@ -1277,8 +1281,12 @@ object VersionedTable {
     // still skips its row groups)
     val dirs = if (kept.nonEmpty) kept else all.take(1)
     val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+    // mergeSchema opt-in as in readVersion: on an evolved table whose
+    // range column postdates some directories, the surviving old dirs
+    // read it as null (never matching the BETWEEN — consistent with
+    // their absent stats entry keeping them readable, not prunable)
     resolvedRead(spark, fs, rootP, m.copy(dataDirs = dirs),
-      mergeSchema = m.deleteDirs.nonEmpty).filter(pred)
+      mergeSchema = mergeSchema || m.deleteDirs.nonEmpty).filter(pred)
   }
 
   /** Metadata-only row count (Delta's `SELECT count(*)` fast path): the

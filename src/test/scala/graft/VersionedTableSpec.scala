@@ -825,6 +825,21 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.metadataCount(spark, root, version = 1) === Some(n1))
   }
 
+  test("readWhereBetween(mergeSchema) on an evolved range column: old dirs kept-but-unmatching") {
+    val root = freshRoot("skip_evolve")
+    VersionedTable.create(spark, root, orders.limit(10)) // no "extra" column
+    VersionedTable.append(spark, root,
+      orders.limit(5).withColumn("extra", col("o_orderkey") + 1000000L))
+    // old dir has no stats entry for "extra": unprunable, stays readable
+    val (kept, all) = VersionedTable.pruneDirs(spark, root, "extra",
+      1000000L, 2000000L)
+    assert(all.size === 2 && kept.size === 2)
+    val got = VersionedTable.readWhereBetween(spark, root, "extra",
+      1000000L, 2000000L, mergeSchema = true)
+    // old rows read extra as null -> never match the BETWEEN
+    assert(got.count() === 5)
+  }
+
   test("MOR pruning commutes with tombstone subtraction") {
     val root = freshRoot("skip_mor")
     VersionedTable.create(spark, root, orders.filter(col("o_orderkey") < 2000))
