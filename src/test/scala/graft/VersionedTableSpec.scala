@@ -668,6 +668,58 @@ class VersionedTableSpec extends SparkTestBase {
       .filter(col("o_orderkey").isNull).count() === 1)
   }
 
+  // ---- partition-spec evolution ---------------------------------------
+
+  test("evolvePartitioning: new data lands hive-laid-out, old dirs untouched, mixed reads equal") {
+    val root = freshRoot("pevolve")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    val m = VersionedTable.evolvePartitioning(spark, root, Seq("o_orderstatus"))
+    assert(m.op === "partition-evolve" && m.version === 2)
+    val m3 = VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 2 === 1))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the new dir is hive-partitioned; the old one is not
+    def hiveDirs(d: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, d))
+      .count(_.getPath.getName.startsWith("o_orderstatus="))
+    assert(hiveDirs(m3.dataDirs.last) > 0)
+    assert(hiveDirs(m3.dataDirs.head) === 0)
+    // mixed-layout snapshot reads the full union
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count())
+    // COW delete rewrites its dirty dirs under the NEW spec
+    VersionedTable.deleteWhere(spark, root, col("o_orderstatus") === "F")
+    val m4 = VersionedTable.readVersion(spark, root, 4)
+    assert(m4.filter(col("o_orderstatus") === "F").isEmpty)
+    assert(m4.count() === orders.filter(col("o_orderstatus") =!= "F").count())
+    // evolving to unpartitioned is rejected; unknown columns rejected
+    intercept[IllegalArgumentException](
+      VersionedTable.evolvePartitioning(spark, root, Nil))
+    intercept[IllegalArgumentException](
+      VersionedTable.evolvePartitioning(spark, root, Seq("nope")))
+    // no-op evolution to the same spec commits nothing
+    val before = VersionedTable.latestVersion(spark, root)
+    VersionedTable.evolvePartitioning(spark, root, Seq("o_orderstatus"))
+    assert(VersionedTable.latestVersion(spark, root) === before)
+  }
+
+  test("evolvePartitioning: rollback restores the old spec; compact migrates to one layout") {
+    val root = freshRoot("pevolve_rb")
+    VersionedTable.create(spark, root, orders,
+      partitionCols = Seq("o_orderstatus"))
+    VersionedTable.evolvePartitioning(spark, root, Seq("o_custkey"))
+    VersionedTable.compact(spark, root) // whole snapshot under the new spec
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count())
+    val m = VersionedTable.rollback(spark, root, 1)
+    assert(m.partitionCols === Seq("o_orderstatus"))
+    // post-rollback append lands under the RESTORED spec
+    val m5 = VersionedTable.append(spark, root, orders.limit(3))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, m5.dataDirs.last))
+      .exists(_.getPath.getName.startsWith("o_orderstatus=")))
+  }
+
   // ---- CHECK constraints ----------------------------------------------
 
   test("CHECK constraint gates appends; violating staged dir is swept, table untouched") {
