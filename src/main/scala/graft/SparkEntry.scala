@@ -899,6 +899,36 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("tag")
     }),
 
+    // Full MERGE clause surface on the commit-log table (Delta MERGE
+    // INTO): WHEN MATCHED AND target-status-F DELETE, WHEN MATCHED
+    // UPDATE SET * (source carries custkey+5M), WHEN NOT MATCHED
+    // INSERT — one COW commit; delete wins over update; every slice a
+    // predicate over orders. Fully ORACLED; clause interactions,
+    // source-side conditions and the multi-match reject pinned in
+    // VersionedTableSpec.
+    "q_table_merge" -> ((s, dir) => {
+      val root = tmpPath("vtable_merge")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 2 === 0))
+      VersionedTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 5000000L),
+        Seq("o_orderkey"),
+        updateWhen = Some(lit(true)),
+        deleteWhen = Some(col("o_orderstatus") === "F"))
+      (1 to 2).map { v =>
+        VersionedTable.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .select(lit(v).as("version"), col("n"), col("key_sum"),
+            col("cust_sum"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // Partition-spec evolution (Iceberg semantics): a metadata-only
     // commit switches the hive layout for data written FROM NOW ON —
     // the post-evolution append lands hive-partitioned (audited: its
@@ -3885,6 +3915,27 @@ object SparkEntry {
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 11 IN (0, 1, 2)
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // v2 = kept unmatched evens ∪ updated (matched, non-F, custkey+5M)
+    // ∪ inserted odd source rows; matched F rows deleted (delete wins)
+    "q_table_merge" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |                  o_orderstatus AS st FROM orders),
+        |v1 AS (SELECT k, c FROM b WHERE k % 2 = 0),
+        |v2 AS (
+        |  SELECT k, c FROM b WHERE k % 2 = 0 AND k % 3 <> 0
+        |  UNION ALL
+        |  SELECT k, c + 5000000 FROM b
+        |  WHERE k % 2 = 0 AND k % 3 = 0 AND st <> 'F'
+        |  UNION ALL
+        |  SELECT k, c + 5000000 FROM b WHERE k % 2 = 1 AND k % 3 = 0)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS key_sum,
+        |       CAST(sum(c) AS BIGINT) AS cust_sum FROM v1
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(c) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
 
     // v3 is the metadata-only evolution commit (== v2); the audit
     // column is the post-evolution append's hive-dir count — one dir

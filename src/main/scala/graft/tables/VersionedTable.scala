@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned table format: a commit log of immutable data directories.
@@ -697,6 +697,101 @@ object VersionedTable {
       _.unionByName(updates, allowMissingColumns = true))
     val dirs = clean :+ writeDataDir(merged, rootP, v, base.partitionCols)
     commit(fs, rootP, Manifest(v, "upsert", base.version, dirs,
+      partitionCols = base.partitionCols,
+      deleteDirs = liveTombs(tombs, dirs)))
+  }
+
+  /** MERGE — the full Delta `MERGE INTO` clause surface over the same
+    * copy-on-write economics as [[upsert]] (which is the
+    * `updateWhen=always, insert=true, no delete` special case):
+    *
+    *  - WHEN MATCHED AND `deleteWhen` THEN DELETE
+    *  - WHEN MATCHED AND `updateWhen` THEN UPDATE SET * (source values
+    *    for every column the source carries; target values for columns
+    *    it lacks — evolution-safe)
+    *  - WHEN MATCHED (neither condition) THEN keep the target row
+    *  - WHEN NOT MATCHED THEN INSERT (if `insertUnmatched`)
+    *
+    * Delete wins over update when both conditions hold (Delta's clause
+    * order made explicit). Conditions are evaluated per matched pair
+    * over a frame holding the TARGET row's columns under their own
+    * names and the source row's non-key columns as `s_<name>` — so
+    * `col("status") === "F"` tests the target, `col("s_status")` the
+    * source; a NULL condition is false (SQL WHERE semantics). Multiple
+    * source rows for one key are rejected up front (the Delta
+    * multiple-matches error, deterministic instead of racy).
+    *
+    * Cost: exactly upsert's — source keys probe each directory
+    * (pushed-down semi-join), clean directories carry over by NAME,
+    * dirty ones rewrite once with kept + updated rows, inserts land in
+    * the same new directory; a source key absent from every directory
+    * inserts without dirtying anything. MOR tombstones resolve before
+    * the probe and rewrite (tombstoned rows neither match nor
+    * resurrect). Judged `q_table_merge`, fully ORACLED; clause
+    * interactions and the multi-match reject pinned in
+    * VersionedTableSpec. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String],
+      updateWhen: Option[Column] = Some(lit(true)),
+      deleteWhen: Option[Column] = None,
+      insertUnmatched: Boolean = true,
+      probeParallelism: Int = 4): Manifest = {
+    require(keyCols.nonEmpty, "merge requires key columns")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val src = graft.engine.Caches.persisted(source)
+    require(src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty,
+      "merge: multiple source rows share a key (the Delta multiple-matches error)")
+    val keys = src.select(keyCols.map(col): _*).distinct()
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema
+    val tombs = tombScopes(fs, rootP, base)
+    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap),
+      tombs.filter(_._2.contains(d)).map(_._1))
+    val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
+      !resolved(d).join(keys, keyCols, "left_semi").isEmpty
+    }
+    val srcExtra = src.columns.filterNot(keyCols.contains).toSeq
+    srcExtra.foreach(c => require(!snap.fieldNames.contains(s"s_$c"),
+      s"merge: target column s_$c collides with the s_ source prefix"))
+    val srcRenamed = src.select(
+      (keyCols.map(col) ++ srcExtra.map(c => col(c).as(s"s_$c")) :+
+        lit(1).as("__matched")): _*)
+    // the dirty union feeds the rewrite AND the unmatched-insert
+    // anti-join: persist via the registry so it scans once
+    val dirtyUnion =
+      if (dirty.isEmpty) None
+      else Some(graft.engine.Caches.persisted(
+        dirty.map(resolved).reduce(_.unionByName(_))))
+    val rewritten = dirtyUnion.map { t =>
+      val joined = t.join(srcRenamed, keyCols, "left")
+      def cond(c: Option[Column]): Column = c
+        .map(cc => col("__matched").isNotNull && coalesce(cc, lit(false)))
+        .getOrElse(lit(false))
+      val del = cond(deleteWhen)
+      val upd = !del && cond(updateWhen)
+      val kept = joined.filter(!del && !upd)
+        .select(snap.fieldNames.map(col).toSeq: _*)
+      val updated = joined.filter(upd)
+        .select(snap.fieldNames.map { f =>
+          if (srcExtra.contains(f)) col(s"s_$f").as(f) else col(f)
+        }.toSeq: _*)
+      kept.unionByName(updated)
+    }
+    // all matches live in dirty directories (that is what dirty MEANS),
+    // so unmatched = source minus the dirty union's keys
+    val inserts = if (!insertUnmatched) None else Some(
+      dirtyUnion.fold(src)(t => src.join(
+        t.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")))
+    val pieces = rewritten.toSeq ++ inserts.toSeq
+    val merged = if (pieces.isEmpty)
+      readDirsAs(spark, rootP, base.dataDirs.take(1), snap).limit(0)
+    else pieces.reduce(_.unionByName(_, allowMissingColumns = true))
+    val dirs = clean :+ writeDataDir(merged, rootP, v, base.partitionCols)
+    commit(fs, rootP, Manifest(v, "merge", base.version, dirs,
       partitionCols = base.partitionCols,
       deleteDirs = liveTombs(tombs, dirs)))
   }

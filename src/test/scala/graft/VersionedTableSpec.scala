@@ -668,6 +668,58 @@ class VersionedTableSpec extends SparkTestBase {
       .filter(col("o_orderkey").isNull).count() === 1)
   }
 
+  // ---- MERGE clause surface -------------------------------------------
+
+  test("merge: update/delete/insert clauses, delete wins, s_ conditions see the source") {
+    import spark.implicits._
+    val root = freshRoot("merge")
+    val target = Seq((1L, "keep", 10L), (2L, "upd", 20L), (3L, "del", 30L),
+      (4L, "untouched", 40L)).toDF("k", "tag", "v")
+    VersionedTable.create(spark, root, target)
+    val source = Seq((2L, "newer", 200L), (3L, "whatever", 300L),
+      (5L, "insert-me", 50L), (6L, "skip-me", 60L))
+      .toDF("k", "tag", "v")
+    VersionedTable.merge(spark, root, source, Seq("k"),
+      // update only when the SOURCE value is bigger than the target's
+      updateWhen = Some(col("s_v") > col("v")),
+      // delete on the TARGET tag; delete wins over update
+      deleteWhen = Some(col("tag") === "del"))
+    val got = VersionedTable.readLatest(spark, root)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got === Seq(
+      (1L, "keep", 10L),        // matched? no (not in source) -> kept
+      (2L, "newer", 200L),      // updated: 200 > 20
+      (4L, "untouched", 40L),   // never matched
+      (5L, "insert-me", 50L),   // not matched -> inserted
+      (6L, "skip-me", 60L)))    // not matched -> inserted
+    // k=3 deleted even though s_v(300) > v(30) — delete wins
+    assert(!got.map(_._1).contains(3L))
+  }
+
+  test("merge: no-insert mode, update condition false keeps the target row, multi-match rejected") {
+    import spark.implicits._
+    val root = freshRoot("merge_edge")
+    VersionedTable.create(spark, root,
+      Seq((1L, 100L), (2L, 200L)).toDF("k", "v"))
+    VersionedTable.merge(spark, root,
+      Seq((1L, 1L), (9L, 900L)).toDF("k", "v"), Seq("k"),
+      updateWhen = Some(col("s_v") > col("v")), // 1 < 100: condition false
+      insertUnmatched = false)
+    val got = VersionedTable.readLatest(spark, root)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1L, 100L), (2L, 200L))) // nothing changed, no 9
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), Seq("k"))
+    }
+    // upsert equivalence: default clauses replace matched, insert rest
+    VersionedTable.merge(spark, root,
+      Seq((2L, 999L), (7L, 700L)).toDF("k", "v"), Seq("k"))
+    val up = VersionedTable.readLatest(spark, root)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(up === Seq((1L, 100L), (2L, 999L), (7L, 700L)))
+  }
+
   // ---- partition-spec evolution ---------------------------------------
 
   test("evolvePartitioning: new data lands hive-laid-out, old dirs untouched, mixed reads equal") {
