@@ -720,6 +720,42 @@ class VersionedTableSpec extends SparkTestBase {
     assert(up === Seq((1L, 100L), (2L, 999L), (7L, 700L)))
   }
 
+  test("merge: source lacking a column updates only what it carries; tombstoned rows don't match") {
+    import spark.implicits._
+    val root = freshRoot("merge_evo")
+    VersionedTable.create(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "tag", "v"))
+    // MOR-delete k=3 first: a merge source matching a tombstoned key
+    // must INSERT (the row is gone), not resurrect-update it
+    VersionedTable.deleteKeysMor(spark, root, Seq(Tuple1(3L)).toDF("k"))
+    // the source carries only (k, v): UPDATE SET * takes v from the
+    // source and keeps the target's tag (evolution-safe)
+    VersionedTable.merge(spark, root,
+      Seq((2L, 999L), (3L, 333L)).toDF("k", "v"), Seq("k"))
+    val got = VersionedTable.readLatest(spark, root)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got === Seq(
+      (1L, "a", 10L),    // untouched
+      (2L, "b", 999L),   // updated v, kept tag
+      (3L, null, 333L))) // re-inserted fresh (tag absent from source -> null)
+  }
+
+  test("merge on a hive-partitioned table keeps the layout") {
+    val root = freshRoot("merge_part")
+    VersionedTable.create(spark, root, orders,
+      partitionCols = Seq("o_orderstatus"))
+    val m = VersionedTable.merge(spark, root,
+      orders.limit(20).withColumn("o_custkey", col("o_custkey") + 777L),
+      Seq("o_orderkey"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, m.dataDirs.last))
+      .exists(_.getPath.getName.startsWith("o_orderstatus=")))
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count())
+    assert(VersionedTable.readLatest(spark, root)
+      .filter(col("o_custkey") > 777L + 1000000L).count() === 0) // sanity
+  }
+
   // ---- partition-spec evolution ---------------------------------------
 
   test("evolvePartitioning: new data lands hive-laid-out, old dirs untouched, mixed reads equal") {
