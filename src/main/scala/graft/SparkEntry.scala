@@ -2232,6 +2232,23 @@ object SparkEntry {
       graft.operators.Graph.coreness(edges, "src", "dst").orderBy("id")
     }),
 
+    // Weighted shortest paths (hop-bounded Bellman-Ford) over the same
+    // sparse orders-derived graph as q_bfs, weights 1 + key%3: after 6
+    // relaxation rounds the table holds exactly the cheapest path of
+    // <= 6 edges per reached node — the oracle minimizes the same sum
+    // in a depth-bounded recursive CTE. Fully oracled.
+    "q_sssp" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 17 === 0)
+        .select(pmod(col("o_orderkey"), lit(500)).as("src"),
+          pmod(expr("o_orderkey div 7"), lit(500)).as("dst"),
+          (pmod(col("o_orderkey"), lit(3)) + 1).as("w"))
+      val seeds = s.range(1, 3).select(col("id").as("seed"))
+      graft.operators.Graph.shortestPaths(edges, "src", "dst", "w",
+          seeds, "seed", 6)
+        .orderBy("id")
+    }),
+
     // Multi-source BFS hop counts over a sparse directed graph derived
     // from orders (every 17th order contributes one edge over 500
     // nodes), seeds {1, 2}, depth cap 6 — min-hop label per reached
@@ -5165,6 +5182,25 @@ object SparkEntry {
         |UNION ALL SELECT CAST(i AS BIGINT), 2 FROM range(10, 20) t(i)
         |UNION ALL SELECT CAST(i AS BIGINT), 1 FROM range(20, 31) t(i)
         |ORDER BY id""".stripMargin,
+
+    // same graph as q_bfs with weights; the CTE walks (id, hops, cost)
+    // triples so the hop bound and the weight minimum stay separate —
+    // min cost per node over paths of <= 6 edges, parallel edges
+    // pre-collapsed to their min weight exactly as the operator does
+    "q_sssp" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT src, dst, min(w) AS w FROM (
+        |    SELECT o_orderkey % 500 AS src, (o_orderkey // 7) % 500 AS dst,
+        |           o_orderkey % 3 + 1 AS w
+        |    FROM orders WHERE o_orderkey % 17 = 0) GROUP BY 1, 2),
+        |walk(id, h, d) AS (
+        |  SELECT CAST(s AS BIGINT), 0, CAST(0 AS BIGINT)
+        |  FROM (VALUES (1), (2)) AS seeds(s)
+        |  UNION
+        |  SELECT e.dst, w.h + 1, w.d + e.w FROM walk w JOIN e ON e.src = w.id
+        |  WHERE w.h < 6)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     // the same recurrence pageRank iterates, unrolled: r_{i+1} =
     // 0.15/N + 0.85 * sum of r_i(u)/outdeg(u) over in-edges; `e0`

@@ -226,6 +226,51 @@ object Graph {
     labels.select(col("id"), col("lbl").as("label"))
   }
 
+  /** Hop-bounded weighted shortest paths (Bellman-Ford relaxation —
+    * public since 1958): minimum path WEIGHT from any seed to every
+    * node reachable within `maxHops` edges, over DIRECTED weighted
+    * edges — [[bfsHops]]'s weighted sibling (BFS counts edges; this
+    * sums costs — latency graphs, toll routing, similarity chains).
+    * After round `h` the distance table holds EXACTLY the cheapest
+    * path using ≤ h edges — the bound is the semantics, not a cutoff,
+    * which is what makes the operator oracle-expressible (a
+    * depth-bounded recursive CTE minimizing the same sum) and is the
+    * production shape anyway (k-hop cost neighborhoods).
+    *
+    * Scale: one round = frontier ⋈ edges (hash join on src) unioned
+    * with the standing table, then ONE partial-agg `min` per node —
+    * the same (long, long) row economics and `barrierCut` lineage
+    * control as [[pageRank]]; a hub's relaxations partial-aggregate
+    * map-side. Parallel edges collapse to their MINIMUM weight up
+    * front (the only one that can win). Non-negative weights required:
+    * under a hop bound negative edges are well-defined but make the
+    * "distance" label misleading — rejected explicitly rather than
+    * silently. Judged `q_sssp`, fully oracled; hand-graph distances,
+    * parallel-edge min, unreachable absence and the reject pinned in
+    * GraphSpec. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = graft.engine.Caches.persisted(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w")))
+    require(e.filter(col("w") < 0).isEmpty,
+      "shortestPaths requires non-negative edge weights")
+    var dist = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct().withColumn("dist", lit(0L)).barrierCut
+    for (_ <- 1 to maxHops) {
+      dist = dist.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .barrierCut
+    }
+    dist
+  }
+
   /** k-core DECOMPOSITION (coreness): each vertex's maximum k such that
     * it survives in the k-core — the subgraph where every vertex keeps
     * ≥ k neighbors after iteratively peeling lower-degree vertices. The

@@ -120,6 +120,26 @@ class GraphSpec extends SparkTestBase {
       Graph.labelPropagation(clique, "src", "dst", iterations = 3))
   }
 
+  test("shortestPaths: min weight beats min hops; parallel-edge min; hop bound; reject negatives") {
+    // 0 -> 1 -> 2 cheap (1+1), 0 -> 2 direct expensive (5):
+    // weighted answer is 2 even though hops prefer the direct edge
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L),
+      (0L, 2L, 7L),                      // parallel edge: min wins
+      (2L, 3L, 1L), (9L, 9L, 1L))        // 9 unreachable from 0
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("seed")
+    val d = Graph.shortestPaths(edges, "src", "dst", "w", seeds, "seed", 6)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // a hop bound of 1 can only afford the direct (parallel-min) edge
+    val d1 = Graph.shortestPaths(edges, "src", "dst", "w", seeds, "seed", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 === Map(0L -> 0L, 1L -> 1L, 2L -> 5L))
+    intercept[IllegalArgumentException](Graph.shortestPaths(
+      Seq((0L, 1L, -1L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", seeds, "seed", 2))
+  }
+
   test("coreness: path 1, cycle 2, clique n-1; star collapses to 1") {
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
     assert(Graph.coreness(path, "src", "dst")
