@@ -3086,6 +3086,29 @@ object SparkEntry {
     // ----- aggregation surface (SURVEY §2a A0 extension) -----
 
     // TPC-H Q1-style wide aggregate: partial (map-side) agg + single shuffle.
+    // Robust aggregates: EXACT interpolated percentiles (Spark
+    // `percentile` and DuckDB `quantile_cont` share the (n-1)·p
+    // convention; quartiles of integral quantities interpolate exactly
+    // in binary) and a DETERMINISTIC mode — the argmax is
+    // (count, -value) so ties break to the smallest value explicitly
+    // on both engines (DuckDB's mode() leaves ties unspecified, so the
+    // oracle spells the same argmax out). Fully oracled.
+    "q_robust_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pct = li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+      val mode = li.groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("cnt"), (-col("l_linenumber")).as("neg")))
+          .as("best"))
+        .select(col("l_returnflag"), (-col("best.neg")).as("mode_line"))
+      pct.join(mode, "l_returnflag").orderBy("l_returnflag")
+    }),
+
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-01 00:00:00")))
@@ -5187,6 +5210,26 @@ object SparkEntry {
     // triples so the hop bound and the weight minimum stay separate —
     // min cost per node over paths of <= 6 edges, parallel edges
     // pre-collapsed to their min weight exactly as the operator does
+    // quantile_cont shares Spark percentile's (n-1)·p interpolation;
+    // the mode argmax is spelled out (cnt desc, value asc) because
+    // DuckDB's mode() leaves ties unspecified
+    "q_robust_agg" ->
+      """WITH pct AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.25) AS p25,
+        |    quantile_cont(l_quantity, 0.5) AS median,
+        |    quantile_cont(l_quantity, 0.75) AS p75
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, l_linenumber, count(*) AS cnt
+        |      FROM lineitem GROUP BY 1, 2),
+        |md AS (SELECT l_returnflag, l_linenumber AS mode_line FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_linenumber ASC) AS rn FROM m)
+        |  WHERE rn = 1)
+        |SELECT pct.l_returnflag, p25, median, p75,
+        |       CAST(mode_line AS INT) AS mode_line
+        |FROM pct JOIN md USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_sssp" ->
       """WITH RECURSIVE e AS (
         |  SELECT src, dst, min(w) AS w FROM (
