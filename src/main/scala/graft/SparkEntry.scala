@@ -2181,6 +2181,21 @@ object SparkEntry {
         "src", "dst", iterations = 3)
         .orderBy("id")),
 
+    // Personalized PageRank: the walk teleports to seeds {1, 2} so
+    // rank concentrates in their neighborhood — importance RELATIVE TO
+    // the seeds (the similarity/recommendation primitive). Same
+    // part→supplier graph, two rounds, oracle = the unrolled
+    // seed-teleport recurrence. Fully oracled.
+    "q_ppr" -> ((s, dir) =>
+      graft.operators.Graph.personalizedPageRank(
+        t(s, dir, "lineitem")
+          .select(pmod(col("l_partkey"), lit(100)).as("src"),
+            pmod(col("l_suppkey"), lit(100)).as("dst")),
+        "src", "dst",
+        s.range(1, 3).select(col("id").as("seed")), "seed",
+        iterations = 2)
+        .orderBy("id")),
+
     // Weighted PageRank over the same part→supplier graph with edge
     // multiplicity as the weight (the signal the unweighted walk
     // throws away). Two distributed rounds, fully oracled.
@@ -5305,6 +5320,33 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m3.mass, 0) AS rank
         |       FROM nodes CROSS JOIN nn LEFT JOIN m3 ON m3.id = nodes.id)
         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin,
+
+    // the seed-teleport recurrence unrolled twice: teleport mass only
+    // on seeds, r0 = the teleport vector itself
+    "q_ppr" ->
+      """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
+        |                           l_suppkey % 100 AS dst FROM lineitem),
+        |sd AS (SELECT CAST(s AS BIGINT) AS id FROM (VALUES (1), (2)) AS t(s)),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+        |          UNION SELECT id FROM sd),
+        |ns AS (SELECT count(*) AS n FROM sd),
+        |tele AS (SELECT nodes.id,
+        |           CASE WHEN sd.id IS NOT NULL THEN 1e0 / ns.n
+        |                ELSE 0e0 END AS t
+        |         FROM nodes CROSS JOIN ns LEFT JOIN sd ON sd.id = nodes.id),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT id, t AS rank FROM tele),
+        |m1 AS (SELECT e.dst AS id, sum(r0.rank / deg.deg) AS mass
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT tele.id, 0.15e0 * tele.t + 0.85e0 * coalesce(m1.mass, 0) AS rank
+        |       FROM tele LEFT JOIN m1 ON m1.id = tele.id),
+        |m2 AS (SELECT e.dst AS id, sum(r1.rank / deg.deg) AS mass
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT tele.id, 0.15e0 * tele.t + 0.85e0 * coalesce(m2.mass, 0) AS rank
+        |       FROM tele LEFT JOIN m2 ON m2.id = tele.id)
+        |SELECT id, rank FROM r2 ORDER BY id""".stripMargin,
 
     // even-budget sync LPA over complete mod-5 blocks: cliques of >=3
     // converge to the block min, pairs 2-cycle back to self, singletons

@@ -226,6 +226,62 @@ object Graph {
     labels.select(col("id"), col("lbl").as("label"))
   }
 
+  /** PERSONALIZED PageRank (Haveliwala, WWW 2002 — public): the random
+    * walk teleports back to the SEED SET instead of everywhere, so rank
+    * concentrates in the seeds' neighborhood — "importance relative to
+    * these nodes", the similarity/recommendation primitive (related
+    * items from a co-occurrence graph, expansion sets for retrieval)
+    * where global PageRank answers global importance. Recurrence:
+    * `rank_{i+1}(v) = (1−d)·1[v ∈ S]/|S| + d·Σ_{u→v} rank_i(u)/outdeg(u)`,
+    * rank_0 = the teleport vector itself. Fixed iterations for the
+    * same reasons as [[pageRank]] (oracle-expressible, production round
+    * budgets); dangling nodes leak mass identically on both sides.
+    * Seeds with no edges still teleport (they join the node set).
+    *
+    * Scale: identical plan economics to [[pageRank]] — the teleport
+    * vector is a node-scale relation persisted once and reused every
+    * round, |S| enters as a broadcast 1-row aggregate, each round is
+    * two (long, double) hash shuffles with map-side partial sums,
+    * `barrierCut` per round. Judged `q_ppr`, fully oracled (the
+    * unrolled recurrence); seed-locality and teleport-mass edges
+    * pinned in GraphSpec. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().barrierCut
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .union(seedIds)
+      .distinct().barrierCut
+    val nS = broadcast(seedIds.agg(count(lit(1)).as("__ns")))
+    val tele = graft.engine.Caches.persisted(
+      nodes.join(seedIds.withColumn("__s", lit(1)), Seq("id"), "left")
+        .crossJoin(nS)
+        .select(col("id"),
+          when(col("__s").isNotNull, lit(1.0) / col("__ns"))
+            .otherwise(lit(0.0)).as("t")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+    var ranks = tele.select(col("id"), col("t").as("rank")).barrierCut
+    for (_ <- 1 to iterations) {
+      val inMass = e
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("__d")).as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__mass"))
+      ranks = tele
+        .join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) * col("t") +
+            lit(damping) * coalesce(col("__mass"), lit(0.0))).as("rank"))
+        .barrierCut
+    }
+    ranks
+  }
+
   /** Hop-bounded weighted shortest paths (Bellman-Ford relaxation —
     * public since 1958): minimum path WEIGHT from any seed to every
     * node reachable within `maxHops` edges, over DIRECTED weighted

@@ -120,6 +120,33 @@ class GraphSpec extends SparkTestBase {
       Graph.labelPropagation(clique, "src", "dst", iterations = 3))
   }
 
+  test("personalizedPageRank: rank concentrates at seeds; edge-less seed still teleports") {
+    // two disconnected triangles; seeding one of them leaves the other
+    // at EXACTLY zero (teleport never reaches it, unlike global PR)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val ppr = Graph.personalizedPageRank(edges, "src", "dst",
+        Seq(0L).toDF("seed"), "seed", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr(0L) > 0 && ppr(1L) > 0)
+    Seq(10L, 11L, 12L).foreach(v => assert(ppr(v) === 0.0))
+    // hand-check one iteration: r0 = (1,0,0); r1(0) = 0.15,
+    // r1(1) = 0.85 * (1/1) = 0.85 (0's single out-edge), r1(2) = 0
+    val one = Graph.personalizedPageRank(
+        Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"), "src", "dst",
+        Seq(0L).toDF("seed"), "seed", iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(one(0L) - 0.15) < 1e-12)
+    assert(math.abs(one(1L) - 0.85) < 1e-12)
+    assert(one(2L) === 0.0)
+    // a seed with no edges joins the node set and keeps teleport mass
+    val lone = Graph.personalizedPageRank(
+        Seq((5L, 6L)).toDF("src", "dst"), "src", "dst",
+        Seq(99L).toDF("seed"), "seed", iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(lone(99L) - 0.15) < 1e-12 && lone(5L) === 0.0)
+  }
+
   test("shortestPaths: min weight beats min hops; parallel-edge min; hop bound; reject negatives") {
     // 0 -> 1 -> 2 cheap (1+1), 0 -> 2 direct expensive (5):
     // weighted answer is 2 even though hops prefer the direct edge
