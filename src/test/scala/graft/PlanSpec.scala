@@ -366,6 +366,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_max"), plan.take(2000))
   }
 
+  test("readWhereBetween plans a scan over ONLY the surviving directories") {
+    import graft.tables.VersionedTable
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vt/plan_skip"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val orders = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") < 1000))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") >= 3000))
+    val plan = executedPlan(
+      VersionedTable.readWhereBetween(spark, root, "o_orderkey", 1200L, 1800L))
+    assert(plan.contains("d-00000002"), plan.take(2000))
+    assert(!plan.contains("d-00000001") && !plan.contains("d-00000003"),
+      "pruned directories must not appear in the scan: " + plan.take(2000))
+  }
+
+  test("keywords shares ONE persisted corpus scan between tf and df") {
+    val plan = executedPlan(SparkEntry.queries("q_keywords")(spark, sfDir))
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
