@@ -2181,6 +2181,27 @@ object SparkEntry {
         "src", "dst", iterations = 3)
         .orderBy("id")),
 
+    // HITS hubs & authorities over the same part→supplier graph: one
+    // L1-normalized half-step pair (authority = normalized in-mass of
+    // uniform hubs, hub = normalized out-mass of those authorities) —
+    // the role-separating link-analysis recurrence beside PageRank.
+    // The judged scores are micro-scaled BIGINTs: equal-indegree nodes
+    // share EXACTLY equal authorities, so a raw-double projection made
+    // the judge's row sort tie-break on ulp-level sum-order noise and
+    // misalign rows (the float-sort-key trap at the COMPARE level).
+    // Fully oracled (the unrolled normalized recurrence).
+    "q_hits" -> ((s, dir) =>
+      graft.operators.Graph.hits(
+        t(s, dir, "lineitem")
+          .select(pmod(col("l_partkey"), lit(100)).as("src"),
+            pmod(col("l_suppkey"), lit(100)).as("dst")),
+        "src", "dst", iterations = 1)
+        .select(col("id"),
+          floor(col("hub") * lit(1e7) + lit(0.5)).cast("long").as("hub_micro"),
+          floor(col("authority") * lit(1e7) + lit(0.5)).cast("long")
+            .as("auth_micro"))
+        .orderBy("id")),
+
     // Personalized PageRank: the walk teleports to seeds {1, 2} so
     // rank concentrates in their neighborhood — importance RELATIVE TO
     // the seeds (the similarity/recommendation primitive). Same
@@ -5320,6 +5341,35 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m3.mass, 0) AS rank
         |       FROM nodes CROSS JOIN nn LEFT JOIN m3 ON m3.id = nodes.id)
         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin,
+
+    // the normalized half-step pair unrolled: hub0 = 1/n uniform,
+    // authority = L1-normalized in-mass, hub = L1-normalized out-mass
+    // of those authorities; zero-sum guards mirror the operator
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
+        |                           l_suppkey % 100 AS dst FROM lineitem),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |a1r AS (SELECT e.dst AS id, sum(1e0 / nn.n) AS raw
+        |        FROM e CROSS JOIN nn GROUP BY e.dst),
+        |asum AS (SELECT sum(raw) AS s FROM a1r),
+        |a1 AS (SELECT nodes.id,
+        |         CASE WHEN asum.s > 0
+        |              THEN coalesce(a1r.raw, 0e0) / asum.s
+        |              ELSE 0e0 END AS authority
+        |       FROM nodes CROSS JOIN asum LEFT JOIN a1r ON a1r.id = nodes.id),
+        |h1r AS (SELECT e.src AS id, sum(a1.authority) AS raw
+        |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+        |hsum AS (SELECT sum(raw) AS s FROM h1r),
+        |h1 AS (SELECT nodes.id,
+        |         CASE WHEN hsum.s > 0
+        |              THEN coalesce(h1r.raw, 0e0) / hsum.s
+        |              ELSE 0e0 END AS hub
+        |       FROM nodes CROSS JOIN hsum LEFT JOIN h1r ON h1r.id = nodes.id)
+        |SELECT h1.id AS id,
+        |       CAST(floor(h1.hub * 1e7 + 0.5) AS BIGINT) AS hub_micro,
+        |       CAST(floor(a1.authority * 1e7 + 0.5) AS BIGINT) AS auth_micro
+        |FROM h1 JOIN a1 ON a1.id = h1.id ORDER BY h1.id""".stripMargin,
 
     // the seed-teleport recurrence unrolled twice: teleport mass only
     // on seeds, r0 = the teleport vector itself

@@ -226,6 +226,58 @@ object Graph {
     labels.select(col("id"), col("lbl").as("label"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999 — public): the
+    * OTHER classic link-analysis recurrence — an authority is pointed
+    * at by good hubs, a hub points at good authorities:
+    * `auth_{i}(v) = Σ_{u→v} hub_{i-1}(u)`, `hub_i(u) = Σ_{u→v} auth_i(v)`,
+    * each half-step L1-normalized (scores sum to 1 — the mutual
+    * recursion diverges unnormalized). Where PageRank models one
+    * random surfer, HITS separates the two roles a node plays in a
+    * directed graph — curation-relevant when the graph is bipartite-ish
+    * (aggregator pages vs content pages; query hubs vs answer docs).
+    * Fixed iterations for oracle-expressibility, as with the PR family.
+    *
+    * Scale: each half-step is one hash join + one partial-agg sum over
+    * (long, double) rows plus a broadcast 1-row normalizer — the
+    * pageRank economics exactly, `barrierCut` per half-step pair.
+    * Nodes with no in-edges hold authority 0, no out-edges hub 0; an
+    * all-isolated graph normalizes to all-zero rather than dividing by
+    * zero. Judged `q_hits`, fully oracled (the unrolled normalized
+    * recurrence); hand-computed star values and role separation pinned
+    * in GraphSpec. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val e = graft.engine.Caches.persisted(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().barrierCut
+    val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val s = broadcast(raw.agg(sum(col("raw")).as("__s")))
+      nodes.join(raw, Seq("id"), "left").crossJoin(s)
+        .select(col("id"),
+          when(col("__s") > 0, coalesce(col("raw"), lit(0.0)) / col("__s"))
+            .otherwise(lit(0.0)).as(out))
+    }
+    var hub = nodes.crossJoin(n)
+      .select(col("id"), (lit(1.0) / col("__n")).as("hub")).barrierCut
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = normalized(
+        e.join(hub.select(col("id").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("raw")),
+        "authority").barrierCut
+      hub = normalized(
+        e.join(auth.select(col("id").as("dst"), col("authority")), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("authority")).as("raw")),
+        "hub").barrierCut
+    }
+    hub.join(auth, "id")
+  }
+
   /** PERSONALIZED PageRank (Haveliwala, WWW 2002 — public): the random
     * walk teleports back to the SEED SET instead of everywhere, so rank
     * concentrates in the seeds' neighborhood — "importance relative to

@@ -120,6 +120,25 @@ class GraphSpec extends SparkTestBase {
       Graph.labelPropagation(clique, "src", "dst", iterations = 3))
   }
 
+  test("hits: star separates roles exactly; scores L1-normalize; converges on bipartite") {
+    // star 0 -> {1,2,3}: node 0 is a pure hub, leaves pure authorities.
+    // One iteration: auth = 1/3 each leaf (normalized), hub(0) = 1.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val one = Graph.hits(star, "src", "dst", iterations = 1)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(one(0L)._1 - 1.0) < 1e-12 && one(0L)._2 === 0.0)
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(one(v)._1 === 0.0)
+      assert(math.abs(one(v)._2 - 1.0 / 3) < 1e-12)
+    }
+    // L1 normalization: hubs and authorities each sum to 1
+    val vals = Graph.hits(star, "src", "dst", iterations = 3)
+      .as[(Long, Double, Double)].collect()
+    assert(math.abs(vals.map(_._2).sum - 1.0) < 1e-9)
+    assert(math.abs(vals.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("personalizedPageRank: rank concentrates at seeds; edge-less seed still teleports") {
     // two disconnected triangles; seeding one of them leaves the other
     // at EXACTLY zero (teleport never reaches it, unlike global PR)
