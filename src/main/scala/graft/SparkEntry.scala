@@ -3198,6 +3198,26 @@ object SparkEntry {
         .orderBy("status", "orderkey")
     }),
 
+    // Navigation window functions (lag/lead/first_value/nth_value) as
+    // direct judged surface — they appear throughout the oracle SQL
+    // (sessionize, ffill) but here BOTH engines run them: same default
+    // frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW for the value
+    // functions), unique integer order key so every navigation target
+    // is total-order determined. Fully oracled.
+    "q_window_nav" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("flag")).orderBy(col("k"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_returnflag").as("flag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("k"))
+        .select(col("flag"), col("k"),
+          lag(col("k"), 1).over(w).as("prev_k"),
+          lead(col("k"), 1).over(w).as("next_k"),
+          first(col("k")).over(w).as("first_k"),
+          nth_value(col("k"), 3).over(w).as("third_k"))
+        .orderBy("flag", "k")
+    }),
+
     // Column profiling: per-column null + distinct counts in ONE
     // multi-distinct aggregate pass, long-form via stack. The ingest
     // data-quality check; fully oracled.
@@ -5341,6 +5361,20 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, 0.15e0 / nn.n + 0.85e0 * coalesce(m3.mass, 0) AS rank
         |       FROM nodes CROSS JOIN nn LEFT JOIN m3 ON m3.id = nodes.id)
         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin,
+
+    // identical default frames; the order key is unique within each
+    // partition so every navigation target is total-order determined
+    "q_window_nav" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |                  l_orderkey * 10 + l_linenumber AS k
+        |           FROM lineitem WHERE l_orderkey < 2000)
+        |SELECT flag, k,
+        |  lag(k, 1) OVER w AS prev_k,
+        |  lead(k, 1) OVER w AS next_k,
+        |  first_value(k) OVER w AS first_k,
+        |  nth_value(k, 3) OVER w AS third_k
+        |FROM b WINDOW w AS (PARTITION BY flag ORDER BY k)
+        |ORDER BY flag, k""".stripMargin,
 
     // the normalized half-step pair unrolled: hub0 = 1/n uniform,
     // authority = L1-normalized in-mass, hub = L1-normalized out-mass
