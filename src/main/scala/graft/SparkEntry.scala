@@ -2587,6 +2587,42 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // k-NN label prediction: majority label of the 5 nearest corpus
+    // neighbors per query, frequency ties to the smallest label — the
+    // semi-supervised propagation primitive (labeled seed slice →
+    // everything embeddable near it). Vote logic is neighbor-search-
+    // agnostic (any ANN path slots in at scale). Fully oracled.
+    "q_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.operators.Vectors
+        .knnPredict(e, "vec_id", "v", "label", q, "qid", "qv", 5)
+        .orderBy("qid")
+    }),
+
+    // k-NN accuracy contract on the separated clustered fixture
+    // (label = cluster id = qid % 20): every query must recover its own
+    // cluster's label — the classification twin of the ANN recall rows,
+    // id arithmetic to the oracle.
+    "q_knn_acc" -> ((s, dir) => {
+      val corpus = graft.engine.Caches.persisted(
+        graft.operators.Vectors.syntheticClustered(
+          t(s, dir, "documents").select(col("doc_id"))
+            .filter(col("doc_id") < 1600),
+          "doc_id", 20, dim = 16, noise = 0.08)
+          .withColumn("label", pmod(col("doc_id"), lit(20))))
+      val queries = corpus.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), col("vec").as("qv"))
+      graft.operators.Vectors
+        .knnPredict(corpus, "doc_id", "vec", "label", queries, "qid", "qv", 10)
+        .filter(col("label_pred") === pmod(col("qid"), lit(20)))
+        .select(col("qid"))
+        .orderBy("qid")
+    }),
+
     // Hyperplane-LSH bucketed ANN over the same queries — the 100 TB
     // scale path (probabilistic recall → rows-only; VectorSpec asserts
     // recall >= 0.9 vs brute force on this corpus).
@@ -5727,6 +5763,36 @@ object SparkEntry {
         |           FROM pairs)
         |SELECT qid, neighbor, sim, rank FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // same pair/rank machinery as q_vec_topk, then the majority vote
+    // with the (votes DESC, label ASC) argmax spelled out
+    "q_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |pairs AS (SELECT qid, vec_id AS neighbor,
+        |            list_cosine_similarity(qv, v) AS sim
+        |          FROM q, e WHERE vec_id <> qid),
+        |top AS (SELECT qid, neighbor FROM (
+        |    SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, neighbor) AS rank FROM pairs)
+        |  WHERE rank <= 5),
+        |votes AS (SELECT top.qid, CAST(e.label AS BIGINT) AS lbl,
+        |                 count(*) AS votes
+        |          FROM top JOIN e ON e.vec_id = top.neighbor GROUP BY 1, 2),
+        |best AS (SELECT qid, votes, lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, lbl ASC) AS rn FROM votes)
+        |  WHERE rn = 1)
+        |SELECT qid, CAST(votes AS BIGINT) AS votes, lbl AS label_pred
+        |FROM best ORDER BY qid""".stripMargin,
+
+    // the classification twin of the recall rows: the separated
+    // clustered fixture makes every query recover its own cluster
+    // label, so the passing id set is pure id arithmetic
+    "q_knn_acc" ->
+      """SELECT doc_id AS qid FROM documents
+        |WHERE doc_id < 1600 AND doc_id % 50 = 0 ORDER BY qid""".stripMargin,
 
     // the oracle never touches vector math: the clustered fixture is
     // constructed (Vectors.syntheticClustered) so that EVERY query point

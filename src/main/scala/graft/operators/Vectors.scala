@@ -60,6 +60,38 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** k-NN label prediction (Fix & Hodges 1951 — the original
+    * nonparametric classifier): each query takes the MAJORITY label of
+    * its k nearest corpus neighbors by cosine, frequency ties breaking
+    * to the smallest label (deterministic on both engines). The
+    * semi-supervised primitive a labeled slice of a corpus bootstraps —
+    * topic/quality/language propagation from a hand-labeled seed set to
+    * everything embeddable near it.
+    *
+    * Plan shape: the neighbor search is [[bruteForceTopK]] (swap in any
+    * ANN path for the 100 TB corpus — the vote logic is agnostic to how
+    * the neighbor set was found), the label attach is one join against
+    * the corpus's (id, label) projection, and the vote is the LPA-style
+    * double partial-agg argmax `max(struct(votes, -label))` — no
+    * window. Judged `q_knn` (votes + prediction per query, fully
+    * oracled) and `q_knn_acc` (driver-judged: on the separated
+    * clustered fixture with label = cluster id, every query must
+    * recover its own cluster's label — the accuracy contract, id
+    * arithmetic to the oracle); vote/tie edges pinned in VectorSpec. */
+  def knnPredict(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val top = bruteForceTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k)
+    top
+      .join(corpus.select(col(idCol).as("neighbor"),
+        col(labelCol).cast("long").as("__nl")), "neighbor")
+      .groupBy(col("qid"), col("__nl")).agg(count(lit(1)).as("votes"))
+      .groupBy(col("qid"))
+      .agg(max(struct(col("votes"), (-col("__nl")).as("neg"))).as("best"))
+      .select(col("qid"), col("best.votes").as("votes"),
+        (-col("best.neg")).as("label_pred"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes for SimHash
     * bucketing: `numPlanes` x `dim` doubles from a fixed seed. Driver-side
     * constants folded into the plan as literals. */

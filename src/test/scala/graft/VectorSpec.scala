@@ -396,6 +396,33 @@ class VectorSpec extends SparkTestBase {
     assert(messages(ex).exists(_.contains("embedding width")))
   }
 
+  test("knnPredict: majority vote, frequency ties to smallest label, k cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.array
+    // 1-D embeddings: query at 1.0; neighbors by |angle| == by value sign
+    // proximity. Corpus: three label-7 points near the query, two
+    // label-3 points near, one label-0 far — k=5 takes the five near
+    // ones: 7 wins 3-2.
+    def vec(x: Double, y: Double) = array(lit(x), lit(y))
+    val corpus = Seq(
+      (1L, 1.0, 0.1, 7), (2L, 1.0, 0.2, 7), (3L, 1.0, 0.3, 7),
+      (4L, 1.0, -0.1, 3), (5L, 1.0, -0.2, 3),
+      (6L, -1.0, 0.0, 0)).toDF("id", "x", "y", "label")
+      .select(col("id"), array(col("x"), col("y")).as("v"), col("label"))
+    val q = Seq((100L, 1.0, 0.0)).toDF("qid", "x", "y")
+      .select(col("qid"), array(col("x"), col("y")).as("qv"))
+    val got = graft.operators.Vectors
+      .knnPredict(corpus, "id", "v", "label", q, "qid", "qv", 5)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((100L, 3L, 7L)))
+    // a 2-2 frequency tie breaks to the SMALLEST label: k=4 takes two
+    // of each -> prediction 3
+    val got4 = graft.operators.Vectors
+      .knnPredict(corpus, "id", "v", "label", q, "qid", "qv", 4)
+      .as[(Long, Long, Long)].head()
+    assert(got4._2 === 2L && got4._3 === 3L)
+  }
+
   test("bq kernels: sign packing (strict > 0), multi-word boundary, Hamming") {
     import spark.implicits._
     import org.apache.spark.sql.functions.call_function
