@@ -2866,6 +2866,14 @@ object SparkEntry {
           gapMinutes = 360, orderTiebreak = "event_id")
         .orderBy("user_id", "gap_end")),
 
+    // Daily growth accounting: active/new/retained/churned user counts
+    // per day from ONE distinct (user, day) relation — day-adjacency
+    // as a JOIN (no windows, no per-user sequences). Fully oracled.
+    "q_growth" -> ((s, dir) =>
+      graft.operators.Events
+        .growthAccounting(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("day")),
+
     // Weekly seasonal indices by classical decomposition (centered
     // 7-day MA detrend, full windows only, phase = epoch-day mod 7):
     // every sum runs in BIGINT cents and the detrended value stays the
@@ -4315,6 +4323,35 @@ object SparkEntry {
         |ORDER BY window_start, event_type""".stripMargin,
 
     // silences = lag pairs over (ts, event_id) order more than 6h apart
+    // the same four legs off one distinct (user, day) relation;
+    // churn-only days come from the UNION day axis
+    "q_growth" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |                   CAST(date_trunc('day', ts) AS DATE) AS d
+        |            FROM events),
+        |fd AS (SELECT u, min(d) AS fd FROM ud GROUP BY u),
+        |act AS (SELECT d, count(*) AS n_active FROM ud GROUP BY d),
+        |nw AS (SELECT fd AS d, count(*) AS n_new FROM fd GROUP BY fd),
+        |ret AS (SELECT t.d AS d, count(*) AS n_retained
+        |        FROM ud t JOIN ud y ON t.u = y.u AND t.d = y.d + 1
+        |        GROUP BY t.d),
+        |ch AS (SELECT y.d + 1 AS d, count(*) AS n_churned FROM ud y
+        |       WHERE NOT EXISTS (SELECT 1 FROM ud t
+        |                         WHERE t.u = y.u AND t.d = y.d + 1)
+        |       GROUP BY y.d + 1),
+        |days AS (SELECT d FROM act UNION SELECT d FROM nw
+        |         UNION SELECT d FROM ret UNION SELECT d FROM ch)
+        |SELECT days.d AS day,
+        |       CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+        |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |       CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM days LEFT JOIN act ON act.d = days.d
+        |LEFT JOIN nw ON nw.d = days.d
+        |LEFT JOIN ret ON ret.d = days.d
+        |LEFT JOIN ch ON ch.d = days.d
+        |ORDER BY day""".stripMargin,
+
     // identical integer path: daily BIGINT-cents sums, centered 7-row
     // window sum, exact 7·day − win_sum numerator, ONE division per
     // phase; phase from epoch-day arithmetic (no weekday-numbering

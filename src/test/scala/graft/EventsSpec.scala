@@ -358,6 +358,28 @@ class EventsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Events.gaps(ev, "user_id", "ts", 0, "event_id"))
   }
 
+  test("growthAccounting: new/retained/churned/resurrected bookkeeping; churn-only day emitted") {
+    // u1: days 1,2,4 (new d1, retained d2, churned d3, resurrected d4)
+    // u2: day 2 only (new d2, churned d3)
+    val ev = Seq((1L, 1L, "2026-03-01 10:00:00"), (2L, 1L, "2026-03-02 09:00:00"),
+      (3L, 1L, "2026-03-04 08:00:00"), (4L, 2L, "2026-03-02 23:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Events.growthAccounting(ev, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("2026-03-01") === ((1L, 1L, 0L, 0L)))
+    assert(got("2026-03-02") === ((2L, 1L, 1L, 0L)))
+    // March 3: nobody active — the churn-only day still emits a row
+    assert(got("2026-03-03") === ((0L, 0L, 0L, 2L)))
+    // March 4: u1 resurrects (active but neither new nor retained)
+    assert(got("2026-03-04") === ((1L, 0L, 0L, 0L)))
+    // March 5: u1 churns off the end
+    assert(got("2026-03-05") === ((0L, 0L, 0L, 1L)))
+    // the identity: active = new + retained + resurrected each day
+    got.values.foreach { case (a, n, r, _) => assert(a >= n + r) }
+  }
+
   test("seasonalIndices: recovers an injected weekly pattern; endpoints excluded; constant series is flat") {
     // 21 days from a Thursday (1970-01-01): value = 100 + boost on
     // phase 2; the additive decomposition must surface the boost spread
