@@ -609,10 +609,12 @@ object Events {
     * "growth accounting" framework): per day, `n_active` distinct
     * users, `n_new` (first-ever event that day), `n_retained` (active
     * today AND yesterday), `n_churned` (active yesterday, absent
-    * today — attributed to today). Identity `n_active = n_new +
-    * n_retained + resurrected` holds implicitly (resurrected =
-    * active − new − retained); churn days with zero activity still
-    * emit a row (the full-join day axis).
+    * today — attributed to today). `withResurrected = true` adds
+    * `n_resurrected` (active today, not new, absent yesterday) as its
+    * OWN independent leg, making the growth-accounting identity
+    * `n_active = n_new + n_retained + n_resurrected` explicit in the
+    * emitted frame instead of implicit; churn days with zero activity
+    * still emit a row (the full-join day axis).
     *
     * Scale: everything flows from ONE distinct (user, day) relation —
     * persisted and reused by all four legs; first-day is a partial-agg
@@ -620,10 +622,11 @@ object Events {
     * hash keys (8+4 bytes), and every count partial-aggregates. No
     * windows, no per-user sequences — day-adjacency is a JOIN, so a
     * year of 100 M-user days is just co-partitioned key matching.
-    * Judged `q_growth`, fully oracled; identity/churn-day/single-user
-    * edges pinned in EventsSpec. */
+    * Judged `q_growth` (base) and `q_growth_full` (explicit identity),
+    * both fully oracled; identity/churn-day/single-user edges pinned
+    * in EventsSpec. */
   def growthAccounting(events: DataFrame, userCol: String,
-      tsCol: String): DataFrame = {
+      tsCol: String, withResurrected: Boolean = false): DataFrame = {
     val ud = graft.engine.Caches.persisted(
       events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
         .distinct())
@@ -639,7 +642,7 @@ object Events {
         "left_anti")
       .groupBy(date_add(col("y.d"), 1).as("d"))
       .agg(count(lit(1)).as("n_churned"))
-    active.join(news, Seq("d"), "full")
+    val base = active.join(news, Seq("d"), "full")
       .join(retained, Seq("d"), "full")
       .join(churned, Seq("d"), "full")
       .select(col("d").as("day"),
@@ -647,13 +650,38 @@ object Events {
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         coalesce(col("n_retained"), lit(0L)).as("n_retained"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    if (!withResurrected) base
+    else {
+      // resurrected = active, NOT new (day > first day), NOT active
+      // yesterday — its own independent leg (anti-join on day-1 plus a
+      // first-day exclusion), never derived as active − new − retained,
+      // so the emitted frame PROVES the growth-accounting identity
+      // n_active = n_new + n_retained + n_resurrected rather than
+      // assuming it. Same (user, day) relation, same join economics.
+      // firstDay derives from ud itself: alias both sides and qualify
+      // every column (the ambiguous-self-join rule)
+      val resurrected = ud.as("t")
+        .join(ud.as("y"),
+          col("t.u") === col("y.u") && col("t.d") === date_add(col("y.d"), 1),
+          "left_anti")
+        .join(firstDay.as("f"), col("t.u") === col("f.u"))
+        .filter(col("t.d") =!= col("f.fd"))
+        .groupBy(col("t.d").as("day")).agg(count(lit(1)).as("n_resurrected"))
+      base.join(resurrected, Seq("day"), "left")
+        .select(col("day"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_churned"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"))
+    }
   }
 
   /** Seasonal indices by classical decomposition (the moving-average
     * step of STL / the X-11 family, public since Macaulay 1931): bucket
-    * the series to days, detrend each day against its centered
-    * `period`-day moving average (full windows only — the standard
-    * endpoint rule), and average the detrended values by phase
+    * the series to days (the day axis is DENSIFIED first — a calendar
+    * day with no events contributes 0, so the centered window always
+    * spans `period` adjacent CALENDAR days, never bridging a gap),
+    * detrend each day against its centered `period`-day moving average
+    * (full windows only — the standard endpoint rule), and average the
+    * detrended values by phase
     * (day-index mod `period`) — the additive seasonal profile, e.g.
     * "weekends run +12 above trend". The calendar-pattern signal a
     * pipeline checks before interpreting any daily metric shift.
@@ -679,10 +707,21 @@ object Events {
     require(period >= 3 && period % 2 == 1,
       s"period must be odd >= 3 (centered window), got $period")
     val half = period / 2
-    val daily = events
+    val sparse = events
       .select(to_date(col(tsCol)).as("day"),
         floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy("day").agg(sum(col("cents")).as("day_cents"))
+    // densify the day axis before the ROWS window: a calendar gap would
+    // otherwise make the "centered period-day moving average" silently
+    // span non-adjacent days. A day with no events is a real day with
+    // value 0 (the series is a daily SUM), so gaps fill with 0 — on a
+    // gap-free series this is an exact no-op. The axis is config-scale
+    // (one row per calendar day), so the sequence/explode is trivial.
+    val daily = sparse
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("day_cents"), lit(0L)).as("day_cents"))
     val w = Window.orderBy("day").rowsBetween(-half, half)
     daily
       .withColumn("win_sum", sum(col("day_cents")).over(w))

@@ -350,23 +350,35 @@ object Graph {
     * the same (long, long) row economics and `barrierCut` lineage
     * control as [[pageRank]]; a hub's relaxations partial-aggregate
     * map-side. Parallel edges collapse to their MINIMUM weight up
-    * front (the only one that can win). Non-negative weights required:
-    * under a hop bound negative edges are well-defined but make the
-    * "distance" label misleading — rejected explicitly rather than
-    * silently. Judged `q_sssp`, fully oracled; hand-graph distances,
-    * parallel-edge min, unreachable absence and the reject pinned in
-    * GraphSpec. */
+    * front (the only one that can win). INTEGER-weight contract:
+    * distances accumulate in BIGINT (exact, order-independent — the
+    * judged-arithmetic discipline), so the weight column must be an
+    * integral type; a float/double weight column is REJECTED rather
+    * than silently truncated (cast-then-sum of fractional weights
+    * would return wrong distances). Non-negative weights required,
+    * validated on the RAW column before any cast: under a hop bound
+    * negative edges are well-defined but make the "distance" label
+    * misleading — rejected explicitly rather than silently. Judged
+    * `q_sssp`, fully oracled; hand-graph distances, parallel-edge
+    * min, unreachable absence and both rejects pinned in GraphSpec. */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, seeds: DataFrame, seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0)
+    import org.apache.spark.sql.types._
+    val wType = edges.schema(wCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(wType),
+      s"shortestPaths requires an integral weight column (got $wType): " +
+        "fractional weights would be silently truncated by the BIGINT " +
+        "distance accumulation — scale them to integer units first")
+    require(edges.filter(col(wCol) < 0).isEmpty,
+      "shortestPaths requires non-negative edge weights")
     val e = graft.engine.Caches.persisted(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
       .groupBy("src", "dst").agg(min(col("w")).as("w")))
-    require(e.filter(col("w") < 0).isEmpty,
-      "shortestPaths requires non-negative edge weights")
     var dist = seeds.select(col(seedCol).cast("long").as("id"))
       .distinct().withColumn("dist", lit(0L)).barrierCut
     for (_ <- 1 to maxHops) {
@@ -410,7 +422,9 @@ object Graph {
     * Judged `q_kcore` on an engineered clique/cycle/star fixture whose
     * coreness is known in closed form; structural edges pinned in
     * GraphSpec. */
-  def coreness(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val fwd = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -419,7 +433,15 @@ object Graph {
     var c = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
       .barrierCut
     var changed = 1L
-    while (changed > 0) {
+    // fixed round budget (the pageRank/LPA/BFS posture): the H-index
+    // iteration is provably terminating, but an adversarial long-chain
+    // graph converges in O(chain-depth) rounds, each a count() action —
+    // the cap bounds wall-clock, and a capped run returns estimates that
+    // are still exact UPPER BOUNDS on coreness (non-increasing from
+    // degree, lower-bounded by the true value; pinned in GraphSpec)
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
       val grouped = und
         .join(c.select(col("id").as("b"), col("c").as("cb")), "b")
         .groupBy(col("a").as("id"), col("cb")).agg(count(lit(1)).as("cnt"))

@@ -217,11 +217,11 @@ object Streams {
     * stream-static hash join total); the index side is
     * [[graft.operators.Dedup.minHashIndex]] rows — banded 16-byte keys
     * with the ~256 B signature attached, corpus text never read. State
-    * is the emitted pair set (dedup only); a deployment whose pair space
-    * outgrows memory bounds it with a watermark +
-    * `dropDuplicatesWithinWatermark` on the doc's event time, trading
-    * per-pair-once for per-pair-once-per-horizon exactly as
-    * [[exactDedupStreamWm]] does.
+    * is the emitted pair set (dedup only) and grows unboundedly with
+    * the flagged-pair count; a deployment whose pair space outgrows
+    * memory uses [[nearDupFlagStreamWm]] — the same pipeline with the
+    * pair state watermark-bounded, trading per-pair-once for
+    * per-pair-once-per-horizon exactly as [[exactDedupStreamWm]] does.
     *
     * WITHIN-batch near-dup (new doc vs new doc) is deliberately not
     * here: it is a stream self-join; the production shape for it is
@@ -255,6 +255,55 @@ object Streams {
       .filter(col("est_jaccard") >= estThreshold)
       .select(col(idCol).as("da"), col("__db").as("db"), col("est_jaccard"))
       .dropDuplicates("da", "db")
+  }
+
+  /** BOUNDED-STATE streaming near-dup flagging — [[nearDupFlagStream]]
+    * with the state growth capped exactly as [[exactDedupStreamWm]] caps
+    * exact dedup's: the emitted-pair dedup state rides
+    * `dropDuplicatesWithinWatermark` keyed on the doc's EVENT TIME, so a
+    * pair's entry is evicted once the watermark passes its time (+
+    * delay) and a sufficiently LATE re-collision re-emits — per-pair-once
+    * becomes per-pair-once-per-horizon, the explicit trade a deployment
+    * makes when the pair space outgrows memory. The signing / band-join /
+    * verify pipeline is identical (stateless + one stream-static join);
+    * ONLY the final dedup holds state, and that state is now
+    * watermark-bounded: |pairs flagged within the horizon| · ~40 B,
+    * whatever the stream's lifetime. The event-time column must survive
+    * to the dedup (Spark requires the watermark column in the frame), so
+    * the flag row carries `ts` — downstream drops it if unwanted. Judged
+    * `q_stream_neardup_wm` (single-file replay: all pairs in-horizon ⇒
+    * output equals the unbounded variant's, while the PLAN is the
+    * bounded-state production shape); horizon semantics (late
+    * re-collision re-emits after eviction) pinned across real batches in
+    * StreamingSpec. */
+  def nearDupFlagStreamWm(docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, watermarkDelay: String,
+      indexSigs: DataFrame, indexIdCol: String, estThreshold: Double,
+      numHashes: Int = 32, bands: Int = 8, width: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    import graft.operators.Dedup
+    val signed = docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol),
+        call_function("graft_minhash", col(textCol), lit(width),
+          lit(numHashes)).as("siga"))
+      .filter(col("siga").isNotNull)
+      .select(col(idCol), col(tsCol), col("siga"),
+        posexplode(Dedup.bandHashes(col("siga"), bands, rows)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val idx = indexSigs
+      .select(col(indexIdCol).as("__db"), col("sig").as("sigb"))
+      .select(col("__db"), col("sigb"),
+        posexplode(Dedup.bandHashes(col("sigb"), bands, rows)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    signed.join(idx, Seq("band", "bh"))
+      .withColumn("est_jaccard",
+        call_function("graft_sig_agree", col("siga"), col("sigb"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col(idCol).as("da"), col("__db").as("db"),
+        col("est_jaccard"), col(tsCol))
+      .dropDuplicatesWithinWatermark("da", "db")
   }
 
   case class UserEvent(user_id: Long, value: Double)

@@ -235,20 +235,30 @@ object VersionedTable {
     // committed (tombstone key dirs are not table rows — exempt). The
     // probe runs on the STAGED BYTES — what a reader will see — and a
     // violation sweeps the directory and throws with the table
-    // untouched: no manifest references the dir yet.
+    // untouched: no manifest references the dir yet. The staged read is
+    // pinned to the WRITTEN frame's schema (no inference: a partition
+    // column re-inferring to a different type could fail the probe
+    // itself), and ANY probe failure — not just a FALSE constraint —
+    // sweeps the staged dir before propagating, so an analysis error in
+    // a constraint expression never leaves an orphan directory behind.
     if (enforce) {
       val cs = activeConstraints(fs, root)
       if (cs.nonEmpty) {
-        val staged = df.sparkSession.read.parquet(new Path(root, dir).toString)
-        cs.foreach { case (n, e) =>
-          // SQL CHECK semantics: NULL passes, only FALSE violates
-          val bad = !staged
-            .filter(!coalesce(expr(e), lit(true))).isEmpty
-          if (bad) {
-            fs.delete(new Path(root, dir), true)
-            throw new ConstraintViolationException(
-              s"write rejected by CHECK constraint '$n' ($e)")
+        try {
+          val staged = df.sparkSession.read.schema(df.schema)
+            .parquet(new Path(root, dir).toString)
+          cs.foreach { case (n, e) =>
+            // SQL CHECK semantics: NULL passes, only FALSE violates
+            val bad = !staged
+              .filter(!coalesce(expr(e), lit(true))).isEmpty
+            if (bad)
+              throw new ConstraintViolationException(
+                s"write rejected by CHECK constraint '$n' ($e)")
           }
+        } catch {
+          case e: Throwable =>
+            fs.delete(new Path(root, dir), true)
+            throw e
         }
       }
     }
@@ -719,7 +729,11 @@ object VersionedTable {
     * `col("status") === "F"` tests the target, `col("s_status")` the
     * source; a NULL condition is false (SQL WHERE semantics). Multiple
     * source rows for one key are rejected up front (the Delta
-    * multiple-matches error, deterministic instead of racy).
+    * multiple-matches error, deterministic instead of racy). merge
+    * NEVER evolves the table schema: a source column the snapshot
+    * lacks is visible to clause conditions (as `s_<name>`) but written
+    * by neither updates nor inserts — one commit can't half-evolve the
+    * table; evolve via [[append]] + mergeSchema reads.
     *
     * Cost: exactly upsert's — source keys probe each directory
     * (pushed-down semi-join), clean directories carry over by NAME,
@@ -782,10 +796,19 @@ object VersionedTable {
       kept.unionByName(updated)
     }
     // all matches live in dirty directories (that is what dirty MEANS),
-    // so unmatched = source minus the dirty union's keys
+    // so unmatched = source minus the dirty union's keys. Inserts are
+    // PROJECTED ONTO THE SNAPSHOT SCHEMA: a source column the table
+    // lacks is visible to the s_ clause conditions but never written —
+    // updates already drop it (the rewrite projects snap.fieldNames),
+    // and letting inserts carry it would half-evolve the table in one
+    // commit (mixed-schema directories whose default non-mergeSchema
+    // reads become file-order dependent). merge never evolves schema;
+    // evolve via append, which reads back under mergeSchema.
+    val srcKept = src.columns.filter(snap.fieldNames.contains).toSeq
     val inserts = if (!insertUnmatched) None else Some(
       dirtyUnion.fold(src)(t => src.join(
-        t.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")))
+        t.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
+        .select(srcKept.map(col): _*))
     val pieces = rewritten.toSeq ++ inserts.toSeq
     val merged = if (pieces.isEmpty)
       readDirsAs(spark, rootP, base.dataDirs.take(1), snap).limit(0)
@@ -858,6 +881,10 @@ object VersionedTable {
   /** Rewrite the current snapshot as ONE directory (small-file + log-growth
     * control in a single op): subsequent manifests restart from a
     * single-entry dir list, and vacuum can then reclaim every prior dir.
+    * This is the FULL rewrite (cost ∝ the whole table) — the escape
+    * hatch that materializes every tombstone and retires mixed hive
+    * layouts; routine small-file / targeted maintenance at scale is
+    * [[compactWhere]], which rewrites only qualifying directories.
     *
     * `clusterCol` additionally range-clusters the rewrite (the
     * [[graft.operators.Relational.writeClustered]] layout): rows
@@ -880,6 +907,79 @@ object VersionedTable {
     commit(fs, rootP, Manifest(v, "compact", base.version,
       Seq(writeDataDir(laidOut, rootP, v, base.partitionCols)),
       partitionCols = base.partitionCols))
+  }
+
+  /** SELECTIVE compaction — Delta `OPTIMIZE [WHERE]` economics, next to
+    * [[compact]]'s whole-snapshot rewrite: only QUALIFYING directories
+    * are rewritten (bin-packed into one new directory, applicable MOR
+    * tombstones folded in); every other directory carries into the new
+    * snapshot BY NAME, byte-untouched — exactly [[deleteWhere]]'s
+    * clean-dir mechanics. At 100 TB this is the difference between
+    * routine small-file maintenance (rewrite the trickle of tiny
+    * append dirs — cost ∝ the small files) and a full-table rewrite
+    * (cost ∝ the table).
+    *
+    * A directory qualifies when EITHER selector says so (at least one
+    * must be given):
+    *  - `maxRows`: its stats-sidecar row count is ≤ the threshold — the
+    *    small-file selector (a directory without a sidecar counts as
+    *    small: unknown size must not exempt it from maintenance, and
+    *    rewriting re-scrapes its stats, HEALING the missing sidecar);
+    *  - `where`: a pushed-down existence probe finds ≥ 1 matching row —
+    *    the partition-predicate selector (`OPTIMIZE WHERE`); selection
+    *    only, never a row filter: compaction preserves contents.
+    *
+    * Tombstone correctness when only SOME masked dirs rewrite: the
+    * rewritten dirs' survivors re-emit under a NEW name (leaving their
+    * tombstones' recorded scopes — never double-applied), while a
+    * tombstone still masking an untouched dir carries forward via
+    * [[liveTombs]]; the rewrite itself resolves per-dir MOR state
+    * before the union, so the new directory holds post-subtraction
+    * rows only. Fewer than TWO qualifying dirs with no tombstones to
+    * fold is a metadata no-op (returns the base manifest, no commit —
+    * nothing to bin-pack); one qualifying dir WITH outstanding
+    * tombstones still rewrites (the selective
+    * tombstone-materialization case). Judged `q_table_optimize`
+    * (contents identical across the commit, untouched dirs carried by
+    * name); byte-identity of clean dirs and the selector/tombstone
+    * edges pinned in VersionedTableSpec. */
+  def compactWhere(spark: SparkSession, root: String,
+      where: Option[Column] = None, maxRows: Option[Long] = None,
+      probeParallelism: Int = 4): Manifest = {
+    require(where.nonEmpty || maxRows.nonEmpty,
+      "compactWhere needs a selector: where predicate and/or maxRows")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema
+    val tombs = tombScopes(fs, rootP, base)
+    def dirTombs(d: String): Seq[String] =
+      tombs.filter(_._2.contains(d)).map(_._1)
+    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d))
+    val small: Set[String] = maxRows.fold(Set.empty[String]) { t =>
+      base.dataDirs.filter(d =>
+        readStats(fs, rootP, d).fold(true)(_.rows <= t)).toSet
+    }
+    // probe only dirs the small-selector didn't already take
+    val candidates = base.dataDirs.filterNot(small)
+    val hit: Set[String] = where.fold(Set.empty[String]) { c =>
+      partitionDirty(candidates, probeParallelism) { d =>
+        !resolved(d).filter(c).isEmpty
+      }._1.toSet
+    }
+    val qualifying = base.dataDirs.filter(d => small(d) || hit(d))
+    val clean = base.dataDirs.filterNot(d => small(d) || hit(d))
+    val foldsTombs = qualifying.exists(d => dirTombs(d).nonEmpty)
+    if (qualifying.size < 2 && !foldsTombs) base
+    else {
+      val packed = qualifying.map(resolved).reduce(_.unionByName(_))
+      val dirs = clean :+ writeDataDir(packed, rootP, v, base.partitionCols)
+      commit(fs, rootP, Manifest(v, "optimize", base.version, dirs,
+        partitionCols = base.partitionCols,
+        deleteDirs = liveTombs(tombs, dirs)))
+    }
   }
 
   /** Commit-log history as a DataFrame (version, op, base_version, n_dirs)
@@ -1240,7 +1340,13 @@ object VersionedTable {
                 val ann = pt.getLogicalTypeAnnotation
                 def longKind: Char = ann match {
                   case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                    t.getUnit match {
+                    // NTZ timestamps (isAdjustedToUTC = false) are
+                    // session-timezone-relative: their micros are NOT
+                    // comparable to toBound's UTC-instant micros, so a
+                    // 'T' tag would let a non-UTC caller wrongly prune
+                    // directories. Poisoned: readable, never pruned.
+                    if (!t.isAdjustedToUTC) '!'
+                    else t.getUnit match {
                       case LogicalTypeAnnotation.TimeUnit.MICROS => 'T'
                       case LogicalTypeAnnotation.TimeUnit.MILLIS => 't'
                       case _ => '!' // NANOS etc: unprunable
@@ -1329,7 +1435,11 @@ object VersionedTable {
     * rendered in the sidecar encoding). Timestamp-flavored bounds all
     * land in micros ('T'), date-flavored in days ('A') — the kind tag
     * is what stops a days bound from being compared against a micros
-    * column. */
+    * column. A LocalDateTime bound is interpreted as a UTC wall-clock
+    * (the 'T' domain is UTC-instant micros; NTZ columns are never
+    * tagged 'T' — poisoned at stats-write — and [[readWhereBetween]]
+    * instantizes the retained filter to match, so prune and filter
+    * agree in any session time zone). */
   private def toBound(x: Any): (Char, String) = x match {
     case n: Byte => ('L', n.toLong.toString)
     case n: Short => ('L', n.toLong.toString)
@@ -1415,7 +1525,20 @@ object VersionedTable {
     // construction and carries the snapshot schema (cheap: the filter
     // still skips its row groups)
     val dirs = if (kept.nonEmpty) kept else all.take(1)
-    val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+    // LocalDateTime bounds: toBound pins them to UTC micros for the
+    // prune, so the retained filter must compare the SAME instant — a
+    // raw lit(LocalDateTime) is an NTZ literal the session time zone
+    // would reinterpret, silently disagreeing with the prune in any
+    // non-UTC session. Normalized to the UTC Instant here; Instant /
+    // Timestamp bounds are instants already (session-tz-independent),
+    // and NTZ-typed COLUMNS are never pruned (poisoned at stats-write).
+    def instantized(x: Any): Any = x match {
+      case ldt: java.time.LocalDateTime =>
+        ldt.toInstant(java.time.ZoneOffset.UTC)
+      case other => other
+    }
+    val pred = col(column) >= lit(instantized(lower)) &&
+      col(column) <= lit(instantized(upper))
     // mergeSchema opt-in as in readVersion: on an evolved table whose
     // range column postdates some directories, the surviving old dirs
     // read it as null (never matching the BETWEEN — consistent with
