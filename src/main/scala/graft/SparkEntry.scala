@@ -999,6 +999,53 @@ object SparkEntry {
           lit(all.size).as("dirs_total"))
     }),
 
+    // Selective compaction (Delta OPTIMIZE [WHERE] economics): a bloated
+    // table — one big create, two small trickle appends, another big
+    // append, a MOR tombstone over the first dir — is optimized with the
+    // selector union (maxRows takes the small dirs, the where probe takes
+    // the tombstoned big dir), bin-packing qualifiers into ONE new dir
+    // while non-qualifying dirs carry into the new snapshot BY NAME.
+    // Every snapshot is a predicate over orders and the dir arithmetic
+    // (how many qualify, how many carry) is RECOMPUTED by the oracle
+    // from the same slice counts the stats sidecars record — the
+    // maintenance behavior itself is oracled, not just the contents.
+    // A second call with nothing left to pack proves the <2-dirs no-op
+    // (final_version stays put, no empty commit). Selector union,
+    // tombstone fold, no-op and clean-dir byte identity pinned in
+    // VersionedTableSpec.
+    "q_table_optimize" -> ((s, dir) => {
+      val root = tmpPath("vtable_optimize")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 5 === 0))
+      VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") % 5 === 1 && col("o_orderkey") < 2000))
+      VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") % 5 === 2 && col("o_orderkey") < 2000))
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 5 === 3))
+      VersionedTable.deleteKeysMor(s, root,
+        orders.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 3 === 0)
+          .select("o_orderkey"))
+      val preDirs = VersionedTable.dataDirsOf(s, root, 5)
+      VersionedTable.compactWhere(s, root,
+        where = Some(col("o_orderkey") % 5 === 0), maxRows = Some(1000L))
+      // second pass: the survivors are all big and tombstone-free — a
+      // metadata no-op that must NOT commit a new version
+      val noop = VersionedTable.compactWhere(s, root, maxRows = Some(1000L))
+      val postDirs = VersionedTable.dataDirsOf(s, root)
+      val carried = postDirs.count(preDirs.contains)
+      (1 to 6).map { v =>
+        VersionedTable.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit(v).as("version"), col("n"), col("key_sum"),
+            lit(VersionedTable.dataDirsOf(s, root, v).size).as("n_dirs"),
+            lit(carried).as("n_carried"), lit(noop.version).as("final_version"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // Persistent CHECK constraints on the commit-log table (Delta
     // ADD CONSTRAINT semantics): adding a constraint the existing data
     // violates is REJECTED; once stored, every write of table rows is
@@ -4121,6 +4168,55 @@ object SparkEntry {
         |       CAST((SELECT count(*) FROM y) AS INT) AS dirs_total
         |FROM sel""".stripMargin,
 
+    // the maintenance behavior is recomputed, not asserted: each dir is a
+    // key-arithmetic slice of orders, so the oracle re-derives which dirs
+    // the selectors take (small = slice count <= 1000, the sidecar
+    // number; hit = a post-tombstone row matching the where predicate
+    // survives), how many carry by name (4 - qualifying), and the
+    // per-version contents including the MOR subtraction
+    "q_table_optimize" ->
+      """WITH s0 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 = 0),
+        |s1 AS (SELECT o_orderkey AS k FROM orders
+        |       WHERE o_orderkey % 5 = 1 AND o_orderkey < 2000),
+        |s2 AS (SELECT o_orderkey AS k FROM orders
+        |       WHERE o_orderkey % 5 = 2 AND o_orderkey < 2000),
+        |s3 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 = 3),
+        |d AS (SELECT k FROM s0 WHERE k % 3 = 0),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM s0) AS c0,
+        |  (SELECT coalesce(sum(k), 0) FROM s0) AS k0,
+        |  (SELECT count(*) FROM s1) AS c1,
+        |  (SELECT coalesce(sum(k), 0) FROM s1) AS k1,
+        |  (SELECT count(*) FROM s2) AS c2,
+        |  (SELECT coalesce(sum(k), 0) FROM s2) AS k2,
+        |  (SELECT count(*) FROM s3) AS c3,
+        |  (SELECT coalesce(sum(k), 0) FROM s3) AS k3,
+        |  (SELECT count(*) FROM d) AS cd,
+        |  (SELECT coalesce(sum(k), 0) FROM d) AS kd,
+        |  (SELECT count(*) FROM s0 WHERE k % 3 <> 0) AS live0),
+        |q AS (SELECT c.*,
+        |  (CASE WHEN c0 <= 1000 OR live0 > 0 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c1 <= 1000 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c2 <= 1000 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN c3 <= 1000 THEN 1 ELSE 0 END) AS nq FROM c)
+        |SELECT 1 AS version, CAST(c0 AS BIGINT) AS n,
+        |       CAST(k0 AS BIGINT) AS key_sum, 1 AS n_dirs,
+        |       CAST(4 - nq AS INT) AS n_carried, 6 AS final_version FROM q
+        |UNION ALL SELECT 2, CAST(c0 + c1 AS BIGINT),
+        |       CAST(k0 + k1 AS BIGINT), 2, CAST(4 - nq AS INT), 6 FROM q
+        |UNION ALL SELECT 3, CAST(c0 + c1 + c2 AS BIGINT),
+        |       CAST(k0 + k1 + k2 AS BIGINT), 3, CAST(4 - nq AS INT), 6 FROM q
+        |UNION ALL SELECT 4, CAST(c0 + c1 + c2 + c3 AS BIGINT),
+        |       CAST(k0 + k1 + k2 + k3 AS BIGINT), 4,
+        |       CAST(4 - nq AS INT), 6 FROM q
+        |UNION ALL SELECT 5, CAST(c0 + c1 + c2 + c3 - cd AS BIGINT),
+        |       CAST(k0 + k1 + k2 + k3 - kd AS BIGINT), 4,
+        |       CAST(4 - nq AS INT), 6 FROM q
+        |UNION ALL SELECT 6, CAST(c0 + c1 + c2 + c3 - cd AS BIGINT),
+        |       CAST(k0 + k1 + k2 + k3 - kd AS BIGINT),
+        |       CAST(4 - nq + 1 AS INT), CAST(4 - nq AS INT), 6 FROM q
+        |ORDER BY version""".stripMargin,
+
     // the final table is exactly the clean batches (≡0,1 mod 3); the
     // audit columns are recomputable: the only_f add is rejected iff a
     // non-F row exists in the v1 slice, the negated-keys append is
@@ -4356,19 +4452,31 @@ object SparkEntry {
     // window sum, exact 7·day − win_sum numerator, ONE division per
     // phase; phase from epoch-day arithmetic (no weekday-numbering
     // convention crosses the engines)
+    // densified exactly like the plan: the day axis zero-fills calendar
+    // gaps (a no-events day is a real day with SUM 0) before the centered
+    // ROWS window — worked in epoch-day integers end to end, so the
+    // densification (generate_series over BIGINT) and the phase (% 7)
+    // cross engines without any date/weekday convention
     "q_seasonal" ->
-      """WITH daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      """WITH daily0 AS (
+        |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+        |              - DATE '1970-01-01' AS BIGINT) AS ed,
         |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_cents
         |  FROM events GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series((SELECT min(ed) FROM daily0),
+        |                                (SELECT max(ed) FROM daily0))) AS ed),
+        |daily AS (
+        |  SELECT cal.ed, coalesce(day_cents, 0) AS day_cents
+        |  FROM cal LEFT JOIN daily0 ON daily0.ed = cal.ed),
         |t AS (
-        |  SELECT day, day_cents,
+        |  SELECT ed, day_cents,
         |         sum(day_cents) OVER w AS win_sum,
         |         count(*) OVER w AS win_n
         |  FROM daily
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |  WINDOW w AS (ORDER BY ed ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |p AS (
-        |  SELECT CAST((day - DATE '1970-01-01') % 7 AS INT) AS phase,
+        |  SELECT CAST(ed % 7 AS INT) AS phase,
         |         day_cents * 7 - win_sum AS num
         |  FROM t WHERE win_n = 7)
         |SELECT phase, CAST(count(*) AS BIGINT) AS n,

@@ -26,6 +26,15 @@ object Tables {
     * applies, keeping the oracle comparable. */
   def bootstrap(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Write timestamps as TIMESTAMP(MICROS) instead of Spark's legacy
+    // INT96 default: INT96 is deprecated in parquet-mr, which refuses to
+    // record min/max statistics for it — so every timestamp column
+    // written by the engine would be invisible to footer-stats pruning
+    // (VersionedTable data skipping, parquet row-group skipping) and
+    // unreadable by non-Spark readers that dropped INT96. MICROS footers
+    // carry real stats and an isAdjustedToUTC flag the stats scraper
+    // can trust.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // Native expressions (graft_dot, graft_shingle_* family) for sessions
     // built without spark.sql.extensions=graft.functions.GraftExtensions.
     graft.functions.GraftFunctions.all.foreach { case (ident, info, builder) =>
@@ -39,24 +48,43 @@ object Tables {
     * [[bootstrap]] to have run for the `events` nanos handling.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name != "events") df
-    else df.schema("ts").dataType match {
-      // TIMESTAMP(NANOS) harness era: nanosAsLong reads a raw long;
-      // truncate to micros exactly as DuckDB does.
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      // TIMESTAMP(MICROS, isAdjustedToUTC=false) harness era: Spark reads
-      // TIMESTAMP_NTZ, which instant-typed operators (unix_micros, window)
-      // reject; the session TZ is pinned UTC, so the LTZ cast is a pure
-      // retype — bit-identical micros, same values DuckDB sees.
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-          .cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name != "events") raw
+      else raw.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) harness era: nanosAsLong reads a raw long;
+        // truncate to micros exactly as DuckDB does.
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => raw
+      }
+    normalizeNtz(df)
+  }
+
+  /** Retype EVERY TimestampNTZType column to TimestampType. The harness
+    * regenerates fixtures between rounds and has flipped columns between
+    * TIMESTAMP(MICROS, isAdjustedToUTC=true) and NTZ eras (r8: events.ts;
+    * r10: orders.o_orderdate / lineitem.l_shipdate) — the session TZ is
+    * pinned UTC, so this is a pure retype: bit-identical micros, the same
+    * values DuckDB sees. Doing it for all columns at the source seam (not
+    * just events.ts) keeps instant-typed operators (unix_micros, window)
+    * AND VersionedTable's footer-stats scraper working: an NTZ column
+    * written into a VersionedTable would produce NTZ parquet footers,
+    * which the stats scraper correctly refuses to tag for user data
+    * (VersionedTable NTZ poisoning) — disabling all dir pruning and
+    * hash-failing judged q_table_skip in r10. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntzCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
     }
+    if (ntzCols.isEmpty) df
+    else df.select(df.schema.fieldNames.map { c =>
+      if (ntzCols.contains(c)) col(c).cast(TimestampType).as(c) else col(c)
+    }.toIndexedSeq: _*)
   }
 
   /** Expected type FAMILY per harness column — the drift probe's
@@ -142,7 +170,18 @@ object Tables {
             s"$t.$c: fixture era changed — read type ${found(c).simpleString} " +
               s"outside expected family '$fam'; extend Tables.apply for the new era"
         }
-        missing ++ added ++ retyped
+        // NTZ and LTZ share the "timestamp" family, so the family check is
+        // blind to exactly the era flip that broke judged q_table_skip in
+        // r10 (o_orderdate TIMESTAMP(MICROS,UTC) → NTZ). Name the flip
+        // explicitly; [[apply]] absorbs it (normalizeNtz), so this line is
+        // a warning that the absorption is load-bearing, not a failure.
+        val ntz = exp.keySet.toSeq.sorted.collect {
+          case c if found.get(c).contains(
+            org.apache.spark.sql.types.TimestampNTZType) =>
+            s"$t.$c: stored as TIMESTAMP_NTZ this era — absorbed by " +
+              "Tables.apply (pure UTC retype to TimestampType)"
+        }
+        missing ++ added ++ retyped ++ ntz
       }
     }
 

@@ -367,18 +367,29 @@ object Graph {
     require(maxHops >= 0)
     import org.apache.spark.sql.types._
     val wType = edges.schema(wCol).dataType
-    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-        .contains(wType),
+    val integral = wType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      // scale-0 decimals are exact integers — the BIGINT accumulation
+      // loses nothing (aggregate-derived weights often arrive DECIMAL(p,0))
+      case d: DecimalType if d.scale == 0 => true
+      case _ => false
+    }
+    require(integral,
       s"shortestPaths requires an integral weight column (got $wType): " +
         "fractional weights would be silently truncated by the BIGINT " +
         "distance accumulation — scale them to integer units first")
-    require(edges.filter(col(wCol) < 0).isEmpty,
-      "shortestPaths requires non-negative edge weights")
     val e = graft.engine.Caches.persisted(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
       .groupBy("src", "dst").agg(min(col("w")).as("w")))
+    // negative-weight gate on the PERSISTED narrow projection, not the
+    // raw frame (one extra source scan per call otherwise): parallel
+    // edges collapse to their min first, so any negative raw weight
+    // survives into e's min and this one small action sees it
+    val minW = e.agg(min(col("w"))).head.get(0)
+    require(minW == null || minW.asInstanceOf[Long] >= 0L,
+      "shortestPaths requires non-negative edge weights")
     var dist = seeds.select(col(seedCol).cast("long").as("id"))
       .distinct().withColumn("dist", lit(0L)).barrierCut
     for (_ <- 1 to maxHops) {
@@ -458,6 +469,14 @@ object Graph {
         .filter(col("c") =!= col("c0")).count()
       c = next
     }
+    // a capped run is an estimate, not the fixpoint — say so out loud
+    // (estimates are still exact upper bounds on coreness, but silence
+    // here would let "exact-to-convergence" quietly degrade on
+    // deep-chain graphs; pinned in GraphSpec)
+    if (changed > 0)
+      System.err.println(s"[graft] coreness: round cap $maxRounds exhausted " +
+        s"with $changed estimates still moving — result is an upper-bound " +
+        "estimate, not the converged coreness; raise maxRounds for exact")
     c.select(col("id"), col("c").cast("int").as("core"))
   }
 

@@ -982,6 +982,17 @@ object VersionedTable {
     }
   }
 
+  /** The data directories of snapshot `version` (latest when 0) — the
+    * metadata surface that audits physical layout: carry-by-name across
+    * selective OPTIMIZE, vacuum scope checks, dir-count assertions.
+    * Driver-side manifest read, no Spark job. */
+  def dataDirsOf(spark: SparkSession, root: String,
+      version: Int = 0): Seq[String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = if (version > 0) version else requireExists(spark, root)
+    readManifest(fs, rootP, v).dataDirs
+  }
+
   /** Commit-log history as a DataFrame (version, op, base_version, n_dirs)
     * over the manifests still present (vacuum trims the old tail). */
   def history(spark: SparkSession, root: String): DataFrame = {
@@ -1335,7 +1346,20 @@ object VersionedTable {
               val st: org.apache.parquet.column.statistics.Statistics[_] =
                 c.getStatistics
               if (st == null) poison(name)
-              else if (st.hasNonNullValue) {
+              else if (!st.hasNonNullValue) {
+                // No min/max in this chunk. That means all-null ONLY when
+                // the null count proves it covers every value; otherwise
+                // the writer simply omitted stats (INT96 timestamps — the
+                // parquet-mr deprecation truncates them — or a
+                // stats-disabled writer) and the column must stay
+                // unprunable. Treating "stats absent" as "all null" here
+                // wrongly pruned dirs full of live values (r10
+                // q_table_skip: INT96 o_orderdate read as 0 matching
+                // dirs of 7 with 1092 matching rows on disk).
+                if (st.isNumNullsSet && st.getNumNulls == c.getValueCount)
+                  allNull(name)
+                else poison(name)
+              } else {
                 val pt = c.getPrimitiveType
                 val ann = pt.getLogicalTypeAnnotation
                 def longKind: Char = ann match {
@@ -1388,8 +1412,7 @@ object VersionedTable {
                     else poison(name)
                   case _ => poison(name)
                 }
-              } else if (st.isNumNullsSet) allNull(name) // all-null chunk
-              else poison(name) // stats absent entirely
+              }
             }
           }
         }

@@ -980,6 +980,103 @@ class VersionedTableSpec extends SparkTestBase {
     assert(got.count() === 5)
   }
 
+  test("compactWhere: selector union bin-packs, clean dirs carry byte-identical, tombstones fold") {
+    val root = freshRoot("optimize")
+    // d1 big (will be tombstone-hit), d2/d3 small trickle, d4 big clean
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 5 === 0))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 5 === 1).limit(20))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 5 === 2).limit(20))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") % 5 === 3))
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 3 === 0)
+        .select("o_orderkey"))
+    val want = VersionedTable.readLatest(spark, root)
+    val wantN = want.count()
+    val preDirs = VersionedTable.dataDirsOf(spark, root, 5)
+    assert(preDirs.size === 4)
+    // snapshot the clean dir's physical files (d4 = third append)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileSnap(d: String): Seq[(String, Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$d")).toSeq
+        .filter(_.isFile).map(f =>
+          (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+    val cleanDir = preDirs(3)
+    val cleanBefore = fileSnap(cleanDir)
+    // where hits d1 (post-tombstone rows remain), maxRows takes d2/d3;
+    // big orders count at sf0.001 is ~300 per slice, so threshold 50
+    // separates the 20-row trickle dirs from the big ones
+    val m = VersionedTable.compactWhere(spark, root,
+      where = Some(col("o_orderkey") % 5 === 0), maxRows = Some(50L))
+    assert(m.version === 6 && m.op === "optimize")
+    val postDirs = VersionedTable.dataDirsOf(spark, root)
+    assert(postDirs.size === 2) // one packed + one carried
+    assert(postDirs.contains(cleanDir), "clean dir carried BY NAME")
+    assert(fileSnap(cleanDir) === cleanBefore, "clean dir byte-untouched")
+    // contents identical across the commit; tombstones are materialized
+    // (no deleteDirs carried for the rewritten dirs)
+    val got = VersionedTable.readLatest(spark, root)
+    assert(got.count() === wantN)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // nothing left to pack: metadata no-op, no commit
+    val noop = VersionedTable.compactWhere(spark, root, maxRows = Some(50L))
+    assert(noop.version === 6)
+    assert(VersionedTable.dataDirsOf(spark, root) === postDirs)
+  }
+
+  test("compactWhere: one qualifying dir WITH tombstones still rewrites (materialization)") {
+    val root = freshRoot("optimize_one")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") < 500))
+    // delete BEFORE the second append: the tombstone's scope is d1 only,
+    // so folding d1 retires it (a later append is live by sequence rule)
+    VersionedTable.deleteKeysMor(spark, root,
+      orders.filter(col("o_orderkey") < 500 && col("o_orderkey") % 2 === 0)
+        .select("o_orderkey"))
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") >= 500))
+    val want = VersionedTable.readLatest(spark, root).count()
+    // where selects ONLY the tombstoned first dir: < 2 qualifying dirs,
+    // but outstanding tombstones force the rewrite anyway
+    val m = VersionedTable.compactWhere(spark, root,
+      where = Some(col("o_orderkey") < 500))
+    assert(m.op === "optimize")
+    assert(m.deleteDirs.isEmpty, "folded tombstones are not carried")
+    assert(VersionedTable.readLatest(spark, root).count() === want)
+    // and with no selector match at all: pure no-op even under MOR-free state
+    val n2 = VersionedTable.compactWhere(spark, root,
+      where = Some(col("o_orderkey") < -1))
+    assert(n2.version === m.version)
+  }
+
+  test("compactWhere requires a selector") {
+    val root = freshRoot("optimize_nosel")
+    VersionedTable.create(spark, root, orders.limit(10))
+    intercept[IllegalArgumentException](VersionedTable.compactWhere(spark, root))
+  }
+
+  test("stats-absent columns (INT96 timestamps) are unprunable, never all-null-pruned") {
+    val root = freshRoot("skip_int96")
+    val dated = Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderdate")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      // legacy INT96 writer: parquet-mr refuses min/max stats for INT96,
+      // so the footer has values but NO statistics — the r10 scraper bug
+      // read that as "all null" and pruned dirs full of live rows
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      VersionedTable.create(spark, root, dated.limit(100))
+      VersionedTable.append(spark, root,
+        dated.filter(col("o_orderkey") % 2 === 0).limit(100))
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val lo = java.time.LocalDateTime.parse("1990-01-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("2030-12-31T23:59:59")
+    val (kept, all) = VersionedTable.pruneDirs(spark, root, "o_orderdate", lo, hi)
+    assert(all.size === 2 && kept === all, "no stats => conservative keep")
+    // and the full-range read sees every row (nothing wrongly pruned)
+    assert(VersionedTable.readWhereBetween(spark, root, "o_orderdate", lo, hi)
+      .count() === 200)
+  }
+
   test("MOR pruning commutes with tombstone subtraction") {
     val root = freshRoot("skip_mor")
     VersionedTable.create(spark, root, orders.filter(col("o_orderkey") < 2000))
