@@ -1691,6 +1691,30 @@ object SparkEntry {
         .orderBy("da", "db")
     }),
 
+    // Bounded-state twin: the SAME flag semantics with the pair-dedup
+    // state watermark-bounded (dropDuplicatesWithinWatermark on the
+    // doc's event time — the production shape when the pair space
+    // outgrows memory). Single-file replay = one micro-batch = every
+    // pair in-horizon, so the output equals the unbounded variant's
+    // while the PLAN carries the eviction contract; the late
+    // re-collision re-emit is pinned across real batches in
+    // StreamingSpec. Event time is id-derived (doc_id seconds from a
+    // fixed epoch), so the oracle is the same id arithmetic.
+    "q_stream_neardup_wm" -> ((s, dir) => {
+      val docs = synthDupDocs(s, dir)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      val index = graft.operators.Dedup.minHashIndex(
+        docs.filter(col("doc_id") < 250), "text", "doc_id")
+      runStream(s, "stream_neardup_wm",
+        Seq(("in",
+          docs.filter(col("doc_id") >= 250).select("doc_id", "text", "ts"),
+          "doc_id LONG, text STRING, ts TIMESTAMP")),
+        in => graft.streaming.Streams.nearDupFlagStreamWm(
+          in("in"), "text", "doc_id", "ts", "10 minutes",
+          index, "doc_id", 0.9).drop("ts"))
+        .orderBy("da", "db")
+    }),
+
     // Streaming tumbling-window aggregation with a WATERMARK, driver-
     // judged: the events fixture streams through Streams.tumblingAggStream
     // (1h windows, 30min watermark delay) in APPEND mode — a window emits
@@ -2919,6 +2943,17 @@ object SparkEntry {
     "q_growth" -> ((s, dir) =>
       graft.operators.Events
         .growthAccounting(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("day")),
+
+    // Full growth accounting with the explicit resurrected leg: active,
+    // not new, absent yesterday — computed as its OWN anti-join (never
+    // derived as active − new − retained), so the judged frame PROVES
+    // the identity n_active = n_new + n_retained + n_resurrected.
+    // Fully oracled.
+    "q_growth_full" -> ((s, dir) =>
+      graft.operators.Events
+        .growthAccounting(t(s, dir, "events"), "user_id", "ts",
+          withResurrected = true)
         .orderBy("day")),
 
     // Weekly seasonal indices by classical decomposition (centered
@@ -4448,6 +4483,44 @@ object SparkEntry {
         |LEFT JOIN ch ON ch.d = days.d
         |ORDER BY day""".stripMargin,
 
+    // same legs plus the independent resurrected anti-join (active, not
+    // first day, no activity at d-1) — the identity leg is recomputed,
+    // not derived by subtraction
+    "q_growth_full" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |                   CAST(date_trunc('day', ts) AS DATE) AS d
+        |            FROM events),
+        |fd AS (SELECT u, min(d) AS fd FROM ud GROUP BY u),
+        |act AS (SELECT d, count(*) AS n_active FROM ud GROUP BY d),
+        |nw AS (SELECT fd AS d, count(*) AS n_new FROM fd GROUP BY fd),
+        |ret AS (SELECT t.d AS d, count(*) AS n_retained
+        |        FROM ud t JOIN ud y ON t.u = y.u AND t.d = y.d + 1
+        |        GROUP BY t.d),
+        |ch AS (SELECT y.d + 1 AS d, count(*) AS n_churned FROM ud y
+        |       WHERE NOT EXISTS (SELECT 1 FROM ud t
+        |                         WHERE t.u = y.u AND t.d = y.d + 1)
+        |       GROUP BY y.d + 1),
+        |rz AS (SELECT t.d AS d, count(*) AS n_resurrected
+        |       FROM ud t JOIN fd f ON t.u = f.u
+        |       WHERE t.d <> f.fd
+        |         AND NOT EXISTS (SELECT 1 FROM ud y
+        |                         WHERE y.u = t.u AND y.d = t.d - 1)
+        |       GROUP BY t.d),
+        |days AS (SELECT d FROM act UNION SELECT d FROM nw
+        |         UNION SELECT d FROM ret UNION SELECT d FROM ch)
+        |SELECT days.d AS day,
+        |       CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+        |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |       CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned,
+        |       CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected
+        |FROM days LEFT JOIN act ON act.d = days.d
+        |LEFT JOIN nw ON nw.d = days.d
+        |LEFT JOIN ret ON ret.d = days.d
+        |LEFT JOIN ch ON ch.d = days.d
+        |LEFT JOIN rz ON rz.d = days.d
+        |ORDER BY day""".stripMargin,
+
     // identical integer path: daily BIGINT-cents sums, centered 7-row
     // window sum, exact 7·day − win_sum numerator, ONE division per
     // phase; phase from epoch-day arithmetic (no weekday-numbering
@@ -4922,6 +4995,14 @@ object SparkEntry {
     // agreeing 32/32 → est exactly 1.0 (CAST: DuckDB literals are
     // DECIMAL, the q_minhash_dup rule)
     "q_stream_neardup" ->
+      """SELECT doc_id AS da, doc_id % 250 AS db,
+        |       CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id >= 250
+        |ORDER BY da, db""".stripMargin,
+
+    // identical to q_stream_neardup: one micro-batch keeps every pair
+    // in-horizon, so bounded state changes retention, not results
+    "q_stream_neardup_wm" ->
       """SELECT doc_id AS da, doc_id % 250 AS db,
         |       CAST(1.0 AS DOUBLE) AS est_jaccard
         |FROM documents WHERE doc_id >= 250

@@ -395,6 +395,31 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("growthAccounting(withResurrected): explicit leg makes the identity exact") {
+    // same fixture as the base test: u1 resurrects on day 4
+    val ev = Seq((1L, 1L, "2026-03-01 10:00:00"), (2L, 1L, "2026-03-02 09:00:00"),
+      (3L, 1L, "2026-03-04 08:00:00"), (4L, 2L, "2026-03-02 23:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Events.growthAccounting(ev, "user_id", "ts", withResurrected = true)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("2026-03-01") === ((1L, 1L, 0L, 0L, 0L)))
+    assert(got("2026-03-04") === ((1L, 0L, 0L, 0L, 1L))) // the resurrection
+    assert(got("2026-03-03") === ((0L, 0L, 0L, 2L, 0L))) // churn-only day: res 0
+    // the identity holds EXACTLY (not >=) with the explicit leg
+    got.values.foreach { case (a, n, r, _, z) => assert(a === n + r + z) }
+    // and corpus-wide on harness events — the leg is computed
+    // independently, so equality is a real check, not an echo
+    val rows = Events.growthAccounting(graft.engine.Tables(spark, sfDir, "events"),
+        "user_id", "ts", withResurrected = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, n, r, z) => assert(a === n + r + z) }
+    graft.engine.Caches.releaseAll()
+  }
+
   test("seasonalIndices: recovers an injected weekly pattern; endpoints excluded; constant series is flat") {
     // 21 days from a Thursday (1970-01-01): value = 100 + boost on
     // phase 2; the additive decomposition must surface the boost spread

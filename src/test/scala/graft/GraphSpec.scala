@@ -195,6 +195,26 @@ class GraphSpec extends SparkTestBase {
     assert(lone === Map(42L -> 0L))
   }
 
+  test("shortestPaths weight typing: scale-0 decimals accepted, fractional rejected") {
+    val seeds = Seq(0L).toDF("seed")
+    // DECIMAL(10,0) weights are exact integers (aggregate-derived
+    // weights often arrive as decimals) — accepted, same distances
+    val dec = Seq((0L, 1L, "2"), (1L, 2L, "3")).toDF("src", "dst", "s")
+      .withColumn("w", org.apache.spark.sql.functions.col("s").cast("decimal(10,0)")).drop("s")
+    val d = Graph.shortestPaths(dec, "src", "dst", "w", seeds, "seed", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 0L, 1L -> 2L, 2L -> 5L))
+    // fractional carriers are rejected (silent truncation would return
+    // wrong distances), whatever the values
+    val dbl = Seq((0L, 1L, 2.0)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](
+      Graph.shortestPaths(dbl, "src", "dst", "w", seeds, "seed", 2))
+    val dec1 = Seq((0L, 1L, "2.5")).toDF("src", "dst", "s")
+      .withColumn("w", org.apache.spark.sql.functions.col("s").cast("decimal(10,1)")).drop("s")
+    intercept[IllegalArgumentException](
+      Graph.shortestPaths(dec1, "src", "dst", "w", seeds, "seed", 2))
+  }
+
   test("coreness: path 1, cycle 2, clique n-1; star collapses to 1") {
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
     assert(Graph.coreness(path, "src", "dst")
@@ -209,6 +229,24 @@ class GraphSpec extends SparkTestBase {
     val star = (1L to 6L).map(l => (0L, l)).toDF("src", "dst")
     val s = Graph.coreness(star, "src", "dst").as[(Long, Int)].collect().toMap
     assert(s.values.toSet === Set(1), s"center peels with its leaves: $s")
+  }
+
+  test("coreness: a capped run returns exact upper bounds, never an undercount") {
+    // a long path converges slowly (the 1-estimate propagates inward one
+    // hop per round), so a tight cap stops short: the capped estimates
+    // must still be elementwise >= the true coreness (H-index iteration
+    // is non-increasing from degree, lower-bounded by the fixpoint) and
+    // somewhere STRICTLY greater — proving the cap actually bit, which
+    // is what the stderr cap-exhaustion signal reports
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val capped = Graph.coreness(path, "src", "dst", maxRounds = 1)
+      .as[(Long, Int)].collect().toMap
+    val exact = Graph.coreness(path, "src", "dst")
+      .as[(Long, Int)].collect().toMap
+    assert(exact.values.toSet === Set(1))
+    assert(capped.keySet === exact.keySet)
+    capped.foreach { case (id, c) => assert(c >= exact(id), s"vertex $id") }
+    assert(capped.values.exists(_ > 1), "cap did not bite; deepen the chain")
   }
 
   test("coreness: a bridge and a tail do not inflate the cores they touch") {

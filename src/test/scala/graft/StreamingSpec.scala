@@ -289,6 +289,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupFlagStreamWm: per-pair-once within the horizon, late re-collision re-emits") {
+    // the bounded-state trade the q_stream_neardup_wm plan makes,
+    // exercised across real batches: the pair state is evicted once the
+    // watermark passes the flag's event time + delay, so the SAME pair
+    // re-colliding late emits again (the unbounded variant suppresses
+    // it forever — nearDupFlagStream covers that contract).
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minHashIndex(corpus, "text", "doc_id")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.nearDupFlagStreamWm(
+        in.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id",
+        "ts", "10 minutes", index, "doc_id", 0.9)
+      .writeStream.format("memory").queryName("t_neardup_wm")
+      .outputMode("append").start()
+    try {
+      val dup = "alpha beta gamma delta epsilon zeta eta theta"
+      // batch 1: the pair (10, 1) flags; an in-horizon repeat is dropped
+      in.addData((10L, dup, ts("2026-01-01 10:00:00")),
+        (10L, dup, ts("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      // batch 2: a disjoint doc advances the watermark past eviction
+      in.addData((11L, "red orange yellow green blue indigo violet pink",
+        ts("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 3: the same pair re-collides AFTER eviction -> re-emits
+      in.addData((10L, dup, ts("2026-01-01 12:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("t_neardup_wm")
+        .select("da", "db", "est_jaccard").as[(Long, Long, Double)]
+        .collect().toSeq
+      assert(got === Seq((10L, 1L, 1.0), (10L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("exactDedupStreamWm: in-horizon duplicates suppressed, evicted keys re-emit") {
     // the bounded-state trade q_stream_dedup_wm's plan makes, exercised
     // across real batches: a duplicate inside the watermark horizon is

@@ -414,6 +414,40 @@ class TextOpsSpec extends SparkTestBase {
     assert(none(2L) === Seq("b") && none(1L).forall(_.length == 1))
   }
 
+  test("bpeEncodeWord: rank-priority equals naive rank-order replay on learned tables (property)") {
+    import spark.implicits._
+    // the invariant under test: on a LEARNED table, a rank-r pair's
+    // sides are symbols built by strictly earlier merges, so merging
+    // can never create a new occurrence of a lower-rank pair — the
+    // lowest rank present is always the next merge the naive full-table
+    // replay would apply. Learned tables from seeded random corpora,
+    // checked on words the corpus never saw.
+    val rnd = new scala.util.Random(42)
+    def word(len: Int): String =
+      (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    for (_ <- 0 until 3) {
+      val corpus = (1L to 8L).map(i =>
+          (i, (0 until 4).map(_ => word(1 + rnd.nextInt(8))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val merges = TextOps.learnBpeMerges(corpus, "text", 6)
+        .orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val ranks = merges.zipWithIndex.toMap
+      def naive(w: String): Seq[String] = {
+        var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+        for ((l, r) <- merges) {
+          var prev: IndexedSeq[String] = null
+          while (prev != syms) { prev = syms; syms = TextOps.bpeApply(syms, l, r) }
+        }
+        syms
+      }
+      (0 until 40).map(_ => word(1 + rnd.nextInt(12))).foreach { w =>
+        assert(TextOps.bpeEncodeWord(w, ranks) === naive(w),
+          s"word=$w merges=$merges")
+      }
+    }
+  }
+
   test("keywords: global df scores a slice; rare terms outrank common; k cuts; ties on token") {
     import spark.implicits._
     val docs = Seq(
