@@ -1046,6 +1046,45 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Writable branches on the commit-log table (Iceberg branch / git
+    // refs/heads semantics — the WAP deployment shape at the format
+    // layer): fork a branch at main's head, commit two appends to it
+    // while main's head provably does not move (pre_main_v is captured
+    // AFTER the branch writes), audit the branch snapshot, then
+    // fast-forward — one metadata commit carrying the branch dirs by
+    // name. Every slice is a predicate over orders, so branch content,
+    // main isolation and the published snapshot are all recomputed by
+    // the oracle. Divergence reject, ref reset, vacuum retention of
+    // branch-reachable state and dropBranch orphan reclamation pinned
+    // in VersionedTableSpec.
+    "q_table_branch" -> ((s, dir) => {
+      val root = tmpPath("vtable_branch")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.createBranch(s, root, "wap")
+      VersionedTable.appendToBranch(s, root, "wap",
+        orders.filter(col("o_orderkey") % 3 === 1))
+      VersionedTable.appendToBranch(s, root, "wap",
+        orders.filter(col("o_orderkey") % 3 === 2 && col("o_orderkey") % 2 === 0))
+      val preMainV = VersionedTable.latestVersion(s, root) // must still be 1
+      val branchRead = VersionedTable.readBranch(s, root, "wap")
+      VersionedTable.fastForward(s, root, "wap")
+      val finalV = VersionedTable.latestVersion(s, root)
+      def row(scope: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit(scope).as("scope"), col("n"), col("key_sum"),
+            lit(preMainV).as("pre_main_v"), lit(finalV).as("final_v"))
+      Seq(
+        row("branch", branchRead),
+        row("main_after", VersionedTable.readVersion(s, root, finalV)),
+        row("main_before", VersionedTable.readVersion(s, root, 1)))
+        .reduce(_.unionByName(_)).orderBy("scope")
+    }),
+
     // Persistent CHECK constraints on the commit-log table (Delta
     // ADD CONSTRAINT semantics): adding a constraint the existing data
     // violates is REJECTED; once stored, every write of table rows is
@@ -2645,6 +2684,29 @@ object SparkEntry {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // Driver-judged twin for the BUCKETED path (the q_minhash_dup
+    // id-arithmetic pattern): vectors are axis-aligned by id group —
+    // group g = vec_id mod 32 points along axis g with an id-varying
+    // positive magnitude, so in-group cosine is EXACTLY 1 (parallel:
+    // identical SimHash sketches, same bucket, always candidates) and
+    // cross-group cosine EXACTLY 0 (orthogonal: rejected by the exact
+    // verify even when multi-probe buckets them together). No recall
+    // slack anywhere, so the greedy-by-id kept set is pure arithmetic:
+    // the 32 group minima — and a bucketing/verify/keep-policy
+    // regression hash-fails this row.
+    "q_sem_dedup_lsh" -> ((s, dir) => {
+      val dim = 32
+      val e = t(s, dir, "embeddings").select(col("vec_id"))
+        .withColumn("__g", (col("vec_id") % dim).cast("int"))
+        .withColumn("v", array((0 until dim).map(j =>
+          when(col("__g") === j,
+            lit(1.0) + col("vec_id").cast("double") / lit(320.0))
+            .otherwise(lit(0.0))): _*))
+        .select(col("vec_id"), col("v"))
+      graft.operators.Vectors.semanticDedupBucketed(e, "vec_id", "v", 0.9)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // Exact cosine top-5 for the first 10 vectors as queries: the §2b
     // similarity-search baseline (oracle: list_cosine_similarity).
     "q_vec_topk" -> ((s, dir) => {
@@ -4202,6 +4264,25 @@ object SparkEntry {
         |         AS dirs_read,
         |       CAST((SELECT count(*) FROM y) AS INT) AS dirs_total
         |FROM sel""".stripMargin,
+
+    // branch = fork ∪ the two branch appends; main_before = the fork
+    // slice; main_after = the published branch; isolation (pre_main_v=1)
+    // and the single-publish-commit (final_v=2) are part of the hash
+    "q_table_branch" ->
+      """WITH b AS (SELECT o_orderkey AS k FROM orders
+        |           WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+        |              OR (o_orderkey % 3 = 2 AND o_orderkey % 2 = 0)),
+        |m AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT 'branch' AS scope, CAST((SELECT count(*) FROM b) AS BIGINT) AS n,
+        |       CAST((SELECT sum(k) FROM b) AS BIGINT) AS key_sum,
+        |       1 AS pre_main_v, 2 AS final_v
+        |UNION ALL
+        |SELECT 'main_after', CAST((SELECT count(*) FROM b) AS BIGINT),
+        |       CAST((SELECT sum(k) FROM b) AS BIGINT), 1, 2
+        |UNION ALL
+        |SELECT 'main_before', CAST((SELECT count(*) FROM m) AS BIGINT),
+        |       CAST((SELECT sum(k) FROM m) AS BIGINT), 1, 2
+        |ORDER BY scope""".stripMargin,
 
     // the maintenance behavior is recomputed, not asserted: each dir is a
     // key-arithmetic slice of orders, so the oracle re-derives which dirs
@@ -5889,6 +5970,14 @@ object SparkEntry {
         |SELECT a.vec_id FROM e a
         |WHERE NOT EXISTS (SELECT 1 FROM e b WHERE b.vec_id < a.vec_id
         |  AND list_cosine_similarity(a.v, b.v) >= 0.4)
+        |ORDER BY vec_id""".stripMargin,
+
+    // parallel in-group (cosine exactly 1, same SimHash bucket) /
+    // orthogonal cross-group (cosine exactly 0): the bucketed kept set
+    // is exactly the 32 group minima — pure id arithmetic
+    "q_sem_dedup_lsh" ->
+      """SELECT min(vec_id) AS vec_id FROM embeddings
+        |GROUP BY vec_id % 32
         |ORDER BY vec_id""".stripMargin,
 
     "q_bucket_join" ->

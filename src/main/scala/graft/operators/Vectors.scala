@@ -576,7 +576,11 @@ object Vectors {
     * — linear in corpus size for clustered data) instead of the quadratic
     * all-pairs join. Drop decisions are exact cosine on candidates only;
     * a near-pair missed by bucketing keeps both rows (recall loss, never
-    * a false drop), so judged rows-only with the exact twin oracled. */
+    * a false drop), so judged rows-only on real embeddings
+    * (`q_sem_dedup_ann`) with the exact twin oracled — and the bucketed
+    * path itself is hash-judged on the axis-aligned arithmetic fixture
+    * (`q_sem_dedup_lsh`: in-group cosine exactly 1, cross-group exactly
+    * 0, kept set = the group minima). */
   def semanticDedupBucketed(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 8, hamming: Int = 2): DataFrame = {
     val drops = cosineNearDupBucketed(emb, idCol, vecCol, threshold,

@@ -144,10 +144,15 @@ object VersionedTable {
     * renamed into the log. A concurrent committer that won the race leaves
     * the destination present → this commit fails with the data dir swept,
     * the winner's log intact. */
-  private def commit(fs: FileSystem, root: Path, m: Manifest): Manifest = {
-    val log = new Path(root, LogDir)
+  private def commit(fs: FileSystem, root: Path, m: Manifest): Manifest =
+    publishManifest(fs, new Path(root, LogDir), manifestPath(root, m.version), m)
+
+  /** The atomic manifest publish commit() and branch commits share:
+    * write-to-dot-tmp, rename, re-read-and-compare (see commit's racing
+    * notes). `log` is the directory holding `dst` and the tmp. */
+  private def publishManifest(fs: FileSystem, log: Path, dst: Path,
+      m: Manifest): Manifest = {
     if (!fs.exists(log)) fs.mkdirs(log)
-    val dst = manifestPath(root, m.version)
     if (fs.exists(dst))
       throw new java.util.ConcurrentModificationException(
         s"version ${m.version} already committed at $dst")
@@ -1184,6 +1189,181 @@ object VersionedTable {
     fs.delete(new Path(refsDir(rootP), name), false)
   }
 
+  // ---- writable branches (refs/heads — the WAP deployment shape) -------
+
+  /** Branch head refs live under `_log/refs/heads/<name>` (content:
+    * `<forkMainVersion> <branchHead>`, branchHead 0 = no branch commits
+    * yet) and branch manifests under `_log/branches/<name>/%08d.json` —
+    * a numbering space SEPARATE from the main log, so branch commits
+    * never perturb mainline version arithmetic, snapshot isolation, or
+    * streamSince's linear-history contract. Data directories are shared
+    * (the claim allocator is global), which is what makes fast-forward
+    * a zero-IO metadata publish. */
+  private def headsDir(root: Path): Path = new Path(refsDir(root), "heads")
+  private def branchLog(root: Path, name: String): Path =
+    new Path(new Path(new Path(root, LogDir), "branches"), name)
+  private def branchManifestPath(root: Path, name: String, v: Int): Path =
+    new Path(branchLog(root, name), f"$v%08d.json")
+
+  private def readBranchRef(fs: FileSystem, root: Path,
+      name: String): Option[(Int, Int)] = {
+    val p = new Path(headsDir(root), name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        val parts = new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+        Some((parts(0).toInt, parts(1).toInt))
+      } finally in.close()
+    }
+  }
+
+  private def writeBranchRef(fs: FileSystem, root: Path, name: String,
+      fork: Int, head: Int): Unit = {
+    val d = headsDir(root)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val out = fs.create(new Path(d, name), true)
+    try out.write(s"$fork $head"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The manifest a branch's head currently denotes: the fork-point
+    * main manifest while the branch has no commits of its own, else the
+    * branch's own head manifest. */
+  private def branchHeadManifest(fs: FileSystem, root: Path, name: String,
+      fork: Int, head: Int): Manifest =
+    if (head == 0) readManifest(fs, root, fork)
+    else {
+      val p = branchManifestPath(root, name, head)
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        parseManifest(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  private def requireBranch(fs: FileSystem, root: Path,
+      name: String): (Int, Int) =
+    readBranchRef(fs, root, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $root"))
+
+  /** Fork a writable branch at a committed main version (latest when 0)
+    * — Iceberg branch / git-branch semantics, generalizing [[tagVersion]]
+    * from read-pins to WRITABLE refs: [[appendToBranch]] commits land on
+    * the branch only, `readBranch` audits them, and [[fastForward]]
+    * publishes the branch head back to main as one metadata commit —
+    * the write-audit-publish shape ([[graft.operators.Relational
+    * .publish]]) at the table-format layer, where the staged data is a
+    * real versioned table rather than a directory. [[vacuum]] retains
+    * branch-reachable state (the fork version and every branch-head-
+    * referenced directory) exactly as it pins tags. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      fromVersion: Int = 0): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"branch names must be [A-Za-z0-9_.-]+: $name")
+    val (fs, rootP) = fsOf(spark, root)
+    val fork = if (fromVersion > 0) fromVersion else requireExists(spark, root)
+    require(existingVersions(fs, rootP).contains(fork),
+      s"cannot branch at version $fork: not in the log at $root")
+    require(readBranchRef(fs, rootP, name).isEmpty,
+      s"branch '$name' already exists at $root")
+    writeBranchRef(fs, rootP, name, fork, 0)
+  }
+
+  /** Append-only commit to a branch: one new shared-space data
+    * directory, a branch-log manifest, and a head bump — main
+    * untouched. Inherits the branch snapshot's hive layout; CHECK
+    * constraints gate branch writes exactly like main writes (the
+    * audit in write-AUDIT-publish starts with the table's own
+    * invariants). */
+  def appendToBranch(spark: SparkSession, root: String, name: String,
+      df: DataFrame): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val (fork, head) = requireBranch(fs, rootP, name)
+    val base = branchHeadManifest(fs, rootP, name, fork, head)
+    val v = head + 1
+    // allocation start number: past both logs' plausible claims — the
+    // claim allocator resolves any collision by skipping forward
+    val dir = writeDataDir(df, rootP,
+      math.max(latestVersion(spark, root), fork) + v, base.partitionCols)
+    val m = publishManifest(fs, branchLog(rootP, name),
+      branchManifestPath(rootP, name, v),
+      Manifest(v, "append", if (head == 0) 0 else head,
+        base.dataDirs :+ dir, partitionCols = base.partitionCols,
+        deleteDirs = base.deleteDirs))
+    writeBranchRef(fs, rootP, name, fork, v)
+    m
+  }
+
+  /** Snapshot read at a branch head (tombstone-aware, like any
+    * snapshot read). */
+  def readBranch(spark: SparkSession, root: String, name: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val (fork, head) = requireBranch(fs, rootP, name)
+    resolvedRead(spark, fs, rootP,
+      branchHeadManifest(fs, rootP, name, fork, head), mergeSchema)
+  }
+
+  /** Publish a branch to main, git-fast-forward semantics: REQUIRES
+    * main's head to still be the branch's fork point (the branch is a
+    * strict descendant — diverged histories need rebase/merge, which
+    * this format deliberately does not provide: re-branch and re-apply).
+    * The publish is ONE metadata commit carrying the branch head's
+    * directories by name — zero data IO, the WAP promotion. The branch
+    * ref then moves to the published version with a reset head (it
+    * remains usable, now forked at the publish). A branch with no
+    * commits publishes nothing (returns the main head manifest). */
+  def fastForward(spark: SparkSession, root: String,
+      name: String): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val (fork, head) = requireBranch(fs, rootP, name)
+    val mainHead = requireExists(spark, root)
+    val baseM = readManifest(fs, rootP, mainHead)
+    if (head == 0) baseM
+    else {
+      require(mainHead == fork,
+        s"cannot fast-forward '$name': main moved $fork -> $mainHead " +
+          "since the fork; re-branch from the new head and re-apply")
+      val bm = branchHeadManifest(fs, rootP, name, fork, head)
+      val m = commit(fs, rootP, Manifest(mainHead + 1, "fast-forward",
+        mainHead, bm.dataDirs, partitionCols = bm.partitionCols,
+        deleteDirs = bm.deleteDirs))
+      writeBranchRef(fs, rootP, name, m.version, 0)
+      m
+    }
+  }
+
+  /** All branches as (branch, fork_version, n_commits) — n_commits is
+    * the branch-local head (0 = unwritten fork). */
+  def branches(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val d = headsDir(rootP)
+    import spark.implicits._
+    val rows =
+      if (!fs.exists(d)) Seq.empty[(String, Int, Int)]
+      else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq
+        .sorted.flatMap { n =>
+          readBranchRef(fs, rootP, n).map { case (f, h) => (n, f, h) }
+        }
+    rows.toDF("branch", "fork_version", "n_commits")
+  }
+
+  /** Drop a branch: ref and branch log removed; branch-only data
+    * directories become orphans for the next [[vacuum]]. Returns
+    * whether the branch existed. */
+  def dropBranch(spark: SparkSession, root: String, name: String): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    val existed = fs.delete(new Path(headsDir(rootP), name), false)
+    fs.delete(branchLog(rootP, name), true)
+    existed
+  }
+
   // ---- CHECK constraints (Delta table-invariant semantics) -------------
 
   /** Constraint store: one file per constraint under `_log/constraints/`
@@ -1612,12 +1792,28 @@ object VersionedTable {
     // Iceberg tag-retention rule): their manifests and directories
     // survive until the tag is dropped
     val tagged = tagVersions(fs, rootP).values.toSet
-    val referenced = ((keepFrom to latest) ++ tagged).distinct.filter(have)
+    // BRANCH-reachable state is pinned the same way: each branch's fork
+    // version (its time-travel base) and every directory its head
+    // manifest references — a branch must survive any mainline sweep
+    // until it is dropped or fast-forwarded
+    val branchRefs = {
+      val d = headsDir(rootP)
+      if (!fs.exists(d)) Seq.empty[(String, Int, Int)]
+      else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq
+        .flatMap(n => readBranchRef(fs, rootP, n).map { case (f, h) => (n, f, h) })
+    }
+    val pinned = tagged ++ branchRefs.map(_._2)
+    val branchDirs = branchRefs.flatMap { case (n, f, h) =>
+      val m = branchHeadManifest(fs, rootP, n, f, h)
+      m.dataDirs ++ m.deleteDirs
+    }.toSet
+    val referenced = branchDirs ++
+      ((keepFrom to latest) ++ pinned).distinct.filter(have)
       .flatMap { v =>
         val m = readManifest(fs, rootP, v)
         m.dataDirs ++ m.deleteDirs // tombstones are referenced dirs too
       }.toSet
-    (1 until keepFrom).filter(have).filterNot(tagged)
+    (1 until keepFrom).filter(have).filterNot(pinned)
       .foreach(v => fs.delete(manifestPath(rootP, v), false))
     val dead = fs.listStatus(rootP).map(_.getPath.getName)
       .filter(n => n.matches("d-\\d{8}") && !referenced.contains(n)).toSeq.sorted

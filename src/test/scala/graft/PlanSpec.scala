@@ -389,6 +389,32 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("scan-rank family plans WindowGroupLimit, never a full-sort window") {
+    // the hottest vector shape: rank<=k over a per-query window. Spark's
+    // WindowGroupLimit keeps a bounded top-k heap per partition ahead of
+    // the sort; without it every (query, corpus) pair sorts in full —
+    // the regression this pin guards against (prior-round carry-over)
+    import spark.implicits._
+    import graft.operators.Vectors
+    val corpus = (0L until 100L)
+      .map(i => (i, Array.fill(8)((i % 7).toDouble + 1))).toDF("id", "v")
+    val qs = (0L until 5L)
+      .map(i => (i + 1000L, Array.fill(8)((i % 7).toDouble + 1)))
+      .toDF("qid", "qv")
+    def wglCount(df: org.apache.spark.sql.DataFrame): Int =
+      "WindowGroupLimit".r.findAllIn(executedPlan(df)).length
+    assert(wglCount(
+      Vectors.bruteForceTopK(corpus, "id", "v", qs, "qid", "qv", 3)) >= 1)
+    assert(wglCount(Vectors.knnPredict(
+      corpus.withColumn("label", col("id") % 3),
+      "id", "v", "label", qs, "qid", "qv", 3)) >= 1)
+    // the shortlist-then-exact quantized paths rank TWICE — both stages
+    // must stay bounded
+    assert(wglCount(Vectors.sq8TopK(corpus, "id", "v", qs, "qid", "qv", 3)) >= 2)
+    assert(wglCount(Vectors.bqTopK(corpus, "id", "v", qs, "qid", "qv", 3)) >= 2)
+    spark.catalog.clearCache()
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall

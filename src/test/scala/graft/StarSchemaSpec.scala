@@ -155,8 +155,12 @@ class StarSchemaSpec extends SparkTestBase {
   }
 
   test("schemaDrift: clean on the harness fixture, NAMES a re-typed column") {
-    // the current fixture is by definition a known era — zero drift
-    assert(graft.engine.Tables.schemaDrift(spark, sfDir) === Seq.empty)
+    // the current fixture is by definition a known era: no drift beyond
+    // informational NTZ-absorption lines (r10's q_table_skip lesson —
+    // the NTZ↔LTZ flip is named out loud even though Tables.apply
+    // absorbs it, because the absorption is load-bearing)
+    val base = graft.engine.Tables.schemaDrift(spark, sfDir)
+    assert(base.forall(_.contains("absorbed by Tables.apply")), base.toString)
 
     // doctored events fixture: ts re-typed to STRING, props dropped,
     // a column added — the probe must name each, per table.column,

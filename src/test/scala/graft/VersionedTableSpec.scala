@@ -1077,6 +1077,79 @@ class VersionedTableSpec extends SparkTestBase {
       .count() === 200)
   }
 
+  test("branches: WAP lifecycle — isolated writes, audit read, fast-forward publish") {
+    val root = freshRoot("branch")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    VersionedTable.createBranch(spark, root, "wap")
+    VersionedTable.appendToBranch(spark, root, "wap",
+      orders.filter(col("o_orderkey") % 3 === 1))
+    // main is untouched by branch commits: head, content, history
+    assert(VersionedTable.latestVersion(spark, root) === 1)
+    assert(VersionedTable.readLatest(spark, root).count() ===
+      orders.filter(col("o_orderkey") % 3 === 0).count())
+    // audit read sees fork + branch commits
+    val want = orders.filter(col("o_orderkey") % 3 < 2).count()
+    assert(VersionedTable.readBranch(spark, root, "wap").count() === want)
+    // publish: one metadata commit, dirs carried by name
+    val preDirs = VersionedTable.dataDirsOf(spark, root, 1)
+    val m = VersionedTable.fastForward(spark, root, "wap")
+    assert(m.version === 2 && m.op === "fast-forward")
+    assert(VersionedTable.readLatest(spark, root).count() === want)
+    assert(preDirs.forall(VersionedTable.dataDirsOf(spark, root).contains),
+      "fork dirs carried by name through the publish")
+    // ref reset: branch remains usable, now forked at the publish
+    val b = VersionedTable.branches(spark, root)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(b === Array(("wap", 2, 0)))
+    // a no-commit branch fast-forwards as a no-op
+    assert(VersionedTable.fastForward(spark, root, "wap").version === 2)
+  }
+
+  test("branches: diverged main rejects fast-forward; duplicate/unknown names reject") {
+    val root = freshRoot("branch_diverge")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    VersionedTable.createBranch(spark, root, "b")
+    VersionedTable.appendToBranch(spark, root, "b",
+      orders.filter(col("o_orderkey") % 3 === 1))
+    // main moves past the fork: the branch is no longer a fast-forward
+    VersionedTable.append(spark, root, orders.filter(col("o_orderkey") % 3 === 2))
+    intercept[IllegalArgumentException](
+      VersionedTable.fastForward(spark, root, "b"))
+    intercept[IllegalArgumentException](
+      VersionedTable.createBranch(spark, root, "b"))
+    intercept[IllegalArgumentException](
+      VersionedTable.readBranch(spark, root, "nope"))
+    // main's content never absorbed the branch write
+    assert(VersionedTable.readLatest(spark, root).count() ===
+      orders.filter(col("o_orderkey") % 3 =!= 1).count())
+  }
+
+  test("branches: vacuum retains branch-reachable state; dropBranch releases it") {
+    val root = freshRoot("branch_vacuum")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 4 === 0))
+    VersionedTable.createBranch(spark, root, "old") // forked at v1
+    VersionedTable.appendToBranch(spark, root, "old",
+      orders.filter(col("o_orderkey") % 4 === 1))
+    // main advances 3 versions; keep-1 vacuum would normally retire v1
+    (2 to 3).foreach(i => VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") % 4 === i)))
+    VersionedTable.compact(spark, root)
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    // the branch still reads: fork manifest AND branch dirs survived
+    val want = orders.filter(col("o_orderkey") % 4 < 2).count()
+    assert(VersionedTable.readBranch(spark, root, "old").count() === want)
+    // dropping the branch releases its pins; the next sweep reclaims
+    assert(VersionedTable.dropBranch(spark, root, "old"))
+    assert(!VersionedTable.dropBranch(spark, root, "old"))
+    val dead = VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(dead.nonEmpty, "branch-only dirs become reclaimable orphans")
+    intercept[IllegalArgumentException](
+      VersionedTable.readBranch(spark, root, "old"))
+    // main unaffected throughout (the %4=1 slice lived on the branch only)
+    assert(VersionedTable.readLatest(spark, root).count() ===
+      orders.filter(col("o_orderkey") % 4 =!= 1).count())
+  }
+
   test("MOR pruning commutes with tombstone subtraction") {
     val root = freshRoot("skip_mor")
     VersionedTable.create(spark, root, orders.filter(col("o_orderkey") < 2000))
