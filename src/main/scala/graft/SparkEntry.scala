@@ -1163,6 +1163,49 @@ object SparkEntry {
     // the IVM invariant equals the direct aggregate over the final
     // predicate — fully ORACLED; invariant and group-lifecycle edges
     // pinned in MaterializedViewSpec.
+    // Incremental JOIN-view maintenance (delta-join / counting, the
+    // Blakeley 1986 / DBToaster algorithm): a stored multiset join view
+    // over TWO versioned tables absorbs CDF deltas from both sides —
+    // ΔA⋈B_old + A_new⋈ΔB with signs multiplying (the cross term counts
+    // once) — instead of recomputing the join per commit. The judged
+    // frame is the maintained view itself, built strictly from view0 +
+    // the two deltas; the oracle recomputes the final join from
+    // predicates, so any sign/cross-term/multiplicity error hash-fails.
+    // Sign algebra and the recompute invariant pinned in
+    // MaterializedViewSpec.
+    "q_view_join" -> ((s, dir) => {
+      val rootA = tmpPath("vtable_viewj_a")
+      val rootB = tmpPath("vtable_viewj_b")
+      Seq(rootA, rootB).foreach { r =>
+        val hp = new org.apache.hadoop.fs.Path(r)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      import graft.tables.{MaterializedView, VersionedTable}
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment"))
+      VersionedTable.create(s, rootA,
+        orders.filter(col("o_orderkey") % 2 === 0).drop("o_orderkey"))
+      VersionedTable.create(s, rootB, cust.filter(col("o_custkey") % 3 =!= 1))
+      val view0 = MaterializedView.buildJoin(
+        VersionedTable.readVersion(s, rootA, 1),
+        VersionedTable.readVersion(s, rootB, 1), Seq("o_custkey"))
+      VersionedTable.append(s, rootA,
+        orders.filter(col("o_orderkey") % 2 === 1).drop("o_orderkey"))
+      VersionedTable.deleteWhere(s, rootA, col("o_custkey") % 5 === 0)
+      VersionedTable.append(s, rootB, cust.filter(col("o_custkey") % 3 === 1))
+      VersionedTable.deleteWhere(s, rootB, col("segment") === "BUILDING")
+      val (dA, _) = VersionedTable.changesSince(s, rootA, 1)
+      val (dB, _) = VersionedTable.changesSince(s, rootB, 1)
+      MaterializedView.applyJoinDelta(view0, dA,
+          VersionedTable.readLatest(s, rootA), dB,
+          VersionedTable.readVersion(s, rootB, 1), Seq("o_custkey"))
+        .withColumnRenamed("__mult", "n")
+        .orderBy("o_custkey", "o_orderstatus", "segment")
+    }),
+
     "q_view_refresh" -> ((s, dir) => {
       val root = tmpPath("vtable_view")
       val hp = new org.apache.hadoop.fs.Path(root)
@@ -3766,6 +3809,44 @@ object SparkEntry {
     // sketch — exact only below sparse-mode promotion (~2^(lgk−3) keys);
     // in dense mode promotion order shifts estimates a few ppt
     // (measured; both regimes pinned in SketchesSpec).
+    // Theta-sketch set algebra (the set-OPERATION sketch member): HLL
+    // unions; only theta intersects/differences with mergeable state —
+    // audience overlap, train∖eval coverage deltas. Two id-arithmetic
+    // user sets (click ∧ id%3≠2, error ∧ id%2=0) → per-partition
+    // sketch shards → driver-side union/intersect/aNotB; the judged
+    // frame carries the EXACT five cardinalities (oracle recomputes
+    // them) plus an accuracy-band verdict per measure — sub-2^lgK the
+    // sketches are exact, so the band is tight at every judged SF.
+    // Exact/estimate regimes, disjoint/subset edges and resharding
+    // invariance pinned in SketchesSpec.
+    "q_theta_ops" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click" &&
+        col("user_id") % 3 =!= 2)
+      val b = ev.filter(col("event_type") === "error" &&
+        col("user_id") % 2 === 0)
+      val est = Sketches.thetaSetEstimates(
+        Sketches.thetaSketchShards(a, "user_id"),
+        Sketches.thetaSketchShards(b, "user_id"))
+      val ua = a.select("user_id").distinct()
+      val ub = b.select("user_id").distinct()
+      val na = ua.count()
+      val nb = ub.count()
+      val ni = ua.join(ub, "user_id").count()
+      import s.implicits._
+      val exDf = Seq(("a", na), ("a_not_b", na - ni), ("b", nb),
+        ("intersect", ni), ("union", na + nb - ni)).toDF("measure", "n_exact")
+      // one band on the union scale: theta set-op error is relative to
+      // the UNION's theta, not each measure's own cardinality
+      val band = math.max(math.ceil(0.08 * (na + nb - ni)).toLong, 2L)
+      est.join(exDf, "measure")
+        .select(col("measure"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <= lit(band.toDouble))
+            .as("within_bound"))
+        .orderBy("measure")
+    }),
+
     "q_hll_merge" -> ((s, dir) => {
       import graft.operators.Sketches
       val ev = t(s, dir, "events")
@@ -4376,6 +4457,20 @@ object SparkEntry {
         |       CAST(sum(o_custkey) AS BIGINT) AS o_custkey_sum
         |FROM orders WHERE o_custkey % 5 <> 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the maintained join view must equal the join of the FINAL
+    // snapshots (A: orders multiset minus custkey%5=0; B: all customers
+    // minus BUILDING), multiplicity and all
+    "q_view_join" ->
+      """WITH a AS (SELECT o_custkey, o_orderstatus FROM orders
+        |           WHERE o_custkey % 5 <> 0),
+        |b AS (SELECT c_custkey AS o_custkey, c_mktsegment AS segment
+        |      FROM customer WHERE c_mktsegment <> 'BUILDING')
+        |SELECT a.o_custkey AS o_custkey, o_orderstatus, segment,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM a JOIN b ON a.o_custkey = b.o_custkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // merged-schema read: the pre-evolution slice reads flag as NULL,
     // the evolved slice carries o_custkey % 10
@@ -6541,6 +6636,27 @@ object SparkEntry {
     "q_hll_merge" ->
       """SELECT event_type, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the five exact set cardinalities are pure predicates over events;
+    // the sketch side must land inside the band for every measure
+    "q_theta_ops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click' AND user_id % 3 <> 2),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'error' AND user_id % 2 = 0),
+        |i AS (SELECT user_id FROM a WHERE user_id IN (SELECT user_id FROM b))
+        |SELECT 'a' AS measure, CAST((SELECT count(*) FROM a) AS BIGINT)
+        |         AS n_exact, TRUE AS within_bound
+        |UNION ALL SELECT 'a_not_b',
+        |  CAST((SELECT count(*) FROM a) - (SELECT count(*) FROM i) AS BIGINT),
+        |  TRUE
+        |UNION ALL SELECT 'b', CAST((SELECT count(*) FROM b) AS BIGINT), TRUE
+        |UNION ALL SELECT 'intersect',
+        |  CAST((SELECT count(*) FROM i) AS BIGINT), TRUE
+        |UNION ALL SELECT 'union',
+        |  CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+        |       - (SELECT count(*) FROM i) AS BIGINT), TRUE
+        |ORDER BY measure""".stripMargin,
 
     // the 2ε rank-error window is the judged contract; ranks as DOUBLE
     // (DuckDB literals are DECIMAL)

@@ -410,4 +410,73 @@ object Sketches {
       .filter(col("n") * denom >= total)
       .orderBy(desc("n"), col(valueCol))
   }
+
+  /** Mergeable THETA sketch shards (Apache DataSketches theta, on
+    * Spark's own classpath) — the set-OPERATION member of the sketch
+    * family: [[distinctSketches]] (HLL) answers per-set distinct counts
+    * and unions, but only theta sketches answer INTERSECTION and
+    * DIFFERENCE cardinalities with mergeable state — "distinct users in
+    * BOTH sources" (audience overlap), "distinct keys in train but not
+    * eval" (coverage/contamination deltas) — questions whose exact form
+    * is a distinct-shuffle of BOTH corpora. One compact sketch per input
+    * partition via `mapPartitions` (the KLL shard economics: in-place
+    * per-row updates, only finished ~KB sketches cross the wire); keys
+    * hash from their string form, so the key domain crosses frames and
+    * types consistently. Null keys are skipped (COUNT DISTINCT
+    * semantics); empty partitions emit nothing. */
+  def thetaSketchShards(df: DataFrame, keyCol: String,
+      lgK: Int = 12): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(keyCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val sk = org.apache.datasketches.theta.UpdateSketch.builder()
+          .setLogNominalEntries(lgK).build()
+        it.foreach(k => if (k != null) sk.update(k))
+        if (sk.getRetainedEntries(true) == 0) Iterator.empty
+        else Iterator(sk.compact().toByteArray)
+      }.toDF("sketch")
+  }
+
+  /** Set algebra over two [[thetaSketchShards]] collections: distinct
+    * estimates with 2-standard-deviation bounds for A, B, A∪B, A∩B and
+    * A∖B — five (measure, n_approx, lb, ub) rows. Shards are collected
+    * (bounded config state: numPartitions × ~KB) and merged driver-side;
+    * theta set operations are order-independent (the retained set is a
+    * pure function of the hash multiset under the fixed default seed),
+    * so resharding never moves an estimate. Below ~2^lgK distinct keys
+    * the sketches are exact and every estimate equals the true count —
+    * the regime `q_theta_ops` judges via bands, both regimes pinned in
+    * SketchesSpec. */
+  def thetaSetEstimates(a: DataFrame, b: DataFrame,
+      lgK: Int = 12): DataFrame = {
+    import org.apache.datasketches.theta.{SetOperation, Sketch, CompactSketch}
+    import org.apache.datasketches.memory.Memory
+    val spark = a.sparkSession
+    def merge(df: DataFrame): CompactSketch = {
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      df.collect().foreach { r =>
+        u.union(Sketch.wrap(Memory.wrap(r.getAs[Array[Byte]](0))))
+      }
+      u.getResult
+    }
+    val sa = merge(a)
+    val sb = merge(b)
+    val un = {
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      u.union(sa); u.union(sb); u.getResult
+    }
+    val in = {
+      val i = SetOperation.builder().buildIntersection()
+      i.intersect(sa); i.intersect(sb); i.getResult
+    }
+    val anb = SetOperation.builder().buildANotB().aNotB(sa, sb)
+    import spark.implicits._
+    Seq(
+      ("a", sa.getEstimate, sa.getLowerBound(2), sa.getUpperBound(2)),
+      ("a_not_b", anb.getEstimate, anb.getLowerBound(2), anb.getUpperBound(2)),
+      ("b", sb.getEstimate, sb.getLowerBound(2), sb.getUpperBound(2)),
+      ("intersect", in.getEstimate, in.getLowerBound(2), in.getUpperBound(2)),
+      ("union", un.getEstimate, un.getLowerBound(2), un.getUpperBound(2)))
+      .toDF("measure", "n_approx", "lb", "ub")
+  }
 }

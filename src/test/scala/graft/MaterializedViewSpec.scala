@@ -64,4 +64,81 @@ class MaterializedViewSpec extends SparkTestBase {
     assert(viewRows(MaterializedView.applyDelta(
       view, empty, Seq("o_orderstatus"), Seq("o_custkey"))) === viewRows(view))
   }
+
+  test("join view: applyJoinDelta(buildJoin(v1), deltas) == buildJoin(final, final)") {
+    val rootA = freshRoot("join_a")
+    val rootB = freshRoot("join_b")
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+    VersionedTable.create(spark, rootA,
+      orders.filter(col("o_orderkey") % 2 === 0).drop("o_orderkey"))
+    VersionedTable.create(spark, rootB, cust.filter(col("o_custkey") % 3 =!= 1))
+    val v0 = MaterializedView.buildJoin(
+      VersionedTable.readVersion(spark, rootA, 1),
+      VersionedTable.readVersion(spark, rootB, 1), Seq("o_custkey"))
+    VersionedTable.append(spark, rootA,
+      orders.filter(col("o_orderkey") % 2 === 1).drop("o_orderkey"))
+    VersionedTable.deleteWhere(spark, rootA, col("o_custkey") % 5 === 0)
+    VersionedTable.append(spark, rootB, cust.filter(col("o_custkey") % 3 === 1))
+    VersionedTable.deleteWhere(spark, rootB, col("segment") === "BUILDING")
+    val (dA, _) = VersionedTable.changesSince(spark, rootA, 1)
+    val (dB, _) = VersionedTable.changesSince(spark, rootB, 1)
+    val got = MaterializedView.applyJoinDelta(v0, dA,
+      VersionedTable.readLatest(spark, rootA), dB,
+      VersionedTable.readVersion(spark, rootB, 1), Seq("o_custkey"))
+    val direct = MaterializedView.buildJoin(
+      VersionedTable.readLatest(spark, rootA),
+      VersionedTable.readLatest(spark, rootB), Seq("o_custkey"))
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("join view sign algebra: cross terms count once, multiplicity decrements, zero drops") {
+    import spark.implicits._
+    def view(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("k", "pa", "pb", "__mult")
+    def delta(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", "pa", "_change") // A-side: (k, pa)
+    def deltaB(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", "pb", "_change")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    // inserted-a x deleted-b nets to ZERO (the pair never coexists)
+    val got1 = MaterializedView.applyJoinDelta(
+      view(Seq((1L, "x", "u", 1L))),
+      delta(Seq((1L, "x", "insert"))),                      // dA
+      Seq((1L, "x"), (1L, "x")).toDF("k", "pa"),            // A_new
+      deltaB(Seq((1L, "u", "delete"))),                     // dB
+      Seq((1L, "u")).toDF("k", "pb"),                       // B_old
+      Seq("k"))
+    assert(rowsOf(got1) === Set.empty)
+    // doubly-deleted pair nets to -1: the view row vanishes
+    val got2 = MaterializedView.applyJoinDelta(
+      view(Seq((1L, "x", "u", 1L))),
+      delta(Seq((1L, "x", "delete"))),
+      Seq.empty[(Long, String)].toDF("k", "pa"),
+      deltaB(Seq((1L, "u", "delete"))),
+      Seq((1L, "u")).toDF("k", "pb"),
+      Seq("k"))
+    assert(rowsOf(got2) === Set.empty)
+    // deleting ONE of two derivations decrements, never drops
+    val got3 = MaterializedView.applyJoinDelta(
+      view(Seq((1L, "x", "u", 2L))),
+      delta(Seq((1L, "x", "delete"))),
+      Seq((1L, "x")).toDF("k", "pa"),
+      deltaB(Seq.empty[(Long, String, String)]),
+      Seq((1L, "u")).toDF("k", "pb"),
+      Seq("k"))
+    assert(rowsOf(got3) === Set((1L, "x", "u", 1L)))
+    // empty deltas: no-op
+    val got4 = MaterializedView.applyJoinDelta(
+      view(Seq((1L, "x", "u", 2L))),
+      delta(Seq.empty[(Long, String, String)]),
+      Seq((1L, "x")).toDF("k", "pa"),
+      deltaB(Seq.empty[(Long, String, String)]),
+      Seq((1L, "u")).toDF("k", "pb"),
+      Seq("k"))
+    assert(rowsOf(got4) === Set((1L, "x", "u", 2L)))
+  }
 }

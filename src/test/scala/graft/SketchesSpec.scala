@@ -253,4 +253,54 @@ class SketchesSpec extends SparkTestBase {
       yield (s"g$g", s"g${g}_k$k")).toSet)
     assert(ghh.values.forall(_ === 50L), s"grouped counts not exact: $ghh")
   }
+
+  test("theta set ops: exact regime equality, disjoint/subset edges, resharding invariance") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    def est(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      Sketches.thetaSetEstimates(
+          Sketches.thetaSketchShards(a, "k"),
+          Sketches.thetaSketchShards(b, "k"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // overlapping: A = 0..599, B = 400..999 -> intersect 200, union 1000
+    val a = (0L until 600L).toDF("k")
+    val b = (400L until 1000L).toDF("k")
+    val e = est(a, b)
+    assert(e("a") === 600.0 && e("b") === 600.0)
+    assert(e("intersect") === 200.0 && e("union") === 1000.0)
+    assert(e("a_not_b") === 400.0)
+    // resharding never moves an estimate (order-independent set algebra)
+    assert(est(a.repartition(7), b.repartition(3)) === e)
+    // disjoint: intersect 0; subset: a_not_b 0
+    val d = est((0L until 100L).toDF("k"), (100L until 200L).toDF("k"))
+    assert(d("intersect") === 0.0 && d("union") === 200.0)
+    val s2 = est((0L until 100L).toDF("k"), (0L until 30L).toDF("k"))
+    assert(s2("a_not_b") === 70.0 && s2("intersect") === 30.0)
+    // nulls skipped, duplicates collapse (COUNT DISTINCT semantics)
+    val withNulls = Seq(Some(1L), Some(1L), None, Some(2L)).toDF("k")
+    assert(est(withNulls, (2L until 3L).toDF("k"))("a") === 2.0)
+  }
+
+  test("theta set ops: past-capacity estimates stay within 2-sigma bounds of exact") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // lgK 6 = 64 nominal entries against 5000 keys: deep estimation
+    // regime; every measure's [lb, ub] must bracket the true value and
+    // the point estimate must sit inside its own bounds
+    val a = (0L until 4000L).toDF("k")
+    val b = (2000L until 5000L).toDF("k")
+    val rows = Sketches.thetaSetEstimates(
+        Sketches.thetaSketchShards(a, "k", lgK = 6),
+        Sketches.thetaSketchShards(b, "k", lgK = 6), lgK = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = Map("a" -> 4000.0, "b" -> 3000.0, "intersect" -> 2000.0,
+      "union" -> 5000.0, "a_not_b" -> 2000.0)
+    rows.foreach { case (m, (p, lb, ub)) =>
+      assert(lb <= p && p <= ub, s"$m: point outside own bounds")
+      assert(lb <= exact(m) && exact(m) <= ub,
+        s"$m: exact ${exact(m)} outside [$lb, $ub]")
+    }
+  }
 }
