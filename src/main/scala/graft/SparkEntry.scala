@@ -3264,6 +3264,24 @@ object SparkEntry {
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
 
+    // CUSUM changepoint scan: scaled integer cumulative deviations over
+    // the densified daily series, peak day flagged — exact BIGINT end
+    // to end (mean multiplied through, never divided). Fully oracled.
+    "q_cusum" -> ((s, dir) =>
+      graft.operators.Events
+        .cusumDaily(t(s, dir, "events"), "ts", "value")
+        .orderBy("day")),
+
+    // Event-transition mining: the Markov matrix over consecutive
+    // same-user events — counts + milli-scaled probabilities (integer
+    // div, exact cross-engine). One per-user window + a config-scale
+    // pair aggregate. Fully oracled.
+    "q_transitions" -> ((s, dir) =>
+      graft.operators.Events
+        .transitions(t(s, dir, "events"), "user_id", "ts", "event_type",
+          "event_id")
+        .orderBy("prev_type", "next_type")),
+
     // JSON property extraction from the props string column (from_json
     // with explicit schema — no inference in judged paths).
     "q_json_props" -> ((s, dir) =>
@@ -4811,6 +4829,51 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_idx""".stripMargin,
+
+    // densified epoch-day axis (the q_seasonal pattern), prefix sums
+    // and corpus totals as windows over the daily relation; everything
+    // BIGINT until the final comparison
+    "q_cusum" ->
+      """WITH daily0 AS (
+        |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+        |              - DATE '1970-01-01' AS BIGINT) AS ed,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_cents
+        |  FROM events GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series((SELECT min(ed) FROM daily0),
+        |                                (SELECT max(ed) FROM daily0))) AS ed),
+        |daily AS (
+        |  SELECT cal.ed, coalesce(day_cents, 0) AS day_cents
+        |  FROM cal LEFT JOIN daily0 ON daily0.ed = cal.ed),
+        |t AS (
+        |  SELECT ed, day_cents,
+        |         CAST(sum(day_cents) OVER (ORDER BY ed) AS BIGINT) AS prefix,
+        |         CAST(row_number() OVER (ORDER BY ed) AS BIGINT) AS idx,
+        |         CAST(count(*) OVER () AS BIGINT) AS n,
+        |         CAST(sum(day_cents) OVER () AS BIGINT) AS total
+        |  FROM daily),
+        |s AS (SELECT ed, day_cents,
+        |             n * prefix - idx * total AS s_scaled FROM t)
+        |SELECT DATE '1970-01-01' + CAST(ed AS INT) AS day,
+        |       CAST(day_cents AS BIGINT) AS day_cents,
+        |       CAST(s_scaled AS BIGINT) AS s_scaled,
+        |       abs(s_scaled) = (SELECT max(abs(s_scaled)) FROM s) AS is_peak
+        |FROM s ORDER BY day""".stripMargin,
+
+    // same window, same integer-division probability; the per-prev
+    // total via a window over the tiny pair relation
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS prev_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n * 1000 // sum(n) OVER (PARTITION BY prev_type)
+        |            AS BIGINT) AS prob_milli
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,

@@ -737,4 +737,86 @@ object Events {
         (col("num_sum").cast("double") /
           (col("n") * period * 100L).cast("double")).as("seasonal"))
   }
+
+  /** CUSUM changepoint scan over the daily value series (Page 1954 —
+    * the classic drift detector; the argmax-|S| form is the first step
+    * of binary segmentation, Scott & Knott 1974): per calendar day d,
+    * the SCALED cumulative deviation from the corpus mean
+    * `S_d = N·prefix_d − d·T` (N days, T total cents, prefix_d the
+    * running cents sum) — algebraically `N·Σ_{i≤d}(c_i − T/N)`, kept
+    * in exact BIGINT by multiplying the mean through instead of
+    * dividing (the seasonalIndices discipline: the only way a
+    * cumulative statistic survives a cross-engine hash compare). The
+    * day where |S| peaks is the single best changepoint under squared
+    * error — "did the level shift, and when" for ingest-volume and
+    * metric-drift monitoring, next to [[seasonalIndices]]'s "is it
+    * just the weekly pattern".
+    *
+    * Scale: the day axis densifies exactly like [[seasonalIndices]]
+    * (a no-events day is a real day at 0) and the windows run over the
+    * config-scale daily relation (one row per calendar day — the
+    * partial-agg-first stance), never the events. Judged `q_cusum`,
+    * fully ORACLED; injected level-shift recovery, flat-series nulls
+    * and gap handling pinned in EventsSpec. */
+  def cusumDaily(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val sparse = events
+      .select(to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("day_cents"))
+    val daily = sparse
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("day_cents"), lit(0L)).as("day_cents"))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("__prefix", sum(col("day_cents")).over(wRun))
+      .withColumn("__idx", row_number().over(Window.orderBy("day")))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col("day_cents")).over(wAll))
+      .withColumn("s_scaled",
+        col("__n") * col("__prefix") - col("__idx") * col("__t"))
+      .withColumn("is_peak",
+        abs(col("s_scaled")) === max(abs(col("s_scaled"))).over(wAll))
+      .select(col("day"), col("day_cents"), col("s_scaled"), col("is_peak"))
+  }
+
+  /** Event-transition mining — the Markov step [[funnel]] presumes and
+    * [[sessionize]] bounds: per ordered (prev_type → next_type) pair of
+    * CONSECUTIVE events of the same key, the transition count and its
+    * milli-scaled probability among all transitions leaving prev_type
+    * (`n · 1000 div from_total` — integer division, exact on any
+    * engine: the judged-arithmetic discipline). The user-journey
+    * primitive: dominant next-steps, dead-end detection, input for
+    * journey simulation; a funnel is one PATH through this matrix.
+    *
+    * Scale: one per-key window (lead over (ts, tiebreak) — the
+    * sessionize exchange and skew posture exactly), then the pair
+    * count partial-aggregates to ≤ |types|² rows; the from-total
+    * window runs over that config-scale relation, never the events.
+    * Single-event keys contribute no transitions; the LAST event of a
+    * key has no successor (transitions never bridge keys). Judged
+    * `q_transitions`, fully ORACLED; hand-fixture matrix, key
+    * isolation and tiebreak determinism pinned in EventsSpec. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, orderTiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderTiebreak))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(orderTiebreak),
+        col(typeCol).as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("prev_type"))
+    counts
+      .withColumn("__ft", sum(col("n")).over(wp))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000 div __ft").as("prob_milli"))
+  }
 }

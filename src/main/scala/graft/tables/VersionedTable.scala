@@ -1339,6 +1339,32 @@ object VersionedTable {
     }
   }
 
+  /** Restore an earlier branch state as a NEW branch commit (mainline
+    * [[rollback]] semantics on the branch log): the audit-FIX step of
+    * write-audit-publish — a failed audit discards the bad tail
+    * (`toHead` 0 = back to the fork snapshot) without touching any
+    * shared data directory, then corrected batches re-append and the
+    * branch publishes as usual. The superseded commits stay readable
+    * in the branch log until the branch is dropped; their orphaned
+    * directories fall to [[vacuum]] then. Pinned in
+    * VersionedTableSpec (WAP-with-fix lifecycle). */
+  def rollbackBranch(spark: SparkSession, root: String, name: String,
+      toHead: Int): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val (fork, head) = requireBranch(fs, rootP, name)
+    require(toHead >= 0 && toHead < head,
+      s"rollbackBranch: toHead $toHead not before head $head of '$name'")
+    val target = branchHeadManifest(fs, rootP, name, fork, toHead)
+    val v = head + 1
+    val m = publishManifest(fs, branchLog(rootP, name),
+      branchManifestPath(rootP, name, v),
+      Manifest(v, "rollback", head, target.dataDirs,
+        partitionCols = target.partitionCols,
+        deleteDirs = target.deleteDirs))
+    writeBranchRef(fs, rootP, name, fork, v)
+    m
+  }
+
   /** All branches as (branch, fork_version, n_commits) — n_commits is
     * the branch-local head (0 = unwritten fork). */
   def branches(spark: SparkSession, root: String): DataFrame = {

@@ -395,6 +395,70 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("cusumDaily: recovers an injected level shift; flat series all-zero; gaps are real days") {
+    def mk(vals: Seq[(Int, Double)]) = vals.map { case (d, v) =>
+      (d.toLong, f"2026-01-${d + 1}%02d 12:00:00", v)
+    }.toDF("event_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    // 100/day for days 1..10, 200/day for 11..20: the last day of the
+    // first regime (Jan 10) uniquely holds the peak |S|
+    val shifted = mk((0 until 20).map(d => (d, if (d < 10) 100.0 else 200.0)))
+    val got = Events.cusumDaily(shifted, "ts", "value").orderBy("day").collect()
+    assert(got.filter(_.getBoolean(3)).map(_.getDate(0).toString)
+      === Array("2026-01-10"))
+    // exact scaled value: N=20, prefix=100000, idx=10, T=300000
+    assert(got.find(_.getDate(0).toString == "2026-01-10").get
+      .getLong(2) === -1000000L)
+    // flat series: every deviation is zero, so every day ties at the
+    // "peak" — the documented no-changepoint signature
+    val flat = Events.cusumDaily(mk((0 until 5).map((_, 42.0))), "ts", "value")
+      .collect()
+    assert(flat.forall(r => r.getLong(2) === 0L && r.getBoolean(3)))
+    // a calendar gap densifies to a real 0-cents day
+    val g = Events.cusumDaily(mk(Seq((0, 100.0), (2, 100.0))), "ts", "value")
+      .orderBy("day").collect()
+    assert(g.length === 3 && g(1).getLong(1) === 0L)
+  }
+
+  test("transitions: hand matrix, key isolation, tiebreak determinism, milli floor") {
+    // u1: a -> b -> a -> a ; u2: b -> a ; u3: single event (no pairs)
+    val ev = Seq(
+      (1L, 1L, "a", 10), (2L, 1L, "b", 20), (3L, 1L, "a", 30), (4L, 1L, "a", 40),
+      (5L, 2L, "b", 10), (6L, 2L, "a", 20),
+      (7L, 3L, "a", 10))
+      .toDF("event_id", "user_id", "event_type", "m")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2026-01-01 00:"), col("m"), lit(":00")))).drop("m")
+    val got = Events.transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from a: a->b (u1) and a->a (u1): 1 each of 2 -> 500 milli
+    assert(got(("a", "b")) === ((1L, 500L)))
+    assert(got(("a", "a")) === ((1L, 500L)))
+    // from b: b->a twice (u1, u2), the only exits -> 1000 milli
+    assert(got(("b", "a")) === ((2L, 1000L)))
+    // no pair bridges users (u2's last event never chains into u3)
+    assert(got.size === 3)
+    // tiebreak: same-ts events order by event_id, so the pair flips if
+    // the tiebreak column were ignored
+    val tie = Seq((1L, 1L, "x"), (2L, 1L, "y"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    val t2 = Events.transitions(tie, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(t2 === Seq(("x", "y")))
+    // milli floor: 1 of 3 exits -> 333, never rounded up
+    // p,q,p,r,p,s: from p the exits are q, r, s — one each of three
+    val third = Seq((1L, 1L, "p"), (2L, 1L, "q"), (3L, 1L, "p"),
+      (4L, 1L, "r"), (5L, 1L, "p"), (6L, 1L, "s"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+    val t3 = Events.transitions(third, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(t3(("p", "q")) === 333L && t3(("p", "r")) === 333L &&
+      t3(("p", "s")) === 333L && t3(("q", "p")) === 1000L)
+  }
+
   test("growthAccounting(withResurrected): explicit leg makes the identity exact") {
     // same fixture as the base test: u1 resurrects on day 4
     val ev = Seq((1L, 1L, "2026-03-01 10:00:00"), (2L, 1L, "2026-03-02 09:00:00"),

@@ -1105,6 +1105,35 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.fastForward(spark, root, "wap").version === 2)
   }
 
+  test("branches: rollbackBranch discards the bad tail, WAP-with-fix publishes clean") {
+    val root = freshRoot("branch_fix")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    VersionedTable.createBranch(spark, root, "wap")
+    // good batch, then a BAD batch the audit rejects
+    VersionedTable.appendToBranch(spark, root, "wap",
+      orders.filter(col("o_orderkey") % 3 === 1))
+    VersionedTable.appendToBranch(spark, root, "wap",
+      orders.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_custkey", lit(-1L)))
+    assert(VersionedTable.readBranch(spark, root, "wap")
+      .filter(col("o_custkey") < 0).count() > 0) // audit: bad rows staged
+    // fix: roll the branch back past the bad commit, re-append corrected
+    val m = VersionedTable.rollbackBranch(spark, root, "wap", 1)
+    assert(m.op === "rollback" && m.version === 3)
+    assert(VersionedTable.readBranch(spark, root, "wap")
+      .filter(col("o_custkey") < 0).isEmpty)
+    VersionedTable.appendToBranch(spark, root, "wap",
+      orders.filter(col("o_orderkey") % 3 === 2))
+    VersionedTable.fastForward(spark, root, "wap")
+    // published main = all three CLEAN slices, no negative keys
+    val now = VersionedTable.readLatest(spark, root)
+    assert(now.count() === orders.count())
+    assert(now.filter(col("o_custkey") < 0).isEmpty)
+    // rollback bounds are validated
+    intercept[IllegalArgumentException](
+      VersionedTable.rollbackBranch(spark, root, "wap", 5))
+  }
+
   test("branches: diverged main rejects fast-forward; duplicate/unknown names reject") {
     val root = freshRoot("branch_diverge")
     VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
