@@ -3264,6 +3264,17 @@ object SparkEntry {
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
 
+    // Journey extraction + regex cohort: each user's ordered event-type
+    // string, flagged if it matches "signup then eventually purchase" —
+    // MATCH_RECOGNIZE-lite over the same ordering contract as
+    // sessionize. Fully oracled (string_agg ORDER BY builds the
+    // identical string).
+    "q_journey" -> ((s, dir) =>
+      graft.operators.Events
+        .journeyMatch(t(s, dir, "events"), "user_id", "ts", "event_type",
+          "event_id", "signup.*purchase")
+        .orderBy("user_id")),
+
     // CUSUM changepoint scan: scaled integer cumulative deviations over
     // the densified daily series, peak day flagged — exact BIGINT end
     // to end (mean multiplied through, never divided). Fully oracled.
@@ -4829,6 +4840,15 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_idx""".stripMargin,
+
+    "q_journey" ->
+      """WITH j AS (SELECT user_id,
+        |                  string_agg(event_type, '>' ORDER BY ts, event_id)
+        |                    AS journey
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id, journey,
+        |       regexp_matches(journey, 'signup.*purchase') AS matched
+        |FROM j ORDER BY user_id""".stripMargin,
 
     // densified epoch-day axis (the q_seasonal pattern), prefix sums
     // and corpus totals as windows over the daily relation; everything

@@ -395,6 +395,38 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("journeys: ordered per key with tiebreak; regex cohorts; single-event keys") {
+    val ev = Seq(
+      (1L, 1L, "signup", 10), (2L, 1L, "view", 20), (3L, 1L, "purchase", 30),
+      (4L, 2L, "view", 10), (5L, 2L, "signup", 20),
+      (6L, 3L, "view", 10))
+      .toDF("event_id", "user_id", "event_type", "m")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2026-01-01 00:"), col("m"), lit(":00")))).drop("m")
+    val got = Events.journeyMatch(ev, "user_id", "ts", "event_type",
+        "event_id", "signup.*purchase")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(got(1L) === (("signup>view>purchase", true)))
+    assert(got(2L) === (("view>signup", false))) // order matters
+    assert(got(3L) === (("view", false)))        // single-event key
+    // same-ts events order by the tiebreak column
+    val tie = Seq((2L, 9L, "b"), (1L, 9L, "a"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    assert(Events.journeys(tie, "user_id", "ts", "event_type", "event_id")
+      .collect().head.getString(1) === "a>b")
+    // consecutive-repeat pattern: exactly the 3-in-a-row key matches
+    val reps = Seq((1L, 1L, "e"), (2L, 1L, "e"), (3L, 1L, "e"),
+      (4L, 2L, "e"), (5L, 2L, "x"), (6L, 2L, "e"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+    val r = Events.journeyMatch(reps, "user_id", "ts", "event_type",
+        "event_id", "(e>){2}e")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r === Map(1L -> true, 2L -> false))
+  }
+
   test("cusumDaily: recovers an injected level shift; flat series all-zero; gaps are real days") {
     def mk(vals: Seq[(Int, Double)]) = vals.map { case (d, v) =>
       (d.toLong, f"2026-01-${d + 1}%02d 12:00:00", v)
