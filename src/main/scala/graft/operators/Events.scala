@@ -796,8 +796,9 @@ object Events {
     * (a no-events day is a real day at 0) and the windows run over the
     * config-scale daily relation (one row per calendar day — the
     * partial-agg-first stance), never the events. Judged `q_cusum`,
-    * fully ORACLED; injected level-shift recovery, flat-series nulls
-    * and gap handling pinned in EventsSpec. */
+    * fully ORACLED; injected level-shift recovery (exact scaled value
+    * at the boundary), the flat-series all-zero/all-tie signature and
+    * gap densification pinned in EventsSpec. */
   def cusumDaily(events: DataFrame, tsCol: String,
       valueCol: String): DataFrame = {
     val sparse = events

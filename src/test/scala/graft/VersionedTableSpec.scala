@@ -1153,6 +1153,24 @@ class VersionedTableSpec extends SparkTestBase {
       orders.filter(col("o_orderkey") % 3 =!= 1).count())
   }
 
+  test("branches: CHECK constraints gate branch writes like main writes") {
+    val root = freshRoot("branch_check")
+    VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    VersionedTable.addConstraint(spark, root, "key_nonneg", "o_orderkey >= 0")
+    VersionedTable.createBranch(spark, root, "b")
+    intercept[VersionedTable.ConstraintViolationException](
+      VersionedTable.appendToBranch(spark, root, "b",
+        orders.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)))
+    // the rejected write left the branch untouched and staged nothing
+    assert(VersionedTable.branches(spark, root)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSeq === Seq(("b", 0)))
+    val clean = orders.filter(col("o_orderkey") % 3 === 1)
+    VersionedTable.appendToBranch(spark, root, "b", clean)
+    assert(VersionedTable.readBranch(spark, root, "b").count() ===
+      orders.filter(col("o_orderkey") % 3 < 2).count())
+  }
+
   test("branches: vacuum retains branch-reachable state; dropBranch releases it") {
     val root = freshRoot("branch_vacuum")
     VersionedTable.create(spark, root, orders.filter(col("o_orderkey") % 4 === 0))
