@@ -3264,6 +3264,19 @@ object SparkEntry {
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
 
+    // Expectations with quarantine routing (DLT expectations shape):
+    // every row tagged with its FIRST failing rule or null — route,
+    // don't reject. One codegen CASE chain, no shuffle. Fully oracled.
+    "q_expectations" -> ((s, dir) =>
+      graft.operators.Relational.expectations(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        Seq(("key_not_mod7", "o_orderkey % 7 <> 0"),
+          ("status_f_or_o", "o_orderstatus IN ('F','O')"),
+          ("price_positive", "o_totalprice > 0")))
+        .select("o_orderkey", "quarantine_reason")
+        .orderBy("o_orderkey")),
+
     // Journey extraction + regex cohort: each user's ordered event-type
     // string, flagged if it matches "signup then eventually purchase" —
     // MATCH_RECOGNIZE-lite over the same ordering contract as
@@ -4840,6 +4853,18 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_idx""".stripMargin,
+
+    // the same first-failing-rule CASE chain, CHECK semantics per rule
+    "q_expectations" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN NOT coalesce(o_orderkey % 7 <> 0, TRUE)
+        |         THEN 'key_not_mod7'
+        |       WHEN NOT coalesce(o_orderstatus IN ('F','O'), TRUE)
+        |         THEN 'status_f_or_o'
+        |       WHEN NOT coalesce(o_totalprice > 0, TRUE)
+        |         THEN 'price_positive'
+        |       ELSE NULL END AS quarantine_reason
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_journey" ->
       """WITH j AS (SELECT user_id,

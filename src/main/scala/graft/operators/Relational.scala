@@ -512,6 +512,44 @@ object Relational {
       .selectExpr(s"stack(${names.length}, $stackArgs) AS (rule, n_violations)")
   }
 
+  /** Expectations with row-level QUARANTINE routing (the Delta Live
+    * Tables expectations shape, next to the format layer's CHECK
+    * constraints): where [[graft.tables.VersionedTable.addConstraint]]
+    * REJECTS a whole batch, expectations ROUTE — every row is tagged
+    * with the FIRST failing rule's name in declaration order
+    * (`quarantine_reason`, null = clean), so a load keeps flowing while
+    * bad rows divert to a quarantine sink with an actionable reason.
+    * SQL CHECK semantics per rule: NULL passes, only FALSE fails.
+    * Pure projection — one codegen'd CASE chain in the scan stage, no
+    * shuffle, no second pass; the split is two filters over the tagged
+    * frame. Judged `q_expectations`, fully ORACLED (the same CASE
+    * chain in SQL); first-failure ordering, NULL-pass and clean-split
+    * edges pinned in RelationalSpec. */
+  def expectations(df: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "no expectation rules given")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size, "duplicate rule names")
+    require(!df.columns.contains("quarantine_reason"),
+      "input already has a quarantine_reason column")
+    val reason = rules.foldLeft(when(lit(false), lit(null))) {
+      case (acc, (name, pred)) =>
+        acc.when(!coalesce(expr(pred), lit(true)), lit(name))
+    }.otherwise(lit(null).cast("string"))
+    df.withColumn("quarantine_reason", reason)
+  }
+
+  /** [[expectations]] split into (clean rows — tag column dropped,
+    * quarantined rows with their reason): the two frames a
+    * write-and-quarantine load commits to its main and quarantine
+    * sinks. */
+  def quarantineSplit(df: DataFrame,
+      rules: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    val tagged = expectations(df, rules)
+    (tagged.filter(col("quarantine_reason").isNull).drop("quarantine_reason"),
+      tagged.filter(col("quarantine_reason").isNotNull))
+  }
+
   /** Referential-integrity report — the cross-TABLE complement of
     * [[dqReport]]'s row rules: for each named FK declaration
     * (childCols → parent(parentCols)), the count of child rows whose

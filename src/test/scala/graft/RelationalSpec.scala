@@ -708,4 +708,32 @@ class RelationalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](graft.operators.Relational.fkReport(
       child, Seq(("y", Seq("fk", "fv"), parent, Seq("pk")))))
   }
+
+  test("expectations: first failing rule wins, NULL passes, split partitions exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L)),              // clean
+      (2L, Some(-5L)),              // fails r2 only
+      (-3L, Some(-5L)),             // fails BOTH -> first rule's name
+      (4L, None)                    // NULL predicate -> passes (CHECK)
+    ).toDF("k", "v")
+    val rules = Seq(("k_pos", "k > 0"), ("v_pos", "v > 0"))
+    val tagged = graft.operators.Relational.expectations(df, rules)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(tagged(1L) === None && tagged(4L) === None)
+    assert(tagged(2L) === Some("v_pos"))
+    assert(tagged(-3L) === Some("k_pos"), "declaration order decides")
+    val (clean, quarantined) =
+      graft.operators.Relational.quarantineSplit(df, rules)
+    assert(clean.columns.toSeq === Seq("k", "v"))
+    assert(clean.select("k").as[Long].collect().toSet === Set(1L, 4L))
+    assert(quarantined.select("k").as[Long].collect().toSet === Set(2L, -3L))
+    assert(clean.count() + quarantined.count() === df.count())
+    // duplicate names and a reserved output column are rejected
+    intercept[IllegalArgumentException](graft.operators.Relational
+      .expectations(df, Seq(("a", "k > 0"), ("a", "v > 0"))))
+    intercept[IllegalArgumentException](graft.operators.Relational
+      .expectations(df.withColumn("quarantine_reason", lit("x")),
+        Seq(("a", "k > 0"))))
+  }
 }
