@@ -3264,6 +3264,33 @@ object SparkEntry {
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
 
+    // Item co-occurrence graph build (the market-basket edge-list in
+    // front of the graph family): unordered event-type pairs weighted
+    // by DISTINCT co-exhibiting users. Fully oracled.
+    "q_cooccur" -> ((s, dir) =>
+      graft.operators.Events
+        .cooccurrence(t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("item_a", "item_b")),
+
+    // Conversion lag: integer seconds from each user's first signup to
+    // the first purchase at or after it (funnel's temporal complement,
+    // row-level so the exact distribution machinery composes on top).
+    // Fully oracled.
+    "q_conversion_lag" -> ((s, dir) =>
+      graft.operators.Events
+        .conversionLag(t(s, dir, "events"), "user_id", "ts", "event_type",
+          "signup", "purchase")
+        .orderBy("user_id")),
+
+    // Chi-square association audit: contingency cells with integer-
+    // exact expected counts (micro units, integer division) and
+    // per-cell chi-square terms quantized to micro BIGINT from exact
+    // integer inputs — the stratification-drift probe. Fully oracled.
+    "q_chi2" -> ((s, dir) =>
+      graft.operators.Relational.chi2Association(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+        .orderBy("a", "b")),
+
     // Expectations with quarantine routing (DLT expectations shape):
     // every row tagged with its FIRST failing rule or null — route,
     // don't reject. One codegen CASE chain, no shuffle. Fully oracled.
@@ -4853,6 +4880,44 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_idx""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH ki AS (SELECT DISTINCT user_id AS k, event_type AS i
+        |            FROM events)
+        |SELECT a.i AS item_a, b.i AS item_b,
+        |       CAST(count(*) AS BIGINT) AS n_keys
+        |FROM ki a JOIN ki b ON a.k = b.k AND a.i < b.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_conversion_lag" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |t AS (SELECT e.user_id, f.t0, min(e.ts) AS t1 FROM events e
+        |      JOIN f ON e.user_id = f.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+        |      GROUP BY 1, 2)
+        |SELECT user_id,
+        |       (epoch_us(t1) - epoch_us(t0)) // 1000000 AS lag_seconds
+        |FROM t ORDER BY user_id""".stripMargin,
+
+    // identical integer path: HUGEINT window sums are exact, the term's
+    // double inputs are exact integers, one IEEE mult/div each side
+    "q_chi2" ->
+      """WITH c AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |                  count(*) AS o
+        |           FROM orders GROUP BY 1, 2),
+        |t AS (SELECT a, b, o,
+        |        sum(o) OVER (PARTITION BY a) AS rt,
+        |        sum(o) OVER (PARTITION BY b) AS ct,
+        |        sum(o) OVER () AS n
+        |      FROM c)
+        |SELECT a, b, CAST(o AS BIGINT) AS observed,
+        |  CAST(rt * ct * 1000000 // n AS BIGINT) AS expected_micro,
+        |  CAST(floor(CAST(o * n - rt * ct AS DOUBLE)
+        |             * CAST(o * n - rt * ct AS DOUBLE)
+        |             / CAST(n * rt * ct AS DOUBLE) * 1000000 + 0.5)
+        |       AS BIGINT) AS term_micro
+        |FROM t ORDER BY a, b""".stripMargin,
 
     // the same first-failing-rule CASE chain, CHECK semantics per rule
     "q_expectations" ->

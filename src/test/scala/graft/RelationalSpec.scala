@@ -709,6 +709,28 @@ class RelationalSpec extends SparkTestBase {
       child, Seq(("y", Seq("fk", "fv"), parent, Seq("pk")))))
   }
 
+  test("chi2Association: hand-table arithmetic; independent table is all-zero terms") {
+    import spark.implicits._
+    // perfectly independent 2x2: every cell's observed equals expected
+    val indep = (Seq.fill(2)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+      Seq(("y", "p"), ("y", "q"))).toDF("a0", "b0")
+    val z = graft.operators.Relational.chi2Association(indep, "a0", "b0")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(z(("x", "p")) === ((2000000L, 0L)))
+    assert(z(("y", "q")) === ((1000000L, 0L)))
+    assert(z.values.forall(_._2 === 0L), s"independent => all terms 0: $z")
+    // perfectly dependent: only (x,p) and (y,q); each term = 1.0
+    val dep = (Seq.fill(2)(("x", "p")) ++ Seq.fill(2)(("y", "q")))
+      .toDF("a0", "b0")
+    val d = graft.operators.Relational.chi2Association(dep, "a0", "b0")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(d(("x", "p")) === ((2L, 1000000L, 1000000L)))
+    assert(d(("y", "q")) === ((2L, 1000000L, 1000000L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("expectations: first failing rule wins, NULL passes, split partitions exactly") {
     import spark.implicits._
     val df = Seq(
