@@ -3264,6 +3264,14 @@ object SparkEntry {
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
 
+    // Time-weighted average per user (zero-order hold): exact integer
+    // cents·seconds numerator/denominator + one deterministic double
+    // ratio — the irregular-sampling correction. Fully oracled.
+    "q_twap" -> ((s, dir) =>
+      graft.operators.Events
+        .twap(t(s, dir, "events"), "user_id", "ts", "value", "event_id")
+        .orderBy("user_id")),
+
     // Item co-occurrence graph build (the market-basket edge-list in
     // front of the graph family): unordered event-type pairs weighted
     // by DISTINCT co-exhibiting users. Fully oracled.
@@ -4880,6 +4888,24 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_idx""".stripMargin,
+
+    "q_twap" ->
+      """WITH o AS (SELECT user_id AS k, ts,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |                  lead(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS nxt
+        |           FROM events),
+        |d AS (SELECT k, cents,
+        |             (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dt
+        |      FROM o WHERE nxt IS NOT NULL)
+        |SELECT k AS user_id,
+        |       CAST(sum(cents * dt) AS BIGINT) AS num_cents_seconds,
+        |       CAST(sum(dt) AS BIGINT) AS seconds,
+        |       CASE WHEN sum(dt) > 0
+        |            THEN CAST(CAST(sum(cents * dt) AS BIGINT) AS DOUBLE)
+        |                 / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) / 100.0
+        |            ELSE NULL END AS twap
+        |FROM d GROUP BY k ORDER BY user_id""".stripMargin,
 
     "q_cooccur" ->
       """WITH ki AS (SELECT DISTINCT user_id AS k, event_type AS i

@@ -395,6 +395,31 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("twap: holding-time weights beat sample counts; zero-span nulls; last obs bounds") {
+    def mk(rows: Seq[(Long, Long, Int, Double)]) = rows
+      .toDF("event_id", "user_id", "m", "value")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2026-01-01 00:"), format_string("%02d", col("m")),
+          lit(":00")))).drop("m")
+    // u1: value 100 held 10 min, then a BURST of five 200-readings over
+    // 1 min each, end at min 15 — plain avg is dominated by the burst
+    // (183), twap is not (~133)
+    val ev = mk(Seq((1L, 1L, 0, 100.0)) ++
+      (0 until 5).map(i => (2L + i, 1L, 10 + i, 200.0)) :+ (7L, 1L, 15, 0.0))
+    val r = Events.twap(ev, "user_id", "ts", "value", "event_id")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // num = 10000c*600s + 20000c*60s*5 = 12_000_000; sec = 900
+    assert(r(1L) === ((12000000L, 900L, 12000000.0 / 900.0 / 100.0)))
+    // all observations at one instant: zero holding time -> null twap
+    val same = mk(Seq((1L, 2L, 5, 10.0), (2L, 2L, 5, 20.0)))
+    val z = Events.twap(same, "user_id", "ts", "value", "event_id").collect()
+    assert(z.length === 1 && z.head.getLong(2) === 0L && z.head.isNullAt(3))
+    // a single observation has no span at all: no row
+    assert(Events.twap(mk(Seq((1L, 3L, 1, 5.0))), "user_id", "ts", "value",
+      "event_id").isEmpty)
+  }
+
   test("cooccurrence: distinct-key weighting, pair ordering, single-item keys") {
     val df = Seq(
       (1L, "a"), (1L, "b"), (1L, "a"),   // duplicate (1, a): still weight 1
