@@ -3264,6 +3264,24 @@ object SparkEntry {
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
 
+    // Deadline-constrained funnel: each step within 12h of the matched
+    // previous step (strict greedy anchoring — the "conversion within
+    // N" product metric). Fully oracled.
+    "q_funnel_window" -> ((s, dir) =>
+      graft.operators.Events.funnelWindowed(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), maxGapMinutes = 720)),
+
+    // Quantile normalization: event values rank-mapped onto the order
+    // price distribution — pure selection from the reference, so the
+    // judged values are data values. Fully oracled.
+    "q_quantile_norm" -> ((s, dir) =>
+      graft.operators.Events.quantileNormalize(
+        t(s, dir, "events").select("event_id", "value"),
+        "event_id", "value",
+        t(s, dir, "orders"), "o_totalprice", "o_orderkey")
+        .orderBy("event_id")),
+
     // Time-weighted average per user (zero-order hold): exact integer
     // cents·seconds numerator/denominator + one deterministic double
     // ratio — the irregular-sampling correction. Fully oracled.
@@ -4888,6 +4906,46 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_idx""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'view' AND e.ts >= s0.t
+        |         AND e.ts <= s0.t + INTERVAL 720 MINUTE GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t
+        |         AND e.ts <= s1.t + INTERVAL 720 MINUTE GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+        |         AND e.ts <= s2.t + INTERVAL 720 MINUTE GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0 AS step_idx, 'signup' AS step,
+        |         (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
+
+    // both ranks are total orders (value, tiebreak); the map is the
+    // integer-index selection from the reference order
+    "q_quantile_norm" ->
+      """WITH a AS (SELECT event_id AS id, value,
+        |                  row_number() OVER (ORDER BY value, event_id) AS r
+        |           FROM events),
+        |ref AS (SELECT o_totalprice AS rv,
+        |               row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+        |                 AS rr
+        |        FROM orders),
+        |n AS (SELECT count(*) AS n FROM events),
+        |m AS (SELECT count(*) AS m FROM orders)
+        |SELECT a.id AS event_id, a.value, ref.rv AS normalized
+        |FROM a, n, m
+        |JOIN ref ON ref.rr = ((a.r - 1) * m.m) // n.n + 1
+        |ORDER BY event_id""".stripMargin,
 
     "q_twap" ->
       """WITH o AS (SELECT user_id AS k, ts,

@@ -395,6 +395,49 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("funnelWindowed: deadline inclusive at the bound, measured from the greedy anchor") {
+    def ev(rows: Seq[(Long, Long, String, Int)]) = rows
+      .toDF("event_id", "user_id", "event_type", "m")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2026-01-01 "), format_string("%02d", col("m")),
+          lit(":00:00")))).drop("m")
+    // u1 converts exactly AT the 2h deadline (inclusive); u2 misses by
+    // an hour; u3 would convert from a LATER signup but the greedy
+    // anchor is the FIRST signup — strict semantics exclude it
+    val e = ev(Seq(
+      (1L, 1L, "signup", 1), (2L, 1L, "purchase", 3),
+      (3L, 2L, "signup", 1), (4L, 2L, "purchase", 4),
+      (5L, 3L, "signup", 1), (6L, 3L, "signup", 9), (7L, 3L, "purchase", 10)))
+    val got = Events.funnelWindowed(e, "user_id", "ts", "event_type",
+        Seq("signup", "purchase"), maxGapMinutes = 120)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(0 -> 3L, 1 -> 1L))
+    // the unconstrained funnel counts u2 and u3 as well
+    val base = Events.funnel(e, "user_id", "ts", "event_type",
+        Seq("signup", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(base === Map(0 -> 3L, 1 -> 3L))
+  }
+
+  test("quantileNormalize: rank-map selection from the reference; ties by tiebreak") {
+    val in = Seq((1L, 30.0), (2L, 10.0), (3L, 20.0)).toDF("id", "v")
+    val ref = (1L to 6L).map(i => (i, i * 100.0)).toDF("rid", "rv")
+    val got = Events.quantileNormalize(in, "id", "v", ref, "rv", "rid")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // ranks by value: id2=1, id3=2, id1=3 -> ref indices 1, 3, 5
+    assert(got(2L) === ((10.0, 100.0)))
+    assert(got(3L) === ((20.0, 300.0)))
+    assert(got(1L) === ((30.0, 500.0)))
+    // tied values order by the tiebreak id: deterministic map
+    val tied = Seq((7L, 5.0), (6L, 5.0)).toDF("id", "v")
+    val r2 = (1L to 2L).map(i => (i, i * 1.0)).toDF("rid", "rv")
+    val t = Events.quantileNormalize(tied, "id", "v", r2, "rv", "rid")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(t === Map(6L -> 1.0, 7L -> 2.0))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("twap: holding-time weights beat sample counts; zero-span nulls; last obs bounds") {
     def mk(rows: Seq[(Long, Long, Int, Double)]) = rows
       .toDF("event_id", "user_id", "m", "value")
