@@ -990,8 +990,18 @@ object SparkEntry {
         VersionedTable.append(s, root,
           orders.filter(year(col("o_orderdate")) === y))
       }
-      val lo = java.time.LocalDateTime.parse("1994-03-01T00:00:00")
-      val hi = java.time.LocalDateTime.parse("1995-06-30T23:59:59")
+      // bounds in the COLUMN's own stats domain: a DATE-era fixture
+      // needs 'A' (epoch-day) bounds, a timestamp era 'T' (micros) —
+      // passing the wrong flavor is a kind mismatch that silently
+      // disables pruning (the r11 era-robustness rule; both eras give
+      // identical membership because the data is date-granular)
+      val (lo, hi): (Any, Any) =
+        if (orders.schema("o_orderdate").dataType ==
+            org.apache.spark.sql.types.DateType)
+          (java.time.LocalDate.parse("1994-03-01"),
+            java.time.LocalDate.parse("1995-06-30"))
+        else (java.time.LocalDateTime.parse("1994-03-01T00:00:00"),
+          java.time.LocalDateTime.parse("1995-06-30T23:59:59"))
       val (kept, all) = VersionedTable.pruneDirs(s, root, "o_orderdate", lo, hi)
       VersionedTable.readWhereBetween(s, root, "o_orderdate", lo, hi)
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))

@@ -77,13 +77,21 @@ object Tables {
     * hash-failing judged q_table_skip in r10. */
   private def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val ntzCols = df.schema.fields.collect {
-      case f if f.dataType == TimestampNTZType => f.name
-    }
-    if (ntzCols.isEmpty) df
+    import org.apache.spark.sql.types.{FloatType, DoubleType, TimestampNTZType, TimestampType}
+    // FloatType widens to DoubleType for the same era-robustness
+    // reason: every float is exactly representable as a double, and a
+    // REAL-era fixture would otherwise push arithmetic like
+    // `floor(value * 100 + 0.5)` through single-precision on the Spark
+    // side while DuckDB promotes to double — a silent cross-engine
+    // drift on every judged cents path. Pure widening; a no-op on
+    // every era seen so far.
+    val retyped = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name -> TimestampType
+      case f if f.dataType == FloatType => f.name -> DoubleType
+    }.toMap
+    if (retyped.isEmpty) df
     else df.select(df.schema.fieldNames.map { c =>
-      if (ntzCols.contains(c)) col(c).cast(TimestampType).as(c) else col(c)
+      retyped.get(c).fold(col(c))(t => col(c).cast(t).as(c))
     }.toIndexedSeq: _*)
   }
 

@@ -1055,6 +1055,23 @@ class VersionedTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](VersionedTable.compactWhere(spark, root))
   }
 
+  test("DATE-column pruning in epoch days ('A' kind) with LocalDate bounds") {
+    val root = freshRoot("skip_date")
+    val dated = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+    val years = dated.select(year(col("d")).as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    VersionedTable.create(spark, root, dated.filter(year(col("d")) === years.head))
+    VersionedTable.append(spark, root, dated.filter(year(col("d")) === years.last))
+    val lo = java.time.LocalDate.ofYearDay(years.head, 1)
+    val hi = java.time.LocalDate.ofYearDay(years.head, 60)
+    val (kept, all) = VersionedTable.pruneDirs(spark, root, "d", lo, hi)
+    assert(all.size === 2 && kept.size === 1, "only the first-year dir overlaps")
+    val got = VersionedTable.readWhereBetween(spark, root, "d", lo, hi)
+    val want = dated.filter(col("d").between(lit(lo), lit(hi)))
+    assert(got.count() === want.count() && got.count() > 0)
+  }
+
   test("stats-absent columns (INT96 timestamps) are unprunable, never all-null-pruned") {
     val root = freshRoot("skip_int96")
     val dated = Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderdate")
