@@ -3318,6 +3318,23 @@ object SparkEntry {
           "signup", "purchase")
         .orderBy("user_id")),
 
+    // Weekly-activity autocorrelation at lags 1..4: scaled-integer
+    // mean-centering makes numerator/denominator exact BIGINT sums,
+    // the one double is the final division (the twap rule). Densified
+    // per-key week grid. Fully oracled.
+    "q_acf" -> ((s, dir) =>
+      graft.operators.Events
+        .acf(t(s, dir, "events"), "event_type", "ts", 4)
+        .orderBy("event_type", "lag")),
+
+    // Directed association rules (support/confidence/lift in exact
+    // integer millis) over per-user event-type sets — the market-
+    // basket step after q_cooccur's edge build. Fully oracled.
+    "q_assoc" -> ((s, dir) =>
+      graft.operators.Events
+        .associationRules(t(s, dir, "events"), "user_id", "event_type", 2L)
+        .orderBy("antecedent", "consequent")),
+
     // Chi-square association audit: contingency cells with integer-
     // exact expected counts (micro units, integer division) and
     // per-cell chi-square terms quantized to micro BIGINT from exact
@@ -4993,6 +5010,71 @@ object SparkEntry {
         |SELECT user_id,
         |       (epoch_us(t1) - epoch_us(t0)) // 1000000 AS lag_seconds
         |FROM t ORDER BY user_id""".stripMargin,
+
+    // identical scaled-integer centering both sides: (n·x − S) terms
+    // are exact, sums CAST BIGINT, the lone double is one division
+    "q_acf" ->
+      """WITH sparse AS (
+        |  SELECT event_type AS k,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |           AS bk,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT k, min(bk) AS lo, max(bk) AS hi FROM sparse
+        |        GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(lo, hi)) AS bk FROM rng),
+        |ser AS (SELECT g.k, g.bk, COALESCE(s.x, 0) AS x
+        |        FROM grid g LEFT JOIN sparse s
+        |          ON g.k = s.k AND g.bk = s.bk),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS s
+        |       FROM ser GROUP BY 1),
+        |led AS (SELECT ser.k AS k, bk, x, n, s,
+        |               lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+        |               lead(x, 3) OVER w AS x3, lead(x, 4) OVER w AS x4
+        |        FROM ser JOIN st ON ser.k = st.k
+        |        WINDOW w AS (PARTITION BY ser.k ORDER BY bk)),
+        |lagged AS (
+        |  SELECT k, n, s, x, 1 AS l, x1 AS xl FROM led
+        |  UNION ALL SELECT k, n, s, x, 2, x2 FROM led
+        |  UNION ALL SELECT k, n, s, x, 3, x3 FROM led
+        |  UNION ALL SELECT k, n, s, x, 4, x4 FROM led),
+        |num AS (SELECT k, l,
+        |               CAST(sum((n*x - s) * (n*xl - s)) AS BIGINT)
+        |                 AS acf_num
+        |        FROM lagged WHERE xl IS NOT NULL GROUP BY 1, 2),
+        |den AS (SELECT k, CAST(sum((n*x - s) * (n*x - s)) AS BIGINT)
+        |                 AS acf_den
+        |        FROM led GROUP BY 1)
+        |SELECT num.k AS event_type, l AS lag, acf_num, acf_den,
+        |       CASE WHEN acf_den > 0
+        |            THEN CAST(acf_num AS DOUBLE) / CAST(acf_den AS DOUBLE)
+        |            ELSE NULL END AS acf
+        |FROM num JOIN den ON num.k = den.k
+        |ORDER BY 1, 2""".stripMargin,
+
+    // exact integer millis via // — engine-identical where float
+    // division is not
+    "q_assoc" ->
+      """WITH ki AS (SELECT DISTINCT user_id AS k, event_type AS i
+        |            FROM events),
+        |tot AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS nn FROM ki),
+        |itemn AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM ki
+        |          GROUP BY 1),
+        |pairs AS (SELECT a.i AS antecedent, b.i AS consequent,
+        |                 CAST(count(*) AS BIGINT) AS n_both
+        |          FROM ki a JOIN ki b ON a.k = b.k AND a.i <> b.i
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT antecedent, consequent, n_both,
+        |       na.ni AS n_ant, nc.ni AS n_con,
+        |       n_both * 1000 // nn AS support_milli,
+        |       n_both * 1000 // na.ni AS confidence_milli,
+        |       n_both * nn * 1000 // (na.ni * nc.ni) AS lift_milli
+        |FROM pairs
+        |JOIN itemn na ON pairs.antecedent = na.i
+        |JOIN itemn nc ON pairs.consequent = nc.i
+        |CROSS JOIN tot
+        |ORDER BY 1, 2""".stripMargin,
 
     // identical integer path: HUGEINT window sums are exact, the term's
     // double inputs are exact integers, one IEEE mult/div each side

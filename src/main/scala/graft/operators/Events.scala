@@ -1046,4 +1046,114 @@ object Events {
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("n * 1000 div __ft").as("prob_milli"))
   }
+
+  /** Per-key activity autocorrelation — the ACF at lags `1..maxLag`
+    * over each key's bucketed EVENT-COUNT series (weekly by default):
+    * the periodicity detector next to [[seasonalIndices]] ("is there a
+    * weekly shape") and [[Events.trend]] ("is it drifting") — a spike
+    * at lag k says the series repeats every k buckets, the input a
+    * forecaster reads before picking seasonal terms.
+    *
+    * Exactness: the series is COUNTS (integers by construction), so
+    * mean-centering is done in scaled-integer space — the term
+    * `(n·x_t − S)(n·x_{t+l} − S)` equals `n²·(x_t−μ)(x_{t+l}−μ)` with
+    * μ = S/n, and numerator/denominator are exact BIGINT sums whose
+    * n² factors cancel in the ratio; the one double is the final
+    * division (the [[twap]] judged-double rule). Exact while
+    * `n · max_count < ~3e9` (BIGINT headroom) — weekly buckets bound n
+    * to a few hundred for any sane retention window. Buckets densify
+    * with 0 inside each key's own [min, max] range (a silent week IS a
+    * 0-count week — the [[seasonalIndices]] densification rule);
+    * constant series (den = 0) emit null acf rather than dividing.
+    *
+    * Scale: raw events partial-aggregate to (key, bucket, count) FIRST
+    * — everything downstream (grid densify, L lead columns in ONE
+    * window node via posexplode, two partial aggs) runs at
+    * keys × buckets scale, never event scale. Judged `q_acf`, fully
+    * ORACLED; pure-period impulse series, zero-gap densification and
+    * constant-series null pinned in EventsSpec. */
+  def acf(events: DataFrame, keyCol: String, tsCol: String,
+      maxLag: Int, bucketDays: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    require(bucketDays >= 1, s"bucketDays must be >= 1: $bucketDays")
+    val sparse = events
+      .select(col(keyCol).as("k"),
+        expr(s"datediff(to_date($tsCol), date'1970-01-01') div $bucketDays")
+          .as("bk"))
+      .groupBy("k", "bk").agg(count(lit(1)).as("x"))
+    val grid = sparse.groupBy("k")
+      .agg(min(col("bk")).as("lo"), max(col("bk")).as("hi"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"))).as("bk"))
+    val ser = grid.join(sparse, Seq("k", "bk"), "left")
+      .select(col("k"), col("bk"), coalesce(col("x"), lit(0L)).as("x"))
+    val serP = graft.engine.Caches.persisted(ser)
+    val stats = serP.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.partitionBy("k").orderBy("bk")
+    // one window node computes every lead; posexplode turns the L
+    // columns into (lag-1, x_lag) rows without re-planning the window
+    val leads = array((1 to maxLag).map(l => lead(col("x"), l).over(w)): _*)
+    val terms = serP.withColumn("__leads", leads)
+      .join(stats, Seq("k"))
+      .withColumn("__c", col("n") * col("x") - col("s"))
+    val num = terms
+      .select(col("k"), col("n"), col("s"), col("__c"),
+        posexplode(col("__leads")).as(Seq("__pos", "__xl")))
+      .filter(col("__xl").isNotNull)
+      .groupBy(col("k"), (col("__pos") + 1).as("lag"))
+      .agg(sum(col("__c") * (col("n") * col("__xl") - col("s")))
+        .as("acf_num"))
+    val den = terms.groupBy("k")
+      .agg(sum(col("__c") * col("__c")).as("acf_den"))
+    num.join(den, Seq("k"))
+      .select(col("k").as(keyCol), col("lag").cast("int").as("lag"),
+        col("acf_num"), col("acf_den"),
+        when(col("acf_den") > 0,
+          col("acf_num").cast("double") / col("acf_den").cast("double"))
+          .otherwise(lit(null).cast("double")).as("acf"))
+  }
+
+  /** Directed association rules over per-key item sets — the
+    * market-basket step AFTER [[cooccurrence]]'s undirected edge build:
+    * for every ordered pair (antecedent → consequent) co-exhibited by
+    * at least `minPairKeys` distinct keys, the three classic rule
+    * metrics in exact integer millis (`div` is engine-identical where
+    * float division is not):
+    * support = P(a ∧ b), confidence = P(b | a), lift = P(b|a)/P(b) —
+    * lift > 1000‰ reads "seeing a raises the odds of b".
+    *
+    * Scale: the [[cooccurrence]] posture exactly — distinct (key,
+    * item) FIRST, key-co-partitioned self-join, pair space bounded by
+    * per-key item-set size; item totals and the key universe are
+    * config-scale aggregates joined back by item / broadcast as one
+    * row. Milli-lift stays exact while `n_both·N·1000 < 2^63`
+    * (N < ~9e12·… — any corpus whose distinct-key count fits 3e7 at
+    * full co-occurrence; beyond that, compute lift as the double ratio
+    * of the same exact counts). Judged `q_assoc`, fully ORACLED;
+    * hand-computed basket metrics, direction asymmetry and the
+    * min-support cut pinned in EventsSpec. */
+  def associationRules(df: DataFrame, keyCol: String, itemCol: String,
+      minPairKeys: Long = 1L): DataFrame = {
+    require(minPairKeys >= 1, s"minPairKeys must be >= 1: $minPairKeys")
+    val ki = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("__k"), col(itemCol).as("__i")).distinct())
+    val total = broadcast(ki.agg(countDistinct(col("__k")).as("__N")))
+    val itemN = ki.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = ki.as("a").join(ki.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__i") =!= col("b.__i"))
+      .groupBy(col("a.__i").as("antecedent"), col("b.__i").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minPairKeys)
+    pairs
+      .join(itemN.select(col("__i").as("antecedent"), col("__ni").as("n_ant")),
+        Seq("antecedent"))
+      .join(itemN.select(col("__i").as("consequent"), col("__ni").as("n_con")),
+        Seq("consequent"))
+      .crossJoin(total)
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ant"), col("n_con"),
+        expr("n_both * 1000 div __N").as("support_milli"),
+        expr("n_both * 1000 div n_ant").as("confidence_milli"),
+        expr("n_both * __N * 1000 div (n_ant * n_con)").as("lift_milli"))
+  }
 }

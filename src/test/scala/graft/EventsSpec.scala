@@ -639,4 +639,54 @@ class EventsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Events.seasonalIndices(boosted, "ts", "value", period = 4))
   }
+
+  test("acf: period-2 impulse signs, zero-gap densification, constant-series null") {
+    def day(k: String, d: Int) = (k, ts(f"2026-01-${d + 1}%02d 09:00:00"))
+    // k1: one event on days 0,2,4 -> daily series [1,0,1,0,1]
+    //   n=5, S=3, c = 5x-3 = [2,-3,2,-3,2], den = 30
+    //   lag1 = 4 terms of (2)(-3)/( -3)(2) = -24; lag2 = 4+9+4 = 17
+    // k2: events on days 0 and 2 ONLY -> densified [1,0,1]
+    //   n=3, S=2, c = [1,-2,1], den = 6, lag1 = -4, lag2 = 1
+    // k3: one event per day, 3 days -> constant, den = 0 -> null acf
+    val df = (Seq(0, 2, 4).map(day("k1", _)) ++
+        Seq(0, 2).map(day("k2", _)) ++
+        Seq(0, 1, 2).map(day("k3", _)))
+      .toDF("k", "ts")
+    val got = Events.acf(df, "k", "ts", maxLag = 2, bucketDays = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(got(("k1", 1)) === ((-24L, 30L, Some(-0.8))))
+    assert(got(("k1", 2))._1 === 17L)
+    assert(got(("k2", 1)) === ((-4L, 6L, Some(-4.0 / 6.0))))
+    assert(got(("k2", 2)) === ((1L, 6L, Some(1.0 / 6.0))))
+    assert(got(("k3", 1))._2 === 0L && got(("k3", 1))._3.isEmpty)
+    intercept[IllegalArgumentException](Events.acf(df, "k", "ts", 0))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("associationRules: hand metrics, direction asymmetry, min-support cut") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"), // dup membership ignored
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "b"), (4L, "d"))
+      .toDF("user_id", "event_type")
+    // N=4, n_a=3, n_b=3, n_c=1, n_d=1; a∧b on u1,u2 -> n_both=2
+    val all = Events.associationRules(df, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // a->b: support 2000/4=500, conf 2000/3=666, lift 2*4*1000/(3*3)=888
+    assert(all(("a", "b")) === ((2L, 500L, 666L, 888L)))
+    assert(all(("b", "a")) === ((2L, 500L, 666L, 888L)))
+    // direction asymmetry: c->a conf 1000 vs a->c conf 333
+    assert(all(("c", "a"))._3 === 1000L)
+    assert(all(("a", "c"))._3 === 333L)
+    // d pairs only with b, never with a/c (different keys)
+    assert(!all.contains(("d", "a")) && all(("d", "b"))._1 === 1L)
+    // min-support cut keeps only the n_both >= 2 rules
+    val cut = Events.associationRules(df, "user_id", "event_type", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cut === Set(("a", "b"), ("b", "a")))
+    graft.engine.Caches.releaseAll()
+  }
 }
