@@ -3335,6 +3335,27 @@ object SparkEntry {
         .associationRules(t(s, dir, "events"), "user_id", "event_type", 2L)
         .orderBy("antecedent", "consequent")),
 
+    // Kaplan-Meier churn survival per synthetic cohort: the judged
+    // projection is the exact integer bookkeeping (at-risk suffix sum,
+    // churned, censored) — the running survival product is spec-pinned
+    // (engines disagree on windowed-product association order; the
+    // q_hits float-compare rule). Fully oracled.
+    "q_survival" -> ((s, dir) =>
+      graft.operators.Events
+        .kaplanMeier(t(s, dir, "events"), "user_id", "ts",
+          pmod(col("user_id"), lit(3)), censorDays = 0)
+        .drop("surv")
+        .orderBy("cohort", "t_days")),
+
+    // Pareto revenue concentration: minimal top-customer sets reaching
+    // 50/80/90/99% of total cents — banded prefix-sum (no global
+    // window), integer cross-product threshold test. Fully oracled.
+    "q_pareto" -> ((s, dir) =>
+      graft.operators.Relational
+        .concentration(t(s, dir, "orders"), "o_custkey", "o_totalprice",
+          Seq(500, 800, 900, 990))
+        .orderBy("threshold_milli")),
+
     // Chi-square association audit: contingency cells with integer-
     // exact expected counts (micro units, integer division) and
     // per-cell chi-square terms quantized to micro BIGINT from exact
@@ -5010,6 +5031,55 @@ object SparkEntry {
         |SELECT user_id,
         |       (epoch_us(t1) - epoch_us(t0)) // 1000000 AS lag_seconds
         |FROM t ORDER BY user_id""".stripMargin,
+
+    // KM bookkeeping is pure integer arithmetic: duration days via
+    // date_diff, at-risk via the same suffix-sum window
+    "q_survival" ->
+      """WITH per AS (SELECT user_id AS k, user_id % 3 AS cohort,
+        |                    CAST(min(ts) AS DATE) AS f,
+        |                    CAST(max(ts) AS DATE) AS l
+        |             FROM events GROUP BY 1, 2),
+        |hz AS (SELECT CAST(max(ts) AS DATE) AS h FROM events),
+        |lab AS (SELECT cohort,
+        |               CASE WHEN date_diff('day', l, h) > 0 THEN 1
+        |                    ELSE 0 END AS ev,
+        |               CASE WHEN date_diff('day', l, h) > 0
+        |                    THEN date_diff('day', f, l)
+        |                    ELSE date_diff('day', f, h) END AS t
+        |        FROM per CROSS JOIN hz),
+        |steps AS (SELECT cohort, t, CAST(sum(ev) AS BIGINT) AS d,
+        |                 CAST(sum(1 - ev) AS BIGINT) AS c
+        |          FROM lab GROUP BY 1, 2),
+        |risk AS (SELECT cohort, t, d, c,
+        |                CAST(sum(d + c) OVER (PARTITION BY cohort
+        |                     ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |                  AS BIGINT) AS n_risk
+        |         FROM steps)
+        |SELECT cohort, t AS t_days, n_risk, d AS d_churn,
+        |       c AS c_censored
+        |FROM risk WHERE d > 0 ORDER BY 1, 2""".stripMargin,
+
+    // the oracle may use the naive global window the scale path bands
+    // away — identical integer arithmetic either way
+    "q_pareto" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |                    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |                      AS BIGINT)) AS BIGINT) AS cents
+        |             FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
+        |ranked AS (SELECT k, cents,
+        |                  row_number() OVER (ORDER BY cents DESC, k) AS r,
+        |                  CAST(sum(cents) OVER (ORDER BY cents DESC, k
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |           FROM per),
+        |thr AS (SELECT unnest([500, 800, 900, 990]) AS tm)
+        |SELECT tm AS threshold_milli,
+        |       CAST(min(r) AS BIGINT) AS n_top,
+        |       min(cum) AS top_cents,
+        |       min(cum) * 1000 // (SELECT total FROM tot) AS share_milli
+        |FROM ranked CROSS JOIN thr
+        |WHERE cum * 1000 >= tm * (SELECT total FROM tot)
+        |GROUP BY tm ORDER BY 1""".stripMargin,
 
     // identical scaled-integer centering both sides: (n·x − S) terms
     // are exact, sums CAST BIGINT, the lone double is one division

@@ -1113,6 +1113,66 @@ object Events {
           .otherwise(lit(null).cast("double")).as("acf"))
   }
 
+  /** Kaplan-Meier survival estimate over per-key activity lifetimes —
+    * the right-censoring-aware churn curve (Kaplan & Meier 1958): naive
+    * "mean lifetime" UNDERSTATES survival because still-active keys
+    * haven't finished living; KM counts them as at-risk exactly as long
+    * as they were observed. A key churns when its last event sits more
+    * than `censorDays` before the corpus horizon (max ts); otherwise it
+    * is censored at the horizon. Durations are integer DAYS from first
+    * event; the risk set at step t is every key with duration ≥ t
+    * (censored-at-t conventionally included), via one suffix-sum window
+    * over the config-scale step relation — never the events. Emits one
+    * row per (cohort, churn-step): `n_risk`/`d_churn`/`c_censored` are
+    * exact integers (the estimator's full information content — judged
+    * `q_survival`, fully ORACLED); `surv` is the running product
+    * `Π (1 − d/n)`, a strict left fold in step order (collect_list over
+    * the ascending window + HOF fold — config-scale, the documented
+    * fuzzyPairs HOF exception). The fold is deterministic but engines
+    * disagree on windowed-product ASSOCIATION ORDER (DuckDB's
+    * `product()` is not a left fold — measured, not assumed), so `surv`
+    * is spec-pinned (EventsSpec, exact left-fold doubles on a hand
+    * cohort), never hash-judged — the q_hits float-compare rule.
+    *
+    * Scale: events collapse to one (key, first, last) row via partial
+    * agg, then to ≤ #distinct-durations step rows per cohort; both
+    * windows partition by cohort over that step relation. The horizon
+    * is a 1-row broadcast. */
+  def kaplanMeier(events: DataFrame, keyCol: String, tsCol: String,
+      cohort: Column, censorDays: Int): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0: $censorDays")
+    // cohort must be key-functional (a key lives in ONE cohort) — made
+    // structural by grouping on it rather than sampling an arbitrary row
+    val per = events.groupBy(col(keyCol).as("__k"), cohort.as("cohort"))
+      .agg(to_date(min(col(tsCol))).as("__first"),
+        to_date(max(col(tsCol))).as("__last"))
+    val hz = broadcast(events.agg(to_date(max(col(tsCol))).as("__hz")))
+    val lab = per.crossJoin(hz)
+      .withColumn("__event",
+        (datediff(col("__hz"), col("__last")) > lit(censorDays)).cast("int"))
+      .withColumn("t",
+        when(col("__event") === 1, datediff(col("__last"), col("__first")))
+          .otherwise(datediff(col("__hz"), col("__first"))))
+    val steps = lab.groupBy(col("cohort"), col("t"))
+      .agg(sum(col("__event")).as("d"),
+        sum(lit(1) - col("__event")).as("c"))
+    val wDesc = Window.partitionBy("cohort").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy("cohort").orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("__f",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("surv",
+        aggregate(collect_list(col("__f")).over(wAsc), lit(1.0),
+          (acc, x) => acc * x))
+      .select(col("cohort"), col("t").cast("int").as("t_days"),
+        col("n_risk"), col("d").as("d_churn"), col("c").as("c_censored"),
+        col("surv"))
+  }
+
   /** Directed association rules over per-key item sets — the
     * market-basket step AFTER [[cooccurrence]]'s undirected edge build:
     * for every ordered pair (antecedent → consequent) co-exhibited by

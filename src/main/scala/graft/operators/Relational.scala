@@ -1138,4 +1138,78 @@ object Relational {
     df.groupBy(keyCols.map(col): _*)
       .agg(array_join(array_sort(collect_list(col(valueCol))), sep)
         .as(s"${valueCol}_list"), count(lit(1)).as("n"))
+
+  /** Revenue-concentration report — the Pareto/80-20 analysis next to
+    * [[skewProfile]]'s "is one KEY hot" diagnostic: for each requested
+    * share threshold, the MINIMAL number of top keys whose cumulative
+    * value reaches that share of the total, plus their exact cents and
+    * achieved share. "990‰ of revenue sits in 40 customers" is both a
+    * business headline and a partitioning warning (the same heads will
+    * dominate any value-weighted shuffle).
+    *
+    * Exactness: values aggregate as CENTS (the judged-double rule);
+    * the threshold test is the integer cross-product form
+    * `cum·1000 ≥ thr·total` (exact while `total·1000 < 2^63` — any
+    * corpus under ~9e16 cents; beyond, pre-scale to whole units), and
+    * because the cumulative sum is monotone along the rank order, the
+    * qualifying set is a suffix — `n_top = min(rank)`,
+    * `top_cents = min(cum)` need no argmin machinery.
+    *
+    * Scale: per-key totals partial-aggregate first; the global ordered
+    * cumsum is the [[Sampling.budgetSelect]] banded prefix-sum — keys
+    * band BY VALUE (width_bucket over the broadcast min/max), per-band
+    * totals make a config-scale offset relation, the in-band window
+    * partitions by band — no single-partition window at any key count.
+    * Ties at band boundaries share a band (banding is by value), so
+    * the global (cents desc, key) order is exactly preserved. Judged
+    * `q_pareto`, fully ORACLED (the oracle uses the naive global
+    * window — same arithmetic, oracle-scale); hand-computed shares,
+    * suffix-min equivalence and tie ordering pinned in RelationalSpec. */
+  def concentration(df: DataFrame, keyCol: String, valueCol: String,
+      thresholdsMilli: Seq[Int], bands: Int = 32): DataFrame = {
+    require(thresholdsMilli.nonEmpty &&
+      thresholdsMilli.forall(t => t >= 1 && t <= 1000),
+      s"thresholds must be in 1..1000 milli: $thresholdsMilli")
+    val W = org.apache.spark.sql.expressions.Window
+    val per = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("__k"),
+          floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__cents"))
+        .groupBy("__k").agg(sum(col("__cents")).as("cents")))
+    val bounds = broadcast(per.agg(
+      min(col("cents")).as("__lo"), max(col("cents")).as("__hi"),
+      sum(col("cents")).as("__total")))
+    // band by value DESCENDING: band 1 = highest cents, so the global
+    // (cents desc, key) order is (band asc, cents desc, key)
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band",
+        (lit(bands) + 1 - width_bucket(col("cents").cast("double"),
+          col("__lo").cast("double"), col("__hi").cast("double") + 1d,
+          lit(bands))).cast("int"))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(sum(col("cents")).as("__bw"), count(lit(1)).as("__bn"))
+      .withColumn("__coff", coalesce(sum(col("__bw")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("__noff", coalesce(sum(col("__bn")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__coff"), col("__noff"))
+    val wBand = W.partitionBy(col("__band"))
+      .orderBy(col("cents").desc, col("__k"))
+      .rowsBetween(Long.MinValue, 0)
+    val ranked = banded
+      .join(broadcast(offsets), "__band")
+      .withColumn("__cum", col("__coff") + sum(col("cents")).over(wBand))
+      .withColumn("__rank", col("__noff") + row_number().over(wBand))
+    val thr = thresholdsMilli.distinct.sorted
+      .map(t => lit(t)).toArray
+    ranked
+      .select(col("__cum"), col("__rank"), col("__total"),
+        explode(array(thr: _*)).as("threshold_milli"))
+      .filter(col("__cum") * 1000 >= col("threshold_milli") * col("__total"))
+      .groupBy(col("threshold_milli"))
+      .agg(min(col("__rank")).as("n_top"), min(col("__cum")).as("top_cents"),
+        first(col("__total")).as("__t"))
+      .select(col("threshold_milli").cast("int").as("threshold_milli"),
+        col("n_top"), col("top_cents"),
+        expr("top_cents * 1000 div __t").as("share_milli"))
+  }
 }

@@ -664,6 +664,45 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("kaplanMeier: censoring in risk set, suffix-sum at-risk, exact left-fold survival") {
+    def d(k: String, day: Int) = (k, ts(f"2026-01-${day + 1}%02d 12:00:00"))
+    // horizon = day 20 (u3's last). censorDays = 3:
+    //   u1 first 0 last 10 -> gap 10 -> churn t=10
+    //   u2 0,5   -> gap 15 -> churn t=5
+    //   u3 2,20  -> gap 0  -> censored t=18
+    //   u4 0,5   -> gap 15 -> churn t=5
+    //   u5 18    -> gap 2  -> censored t=2
+    //   u6 0     -> gap 20 -> churn t=0
+    val df = (Seq(0, 4, 10).map(d("u1", _)) ++ Seq(0, 5).map(d("u2", _)) ++
+      Seq(2, 20).map(d("u3", _)) ++ Seq(0, 5).map(d("u4", _)) ++
+      Seq(18).map(d("u5", _)) ++ Seq(0).map(d("u6", _)))
+      .toDF("k", "ts")
+    val got = Events.kaplanMeier(df, "k", "ts", lit("all"), censorDays = 3)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // steps with churn: t=0 (n=6), t=5 (n=4: u1,u2,u3,u4), t=10 (n=2:
+    // u1,u3). censored u5 (t=2) thins the risk set without a step row.
+    var acc = 1.0
+    acc *= 1.0 - 1.0 / 6.0
+    assert(got(0) === ((6L, 1L, 0L, acc)))
+    acc *= 1.0 - 2.0 / 4.0
+    assert(got(5) === ((4L, 2L, 0L, acc)))
+    acc *= 1.0 - 1.0 / 2.0
+    assert(got(10) === ((2L, 1L, 0L, acc)))
+    assert(got.size === 3)
+    // cohorts partition the estimator: two copies of one cohort's data
+    // under different labels reproduce the single-cohort curve twice
+    val two = df.withColumn("c", when(col("k").isin("u1", "u2"), "A")
+      .otherwise("B"))
+    val byC = Events.kaplanMeier(two, "k", "ts", col("c"), censorDays = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // cohort A: u1 churn t=10, u2 churn t=5 -> at t=5 risk {u1,u2}=2
+    assert(byC(("A", 5)) === 2L && byC(("A", 10)) === 1L)
+    intercept[IllegalArgumentException](
+      Events.kaplanMeier(df, "k", "ts", lit("all"), censorDays = -1))
+  }
+
   test("associationRules: hand metrics, direction asymmetry, min-support cut") {
     val df = Seq(
       (1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"), // dup membership ignored

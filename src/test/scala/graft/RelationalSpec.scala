@@ -758,4 +758,29 @@ class RelationalSpec extends SparkTestBase {
       .expectations(df.withColumn("quarantine_reason", lit("x")),
         Seq(("a", "k > 0"))))
   }
+
+  test("concentration: hand shares, multi-row keys, ties, band-count invariance") {
+    // k1 split across two rows (aggregation), k2/k3 tie at 3000 cents
+    val df = Seq(
+      ("k1", 25.0), ("k1", 25.0),   // 5000 cents
+      ("k2", 30.0),                  // 3000
+      ("k3", 30.0),                  // 3000  (tie -> key order k2 < k3)
+      ("k4", 5.0))                   // 500;  total = 11500
+      .toDF("k", "v")
+    def run(bands: Int) = graft.operators.Relational
+      .concentration(df, "k", "v", Seq(400, 500, 900, 1000), bands)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = run(32)
+    // cum: k1 5000 (434‰), k2 8000 (695‰), k3 11000 (956‰), k4 11500
+    assert(got(400) === ((1L, 5000L, 434L)))
+    assert(got(500) === ((2L, 8000L, 695L)))
+    assert(got(900) === ((3L, 11000L, 956L)))
+    assert(got(1000) === ((4L, 11500L, 1000L)))
+    // banding is an implementation detail: 1 and 2 bands agree exactly
+    assert(run(1) === got && run(2) === got)
+    intercept[IllegalArgumentException](
+      graft.operators.Relational.concentration(df, "k", "v", Seq(0)))
+    graft.engine.Caches.releaseAll()
+  }
 }
