@@ -1009,6 +1009,30 @@ object SparkEntry {
           lit(all.size).as("dirs_total"))
     }),
 
+    // Point-lookup data skipping via distinct-value sidecars: dir i
+    // holds buckets {i, i+4} (mod-8 of the order key), so the four
+    // [min,max] ranges interleave and range stats keep 2 dirs for
+    // bucket=6 — the dictionary-scraped SET keeps exactly the one
+    // owning dir. The oracle recomputes the owning-dir count from the
+    // same slice predicate. Fully oracled.
+    "q_table_pointskip" -> ((s, dir) => {
+      val root = tmpPath("vtable_pointskip")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(8)).cast("long").as("bucket"))
+      VersionedTable.create(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+      (1 to 3).foreach(i => VersionedTable.append(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === i)))
+      val (kept, all) = VersionedTable.pruneDirs(s, root, "bucket", 6L, 6L)
+      VersionedTable.readWhereEquals(s, root, "bucket", 6L)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .select(col("n"), col("key_sum"), lit(kept.size).as("dirs_read"),
+          lit(all.size).as("dirs_total"))
+    }),
+
     // Selective compaction (Delta OPTIMIZE [WHERE] economics): a bloated
     // table — one big create, two small trickle appends, another big
     // append, a MOR tombstone over the first dir — is optimized with the
@@ -4487,6 +4511,18 @@ object SparkEntry {
         |               AND mx >= TIMESTAMP '1994-03-01 00:00:00') AS INT)
         |         AS dirs_read,
         |       CAST((SELECT count(*) FROM y) AS INT) AS dirs_total
+        |FROM sel""".stripMargin,
+
+    // dirs_read = #dirs whose distinct SET contains the key (dir = key
+    // mod 4; a dir contains bucket 6 iff some key there is ≡6 mod 8)
+    "q_table_pointskip" ->
+      """WITH sel AS (SELECT count(*) AS n, sum(o_orderkey) AS ks
+        |             FROM orders WHERE o_orderkey % 8 = 6)
+        |SELECT CAST(sel.n AS BIGINT) AS n, CAST(sel.ks AS BIGINT) AS key_sum,
+        |       CAST((SELECT count(DISTINCT o_orderkey % 4) FROM orders
+        |             WHERE o_orderkey % 8 = 6) AS INT) AS dirs_read,
+        |       CAST((SELECT count(DISTINCT o_orderkey % 4) FROM orders)
+        |         AS INT) AS dirs_total
         |FROM sel""".stripMargin,
 
     // branch = fork ∪ the two branch appends; main_before = the fork

@@ -1477,9 +1477,20 @@ object VersionedTable {
     * Java's UTF-16 order and Spark's UTF8 binary order identical;
     * non-ASCII min/max poison the column instead of risking a wrong
     * prune). `hasValues=false` means every value in the directory is
-    * NULL — range predicates can never match it. */
+    * NULL — range predicates can never match it. `values`, when
+    * present, is the COMPLETE distinct-value enumeration of the
+    * directory (parquet dictionary pages, ≤ [[MaxDictKeys]]) in the
+    * same rendering as min/max — strictly sharper than the range:
+    * a point lookup inside [min, max] but absent from the set prunes
+    * where min/max cannot (the Delta/Iceberg dictionary-filtering
+    * economics, exact rather than bloom-probabilistic). */
   private final case class ColStat(kind: Char, min: String, max: String,
-      hasValues: Boolean)
+      hasValues: Boolean, values: Option[Set[String]] = None)
+
+  /** Distinct-set size cap: above this the sidecar stores only the
+    * range. 64 keeps sidecars tiny while covering the low-cardinality
+    * columns point lookups actually hit (enums, buckets, tenant ids). */
+  private val MaxDictKeys = 64
   private final case class DirStat(rows: Long, cols: Map[String, ColStat])
 
   private def isAscii(s: String): Boolean = s.forall(c => c < 0x80)
@@ -1510,6 +1521,55 @@ object VersionedTable {
     * range pruning needs. Hive-partition columns live in directory
     * names, not footers, so they are naturally absent here — partition
     * pruning inside the scan already covers them. */
+  /** Distinct-set scrape for ONE column chunk: contributes the chunk's
+    * dictionary values, or abandons the column's set when completeness
+    * can't be proven — any non-dictionary-encoded data page means
+    * values exist outside the dictionary. A proven all-null chunk
+    * contributes nothing (equality never matches NULL). Driver-side
+    * metadata + dictionary-page reads only — no Spark job, and a
+    * dictionary under [[MaxDictKeys]] entries is a few hundred bytes. */
+  private def scrapeDict(reader: org.apache.parquet.hadoop.ParquetFileReader,
+      schema: org.apache.parquet.schema.MessageType,
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      name: String, dictAbandon: String => Unit,
+      dictAdd: (String, Seq[String]) => Unit): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val st = c.getStatistics
+    val provenAllNull = st != null && !st.hasNonNullValue &&
+      st.isNumNullsSet && st.getNumNulls == c.getValueCount
+    if (provenAllNull) return
+    val es = c.getEncodingStats
+    val dictOnly = es != null && es.hasDictionaryPages &&
+      !es.hasNonDictionaryEncodedPages
+    if (!dictOnly) { dictAbandon(name); return }
+    try {
+      val desc = schema.getColumnDescription(c.getPath.toArray)
+      // upcast: getDictionaryReader's static type is package-private,
+      // the read method is on the public DictionaryPageReadStore
+      val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+        reader.getDictionaryReader(block)
+      val page = store.readDictionaryPage(desc)
+      if (page == null) { dictAbandon(name); return }
+      val dict = page.getEncoding.initDictionary(desc, page)
+      val n = dict.getMaxId + 1
+      if (n > MaxDictKeys) { dictAbandon(name); return }
+      c.getPrimitiveType.getPrimitiveTypeName match {
+        case INT32 => dictAdd(name,
+          (0 until n).map(i => dict.decodeToInt(i).toLong.toString))
+        case INT64 => dictAdd(name,
+          (0 until n).map(i => dict.decodeToLong(i).toString))
+        case BINARY =>
+          val vs = (0 until n).map(i =>
+            dict.decodeToBinary(i).toStringUsingUTF8)
+          if (vs.forall(isAscii)) dictAdd(name, vs) else dictAbandon(name)
+        case _ => dictAbandon(name)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => dictAbandon(name)
+    }
+  }
+
   private def writeStats(fs: FileSystem, dirP: Path): Unit = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -1523,7 +1583,7 @@ object VersionedTable {
     def mergeRange(name: String, kind: Char, mn: String, mx: String,
         lt: (String, String) => Boolean): Unit = acc.get(name) match {
       case Some(None) => ()
-      case None | Some(Some(ColStat(_, _, _, false))) =>
+      case None | Some(Some(ColStat(_, _, _, false, _))) =>
         acc.update(name, Some(ColStat(kind, mn, mx, hasValues = true)))
       case Some(Some(prev)) =>
         if (prev.kind != kind) poison(name)
@@ -1534,6 +1594,23 @@ object VersionedTable {
     def longLt(a: String, b: String) = a.toLong < b.toLong
     def dblLt(a: String, b: String) = a.toDouble < b.toDouble
     def strLt(a: String, b: String) = a < b
+    // distinct-value sets from dictionary pages: a column's set is kept
+    // only while EVERY chunk seen so far is fully dictionary-encoded
+    // (the dictionary is then a complete enumeration) and the union
+    // stays under MaxDictKeys; None = abandoned, range-only
+    val dictAcc = scala.collection.mutable.LinkedHashMap[
+      String, Option[scala.collection.mutable.LinkedHashSet[String]]]()
+    def dictAbandon(name: String): Unit = dictAcc.update(name, None)
+    def dictAdd(name: String, vs: Seq[String]): Unit =
+      dictAcc.get(name) match {
+        case Some(None) => ()
+        case cur =>
+          val set = cur.flatten.getOrElse(
+            scala.collection.mutable.LinkedHashSet.empty[String])
+          set ++= vs
+          if (set.size > MaxDictKeys) dictAbandon(name)
+          else dictAcc.update(name, Some(set))
+      }
     def allNull(name: String): Unit = acc.get(name) match {
       case None => acc.update(name,
         Some(ColStat('L', "", "", hasValues = false)))
@@ -1543,12 +1620,15 @@ object VersionedTable {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
         for (block <- reader.getFooter.getBlocks.asScala) {
           rows += block.getRowCount
           for (c <- block.getColumns.asScala) {
             val path = c.getPath.toArray
             if (path.length == 1) {
               val name = path(0)
+              scrapeDict(reader, schema, block, c, name,
+                dictAbandon, dictAdd)
               val st: org.apache.parquet.column.statistics.Statistics[_] =
                 c.getStatistics
               if (st == null) poison(name)
@@ -1626,8 +1706,20 @@ object VersionedTable {
     }
     val lines = s"rows\t$rows" +: acc.toSeq.collect {
       case (name, Some(cs)) =>
+        // distinct sets render only for kinds whose dictionary decode
+        // lands in the SAME domain as min/max ('L' raw integral, 'A'
+        // epoch-days, 'S' ASCII) — 't' MILLIS ranges are rescaled to
+        // micros and a raw-millis set would silently disagree
+        val setField =
+          if ("LAS".indexOf(cs.kind.toInt) >= 0 && cs.hasValues)
+            dictAcc.get(name).flatten match {
+              case Some(set) =>
+                "\t" + set.toSeq.sorted.map(urlEnc).mkString(",")
+              case None => ""
+            }
+          else ""
         s"${urlEnc(name)}\t${cs.kind}\t${if (cs.hasValues) 1 else 0}" +
-          s"\t${urlEnc(cs.min)}\t${urlEnc(cs.max)}"
+          s"\t${urlEnc(cs.min)}\t${urlEnc(cs.max)}" + setField
     }
     val out = fs.create(new Path(dirP, StatsFile), false)
     try out.write(lines.mkString("\n")
@@ -1652,8 +1744,11 @@ object VersionedTable {
         val rows = lines.head.stripPrefix("rows\t").toLong
         val cols = lines.tail.map { l =>
           val f = l.split("\t", -1)
+          val vs = if (f.length >= 6 && f(5).nonEmpty)
+            Some(f(5).split(",", -1).map(urlDec).toSet)
+          else None
           urlDec(f(0)) -> ColStat(f(1).head, urlDec(f(3)), urlDec(f(4)),
-            f(2) == "1")
+            f(2) == "1", vs)
         }.toMap
         Some(DirStat(rows, cols))
       }
@@ -1707,6 +1802,18 @@ object VersionedTable {
       case None => true
       case Some(cs) if !cs.hasValues => false // all NULL: BETWEEN never matches
       case Some(cs) if cs.kind != bk => true
+      // a complete distinct set decides SHARPER than the range: any
+      // value in [lo, hi]? — the point-lookup case ([v, v] inside
+      // [min, max] but absent from the set) prunes where min/max can't
+      case Some(ColStat(_, _, _, _, Some(vs))) => bk match {
+        case 'L' | 'T' | 'A' =>
+          val l = lo.toLong; val h = hi.toLong
+          vs.exists { v => val x = v.toLong; x >= l && x <= h }
+        case 'D' =>
+          val l = lo.toDouble; val h = hi.toDouble
+          vs.exists { v => val x = v.toDouble; x >= l && x <= h }
+        case _ => vs.exists(v => v >= lo && v <= hi)
+      }
       case Some(cs) => bk match {
         case 'L' | 'T' | 'A' =>
           !(hi.toLong < cs.min.toLong || lo.toLong > cs.max.toLong)
@@ -1775,6 +1882,19 @@ object VersionedTable {
     resolvedRead(spark, fs, rootP, m.copy(dataDirs = dirs),
       mergeSchema = mergeSchema || m.deleteDirs.nonEmpty).filter(pred)
   }
+
+  /** Point-lookup read: [[readWhereBetween]] with a degenerate [v, v]
+    * range. Where the directory sidecars carry a distinct-value set
+    * for `column` (low-cardinality, fully dictionary-encoded — see
+    * [[MaxDictKeys]]), pruning is exact SET MEMBERSHIP: a key absent
+    * from a directory skips it even when the key sits inside the
+    * directory's [min, max] — interleaved ingest patterns (hash
+    * buckets, tenant ids, enum shards) prune to exactly the owning
+    * directories where range stats alone read almost everything. */
+  def readWhereEquals(spark: SparkSession, root: String, column: String,
+      value: Any, version: Int = 0,
+      mergeSchema: Boolean = false): DataFrame =
+    readWhereBetween(spark, root, column, value, value, version, mergeSchema)
 
   /** Metadata-only row count (Delta's `SELECT count(*)` fast path): the
     * sum of footer-scraped directory row counts — zero data IO. None

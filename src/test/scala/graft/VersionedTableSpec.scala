@@ -1072,6 +1072,58 @@ class VersionedTableSpec extends SparkTestBase {
     assert(got.count() === want.count() && got.count() > 0)
   }
 
+  test("distinct-set point pruning: absent key inside [min,max] prunes; cardinality cap falls back") {
+    val root = freshRoot("skip_dict")
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(8)).cast("long").as("bucket"))
+    // dir i holds buckets {i, i+4}: the four [min,max] ranges interleave
+    // (1..6, 2..7, ...) so range stats barely prune, but each dir's
+    // 2-member distinct SET answers point lookups exactly
+    VersionedTable.create(spark, root,
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+    (1 to 3).foreach(i => VersionedTable.append(spark, root,
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === i)))
+    val (kept, all) = VersionedTable.pruneDirs(spark, root, "bucket", 6L, 6L)
+    assert(all.size === 4 && kept.size === 1,
+      s"set membership should prune to the one {2,6} dir: $kept")
+    val got = VersionedTable.readWhereEquals(spark, root, "bucket", 6L)
+    val want = orders.filter(col("bucket") === 6L)
+    assert(got.count() === want.count() && got.count() > 0)
+    // a RANGE query consults the set too: [5,6] overlaps exactly the
+    // {1,5} and {2,6} dirs
+    val (kr, _) = VersionedTable.pruneDirs(spark, root, "bucket", 5L, 6L)
+    assert(kr.size === 2)
+    // high-cardinality o_orderkey abandoned its set (> cap): an absent
+    // key inside the overlapping ranges stays conservative — all read
+    val keys = orders.select("o_orderkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val absent = (keys.min to keys.max).find(k => !keys.contains(k))
+    absent.foreach { k =>
+      val (kk, _) = VersionedTable.pruneDirs(spark, root, "o_orderkey", k, k)
+      assert(kk.size === 4, "range-only fallback must not prune by set")
+    }
+  }
+
+  test("distinct-set pruning on ASCII string enums") {
+    import spark.implicits._
+    val root = freshRoot("skip_dict_str")
+    // enough rows that parquet's writer actually dictionary-encodes
+    // (tiny 2-row chunks come out PLAIN and the set is rightly absent)
+    val a = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "alpha" else "gamma")).toDF("id", "tag")
+    val b = (201L to 400L).map(i =>
+      (i, if (i % 2 == 0) "beta" else "delta")).toDF("id", "tag")
+    VersionedTable.create(spark, root, a.coalesce(1))
+    VersionedTable.append(spark, root, b.coalesce(1))
+    // "beta" sits inside dir A's [alpha, gamma] range — only the set
+    // knows it isn't there
+    val (kept, all) = VersionedTable.pruneDirs(spark, root, "tag", "beta", "beta")
+    assert(all.size === 2 && kept.size === 1)
+    assert(VersionedTable.readWhereEquals(spark, root, "tag", "beta")
+      .count() === 100L)
+  }
+
   test("stats-absent columns (INT96 timestamps) are unprunable, never all-null-pruned") {
     val root = freshRoot("skip_int96")
     val dated = Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderdate")
