@@ -3342,6 +3342,23 @@ object SparkEntry {
           "signup", "purchase")
         .orderBy("user_id")),
 
+    // Per-type winsorization at [p05, p95]: values clamp to exact
+    // quantiles (quantile_cont parity per q_robust_scale); clamping
+    // itself is pure comparison. Fully oracled.
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Events
+        .winsorize(t(s, dir, "events")
+            .select("event_id", "event_type", "value"),
+          "event_type", "value", 0.05, 0.95)
+        .orderBy("event_id")),
+
+    // Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
+    // ln(rank) across the top-100 tokens (exact integer ranks; the
+    // q_trend FP-tolerance precedent for the regression). Fully
+    // oracled.
+    "q_zipf" -> ((s, dir) =>
+      graft.functions.TextOps.zipfFit(t(s, dir, "documents"), "text", 100)),
+
     // Weekly-activity autocorrelation at lags 1..4: scaled-integer
     // mean-centering makes numerator/denominator exact BIGINT sums,
     // the one double is the final division (the twap rule). Densified
@@ -5116,6 +5133,36 @@ object SparkEntry {
         |FROM ranked CROSS JOIN thr
         |WHERE cum * 1000 >= tm * (SELECT total FROM tot)
         |GROUP BY tm ORDER BY 1""".stripMargin,
+
+    // quantile_cont ≡ Spark percentile bit-for-bit (the q_robust_scale
+    // precedent); the clamp is pure comparison
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |                  quantile_cont(value, 0.05) AS lo,
+        |                  quantile_cont(value, 0.95) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |       least(greatest(value, lo), hi) AS winsorized
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // integer ranks; the regression over <=100 ln terms sits far under
+    // the float tolerance (the q_trend precedent)
+    "q_zipf" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+        |      GROUP BY 1 ORDER BY n DESC, token LIMIT 100),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        |      FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |       regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+        |         AS slope,
+        |       regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+        |         AS intercept,
+        |       regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+        |         AS r2
+        |FROM r""".stripMargin,
 
     // identical scaled-integer centering both sides: (n·x − S) terms
     // are exact, sums CAST BIGINT, the lone double is one division

@@ -786,4 +786,37 @@ object TextOps {
       }
       .toDF(idCol, "tokens")
   }
+
+  /** Zipf-law fit over the corpus vocabulary — the distributional
+    * health check next to [[oovReport]]'s coverage view: natural text
+    * follows `freq ∝ rank^s` with s ≈ −1 in log-log space; a corpus
+    * whose fitted slope sits far off (template spam: flat head;
+    * boilerplate dedup failure: cliff) or whose r² is low (mixed
+    * registers) earns a closer look before training. One aggregated
+    * row: top-`topK` tokens by (freq desc, token) — exact integer
+    * ranks, the q_keywords sort-key rule — then OLS of ln(freq) on
+    * ln(rank) via `regr_slope`/`regr_intercept`/`regr_r2` (the q_trend
+    * FP-tolerance precedent: sums over ≤ topK log terms agree across
+    * engines well under the harness float tolerance).
+    *
+    * Scale: token counts partial-aggregate; the top-K cut is
+    * TakeOrdered (no full sort), and the regression runs over K rows.
+    * Judged `q_zipf`, fully ORACLED; closed-form fits (exact power law
+    * → slope recovered, r² = 1) pinned in TextOpsSpec. */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 2 && topK <= 10000, s"topK must be in 2..10000: $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .agg(count(lit(1)).as("k"),
+        regr_slope(log(col("n").cast("double")),
+          log(col("rank").cast("double"))).as("slope"),
+        regr_intercept(log(col("n").cast("double")),
+          log(col("rank").cast("double"))).as("intercept"),
+        regr_r2(log(col("n").cast("double")),
+          log(col("rank").cast("double"))).as("r2"))
+  }
 }

@@ -622,6 +622,36 @@ object VersionedTable {
     resolvedRead(spark, fs, rootP, m, mergeSchema)
   }
 
+  /** The snapshot current AT a wall-clock instant (Delta `TIMESTAMP AS
+    * OF`): the highest retained version whose manifest file was
+    * committed at or before `asOf`. Commit instants are the log files'
+    * MODIFICATION TIMES — the pre-in-commit-timestamp Delta rule, with
+    * the same caveats: the clock is the writer's filesystem's, so
+    * cross-writer skew can reorder instants within its resolution
+    * (version order is the tie-break: among eligible manifests the MAX
+    * version wins), and a vacuumed tail is no longer addressable.
+    * Version-based time travel ([[readVersion]]) stays the exact
+    * primitive; this is the human-friendly entry over it. Spec-pinned
+    * (wall-clock values are not oracle-reproducible — the documented
+    * reason this surface has no judged row). */
+  def versionAsOf(spark: SparkSession, root: String,
+      asOf: java.time.Instant): Int = {
+    val (fs, rootP) = fsOf(spark, root)
+    requireExists(spark, root)
+    val eligible = existingVersions(fs, rootP).filter { v =>
+      fs.getFileStatus(manifestPath(rootP, v)).getModificationTime <=
+        asOf.toEpochMilli
+    }
+    require(eligible.nonEmpty,
+      s"no retained version committed at or before $asOf under $root")
+    eligible.max
+  }
+
+  /** [[readVersion]] at [[versionAsOf]]`(asOf)`. */
+  def readAsOf(spark: SparkSession, root: String, asOf: java.time.Instant,
+      mergeSchema: Boolean = false): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, asOf), mergeSchema)
+
   def readLatest(spark: SparkSession, root: String,
       mergeSchema: Boolean = false): DataFrame =
     readVersion(spark, root, requireExists(spark, root), mergeSchema)
@@ -1005,8 +1035,12 @@ object VersionedTable {
     requireExists(spark, root)
     val ms = existingVersions(fs, rootP).map(readManifest(fs, rootP, _))
     import spark.implicits._
-    ms.map(m => (m.version, m.op, m.baseVersion, m.dataDirs.size))
-      .toDF("version", "op", "base_version", "n_dirs")
+    // commit_ts = manifest mtime (see versionAsOf for the caveats) —
+    // appended LAST so positional consumers of the original columns hold
+    ms.map(m => (m.version, m.op, m.baseVersion, m.dataDirs.size,
+        new java.sql.Timestamp(fs.getFileStatus(
+          manifestPath(rootP, m.version)).getModificationTime)))
+      .toDF("version", "op", "base_version", "n_dirs", "commit_ts")
   }
 
   /** Change-data feed between two snapshots: multiset row difference —

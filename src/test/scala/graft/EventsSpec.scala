@@ -664,6 +664,22 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("winsorize: clamp matrix, interior values untouched, degenerate quantiles") {
+    val df = (1 to 10).map(v => ("k", v.toDouble)).toDF("k", "v")
+    val got = Events.winsorize(df, "k", "v", 0.25, 0.75)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // n=10: p25 = 3.25, p75 = 7.75 (linear interpolation)
+    assert(got(1.0) === 3.25 && got(3.0) === 3.25)
+    assert(got(9.0) === 7.75 && got(10.0) === 7.75)
+    assert((4 to 7).forall(v => got(v.toDouble) === v.toDouble))
+    // all-equal series: lo = hi = v, everything untouched
+    val flat = Events.winsorize(Seq(("k", 5.0), ("k", 5.0)).toDF("k", "v"),
+      "k", "v", 0.1, 0.9).collect().map(_.getDouble(2))
+    assert(flat.forall(_ === 5.0))
+    intercept[IllegalArgumentException](
+      Events.winsorize(df, "k", "v", 0.9, 0.1))
+  }
+
   test("kaplanMeier: censoring in risk set, suffix-sum at-risk, exact left-fold survival") {
     def d(k: String, day: Int) = (k, ts(f"2026-01-${day + 1}%02d 12:00:00"))
     // horizon = day 20 (u3's last). censorDays = 3:

@@ -470,4 +470,23 @@ class TextOpsSpec extends SparkTestBase {
       .orderBy("rank").collect()
     assert(t2.map(_.getAs[String]("token")).toSeq === Seq("alpha", "beta"))
   }
+
+  test("zipfFit: exact power law recovers its slope with r2 = 1; topK caps at vocab") {
+    // freq = 12 / rank exactly: a x12, b x6, c x4, d x3 -> ln(freq) is
+    // collinear in ln(rank) with slope -1, intercept ln 12
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextOps.zipfFit(df, "text", 100).collect().head
+    assert(r.getAs[Long]("k") === 4L)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-9)
+    assert(r.getAs[Double]("r2") > 1.0 - 1e-9)
+    // topK cuts by (freq desc, token): k=2 keeps a and b only ->
+    // still exactly collinear (any 2 points are), slope -1
+    val r2 = TextOps.zipfFit(df, "text", 2).collect().head
+    assert(r2.getAs[Long]("k") === 2L)
+    assert(math.abs(r2.getAs[Double]("slope") + 1.0) < 1e-9)
+    intercept[IllegalArgumentException](TextOps.zipfFit(df, "text", 1))
+  }
 }

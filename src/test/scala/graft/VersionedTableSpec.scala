@@ -1072,6 +1072,26 @@ class VersionedTableSpec extends SparkTestBase {
     assert(got.count() === want.count() && got.count() > 0)
   }
 
+  test("versionAsOf / readAsOf: wall-clock time travel over manifest mtimes") {
+    val root = freshRoot("asof")
+    VersionedTable.create(spark, root, orders.limit(2))
+    Thread.sleep(100) // separate the two commit mtimes cleanly
+    VersionedTable.append(spark, root, orders.limit(3))
+    val ts = VersionedTable.history(spark, root).orderBy("version")
+      .collect().map(_.getTimestamp(4).toInstant)
+    val (t1, t2) = (ts(0), ts(1))
+    assert(t1.isBefore(t2))
+    assert(VersionedTable.versionAsOf(spark, root, t1) === 1) // inclusive
+    assert(VersionedTable.versionAsOf(spark, root, t2.minusMillis(1)) === 1)
+    assert(VersionedTable.versionAsOf(spark, root, t2) === 2)
+    assert(VersionedTable.readAsOf(spark, root, t1).count() === 2)
+    assert(VersionedTable.readAsOf(spark, root, t2.plusSeconds(60))
+      .count() === 5)
+    // nothing committed yet at asOf: reject rather than guess
+    intercept[IllegalArgumentException](
+      VersionedTable.versionAsOf(spark, root, t1.minusMillis(1)))
+  }
+
   test("distinct-set point pruning: absent key inside [min,max] prunes; cardinality cap falls back") {
     val root = freshRoot("skip_dict")
     val orders = Tables(spark, sfDir, "orders")
