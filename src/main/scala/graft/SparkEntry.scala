@@ -3342,6 +3342,22 @@ object SparkEntry {
           "signup", "purchase")
         .orderBy("user_id")),
 
+    // Two-sample KS statistic in exact integer arithmetic: the
+    // cross-multiplied |ca*nb - cb*na| form keeps the sup and the
+    // milli-D exact BIGINTs; banded ECDF cumsum. Fully oracled.
+    "q_ks" -> ((s, dir) =>
+      graft.operators.Events.ksStatistic(
+        t(s, dir, "events"), "event_type", "value", "click", "purchase")),
+
+    // PSI per reference-decile bin with Laplace smoothing: exact
+    // BIGINT counts + FP-tolerance terms (q_trend precedent), bins
+    // densified so empty-bin smoothing terms are not dropped. Fully
+    // oracled.
+    "q_psi" -> ((s, dir) =>
+      graft.operators.Events.psiBins(
+        t(s, dir, "events"), "event_type", "value", "click", "purchase")
+        .orderBy("bin")),
+
     // Per-type winsorization at [p05, p95]: values clamp to exact
     // quantiles (quantile_cont parity per q_robust_scale); clamping
     // itself is pure comparison. Fully oracled.
@@ -5133,6 +5149,63 @@ object SparkEntry {
         |FROM ranked CROSS JOIN thr
         |WHERE cum * 1000 >= tm * (SELECT total FROM tot)
         |GROUP BY tm ORDER BY 1""".stripMargin,
+
+    // pure integer arithmetic both sides; the oracle's global window
+    // is the banding's naive twin
+    "q_ks" ->
+      """WITH per AS (SELECT value AS v,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |               CAST(sum(b) AS BIGINT) AS nb FROM per),
+        |c AS (SELECT
+        |  CAST(sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS ca,
+        |  CAST(sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cb
+        |  FROM per)
+        |SELECT na AS n_a, nb AS n_b,
+        |       CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+        |       CAST(max(abs(ca * nb - cb * na)) AS BIGINT) * 1000
+        |         // (na * nb) AS d_milli
+        |FROM c CROSS JOIN tot GROUP BY na, nb""".stripMargin,
+
+    // identical when-chain binning, Laplace smoothing and term
+    // parenthesization; terms FP-tolerance judged
+    "q_psi" ->
+      ("""WITH b AS (SELECT quantile_cont(value,
+        |             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd
+        |           FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_type, value FROM events
+        |      WHERE event_type IN ('click', 'purchase')),
+        |binned AS (SELECT event_type, ("""
+        + (1 to 9).map(i =>
+            s"CASE WHEN value > bnd[$i] THEN 1 ELSE 0 END").mkString(" + ") +
+        """) AS bin
+        |           FROM e CROSS JOIN b),
+        |c AS (SELECT bin,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ref_n,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cur_n
+        |  FROM binned GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS tr,
+        |             CAST(sum(cur_n) AS BIGINT) AS tc FROM c),
+        |d AS (SELECT axis.bin, COALESCE(ref_n, 0) AS ref_n,
+        |             COALESCE(cur_n, 0) AS cur_n
+        |      FROM axis LEFT JOIN c ON axis.bin = c.bin)
+        |SELECT CAST(d.bin AS INT) AS bin, ref_n, cur_n,
+        |       (CAST(ref_n + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+        |        - CAST(cur_n + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+        |       * ln((CAST(ref_n + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+        |             / (CAST(cur_n + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)))
+        |         AS term
+        |FROM d CROSS JOIN t ORDER BY 1""").stripMargin,
 
     // quantile_cont ≡ Spark percentile bit-for-bit (the q_robust_scale
     // precedent); the clamp is pure comparison

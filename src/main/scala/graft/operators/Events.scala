@@ -1073,6 +1073,115 @@ object Events {
         expr("n * 1000 div __ft").as("prob_milli"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic in EXACT integer
+    * arithmetic — the distribution-drift detector next to
+    * [[Relational.chi2Association]]'s categorical audit: D = sup over
+    * x of |F_A(x) − F_B(x)|, evaluated at every pooled distinct value
+    * (where the sup of step ECDFs lives). The cross-multiplied form
+    * `|c_A·n_B − c_B·n_A|` keeps numerator and the final milli-scaled
+    * D (`·1000 div (n_A·n_B)`) exact BIGINTs — no float ever enters,
+    * so the judged compare is bit-exact (overflow-safe while
+    * `n_A·n_B·1000 < 2^63`, i.e. samples to ~9e7 rows a side; beyond,
+    * pre-aggregate to value counts and divide once in double).
+    *
+    * Scale: raw rows partial-aggregate to per-distinct-value (a, b)
+    * counts FIRST; the global value-ordered cumsum is the
+    * [[Relational.concentration]] banded prefix-sum (band by value via
+    * broadcast min/max, config-scale offsets, in-band windows) — no
+    * single-partition window at any cardinality. Judged `q_ks`, fully
+    * ORACLED (the oracle uses the naive global window — same integer
+    * arithmetic); identical-sample zero, disjoint-support 1000‰ and
+    * hand-ECDF values pinned in EventsSpec. */
+  def ksStatistic(events: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, bands: Int = 32): DataFrame = {
+    val W = Window
+    val per = graft.engine.Caches.persisted(
+      events.filter(col(groupCol).isin(groupA, groupB))
+        .groupBy(col(valueCol).as("v"))
+        .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
+          sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b")))
+    val bounds = broadcast(per.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      sum(col("a")).as("n_a"), sum(col("b")).as("n_b")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", width_bucket(col("v").cast("double"),
+        col("__lo").cast("double"), col("__hi").cast("double"),
+        lit(bands)).cast("int"))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(sum(col("a")).as("__ba"), sum(col("b")).as("__bb"))
+      .withColumn("__oa", coalesce(sum(col("__ba")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("__ob", coalesce(sum(col("__bb")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__oa"), col("__ob"))
+    val wB = W.partitionBy(col("__band")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, 0)
+    banded.join(broadcast(offsets), "__band")
+      .withColumn("__ca", col("__oa") + sum(col("a")).over(wB))
+      .withColumn("__cb", col("__ob") + sum(col("b")).over(wB))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("__ca") * col("n_b") - col("__cb") * col("n_a")))
+        .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        // an empty side has no ECDF: null rather than a div-by-zero
+        expr("d_num * 1000 div nullif(n_a * n_b, 0L)").as("d_milli"))
+  }
+
+  /** Population stability index per reference-decile bin — the ML
+    * monitoring staple ("has the serving distribution drifted from
+    * training?"): bins are the REFERENCE slice's exact `nBins`-iles
+    * (quantile parity per [[robustScale]]), both slices count into
+    * them (ties to the lower bin, the [[quantileBucketize]] rule),
+    * Laplace-smoothed shares `p = (n_bin + 1)/(n + nBins)` keep empty
+    * bins finite, and the per-bin term is `(p_ref − p_cur)·ln(p_ref /
+    * p_cur)` — always ≥ 0, summing to the PSI (< 0.1 stable, > 0.25
+    * action; Siddiqi 2006). Per-bin rows emit the exact BIGINT counts
+    * plus the term (FP-tolerance judged, the q_trend precedent) so the
+    * drift is attributable to WHERE it happened, not one opaque total.
+    *
+    * Scale: one quantile pass over the reference partial-aggregates to
+    * a 1-row broadcast; binning is a codegen when-chain in the scan;
+    * counts partial-aggregate to ≤ nBins rows; the bin axis densifies
+    * 0..nBins-1 (an empty-on-both-sides bin still carries a smoothing
+    * term unless n_ref = n_cur — omitting it would misreport). Judged
+    * `q_psi`, fully ORACLED; identical-slices zero, shifted-slice
+    * attribution and empty-bin smoothing pinned in EventsSpec. */
+  def psiBins(events: DataFrame, groupCol: String, valueCol: String,
+      refGroup: String, curGroup: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 16, s"nBins must be in 2..16: $nBins")
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    val bnd = broadcast(events.filter(col(groupCol) === refGroup)
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))")
+        .as("__bnd")))
+    val both = events.filter(col(groupCol).isin(refGroup, curGroup))
+      .crossJoin(bnd)
+    val bin = probs.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col(valueCol) > element_at(col("__bnd"), i + 1), 1)
+        .otherwise(0)
+    }
+    val counts = both.withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(sum(when(col(groupCol) === refGroup, 1L).otherwise(0L))
+        .as("ref_n"),
+        sum(when(col(groupCol) === curGroup, 1L).otherwise(0L)).as("cur_n"))
+    val axis = events.sparkSession.range(0, nBins)
+      .select(col("id").cast("int").as("bin"))
+    val totals = broadcast(counts.agg(sum(col("ref_n")).as("__tr"),
+      sum(col("cur_n")).as("__tc")))
+    axis.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .crossJoin(totals)
+      .withColumn("__pr", (col("ref_n") + 1).cast("double") /
+        (col("__tr") + nBins).cast("double"))
+      .withColumn("__pc", (col("cur_n") + 1).cast("double") /
+        (col("__tc") + nBins).cast("double"))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        ((col("__pr") - col("__pc")) * log(col("__pr") / col("__pc")))
+          .as("term"))
+  }
+
   /** Per-key activity autocorrelation — the ACF at lags `1..maxLag`
     * over each key's bucketed EVENT-COUNT series (weekly by default):
     * the periodicity detector next to [[seasonalIndices]] ("is there a

@@ -664,6 +664,52 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("ksStatistic: hand ECDF sup, identical-sample zero, disjoint-support 1000, band invariance") {
+    def df(a: Seq[Double], b: Seq[Double]) =
+      (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    // A = [1,2,3,4], B = [2,4,6,8]: sup at v=3 (or 4): |12-4|/16 = 0.5
+    val hand = Events.ksStatistic(df(Seq(1, 2, 3, 4), Seq(2, 4, 6, 8)),
+      "g", "v", "A", "B").collect().head
+    assert((hand.getLong(0), hand.getLong(1), hand.getLong(2),
+      hand.getLong(3)) === ((4L, 4L, 8L, 500L)))
+    // identical samples: D = 0
+    val same = Events.ksStatistic(df(Seq(1, 2, 3), Seq(1, 2, 3)),
+      "g", "v", "A", "B").collect().head
+    assert(same.getLong(2) === 0L && same.getLong(3) === 0L)
+    // disjoint support: D = 1
+    val dis = Events.ksStatistic(df(Seq(1, 2), Seq(10, 11)),
+      "g", "v", "A", "B").collect().head
+    assert(dis.getLong(3) === 1000L)
+    // banding is an implementation detail
+    val b1 = Events.ksStatistic(df(Seq(1, 2, 3, 4), Seq(2, 4, 6, 8)),
+      "g", "v", "A", "B", bands = 1).collect().head
+    assert(b1.getLong(2) === 8L && b1.getLong(3) === 500L)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("psiBins: identical slices zero, shift attributed to its bins, smoothing keeps empties finite") {
+    val ref = (1 to 100).map(v => ("r", v.toDouble))
+    // identical current slice: every term exactly 0
+    val zero = Events.psiBins((ref ++ (1 to 100).map(v => ("c", v.toDouble)))
+      .toDF("g", "v"), "g", "v", "r", "c")
+      .collect().map(_.getDouble(3))
+    assert(zero.length === 10 && zero.forall(_ === 0.0))
+    // hard shift: current mass all in the top reference decile
+    val shifted = Events.psiBins(
+      (ref ++ (1 to 100).map(_ => ("c", 99.5))).toDF("g", "v"),
+      "g", "v", "r", "c").orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // cur_n = 0 in bins 0..8 (smoothing keeps their terms finite > 0),
+    // all 100 in bin 9
+    assert(shifted.count(_._3 == 0L) === 9)
+    assert(shifted.last._3 === 100L)
+    assert(shifted.forall(t => t._4 >= 0.0 && !t._4.isInfinite))
+    assert(shifted.map(_._4).sum > 0.25) // "action" territory
+    intercept[IllegalArgumentException](
+      Events.psiBins(ref.toDF("g", "v"), "g", "v", "r", "c", nBins = 1))
+  }
+
   test("winsorize: clamp matrix, interior values untouched, degenerate quantiles") {
     val df = (1 to 10).map(v => ("k", v.toDouble)).toDF("k", "v")
     val got = Events.winsorize(df, "k", "v", 0.25, 0.75)
