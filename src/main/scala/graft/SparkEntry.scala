@@ -3342,6 +3342,26 @@ object SparkEntry {
           "signup", "purchase")
         .orderBy("user_id")),
 
+    // Exact ROC AUC via the Mann-Whitney rank-sum identity: doubled
+    // concordant+tie numerator is an exact BIGINT from per-score
+    // counts + a banded ECDF cumsum — no pair enumeration, no float
+    // until the final division. Fully oracled.
+    "q_auc" -> ((s, dir) =>
+      graft.operators.Eval.aucExact(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label")),
+
+    // Decile gains/lift table: banded global rank (score desc, id),
+    // equal-count buckets by rank arithmetic, exact integer lift and
+    // capture millis. Fully oracled.
+    "q_lift" -> ((s, dir) =>
+      graft.operators.Eval.liftTable(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label", "event_id")
+        .orderBy("decile")),
+
     // Two-sample KS statistic in exact integer arithmetic: the
     // cross-multiplied |ca*nb - cb*na| form keeps the sup and the
     // milli-D exact BIGINTs; banded ECDF cumsum. Fully oracled.
@@ -5149,6 +5169,55 @@ object SparkEntry {
         |FROM ranked CROSS JOIN thr
         |WHERE cum * 1000 >= tm * (SELECT total FROM tot)
         |GROUP BY tm ORDER BY 1""".stripMargin,
+
+    // the identity computed from the same per-score counts; one IEEE
+    // division each side
+    "q_auc" ->
+      """WITH per AS (SELECT value AS v,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS p,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+        |               CAST(sum(n) AS BIGINT) AS nn FROM per),
+        |c AS (SELECT p, n,
+        |  CAST(sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) - n AS cn
+        |  FROM per)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  CAST(sum(p * cn) * 2 + sum(p * n) AS BIGINT) AS u2,
+        |  CAST(sum(p * cn) * 2 + sum(p * n) AS BIGINT) * 1000
+        |    // (2 * np * nn) AS auc_milli,
+        |  CAST(CAST(sum(p * cn) * 2 + sum(p * n) AS BIGINT) AS DOUBLE)
+        |    / CAST(np * nn * 2 AS DOUBLE) AS auc
+        |FROM c CROSS JOIN tot GROUP BY np, nn""".stripMargin,
+
+    // identical rank arithmetic: (rank-1)*k div N buckets, integer
+    // milli ratios
+    "q_lift" ->
+      """WITH ranked AS (SELECT event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    row_number() OVER (ORDER BY value DESC, event_id) AS r
+        |  FROM events),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tn,
+        |               CAST(sum(y) AS BIGINT) AS tp FROM ranked),
+        |d AS (SELECT CAST((r - 1) * 10 // tn AS INT) AS decile, y
+        |      FROM ranked CROSS JOIN tot),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS pos
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT decile, n, pos,
+        |  CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_n,
+        |  CAST(sum(pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_pos
+        |  FROM g)
+        |SELECT decile, n, pos, cum_pos,
+        |  cum_pos * (SELECT tn FROM tot) * 1000
+        |    // (cum_n * (SELECT tp FROM tot)) AS lift_milli,
+        |  cum_pos * 1000 // (SELECT tp FROM tot) AS capture_milli
+        |FROM c ORDER BY decile""".stripMargin,
 
     // pure integer arithmetic both sides; the oracle's global window
     // is the banding's naive twin

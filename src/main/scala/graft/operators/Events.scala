@@ -1104,9 +1104,8 @@ object Events {
       min(col("v")).as("__lo"), max(col("v")).as("__hi"),
       sum(col("a")).as("n_a"), sum(col("b")).as("n_b")))
     val banded = per.crossJoin(bounds)
-      .withColumn("__band", width_bucket(col("v").cast("double"),
-        col("__lo").cast("double"), col("__hi").cast("double"),
-        lit(bands)).cast("int"))
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("v"), col("__lo"), col("__hi"), bands))
     val offsets = banded.groupBy(col("__band"))
       .agg(sum(col("a")).as("__ba"), sum(col("b")).as("__bb"))
       .withColumn("__oa", coalesce(sum(col("__ba")).over(

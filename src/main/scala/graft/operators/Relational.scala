@@ -1181,10 +1181,8 @@ object Relational {
     // band by value DESCENDING: band 1 = highest cents, so the global
     // (cents desc, key) order is (band asc, cents desc, key)
     val banded = per.crossJoin(bounds)
-      .withColumn("__band",
-        (lit(bands) + 1 - width_bucket(col("cents").cast("double"),
-          col("__lo").cast("double"), col("__hi").cast("double") + 1d,
-          lit(bands))).cast("int"))
+      .withColumn("__band", graft.engine.Banding.bandDesc(
+        col("cents"), col("__lo"), col("__hi"), bands))
     val offsets = banded.groupBy(col("__band"))
       .agg(sum(col("cents")).as("__bw"), count(lit(1)).as("__bn"))
       .withColumn("__coff", coalesce(sum(col("__bw")).over(
