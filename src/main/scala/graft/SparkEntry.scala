@@ -3342,6 +3342,32 @@ object SparkEntry {
           "signup", "purchase")
         .orderBy("user_id")),
 
+    // binaryFile-source ingestion (how multimodal corpora actually
+    // arrive: a directory of media files, not a parquet column):
+    // bounded doc slice round-tripped through real .bin files, ids
+    // parsed from file names, byte lengths oracled. Fully oracled.
+    "q_binary_source" -> ((s, dir) => {
+      val root = tmpPath("binsrc")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true); fs.mkdirs(hp)
+      // bounded driver-side fixture materialization (setup, not the
+      // operator): one .bin per doc in the 40-doc slice
+      t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 40).collect().foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(root,
+            f"doc_${r.getLong(0)}%05d.bin")
+          val out = fs.create(p, true)
+          try out.write(r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      graft.operators.Multimodal
+        .ingestBinaryDir(s, root, "*.bin", "doc_(\\d+)\\.bin")
+        .select(col("asset_id").as("doc_id"), col("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // Exact ROC AUC via the Mann-Whitney rank-sum identity: doubled
     // concordant+tie numerator is an exact BIGINT from per-score
     // counts + a banded ECDF cumsum — no pair enumeration, no float
@@ -5169,6 +5195,13 @@ object SparkEntry {
         |FROM ranked CROSS JOIN thr
         |WHERE cum * 1000 >= tm * (SELECT total FROM tot)
         |GROUP BY tm ORDER BY 1""".stripMargin,
+
+    // UTF-8 byte length both sides: getBytes(UTF_8) on write,
+    // octet_length on the oracle's UTF-8 storage
+    "q_binary_source" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+        |  AS n_bytes
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
 
     // the identity computed from the same per-score counts; one IEEE
     // division each side

@@ -39,6 +39,26 @@ object Multimodal {
       col(textCol).cast("binary").as("bytes")).as[Asset]
   }
 
+  /** Ingest raw media FILES via Spark's `binaryFile` source — the step
+    * real multimodal corpora start from (a bucket of .jpg/.wav/.mp4,
+    * not a parquet column): distributed file listing + whole-file reads
+    * as (path, modificationTime, length, content) rows, `pathGlobFilter`
+    * narrowing server-side. The id is parsed from the file name
+    * (`regexp_extract` — codegen'd, scan-stage); downstream is exactly
+    * the [[Asset]] pipeline. Spark caps single files at
+    * `spark.sql.sources.binaryFile.maxLength` (2 GiB) — chunk bigger
+    * media upstream. Judged `q_binary_source` (bounded doc slice
+    * round-tripped through real files; byte length oracled against
+    * `octet_length`), plumbing pinned in MultimodalSpec. */
+  def ingestBinaryDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, glob: String, idPattern: String = "(\\d+)"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), idPattern, 1).cast("long").as("asset_id"),
+        col("length").as("n_bytes"), col("content"))
+
   /** STUB DECODER: reads a fake 2-byte "header" — width = 1 + (b0 mod 16),
     * height = 1 + (b1 mod 16); 0 where the payload is too short. A real
     * image decode (libjpeg etc.) replaces ONLY the body of `decodeOne`;

@@ -62,4 +62,22 @@ class MultimodalSpec extends SparkTestBase {
       .executedPlan.toString
     assert(!planAfterRepartition.contains("Exchange hashpartitioning"))
   }
+
+  test("ingestBinaryDir: byte round-trip, id parse, glob filtering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binsrc")
+    def write(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    write("asset_007.bin", Array[Byte](1, 2, 3, -1))
+    write("asset_042.bin", "hello".getBytes("UTF-8"))
+    write("ignored.txt", Array[Byte](9, 9)) // outside the glob
+    val got = Multimodal.ingestBinaryDir(spark, dir.toString, "*.bin",
+        "asset_(\\d+)\\.bin")
+      .orderBy("asset_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(7L, 42L))
+    assert(got.map(_.getLong(1)).toSeq === Seq(4L, 5L))
+    assert(got(0).getAs[Array[Byte]]("content").toSeq ===
+      Seq[Byte](1, 2, 3, -1))
+    assert(new String(got(1).getAs[Array[Byte]]("content"), "UTF-8")
+      === "hello")
+  }
 }

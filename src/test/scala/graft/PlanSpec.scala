@@ -415,6 +415,22 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("banded prefix-sum family partitions its data-scale window by band") {
+    // concentration / KS / AUC / lift replace the global ordered cumsum
+    // with engine.Banding: the window over DATA rows must partition by
+    // __band (plan prints `Window [...], [__band#n], [...]`); a missing
+    // partition here would be the single-partition-window regression
+    // the banding exists to prevent. (The remaining partition-less
+    // windows run over config-scale relations: band offsets, k decile
+    // rows.)
+    for (name <- Seq("q_pareto", "q_ks", "q_auc", "q_lift")) {
+      val plan = executedPlan(SparkEntry.queries(name)(spark, sfDir))
+      assert(plan.contains("], [__band"),
+        s"$name: data window not band-partitioned\n" + plan.take(3000))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
