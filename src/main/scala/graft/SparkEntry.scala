@@ -3388,6 +3388,45 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("decile")),
 
+    // Robust dispersion: per-type median + MAD via two quantile passes
+    // (quantile_cont parity; the |x - med| subtract is one identical
+    // IEEE op per row). Fully oracled.
+    "q_mad" -> ((s, dir) =>
+      graft.operators.Events
+        .madScale(t(s, dir, "events"), "event_type", "value")
+        .orderBy("event_type")),
+
+    // Welch's unequal-variance t-test between two slices: exact counts,
+    // FP-tolerance moments with the formula parenthesization mirrored
+    // verbatim in the oracle. Fully oracled.
+    "q_ttest" -> ((s, dir) =>
+      graft.operators.Events.welchTTest(
+        t(s, dir, "events"), "event_type", "value", "click", "purchase")),
+
+    // percent_rank / cume_dist surface in exact integer millis over a
+    // deliberately tie-heavy ordering (coarse price buckets): RANK
+    // shares ties, cume_dist counts peers inclusively via the default
+    // RANGE frame. Fully oracled.
+    "q_window_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("floor(o_totalprice * 100 + 0.5) div 1000000").as("bucket"))
+      val w = Window.partitionBy(col("status")).orderBy(col("bucket"))
+      val wPeers = w.rangeBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy(col("status"))
+      base
+        .withColumn("rnk", rank().over(w))
+        .withColumn("peers", count(lit(1)).over(wPeers))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select(col("status"), col("orderkey"), col("bucket"),
+          expr("(rnk - 1) * 1000 div (n - 1)").as("pr_milli"),
+          expr("peers * 1000 div n").as("cd_milli"))
+        .orderBy("status", "bucket", "orderkey")
+    }),
+
     // Two-sample KS statistic in exact integer arithmetic: the
     // cross-multiplied |ca*nb - cb*na| form keeps the sup and the
     // milli-D exact BIGINTs; banded ECDF cumsum. Fully oracled.
@@ -5251,6 +5290,55 @@ object SparkEntry {
         |    // (cum_n * (SELECT tp FROM tot)) AS lift_milli,
         |  cum_pos * 1000 // (SELECT tp FROM tot) AS capture_milli
         |FROM c ORDER BY decile""".stripMargin,
+
+    // same two quantile_cont passes; |x - med| identical IEEE per row
+    "q_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS median,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type, n, median,
+        |       quantile_cont(abs(value - median), 0.5) AS mad
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type, n, median
+        |ORDER BY e.event_type""".stripMargin,
+
+    // verbatim parenthesization; moments FP-tolerance judged
+    "q_ttest" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |                  avg(value) AS mean_a, var_samp(value) AS va
+        |           FROM events WHERE event_type = 'click'),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |             avg(value) AS mean_b, var_samp(value) AS vb
+        |      FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT n_a, n_b, mean_a, mean_b,
+        |             va / n_a AS sea, vb / n_b AS seb,
+        |             va / n_a + vb / n_b AS se2
+        |      FROM a CROSS JOIN b)
+        |SELECT n_a, n_b, mean_a, mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        |       THEN (mean_a - mean_b) / sqrt(se2) ELSE NULL END AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+        |       THEN (se2 * se2) / (sea * sea / (n_a - 1)
+        |                           + seb * seb / (n_b - 1))
+        |       ELSE NULL END AS df
+        |FROM s""".stripMargin,
+
+    // RANK shares ties; cume_dist = peers-inclusive count (the default
+    // RANGE frame), both engines agree on the frame semantics
+    "q_window_dist" ->
+      """WITH b AS (SELECT o_orderkey AS orderkey,
+        |                  o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |                    // 1000000 AS bucket
+        |           FROM orders WHERE o_orderkey < 2000)
+        |SELECT status, orderkey, bucket,
+        |  (rank() OVER w - 1) * 1000
+        |    // (count(*) OVER (PARTITION BY status) - 1) AS pr_milli,
+        |  count(*) OVER (w RANGE BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) * 1000
+        |    // count(*) OVER (PARTITION BY status) AS cd_milli
+        |FROM b WINDOW w AS (PARTITION BY status ORDER BY bucket)
+        |ORDER BY status, bucket, orderkey""".stripMargin,
 
     // pure integer arithmetic both sides; the oracle's global window
     // is the banding's naive twin

@@ -353,6 +353,65 @@ object Events {
       .drop("__med", "__iqr")
   }
 
+  /** Per-key median absolute deviation — the robust dispersion summary
+    * completing [[robustScale]]'s IQR view: `MAD = med(|x − med(x)|)`
+    * resists 50% contamination where stddev breaks at one outlier
+    * (×1.4826 approximates σ under normality — left to the caller, the
+    * raw MAD is the exact judgeable quantity). Two quantile passes:
+    * per-key median (broadcast back), then the median of absolute
+    * deviations — each a partial-agg `percentile` whose interpolation
+    * is bit-identical to `quantile_cont` (the [[robustScale]] parity),
+    * and `|x − med|` is one IEEE subtract per row, identical cross-
+    * engine. Judged `q_mad`, fully ORACLED; hand values, outlier
+    * resistance and constant-series zero pinned in EventsSpec. */
+  def madScale(events: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val base = graft.engine.Caches.persisted(
+      events.select(col(keyCol), col(valueCol)))
+    val med = base.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("median"),
+        count(lit(1)).as("n"))
+    base.join(broadcast(med), keyCol)
+      .withColumn("__dev", abs(col(valueCol) - col("median")))
+      .groupBy(col(keyCol), col("median"), col("n"))
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+      .select(col(keyCol), col("n"), col("median"), col("mad"))
+  }
+
+  /** Welch's unequal-variance t-test between two slices — the
+    * continuous-metric A/B readout completing the audit family
+    * ([[Relational.chi2Association]] categorical, [[ksStatistic]]
+    * whole-distribution, [[psiBins]] drift): mean difference scaled by
+    * the combined standard error, with the Welch-Satterthwaite
+    * degrees of freedom (no equal-variance assumption — the version
+    * statisticians actually recommend). Exact integer counts; means /
+    * variances / t / df are floats judged at harness tolerance (the
+    * q_corr / q_trend precedent), with the formula parenthesization
+    * mirrored verbatim in the oracle. One partial-agg pass; groups
+    * need n ≥ 2 and nonzero variance for a defined t — degenerate
+    * slices emit null rather than ±Infinity. Judged `q_ttest`, fully
+    * ORACLED; identical-slices t = 0, separated-slices sign and
+    * null-degenerate edges pinned in EventsSpec. */
+  def welchTTest(events: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    def side(g: String, tag: String) =
+      events.filter(col(groupCol) === g)
+        .agg(count(lit(1)).as(s"n_$tag"), avg(col(valueCol)).as(s"mean_$tag"),
+          var_samp(col(valueCol)).as(s"__v_$tag"))
+    side(groupA, "a").crossJoin(side(groupB, "b"))
+      .withColumn("__sea", col("__v_a") / col("n_a"))
+      .withColumn("__seb", col("__v_b") / col("n_b"))
+      .withColumn("__se2", col("__sea") + col("__seb"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 && col("__se2") > 0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("__se2")))
+          .otherwise(lit(null).cast("double")).as("t_stat"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 && col("__se2") > 0,
+          (col("__se2") * col("__se2")) /
+            (col("__sea") * col("__sea") / (col("n_a") - 1) +
+              col("__seb") * col("__seb") / (col("n_b") - 1)))
+          .otherwise(lit(null).cast("double")).as("df"))
+  }
+
   /** Per-key winsorization — the scaling trio's outlier-TAMING sibling:
     * values clamp to the exact per-key [pLo, pHi] quantiles instead of
     * being dropped ([[zScoreOutliers]]) or rescaled ([[robustScale]]) —

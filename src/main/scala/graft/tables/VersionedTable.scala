@@ -652,6 +652,19 @@ object VersionedTable {
       mergeSchema: Boolean = false): DataFrame =
     readVersion(spark, root, versionAsOf(spark, root, asOf), mergeSchema)
 
+  /** Age-based retention (Delta's `delta.deletedFileRetentionDuration`
+    * posture expressed over the commit clock): [[vacuum]] keeping every
+    * version committed AFTER `cutoff` plus the snapshot current AT it
+    * (time travel to any instant ≥ cutoff stays exact). Tagged and
+    * branch-pinned state survives exactly as in count-based vacuum;
+    * the same maintenance-window contract applies. Spec-pinned (wall
+    * clock; see [[versionAsOf]]). */
+  def vacuumExpiredBefore(spark: SparkSession, root: String,
+      cutoff: java.time.Instant): Seq[String] = {
+    val latest = requireExists(spark, root)
+    vacuum(spark, root, latest - versionAsOf(spark, root, cutoff) + 1)
+  }
+
   def readLatest(spark: SparkSession, root: String,
       mergeSchema: Boolean = false): DataFrame =
     readVersion(spark, root, requireExists(spark, root), mergeSchema)

@@ -710,6 +710,36 @@ class EventsSpec extends SparkTestBase {
       Events.psiBins(ref.toDF("g", "v"), "g", "v", "r", "c", nBins = 1))
   }
 
+  test("madScale: hand values, outlier resistance, constant-series zero") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("k", _)) ++
+      Seq(5.0, 5.0).map(("flat", _))).toDF("g", "v")
+    val got = Events.madScale(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // median 3, deviations [2,1,0,1,97] -> MAD 1: the 100 outlier that
+    // would dominate a stddev moves the MAD not at all
+    assert(got("k") === ((5L, 3.0, 1.0)))
+    assert(got("flat") === ((2L, 5.0, 0.0)))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("welchTTest: identical slices t=0, separation sign, degenerate null") {
+    val same = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("B", _))).toDF("g", "v")
+    val s = Events.welchTTest(same, "g", "v", "A", "B").collect().head
+    assert(s.getDouble(4) === 0.0)
+    // A well above B: positive t, df near n_a + n_b - 2 for equal vars
+    val sep = (Seq(10.0, 11.0, 12.0).map(("A", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("B", _))).toDF("g", "v")
+    val t = Events.welchTTest(sep, "g", "v", "A", "B").collect().head
+    assert(t.getDouble(4) > 5.0 && t.getDouble(5) === 4.0)
+    // singleton side: undefined variance -> null, not Infinity
+    val one = (Seq(1.0).map(("A", _)) ++ Seq(2.0, 3.0).map(("B", _)))
+      .toDF("g", "v")
+    val u = Events.welchTTest(one, "g", "v", "A", "B").collect().head
+    assert(u.isNullAt(4) && u.isNullAt(5))
+  }
+
   test("winsorize: clamp matrix, interior values untouched, degenerate quantiles") {
     val df = (1 to 10).map(v => ("k", v.toDouble)).toDF("k", "v")
     val got = Events.winsorize(df, "k", "v", 0.25, 0.75)

@@ -1092,6 +1092,24 @@ class VersionedTableSpec extends SparkTestBase {
       VersionedTable.versionAsOf(spark, root, t1.minusMillis(1)))
   }
 
+  test("vacuumExpiredBefore: age-based retention keeps the cutoff snapshot exact") {
+    val root = freshRoot("vacage")
+    VersionedTable.create(spark, root, orders.limit(2))    // v1
+    Thread.sleep(100)
+    VersionedTable.overwrite(spark, root, orders.limit(3)) // v2
+    Thread.sleep(100)
+    VersionedTable.append(spark, root, orders.limit(4))    // v3: 7 rows
+    val t2 = VersionedTable.history(spark, root).orderBy("version")
+      .collect()(1).getTimestamp(4).toInstant
+    val dead = VersionedTable.vacuumExpiredBefore(spark, root, t2)
+    // v1 (overwritten dir) reclaimed; the snapshot current AT t2 and
+    // everything after stay addressable and exact
+    assert(dead.nonEmpty)
+    assert(VersionedTable.readAsOf(spark, root, t2).count() === 3)
+    assert(VersionedTable.readLatest(spark, root).count() === 7)
+    intercept[Exception](VersionedTable.readVersion(spark, root, 1).count())
+  }
+
   test("distinct-set point pruning: absent key inside [min,max] prunes; cardinality cap falls back") {
     val root = freshRoot("skip_dict")
     val orders = Tables(spark, sfDir, "orders")
