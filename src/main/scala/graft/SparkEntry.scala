@@ -3388,6 +3388,15 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("decile")),
 
+    // First/last-touch conversion attribution: purchases credit the
+    // last preceding touch and the user's acquiring first touch; one
+    // tagged-union window + a per-user min(struct) agg. Fully oracled.
+    "q_attribution" -> ((s, dir) =>
+      graft.operators.Events.attribution(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        "purchase")
+        .orderBy("model", "channel")),
+
     // Robust dispersion: per-type median + MAD via two quantile passes
     // (quantile_cont parity; the |x - med| subtract is one identical
     // IEEE op per row). Fully oracled.
@@ -5290,6 +5299,35 @@ object SparkEntry {
         |    // (cum_n * (SELECT tp FROM tot)) AS lift_milli,
         |  cum_pos * 1000 // (SELECT tp FROM tot) AS capture_milli
         |FROM c ORDER BY decile""".stripMargin,
+
+    // the identical tagged-union window (IGNORE NULLS last) and
+    // (t, id)-ordered first touch
+    "q_attribution" ->
+      """WITH base AS (SELECT user_id AS u, ts AS t, event_id AS id,
+        |                     event_type AS c FROM events),
+        |t0 AS (SELECT u, t, id, c AS ch, 0 AS tag FROM base
+        |       WHERE c <> 'purchase'),
+        |c0 AS (SELECT u, t, id, CAST(NULL AS VARCHAR) AS ch, 1 AS tag
+        |       FROM base WHERE c = 'purchase'),
+        |uni AS (SELECT u, t, id, tag,
+        |  last_value(ch IGNORE NULLS) OVER (PARTITION BY u
+        |    ORDER BY t, tag, id ROWS UNBOUNDED PRECEDING) AS last_ch
+        |  FROM (SELECT * FROM t0 UNION ALL SELECT * FROM c0)),
+        |conv AS (SELECT u, t, id, last_ch FROM uni WHERE tag = 1),
+        |ftw AS (SELECT u, t AS ft_t, ch AS ft_c,
+        |               row_number() OVER (PARTITION BY u
+        |                 ORDER BY t, id) AS rn
+        |        FROM t0),
+        |ft AS (SELECT u, ft_t, ft_c FROM ftw WHERE rn = 1),
+        |a AS (SELECT conv.u, conv.last_ch,
+        |             CASE WHEN ft.ft_t <= conv.t THEN ft.ft_c END
+        |               AS first_ch
+        |      FROM conv LEFT JOIN ft ON conv.u = ft.u)
+        |SELECT model, channel, CAST(count(*) AS BIGINT) AS conversions
+        |FROM (SELECT 'first' AS model, first_ch AS channel FROM a
+        |      UNION ALL SELECT 'last', last_ch FROM a)
+        |WHERE channel IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same two quantile_cont passes; |x - med| identical IEEE per row
     "q_mad" ->

@@ -710,6 +710,29 @@ class EventsSpec extends SparkTestBase {
       Events.psiBins(ref.toDF("g", "v"), "g", "v", "r", "c", nBins = 1))
   }
 
+  test("attribution: bookend split, same-instant rule, pre-touch and no-touch conversions drop") {
+    def e(u: Long, d: Int, c: String, id: Long) =
+      (u, ts(f"2026-01-${d}%02d 09:00:00"), c, id)
+    val df = Seq(
+      e(1, 1, "a", 10), e(1, 2, "b", 11), e(1, 3, "purchase", 12),
+      // u2 converts BEFORE any touch (drops), then touches c, converts
+      e(2, 1, "purchase", 20), e(2, 2, "c", 21), e(2, 3, "purchase", 22),
+      // u3 has no touches at all
+      e(3, 1, "purchase", 30),
+      // u4: touch at the SAME instant as the conversion is attributable
+      (4L, ts("2026-01-05 09:00:00"), "d", 40L),
+      (4L, ts("2026-01-05 09:00:00"), "purchase", 41L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.attribution(df, "user_id", "ts", "event_type",
+        "event_id", "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("first", "a") -> 1L, ("first", "c") -> 1L, ("first", "d") -> 1L,
+      ("last", "b") -> 1L, ("last", "c") -> 1L, ("last", "d") -> 1L))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("madScale: hand values, outlier resistance, constant-series zero") {
     val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("k", _)) ++
       Seq(5.0, 5.0).map(("flat", _))).toDF("g", "v")
