@@ -3426,6 +3426,39 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("decile")),
 
+    // Hierarchy/BOM rollup (sum-of-path-products semiring) over the
+    // arithmetic div-8 forest on order keys: extended quantity per
+    // ancestor, exact BIGINT; oracle = DuckDB recursive CTE extending
+    // only through ancestors that are real nodes. Fully oracled.
+    "q_bom" -> ((s, dir) => {
+      val nodes = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+        .distinct()
+      val edges = nodes.filter(col("k") > 0)
+        .select(col("k").as("child"), expr("k div 8").as("parent"),
+          expr("k % 5 + 1").as("qty"))
+      graft.operators.Graph.hierarchyRollup(edges, "child", "parent", "qty")
+        .filter(col("ancestor") < 64)
+        .groupBy(col("ancestor"))
+        .agg(count(lit(1)).as("n_desc"), sum(col("qty")).as("qty_total"))
+        .orderBy("ancestor")
+    }),
+
+    // Streaming score-distribution monitor: per-(window, bin) exact
+    // counts against reference-quantile boundaries; windows emit on
+    // watermark close; the oracle recomputes boundaries, binning and
+    // the finalization cut. Fully oracled.
+    "q_stream_psi" -> ((s, dir) => {
+      val b = t(s, dir, "events").filter(col("event_type") === "click")
+        .select(expr("percentile(value, array(0.25, 0.5, 0.75))").as("b"))
+        .collect().head.getSeq[Double](0)
+      runStream(s, "stream_psi",
+        Seq(("in", t(s, dir, "events").select("ts", "value"),
+          "ts TIMESTAMP, value DOUBLE")),
+        in => graft.streaming.Streams.binnedDistributionStream(
+          in("in"), "ts", "value", b, "1 hour", "30 minutes"))
+        .orderBy("window_start", "bin")
+    }),
+
     // First/last-touch conversion attribution: purchases credit the
     // last preceding touch and the user's acquiring first touch; one
     // tagged-union window + a per-user min(struct) agg. Fully oracled.
@@ -5345,6 +5378,41 @@ object SparkEntry {
         |    // (cum_n * (SELECT tp FROM tot)) AS lift_milli,
         |  cum_pos * 1000 // (SELECT tp FROM tot) AS capture_milli
         |FROM c ORDER BY decile""".stripMargin,
+
+    // the plus-times closure as a monotone recursive CTE, extending
+    // only through ancestors that exist as child nodes (mirrors the
+    // operator's frontier-join-edges semantics exactly)
+    "q_bom" ->
+      """WITH RECURSIVE nodes AS (SELECT DISTINCT o_orderkey AS k
+        |                         FROM orders),
+        |p AS (
+        |  SELECT k AS d, k // 8 AS a, (k % 5 + 1) AS q
+        |  FROM nodes WHERE k > 0
+        |  UNION ALL
+        |  SELECT p.d, p.a // 8, p.q * (p.a % 5 + 1)
+        |  FROM p JOIN nodes n ON p.a = n.k WHERE p.a > 0
+        |)
+        |SELECT a AS ancestor, CAST(count(*) AS BIGINT) AS n_desc,
+        |       CAST(sum(q) AS BIGINT) AS qty_total
+        |FROM p WHERE a < 64 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical quantile boundaries + when-chain; finalized windows =
+    // window_end <= max ts - delay (the q_stream_window cut)
+    "q_stream_psi" ->
+      """WITH b AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS bnd
+        |           FROM events WHERE event_type = 'click'),
+        |w AS (SELECT date_trunc('hour', ts) AS window_start,
+        |             (CASE WHEN value > bnd[1] THEN 1 ELSE 0 END
+        |              + CASE WHEN value > bnd[2] THEN 1 ELSE 0 END
+        |              + CASE WHEN value > bnd[3] THEN 1 ELSE 0 END) AS bin
+        |      FROM events CROSS JOIN b),
+        |g AS (SELECT window_start, CAST(bin AS INT) AS bin,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM w GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT window_start, bin, n FROM g, m
+        |WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
+        |ORDER BY 1, 2""".stripMargin,
 
     // the identical tagged-union window (IGNORE NULLS last) and
     // (t, id)-ordered first touch

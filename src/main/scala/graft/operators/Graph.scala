@@ -501,4 +501,60 @@ object Graph {
       .groupBy("id")
       .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
       .select(col("id"), (-col("best.neg")).as("lbl"))
+
+  /** Hierarchy / bill-of-materials rollup — the SUM-OF-PATH-PRODUCTS
+    * semiring the graph family was missing: over quantity-weighted
+    * child→parent edges, the transitive closure `(ancestor, descendant,
+    * qty)` where qty = Σ over all paths of Π edge quantities — "how
+    * many of component d does one assembly a consume, through every
+    * intermediate sub-assembly" (shortestPaths is min-plus, PageRank
+    * sum-times-damping; this is plus-times — each needs its own
+    * iteration, there is no generic matrix op in SQL). Exact BIGINT
+    * arithmetic (quantities are counts); on a DAG, converging paths
+    * SUM as the recurrence requires — each round extends the frontier
+    * one level up, partial-aggregating per (descendant, ancestor)
+    * BEFORE the union, and the final aggregate merges same-pair
+    * contributions from different path lengths.
+    *
+    * Scale: per-round hash join frontier⋈edges + partial agg over
+    * (long, long, long) rows, `barrierCut` per round (the CC/PageRank
+    * lineage posture); rounds bounded by hierarchy DEPTH (log-scale
+    * for balanced trees), cap exhaustion reported on stderr like
+    * [[coreness]]. Judged `q_bom` on the arithmetic div-8 forest
+    * (closed-form oracle via DuckDB's recursive CTE — monotone, the
+    * FIXTURES convention), fully ORACLED; diamond-DAG path summing,
+    * depth product and cap warning pinned in GraphSpec. */
+  def hierarchyRollup(edges: DataFrame, childCol: String, parentCol: String,
+      qtyCol: String, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e = graft.engine.Caches.persisted(
+      edges.select(col(childCol).cast("long").as("c"),
+        col(parentCol).cast("long").as("p"),
+        col(qtyCol).cast("long").as("q")))
+    var frontier = e.select(col("c").as("descendant"),
+      col("p").as("ancestor"), col("q").as("qty")).barrierCut
+    var out = frontier
+    var round = 1
+    var more = true
+    while (more && round < maxRounds) {
+      round += 1
+      val next = frontier
+        .join(e.select(col("c").as("ancestor"), col("p").as("__p2"),
+          col("q").as("__q2")), "ancestor")
+        .groupBy(col("descendant"), col("__p2").as("ancestor"))
+        .agg(sum(col("qty") * col("__q2")).as("qty"))
+        .select(col("descendant"), col("ancestor"), col("qty"))
+        .barrierCut
+      more = next.limit(1).count() > 0
+      if (more) { out = out.unionByName(next); frontier = next }
+    }
+    if (more && round >= maxRounds)
+      System.err.println(s"[graft] hierarchyRollup: round cap $maxRounds " +
+        "exhausted with the frontier still extending — deeper ancestors " +
+        "are missing from the closure; raise maxRounds")
+    // converging paths of DIFFERENT lengths land in different rounds —
+    // the final aggregate sums them per (ancestor, descendant) pair
+    out.groupBy(col("ancestor"), col("descendant"))
+      .agg(sum(col("qty")).as("qty"))
+  }
 }

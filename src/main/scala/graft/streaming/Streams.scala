@@ -320,6 +320,36 @@ object Streams {
     * which is append-only and rejects Update queries. Its siblings all
     * have judged queries; this one's semantics are pinned by the
     * MemoryStream batch-parity test instead. */
+  /** Streaming score-distribution monitor — the stream half of
+    * [[graft.operators.Events.psiBins]]'s drift loop: exact per-
+    * (tumbling window, bin) counts against FIXED reference boundaries
+    * (the batch side computes them once from the training slice —
+    * quantile parity per psiBins — and ships them as literals), each
+    * window emitting once the watermark closes it. Downstream, PSI
+    * terms are a config-scale batch join of these counts against the
+    * reference shares (psiBins' smoothing formula) — the stream never
+    * carries floats, only the codegen'd when-chain bin id and integer
+    * counts, so the judged compare is exact. State: one row per open
+    * (window, bin) — ≤ (boundaries+1) per window, trivially bounded.
+    * Judged `q_stream_psi`, fully ORACLED (the oracle recomputes the
+    * same quantile boundaries + finalization cut in SQL); bin edges /
+    * watermark cut pinned in StreamingSpec. */
+  def binnedDistributionStream(events: DataFrame, tsCol: String,
+      valueCol: String, boundaries: Seq[Double], width: String,
+      watermarkDelay: String): DataFrame = {
+    require(boundaries.nonEmpty &&
+      boundaries.sliding(2).forall(p => p.size < 2 || p.head < p.last),
+      s"boundaries must be strictly increasing: $boundaries")
+    val bin = boundaries.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col(valueCol) > lit(boundaries(i)), 1).otherwise(0)
+    }
+    events.withWatermark(tsCol, watermarkDelay)
+      .withColumn("bin", bin)
+      .groupBy(window(col(tsCol), width), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bin"), col("n"))
+  }
+
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -272,4 +272,28 @@ class GraphSpec extends SparkTestBase {
     val c = Graph.coreness(messy, "src", "dst").as[(Long, Int)].collect().toMap
     assert(c === Map(0L -> 2, 1L -> 2, 2L -> 2))
   }
+
+  test("hierarchyRollup: depth products, diamond paths SUM, round cap truncates") {
+    // tree: 3 -(2)-> 1, 4 -(3)-> 1, 1 -(5)-> 0
+    // diamond: 10 -(1)-> 8 -(3)-> 7 and 10 -(2)-> 9 -(4)-> 7
+    val edges = Seq(
+      (3L, 1L, 2L), (4L, 1L, 3L), (1L, 0L, 5L),
+      (10L, 8L, 1L), (10L, 9L, 2L), (8L, 7L, 3L), (9L, 7L, 4L))
+      .toDF("child", "parent", "qty")
+    val got = Graph.hierarchyRollup(edges, "child", "parent", "qty")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // depth-2 products through the tree
+    assert(got((0L, 3L)) === 10L && got((0L, 4L)) === 15L)
+    assert(got((1L, 3L)) === 2L && got((0L, 1L)) === 5L)
+    // the diamond's two 10->7 paths sum: 1*3 + 2*4 = 11
+    assert(got((7L, 10L)) === 11L)
+    assert(got.size === 10)
+    // a 1-round cap keeps only direct edges — deeper pairs are absent
+    val capped = Graph.hierarchyRollup(edges, "child", "parent", "qty",
+      maxRounds = 1).as[(Long, Long, Long)].collect()
+    assert(capped.length === 7 &&
+      !capped.exists(r => r._1 == 0L && r._2 == 3L))
+    graft.engine.Caches.releaseAll()
+  }
 }

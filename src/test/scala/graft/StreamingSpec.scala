@@ -380,4 +380,27 @@ class StreamingSpec extends SparkTestBase {
       assert(batch === latest)
     } finally q.stop()
   }
+
+  test("binnedDistributionStream: bin edges (ties lower) and hourly windows in batch parity") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 1.0),  // bin 0
+      (Timestamp.valueOf("2026-01-01 10:20:00"), 2.0),  // = boundary: lower
+      (Timestamp.valueOf("2026-01-01 10:40:00"), 5.0),  // bin 1
+      (Timestamp.valueOf("2026-01-01 11:10:00"), 9.0))  // bin 2, next hour
+      .toDF("ts", "value")
+    // the identical code path runs in batch (watermark is a no-op)
+    val got = graft.streaming.Streams
+      .binnedDistributionStream(df, "ts", "value", Seq(2.0, 6.0),
+        "1 hour", "30 minutes")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1)) ->
+        r.getLong(2)).toMap
+    assert(got === Map(
+      ("2026-01-01 10:00:00.0", 0) -> 2L,
+      ("2026-01-01 10:00:00.0", 1) -> 1L,
+      ("2026-01-01 11:00:00.0", 2) -> 1L))
+    intercept[IllegalArgumentException](
+      graft.streaming.Streams.binnedDistributionStream(
+        df, "ts", "value", Seq(6.0, 2.0), "1 hour", "30 minutes"))
+  }
 }
