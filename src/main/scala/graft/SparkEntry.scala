@@ -3426,6 +3426,26 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("decile")),
 
+    // SFT chat-template assembly: conversations synthesized from
+    // per-user event streams, rendered <|role|>text<|end|> in sequence
+    // order with exact character spans of assistant content (the
+    // loss-unmask list), spans exploded flat. Fully oracled.
+    "q_sft" -> ((s, dir) => {
+      val turns = t(s, dir, "events").select(
+        col("user_id").as("conv"), col("event_id").as("seq"),
+        when(col("event_type") === "purchase", "assistant")
+          .when(col("event_type") === "error", "system")
+          .otherwise("user").as("role"),
+        concat(col("event_type"), lit("#"),
+          col("event_id").cast("string")).as("txt"))
+      graft.functions.TextOps.sftAssemble(turns, "conv", "seq", "role", "txt")
+        .select(col("conv"), col("text"),
+          explode(col("assistant_spans")).as("sp"))
+        .select(col("conv"), col("text"), col("sp.start").as("span_start"),
+          col("sp.end").as("span_end"))
+        .orderBy("conv", "span_start")
+    }),
+
     // Hierarchy/BOM rollup (sum-of-path-products semiring) over the
     // arithmetic div-8 forest on order keys: extended quantity per
     // ancestor, exact BIGINT; oracle = DuckDB recursive CTE extending
@@ -5378,6 +5398,34 @@ object SparkEntry {
         |    // (cum_n * (SELECT tp FROM tot)) AS lift_milli,
         |  cum_pos * 1000 // (SELECT tp FROM tot) AS capture_milli
         |FROM c ORDER BY decile""".stripMargin,
+
+    // identical rendering, ordered string_agg and pure length
+    // arithmetic; spans flat
+    "q_sft" ->
+      """WITH t AS (SELECT user_id AS conv, event_id AS seq,
+        |             CASE WHEN event_type = 'purchase' THEN 'assistant'
+        |                  WHEN event_type = 'error' THEN 'system'
+        |                  ELSE 'user' END AS role,
+        |             event_type || '#' || CAST(event_id AS VARCHAR)
+        |               AS txt
+        |           FROM events),
+        |r AS (SELECT conv, seq, role, txt,
+        |             '<|' || role || '|>' || txt || '<|end|>' AS rend
+        |      FROM t),
+        |o AS (SELECT conv, seq, role, txt, rend,
+        |        CAST(sum(length(rend)) OVER (PARTITION BY conv
+        |             ORDER BY seq ROWS UNBOUNDED PRECEDING)
+        |           - length(rend) AS BIGINT) AS off
+        |      FROM r),
+        |c AS (SELECT conv, string_agg(rend, '' ORDER BY seq) AS text
+        |      FROM o GROUP BY 1)
+        |SELECT o.conv AS conv, c.text AS text,
+        |       CAST(off + length(role) + 4 AS BIGINT) AS span_start,
+        |       CAST(off + length(role) + 4 + length(txt) AS BIGINT)
+        |         AS span_end
+        |FROM o JOIN c ON o.conv = c.conv
+        |WHERE role = 'assistant'
+        |ORDER BY conv, span_start""".stripMargin,
 
     // the plus-times closure as a monotone recursive CTE, extending
     // only through ancestors that exist as child nodes (mirrors the

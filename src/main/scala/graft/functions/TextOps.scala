@@ -787,6 +787,49 @@ object TextOps {
       .toDF(idCol, "tokens")
   }
 
+  /** SFT chat-template assembly with loss-mask spans — the
+    * supervised-fine-tuning data-prep step between curation and
+    * tokenization: each conversation's turns render as
+    * `<|role|>text<|end|>` in sequence order and concatenate into ONE
+    * training string, alongside the exact character spans of the
+    * ASSISTANT turns' content — the spans a trainer unmasks for loss
+    * (everything else is context). Offsets are pure integer arithmetic
+    * over rendered lengths (one per-conversation ordered window), so
+    * the judged compare is exact; `substring(text, start+1, end−start)`
+    * recovers each assistant message verbatim (pinned). Conversations
+    * without assistant turns emit an empty span list.
+    *
+    * Scale: the offset window is the sessionize exchange; assembly is
+    * a per-conversation `collect_list` + in-array sort/join — the
+    * [[journeys]] escalation (a conversation's turns fit in memory by
+    * construction; the HOFs run per CONVERSATION row, not per turn at
+    * corpus scale). Judged `q_sft` (spans exploded flat), fully
+    * ORACLED; span/substring identity and empty-assistant edge pinned
+    * in TextOpsSpec. */
+  def sftAssemble(turns: DataFrame, convCol: String, seqCol: String,
+      roleCol: String, textCol: String,
+      assistantRole: String = "assistant"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(convCol)).orderBy(col(seqCol))
+      .rowsBetween(Long.MinValue, 0)
+    turns
+      .withColumn("__r", concat(lit("<|"), col(roleCol), lit("|>"),
+        col(textCol), lit("<|end|>")))
+      .withColumn("__len", length(col("__r")).cast("long"))
+      .withColumn("__off", sum(col("__len")).over(w) - col("__len"))
+      .withColumn("__s",
+        col("__off") + length(col(roleCol)).cast("long") + 4L)
+      .withColumn("__e", col("__s") + length(col(textCol)).cast("long"))
+      .groupBy(col(convCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col(seqCol).as("q"),
+            col("__r").as("r")))), x => x.getField("r")), "").as("text"),
+        sort_array(collect_list(when(col(roleCol) === assistantRole,
+          struct(col("__s").as("start"), col("__e").as("end")))))
+          .as("assistant_spans"))
+  }
+
   /** Zipf-law fit over the corpus vocabulary — the distributional
     * health check next to [[oovReport]]'s coverage view: natural text
     * follows `freq ∝ rank^s` with s ≈ −1 in log-log space; a corpus

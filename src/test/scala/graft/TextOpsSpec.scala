@@ -471,6 +471,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(t2.map(_.getAs[String]("token")).toSeq === Seq("alpha", "beta"))
   }
 
+  test("sftAssemble: span-substring identity, sequence order, empty-assistant conversations") {
+    val turns = Seq(
+      (1L, 2L, "user", "hi"),
+      (1L, 5L, "assistant", "hello there"),
+      (1L, 7L, "user", "bye"),
+      (1L, 9L, "assistant", "ok"),
+      (2L, 1L, "user", "alone"))
+      .toDF("conv", "seq", "role", "txt")
+    val rows = TextOps.sftAssemble(turns, "conv", "seq", "role", "txt")
+      .orderBy("conv").collect()
+    val text = rows(0).getString(1)
+    assert(text === "<|user|>hi<|end|><|assistant|>hello there<|end|>" +
+      "<|user|>bye<|end|><|assistant|>ok<|end|>")
+    val spans = rows(0).getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the whole contract in one line: the spans cut exactly the
+    // assistant CONTENT back out of the assembled text
+    assert(spans.map { case (s0, e0) =>
+      text.substring(s0.toInt, e0.toInt) } === Seq("hello there", "ok"))
+    // no assistant turns: empty span list, text still assembled
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](2).isEmpty)
+    assert(rows(1).getString(1) === "<|user|>alone<|end|>")
+  }
+
   test("zipfFit: exact power law recovers its slope with r2 = 1; topK caps at vocab") {
     // freq = 12 / rank exactly: a x12, b x6, c x4, d x3 -> ln(freq) is
     // collinear in ln(rank) with slope -1, intercept ln 12
