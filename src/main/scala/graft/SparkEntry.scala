@@ -3426,6 +3426,19 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("decile")),
 
+    // Count-Min point-frequency accuracy contract over the top-20
+    // tokens: exact counts + the never-undercount and epsilon-band
+    // theorem properties as booleans (the q_approx_distinct_bound
+    // judging style; the raw estimate is spec-pinned). Fully oracled.
+    "q_cms" -> ((s, dir) =>
+      graft.operators.Sketches.cmsAccuracyReport(
+        t(s, dir, "documents")
+          .select(explode(graft.functions.TextOps.tokens(col("text")))
+            .as("token")),
+        "token", topK = 20)
+        .drop("est")
+        .orderBy(col("n_exact").desc, col("token"))),
+
     // SFT chat-template assembly: conversations synthesized from
     // per-user event streams, rendered <|role|>text<|end|> in sequence
     // order with exact character spans of assistant content (the
@@ -5398,6 +5411,17 @@ object SparkEntry {
         |    // (cum_n * (SELECT tp FROM tot)) AS lift_milli,
         |  cum_pos * 1000 // (SELECT tp FROM tot) AS capture_milli
         |FROM c ORDER BY decile""".stripMargin,
+
+    // exact top-20 token counts; the two theorem properties hold by
+    // construction so the oracle states them as constants
+    "q_cms" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM toks GROUP BY 1
+        |      ORDER BY n_exact DESC, token LIMIT 20)
+        |SELECT token, n_exact, true AS ge_exact, true AS within_bound
+        |FROM f ORDER BY n_exact DESC, token""".stripMargin,
 
     // identical rendering, ordered string_agg and pure length
     // arithmetic; spans flat

@@ -479,4 +479,80 @@ object Sketches {
       ("union", un.getEstimate, un.getLowerBound(2), un.getUpperBound(2)))
       .toDF("measure", "n_approx", "lb", "ub")
   }
+
+  /** Count-Min sketch as a typed [[Aggregator]] (Cormode & Muthukrishnan
+    * 2005) — the mergeable POINT-FREQUENCY estimator completing the
+    * sketch family (HLL distinct, KLL quantiles, Misra-Gries heavy
+    * hitters, theta sets): `depth × width` counter cells, each row a
+    * seeded hash; estimate = min over rows; NEVER underestimates, and
+    * overestimates by ≤ (e/width)·N with probability 1 − e^(−depth).
+    * Buffer = one flat long array per task partial (the MG economics:
+    * serialization per exchange row, never per input row); merge =
+    * cell-wise add, which is why shard sketches union into exactly the
+    * one-shot sketch (pinned). Hashing is deterministic MurmurHash3
+    * with per-row seeds — estimates are reproducible across runs. */
+  class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth >= 1 && depth <= 8, s"depth must be in 1..8: $depth")
+    require(width >= 8, s"width must be >= 8: $width")
+    def zero: Array[Long] = new Array[Long](depth * width)
+    private def cell(r: Int, v: String): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(v, r * 0x9E3779B9 + 1)
+      r * width + java.lang.Math.floorMod(h, width)
+    }
+    def reduce(b: Array[Long], a: String): Array[Long] = {
+      var r = 0
+      while (r < depth) { b(cell(r, a)) += 1; r += 1 }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+
+    /** Point estimate from a finished cell array. */
+    def estimate(cells: Array[Long], v: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = cells(cell(r, v))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
+
+  /** CMS accuracy report over the `topK` most frequent values — the
+    * judged surface for [[CountMin]], in the accuracy-contract style of
+    * `q_approx_distinct_bound`/`q_hll_merge`: per probe value the EXACT
+    * count plus the two theorem properties as booleans — the estimate
+    * never undercounts (`ge_exact`, always true by construction) and
+    * stays within the ε = e/width additive band (`within_bound`, holds
+    * with prob 1 − e^(−depth); at vocabulary ≪ width the estimate is
+    * simply exact). The raw estimate rides along for spec assertions
+    * but is not oracle-expressible — judged projections drop it.
+    * One sketch pass + one bounded exact count of the probes. */
+  def cmsAccuracyReport(df: DataFrame, valueCol: String, topK: Int,
+      depth: Int = 4, width: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new CountMin(depth, width)
+    val vals = df.select(col(valueCol).cast("string").as("v")).as[String]
+    val cells = vals.select(agg.toColumn).head()
+    val n = cells.slice(0, width).sum // row 0 holds every increment once
+    val bound = math.ceil(math.E / width * n).toLong
+    val probes = df.groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("v")).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    probes.toSeq.map { case (v, exact) =>
+      val est = agg.estimate(cells, v)
+      (v, exact, est, est >= exact, est <= exact + bound)
+    }.toDF(valueCol, "n_exact", "est", "ge_exact", "within_bound")
+  }
 }

@@ -303,4 +303,22 @@ class SketchesSpec extends SparkTestBase {
         s"$m: exact ${exact(m)} outside [$lb, $ub]")
     }
   }
+
+  test("CountMin: shard-merge == one-shot cells, never undercounts, exact at tiny vocab") {
+    val agg = new Sketches.CountMin(4, 256)
+    val vals = (1 to 500).map(i => s"t${i % 7}")
+    val c1 = vals.toDS().repartition(1).select(agg.toColumn).head()
+    val c8 = vals.toDS().repartition(8).select(agg.toColumn).head()
+    // cell-wise merge: the union of shard sketches IS the one-shot sketch
+    assert(c1.toSeq === c8.toSeq)
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // 7 distinct values over 256-cell rows: collision-free, so the
+    // never-undercount guarantee lands exactly ON the true counts
+    exact.foreach { case (v, n) =>
+      assert(agg.estimate(c1, v) === n, v)
+    }
+    assert(agg.estimate(c1, "never-seen") >= 0L)
+    intercept[IllegalArgumentException](new Sketches.CountMin(0, 256))
+    intercept[IllegalArgumentException](new Sketches.CountMin(4, 4))
+  }
 }
