@@ -3426,6 +3426,21 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("decile")),
 
+    // Floor-clamped running balance (the Lindley recurrence) via the
+    // min-prefix window identity — no sequential scan; signed deltas
+    // from event types, exact BIGINT cents. Fully oracled.
+    "q_inventory" -> ((s, dir) =>
+      graft.operators.Events.clampedRunningSum(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          (floor(col("value") * 100 + lit(0.5)).cast("long") *
+            when(col("event_type").isin("error", "view"), -1L)
+              .otherwise(1L)).as("delta_cents")),
+        "user_id", "ts", "event_id", "delta_cents")
+        .select(col("user_id"), col("event_id"), col("delta_cents"),
+          col("naive_cents"), col("balance_cents"), col("shortfall_cents"))
+        .orderBy("user_id", "event_id")),
+
     // Count-Min point-frequency accuracy contract over the top-20
     // tokens: exact counts + the never-undercount and epsilon-band
     // theorem properties as booleans (the q_approx_distinct_bound
@@ -5411,6 +5426,29 @@ object SparkEntry {
         |    // (cum_n * (SELECT tp FROM tot)) AS lift_milli,
         |  cum_pos * 1000 // (SELECT tp FROM tot) AS capture_milli
         |FROM c ORDER BY decile""".stripMargin,
+
+    // identical identity: b = S - min(0, running min S); ties ordered
+    // (ts, event_id) both sides
+    "q_inventory" ->
+      """WITH d AS (SELECT user_id, ts, event_id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |               * CASE WHEN event_type IN ('error', 'view')
+        |                      THEN -1 ELSE 1 END AS delta_cents
+        |           FROM events),
+        |s1 AS (SELECT user_id, ts, event_id, delta_cents,
+        |         CAST(sum(delta_cents) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS naive_cents
+        |       FROM d),
+        |s2 AS (SELECT user_id, event_id, delta_cents, naive_cents,
+        |         CAST(least(min(naive_cents) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 0)
+        |           AS BIGINT) AS fl
+        |       FROM s1)
+        |SELECT user_id, event_id, delta_cents, naive_cents,
+        |       naive_cents - fl AS balance_cents,
+        |       -fl AS shortfall_cents
+        |FROM s2 ORDER BY user_id, event_id""".stripMargin,
 
     // exact top-20 token counts; the two theorem properties hold by
     // construction so the oracle states them as constants

@@ -353,6 +353,34 @@ object Events {
       .drop("__med", "__iqr")
   }
 
+  /** Floor-clamped running balance — the Lindley recursion
+    * `b_t = max(0, b_{t−1} + x_t)` (inventory that can't go negative,
+    * queue depth, battery charge floored at empty) — which LOOKS like
+    * it needs a sequential per-key scan (the clamp makes the fold
+    * non-associative) but has the closed window form
+    * `b_t = S_t − min(0, min_{j≤t} S_j)` over the plain prefix sums:
+    * two stacked running windows, fully parallel, exact BIGINT cents.
+    * The floor-only clamp is what the identity covers — a ceiling AND
+    * floor together is genuinely sequential (documented limitation;
+    * escalate to flatMapGroups if both bounds are needed). Emits the
+    * naive and clamped balances plus the cumulative shortfall absorbed
+    * by the floor (`clamped − naive` — lost sales / shed load).
+    * Judged `q_inventory`, fully ORACLED; hand Lindley trace,
+    * clamp-then-recover and all-positive identity pinned in
+    * EventsSpec. */
+  def clampedRunningSum(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, deltaCentsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("naive_cents", sum(col(deltaCentsCol)).over(w))
+      .withColumn("__floor", least(min(col("naive_cents")).over(w), lit(0L)))
+      .withColumn("balance_cents", col("naive_cents") - col("__floor"))
+      .withColumn("shortfall_cents", -col("__floor"))
+      .drop("__floor")
+  }
+
   /** Per-key median absolute deviation — the robust dispersion summary
     * completing [[robustScale]]'s IQR view: `MAD = med(|x − med(x)|)`
     * resists 50% contamination where stddev breaks at one outlier

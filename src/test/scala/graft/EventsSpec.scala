@@ -710,6 +710,27 @@ class EventsSpec extends SparkTestBase {
       Events.psiBins(ref.toDF("g", "v"), "g", "v", "r", "c", nBins = 1))
   }
 
+  test("clampedRunningSum: hand Lindley trace, clamp-then-recover, all-positive identity") {
+    def row(k: String, i: Long, d: Long) =
+      (k, ts(f"2026-01-${i}%02d 09:00:00"), i, d)
+    // deltas +5, -10, +3, -1, +4: naive 5,-5,-2,-3,1
+    // Lindley: 5, 0, 3, 2, 6 (clamped at the -10; recovers after)
+    val df = Seq(row("k", 1, 5), row("k", 2, -10), row("k", 3, 3),
+      row("k", 4, -1), row("k", 5, 4),
+      row("pos", 1, 2), row("pos", 2, 3))
+      .toDF("k", "ts", "id", "d")
+    val got = Events.clampedRunningSum(df, "k", "ts", "id", "d")
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(("k", 1L)) === ((5L, 5L, 0L)))
+    assert(got(("k", 2L)) === ((-5L, 0L, 5L)))
+    assert(got(("k", 3L)) === ((-2L, 3L, 5L)))
+    assert(got(("k", 4L)) === ((-3L, 2L, 5L)))
+    assert(got(("k", 5L)) === ((1L, 6L, 5L)))
+    // never-negative prefix: clamped == naive, shortfall 0
+    assert(got(("pos", 2L)) === ((5L, 5L, 0L)))
+  }
+
   test("attribution: bookend split, same-instant rule, pre-touch and no-touch conversions drop") {
     def e(u: Long, d: Int, c: String, id: Long) =
       (u, ts(f"2026-01-${d}%02d 09:00:00"), c, id)
