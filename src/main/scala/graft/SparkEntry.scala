@@ -3426,6 +3426,23 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("decile")),
 
+    // Gini coefficient of per-customer revenue: exact milli via the
+    // cross-multiplied discrete formula over banded ascending ranks.
+    // Fully oracled.
+    "q_gini" -> ((s, dir) =>
+      graft.operators.Relational.gini(
+        t(s, dir, "orders"), "o_custkey", "o_totalprice")),
+
+    // Spearman rank correlation between price and key (ties averaged
+    // in exact doubled-rank integers; the correlation FP-tolerance
+    // judged per the q_corr precedent). Fully oracled.
+    "q_spearman" -> ((s, dir) =>
+      graft.operators.Relational.spearman(
+        t(s, dir, "orders")
+          .select(col("o_totalprice").as("x"),
+            pmod(col("o_orderkey"), lit(97)).cast("double").as("y")),
+        "x", "y")),
+
     // Floor-clamped running balance (the Lindley recurrence) via the
     // min-prefix window identity — no sequential scan; signed deltas
     // from event types, exact BIGINT cents. Fully oracled.
@@ -5426,6 +5443,50 @@ object SparkEntry {
         |    // (cum_n * (SELECT tp FROM tot)) AS lift_milli,
         |  cum_pos * 1000 // (SELECT tp FROM tot) AS capture_milli
         |FROM c ORDER BY decile""".stripMargin,
+
+    // identical cross-multiplied integers; gini = one division of the
+    // same longs
+    "q_gini" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |                 AS BIGINT)) AS BIGINT) AS cents
+        |             FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |             row_number() OVER (ORDER BY cents, k) AS rnk
+        |      FROM per),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS total_cents FROM per),
+        |s AS (SELECT CAST(sum(rnk * cents) AS BIGINT) AS sv FROM r)
+        |SELECT n, total_cents,
+        |       (2 * sv - (n + 1) * total_cents) * 1000
+        |         // (n * total_cents) AS gini_milli,
+        |       CAST(2 * sv - (n + 1) * total_cents AS DOUBLE)
+        |         / CAST(n * total_cents AS DOUBLE) AS gini
+        |FROM t CROSS JOIN s""".stripMargin,
+
+    // doubled tie-averaged ranks are exact integers; corr tolerance
+    // per the q_corr precedent
+    "q_spearman" ->
+      """WITH base AS (SELECT o_totalprice AS x,
+        |                     CAST(o_orderkey % 97 AS DOUBLE) AS y
+        |              FROM orders),
+        |cx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM base
+        |       GROUP BY 1),
+        |rx AS (SELECT x,
+        |         CAST(sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |           * 2 - cnt + 1 AS BIGINT) AS rxv
+        |       FROM cx),
+        |cy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM base
+        |       GROUP BY 1),
+        |ry AS (SELECT y,
+        |         CAST(sum(cnt) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+        |           * 2 - cnt + 1 AS BIGINT) AS ryv
+        |       FROM cy),
+        |j AS (SELECT rxv, ryv FROM base
+        |      JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       corr(CAST(rxv AS DOUBLE), CAST(ryv AS DOUBLE)) AS spearman
+        |FROM j""".stripMargin,
 
     // identical identity: b = S - min(0, running min S); ties ordered
     // (ts, event_id) both sides

@@ -1139,6 +1139,100 @@ object Relational {
       .agg(array_join(array_sort(collect_list(col(valueCol))), sep)
         .as(s"${valueCol}_list"), count(lit(1)).as("n"))
 
+  /** Gini coefficient of a per-key value distribution — the single
+    * inequality number next to [[concentration]]'s threshold table
+    * (0 = perfectly even, →1 = one key holds everything): the discrete
+    * formula `G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n` over values sorted
+    * ascending with a deterministic key tiebreak, cross-multiplied
+    * into exact integers — `gini_milli = (2·S − (n+1)·T)·1000 div
+    * (n·T)` with S = Σ rank·cents, T = total cents, all BIGINT
+    * (overflow-safe while `n·T·1000 < 2^63`); `gini` is one division.
+    * The global ascending rank is the [[graft.engine.Banding]] prefix
+    * sum — no single-partition window. Judged `q_gini`, fully ORACLED;
+    * uniform-zero, one-holder extreme and tie determinism pinned in
+    * RelationalSpec. */
+  def gini(df: DataFrame, keyCol: String, valueCol: String,
+      bands: Int = 32): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val per = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("__k"),
+          floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__cents"))
+        .groupBy("__k").agg(sum(col("__cents")).as("cents")))
+    val bounds = broadcast(per.agg(
+      min(col("cents")).as("__lo"), max(col("cents")).as("__hi"),
+      count(lit(1)).as("n"), sum(col("cents")).as("total_cents")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("cents"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__off"))
+    val wB = W.partitionBy(col("__band")).orderBy(col("cents"), col("__k"))
+    banded.join(broadcast(offsets), "__band")
+      .withColumn("__rank", col("__off") + row_number().over(wB))
+      .groupBy(col("n"), col("total_cents"))
+      .agg(sum(col("__rank") * col("cents")).as("__s"))
+      .select(col("n"), col("total_cents"),
+        expr("(2 * __s - (n + 1) * total_cents) * 1000" +
+          " div nullif(n * total_cents, 0L)").as("gini_milli"),
+        when(col("n") * col("total_cents") > 0,
+          (col("__s") * 2 - (col("n") + 1) * col("total_cents"))
+            .cast("double") /
+            (col("n") * col("total_cents")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("gini"))
+  }
+
+  /** Spearman rank correlation — [[gini]]'s monotonic-association
+    * sibling and the robust alternative to Pearson (`q_corr`):
+    * Pearson over TIE-AVERAGED ranks, invariant to any monotone
+    * transform of either variable. Ranks come from the per-distinct-
+    * value counts + banded cumulative sums (the ksStatistic ECDF
+    * machinery, once per variable): a value's doubled average rank is
+    * `2·cum − cnt + 1` — an exact integer even under ties (the ×2
+    * clears the tie half), and Pearson is scale-invariant so
+    * corr(2r_x, 2r_y) IS the Spearman coefficient. The correlation
+    * itself is FP-tolerance judged (the q_corr/q_trend precedent);
+    * everything upstream is exact. Judged `q_spearman`, fully ORACLED;
+    * monotone-transform invariance, perfect/reversed ±1 and tie
+    * averaging pinned in RelationalSpec. */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      bands: Int = 32): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def rank2(frame: DataFrame, c: String, out: String): DataFrame = {
+      val per = frame.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+      val bounds = broadcast(per.agg(
+        min(col("__v")).as("__lo"), max(col("__v")).as("__hi")))
+      val banded = per.crossJoin(bounds)
+        .withColumn("__band", graft.engine.Banding.bandAsc(
+          col("__v"), col("__lo"), col("__hi"), bands))
+      val offsets = banded.groupBy(col("__band"))
+        .agg(sum(col("__cnt")).as("__bn"))
+        .withColumn("__off", coalesce(sum(col("__bn")).over(
+          W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+        .select(col("__band"), col("__off"))
+      val wB = W.partitionBy(col("__band")).orderBy(col("__v"))
+        .rowsBetween(Long.MinValue, 0)
+      banded.join(broadcast(offsets), "__band")
+        .withColumn("__cum", col("__off") + sum(col("__cnt")).over(wB))
+        .select(col("__v").as(c),
+          (col("__cum") * 2 - col("__cnt") + 1).as(out))
+    }
+    val base = graft.engine.Caches.persisted(
+      df.select(col(xCol), col(yCol)))
+    // rank relations are per-DISTINCT-VALUE (data-cardinality, never
+    // broadcast): plain hash joins on the value
+    base
+      .join(rank2(base, xCol, "__rx"), xCol)
+      .join(rank2(base, yCol, "__ry"), yCol)
+      .agg(count(lit(1)).as("n"),
+        corr(col("__rx").cast("double"), col("__ry").cast("double"))
+          .as("spearman"))
+  }
+
   /** Revenue-concentration report — the Pareto/80-20 analysis next to
     * [[skewProfile]]'s "is one KEY hot" diagnostic: for each requested
     * share threshold, the MINIMAL number of top keys whose cumulative

@@ -759,6 +759,38 @@ class RelationalSpec extends SparkTestBase {
         Seq(("a", "k > 0"))))
   }
 
+  test("gini: uniform zero, one-holder extreme (n-1)/n, band invariance") {
+    val even = Seq(("a", 10.0), ("b", 10.0), ("c", 10.0), ("d", 10.0))
+      .toDF("k", "v")
+    val g0 = graft.operators.Relational.gini(even, "k", "v").collect().head
+    assert(g0.getLong(2) === 0L && g0.getDouble(3) === 0.0)
+    // two empty-handed keys, one holding everything: G = (n-1)/n = 2/3
+    val skew = Seq(("a", 0.0), ("b", 0.0), ("c", 30.0)).toDF("k", "v")
+    val g1 = graft.operators.Relational.gini(skew, "k", "v").collect().head
+    assert(g1.getLong(2) === 666L)
+    assert(math.abs(g1.getDouble(3) - 2.0 / 3.0) < 1e-12)
+    val g1b = graft.operators.Relational.gini(skew, "k", "v", bands = 1)
+      .collect().head
+    assert(g1b.getLong(2) === 666L)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("spearman: monotone-transform invariance, reversal, tie averaging") {
+    def run(rows: Seq[(Double, Double)]): Double =
+      graft.operators.Relational.spearman(rows.toDF("x", "y"), "x", "y")
+        .collect().head.getDouble(1)
+    // y = x^3 is a monotone transform: Spearman exactly 1 where
+    // Pearson would not be
+    val xs = Seq(1.0, 2.0, 5.0, 9.0, 17.0)
+    assert(math.abs(run(xs.map(x => (x, x * x * x))) - 1.0) < 1e-12)
+    assert(math.abs(run(xs.map(x => (x, -x))) + 1.0) < 1e-12)
+    // ties average: x=[1,1,2] ranks (1.5,1.5,3) vs y=[3,4,5] ->
+    // r = sqrt(3)/2
+    val tied = run(Seq((1.0, 3.0), (1.0, 4.0), (2.0, 5.0)))
+    assert(math.abs(tied - math.sqrt(3.0) / 2.0) < 1e-12)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("concentration: hand shares, multi-row keys, ties, band-count invariance") {
     // k1 split across two rows (aggregation), k2/k3 tie at 3000 cents
     val df = Seq(
