@@ -3458,6 +3458,24 @@ object SparkEntry {
           col("naive_cents"), col("balance_cents"), col("shortfall_cents"))
         .orderBy("user_id", "event_id")),
 
+    // Cohort LTV curves: weekly first-event cohorts, purchase cents at
+    // each integer age (quantized BEFORE aggregation — exact BIGINT),
+    // gap-densified age axis, per-cohort cumulative. Fully oracled.
+    "q_ltv" -> ((s, dir) =>
+      graft.operators.Events.ltvCurve(
+        t(s, dir, "events"), "user_id", "ts", "value", "event_type",
+        "purchase", periodDays = 7)
+        .orderBy("cohort_period", "age")),
+
+    // Peak concurrency of half-open 30-minute activity windows via the
+    // sweep line: exact integer deltas, banded global cumsum, the peak
+    // and its first instant. Fully oracled.
+    "q_concurrency" -> ((s, dir) =>
+      graft.operators.Events.peakConcurrency(
+        t(s, dir, "events").select(col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("e")),
+        "s", "e")),
+
     // Count-Min point-frequency accuracy contract over the top-20
     // tokens: exact counts + the never-undercount and epsilon-band
     // theorem properties as booleans (the q_approx_distinct_bound
@@ -5510,6 +5528,53 @@ object SparkEntry {
         |       naive_cents - fl AS balance_cents,
         |       -fl AS shortfall_cents
         |FROM s2 ORDER BY user_id, event_id""".stripMargin,
+
+    // cents quantized BEFORE aggregation (exact BIGINT, order-free);
+    // age axis densified 0..max per cohort exactly as the plan does
+    "q_ltv" ->
+      """WITH f AS (SELECT user_id AS u,
+        |             MIN(date_diff('day', DATE '1970-01-01',
+        |               CAST(ts AS DATE)) // 7) AS cp
+        |           FROM events GROUP BY 1),
+        |sz AS (SELECT cp, CAST(count(*) AS BIGINT) AS n_users FROM f
+        |       GROUP BY 1),
+        |rev AS (SELECT f.cp,
+        |          (date_diff('day', DATE '1970-01-01',
+        |            CAST(e.ts AS DATE)) // 7) - f.cp AS age,
+        |          CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |        FROM events e JOIN f ON e.user_id = f.u
+        |        WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |hi AS (SELECT cp, max(age) AS h FROM rev GROUP BY 1),
+        |grid AS (SELECT cp, unnest(generate_series(0, h)) AS age FROM hi),
+        |fill AS (SELECT g.cp, g.age, COALESCE(r.cents, 0) AS cents
+        |         FROM grid g LEFT JOIN rev r
+        |           ON g.cp = r.cp AND g.age = r.age)
+        |SELECT fill.cp AS cohort_period, fill.age AS age, sz.n_users,
+        |       cents,
+        |       CAST(sum(cents) OVER (PARTITION BY fill.cp
+        |            ORDER BY fill.age ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_cents
+        |FROM fill JOIN sz ON fill.cp = sz.cp
+        |ORDER BY cohort_period, age""".stripMargin,
+
+    // half-open [ts, ts+30min): the -1 sorts before the +1 at the same
+    // instant (ORDER BY t, d), so a handoff never counts as overlap
+    "q_concurrency" ->
+      """WITH iv AS (SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e
+        |            FROM events),
+        |d AS (SELECT s AS t, 1 AS dd FROM iv
+        |      UNION ALL SELECT e, -1 FROM iv),
+        |agg AS (SELECT t, dd, CAST(sum(dd) AS BIGINT) AS delta FROM d
+        |        GROUP BY 1, 2),
+        |curve AS (SELECT t,
+        |            CAST(sum(delta) OVER (ORDER BY t, dd
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |          FROM agg),
+        |pk AS (SELECT CAST(max(run) AS BIGINT) AS peak FROM curve)
+        |SELECT pk.peak, min(t) AS first_peak_ts
+        |FROM curve CROSS JOIN pk WHERE run = peak
+        |GROUP BY 1""".stripMargin,
 
     // exact top-20 token counts; the two theorem properties hold by
     // construction so the oracle states them as constants

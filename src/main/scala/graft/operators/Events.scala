@@ -1334,6 +1334,104 @@ object Events {
           .otherwise(lit(null).cast("double")).as("acf"))
   }
 
+  /** Cohort LTV curves — the lifetime-value readout completing the
+    * cohort family ([[Events.retention]] answers "did they come back",
+    * this answers "what are they WORTH by age"): users cohort by
+    * first-event PERIOD (epoch-days div `periodDays`, the engine-exact
+    * [[acf]] bucketing; weekly default), revenue events land at
+    * integer period AGE since the cohort period, and each (cohort,
+    * age) row carries the cohort size, the exact cents earned at that
+    * age and the cumulative cents — the curve a growth team reads
+    * payback periods off. The age axis densifies 0..max (a no-revenue
+    * period is a real flat period — the seasonalIndices rule) so the
+    * cumulative column is a step curve with no hidden gaps.
+    *
+    * Scale: events partial-aggregate to (cohort, age) cents FIRST;
+    * cohort sizes are a per-user min + count; the cumulative window
+    * partitions by cohort over the config-scale (cohort × age) grid.
+    * Judged `q_ltv`, fully ORACLED; cohort isolation, gap densification
+    * and cumulative exactness pinned in EventsSpec. */
+  def ltvCurve(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, typeCol: String, revenueType: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1: $periodDays")
+    def pidx(c: String): Column =
+      expr(s"datediff(to_date($c), date'1970-01-01') div $periodDays")
+    val firsts = events.groupBy(col(userCol).as("__u"))
+      .agg(min(pidx(tsCol)).as("cohort_period"))
+    val cohorts = graft.engine.Caches.persisted(firsts)
+    val sizes = cohorts.groupBy("cohort_period")
+      .agg(count(lit(1)).as("n_users"))
+    val rev = events.filter(col(typeCol) === revenueType)
+      .select(col(userCol).as("__u"), pidx(tsCol).as("__m"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__cents"))
+      .join(cohorts, "__u")
+      .groupBy(col("cohort_period"),
+        (col("__m") - col("cohort_period")).as("age"))
+      .agg(sum(col("__cents")).as("cents"))
+    val grid = rev.groupBy("cohort_period").agg(max(col("age")).as("__hi"))
+      .select(col("cohort_period"),
+        explode(sequence(lit(0L), col("__hi"))).as("age"))
+    val w = Window.partitionBy("cohort_period").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(rev, Seq("cohort_period", "age"), "left")
+      .select(col("cohort_period"), col("age"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(broadcast(sizes), "cohort_period")
+      .select(col("cohort_period").cast("int").as("cohort_period"),
+        col("age").cast("int").as("age"), col("n_users"), col("cents"),
+        col("cum_cents"))
+  }
+
+  /** Peak concurrency over half-open intervals `[start, end)` — the
+    * sweep-line classic ("how many sessions were open at the worst
+    * moment"; capacity planning's first question): every interval
+    * contributes a +1 at start and a −1 at end, the running sum over
+    * the time-ordered deltas is the concurrency curve, and the answer
+    * is its max plus the FIRST instant it is reached. The half-open
+    * convention makes an end and a start at the same instant
+    * non-overlapping — deltas order (t, delta) so the −1 applies
+    * first. Exact integers throughout.
+    *
+    * Scale: deltas partial-aggregate per (t, delta) BEFORE the global
+    * ordered cumsum, which is the [[graft.engine.Banding]] prefix sum
+    * (band by epoch micros); the peak and its first instant come from
+    * one aggregate over the persisted curve. Judged `q_concurrency`,
+    * fully ORACLED; overlap matrix, same-instant handoff and
+    * first-peak tie pinned in EventsSpec. */
+  def peakConcurrency(intervals: DataFrame, startCol: String,
+      endCol: String, bands: Int = 32): DataFrame = {
+    val W = Window
+    val deltas = intervals
+      .select(unix_micros(col(startCol)).as("t"), lit(1L).as("d"))
+      .unionByName(intervals
+        .select(unix_micros(col(endCol)).as("t"), lit(-1L).as("d")))
+      .groupBy("t", "d").agg(sum(col("d")).as("delta"))
+    val bounds = broadcast(deltas.agg(
+      min(col("t")).as("__lo"), max(col("t")).as("__hi")))
+    val banded = deltas.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("t"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(sum(col("delta")).as("__bd"))
+      .withColumn("__off", coalesce(sum(col("__bd")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__off"))
+    val wB = W.partitionBy(col("__band")).orderBy(col("t"), col("d"))
+      .rowsBetween(Long.MinValue, 0)
+    val curve = graft.engine.Caches.persisted(
+      banded.join(broadcast(offsets), "__band")
+        .withColumn("run", col("__off") + sum(col("delta")).over(wB))
+        .select(col("t"), col("d"), col("run")))
+    val peak = broadcast(curve.agg(max(col("run")).as("peak")))
+    curve.crossJoin(peak)
+      .filter(col("run") === col("peak"))
+      .groupBy(col("peak"))
+      .agg(timestamp_micros(min(col("t"))).as("first_peak_ts"))
+      .select(col("peak"), col("first_peak_ts"))
+  }
+
   /** First-touch / last-touch conversion attribution — the marketing
     * analytics staple over the funnel family: every conversion event
     * credits (a) the LAST non-conversion touch at or before it (what

@@ -864,4 +864,61 @@ class EventsSpec extends SparkTestBase {
     assert(cut === Set(("a", "b"), ("b", "a")))
     graft.engine.Caches.releaseAll()
   }
+
+  test("ltvCurve: cohort isolation, gap densification, cumulative exactness") {
+    // all offsets are multiples of 7 days, so period arithmetic is
+    // phase-independent: cohort A = base week, cohort B = base + 3
+    val b = "2026-01-01"
+    def at(day: String) = ts(s"$day 12:00:00")
+    val df = Seq(
+      ("u1", at(b), "signup", 0.0),
+      ("u1", at(b), "purchase", 1.004),          // age 0: 100 cents
+      ("u1", at("2026-01-15"), "purchase", 2.5), // age 2: 250 cents
+      ("u2", at(b), "view", 9.99),               // in cohort A, no revenue
+      ("u3", at("2026-01-22"), "purchase", 4.0)) // cohort B, age 0
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Events.ltvCurve(df, "user_id", "ts", "value", "event_type",
+      "purchase").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val periods = got.keys.map(_._1).toSet
+    assert(periods.size === 2)
+    val pA = periods.min
+    assert(periods.max === pA + 3)
+    // cohort A: 2 users; age 1 densified to an explicit zero row
+    assert(got((pA, 0)) === ((2L, 100L, 100L)))
+    assert(got((pA, 1)) === ((2L, 0L, 100L)))
+    assert(got((pA, 2)) === ((2L, 250L, 350L)))
+    // cohort B is isolated: 1 user, its own cumulative from zero
+    assert(got((pA + 3, 0)) === ((1L, 400L, 400L)))
+    assert(got.size === 4)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("peakConcurrency: overlap matrix, same-instant handoff, first-peak tie") {
+    def iv(s: String, e: String) =
+      (ts(s"2026-01-01 $s"), ts(s"2026-01-01 $e"))
+    // [10:00,10:10) [10:05,10:15) [10:10,10:20): the 10:10 handoff is
+    // NOT an overlap (half-open), so peak = 2; the 11:00 pair re-reaches
+    // 2 later — first_peak_ts must stay 10:05
+    val df = Seq(
+      iv("10:00:00", "10:10:00"), iv("10:05:00", "10:15:00"),
+      iv("10:10:00", "10:20:00"),
+      iv("11:00:00", "11:10:00"), iv("11:05:00", "11:15:00"))
+      .toDF("s", "e")
+    val rows = Events.peakConcurrency(df, "s", "e").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(0) === 2L)
+    assert(rows(0).getTimestamp(1) === ts("2026-01-01 10:05:00"))
+    // three identical starts at one instant aggregate to a single +3
+    // delta; the later single start on top of them sets the peak
+    val dup = Seq(
+      iv("12:00:00", "12:01:00"), iv("12:00:00", "12:01:00"),
+      iv("12:00:00", "12:01:00"), iv("12:00:30", "12:02:00"))
+      .toDF("s", "e")
+    val r2 = Events.peakConcurrency(dup, "s", "e").collect()
+    assert(r2(0).getLong(0) === 4L)
+    assert(r2(0).getTimestamp(1) === ts("2026-01-01 12:00:30"))
+    graft.engine.Caches.releaseAll()
+  }
 }
