@@ -3476,6 +3476,51 @@ object SparkEntry {
           (col("ts") + expr("INTERVAL 30 MINUTES")).as("e")),
         "s", "e")),
 
+    // Confusion matrices at three operating thresholds: milli-quantized
+    // scores, exact tp/fp/tn/fn and integer-milli precision/recall/F1.
+    // Fully oracled.
+    "q_confusion" -> ((s, dir) =>
+      graft.operators.Eval.confusionReport(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label", Seq(50000L, 150000L, 300000L))
+        .orderBy("threshold_milli")),
+
+    // Calibration/reliability bins: rank-decile mean predicted milli vs
+    // exact observed positive rate, signed gap. Fully oracled.
+    "q_calibration" -> ((s, dir) =>
+      graft.operators.Eval.calibrationBins(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label", "event_id")
+        .orderBy("bin")),
+
+    // RFM quintile segmentation over customers: exact recency days /
+    // order counts / cents, deterministic rank-arithmetic 1..5 scores,
+    // 111..555 segment codes. Fully oracled.
+    "q_rfm" -> ((s, dir) =>
+      graft.operators.Relational.rfm(
+        t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("key")),
+
+    // Benford first-digit audit of order amounts: string-derived lead
+    // digits (no float log10), exact counts and milli shares vs the
+    // floored Benford constants. Fully oracled.
+    "q_benford" -> ((s, dir) =>
+      graft.operators.Relational.benford(t(s, dir, "orders"),
+        "o_totalprice")
+        .orderBy("digit")),
+
+    // Degree assortativity of the co-occurrence graph (the q_triangles
+    // fixture): exact rational Newman r — integer numerator and
+    // denominator, no square root (symmetric marginals). Fully oracled.
+    "q_assortativity" -> ((s, dir) =>
+      graft.operators.Graph.assortativity(
+        t(s, dir, "orders")
+          .select((col("o_orderkey") % 2000).as("src"),
+            (col("o_custkey") % 2000).as("dst")),
+        "src", "dst")),
+
     // Count-Min point-frequency accuracy contract over the top-20
     // tokens: exact counts + the never-undercount and epsilon-band
     // theorem properties as booleans (the q_approx_distinct_bound
@@ -5575,6 +5620,143 @@ object SparkEntry {
         |SELECT pk.peak, min(t) AS first_peak_ts
         |FROM curve CROSS JOIN pk WHERE run = peak
         |GROUP BY 1""".stripMargin,
+
+    // all counts exact; milli ratios are non-negative integer division
+    // (// == div on non-negatives)
+    "q_confusion" ->
+      """WITH per AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT)
+        |               AS s,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |               AS y
+        |             FROM events),
+        |thr AS (SELECT CAST(unnest([50000, 150000, 300000]) AS BIGINT)
+        |          AS threshold_milli),
+        |m AS (SELECT threshold_milli,
+        |        CAST(sum(CASE WHEN s >= threshold_milli AND y = 1
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN s >= threshold_milli AND y = 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN s < threshold_milli AND y = 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |        CAST(sum(CASE WHEN s < threshold_milli AND y = 1
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |      FROM per CROSS JOIN thr GROUP BY 1)
+        |SELECT threshold_milli, tp, fp, tn, fn,
+        |       tp * 1000 // nullif(tp + fp, 0) AS precision_milli,
+        |       tp * 1000 // nullif(tp + fn, 0) AS recall_milli,
+        |       tp * 2000 // nullif(2 * tp + fp + fn, 0) AS f1_milli
+        |FROM m ORDER BY threshold_milli""".stripMargin,
+
+    // same rank-arithmetic bins as q_lift; every divided quantity is
+    // non-negative so // == div
+    "q_calibration" ->
+      """WITH per AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT)
+        |               AS v, event_id AS id,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |               AS y
+        |             FROM events),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |r AS (SELECT v, y,
+        |        row_number() OVER (ORDER BY v DESC, id) AS rnk
+        |      FROM per),
+        |b AS (SELECT CAST((rnk - 1) * 10 // (SELECT n FROM nn)
+        |        AS INTEGER) AS bin, v, y FROM r)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(y) AS BIGINT) AS pos,
+        |       CAST(sum(v) AS BIGINT) // count(*) AS mean_pred_milli,
+        |       CAST(sum(y) AS BIGINT) * 1000 // count(*)
+        |         AS obs_rate_milli,
+        |       CAST(sum(v) AS BIGINT) // count(*)
+        |         - CAST(sum(y) AS BIGINT) * 1000 // count(*) AS gap_milli
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deterministic quintiles: (rank-1)*5 // n + 1 over (metric, key)
+    // row numbers, recency ranked DESC so 5 = best everywhere
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |               max(CAST(o_orderdate AS DATE)) AS last_d,
+        |               CAST(count(*) AS BIGINT) AS f_orders,
+        |               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |                 AS BIGINT)) AS BIGINT) AS m_cents
+        |             FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS asof,
+        |              CAST(count(*) AS BIGINT) AS n FROM per),
+        |b AS (SELECT k,
+        |        CAST(date_diff('day', last_d, mx.asof)
+        |          AS BIGINT) AS r_days,
+        |        f_orders, m_cents FROM per CROSS JOIN mx),
+        |rr AS (SELECT k, row_number() OVER (ORDER BY r_days DESC, k)
+        |         AS rk FROM b),
+        |rf AS (SELECT k, row_number() OVER (ORDER BY f_orders, k)
+        |         AS rk FROM b),
+        |rm AS (SELECT k, row_number() OVER (ORDER BY m_cents, k)
+        |         AS rk FROM b),
+        |sc AS (SELECT b.k, b.r_days, b.f_orders, b.m_cents,
+        |         CAST((rr.rk - 1) * 5 // (SELECT n FROM mx) + 1
+        |           AS INTEGER) AS r_score,
+        |         CAST((rf.rk - 1) * 5 // (SELECT n FROM mx) + 1
+        |           AS INTEGER) AS f_score,
+        |         CAST((rm.rk - 1) * 5 // (SELECT n FROM mx) + 1
+        |           AS INTEGER) AS m_score
+        |       FROM b JOIN rr ON b.k = rr.k JOIN rf ON b.k = rf.k
+        |       JOIN rm ON b.k = rm.k)
+        |SELECT k AS key, r_days, f_orders, m_cents, r_score, f_score,
+        |       m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS rfm_code
+        |FROM sc ORDER BY key""".stripMargin,
+
+    // lead digit from the BIGINT's decimal string (no float log10);
+    // expected shares are the floored Benford milli constants
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+        |             AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+        |        AS INTEGER) AS digit FROM c WHERE cents > 0),
+        |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d
+        |        GROUP BY 1),
+        |ex AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+        |              CAST(unnest([301,176,124,96,79,66,57,51,45])
+        |                AS BIGINT) AS benford_milli),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cnt)
+        |SELECT ex.digit, COALESCE(cnt.n_obs, 0) AS n_obs,
+        |       COALESCE(cnt.n_obs, 0) * 1000 // (SELECT n FROM tot)
+        |         AS share_milli,
+        |       ex.benford_milli,
+        |       COALESCE(cnt.n_obs, 0) * 1000 // (SELECT n FROM tot)
+        |         - ex.benford_milli AS deviation_milli
+        |FROM ex LEFT JOIN cnt USING (digit)
+        |ORDER BY ex.digit""".stripMargin,
+
+    // exact rational Newman r (symmetric marginals, no sqrt); r_milli
+    // truncates toward zero via abs on both engines
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT o_orderkey % 2000 AS s,
+        |                   o_custkey % 2000 AS t FROM orders),
+        |c AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |      FROM e0 WHERE s <> t),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS v FROM c UNION ALL SELECT b FROM c)
+        |        GROUP BY 1),
+        |dir AS (SELECT a AS u, b AS w FROM c
+        |        UNION ALL SELECT b, a FROM c),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |              CAST(sum(du.d) AS BIGINT) AS sx,
+        |              CAST(sum(du.d * du.d) AS BIGINT) AS sxx,
+        |              CAST(sum(du.d * dw.d) AS BIGINT) AS sxy
+        |       FROM dir JOIN deg du ON dir.u = du.v
+        |       JOIN deg dw ON dir.w = dw.v)
+        |SELECT m2 // 2 AS m_edges,
+        |       m2 * sxy - sx * sx AS num,
+        |       m2 * sxx - sx * sx AS den,
+        |       CASE WHEN m2 * sxx - sx * sx = 0 THEN NULL
+        |            ELSE CAST(sign(m2 * sxy - sx * sx) AS BIGINT)
+        |              * (abs(m2 * sxy - sx * sx) * 1000
+        |                 // (m2 * sxx - sx * sx)) END AS r_milli,
+        |       CASE WHEN m2 * sxx - sx * sx > 0
+        |            THEN CAST(m2 * sxy - sx * sx AS DOUBLE)
+        |              / CAST(m2 * sxx - sx * sx AS DOUBLE)
+        |            ELSE NULL END AS assortativity
+        |FROM st""".stripMargin,
 
     // exact top-20 token counts; the two theorem properties hold by
     // construction so the oracle states them as constants

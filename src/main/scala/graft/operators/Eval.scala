@@ -120,4 +120,97 @@ object Eval {
           .as("lift_milli"),
         expr("cum_pos * 1000 div nullif(__P, 0L)").as("capture_milli"))
   }
+
+  /** Confusion-matrix report at a list of decision thresholds — the
+    * operating-point readout between [[aucExact]] (threshold-free) and
+    * [[liftTable]] (rank-bucketed): scores quantize to milli BIGINTs
+    * (`floor(s·1000 + 0.5)` — the judged-double rule, identical IEEE
+    * ops in any engine), a row predicts positive iff
+    * `score_milli ≥ threshold`, and each threshold row carries the
+    * exact tp/fp/tn/fn plus `precision_milli`, `recall_milli` and
+    * `f1_milli = 2·tp·1000 div (2·tp + fp + fn)` — all integer
+    * arithmetic, no float ever compared.
+    *
+    * Scale: ONE scan partial-aggregates to per-distinct-(score_milli,
+    * label) counts; the per-threshold sums run over that config-scale
+    * relation crossed with the broadcast threshold list — rows are
+    * never re-scanned per threshold. Judged `q_confusion`, fully
+    * ORACLED; hand matrix, degenerate all-positive/all-negative
+    * thresholds and the P=tp+fn / N=fp+tn identities pinned in
+    * EvalSpec. */
+  def confusionReport(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholdsMilli: Seq[Long]): DataFrame = {
+    require(thresholdsMilli.nonEmpty, "thresholdsMilli must be non-empty")
+    val session = df.sparkSession
+    import session.implicits._
+    val per = df
+      .select(floor(col(scoreCol) * 1000 + lit(0.5)).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("s", "y").agg(count(lit(1)).as("c"))
+    val thr = broadcast(
+      thresholdsMilli.toDF("threshold_milli"))
+    per.crossJoin(thr)
+      .groupBy("threshold_milli")
+      .agg(
+        sum(when(col("s") >= col("threshold_milli") && col("y") === 1L,
+          col("c")).otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("threshold_milli") && col("y") === 0L,
+          col("c")).otherwise(0L)).as("fp"),
+        sum(when(col("s") < col("threshold_milli") && col("y") === 0L,
+          col("c")).otherwise(0L)).as("tn"),
+        sum(when(col("s") < col("threshold_milli") && col("y") === 1L,
+          col("c")).otherwise(0L)).as("fn"))
+      .select(col("threshold_milli"), col("tp"), col("fp"), col("tn"),
+        col("fn"),
+        expr("tp * 1000 div nullif(tp + fp, 0L)").as("precision_milli"),
+        expr("tp * 1000 div nullif(tp + fn, 0L)").as("recall_milli"),
+        expr("tp * 2000 div nullif(2 * tp + fp + fn, 0L)").as("f1_milli"))
+  }
+
+  /** Calibration (reliability) bins — "when the model says 70%, does
+    * it happen 70% of the time": rows rank by (milli-quantized score
+    * desc, id asc) into `k` equal-count bins exactly as [[liftTable]]
+    * buckets, and each bin reports the exact mean PREDICTED milli
+    * (`sum(score_milli) div n` — integer division over exact sums)
+    * against the exact OBSERVED positive rate (`pos·1000 div n`); the
+    * gap column is their signed difference. A calibrated scorer reads
+    * gap ≈ 0 in every bin; a ranking-good-but-miscalibrated one (high
+    * AUC, big gaps) is what this catches.
+    *
+    * Scale: identical machinery to [[liftTable]] — banded global rank,
+    * k-row aggregate. Judged `q_calibration`, fully ORACLED;
+    * perfectly-calibrated zero gaps, constant-scorer single-mean and
+    * bin-count exactness pinned in EvalSpec. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, k: Int = 10, bands: Int = 32): DataFrame = {
+    require(k >= 2 && k <= 100, s"k must be in 2..100: $k")
+    val per = graft.engine.Caches.persisted(
+      df.select(
+        floor(col(scoreCol) * 1000 + lit(0.5)).cast("long").as("v"),
+        col(idCol).as("__id"), col(labelCol).cast("long").as("__y")))
+    val bounds = broadcast(per.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      count(lit(1)).as("__N")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandDesc(
+        col("v"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__or", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__band"), col("__or"))
+    val wB = Window.partitionBy(col("__band"))
+      .orderBy(col("v").desc, col("__id"))
+    banded.join(broadcast(offsets), "__band")
+      .withColumn("__rank", col("__or") + row_number().over(wB))
+      .withColumn("bin", expr(s"(__rank - 1) * $k div __N").cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        sum(col("v")).as("__sv"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("__sv div n").as("mean_pred_milli"),
+        expr("pos * 1000 div n").as("obs_rate_milli"),
+        expr("__sv div n - pos * 1000 div n").as("gap_milli"))
+  }
 }

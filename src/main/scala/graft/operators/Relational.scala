@@ -1233,6 +1233,117 @@ object Relational {
           .as("spearman"))
   }
 
+  /** RFM segmentation — the classic customer-value grid (recency ×
+    * frequency × monetary) next to [[concentration]]'s one-number
+    * headline: each key gets `r_days` (days since its last event,
+    * measured against the corpus max date — exact integer calendar
+    * arithmetic), `f_orders` (exact count), `m_cents` (exact cents),
+    * and a 1..5 quintile score per dimension from deterministic rank
+    * arithmetic — `(rank−1)·5 div n + 1` over (metric, key)-ordered
+    * row numbers (the [[Eval.liftTable]] bucketing rule; no ntile
+    * nondeterminism, ties broken by key). Recency ranks DESCENDING so
+    * 5 always reads "best" (most recent / most frequent / highest
+    * spend); `rfm_code = r·100 + f·10 + m` is the standard 111..555
+    * segment label.
+    *
+    * Scale: events partial-aggregate to one row per key FIRST; each
+    * quintile rank is the [[gini]] banded prefix-sum (band by the
+    * metric, in-band row_number — no global single-partition window);
+    * the three score relations hash-join back on the key. Judged
+    * `q_rfm`, fully ORACLED; hand quintiles, tie determinism and the
+    * all-dimensions-covered code range pinned in RelationalSpec. */
+  def rfm(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      bands: Int = 32): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val per = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"),
+          floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__cents"))
+        .groupBy("__k")
+        .agg(max(col("__d")).as("__last"), count(lit(1)).as("f_orders"),
+          sum(col("__cents")).as("m_cents")))
+    val bounds = broadcast(per.agg(
+      max(col("__last")).as("__asof"), count(lit(1)).as("__n")))
+    val base = graft.engine.Caches.persisted(
+      per.crossJoin(bounds)
+        .select(col("__k"), col("__n"),
+          datediff(col("__asof"), col("__last")).cast("long").as("r_days"),
+          col("f_orders"), col("m_cents")))
+    // one banded deterministic rank per dimension; desc=true ranks the
+    // LARGEST metric first (used for recency, where small days = good)
+    def score(metric: String, desc: Boolean, out: String): DataFrame = {
+      val b = broadcast(base.agg(
+        min(col(metric)).as("__lo"), max(col(metric)).as("__hi")))
+      val banded = base.crossJoin(b)
+        .withColumn("__band",
+          if (desc) graft.engine.Banding.bandDesc(
+            col(metric), col("__lo"), col("__hi"), bands)
+          else graft.engine.Banding.bandAsc(
+            col(metric), col("__lo"), col("__hi"), bands))
+      val offsets = banded.groupBy(col("__band"))
+        .agg(count(lit(1)).as("__bn"))
+        .withColumn("__or", coalesce(sum(col("__bn")).over(
+          W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+        .select(col("__band"), col("__or"))
+      val wB = W.partitionBy(col("__band"))
+        .orderBy(if (desc) col(metric).desc else col(metric).asc,
+          col("__k"))
+      banded.join(broadcast(offsets), "__band")
+        .withColumn("__rank", col("__or") + row_number().over(wB))
+        .select(col("__k"),
+          (expr("(__rank - 1) * 5 div __n") + 1L).cast("int").as(out))
+    }
+    base
+      .join(score("r_days", desc = true, "r_score"), "__k")
+      .join(score("f_orders", desc = false, "f_score"), "__k")
+      .join(score("m_cents", desc = false, "m_score"), "__k")
+      .select(col("__k").as("key"), col("r_days"), col("f_orders"),
+        col("m_cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_code"))
+  }
+
+  /** Benford first-digit audit — the fraud/fabrication screen over any
+    * naturally-spanning positive amount column: values quantize to
+    * exact cents, the leading digit is the first character of the
+    * BIGINT's decimal rendering (pure string arithmetic — no float
+    * log10 anywhere), and each digit 1..9 reports its exact count, the
+    * observed share in milli, Benford's expected share
+    * (`⌊log10(1+1/d)·1000⌋` — a fixed 9-literal table, 301‰ for the
+    * digit 1 down to 45‰ for 9) and the signed deviation. Digits with
+    * zero observations still emit (LEFT JOIN from the literal table) —
+    * an all-round-numbers corpus showing a 0‰ digit-9 share is exactly
+    * the signal this exists for.
+    *
+    * Scale: digit extraction is scan-stage; the aggregate is 9 rows.
+    * Judged `q_benford`, fully ORACLED; hand shares, zero-digit
+    * densification and the positive-only filter pinned in
+    * RelationalSpec. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val expected = Seq(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L,
+      5 -> 79L, 6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L)
+      .toDF("digit", "benford_milli")
+    val counts = df
+      .select(floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+        .as("__cents"))
+      .filter(col("__cents") > 0L)
+      .select(substring(col("__cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = broadcast(counts.agg(sum(col("n_obs")).as("__n")))
+    broadcast(expected).join(counts, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("benford_milli"))
+      .crossJoin(total)
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000 div nullif(__n, 0L)").as("share_milli"),
+        col("benford_milli"),
+        expr("n_obs * 1000 div nullif(__n, 0L) - benford_milli")
+          .as("deviation_milli"))
+  }
+
   /** Revenue-concentration report — the Pareto/80-20 analysis next to
     * [[skewProfile]]'s "is one KEY hot" diagnostic: for each requested
     * share threshold, the MINIMAL number of top keys whose cumulative

@@ -79,4 +79,56 @@ class EvalSpec extends SparkTestBase {
     assert(u.forall(_.getLong(2) === 1L))
     graft.engine.Caches.releaseAll()
   }
+
+  test("confusionReport: hand matrix, degenerate thresholds, P/N identities") {
+    val df = scored(Seq((0.9, 1), (0.8, 0), (0.6, 1), (0.4, 0),
+      (0.2, 1), (0.1, 0)))
+    val got = Eval.confusionReport(df, "score", "y",
+      Seq(0L, 500L, 10000L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // thr 500: {900,800,600} predicted positive -> tp=2 fp=1 tn=2 fn=1
+    val m = got(500L)
+    assert((m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4))
+      === ((2L, 1L, 2L, 1L)))
+    assert((m.getLong(5), m.getLong(6), m.getLong(7))
+      === ((666L, 666L, 666L)))
+    // thr 0: everything predicted positive; precision = prevalence
+    val lo = got(0L)
+    assert((lo.getLong(1), lo.getLong(2), lo.getLong(3), lo.getLong(4))
+      === ((3L, 3L, 0L, 0L)))
+    assert(lo.getLong(5) === 500L && lo.getLong(6) === 1000L)
+    // thr 10000: nothing predicted positive; precision undefined (null)
+    val hi = got(10000L)
+    assert((hi.getLong(1), hi.getLong(2), hi.getLong(3), hi.getLong(4))
+      === ((0L, 0L, 3L, 3L)))
+    assert(hi.isNullAt(5) && hi.getLong(6) === 0L && hi.getLong(7) === 0L)
+    // P = tp + fn and N = fp + tn hold at every threshold
+    assert(got.values.forall(r =>
+      r.getLong(1) + r.getLong(4) === 3L &&
+        r.getLong(2) + r.getLong(3) === 3L))
+  }
+
+  test("calibrationBins: zero gaps when calibrated, constant scorer, bin counts") {
+    // two score levels whose observed rates equal the scores exactly
+    val cal = scored(
+      Seq.fill(4)((0.8, 1)) ++ Seq((0.8, 0)) ++
+        Seq((0.2, 1)) ++ Seq.fill(4)((0.2, 0)))
+    val c = Eval.calibrationBins(cal, "score", "y", "id", k = 2)
+      .orderBy("bin").collect()
+    assert(c.length === 2 && c.forall(_.getLong(1) === 5L))
+    assert((c(0).getLong(3), c(0).getLong(4), c(0).getLong(5))
+      === ((800L, 800L, 0L)))
+    assert((c(1).getLong(3), c(1).getLong(4), c(1).getLong(5))
+      === ((200L, 200L, 0L)))
+    // constant scorer: both bins read the same mean prediction; ids
+    // split the tie deterministically into equal bins
+    val const = scored((0 until 10).map(i => (0.5, if (i < 3) 1 else 0)))
+    val k2 = Eval.calibrationBins(const, "score", "y", "id", k = 2)
+      .orderBy("bin").collect()
+    assert(k2.forall(_.getLong(3) === 500L))
+    assert(k2.map(_.getLong(1)).toSeq === Seq(5L, 5L))
+    // id order under total tie: positives (ids 0,1,2) land in bin 0
+    assert(k2(0).getLong(2) === 3L && k2(1).getLong(2) === 0L)
+    graft.engine.Caches.releaseAll()
+  }
 }

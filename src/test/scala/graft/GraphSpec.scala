@@ -296,4 +296,25 @@ class GraphSpec extends SparkTestBase {
       !capped.exists(r => r._1 == 0L && r._2 == 3L))
     graft.engine.Caches.releaseAll()
   }
+
+  test("assortativity: star -1, path sign, regular null, dedup invariance") {
+    def run(edges: Seq[(Long, Long)]) =
+      Graph.assortativity(edges.toDF("src", "dst"), "src", "dst")
+        .collect().head
+    // star K1,4: maximally disassortative, exactly -1
+    val star = run(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    assert(star.getLong(0) === 4L)
+    assert(star.getLong(3) === -1000L && star.getDouble(4) === -1.0)
+    // path P4: degrees 1,2,2,1 -> r = -4/8 = -0.5 (toward-zero milli)
+    val path = run(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(path.getLong(3) === -500L && path.getDouble(4) === -0.5)
+    // 4-cycle: every degree equal -> zero variance, r undefined
+    val cyc = run(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    assert(cyc.getLong(2) === 0L && cyc.isNullAt(3) && cyc.isNullAt(4))
+    // duplicate edges, reversed orientation and self-loops are ignored
+    val noisy = run(Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 2L),
+      (0L, 3L), (0L, 4L), (2L, 2L)))
+    assert(noisy.getLong(0) === 4L && noisy.getLong(3) === -1000L)
+    graft.engine.Caches.releaseAll()
+  }
 }

@@ -815,4 +815,48 @@ class RelationalSpec extends SparkTestBase {
       graft.operators.Relational.concentration(df, "k", "v", Seq(0)))
     graft.engine.Caches.releaseAll()
   }
+
+  test("rfm: hand quintiles, monotone codes, tie determinism") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 10:00:00")
+    // customer i has i orders, last on day i, total 10*i dollars:
+    // with n=5 every quintile score IS the rank, so ci codes iii
+    val rows = (1 to 5).flatMap(i => (1 to i).map(j =>
+      (s"c$i", t(i - j + 1), if (j == 1) 10.0 * i - (i - 1) else 1.0)))
+    val got = graft.operators.Relational
+      .rfm(rows.toDF("k", "ts", "v"), "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(7))).toMap
+    (1 to 5).foreach { i =>
+      val (rd, f, m, code) = got(s"c$i")
+      assert(rd === (5 - i).toLong)
+      assert(f === i.toLong && m === 1000L * i)
+      assert(code === i * 111)
+    }
+    // full tie: equal metrics rank by key, scores split 1 vs 3 (n=2)
+    val tie = Seq(("a", t(1), 5.0), ("b", t(1), 5.0))
+      .toDF("k", "ts", "v")
+    val ts2 = graft.operators.Relational.rfm(tie, "k", "ts", "v")
+      .collect().map(r => r.getString(0) -> r.getInt(7)).toMap
+    assert(ts2("a") === 111 && ts2("b") === 333)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("benford: hand shares, zero-digit densification, positive-only filter") {
+    val df = Seq(1.0, 1.23, 25.0, 0.30, 9.0, -5.0, 0.0, 0.004)
+      .toDF("v")
+    val got = graft.operators.Relational.benford(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // kept cents: 100, 123, 2500, 30, 900 -> digits 1,1,2,3,9 (n=5);
+    // -5.0, 0.0 and sub-cent 0.004 are filtered out
+    assert(got.size === 9)
+    assert(got(1) === ((2L, 400L, 301L, 99L)))
+    assert(got(2) === ((1L, 200L, 176L, 24L)))
+    assert(got(3) === ((1L, 200L, 124L, 76L)))
+    assert(got(9) === ((1L, 200L, 45L, 155L)))
+    // unseen digits still emit, with their full negative deviation
+    assert(got(4) === ((0L, 0L, 96L, -96L)))
+    assert(got(7) === ((0L, 0L, 57L, -57L)))
+  }
 }
