@@ -3521,6 +3521,18 @@ object SparkEntry {
             (col("o_custkey") % 2000).as("dst")),
         "src", "dst")),
 
+    // Link-prediction features over a sparser co-occurrence graph
+    // (mod 20000 keeps wedge volume linear-ish): exact common
+    // neighbors, degrees, preferential attachment, Jaccard milli and
+    // the is_edge training label. Fully oracled.
+    "q_link_pred" -> ((s, dir) =>
+      graft.operators.Graph.linkFeatures(
+        t(s, dir, "orders")
+          .select((col("o_orderkey") % 20000).as("src"),
+            (col("o_custkey") % 20000).as("dst")),
+        "src", "dst")
+        .orderBy("a", "b")),
+
     // Count-Min point-frequency accuracy contract over the top-20
     // tokens: exact counts + the never-undercount and epsilon-band
     // theorem properties as booleans (the q_approx_distinct_bound
@@ -5757,6 +5769,37 @@ object SparkEntry {
         |              / CAST(m2 * sxx - sx * sx AS DOUBLE)
         |            ELSE NULL END AS assortativity
         |FROM st""".stripMargin,
+
+    // wedge-counted common neighbors; every divided quantity positive
+    // so // == div; the degree cap mirrors the plan's center filter
+    "q_link_pred" ->
+      """WITH e0 AS (SELECT o_orderkey % 20000 AS s,
+        |                   o_custkey % 20000 AS t FROM orders),
+        |c AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |      FROM e0 WHERE s <> t),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS v FROM c UNION ALL SELECT b FROM c)
+        |        GROUP BY 1),
+        |adj AS (SELECT cc.c, cc.n FROM
+        |          (SELECT a AS c, b AS n FROM c
+        |           UNION ALL SELECT b, a FROM c) cc
+        |        JOIN deg ON cc.c = deg.v WHERE deg.d <= 10000),
+        |cn AS (SELECT x.n AS a, y.n AS b,
+        |              CAST(count(*) AS BIGINT) AS common_neighbors
+        |       FROM adj x JOIN adj y
+        |         ON x.c = y.c AND x.n < y.n
+        |       GROUP BY 1, 2)
+        |SELECT cn.a, cn.b, cn.common_neighbors,
+        |       da.d AS deg_a, db.d AS deg_b,
+        |       da.d * db.d AS pa,
+        |       cn.common_neighbors * 1000
+        |         // (da.d + db.d - cn.common_neighbors) AS jaccard_milli,
+        |       (ce.a IS NOT NULL) AS is_edge
+        |FROM cn
+        |JOIN deg da ON cn.a = da.v
+        |JOIN deg db ON cn.b = db.v
+        |LEFT JOIN c ce ON cn.a = ce.a AND cn.b = ce.b
+        |ORDER BY cn.a, cn.b""".stripMargin,
 
     // exact top-20 token counts; the two theorem properties hold by
     // construction so the oracle states them as constants

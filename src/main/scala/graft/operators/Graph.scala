@@ -190,6 +190,65 @@ object Graph {
           .otherwise(lit(null).cast("double")).as("assortativity"))
   }
 
+  /** Link-prediction features — the classic "who will connect next"
+    * scores (Liben-Nowell & Kleinberg 2003) for every node pair at
+    * distance ≤ 2 in the undirected simple graph: exact
+    * `common_neighbors`, the degree pair, preferential attachment
+    * `pa = da·db`, Jaccard neighborhood overlap in exact milli
+    * (`cn·1000 div (da + db − cn)`) and an `is_edge` flag so the same
+    * relation serves as training labels (existing edges) and
+    * candidates (cn > 0 non-edges). All-integer — no Adamic-Adar here
+    * by design: its Σ1/ln(d) term is float-order-dependent across
+    * engines (the judged-double rule); pa and jaccard_milli carry the
+    * same ranking signal exactly.
+    *
+    * Scale: candidate pairs come from wedge enumeration — per center
+    * node O(d²), so hubs above `maxCenterDegree` are EXCLUDED as
+    * centers (their pairs still form through lower-degree shared
+    * neighbors; the cap is the standard mitigation, and capped centers
+    * are a deliberate, documented approximation — set it above your
+    * d_max for exact results). Pairs partial-aggregate to (pair, cn)
+    * before degrees attach via two hash joins; `is_edge` is one
+    * left-semi-shaped left join on the canonical edge set. Judged
+    * `q_link_pred`, fully ORACLED; hand wedge/square features, the
+    * cap's exclusion semantics and edge labeling pinned in GraphSpec. */
+  def linkFeatures(edges: DataFrame, srcCol: String, dstCol: String,
+      maxCenterDegree: Int = 10000): DataFrame = {
+    require(maxCenterDegree >= 1,
+      s"maxCenterDegree must be >= 1: $maxCenterDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val e = graft.engine.Caches.persisted(canon)
+    val deg = graft.engine.Caches.persisted(
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d")))
+    // adjacency with the center's degree, hub centers excluded
+    val adj = e.select(col("a").as("c"), col("b").as("n"))
+      .unionByName(e.select(col("b").as("c"), col("a").as("n")))
+      .join(deg.select(col("v").as("c"), col("d").as("__dc")), "c")
+      .filter(col("__dc") <= maxCenterDegree)
+      .select(col("c"), col("n"))
+    val o = graft.engine.Caches.persisted(adj)
+    val cn = o.as("x").join(o.as("y"),
+        col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_neighbors"))
+    cn
+      .join(deg.select(col("v").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("deg_b")), "b")
+      .join(e.withColumn("__e", lit(1)), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        (col("deg_a") * col("deg_b")).as("pa"),
+        expr("common_neighbors * 1000" +
+          " div (deg_a + deg_b - common_neighbors)").as("jaccard_milli"),
+        (col("__e") === 1).cast("boolean").as("is_edge"))
+      .na.fill(false, Seq("is_edge"))
+  }
+
   /** Multi-source BFS: minimum hop count from any seed to every node
     * reachable within `maxHops`, over DIRECTED edges. Classic frontier
     * expansion — per round, the frontier joins the edge set on src,

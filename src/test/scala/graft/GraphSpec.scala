@@ -317,4 +317,35 @@ class GraphSpec extends SparkTestBase {
     assert(noisy.getLong(0) === 4L && noisy.getLong(3) === -1000L)
     graft.engine.Caches.releaseAll()
   }
+
+  test("linkFeatures: hand wedge/square features, cap exclusion, edge labels") {
+    def run(edges: Seq[(Long, Long)], cap: Int = 10000) =
+      Graph.linkFeatures(edges.toDF("src", "dst"), "src", "dst", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+        .toMap
+    // triangle 0-1-2 with pendant 3 on 0
+    val tri = run(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)))
+    // (1,2): 1 shared (node 0), an existing edge, jaccard 1/(2+2-1)
+    assert(tri((1L, 2L)) === ((1L, 4L, 333L, true)))
+    // (0,2) and (0,1): edges with one shared neighbor each
+    assert(tri((0L, 2L)) === ((1L, 6L, 250L, true)))
+    assert(tri((0L, 1L)) === ((1L, 6L, 250L, true)))
+    // (1,3)/(2,3): distance-2 candidates, never connected
+    assert(tri((1L, 3L)) === ((1L, 2L, 500L, false)))
+    assert(tri((2L, 3L)) === ((1L, 2L, 500L, false)))
+    assert(tri.size === 5)
+    // 4-cycle: the two diagonals share BOTH their neighbors
+    val sq = run(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    assert(sq === Map((0L, 2L) -> ((2L, 4L, 1000L, false)),
+      (1L, 3L) -> ((2L, 4L, 1000L, false))))
+    // a capped hub stops centering wedges: the star yields nothing
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(run(star).keySet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(run(star, cap = 2).isEmpty)
+    intercept[IllegalArgumentException](
+      Graph.linkFeatures(star.toDF("src", "dst"), "src", "dst", 0))
+    graft.engine.Caches.releaseAll()
+  }
 }
