@@ -1080,6 +1080,39 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Clustered OPTIMIZE (exact rank-bucket rewrite): four residue-
+    // scattered appends each span the full key range (4/4 dirs read
+    // for any range probe), the rewrite splits into 4 rank-disjoint
+    // dirs and the same probe touches only the overlapping buckets —
+    // the skip rate on BOTH sides is recomputed by the oracle from
+    // residue slices and rank arithmetic. Fully oracled.
+    "q_table_cluster" -> ((s, dir) => {
+      val root = tmpPath("vtable_cluster")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      VersionedTable.create(s, root,
+        orders.filter(col("o_orderkey") % 4 === 0))
+      (1 to 3).foreach(r => VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") % 4 === r)))
+      val lo = java.lang.Long.valueOf(1000L)
+      val hi = java.lang.Long.valueOf(8000L)
+      val (keptB, allB) =
+        VersionedTable.pruneDirs(s, root, "o_orderkey", lo, hi)
+      VersionedTable.optimizeClustered(s, root, "o_orderkey", 4,
+        "o_custkey")
+      val (keptA, allA) =
+        VersionedTable.pruneDirs(s, root, "o_orderkey", lo, hi)
+      VersionedTable.readWhereBetween(s, root, "o_orderkey", lo, hi)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .select(col("n"), col("key_sum"),
+          lit(keptB.size).as("dirs_read_before"),
+          lit(allB.size).as("dirs_total_before"),
+          lit(keptA.size).as("dirs_read_after"),
+          lit(allA.size).as("dirs_total_after"))
+    }),
+
     // Writable branches on the commit-log table (Iceberg branch / git
     // refs/heads semantics — the WAP deployment shape at the format
     // layer): fork a branch at main's head, commit two appends to it
@@ -4930,6 +4963,31 @@ object SparkEntry {
         |       CAST(k0 + k1 + k2 + k3 - kd AS BIGINT),
         |       CAST(4 - nq + 1 AS INT), CAST(4 - nq AS INT), 6 FROM q
         |ORDER BY version""".stripMargin,
+
+    // skip rates recomputed on both sides of the rewrite: before-dirs
+    // are the residue slices' [min,max], after-dirs the exact rank
+    // buckets' — a dir is read iff its range overlaps the probe
+    "q_table_cluster" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |bd AS (SELECT k % 4 AS r, min(k) AS mn, max(k) AS mx FROM o
+        |       GROUP BY 1),
+        |rk AS (SELECT k, row_number() OVER (ORDER BY k) AS rnk FROM o),
+        |bk AS (SELECT (rnk - 1) * 4 // (SELECT n FROM nn) AS b, k
+        |       FROM rk),
+        |ad AS (SELECT b, min(k) AS mn, max(k) AS mx FROM bk GROUP BY 1),
+        |sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(k) AS BIGINT) AS key_sum
+        |        FROM o WHERE k BETWEEN 1000 AND 8000)
+        |SELECT sel.n, sel.key_sum,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM bd
+        |   WHERE mn <= 8000 AND mx >= 1000) AS dirs_read_before,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM bd)
+        |    AS dirs_total_before,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM ad
+        |   WHERE mn <= 8000 AND mx >= 1000) AS dirs_read_after,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM ad) AS dirs_total_after
+        |FROM sel""".stripMargin,
 
     // the final table is exactly the clean batches (≡0,1 mod 3); the
     // audit columns are recomputable: the only_f add is rejected iff a

@@ -1048,6 +1048,71 @@ object VersionedTable {
     }
   }
 
+  /** OPTIMIZE ... CLUSTER BY — the full-table rewrite that makes the
+    * `_stats` sidecars EFFECTIVE (Delta's clustered OPTIMIZE / Iceberg
+    * rewrite with sort order): every live row lands in one of `k`
+    * range-disjoint data directories split by EXACT equal-count rank
+    * buckets over `(clusterCol, tieCol)` — `(rank−1)·k div n`, the
+    * deterministic [[graft.operators.Eval.liftTable]] rule, never a
+    * sampling-based range partitioner — so each new dir's [min,max] is
+    * a tight slice and [[pruneDirs]]/[[readWhereBetween]] range reads
+    * skip all but the overlapping buckets. An ingest-scattered table
+    * (every dir spanning the full key range) goes from reading N dirs
+    * to reading ceil(coverage·k) after one call. Outstanding MOR
+    * tombstones fold in (the rewrite materializes deletions); empty
+    * buckets (n < k) are simply not written.
+    *
+    * Scale: the global rank is the banded prefix-sum
+    * ([[graft.engine.Banding]] — no single-partition window); the
+    * ranked frame persists once and each bucket filter-writes from it
+    * (k config-scale jobs). Judged `q_table_cluster` with the SKIP
+    * RATE itself oracled (bucket min/max recomputed by rank arithmetic
+    * in SQL); disjointness, tomb folding, empty-bucket and
+    * carried-stats edges pinned in VersionedTableSpec. */
+  def optimizeClustered(spark: SparkSession, root: String,
+      clusterCol: String, k: Int, tieCol: String,
+      bands: Int = 32): Manifest = {
+    require(k >= 2 && k <= 256, s"k must be in 2..256: $k")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema
+    val tombs = tombScopes(fs, rootP, base)
+    def dirTombs(d: String): Seq[String] =
+      tombs.filter(_._2.contains(d)).map(_._1)
+    val resolvedAll = base.dataDirs.map(d => applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)))
+      .reduce(_.unionByName(_))
+    val W = org.apache.spark.sql.expressions.Window
+    val cc = col(clusterCol)
+    val bounds = broadcast(resolvedAll.agg(
+      min(cc).as("__lo"), max(cc).as("__hi"), count(lit(1)).as("__n")))
+    val banded = resolvedAll.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        cc, col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__off"))
+    val wB = W.partitionBy(col("__band")).orderBy(cc, col(tieCol))
+    val ranked = graft.engine.Caches.persisted(
+      banded.join(broadcast(offsets), "__band")
+        .withColumn("__rank", col("__off") + row_number().over(wB))
+        .withColumn("__bucket", expr(s"(__rank - 1) * $k div __n")))
+    val present = ranked.select(col("__bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: ≤ k values
+    val fields = snap.fieldNames.map(col).toSeq
+    val dirs = present.map { b =>
+      writeDataDir(ranked.filter(col("__bucket") === b).select(fields: _*),
+        rootP, v, base.partitionCols)
+    }.toSeq
+    commit(fs, rootP, Manifest(v, "optimize-cluster", base.version, dirs,
+      partitionCols = base.partitionCols,
+      deleteDirs = liveTombs(tombs, dirs)))
+  }
+
   /** The data directories of snapshot `version` (latest when 0) — the
     * metadata surface that audits physical layout: carry-by-name across
     * selective OPTIMIZE, vacuum scope checks, dir-count assertions.

@@ -1337,4 +1337,53 @@ class VersionedTableSpec extends SparkTestBase {
     assert(got.count() === want.count())
     assert(got.exceptAll(want).isEmpty)
   }
+
+  test("optimizeClustered: disjoint buckets, tomb folding, empty buckets, skip rate") {
+    import spark.implicits._
+    val root = freshRoot("cluster")
+    // keys 1..100 scattered by parity: both dirs span the full range
+    val df = (1L to 100L).map(k => (k, k % 7)).toDF("k", "p")
+    VersionedTable.create(spark, root, df.filter(col("k") % 2 === 0))
+    VersionedTable.append(spark, root, df.filter(col("k") % 2 === 1))
+    VersionedTable.deleteKeysMor(spark, root,
+      df.filter(col("k") % 10 === 0).select("k"))
+    val want = VersionedTable.readLatest(spark, root)
+    val wantN = want.count() // 90
+    val (kb, ab) = VersionedTable.pruneDirs(spark, root, "k", 1L, 10L)
+    assert(ab.size === 2 && kb.size === 2, "scattered: nothing skips")
+    val m = VersionedTable.optimizeClustered(spark, root, "k", 4, "p")
+    assert(m.op === "optimize-cluster")
+    assert(m.deleteDirs.isEmpty, "folded tombstones are not carried")
+    val dirs = VersionedTable.dataDirsOf(spark, root)
+    assert(dirs.size === 4)
+    // buckets are range-disjoint and stats-tight
+    val ranges = dirs.map { d =>
+      val x = spark.read.parquet(s"$root/$d")
+        .agg(org.apache.spark.sql.functions.min(col("k")),
+          org.apache.spark.sql.functions.max(col("k"))).head
+      (x.getLong(0), x.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"$a overlaps $b")
+      case _ => ()
+    }
+    // content identical across the rewrite (tombstones materialized)
+    val got = VersionedTable.readLatest(spark, root)
+    assert(got.count() === wantN)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the same probe now reads exactly one bucket
+    val (ka, aa) = VersionedTable.pruneDirs(spark, root, "k", 1L, 10L)
+    assert(aa.size === 4 && ka.size === 1)
+    // n < k: only the non-empty rank buckets are written
+    val root2 = freshRoot("cluster_small")
+    VersionedTable.create(spark, root2,
+      Seq((1L, 0L), (2L, 0L)).toDF("k", "p"))
+    VersionedTable.append(spark, root2, Seq((3L, 0L)).toDF("k", "p"))
+    VersionedTable.optimizeClustered(spark, root2, "k", 8, "p")
+    assert(VersionedTable.dataDirsOf(spark, root2).size === 3)
+    assert(VersionedTable.readLatest(spark, root2).count() === 3)
+    intercept[IllegalArgumentException](
+      VersionedTable.optimizeClustered(spark, root2, "k", 1, "p"))
+    graft.engine.Caches.releaseAll()
+  }
 }
