@@ -3566,6 +3566,40 @@ object SparkEntry {
         "src", "dst")
         .orderBy("a", "b")),
 
+    // FIFO allocation per user ledger: purchase cents are lots, click
+    // cents consume them oldest-first; every (buy, sell) overlap of
+    // the cumulative intervals is an exact-integer allocation row.
+    // Fully oracled.
+    "q_fifo" -> ((s, dir) =>
+      graft.operators.Events.fifoAllocate(
+        t(s, dir, "events").withColumn("qty",
+          floor(col("value") * 100 + lit(0.5)).cast("long")),
+        "user_id", "ts", "event_id", "qty", "event_type",
+        "purchase", "click")
+        .orderBy("key", "buy_id", "sell_id")),
+
+    // Functional-dependency audit (does o_custkey determine
+    // o_orderstatus): exact group counts on both sides of the FD plus
+    // the conforming-share milli. Fully oracled.
+    "q_fd" -> ((s, dir) =>
+      graft.operators.Relational.fdViolations(
+        t(s, dir, "orders"), Seq("o_custkey"), "o_orderstatus")),
+
+    // Per-user contribution capping at k=3 (the DP-prep bound): per
+    // event type, exact row counts before and after the cap. Fully
+    // oracled.
+    "q_contrib_cap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val capped = graft.operators.Sampling.capContributions(
+        ev, col("user_id"), col("ts"), col("event_id"), 3)
+      ev.groupBy("event_type").agg(count(lit(1)).as("n_before"))
+        .join(capped.groupBy("event_type")
+          .agg(count(lit(1)).as("n_after")), Seq("event_type"), "left")
+        .select(col("event_type"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("event_type")
+    }),
+
     // Count-Min point-frequency accuracy contract over the top-20
     // tokens: exact counts + the never-undercount and epsilon-band
     // theorem properties as booleans (the q_approx_distinct_bound
@@ -5858,6 +5892,66 @@ object SparkEntry {
         |JOIN deg db ON cn.b = db.v
         |LEFT JOIN c ce ON cn.a = ce.a AND cn.b = ce.b
         |ORDER BY cn.a, cn.b""".stripMargin,
+
+    // the relational FIFO identity: allocation = overlap of cumulative
+    // [cum-q, cum) intervals; WHERE filters before the window runs
+    "q_fifo" ->
+      """WITH base AS (SELECT user_id AS k, ts, event_id AS id,
+        |                CAST(floor(value * 100 + 0.5) AS BIGINT) AS q,
+        |                event_type AS side
+        |              FROM events
+        |              WHERE event_type IN ('purchase', 'click')
+        |                AND floor(value * 100 + 0.5) > 0),
+        |b AS (SELECT k, id AS buy_id,
+        |        CAST(sum(q) OVER w - q AS BIGINT) AS bs,
+        |        CAST(sum(q) OVER w AS BIGINT) AS be
+        |      FROM base WHERE side = 'purchase'
+        |      WINDOW w AS (PARTITION BY k ORDER BY ts, id
+        |                   ROWS UNBOUNDED PRECEDING)),
+        |s AS (SELECT k, id AS sell_id,
+        |        CAST(sum(q) OVER w - q AS BIGINT) AS ss,
+        |        CAST(sum(q) OVER w AS BIGINT) AS se
+        |      FROM base WHERE side = 'click'
+        |      WINDOW w AS (PARTITION BY k ORDER BY ts, id
+        |                   ROWS UNBOUNDED PRECEDING))
+        |SELECT b.k AS key, buy_id, sell_id,
+        |       least(be, se) - greatest(bs, ss) AS alloc_qty
+        |FROM b JOIN s ON b.k = s.k
+        |WHERE bs < se AND ss < be
+        |ORDER BY key, buy_id, sell_id""".stripMargin,
+
+    // NULL counts as one more dependent value (the operator's
+    // documented convention); all counts exact
+    "q_fd" ->
+      """WITH g AS (SELECT o_custkey,
+        |             CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |               + CASE WHEN sum(CASE WHEN o_orderstatus IS NULL
+        |                   THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END
+        |               AS vals,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_violating,
+        |       CAST(max(vals) AS BIGINT) AS max_distinct,
+        |       CAST(sum(CASE WHEN vals > 1 THEN n ELSE 0 END)
+        |         AS BIGINT) AS violation_rows,
+        |       (CAST(count(*) AS BIGINT)
+        |         - CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END)
+        |             AS BIGINT)) * 1000
+        |         // CAST(count(*) AS BIGINT) AS holds_milli
+        |FROM g""".stripMargin,
+
+    // the cap keeps each user's first 3 rows in (ts, event_id) order
+    "q_contrib_cap" ->
+      """WITH r AS (SELECT event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS rn
+        |           FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_before,
+        |       CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_after
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact top-20 token counts; the two theorem properties hold by
     // construction so the oracle states them as constants

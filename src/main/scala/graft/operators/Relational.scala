@@ -1319,6 +1319,45 @@ object Relational {
     * Judged `q_benford`, fully ORACLED; hand shares, zero-digit
     * densification and the positive-only filter pinned in
     * RelationalSpec. */
+  /** Functional-dependency violation audit — "does X determine Y in
+    * this data" (the discovery/validation primitive behind
+    * normalization checks and silent-corruption hunts, next to
+    * [[dqReport]]'s row rules and [[fkReport]]'s cross-table ones):
+    * groups rows by the determinant columns and reports the exact
+    * group counts on each side of the FD — total groups, violating
+    * groups (more than one distinct dependent value; NULL counts as a
+    * value, the SQL GROUP BY convention), the worst group's distinct
+    * count, and how many ROWS sit in violating groups (the blast
+    * radius a repair would touch). `holds_milli` is the exact share of
+    * conforming groups.
+    *
+    * Scale: one partial-aggregated groupBy to (determinant,
+    * n_distinct, n_rows), one 5-long-column global fold. Judged
+    * `q_fd`, fully ORACLED; exact-FD zero case, NULL-dependent
+    * semantics and blast-radius arithmetic pinned in RelationalSpec. */
+  def fdViolations(df: DataFrame, detCols: Seq[String],
+      depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "detCols must be non-empty")
+    df.groupBy(detCols.map(col): _*)
+      .agg(countDistinct(col(depCol)).as("__nd"),
+        sum(when(col(depCol).isNull, 1L).otherwise(0L)).as("__nulls"),
+        count(lit(1)).as("__n"))
+      // NULL is a dependent value: a group holding nulls AND k distinct
+      // non-nulls has k+1 values
+      .withColumn("__vals",
+        col("__nd") + when(col("__nulls") > 0L, 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__vals") > 1L, 1L).otherwise(0L))
+          .as("n_violating"),
+        max(col("__vals")).as("max_distinct"),
+        sum(when(col("__vals") > 1L, col("__n")).otherwise(0L))
+          .as("violation_rows"))
+      .select(col("n_groups"), col("n_violating"), col("max_distinct"),
+        col("violation_rows"),
+        expr("(n_groups - n_violating) * 1000 div nullif(n_groups, 0L)")
+          .as("holds_milli"))
+  }
+
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val session = df.sparkSession
     import session.implicits._

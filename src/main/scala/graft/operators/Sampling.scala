@@ -270,6 +270,29 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Per-key contribution capping — the bounded-sensitivity primitive
+    * differential-privacy and skew-robust aggregation both start from
+    * (Wilson et al., "Differentially Private SQL", VLDB 2020: bound
+    * each user's contributions BEFORE aggregating): keep each key's
+    * FIRST `k` rows in deterministic `(orderCol, tieCol)` time order —
+    * unlike [[groupSample]]'s hash draw, the retained set is the
+    * earliest history, the convention that makes the cap stable under
+    * re-ingestion (a user's late arrivals never evict their earlier
+    * rows). Downstream per-key influence on any count/sum is ≤ k.
+    *
+    * One key-partitioned window (per-key cardinality, never global).
+    * Judged `q_contrib_cap` (before/after aggregate comparison), fully
+    * ORACLED; exact-k retention, under-k passthrough and re-ingestion
+    * stability pinned in SamplingSpec. */
+  def capContributions(df: DataFrame, key: Column, orderCol: Column,
+      tieCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(orderCol, tieCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Token-budget selection: keep the maximal PREFIX of the corpus in
     * `(score desc, key)` order whose cumulative `weight` stays within
     * `budget` — "fill a training mix with the best-quality tokens", the

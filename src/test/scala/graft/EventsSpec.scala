@@ -895,6 +895,38 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("fifoAllocate: hand ledger, conservation, input-order invariance") {
+    def row(k: String, t: String, id: Long, q: Long, side: String) =
+      (k, ts(s"2026-01-01 $t"), id, q, side)
+    val rows = Seq(
+      row("u", "10:00:00", 1L, 10L, "buy"),
+      row("u", "10:30:00", 2L, 4L, "sell"),   // [0,4) of b1
+      row("u", "11:00:00", 3L, 5L, "buy"),    // lot [10,15)
+      row("u", "11:30:00", 4L, 8L, "sell"),   // [4,12): spans b1+b2
+      row("u", "12:00:00", 5L, 10L, "sell"),  // [12,22): exhausts b2
+      row("v", "10:00:00", 6L, 10L, "buy"),
+      row("v", "10:10:00", 7L, 3L, "sell"),   // open inventory remains
+      row("w", "10:00:00", 8L, 2L, "sell"))   // short: nothing to take
+    def run(seq: Seq[(String, java.sql.Timestamp, Long, Long, String)]) =
+      Events.fifoAllocate(seq.toDF("k", "ts", "id", "qty", "side"),
+        "k", "ts", "id", "qty", "side", "buy", "sell")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          r.getLong(3)).toMap
+    val got = run(rows)
+    assert(got === Map(
+      ("u", 1L, 2L) -> 4L, ("u", 1L, 4L) -> 6L,
+      ("u", 3L, 4L) -> 2L, ("u", 3L, 5L) -> 3L,
+      ("v", 6L, 7L) -> 3L))
+    // conservation: per key Σalloc = min(ΣB, ΣS)
+    assert(got.filter(_._1._1 == "u").values.sum === 15L)
+    assert(got.filter(_._1._1 == "v").values.sum === 3L)
+    assert(!got.keys.exists(_._1 == "w"))
+    // physical input order never matters: windows order by (ts, id)
+    assert(run(rows.reverse) === got)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("peakConcurrency: overlap matrix, same-instant handoff, first-peak tie") {
     def iv(s: String, e: String) =
       (ts(s"2026-01-01 $s"), ts(s"2026-01-01 $e"))

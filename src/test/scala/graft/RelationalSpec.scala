@@ -842,6 +842,27 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("fdViolations: exact FD zero case, NULL-as-value, blast radius") {
+    // y = f(x) exactly: zero violations, holds 1000‰
+    val exact = Seq((1, "a"), (1, "a"), (2, "b"))
+      .toDF("x", "y")
+    val e = graft.operators.Relational.fdViolations(exact, Seq("x"), "y")
+      .collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3),
+      e.getLong(4)) === ((2L, 0L, 1L, 0L, 1000L)))
+    // mixed: group 1 has {a,b} (3 rows), group 3 has {d, NULL} (2 rows),
+    // group 4 is all-NULL (one value -> conforming), group 2 conforms
+    val mixed = Seq((1, Some("a")), (1, Some("b")), (1, Some("a")),
+      (2, Some("c")), (3, None), (3, Some("d")), (4, None), (4, None))
+      .toDF("x", "y")
+    val m = graft.operators.Relational.fdViolations(mixed, Seq("x"), "y")
+      .collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+      m.getLong(4)) === ((4L, 2L, 2L, 5L, 500L)))
+    intercept[IllegalArgumentException](
+      graft.operators.Relational.fdViolations(mixed, Nil, "y"))
+  }
+
   test("benford: hand shares, zero-digit densification, positive-only filter") {
     val df = Seq(1.0, 1.23, 25.0, 0.30, 9.0, -5.0, 0.0, 0.004)
       .toDF("v")

@@ -268,4 +268,25 @@ class SamplingSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("b"))
   }
+
+  test("capContributions: exact-k retention, under-k passthrough, re-ingestion stability") {
+    val df = Seq(
+      ("u", 1L, 10L), ("u", 2L, 11L), ("u", 3L, 12L), ("u", 4L, 13L),
+      ("u", 5L, 14L),
+      ("v", 1L, 20L), ("v", 2L, 21L))
+      .toDF("k", "t", "id")
+    def kept(frame: org.apache.spark.sql.DataFrame) =
+      Sampling.capContributions(frame, col("k"), col("t"), col("id"), 3)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val base = kept(df)
+    // u keeps its FIRST 3 in time order; under-k v passes through whole
+    assert(base === Set(("u", 10L), ("u", 11L), ("u", 12L),
+      ("v", 20L), ("v", 21L)))
+    // re-ingestion stability: later arrivals never evict earlier rows
+    val more = df.unionByName(
+      Seq(("u", 6L, 15L), ("v", 3L, 22L)).toDF("k", "t", "id"))
+    assert(kept(more) === base + (("v", 22L)))
+    intercept[IllegalArgumentException](
+      Sampling.capContributions(df, col("k"), col("t"), col("id"), 0))
+  }
 }
