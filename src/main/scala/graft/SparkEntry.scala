@@ -3566,6 +3566,34 @@ object SparkEntry {
         "src", "dst")
         .orderBy("a", "b")),
 
+    // Per-node local clustering coefficient on the q_triangles graph:
+    // exact per-corner triangle counts, integer-milli 2·tri/(d·(d−1)).
+    // Fully oracled.
+    "q_clustering" -> ((s, dir) =>
+      graft.operators.Graph.clusteringCoefficient(
+        t(s, dir, "orders")
+          .select((col("o_orderkey") % 2000).as("src"),
+            (col("o_custkey") % 2000).as("dst")),
+        "src", "dst")
+        .orderBy("v")),
+
+    // Heaps'-law vocabulary growth: exact vocab size at 8 equal-count
+    // doc-id checkpoints (first-occurrence semantics). Fully oracled.
+    "q_heaps" -> ((s, dir) =>
+      graft.functions.TextOps.heapsCurve(
+        t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("checkpoint")),
+
+    // Join-size preflight: exact Σ cA·cB output-size prediction with
+    // top contributing keys — the explosion audit run BEFORE the join.
+    // Fully oracled.
+    "q_join_size" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Relational.joinSizePreflight(
+        ev, "user_id",
+        ev.filter(col("event_type") === "click"), "user_id", 50)
+    }),
+
     // FIFO allocation per user ledger: purchase cents are lots, click
     // cents consume them oldest-first; every (buy, sell) overlap of
     // the cumulative intervals is an exact-integer allocation row.
@@ -5892,6 +5920,73 @@ object SparkEntry {
         |JOIN deg db ON cn.b = db.v
         |LEFT JOIN c ce ON cn.a = ce.a AND cn.b = ce.b
         |ORDER BY cn.a, cn.b""".stripMargin,
+
+    // triangles enumerated once as x<y<z corner triples; every corner
+    // credited; lcc divisions all non-negative
+    "q_clustering" ->
+      """WITH e0 AS (SELECT o_orderkey % 2000 AS s,
+        |                   o_custkey % 2000 AS t FROM orders),
+        |c AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |      FROM e0 WHERE s <> t),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS v FROM c UNION ALL SELECT b FROM c)
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM c e1 JOIN c e2 ON e1.b = e2.a
+        |        JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+        |       FROM (SELECT x AS v FROM tri
+        |             UNION ALL SELECT y FROM tri
+        |             UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.v, deg.d AS degree,
+        |       COALESCE(tv.n_tri, 0) AS n_tri,
+        |       CASE WHEN deg.d >= 2
+        |            THEN COALESCE(tv.n_tri, 0) * 2000
+        |                 // (deg.d * (deg.d - 1))
+        |            ELSE 0 END AS lcc_milli
+        |FROM deg LEFT JOIN tv ON deg.v = tv.v
+        |ORDER BY deg.v""".stripMargin,
+
+    // exact rank checkpoints (0-based global rank · k div n — the
+    // equiDepthHistogram rule); vocab = tokens first seen at or before
+    // each threshold
+    "q_heaps" ->
+      """WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+        |r AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS grk
+        |      FROM ids),
+        |bk AS (SELECT CAST(grk * 8 // (SELECT n FROM nn) AS INTEGER)
+        |         AS checkpoint, id FROM r),
+        |cp AS (SELECT checkpoint, max(id) AS thr,
+        |              CAST(count(*) AS BIGINT) AS bn FROM bk GROUP BY 1),
+        |cps AS (SELECT checkpoint, thr,
+        |          CAST(sum(bn) OVER (ORDER BY checkpoint
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs
+        |        FROM cp),
+        |firsts AS (SELECT token, min(doc_id) AS f FROM
+        |             (SELECT doc_id,
+        |                unnest(string_split(text, ' ')) AS token
+        |              FROM documents) GROUP BY 1)
+        |SELECT c.checkpoint, c.n_docs, CAST(count(*) AS BIGINT) AS vocab
+        |FROM cps c JOIN firsts ON firsts.f <= c.thr
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // Σ cA·cB join-size identity; top keys tie-ordered (pairs desc, key)
+    "q_join_size" ->
+      """WITH ca AS (SELECT user_id AS key,
+        |              CAST(count(*) AS BIGINT) AS n_left
+        |            FROM events GROUP BY 1),
+        |cb AS (SELECT user_id AS key,
+        |         CAST(count(*) AS BIGINT) AS n_right
+        |       FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT ca.key, n_left, n_right,
+        |             n_left * n_right AS pairs
+        |      FROM ca JOIN cb ON ca.key = cb.key),
+        |tt AS (SELECT CAST(sum(pairs) AS BIGINT) AS t FROM p)
+        |SELECT key, n_left, n_right, pairs,
+        |       pairs * 1000 // (SELECT t FROM tt) AS share_milli,
+        |       (SELECT t FROM tt) AS total_pairs
+        |FROM p ORDER BY pairs DESC, key LIMIT 50""".stripMargin,
 
     // the relational FIFO identity: allocation = overlap of cumulative
     // [cum-q, cum) intervals; WHERE filters before the window runs

@@ -862,4 +862,48 @@ object TextOps {
         regr_r2(log(col("n").cast("double")),
           log(col("rank").cast("double"))).as("r2"))
   }
+
+  /** Heaps'-law vocabulary growth curve — [[zipfFit]]'s corpus-size
+    * sibling (Heaps 1978: V(n) ≈ K·n^β, β ≈ 0.4–0.6 for natural
+    * text): at `k` exact equal-count checkpoints along the doc-id
+    * order, the cumulative doc count and the EXACT vocabulary size —
+    * distinct tokens whose FIRST-occurrence doc id falls at or before
+    * the checkpoint threshold. A flattening curve means the corpus
+    * stopped bringing new words (template spam, a dedup pass that
+    * worked); a linear one screams unbounded noise (random ids,
+    * boilerplate hashes). All-integer — the β fit is left to the
+    * caller (ln/ln OLS is the zipfFit shape) so the judged frame
+    * stays exact.
+    *
+    * Scale: checkpoints come from [[Relational.equiDepthHistogram]]'s
+    * sharded rank (no global window); first-occurrences are one
+    * vocabulary-scale min-aggregate; the curve is vocab × k crossed
+    * against the k-row broadcast, partial-aggregating to k rows.
+    * Judged `q_heaps`, fully ORACLED; monotone growth, full-vocab
+    * last point and first-occurrence semantics pinned in
+    * TextOpsSpec. */
+  def heapsCurve(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in 2..64: $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val ids = docs.select(col(idCol).as("__id")).distinct()
+    val buckets = graft.operators.Relational
+      .equiDepthHistogram(ids, col("__id"), Seq(col("__id")), k)
+      .select(col("bucket"), col("hi").as("__thr"), col("n_rows"))
+    val wC = W.orderBy("bucket")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cps = broadcast(
+      buckets.withColumn("n_docs", sum(col("n_rows")).over(wC))
+        .select(col("bucket").cast("int").as("checkpoint"),
+          col("__thr"), col("n_docs")))
+    val firsts = docs
+      .select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(min(col("__id")).as("__first"))
+    firsts.crossJoin(cps)
+      .filter(col("__first") <= col("__thr"))
+      .groupBy(col("checkpoint"), col("n_docs"))
+      .agg(count(lit(1)).as("vocab"))
+      .select(col("checkpoint"), col("n_docs"), col("vocab"))
+  }
 }

@@ -139,6 +139,56 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient — "how close is each
+    * node's neighborhood to a clique" (Watts & Strogatz 1998), the
+    * node-level refinement of [[triangleCount]]'s single number:
+    * `lcc = 2·tri_v / (d_v·(d_v−1))` with the milli form an exact
+    * integer (`tri_v·2000 div (d_v·(d_v−1))`); degree-1 nodes emit 0
+    * (no possible wedge). Every triangle credits all THREE corners —
+    * found once each via the same degree-ordered orientation
+    * (per-center wedge volume bounded by √m), an inner join against
+    * the canonical edge set instead of the count's semi-join, then one
+    * explode + count per corner.
+    *
+    * Scale: identical posture to [[triangleCount]] — oriented wedges,
+    * partial-aggregated corner counts, a degree-relation hash join.
+    * Judged `q_clustering`, fully ORACLED; clique-1000, star-zero,
+    * corner crediting and isolated-pair edges pinned in GraphSpec. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val e = graft.engine.Caches.persisted(canon)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val orient = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    val o = graft.engine.Caches.persisted(orient)
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+      .select(col("x.u").as("u"), col("x.w").as("a"), col("y.w").as("b"))
+    val tris = wedges.join(e, Seq("a", "b")) // inner: keep all 3 corners
+      .select(explode(array(col("u"), col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(tris, Seq("v"), "left")
+      .select(col("v"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_milli",
+        when(col("degree") >= 2L,
+          expr("n_tri * 2000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
   /** Degree assortativity — "do hubs link to hubs" (Newman 2002,
     * Phys. Rev. Lett. 89, 208701): the Pearson correlation of the
     * degrees at the two ends of an edge, over the undirected simple

@@ -318,6 +318,29 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("clusteringCoefficient: clique 1000, star zero, corner credit, isolated pair") {
+    def run(edges: Seq[(Long, Long)]) =
+      Graph.clusteringCoefficient(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // K4: every node closes all 3 of its neighbor pairs
+    val k4 = run(Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)))
+    assert(k4.size === 4)
+    assert(k4.values.forall(_ === ((3L, 3L, 1000L))))
+    // triangle + pendant: the bridge node dilutes to 1/3, the pure
+    // triangle corners stay 1000, the pendant has no wedge
+    val tp = run(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)))
+    assert(tp(0L) === ((3L, 1L, 333L)))
+    assert(tp(1L) === ((2L, 1L, 1000L)) && tp(2L) === ((2L, 1L, 1000L)))
+    assert(tp(3L) === ((1L, 0L, 0L)))
+    // star: no closed wedge anywhere; isolated pair: degree-1 zeros
+    val star = run(Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 5L)))
+    assert(star(0L) === ((3L, 0L, 0L)))
+    assert(star(4L) === ((1L, 0L, 0L)) && star(5L) === ((1L, 0L, 0L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("linkFeatures: hand wedge/square features, cap exclusion, edge labels") {
     def run(edges: Seq[(Long, Long)], cap: Int = 10000) =
       Graph.linkFeatures(edges.toDF("src", "dst"), "src", "dst", cap)

@@ -842,6 +842,29 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("joinSizePreflight: hand products, missing-key exclusion, tie-ordered top-N") {
+    val a = Seq("x", "x", "x", "y", "y", "z").toDF("k")
+    val b = Seq("x", "x", "y", "w", "w", "w", "w").toDF("k")
+    val got = graft.operators.Relational
+      .joinSizePreflight(a, "k", b, "k")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+    // only shared keys contribute: x -> 3·2 = 6, y -> 2·1 = 2; total 8
+    assert(got.toMap === Map(
+      "x" -> ((3L, 2L, 6L, 750L, 8L)),
+      "y" -> ((2L, 1L, 2L, 250L, 8L))))
+    // ordered by (pairs desc, key) and truncated at topN
+    assert(got.map(_._1).toSeq === Seq("x", "y"))
+    val top1 = graft.operators.Relational
+      .joinSizePreflight(a, "k", b, "k", topN = 1)
+      .collect().map(_.getString(0))
+    assert(top1.toSeq === Seq("x"))
+    intercept[IllegalArgumentException](
+      graft.operators.Relational.joinSizePreflight(a, "k", b, "k", 0))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("fdViolations: exact FD zero case, NULL-as-value, blast radius") {
     // y = f(x) exactly: zero violations, holds 1000‰
     val exact = Seq((1, "a"), (1, "a"), (2, "b"))

@@ -513,4 +513,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(r2.getAs[Double]("slope") + 1.0) < 1e-9)
     intercept[IllegalArgumentException](TextOps.zipfFit(df, "text", 1))
   }
+
+  test("heapsCurve: monotone growth, full-vocab endpoint, first-occurrence semantics") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a"), (3L, "c"), (4L, "a b"),
+      (5L, "d"), (6L, "a"), (7L, "e"), (8L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.heapsCurve(docs, "doc_id", "text", 4)
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // checkpoints of 2 docs each; a re-occurring token never re-counts
+    assert(got.toSeq === Seq((0, 2L, 2L), (1, 4L, 3L), (2, 6L, 4L),
+      (3, 8L, 5L)))
+    // monotone by construction and the last point is the full vocab
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
+    assert(got.last._3 === 5L)
+    intercept[IllegalArgumentException](
+      TextOps.heapsCurve(docs, "doc_id", "text", 1))
+    graft.engine.Caches.releaseAll()
+  }
 }
