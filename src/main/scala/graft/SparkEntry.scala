@@ -1919,6 +1919,25 @@ object SparkEntry {
             "1 hour", "30 minutes"))
         .orderBy("window_start", "event_type")),
 
+    // Streaming windowed top-k (the Kappa serving split): the stream
+    // emits exact finalized (window, user, n) counts, the rank runs
+    // as a batch query over the sunk feed — top-3 users per hour.
+    // Fully oracled.
+    "q_stream_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sunk = runStream(s, "stream_topk",
+        Seq(("in", t(s, dir, "events").select("ts", "user_id"),
+          "ts TIMESTAMP, user_id BIGINT")),
+        in => graft.streaming.Streams.windowedCountStream(
+          in("in"), "ts", "user_id", "1 hour", "30 minutes"))
+      val w = Window.partitionBy("window_start")
+        .orderBy(desc("n"), col("user_id"))
+      sunk.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("window_start"), col("user_id"), col("n"), col("rnk"))
+        .orderBy("window_start", "rnk")
+    }),
+
     // Streaming windowed approx-distinct: HLL sketch state inside the
     // streaming aggregate (bounded ~KB per open window/key vs a
     // distinct-set that grows with cardinality). lgk=16 keeps every
@@ -3490,6 +3509,14 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("delta_cents"),
           col("naive_cents"), col("balance_cents"), col("shortfall_cents"))
         .orderBy("user_id", "event_id")),
+
+    // Period-over-period (WoW) growth table: densified weekly counts
+    // per type, lag, signed delta and toward-zero pct milli. Fully
+    // oracled.
+    "q_wow" -> ((s, dir) =>
+      graft.operators.Events.periodOverPeriod(
+        t(s, dir, "events"), "event_type", "ts", 7)
+        .orderBy("key", "period")),
 
     // Cohort LTV curves: weekly first-event cohorts, purchase cents at
     // each integer age (quantized BEFORE aggregation — exact BIGINT),
@@ -5706,6 +5733,33 @@ object SparkEntry {
         |       -fl AS shortfall_cents
         |FROM s2 ORDER BY user_id, event_id""".stripMargin,
 
+    // densified weekly grid (the acf idiom); pct truncates toward zero
+    // via sign·abs on both engines
+    "q_wow" ->
+      """WITH sparse AS (SELECT event_type AS key,
+        |                  date_diff('day', DATE '1970-01-01',
+        |                    CAST(ts AS DATE)) // 7 AS period,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |                FROM events GROUP BY 1, 2),
+        |rng AS (SELECT key, min(period) AS lo, max(period) AS hi
+        |        FROM sparse GROUP BY 1),
+        |grid AS (SELECT key, unnest(generate_series(lo, hi)) AS period
+        |         FROM rng),
+        |ser AS (SELECT g.key, g.period, COALESCE(s.n, 0) AS n
+        |        FROM grid g LEFT JOIN sparse s
+        |          ON g.key = s.key AND g.period = s.period),
+        |l AS (SELECT key, period, n,
+        |        lag(n, 1) OVER (PARTITION BY key ORDER BY period)
+        |          AS prev_n
+        |      FROM ser)
+        |SELECT key, CAST(period AS INTEGER) AS period, n, prev_n,
+        |       n - prev_n AS delta,
+        |       CASE WHEN prev_n > 0
+        |            THEN CAST(sign(n - prev_n) AS BIGINT)
+        |              * (abs(n - prev_n) * 1000 // prev_n)
+        |            ELSE NULL END AS pct_milli
+        |FROM l ORDER BY key, period""".stripMargin,
+
     // cents quantized BEFORE aggregation (exact BIGINT, order-free);
     // age axis densified 0..max per cohort exactly as the plan does
     "q_ltv" ->
@@ -6764,6 +6818,24 @@ object SparkEntry {
         |FROM w, m
         |WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // same finalization cut as q_stream_window, then the identical
+    // batch rank the serving view runs
+    "q_stream_topk" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS window_start,
+        |             user_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events),
+        |f AS (SELECT window_start, user_id, n FROM w, m
+        |      WHERE window_start + INTERVAL 1 HOUR
+        |            <= mx - INTERVAL 30 MINUTE),
+        |r AS (SELECT window_start, user_id, n,
+        |        row_number() OVER (PARTITION BY window_start
+        |          ORDER BY n DESC, user_id) AS rnk
+        |      FROM f)
+        |SELECT window_start, user_id, n, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start, rnk""".stripMargin,
 
     // sparse-regime sketches are integer-exact, so the streaming
     // estimate equals the batch distinct count over finalized windows

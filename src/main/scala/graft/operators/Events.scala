@@ -1432,6 +1432,48 @@ object Events {
       .select(col("peak"), col("first_peak_ts"))
   }
 
+  /** Period-over-period comparison — the WoW/MoM growth table every
+    * metrics review opens with: per (key, period) exact counts on a
+    * DENSIFIED period axis (a silent week is a real 0 week — the
+    * seasonalIndices rule; without densification a gap makes the lag
+    * compare against the wrong period), the previous period's count
+    * via one lag, the signed delta, and `pct_milli` — the relative
+    * change in exact milli, truncated TOWARD ZERO via sign·abs
+    * (Spark `div` truncates, DuckDB `//` floors: negatives must never
+    * meet either raw) and null when the base period is 0 (growth from
+    * nothing is undefined, not infinite). Periods are epoch-day
+    * buckets (`div periodDays`, the acf rule — exact cross-engine).
+    *
+    * Scale: events partial-aggregate to (key, period) FIRST; grid,
+    * lag and arithmetic all run at keys × periods scale. Judged
+    * `q_wow`, fully ORACLED; gap-zero lag semantics, negative-delta
+    * truncation and zero-base null pinned in EventsSpec. */
+  def periodOverPeriod(events: DataFrame, keyCol: String, tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1: $periodDays")
+    val sparse = events
+      .select(col(keyCol).as("key"),
+        expr(s"datediff(to_date($tsCol), date'1970-01-01')" +
+          s" div $periodDays").as("period"))
+      .groupBy("key", "period").agg(count(lit(1)).as("n"))
+    val grid = sparse.groupBy("key")
+      .agg(min(col("period")).as("__lo"), max(col("period")).as("__hi"))
+      .select(col("key"),
+        explode(sequence(col("__lo"), col("__hi"))).as("period"))
+    val w = Window.partitionBy("key").orderBy("period")
+    grid.join(sparse, Seq("key", "period"), "left")
+      .select(col("key"), col("period"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("pct_milli",
+        when(col("prev_n") > 0L,
+          expr("cast(sign(delta) as bigint)" +
+            " * (abs(delta) * 1000 div prev_n)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("period", col("period").cast("int"))
+  }
+
   /** FIFO allocation — the cost-basis / inventory-consumption matcher
     * (every sell consumes the OLDEST unconsumed buy units first): per
     * key, buys and sells each get cumulative-quantity intervals

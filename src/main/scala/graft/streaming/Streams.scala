@@ -53,6 +53,26 @@ object Streams {
     Events.slidingAgg(events.withWatermark(tsCol, watermarkDelay),
       tsCol, keyCol, valueCol, width, slide)
 
+  /** Streaming per-(window, key) exact count feed — the state half of
+    * a windowed TOP-K serving view (leaderboards, trending keys):
+    * append mode emits a (window, key, n) row once the watermark
+    * passes the window end, and the RANK runs as a batch query over
+    * the sunk finalized rows — ranking inside the stream would need a
+    * non-append window function Structured Streaming doesn't plan;
+    * splitting exactly here is the standard Kappa serving shape and
+    * keeps state at one counter per open (window, key). Judged
+    * `q_stream_topk` (rank ≤ k over the sunk feed; the oracle replays
+    * the same count + finalization cut + rank in SQL), fully ORACLED;
+    * emit-on-close semantics pinned alongside the tumbling family in
+    * StreamingSpec. */
+  def windowedCountStream(events: DataFrame, tsCol: String,
+      keyCol: String, width: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"))
+
   /** Streaming windowed approx-distinct — HLL sketch state INSIDE the
     * streaming aggregate (`hll_sketch_agg` is a typed imperative
     * aggregate, so the state store holds one ~KB sketch per open

@@ -895,6 +895,38 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("periodOverPeriod: gap-zero lag, negative truncation, zero-base null") {
+    // key A: weeks 0, 2 (gap at 1) with 3 then 2 events; offsets are
+    // multiples of 7 so the period arithmetic is phase-independent
+    def at(day: String) = ts(s"$day 12:00:00")
+    val df = (Seq.fill(3)(("A", at("2026-01-01"))) ++
+      Seq.fill(2)(("A", at("2026-01-15"))) ++
+      Seq(("B", at("2026-01-01"))))
+      .toDF("k", "ts")
+    val got = Events.periodOverPeriod(df, "k", "ts")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5))).toMap
+    val p0 = got.keys.filter(_._1 == "A").map(_._2).min
+    // first period: no predecessor -> lag/delta/pct all null
+    assert(got(("A", p0)) === ((3L, null, null, null)))
+    // the gap week exists as a REAL zero: delta -3, pct -1000
+    assert(got(("A", p0 + 1)) === ((0L, 3L, -3L, -1000L)))
+    // growth from a zero base is null, never infinite
+    assert(got(("A", p0 + 2)) === ((2L, 0L, 2L, null)))
+    assert(got(("B", p0)) === ((1L, null, null, null)))
+    assert(got.size === 4)
+    // toward-zero truncation on a negative pct: 2 -> 1 is -500, and
+    // 3 -> 1 is -666 (floor would give -667)
+    val neg = (Seq.fill(3)(("C", at("2026-01-01"))) ++
+      Seq(("C", at("2026-01-08")))).toDF("k", "ts")
+    val n2 = Events.periodOverPeriod(neg, "k", "ts")
+      .collect().map(r => r.getInt(1) -> r).toMap
+    val pn = n2.keys.min
+    assert(n2(pn + 1).getLong(5) === -666L)
+  }
+
   test("fifoAllocate: hand ledger, conservation, input-order invariance") {
     def row(k: String, t: String, id: Long, q: Long, side: String) =
       (k, ts(s"2026-01-01 $t"), id, q, side)

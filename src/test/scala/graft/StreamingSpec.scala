@@ -46,6 +46,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedCountStream: exact per-(window, key) counts across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamed = Streams.windowedCountStream(
+      in.toDF.toDF("user_id", "ts", "event_type", "value"),
+      "ts", "user_id", "1 hour", "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_wc").outputMode("complete").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("t_wc")
+        .as[(Timestamp, Timestamp, Long, Long)].collect()
+        .map(r => (r._1, r._3) -> r._4).toMap
+      // u1: 2 in the 10h window (merged across batches), 1 in 11h;
+      // u2: 2 in 10h — the feed a batch rank turns into top-k
+      assert(got === Map(
+        (ts("2026-01-01 10:00:00"), 1L) -> 2L,
+        (ts("2026-01-01 11:00:00"), 1L) -> 1L,
+        (ts("2026-01-01 10:00:00"), 2L) -> 2L))
+    } finally q.stop()
+  }
+
   test("approxDistinctStream (complete mode) equals batch distinct counts (sparse regime)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
