@@ -1080,6 +1080,23 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Metadata-only ANALYZE from the _stats sidecars (zero data IO):
+    // per-column kind, kind-domain min/max strings, dictionary-exact
+    // ndv upper bound where complete, row and dir counts — every
+    // number recomputed by the oracle from the source. Fully oracled.
+    "q_table_stats" -> ((s, dir) => {
+      val root = tmpPath("vtable_stats")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), to_date(col("o_orderdate")).as("o_date"))
+      VersionedTable.create(s, root, o.filter(col("o_orderkey") % 3 === 0))
+      (1 to 2).foreach(r => VersionedTable.append(s, root,
+        o.filter(col("o_orderkey") % 3 === r)))
+      VersionedTable.tableStats(s, root).orderBy("col_name")
+    }),
+
     // Clustered OPTIMIZE (exact rank-bucket rewrite): four residue-
     // scattered appends each span the full key range (4/4 dirs read
     // for any range probe), the rewrite splits into 4 rank-disjoint
@@ -5052,6 +5069,31 @@ object SparkEntry {
         |       CAST(k0 + k1 + k2 + k3 - kd AS BIGINT),
         |       CAST(4 - nq + 1 AS INT), CAST(4 - nq AS INT), 6 FROM q
         |ORDER BY version""".stripMargin,
+
+    // kind-domain renderings: 'L' raw longs, 'A' epoch-days, 'S' raw
+    // strings; ndv only where the 64-key dictionary survives (3-value
+    // status), null for abandoned high-cardinality columns
+    "q_table_stats" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_orderdate AS DATE) AS d FROM orders),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(min(k) AS VARCHAR) AS kmin,
+        |          CAST(max(k) AS VARCHAR) AS kmax,
+        |          min(st) AS smin, max(st) AS smax,
+        |          CAST(count(DISTINCT st) AS BIGINT) AS sndv,
+        |          CAST(date_diff('day', DATE '1970-01-01', min(d))
+        |            AS VARCHAR) AS dmin,
+        |          CAST(date_diff('day', DATE '1970-01-01', max(d))
+        |            AS VARCHAR) AS dmax
+        |        FROM o)
+        |SELECT 'o_date' AS col_name, 'A' AS kind, dmin AS min_value,
+        |       dmax AS max_value, CAST(NULL AS BIGINT) AS ndv_ub,
+        |       n AS n_rows, 3 AS n_dirs FROM agg
+        |UNION ALL SELECT 'o_orderkey', 'L', kmin, kmax, NULL, n, 3
+        |FROM agg
+        |UNION ALL SELECT 'o_orderstatus', 'S', smin, smax, sndv, n, 3
+        |FROM agg
+        |ORDER BY col_name""".stripMargin,
 
     // skip rates recomputed on both sides of the rewrite: before-dirs
     // are the residue slices' [min,max], after-dirs the exact rank

@@ -2043,6 +2043,71 @@ object VersionedTable {
     }
   }
 
+  /** Metadata-only column statistics — ANALYZE answered from the
+    * `_stats` sidecars with ZERO data IO (the [[metadataCount]]
+    * economics extended to per-column ranges): one row per column with
+    * its stats KIND ('L' integral, 'A' epoch-days, 'T' UTC micros,
+    * 'D' double, 'S' ASCII string — min/max are strings in that
+    * domain's rendering), the range folded kind-aware across
+    * directories, `ndv_ub` — an exact distinct-value UPPER bound when
+    * every directory carries a complete dictionary set (upper because
+    * outstanding tombstones only remove rows) and null otherwise —
+    * plus the total row count and directory count. A column
+    * kind-conflicted across dirs or missing from SOME dir's sidecar
+    * (schema evolution, or poisoned there) reports kind `!` with null
+    * range: honestly unknown, exactly the dirs a range read would
+    * refuse to prune. A column poisoned in EVERY dir (NTZ timestamps,
+    * non-ASCII strings) never reaches a sidecar at all and is ABSENT
+    * from the report — treat unlisted columns as unknown.
+    * All-null-everywhere columns report kind `0` with ndv 0.
+    *
+    * Driver-side manifest + sidecar reads, no Spark job. Judged
+    * `q_table_stats` (every reported number recomputed from the
+    * source slices in SQL), fully ORACLED; poison/evolution/all-null
+    * edges pinned in VersionedTableSpec. */
+  def tableStats(spark: SparkSession, root: String,
+      version: Int = 0): DataFrame = {
+    import spark.implicits._
+    val (fs, rootP) = fsOf(spark, root)
+    val v = if (version > 0) version else requireExists(spark, root)
+    val m = readManifest(fs, rootP, v)
+    val nDirs = m.dataDirs.size
+    val maybe = m.dataDirs.map(d => readStats(fs, rootP, d))
+    val complete = maybe.forall(_.isDefined)
+    val have = maybe.flatten
+    val nRows = if (complete) have.map(_.rows).sum else -1L
+    def lt(kind: Char)(a: String, b: String): Boolean = kind match {
+      case 'L' | 'A' | 'T' => a.toLong < b.toLong
+      case 'D' => a.toDouble < b.toDouble
+      case _ => a < b
+    }
+    val names = have.flatMap(_.cols.keys).distinct
+    val out = names.map { name =>
+      val entries = have.map(_.cols.get(name))
+      val everywhere = complete && entries.forall(_.isDefined)
+      val live = entries.flatten.filter(_.hasValues)
+      val kinds = live.map(_.kind).distinct
+      if (!everywhere || kinds.size > 1)
+        (name, "!", Option.empty[String], Option.empty[String],
+          Option.empty[Long])
+      else if (live.isEmpty)
+        (name, "0", Option.empty[String], Option.empty[String], Some(0L))
+      else {
+        val k = kinds.head
+        val mn = live.map(_.min).reduce((a, b) => if (lt(k)(a, b)) a else b)
+        val mx = live.map(_.max).reduce((a, b) => if (lt(k)(b, a)) a else b)
+        val ndv =
+          if (live.forall(_.values.isDefined))
+            Some(live.flatMap(_.values.get).distinct.size.toLong)
+          else None
+        (name, k.toString, Some(mn), Some(mx), ndv)
+      }
+    }
+    out.toDF("col_name", "kind", "min_value", "max_value", "ndv_ub")
+      .withColumn("n_rows", lit(nRows))
+      .withColumn("n_dirs", lit(nDirs))
+  }
+
   /** Reference-counting vacuum: drop manifests older than the newest
     * `keepVersions`, then delete every `d-*` directory no RETAINED
     * manifest references. Time travel remains exact for the retained

@@ -423,7 +423,8 @@ class PlanSpec extends SparkTestBase {
     // the banding exists to prevent. (The remaining partition-less
     // windows run over config-scale relations: band offsets, k decile
     // rows.)
-    for (name <- Seq("q_pareto", "q_ks", "q_auc", "q_lift")) {
+    for (name <- Seq("q_pareto", "q_ks", "q_auc", "q_lift", "q_gini",
+      "q_spearman", "q_rfm", "q_calibration", "q_concurrency")) {
       val plan = executedPlan(SparkEntry.queries(name)(spark, sfDir))
       assert(plan.contains("], [__band"),
         s"$name: data window not band-partitioned\n" + plan.take(3000))

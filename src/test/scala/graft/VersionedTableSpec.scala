@@ -1338,6 +1338,43 @@ class VersionedTableSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty)
   }
 
+  test("tableStats: kind ranges, dict ndv, all-null, poison and evolution edges") {
+    import spark.implicits._
+    val root = freshRoot("tstats")
+    def frame(withW: Boolean) = {
+      val base = (1 to 300).map(i =>
+        (i.toLong, Seq("a", "b", "c")(i % 3), i / 2.0))
+        .toDF("k", "s", "x")
+        .withColumn("z", lit(null).cast("long"))
+        .withColumn("p",
+          lit("2026-01-01 00:00:00").cast("timestamp_ntz"))
+      if (withW) base.withColumn("w", lit(1L)) else base
+    }
+    VersionedTable.create(spark, root, frame(withW = true))
+    VersionedTable.append(spark, root,
+      frame(withW = false).withColumn("k", col("k") + 1000L))
+    val got = VersionedTable.tableStats(spark, root)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3),
+          if (r.isNullAt(4)) null else r.getLong(4)),
+          (r.getLong(5), r.getInt(6)))).toMap
+    assert(got.values.forall(_._2 === ((600L, 2))))
+    // kind-domain ranges fold across dirs
+    assert(got("k")._1 === (("L", "1", "1300", null))) // 300 keys/dir > 64: no dict
+    assert(got("s")._1 === (("S", "a", "c", 3L)))      // complete 3-value dict
+    assert(got("x")._1 === (("D", "0.5", "150.0", null))) // doubles never dict
+    // all-null everywhere: known-empty, not unknown
+    assert(got("z")._1 === (("0", null, null, 0L)))
+    // a column missing from one dir's sidecar (schema evolution) is
+    // honestly unknown; NTZ timestamps are poisoned in EVERY dir and
+    // therefore absent from the report entirely
+    assert(got("w")._1 === (("!", null, null, null)))
+    assert(!got.contains("p"))
+    assert(got.size === 5)
+  }
+
   test("optimizeClustered: disjoint buckets, tomb folding, empty buckets, skip rate") {
     import spark.implicits._
     val root = freshRoot("cluster")
