@@ -2977,6 +2977,39 @@ object SparkEntry {
         graft.operators.Vectors.ivfTopK(
           corpus, "doc_id", "vec", queries, "qid", "qv", 10))),
 
+    // MMR diversified rerank judged at the λ extremes (the recall-
+    // contract style): λ=0 farthest-first must cover all 10 clusters,
+    // λ=1000 must equal brute-force top-10 — both constants over the
+    // id-arithmetic query list. The 500-doc cap makes the corpus
+    // IDENTICAL at every judged SF.
+    "q_vec_mmr" -> ((s, dir) => {
+      import graft.operators.Vectors
+      val k = 10
+      val corpus = graft.engine.Caches.persisted(
+        Vectors.syntheticClustered(
+          t(s, dir, "documents").select(col("doc_id"))
+            .filter(col("doc_id") < 500),
+          "doc_id", 10, dim = 16, noise = 0.05))
+      val queries = corpus.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), col("vec").as("qv"))
+      val div = Vectors.mmrTopK(corpus, "doc_id", "vec", queries,
+        "qid", "qv", k, fetch = 499, lambdaMilli = 0)
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_picks"),
+          countDistinct(pmod(col("neighbor"), lit(10)))
+            .as("n_clusters"))
+      val exact = Vectors.bruteForceTopK(corpus, "doc_id", "vec",
+        queries, "qid", "qv", k).select(col("qid"), col("neighbor"))
+      val rel = Vectors.mmrTopK(corpus, "doc_id", "vec", queries,
+        "qid", "qv", k, fetch = 499, lambdaMilli = 1000)
+        .join(exact, Seq("qid", "neighbor"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_match"))
+      div.join(rel, "qid")
+        .select(col("qid"), col("n_picks"), col("n_clusters"),
+          col("n_match"))
+        .orderBy("qid")
+    }),
+
     // PQ recall contract (r8 VERDICT #6) — the last ANN path without a
     // judged quality row. ADC ties are the known degenerate regime:
     // within a tight cluster all members share codes, so once cluster
@@ -7954,6 +7987,15 @@ object SparkEntry {
     "q_vec_ivf_recall" ->
       """SELECT doc_id AS qid FROM documents
         |WHERE doc_id % 50 = 0 ORDER BY qid""".stripMargin,
+
+    // λ-extreme contracts are constants over the query list: full
+    // 10-cluster coverage at λ=0, brute-force equality at λ=1000
+    "q_vec_mmr" ->
+      """SELECT doc_id AS qid, CAST(10 AS BIGINT) AS n_picks,
+        |       CAST(10 AS BIGINT) AS n_clusters,
+        |       CAST(10 AS BIGINT) AS n_match
+        |FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0
+        |ORDER BY qid""".stripMargin,
 
     // capped corpus (population ≤ the ADC exact-rerank shortlist at
     // both judged SFs) so every tie group fits the shortlist and all

@@ -821,6 +821,93 @@ object Vectors {
     ids.select(id.as(idCol), array(comps: _*).as("vec"))
   }
 
+  /** MMR diversified top-k — maximal marginal relevance (Carbonell &
+    * Goldstein 1998), the rerank between retrieval and the user: after
+    * [[bruteForceTopK]] (or any ANN path) shortlists `fetch`
+    * candidates, picks greedily maximize
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+    * against redundancy, so ten near-duplicates of the best hit can't
+    * crowd out the second topic. Rank 1 is ALWAYS the most relevant
+    * candidate (the standard convention — with nothing selected the
+    * diversity term is void); every later tie breaks to the smaller
+    * id, so `λ = 1000‰` reproduces the brute-force order exactly
+    * (pinned) and `λ = 0` is farthest-first coverage.
+    *
+    * Scale: the expensive part is the shortlist (whichever retrieval
+    * path produced it); the greedy rerank is per-query
+    * `groupByKey.flatMapGroups` over ≤ `fetch` candidates — the
+    * journeys escalation: O(k·fetch) sims per QUERY row, never a
+    * corpus-scale loop. Judged `q_vec_mmr` in the recall-contract
+    * style (λ-extremes: full cluster coverage at 0, brute-force
+    * equality at 1000 — both id arithmetic to the oracle); order
+    * equivalence, coverage and short-candidate edges pinned in
+    * VectorSpec. */
+  def mmrTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      fetch: Int = 100, lambdaMilli: Int = 700): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(fetch >= k, s"fetch must be >= k: $fetch < $k")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"lambdaMilli must be in 0..1000: $lambdaMilli")
+    val session = corpus.sparkSession
+    import session.implicits._
+    val lam = lambdaMilli / 1000.0
+    val short = bruteForceTopK(corpus, idCol, vecCol, queries, qidCol,
+      qvecCol, fetch)
+      .join(corpus.select(col(idCol).as("neighbor"),
+        col(vecCol).cast("array<double>").as("__nv")), "neighbor")
+      .select(col("qid").cast("long"), col("neighbor").cast("long"),
+        col("sim").cast("double"), col("__nv"))
+      .as[(Long, Long, Double, Seq[Double])]
+    short.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(t => (-t._3, t._2))
+        val vs = cand.map(_._4.toArray)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          val n = math.sqrt(na) * math.sqrt(nb)
+          if (n == 0.0) 0.0 else d / n
+        }
+        val n = cand.length
+        val chosen = new Array[Boolean](n)
+        val maxSim = new Array[Double](n)
+        val out = Seq.newBuilder[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= math.min(k, n)) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val score =
+                if (rank == 1) cand(i)._3
+                else lam * cand(i)._3 - (1.0 - lam) * maxSim(i)
+              if (best < 0 || score > bestScore ||
+                  (score == bestScore && cand(i)._2 < cand(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          out += ((qid, rank, cand(best)._2, cand(best)._3))
+          var j = 0
+          while (j < n) {
+            if (!chosen(j)) {
+              val s = cos(vs(j), vs(best))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        out.result().iterator
+      }
+      .toDF("qid", "rank", "neighbor", "rel")
+  }
+
   /** Per-label centroid distance — the embedding-space outlier /
     * prototypicality score (the SSL-prototypes pruning signal of
     * Sorscher et al. 2022, and SemDeDup's cluster-extremity ranking):

@@ -463,4 +463,40 @@ class VectorSpec extends SparkTestBase {
     // cluster: the top-5 sets coincide on separated clusters
     assert(exact.exceptAll(approx).isEmpty && approx.exceptAll(exact).isEmpty)
   }
+
+  test("mmrTopK: λ=1000 equals brute-force order, λ=0 covers clusters, short edges") {
+    import spark.implicits._
+    val corpus = Vectors.syntheticClustered(
+      (0L until 200L).toDF("doc_id"), "doc_id", 5, dim = 16, noise = 0.05)
+    val queries = corpus.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("qid"), col("vec").as("qv"))
+    // pure relevance reproduces the brute-force ORDER, ranks included
+    val bf = Vectors.bruteForceTopK(corpus, "doc_id", "vec", queries,
+      "qid", "qv", 8).select("qid", "rank", "neighbor")
+    val rel = Vectors.mmrTopK(corpus, "doc_id", "vec", queries,
+      "qid", "qv", 8, fetch = 199, lambdaMilli = 1000)
+      .select("qid", "rank", "neighbor")
+    assert(rel.exceptAll(bf).isEmpty && bf.exceptAll(rel).isEmpty)
+    // pure diversity: 5 picks land in 5 distinct clusters, and rank 1
+    // is still the most relevant candidate
+    val div = Vectors.mmrTopK(corpus, "doc_id", "vec", queries,
+      "qid", "qv", 5, fetch = 199, lambdaMilli = 0)
+      .orderBy("rank").collect()
+    assert(div.map(_.getLong(2) % 5).distinct.length === 5)
+    val top1 = Vectors.bruteForceTopK(corpus, "doc_id", "vec", queries,
+      "qid", "qv", 1).select("neighbor").collect().head.getLong(0)
+    assert(div.head.getLong(2) === top1)
+    // fewer candidates than k: emit what exists, ranks stay dense
+    val tiny = Vectors.syntheticClustered(
+      (0L until 4L).toDF("doc_id"), "doc_id", 2, dim = 8, noise = 0.01)
+    val q2 = tiny.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("qid"), col("vec").as("qv"))
+    val few = Vectors.mmrTopK(tiny, "doc_id", "vec", q2, "qid", "qv",
+      10, fetch = 10, lambdaMilli = 500).collect()
+    assert(few.length === 3 && few.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3))
+    intercept[IllegalArgumentException](
+      Vectors.mmrTopK(tiny, "doc_id", "vec", q2, "qid", "qv", 5,
+        fetch = 3, lambdaMilli = 500))
+    graft.engine.Caches.releaseAll()
+  }
 }
