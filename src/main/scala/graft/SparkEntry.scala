@@ -3560,6 +3560,35 @@ object SparkEntry {
           col("naive_cents"), col("balance_cents"), col("shortfall_cents"))
         .orderBy("user_id", "event_id")),
 
+    // Time-in-state census: exact dwell micros attributed to the
+    // current event's type, open tails excluded, integer mean. Fully
+    // oracled.
+    "q_dwell" -> ((s, dir) =>
+      graft.operators.Events.dwellReport(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy("state")),
+
+    // Top-20 consecutive event trigrams across users (sequence-mining
+    // lite between q_transitions pairs and q_journey regexes). Fully
+    // oracled.
+    "q_seq3" -> ((s, dir) =>
+      graft.operators.Events.topTrigrams(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        20)),
+
+    // Max drawdown per user over the q_inventory signed-cents ledger:
+    // two stacked windows (equity cumsum, running peak), exact BIGINT.
+    // Fully oracled.
+    "q_drawdown" -> ((s, dir) =>
+      graft.operators.Events.maxDrawdown(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          (floor(col("value") * 100 + lit(0.5)).cast("long") *
+            when(col("event_type").isin("error", "view"), -1L)
+              .otherwise(1L)).as("delta_cents")),
+        "user_id", "ts", "event_id", "delta_cents")
+        .orderBy("key")),
+
     // Period-over-period (WoW) growth table: densified weekly counts
     // per type, lag, signed delta and toward-zero pct milli. Fully
     // oracled.
@@ -5755,8 +5784,9 @@ object SparkEntry {
         |             CAST(sum(cents) AS BIGINT) AS total_cents FROM per),
         |s AS (SELECT CAST(sum(rnk * cents) AS BIGINT) AS sv FROM r)
         |SELECT n, total_cents,
-        |       (2 * sv - (n + 1) * total_cents) * 1000
-        |         // (n * total_cents) AS gini_milli,
+        |       CAST(CAST(2 * sv - (n + 1) * total_cents AS HUGEINT)
+        |         * 1000 // (CAST(n AS HUGEINT) * total_cents)
+        |         AS BIGINT) AS gini_milli,
         |       CAST(2 * sv - (n + 1) * total_cents AS DOUBLE)
         |         / CAST(n * total_cents AS DOUBLE) AS gini
         |FROM t CROSS JOIN s""".stripMargin,
@@ -5807,6 +5837,56 @@ object SparkEntry {
         |       naive_cents - fl AS balance_cents,
         |       -fl AS shortfall_cents
         |FROM s2 ORDER BY user_id, event_id""".stripMargin,
+
+    // dwell attributes to the CURRENT event's state; epoch_us == the
+    // plan's unix_micros on the UTC-pinned session
+    "q_dwell" ->
+      """WITH l AS (SELECT event_type AS state, epoch_us(ts) AS t,
+        |             lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS nxt
+        |           FROM events)
+        |SELECT state, CAST(count(*) AS BIGINT) AS n_dwells,
+        |       CAST(sum(nxt - t) AS BIGINT) AS total_us,
+        |       CAST(sum(nxt - t) AS BIGINT) // count(*) AS mean_us
+        |FROM l WHERE nxt IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // overlapping chains: every consecutive triple counts once
+    "q_seq3" ->
+      """WITH l AS (SELECT event_type AS a,
+        |             lead(event_type, 1) OVER w AS b,
+        |             lead(event_type, 2) OVER w AS c
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id
+        |                        ORDER BY ts, event_id))
+        |SELECT a || '>' || b || '>' || c AS trigram,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM l WHERE c IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
+
+    // two stacked running windows: equity cumsum then running peak;
+    // drawdown is their exact difference
+    "q_drawdown" ->
+      """WITH d AS (SELECT user_id, ts, event_id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |               * CASE WHEN event_type IN ('error', 'view')
+        |                      THEN -1 ELSE 1 END AS dc
+        |           FROM events),
+        |s1 AS (SELECT user_id, ts, event_id, dc,
+        |         CAST(sum(dc) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS eq
+        |       FROM d),
+        |s2 AS (SELECT user_id, dc, eq,
+        |         CAST(max(eq) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS pk
+        |       FROM s1)
+        |SELECT user_id AS key,
+        |       CAST(max(pk - eq) AS BIGINT) AS max_drawdown_cents,
+        |       CAST(max(pk) AS BIGINT) AS peak_cents,
+        |       CAST(sum(dc) AS BIGINT) AS final_cents
+        |FROM s2 GROUP BY 1 ORDER BY key""".stripMargin,
 
     // densified weekly grid (the acf idiom); pct truncates toward zero
     // via sign·abs on both engines

@@ -1432,6 +1432,94 @@ object Events {
       .select(col("peak"), col("first_peak_ts"))
   }
 
+  /** Time-in-state (dwell) report — "where do users actually spend
+    * their time": each event holds its state until the user's NEXT
+    * event (one per-key lead), the dwell attributes to the event's own
+    * type, and each type reports the exact transition count, total
+    * dwell micros and mean micros (integer division — exact
+    * cross-engine). A user's LAST event has no successor and
+    * contributes nothing (an open interval has no honest duration —
+    * the funnel family's unconverted rule). Complements [[twap]]
+    * (value-weighted time) and [[conversionLag]] (event-pair time)
+    * with the per-state census.
+    *
+    * Scale: one key-partitioned lead window (the sessionize exchange),
+    * then a ≤|types|-row aggregate. Judged `q_dwell`, fully ORACLED;
+    * attribution-to-current, open-tail exclusion and same-instant zero
+    * pinned in EventsSpec. */
+  def dwellReport(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__id"))
+    events
+      .select(col(keyCol), col(typeCol).as("state"),
+        unix_micros(col(tsCol)).as("__t"), col(idCol).as("__id"))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_dwells"),
+        sum(col("__next") - col("__t")).as("total_us"))
+      .select(col("state"), col("n_dwells"), col("total_us"),
+        expr("total_us div n_dwells").as("mean_us"))
+  }
+
+  /** Top event trigrams — sequence-mining lite over per-key event
+    * streams (the 3-step extension of [[transitions]]' Markov pairs;
+    * frequent full sequences are [[journeys]]' regex territory): every
+    * three CONSECUTIVE same-key events in (ts, id) order form one
+    * `a>b>c` trigram, counted exactly across keys, top-N by (count
+    * desc, trigram) — the dominant mini-paths a funnel designer reads
+    * before hard-coding one. Windows never bridge keys.
+    *
+    * Scale: ONE window node carries both leads; trigrams
+    * partial-aggregate to ≤|types|³ rows before the top-N
+    * (TakeOrdered, no full sort). Judged `q_seq3`, fully ORACLED;
+    * chain overlap (n−2 per key), key isolation and tie order pinned
+    * in EventsSpec. */
+  def topTrigrams(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(keyCol), col(typeCol).as("__a"), col(tsCol), col(idCol))
+      .withColumn("__b", lead(col("__a"), 1).over(w))
+      .withColumn("__c", lead(col("__a"), 2).over(w))
+      .filter(col("__c").isNotNull)
+      .select(concat_ws(">", col("__a"), col("__b"), col("__c"))
+        .as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("trigram"))
+      .limit(topN)
+  }
+
+  /** Maximum drawdown — the risk classic over any cumulative series
+    * ("how far below its best-so-far did the balance fall"), the
+    * adversarial twin of [[clampedRunningSum]]'s floor: per key, the
+    * signed deltas cumsum in (ts, id) order, the running PEAK is a
+    * second stacked window max, drawdown = peak − equity, and the
+    * report row is the exact max drawdown with final/peak equity —
+    * all BIGINT cents, fully parallel (two window passes, no
+    * sequential scan).
+    *
+    * Scale: both windows are key-partitioned (the Lindley plan
+    * shape); the report is a per-key partial aggregate. Judged
+    * `q_drawdown`, fully ORACLED; hand trace (peak-recover-deeper),
+    * monotone-up zero and single-event zero pinned in EventsSpec. */
+  def maxDrawdown(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, deltaCentsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__eq", sum(col(deltaCentsCol)).over(w))
+      .withColumn("__peak", max(col("__eq")).over(w))
+      .groupBy(col(keyCol).as("key"))
+      .agg(max(col("__peak") - col("__eq")).as("max_drawdown_cents"),
+        max(col("__peak")).as("peak_cents"),
+        sum(col(deltaCentsCol)).as("final_cents"))
+  }
+
   /** Period-over-period comparison — the WoW/MoM growth table every
     * metrics review opens with: per (key, period) exact counts on a
     * DENSIFIED period axis (a silent week is a real 0 week — the

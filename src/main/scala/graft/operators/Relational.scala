@@ -1175,8 +1175,13 @@ object Relational {
     * formula `G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n` over values sorted
     * ascending with a deterministic key tiebreak, cross-multiplied
     * into exact integers — `gini_milli = (2·S − (n+1)·T)·1000 div
-    * (n·T)` with S = Σ rank·cents, T = total cents, all BIGINT
-    * (overflow-safe while `n·T·1000 < 2^63`); `gini` is one division.
+    * (n·T)` with S = Σ rank·cents, T = total cents. The milli
+    * arithmetic runs in DECIMAL(38,0) INTERNALLY (n·T·1000 blows past
+    * 2^63 at ~15k keys × $37k avg — measured at sf0.1; HUGEINT on the
+    * oracle side) and only the final exact milli lands back in the
+    * judged BIGINT; the per-rank products still need `S < 2^63`
+    * (~9e18 — rank-weighted cents; beyond, pre-scale to whole units).
+    * `gini` is one division.
     * The global ascending rank is the [[graft.engine.Banding]] prefix
     * sum — no single-partition window. Judged `q_gini`, fully ORACLED;
     * uniform-zero, one-holder extreme and tie determinism pinned in
@@ -1204,13 +1209,15 @@ object Relational {
       .withColumn("__rank", col("__off") + row_number().over(wB))
       .groupBy(col("n"), col("total_cents"))
       .agg(sum(col("__rank") * col("cents")).as("__s"))
+      .withColumn("__num", expr("2 * cast(__s as decimal(38,0))" +
+        " - (n + 1) * cast(total_cents as decimal(38,0))"))
+      .withColumn("__den",
+        expr("cast(n as decimal(38,0)) * total_cents"))
       .select(col("n"), col("total_cents"),
-        expr("(2 * __s - (n + 1) * total_cents) * 1000" +
-          " div nullif(n * total_cents, 0L)").as("gini_milli"),
-        when(col("n") * col("total_cents") > 0,
-          (col("__s") * 2 - (col("n") + 1) * col("total_cents"))
-            .cast("double") /
-            (col("n") * col("total_cents")).cast("double"))
+        expr("cast(__num * 1000 div nullif(__den, 0) as bigint)")
+          .as("gini_milli"),
+        when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double"))
           .otherwise(lit(null).cast("double")).as("gini"))
   }
 

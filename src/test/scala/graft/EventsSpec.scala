@@ -895,6 +895,58 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("dwellReport: attribute-to-current, open-tail exclusion, same-instant zero") {
+    def at(t: String) = ts(s"2026-01-01 $t")
+    val df = Seq(
+      ("u1", at("10:00:00"), 1L, "A"), // dwells 600s as A
+      ("u1", at("10:10:00"), 2L, "B"), // dwells 300s as B
+      ("u1", at("10:15:00"), 3L, "A"), // open tail: excluded
+      ("u2", at("10:00:00"), 4L, "C"), // single event: nothing
+      ("u3", at("10:00:00"), 5L, "D"), // same instant: 0-dwell
+      ("u3", at("10:00:00"), 6L, "E"))
+      .toDF("k", "ts", "id", "state")
+    val got = Events.dwellReport(df, "k", "ts", "id", "state")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      "A" -> ((1L, 600000000L, 600000000L)),
+      "B" -> ((1L, 300000000L, 300000000L)),
+      "D" -> ((1L, 0L, 0L))))
+  }
+
+  test("topTrigrams: chain overlap, key isolation, tie order") {
+    def at(m: Int) = ts(f"2026-01-01 10:$m%02d:00")
+    val df = Seq(
+      ("u1", at(0), 1L, "A"), ("u1", at(1), 2L, "B"),
+      ("u1", at(2), 3L, "C"), ("u1", at(3), 4L, "D"),
+      ("u2", at(0), 5L, "C"), ("u2", at(1), 6L, "D"))
+      .toDF("k", "ts", "id", "t")
+    val got = Events.topTrigrams(df, "k", "ts", "id", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 4 events -> exactly n-2 = 2 overlapping trigrams; u2's pair
+    // never joins u1's chain; equal counts order lexicographically
+    assert(got.toSeq === Seq(("A>B>C", 1L), ("B>C>D", 1L)))
+    intercept[IllegalArgumentException](
+      Events.topTrigrams(df, "k", "ts", "id", "t", 0))
+  }
+
+  test("maxDrawdown: hand trace, monotone-up zero, single-event zero") {
+    def at(m: Int) = ts(f"2026-01-01 10:$m%02d:00")
+    val df = (Seq((10L, 1), (-4L, 2), (2L, 3), (-7L, 4), (20L, 5))
+      .map { case (d, i) => ("u", at(i), i.toLong, d) } ++
+      Seq(("v", at(1), 10L, 1L), ("v", at(2), 11L, 2L),
+        ("w", at(1), 12L, 5L)))
+      .toDF("k", "ts", "id", "dc")
+    val got = Events.maxDrawdown(df, "k", "ts", "id", "dc")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // u: eq 10,6,8,1,21 / peak 10,10,10,10,21 -> dd max 9 at the dip
+    assert(got("u") === ((9L, 21L, 21L)))
+    // strictly rising and single-event series never draw down
+    assert(got("v") === ((0L, 3L, 3L)))
+    assert(got("w") === ((0L, 5L, 5L)))
+  }
+
   test("periodOverPeriod: gap-zero lag, negative truncation, zero-base null") {
     // key A: weeks 0, 2 (gap at 1) with 3 then 2 events; offsets are
     // multiples of 7 so the period arithmetic is phase-independent

@@ -772,6 +772,11 @@ class RelationalSpec extends SparkTestBase {
     val g1b = graft.operators.Relational.gini(skew, "k", "v", bands = 1)
       .collect().head
     assert(g1b.getLong(2) === 666L)
+    // n·T·1000 past 2^63 (the sf0.1 ANSI-overflow regression): the
+    // milli arithmetic must run widened, not in raw longs
+    val big = Seq(("a", 0.0), ("b", 0.0), ("c", 4.0e13)).toDF("k", "v")
+    val g2 = graft.operators.Relational.gini(big, "k", "v").collect().head
+    assert(g2.getLong(2) === 666L)
     graft.engine.Caches.releaseAll()
   }
 
