@@ -3560,6 +3560,23 @@ object SparkEntry {
           col("naive_cents"), col("balance_cents"), col("shortfall_cents"))
         .orderBy("user_id", "event_id")),
 
+    // Difference-in-differences over a parity rollout: exact 4-cell
+    // bookkeeping + the effect estimate as four mirrored IEEE
+    // divisions (the Welch judged-double rule). Fully oracled.
+    "q_did" -> ((s, dir) =>
+      graft.operators.Eval.diffInDiff(
+        t(s, dir, "events").withColumn("treat",
+          (col("user_id") % 2 === 1).cast("boolean")),
+        "treat", "ts", "value")),
+
+    // Session entry/exit census over 30-min lag-gap sessions: exact
+    // per-type landing and parting counts with milli shares. Fully
+    // oracled.
+    "q_entry_exit" -> ((s, dir) =>
+      graft.operators.Events.entryExitReport(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy("state")),
+
     // Time-in-state census: exact dwell micros attributed to the
     // current event's type, open tails excluded, integer mean. Fully
     // oracled.
@@ -5837,6 +5854,81 @@ object SparkEntry {
         |       naive_cents - fl AS balance_cents,
         |       -fl AS shortfall_cents
         |FROM s2 ORDER BY user_id, event_id""".stripMargin,
+
+    // exact cells; the effect is four divisions and two subtractions
+    // in the IDENTICAL order as the plan (Welch precedent); midpoint
+    // cutover in era-proof integer micros
+    "q_did" ->
+      """WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+        |             AS cut FROM events),
+        |c AS (SELECT (user_id % 2 = 1) AS treat,
+        |             epoch_us(ts) >= b.cut AS post,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM events, b),
+        |g AS (SELECT
+        |        CAST(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_tp,
+        |        CAST(sum(CASE WHEN treat AND post THEN cents ELSE 0 END)
+        |          AS BIGINT) AS cents_tp,
+        |        CAST(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_t0,
+        |        CAST(sum(CASE WHEN treat AND NOT post THEN cents
+        |          ELSE 0 END) AS BIGINT) AS cents_t0,
+        |        CAST(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_cp,
+        |        CAST(sum(CASE WHEN NOT treat AND post THEN cents
+        |          ELSE 0 END) AS BIGINT) AS cents_cp,
+        |        CAST(sum(CASE WHEN NOT treat AND NOT post THEN 1
+        |          ELSE 0 END) AS BIGINT) AS n_c0,
+        |        CAST(sum(CASE WHEN NOT treat AND NOT post THEN cents
+        |          ELSE 0 END) AS BIGINT) AS cents_c0
+        |      FROM c)
+        |SELECT n_tp, cents_tp, n_t0, cents_t0, n_cp, cents_cp, n_c0,
+        |       cents_c0,
+        |       (CAST(cents_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+        |        - CAST(cents_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+        |       - (CAST(cents_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+        |        - CAST(cents_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))
+        |         AS did_cents
+        |FROM g""".stripMargin,
+
+    // the q_sessionize segmentation; first/last per session via
+    // row_number both directions; shares over the session total
+    "q_entry_exit" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |             lag(ts) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |        CAST(sum(CASE WHEN prev IS NULL
+        |                      OR ts - prev > INTERVAL 30 MINUTE
+        |                      THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |      FROM o),
+        |r AS (SELECT event_type,
+        |        row_number() OVER (PARTITION BY user_id, sess
+        |          ORDER BY ts, event_id) AS rf,
+        |        row_number() OVER (PARTITION BY user_id, sess
+        |          ORDER BY ts DESC, event_id DESC) AS rl
+        |      FROM s),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM r
+        |        WHERE rf = 1),
+        |e AS (SELECT event_type AS state,
+        |        CAST(count(*) AS BIGINT) AS n_entry
+        |      FROM r WHERE rf = 1 GROUP BY 1),
+        |x AS (SELECT event_type AS state,
+        |        CAST(count(*) AS BIGINT) AS n_exit
+        |      FROM r WHERE rl = 1 GROUP BY 1)
+        |SELECT COALESCE(e.state, x.state) AS state,
+        |       COALESCE(n_entry, 0) AS n_entry,
+        |       COALESCE(n_exit, 0) AS n_exit,
+        |       COALESCE(n_entry, 0) * 1000 // (SELECT ns FROM tot)
+        |         AS entry_milli,
+        |       COALESCE(n_exit, 0) * 1000 // (SELECT ns FROM tot)
+        |         AS exit_milli
+        |FROM e FULL OUTER JOIN x ON e.state = x.state
+        |ORDER BY state""".stripMargin,
 
     // dwell attributes to the CURRENT event's state; epoch_us == the
     // plan's unix_micros on the UTC-pinned session

@@ -213,4 +213,53 @@ object Eval {
         expr("pos * 1000 div n").as("obs_rate_milli"),
         expr("__sv div n - pos * 1000 div n").as("gap_milli"))
   }
+
+  /** Difference-in-differences — the workhorse causal readout when a
+    * rollout has a before/after and a treated/control split (Card &
+    * Krueger 1994 made it canon): the four (treat × post) cells carry
+    * EXACT counts and cents, and the effect estimate is
+    * `(mean_tp − mean_t0) − (mean_cp − mean_c0)` — what the treated
+    * group moved beyond the control group's ambient drift. The cutover
+    * defaults to the exact midpoint of the observed time range
+    * (`(min+max) div 2` epoch micros — era-proof integer arithmetic);
+    * the four means are the ONLY doubles, each one cents/n division
+    * with the subtraction order mirrored verbatim in the oracle (the
+    * Welch judged-double rule).
+    *
+    * Scale: one bounds broadcast + one 4-cell partial aggregate — two
+    * scans, no window, no join beyond the 1-row broadcast. Judged
+    * `q_did`, fully ORACLED; hand effect (parallel-trends null, pure
+    * treatment lift) and cell bookkeeping pinned in EvalSpec. */
+  def diffInDiff(df: DataFrame, treatCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val b = broadcast(df.agg(
+      expr(s"(min(unix_micros($tsCol)) + max(unix_micros($tsCol)))" +
+        " div 2").as("__cut")))
+    df.crossJoin(b)
+      .select(col(treatCol).cast("boolean").as("treat"),
+        (unix_micros(col(tsCol)) >= col("__cut")).as("post"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__c"))
+      .agg(
+        sum(when(col("treat") && col("post"), 1L).otherwise(0L))
+          .as("n_tp"),
+        sum(when(col("treat") && col("post"), col("__c")).otherwise(0L))
+          .as("cents_tp"),
+        sum(when(col("treat") && !col("post"), 1L).otherwise(0L))
+          .as("n_t0"),
+        sum(when(col("treat") && !col("post"), col("__c")).otherwise(0L))
+          .as("cents_t0"),
+        sum(when(!col("treat") && col("post"), 1L).otherwise(0L))
+          .as("n_cp"),
+        sum(when(!col("treat") && col("post"), col("__c")).otherwise(0L))
+          .as("cents_cp"),
+        sum(when(!col("treat") && !col("post"), 1L).otherwise(0L))
+          .as("n_c0"),
+        sum(when(!col("treat") && !col("post"), col("__c")).otherwise(0L))
+          .as("cents_c0"))
+      .withColumn("did_cents",
+        expr("(cast(cents_tp as double) / cast(n_tp as double)" +
+          " - cast(cents_t0 as double) / cast(n_t0 as double))" +
+          " - (cast(cents_cp as double) / cast(n_cp as double)" +
+          " - cast(cents_c0 as double) / cast(n_c0 as double))"))
+  }
 }

@@ -108,6 +108,25 @@ class EvalSpec extends SparkTestBase {
         r.getLong(2) + r.getLong(3) === 3L))
   }
 
+  test("diffInDiff: parallel-trends zero, pure treatment lift, cell bookkeeping") {
+    import java.sql.Timestamp
+    def at(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    // midpoint cutover = 11:00; both groups drift +1.00 pre→post
+    def frame(treatPost: Double) = Seq(
+      (false, at(10), 1.0), (false, at(12), 2.0),
+      (true, at(10), 3.0), (true, at(12), treatPost))
+      .toDF("treat", "ts", "v")
+    val nul = Eval.diffInDiff(frame(4.0), "treat", "ts", "v")
+      .collect().head
+    assert((0 to 7).map(nul.getLong).toSeq ===
+      Seq(1L, 400L, 1L, 300L, 1L, 200L, 1L, 100L))
+    assert(nul.getDouble(8) === 0.0)
+    // +0.50 only where treatment was live: the estimate reads 50 cents
+    val lift = Eval.diffInDiff(frame(4.5), "treat", "ts", "v")
+      .collect().head
+    assert(lift.getLong(1) === 450L && lift.getDouble(8) === 50.0)
+  }
+
   test("calibrationBins: zero gaps when calibrated, constant scorer, bin counts") {
     // two score levels whose observed rates equal the scores exactly
     val cal = scored(

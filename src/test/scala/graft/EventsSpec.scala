@@ -895,6 +895,25 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("entryExitReport: single-event sessions, gap splits, share arithmetic") {
+    def at(t: String) = ts(s"2026-01-01 $t")
+    val df = Seq(
+      ("u1", at("10:00:00"), 1L, "A"), ("u1", at("10:10:00"), 2L, "B"),
+      ("u1", at("12:00:00"), 3L, "C"), // > 30min gap: its own session
+      ("u2", at("10:00:00"), 4L, "D"))
+      .toDF("k", "ts", "id", "t")
+    val got = Events.entryExitReport(df, "k", "ts", "id", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 3 sessions: (A..B), (C), (D) — C and D enter AND exit theirs
+    assert(got === Map(
+      "A" -> ((1L, 0L, 333L, 0L)), "B" -> ((0L, 1L, 0L, 333L)),
+      "C" -> ((1L, 1L, 333L, 333L)), "D" -> ((1L, 1L, 333L, 333L))))
+    intercept[IllegalArgumentException](
+      Events.entryExitReport(df, "k", "ts", "id", "t", 0))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("dwellReport: attribute-to-current, open-tail exclusion, same-instant zero") {
     def at(t: String) = ts(s"2026-01-01 $t")
     val df = Seq(
