@@ -3560,6 +3560,30 @@ object SparkEntry {
           col("naive_cents"), col("balance_cents"), col("shortfall_cents"))
         .orderBy("user_id", "event_id")),
 
+    // Calendar activity streaks (gaps-and-islands on epoch days):
+    // exact active days, streak counts and longest run per user.
+    // Fully oracled.
+    "q_streaks" -> ((s, dir) =>
+      graft.operators.Events.streaks(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("key")),
+
+    // Eventually-follows process-mining matrix: ordered type pairs
+    // with exact case counts (first(a) strictly before last(b)) and
+    // milli case shares. Fully oracled.
+    "q_follows" -> ((s, dir) =>
+      graft.operators.Events.eventuallyFollows(
+        t(s, dir, "events"), "user_id", "ts", "event_type")
+        .orderBy("antecedent", "consequent")),
+
+    // Directed reciprocity over the mod-500 co-occurrence digraph:
+    // exact mutual-edge count and milli rate. Fully oracled.
+    "q_reciprocity" -> ((s, dir) =>
+      graft.operators.Graph.reciprocity(
+        t(s, dir, "orders")
+          .select((col("o_orderkey") % 500).as("src"),
+            (col("o_custkey") % 500).as("dst")),
+        "src", "dst")),
+
     // Difference-in-differences over a parity rollout: exact 4-cell
     // bookkeeping + the effect estimate as four mirrored IEEE
     // divisions (the Welch judged-double rule). Fully oracled.
@@ -5854,6 +5878,53 @@ object SparkEntry {
         |       naive_cents - fl AS balance_cents,
         |       -fl AS shortfall_cents
         |FROM s2 ORDER BY user_id, event_id""".stripMargin,
+
+    // the island identity day - row_number = const; counts exact
+    "q_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id AS key,
+        |             date_diff('day', DATE '1970-01-01',
+        |               CAST(ts AS DATE)) AS dd
+        |           FROM events),
+        |i AS (SELECT key, dd,
+        |        dd - row_number() OVER (PARTITION BY key ORDER BY dd)
+        |          AS isl
+        |      FROM d),
+        |g AS (SELECT key, isl, CAST(count(*) AS BIGINT) AS len FROM i
+        |      GROUP BY 1, 2)
+        |SELECT key, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS max_streak_days
+        |FROM g GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // EF: first(a) strictly before last(b) per case; shares over the
+    // distinct-case universe
+    "q_follows" ->
+      """WITH per AS (SELECT user_id AS k, event_type AS t,
+        |               min(ts) AS f, max(ts) AS l
+        |             FROM events GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nn
+        |      FROM events)
+        |SELECT a.t AS antecedent, b.t AS consequent,
+        |       CAST(count(*) AS BIGINT) AS n_cases,
+        |       CAST(count(*) AS BIGINT) * 1000 // (SELECT nn FROM n)
+        |         AS share_milli
+        |FROM per a JOIN per b
+        |  ON a.k = b.k AND a.t <> b.t AND a.f < b.l
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // reverse-pair semi-join on the distinct non-loop digraph; each
+    // direction of a mutual pair counts
+    "q_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT o_orderkey % 500 AS u,
+        |             o_custkey % 500 AS v
+        |           FROM orders
+        |           WHERE o_orderkey % 500 <> o_custkey % 500),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM e a
+        |      JOIN e b ON b.u = a.v AND b.v = a.u),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS me FROM e)
+        |SELECT me AS m_edges, nr AS n_reciprocal,
+        |       nr * 1000 // me AS reciprocity_milli
+        |FROM m, r""".stripMargin,
 
     // exact cells; the effect is four divisions and two subtractions
     // in the IDENTICAL order as the plan (Welch precedent); midpoint

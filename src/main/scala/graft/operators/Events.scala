@@ -1432,6 +1432,71 @@ object Events {
       .select(col("peak"), col("first_peak_ts"))
   }
 
+  /** Activity streaks — the gaps-and-islands classic on the calendar
+    * axis (DAU streaks, habit metrics; [[intervalMerge]]'s cousin with
+    * days for intervals): per key, distinct active epoch-days group
+    * into maximal consecutive runs via the island identity
+    * `day − row_number = const`, and the report row carries the exact
+    * active-day count, number of streaks and the longest streak
+    * length. No "current streak" column by design — it needs a
+    * wall-clock horizon and would never be oracle-reproducible (the
+    * versionAsOf rule).
+    *
+    * Scale: events partial-aggregate to distinct (key, day) FIRST;
+    * the island window is key-partitioned over that day-scale
+    * relation. Judged `q_streaks`, fully ORACLED; split/merge
+    * boundaries, single-day streaks and multi-event-day dedup pinned
+    * in EventsSpec. */
+  def streaks(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(keyCol).as("key"),
+        expr(s"datediff(to_date($tsCol), date'1970-01-01')").as("__d"))
+      .distinct()
+    val w = Window.partitionBy("key").orderBy("__d")
+    days
+      .withColumn("__isl", col("__d") - row_number().over(w))
+      .groupBy(col("key"), col("__isl"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("key")
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("max_streak_days"))
+  }
+
+  /** Eventually-follows relation — process mining's EF matrix next to
+    * [[transitions]]' directly-follows pairs (van der Aalst, Process
+    * Mining 2016): type `a` eventually precedes type `b` in a case
+    * (key) iff a's FIRST occurrence is strictly before b's LAST —
+    * some a-then-b ordering exists, however many steps apart. Each
+    * ordered pair reports the exact case count and its milli share of
+    * all cases; same-instant occurrences don't count as ordered
+    * (strict <, documented — ties carry no order evidence).
+    *
+    * Scale: events partial-aggregate to one (key, type, first, last)
+    * row; the pair join is key-co-partitioned over that ≤|types|/key
+    * relation (the associationRules posture); the case universe is a
+    * 1-row broadcast. Judged `q_follows`, fully ORACLED; transitive
+    * vs adjacent (EF ⊇ DF), same-instant exclusion and share
+    * arithmetic pinned in EventsSpec. */
+  def eventuallyFollows(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val per = graft.engine.Caches.persisted(
+      events.groupBy(col(keyCol).as("__k"), col(typeCol).as("__t"))
+        .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last")))
+    val total = broadcast(
+      events.agg(countDistinct(col(keyCol)).as("__n")))
+    per.as("a").join(per.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__t") =!= col("b.__t") &&
+          col("a.__first") < col("b.__last"))
+      .groupBy(col("a.__t").as("antecedent"),
+        col("b.__t").as("consequent"))
+      .agg(count(lit(1)).as("n_cases"))
+      .crossJoin(total)
+      .select(col("antecedent"), col("consequent"), col("n_cases"),
+        expr("n_cases * 1000 div nullif(__n, 0L)").as("share_milli"))
+  }
+
   /** Session entry/exit census — the web-analytics landing/bounce
     * readout over lag-gap sessions (the [[sessionize]] segmentation):
     * each session contributes its FIRST and LAST event type (total

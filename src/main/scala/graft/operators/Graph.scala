@@ -189,6 +189,35 @@ object Graph {
           .otherwise(lit(0L)))
   }
 
+  /** Directed reciprocity — the share of directed edges whose reverse
+    * also exists (`r = |{(u,v) : (v,u) ∈ E}| / |E|`, Newman et al.
+    * 2002): the one classic measure that needs the DIRECTED simple
+    * graph (every other operator here canonicalizes) — mutual-follow
+    * rate in a social graph, request/response symmetry in a call
+    * graph. Exact integers: distinct non-loop directed edges, a
+    * self-semi-join on the swapped pair, one milli division.
+    *
+    * Scale: edge dedup partial-aggregates; the reverse probe is one
+    * key-swapped left-semi hash join of the edge set against itself.
+    * Judged `q_reciprocity`, fully ORACLED; mutual-pair counting
+    * (both directions count), pure-DAG zero and dedup invariance
+    * pinned in GraphSpec. */
+  def reciprocity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = graft.engine.Caches.persisted(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    val recip = e.join(
+      e.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"),
+      "left_semi")
+    e.agg(count(lit(1)).as("m_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("m_edges"), col("n_reciprocal"),
+        expr("n_reciprocal * 1000 div nullif(m_edges, 0L)")
+          .as("reciprocity_milli"))
+  }
+
   /** Degree assortativity — "do hubs link to hubs" (Newman 2002,
     * Phys. Rev. Lett. 89, 208701): the Pearson correlation of the
     * degrees at the two ends of an edge, over the undirected simple

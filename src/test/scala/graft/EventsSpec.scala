@@ -895,6 +895,36 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("streaks: split/merge boundaries, single-day runs, multi-event dedup") {
+    def at(d: Int) = ts(f"2026-01-$d%02d 10:00:00")
+    val df = (Seq(1, 2, 2, 3, 5).map(d => ("u1", at(d))) ++
+      Seq(("u2", at(10))))
+      .toDF("k", "ts")
+    val got = Events.streaks(df, "k", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // u1: days {1,2,3} one run (the duplicate day-2 events collapse),
+    // day 5 its own run after the gap
+    assert(got === Map("u1" -> ((4L, 2L, 3L)), "u2" -> ((1L, 1L, 1L))))
+  }
+
+  test("eventuallyFollows: EF superset of DF, same-instant exclusion, shares") {
+    def at(d: Int) = ts(f"2026-01-$d%02d 10:00:00")
+    val df = Seq(
+      ("u1", at(1), "A"), ("u1", at(2), "B"), ("u1", at(3), "C"),
+      ("u2", at(1), "D"), ("u2", at(1), "A")) // same instant: no order
+      .toDF("k", "ts", "t")
+    val got = Events.eventuallyFollows(df, "k", "ts", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // A→C exists though never ADJACENT (EF ⊇ DF); no reverse rows;
+    // u2's tie carries no evidence; shares over 2 cases
+    assert(got === Map(
+      ("A", "B") -> ((1L, 500L)), ("A", "C") -> ((1L, 500L)),
+      ("B", "C") -> ((1L, 500L))))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("entryExitReport: single-event sessions, gap splits, share arithmetic") {
     def at(t: String) = ts(s"2026-01-01 $t")
     val df = Seq(

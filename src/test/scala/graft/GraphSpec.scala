@@ -318,6 +318,22 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("reciprocity: mutual pairs count both ways, DAG zero, dedup invariance") {
+    def run(edges: Seq[(Long, Long)]) =
+      Graph.reciprocity(edges.toDF("src", "dst"), "src", "dst")
+        .collect().head
+    val mixed = run(Seq((0L, 1L), (1L, 0L), (1L, 2L)))
+    assert((mixed.getLong(0), mixed.getLong(1), mixed.getLong(2))
+      === ((3L, 2L, 666L)))
+    // a DAG has no mutual edge anywhere
+    val dag = run(Seq((0L, 1L), (1L, 2L), (0L, 2L)))
+    assert(dag.getLong(1) === 0L && dag.getLong(2) === 0L)
+    // duplicate edges and self-loops never shift the rate
+    val noisy = run(Seq((0L, 1L), (0L, 1L), (1L, 0L), (1L, 2L), (2L, 2L)))
+    assert((noisy.getLong(0), noisy.getLong(1)) === ((3L, 2L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("clusteringCoefficient: clique 1000, star zero, corner credit, isolated pair") {
     def run(edges: Seq[(Long, Long)]) =
       Graph.clusteringCoefficient(edges.toDF("src", "dst"), "src", "dst")
