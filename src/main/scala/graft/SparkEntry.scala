@@ -3560,6 +3560,35 @@ object SparkEntry {
           col("naive_cents"), col("balance_cents"), col("shortfall_cents"))
         .orderBy("user_id", "event_id")),
 
+    // QQ drift detail between the click and purchase value slices:
+    // exact-interpolation deciles side by side with one-subtract
+    // diffs. Fully oracled.
+    "q_qq" -> ((s, dir) =>
+      graft.operators.Events.qqTable(
+        t(s, dir, "events"), "event_type", "value", "click", "purchase")
+        .orderBy("rank_milli")),
+
+    // Exact lower weighted median of value per type with synthetic
+    // integer weights (pure selection — no arithmetic on the value).
+    // Fully oracled.
+    "q_wmedian" -> ((s, dir) =>
+      graft.operators.Events.weightedMedian(
+        t(s, dir, "events").withColumn("w",
+          pmod(col("user_id"), lit(5)) + 1),
+        "event_type", "value", "w")
+        .orderBy("key")),
+
+    // FIFO inventory aging: purchase lots minus total click
+    // consumption per user, surviving lots with exact remaining cents
+    // and integer age days. Fully oracled.
+    "q_inv_age" -> ((s, dir) =>
+      graft.operators.Events.inventoryAge(
+        t(s, dir, "events").withColumn("qty",
+          floor(col("value") * 100 + lit(0.5)).cast("long")),
+        "user_id", "ts", "event_id", "qty", "event_type",
+        "purchase", "click")
+        .orderBy("key", "buy_id")),
+
     // Calendar activity streaks (gaps-and-islands on epoch days):
     // exact active days, streak counts and longest run per user.
     // Fully oracled.
@@ -5878,6 +5907,64 @@ object SparkEntry {
         |       naive_cents - fl AS balance_cents,
         |       -fl AS shortfall_cents
         |FROM s2 ORDER BY user_id, event_id""".stripMargin,
+
+    // quantile_cont list-indexing parity; diffs are one subtract each
+    "q_qq" ->
+      """WITH qa AS (SELECT quantile_cont(value,
+        |              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |              AS l
+        |            FROM events WHERE event_type = 'click'),
+        |qb AS (SELECT quantile_cont(value,
+        |         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS l
+        |       FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT unnest(generate_series(1, 9)) AS ix)
+        |SELECT CAST(ix * 100 AS BIGINT) AS rank_milli,
+        |       qa.l[ix] AS q_a, qb.l[ix] AS q_b,
+        |       qa.l[ix] - qb.l[ix] AS qq_diff
+        |FROM i, qa, qb ORDER BY rank_milli""".stripMargin,
+
+    // lower weighted median: smallest v with 2·cum >= total; the
+    // judged value is selected, never computed
+    "q_wmedian" ->
+      """WITH p AS (SELECT event_type AS key, value AS v,
+        |             CAST(sum(user_id % 5 + 1) AS BIGINT) AS w
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT key, CAST(sum(w) AS BIGINT) AS w_total FROM p
+        |      GROUP BY 1),
+        |c AS (SELECT key, v,
+        |        CAST(sum(w) OVER (PARTITION BY key ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+        |      FROM p)
+        |SELECT c.key, t.w_total, min(v) AS weighted_median
+        |FROM c JOIN t ON c.key = t.key
+        |WHERE 2 * cw >= t.w_total
+        |GROUP BY 1, 2 ORDER BY c.key""".stripMargin,
+
+    // remaining of lot = clamp(cum_end - sold, 0, qty); ages against
+    // the corpus max DATE
+    "q_inv_age" ->
+      """WITH base AS (SELECT user_id AS k, ts, event_id AS id,
+        |                CAST(floor(value * 100 + 0.5) AS BIGINT) AS q,
+        |                event_type AS side
+        |              FROM events
+        |              WHERE event_type IN ('purchase', 'click')
+        |                AND floor(value * 100 + 0.5) > 0),
+        |b AS (SELECT k, ts, id AS buy_id, q,
+        |        CAST(sum(q) OVER (PARTITION BY k ORDER BY ts, id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS be
+        |      FROM base WHERE side = 'purchase'),
+        |s AS (SELECT k, CAST(sum(q) AS BIGINT) AS sold FROM base
+        |      WHERE side = 'click' GROUP BY 1),
+        |h AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+        |r AS (SELECT b.k, b.buy_id,
+        |        least(b.q, greatest(0, be - COALESCE(s.sold, 0)))
+        |          AS remaining_qty,
+        |        CAST(date_diff('day', CAST(b.ts AS DATE), h.hz)
+        |          AS BIGINT) AS age_days
+        |      FROM b LEFT JOIN s ON b.k = s.k CROSS JOIN h)
+        |SELECT k AS key, buy_id, remaining_qty, age_days FROM r
+        |WHERE remaining_qty > 0
+        |ORDER BY key, buy_id""".stripMargin,
 
     // the island identity day - row_number = const; counts exact
     "q_streaks" ->

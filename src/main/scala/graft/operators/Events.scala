@@ -1634,6 +1634,107 @@ object Events {
         sum(col(deltaCentsCol)).as("final_cents"))
   }
 
+  /** QQ drift table — the per-quantile DETAIL between
+    * [[ksStatistic]]'s single sup and [[psiBins]]' binned shares: the
+    * exact k-quantiles of two slices side by side with their
+    * differences, the table behind a QQ plot ("the tails drifted, the
+    * median didn't"). Quantiles are Spark's exact `percentile`
+    * (linear interpolation — bit-identical to DuckDB `quantile_cont`,
+    * the robustScale-proven parity) and the diff is one IEEE subtract
+    * per row.
+    *
+    * Scale: two partial-agg percentile passes (no window, no sort
+    * shuffle beyond the aggregate), a (k−1)-row explode join. Judged
+    * `q_qq`, fully ORACLED; identical-slices zero diffs, shift
+    * recovery and rank arithmetic pinned in EventsSpec. */
+  def qqTable(df: DataFrame, sliceCol: String, valueCol: String,
+      sliceA: String, sliceB: String, k: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 100, s"k must be in 2..100: $k")
+    def qs(s: String, out: String): DataFrame =
+      df.filter(col(sliceCol) === s)
+        .agg(expr(s"percentile($valueCol, array(" +
+          (1 until k).map(i => i.toDouble / k).mkString(", ") + "))")
+          .as(out))
+    qs(sliceA, "__qa").crossJoin(qs(sliceB, "__qb"))
+      .select(posexplode(col("__qa")).as(Seq("__p", "q_a")), col("__qb"))
+      .select(((col("__p") + 1) * lit(1000 / k)).cast("long")
+        .as("rank_milli"),
+        col("q_a"), element_at(col("__qb"), col("__p") + 1).as("q_b"))
+      .withColumn("qq_diff", col("q_a") - col("q_b"))
+  }
+
+  /** Exact weighted median per group — the robust-aggregate family's
+    * weighted member ([[madScale]] weights everything 1): values
+    * partial-aggregate to per-distinct-value weight sums, the
+    * cumulative weight runs value-ascending, and the weighted median
+    * is the SMALLEST value whose doubled cumulative weight reaches
+    * the group total (the lower weighted median — pure SELECTION, no
+    * arithmetic ever touches the value, so doubles judge exactly).
+    *
+    * Scale: per-(group, value) partial agg FIRST; the window runs
+    * over distinct values per group, the total joins back at group
+    * cardinality. Judged `q_wmedian`, fully ORACLED; hand pull
+    * (weight dominance), unit-weight ≡ lower median and tie
+    * accumulation pinned in EventsSpec. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("key"),
+        col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy("key").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.groupBy("key").agg(sum(col("__w")).as("w_total"))
+    per.withColumn("__cw", sum(col("__w")).over(w))
+      .join(tot, "key")
+      .filter(col("__cw") * 2 >= col("w_total"))
+      .groupBy(col("key"), col("w_total"))
+      .agg(min(col("__v")).as("weighted_median"))
+  }
+
+  /** FIFO inventory aging — what [[fifoAllocate]] left on the shelf:
+    * per key, total sold quantity consumes the buy lots oldest-first,
+    * each buy's REMAINING is `clamp(cum_end − sold, 0, qty)` (the
+    * cumulative-interval identity again — no allocation join needed
+    * for the tail), and surviving lots report their exact remaining
+    * quantity and integer age in days against the corpus horizon
+    * (max event date — the kaplanMeier horizon convention, era-proof).
+    * The aging report behind writedown and reorder decisions.
+    *
+    * Scale: one per-key buy window + a per-key sold aggregate joined
+    * at key cardinality; the horizon is a 1-row broadcast. Judged
+    * `q_inv_age`, fully ORACLED; partial/full/untouched lot matrix
+    * and age arithmetic pinned in EventsSpec. */
+  def inventoryAge(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, qtyCol: String, sideCol: String,
+      buySide: String, sellSide: String): DataFrame = {
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buys = events.filter(col(sideCol) === buySide)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(idCol).as("buy_id"), col(qtyCol).cast("long").as("__q"))
+      .filter(col("__q") > 0L)
+      .withColumn("__end", sum(col("__q")).over(
+        w.orderBy(col("__ts"), col("buy_id"))))
+    val sold = events.filter(col(sideCol) === sellSide)
+      .select(col(keyCol).as("__k"),
+        col(qtyCol).cast("long").as("__q"))
+      .filter(col("__q") > 0L)
+      .groupBy("__k").agg(sum(col("__q")).as("__sold"))
+    val horizon = broadcast(events.agg(
+      max(to_date(col(tsCol))).as("__h")))
+    buys.join(sold, Seq("__k"), "left")
+      .withColumn("__rem",
+        greatest(lit(0L),
+          col("__end") - coalesce(col("__sold"), lit(0L))))
+      .withColumn("remaining_qty", least(col("__q"), col("__rem")))
+      .filter(col("remaining_qty") > 0L)
+      .crossJoin(horizon)
+      .select(col("__k").as("key"), col("buy_id"), col("remaining_qty"),
+        datediff(col("__h"), to_date(col("__ts"))).cast("long")
+          .as("age_days"))
+  }
+
   /** Period-over-period comparison — the WoW/MoM growth table every
     * metrics review opens with: per (key, period) exact counts on a
     * DENSIFIED period axis (a silent week is a real 0 week — the

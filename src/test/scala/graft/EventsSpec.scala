@@ -895,6 +895,55 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("qqTable: identical-slices zero, shift recovery, rank arithmetic") {
+    def rows(slice: String, shift: Double) =
+      (0 to 8).map(i => (slice, i.toDouble + shift))
+    val same = (rows("a", 0) ++ rows("b", 0)).toDF("s", "v")
+    val zero = Events.qqTable(same, "s", "v", "a", "b", k = 4)
+      .orderBy("rank_milli").collect()
+    assert(zero.map(_.getLong(0)).toSeq === Seq(250L, 500L, 750L))
+    assert(zero.forall(_.getDouble(3) === 0.0))
+    // a pure +5 location shift: every quantile diff reads exactly -5
+    // (linear interpolation commutes with shifts)
+    val shifted = (rows("a", 0) ++ rows("b", 5)).toDF("s", "v")
+    val d = Events.qqTable(shifted, "s", "v", "a", "b", k = 4).collect()
+    assert(d.forall(_.getDouble(3) === -5.0))
+    intercept[IllegalArgumentException](
+      Events.qqTable(same, "s", "v", "a", "b", k = 1))
+  }
+
+  test("weightedMedian: weight dominance, unit-weight lower median, tie accumulation") {
+    def run(rows: Seq[(String, Double, Long)]) =
+      Events.weightedMedian(rows.toDF("g", "v", "w"), "g", "v", "w")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    val got = run(Seq(
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 10.0, 10L), // weight pulls
+      ("b", 1.0, 1L), ("b", 2.0, 1L), ("b", 3.0, 1L), ("b", 4.0, 1L),
+      ("c", 5.0, 1L), ("c", 5.0, 1L), ("c", 7.0, 1L))) // tie sums first
+    assert(got("a") === ((12L, 10.0)))
+    assert(got("b") === ((4L, 2.0))) // lower median convention
+    assert(got("c") === ((3L, 5.0)))
+  }
+
+  test("inventoryAge: partial/full/untouched lot matrix, age arithmetic") {
+    def at(d: Int) = ts(f"2026-01-$d%02d 10:00:00")
+    val df = Seq(
+      ("u", at(1), 1L, 10L, "buy"), ("u", at(2), 2L, 5L, "buy"),
+      ("u", at(3), 3L, 12L, "sell"), // exhausts lot 1, eats 2 of lot 2
+      ("v", at(4), 4L, 7L, "buy"),   // untouched lot
+      ("w", at(1), 5L, 4L, "buy"), ("w", at(5), 6L, 10L, "sell"))
+      .toDF("k", "ts", "id", "qty", "side")
+    val got = Events.inventoryAge(df, "k", "ts", "id", "qty", "side",
+      "buy", "sell")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // horizon = Jan 5 (the global max event date)
+    assert(got === Map(
+      ("u", 2L) -> ((3L, 3L)),  // 5 - 2 consumed, bought Jan 2
+      ("v", 4L) -> ((7L, 1L)))) // whole lot, bought Jan 4
+  }
+
   test("streaks: split/merge boundaries, single-day runs, multi-event dedup") {
     def at(d: Int) = ts(f"2026-01-$d%02d 10:00:00")
     val df = (Seq(1, 2, 2, 3, 5).map(d => ("u1", at(d))) ++
