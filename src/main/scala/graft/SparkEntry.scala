@@ -3560,6 +3560,22 @@ object SparkEntry {
           col("naive_cents"), col("balance_cents"), col("shortfall_cents"))
         .orderBy("user_id", "event_id")),
 
+    // Cross-correlation between weekly click and purchase activity at
+    // lags -2..2: exact scaled-integer numerators/denominators, the
+    // one float a mirrored cast-multiply-sqrt-divide. Fully oracled.
+    "q_ccf" -> ((s, dir) =>
+      graft.operators.Events.ccf(
+        t(s, dir, "events"), "event_type", "ts", "click", "purchase", 2)
+        .orderBy("lag")),
+
+    // ABC classification of customers by revenue (80/95 thresholds):
+    // per-key class labels from the banded DESC rank, exact integer
+    // boundary tests. Fully oracled.
+    "q_abc" -> ((s, dir) =>
+      graft.operators.Relational.abcClassify(
+        t(s, dir, "orders"), "o_custkey", "o_totalprice")
+        .orderBy("key")),
+
     // QQ drift detail between the click and purchase value slices:
     // exact-interpolation deciles side by side with one-subtract
     // diffs. Fully oracled.
@@ -5907,6 +5923,65 @@ object SparkEntry {
         |       naive_cents - fl AS balance_cents,
         |       -fl AS shortfall_cents
         |FROM s2 ORDER BY user_id, event_id""".stripMargin,
+
+    // shared densified grid; scaled-integer centering (the acf rule);
+    // sqrt operand order mirrored exactly
+    "q_ccf" ->
+      """WITH sparse AS (SELECT event_type AS t,
+        |                  date_diff('day', DATE '1970-01-01',
+        |                    CAST(ts AS DATE)) // 7 AS bk,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |                FROM events
+        |                WHERE event_type IN ('click', 'purchase')
+        |                GROUP BY 1, 2),
+        |rng AS (SELECT min(bk) AS lo, max(bk) AS hi FROM sparse),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS bk FROM rng),
+        |xs AS (SELECT g.bk, COALESCE(s.c, 0) AS x FROM grid g
+        |       LEFT JOIN sparse s ON s.t = 'click' AND s.bk = g.bk),
+        |ys AS (SELECT g.bk, COALESCE(s.c, 0) AS y FROM grid g
+        |       LEFT JOIN sparse s ON s.t = 'purchase' AND s.bk = g.bk),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS sx FROM xs),
+        |st2 AS (SELECT CAST(sum(y) AS BIGINT) AS sy FROM ys),
+        |lags AS (SELECT unnest(generate_series(-2, 2)) AS lag),
+        |num AS (SELECT lag,
+        |          CAST(sum((n * x - sx) * (n * y - sy)) AS BIGINT)
+        |            AS ccf_num
+        |        FROM xs CROSS JOIN lags
+        |        JOIN ys ON ys.bk = xs.bk + lag
+        |        CROSS JOIN st CROSS JOIN st2 GROUP BY 1),
+        |dx AS (SELECT CAST(sum((n * x - sx) * (n * x - sx)) AS BIGINT)
+        |         AS dxx FROM xs, st),
+        |dy AS (SELECT CAST(sum((n * y - sy) * (n * y - sy)) AS BIGINT)
+        |         AS dyy FROM ys, st, st2)
+        |SELECT CAST(lag AS INTEGER) AS lag, ccf_num, dxx, dyy,
+        |       CASE WHEN dxx > 0 AND dyy > 0
+        |            THEN CAST(ccf_num AS DOUBLE)
+        |              / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))
+        |            ELSE NULL END AS ccf
+        |FROM num, dx, dy ORDER BY lag""".stripMargin,
+
+    // minimal-covering-prefix classes: the crossing key completes its
+    // class; exact cross-product boundary tests
+    "q_abc" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |                 AS BIGINT)) AS BIGINT) AS cents
+        |             FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
+        |r AS (SELECT k, cents,
+        |        CAST(row_number() OVER (ORDER BY cents DESC, k)
+        |          AS BIGINT) AS rank,
+        |        CAST(sum(cents) OVER (ORDER BY cents DESC, k
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM per)
+        |SELECT k AS key, cents, rank,
+        |       CASE WHEN (cum - cents) * 1000
+        |              < 800 * (SELECT total FROM t) THEN 'A'
+        |            WHEN (cum - cents) * 1000
+        |              < 950 * (SELECT total FROM t) THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM r ORDER BY key""".stripMargin,
 
     // quantile_cont list-indexing parity; diffs are one subtract each
     "q_qq" ->

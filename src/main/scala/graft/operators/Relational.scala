@@ -1270,6 +1270,59 @@ object Relational {
           .as("spearman"))
   }
 
+  /** ABC classification — [[concentration]]'s per-key LABELING twin
+    * (every key gets its class instead of a summary row): keys rank
+    * by value descending (deterministic key tiebreak), and a key is
+    * 'A' while the cumulative share BEFORE it is still under
+    * `aMilli`, 'B' under `bMilli`, else 'C' — the minimal-covering-
+    * prefix convention (the crossing key belongs to the class it
+    * completes), tested as the exact integer cross-product
+    * `cum_prev·1000 < thr·total` (overflow-safe while
+    * `total·1000 < 2^63` — the q_gini decimal-widening rule applies
+    * beyond). The inventory-management 80/15/5 staple.
+    *
+    * Scale: per-key partial agg, then the [[gini]] banded DESC rank
+    * with per-band cents offsets — the cumulative needs no global
+    * window. Judged `q_abc`, fully ORACLED; boundary-crossing
+    * convention, degenerate one-key table and band invariance pinned
+    * in RelationalSpec. */
+  def abcClassify(df: DataFrame, keyCol: String, valueCol: String,
+      aMilli: Int = 800, bMilli: Int = 950, bands: Int = 32): DataFrame = {
+    require(aMilli >= 1 && aMilli < bMilli && bMilli <= 1000,
+      s"need 1 <= aMilli < bMilli <= 1000: $aMilli, $bMilli")
+    val W = org.apache.spark.sql.expressions.Window
+    val per = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("__k"),
+          floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__cents"))
+        .groupBy("__k").agg(sum(col("__cents")).as("cents")))
+    val bounds = broadcast(per.agg(
+      min(col("cents")).as("__lo"), max(col("cents")).as("__hi"),
+      sum(col("cents")).as("__total")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandDesc(
+        col("cents"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"), sum(col("cents")).as("__bc"))
+      .withColumn("__or", coalesce(sum(col("__bn")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("__oc", coalesce(sum(col("__bc")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__or"), col("__oc"))
+    val wB = W.partitionBy(col("__band"))
+      .orderBy(col("cents").desc, col("__k"))
+    banded.join(broadcast(offsets), "__band")
+      .withColumn("rank", col("__or") + row_number().over(wB))
+      .withColumn("__cum", col("__oc") + sum(col("cents")).over(
+        wB.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__prev", col("__cum") - col("cents"))
+      .select(col("__k").as("key"), col("cents"), col("rank"),
+        when(col("__prev") * 1000 < lit(aMilli.toLong) * col("__total"),
+          "A")
+          .when(col("__prev") * 1000 < lit(bMilli.toLong) * col("__total"),
+            "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   /** RFM segmentation — the classic customer-value grid (recency ×
     * frequency × monetary) next to [[concentration]]'s one-number
     * headline: each key gets `r_days` (days since its last event,

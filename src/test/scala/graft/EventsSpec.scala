@@ -895,6 +895,31 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("ccf: impulse lag recovery, symmetry, zero-variance null") {
+    def at(day: String) = ts(s"$day 12:00:00")
+    // a fires week 0, b fires week 1: x leads y by exactly one period
+    val df = Seq(("a", at("2026-01-01")), ("b", at("2026-01-08")))
+      .toDF("t", "ts")
+    def run(x: String, y: String) =
+      Events.ccf(df, "t", "ts", x, y, maxLag = 1)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+        .toMap
+    val ab = run("a", "b")
+    assert(ab(1)._2 === 0.5 && ab(0)._2 === -1.0)
+    assert(ab(1)._1 === 1L && ab(0)._1 === -2L)
+    // ccf_xy(l) = ccf_yx(-l)
+    val ba = run("b", "a")
+    assert(ba(-1) === ab(1) && ba(0) === ab(0) && ba(1) === ab(-1))
+    // a constant series has zero variance: ccf is null, never NaN-div
+    val const = Seq(("a", at("2026-01-01")), ("b", at("2026-01-01")),
+      ("b", at("2026-01-08"))).toDF("t", "ts")
+    val z = Events.ccf(const, "t", "ts", "b", "a", 1)
+      .collect().map(r => r.isNullAt(4))
+    assert(z.forall(identity))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("qqTable: identical-slices zero, shift recovery, rank arithmetic") {
     def rows(slice: String, shift: Double) =
       (0 to 8).map(i => (slice, i.toDouble + shift))

@@ -821,6 +821,30 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("abcClassify: crossing-key convention, one-key table, band invariance") {
+    val df = Seq(("k1", 0.70), ("k2", 0.20), ("k3", 0.06), ("k4", 0.04))
+      .toDF("k", "v")
+    def run(bands: Int) = graft.operators.Relational
+      .abcClassify(df, "k", "v", bands = bands)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val got = run(32)
+    // k2 CROSSES the 80% line (cum 90 > 80, prev 70 < 80): it
+    // completes class A; k3 lands in B, k4 past 95% in C
+    assert(got === Map(
+      "k1" -> ((70L, 1L, "A")), "k2" -> ((20L, 2L, "A")),
+      "k3" -> ((6L, 3L, "B")), "k4" -> ((4L, 4L, "C"))))
+    assert(run(1) === got)
+    // a lone key holds everything and is trivially A
+    val one = graft.operators.Relational
+      .abcClassify(Seq(("x", 5.0)).toDF("k", "v"), "k", "v")
+      .collect().head
+    assert(one.getString(3) === "A")
+    intercept[IllegalArgumentException](graft.operators.Relational
+      .abcClassify(df, "k", "v", aMilli = 900, bMilli = 900))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("rfm: hand quintiles, monotone codes, tie determinism") {
     import java.sql.Timestamp
     def t(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 10:00:00")
