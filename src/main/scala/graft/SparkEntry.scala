@@ -3720,6 +3720,44 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("bin")),
 
+    // MCC + Cohen's kappa at one operating threshold: exact confusion
+    // cells, exact-integer kappa (sign·abs div), IEEE-pinned one-sqrt
+    // MCC micro. Fully oracled.
+    "q_mcc" -> ((s, dir) =>
+      graft.operators.Eval.mccKappa(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label", 150000L)),
+
+    // Average precision (PR-AUC, step convention): banded global rank,
+    // exact-integer precision@rank terms over positives, ap_micro with
+    // no float anywhere. Fully oracled.
+    "q_ap" -> ((s, dir) =>
+      graft.operators.Eval.averagePrecision(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label", "event_id")),
+
+    // Mann-Whitney U rank-sum test: doubled tie-averaged ranks off the
+    // banded ECDF, exact u2/r2 BIGINTs, tie-corrected z micro. Fully
+    // oracled.
+    "q_mwu" -> ((s, dir) =>
+      graft.operators.Eval.mannWhitney(
+        t(s, dir, "events").withColumn("grp",
+          col("event_type") === "purchase"),
+        "value", "grp")),
+
+    // Kendall tau-b over the daily (activity count, revenue cents)
+    // series: exact pair counts off the bounded calendar-scale series,
+    // one IEEE sqrt for tau micro. Fully oracled.
+    "q_kendall" -> ((s, dir) =>
+      graft.operators.Eval.kendallTau(
+        t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("y")),
+        "day", "x", "y")),
+
     // RFM quintile segmentation over customers: exact recency days /
     // order counts / cents, deterministic rank-arithmetic 1..5 scores,
     // 111..555 segment codes. Fully oracled.
@@ -6335,6 +6373,129 @@ object SparkEntry {
         |       CAST(sum(v) AS BIGINT) // count(*)
         |         - CAST(sum(y) AS BIGINT) * 1000 // count(*) AS gap_milli
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // kappa is exact-integer via sign·abs // (DuckDB floors, Spark div
+    // truncates — identical routed through non-negatives); MCC's sqrt
+    // is IEEE-pinned over exact <2^53 cell products
+    "q_mcc" ->
+      """WITH per AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT)
+        |               AS s,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |               AS y
+        |             FROM events),
+        |m AS (SELECT
+        |        CAST(sum(CASE WHEN s >= 150000 AND y = 1
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN s >= 150000 AND y = 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN s < 150000 AND y = 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |        CAST(sum(CASE WHEN s < 150000 AND y = 1
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |      FROM per)
+        |SELECT CAST(150000 AS BIGINT) AS threshold_milli,
+        |       tp, fp, tn, fn,
+        |       CASE WHEN tp+fp = 0 OR tp+fn = 0 OR tn+fp = 0
+        |                 OR tn+fn = 0 THEN NULL
+        |            ELSE CAST(floor(CAST(tp*tn - fp*fn AS DOUBLE)
+        |              * 1000000.0
+        |              / sqrt(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)
+        |                   * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE)))
+        |              AS BIGINT) END AS mcc_micro,
+        |       CAST(CAST(sign((tp+tn+fp+fn)*(tp+tn)
+        |           - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn))) AS BIGINT)
+        |         * (abs((tp+tn+fp+fn)*(tp+tn)
+        |             - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn))) * 1000000
+        |            // nullif((tp+tn+fp+fn)*(tp+tn+fp+fn)
+        |             - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)), 0))
+        |         AS BIGINT) AS kappa_micro
+        |FROM m""".stripMargin,
+
+    // every divided quantity non-negative so // == div; the ROWS frame
+    // is pinned because (v desc, id) is a unique total order
+    "q_ap" ->
+      """WITH per AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT)
+        |               AS v, event_id AS id,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |               AS y
+        |             FROM events),
+        |r AS (SELECT y,
+        |        row_number() OVER (ORDER BY v DESC, id) AS rnk,
+        |        CAST(sum(y) OVER (ORDER BY v DESC, id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+        |      FROM per)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM per) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_pos,
+        |       CAST(CAST(sum(cp * 1000000 // rnk) AS BIGINT) // count(*)
+        |         AS BIGINT) AS ap_micro
+        |FROM r WHERE y = 1""".stripMargin,
+
+    // doubled tie-averaged ranks: a tie group at cumulative offset c
+    // with t members contributes t1·(2c + t + 1); z's sigma factors
+    // are spelled in the plan's exact operation order
+    "q_mwu" ->
+      """WITH per AS (SELECT value AS v,
+        |               CASE WHEN event_type = 'purchase'
+        |                 THEN 1 ELSE 0 END AS g
+        |             FROM events),
+        |pv AS (SELECT v, CAST(sum(g) AS BIGINT) AS t1,
+        |              CAST(count(*) AS BIGINT) AS t
+        |       FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(sum(t1) AS BIGINT) AS n1,
+        |               CAST(sum(t - t1) AS BIGINT) AS n2,
+        |               CAST(sum(t*t*t - t) AS BIGINT) AS ties FROM pv),
+        |cum AS (SELECT t1, t,
+        |          CAST(sum(t) OVER (ORDER BY v
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) - t AS c
+        |        FROM pv),
+        |st AS (SELECT CAST(sum(t1 * (c * 2 + t + 1)) AS BIGINT) AS r2
+        |       FROM cum)
+        |SELECT n1, n2, r2, r2 - n1 * (n1 + 1) AS u2,
+        |       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+        |            WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |               * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |                  - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE)
+        |                       * CAST(n1 + n2 - 1 AS DOUBLE)))
+        |               <= 0.0 THEN NULL
+        |            ELSE CAST(floor(
+        |              CAST(r2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+        |              * 1000000.0
+        |              / (2.0 * sqrt(CAST(n1 AS DOUBLE)
+        |                 * CAST(n2 AS DOUBLE) / 12.0
+        |                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |                    - CAST(ties AS DOUBLE)
+        |                      / (CAST(n1 + n2 AS DOUBLE)
+        |                         * CAST(n1 + n2 - 1 AS DOUBLE))))))
+        |              AS BIGINT) END AS z_micro
+        |FROM st CROSS JOIN tot""".stripMargin,
+
+    // calendar-scale series: 30 days -> 435 pairs, the O(n^2) join is
+    // the documented series contract
+    "q_kendall" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+        |             CAST(count(*) AS BIGINT) AS x,
+        |             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |               AS BIGINT) AS y
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT
+        |        CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |        CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |        CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS tx,
+        |        CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS ty,
+        |        CAST(count(*) AS BIGINT) AS n0
+        |      FROM d a JOIN d b ON a.k < b.k)
+        |SELECT n0, nc, nd, tx, ty,
+        |       CASE WHEN (n0 - tx) * (n0 - ty) <= 0 THEN NULL
+        |            ELSE CAST(floor(CAST(nc - nd AS DOUBLE) * 1000000.0
+        |              / sqrt(CAST(n0 - tx AS DOUBLE)
+        |                   * CAST(n0 - ty AS DOUBLE))) AS BIGINT) END
+        |         AS tau_micro
+        |FROM p""".stripMargin,
 
     // deterministic quintiles: (rank-1)*5 // n + 1 over (metric, key)
     // row numbers, recency ranked DESC so 5 = best everywhere

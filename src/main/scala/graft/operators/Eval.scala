@@ -214,6 +214,213 @@ object Eval {
         expr("__sv div n - pos * 1000 div n").as("gap_milli"))
   }
 
+  /** Matthews correlation coefficient + Cohen's kappa at ONE decision
+    * threshold — the single-number agreement readouts that stay honest
+    * under class imbalance where accuracy and even F1 mislead
+    * (Matthews 1975; Cohen 1960). Scores quantize to milli BIGINTs
+    * exactly as [[confusionReport]]; the four cells are exact, and
+    * both coefficients derive from them:
+    * `MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))` and
+    * `κ = (n·(tp+tn) − pe) / (n² − pe)` with
+    * `pe = (tp+fp)(tp+fn) + (fn+tn)(fp+tn)`. κ is an exact-integer
+    * ratio (sign·abs div — Spark `div` truncates, DuckDB `//` floors;
+    * identical only routed through non-negatives); MCC's √ forces one
+    * double, but every input is an exact (<2^53) integer and
+    * multiply/√/divide/floor are IEEE-pinned ops any engine reproduces
+    * bit-for-bit (the q_did rule). Both read ±1000‰-style micros.
+    *
+    * Scale: identical to [[confusionReport]] — one scan to
+    * per-distinct-(score_milli, label) counts, one 4-cell aggregate.
+    * Judged `q_mcc`, fully ORACLED; hand matrix, perfect/inverted ±1,
+    * chance-level 0 and degenerate-marginal nulls pinned in EvalSpec. */
+  def mccKappa(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholdMilli: Long): DataFrame = {
+    df.select(floor(col(scoreCol) * 1000 + lit(0.5)).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("s", "y").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(when(col("s") >= thresholdMilli && col("y") === 1L,
+          col("c")).otherwise(0L)).as("tp"),
+        sum(when(col("s") >= thresholdMilli && col("y") === 0L,
+          col("c")).otherwise(0L)).as("fp"),
+        sum(when(col("s") < thresholdMilli && col("y") === 0L,
+          col("c")).otherwise(0L)).as("tn"),
+        sum(when(col("s") < thresholdMilli && col("y") === 1L,
+          col("c")).otherwise(0L)).as("fn"))
+      .select(lit(thresholdMilli).as("threshold_milli"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        // the zero guard tests each marginal (a BIGINT product of four
+        // data-scale sums would ANSI-overflow long before the sqrt)
+        expr("""case when tp+fp = 0 or tp+fn = 0 or tn+fp = 0
+            or tn+fn = 0 then null
+          else cast(floor(cast(tp*tn - fp*fn as double) * 1000000.0
+            / sqrt(cast(tp+fp as double) * cast(tp+fn as double)
+                 * cast(tn+fp as double) * cast(tn+fn as double)))
+            as bigint) end""").as("mcc_micro"),
+        expr("""cast(sign((tp+tn+fp+fn)*(tp+tn)
+            - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)))
+          * (abs((tp+tn+fp+fn)*(tp+tn)
+              - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn))) * 1000000
+             div nullif((tp+tn+fp+fn)*(tp+tn+fp+fn)
+              - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)), 0L))
+          as bigint)""").as("kappa_micro"))
+  }
+
+  /** Average precision — the area under the precision–recall curve as
+    * rankers are actually scored (the step-sum convention: the mean of
+    * precision@rank over POSITIVE rows, total order pinned to
+    * (score_milli desc, id asc) like [[liftTable]]). Every term is
+    * exact integer: `prec_micro(r) = cum_pos(r)·10⁶ div r`, and
+    * `ap_micro = Σ_{positives} prec_micro div P` — no float anywhere,
+    * so the judged compare is bit-exact. The PR-curve twin of
+    * [[aucExact]]: ROC-AUC rewards ranking negatives low, AP rewards
+    * ranking positives high — under heavy imbalance (every retrieval /
+    * near-dup / quality-filter eval) AP is the one that moves.
+    *
+    * Scale: the banded global rank (no global window) with a second
+    * per-band POSITIVE-count offset riding the same tiny offsets
+    * frame; one final 1-row aggregate. Judged `q_ap`, fully ORACLED;
+    * perfect/worst orderings (1000000 vs harmonic floor), interleaved
+    * hand value and the prevalence identity at full recall pinned in
+    * EvalSpec. */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, bands: Int = 32): DataFrame = {
+    val per = graft.engine.Caches.persisted(
+      df.select(
+        floor(col(scoreCol) * 1000 + lit(0.5)).cast("long").as("v"),
+        col(idCol).as("__id"), col(labelCol).cast("long").as("__y")))
+    val bounds = broadcast(per.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      count(lit(1)).as("n")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandDesc(
+        col("v"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"), sum(col("__y")).as("__bp"))
+      .withColumn("__or", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .withColumn("__op", coalesce(sum(col("__bp")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__band"), col("__or"), col("__op"))
+    val wB = Window.partitionBy(col("__band"))
+      .orderBy(col("v").desc, col("__id"))
+    banded.join(broadcast(offsets), "__band")
+      .withColumn("__rank", col("__or") + row_number().over(wB))
+      .withColumn("__cp",
+        col("__op") + sum(col("__y")).over(wB.rowsBetween(Long.MinValue, 0)))
+      .filter(col("__y") === 1L)
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(expr("__cp * 1000000 div __rank")).as("__terms"))
+      .select(col("n"), col("n_pos"),
+        expr("__terms div n_pos").as("ap_micro"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * location test next to [[Events.welchTTest]]'s parametric one:
+    * does the `group=true` sample stochastically dominate the rest,
+    * decided on RANKS so outliers and monotone rescaling can't move
+    * it. Tie-averaged ranks stay exact by doubling (a tie group at
+    * cumulative offset c with t members has doubled average rank
+    * `2c + t + 1` — the [[Relational.spearman]] identity), so
+    * `r2 = 2·R₁` and `u2 = 2·U₁ = r2 − n₁(n₁+1)` are exact BIGINTs.
+    * The normal-approximation z carries the exact tie correction
+    * `σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))` — every sum an exact
+    * integer, one IEEE √/divide/floor at the end (micro-quantized,
+    * the judged-double rule). U₁ counts (group1 above) wins: u2 >
+    * n₁n₂ ⇔ z > 0 ⇔ group1 larger.
+    *
+    * Scale: rows partial-agg to per-distinct-value (t₁, t) counts,
+    * the strictly-below cumulative is the [[aucExact]] banded ECDF —
+    * no global window, no pair enumeration. Judged `q_mwu`, fully
+    * ORACLED; hand rank-sums under ties, separation extremes
+    * (u2 = 2n₁n₂ / 0), symmetric-null z≈0 and the U₁+U₂ identity
+    * pinned in EvalSpec. */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+      bands: Int = 32): DataFrame = {
+    val per = graft.engine.Caches.persisted(
+      df.select(col(valueCol).as("v"),
+          col(groupCol).cast("boolean").cast("long").as("__g"))
+        .groupBy("v")
+        .agg(sum(col("__g")).as("t1"), count(lit(1)).as("t")))
+    val bounds = broadcast(per.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      sum(col("t1")).as("n1"), sum(col("t") - col("t1")).as("n2"),
+      sum(expr("t*t*t - t")).as("__ties")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("v"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(sum(col("t")).as("__bn"))
+      .withColumn("__oc", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__band"), col("__oc"))
+    val wB = Window.partitionBy(col("__band")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, 0)
+    banded.join(broadcast(offsets), "__band")
+      // rows strictly below v, then the doubled tie-averaged rank sum
+      .withColumn("__c", col("__oc") + sum(col("t")).over(wB) - col("t"))
+      .groupBy(col("n1"), col("n2"), col("__ties"))
+      .agg(sum(col("t1") * (col("__c") * 2 + col("t") + 1)).as("r2"))
+      .withColumn("u2", expr("r2 - n1 * (n1 + 1)"))
+      .withColumn("z_micro",
+        expr("""case when n1 = 0 or n2 = 0 or n1 + n2 < 2 then null
+          when cast(n1 as double) * cast(n2 as double) / 12.0
+             * (cast(n1 + n2 + 1 as double)
+                - cast(__ties as double)
+                  / (cast(n1 + n2 as double) * cast(n1 + n2 - 1 as double)))
+             <= 0.0 then null
+          else cast(floor(cast(u2 - n1 * n2 as double) * 1000000.0
+            / (2.0 * sqrt(cast(n1 as double) * cast(n2 as double) / 12.0
+               * (cast(n1 + n2 + 1 as double)
+                  - cast(__ties as double)
+                    / (cast(n1 + n2 as double)
+                       * cast(n1 + n2 - 1 as double))))))
+            as bigint) end"""))
+      .select(col("n1"), col("n2"), col("r2"), col("u2"), col("z_micro"))
+  }
+
+  /** Kendall tau-b — the concordant-pair rank correlation next to
+    * [[Relational.spearman]]: of all observation pairs, how many order
+    * the same way in x and in y (Kendall 1938), with the tau-b tie
+    * normalization `(C − D) / √((n₀−Tx)(n₀−Ty))`. Counts are exact
+    * integers off one pair join; the √ is the one IEEE-pinned double
+    * (micro-floored, the [[mccKappa]] rule).
+    *
+    * Scale: the operator contract is a SERIES input — a per-period /
+    * per-bucket aggregate (calendar-scale, like the lag tables), not
+    * raw rows; the O(n²) pair join is over that config-scale relation
+    * and broadcasts. A data-scale Kendall needs the O(n log n)
+    * inversion-count formulation — out of scope, documented here so
+    * nobody points this at a billion raw rows. Judged `q_kendall`
+    * (daily activity count vs daily revenue cents), fully ORACLED;
+    * perfect/reversed ±1000000, tie bookkeeping against a hand pair
+    * table and the n₀ = C+D+ties identity pinned in EvalSpec. */
+  def kendallTau(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val s = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("k"), col(xCol).as("x"), col(yCol).as("y")))
+    val a = s.select(col("k").as("ka"), col("x").as("xa"), col("y").as("ya"))
+    val b = s.select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"))
+    a.join(b, col("ka") < col("kb"))
+      .agg(
+        sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0, 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0, 1L)
+          .otherwise(0L)).as("nd"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"),
+        count(lit(1)).as("n0"))
+      .select(col("n0"), col("nc"), col("nd"), col("tx"), col("ty"),
+        expr("""case when (n0 - tx) * (n0 - ty) <= 0 then null
+          else cast(floor(cast(nc - nd as double) * 1000000.0
+            / sqrt(cast(n0 - tx as double) * cast(n0 - ty as double)))
+            as bigint) end""").as("tau_micro"))
+  }
+
   /** Difference-in-differences — the workhorse causal readout when a
     * rollout has a before/after and a treated/control split (Card &
     * Krueger 1994 made it canon): the four (treat × post) cells carry

@@ -127,6 +127,99 @@ class EvalSpec extends SparkTestBase {
     assert(lift.getLong(1) === 450L && lift.getDouble(8) === 50.0)
   }
 
+  test("mccKappa: hand matrix, perfect/inverted extremes, degenerate nulls") {
+    // thr 500: tp=2 fp=1 tn=2 fn=1 -> MCC = 3/9, kappa = 6/18 = 1/3
+    val hand = Eval.mccKappa(
+      scored(Seq((0.9, 1), (0.8, 0), (0.6, 1), (0.4, 0), (0.2, 1),
+        (0.1, 0))), "score", "y", 500L).collect().head
+    assert((hand.getLong(1), hand.getLong(2), hand.getLong(3),
+      hand.getLong(4)) === ((2L, 1L, 2L, 1L)))
+    assert(hand.getLong(5) === 333333L && hand.getLong(6) === 333333L)
+    // perfect separation: both coefficients read exactly +1
+    val perfect = Eval.mccKappa(
+      scored(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))),
+      "score", "y", 500L).collect().head
+    assert(perfect.getLong(5) === 1000000L &&
+      perfect.getLong(6) === 1000000L)
+    // inverted labels: exactly -1 (floor of an exact -1.0 is -1)
+    val inv = Eval.mccKappa(
+      scored(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))),
+      "score", "y", 500L).collect().head
+    assert(inv.getLong(5) === -1000000L && inv.getLong(6) === -1000000L)
+    // all-positive labels: a zero marginal nulls MCC; kappa reads 0
+    val degen = Eval.mccKappa(
+      scored(Seq((0.9, 1), (0.8, 1), (0.2, 1))), "score", "y", 500L)
+      .collect().head
+    assert(degen.isNullAt(5) && degen.getLong(6) === 0L)
+  }
+
+  test("averagePrecision: perfect/worst orderings, interleaved hand value") {
+    // positives rank 1..P: every precision term is exactly 1
+    val perfect = Eval.averagePrecision(
+      scored(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))),
+      "score", "y", "id").collect().head
+    assert((perfect.getLong(0), perfect.getLong(1), perfect.getLong(2))
+      === ((4L, 2L, 1000000L)))
+    // positives at the bottom: (1e6 div 3 + 2e6 div 4) div 2
+    val worst = Eval.averagePrecision(
+      scored(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))),
+      "score", "y", "id").collect().head
+    assert(worst.getLong(2) === (333333L + 500000L) / 2)
+    // interleaved: ranks 1 and 3 positive
+    val mid = Eval.averagePrecision(
+      scored(Seq((0.9, 1), (0.8, 0), (0.2, 1), (0.1, 0))),
+      "score", "y", "id").collect().head
+    assert(mid.getLong(2) === (1000000L + 666666L) / 2)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("mannWhitney: hand tie ranks, U identity, separation, all-tied null z") {
+    def frame(g1: Seq[Double], g2: Seq[Double]) =
+      (g1.map((_, true)) ++ g2.map((_, false))).toDF("v", "grp")
+    // {1,2} vs {2,3}: doubled ranks 2, 5|5, 8 -> r2=7, u2=1
+    val hand = Eval.mannWhitney(frame(Seq(1, 2), Seq(2, 3)), "v", "grp")
+      .collect().head
+    assert((hand.getLong(0), hand.getLong(1), hand.getLong(2),
+      hand.getLong(3)) === ((2L, 2L, 7L, 1L)))
+    // U1 + U2 = 2*n1*n2: recompute with groups swapped
+    val swapped = Eval.mannWhitney(frame(Seq(2, 3), Seq(1, 2)), "v", "grp")
+      .collect().head
+    assert(hand.getLong(3) + swapped.getLong(3) === 8L)
+    // full separation: u2 = 2*n1*n2 and z strictly positive
+    val sep = Eval.mannWhitney(frame(Seq(5, 6, 7), Seq(1, 2)), "v", "grp")
+      .collect().head
+    assert(sep.getLong(3) === 12L && sep.getLong(4) > 0L)
+    // every value tied: tie-corrected variance collapses to 0 -> null z
+    val tied = Eval.mannWhitney(frame(Seq(1, 1), Seq(1, 1)), "v", "grp")
+      .collect().head
+    assert(tied.getLong(3) === 4L && tied.isNullAt(4))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("kendallTau: extremes, hand tie table, pair bookkeeping identity") {
+    def series(rows: Seq[(Long, Long, Long)]) = rows.toDF("k", "x", "y")
+    // perfect monotone: tau exactly +1; reversed exactly -1
+    val up = Eval.kendallTau(
+      series(Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L))),
+      "k", "x", "y").collect().head
+    assert(up.getLong(5) === 1000000L && up.getLong(2) === 0L)
+    val down = Eval.kendallTau(
+      series(Seq((1L, 1L, 30L), (2L, 2L, 20L), (3L, 3L, 10L))),
+      "k", "x", "y").collect().head
+    assert(down.getLong(5) === -1000000L)
+    // hand ties: (1,1),(2,1),(3,2) -> nc=2 nd=0 tx=0 ty=1,
+    // tau = 2/sqrt(3*2) -> floor 816496
+    val tie = Eval.kendallTau(
+      series(Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 2L))),
+      "k", "x", "y").collect().head
+    assert((tie.getLong(0), tie.getLong(1), tie.getLong(2),
+      tie.getLong(3), tie.getLong(4)) === ((3L, 2L, 0L, 0L, 1L)))
+    assert(tie.getLong(5) === 816496L)
+    // all pairs accounted for: n0 = n(n-1)/2
+    assert(tie.getLong(0) === 3L)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("calibrationBins: zero gaps when calibrated, constant scorer, bin counts") {
     // two score levels whose observed rates equal the scores exactly
     val cal = scored(
