@@ -1130,6 +1130,39 @@ object SparkEntry {
           lit(allA.size).as("dirs_total_after"))
     }),
 
+    // Deep CLONE: byte-for-byte snapshot materialization (latest and
+    // VERSION AS OF 1), fresh one-commit history, MoR tombstones carried,
+    // post-clone appends isolated both ways — every aggregate and dir
+    // count recomputed by the oracle from the residue slices. Fully
+    // oracled.
+    "q_table_clone" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val roots = Seq("vtable_clone_src", "vtable_clone_full",
+        "vtable_clone_v1").map(tmpPath)
+      roots.foreach { r =>
+        val hp = new org.apache.hadoop.fs.Path(r)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val Seq(src, full, v1) = roots
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      VersionedTable.create(s, src, orders.filter(col("o_orderkey") % 3 === 0))
+      VersionedTable.append(s, src, orders.filter(col("o_orderkey") % 3 === 1))
+      VersionedTable.deleteKeysMor(s, src,
+        orders.filter(col("o_orderkey") % 6 === 0).select("o_orderkey"))
+      VersionedTable.cloneTable(s, src, full)
+      VersionedTable.cloneTable(s, src, v1, Some(1))
+      // the clone is independent: this append must not touch the source
+      VersionedTable.append(s, full,
+        orders.filter(col("o_orderkey") % 3 === 2))
+      Seq(("clone_full", full), ("clone_v1", v1), ("source", src))
+        .map { case (name, r) =>
+          VersionedTable.readLatest(s, r)
+            .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+            .select(lit(name).as("tbl"), col("n"), col("key_sum"),
+              lit(VersionedTable.dataDirsOf(s, r).size).as("n_dirs"))
+        }.reduce(_.unionByName(_)).orderBy("tbl")
+    }),
+
     // Writable branches on the commit-log table (Iceberg branch / git
     // refs/heads semantics — the WAP deployment shape at the format
     // layer): fork a branch at main's head, commit two appends to it
@@ -3758,6 +3791,16 @@ object SparkEntry {
             sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("y")),
         "day", "x", "y")),
 
+    // Herfindahl-Hirschman concentration per nation market: exact
+    // integer basis-point shares of supplier revenue, hhi = sum of
+    // squared shares in [0, 1e8]. Fully oracled.
+    "q_hhi" -> ((s, dir) =>
+      graft.operators.Relational.hhi(
+        t(s, dir, "lineitem").join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey")),
+        "s_nationkey", "s_suppkey", "l_extendedprice")
+        .orderBy("market")),
+
     // RFM quintile segmentation over customers: exact recency days /
     // order counts / cents, deterministic rank-arithmetic 1..5 scores,
     // 111..555 segment codes. Fully oracled.
@@ -5306,6 +5349,26 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS INTEGER) FROM ad) AS dirs_total_after
         |FROM sel""".stripMargin,
 
+    // clone_full = all residues minus the %6 tombstone slice (the extra
+    // append landed on the CLONE only), clone_v1 = the pre-delete
+    // pre-append create slice, source = residues {0,1} minus tombstones;
+    // dir counts are commit arithmetic: 2 copied + 1 appended / 1 / 2
+    "q_table_clone" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders)
+        |SELECT 'clone_full' AS tbl, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS key_sum,
+        |       CAST(3 AS INTEGER) AS n_dirs
+        |FROM o WHERE NOT k % 6 = 0
+        |UNION ALL
+        |SELECT 'clone_v1', CAST(count(*) AS BIGINT),
+        |       CAST(sum(k) AS BIGINT), CAST(1 AS INTEGER)
+        |FROM o WHERE k % 3 = 0
+        |UNION ALL
+        |SELECT 'source', CAST(count(*) AS BIGINT),
+        |       CAST(sum(k) AS BIGINT), CAST(2 AS INTEGER)
+        |FROM o WHERE k % 3 IN (0, 1) AND NOT k % 6 = 0
+        |ORDER BY tbl""".stripMargin,
+
     // the final table is exactly the clean batches (≡0,1 mod 3); the
     // audit columns are recomputable: the only_f add is rejected iff a
     // non-F row exists in the v1 slice, the negated-keys append is
@@ -6496,6 +6559,24 @@ object SparkEntry {
         |                   * CAST(n0 - ty AS DOUBLE))) AS BIGINT) END
         |         AS tau_micro
         |FROM p""".stripMargin,
+
+    // shares floor to exact basis points BEFORE squaring; every
+    // divided quantity non-negative so // == div
+    "q_hhi" ->
+      """WITH per AS (SELECT s_nationkey AS market, s_suppkey AS k,
+        |        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |          AS BIGINT)) AS BIGINT) AS cents
+        |      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |      GROUP BY 1, 2),
+        |tot AS (SELECT market, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |               CAST(count(*) AS BIGINT) AS n_keys
+        |        FROM per GROUP BY 1),
+        |bp AS (SELECT per.market, n_keys, total_cents,
+        |              cents * 10000 // nullif(total_cents, 0) AS b
+        |       FROM per JOIN tot ON per.market = tot.market)
+        |SELECT market, n_keys, total_cents,
+        |       CAST(sum(b * b) AS BIGINT) AS hhi
+        |FROM bp GROUP BY 1, 2, 3 ORDER BY market""".stripMargin,
 
     // deterministic quintiles: (rank-1)*5 // n + 1 over (metric, key)
     // row numbers, recency ranked DESC so 5 = best everywhere

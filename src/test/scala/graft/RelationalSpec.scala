@@ -932,4 +932,23 @@ class RelationalSpec extends SparkTestBase {
     assert(got(4) === ((0L, 0L, 96L, -96L)))
     assert(got(7) === ((0L, 0L, 57L, -57L)))
   }
+
+  test("hhi: monopoly 1e8, equal split, hand shares, rounding floor") {
+    import spark.implicits._
+    val df = Seq(
+      ("mono", 1L, 5.0),
+      ("eq", 10L, 1.0), ("eq", 11L, 1.0), ("eq", 12L, 1.0), ("eq", 13L, 1.0),
+      ("hand", 20L, 3.0), ("hand", 21L, 1.0),
+      // 3-way equal split: 10000/3 floors to 3333 bp each
+      ("third", 30L, 2.0), ("third", 31L, 2.0), ("third", 32L, 2.0))
+      .toDF("m", "k", "v")
+    val got = hhi(df, "m", "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("mono") === ((1L, 500L, 100000000L)))
+    assert(got("eq") === ((4L, 400L, 4L * 2500L * 2500L)))
+    assert(got("hand") === ((2L, 400L, 7500L * 7500L + 2500L * 2500L)))
+    // floored shares: hhi undershoots the exact 1/3 split by design
+    assert(got("third") === ((3L, 600L, 3L * 3333L * 3333L)))
+  }
 }

@@ -1423,4 +1423,49 @@ class VersionedTableSpec extends SparkTestBase {
       VersionedTable.optimizeClustered(spark, root2, "k", 1, "p"))
     graft.engine.Caches.releaseAll()
   }
+
+  test("cloneTable: snapshot equality, as-of, independence, constraints, fresh history") {
+    import spark.implicits._
+    val src = freshRoot("clone_src")
+    VersionedTable.create(spark, src,
+      orders.filter(col("o_orderkey") % 2 === 0))
+    VersionedTable.append(spark, src,
+      orders.filter(col("o_orderkey") % 2 === 1))
+    VersionedTable.addConstraint(spark, src, "key_nonneg", "o_orderkey >= 0")
+    VersionedTable.deleteKeysMor(spark, src,
+      orders.filter(col("o_orderkey") % 10 === 0).select("o_orderkey"))
+    // full clone: content identical, MoR tombstones carried
+    val full = freshRoot("clone_full")
+    VersionedTable.cloneTable(spark, src, full)
+    val want = VersionedTable.readLatest(spark, src)
+    val got = VersionedTable.readLatest(spark, full)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // fresh history: exactly one commit, op 'clone'
+    assert(VersionedTable.latestVersion(spark, full) === 1)
+    assert(VersionedTable.history(spark, full).select("op")
+      .as[String].collect().toSeq === Seq("clone"))
+    // as-of clone reproduces the v1 snapshot
+    val v1 = freshRoot("clone_v1")
+    VersionedTable.cloneTable(spark, src, v1, Some(1))
+    val wantV1 = VersionedTable.readVersion(spark, src, 1)
+    val gotV1 = VersionedTable.readLatest(spark, v1)
+    assert(gotV1.exceptAll(wantV1).isEmpty && wantV1.exceptAll(gotV1).isEmpty)
+    // independence both ways: appends never cross
+    val srcN = VersionedTable.readLatest(spark, src).count()
+    VersionedTable.append(spark, full,
+      Seq((900001L, 1L, "F")).toDF("o_orderkey", "o_custkey", "o_orderstatus"))
+    assert(VersionedTable.readLatest(spark, src).count() === srcN)
+    val fullN = VersionedTable.readLatest(spark, full).count()
+    VersionedTable.append(spark, src,
+      Seq((900002L, 1L, "F")).toDF("o_orderkey", "o_custkey", "o_orderstatus"))
+    assert(VersionedTable.readLatest(spark, full).count() === fullN)
+    // constraints carried: a violating append on the CLONE is rejected
+    intercept[VersionedTable.ConstraintViolationException](
+      VersionedTable.append(spark, full,
+        Seq((-5L, 1L, "F")).toDF("o_orderkey", "o_custkey", "o_orderstatus")))
+    // cloning onto an existing table is refused
+    intercept[IllegalArgumentException](
+      VersionedTable.cloneTable(spark, src, full))
+    graft.engine.Caches.releaseAll()
+  }
 }
