@@ -3791,6 +3791,27 @@ object SparkEntry {
             sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("y")),
         "day", "x", "y")),
 
+    // DBSCAN over an id-arithmetic 2-D fixture (8 separated jittered
+    // clusters + isolated noise, identical at every SF — doc_ids are
+    // dense 0..499): grid-blocked epsilon pairs, exact core/border/
+    // noise roles, min-id cluster labels via star-contraction CC; the
+    // oracle recomputes everything brute-force + recursive CTE. Fully
+    // oracled.
+    "q_dbscan" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pts = t(s, dir, "documents").filter(id < 410)
+        .select(id.as("id"),
+          when(id < 400, ((id % 8) % 4 * 10).cast("double")
+            + (id * 2654435761L % 97).cast("double") / 100.0)
+            .otherwise(lit(1000.0) + ((id - 400) * 50).cast("double"))
+            .as("x"),
+          when(id < 400, expr("(doc_id % 8) div 4 * 10").cast("double")
+            + (id * 40503L % 89).cast("double") / 100.0)
+            .otherwise(lit(0.0)).as("y"))
+      graft.operators.Vectors.dbscan2d(pts, "id", "x", "y", 1.0, 5)
+        .orderBy("id")
+    }),
+
     // Herfindahl-Hirschman concentration per nation market: exact
     // integer basis-point shares of supplier revenue, hhi = sum of
     // squared shares in [0, 1e8]. Fully oracled.
@@ -6559,6 +6580,50 @@ object SparkEntry {
         |                   * CAST(n0 - ty AS DOUBLE))) AS BIGINT) END
         |         AS tau_micro
         |FROM p""".stripMargin,
+
+    // brute-force O(n^2) epsilon graph (the grid in the plan is only a
+    // candidate pruner — results identical by construction), components
+    // via the symmetric recursive CTE, border = min core-neighbor label
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id < 400
+        |      THEN CAST((doc_id % 8) % 4 * 10 AS DOUBLE)
+        |           + CAST(doc_id * 2654435761 % 97 AS DOUBLE) / 100.0
+        |      ELSE 1000.0 + CAST((doc_id - 400) * 50 AS DOUBLE) END AS x,
+        |    CASE WHEN doc_id < 400
+        |      THEN CAST((doc_id % 8) // 4 * 10 AS DOUBLE)
+        |           + CAST(doc_id * 40503 % 89 AS DOUBLE) / 100.0
+        |      ELSE 0.0 END AS y
+        |  FROM documents WHERE doc_id < 410),
+        |e AS (SELECT a.id AS u, b.id AS v FROM p a JOIN p b
+        |      ON a.id <> b.id
+        |      AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1.0 * 1.0),
+        |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS nb
+        |        FROM e GROUP BY 1),
+        |core AS (SELECT p.id FROM p LEFT JOIN deg ON p.id = deg.id
+        |         WHERE coalesce(nb, 0) + 1 >= 5),
+        |ce AS (SELECT u, v FROM e
+        |       WHERE u IN (SELECT id FROM core)
+        |         AND v IN (SELECT id FROM core)),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM ce
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN ce s ON r.v = s.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS lbl
+        |         FROM reach GROUP BY u),
+        |corelbl AS (SELECT core.id, coalesce(comp.lbl, core.id) AS lbl
+        |            FROM core LEFT JOIN comp ON core.id = comp.id),
+        |border AS (SELECT e.u AS id, min(cl.lbl) AS lbl
+        |           FROM e JOIN corelbl cl ON e.v = cl.id
+        |           WHERE e.u NOT IN (SELECT id FROM core) GROUP BY 1)
+        |SELECT p.id,
+        |       CASE WHEN cl.id IS NOT NULL THEN cl.lbl ELSE b.lbl END
+        |         AS cluster,
+        |       cl.id IS NOT NULL AS is_core
+        |FROM p LEFT JOIN corelbl cl ON p.id = cl.id
+        |LEFT JOIN border b ON p.id = b.id
+        |ORDER BY p.id""".stripMargin,
 
     // shares floor to exact basis points BEFORE squaring; every
     // divided quantity non-negative so // == div

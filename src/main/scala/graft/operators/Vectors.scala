@@ -935,4 +935,88 @@ object Vectors {
         sqrt(greatest(dot(v, v) - lit(2.0) * dot(v, col("__c")) +
           dot(col("__c"), col("__c")), lit(0.0))).as("dist"))
   }
+
+  /** DBSCAN over 2-D points (Ester, Kriegel, Sander, Xu 1996) — the
+    * density clusterer next to [[kmeansAssign]]: no k, arbitrary
+    * cluster shapes, and an explicit NOISE verdict (cluster = null) —
+    * the outlier-tolerant geometry pass (UMAP/t-SNE projections, geo
+    * points, 2-D feature pairs). Semantics are the exact textbook ones
+    * with the one order-dependence removed: a point is CORE iff its
+    * closed ε-ball holds ≥ minPts points (self included), clusters are
+    * the connected components of the core-core ε-graph labeled by MIN
+    * member id ([[Dedup.connectedComponents]] star contraction —
+    * O(log² n) rounds, never diameter), border points attach to the
+    * MINIMUM core-neighbor label (textbook DBSCAN gives the first
+    * discoverer — scan-order nondeterminism we refuse), everything
+    * else is noise.
+    *
+    * Scale (the MR-DBSCAN shape): candidate pairs come from an ε-GRID
+    * blocking — each point anchors in its own cell, the probe side
+    * replicates to the 3×3 cell neighborhood, and the equi-join on
+    * cell keys + exact distance filter IS the ε-neighborhood (the grid
+    * only prunes; results are bit-identical to the brute-force
+    * quadratic join, which is exactly what the oracle runs). Pair
+    * volume is bounded by local density, not n²; a pathologically
+    * dense cell is the usual skew story (salt or AQE), and at extreme
+    * density cap minPts-counting per cell — not needed here. Judged
+    * `q_dbscan` (separated jittered clusters + isolated noise, every
+    * coordinate id-arithmetic both engines reproduce bit-for-bit),
+    * fully ORACLED against brute-force + recursive-CTE components;
+    * core/border/noise roles, min-label attach, eps boundary and
+    * grid≡brute equality pinned in VectorSpec. */
+  def dbscan2d(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, s"need eps > 0, minPts >= 1")
+    val pts = graft.engine.Caches.persisted(
+      points.select(col(idCol).cast("long").as("id"),
+          col(xCol).cast("double").as("x"),
+          col(yCol).cast("double").as("y"))
+        .withColumn("cx", floor(col("x") / eps).cast("long"))
+        .withColumn("cy", floor(col("y") / eps).cast("long")))
+    val probes = pts
+      .select(col("id").as("qid"), col("x").as("qx"), col("y").as("qy"),
+        col("cx").as("bx"), col("cy").as("by"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("qid"), col("qx"), col("qy"),
+        (col("bx") + col("dx")).as("pcx"), (col("by") + col("dy")).as("pcy"))
+    // directed pairs within eps — each unordered pair appears once per
+    // direction (the anchor's single cell meets exactly one probe cell)
+    val pairs = graft.engine.Caches.persisted(
+      pts.join(probes,
+          col("cx") === col("pcx") && col("cy") === col("pcy") &&
+            col("id") =!= col("qid"))
+        .filter((col("x") - col("qx")) * (col("x") - col("qx")) +
+          (col("y") - col("qy")) * (col("y") - col("qy")) <=
+          lit(eps) * lit(eps))
+        .select(col("id"), col("qid")))
+    val flags = graft.engine.Caches.persisted(
+      pts.join(pairs.groupBy("id").agg(count(lit(1)).as("__nb")),
+          Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("__nb"), lit(0L)) + 1 >= minPts).as("is_core")))
+    val core = flags.filter(col("is_core"))
+    val coreEdges = pairs
+      .join(core.select(col("id")), "id")
+      .join(core.select(col("id").as("qid")), "qid")
+    val comp = graft.operators.Dedup
+      .connectedComponents(coreEdges, "id", "qid")
+      .withColumnRenamed("id", "__cid")
+    // isolated cores (minPts met through border neighbors alone) are
+    // their own single-member cluster
+    val coreLbl = graft.engine.Caches.persisted(
+      core.join(comp, core("id") === col("__cid"), "left")
+        .select(core("id"), coalesce(col("component"), core("id"))
+          .as("cluster")))
+    val borderLbl = pairs
+      .join(flags.filter(!col("is_core")).select(col("id")), "id")
+      .join(coreLbl.select(col("id").as("qid"), col("cluster")), "qid")
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
+    pts.select(col("id"))
+      .join(coreLbl.withColumn("is_core", lit(true))
+        .unionByName(borderLbl.withColumn("is_core", lit(false))),
+        Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("is_core"), lit(false)).as("is_core"))
+  }
 }

@@ -499,4 +499,78 @@ class VectorSpec extends SparkTestBase {
         fetch = 3, lambdaMilli = 500))
     graft.engine.Caches.releaseAll()
   }
+
+  test("dbscan2d: core/border/noise roles, isolated core, eps boundary") {
+    import spark.implicits._
+    val pts = Seq(
+      // chain: interior points core, endpoints border, one component
+      (0L, 0.0, 0.0), (1L, 0.5, 0.0), (2L, 1.0, 0.0), (3L, 1.5, 0.0),
+      (4L, 2.0, 0.0),
+      // pure noise
+      (10L, 100.0, 100.0),
+      // isolated core: 20 sees both borders, 21 and 22 don't see
+      // each other -> core with NO core-core edge (own-id label path)
+      (20L, 50.0, 50.0), (21L, 50.0, 50.5), (22L, 50.4, 50.0),
+      // exactly-eps pair, but no core anywhere near -> both noise
+      (30L, 70.0, 70.0), (31L, 70.6, 70.0))
+      .toDF("id", "x", "y")
+    val got = Vectors.dbscan2d(pts, "id", "x", "y", 0.6, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2)))
+      .toMap
+    assert(got(0L) === ((1L, false)) && got(4L) === ((1L, false)))
+    assert(got(1L) === ((1L, true)) && got(2L) === ((1L, true)) &&
+      got(3L) === ((1L, true)))
+    assert(got(10L) === ((-1L, false)))
+    assert(got(20L) === ((20L, true)))
+    assert(got(21L) === ((20L, false)) && got(22L) === ((20L, false)))
+    assert(got(30L) === ((-1L, false)) && got(31L) === ((-1L, false)))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("dbscan2d: grid blocking equals brute-force on a hashed scatter") {
+    import spark.implicits._
+    // deterministic scatter crossing many grid cells, eps not a divisor
+    // of anything in the layout
+    val raw = (0L until 120L).map { i =>
+      (i, (i * 2654435761L % 173).toDouble / 10.0,
+        (i * 40503L % 151).toDouble / 10.0)
+    }
+    val eps = 1.3
+    val minPts = 4
+    // reference implementation: closed-ball brute force + BFS components
+    def d2(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val nbrs = raw.map(p =>
+      p._1 -> raw.filter(q => q._1 != p._1 && d2(p, q) <= eps * eps)
+        .map(_._1).toSet).toMap
+    val coreIds = raw.filter(p => nbrs(p._1).size + 1 >= minPts)
+      .map(_._1).toSet
+    val label = scala.collection.mutable.Map[Long, Long]()
+    coreIds.toSeq.sorted.foreach { c =>
+      if (!label.contains(c)) {
+        var frontier = Set(c); label(c) = c
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(u =>
+            nbrs(u).filter(v => coreIds(v) && !label.contains(v)))
+          frontier.foreach(label(_) = c)
+        }
+      }
+    }
+    val expected = raw.map { p =>
+      if (coreIds(p._1)) p._1 -> ((label(p._1), true))
+      else {
+        val coreNb = nbrs(p._1).filter(coreIds).map(label)
+        if (coreNb.nonEmpty) p._1 -> ((coreNb.min, false))
+        else p._1 -> ((-1L, false))
+      }
+    }.toMap
+    val got = Vectors.dbscan2d(raw.toDF("id", "x", "y"), "id", "x", "y",
+      eps, minPts).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2)))
+      .toMap
+    assert(got === expected)
+    graft.engine.Caches.releaseAll()
+  }
 }
