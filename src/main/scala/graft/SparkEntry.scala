@@ -3207,6 +3207,30 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ (faiss IndexIVFPQ): coarse cells prune WHICH rows are
+    // scored, residual PQ codes cut WHAT a scored row costs; shifted-
+    // codebook encode, cell-independent residual LUT + per-probe q.c
+    // term, exact re-rank. Probabilistic recall -> rows-only.
+    "q_vec_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.operators.Vectors
+        .ivfPqTopK(e, "vec_id", "v", q, "qid", "qv", 5)
+        .select(col("qid"), col("neighbor"), col("sim"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF-PQ recall contract on the capped clustered fixture: the
+    // driver-judged >=0.9@10 bar every ANN path clears (LSH/IVF/PQ/
+    // SQ8/BQ rows). Fully oracled via id arithmetic.
+    "q_vec_ivfpq_recall" -> ((s, dir) =>
+      annRecallIds(s, dir, maxId = 1600, numClusters = 20)(
+        (corpus, queries) => graft.operators.Vectors.ivfPqTopK(
+          corpus, "doc_id", "vec", queries, "qid", "qv", 10,
+          subspaces = 4))),
+
     // Lag-gap sessionization (30-min inactivity) + per-session aggregates
     // — one window shuffle on user_id, one agg shuffle on (user, session).
     "q_sessionize" -> ((s, dir) =>
@@ -8713,6 +8737,10 @@ object SparkEntry {
     // both judged SFs) so every tie group fits the shortlist and all
     // query points clear the bar — see the query comment
     "q_vec_pq_recall" ->
+      """SELECT doc_id AS qid FROM documents
+        |WHERE doc_id < 1600 AND doc_id % 50 = 0 ORDER BY qid""".stripMargin,
+
+    "q_vec_ivfpq_recall" ->
       """SELECT doc_id AS qid FROM documents
         |WHERE doc_id < 1600 AND doc_id % 50 = 0 ORDER BY qid""".stripMargin,
 

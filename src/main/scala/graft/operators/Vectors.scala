@@ -301,6 +301,168 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ approximate top-k (Jégou et al. 2011 §V, the faiss
+    * `IndexIVFPQ`) — the ANN ladder's capstone, composing the two
+    * orthogonal cost cuts: [[ivfTopK]]'s coarse cells prune WHICH rows
+    * are scored (nProbe/nCells of the corpus) and [[pqTopK]]'s codes
+    * cut WHAT a scored row costs (subspaces lookups over ~bytes), with
+    * PQ trained on RESIDUALS v − c_cell — residuals concentrate near 0
+    * so one shared codebook set covers every cell far better than
+    * raw-vector PQ. The decomposition `q·(c + Σ b) = q·c + Σ q_m·b_m`
+    * keeps everything kernel-shaped WITHOUT a vector-subtract op:
+    * encoding v against the residual books is encoding v against the
+    * cell-SHIFTED books {c_m + b_j} (one `graft_pq_encode` per cell
+    * under a CASE — exactly one kernel evaluates per row; K kernel
+    * nodes, never the K² expression-tree trap), the per-query LUT is
+    * the cell-INDEPENDENT `graft_pq_lut` on the residual books, and
+    * q·c_cell rides the probe row as a precomputed scalar. Exact
+    * cosine re-rank of the k·shortlistFactor shortlist as in
+    * [[pqTopK]]. Residual-book Lloyd rounds aggregate
+    * (subspace, code, pos) residual means in ONE job per round —
+    * per-task partials bounded by subspaces × codebookSize × ds, a
+    * CONFIG-scale collect like the coarse rounds.
+    *
+    * Probabilistic recall → judged rows-only (`q_vec_ivfpq`) plus the
+    * driver-judged recall contract `q_vec_ivfpq_recall` (≥0.9@10 on
+    * the capped clustered fixture, the LSH/IVF/PQ/SQ8/BQ bar);
+    * shortlist-equality at full probe and recall pinned in VectorSpec. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nCells: Int = 8, nProbe: Int = 2, subspaces: Int = 8,
+      codebookSize: Int = 16, lloydIters: Int = 2,
+      shortlistFactor: Int = 10): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe 1..$nCells: $nProbe")
+    val cached = graft.engine.Caches.persisted(corpus)
+    val seedVecs = cached.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(math.max(nCells, codebookSize)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length >= math.max(nCells, codebookSize),
+      s"corpus smaller than max(nCells, codebookSize)")
+    val dim = seedVecs.head.length
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val ds = dim / subspaces
+
+    // ---- coarse quantizer: the ivfTopK seeding + Lloyd rounds ----
+    var cents: Array[Array[Double]] = seedVecs.take(nCells).map(_.clone)
+    def cellSims(v: Column): Seq[Column] = cents.toSeq.map { c =>
+      dot(v, typedLit(c.toSeq)) / lit(math.sqrt(c.map(x => x * x).sum))
+    }
+    def assign(v: Column): Column = {
+      val arr = array(cellSims(v): _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+    for (_ <- 1 to lloydIters) {
+      val means = cached.withColumn("__cell", assign(col(vecCol)))
+        .select(col("__cell"), posexplode(col(vecCol)))
+        .groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell).fold(old)(rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+    }
+    // driver-side twin of assign() for residual seeds: same left-fold
+    // dot, same first-max tie rule
+    def cellOf(v: Array[Double]): Int = {
+      val sims = cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i) * c(i); i += 1 }
+        s / math.sqrt(c.map(x => x * x).sum)
+      }
+      sims.indexOf(sims.max)
+    }
+
+    // ---- residual PQ books, seeded from the seed rows' residuals ----
+    var books: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { m =>
+      seedVecs.take(codebookSize).map { v =>
+        val c = cents(cellOf(v))
+        Array.tabulate(ds)(i => v(m * ds + i) - c(m * ds + i))
+      }
+    }
+    def shiftedBookLit(cell: Int): Column =
+      typedLit((0 until subspaces).flatMap(m => books(m).flatMap(b =>
+        (0 until ds).map(i => cents(cell)(m * ds + i) + b(i)))).toSeq)
+    def encodeCol(v: Column, cell: Column): Column =
+      (1 until nCells).foldLeft(when(cell === 0,
+          call_function("graft_pq_encode", v, shiftedBookLit(0),
+            lit(subspaces)))) { (acc, c) =>
+        acc.when(cell === c,
+          call_function("graft_pq_encode", v, shiftedBookLit(c),
+            lit(subspaces)))
+      }
+    val centFlat = typedLit(cents.iterator.flatMap(_.iterator).toSeq)
+    for (_ <- 1 to lloydIters) {
+      val means = cached.withColumn("__cell", assign(col(vecCol)))
+        .select(col("__cell"), col(vecCol).as("__v"),
+          posexplode(encodeCol(col(vecCol), col("__cell")))
+            .as(Seq("m", "c")))
+        .select(col("m"), col("c"), col("__cell"),
+          posexplode(slice(col("__v"), col("m") * ds + 1, lit(ds)))
+            .as(Seq("pos", "x")))
+        .select(col("m"), col("c"),
+          (col("x") - element_at(centFlat,
+            (col("__cell") * dim + col("m") * ds + col("pos") + 1)
+              .cast("int"))).as("rx"), col("pos"))
+        .groupBy(col("m"), col("c"), col("pos"))
+        .agg(avg(col("rx")).as("mu"))
+        .collect()
+      val bySub = means.groupBy(_.getInt(0))
+      books = Array.tabulate(subspaces) { m =>
+        val byCell = bySub.getOrElse(m, Array.empty).groupBy(_.getInt(1))
+        books(m).zipWithIndex.map { case (old, cell) =>
+          byCell.get(cell).fold(old)(rows =>
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+        }
+      }
+    }
+
+    val encoded = cached.withColumn("__cell", assign(col(vecCol)))
+      .select(col(idCol), col("__cell"),
+        encodeCol(col(vecCol), col("__cell")).as("__codes"))
+    // probe rows carry (cell, q·c_cell); sorted (−sim, cid) like ivfTopK
+    def probeStructs(v: Column): Column = {
+      val arr = array(cents.zipWithIndex.map { case (c, i) =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        struct((dot(v, typedLit(c.toSeq)) / lit(-n)).as("neg"),
+          lit(i).as("cid"), dot(v, typedLit(c.toSeq)).as("qdotc"))
+      }: _*)
+      slice(array_sort(arr), 1, nProbe)
+    }
+    val resBookLit =
+      typedLit(books.iterator.flatMap(_.iterator.flatMap(_.iterator)).toSeq)
+    val qlut = queries.select(col(qidCol), col(qvecCol),
+        call_function("graft_pq_lut", col(qvecCol), resBookLit,
+          lit(subspaces)).as("__lut"),
+        explode(probeStructs(col(qvecCol))).as("__p"))
+      .select(col(qidCol), col(qvecCol), col("__lut"),
+        col("__p.cid").as("__pcell"), col("__p.qdotc").as("__qdotc"))
+    val adc = encoded.join(broadcast(qlut),
+        col("__cell") === col("__pcell") && col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"),
+        col(idCol).as("neighbor"),
+        (col("__qdotc") + (0 until subspaces).map(m =>
+          element_at(col("__lut"), lit(m * codebookSize) +
+            element_at(col("__codes"), m + 1) + 1)).reduce(_ + _))
+          .as("__adc"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("__adc").desc, col("neighbor"))
+    val shortlist = adc.withColumn("__r", row_number().over(wShort))
+      .filter(col("__r") <= k * shortlistFactor)
+      .select(col("qid"), col("__qv"), col("neighbor"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    shortlist
+      .join(cached.select(col(idCol).as("neighbor"), col(vecCol).as("__v")),
+        "neighbor")
+      .select(col("qid"), col("neighbor"),
+        cosine(col("__qv"), col("__v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Scalar (int8) quantization of an embedding column — the STORAGE
     * scale path next to [[pqTopK]]'s code-compression: each vector keeps
     * a per-vector `(vmin, scale)` affine map and 1 byte/dim codes (4×

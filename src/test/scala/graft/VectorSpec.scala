@@ -101,6 +101,34 @@ class VectorSpec extends SparkTestBase {
     assert(pq.groupBy(_._1).values.forall(_.length === 5))
   }
 
+  test("ivfPqTopK recall >= 0.9 vs brute force; sims exact; full probe covers") {
+    val (corpus, queries) = clustered
+    def result(df: DataFrame) = df.select("qid", "neighbor", "sim")
+      .as[(Long, Long, Double)].collect()
+    val exact = result(Vectors.bruteForceTopK(
+      corpus, "vec_id", "v", queries, "qid", "qv", 5))
+    val got = result(Vectors.ivfPqTopK(
+      corpus, "vec_id", "v", queries, "qid", "qv", 5, subspaces = 4))
+    val recall = exact.map(r => (r._1, r._2)).toSet
+      .intersect(got.map(r => (r._1, r._2)).toSet).size.toDouble / exact.length
+    assert(recall >= 0.9, s"recall $recall")
+    // the exact-cosine re-rank leaves sims identical on shared pairs
+    val exactSims = exact.map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (q, n, s) =>
+      exactSims.get((q, n)).foreach(e => assert(math.abs(e - s) < 1e-12)) }
+    assert(got.map(r => (r._1, r._2)).distinct.length === got.length)
+    assert(got.groupBy(_._1).values.forall(_.length === 5))
+    // probing EVERY cell removes the coarse prune entirely: recall 1.0
+    // (the shortlist is far wider than any ADC tie group here)
+    val full = result(Vectors.ivfPqTopK(
+      corpus, "vec_id", "v", queries, "qid", "qv", 5,
+      nCells = 4, nProbe = 4, subspaces = 4))
+    val fullRecall = exact.map(r => (r._1, r._2)).toSet
+      .intersect(full.map(r => (r._1, r._2)).toSet).size.toDouble / exact.length
+    assert(fullRecall === 1.0, s"full-probe recall $fullRecall")
+    graft.engine.Caches.releaseAll()
+  }
+
   test("scalarQuantize: error bounded at scale/2, constant vector round-trips to vmin") {
     val (corpus, _) = clustered
     val q = Vectors.scalarQuantize(corpus, "vec_id", "v")
