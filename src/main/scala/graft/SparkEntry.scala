@@ -3474,6 +3474,28 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "ewma")
         .orderBy("event_id")),
 
+    // Holt linear (double-exponential) smoothing per user: sequential
+    // level+trend kernel with exact-binary alpha/beta — every step a
+    // pinned IEEE expression the recursive-CTE oracle replays
+    // bit-for-bit. Fully oracled.
+    "q_holt" -> ((s, dir) =>
+      graft.operators.Events.holtLinear(
+          t(s, dir, "events")
+            .select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value")
+        .select("event_id", "user_id", "value", "level", "trend")
+        .orderBy("event_id")),
+
+    // Mutual information + G-test per contingency cell (event type x
+    // weekday): exact BIGINT independence ratio ppm, micro-floored
+    // ln terms whose sums are MI and G = 2N*MI. Fully oracled.
+    "q_mi" -> ((s, dir) =>
+      graft.operators.Relational.mutualInfo(
+        t(s, dir, "events").select(col("event_type").as("etype"),
+          expr("unix_micros(ts) div 86400000000 % 7").as("wd")),
+        "etype", "wd")
+        .orderBy("a", "b")),
+
     // Time-series resampling with gap filling: dense hourly spine over
     // the event span, empty buckets at n=0 / null sum. Fully oracled.
     "q_resample" -> ((s, dir) =>
@@ -7387,6 +7409,54 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, ewma FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // the recursive step spells the level expression twice (the trend
+    // references l_new) — IEEE value identical to the plan's single
+    // evaluation; alpha 0.25 / beta 0.5 are exact binary fractions
+    "q_holt" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w(user_id, event_id, value, rn, l, b) AS (
+        |  SELECT user_id, event_id, value, rn, value,
+        |         CAST(0.0 AS DOUBLE)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.value, r.rn,
+        |         0.25 * r.value + (1 - 0.25) * (w.l + w.b),
+        |         0.5 * ((0.25 * r.value + (1 - 0.25) * (w.l + w.b)) - w.l)
+        |           + (1 - 0.5) * w.b
+        |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
+        |ORDER BY event_id""".stripMargin,
+
+    // marginals off the cell frame; the exact ratio is pure BIGINT,
+    // the ln terms micro-FLOORED (floor, not round — signed terms)
+    "q_mi" ->
+      """WITH src AS (SELECT event_type AS etype,
+        |               epoch_us(ts) // 86400000000 % 7 AS wd
+        |             FROM events),
+        |cells AS (SELECT etype AS a, wd AS b,
+        |                 CAST(count(*) AS BIGINT) AS observed
+        |          FROM src GROUP BY 1, 2),
+        |m AS (SELECT a, b, observed,
+        |        CAST(sum(observed) OVER (PARTITION BY a) AS BIGINT) AS rt,
+        |        CAST(sum(observed) OVER (PARTITION BY b) AS BIGINT) AS ct,
+        |        CAST(sum(observed) OVER () AS BIGINT) AS n
+        |      FROM cells)
+        |SELECT a, b, observed,
+        |       observed * n * 1000000 // (rt * ct) AS ratio_ppm,
+        |       CAST(floor((CAST(observed AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(observed * n AS DOUBLE)
+        |              / CAST(rt * ct AS DOUBLE))
+        |         * 1000000.0) AS BIGINT) AS mi_term_micro,
+        |       CAST(floor(2.0 * CAST(observed AS DOUBLE)
+        |         * ln(CAST(observed * n AS DOUBLE)
+        |              / CAST(rt * ct AS DOUBLE))
+        |         * 1000000.0) AS BIGINT) AS g_term_micro
+        |FROM m ORDER BY a, b""".stripMargin,
 
     "q_moving_avg" ->
       """SELECT event_id, user_id, value,

@@ -693,6 +693,54 @@ object Events {
       .toDF(keyCol, tieCol, valueCol, "ewma")
   }
 
+  /** Holt linear (double-exponential) smoothing — [[ewma]]'s
+    * trend-aware sibling (Holt 1957): per key in (ts, tie) order,
+    * `l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}`, seeded `l₁ = x₁, b₁ = 0`
+    * — level tracks the series, trend tracks its drift, and `l + b` is
+    * the one-step forecast a level-only EWMA systematically lags on
+    * trending series. Same sequential-kernel shape as [[ewma]]: the
+    * recursion has no relational form, so each key's ordered run folds
+    * in ONE `mapPartitions` pass after a single hash repartition —
+    * state is two doubles, keys never split across partitions, nothing
+    * collects. Every step is a fixed IEEE expression (multiply/add in
+    * pinned order), so any engine replaying the recursion — DuckDB's
+    * recursive CTE oracle included — reproduces the doubles
+    * BIT-FOR-BIT; α, β default to exact binary fractions. Judged
+    * `q_holt`, fully ORACLED; hand recursion, linear-series exact
+    * tracking (on a pure line level snaps to the line and trend to its
+    * slope), key-reset seeding pinned in EventsSpec. */
+  def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, alpha: Double = 0.25,
+      beta: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"need alpha in (0,1], beta in [0,1]: $alpha, $beta")
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("long"), col(tsCol), col(tieCol).cast("long"),
+        col(valueCol).cast("double"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(tieCol))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var l = 0.0
+        var b = 0.0
+        it.map { case (k, _, tie, v) =>
+          if (!started || k != curKey) {
+            curKey = k; started = true; l = v; b = 0.0
+          } else {
+            val lNew = alpha * v + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            l = lNew
+          }
+          (k, tie, v, l, b)
+        }
+      }
+      .toDF(keyCol, tieCol, valueCol, "level", "trend")
+  }
+
   /** JSON property extraction from a string column via `from_json` with an
     * explicit one-field schema (`props` is `{"k": <long>}` in the test
     * corpus). Declarative JsonToStructs — codegen-friendly, pushdown-safe. */

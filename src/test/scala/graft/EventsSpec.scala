@@ -286,6 +286,45 @@ class EventsSpec extends SparkTestBase {
     assert(out === Map(1L -> 2.0, 2L -> 3.0, 3L -> 5.5, 4L -> 100.0))
   }
 
+  test("holtLinear: hand recursion, key reset, line tracking to the slope") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00", 4.0),
+      (2L, 10L, "2026-01-01 11:00:00", 8.0),
+      // l2 = .25*8 + .75*4 = 5; b2 = .5*(5-4) = 0.5
+      (3L, 20L, "2026-01-01 09:00:00", 100.0)) // fresh key: l=v, b=0
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.holtLinear(ev, "user_id", "ts", "event_id", "value")
+      .select("event_id", "level", "trend")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((4.0, 0.0)))
+    assert(out(2L) === ((5.0, 0.5)))
+    assert(out(3L) === ((100.0, 0.0)))
+    // pure line v = t: the recursion converges toward level = v,
+    // trend = slope; assert bit-equality against a Scala replay
+    val n = 40
+    val line = (1 to n).map(i =>
+      (i.toLong, 7L, f"2026-01-01 ${9 + i / 60}%02d:${i % 60}%02d:00",
+        i.toDouble)).toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = Events.holtLinear(line, "user_id", "ts", "event_id", "value")
+      .select("event_id", "level", "trend")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    var l = 1.0; var b = 0.0
+    val replay = (1 to n).map { i =>
+      if (i > 1) {
+        val lNew = 0.25 * i + 0.75 * (l + b)
+        b = 0.5 * (lNew - l) + 0.5 * b
+        l = lNew
+      }
+      (i.toLong, l, b)
+    }
+    assert(got.toSeq === replay)
+    assert(math.abs(got.last._3 - 1.0) < 0.01 &&
+      math.abs(got.last._2 - n) < 0.1)
+  }
+
   test("interpolateLinear: line between brackets, edge fill both directions, keys isolated") {
     val ev = Seq(
       (1L, 10L, "2026-01-01 10:00:00", Some(2.0)),

@@ -933,6 +933,31 @@ class RelationalSpec extends SparkTestBase {
     assert(got(7) === ((0L, 0L, 57L, -57L)))
   }
 
+  test("mutualInfo: hand 2x2 table, independence zeros, G = 2N*MI per cell") {
+    import spark.implicits._
+    def table(c00: Int, c01: Int, c10: Int, c11: Int) =
+      (Seq.fill(c00)(("a", 0L)) ++ Seq.fill(c01)(("a", 1L)) ++
+        Seq.fill(c10)(("b", 0L)) ++ Seq.fill(c11)(("b", 1L)))
+        .toDF("x", "y")
+    val got = mutualInfo(table(30, 10, 10, 30), "x", "y").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (a,0): ratio 1.5, mi = .375*ln(1.5), g = 60*ln(1.5)
+    assert(got(("a", 0L)) === ((30L, 1500000L, 152049L, 24327906L)))
+    // (a,1): ratio 0.5 -> negative terms floor DOWN
+    assert(got(("a", 1L)) === ((10L, 500000L, -86644L, -13862944L)))
+    // per-cell identity g = 2N*mi: in micros g ~= 2N*mi_micro, each
+    // floor contributing at most one unit (N = 80 -> 2N = 160)
+    got.values.foreach { case (_, _, mi, g) =>
+      assert(math.abs(g - 160L * mi) <= 161L, s"g=$g mi=$mi")
+    }
+    // exact independence: every ratio reads 1e6, every ln term 0
+    val ind = mutualInfo(table(20, 20, 20, 20), "x", "y").collect()
+    assert(ind.forall(r => r.getLong(3) === 1000000L &&
+      r.getLong(4) === 0L && r.getLong(5) === 0L))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("hhi: monopoly 1e8, equal split, hand shares, rounding floor") {
     import spark.implicits._
     val df = Seq(
