@@ -4162,6 +4162,32 @@ object SparkEntry {
         t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
         .orderBy("a", "b")),
 
+    // Chi-squared summary + Cramer's V effect size: exact BIGINT sum of
+    // the quantized cell terms (order-independent), one pinned IEEE
+    // sqrt micro at the end. Fully oracled.
+    "q_cramers_v" -> ((s, dir) =>
+      graft.operators.Relational.chi2Summary(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")),
+
+    // 2-D skyline / Pareto front over customers (recency vs negated
+    // spend, both minimized): per-distinct-x minima + banded strict-
+    // prefix min — dominance with no pair join. Fully oracled.
+    "q_skyline" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(max(expr("unix_micros(o_orderdate) div 86400000000"))
+          .as("last_d"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("cents"))
+      val mx = broadcast(per.agg(max(col("last_d")).as("__mx")))
+      graft.operators.Relational.skyline2d(
+        per.crossJoin(mx).select(col("cust"),
+          (col("__mx") - col("last_d")).as("recency"),
+          (-col("cents")).as("negspend")),
+        "cust", "recency", "negspend")
+        .orderBy("key")
+    }),
+
     // Expectations with quarantine routing (DLT expectations shape):
     // every row tagged with its FIRST failing rule or null — route,
     // don't reject. One codegen CASE chain, no shuffle. Fully oracled.
@@ -7257,6 +7283,58 @@ object SparkEntry {
         |             / CAST(n * rt * ct AS DOUBLE) * 1000000 + 0.5)
         |       AS BIGINT) AS term_micro
         |FROM t ORDER BY a, b""".stripMargin,
+
+    // sparse-table convention: only OBSERVED cells sum (matches the
+    // judged q_chi2 surface); the quantized-term sum is exact BIGINT
+    "q_cramers_v" ->
+      """WITH c AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |                  count(*) AS o
+        |           FROM orders GROUP BY 1, 2),
+        |t AS (SELECT a, b, o,
+        |        sum(o) OVER (PARTITION BY a) AS rt,
+        |        sum(o) OVER (PARTITION BY b) AS ct,
+        |        sum(o) OVER () AS n
+        |      FROM c),
+        |tm AS (SELECT a, b, CAST(o AS BIGINT) AS o,
+        |         CAST(floor(CAST(o * n - rt * ct AS DOUBLE)
+        |              * CAST(o * n - rt * ct AS DOUBLE)
+        |              / CAST(n * rt * ct AS DOUBLE) * 1000000 + 0.5)
+        |           AS BIGINT) AS tmc
+        |       FROM t),
+        |s AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |             CAST(count(DISTINCT b) AS BIGINT) AS c,
+        |             CAST(sum(tmc) AS BIGINT) AS chi2_micro
+        |      FROM tm)
+        |SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2_micro,
+        |       CASE WHEN n = 0 OR least(r - 1, c - 1) <= 0 THEN NULL
+        |            ELSE CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE)
+        |              / 1000000.0
+        |              / CAST(n * least(r - 1, c - 1) AS DOUBLE))
+        |              * 1000000.0) AS BIGINT) END AS v_micro
+        |FROM s""".stripMargin,
+
+    // 2-D dominance as prefix arithmetic: dominated iff the strict-x
+    // prefix min is <= y, or the same-x min is < y
+    "q_skyline" ->
+      """WITH per AS (SELECT o_custkey AS cust,
+        |        max(epoch_us(o_orderdate) // 86400000000) AS last_d,
+        |        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS cents
+        |      FROM orders GROUP BY 1),
+        |pts AS (SELECT cust AS key,
+        |          CAST((SELECT max(last_d) FROM per) - last_d AS BIGINT)
+        |            AS x,
+        |          -cents AS y
+        |        FROM per),
+        |px AS (SELECT x, min(y) AS my FROM pts GROUP BY 1),
+        |pm AS (SELECT x, my,
+        |         min(my) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND 1 PRECEDING) AS m1
+        |       FROM px)
+        |SELECT key, pts.x, y,
+        |       NOT (coalesce(m1 <= y, FALSE) OR my < y) AS is_skyline
+        |FROM pts JOIN pm ON pts.x = pm.x ORDER BY key""".stripMargin,
 
     // the same first-failing-rule CASE chain, CHECK semantics per rule
     "q_expectations" ->

@@ -605,6 +605,92 @@ object Relational {
         col("mi_term_micro"), col("g_term_micro"))
   }
 
+  /** Chi-squared SUMMARY + Cramér's V — the one-row effect-size readout
+    * over [[chi2Association]]'s per-cell table: `chi2_micro` is the
+    * EXACT BIGINT sum of the already-quantized cell terms (summing
+    * quantized integers is order-independent — summing raw double
+    * terms across cells would drift by engine visit order, the
+    * q_sliding_window lesson), `dof = (r−1)(c−1)`, and
+    * `V = √(χ²/(n·min(r−1, c−1)))` (Cramér 1946) — the [0,1]
+    * association strength that, unlike χ² itself, compares across
+    * table sizes; one pinned IEEE sqrt/divide/floor micro at the end.
+    *
+    * Inherits [[chi2Association]]'s sparse-table convention: only
+    * OBSERVED cells contribute (an all-zero cell adds its expected
+    * mass to neither χ² nor V) — so a perfectly-associated 2×2 with
+    * two empty cells reads V = √½, not 1; consistent with the judged
+    * q_chi2 surface by construction.
+    *
+    * Scale: everything is [[chi2Association]]'s machinery plus a
+    * config-scale aggregate over its cell output. Judged
+    * `q_cramers_v`, fully ORACLED; hand sparse-2×2 value, independence
+    * zero and dof bookkeeping pinned in RelationalSpec. */
+  def chi2Summary(df: DataFrame, colA: String, colB: String): DataFrame = {
+    chi2Association(df, colA, colB)
+      .agg(sum(col("observed")).as("n"),
+        countDistinct(col("a")).as("r"),
+        countDistinct(col("b")).as("c"),
+        sum(col("term_micro")).as("chi2_micro"))
+      .select(col("n"), col("r"), col("c"),
+        expr("(r - 1) * (c - 1)").as("dof"),
+        col("chi2_micro"),
+        expr("""case when n = 0 or least(r - 1, c - 1) <= 0 then null
+          else cast(floor(sqrt(cast(chi2_micro as double) / 1000000.0
+            / cast(n * least(r - 1, c - 1) as double)) * 1000000.0)
+            as bigint) end""").as("v_micro"))
+  }
+
+  /** 2-D skyline (Pareto front / maximal-vector) — the multi-criteria
+    * dominance filter (Börzsönyi, Kossmann, Stocker, ICDE 2001): with
+    * both criteria MINIMIZED, a point is dominated iff another point
+    * is ≤ on both axes and strictly < on at least one; the skyline is
+    * everything undominated (the efficient frontier — duplicates of a
+    * skyline point are undominated and all kept). In 2-D dominance
+    * collapses to prefix arithmetic: with per-distinct-x minima
+    * `my(x)`, a point (x, y) is dominated iff
+    * `min_{x'<x} my(x') ≤ y` (strictly better on x, no worse on y)
+    * OR `my(x) < y` (tied on x, strictly better on y) — no pair join,
+    * ever. Criteria must be integer-valued (exact compares); flip a
+    * maximized axis by negating.
+    *
+    * Scale: rows partial-agg to per-DISTINCT-x minima first; the
+    * strict-prefix min is the [[gini]] banded machinery (per-band min
+    * offsets + in-band strict-frame running min — no global window);
+    * one hash join back on x. Judged `q_skyline` (customer recency vs
+    * negated spend — the retention frontier), fully ORACLED; hand
+    * frontier, duplicate-point and tied-axis edges, domination
+    * bookkeeping pinned in RelationalSpec. */
+  def skyline2d(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String, bands: Int = 32): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val pts = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("key"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")))
+    val perX = pts.groupBy("x").agg(min(col("y")).as("__my"))
+    val bounds = broadcast(perX.agg(
+      min(col("x")).as("__lo"), max(col("x")).as("__hi")))
+    val banded = perX.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("x"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(min(col("__my")).as("__bm"))
+      .withColumn("__om", min(col("__bm")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)))
+      .select(col("__band"), col("__om"))
+    val wB = W.partitionBy(col("__band")).orderBy(col("x"))
+      .rowsBetween(Long.MinValue, -1)
+    // least() skips nulls in Spark and DuckDB alike: a null in-band
+    // strict prefix (band-first row) or a null band offset (first band)
+    // falls through to the other side; both null = nothing before x
+    val pref = banded.join(broadcast(offsets), "__band")
+      .withColumn("__m1", least(min(col("__my")).over(wB), col("__om")))
+      .select(col("x"), col("__my"), col("__m1"))
+    pts.join(pref, "x")
+      .select(col("key"), col("x"), col("y"),
+        (!(coalesce(col("__m1") <= col("y"), lit(false)) ||
+          col("__my") < col("y"))).as("is_skyline"))
+  }
+
   /** Expectations with row-level QUARANTINE routing (the Delta Live
     * Tables expectations shape, next to the format layer's CHECK
     * constraints): where [[graft.tables.VersionedTable.addConstraint]]

@@ -958,6 +958,48 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("skyline2d: hand frontier, duplicates kept, tied-axis edges") {
+    import spark.implicits._
+    val pts = Seq(
+      ("k1", 1L, 5L),  // frontier
+      ("k2", 2L, 3L),  // frontier
+      ("k3", 3L, 3L),  // dominated by k2 (x strictly worse, y tied)
+      ("k4", 2L, 3L),  // duplicate of k2: undominated, kept
+      ("k5", 2L, 7L),  // dominated by k2 at the same x
+      ("k6", 0L, 9L))  // best x: nothing before it
+      .toDF("k", "x", "y")
+    val got = skyline2d(pts, "k", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got === Map("k1" -> true, "k2" -> true, "k3" -> false,
+      "k4" -> true, "k5" -> false, "k6" -> true))
+    // band invariance: a 1-band run (single global window) agrees
+    val one = skyline2d(pts, "k", "x", "y", bands = 1).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(one === got)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("chi2Summary: sparse perfect 2x2, independence zero, dof") {
+    import spark.implicits._
+    // perfect association, zero cells ABSENT (sparse convention):
+    // two cells each term 10 -> chi2 = 20, V = sqrt(20/40) = sqrt(.5)
+    val perfect = (Seq.fill(20)(("a", 0L)) ++ Seq.fill(20)(("b", 1L)))
+      .toDF("x", "y")
+    val p = chi2Summary(perfect, "x", "y").collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
+      === ((40L, 2L, 2L, 1L)))
+    assert(p.getLong(4) === 20000000L && p.getLong(5) === 707106L)
+    // exact independence: chi2 and V read 0
+    val ind = (Seq.fill(10)(("a", 0L)) ++ Seq.fill(10)(("a", 1L)) ++
+      Seq.fill(10)(("b", 0L)) ++ Seq.fill(10)(("b", 1L))).toDF("x", "y")
+    val i = chi2Summary(ind, "x", "y").collect().head
+    assert(i.getLong(4) === 0L && i.getLong(5) === 0L)
+    // single-column table: dof 0 -> null V
+    val degen = Seq.fill(5)(("a", 0L)).toDF("x", "y")
+    assert(chi2Summary(degen, "x", "y").collect().head.isNullAt(5))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("hhi: monopoly 1e8, equal split, hand shares, rounding floor") {
     import spark.implicits._
     val df = Seq(
