@@ -3486,6 +3486,51 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Pettitt rank changepoint over daily revenue cents: telescoped
+    // U_t via one pair join + a running sum, exact-integer argmax,
+    // ties to the earliest split. Fully oracled.
+    "q_pettitt" -> ((s, dir) =>
+      graft.operators.Events.pettitt(
+        t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents")),
+        "day", "cents")),
+
+    // Plain-text source/sink round-trip (the 6th format next to
+    // parquet/csv/json/orc/binary): tab-framed lines out via the text
+    // sink, parsed back with a 2-limit split. Fully oracled from the
+    // source table.
+    "q_text_source" -> ((s, dir) => {
+      val path = tmpPath("docs_txt")
+      t(s, dir, "documents")
+        .select(concat(col("doc_id").cast("string"), lit("\t"),
+          col("text")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(s"$path/part-*.txt")
+        .select(split(col("value"), "\t", 2).as("__p"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(element_at(col("__p"), 1).cast("long")).as("id_sum"),
+          sum(length(element_at(col("__p"), 2))).as("char_sum"))
+    }),
+
+    // Seasonal-residual anomaly days: dense daily cents, per-phase
+    // lower-median expectation, exact residuals, x-MADs flag rule —
+    // all integer, the MAD-0 edge flags any nonzero residual. Fully
+    // oracled.
+    "q_anomaly" -> ((s, dir) =>
+      graft.operators.Events.anomalyDays(
+        t(s, dir, "events"), "ts", "value")
+        .orderBy("day")),
+
+    // SAX symbolization per user: z-normalized Gaussian-quartile
+    // alphabet with a division-free exact-integer z-compare, one word
+    // per key in (ts, id) order. Fully oracled.
+    "q_sax" -> ((s, dir) =>
+      graft.operators.Events.saxWords(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy("key")),
+
     // Mutual information + G-test per contingency cell (event type x
     // weekday): exact BIGINT independence ratio ppm, micro-floored
     // ln terms whose sums are MI and G = 2N*MI. Fully oracled.
@@ -7509,6 +7554,94 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // telescoped U_t = running sum of V_t = sum_j sign(x_t - x_j);
+    // U_n = 0 excluded, argmax ties break to the earliest split
+    "q_pettitt" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS x
+        |      FROM events GROUP BY 1),
+        |v AS (SELECT a.k, CAST(sum(sign(a.x - b.x)) AS BIGINT) AS v
+        |      FROM d a CROSS JOIN d b GROUP BY 1),
+        |u AS (SELECT k,
+        |        CAST(sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS u,
+        |        row_number() OVER (ORDER BY k) AS rn,
+        |        count(*) OVER () AS n
+        |      FROM v)
+        |SELECT CAST(n AS BIGINT) AS n, k AS t_star, u AS u_stat,
+        |       abs(u) AS u_abs
+        |FROM u WHERE rn < n ORDER BY abs(u) DESC, k LIMIT 1""".stripMargin,
+
+    "q_text_source" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(length(text)) AS BIGINT) AS char_sum
+        |FROM documents""".stripMargin,
+
+    // lower medians are exact order statistics (rank (n+1)//2) — the
+    // VALUE at the rank is tie-order-independent; day % 7 stays
+    // non-negative so % == pmod
+    "q_anomaly" ->
+      """WITH sparse AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS day_cents
+        |      FROM events GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(
+        |           (SELECT min(day) FROM sparse),
+        |           (SELECT max(day) FROM sparse))) AS day),
+        |daily AS (SELECT a.day, coalesce(s.day_cents, 0) AS day_cents,
+        |                 a.day % 7 AS phase
+        |          FROM axis a LEFT JOIN sparse s ON a.day = s.day),
+        |med AS (SELECT phase, day_cents AS expected_cents FROM (
+        |          SELECT phase, day_cents,
+        |            row_number() OVER (PARTITION BY phase
+        |              ORDER BY day_cents) AS r,
+        |            count(*) OVER (PARTITION BY phase) AS n
+        |          FROM daily) WHERE r = (n + 1) // 2),
+        |resid AS (SELECT d.day, d.phase, d.day_cents, m.expected_cents,
+        |                 d.day_cents - m.expected_cents AS resid_cents
+        |          FROM daily d JOIN med m ON d.phase = m.phase),
+        |madt AS (SELECT abs(resid_cents) AS mad FROM (
+        |           SELECT resid_cents,
+        |             row_number() OVER (ORDER BY abs(resid_cents)) AS r,
+        |             count(*) OVER () AS n FROM resid)
+        |         WHERE r = (n + 1) // 2)
+        |SELECT day, phase, day_cents, expected_cents, resid_cents, mad,
+        |       abs(resid_cents) * 1000 > 3500 * mad AS is_anomaly
+        |FROM resid CROSS JOIN madt ORDER BY day""".stripMargin,
+
+    // division-free z-compare: c*n - sx (exact BIGINT) vs
+    // bp * sqrt(n*sxx - sx*sx) — one IEEE sqrt, strict >, ties down
+    "q_sax" ->
+      """WITH base AS (SELECT user_id AS key, ts, event_id AS tie,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |      FROM events),
+        |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(c) AS BIGINT) AS sx,
+        |              CAST(sum(c * c) AS BIGINT) AS sxx
+        |       FROM base GROUP BY 1),
+        |sy AS (SELECT b.key, b.ts, b.tie,
+        |        (CASE WHEN CAST(b.c * n - sx AS DOUBLE) >
+        |           CAST(-0.6745 AS DOUBLE)
+        |             * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |           THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(b.c * n - sx AS DOUBLE) >
+        |           CAST(0.0 AS DOUBLE)
+        |             * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |           THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(b.c * n - sx AS DOUBLE) >
+        |           CAST(0.6745 AS DOUBLE)
+        |             * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |           THEN 1 ELSE 0 END) AS s
+        |       FROM base b JOIN st ON b.key = st.key),
+        |w AS (SELECT key,
+        |        string_agg(['a','b','c','d'][s + 1], ''
+        |          ORDER BY ts, tie) AS sax_word
+        |      FROM sy GROUP BY 1)
+        |SELECT st.key, n, sax_word FROM st JOIN w ON st.key = w.key
+        |ORDER BY st.key""".stripMargin,
 
     // marginals off the cell frame; the exact ratio is pure BIGINT,
     // the ln terms micro-FLOORED (floor, not round — signed terms)

@@ -995,6 +995,145 @@ object Events {
           (col("n") * period * 100L).cast("double")).as("seasonal"))
   }
 
+  /** Seasonal-residual anomaly days — the end-to-end daily anomaly
+    * detector composing the repo's exact-integer pieces: the daily
+    * cents series densifies over the calendar (a silent day is a real
+    * 0-sum day, the [[seasonalIndices]] rule), each day's EXPECTED
+    * value is the per-phase LOWER MEDIAN (the exact order statistic at
+    * rank ⌈n/2⌉ — never the averaged even-count median, which leaves
+    * integers), the residual is exact cents, and a day flags when
+    * `|resid|·1000 > thresholdMilli · MAD` with MAD the lower median
+    * of |resid| over all days — the robust x-MADs rule (threshold in
+    * raw-MAD units; multiply by 1.4826 yourself for σ-equivalents).
+    * MAD = 0 degenerates gracefully: any nonzero residual flags.
+    *
+    * Scale: one data-scale aggregate to the daily table; everything
+    * after runs on the CALENDAR-scale frame (phase-partitioned rank
+    * windows, one global MAD window over days — days, not events).
+    * Judged `q_anomaly`, fully ORACLED; hand spike/quiet-day flags,
+    * even-count lower-median convention and the MAD-0 edge pinned in
+    * EventsSpec. */
+  def anomalyDays(events: DataFrame, tsCol: String, valueCol: String,
+      period: Int = 7, thresholdMilli: Long = 3500L): DataFrame = {
+    require(period >= 2, s"period >= 2: $period")
+    require(thresholdMilli > 0, s"thresholdMilli > 0: $thresholdMilli")
+    val sparse = events
+      .select(expr(s"unix_micros($tsCol) div 86400000000").as("day"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("day_cents"))
+    val daily = graft.engine.Caches.persisted(sparse
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(sparse, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+        pmod(col("day"), lit(period.toLong)).as("phase")))
+    val wP = Window.partitionBy(col("phase")).orderBy(col("day_cents"))
+    val wPn = Window.partitionBy(col("phase"))
+    val med = daily
+      .withColumn("__r", row_number().over(wP))
+      .withColumn("__n", count(lit(1)).over(wPn))
+      .filter(col("__r") === expr("(__n + 1) div 2"))
+      .select(col("phase"), col("day_cents").as("expected_cents"))
+    val resid = daily.join(broadcast(med), "phase")
+      .withColumn("resid_cents", col("day_cents") - col("expected_cents"))
+    val wA = Window.orderBy(abs(col("resid_cents")))
+    val wAn = Window.partitionBy()
+    val mad = resid
+      .withColumn("__r", row_number().over(wA))
+      .withColumn("__n", count(lit(1)).over(wAn))
+      .filter(col("__r") === expr("(__n + 1) div 2"))
+      .select(abs(col("resid_cents")).as("__mad"))
+    resid.crossJoin(broadcast(mad))
+      .select(col("day"), col("phase"), col("day_cents"),
+        col("expected_cents"), col("resid_cents"), col("__mad").as("mad"),
+        (abs(col("resid_cents")) * 1000 >
+          lit(thresholdMilli) * col("__mad")).as("is_anomaly"))
+  }
+
+  /** Pettitt changepoint test (Pettitt 1979) — the RANK-based
+    * changepoint locator next to [[cusum]]'s parametric mean-shift
+    * tracker: for every candidate split t, `U_t = Σ_{i≤t,j>t}
+    * sign(x_i − x_j)` measures how thoroughly the prefix dominates the
+    * suffix, and the changepoint estimate is the split maximizing
+    * |U_t| (ties to the earliest split — pinned). Computed without the
+    * O(n³) triple loop via the telescoping identity
+    * `U_t = U_{t−1} + V_t, V_t = Σ_j sign(x_t − x_j)` — one pair join
+    * for the V's, one running sum. Everything is exact integer: sign
+    * counts, running U, the argmax — nothing to quantize.
+    *
+    * Scale: the SERIES contract ([[Eval.kendallTau]]'s rule) — input
+    * is a per-period aggregate, calendar-scale, so the O(n²) pair join
+    * broadcasts; a data-scale V_t would ride the [[Eval.mannWhitney]]
+    * banded ECDF instead (V_t = 2·cnt_lt + cnt_eq − n), documented not
+    * built. Judged `q_pettitt` (daily revenue cents), fully ORACLED;
+    * hand step series, tie-to-earliest and the U_n = 0 boundary pinned
+    * in EventsSpec. */
+  def pettitt(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val s = graft.engine.Caches.persisted(
+      series.select(col(keyCol).cast("long").as("k"),
+        col(valueCol).cast("long").as("x")))
+    val b = s.select(col("k").as("kb"), col("x").as("xb"))
+    val v = s.crossJoin(b)
+      .groupBy(col("k"))
+      .agg(sum(signum(col("x") - col("xb")).cast("long")).as("__v"))
+    val w = Window.orderBy("k").rowsBetween(Long.MinValue, 0)
+    val wn = Window.partitionBy()
+    v.withColumn("__u", sum(col("__v")).over(w))
+      .withColumn("__rn", row_number().over(Window.orderBy("k")))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .filter(col("__rn") < col("__n")) // U_n ≡ 0: not a split
+      .orderBy(abs(col("__u")).desc, col("k")).limit(1)
+      .select(col("__n").as("n"), col("k").as("t_star"),
+        col("__u").as("u_stat"), abs(col("__u")).as("u_abs"))
+  }
+
+  /** SAX symbolization per key (Lin, Keogh, Lonardi, Chiu 2003 —
+    * Symbolic Aggregate approXimation): each key's value series
+    * z-normalizes and discretizes into an `'a'..'d'` alphabet at the
+    * Gaussian quartile breakpoints (−0.6745, 0, 0.6745), concatenated
+    * in (ts, tie) order into one WORD per key — the symbolic form that
+    * makes motif mining, grep-style pattern search and hashing work on
+    * time series. The z-compare never divides: `z > bp  ⇔
+    * x·n − Σx > bp·√(n·Σx² − (Σx)²)` — LHS an exact BIGINT, RHS one
+    * literal × one IEEE sqrt of an exact BIGINT (deterministic on any
+    * engine); a symbol is the count of STRICTLY exceeded breakpoints,
+    * so a zero-variance series reads all-'a' (documented convention;
+    * boundary ties round down).
+    *
+    * Scale: one pass computes per-key (n, Σx, Σx²) partials, a hash
+    * join attaches them, symbols are scan-stage arithmetic; the word
+    * build is a per-key sort-in-aggregate (collect + array_sort) whose
+    * array is the KEY's series length — fine for per-entity series,
+    * wrong tool for one giant global series (chunk first). Judged
+    * `q_sax`, fully ORACLED; hand symbols at the quartiles, order
+    * determinism, constant-series 'a' run pinned in EventsSpec. */
+  def saxWords(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val base = events.select(col(keyCol).as("key"), col(tsCol).as("__ts"),
+      col(tieCol).cast("long").as("__tie"),
+      floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__c"))
+    val stats = base.groupBy("key").agg(
+      count(lit(1)).as("__n"), sum(col("__c")).as("__sx"),
+      sum(col("__c") * col("__c")).as("__sxx"))
+    val bps = Seq(-0.6745, 0.0, 0.6745)
+    val sym = bps.map(bp =>
+      when((col("__c") * col("__n") - col("__sx")).cast("double") >
+        lit(bp) * sqrt((col("__n") * col("__sxx") -
+          col("__sx") * col("__sx")).cast("double")), 1).otherwise(0))
+      .reduce(_ + _)
+    base.join(stats, "key")
+      .withColumn("__sym",
+        element_at(typedLit(Seq("a", "b", "c", "d")), sym + 1))
+      .groupBy(col("key"), col("__n"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__ts"), col("__tie"),
+          col("__sym").as("s")))), x => x.getField("s")), "")
+        .as("sax_word"))
+      .select(col("key"), col("__n").as("n"), col("sax_word"))
+  }
+
   /** Time-weighted average per key over irregular observations
     * (zero-order hold): each observation holds its value until the
     * next one, so the average weights values by HOLDING TIME, not

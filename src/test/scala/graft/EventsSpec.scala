@@ -286,6 +286,76 @@ class EventsSpec extends SparkTestBase {
     assert(out === Map(1L -> 2.0, 2L -> 3.0, 3L -> 5.5, 4L -> 100.0))
   }
 
+  test("anomalyDays: spike flags, dense zero-fill, lower-median and MAD-0 edges") {
+    // 14 calendar days, 10.00/day, one 100.00 spike, one silent day
+    val ev = (0 until 14).filter(_ != 5).map { d =>
+      (d.toLong, 1L, f"2026-01-${d + 1}%02d 12:00:00",
+        if (d == 9) 100.0 else 10.0)
+    }.toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = Events.anomalyDays(ev, "ts", "value")
+      .orderBy("day").collect()
+    assert(got.length === 14)
+    val byDay = got.map(r => r.getLong(0) - got.head.getLong(0) -> r).toMap
+    // the silent day densified to a real 0-cents day
+    assert(byDay(5L).getLong(2) === 0L)
+    // LOWER median of two samples is the SMALLER: the zero-filled day
+    // drags its phase's expectation to 0, so its twin (day 12) reads
+    // +1000 while day 5 itself reads 0; the spike phase keeps 1000 so
+    // day 9 reads +9000. MAD = lower median of |resid| = 0 -> any
+    // nonzero residual flags
+    assert(byDay(9L).getLong(4) === 9000L && byDay(9L).getBoolean(6))
+    assert(byDay(5L).getLong(4) === 0L && !byDay(5L).getBoolean(6))
+    assert(byDay(12L).getLong(4) === 1000L && byDay(12L).getBoolean(6))
+    assert(got.count(_.getBoolean(6)) === 2)
+    assert(got.forall(_.getLong(5) === 0L))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("pettitt: step series locates the shift, tie-to-earliest, U_n excluded") {
+    def series(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (i.toLong + 1, x) }.toDF("k", "x")
+    // clean level shift after k=3: V = (-3,-3,-3,+3,+3,+3),
+    // U = -3,-6,-9,-6,-3,(0 excluded) -> split at k=3, U=-9
+    val step = Events.pettitt(series(Seq(1, 1, 1, 9, 9, 9)), "k", "x")
+      .collect().head
+    assert((step.getLong(0), step.getLong(1), step.getLong(2),
+      step.getLong(3)) === ((6L, 3L, -9L, 9L)))
+    // |U| = 1 at both candidate splits: earliest k wins
+    val tie = Events.pettitt(series(Seq(1, 9, 1)), "k", "x")
+      .collect().head
+    assert((tie.getLong(1), tie.getLong(3)) === ((1L, 1L)))
+    // constant series: every U = 0, the earliest split reported
+    val const = Events.pettitt(series(Seq(5, 5, 5, 5)), "k", "x")
+      .collect().head
+    assert(const.getLong(1) === 1L && const.getLong(3) === 0L)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("saxWords: quartile hand symbols, constant-series 'a' run, tie order") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00", 1.0),
+      (2L, 10L, "2026-01-01 11:00:00", 2.0),
+      (3L, 10L, "2026-01-01 12:00:00", 3.0),
+      (4L, 10L, "2026-01-01 13:00:00", 4.0),
+      // constant series: zero variance reads all-'a'
+      (5L, 20L, "2026-01-01 10:00:00", 7.0),
+      (6L, 20L, "2026-01-01 11:00:00", 7.0),
+      // same-instant rows: event_id breaks the tie
+      (8L, 30L, "2026-01-01 10:00:00", 9.0),
+      (7L, 30L, "2026-01-01 10:00:00", 1.0))
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = Events.saxWords(ev, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // 1,2,3,4: z quartiles land one value per symbol
+    assert(got(10L) === ((4L, "abcd")))
+    assert(got(20L) === ((2L, "aa")))
+    // id 7 (low) precedes id 8 (high) at the tied instant
+    assert(got(30L) === ((2L, "ad")))
+  }
+
   test("holtLinear: hand recursion, key reset, line tracking to the slope") {
     val ev = Seq(
       (1L, 10L, "2026-01-01 10:00:00", 4.0),
