@@ -3486,6 +3486,25 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Theil-Sen robust slope over daily revenue cents: lower median of
+    // all pairwise slopes under a deterministic (ratio, dy, dx) order,
+    // exact milli slope from the selected pair. Fully oracled.
+    "q_theilsen" -> ((s, dir) =>
+      graft.operators.Events.theilSen(
+        t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents")),
+        "day", "cents")),
+
+    // Rolling 7-day OLS slope over the dense daily series: exact
+    // integer normal-equation pieces per full window, cents/day milli
+    // slope, partial windows suppressed. Fully oracled.
+    "q_rolling_slope" -> ((s, dir) =>
+      graft.operators.Events.rollingSlope(
+        t(s, dir, "events"), "ts", "value")
+        .orderBy("day")),
+
     // Pettitt rank changepoint over daily revenue cents: telescoped
     // U_t via one pair join + a running sum, exact-integer argmax,
     // ties to the earliest split. Fully oracled.
@@ -7554,6 +7573,55 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // lower median under (IEEE ratio, dy, dx) — the same exact-integer
+    // division on both sides produces identical doubles, ties pinned
+    "q_theilsen" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS x
+        |      FROM events GROUP BY 1),
+        |p AS (SELECT b.x - a.x AS dy, b.k - a.k AS dx
+        |      FROM d a JOIN d b ON a.k < b.k),
+        |r AS (SELECT dy, dx,
+        |        row_number() OVER (ORDER BY
+        |          CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx) AS rn,
+        |        count(*) OVER () AS n0
+        |      FROM p)
+        |SELECT CAST(n0 AS BIGINT) AS n_pairs, dy AS med_dy,
+        |       dx AS med_dx,
+        |       CAST(sign(dy) AS BIGINT) * (abs(dy) * 1000 // dx)
+        |         AS slope_milli
+        |FROM r WHERE rn = (n0 + 1) // 2""".stripMargin,
+
+    // dense daily axis; x = epoch day so den is constant for full
+    // windows; num is signed -> sign·abs routing
+    "q_rolling_slope" ->
+      """WITH sparse AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS y
+        |      FROM events GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(
+        |           (SELECT min(day) FROM sparse),
+        |           (SELECT max(day) FROM sparse))) AS day),
+        |daily AS (SELECT a.day, coalesce(s.y, 0) AS y
+        |          FROM axis a LEFT JOIN sparse s ON a.day = s.day),
+        |w AS (SELECT day, y,
+        |        CAST(count(*) OVER fr AS BIGINT) AS n,
+        |        CAST(sum(day) OVER fr AS BIGINT) AS sx,
+        |        CAST(sum(y) OVER fr AS BIGINT) AS sy,
+        |        CAST(sum(day * y) OVER fr AS BIGINT) AS sxy,
+        |        CAST(sum(day * day) OVER fr AS BIGINT) AS sxx
+        |      FROM daily
+        |      WINDOW fr AS (ORDER BY day
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, y,
+        |       n * sxy - sx * sy AS num,
+        |       n * sxx - sx * sx AS den,
+        |       CAST(sign(n * sxy - sx * sy) AS BIGINT)
+        |         * (abs(n * sxy - sx * sy) * 1000
+        |            // (n * sxx - sx * sx)) AS slope_milli_per_day
+        |FROM w WHERE n = 7 ORDER BY day""".stripMargin,
 
     // telescoped U_t = running sum of V_t = sum_j sign(x_t - x_j);
     // U_n = 0 excluded, argmax ties break to the earliest split

@@ -1051,6 +1051,92 @@ object Events {
           lit(thresholdMilli) * col("__mad")).as("is_anomaly"))
   }
 
+  /** Theil–Sen robust slope (Theil 1950; Sen 1968) — the median of all
+    * pairwise slopes: up to ~29% contamination moves it nowhere, where
+    * one bad day drags an OLS fit ([[trendFit]]'s failure mode) —  the
+    * robust-regression counterpart of the median/MAD family. The
+    * selected pair is the LOWER MEDIAN under a deterministic total
+    * order: primary key the IEEE ratio dy/dx (identical doubles on any
+    * engine — both sides divide the same exact integers), ties broken
+    * by (dy, dx) so ULP-coincident ratios cannot reorder between
+    * engines; the reported slope is exact integer milli arithmetic on
+    * the selected pair (`sign(dy)·(|dy|·1000 div dx)` — Spark `div`
+    * truncates, DuckDB `//` floors, identical through non-negatives).
+    *
+    * Scale: SERIES contract ([[Eval.kendallTau]]'s rule — per-period
+    * aggregate input, the O(n²) pair join broadcasts); a data-scale
+    * Theil–Sen needs randomized median-of-slopes selection, out of
+    * scope. Judged `q_theilsen` (daily revenue cents), fully ORACLED;
+    * exact line recovery, outlier immunity vs the mean slope, and the
+    * even-count lower-median convention pinned in EventsSpec. */
+  def theilSen(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val s = graft.engine.Caches.persisted(
+      series.select(col(keyCol).cast("long").as("k"),
+        col(valueCol).cast("long").as("x")))
+    val b = s.select(col("k").as("kb"), col("x").as("xb"))
+    val pairs = s.join(b, col("k") < col("kb"))
+      .select((col("xb") - col("x")).as("dy"),
+        (col("kb") - col("k")).as("dx"))
+    val w = Window.orderBy(
+      col("dy").cast("double") / col("dx").cast("double"),
+      col("dy"), col("dx"))
+    val wn = Window.partitionBy()
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n0", count(lit(1)).over(wn))
+      .filter(col("__rn") === expr("(__n0 + 1) div 2"))
+      .select(col("__n0").as("n_pairs"), col("dy").as("med_dy"),
+        col("dx").as("med_dx"),
+        expr("cast(sign(dy) as bigint) * (abs(dy) * 1000 div dx)")
+          .as("slope_milli"))
+  }
+
+  /** Rolling OLS slope over the trailing `win` days — the LOCAL trend
+    * readout between [[trendFit]] (one global slope) and [[ewma]]
+    * (no slope at all): the daily series densifies over the calendar
+    * ([[anomalyDays]]' zero-fill rule), and each full window reports
+    * the exact integer normal-equation pieces
+    * `num = n·Σxy − Σx·Σy`, `den = n·Σx² − (Σx)²` (x = epoch day —
+    * consecutive integers, so den is the constant n²(n²−1)/12) plus
+    * `slope_milli_per_day = sign(num)·(|num|·1000 div den)` — cents
+    * per day, all BIGINT, nothing to quantize. Windows shorter than
+    * `win` (the first win−1 days) are suppressed, not emitted partial.
+    *
+    * Scale: one data-scale aggregate to the daily table, then ROWS
+    * windows over the CALENDAR-scale frame. Overflow-safe while
+    * `n·Σxy·1000 < 2^63` (epoch-day × daily cents × window — audit at
+    * the target SF). Judged `q_rolling_slope`, fully ORACLED; exact
+    * line slope, flat-series zero and window-count suppression pinned
+    * in EventsSpec. */
+  def rollingSlope(events: DataFrame, tsCol: String, valueCol: String,
+      win: Int = 7): DataFrame = {
+    require(win >= 2, s"win >= 2: $win")
+    val sparse = events
+      .select(expr(s"unix_micros($tsCol) div 86400000000").as("day"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("y"))
+    val daily = sparse
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-(win - 1), 0)
+    daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("day")).over(w))
+      .withColumn("__sy", sum(col("y")).over(w))
+      .withColumn("__sxy", sum(col("day") * col("y")).over(w))
+      .withColumn("__sxx", sum(col("day") * col("day")).over(w))
+      .filter(col("__n") === win)
+      .select(col("day"), col("y"),
+        expr("__n * __sxy - __sx * __sy").as("num"),
+        expr("__n * __sxx - __sx * __sx").as("den"),
+        expr("cast(sign(__n * __sxy - __sx * __sy) as bigint)" +
+          " * (abs(__n * __sxy - __sx * __sy) * 1000" +
+          " div (__n * __sxx - __sx * __sx))").as("slope_milli_per_day"))
+  }
+
   /** Pettitt changepoint test (Pettitt 1979) — the RANK-based
     * changepoint locator next to [[cusum]]'s parametric mean-shift
     * tracker: for every candidate split t, `U_t = Σ_{i≤t,j>t}

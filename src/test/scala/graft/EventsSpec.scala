@@ -312,6 +312,46 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("theilSen: exact line recovery, outlier immunity, lower-median convention") {
+    def series(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (i.toLong + 1, x) }.toDF("k", "x")
+    // exact line y = 100k: every pairwise slope is 100
+    val line = Events.theilSen(series(Seq(100, 200, 300, 400)), "k", "x")
+      .collect().head
+    assert(line.getLong(0) === 6L && line.getLong(3) === 100000L)
+    // one wild outlier: the median pair still reads the clean slope
+    val outlier = Events.theilSen(
+      series(Seq(100, 200, 300, 1000000, 500)), "k", "x").collect().head
+    assert(outlier.getLong(3) === 100000L)
+    // two points: the single pair IS the median; negative slope floors
+    // through sign*abs, not toward -inf
+    val neg = Events.theilSen(series(Seq(10, 3)), "k", "x").collect().head
+    assert((neg.getLong(0), neg.getLong(1), neg.getLong(2),
+      neg.getLong(3)) === ((1L, -7L, 1L, -7000L)))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("rollingSlope: exact line slope, flat zero, partial windows suppressed") {
+    // 10 consecutive days, cents = 200/day increments -> slope 200000
+    val ev = (0 until 10).map(d =>
+      (d.toLong, 1L, f"2026-01-${d + 1}%02d 12:00:00", 2.0 * (d + 1)))
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = Events.rollingSlope(ev, "ts", "value").orderBy("day").collect()
+    // first 6 days suppressed: 10 - 6 full windows
+    assert(got.length === 4)
+    assert(got.forall(_.getLong(4) === 200000L))
+    // den for 7 consecutive days is the constant n·Σ(x-x̄)² = 7·28
+    assert(got.forall(_.getLong(3) === 196L))
+    // flat series reads exactly zero
+    val flat = (0 until 8).map(d =>
+      (d.toLong, 1L, f"2026-02-${d + 1}%02d 12:00:00", 5.0))
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val z = Events.rollingSlope(flat, "ts", "value").collect()
+    assert(z.length === 2 && z.forall(_.getLong(4) === 0L))
+  }
+
   test("pettitt: step series locates the shift, tie-to-earliest, U_n excluded") {
     def series(xs: Seq[Long]) =
       xs.zipWithIndex.map { case (x, i) => (i.toLong + 1, x) }.toDF("k", "x")
