@@ -3486,6 +3486,33 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // k-anonymity + l-diversity audit over (priority, status, day%7)
+    // quasi-identifiers with the customer as the sensitive column:
+    // exact equivalence-class sizes and distinct counts. Fully oracled.
+    "q_kanon" -> ((s, dir) =>
+      graft.operators.Relational.kAnonymity(
+        t(s, dir, "orders").withColumn("odow",
+          expr("unix_micros(o_orderdate) div 86400000000 % 7")),
+        Seq("o_orderpriority", "o_orderstatus", "odow"), "o_custkey", 10)
+        .orderBy("o_orderpriority", "o_orderstatus", "odow")),
+
+    // File-level provenance through a hive-partitioned layout: rows
+    // grouped by the slice directory their bytes came from, parsed out
+    // of input_file_name() in the scan — the lineage primitive. The
+    // oracle recomputes slice membership from the residue predicate.
+    // Fully oracled.
+    "q_provenance" -> ((s, dir) => {
+      val path = tmpPath("orders_sliced")
+      t(s, dir, "orders").select(col("o_orderkey"),
+          (col("o_orderkey") % 3).as("slice"))
+        .write.mode("overwrite").partitionBy("slice").parquet(path)
+      s.read.parquet(path)
+        .groupBy(regexp_extract(input_file_name(), "slice=(\\d+)", 1)
+          .as("slice_dir"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("slice_dir")
+    }),
+
     // Theil-Sen robust slope over daily revenue cents: lower median of
     // all pairwise slopes under a deterministic (ratio, dy, dx) order,
     // exact milli slope from the selected pair. Fully oracled.
@@ -7573,6 +7600,23 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       epoch_us(o_orderdate) // 86400000000 % 7 AS odow,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS l_diversity,
+        |       count(*) < 10 AS violates_k
+        |FROM orders GROUP BY 1, 2, 3
+        |ORDER BY o_orderpriority, o_orderstatus, odow""".stripMargin,
+
+    // slice membership recomputed from the residue predicate — the
+    // plan's input_file_name parse must agree with the written layout
+    "q_provenance" ->
+      """SELECT CAST(o_orderkey % 3 AS VARCHAR) AS slice_dir,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY slice_dir""".stripMargin,
 
     // lower median under (IEEE ratio, dy, dx) — the same exact-integer
     // division on both sides produces identical doubles, ties pinned

@@ -640,6 +640,31 @@ object Relational {
             as bigint) end""").as("v_micro"))
   }
 
+  /** k-anonymity + l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the pre-release privacy readout: rows group by their
+    * QUASI-IDENTIFIER combination (the columns a linker could join on),
+    * and each equivalence class reports its exact size (k-anonymity: a
+    * class below k re-identifies its members) and the exact DISTINCT
+    * count of the sensitive column (l-diversity: a k-large class that
+    * is sensitive-homogeneous still leaks — the homogeneity attack).
+    * `violates_k` flags classes below the bar; suppressing exactly
+    * those rows is the standard remediation, decided from this output.
+    *
+    * Scale: one partial-aggregated groupBy on the quasi columns plus a
+    * distinct-count — the same two-level shuffle every profiling op
+    * here pays; at extreme sensitive-cardinality swap the exact
+    * count-distinct for HLL and keep the l column approximate. Judged
+    * `q_kanon`, fully ORACLED; hand classes, boundary k, homogeneous-
+    * class l = 1 pinned in RelationalSpec. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need quasi cols and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("violates_k", col("class_size") < k)
+  }
+
   /** 2-D skyline (Pareto front / maximal-vector) — the multi-criteria
     * dominance filter (Börzsönyi, Kossmann, Stocker, ICDE 2001): with
     * both criteria MINIMIZED, a point is dominated iff another point

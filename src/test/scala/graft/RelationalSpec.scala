@@ -958,6 +958,23 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("kAnonymity: class sizes, boundary k, homogeneous class l=1") {
+    import spark.implicits._
+    val df = Seq(
+      ("z1", 30L, "flu"), ("z1", 30L, "flu"), ("z1", 30L, "cold"),
+      ("z2", 40L, "flu"), ("z2", 40L, "flu"),
+      ("z3", 50L, "cold"))
+      .toDF("zip", "age", "disease")
+    val got = kAnonymity(df, Seq("zip", "age"), "disease", 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // exactly k: not a violation (strict <)
+    assert(got("z1") === ((3L, 2L, false)))
+    // k-violating AND sensitive-homogeneous: the worst class
+    assert(got("z2") === ((2L, 1L, true)))
+    assert(got("z3") === ((1L, 1L, true)))
+  }
+
   test("skyline2d: hand frontier, duplicates kept, tied-axis edges") {
     import spark.implicits._
     val pts = Seq(
