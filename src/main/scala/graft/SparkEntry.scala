@@ -3486,6 +3486,38 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Functional-dependency discovery over four order columns: A -> B
+    // holds iff |distinct A| == |distinct (A,B)|, exact counts for the
+    // near-miss gap; the planted derived column o_stat2 must read as
+    // determined by o_orderstatus. Fully oracled.
+    "q_fd_discover" -> ((s, dir) =>
+      graft.operators.Relational.fdDiscover(
+        t(s, dir, "orders").withColumn("o_stat2",
+          concat(col("o_orderstatus"), lit("_x"))),
+        Seq("o_orderkey", "o_orderstatus", "o_stat2", "o_orderpriority"))
+        .orderBy("det", "dep")),
+
+    // NETWORKDAYS in closed form: epoch-day phase arithmetic + a 7x8
+    // literal prefix table, exact integers, scan-stage only. Order ->
+    // first-ship business-day lead times per priority. Fully oracled.
+    "q_busdays" -> ((s, dir) => {
+      val firstShip = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min(expr("unix_micros(l_shipdate) div 86400000000"))
+          .as("ship_d"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("ord_d"))
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          graft.operators.Relational.businessDaysBetween(
+            col("ord_d"), col("ship_d")).as("bd"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("bd")).as("busday_sum"),
+          max(col("bd")).as("busday_max"))
+        .orderBy("o_orderpriority")
+    }),
+
     // k-anonymity + l-diversity audit over (priority, status, day%7)
     // quasi-identifiers with the customer as the sensitive column:
     // exact equivalence-class sizes and distinct counts. Fully oracled.
@@ -7600,6 +7632,71 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // pair classes via DISTINCT subselects (cross-engine-safe null
+    // semantics are moot: the fixture columns are non-null)
+    "q_fd_discover" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |                  o_orderstatus || '_x' AS o_stat2,
+        |                  o_orderpriority
+        |           FROM orders),
+        |cols(det) AS (VALUES ('o_orderkey'), ('o_orderstatus'),
+        |                     ('o_stat2'), ('o_orderpriority')),
+        |u AS (SELECT 'o_orderkey' AS c,
+        |        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n FROM t
+        |      UNION ALL SELECT 'o_orderstatus',
+        |        CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM t
+        |      UNION ALL SELECT 'o_stat2',
+        |        CAST(count(DISTINCT o_stat2) AS BIGINT) FROM t
+        |      UNION ALL SELECT 'o_orderpriority',
+        |        CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM t),
+        |p AS (SELECT a.det AS det, b.det AS dep,
+        |        CAST((SELECT count(*) FROM (SELECT DISTINCT
+        |           CASE a.det WHEN 'o_orderkey' THEN CAST(o_orderkey AS VARCHAR)
+        |             WHEN 'o_orderstatus' THEN o_orderstatus
+        |             WHEN 'o_stat2' THEN o_stat2
+        |             ELSE o_orderpriority END,
+        |           CASE b.det WHEN 'o_orderkey' THEN CAST(o_orderkey AS VARCHAR)
+        |             WHEN 'o_orderstatus' THEN o_orderstatus
+        |             WHEN 'o_stat2' THEN o_stat2
+        |             ELSE o_orderpriority END
+        |           FROM t)) AS BIGINT) AS np
+        |      FROM cols a CROSS JOIN cols b WHERE a.det <> b.det)
+        |SELECT p.det, p.dep, u.n AS n_det_classes, p.np AS n_pair_classes,
+        |       u.n = p.np AS holds
+        |FROM p JOIN u ON p.det = u.c
+        |ORDER BY p.det, p.dep""".stripMargin,
+
+    // closed-form NETWORKDAYS: phase = epoch-day % 7 (day 0 =
+    // Thursday; weekend phases 2,3), prefix = 7x8 literal table
+    "q_busdays" ->
+      """WITH pf(i, v) AS (SELECT i, v FROM (SELECT
+        |        unnest(range(56)) AS i,
+        |        unnest([0,1,2,2,2,3,4,5,
+        |                0,1,1,1,2,3,4,5,
+        |                0,0,0,1,2,3,4,5,
+        |                0,0,1,2,3,4,5,5,
+        |                0,1,2,3,4,5,5,5,
+        |                0,1,2,3,4,4,4,5,
+        |                0,1,2,3,3,3,4,5]) AS v)),
+        |fs AS (SELECT l_orderkey,
+        |         min(epoch_us(l_shipdate) // 86400000000) AS ship_d
+        |       FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderpriority,
+        |        epoch_us(o_orderdate) // 86400000000 AS a,
+        |        ship_d AS b
+        |      FROM orders JOIN fs ON o_orderkey = l_orderkey),
+        |bd AS (SELECT o_orderpriority,
+        |         CASE WHEN a <= b THEN 1 ELSE -1 END
+        |         * ((greatest(a, b) - least(a, b)) // 7 * 5
+        |            + (SELECT v FROM pf WHERE i =
+        |               least(a, b) % 7 * 8
+        |               + (greatest(a, b) - least(a, b)) % 7)) AS bd
+        |       FROM j)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(bd) AS BIGINT) AS busday_sum,
+        |       CAST(max(bd) AS BIGINT) AS busday_max
+        |FROM bd GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q_kanon" ->
       """SELECT o_orderpriority, o_orderstatus,

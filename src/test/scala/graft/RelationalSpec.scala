@@ -958,6 +958,44 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("fdDiscover: planted dependency, violated pair, self-pairs excluded") {
+    import spark.implicits._
+    // b = f(a) so a->b holds; a has 6 classes, b has 2 -> b->a fails
+    val df = (0L until 6L).map(a => (a, a % 2, s"c${a % 3}"))
+      .toDF("a", "b", "c")
+    val got = fdDiscover(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size === 6) // 3 * 2 ordered pairs, no self-pairs
+    assert(got(("a", "b")) === ((6L, 6L, true)))
+    assert(got(("a", "c")) === ((6L, 6L, true)))
+    assert(got(("b", "a")) === ((2L, 6L, false)))
+    assert(got(("c", "b")) === ((3L, 6L, false)))
+  }
+
+  test("businessDaysBetween: pinned week walk, weekend start, negative mirror") {
+    import spark.implicits._
+    // epoch day 0 = Thursday 1970-01-01
+    val cases = Seq(
+      (0L, 0L, 0L),   // empty span
+      (0L, 1L, 1L),   // [Thu]
+      (0L, 2L, 2L),   // [Thu,Fri]
+      (0L, 3L, 2L),   // +Sat: no change
+      (0L, 4L, 2L),   // +Sun: no change
+      (0L, 5L, 3L),   // +Mon
+      (0L, 7L, 5L),   // one full week
+      (0L, 14L, 10L), // two full weeks
+      (2L, 4L, 0L),   // Sat..Sun only
+      (2L, 9L, 5L),   // Sat..next Sat: one work week
+      (5L, 0L, -3L))  // reversed: negated mirror of (0,5)
+    val got = cases.toDF("a", "b", "want")
+      .select(col("want"),
+        graft.operators.Relational.businessDaysBetween(col("a"), col("b"))
+          .as("bd"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(0), r.toString))
+  }
+
   test("kAnonymity: class sizes, boundary k, homogeneous class l=1") {
     import spark.implicits._
     val df = Seq(
