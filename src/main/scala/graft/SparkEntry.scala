@@ -3486,6 +3486,20 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Per-key top-3 WITHOUT a window: bounded top-k Aggregator rides
+    // hash aggregation's partial merge (exchange carries <= keys*k
+    // rows, never the table — the q_group_topn scale path); results
+    // window-identical by construction. Fully oracled.
+    "q_topk_agg" -> ((s, dir) =>
+      graft.operators.Relational.topKPerKey(
+        t(s, dir, "orders")
+          .select(col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("cents"),
+            col("o_orderkey")),
+        "status", "cents", "o_orderkey", 3)
+        .orderBy("key", "rank")),
+
     // Functional-dependency discovery over four order columns: A -> B
     // holds iff |distinct A| == |distinct (A,B)|, exact counts for the
     // near-miss gap; the planted derived column o_stat2 must read as
@@ -7632,6 +7646,19 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // the window form IS the oracle: identical (ord desc, tie asc)
+    // total order, rank = row_number
+    "q_topk_agg" ->
+      """WITH r AS (SELECT o_orderstatus AS key,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS ord,
+        |        o_orderkey AS tie,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |            DESC, o_orderkey) AS rank
+        |      FROM orders)
+        |SELECT key, CAST(rank AS INTEGER) AS rank, ord, tie FROM r
+        |WHERE rank <= 3 ORDER BY key, rank""".stripMargin,
 
     // pair classes via DISTINCT subselects (cross-engine-safe null
     // semantics are moot: the fixture columns are non-null)

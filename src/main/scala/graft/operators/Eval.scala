@@ -405,7 +405,7 @@ object Eval {
       df.select(col(keyCol).as("k"), col(xCol).as("x"), col(yCol).as("y")))
     val a = s.select(col("k").as("ka"), col("x").as("xa"), col("y").as("ya"))
     val b = s.select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"))
-    a.join(b, col("ka") < col("kb"))
+    a.join(broadcast(b), col("ka") < col("kb"))
       .agg(
         sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0, 1L)
           .otherwise(0L)).as("nc"),

@@ -1075,7 +1075,7 @@ object Events {
       series.select(col(keyCol).cast("long").as("k"),
         col(valueCol).cast("long").as("x")))
     val b = s.select(col("k").as("kb"), col("x").as("xb"))
-    val pairs = s.join(b, col("k") < col("kb"))
+    val pairs = s.join(broadcast(b), col("k") < col("kb"))
       .select((col("xb") - col("x")).as("dy"),
         (col("kb") - col("k")).as("dx"))
     val w = Window.orderBy(
@@ -1161,7 +1161,7 @@ object Events {
       series.select(col(keyCol).cast("long").as("k"),
         col(valueCol).cast("long").as("x")))
     val b = s.select(col("k").as("kb"), col("x").as("xb"))
-    val v = s.crossJoin(b)
+    val v = s.crossJoin(broadcast(b))
       .groupBy(col("k"))
       .agg(sum(signum(col("x") - col("xb")).cast("long")).as("__v"))
     val w = Window.orderBy("k").rowsBetween(Long.MinValue, 0)

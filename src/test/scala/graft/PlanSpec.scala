@@ -432,6 +432,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("topKPerKey plans ObjectHashAggregate partials, never a window") {
+    val plan = executedPlan(SparkEntry.queries("q_topk_agg")(spark, sfDir))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object hash aggregation:\n$plan")
+    // the whole point: no WindowExec and no full-data sort before the
+    // exchange — each task ships at most k rows per local key
+    assert(!plan.contains("Window"), s"window leaked into the plan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall

@@ -958,6 +958,34 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("topKPerKey: hand ranks, ties, short keys, window equality on random data") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5L, 1L), ("a", 9L, 2L), ("a", 9L, 3L), ("a", 1L, 4L),
+      ("b", 7L, 9L)) // fewer rows than k: all emitted
+      .toDF("k", "v", "id")
+    val got = topKPerKey(df, "k", "v", "id", 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // ties on ord break by tie asc: (9,2) then (9,3); 5 and 1 cut
+    assert(got(("a", 1)) === ((9L, 2L)) && got(("a", 2)) === ((9L, 3L)))
+    assert(got(("b", 1)) === ((7L, 9L)) && got.size === 3)
+    // random frame: exactly the window's top-k, every key
+    val rnd = new scala.util.Random(11)
+    val big = Seq.fill(500)((s"k${rnd.nextInt(7)}", rnd.nextInt(40).toLong,
+      rnd.nextLong().abs)).toDF("k", "v", "id")
+    val viaAgg = topKPerKey(big, "k", "v", "id", 4)
+      .select("key", "rank", "ord", "tie").as[(String, Int, Long, Long)]
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"k")
+      .orderBy($"v".desc, $"id")
+    val viaWindow = big
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 4)
+      .select($"k", $"rank", $"v", $"id").as[(String, Int, Long, Long)]
+      .collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("fdDiscover: planted dependency, violated pair, self-pairs excluded") {
     import spark.implicits._
     // b = f(a) so a->b holds; a has 6 classes, b has 2 -> b->a fails
