@@ -3486,6 +3486,69 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Exactly-once ACROSS RESTARTS: two AvailableNow runs share one
+    // checkpoint — run 2 processes only the file added in between, and
+    // the dedup state CARRIES, so a key seen in run 1 never re-emits
+    // with run 2's tag. The accumulated sink is judged against the
+    // first-slice-wins batch oracle. Fully oracled.
+    "q_stream_restart" -> ((s, dir) => {
+      val root = tmpPath("stream_restart")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      def run(): Unit = {
+        val q = s.readStream.schema("user_id BIGINT, tag STRING")
+          .parquet(s"$root/in")
+          .dropDuplicates("user_id")
+          .writeStream.format("parquet").option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      try {
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("user_id"), lit("A").as("tag")).distinct()
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+        run()
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("user_id"), lit("B").as("tag")).distinct()
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+        run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      readTable(s, s"$root/out").orderBy("user_id")
+    }),
+
+    // PERMISSIVE dirty-CSV ingest: malformed rows land in the corrupt-
+    // record column instead of killing the load; exact good/bad splits
+    // and good-row sums recomputed by the oracle from the injection
+    // predicate. Fully oracled.
+    "q_csv_dirty" -> ((s, dir) => {
+      val path = tmpPath("dirty_csv")
+      t(s, dir, "orders")
+        .select(when(col("o_orderkey") % 97 === 0,
+          concat(col("o_orderkey").cast("string"), lit(",notanumber")))
+          .otherwise(concat(col("o_orderkey").cast("string"), lit(","),
+            col("o_custkey").cast("string"))).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(s"$path/part-*.txt")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_bad"),
+          sum(when(col("_corrupt_record").isNull, col("o_orderkey"))
+            .otherwise(0L)).as("good_key_sum"),
+          sum(when(col("_corrupt_record").isNull, col("o_custkey"))
+            .otherwise(0L)).as("good_cust_sum"))
+    }),
+
     // Per-key top-3 WITHOUT a window: bounded top-k Aggregator rides
     // hash aggregation's partial merge (exchange carries <= keys*k
     // rows, never the table — the q_group_topn scale path); results
@@ -7646,6 +7709,31 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // first-slice-wins across the restart: a user with any even-id
+    // event keeps tag 'A' forever; only B-exclusive users read 'B'
+    "q_stream_restart" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_id % 2 = 0),
+        |b AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_id % 2 = 1)
+        |SELECT user_id, 'A' AS tag FROM a
+        |UNION ALL
+        |SELECT user_id, 'B' FROM b
+        |WHERE user_id NOT IN (SELECT user_id FROM a)
+        |ORDER BY user_id""".stripMargin,
+
+    // the injection predicate IS the oracle: %97 rows are corrupt (null
+    // custkey, corrupt-record set), everything else sums exactly
+    "q_csv_dirty" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_bad,
+        |       CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 0
+        |         ELSE o_orderkey END) AS BIGINT) AS good_key_sum,
+        |       CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 0
+        |         ELSE o_custkey END) AS BIGINT) AS good_cust_sum
+        |FROM orders""".stripMargin,
 
     // the window form IS the oracle: identical (ord desc, tie asc)
     // total order, rank = row_number
