@@ -3486,6 +3486,36 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Golden-record survivorship over the event changelog: per key,
+    // each column independently keeps its latest NON-NULL value (a
+    // later null never erases a survivor) via filtered struct-argmax —
+    // one shuffle, no window. Fully oracled.
+    "q_golden" -> ((s, dir) =>
+      graft.operators.Relational.goldenRecord(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v_cents"),
+          when(col("event_id") % 3 === 0, col("event_type")).as("v_type")),
+        "user_id", "ts", "event_id", Seq("v_cents", "v_type"))
+        .orderBy("key")),
+
+    // DAG validation: in_cycle iff the node reaches itself — transitive
+    // closure by path doubling (log-diameter barrier-cut rounds) vs the
+    // recursive-CTE self-reach oracle. Fully oracled.
+    "q_cycles" -> ((s, dir) => {
+      val core = t(s, dir, "orders")
+        .select((col("o_orderkey") % 200).as("s"),
+          (col("o_custkey") % 200).as("d"))
+      // fringe nodes point INTO the core and never receive: acyclic
+      val fringe = t(s, dir, "orders")
+        .select((col("o_orderkey") % 200 + 1000).as("s"),
+          (col("o_orderkey") % 200).as("d"))
+      graft.operators.Graph.cycleNodes(core.unionByName(fringe), "s", "d")
+        .orderBy("node")
+    }),
+
     // Exactly-once ACROSS RESTARTS: two AvailableNow runs share one
     // checkpoint — run 2 processes only the file added in between, and
     // the dedup state CARRIES, so a key seen in run 1 never re-emits
@@ -7709,6 +7739,51 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // per-column latest-non-null windows mirror the struct argmax;
+    // ties (same instant) break by event_id descending both sides
+    "q_golden" ->
+      """WITH base AS (SELECT user_id AS key, ts, event_id,
+        |        CASE WHEN event_type = 'purchase'
+        |          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END
+        |          AS v_cents,
+        |        CASE WHEN event_id % 3 = 0 THEN event_type END AS v_type
+        |      FROM events),
+        |nv AS (SELECT key, CAST(count(*) AS BIGINT) AS n_versions
+        |       FROM base GROUP BY 1),
+        |c1 AS (SELECT key, v_cents FROM (
+        |         SELECT key, v_cents, row_number() OVER (PARTITION BY key
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |         FROM base WHERE v_cents IS NOT NULL) WHERE rn = 1),
+        |c2 AS (SELECT key, v_type FROM (
+        |         SELECT key, v_type, row_number() OVER (PARTITION BY key
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |         FROM base WHERE v_type IS NOT NULL) WHERE rn = 1)
+        |SELECT nv.key, n_versions, c1.v_cents, c2.v_type
+        |FROM nv LEFT JOIN c1 ON nv.key = c1.key
+        |LEFT JOIN c2 ON nv.key = c2.key
+        |ORDER BY nv.key""".stripMargin,
+
+    // self-reach over the recursive closure; nodes = edge endpoints.
+    // NOTE: under WITH RECURSIVE DuckDB treats ANY top-level-UNION cte
+    // as recursive (a bare `a UNION b` node list silently iterates) —
+    // the node cte must keep its UNION inside a subquery
+    "q_cycles" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT o_orderkey % 200 AS u, o_custkey % 200 AS v FROM orders
+        |    UNION ALL
+        |    SELECT o_orderkey % 200 + 1000, o_orderkey % 200 FROM orders)),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |n AS (SELECT DISTINCT node FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+        |sr AS (SELECT DISTINCT u AS node FROM reach WHERE u = v)
+        |SELECT n.node, sr.node IS NOT NULL AS in_cycle
+        |FROM n LEFT JOIN sr ON n.node = sr.node
+        |ORDER BY n.node""".stripMargin,
 
     // first-slice-wins across the restart: a user with any even-id
     // event keeps tag 'A' forever; only B-exclusive users read 'B'

@@ -772,6 +772,31 @@ object Relational {
     when(startDay <= endDay, mag).otherwise(-mag)
   }
 
+  /** Golden-record survivorship merge — the MDM consolidation step
+    * over a keyed CHANGELOG: one row per key where each value column
+    * independently takes its LATEST NON-NULL value (by (ts, tie)
+    * descending — a later row with a null column does NOT erase the
+    * survivor, which is exactly how update feeds behave), plus the
+    * version count. [[scd2FromChanges]] keeps the history; this emits
+    * the head. Nulls-never-overwrite is the one rule plain
+    * `last(col)` gets wrong.
+    *
+    * Implementation: per column, `max(struct(ts, tie, v))` FILTERED to
+    * non-null v — struct max is lexicographic, so the argmax rides
+    * ordinary partial aggregation: ONE key-shuffle for every column
+    * together, no window, no per-column join. Judged `q_golden`,
+    * fully ORACLED (per-column latest-non-null windows); null-skip,
+    * all-null column, tie determinism pinned in RelationalSpec. */
+  def goldenRecord(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "no value columns given")
+    val aggs = count(lit(1)).as("n_versions") +: valueCols.map(c =>
+      max(when(col(c).isNotNull,
+        struct(col(tsCol).as("t"), col(tieCol).as("i"), col(c).as("v"))))
+        .getField("v").as(c))
+    df.groupBy(col(keyCol).as("key")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** k-anonymity + l-diversity audit (Sweeney 2002; Machanavajjhala et
     * al. 2007) — the pre-release privacy readout: rows group by their
     * QUASI-IDENTIFIER combination (the columns a linker could join on),

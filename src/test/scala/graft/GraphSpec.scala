@@ -387,4 +387,25 @@ class GraphSpec extends SparkTestBase {
       Graph.linkFeatures(star.toDF("src", "dst"), "src", "dst", 0))
     graft.engine.Caches.releaseAll()
   }
+
+  test("cycleNodes: DAG all-false, ring, self-loop, bridge between cycles") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]): Map[Long, Boolean] =
+      Graph.cycleNodes(edges.toDF("s", "d"), "s", "d").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // pure DAG: a diamond — nothing reaches itself
+    assert(run(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+      .forall(!_._2))
+    // a 3-ring plus a dangling tail: ring true, tail false
+    val ring = run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L)))
+    assert(ring(1L) && ring(2L) && ring(3L) && !ring(9L))
+    // self-loop is a cycle by definition
+    assert(run(Seq((5L, 5L), (5L, 6L)))(5L) === true)
+    // a node BRIDGING two cycles lies between them, not ON one
+    val bridge = run(Seq((1L, 2L), (2L, 1L), (2L, 5L), (5L, 3L),
+      (3L, 4L), (4L, 3L)))
+    assert(bridge(1L) && bridge(2L) && bridge(3L) && bridge(4L))
+    assert(!bridge(5L))
+    graft.engine.Caches.releaseAll()
+  }
 }

@@ -958,6 +958,31 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("goldenRecord: null-skip survivorship, all-null column, tie determinism") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val log = Seq(
+      (1L, at(1), 1L, Option("x"), Option.empty[String]),
+      (1L, at(2), 2L, Option.empty[String], Option("p")),
+      // later row with null a must NOT erase the survivor "y" below
+      (1L, at(3), 3L, Option("y"), Option.empty[String]),
+      (1L, at(4), 4L, Option.empty[String], Option.empty[String]),
+      // key 2: column b never set -> null in the golden record
+      (2L, at(1), 5L, Option("z"), Option.empty[String]),
+      // key 3: same-instant tie -> larger event_id wins
+      (3L, at(1), 6L, Option("old"), None),
+      (3L, at(1), 7L, Option("new"), None))
+      .toDF("k", "ts", "id", "a", "b")
+    val got = goldenRecord(log, "k", "ts", "id", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2)), Option(r.getString(3)))))
+      .toMap
+    assert(got(1L) === ((4L, Some("y"), Some("p"))))
+    assert(got(2L) === ((1L, Some("z"), None)))
+    assert(got(3L) === ((2L, Some("new"), None)))
+  }
+
   test("topKPerKey: hand ranks, ties, short keys, window equality on random data") {
     import spark.implicits._
     val df = Seq(
