@@ -3486,6 +3486,27 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Missingness co-occurrence over predicate-injected nulls: exact
+    // 2x2 null-indicator tables per column pair in ONE aggregate pass.
+    // Fully oracled.
+    "q_missing_pairs" -> ((s, dir) =>
+      graft.operators.Relational.missingnessPairs(
+        t(s, dir, "orders").select(
+          when(col("o_orderkey") % 3 =!= 0, col("o_custkey")).as("a"),
+          when(col("o_orderkey") % 6 =!= 0, col("o_totalprice")).as("b"),
+          when(col("o_orderkey") % 5 =!= 1, col("o_orderstatus")).as("c")),
+        Seq("a", "b", "c"))
+        .orderBy("col_a", "col_b")),
+
+    // Per-column Shannon entropy (nats, micro-quantized per value then
+    // summed — order-independent): key-like ~ ln(n), skewed < uniform.
+    // Fully oracled.
+    "q_col_entropy" -> ((s, dir) =>
+      graft.operators.Relational.columnEntropy(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderpriority", "o_orderstatus"))
+        .orderBy("col_name")),
+
     // Golden-record survivorship over the event changelog: per key,
     // each column independently keeps its latest NON-NULL value (a
     // later null never erases a survivor) via filtered struct-argmax —
@@ -7739,6 +7760,87 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // the 2x2 null tables, spelled per pair
+    "q_missing_pairs" ->
+      """WITH t AS (SELECT
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_custkey END AS a,
+        |    CASE WHEN o_orderkey % 6 <> 0 THEN o_totalprice END AS b,
+        |    CASE WHEN o_orderkey % 5 <> 1 THEN o_orderstatus END AS c
+        |  FROM orders)
+        |SELECT 'a' AS col_a, 'b' AS col_b,
+        |  CAST(sum(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_both_null,
+        |  CAST(sum(CASE WHEN a IS NULL AND b IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_a_only,
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND b IS NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_b_only,
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_neither
+        |FROM t
+        |UNION ALL
+        |SELECT 'a', 'c',
+        |  CAST(sum(CASE WHEN a IS NULL AND c IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN a IS NULL AND c IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT),
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND c IS NULL THEN 1 ELSE 0
+        |    END) AS BIGINT),
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND c IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT)
+        |FROM t
+        |UNION ALL
+        |SELECT 'b', 'c',
+        |  CAST(sum(CASE WHEN b IS NULL AND c IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN b IS NULL AND c IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT),
+        |  CAST(sum(CASE WHEN b IS NOT NULL AND c IS NULL THEN 1 ELSE 0
+        |    END) AS BIGINT),
+        |  CAST(sum(CASE WHEN b IS NOT NULL AND c IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT)
+        |FROM t
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    // per-value micro terms then exact sums; string-cast values so a
+    // numeric key column shares the code path
+    "q_col_entropy" ->
+      """WITH g1 AS (SELECT CAST(o_orderkey AS VARCHAR) AS v,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM orders GROUP BY 1),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g1),
+        |e1 AS (SELECT n, CAST(count(*) AS BIGINT) AS ndv,
+        |         CAST(sum(CAST(floor(
+        |           -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |       FROM g1 CROSS JOIN n1 GROUP BY n),
+        |g2 AS (SELECT CAST(o_orderpriority AS VARCHAR) AS v,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM orders GROUP BY 1),
+        |n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g2),
+        |e2 AS (SELECT n, CAST(count(*) AS BIGINT) AS ndv,
+        |         CAST(sum(CAST(floor(
+        |           -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |       FROM g2 CROSS JOIN n2 GROUP BY n),
+        |g3 AS (SELECT CAST(o_orderstatus AS VARCHAR) AS v,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM orders GROUP BY 1),
+        |n3 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g3),
+        |e3 AS (SELECT n, CAST(count(*) AS BIGINT) AS ndv,
+        |         CAST(sum(CAST(floor(
+        |           -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |       FROM g3 CROSS JOIN n3 GROUP BY n)
+        |SELECT 'o_orderkey' AS col_name, n, ndv, entropy_micro FROM e1
+        |UNION ALL
+        |SELECT 'o_orderpriority', n, ndv, entropy_micro FROM e2
+        |UNION ALL
+        |SELECT 'o_orderstatus', n, ndv, entropy_micro FROM e3
+        |ORDER BY col_name""".stripMargin,
 
     // per-column latest-non-null windows mirror the struct argmax;
     // ties (same instant) break by event_id descending both sides

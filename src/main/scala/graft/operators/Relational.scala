@@ -772,6 +772,76 @@ object Relational {
     when(startDay <= endDay, mag).otherwise(-mag)
   }
 
+  /** Missingness co-occurrence — the null-PATTERN half of profiling
+    * (`profile` reports per-column null rates; this reports which
+    * columns go null TOGETHER): for every ordered column pair, the
+    * exact 2×2 null-indicator table (n11 both null, n10 only A, n01
+    * only B, n00 neither). Jointly-missing columns expose a shared
+    * upstream failure (one source feed, one parser branch); a column
+    * null only when another is PRESENT exposes conditional schemas.
+    * All counts in ONE aggregate pass — pairs expand as sum(when)
+    * expressions over the null indicators, no Expand, no shuffle
+    * beyond the single 1-row aggregate.
+    *
+    * Judged `q_missing_pairs` (predicate-injected nulls), fully
+    * ORACLED; hand patterns and the marginal identities pinned in
+    * RelationalSpec. */
+  def missingnessPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"profiling column list of 2..8 expected: ${cols.size}")
+    val session = df.sparkSession
+    import session.implicits._
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.flatMap { case (a, b) =>
+      def cell(pa: Boolean, pb: Boolean) =
+        sum(when(col(a).isNull === pa && col(b).isNull === pb, 1L)
+          .otherwise(0L)).as(s"__${a}_${b}_${if (pa) 1 else 0}${if (pb) 1 else 0}")
+      Seq(cell(true, true), cell(true, false), cell(false, true),
+        cell(false, false))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    pairs.map { case (a, b) =>
+      (a, b, row.getAs[Long](s"__${a}_${b}_11"),
+        row.getAs[Long](s"__${a}_${b}_10"),
+        row.getAs[Long](s"__${a}_${b}_01"),
+        row.getAs[Long](s"__${a}_${b}_00"))
+    }.toDF("col_a", "col_b", "n_both_null", "n_a_only", "n_b_only",
+      "n_neither")
+  }
+
+  /** Per-column Shannon entropy (value-distribution, nats) — the
+    * spread-vs-skew profiling number next to `profile`'s counts: a
+    * key-like column reads ln(n), a constant column 0, and the gap to
+    * ln(ndv) reads how UNEVEN the distribution is (join-skew and
+    * low-information columns fall out immediately). Per column, terms
+    * `⌊−(c/n)·ln(c/n)·10⁶⌋` quantize per distinct VALUE and then sum —
+    * quantized sums are order-independent (the chi2Summary rule), the
+    * ln rides the q_keywords judged-double precedent. Nulls count as
+    * a regular value (missingness IS information here).
+    *
+    * Scale: one partial-aggregated groupBy per column over the value
+    * distribution (vocab-scale after map-side combine), unioned;
+    * never a global collect. Judged `q_col_entropy`, fully ORACLED;
+    * constant-zero, uniform-ln(k) and skew ordering pinned in
+    * RelationalSpec. */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    cols.map { c =>
+      val per = df.groupBy(col(c).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val tot = broadcast(per.agg(sum(col("__c")).as("__n")))
+      per.crossJoin(tot)
+        .select(col("__n"),
+          floor(-(col("__c").cast("double") / col("__n").cast("double")) *
+            log(col("__c").cast("double") / col("__n").cast("double")) *
+            lit(1000000.0)).cast("long").as("__t"))
+        .groupBy(col("__n"))
+        .agg(count(lit(1)).as("ndv"), sum(col("__t")).as("entropy_micro"))
+        .select(lit(c).as("col_name"), col("__n").as("n"), col("ndv"),
+          col("entropy_micro"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Golden-record survivorship merge — the MDM consolidation step
     * over a keyed CHANGELOG: one row per key where each value column
     * independently takes its LATEST NON-NULL value (by (ts, tie)

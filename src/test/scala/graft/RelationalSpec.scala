@@ -958,6 +958,35 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("missingnessPairs: hand cells, marginal identity") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option("x")), (Option.empty[Long], Option("y")),
+      (Option.empty[Long], Option.empty[String]), (Option(2L), None),
+      (Option(3L), Option("z")))
+      .toDF("a", "b")
+    val r = missingnessPairs(df, Seq("a", "b")).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      === ((1L, 1L, 1L, 2L)))
+    assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) === 5L)
+  }
+
+  test("columnEntropy: constant zero, uniform ln(k), skew below uniform") {
+    import spark.implicits._
+    val df = (0 until 8).map(i =>
+      ("same", s"u${i % 4}", if (i < 7) "heavy" else "rare"))
+      .toDF("const", "uni", "skew")
+    val got = columnEntropy(df, Seq("const", "uni", "skew")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("const") === ((8L, 1L, 0L)))
+    // 4 uniform values: 4 * floor(0.25 * ln(4) * 1e6)
+    assert(got("uni") === ((8L, 4L, 4L * 346573L)))
+    // 7/1 split: floor-quantized terms, strictly below the 2-uniform
+    assert(got("skew")._3 === 116839L + 259930L)
+    assert(got("skew")._3 < 693147L)
+  }
+
   test("goldenRecord: null-skip survivorship, all-null column, tie determinism") {
     import spark.implicits._
     import java.sql.Timestamp
