@@ -3486,6 +3486,48 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // SCD Type-3 head: per key the current value, the one DISTINCT
+    // state before it (consecutive dups collapse), and the change
+    // instant — deterministic under same-instant changes via the
+    // (ts, event_id) total order. Fully oracled.
+    "q_scd3" -> ((s, dir) =>
+      graft.operators.Relational.scd3Head(
+        t(s, dir, "events").select("user_id", "event_type", "ts",
+          "event_id"),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id")),
+
+    // Bitemporal readout: transaction-time travel (readVersion) x
+    // valid-time predicate over a versioned SCD table — a late
+    // correction upserted at v2 rewrites a CLOSED period, visible only
+    // under tx=2 at the corrected instant. All sums recomputed by the
+    // oracle from id arithmetic. Fully oracled.
+    "q_bitemporal" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val root = tmpPath("vtable_bitemporal")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val keys = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").as("k"))
+      val v1 = keys.select(col("k"), (col("k") * 10).as("value"),
+          lit(0L).as("valid_from"), lit(100L).as("valid_to"))
+        .unionByName(keys.select(col("k"), (col("k") * 10 + 1).as("value"),
+          lit(100L).as("valid_from"), lit(10000L).as("valid_to")))
+      VersionedTable.create(s, root, v1)
+      VersionedTable.upsert(s, root,
+        keys.filter(col("k") % 10 === 0)
+          .select(col("k"), (col("k") * 10 + 5).as("value"),
+            lit(0L).as("valid_from"), lit(100L).as("valid_to")),
+        Seq("k", "valid_from"))
+      Seq((1, 50L), (1, 150L), (2, 50L), (2, 150L)).map { case (tx, t0) =>
+        VersionedTable.readVersion(s, root, tx)
+          .filter(col("valid_from") <= t0 && col("valid_to") > t0)
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+          .select(lit(tx).as("tx_version"), lit(t0).as("valid_t"),
+            col("n"), col("value_sum"))
+      }.reduce(_.unionByName(_)).orderBy("tx_version", "valid_t")
+    }),
+
     // Missingness co-occurrence over predicate-injected nulls: exact
     // 2x2 null-indicator tables per column pair in ONE aggregate pass.
     // Fully oracled.
@@ -7760,6 +7802,43 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // windows evaluate after WHERE: prev computed pre-filter in c,
+    // the desc rank over the collapsed rows only
+    "q_scd3" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |d AS (SELECT user_id, event_type, ts,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM c WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |       max(CASE WHEN rn = 1 THEN event_type END) AS current_value,
+        |       max(CASE WHEN rn = 2 THEN event_type END) AS prev_value,
+        |       max(CASE WHEN rn = 1 THEN ts END) AS changed_at
+        |FROM d WHERE rn <= 2 GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // v1 values are pure id arithmetic; the v2 correction touches only
+    // k % 10 = 0 in the [0,100) period
+    "q_bitemporal" ->
+      """WITH k AS (SELECT doc_id AS k FROM documents WHERE doc_id < 200)
+        |SELECT CAST(1 AS INTEGER) AS tx_version,
+        |       CAST(50 AS BIGINT) AS valid_t,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k * 10) AS BIGINT) AS value_sum FROM k
+        |UNION ALL
+        |SELECT 1, 150, CAST(count(*) AS BIGINT),
+        |       CAST(sum(k * 10 + 1) AS BIGINT) FROM k
+        |UNION ALL
+        |SELECT 2, 50, CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN k % 10 = 0 THEN k * 10 + 5
+        |                     ELSE k * 10 END) AS BIGINT) FROM k
+        |UNION ALL
+        |SELECT 2, 150, CAST(count(*) AS BIGINT),
+        |       CAST(sum(k * 10 + 1) AS BIGINT) FROM k
+        |ORDER BY tx_version, valid_t""".stripMargin,
 
     // the 2x2 null tables, spelled per pair
     "q_missing_pairs" ->

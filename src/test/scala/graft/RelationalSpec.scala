@@ -958,6 +958,27 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("scd3Head: dup collapse, never-changed null, same-instant tiebreak") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val log = Seq(
+      (1L, "A", at(1), 1L), (1L, "A", at(2), 2L), // re-stated: no change
+      (1L, "B", at(3), 3L), (1L, "B", at(4), 4L),
+      (1L, "C", at(5), 5L),
+      (2L, "X", at(1), 6L),
+      (3L, "A", at(1), 7L), (3L, "B", at(1), 8L)) // same instant
+      .toDF("k", "v", "ts", "id")
+    val got = scd3Head(log, "k", "v", "ts", "id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2)), r.getTimestamp(3))))
+      .toMap
+    assert(got(1L) === (("C", Some("B"), at(5))))
+    assert(got(2L) === (("X", None, at(1))))
+    // (ts, id) total order: id 8 is current, id 7 is previous
+    assert(got(3L) === (("B", Some("A"), at(1))))
+  }
+
   test("missingnessPairs: hand cells, marginal identity") {
     import spark.implicits._
     val df = Seq(
