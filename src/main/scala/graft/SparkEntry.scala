@@ -3486,6 +3486,22 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Rare-category collapse: top-10 customers by exact count keep
+    // their identity, the long tail folds to __other__; final
+    // histogram conserves total mass. Fully oracled.
+    "q_rare_collapse" -> ((s, dir) =>
+      graft.operators.Relational.rareCollapse(
+        t(s, dir, "orders").select(col("o_custkey")), "o_custkey", 10)
+        .orderBy("category")),
+
+    // Smoothed target encoding (m = 20 pseudo-counts toward the global
+    // mean): exact DECIMAL(38,0) integer ratio, no floats judged.
+    // Fully oracled.
+    "q_target_enc" -> ((s, dir) =>
+      graft.operators.Relational.targetEncode(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice", 20)
+        .orderBy("category")),
+
     // SCD Type-3 head: per key the current value, the one DISTINCT
     // state before it (consecutive dups collapse), and the change
     // instant — deterministic under same-instant changes via the
@@ -7802,6 +7818,35 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // string tiebreak is binary-collated in both engines
+    "q_rare_collapse" ->
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS cat,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT cat, n,
+        |        row_number() OVER (ORDER BY n DESC, cat) AS rn FROM c)
+        |SELECT CASE WHEN rn <= 10 THEN cat ELSE '__other__' END
+        |         AS category,
+        |       CAST(sum(n) AS BIGINT) AS n
+        |FROM r GROUP BY 1 ORDER BY category""".stripMargin,
+
+    // HUGEINT mirrors the plan's DECIMAL(38,0) widening; every divided
+    // quantity non-negative so // == div
+    "q_target_enc" ->
+      """WITH per AS (SELECT o_orderpriority AS category,
+        |        CAST(count(*) AS BIGINT) AS n_c,
+        |        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS sum_cents
+        |      FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n,
+        |               CAST(sum(sum_cents) AS BIGINT) AS s FROM per)
+        |SELECT category, n_c, sum_cents,
+        |       CAST((CAST(n AS HUGEINT) * sum_cents
+        |             + 20 * CAST(s AS HUGEINT)) * 1000000
+        |         // (CAST(n AS HUGEINT) * (n_c + 20)) AS BIGINT)
+        |         AS enc_micro
+        |FROM per CROSS JOIN tot ORDER BY category""".stripMargin,
 
     // windows evaluate after WHERE: prev computed pre-filter in c,
     // the desc rank over the collapsed rows only

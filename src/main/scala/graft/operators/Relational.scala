@@ -772,6 +772,64 @@ object Relational {
     when(startDay <= endDay, mag).otherwise(-mag)
   }
 
+  /** Rare-category collapse — the long-tail featurization step: keep
+    * the top-k categories by exact count (ties by value — pinned) and
+    * fold everything else into `__other__`, reporting the final
+    * category histogram. The high-cardinality-categorical prep every
+    * tabular model needs (one-hot/target encoding explode without it);
+    * the k+1-th histogram row also IS the tail-mass readout.
+    *
+    * Scale: one partial-aggregated count to the VOCAB-scale category
+    * relation; the rank runs over that relation (the q_vocab rule —
+    * vocabulary, not corpus), the collapse is a projection + second
+    * config-scale aggregate. Judged `q_rare_collapse`, fully ORACLED;
+    * boundary k, tie order and tail-mass conservation pinned in
+    * RelationalSpec. */
+  def rareCollapse(df: DataFrame, catCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("__n"))
+    counts
+      .withColumn("__rn",
+        row_number().over(W.orderBy(col("__n").desc, col("cat"))))
+      .select(when(col("__rn") <= k, col("cat")).otherwise("__other__")
+        .as("category"), col("__n"))
+      .groupBy("category").agg(sum(col("__n")).as("n"))
+  }
+
+  /** Smoothed target encoding (the CatBoost/mean-encoding staple) —
+    * each category's label mean shrunk toward the GLOBAL mean by a
+    * pseudo-count `m`: `enc = (Σ_c + m·μ)/(n_c + m)` — rare categories
+    * read ≈ the global mean, frequent ones ≈ their own. Computed as
+    * the EXACT integer ratio `(n·Σ_c + m·S)·10⁶ div (n·(n_c + m))` in
+    * DECIMAL(38,0) (three data-scale factors — the q_gini widening
+    * rule; the final micro is BIGINT), so the judged compare never
+    * touches a float. Fold-out-of-sample variants (leave-one-out, CV
+    * folds) ride the same arithmetic per fold — documented, not built.
+    *
+    * Scale: one partial agg to per-category (n_c, Σ_c), one 1-row
+    * broadcast of (n, S); everything after is per-category arithmetic.
+    * Judged `q_target_enc`, fully ORACLED; exact shrink identities
+    * (m=0 ⇒ category mean, huge m ⇒ global mean) pinned in
+    * RelationalSpec. */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: String,
+      smoothing: Int): DataFrame = {
+    require(smoothing >= 0, s"smoothing >= 0: $smoothing")
+    val per = df.select(col(catCol).cast("string").as("category"),
+        floor(col(labelCol) * 100 + lit(0.5)).cast("long").as("__c"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_c"), sum(col("__c")).as("sum_cents"))
+    val tot = broadcast(per.agg(sum(col("n_c")).as("__n"),
+      sum(col("sum_cents")).as("__s")))
+    per.crossJoin(tot)
+      .select(col("category"), col("n_c"), col("sum_cents"),
+        expr(s"""cast((cast(__n as decimal(38,0)) * sum_cents
+            + $smoothing * cast(__s as decimal(38,0))) * 1000000
+          div (cast(__n as decimal(38,0)) * (n_c + $smoothing))
+          as bigint)""").as("enc_micro"))
+  }
+
   /** Missingness co-occurrence — the null-PATTERN half of profiling
     * (`profile` reports per-column null rates; this reports which
     * columns go null TOGETHER): for every ordered column pair, the

@@ -958,6 +958,35 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("rareCollapse: top-k kept, tie order, tail mass conserved") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("cat")
+    val got = rareCollapse(df, "cat", 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 5L, "b" -> 3L, "__other__" -> 2L))
+    assert(got.values.sum === 10L)
+    // equal-count tie at the k boundary: 'c' < 'd' keeps c
+    val tie = rareCollapse(df, "cat", 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tie("c") === 1L && tie("__other__") === 1L && !tie.contains("d"))
+  }
+
+  test("targetEncode: m=0 is the category mean, hand shrink values") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("cat", "y")
+    val m0 = targetEncode(df, "cat", "y", 0).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m0 === Map("a" -> 200000000L, "b" -> 500000000L))
+    val m1 = targetEncode(df, "cat", "y", 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // (3*400 + 900)*1e6 div 9 and (3*500 + 900)*1e6 div 6
+    assert(m1("a") === ((2L, 400L, 233333333L)))
+    assert(m1("b") === ((1L, 500L, 400000000L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("scd3Head: dup collapse, never-changed null, same-instant tiebreak") {
     import spark.implicits._
     import java.sql.Timestamp
