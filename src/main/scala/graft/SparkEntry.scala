@@ -3486,6 +3486,15 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Per-doc novelty: distinct shingles appearing FIRST in this doc
+    // (min-id first-occurrence) vs total — the corpus-saturation
+    // health metric. Kernel hashes in the plan, string shingles in the
+    // oracle. Fully oracled.
+    "q_novelty" -> ((s, dir) =>
+      graft.operators.Dedup.noveltyCurve(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+
     // Rare-category collapse: top-10 customers by exact count keep
     // their identity, the long tail folds to __other__; final
     // histogram conserves total mass. Fully oracled.
@@ -7818,6 +7827,21 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // the q_cc_labels shingle CTE: 3-token windows over single-space
+    // splits, DISTINCT per doc; docs under 3 tokens emit nothing
+    "q_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |f AS (SELECT s, min(doc_id) AS first FROM sh GROUP BY 1)
+        |SELECT sh.doc_id AS id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN f.first = sh.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel
+        |FROM sh JOIN f ON sh.s = f.s GROUP BY 1 ORDER BY id""".stripMargin,
 
     // string tiebreak is binary-collated in both engines
     "q_rare_collapse" ->

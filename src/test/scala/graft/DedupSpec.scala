@@ -329,4 +329,19 @@ class DedupSpec extends SparkTestBase {
     assert(none.count() === 0L)
     graft.engine.Caches.releaseAll()
   }
+
+  test("noveltyCurve: fresh/duplicate/overlap fractions, short docs absent") {
+    val docs = Seq(
+      (0L, "a b c d"),  // 2 shingles, both first here
+      (1L, "a b c d"),  // exact dup: 2 shingles, 0 novel
+      (2L, "x y z"),    // disjoint single shingle, novel
+      (3L, "b c d e"),  // "b c d" seen in doc 0, "c d e" new
+      (4L, "hi"))       // under 3 tokens: no shingles, absent
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyCurve(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(0L -> ((2L, 2L)), 1L -> ((2L, 0L)),
+      2L -> ((1L, 1L)), 3L -> ((2L, 1L))))
+    graft.engine.Caches.releaseAll()
+  }
 }
