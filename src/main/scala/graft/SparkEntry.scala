@@ -3486,6 +3486,25 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Cooldown throttling per user (10-min keep-first greedy — the
+    // state is the last KEPT row, inexpressible as a window): every
+    // event emitted with its verdict. Fully oracled via the
+    // recursive-CTE greedy replay.
+    "q_throttle" -> ((s, dir) =>
+      graft.operators.Events.throttleEvents(
+        t(s, dir, "events").select("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", 600L)
+        .orderBy("event_id")),
+
+    // Wilson score intervals for per-type high-value rates: exact
+    // (k, n), IEEE-pinned interval arithmetic, micro-floored bounds.
+    // Fully oracled.
+    "q_wilson" -> ((s, dir) =>
+      graft.operators.Eval.wilsonIntervals(
+        t(s, dir, "events").withColumn("hi", col("value") > 150),
+        "event_type", "hi")
+        .orderBy("grp")),
+
     // Per-doc novelty: distinct shingles appearing FIRST in this doc
     // (min-id first-occurrence) vs total — the corpus-saturation
     // health metric. Kernel hashes in the plan, string shingles in the
@@ -7827,6 +7846,55 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // greedy keep-first replay: last KEPT instant carries through the
+    // recursion; boundary ts == last_kept + cooldown is KEPT (>=)
+    "q_throttle" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w(user_id, event_id, rn, last_kept, kept) AS (
+        |  SELECT user_id, event_id, rn, epoch_us(ts), TRUE
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.rn,
+        |         CASE WHEN epoch_us(r.ts) >= w.last_kept + 600000000
+        |              THEN epoch_us(r.ts) ELSE w.last_kept END,
+        |         epoch_us(r.ts) >= w.last_kept + 600000000
+        |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |SELECT user_id, event_id, kept FROM w
+        |ORDER BY event_id""".stripMargin,
+
+    // interval arithmetic mirrored token-for-token; 1.96*1.96 is
+    // computed (not a rounded literal) so both engines share the bits
+    "q_wilson" ->
+      """WITH g AS (SELECT event_type AS grp,
+        |        CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS k,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1)
+        |SELECT grp, k, n,
+        |  CAST(floor((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+        |      - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |          + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE)
+        |            * CAST(n AS DOUBLE))))
+        |    / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS lo_micro,
+        |  CAST(floor((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+        |      + 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |          + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE)
+        |            * CAST(n AS DOUBLE))))
+        |    / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS hi_micro
+        |FROM g ORDER BY grp""".stripMargin,
 
     // the q_cc_labels shingle CTE: 3-token windows over single-space
     // splits, DISTINCT per doc; docs under 3 tokens emit nothing

@@ -1137,6 +1137,50 @@ object Events {
           " div (__n * __sxx - __sx * __sx))").as("slope_milli_per_day"))
   }
 
+  /** Cooldown throttling — keep-first-within-window dedup: per key in
+    * (ts, tie) order, a row is KEPT iff it is the key's first or at
+    * least `cooldownSeconds` after the last KEPT row (the state is the
+    * kept row, not the previous row — which is why no window/lag can
+    * express it: alert throttling, notification rate limits,
+    * debounced sensors all need exactly this greedy). Every row is
+    * emitted with its verdict so the drop volume is visible. Same
+    * sequential-kernel shape as [[ewma]]: one hash repartition, one
+    * `mapPartitions` fold, state = one long per key. Comparisons are
+    * exact epoch-micros integers (`ts ≥ last_kept + cooldown`,
+    * boundary INCLUSIVE — pinned). Judged `q_throttle`, fully ORACLED
+    * (the recursive-CTE greedy replay); hand cadence, boundary
+    * instant, key isolation pinned in EventsSpec. */
+  def throttleEvents(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, cooldownSeconds: Long): DataFrame = {
+    require(cooldownSeconds > 0, s"cooldownSeconds > 0: $cooldownSeconds")
+    val cdMicros = cooldownSeconds * 1000000L
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("long"), col(tsCol), col(tieCol).cast("long"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(tieCol))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var lastKept = 0L
+        it.map { case (k, ts, tie) =>
+          // exact epoch micros: whole seconds from getTime, sub-second
+          // from nanos (getTime's millis would double-count them)
+          val micros = math.floorDiv(ts.getTime, 1000L) * 1000000L +
+            ts.getNanos / 1000
+          val kept =
+            if (!started || k != curKey) {
+              curKey = k; started = true; lastKept = micros; true
+            } else if (micros >= lastKept + cdMicros) {
+              lastKept = micros; true
+            } else false
+          (k, tie, kept)
+        }
+      }
+      .toDF(keyCol, tieCol, "kept")
+  }
+
   /** Pettitt changepoint test (Pettitt 1979) — the RANK-based
     * changepoint locator next to [[cusum]]'s parametric mean-shift
     * tracker: for every candidate split t, `U_t = Σ_{i≤t,j>t}

@@ -220,6 +220,36 @@ class EvalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("wilsonIntervals: edge bounds inside [0,1], replay equality, nesting") {
+    def frame(rows: Seq[(String, Boolean)]) = rows.toDF("g", "ok")
+    def wilson(k: Long, n: Long): (Long, Long) = {
+      val z = 1.96; val nD = n.toDouble; val p = k.toDouble / nD
+      val z2 = z * z
+      val denom = 1.0 + z2 / nD
+      val center = p + z2 / (2.0 * nD)
+      val margin = z * math.sqrt(p * (1.0 - p) / nD + z2 / (4.0 * nD * nD))
+      (math.floor((center - margin) / denom * 1000000.0).toLong,
+        math.floor((center + margin) / denom * 1000000.0).toLong)
+    }
+    val got = Eval.wilsonIntervals(
+      frame(Seq.fill(3)(("a", false)) ++ Seq.fill(4)(("b", true)) ++
+        Seq(("c", true)) ++ Seq.fill(3)(("c", false))), "g", "ok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bit-exact against the same-op-order Scala replay
+    for ((g, (k, n, lo, hi)) <- got)
+      assert((lo, hi) === wilson(k, n), g)
+    // k=0 and k=n stay inside [0, 1] where the normal interval escapes
+    val (lo0, hi0) = (got("a")._3, got("a")._4)
+    assert(lo0 === 0L && hi0 > 0L && hi0 < 1000000L)
+    val (loN, hiN) = (got("b")._3, got("b")._4)
+    assert(loN > 0L && hiN <= 1000000L)
+    // more data, same rate: the interval tightens
+    val wide = wilson(1, 4)
+    val tight = wilson(100, 400)
+    assert(tight._1 > wide._1 && tight._2 < wide._2)
+  }
+
   test("calibrationBins: zero gaps when calibrated, constant scorer, bin counts") {
     // two score levels whose observed rates equal the scores exactly
     val cal = scored(

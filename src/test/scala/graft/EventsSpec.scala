@@ -312,6 +312,25 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("throttleEvents: greedy cadence, inclusive boundary, key isolation") {
+    def at(m: Int, sec: Int = 0) =
+      f"2026-01-01 10:$m%02d:$sec%02d"
+    val ev = Seq(
+      (1L, 10L, at(0)),   // kept: first
+      (2L, 10L, at(5)),   // dropped: inside 10 min
+      (3L, 10L, at(10)),  // kept: exactly at the boundary (>=)
+      (4L, 10L, at(19)),  // dropped: 9 min after the 10:10 keep
+      (5L, 10L, at(20)),  // kept
+      (6L, 20L, at(1)))   // other key: its own first, kept
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+      .select("user_id", "ts", "event_id")
+    val got = Events.throttleEvents(ev, "user_id", "ts", "event_id", 600L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true))
+  }
+
   test("theilSen: exact line recovery, outlier immunity, lower-median convention") {
     def series(xs: Seq[Long]) =
       xs.zipWithIndex.map { case (x, i) => (i.toLong + 1, x) }.toDF("k", "x")
