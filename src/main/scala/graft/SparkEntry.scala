@@ -3486,6 +3486,21 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // 5% two-sided trimmed mean of order totals: exact rank-cut
+    // arithmetic over the banded global rank, exact surviving sums,
+    // one final division. Fully oracled.
+    "q_trimmed" -> ((s, dir) =>
+      graft.operators.Relational.trimmedMean(
+        t(s, dir, "orders"), "o_totalprice", "o_orderkey", 50)),
+
+    // Exact mode (most frequent event type) per user with the
+    // tie-to-smallest rule — two vocab-scale aggregates, no window.
+    // Fully oracled.
+    "q_mode" -> ((s, dir) =>
+      graft.operators.Relational.modePerGroup(
+        t(s, dir, "events"), "user_id", "event_type")
+        .orderBy("grp")),
+
     // Cooldown throttling per user (10-min keep-first greedy — the
     // state is the last KEPT row, inexpressible as a window): every
     // event emitted with its verdict. Fully oracled via the
@@ -7846,6 +7861,36 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // rank cut = n*50 // 1000 rows off EACH end; (cents, key) total
+    // order; the mean is the one float (driver tolerance)
+    "q_trimmed" ->
+      """WITH per AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+        |               AS BIGINT) AS cents, o_orderkey AS k
+        |             FROM orders),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |r AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents, k) AS rnk
+        |      FROM per),
+        |kept AS (SELECT cents FROM r CROSS JOIN nn
+        |         WHERE rnk > n * 50 // 1000
+        |           AND rnk <= n - n * 50 // 1000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS trimmed_mean_cents
+        |FROM kept""".stripMargin,
+
+    // highest count then smallest value — two aggregates, mirrored
+    "q_mode" ->
+      """WITH c AS (SELECT user_id AS grp, event_type AS value,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT grp, max(cnt) AS cnt FROM c GROUP BY 1)
+        |SELECT c.grp, min(c.value) AS mode,
+        |       CAST(c.cnt AS BIGINT) AS mode_count
+        |FROM c JOIN b ON c.grp = b.grp AND c.cnt = b.cnt
+        |GROUP BY c.grp, c.cnt ORDER BY c.grp""".stripMargin,
 
     // greedy keep-first replay: last KEPT instant carries through the
     // recursion; boundary ts == last_kept + cooldown is KEPT (>=)

@@ -772,6 +772,77 @@ object Relational {
     when(startDay <= endDay, mag).otherwise(-mag)
   }
 
+  /** Trimmed mean — the robust location estimate between the median
+    * (50% trim) and the mean (0%): drop the lowest and highest
+    * `trimMilli`/1000 of rows BY RANK (exact count arithmetic —
+    * `cut = n·trimMilli div 1000` rows off each end, the deterministic
+    * convention) and average the exact cents of what survives. One bad
+    * feed day stops moving the KPI without the median's brutality.
+    * Emits the exact surviving (count, cents sum) plus the one-division
+    * mean — nothing but the final division is float.
+    *
+    * Scale: the global rank is the [[gini]] banded prefix-sum (band by
+    * cents, in-band row_number — no global window over data); the trim
+    * is a rank filter, the average a 1-row aggregate; `trimMilli < 500`
+    * guarantees a survivor (`n − 2·(n·t div 1000) ≥ 1`). Judged
+    * `q_trimmed`, fully ORACLED; hand trims, 0-trim = mean identity
+    * and the near-median heavy trim pinned in RelationalSpec. */
+  def trimmedMean(df: DataFrame, valueCol: String, keyTieCol: String,
+      trimMilli: Int, bands: Int = 32): DataFrame = {
+    require(trimMilli >= 0 && trimMilli < 500,
+      s"trimMilli in [0, 500): $trimMilli")
+    val W = org.apache.spark.sql.expressions.Window
+    val per = graft.engine.Caches.persisted(
+      df.select(floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+        .as("cents"), col(keyTieCol).as("__k")))
+    val bounds = broadcast(per.agg(
+      min(col("cents")).as("__lo"), max(col("cents")).as("__hi"),
+      count(lit(1)).as("__N")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("cents"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__or", coalesce(sum(col("__bn")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__or"))
+    val wB = W.partitionBy(col("__band")).orderBy(col("cents"), col("__k"))
+    banded.join(broadcast(offsets), "__band")
+      .withColumn("__rank", col("__or") + row_number().over(wB))
+      .withColumn("__cut", expr(s"__N * $trimMilli div 1000"))
+      .filter(col("__rank") > col("__cut") &&
+        col("__rank") <= col("__N") - col("__cut"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("cents_sum"))
+      .select(col("n_kept"), col("cents_sum"),
+        when(col("n_kept") > 0, col("cents_sum").cast("double") /
+          col("n_kept").cast("double"))
+          .otherwise(lit(null).cast("double")).as("trimmed_mean_cents"))
+  }
+
+  /** Exact mode per group — the most frequent value with a PINNED tie
+    * rule (highest count, then smallest value): value counts partial-
+    * aggregate per (group, value), the argmax rides
+    * `max(struct(count, −?))`… struct max is lexicographic, so
+    * `max(struct(cnt, negated-order value))` needs an order-safe value
+    * encoding; strings negate cleanly via the (cnt desc, value asc)
+    * TWO-pass form used here: max count first, then min value at that
+    * count — two shuffles of the vocab-scale count relation, no
+    * window. The categorical summary `profile` doesn't carry.
+    * Judged `q_mode`, fully ORACLED; tie-to-smallest and singleton
+    * groups pinned in RelationalSpec. */
+  def modePerGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = graft.engine.Caches.persisted(
+      df.groupBy(col(groupCol).as("grp"),
+          col(valueCol).cast("string").as("value"))
+        .agg(count(lit(1)).as("cnt")))
+    val best = counts.groupBy("grp").agg(max(col("cnt")).as("cnt"))
+    counts.join(best, Seq("grp", "cnt"))
+      .groupBy(col("grp"), col("cnt"))
+      .agg(min(col("value")).as("mode"))
+      .select(col("grp"), col("mode"), col("cnt").as("mode_count"))
+  }
+
   /** Rare-category collapse — the long-tail featurization step: keep
     * the top-k categories by exact count (ties by value — pinned) and
     * fold everything else into `__other__`, reporting the final

@@ -958,6 +958,36 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("trimmedMean: hand 10% trim, 0-trim mean identity, heavy trim to median zone") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    // 100 permille: one row off each end -> keep 2..9 dollars
+    val t10 = trimmedMean(df, "v", "k", 100).collect().head
+    assert((t10.getLong(0), t10.getLong(1)) === ((8L, 4400L)))
+    assert(t10.getDouble(2) === 550.0)
+    // zero trim IS the mean
+    val t0 = trimmedMean(df, "v", "k", 0).collect().head
+    assert((t0.getLong(0), t0.getLong(1)) === ((10L, 5500L)))
+    // 499 permille: cut 4 each end, the two middle rows survive
+    val t499 = trimmedMean(df, "v", "k", 499).collect().head
+    assert((t499.getLong(0), t499.getLong(1)) === ((2L, 1100L)))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("modePerGroup: counts, tie-to-smallest, singleton groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"),
+      ("g2", "y"), ("g2", "x"), // tie at 1: 'x' < 'y' wins
+      ("g3", "only"))
+      .toDF("g", "v")
+    val got = modePerGroup(df, "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map("g1" -> (("b", 2L)), "g2" -> (("x", 1L)),
+      "g3" -> (("only", 1L))))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("rareCollapse: top-k kept, tie order, tail mass conserved") {
     import spark.implicits._
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
