@@ -3501,6 +3501,19 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "event_type")
         .orderBy("grp")),
 
+    // The same greedy as a STATEFUL STREAM (flatMapGroupsWithState,
+    // state = last kept micros, in-batch (ts, id) sort): one-batch
+    // AvailableNow replay equals the batch operator row for row —
+    // judged against the identical recursive-replay oracle. Fully
+    // oracled.
+    "q_stream_throttle" -> ((s, dir) =>
+      runStream(s, "stream_throttle",
+        Seq(("ev", t(s, dir, "events").select("user_id", "ts", "event_id"),
+          "user_id BIGINT, ts TIMESTAMP, event_id BIGINT")),
+        m => graft.streaming.Streams.throttleStream(
+          m("ev"), "user_id", "ts", "event_id", 600L))
+        .orderBy("event_id")),
+
     // Cooldown throttling per user (10-min keep-first greedy — the
     // state is the last KEPT row, inexpressible as a window): every
     // event emitted with its verdict. Fully oracled via the
@@ -7891,6 +7904,25 @@ object SparkEntry {
         |       CAST(c.cnt AS BIGINT) AS mode_count
         |FROM c JOIN b ON c.grp = b.grp AND c.cnt = b.cnt
         |GROUP BY c.grp, c.cnt ORDER BY c.grp""".stripMargin,
+
+    // kept rows of the same greedy replay
+    "q_stream_throttle" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w(user_id, event_id, rn, last_kept, kept) AS (
+        |  SELECT user_id, event_id, rn, epoch_us(ts), TRUE
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.rn,
+        |         CASE WHEN epoch_us(r.ts) >= w.last_kept + 600000000
+        |              THEN epoch_us(r.ts) ELSE w.last_kept END,
+        |         epoch_us(r.ts) >= w.last_kept + 600000000
+        |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |SELECT user_id, event_id FROM w WHERE kept
+        |ORDER BY event_id""".stripMargin,
 
     // greedy keep-first replay: last KEPT instant carries through the
     // recursion; boundary ts == last_kept + cooldown is KEPT (>=)

@@ -202,6 +202,47 @@ object Streams {
       }
   }
 
+  /** Streaming cooldown throttle — [[graft.operators.Events.throttleEvents]]
+    * as a stateful stream: per-key state is ONE long (the last KEPT
+    * instant in epoch micros), a row is kept iff ≥ cooldown after it,
+    * and only kept rows emit — the alert-rate-limit / debounce shape
+    * running continuously. Within a micro-batch the group's rows sort
+    * by (ts, tie) BEFORE the greedy (post-shuffle iterator order is
+    * fetch order — unsorted state updates would be nondeterministic),
+    * so under a one-batch `AvailableNow` replay the verdicts EQUAL the
+    * batch operator row for row (judged `q_stream_throttle` against
+    * the same recursive-replay oracle as `q_throttle`). Across real
+    * micro-batches, arrival order wins like every stateful stream —
+    * a late row older than the kept state is dropped even if batch
+    * order would have kept it; StreamingSpec pins that divergence. */
+  def throttleStream(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, cooldownSeconds: Long): DataFrame = {
+    require(cooldownSeconds > 0, s"cooldownSeconds > 0: $cooldownSeconds")
+    val cd = cooldownSeconds * 1000000L
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("tsu"), col(tieCol).cast("long").as("tie"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
+          val rows = it.toSeq.sortBy(r => (r._2, r._3))
+          var started = state.exists
+          var lastKept = state.getOption.getOrElse(0L)
+          val kept = rows.flatMap { case (_, ts, tie) =>
+            if (!started || ts >= lastKept + cd) {
+              started = true; lastKept = ts; Some((k, tie))
+            } else None
+          }
+          if (started) state.update(lastKept)
+          kept.iterator
+      }
+      .toDF(keyCol, tieCol)
+  }
+
   /** BOUNDED-STATE streaming dedup — the production counterpart of
     * [[exactDedupStream]] for corpora where "duplicate" means "repeated
     * within the recency horizon": rows are keyed by the same 128-bit text

@@ -282,6 +282,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("throttleStream: in-batch sort determinism, cross-batch arrival-order divergence") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long)]
+    val q = Streams.throttleStream(
+      in.toDS().toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", "event_id", 600L)
+      .writeStream.format("memory").queryName("t_throttle")
+      .outputMode("append").start()
+    try {
+      // fed out of order: the kernel sorts to 10:00 (kept), 10:30 (kept)
+      in.addData((1L, ts("2026-01-01 10:30:00"), 3L),
+        (1L, ts("2026-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      // a LATE 10:11 arrival: state already carries lastKept = 10:30,
+      // so it drops — though batch order would have kept it
+      in.addData((1L, ts("2026-01-01 10:11:00"), 2L))
+      q.processAllAvailable()
+      val got = spark.table("t_throttle").select("event_id")
+        .as[Long].collect().toSet
+      assert(got === Set(1L, 3L))
+      // the batch operator over the full replay KEEPS the late row —
+      // the inherent arrival-order divergence, pinned here
+      val batchKept = Events.throttleEvents(
+        Seq((1L, ts("2026-01-01 10:30:00"), 3L),
+          (1L, ts("2026-01-01 10:00:00"), 1L),
+          (1L, ts("2026-01-01 10:11:00"), 2L))
+          .toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", 600L)
+        .filter(col("kept")).select("event_id").as[Long].collect().toSet
+      assert(batchKept === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("nearDupFlagStream flags index near-dups once per pair, skips disjoint docs") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
