@@ -3486,6 +3486,13 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Lorenz curve over customer spend (gini's curve, poorest-first
+    // deciles): exact cents, integer cum-share micros. Fully oracled.
+    "q_lorenz" -> ((s, dir) =>
+      graft.operators.Relational.lorenzCurve(
+        t(s, dir, "orders"), "o_custkey", "o_totalprice")
+        .orderBy("bucket")),
+
     // 5% two-sided trimmed mean of order totals: exact rank-cut
     // arithmetic over the banded global rank, exact surviving sums,
     // one final division. Fully oracled.
@@ -7874,6 +7881,31 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // poorest-first rank deciles, running sums, integer micro shares
+    "q_lorenz" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS cents
+        |      FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(cents) AS BIGINT) AS total FROM per),
+        |r AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents, k) AS rnk FROM per),
+        |b AS (SELECT CAST((rnk - 1) * 10 // (SELECT n FROM nn)
+        |        AS INTEGER) AS bucket, cents FROM r),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM b GROUP BY 1)
+        |SELECT bucket, g.n, g.cents,
+        |  CAST(sum(g.cents) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |  CAST(sum(g.n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) * 1000000 // (SELECT n FROM nn) AS cum_pop_micro,
+        |  CAST(sum(g.cents) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000
+        |    // nullif((SELECT total FROM nn), 0) AS cum_share_micro
+        |FROM g ORDER BY bucket""".stripMargin,
 
     // rank cut = n*50 // 1000 rows off EACH end; (cents, key) total
     // order; the mean is the one float (driver tolerance)

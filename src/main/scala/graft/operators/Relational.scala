@@ -772,6 +772,55 @@ object Relational {
     when(startDay <= endDay, mag).otherwise(-mag)
   }
 
+  /** Lorenz curve at k population quantiles — [[gini]]'s CURVE (gini
+    * is twice the area between this and the diagonal): keys rank by
+    * value ASCENDING (poorest first, the Lorenz convention, ties by
+    * key), split into k equal-count buckets by exact rank arithmetic,
+    * and each bucket row reports exact cents plus
+    * `cum_share_micro = cum_cents·10⁶ div total` against
+    * `cum_pop_micro = cum_n·10⁶ div N` — "the bottom 50% of customers
+    * hold 9% of spend" reads straight off. All integer; overflow-safe
+    * while `total·10⁶ < 2^63`.
+    *
+    * Scale: per-key partial agg, banded ASC rank with per-band cents
+    * offsets (the [[abcClassify]] machinery), k-row aggregate +
+    * trivial running window. Judged `q_lorenz`, fully ORACLED;
+    * perfect-equality diagonal and a hand two-key skew pinned in
+    * RelationalSpec. */
+  def lorenzCurve(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 10, bands: Int = 32): DataFrame = {
+    require(k >= 2 && k <= 100, s"k in 2..100: $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val per = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("__k"),
+          floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__cents"))
+        .groupBy("__k").agg(sum(col("__cents")).as("cents")))
+    val bounds = broadcast(per.agg(
+      min(col("cents")).as("__lo"), max(col("cents")).as("__hi"),
+      count(lit(1)).as("__N"), sum(col("cents")).as("__total")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("cents"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__or", coalesce(sum(col("__bn")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__or"))
+    val wB = W.partitionBy(col("__band")).orderBy(col("cents"), col("__k"))
+    val wCum = W.orderBy(col("bucket")).rowsBetween(Long.MinValue, 0)
+    banded.join(broadcast(offsets), "__band")
+      .withColumn("__rank", col("__or") + row_number().over(wB))
+      .withColumn("bucket", expr(s"(__rank - 1) * $k div __N").cast("int"))
+      .groupBy(col("bucket"), col("__N"), col("__total"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .select(col("bucket"), col("n"), col("cents"), col("cum_cents"),
+        expr("cum_n * 1000000 div __N").as("cum_pop_micro"),
+        expr("cum_cents * 1000000 div nullif(__total, 0L)")
+          .as("cum_share_micro"))
+  }
+
   /** Trimmed mean — the robust location estimate between the median
     * (50% trim) and the mean (0%): drop the lowest and highest
     * `trimMilli`/1000 of rows BY RANK (exact count arithmetic —

@@ -958,6 +958,23 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("lorenzCurve: perfect-equality diagonal, hand two-key skew") {
+    import spark.implicits._
+    // 10 keys, equal 1.00 each: the curve IS the diagonal
+    val eq = (1 to 10).map(i => (i.toLong, 1.0)).toDF("k", "v")
+    val d = lorenzCurve(eq, "k", "v", k = 5).orderBy("bucket").collect()
+    assert(d.length === 5)
+    d.foreach(r => assert(r.getLong(4) === r.getLong(5), r.toString))
+    assert(d.last.getLong(4) === 1000000L && d.last.getLong(5) === 1000000L)
+    // 4 keys, one holds 70%: bottom half holds 2/10 of the mass
+    val skew = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 7.0))
+      .toDF("k", "v")
+    val s2 = lorenzCurve(skew, "k", "v", k = 2).orderBy("bucket").collect()
+    assert(s2.head.getLong(5) === 200000L && s2.head.getLong(4) === 500000L)
+    assert(s2.last.getLong(5) === 1000000L)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("trimmedMean: hand 10% trim, 0-trim mean identity, heavy trim to median zone") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
