@@ -3486,6 +3486,14 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // Index of dispersion (Fano) per user over the dense daily axis:
+    // burstiness as the exact integer ratio (n*ss - t^2)*1000 div
+    // (n*t); Poisson ~ 1000 permille. Fully oracled.
+    "q_dispersion" -> ((s, dir) =>
+      graft.operators.Events.dispersionIndex(
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy("key")),
+
     // Lorenz curve over customer spend (gini's curve, poorest-first
     // deciles): exact cents, integer cum-share micros. Fully oracled.
     "q_lorenz" -> ((s, dir) =>
@@ -7881,6 +7889,28 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // dense day axis per user; all divided quantities non-negative
+    "q_dispersion" ->
+      """WITH pd AS (SELECT user_id AS key,
+        |        epoch_us(ts) // 86400000000 AS d,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM events GROUP BY 1, 2),
+        |sp AS (SELECT unnest(generate_series(
+        |         (SELECT min(d) FROM pd), (SELECT max(d) FROM pd))) AS d),
+        |ks AS (SELECT DISTINCT key FROM pd),
+        |dense AS (SELECT ks.key, sp.d, coalesce(pd.c, 0) AS c
+        |          FROM ks CROSS JOIN sp
+        |          LEFT JOIN pd ON ks.key = pd.key AND sp.d = pd.d),
+        |agg AS (SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+        |               CAST(sum(c) AS BIGINT) AS total,
+        |               CAST(sum(c * c) AS BIGINT) AS ss
+        |        FROM dense GROUP BY 1)
+        |SELECT key, n_days, total,
+        |       CASE WHEN total = 0 THEN NULL
+        |            ELSE (n_days * ss - total * total) * 1000
+        |              // (n_days * total) END AS fano_milli
+        |FROM agg ORDER BY key""".stripMargin,
 
     // poorest-first rank deciles, running sums, integer micro shares
     "q_lorenz" ->

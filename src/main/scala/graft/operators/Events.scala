@@ -1137,6 +1137,44 @@ object Events {
           " div (__n * __sxx - __sx * __sx))").as("slope_milli_per_day"))
   }
 
+  /** Index of dispersion (Fano factor) per key — the burstiness
+    * readout over each key's DAILY activity series: variance/mean of
+    * per-day counts on the DENSE calendar axis (a silent day is a real
+    * 0, the [[anomalyDays]] rule — sparse-day Fano would flatter every
+    * burster). A Poisson (memoryless) actor reads ≈ 1000‰; bots and
+    * batch jobs read far above, metronomes below — the behavioral
+    * regularity split. Exact integers throughout:
+    * `fano_milli = (n·Σc² − (Σc)²)·1000 div (n·Σc)` (all divided
+    * quantities non-negative; keys with zero activity report null).
+    *
+    * Scale: one data-scale aggregate to (key, day) counts; the dense
+    * axis is a CONFIG-scale spine (calendar days) cross-joined per
+    * key — keys × days rows, partial-aggregated right back down to one
+    * row per key. Judged `q_dispersion`, fully ORACLED; Poisson-ish
+    * 1000‰ anchor, metronome < 1000, burst > 1000, zero-key null
+    * pinned in EventsSpec. */
+  def dispersionIndex(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val perDay = events
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("__d"))
+      .groupBy("key", "__d").agg(count(lit(1)).as("__c"))
+    val spine = perDay.agg(min(col("__d")).as("__lo"),
+        max(col("__d")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__d"))
+    val keys = perDay.select(col("key")).distinct()
+    keys.crossJoin(broadcast(spine))
+      .join(perDay, Seq("key", "__d"), "left")
+      .select(col("key"), coalesce(col("__c"), lit(0L)).as("c"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("__ss"))
+      .select(col("key"), col("n_days"), col("total"),
+        expr("""case when total = 0 then null
+          else (n_days * __ss - total * total) * 1000
+            div (n_days * total) end""").as("fano_milli"))
+  }
+
   /** Cooldown throttling — keep-first-within-window dedup: per key in
     * (ts, tie) order, a row is KEPT iff it is the key's first or at
     * least `cooldownSeconds` after the last KEPT row (the state is the

@@ -312,6 +312,23 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("dispersionIndex: metronome below 1000, burst above, dense-axis zeros") {
+    // 4-day span: user 10 is a metronome (1/day), user 20 bursts all 4
+    // events on day 1 (3 silent days zero-filled by the dense axis)
+    val ev = (
+      (0 until 4).map(d => (d.toLong, 10L, f"2026-01-${d + 1}%02d 12:00:00")) ++
+        (4 until 8).map(i => (i.toLong, 20L, "2026-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = Events.dispersionIndex(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // metronome: variance 0 -> fano 0
+    assert(got(10L) === ((4L, 4L, 0L)))
+    // burst: counts (4,0,0,0): (4*16 - 16)*1000 div (4*4) = 3000
+    assert(got(20L) === ((4L, 4L, 3000L)))
+  }
+
   test("throttleEvents: greedy cadence, inclusive boundary, key isolation") {
     def at(m: Int, sec: Int = 0) =
       f"2026-01-01 10:$m%02d:$sec%02d"
