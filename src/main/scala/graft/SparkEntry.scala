@@ -3486,6 +3486,14 @@ object SparkEntry {
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
+    // DAU / trailing-7 WAU / stickiness: windowed distinct users done
+    // exactly via the cover-day explode + dedup (no distinct-over-
+    // window exists). Fully oracled.
+    "q_dau_wau" -> ((s, dir) =>
+      graft.operators.Events.activeUsers(
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy("d")),
+
     // Index of dispersion (Fano) per user over the dense daily axis:
     // burstiness as the exact integer ratio (n*ss - t^2)*1000 div
     // (n*t); Poisson ~ 1000 permille. Fully oracled.
@@ -7889,6 +7897,20 @@ object SparkEntry {
         |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
+
+    // cover-day explode mirrored; only active days emit
+    "q_dau_wau" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u,
+        |        epoch_us(ts) // 86400000000 AS d FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+        |        FROM pairs GROUP BY 1),
+        |cov AS (SELECT cd, CAST(count(*) AS BIGINT) AS wau FROM (
+        |          SELECT DISTINCT u, d + o AS cd
+        |          FROM pairs CROSS JOIN (SELECT unnest(range(7)) AS o))
+        |        GROUP BY 1)
+        |SELECT dau.d, dau.dau, cov.wau,
+        |       dau.dau * 1000 // cov.wau AS stickiness_milli
+        |FROM dau JOIN cov ON dau.d = cov.cd ORDER BY dau.d""".stripMargin,
 
     // dense day axis per user; all divided quantities non-negative
     "q_dispersion" ->

@@ -1137,6 +1137,41 @@ object Events {
           " div (__n * __sxx - __sx * __sx))").as("slope_milli_per_day"))
   }
 
+  /** DAU / trailing-WAU / stickiness — the product-analytics staple
+    * with the windowed-DISTINCT problem solved exactly and
+    * distributively: `count(DISTINCT user) OVER (trailing 7 days)` has
+    * no window form, so each (user, active-day) pair EXPLODES to the
+    * `window` days it covers and dedupes to (user, cover-day) — a user
+    * active thrice in a window still counts once, and the per-day
+    * count IS the exact trailing distinct. `stickiness_milli =
+    * DAU·1000 div WAU` (the DAU/MAU-style ratio at window 7). Days
+    * before a full window carry their partial trailing set (the
+    * standard convention over available data); only days WITH activity
+    * emit.
+    *
+    * Scale: pairs dedupe map-side; the explode is a bounded ×window
+    * fan-out of the (user, day) relation — data-scale but narrow
+    * (16-byte rows), re-deduped and partial-aggregated immediately.
+    * Judged `q_dau_wau`, fully ORACLED; multi-active-day dedup, ramp-in
+    * partial windows and the stickiness identity pinned in EventsSpec. */
+  def activeUsers(events: DataFrame, keyCol: String, tsCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 1, s"window >= 1: $window")
+    val pairs = graft.engine.Caches.persisted(
+      events.select(col(keyCol).as("u"),
+          expr(s"unix_micros($tsCol) div 86400000000").as("d"))
+        .distinct())
+    val dau = pairs.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .withColumn("__o", explode(sequence(lit(0), lit(window - 1))))
+      .select(col("u"), (col("d") + col("__o")).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "d")
+      .select(col("d"), col("dau"), col("wau"),
+        expr("dau * 1000 div wau").as("stickiness_milli"))
+  }
+
   /** Index of dispersion (Fano factor) per key — the burstiness
     * readout over each key's DAILY activity series: variance/mean of
     * per-day counts on the DENSE calendar axis (a silent day is a real

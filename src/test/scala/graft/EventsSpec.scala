@@ -312,6 +312,26 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("activeUsers: cover dedup, ramp-in windows, stickiness identity") {
+    // user 10 active days 1 and 2; user 20 only day 1; user 30 day 4
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00"), (2L, 10L, "2026-01-01 11:00:00"),
+      (3L, 10L, "2026-01-02 10:00:00"),
+      (4L, 20L, "2026-01-01 10:00:00"),
+      (5L, 30L, "2026-01-04 10:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = Events.activeUsers(ev, "user_id", "ts", window = 3)
+      .collect().map(r => r.getLong(0) - 20454 ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 2026-01-01 is epoch day 20454; only active days emit: 1, 2, 4
+    // day1: dau 2 (u10,u20), wau(trailing 3d) 2; day2: dau 1,
+    // wau 2 (u10 once despite two active days, u20 carried);
+    // day4: dau 1 (u30), wau 2 (u10 from day2 still covers, u30)
+    assert(got === Map(0L -> ((2L, 2L, 1000L)), 1L -> ((1L, 2L, 500L)),
+      3L -> ((1L, 2L, 500L))))
+  }
+
   test("dispersionIndex: metronome below 1000, burst above, dense-axis zeros") {
     // 4-day span: user 10 is a metronome (1/day), user 20 bursts all 4
     // events on day 1 (3 silent days zero-filled by the dense axis)
