@@ -26,9 +26,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // tripwire for the three historically driver-rejected type
+        // classes (tz-aware timestamp / decimal); silent on a clean tree
+        engine.Tables.judgedTypeLint(name, df.schema)
+          .foreach(l => System.err.println(s"[lint] $l"))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist() internally must not pile cached relations

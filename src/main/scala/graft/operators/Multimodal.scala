@@ -56,7 +56,11 @@ object Multimodal {
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        regexp_extract(col("path"), idPattern, 1).cast("long").as("asset_id"),
+        // extract from the BASENAME, not the full path (ADVICE r11): a
+        // digit run in any directory component (/tmp/run123/...) would
+        // otherwise win over the file-name id under the default pattern
+        regexp_extract(element_at(split(col("path"), "/"), -1),
+          idPattern, 1).cast("long").as("asset_id"),
         col("length").as("n_bytes"), col("content"))
 
   /** STUB DECODER: reads a fake 2-byte "header" — width = 1 + (b0 mod 16),

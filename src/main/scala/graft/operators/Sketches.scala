@@ -501,8 +501,12 @@ object Sketches {
       r * width + java.lang.Math.floorMod(h, width)
     }
     def reduce(b: Array[Long], a: String): Array[Long] = {
-      var r = 0
-      while (r < depth) { b(cell(r, a)) += 1; r += 1 }
+      // nulls contribute nothing — the COUNT-DISTINCT-style semantics
+      // thetaSketchShards already uses (a null key would NPE stringHash)
+      if (a != null) {
+        var r = 0
+        while (r < depth) { b(cell(r, a)) += 1; r += 1 }
+      }
       b
     }
     def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
@@ -514,8 +518,10 @@ object Sketches {
     def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
 
-    /** Point estimate from a finished cell array. */
+    /** Point estimate from a finished cell array. Null probes estimate 0
+      * (nulls are never counted by [[reduce]]). */
     def estimate(cells: Array[Long], v: String): Long = {
+      if (v == null) return 0L
       var best = Long.MaxValue
       var r = 0
       while (r < depth) {

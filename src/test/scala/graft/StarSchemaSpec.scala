@@ -180,4 +180,78 @@ class StarSchemaSpec extends SparkTestBase {
     // absent tables are skipped, so only the doctored table reports
     assert(drift.forall(_.startsWith("events.")), drift.toString)
   }
+
+  test("ntzOutputs: every instant timestamp (incl. nested) retypes to NTZ, values bit-identical") {
+    import org.apache.spark.sql.types._
+    val df = spark.sql(
+      """SELECT id,
+        |  timestamp_micros(1000000 * id) AS ts,
+        |  named_struct('start', timestamp_micros(id), 'n', id) AS w,
+        |  array(timestamp_micros(id)) AS arr,
+        |  'x' AS s
+        |FROM range(5)""".stripMargin)
+    val out = graft.engine.Tables.ntzOutputs(df)
+    def types(dt: DataType): Seq[DataType] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(f => types(f.dataType))
+      case a: ArrayType => types(a.elementType)
+      case other => Seq(other)
+    }
+    val leaves = out.schema.fields.flatMap(f => types(f.dataType))
+    assert(!leaves.contains(TimestampType), out.schema.treeString)
+    assert(leaves.count(_ == TimestampNTZType) === 3)
+    // pure UTC retype: identical epoch micros on every path
+    val got = out.selectExpr("unix_micros(CAST(ts AS TIMESTAMP))",
+      "unix_micros(CAST(w.start AS TIMESTAMP))",
+      "unix_micros(CAST(arr[0] AS TIMESTAMP))")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === (0L until 5L).map(i => (1000000L * i, i, i)))
+    // no-op on a timestamp-free frame: the SAME plan comes back
+    val plain = spark.range(3).selectExpr("id", "CAST(id AS STRING) s")
+    assert(graft.engine.Tables.ntzOutputs(plain) eq plain)
+  }
+
+  test("judgedTypeLint: names tz-aware timestamps and decimals (incl. nested), silent otherwise") {
+    import org.apache.spark.sql.types._
+    val dirty = StructType(Seq(
+      StructField("ok_ntz", TimestampNTZType),
+      StructField("bad_ts", TimestampType),
+      StructField("bad_dec", DecimalType(38, 2)),
+      StructField("nest", StructType(Seq(StructField("inner", TimestampType)))),
+      StructField("arr", ArrayType(DecimalType(18, 0)))))
+    val lint = graft.engine.Tables.judgedTypeLint("q_x", dirty)
+    assert(lint.exists(_.startsWith("q_x.bad_ts: tz-aware TIMESTAMP")), lint.toString)
+    assert(lint.exists(_.startsWith("q_x.bad_dec: DECIMAL(38,2)")), lint.toString)
+    assert(lint.exists(_.startsWith("q_x.nest.inner: tz-aware TIMESTAMP")), lint.toString)
+    assert(lint.exists(_.startsWith("q_x.arr[]: DECIMAL(18,0)")), lint.toString)
+    assert(lint.size === 4, lint.toString)
+    val clean = StructType(Seq(StructField("a", LongType),
+      StructField("t", TimestampNTZType), StructField("d", DateType)))
+    assert(graft.engine.Tables.judgedTypeLint("q_y", clean).isEmpty)
+  }
+
+  test("judged query outputs carry NO instant timestamps (the r11 28-red tz class)") {
+    // representative end-to-end pin through the real queries wrapper:
+    // C1 epoch→timestamp roundtrip is THE timestamp-output query
+    val out = SparkEntry.queries("q_epoch_roundtrip")(spark, sfDir)
+    assert(graft.engine.Tables.judgedTypeLint("q_epoch_roundtrip", out.schema).isEmpty,
+      out.schema.treeString)
+    assert(out.schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.TimestampNTZType))
+  }
+
+  test("withStatsTimestampType: MICROS inside, caller setting restored, override honored") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.get(key)
+    graft.engine.Tables.withStatsTimestampType(spark) {
+      assert(spark.conf.get(key) === "TIMESTAMP_MICROS")
+    }
+    assert(spark.conf.get(key) === before)
+    try {
+      spark.conf.set("graft.parquet.outputTimestampType", "INT96")
+      graft.engine.Tables.withStatsTimestampType(spark) {
+        assert(spark.conf.get(key) === "INT96")
+      }
+      assert(spark.conf.get(key) === before)
+    } finally spark.conf.unset("graft.parquet.outputTimestampType")
+  }
 }

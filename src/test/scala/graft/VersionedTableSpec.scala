@@ -1185,16 +1185,17 @@ class VersionedTableSpec extends SparkTestBase {
   test("stats-absent columns (INT96 timestamps) are unprunable, never all-null-pruned") {
     val root = freshRoot("skip_int96")
     val dated = Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderdate")
-    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
     try {
       // legacy INT96 writer: parquet-mr refuses min/max stats for INT96,
       // so the footer has values but NO statistics — the r10 scraper bug
-      // read that as "all null" and pruned dirs full of live rows
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      // read that as "all null" and pruned dirs full of live rows.
+      // Since r12 table sinks pin MICROS via withStatsTimestampType, the
+      // INT96 era is simulated through its deployment override key.
+      spark.conf.set("graft.parquet.outputTimestampType", "INT96")
       VersionedTable.create(spark, root, dated.limit(100))
       VersionedTable.append(spark, root,
         dated.filter(col("o_orderkey") % 2 === 0).limit(100))
-    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    } finally spark.conf.unset("graft.parquet.outputTimestampType")
     val lo = java.time.LocalDateTime.parse("1990-01-01T00:00:00")
     val hi = java.time.LocalDateTime.parse("2030-12-31T23:59:59")
     val (kept, all) = VersionedTable.pruneDirs(spark, root, "o_orderdate", lo, hi)

@@ -43,7 +43,14 @@ spark_dirs = {p.split('/')[-1] for p in glob.glob(f"{out}/*") if not p.endswith(
 
 
 def norm_type(t):
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+    if pa.types.is_timestamp(t):
+        # Unit normalizes to us (driver-tolerated: INT96 reads back as ns).
+        # tz-awareness does NOT normalize: r11 failed 28 queries on
+        # timestamp[us, tz=UTC] (Spark TIMESTAMP_MICROS isAdjustedToUTC)
+        # vs DuckDB's naive timestamp[us] — the r7 "tz stripped"
+        # calibration is empirically obsolete (VERDICT r11 item 2).
+        return pa.timestamp("us", tz=t.tz)
+    if pa.types.is_date(t):
         return pa.timestamp("us")
     if pa.types.is_integer(t):
         return pa.int64()
