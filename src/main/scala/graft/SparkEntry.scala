@@ -1080,6 +1080,51 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Vacuum retention arithmetic driver-judged (r12 VERDICT #3 — the
+    // last table-format gap, expressed as version-COUNT arithmetic,
+    // never wall time): six commits (three appends, a tag on v2, an
+    // overwrite at v4 that orphans the first three data dirs, a branch
+    // forked at v4, two more appends), then vacuum(keep=2). The sweep
+    // must delete exactly manifests {1, 3} (v2 is tag-pinned, v4 is
+    // branch-fork-pinned, 5..6 are in-window) and exactly ONE data dir
+    // (v3's: v1/v2's dirs stay referenced by the pinned tag manifest,
+    // v4's by the branch head and every later manifest). The judged
+    // frame states per-version manifest survival, the post-sweep
+    // readability of the pinned versions (row count + key sum), and the
+    // dead-dir count — all recomputed by the oracle from the slice
+    // predicates. Wall-clock retention (vacuumExpiredBefore) shares
+    // this exact sweep and stays spec-pinned (the versionAsOf rule).
+    "q_table_vacuum" -> ((s, dir) => {
+      val root = tmpPath("vtable_vacuum")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      VersionedTable.create(s, root, orders.filter(col("o_orderkey") % 5 === 0))
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 5 === 1))
+      VersionedTable.tagVersion(s, root, "pin", 2)
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 5 === 2))
+      VersionedTable.overwrite(s, root, orders.filter(col("o_orderkey") % 7 === 0))
+      VersionedTable.createBranch(s, root, "exp", 4)
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 5 === 3))
+      VersionedTable.append(s, root, orders.filter(col("o_orderkey") % 5 === 4))
+      val dead = VersionedTable.vacuum(s, root, keepVersions = 2)
+      val alive = VersionedTable.history(s, root)
+        .select("version").collect().map(_.getInt(0)).toSet
+      (1 to 6).map { v =>
+        val base =
+          if (alive(v))
+            VersionedTable.readVersion(s, root, v)
+              .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          else
+            s.range(1).select(lit(null).cast("long").as("n"),
+              lit(null).cast("long").as("key_sum"))
+        base.select(lit(v).as("version"),
+          lit(if (alive(v)) 1 else 0).as("alive"), col("n"), col("key_sum"),
+          lit(dead.size).as("n_dead_dirs"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // Metadata-only ANALYZE from the _stats sidecars (zero data IO):
     // per-column kind, kind-domain min/max strings, dictionary-exact
     // ndv upper bound where complete, row and dir counts — every
@@ -2304,6 +2349,40 @@ object SparkEntry {
           (col("c_ratio") >= 0.25 && col("c_ratio") <= 0.95).cast("int"))
         .orderBy("doc_id")),
 
+    // Compression ratio made driver-judgeable (r12 VERDICT #2, the
+    // band-contract pattern of q_approx_distinct_bound): three
+    // fixed-entropy texts per doc — token repetition (measured ratio
+    // ~0.03), a 2x-repeated hash-hex block (~0.33), and 320 chars of
+    // hash-hex noise (~0.58) — and the judged columns are the BOOLEAN
+    // band memberships (thresholds 0.15 / [0.2, 0.45] / 0.5, several
+    // sigma from every measured class) plus the per-row three-way
+    // ordering. All four are constant 1 by construction, which is
+    // exactly what the oracle states — a deflate-kernel or ratio
+    // regression flips a boolean and hash-fails. The raw zlib floats
+    // stay unjudged (not DuckDB-expressible; rows-only q_compress_ratio
+    // keeps them visible).
+    "q_compress_band" -> ((s, dir) => {
+      def hx(salt: Int, terms: Int) = concat((0 until terms).map(k =>
+        hex(xxhash64(col("doc_id"), lit(salt), lit(k)))): _*)
+      val rep = repeat(
+        concat(lit("tok"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(" ")), 80)
+      val mid = repeat(hx(1, 10), 2)
+      val noise = hx(2, 20)
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.compressionRatio(rep).as("r_rep"),
+          TextOps.compressionRatio(mid).as("r_mid"),
+          TextOps.compressionRatio(noise).as("r_noise"))
+        .select(col("doc_id"),
+          (col("r_rep") < 0.15).cast("int").as("rep_low"),
+          (col("r_mid") > 0.2 && col("r_mid") < 0.45).cast("int")
+            .as("mid_band"),
+          (col("r_noise") > 0.5).cast("int").as("noise_high"),
+          (col("r_rep") < col("r_mid") && col("r_mid") < col("r_noise"))
+            .cast("int").as("ordered"))
+        .orderBy("doc_id")
+    }),
+
     // Inter-document boilerplate removal over the shared multi-line
     // fixture: lines occurring in >= 3 distinct docs (the 'same line'
     // block and any cross-doc repeated sentence) are dropped, docs
@@ -3152,6 +3231,35 @@ object SparkEntry {
       graft.operators.Vectors.pcaProject(
           t(s, dir, "embeddings"), "vec_id", "embedding", 2)
         .orderBy("vec_id")),
+
+    // PCA made driver-judgeable (r12 VERDICT #1, the q_vec_ann_recall
+    // pattern): an EXACT-arithmetic anisotropic fixture — dim 0 carries
+    // integer values (doc_id%17 − 8, variance 24), dim 1 integers
+    // (doc_id%5 − 2, variance 2), dim 2 a constant, the rest zero. Over
+    // the dense id range 0..424 (a multiple of lcm(17,5) = 85; documents
+    // holds 500 dense ids at the smallest judged SF) every
+    // residue appears equally often, so all moment sums are EXACT
+    // integers in FP regardless of partitioning/merge order: the
+    // covariance comes out exactly diag(24, 2, 0, …), power iteration's
+    // off-axis components underflow to exact zero, and the
+    // sign-canonicalized top-2 projections equal the generating integers
+    // bit-for-bit. Judged at milli resolution (robust to ±0.499), and
+    // the oracle restates the generators from id arithmetic alone — an
+    // eigen / centering / sign regression shifts a projection and
+    // hash-fails the round.
+    "q_vec_pca_recover" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 425)
+        .withColumn("v", array(
+          (pmod(col("doc_id"), lit(17)) - lit(8)).cast("double"),
+          (pmod(col("doc_id"), lit(5)) - lit(2)).cast("double"),
+          lit(3.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0)))
+      graft.operators.Vectors.pcaProject(src, "doc_id", "v", 2)
+        .select(col("doc_id"),
+          floor(col("pc1") * 1000 + lit(0.5)).cast("long").as("p1_milli"),
+          floor(col("pc2") * 1000 + lit(0.5)).cast("long").as("p2_milli"))
+        .orderBy("doc_id")
+    }),
 
     // Per-label centroid distance (SSL-prototypes / SemDeDup extremity
     // signal): centroids from one dim-scale shuffle broadcast back,
@@ -6705,11 +6813,12 @@ object SparkEntry {
         |      FROM c)
         |SELECT n_tp, cents_tp, n_t0, cents_t0, n_cp, cents_cp, n_c0,
         |       cents_c0,
-        |       (CAST(cents_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+        |       CASE WHEN n_tp > 0 AND n_t0 > 0 AND n_cp > 0 AND n_c0 > 0
+        |       THEN (CAST(cents_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
         |        - CAST(cents_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
         |       - (CAST(cents_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
         |        - CAST(cents_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))
-        |         AS did_cents
+        |       ELSE NULL END AS did_cents
         |FROM g""".stripMargin,
 
     // the q_sessionize segmentation; first/last per session via
@@ -9888,6 +9997,60 @@ object SparkEntry {
     "q_vec_ivf_recall" ->
       """SELECT doc_id AS qid FROM documents
         |WHERE doc_id % 50 = 0 ORDER BY qid""".stripMargin,
+
+    // the oracle restates the fixture's generators: the exact-integer
+    // anisotropic corpus makes the sign-canonicalized top-2 projections
+    // EQUAL the generating integers (see the query comment), so the
+    // milli-quantized outputs are pure id arithmetic
+    "q_vec_pca_recover" ->
+      """SELECT doc_id,
+        |       (doc_id % 17 - 8) * 1000 AS p1_milli,
+        |       (doc_id % 5 - 2) * 1000 AS p2_milli
+        |FROM documents WHERE doc_id < 425 ORDER BY doc_id""".stripMargin,
+
+    // the fixed-entropy fixture puts every class several sigma inside
+    // its band (measured ~0.03 / ~0.33 / ~0.58 vs thresholds 0.15 /
+    // [0.2, 0.45] / 0.5), so all four judged booleans are constant 1
+    "q_compress_band" ->
+      """SELECT doc_id, 1 AS rep_low, 1 AS mid_band, 1 AS noise_high,
+        |       1 AS ordered
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the retention sweep recomputed from the slice predicates: with
+    // keep=2 over 6 versions, manifests {1,3} die (2 tag-pinned, 4
+    // branch-fork-pinned), the pinned versions stay READABLE (their
+    // dirs survive via the pinned manifests), and exactly one data dir
+    // (v3's append) loses every referencing manifest
+    "q_table_vacuum" ->
+      """WITH s0 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 = 0),
+        |s1 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 = 1),
+        |s3 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 = 3),
+        |s4 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 = 4),
+        |s7 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM s0) AS c0,
+        |  (SELECT coalesce(sum(k), 0) FROM s0) AS k0,
+        |  (SELECT count(*) FROM s1) AS c1,
+        |  (SELECT coalesce(sum(k), 0) FROM s1) AS k1,
+        |  (SELECT count(*) FROM s3) AS c3,
+        |  (SELECT coalesce(sum(k), 0) FROM s3) AS k3,
+        |  (SELECT count(*) FROM s4) AS c4,
+        |  (SELECT coalesce(sum(k), 0) FROM s4) AS k4,
+        |  (SELECT count(*) FROM s7) AS c7,
+        |  (SELECT coalesce(sum(k), 0) FROM s7) AS k7)
+        |SELECT 1 AS version, 0 AS alive, CAST(NULL AS BIGINT) AS n,
+        |       CAST(NULL AS BIGINT) AS key_sum, 1 AS n_dead_dirs FROM c
+        |UNION ALL SELECT 2, 1, CAST(c0 + c1 AS BIGINT),
+        |       CAST(k0 + k1 AS BIGINT), 1 FROM c
+        |UNION ALL SELECT 3, 0, CAST(NULL AS BIGINT),
+        |       CAST(NULL AS BIGINT), 1 FROM c
+        |UNION ALL SELECT 4, 1, CAST(c7 AS BIGINT),
+        |       CAST(k7 AS BIGINT), 1 FROM c
+        |UNION ALL SELECT 5, 1, CAST(c7 + c3 AS BIGINT),
+        |       CAST(k7 + k3 AS BIGINT), 1 FROM c
+        |UNION ALL SELECT 6, 1, CAST(c7 + c3 + c4 AS BIGINT),
+        |       CAST(k7 + k3 + k4 AS BIGINT), 1 FROM c
+        |ORDER BY version""".stripMargin,
 
     // λ-extreme contracts are constants over the query list: full
     // 10-cluster coverage at λ=0, brute-force equality at λ=1000

@@ -212,13 +212,31 @@ object Tables {
     * sink (also how the INT96 stats-absence path stays testable —
     * VersionedTableSpec's scraper test writes a legacy-era table with it). */
   def withStatsTimestampType[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val want = spark.conf.getOption("graft.parquet.outputTimestampType")
-      .getOrElse("TIMESTAMP_MICROS")
-    val prev = spark.conf.get(key) // SQL conf: always resolves (default INT96)
-    spark.conf.set(key, want)
-    try body finally spark.conf.set(key, prev)
+    // The set→body→restore window mutates SHARED session conf: two
+    // wrapped writes interleaving on one session from different threads
+    // (a streaming foreachBatch sink concurrent with a batch sink) could
+    // restore out of order and leave the wrong physical type pinned — the
+    // r11 failure class (a global conf leaking into an era it doesn't
+    // own) at the sink side. A per-session lock serializes the whole
+    // window; sessions have independent SQLConfs, so cross-session
+    // writes never contend. Pinned in StarSchemaSpec (concurrent sinks).
+    val lock = statsTsLocks.synchronized {
+      statsTsLocks.computeIfAbsent(spark, _ => new Object)
+    }
+    lock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val want = spark.conf.getOption("graft.parquet.outputTimestampType")
+        .getOrElse("TIMESTAMP_MICROS")
+      val prev = spark.conf.get(key) // SQL conf: always resolves (default INT96)
+      spark.conf.set(key, want)
+      try body finally spark.conf.set(key, prev)
+    }
   }
+
+  /** Weak per-session monitor registry for [[withStatsTimestampType]] —
+    * weak keys so a stopped session's lock is collectable. */
+  private val statsTsLocks =
+    new java.util.WeakHashMap[SparkSession, Object]()
 
   /** Judged-output timestamp normalization (VERDICT r11 fix a): rewrite
     * every instant-typed (`TimestampType`) column — including ones nested
