@@ -1009,6 +1009,35 @@ object SparkEntry {
           lit(all.size).as("dirs_total"))
     }),
 
+    // TIMESTAMP-column data skipping (r12 VERDICT #4 — the benefit side
+    // of the MICROS footer-stats pin, finally judged): events load one
+    // ingest-week per directory, and a mid-month [lo, hi] range read
+    // must scan only the two overlapping week dirs. The INT96 default
+    // writes NO footer min/max for timestamps (parquet-mr deprecation),
+    // so if the sink-scoped TIMESTAMP_MICROS pin ever regressed, the
+    // stats scraper would see absent stats, poison every dir as
+    // unprunable, and dirs_read would jump 2→4 — hash-failing this row.
+    // The skip rate is recomputed by the oracle from per-week min/max.
+    "q_table_skip_ts" -> ((s, dir) => {
+      val root = tmpPath("vtable_skip_ts")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val ev = t(s, dir, "events").select("event_id", "ts")
+      val d = dayofmonth(col("ts"))
+      VersionedTable.create(s, root, ev.filter(d.between(1, 7)))
+      VersionedTable.append(s, root, ev.filter(d.between(8, 14)))
+      VersionedTable.append(s, root, ev.filter(d.between(15, 21)))
+      VersionedTable.append(s, root, ev.filter(d >= 22))
+      val lo = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      val hi = java.time.LocalDateTime.parse("2024-01-17T23:59:59")
+      val (kept, all) = VersionedTable.pruneDirs(s, root, "ts", lo, hi)
+      VersionedTable.readWhereBetween(s, root, "ts", lo, hi)
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .select(col("n"), col("id_sum"), lit(kept.size).as("dirs_read"),
+          lit(all.size).as("dirs_total"))
+    }),
+
     // Point-lookup data skipping via distinct-value sidecars: dir i
     // holds buckets {i, i+4} (mod-8 of the order key), so the four
     // [min,max] ranges interleave and range stats keep 2 dirs for
@@ -2817,14 +2846,38 @@ object SparkEntry {
           minWords = 30)
         .select("doc_id").orderBy("doc_id")),
 
-    // Scale-path twin of q_curate: same quality gate and exact dedup, but
-    // the near-dup drop uses MinHash-LSH candidates (linear banded join)
-    // instead of the exact AllPairs join — the formulation a 100 TB run
-    // would use. LSH recall is probabilistic → rows-only; the exact-recall
-    // twin q_curate is fully oracled, and at est-threshold 0.8 with b=8/r=4
-    // the capture probability of a true J>=0.8 pair is ~0.97.
+    // Scale-path twin of q_curate — quality gate → exact dedup →
+    // MinHash-LSH near-dup drop, the formulation a 100 TB run would use
+    // — made driver-judged (r12 VERDICT #6) on a cycle-repeat fixture
+    // where every stage's outcome is id arithmetic. Group g = id%50
+    // owns a 10-token cycle ("the" + 9 group-unique tokens); class
+    // c = (id div 50)%5 picks the derivation: c∈{0,2} → the cycle
+    // repeated 3x, c∈{1,4} → 4x, c=3 → a 1-token junk doc. The quality
+    // gate (>=30 tokens + stopword evidence) drops exactly c=3; exact
+    // dedup keeps the min id of each RAW text (g for the 3x form,
+    // g+50 for 4x); and because a repeated cycle's shingle SET is the
+    // same 10 rotations for ANY repeat count >= 2, the surviving 3x/4x
+    // pair has IDENTICAL MinHash signatures — est_jaccard exactly 1.0,
+    // candidates in every band, no recall slack — while cross-group
+    // shingles stay disjoint. The curated survivor set is therefore
+    // exactly {0..49} at every SF, which is what the oracle states; a
+    // gate, dedup-keep, banding, or drop-policy regression hash-fails.
     "q_curate_lsh" -> ((s, dir) => {
-      val exact = curatedExact(s, dir)
+      val g = col("doc_id") % 50
+      val cy = concat_ws(" ", lit("the") +: (0 until 9).map(j =>
+        concat(lit("tok"), g, lit(s"a$j"))): _*)
+      val c = expr("(doc_id div 50) % 5")
+      val text = when(c === 3, lit("tiny"))
+        .when(c === 1 || c === 4, concat_ws(" ", cy, cy, cy, cy))
+        .otherwise(concat_ws(" ", cy, cy, cy))
+      val docs = t(s, dir, "documents").select(col("doc_id"), text.as("text"))
+      val quality = docs
+        .select(col("doc_id"), col("text"),
+          TextOps.textStats(col("text")).as("st"))
+        .filter(col("st.n_tokens") >= 30 && col("st.s_en") > 0)
+        .select("doc_id", "text")
+      val exact = Caches.persisted(Dedup.exactDedup(quality, "text", "doc_id"))
+      exact.count()
       val losers = Dedup.minHashLsh(exact, "text", "doc_id", 0.8)
         .select(col("db").as("doc_id")).distinct()
       exact.join(losers, Seq("doc_id"), "left_anti")
@@ -2957,6 +3010,29 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       graft.operators.Vectors.cosineNearDupBucketed(e, "vec_id", "v", 0.4)
         .orderBy("da", "db")
+    }),
+
+    // The bucketed cosine path driver-judged (r12 VERDICT #9, the
+    // q_sem_dedup_lsh axis-aligned fixture): group g = vec_id mod 32
+    // points along axis g with an id-varying positive magnitude, so
+    // in-group vectors are PARALLEL — identical SimHash sign patterns
+    // (same bucket, candidates at probe 0, no recall slack) and cosine
+    // 1±ulp >= 0.4 — while cross-group vectors are orthogonal (cosine
+    // exactly 0, rejected by the exact verify even when multi-probe
+    // buckets them together). The found-pair set is therefore exactly
+    // the in-group pairs, pure id arithmetic to the oracle; the float
+    // sim column stays out of the judged projection (ulp rule).
+    "q_embed_lsh_dup" -> ((s, dir) => {
+      val dim = 32
+      val e = t(s, dir, "embeddings").select(col("vec_id"))
+        .withColumn("__g", (col("vec_id") % dim).cast("int"))
+        .withColumn("v", array((0 until dim).map(j =>
+          when(col("__g") === j,
+            lit(1.0) + col("vec_id").cast("double") / lit(320.0))
+            .otherwise(lit(0.0))): _*))
+        .select(col("vec_id"), col("v"))
+      graft.operators.Vectors.cosineNearDupBucketed(e, "vec_id", "v", 0.4)
+        .select("da", "db").orderBy("da", "db")
     }),
 
     // Semantic dedup (SemDeDup): keep a row unless a LOWER-id row sits
@@ -5811,6 +5887,26 @@ object SparkEntry {
         |               AND mx >= TIMESTAMP '1994-03-01 00:00:00') AS INT)
         |         AS dirs_read,
         |       CAST((SELECT count(*) FROM y) AS INT) AS dirs_total
+        |FROM sel""".stripMargin,
+
+    // per-week dirs: the dirs a mid-month range read must scan are
+    // exactly the weeks whose actual min/max ts range overlaps —
+    // recomputed from the same values the MICROS parquet footers record
+    "q_table_skip_ts" ->
+      """WITH w AS (SELECT CASE WHEN day(ts) <= 7 THEN 0
+        |                       WHEN day(ts) <= 14 THEN 1
+        |                       WHEN day(ts) <= 21 THEN 2 ELSE 3 END AS g,
+        |                  ts, event_id FROM events),
+        |b AS (SELECT g, min(ts) AS mn, max(ts) AS mx FROM w GROUP BY g),
+        |sel AS (SELECT count(*) AS n, sum(event_id) AS s FROM w
+        |        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |                     AND TIMESTAMP '2024-01-17 23:59:59')
+        |SELECT CAST(sel.n AS BIGINT) AS n, CAST(sel.s AS BIGINT) AS id_sum,
+        |       CAST((SELECT count(*) FROM b
+        |             WHERE mn <= TIMESTAMP '2024-01-17 23:59:59'
+        |               AND mx >= TIMESTAMP '2024-01-10 00:00:00') AS INT)
+        |         AS dirs_read,
+        |       CAST((SELECT count(*) FROM b) AS INT) AS dirs_total
         |FROM sel""".stripMargin,
 
     // dirs_read = #dirs whose distinct SET contains the key (dir = key
@@ -10015,6 +10111,21 @@ object SparkEntry {
       """SELECT doc_id, 1 AS rep_low, 1 AS mid_band, 1 AS noise_high,
         |       1 AS ordered
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every pipeline stage's outcome restated from id arithmetic: the
+    // quality gate drops class 3, exact dedup keeps {0..99} (min id per
+    // raw form), the LSH drop removes the 4x-cycle survivors {50..99}
+    "q_curate_lsh" ->
+      """SELECT doc_id FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
+
+    // in-group pairs only: parallel vectors are always candidates and
+    // pass the cosine verify; orthogonal cross-group pairs never do
+    "q_embed_lsh_dup" ->
+      """SELECT a.vec_id AS da, b.vec_id AS db
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 32 = b.vec_id % 32 AND a.vec_id < b.vec_id
+        |ORDER BY da, db""".stripMargin,
 
     // the retention sweep recomputed from the slice predicates: with
     // keep=2 over 6 versions, manifests {1,3} die (2 tag-pinned, 4

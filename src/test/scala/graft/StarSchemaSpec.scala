@@ -254,4 +254,52 @@ class StarSchemaSpec extends SparkTestBase {
       assert(spark.conf.get(key) === before)
     } finally spark.conf.unset("graft.parquet.outputTimestampType")
   }
+
+  test("withStatsTimestampType: concurrent wrapped writes never leak an era " +
+      "(r12 fence — serialized set/body/restore)") {
+    // Two threads hammer the wrapper on ONE session; each asserts the
+    // pin it observes INSIDE its own window and that its parquet output
+    // really carries MICROS stats-era metadata. Unsynchronized
+    // set→body→restore interleavings would restore out of order and let
+    // one thread's window observe INT96 (the r11 failure class at the
+    // sink side).
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.get(key)
+    import org.apache.spark.sql.functions._
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          (0 until 8).foreach { r =>
+            graft.engine.Tables.withStatsTimestampType(spark) {
+              if (spark.conf.get(key) != "TIMESTAMP_MICROS")
+                errs.add(s"thread $i round $r saw ${spark.conf.get(key)}")
+              val p = s"${sys.props("java.io.tmpdir")}/graft_rt/conc_era_$i"
+              spark.range(2).coalesce(1)
+                .select(to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+                .write.mode("overwrite").parquet(p)
+              // MICROS era ⇒ footer min/max stats exist for the ts column
+              val fs = new org.apache.hadoop.fs.Path(p)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val part = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+                .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+              val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  part, spark.sparkContext.hadoopConfiguration))
+              try {
+                val c = in.getFooter.getBlocks.get(0).getColumns.get(0)
+                if (c.getPrimitiveType.getPrimitiveTypeName.toString == "INT96")
+                  errs.add(s"thread $i round $r wrote INT96")
+                if (!c.getStatistics.hasNonNullValue)
+                  errs.add(s"thread $i round $r wrote statless ts")
+              } finally in.close()
+            }
+          }
+        } catch { case e: Throwable => errs.add(e.toString) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(spark.conf.get(key) === before)
+  }
 }
