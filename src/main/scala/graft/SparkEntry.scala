@@ -2734,6 +2734,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Longest-path DAG layering (ASAP schedule): strictly-increasing
+    // residue edges guarantee acyclicity with depth <= 5; semi-naive
+    // max-propagation vs the oracle's recursive-CTE replay. Fully
+    // oracled.
+    "q_topo_layers" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .select((col("o_orderkey") % 120).as("src"),
+          (col("o_orderkey") % 120 + 20 + col("o_custkey") % 7).as("dst"))
+        .filter(col("dst") < 120)
+      graft.operators.Graph.topoLayers(edges, "src", "dst").orderBy("id")
+    }),
+
     // Connected-components labels over the exact near-dup pair graph:
     // every doc in some J>=0.8 pair, labeled with the min doc id of its
     // duplicate CLUSTER (transitive closure of pairs). Fully oracled —
@@ -3669,6 +3681,27 @@ object SparkEntry {
           "user_id", "ts", "event_id", "value")
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
+
+    // Holt-Winters additive smoothing (period 7) over each user's
+    // daily series — the q_holt judged-recursion pattern extended with
+    // a seasonal ring: daily values are EXACT integer cent sums (order-
+    // independent) recast to double, every recursion step a pinned IEEE
+    // expression, and the oracle replays it as a recursive CTE carrying
+    // the ring as a LIST with slice-concat slot updates. Fully oracled.
+    "q_holt_winters" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      graft.operators.Events.holtWinters(
+          daily.withColumn("v", col("cents").cast("double")),
+          "user_id", "d", "v", 7)
+        .select(col("user_id"), col("d"),
+          col("v").cast("long").as("cents"),
+          col("level"), col("trend"), col("seasonal"))
+        .orderBy("user_id", "d")
+    }),
 
     // DAU / trailing-7 WAU / stickiness: windowed distinct users done
     // exactly via the cover-day explode + dedup (no distinct-over-
@@ -8108,6 +8141,40 @@ object SparkEntry {
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
 
+    // the q_holt recursion plus a seasonal LIST ring: slot (rn-1)%7+1
+    // holds s_{t-m} (zeros through the first cycle), updated by
+    // slice-concat; the level expression is spelled once per reference
+    // (trend twice, seasonal three times) — IEEE value identical to the
+    // plan's single evaluation; 0.25/0.5/0.25 exact binary fractions
+    "q_holt_winters" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, d, cents, CAST(cents AS DOUBLE) AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        |      FROM d0),
+        |w(user_id, d, cents, v, rn, l, b, sv) AS (
+        |  SELECT user_id, d, cents, v, rn, v, CAST(0.0 AS DOUBLE),
+        |         [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.d, r.cents, r.v, r.rn,
+        |    0.25 * (r.v - w.sv[(r.rn - 1) % 7 + 1])
+        |      + (1 - 0.25) * (w.l + w.b),
+        |    0.5 * ((0.25 * (r.v - w.sv[(r.rn - 1) % 7 + 1])
+        |            + (1 - 0.25) * (w.l + w.b)) - w.l) + (1 - 0.5) * w.b,
+        |    w.sv[1:(r.rn - 1) % 7] ||
+        |      [0.25 * (r.v - (0.25 * (r.v - w.sv[(r.rn - 1) % 7 + 1])
+        |                      + (1 - 0.25) * (w.l + w.b)))
+        |       + (1 - 0.25) * w.sv[(r.rn - 1) % 7 + 1]] ||
+        |      w.sv[(r.rn - 1) % 7 + 2:7]
+        |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |SELECT user_id, d, cents, l AS level, b AS trend,
+        |       sv[(rn - 1) % 7 + 1] AS seasonal
+        |FROM w ORDER BY user_id, d""".stripMargin,
+
     // cover-day explode mirrored; only active days emit
     "q_dau_wau" ->
       """WITH pairs AS (SELECT DISTINCT user_id AS u,
@@ -9631,6 +9698,24 @@ object SparkEntry {
         |  WHERE w.d < 6)
         |SELECT id, CAST(min(d) AS INT) AS hops
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    // longest path by max-propagation: seed EVERY node at 0, extend
+    // along edges, UNION (distinct) bounds the working table to
+    // nodes x depths; layer = max path length ending at the node —
+    // finite because the edge set is strictly increasing (a DAG)
+    "q_topo_layers" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_orderkey % 120 AS src,
+        |         o_orderkey % 120 + 20 + o_custkey % 7 AS dst
+        |  FROM orders WHERE o_orderkey % 120 + 20 + o_custkey % 7 < 120),
+        |n AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |p(id, len) AS (
+        |  SELECT node, 0 FROM n
+        |  UNION
+        |  SELECT e.dst, p.len + 1 FROM p JOIN e ON e.src = p.id)
+        |SELECT id, CAST(max(len) AS INT) AS layer
+        |FROM p GROUP BY id ORDER BY id""".stripMargin,
 
     // same unroll as q_pagerank with multiplicity weights: mass flows
     // rank·w/W_u instead of rank/outdeg

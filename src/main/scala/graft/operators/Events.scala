@@ -741,6 +741,72 @@ object Events {
       .toDF(keyCol, tieCol, valueCol, "level", "trend")
   }
 
+  /** Holt-Winters ADDITIVE triple exponential smoothing per key —
+    * [[holtLinear]] plus a length-`period` seasonal state, the classic
+    * forecasting recursion for series with both drift and a repeating
+    * cycle (weekly load, daily traffic):
+    *
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+    *   s_t = γ(y_t − l_t)     + (1−γ) s_{t−m}
+    *
+    * Deterministic cold start (the judged-recursion rule — no data-
+    * dependent heuristics): first row of a key seeds l = y, b = 0 and a
+    * zero seasonal ring, so the m-slot ring holds s_{t−m} (zeros through
+    * the first cycle) at slot (t−1) mod m. Same execution shape as
+    * holtLinear: one hash repartition, ordered fold in `mapPartitions`,
+    * state = 2 + m doubles per key, nothing collects. Every step is a
+    * fixed IEEE expression in pinned order with exact-binary-fraction
+    * defaults, so DuckDB's recursive CTE — carrying the ring as a LIST
+    * with slice-concat slot updates — replays the doubles BIT-FOR-BIT.
+    * Judged `q_holt_winters` (per-user daily exact-cents series), fully
+    * ORACLED; hand recursion, period-1 ≡ degenerate seasonal, key-reset
+    * seeding pinned in EventsSpec. */
+  def holtWinters(df: DataFrame, keyCol: String, seqCol: String,
+      valueCol: String, period: Int, alpha: Double = 0.25,
+      beta: Double = 0.5, gamma: Double = 0.25): DataFrame = {
+    require(period >= 1, s"period must be >= 1: $period")
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1,
+      s"need alpha in (0,1], beta, gamma in [0,1]: $alpha, $beta, $gamma")
+    import df.sparkSession.implicits._
+    df
+      .select(col(keyCol).cast("long"), col(seqCol).cast("long"),
+        col(valueCol).cast("double"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(seqCol))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var l = 0.0
+        var b = 0.0
+        var t = 0L
+        var ring: Array[Double] = null
+        it.map { case (k, seq, v) =>
+          if (!started || k != curKey) {
+            curKey = k; started = true
+            l = v; b = 0.0; t = 0L
+            ring = new Array[Double](period) // zero seasonal cold start
+          } else {
+            t += 1
+            val idx = (t % period).toInt
+            val sOld = ring(idx)
+            val lNew = alpha * (v - sOld) + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            ring(idx) = gamma * (v - lNew) + (1 - gamma) * sOld
+            l = lNew
+          }
+          val idx = (t % period).toInt
+          if (t == 0L) { // first row's slot update: γ(y−l) + (1−γ)·0 = 0 exactly
+            ring(idx) = gamma * (v - l) + (1 - gamma) * ring(idx)
+          }
+          (k, seq, v, l, b, ring(idx))
+        }
+      }
+      .toDF(keyCol, seqCol, valueCol, "level", "trend", "seasonal")
+  }
+
   /** JSON property extraction from a string column via `from_json` with an
     * explicit one-field schema (`props` is `{"k": <long>}` in the test
     * corpus). Declarative JsonToStructs — codegen-friendly, pushdown-safe. */

@@ -372,6 +372,66 @@ object Graph {
     visited
   }
 
+  /** Longest-path layering of a DAG (the ASAP schedule / critical-path
+    * stage assignment; Kahn-style level numbering): `layer(v)` = length
+    * of the longest path ending at v — 0 for sources, otherwise
+    * `1 + max` over predecessors. The planning primitive behind stage
+    * scheduling, dependency-ordered backfills and BOM depth audits;
+    * [[bfsHops]]'s max-dual (shortest from seeds vs longest from
+    * sources).
+    *
+    * Semi-naive iteration (the q_cycles rule): only nodes whose layer
+    * IMPROVED last round propagate — each round is a frontier ⋈ edges
+    * hash join, a per-node partial-agg max, and a filter against the
+    * current labels; `barrierCut` per round keeps the plan flat and
+    * materialized. Rounds are bounded by the DAG depth; exceeding
+    * `maxDepth` rounds means a cycle (layers would grow forever) and
+    * throws rather than spinning — [[cycleNodes]] is the diagnostic.
+    * Labels are bare (long, int) rows; edges partial-agg dedup before
+    * the loop. Judged `q_topo_layers` (orders-residue DAG with strictly
+    * increasing edges; the oracle replays max-propagation as a
+    * recursive CTE), fully ORACLED; hand DAG, diamond reconvergence,
+    * cycle reject pinned in GraphSpec. */
+  def topoLayers(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDepth: Int = 100): DataFrame = {
+    val e = graft.engine.Caches.persisted(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var layers = nodes.withColumn("layer", lit(0)).barrierCut
+    var frontier = layers
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      rounds += 1
+      require(rounds <= maxDepth,
+        s"topoLayers: no convergence after $maxDepth rounds — " +
+          "cycle in the edge set or depth > maxDepth")
+      val cand = frontier.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("layer") + 1).as("layer"))
+        .groupBy("id").agg(max(col("layer")).as("layer"))
+      val improved = cand.as("c")
+        .join(layers.select(col("id"), col("layer").as("old")).as("l"), "id")
+        .filter(col("c.layer") > col("old"))
+        .select(col("id"), col("c.layer").as("layer"))
+        .barrierCut
+      changed = !improved.isEmpty
+      if (changed) {
+        layers = layers.as("l")
+          .join(improved.select(col("id"), col("layer").as("upd")).as("i"),
+            Seq("id"), "left")
+          .select(col("id"),
+            greatest(col("l.layer"), coalesce(col("upd"), lit(0)))
+              .as("layer"))
+          .barrierCut
+        frontier = improved
+      }
+    }
+    layers
+  }
+
   /** Synchronous label propagation (Raghavan, Albert, Kumara 2007 —
     * public): community detection, the graph family's complement to
     * [[Dedup.connectedComponents]] — CC answers "reachable at all" and

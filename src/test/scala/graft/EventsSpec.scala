@@ -491,6 +491,46 @@ class EventsSpec extends SparkTestBase {
       math.abs(got.last._2 - n) < 0.1)
   }
 
+  test("holtWinters: hand recursion with seasonal ring, key reset, period-1 degenerate") {
+    // period 2, alpha .25, beta .5, gamma .25; key 10: rows 4, 8, 6
+    //  t=0: l=4 b=0 s[0]=0 (emitted 0)
+    //  t=1: sOld=s[1]=0; l=.25*8+.75*4=5; b=.5*1=.5; s[1]=.25*(8-5)=.75
+    //  t=2: sOld=s[0]=0; l=.25*6+.75*5.5=5.625; b=.5*.625+.5*.5=.5625;
+    //       s[0]=.25*(6-5.625)=.09375
+    val ev = Seq(
+      (1L, 10L, 4.0), (2L, 10L, 8.0), (3L, 10L, 6.0),
+      (4L, 20L, 100.0)) // fresh key: l=v, b=0, zero ring
+      .toDF("event_id", "user_id", "value")
+    val out = Events.holtWinters(ev, "user_id", "event_id", "value", 2)
+      .select("event_id", "level", "trend", "seasonal")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((4.0, 0.0, 0.0)))
+    assert(out(2L) === ((5.0, 0.5, 0.75)))
+    assert(out(3L) === ((5.625, 0.5625, 0.09375)))
+    assert(out(4L) === ((100.0, 0.0, 0.0)))
+    // period 1: the single slot is s_{t-1} — still a well-defined fold;
+    // assert bit-equality against a Scala replay
+    val n = 20
+    val series = (1 to n).map(i => (i.toLong, 7L, (i % 5 + 1).toDouble))
+      .toDF("event_id", "user_id", "value")
+    val got = Events.holtWinters(series, "user_id", "event_id", "value", 1)
+      .select("event_id", "level", "trend", "seasonal")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    var l = 2.0; var b = 0.0; var s = 0.0
+    val replay = (1 to n).map { i =>
+      val v = (i % 5 + 1).toDouble
+      if (i > 1) {
+        val lNew = 0.25 * (v - s) + 0.75 * (l + b)
+        b = 0.5 * (lNew - l) + 0.5 * b
+        s = 0.25 * (v - lNew) + 0.75 * s
+        l = lNew
+      }
+      (i.toLong, l, b, s)
+    }
+    assert(got.toSeq === replay)
+  }
+
   test("interpolateLinear: line between brackets, edge fill both directions, keys isolated") {
     val ev = Seq(
       (1L, 10L, "2026-01-01 10:00:00", Some(2.0)),

@@ -91,6 +91,26 @@ class GraphSpec extends SparkTestBase {
     assert(run(Seq(42L), 3) === Map(42L -> 0))
   }
 
+  test("topoLayers: longest path wins on diamonds, sources at 0, cycle rejects") {
+    // diamond 1→2→4, 1→3→4 plus a long arm 1→5→6→4: layer(4) must be
+    // the LONGEST path (3 via the arm), not the shortest (2); 7→4 adds
+    // a second source at layer 0
+    val edges = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L), (7L, 4L)).toDF("src", "dst")
+    val out = Graph.topoLayers(edges, "src", "dst")
+      .as[(Long, Int)].collect().toMap
+    graft.engine.Caches.releaseAll()
+    assert(out === Map(1L -> 0, 7L -> 0, 2L -> 1, 3L -> 1, 5L -> 1,
+      6L -> 2, 4L -> 3))
+    // a cycle can never converge — bounded rounds throw instead of spin
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.topoLayers(cyc, "src", "dst", maxDepth = 10)
+    }
+    assert(e.getMessage.contains("cycle"))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("labelPropagation separates bridged communities that CC merges") {
     // two triangles joined by ONE bridge edge: CC sees one component,
     // LPA keeps two communities — the property that matters when
