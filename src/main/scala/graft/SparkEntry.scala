@@ -2298,6 +2298,27 @@ object SparkEntry {
         .orderBy("ta", "tb")
     }),
 
+    // SymSpell edit-distance-<=2 vocabulary pairing over an
+    // id-arithmetic typo ladder (base / head-deletion / +\"zz\" /
+    // +\"z\" per group, triple-digit group codes keep cross-group
+    // distances >= 3): deletion-neighborhood blocking with exact
+    // levenshtein verify vs DuckDB's all-pairs levenshtein — both
+    // classic integer Levenshtein, exact agreement. Fully oracled.
+    "q_edit_pairs" -> ((s, dir) => {
+      val g = col("doc_id") % 125
+      val base = concat(lit("a"), g, lit("b"), g, lit("c"), g)
+      val c = expr("(doc_id div 125) % 4")
+      val tok = when(c === 1, expr("substr(" +
+          "concat('a', doc_id % 125, 'b', doc_id % 125, 'c', doc_id % 125)" +
+          ", 2)"))
+        .when(c === 2, concat(base, lit("zz")))
+        .when(c === 3, concat(base, lit("z")))
+        .otherwise(base)
+      graft.operators.Dedup.editNeighborPairs(
+          t(s, dir, "documents").select(tok.as("tok")), "tok")
+        .orderBy("ta", "tb")
+    }),
+
     // Pairwise correlation / covariance profile in one aggregate pass —
     // the numeric-relationship half of the profiling surface (q_profile
     // covers nulls/cardinality). Fully oracled within float tolerance.
@@ -4421,6 +4442,16 @@ object SparkEntry {
         t(s, dir, "events").withColumn("label",
           (col("event_type") === "purchase").cast("int")),
         "value", "label", "event_id")),
+
+    // nDCG@10 per user with graded relevance event_id % 4: per-TERM
+    // micro-quantized DCG sums (order-independent BIGINTs; log2
+    // boundary margins are data-independent constants), milli ratio by
+    // integer div. Fully oracled.
+    "q_ndcg" -> ((s, dir) =>
+      graft.operators.Eval.ndcgAtK(
+        t(s, dir, "events").withColumn("rel", col("event_id") % 4),
+        "user_id", "value", "event_id", "rel", 10)
+        .orderBy("user_id")),
 
     // Mann-Whitney U rank-sum test: doubled tie-averaged ranks off the
     // banded ECDF, exact u2/r2 BIGINTs, tie-corrected z micro. Fully
@@ -7217,6 +7248,33 @@ object SparkEntry {
         |         AS BIGINT) AS ap_micro
         |FROM r WHERE y = 1""".stripMargin,
 
+    // per-term micro-quantization makes both DCG sums order-independent
+    // BIGINTs; ideal-rank ties need no break (equal rel => equal term
+    // at the k boundary); integer milli division mirrored
+    "q_ndcg" ->
+      """WITH b AS (SELECT user_id, value, event_id,
+        |             event_id % 4 AS rel FROM events),
+        |m AS (SELECT user_id, rel, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |      FROM b),
+        |i AS (SELECT user_id, rel, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY rel DESC) AS rn
+        |      FROM b),
+        |dm AS (SELECT user_id, CAST(sum(CAST(floor(
+        |          rel * 1000000 / log2(rn + 1) + 0.5) AS BIGINT))
+        |          AS BIGINT) AS dcg_micro
+        |       FROM m WHERE rn <= 10 GROUP BY 1),
+        |di AS (SELECT user_id, CAST(sum(CAST(floor(
+        |          rel * 1000000 / log2(rn + 1) + 0.5) AS BIGINT))
+        |          AS BIGINT) AS idcg_micro
+        |       FROM i WHERE rn <= 10 GROUP BY 1)
+        |SELECT dm.user_id, dcg_micro, idcg_micro,
+        |       CASE WHEN idcg_micro > 0
+        |            THEN dcg_micro * 1000 // idcg_micro
+        |            ELSE NULL END AS ndcg_milli
+        |FROM dm JOIN di ON dm.user_id = di.user_id
+        |ORDER BY dm.user_id""".stripMargin,
+
     // doubled tie-averaged ranks: a tie group at cumulative offset c
     // with t members contributes t1·(2c + t + 1); z's sigma factors
     // are spelled in the plan's exact operation order
@@ -9254,6 +9312,27 @@ object SparkEntry {
         |SELECT a.tok AS ta, b.tok AS tb
         |FROM tok a JOIN tok b
         |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+        |ORDER BY ta, tb""".stripMargin,
+
+    // all-pairs levenshtein over the same typo ladder — no set
+    // prediction needed: both engines implement classic integer
+    // Levenshtein, so candidate recall is the only thing under test
+    "q_edit_pairs" ->
+      """WITH v AS (SELECT DISTINCT
+        |    CASE (doc_id // 125) % 4
+        |      WHEN 1 THEN substr('a' || (doc_id % 125) || 'b' ||
+        |                    (doc_id % 125) || 'c' || (doc_id % 125), 2)
+        |      WHEN 2 THEN 'a' || (doc_id % 125) || 'b' ||
+        |                    (doc_id % 125) || 'c' || (doc_id % 125) || 'zz'
+        |      WHEN 3 THEN 'a' || (doc_id % 125) || 'b' ||
+        |                    (doc_id % 125) || 'c' || (doc_id % 125) || 'z'
+        |      ELSE 'a' || (doc_id % 125) || 'b' ||
+        |                    (doc_id % 125) || 'c' || (doc_id % 125)
+        |    END AS tok FROM documents)
+        |SELECT a.tok AS ta, b.tok AS tb,
+        |       CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+        |FROM v a JOIN v b
+        |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
         |ORDER BY ta, tb""".stripMargin,
 
     "q_corr" ->

@@ -625,6 +625,54 @@ object Dedup {
       .filter(levenshtein(col("ta"), col("tb")) <= 1)
   }
 
+  /** Edit-distance-≤2 vocabulary pairing — [[fuzzyPairs]] generalized to
+    * the SymSpell symmetric-delete scheme (Garbe's public algorithm):
+    * block on the ≤2-DELETION neighborhood (every string reachable by
+    * deleting at most two characters), then verify candidates with the
+    * exact `levenshtein`. Correct by the symmetric-delete argument: each
+    * of ≤2 edits costs at most one deletion on EACH side to reach a
+    * common string (substitution deletes the differing char on both,
+    * insertion/deletion deletes on the longer side), so any pair within
+    * Levenshtein 2 shares a neighborhood entry — exact recall, and the
+    * verify makes precision exact too. Emits (ta, tb, dist).
+    *
+    * Scale: the same discipline as [[fuzzyPairs]] — input is the
+    * DISTINCT vocabulary (map-side combined, orders below the corpus),
+    * neighborhoods travel as 8-byte `xxhash64` block keys (a collision
+    * can only ADD a candidate the verify rejects), candidate pairs dedup
+    * bare before the levenshtein touch. Neighborhood size is
+    * 1 + L + C(L,2) per token — quadratic in token LENGTH (bounded ~20),
+    * linear in vocabulary, vs the all-pairs oracle's quadratic blowup.
+    * Judged `q_edit_pairs` vs DuckDB's all-pairs levenshtein on an
+    * id-arithmetic typo fixture (both engines implement classic
+    * Levenshtein — integer-exact agreement); hand distances, brute-force
+    * recall equality and the L<2 edge pinned in DedupSpec. */
+  def editNeighborPairs(tokens: DataFrame, tokenCol: String): DataFrame = {
+    val toks = tokens.select(col(tokenCol).as("__tok")).distinct()
+    val t = col("__tok")
+    val n = length(t)
+    // single deletions as strings (position i removed, 1-based)
+    val d1 = when(n >= 1, transform(sequence(lit(1), n),
+      i => concat(t.substr(lit(1), i - 1), t.substr(i + 1, n))))
+      .otherwise(array())
+    // double deletions: positions i < j removed from the ORIGINAL string
+    val d2 = when(n >= 2, flatten(transform(sequence(lit(1), n - 1),
+      i => transform(sequence(i + 1, n),
+        j => concat(t.substr(lit(1), i - 1),
+          t.substr(i + 1, j - i - 1), t.substr(j + 1, n))))))
+      .otherwise(array())
+    val variants = graft.engine.Caches.persisted(
+      toks.select(t, explode(array_distinct(
+        concat(array(t), d1, d2))).as("__s"))
+        .select(t, xxhash64(col("__s")).as("__v")))
+    variants.as("a").join(variants.as("b"),
+        col("a.__v") === col("b.__v") && col("a.__tok") < col("b.__tok"))
+      .select(col("a.__tok").as("ta"), col("b.__tok").as("tb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= 2)
+  }
+
   /** Novelty curve — the corpus-health metric behind "is new data
     * actually new": per document, how many of its distinct shingles
     * appear HERE FIRST (first = the minimum doc id carrying the

@@ -471,6 +471,50 @@ object Eval {
     * scans, no window, no join beyond the 1-row broadcast. Judged
     * `q_did`, fully ORACLED; hand effect (parallel-trends null, pure
     * treatment lift) and cell bookkeeping pinned in EvalSpec. */
+  /** nDCG@k per ranking group — the graded-relevance ranking metric
+    * (Järvelin & Kekäläinen 2002) beside [[averagePrecision]]'s binary
+    * one: `DCG = Σ_{i≤k} rel_i / log2(i+1)` over the model ranking,
+    * normalized by the ideal (relevance-sorted) DCG.
+    *
+    * Judged-double discipline: each DCG TERM is micro-quantized
+    * independently — `floor(rel·10⁶ / log2(i+1) + 0.5)` — so the sums
+    * are order-independent BIGINTs and a cross-engine 1-ulp `log2`
+    * difference cannot move a term across a floor boundary (the
+    * boundary margins are data-independent constants; worst ≈ 7·10⁻³
+    * vs ~10⁻¹⁰ noise). `ndcg_milli = dcg·1000 div idcg`, NULL when the
+    * group has no relevant item. Model rank ties break on `tieCol` for
+    * determinism; ideal-rank ties need no break (equal rel ⇒ equal
+    * term at the k boundary).
+    *
+    * Scale: two group-partitioned ROW windows over k-filtered rows —
+    * never a global window; groups are independent (the per-query eval
+    * shape). Judged `q_ndcg`, fully ORACLED; hand rankings, perfect-
+    * ranking ≡ 1000, zero-relevance NULL pinned in EvalSpec. */
+  def ndcgAtK(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val term = (rn: org.apache.spark.sql.Column) =>
+      floor(col("__rel").cast("double") * lit(1000000.0) /
+        log2(rn.cast("double") + lit(1.0)) + lit(0.5)).cast("long")
+    val base = df.select(col(groupCol).as("__g"), col(scoreCol).as("__s"),
+      col(tieCol).as("__t"), col(relCol).cast("long").as("__rel"))
+    val model = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g").orderBy(col("__s").desc, col("__t"))))
+      .filter(col("__rn") <= k)
+      .groupBy(col("__g")).agg(sum(term(col("__rn"))).as("dcg_micro"))
+    val ideal = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g").orderBy(col("__rel").desc)))
+      .filter(col("__rn") <= k)
+      .groupBy(col("__g")).agg(sum(term(col("__rn"))).as("idcg_micro"))
+    model.join(ideal, "__g")
+      .select(col("__g").as(groupCol), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          expr("dcg_micro * 1000 div idcg_micro")) // exact; both sides >= 0
+          .as("ndcg_milli"))
+  }
+
   def diffInDiff(df: DataFrame, treatCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val b = broadcast(df.agg(

@@ -86,6 +86,40 @@ class DedupSpec extends SparkTestBase {
       ("ward", "word"), ("word", "words"), ("ward", "wrd"), ("word", "wrd")))
   }
 
+  test("editNeighborPairs: exact distance<=2 set with distances; ab/ba transposition = 2") {
+    val toks = Seq("word", "ward", "words", "wordsxy", "xyz", "ab", "ba")
+      .toDF("tok")
+    val got = Dedup.editNeighborPairs(toks, "tok")
+      .as[(String, String, Int)].collect().toSet
+    // transposition costs 2 under classic Levenshtein (sub+sub) — now IN;
+    // wordsxy is 2 inserts from words, 3 from word — the boundary holds
+    assert(got === Set(
+      ("ward", "word", 1), ("word", "words", 1), ("ward", "words", 2),
+      ("words", "wordsxy", 2), ("ab", "ba", 2)))
+  }
+
+  test("editNeighborPairs equals all-pairs levenshtein<=2 on random vocabularies (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = Gen.nonEmptyListOf(word).map(_.distinct)
+    val prop = Prop.forAll(gen) { words =>
+      val df = words.toDF("tok")
+      val got = Dedup.editNeighborPairs(df, "tok")
+        .as[(String, String, Int)].collect().toSet
+      val lev = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance
+      val expect = (for {
+        a <- words; b <- words if a < b
+        d = lev.apply(a, b).toInt if d <= 2
+      } yield (a, b, d)).toSet
+      got == expect
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("fuzzyPairs equals all-pairs levenshtein on random vocabularies (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val word = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))

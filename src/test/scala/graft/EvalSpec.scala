@@ -273,4 +273,32 @@ class EvalSpec extends SparkTestBase {
     assert(k2(0).getLong(2) === 3L && k2(1).getLong(2) === 0L)
     graft.engine.Caches.releaseAll()
   }
+
+  test("ndcgAtK: perfect ranking = 1000, hand inversion, zero-relevance NULL, k cap") {
+    // group 1: model ranks rel (3,2,1) by score — the ideal order => 1000
+    // group 2: model ranks rel (1,3) — one inversion;
+    //   dcg = t(1,1) + t(3,2) where t(r,i) = floor(r*1e6/log2(i+1) + .5)
+    //   idcg = t(3,1) + t(1,2)
+    // group 3: all rel 0 => idcg 0 => ndcg NULL
+    val rows = Seq(
+      (1L, 9.0, 1L, 3L), (1L, 8.0, 2L, 2L), (1L, 7.0, 3L, 1L),
+      (2L, 9.0, 1L, 1L), (2L, 8.0, 2L, 3L),
+      (3L, 9.0, 1L, 0L), (3L, 8.0, 2L, 0L))
+      .toDF("g", "score", "id", "rel")
+    def t6(r: Long, i: Int): Long =
+      math.floor(r * 1000000.0 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong
+    val out = Eval.ndcgAtK(rows, "g", "score", "id", "rel", 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    val d1 = t6(3, 1) + t6(2, 2) + t6(1, 3)
+    assert(out(1L) === ((d1, d1, 1000L)))
+    val d2 = t6(1, 1) + t6(3, 2); val i2 = t6(3, 1) + t6(1, 2)
+    assert(out(2L) === ((d2, i2, d2 * 1000 / i2)))
+    assert(out(3L) === ((0L, 0L, -1L)))
+    // k cap: with k = 1 only the top row counts
+    val capped = Eval.ndcgAtK(rows, "g", "score", "id", "rel", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(1L) === t6(3, 1) && capped(2L) === t6(1, 1))
+  }
 }
