@@ -757,6 +757,19 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Schema-contract drift audit between two projections: added /
+    // removed / retyped / unchanged per column with both simpleString
+    // renderings — pure metadata, zero data IO. Fully oracled (literal
+    // expectation rows).
+    "q_schema_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Relational.schemaDiff(
+          o.select("o_orderkey", "o_custkey", "o_orderstatus"),
+          o.select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        .orderBy("col_name")
+    }),
+
     // S3: UNpartitioned sink round-trip (etl.py:64-66, 119-121 — the
     // artists/users writes) — exercises the empty-partitionCols branch.
     "q_write_unpart" -> ((s, dir) => {
@@ -3702,6 +3715,16 @@ object SparkEntry {
           "user_id", "ts", "event_id", "value")
         .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
+
+    // Rolling-origin one-step-ahead backtest of the Holt smoother:
+    // per-row errors are bit-identical cross-engine (the q_holt proof),
+    // milli-quantized per term, and the MAE/bias means go through
+    // integer div with sign-abs routing. Fully oracled.
+    "q_holt_backtest" -> ((s, dir) =>
+      graft.operators.Events.holtBacktest(
+          t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")),
 
     // Holt-Winters additive smoothing (period 7) over each user's
     // daily series — the q_holt judged-recursion pattern extended with
@@ -8199,6 +8222,37 @@ object SparkEntry {
         |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
         |ORDER BY event_id""".stripMargin,
 
+    // the q_holt recursion carrying the one-step error (r.v − previous
+    // state's l+b) alongside; per-term milli floor, HUGEINT sums CAST
+    // before the integer divisions, sign-abs routing for the bias
+    "q_holt_backtest" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w(user_id, event_id, value, rn, l, b, e) AS (
+        |  SELECT user_id, event_id, value, rn, value,
+        |         CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.value, r.rn,
+        |         0.25 * r.value + (1 - 0.25) * (w.l + w.b),
+        |         0.5 * ((0.25 * r.value + (1 - 0.25) * (w.l + w.b)) - w.l)
+        |           + (1 - 0.5) * w.b,
+        |         r.value - (w.l + w.b)
+        |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1),
+        |em AS (SELECT user_id,
+        |         CAST(floor(e * 1000 + 0.5) AS BIGINT) AS e
+        |       FROM w WHERE e IS NOT NULL),
+        |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+        |          CAST(sum(abs(e)) AS BIGINT) AS sa,
+        |          CAST(sum(e) AS BIGINT) AS ss
+        |        FROM em GROUP BY 1)
+        |SELECT user_id, n_eval, sa // n_eval AS mae_milli,
+        |       CAST(sign(ss) AS BIGINT) * (abs(ss) // n_eval) AS bias_milli
+        |FROM agg ORDER BY user_id""".stripMargin,
+
     // the q_holt recursion plus a seasonal LIST ring: slot (rn-1)%7+1
     // holds s_{t-m} (zeros through the first cycle), updated by
     // slice-concat; the level expression is spelled once per reference
@@ -9466,6 +9520,17 @@ object SparkEntry {
         |SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey % 2 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // literal expectation rows — the diff is pure metadata over two
+    // known projections (Catalyst simpleString type names)
+    "q_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', 'removed', 'bigint', CAST(NULL AS VARCHAR)),
+        |  ('o_orderkey', 'retyped', 'bigint', 'int'),
+        |  ('o_orderstatus', 'unchanged', 'string', 'string'),
+        |  ('o_totalprice', 'added', CAST(NULL AS VARCHAR), 'double'))
+        |  AS v(col_name, status, type_a, type_b)
+        |ORDER BY col_name""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,

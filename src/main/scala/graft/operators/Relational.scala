@@ -454,6 +454,32 @@ object Relational {
         .parquet(path)
     }
 
+  /** Schema diff between two frames — the contract-drift audit a
+    * pipeline runs when a producer ships a new schema version: one row
+    * per column of either side with `status` ∈ added / removed /
+    * retyped / unchanged and both type renderings (Catalyst
+    * `simpleString`, so `bigint` / `double` / `string` — stable public
+    * names). Pure METADATA: reads two schemas, never a data row — the
+    * zero-IO complement of [[profile]] (values) and
+    * `Tables.schemaDrift` (storage eras). Driver-side over the config-
+    * scale field lists, emitted via `toDF`. Judged `q_schema_diff`,
+    * fully ORACLED (literal expectation rows); nested-type rendering
+    * and order stability pinned in RelationalSpec. */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
+    val ta = a.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val tb = b.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    (ta.keySet ++ tb.keySet).toSeq.sorted.map { name =>
+      (ta.get(name), tb.get(name)) match {
+        case (Some(x), None) => (name, "removed", x, null: String)
+        case (None, Some(y)) => (name, "added", null: String, y)
+        case (Some(x), Some(y)) if x == y => (name, "unchanged", x, y)
+        case (Some(x), Some(y)) => (name, "retyped", x, y)
+        case _ => throw new IllegalStateException(name) // unreachable
+      }
+    }.toDF("col_name", "status", "type_a", "type_b")
+  }
+
   /** Column profiling: (col_name, n_nulls, n_distinct) for each named
     * column, in ONE aggregate pass over the table (the multi-distinct
     * plans through Catalyst's Expand — a single shuffle, not one job per

@@ -491,6 +491,32 @@ class EventsSpec extends SparkTestBase {
       math.abs(got.last._2 - n) < 0.1)
   }
 
+  test("holtBacktest: hand errors, negative bias sign-routing, single-row keys excluded") {
+    // key 10: values 4, 8, 6 (alpha .25, beta .5)
+    //  t2: forecast = 4+0 = 4, e = 4 -> l=5 b=.5
+    //  t3: forecast = 5.5, e = .5
+    //  mae = (4000+500)/2 = 2250; bias = (4000+500)/2 = 2250
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 10:00:00", 4.0),
+      (2L, 10L, "2026-01-01 11:00:00", 8.0),
+      (3L, 10L, "2026-01-01 12:00:00", 6.0),
+      (4L, 20L, "2026-01-01 09:00:00", 99.0)) // single row: no eval
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Events.holtBacktest(ev, "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(10L -> ((2L, 2250L, 2250L))))
+    // negative bias routes through sign-abs: values 8, 4 -> e = -4
+    val neg = Seq((1L, 30L, "2026-01-01 10:00:00", 8.0),
+      (2L, 30L, "2026-01-01 11:00:00", 4.0))
+      .toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s")))
+    val n = Events.holtBacktest(neg, "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(n === ((30L, 1L, 4000L, -4000L)))
+  }
+
   test("holtWinters: hand recursion with seasonal ring, key reset, period-1 degenerate") {
     // period 2, alpha .25, beta .5, gamma .25; key 10: rows 4, 8, 6
     //  t=0: l=4 b=0 s[0]=0 (emitted 0)

@@ -1252,4 +1252,19 @@ class RelationalSpec extends SparkTestBase {
     // floored shares: hhi undershoots the exact 1/3 split by design
     assert(got("third") === ((3L, 600L, 3L * 3333L * 3333L)))
   }
+
+  test("schemaDiff: added/removed/retyped/unchanged, nested rendering, identical = all unchanged") {
+    val a = Seq((1L, "x", 2.0)).toDF("k", "s", "v")
+    val b = a.select(col("k").cast("int").as("k"), col("s"),
+      struct(col("v").as("inner")).as("n"))
+    val got = schemaDiff(a, b)
+      .as[(String, String, String, String)].collect().toSeq
+    assert(got === Seq(
+      ("k", "retyped", "bigint", "int"),
+      ("n", "added", null, "struct<inner:double>"),
+      ("s", "unchanged", "string", "string"),
+      ("v", "removed", "double", null)))
+    assert(schemaDiff(a, a)
+      .filter(col("status") =!= "unchanged").count() === 0)
+  }
 }
