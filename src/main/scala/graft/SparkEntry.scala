@@ -174,6 +174,30 @@ object SparkEntry {
       |SELECT * FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Oracle shared by the batch (`q_holt`) and streaming
+    * (`q_stream_holt`) Holt smoothers — the stream's one-batch
+    * AvailableNow replay is bit-identical to the batch fold, so ONE
+    * recursive-CTE replay judges both (shared so the twins cannot
+    * drift). */
+  private val holtOracleSql: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |w(user_id, event_id, value, rn, l, b) AS (
+      |  SELECT user_id, event_id, value, rn, value,
+      |         CAST(0.0 AS DOUBLE)
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.event_id, r.value, r.rn,
+      |         0.25 * r.value + (1 - 0.25) * (w.l + w.b),
+      |         0.5 * ((0.25 * r.value + (1 - 0.25) * (w.l + w.b)) - w.l)
+      |           + (1 - 0.5) * w.b
+      |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+      |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
+      |ORDER BY event_id""".stripMargin
+
   /** Scaffold shared by the three driver-judged streaming queries: wipe
     * the run root (checkpoint/state must never leak between runs), write
     * each input as ONE parquet file (one file ⇒ one data micro-batch ⇒
@@ -3796,6 +3820,20 @@ object SparkEntry {
           "user_id BIGINT, ts TIMESTAMP, event_id BIGINT")),
         m => graft.streaming.Streams.throttleStream(
           m("ev"), "user_id", "ts", "event_id", 600L))
+        .orderBy("event_id")),
+
+    // Streaming Holt smoother under a one-batch AvailableNow replay:
+    // in-batch (ts, tie) sort before the fold makes the stream equal
+    // the batch operator bit-for-bit — judged against the SAME
+    // recursive-CTE oracle as q_holt. Fully oracled.
+    "q_stream_holt" -> ((s, dir) =>
+      runStream(s, "stream_holt",
+        Seq(("ev",
+          t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+          "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE")),
+        m => graft.streaming.Streams.holtStream(
+          m("ev"), "user_id", "ts", "event_id", "value"))
+        .select("event_id", "user_id", "value", "level", "trend")
         .orderBy("event_id")),
 
     // Cooldown throttling per user (10-min keep-first greedy — the
@@ -8203,24 +8241,12 @@ object SparkEntry {
     // the recursive step spells the level expression twice (the trend
     // references l_new) — IEEE value identical to the plan's single
     // evaluation; alpha 0.25 / beta 0.5 are exact binary fractions
-    "q_holt" ->
-      """WITH RECURSIVE r AS (
-        |  SELECT user_id, event_id, value,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |w(user_id, event_id, value, rn, l, b) AS (
-        |  SELECT user_id, event_id, value, rn, value,
-        |         CAST(0.0 AS DOUBLE)
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.user_id, r.event_id, r.value, r.rn,
-        |         0.25 * r.value + (1 - 0.25) * (w.l + w.b),
-        |         0.5 * ((0.25 * r.value + (1 - 0.25) * (w.l + w.b)) - w.l)
-        |           + (1 - 0.5) * w.b
-        |  FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
-        |SELECT event_id, user_id, value, l AS level, b AS trend FROM w
-        |ORDER BY event_id""".stripMargin,
+    "q_holt" -> holtOracleSql,
+
+    // the streaming replay is bit-identical to the batch operator under
+    // one-batch AvailableNow (in-batch sort before the fold) — SAME
+    // oracle, shared so the twins cannot drift
+    "q_stream_holt" -> holtOracleSql,
 
     // the q_holt recursion carrying the one-step error (r.v − previous
     // state's l+b) alongside; per-term milli floor, HUGEINT sums CAST

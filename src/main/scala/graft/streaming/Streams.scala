@@ -243,6 +243,53 @@ object Streams {
       .toDF(keyCol, tieCol)
   }
 
+  /** Streaming Holt linear smoother — [[graft.operators.Events
+    * .holtLinear]] as a stateful stream: per-key state is TWO doubles
+    * (level, trend), each row emits its post-update state — the online
+    * forecasting shape (next-step forecast = `level + trend` at any
+    * moment, continuously maintained). Within a micro-batch the group's
+    * rows sort by (ts, tie) before the fold (the [[throttleStream]]
+    * determinism rule), so a one-batch `AvailableNow` replay EQUALS the
+    * batch operator bit-for-bit — judged `q_stream_holt` against the
+    * SAME recursive-CTE oracle as `q_holt`. Across real micro-batches,
+    * arrival order wins: a late row folds in when it arrives, at the
+    * then-current state — the inherent stateful-stream divergence,
+    * pinned in StreamingSpec (two-batch state carry). */
+  def holtStream(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, alpha: Double = 0.25,
+      beta: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"need alpha in (0,1], beta in [0,1]: $alpha, $beta")
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("tsu"), col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[(Double, Double)]) =>
+          val rows = it.toSeq.sortBy(r => (r._2, r._3))
+          var started = state.exists
+          var (l, b) = state.getOption.getOrElse((0.0, 0.0))
+          val out = rows.map { case (_, _, tie, v) =>
+            if (!started) { started = true; l = v; b = 0.0 }
+            else {
+              val lNew = alpha * v + (1 - alpha) * (l + b)
+              b = beta * (lNew - l) + (1 - beta) * b
+              l = lNew
+            }
+            (k, tie, v, l, b)
+          }
+          if (started) state.update((l, b))
+          out.iterator
+      }
+      .toDF(keyCol, tieCol, valueCol, "level", "trend")
+  }
+
   /** BOUNDED-STATE streaming dedup — the production counterpart of
     * [[exactDedupStream]] for corpora where "duplicate" means "repeated
     * within the recency horizon": rows are keyed by the same 128-bit text

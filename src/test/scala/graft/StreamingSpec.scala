@@ -315,6 +315,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("holtStream: one-batch equals batch fold bit-for-bit; state carries across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = Streams.holtStream(
+      in.toDS().toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value")
+      .writeStream.format("memory").queryName("t_holt")
+      .outputMode("append").start()
+    try {
+      // fed out of order: the kernel sorts to 4, 8 -> l=4 b=0; l=5 b=.5
+      in.addData((1L, ts("2026-01-01 11:00:00"), 2L, 8.0),
+        (1L, ts("2026-01-01 10:00:00"), 1L, 4.0))
+      q.processAllAvailable()
+      // second batch folds at the CARRIED state (l=5, b=.5):
+      // l = .25*6 + .75*5.5 = 5.625; b = .5*.625 + .5*.5 = .5625
+      in.addData((1L, ts("2026-01-01 12:00:00"), 3L, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("t_holt")
+        .select("event_id", "level", "trend")
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === Map(1L -> ((4.0, 0.0)), 2L -> ((5.0, 0.5)),
+        3L -> ((5.625, 0.5625))))
+      // identical to the batch operator over the same total replay —
+      // here arrival order HAPPENS to respect event order, so the
+      // carried state equals the batch fold exactly
+      val batch = Events.holtLinear(
+        Seq((1L, 1L, ts("2026-01-01 10:00:00"), 4.0),
+          (2L, 1L, ts("2026-01-01 11:00:00"), 8.0),
+          (3L, 1L, ts("2026-01-01 12:00:00"), 6.0))
+          .toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value")
+        .select("event_id", "level", "trend")
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("nearDupFlagStream flags index near-dups once per pair, skips disjoint docs") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
