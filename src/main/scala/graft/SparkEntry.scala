@@ -5720,6 +5720,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Benjamini-Hochberg FDR over per-key p-values: exact-integer
+    // step-up test (cross-multiplied, no division) and suffix-min
+    // q-values in micros; planted 10% low-p signal via id arithmetic so
+    // the rejected set is non-trivial. Fully oracled.
+    "q_fdr" -> ((s, dir) =>
+      graft.operators.Eval.bhAdjust(
+        t(s, dir, "events").filter(col("event_id") % 7 === 0)
+          .select(col("event_id").as("id"),
+            when(col("event_id") % 10 === 0,
+              (col("event_id") * lit(7919L)) % 499L)
+              .otherwise((col("event_id") * lit(2654435761L)) % 1000000L)
+              .as("p_micro")),
+        "id", "p_micro", alphaMilli = 50L)
+        .orderBy("p_rank")),
+
+    // Fleiss' kappa over first-5 ratings per item (item = event_id mod
+    // 400 — dense at every SF; rating order = event_id, category =
+    // value tercile). One exact rational, signed-milli readout. Fully
+    // oracled.
+    "q_fleiss" -> ((s, dir) =>
+      graft.operators.Eval.fleissKappa(
+        t(s, dir, "events").select(
+          (col("event_id") % 400).as("item"), col("event_id"),
+          when(col("value") < 50, 0L).when(col("value") < 150, 1L)
+            .otherwise(2L).as("cat")),
+        "item", "event_id", "cat", r = 5)),
+
+    // Brier score + Murphy decomposition over id-arithmetic milli
+    // probabilities: exact BIGINT Brier sum, chi2-pattern micro-
+    // quantized REL/RES terms, pinned UNC expression. Fully oracled.
+    "q_brier" -> ((s, dir) =>
+      graft.operators.Eval.brierDecomposition(
+        t(s, dir, "events").select(
+          ((col("event_id") * 31L) % 1001L).as("p_milli"),
+          (col("value") > 100).as("hit")),
+        "p_milli", "hit", bins = 10)),
+
     // Bloom-prefiltered join: dim keys -> Bloom filter -> scan-stage
     // might_contain on the fact BEFORE the join. No false negatives, and
     // false positives die at the join, so the result is EXACTLY the
@@ -10998,6 +11035,100 @@ object SparkEntry {
         |SELECT doc_id,
         |       trim(regexp_replace(t, '\s+', ' ', 'g')) AS txt
         |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // exact-integer BH: cross-multiplied step-up test, suffix-min
+    // q-values; every divided/compared quantity non-negative so // == div
+    "q_fdr" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    CASE WHEN event_id % 10 = 0 THEN (event_id * 7919) % 499
+        |         ELSE (event_id * 2654435761) % 1000000 END AS p_micro
+        |  FROM events WHERE event_id % 7 = 0),
+        |r AS (SELECT id, p_micro,
+        |        row_number() OVER (ORDER BY p_micro, id) AS p_rank,
+        |        count(*) OVER () AS m
+        |      FROM p),
+        |a AS (SELECT id, p_micro, p_rank,
+        |        least(1000000, m * p_micro // p_rank) AS raw,
+        |        CASE WHEN p_micro * m <= p_rank * 50000
+        |             THEN p_rank ELSE 0 END AS pass
+        |      FROM r),
+        |k AS (SELECT CAST(max(pass) AS BIGINT) AS kstar FROM a)
+        |SELECT id, p_micro, CAST(p_rank AS BIGINT) AS p_rank,
+        |  CAST(min(raw) OVER (ORDER BY p_rank ROWS BETWEEN CURRENT ROW
+        |    AND UNBOUNDED FOLLOWING) AS BIGINT) AS q_micro,
+        |  p_rank <= kstar AS rejected
+        |FROM a, k ORDER BY p_rank""".stripMargin,
+
+    // one exact rational; s2 >= N*r and both pbar/pe numerators
+    // non-negative so // == div there; kappa via the sign-abs rule
+    "q_fleiss" ->
+      """WITH rated AS (
+        |  SELECT event_id % 400 AS i, event_id AS o,
+        |         CASE WHEN value < 50 THEN 0 WHEN value < 150 THEN 1
+        |              ELSE 2 END AS c
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY event_id % 400
+        |    ORDER BY event_id) <= 5),
+        |ok AS (SELECT i FROM rated GROUP BY 1 HAVING count(*) = 5),
+        |cells AS (SELECT rated.i, c, CAST(count(*) AS BIGINT) AS n
+        |          FROM rated JOIN ok USING (i) GROUP BY 1, 2),
+        |s AS (SELECT CAST(sum(n * n) AS BIGINT) AS s2,
+        |             CAST(count(DISTINCT i) AS BIGINT) AS n_items
+        |      FROM cells),
+        |t AS (SELECT CAST(sum(tt * tt) AS BIGINT) AS sum_tc2
+        |      FROM (SELECT CAST(sum(n) AS BIGINT) AS tt
+        |            FROM cells GROUP BY c))
+        |SELECT n_items, CAST(5 AS BIGINT) AS raters, s2, sum_tc2,
+        |  CASE WHEN n_items > 0 THEN (s2 - n_items * 5) * 1000000
+        |    // (n_items * 5 * 4) ELSE NULL END AS pbar_micro,
+        |  CASE WHEN n_items > 0 THEN sum_tc2 * 1000000
+        |    // ((n_items * 5) * (n_items * 5)) ELSE NULL END AS pe_micro,
+        |  CASE WHEN n_items > 0 AND
+        |       (n_items * 5) * (n_items * 5) > sum_tc2
+        |    THEN CAST(sign((s2 - n_items * 5) * (n_items * 5)
+        |           * (n_items * 5) - n_items * 5 * 4 * sum_tc2) AS BIGINT)
+        |      * (abs((s2 - n_items * 5) * (n_items * 5) * (n_items * 5)
+        |           - n_items * 5 * 4 * sum_tc2) * 1000
+        |         // (n_items * 5 * 4
+        |            * ((n_items * 5) * (n_items * 5) - sum_tc2)))
+        |    ELSE NULL END AS kappa_milli
+        |FROM s, t""".stripMargin,
+
+    // exact BIGINT Brier sum; REL/RES terms micro-quantized per bin
+    // (the chi2 floor(+0.5) pattern), UNC one pinned double expression
+    "q_brier" ->
+      """WITH b AS (SELECT (event_id * 31) % 1001 AS p,
+        |                  CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+        |           FROM events),
+        |cells AS (SELECT least(p * 10 // 1000, 9) AS bin,
+        |                 CAST(count(*) AS BIGINT) AS n_k,
+        |                 CAST(sum(p) AS BIGINT) AS sp,
+        |                 CAST(sum(y) AS BIGINT) AS pos,
+        |                 CAST(sum((p - 1000 * y) * (p - 1000 * y))
+        |                   AS BIGINT) AS sq
+        |          FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+        |               CAST(sum(pos) AS BIGINT) AS n_pos,
+        |               CAST(sum(sq) AS BIGINT) AS sq_sum,
+        |               CAST(count(*) AS BIGINT) AS n_bins
+        |        FROM cells),
+        |terms AS (SELECT n, n_pos, n_bins, sq_sum,
+        |    CAST(floor(CAST(sp - 1000 * pos AS DOUBLE)
+        |         * CAST(sp - 1000 * pos AS DOUBLE)
+        |         / CAST(n_k AS DOUBLE) + 0.5) AS BIGINT) AS rel_t,
+        |    CAST(floor(CAST(1000000 AS DOUBLE)
+        |         * CAST(pos * n - n_pos * n_k AS DOUBLE)
+        |         * CAST(pos * n - n_pos * n_k AS DOUBLE)
+        |         / (CAST(n_k AS DOUBLE) * CAST(n AS DOUBLE)
+        |            * CAST(n AS DOUBLE)) + 0.5) AS BIGINT) AS res_t
+        |  FROM cells, tot)
+        |SELECT n, n_pos, n_bins, sq_sum // n AS brier_micro,
+        |  CAST(sum(rel_t) AS BIGINT) // n AS rel_micro,
+        |  CAST(sum(res_t) AS BIGINT) // n AS res_micro,
+        |  CAST(floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS unc_micro
+        |FROM terms GROUP BY n, n_pos, n_bins, sq_sum""".stripMargin,
 
     // the bloom prefilter must be invisible in the output: the oracle is
     // the PLAIN inner join + aggregate (l_quantity is integral → BIGINT)

@@ -553,4 +553,205 @@ object Eval {
           " - cast(cents_c0 as double) / cast(n_c0 as double))" +
           " ELSE NULL END"))
   }
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg
+    * 1995) over per-key p-values — the multiple-testing correction an
+    * experimentation platform applies before reading thousands of
+    * per-segment tests: rank the m p-values ascending, reject every
+    * hypothesis up to the LARGEST rank k with `p_(k) ≤ k·α/m`, and
+    * report the monotone BH-adjusted q-value
+    * `q_(i) = min_{j ≥ i} (m·p_(j)/j)` capped at 1.
+    *
+    * EXACT-INTEGER formulation: p-values arrive as micros
+    * (`p_micro ∈ [0, 10⁶]`), the step-up test is the cross-multiplied
+    * `p_micro·m ≤ rank·α_micro` (no division), and
+    * `q_micro = min suffix of (m·p_micro div rank)` — all BIGINT
+    * (`p_micro·m ≤ 10⁶·m`, safe to m ~ 9·10¹²), so the judged compare
+    * is bit-exact with zero float ops. Rank ties break on `keyCol` for
+    * determinism (standard BH indexes ties distinctly; any tie order
+    * rejects the same set because the test depends on p only through
+    * the LAST tied index).
+    *
+    * Scale: the global ascending rank is the [[graft.engine.Banding]]
+    * pattern — band by p-value over broadcast bounds, config-scale
+    * band-offset relation, in-band ROW window — and the suffix min
+    * composes an in-band suffix window with a config-scale suffix over
+    * band minima; no single-partition window anywhere. Judged `q_fdr`,
+    * fully ORACLED; hand p-sets (all-null uniform, planted signal,
+    * monotonicity of q, step-up vs step-down difference) pinned in
+    * EvalSpec. */
+  def bhAdjust(df: DataFrame, keyCol: String, pMicroCol: String,
+      alphaMilli: Long = 50L, bands: Int = 32): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli <= 1000, s"alphaMilli in (0,1000]: $alphaMilli")
+    val per = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("id"),
+        col(pMicroCol).cast("long").as("p_micro")))
+    val bounds = broadcast(per.agg(
+      min(col("p_micro")).as("__lo"), max(col("p_micro")).as("__hi"),
+      count(lit(1)).as("__m")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("p_micro"), col("__lo"), col("__hi"), bands))
+    // config-scale per-band offsets (rows strictly before each band)
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__band"), col("__off"))
+    val wAsc = Window.partitionBy(col("__band"))
+      .orderBy(col("p_micro"), col("id"))
+    val ranked = graft.engine.Caches.persisted(
+      banded.join(broadcast(offsets), "__band")
+        .withColumn("p_rank", col("__off") + row_number().over(wAsc))
+        .withColumn("__raw",
+          least(lit(1000000L), expr("__m * p_micro div p_rank"))))
+    // suffix min of __raw: in-band suffix window + band-minima suffix
+    val wSuf = Window.partitionBy(col("__band"))
+      .orderBy(col("p_rank")).rowsBetween(0, Long.MaxValue)
+    val bandMins = ranked.groupBy(col("__band"))
+      .agg(min(col("__raw")).as("__bmin"))
+      .withColumn("__later", min(col("__bmin")).over(
+        Window.orderBy(col("__band")).rowsBetween(1, Long.MaxValue)))
+      .select(col("__band"), col("__later"))
+    // step-up cutoff: the LARGEST rank passing the cross-multiplied test
+    val kstar = broadcast(ranked.agg(coalesce(max(when(
+      col("p_micro") * col("__m") <=
+        col("p_rank") * lit(alphaMilli * 1000L), col("p_rank"))),
+      lit(0L)).as("__kstar")))
+    ranked.join(broadcast(bandMins), "__band")
+      .withColumn("q_micro",
+        least(min(col("__raw")).over(wSuf),
+          coalesce(col("__later"), lit(1000000L))))
+      .crossJoin(kstar)
+      .select(col("id"), col("p_micro"), col("p_rank"), col("q_micro"),
+        (col("p_rank") <= col("__kstar")).as("rejected"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among a
+    * FIXED number r of categorical ratings per item (raters may differ
+    * across items, the classic crowd-labeling audit): with per-item
+    * category counts `n_ic` (Σ_c n_ic = r over N items) and category
+    * totals `T_c = Σ_i n_ic`,
+    * `P̄ = (Σ n_ic² − N·r) / (N·r·(r−1))`, `P̄e = Σ T_c² / (N·r)²`,
+    * `κ = (P̄ − P̄e) / (1 − P̄e)`. Items contribute their FIRST r
+    * ratings in `orderCol` order (unique within item for determinism);
+    * items with fewer than r ratings drop.
+    *
+    * EXACT-INTEGER formulation: κ as one rational —
+    * `num = (S2 − N·r)·(N·r)² − N·r·(r−1)·ΣT_c²`,
+    * `den = N·r·(r−1)·((N·r)² − ΣT_c²)` — with the signed-milli
+    * readout `sign(num)·(|num|·1000 div den)` (Spark div truncates,
+    * DuckDB // floors; identical only on non-negatives — the
+    * assortativity rule, κ < 0 is real disagreement). Zero-guards test
+    * FACTORS (`N > 0`, `r > 1`, `(N·r)² > ΣT_c²`), never the product.
+    * BIGINT-safe while `N·r ≲ 10⁶` (judged fixture caps items by
+    * modulus); a larger deployment widens to DECIMAL(38,0).
+    *
+    * Scale: one keyed ROW window (first-r), two partial aggregates to
+    * item- then category-scale, config-scale finish. Judged `q_fleiss`,
+    * fully ORACLED; perfect agreement ≡ 1000, symmetric-disagreement
+    * negative κ, and the Fleiss 1971 worked example pinned in
+    * EvalSpec. */
+  def fleissKappa(df: DataFrame, itemCol: String, orderCol: String,
+      catCol: String, r: Int): DataFrame = {
+    require(r >= 2, s"r >= 2: $r")
+    val first = df.select(col(itemCol).as("__i"), col(orderCol).as("__o"),
+        col(catCol).as("__c"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__i").orderBy("__o")))
+      .filter(col("__rn") <= r)
+    val full = first.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__tot"))
+      .filter(col("__tot") === r).select("__i")
+    val cells = graft.engine.Caches.persisted(
+      first.join(full, "__i")
+        .groupBy(col("__i"), col("__c")).agg(count(lit(1)).as("__n")))
+    val s = cells.agg(
+      sum(expr("__n * __n")).as("s2"),
+      countDistinct(col("__i")).as("n_items"))
+    val tc2 = cells.groupBy(col("__c")).agg(sum(col("__n")).as("__t"))
+      .agg(sum(expr("__t * __t")).as("sum_tc2"))
+    s.crossJoin(broadcast(tc2))
+      .select(col("n_items"), lit(r.toLong).as("raters"),
+        col("s2"), col("sum_tc2"))
+      .withColumn("pbar_micro", expr(
+        s"CASE WHEN n_items > 0 THEN (s2 - n_items * raters) * 1000000" +
+          " div (n_items * raters * (raters - 1)) ELSE NULL END"))
+      .withColumn("pe_micro", expr(
+        "CASE WHEN n_items > 0 THEN sum_tc2 * 1000000" +
+          " div ((n_items * raters) * (n_items * raters)) ELSE NULL END"))
+      .withColumn("kappa_milli", expr(
+        "CASE WHEN n_items > 0 AND" +
+          " (n_items * raters) * (n_items * raters) > sum_tc2" +
+          " THEN cast(sign((s2 - n_items * raters) * (n_items * raters)" +
+          "       * (n_items * raters)" +
+          "       - n_items * raters * (raters - 1) * sum_tc2) as bigint)" +
+          " * (abs((s2 - n_items * raters) * (n_items * raters)" +
+          "       * (n_items * raters)" +
+          "       - n_items * raters * (raters - 1) * sum_tc2) * 1000" +
+          "    div (n_items * raters * (raters - 1)" +
+          "       * ((n_items * raters) * (n_items * raters) - sum_tc2)))" +
+          " ELSE NULL END"))
+  }
+
+  /** Brier score with the Murphy (1973) three-way decomposition —
+    * calibration diagnostics beyond [[calibrationBins]]: over milli-
+    * probabilities `p ∈ [0, 1000]` and binary outcomes,
+    * `brier = mean (p − y)²` splits into `reliability − resolution +
+    * uncertainty` across `bins` probability bins (`REL = Σ n_k(p̄_k −
+    * ȳ_k)²/N`, `RES = Σ n_k(ȳ_k − ȳ)²/N`, `UNC = ȳ(1 − ȳ)`).
+    *
+    * Judged-double discipline: the Brier sum `Σ (p_milli − 1000y)²` is
+    * EXACT BIGINT (micro units); REL and RES micro-quantize each
+    * per-bin term independently — `floor(d²/n_k + 0.5)` with exact
+    * BIGINT `d` cast to double (the chi2 pattern: identical IEEE ops
+    * both engines, order-independent BIGINT sum) — and UNC is one
+    * pinned `p̄(1−p̄)` double expression. The identity
+    * `brier = REL − RES + UNC` holds (to per-bin quantization) only
+    * when forecasts are CONSTANT within bins — heterogeneous bins add
+    * the standard within-bin variance terms; asserted loose in spec on
+    * a bin-constant fixture, never judged.
+    *
+    * Scale: one partial aggregate to `bins` rows, config-scale finish
+    * under a 1-row broadcast — no window, no join. Judged `q_brier`,
+    * fully ORACLED; hand forecasts (perfect, constant-base-rate,
+    * anti-calibrated) pinned in EvalSpec. */
+  def brierDecomposition(df: DataFrame, pMilliCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins >= 2: $bins")
+    val cells = df.select(col(pMilliCol).cast("long").as("__p"),
+        col(labelCol).cast("long").as("__y"))
+      .withColumn("__bin",
+        least(expr(s"__p * $bins div 1000"), lit(bins - 1L)))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n_k"), sum(col("__p")).as("sp"),
+        sum(col("__y")).as("pos"),
+        sum(expr("(__p - 1000 * __y) * (__p - 1000 * __y)")).as("sq"))
+    val totals = broadcast(cells.agg(
+      sum(col("n_k")).as("n"), sum(col("pos")).as("n_pos"),
+      sum(col("sq")).as("sq_sum"), count(lit(1)).as("n_bins")))
+    cells.crossJoin(totals)
+      .select(col("n"), col("n_pos"), col("n_bins"), col("sq_sum"),
+        // REL term: d = sp − 1000·pos exact; n_k·Δ²·10⁶ = d²/n_k
+        floor(expr("cast(sp - 1000 * pos as double)") *
+          expr("cast(sp - 1000 * pos as double)") /
+          col("n_k").cast("double") + lit(0.5)).cast("long").as("__rel"),
+        // RES term: dr = pos·N − P·n_k exact; n_k·Δ²·10⁶ = 10⁶·dr²/(n_k·N²)
+        floor(lit(1000000.0) *
+          expr("cast(pos * n - n_pos * n_k as double)") *
+          expr("cast(pos * n - n_pos * n_k as double)") /
+          (col("n_k").cast("double") * col("n").cast("double") *
+            col("n").cast("double")) + lit(0.5)).cast("long").as("__res"))
+      .groupBy(col("n"), col("n_pos"), col("n_bins"), col("sq_sum"))
+      .agg(sum(col("__rel")).as("__rels"), sum(col("__res")).as("__ress"))
+      .select(col("n"), col("n_pos"), col("n_bins"),
+        expr("sq_sum div n").as("brier_micro"),
+        expr("__rels div n").as("rel_micro"),
+        expr("__ress div n").as("res_micro"),
+        floor((col("n_pos").cast("double") / col("n").cast("double")) *
+          (lit(1.0) - col("n_pos").cast("double") /
+            col("n").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("unc_micro"))
+  }
 }

@@ -301,4 +301,100 @@ class EvalSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped(1L) === t6(3, 1) && capped(2L) === t6(1, 1))
   }
+
+  test("bhAdjust: hand q-values, step-up property, monotone q, band invariance") {
+    def ps(micros: Seq[Long]) =
+      micros.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("k", "p")
+    // textbook: p = (.01, .02, .03, .50), α = .05 → reject first 3;
+    // q = suffix-min of m·p/rank = (.04, .04, .04, .50)
+    val out = Eval.bhAdjust(ps(Seq(10000L, 20000L, 30000L, 500000L)),
+        "k", "p", alphaMilli = 50L)
+      .orderBy("p_rank").collect()
+    assert(out.map(_.getAs[Long]("q_micro")).toSeq
+      === Seq(40000L, 40000L, 40000L, 500000L))
+    assert(out.map(_.getAs[Boolean]("rejected")).toSeq
+      === Seq(true, true, true, false))
+    // step-up: p = (.01, .04, .049) — p2 fails ITS critical (.0333) but
+    // p3 passes (.05), so the step-up cutoff rejects all three
+    val su = Eval.bhAdjust(ps(Seq(10000L, 40000L, 49000L)), "k", "p",
+      alphaMilli = 50L).collect()
+    assert(su.forall(_.getAs[Boolean]("rejected")))
+    // monotone q on an arbitrary set + band invariance (bands is an
+    // implementation detail)
+    val mixed = Seq(812345L, 3000L, 451000L, 90000L, 90000L, 7L, 999999L)
+    val q32 = Eval.bhAdjust(ps(mixed), "k", "p", 50L, bands = 32)
+      .orderBy("p_rank").collect()
+    assert(q32.map(_.getAs[Long]("q_micro")).toSeq
+      === q32.map(_.getAs[Long]("q_micro")).toSeq.sorted)
+    val q1 = Eval.bhAdjust(ps(mixed), "k", "p", 50L, bands = 1)
+      .orderBy("p_rank").collect()
+    assert(q32.map(r => (r.getLong(0), r.getAs[Long]("q_micro"),
+        r.getAs[Boolean]("rejected"))).toSeq
+      === q1.map(r => (r.getLong(0), r.getAs[Long]("q_micro"),
+        r.getAs[Boolean]("rejected"))).toSeq)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("fleissKappa: perfect 1000, symmetric -1000, one-category NULL, first-r") {
+    def rt(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("item", "ord", "cat")
+    // per-item unanimity across two different categories: κ = 1
+    val perfect = Eval.fleissKappa(rt(Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a"),
+      (2L, 1L, "b"), (2L, 2L, "b"), (2L, 3L, "b"))),
+      "item", "ord", "cat", r = 3).collect().head
+    assert(perfect.getAs[Long]("kappa_milli") === 1000L)
+    // symmetric (a,b) disagreement on every item: κ = −1 at r = 2
+    val anti = Eval.fleissKappa(rt(Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "a"), (2L, 2L, "b"))),
+      "item", "ord", "cat", r = 2).collect().head
+    assert(anti.getAs[Long]("kappa_milli") === -1000L)
+    // every rating one category: P̄e = 1 → NULL guard (factor test)
+    val flat = Eval.fleissKappa(rt(Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (2L, 1L, "a"), (2L, 2L, "a"))),
+      "item", "ord", "cat", r = 2).collect().head
+    assert(flat.isNullAt(flat.fieldIndex("kappa_milli")))
+    // first-r selection: item 1's 4th rating ignored (order 4 breaks
+    // unanimity only if included); item 2 has one rating → dropped
+    val sel = Eval.fleissKappa(rt(Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a"), (1L, 4L, "z"),
+      (2L, 1L, "b"),
+      (3L, 1L, "b"), (3L, 2L, "b"), (3L, 3L, "b"))),
+      "item", "ord", "cat", r = 3).collect().head
+    assert(sel.getAs[Long]("n_items") === 2L &&
+      sel.getAs[Long]("kappa_milli") === 1000L)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("brierDecomposition: perfect, base-rate, anti-calibrated; Murphy identity") {
+    def f(rows: Seq[(Long, Int)]) = rows.toDF("p", "y")
+    // perfect: brier 0; REL 0; RES == UNC == 250000
+    val perf = Eval.brierDecomposition(
+      f(Seq((1000L, 1), (0L, 0))), "p", "y").collect().head
+    assert((perf.getAs[Long]("brier_micro"), perf.getAs[Long]("rel_micro"),
+      perf.getAs[Long]("res_micro"), perf.getAs[Long]("unc_micro"))
+      === ((0L, 0L, 250000L, 250000L)))
+    // constant base-rate forecaster p = .5 on a balanced set:
+    // brier = .25, REL = RES = 0, UNC = .25
+    val base = Eval.brierDecomposition(
+      f(Seq((500L, 1), (500L, 1), (500L, 0), (500L, 0))), "p", "y")
+      .collect().head
+    assert((base.getAs[Long]("brier_micro"), base.getAs[Long]("rel_micro"),
+      base.getAs[Long]("res_micro"), base.getAs[Long]("unc_micro"))
+      === ((250000L, 0L, 0L, 250000L)))
+    // anti-calibrated: brier = 1 exactly
+    val anti = Eval.brierDecomposition(
+      f(Seq((0L, 1), (1000L, 0))), "p", "y").collect().head
+    assert(anti.getAs[Long]("brier_micro") === 1000000L)
+    // Murphy identity holds to per-bin quantization when forecasts are
+    // constant within bins (heterogeneous bins add within-bin variance
+    // terms — the standard 3-way form doesn't include them)
+    val mixed = Eval.brierDecomposition(
+      f(Seq((100L, 0), (350L, 0), (350L, 1), (620L, 1), (620L, 0),
+        (950L, 1), (950L, 1), (100L, 0))), "p", "y").collect().head
+    val id = mixed.getAs[Long]("rel_micro") - mixed.getAs[Long]("res_micro") +
+      mixed.getAs[Long]("unc_micro")
+    assert(math.abs(id - mixed.getAs[Long]("brier_micro")) <= 12L)
+  }
 }
