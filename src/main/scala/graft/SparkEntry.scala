@@ -5757,6 +5757,26 @@ object SparkEntry {
           (col("value") > 100).as("hit")),
         "p_milli", "hit", bins = 10)),
 
+    // Largest-remainder apportionment of a 1000-unit budget across
+    // order priorities: exact conservation, pure BIGINT. Fully oracled.
+    "q_apportion" -> ((s, dir) =>
+      graft.operators.Sampling.apportion(
+        t(s, dir, "orders").groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("cnt")),
+        "prio", "cnt", budget = 1000L)
+        .orderBy("grp")),
+
+    // Candidate-key discovery over orders: exact ndv + null counts per
+    // single/pair candidate in ONE scan; pair distinctness via the
+    // chr(1)-separated string encoding. Fully oracled.
+    "q_candidate_keys" -> ((s, dir) =>
+      graft.operators.Relational.candidateKeys(
+        t(s, dir, "orders"),
+        singles = Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+        pairs = Seq("o_custkey" -> "o_orderkey",
+          "o_custkey" -> "o_orderstatus"))
+        .orderBy("candidate")),
+
     // Bloom-prefiltered join: dim keys -> Bloom filter -> scan-stage
     // might_contain on the fact BEFORE the join. No false negatives, and
     // false positives die at the join, so the result is EXACTLY the
@@ -11129,6 +11149,85 @@ object SparkEntry {
         |    * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
         |    * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS unc_micro
         |FROM terms GROUP BY n, n_pos, n_bins, sq_sum""".stripMargin,
+
+    // largest-remainder replay: floor shares, remainder rank window,
+    // leftover units to the largest remainders; all quantities
+    // non-negative so // == div
+    "q_apportion" ->
+      """WITH c AS (SELECT o_orderpriority AS grp,
+        |             CAST(count(*) AS BIGINT) AS n_rows
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tt FROM c),
+        |b AS (SELECT grp, n_rows,
+        |        CAST(1000 * n_rows // tt AS BIGINT) AS base,
+        |        CAST(1000 * n_rows % tt AS BIGINT) AS rem
+        |      FROM c, t),
+        |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS lft FROM b),
+        |r AS (SELECT grp, n_rows, base, rem,
+        |        row_number() OVER (ORDER BY rem DESC, grp) AS rk
+        |      FROM b)
+        |SELECT grp, n_rows, base, rem,
+        |       CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END
+        |         AS BIGINT) AS alloc
+        |FROM r, l ORDER BY grp""".stripMargin,
+
+    // one aggregate per candidate, melted by UNION ALL; pair ndv over
+    // the chr(1)-separated string encoding of both-non-null rows (a
+    // distinct COUNT needs only per-engine injectivity)
+    "q_candidate_keys" ->
+      """SELECT 'o_orderkey' AS candidate,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nulls,
+        |  (sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        |   AND count(DISTINCT o_orderkey) = count(*)) AS is_key
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  (sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |   AND count(DISTINCT o_custkey) = count(*))
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  (sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
+        |   AND count(DISTINCT o_orderstatus) = count(*))
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey,o_orderkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+        |    AND o_orderkey IS NOT NULL THEN CAST(o_custkey AS VARCHAR)
+        |    || chr(1) || CAST(o_orderkey AS VARCHAR) END) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL OR o_orderkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  (sum(CASE WHEN o_custkey IS NULL OR o_orderkey IS NULL
+        |    THEN 1 ELSE 0 END) = 0
+        |   AND count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+        |    AND o_orderkey IS NOT NULL THEN CAST(o_custkey AS VARCHAR)
+        |    || chr(1) || CAST(o_orderkey AS VARCHAR) END) = count(*))
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey,o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL
+        |    THEN CAST(o_custkey AS VARCHAR) || chr(1)
+        |    || CAST(o_orderstatus AS VARCHAR) END) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL OR o_orderstatus IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  (sum(CASE WHEN o_custkey IS NULL OR o_orderstatus IS NULL
+        |    THEN 1 ELSE 0 END) = 0
+        |   AND count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL
+        |    THEN CAST(o_custkey AS VARCHAR) || chr(1)
+        |    || CAST(o_orderstatus AS VARCHAR) END) = count(*))
+        |FROM orders
+        |ORDER BY candidate""".stripMargin,
 
     // the bloom prefilter must be invisible in the output: the oracle is
     // the PLAIN inner join + aggregate (l_quantity is integral → BIGINT)

@@ -2230,4 +2230,57 @@ object Relational {
         col("n_top"), col("top_cents"),
         expr("top_cents * 1000 div __t").as("share_milli"))
   }
+
+  /** Candidate-key discovery — [[fdDiscover]]'s uniqueness face: for
+    * each proposed single column and column pair, exact distinct-value
+    * count, null count, and the key verdict (`is_key` ⇔ zero nulls AND
+    * ndv equals the row count). The profiling step before declaring a
+    * primary key / dedup identity on an unfamiliar extract.
+    *
+    * Pair distinctness canonicalizes to `CAST(a AS STRING) ⊕ chr(1) ⊕
+    * CAST(b AS STRING)` over both-non-null rows: the judged value is a
+    * distinct COUNT, which needs only per-engine injectivity of the
+    * encoding (the separator blocks ("ab","c") ≡ ("a","bc")) — integral
+    * and string columns are exact cross-engine; float/timestamp
+    * candidates would hinge on renderer collisions, keep them out of
+    * judged fixtures.
+    *
+    * Scale: ONE full-scan aggregate computes every candidate's ndv and
+    * null count (distinct-count partials merge per-candidate), then a
+    * config-scale melt to one row per candidate — no join, no window,
+    * no second scan. Judged `q_candidate_keys`, fully ORACLED; a
+    * planted duplicate, a planted null, and the pair-rescues-non-key
+    * case pinned in RelationalSpec. */
+  def candidateKeys(df: DataFrame, singles: Seq[String],
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(singles.nonEmpty || pairs.nonEmpty, "at least one candidate")
+    val sep = "\u0001"
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+      singles.zipWithIndex.flatMap { case (c, i) =>
+        Seq(countDistinct(col(c)).as(s"__sd$i"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__sn$i"))
+      } ++
+      pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq(countDistinct(when(col(a).isNotNull && col(b).isNotNull,
+            concat(col(a).cast("string"), lit(sep), col(b).cast("string"))))
+            .as(s"__pd$i"),
+          sum(when(col(a).isNull || col(b).isNull, 1L).otherwise(0L))
+            .as(s"__pn$i"))
+      }
+    val one = graft.engine.Caches.persisted(
+      df.agg(aggs.head, aggs.tail: _*))
+    val rows =
+      singles.zipWithIndex.map { case (c, i) =>
+        one.select(lit(c).as("candidate"), col("__n").as("n_rows"),
+          col(s"__sd$i").as("ndv"), col(s"__sn$i").as("n_nulls"))
+      } ++
+      pairs.zipWithIndex.map { case ((a, b), i) =>
+        one.select(lit(s"$a,$b").as("candidate"), col("__n").as("n_rows"),
+          col(s"__pd$i").as("ndv"), col(s"__pn$i").as("n_nulls"))
+      }
+    rows.reduce(_.unionAll(_))
+      .withColumn("is_key",
+        col("n_nulls") === 0L && col("ndv") === col("n_rows"))
+  }
 }

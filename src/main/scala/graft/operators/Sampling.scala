@@ -363,4 +363,45 @@ object Sampling {
       .withColumn("id", col("__offset") + col("rank_in_shard") - 1)
       .drop("__offset")
   }
+
+  /** Largest-remainder (Hamilton) apportionment — split an integer
+    * `budget` across strata proportionally to their counts with EXACT
+    * conservation (`Σ alloc = budget`, the property floats can't give):
+    * every stratum takes its floor share `budget·n_g div T`, and the
+    * `budget − Σ floor` leftover units go to the LARGEST fractional
+    * remainders (`budget·n_g mod T`, ties broken by stratum key) — the
+    * standard sampling-quota / seat-apportionment rule. A zero-count
+    * stratum can never receive a leftover unit (its remainder is 0 and
+    * the leftover is exactly the sum of fractional parts).
+    *
+    * `counts` is one row per stratum ([[mixRates]]' contract — a
+    * source/domain/shard relation, source-scale by construction), e.g.
+    * `docs.groupBy("source").count()`; the remainder rank is a window
+    * over that relation, never over corpus rows. All arithmetic is
+    * BIGINT (`budget·n_g` must stay under 2^63 — budget ~10⁶ against
+    * ~10¹² totals is fine; widen to DECIMAL beyond). Judged
+    * `q_apportion`, fully ORACLED; exact-proportional zero-leftover,
+    * the classic paradox hand case, tie determinism and zero-stratum
+    * exclusion pinned in SamplingSpec. */
+  def apportion(counts: DataFrame, keyCol: String, nCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget >= 0: $budget")
+    val tot = broadcast(counts.agg(
+      sum(col(nCol).cast("long")).as("__t")))
+    val based = counts
+      .select(col(keyCol).as("grp"), col(nCol).cast("long").as("n_rows"))
+      .crossJoin(tot)
+      .withColumn("base", expr(s"$budget * n_rows div __t"))
+      .withColumn("rem", expr(s"$budget * n_rows % __t"))
+    val leftover = broadcast(based.agg(
+      (lit(budget) - sum(col("base"))).as("__left")))
+    based
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("grp"))))
+      .crossJoin(leftover)
+      .select(col("grp"), col("n_rows"), col("base"), col("rem"),
+        (col("base") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
 }

@@ -1267,4 +1267,26 @@ class RelationalSpec extends SparkTestBase {
     assert(schemaDiff(a, a)
       .filter(col("status") =!= "unchanged").count() === 0)
   }
+
+  test("candidateKeys: planted dup, planted null, pair rescues non-key") {
+    val df = Seq(
+      (1L, Option("x"), "p"), (2L, Option("x"), "q"),
+      (3L, Option("y"), "p"), (3L, None, "q"))
+      .toDF("id", "grp", "tag")
+    val out = graft.operators.Relational.candidateKeys(
+        df, singles = Seq("id", "grp"),
+        pairs = Seq("grp" -> "tag", "id" -> "tag"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("ndv"), r.getAs[Long]("n_nulls"),
+          r.getAs[Boolean]("is_key")))).toMap
+    // id: duplicate 3 → 3 distinct of 4 rows, not a key
+    assert(out("id") === ((3L, 0L, false)))
+    // grp: null + dup → not a key; ndv counts non-null distinct only
+    assert(out("grp") === ((2L, 1L, false)))
+    // (grp, tag): the null row poisons the pair
+    assert(out("grp,tag") === ((3L, 1L, false)))
+    // (id, tag): the duplicate id splits on tag → a true composite key
+    assert(out("id,tag") === ((4L, 0L, true)))
+    graft.engine.Caches.releaseAll()
+  }
 }

@@ -289,4 +289,26 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.capContributions(df, col("k"), col("t"), col("id"), 0))
   }
+
+  test("apportion: exact proportional, paradox case, ties, zero stratum, conservation") {
+    def alloc(rows: Seq[(String, Long)], budget: Long) =
+      Sampling.apportion(rows.toDF("src", "n"), "src", "n", budget)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    // exact proportional: zero leftover
+    assert(alloc(Seq("a" -> 5L, "b" -> 3L, "c" -> 2L), 10L)
+      === Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // classic largest-remainder case: quotas 3.5 / 2.8 / 0.7 → the two
+    // largest FRACTIONS (b, c) take the leftover units, not the largest
+    // stratum
+    assert(alloc(Seq("a" -> 5L, "b" -> 4L, "c" -> 1L), 7L)
+      === Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+    // all remainders tie → key order breaks: 'a' gets the single unit
+    assert(alloc(Seq("a" -> 1L, "b" -> 1L, "c" -> 1L), 10L)
+      === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // a zero-count stratum never receives a unit
+    assert(alloc(Seq("a" -> 3L, "b" -> 0L), 7L) === Map("a" -> 7L, "b" -> 0L))
+    // conservation property on an awkward split
+    val m = alloc(Seq("a" -> 7L, "b" -> 11L, "c" -> 13L, "d" -> 2L), 97L)
+    assert(m.values.sum === 97L)
+  }
 }
