@@ -5757,6 +5757,24 @@ object SparkEntry {
           (col("value") > 100).as("hit")),
         "p_milli", "hit", bins = 10)),
 
+    // Nelson-Aalen cumulative hazard per cohort: where the KM survival
+    // PRODUCT is spec-only (float association order), the hazard SUM is
+    // exact-integer end to end — term = d*1e6 div n_risk, running
+    // BIGINT cumsum — so the whole curve hash-judges. Fully oracled.
+    "q_hazard" -> ((s, dir) =>
+      graft.operators.Events
+        .nelsonAalen(t(s, dir, "events"), "user_id", "ts",
+          pmod(col("user_id"), lit(3)), censorDays = 0)
+        .orderBy("cohort", "t_days")),
+
+    // Two-group log-rank churn test (odd vs even users): exact O1,
+    // per-term micro-quantized E1/V, one micro-floored sqrt for z.
+    // Fully oracled.
+    "q_logrank" -> ((s, dir) =>
+      graft.operators.Events
+        .logRank(t(s, dir, "events"), "user_id", "ts",
+          pmod(col("user_id"), lit(2)) === 1, censorDays = 0)),
+
     // Largest-remainder apportionment of a 1000-unit budget across
     // order priorities: exact conservation, pure BIGINT. Fully oracled.
     "q_apportion" -> ((s, dir) =>
@@ -11149,6 +11167,96 @@ object SparkEntry {
         |    * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
         |    * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS unc_micro
         |FROM terms GROUP BY n, n_pos, n_bins, sq_sum""".stripMargin,
+
+    // the q_survival bookkeeping plus the exact-integer hazard column
+    // pair; window sum(BIGINT) → HUGEINT, CAST back
+    "q_hazard" ->
+      """WITH per AS (SELECT user_id AS k, user_id % 3 AS cohort,
+        |                    CAST(min(ts) AS DATE) AS f,
+        |                    CAST(max(ts) AS DATE) AS l
+        |             FROM events GROUP BY 1, 2),
+        |hz AS (SELECT CAST(max(ts) AS DATE) AS h FROM events),
+        |lab AS (SELECT cohort,
+        |               CASE WHEN date_diff('day', l, h) > 0 THEN 1
+        |                    ELSE 0 END AS ev,
+        |               CASE WHEN date_diff('day', l, h) > 0
+        |                    THEN date_diff('day', f, l)
+        |                    ELSE date_diff('day', f, h) END AS t
+        |        FROM per CROSS JOIN hz),
+        |steps AS (SELECT cohort, t, CAST(sum(ev) AS BIGINT) AS d,
+        |                 CAST(sum(1 - ev) AS BIGINT) AS c
+        |          FROM lab GROUP BY 1, 2),
+        |risk AS (SELECT cohort, t, d, c,
+        |                CAST(sum(d + c) OVER (PARTITION BY cohort
+        |                     ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |                  AS BIGINT) AS n_risk
+        |         FROM steps),
+        |ev2 AS (SELECT cohort, t, d, c, n_risk,
+        |               CAST(d * 1000000 // n_risk AS BIGINT)
+        |                 AS h_term_micro
+        |        FROM risk WHERE d > 0)
+        |SELECT cohort, t AS t_days, n_risk, d AS d_churn,
+        |       c AS c_censored, h_term_micro,
+        |       CAST(sum(h_term_micro) OVER (PARTITION BY cohort
+        |            ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS h_cum_micro
+        |FROM ev2 ORDER BY 1, 2""".stripMargin,
+
+    // pooled-time grid zero-fills each group so the at-risk suffix sum
+    // is defined at every event time; E1/V terms micro-quantized with
+    // the chi2 floor(+0.5), z by the mannWhitney micro-floored sqrt
+    "q_logrank" ->
+      """WITH per AS (SELECT user_id AS k,
+        |               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g,
+        |               CAST(min(ts) AS DATE) AS f,
+        |               CAST(max(ts) AS DATE) AS l
+        |             FROM events GROUP BY 1, 2),
+        |hz AS (SELECT CAST(max(ts) AS DATE) AS h FROM events),
+        |lab AS (SELECT g,
+        |               CASE WHEN date_diff('day', l, h) > 0 THEN 1
+        |                    ELSE 0 END AS ev,
+        |               CASE WHEN date_diff('day', l, h) > 0
+        |                    THEN date_diff('day', f, l)
+        |                    ELSE date_diff('day', f, h) END AS t
+        |        FROM per CROSS JOIN hz),
+        |steps AS (SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+        |                 CAST(sum(1 - ev) AS BIGINT) AS c
+        |          FROM lab GROUP BY 1, 2),
+        |gs AS (SELECT * FROM (SELECT DISTINCT t FROM steps)
+        |       CROSS JOIN (SELECT DISTINCT g FROM steps)),
+        |filled AS (SELECT gs.g, gs.t, coalesce(steps.d, 0) AS d,
+        |                  coalesce(steps.c, 0) AS c
+        |           FROM gs LEFT JOIN steps
+        |             ON gs.g = steps.g AND gs.t = steps.t),
+        |risk AS (SELECT g, t, d, c,
+        |                CAST(sum(d + c) OVER (PARTITION BY g
+        |                     ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |                  AS BIGINT) AS nr
+        |         FROM filled),
+        |pooled AS (SELECT t, CAST(sum(nr) AS BIGINT) AS n,
+        |                  CAST(sum(d) AS BIGINT) AS d,
+        |                  CAST(sum(CASE WHEN g = 1 THEN nr ELSE 0 END)
+        |                    AS BIGINT) AS n1,
+        |                  CAST(sum(CASE WHEN g = 1 THEN d ELSE 0 END)
+        |                    AS BIGINT) AS d1
+        |           FROM risk GROUP BY 1),
+        |terms AS (SELECT d1,
+        |    CAST(floor(CAST(d * n1 AS DOUBLE) * CAST(1000000 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS e,
+        |    CAST(floor(CAST(d * n1 * (n - n1) * (n - d) AS DOUBLE)
+        |      * CAST(1000000 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         * CAST(n - 1 AS DOUBLE)) + 0.5) AS BIGINT) AS v
+        |  FROM pooled WHERE d > 0 AND n > 1),
+        |s AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |             CAST(sum(e) AS BIGINT) AS e1_micro,
+        |             CAST(sum(v) AS BIGINT) AS v_micro FROM terms)
+        |SELECT o1, e1_micro, v_micro,
+        |  CASE WHEN v_micro > 0
+        |    THEN CAST(floor(CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+        |      / sqrt(CAST(v_micro AS DOUBLE))) AS BIGINT)
+        |    ELSE NULL END AS z_milli
+        |FROM s""".stripMargin,
 
     // largest-remainder replay: floor shares, remainder rank window,
     // leftover units to the largest remainders; all quantities

@@ -2522,6 +2522,128 @@ object Events {
         col("surv"))
   }
 
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin
+    * (Nelson 1972, Aalen 1978): instead of the order-dependent survival
+    * PRODUCT (not judgeable — the kaplanMeier float rule), the hazard
+    * accumulates as a SUM of per-step increments `d/n_risk`, and sums
+    * of exact integers ARE judgeable: each increment is the exact
+    * integer `d·10⁶ div n_risk` and `H_micro(t)` its running BIGINT
+    * cumsum — zero float ops end to end, so the whole curve hash-judges
+    * where KM's product could not. Same censoring bookkeeping as KM
+    * (last activity older than `censorDays` before the corpus horizon
+    * = churned, else censored at the horizon).
+    *
+    * Scale: identical posture to [[kaplanMeier]] — keys collapse to one
+    * row via partial agg, steps are ≤ #distinct-durations per cohort,
+    * both windows partition by cohort. Judged `q_hazard`, fully
+    * ORACLED; hand increments, KM-complement sanity (H ≈ −ln S for
+    * small steps, loose), censor-vs-churn split pinned in EventsSpec. */
+  def nelsonAalen(events: DataFrame, keyCol: String, tsCol: String,
+      cohort: Column, censorDays: Int): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0: $censorDays")
+    val per = events.groupBy(col(keyCol).as("__k"), cohort.as("cohort"))
+      .agg(to_date(min(col(tsCol))).as("__first"),
+        to_date(max(col(tsCol))).as("__last"))
+    val hz = broadcast(events.agg(to_date(max(col(tsCol))).as("__hz")))
+    val lab = per.crossJoin(hz)
+      .withColumn("__event",
+        (datediff(col("__hz"), col("__last")) > lit(censorDays)).cast("int"))
+      .withColumn("t",
+        when(col("__event") === 1, datediff(col("__last"), col("__first")))
+          .otherwise(datediff(col("__hz"), col("__first"))))
+    val steps = lab.groupBy(col("cohort"), col("t"))
+      .agg(sum(col("__event")).as("d"),
+        sum(lit(1) - col("__event")).as("c"))
+    val wDesc = Window.partitionBy("cohort").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy("cohort").orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("h_term_micro", expr("d * 1000000 div n_risk"))
+      .withColumn("h_cum_micro", sum(col("h_term_micro")).over(wAsc))
+      .select(col("cohort"), col("t").cast("int").as("t_days"),
+        col("n_risk"), col("d").as("d_churn"), col("c").as("c_censored"),
+        col("h_term_micro"), col("h_cum_micro"))
+  }
+
+  /** Two-group log-rank test (Mantel 1966) — "do these two cohorts
+    * churn at the same rate?", the hypothesis test OVER the
+    * [[kaplanMeier]]/[[nelsonAalen]] curves: at every pooled event time
+    * the observed group-1 deaths compare against the hypergeometric
+    * expectation `d·n₁/n`, with variance
+    * `d·n₁·(n−n₁)·(n−d) / (n²·(n−1))`; `z = (O₁−E₁)/√V` (z² is the
+    * 1-dof chi-square).
+    *
+    * Judged-double discipline: O₁ is an exact BIGINT; E₁ and V
+    * micro-quantize PER TERM (`floor(x·10⁶ + 0.5)` over pinned IEEE
+    * expressions on exact-integer factors — the chi2 pattern, sums
+    * order-independent), and z takes the one micro-floored sqrt (the
+    * mannWhitney rule). The variance numerator `d·n₁·(n−n₁)·(n−d)` is
+    * exact BIGINT while `n⁴ < 2^63` (~55k at-risk keys — subject
+    * counts, not event counts; beyond that cast the factors to double
+    * in the same order).
+    *
+    * Scale: keys collapse via partial agg; the pooled-time grid is
+    * calendar-scale (distinct durations × 2 groups, zero-filled via one
+    * left join) with group-keyed desc-cumsum windows; one 1-row
+    * readout. Judged `q_logrank`, fully ORACLED; identical-group null
+    * (z ≈ 0), a hand-computed 2×2-step case, and the
+    * risk-set-carries-between-steps subtlety pinned in EventsSpec. */
+  def logRank(events: DataFrame, keyCol: String, tsCol: String,
+      group: Column, censorDays: Int): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0: $censorDays")
+    val per = events
+      .groupBy(col(keyCol).as("__k"), group.cast("long").as("__g"))
+      .agg(to_date(min(col(tsCol))).as("__first"),
+        to_date(max(col(tsCol))).as("__last"))
+    val hz = broadcast(events.agg(to_date(max(col(tsCol))).as("__hz")))
+    val lab = per.crossJoin(hz)
+      .withColumn("__event",
+        (datediff(col("__hz"), col("__last")) > lit(censorDays)).cast("int"))
+      .withColumn("t",
+        when(col("__event") === 1, datediff(col("__last"), col("__first")))
+          .otherwise(datediff(col("__hz"), col("__first"))))
+    val steps = graft.engine.Caches.persisted(
+      lab.groupBy(col("__g"), col("t"))
+        .agg(sum(col("__event")).as("__d"),
+          sum(lit(1) - col("__event")).as("__c")))
+    // calendar-scale pooled grid × both groups, zero-filled, so each
+    // group's at-risk suffix sum is defined at EVERY pooled time
+    val grid = steps.select(col("t")).distinct()
+      .crossJoin(steps.select(col("__g")).distinct())
+    val filled = grid.join(steps, Seq("__g", "t"), "left")
+      .select(col("__g"), col("t"),
+        coalesce(col("__d"), lit(0L)).as("__d"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val wDesc = Window.partitionBy("__g").orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = filled
+      .withColumn("__nr", sum(col("__d") + col("__c")).over(wDesc))
+      .groupBy(col("t"))
+      .agg(sum(col("__nr")).as("n"), sum(col("__d")).as("d"),
+        sum(when(col("__g") === 1L, col("__nr")).otherwise(0L)).as("n1"),
+        sum(when(col("__g") === 1L, col("__d")).otherwise(0L)).as("d1"))
+      .filter(col("d") > 0 && col("n") > 1)
+    pooled
+      .select(col("d1"),
+        floor(expr("cast(d * n1 as double)") * lit(1000000.0) /
+          col("n").cast("double") + lit(0.5)).cast("long").as("__e"),
+        floor(expr("cast(d * n1 * (n - n1) * (n - d) as double)") *
+          lit(1000000.0) /
+          (col("n").cast("double") * col("n").cast("double") *
+            expr("cast(n - 1 as double)")) + lit(0.5)).cast("long")
+          .as("__v"))
+      .agg(sum(col("d1")).as("o1"), sum(col("__e")).as("e1_micro"),
+        sum(col("__v")).as("v_micro"))
+      .withColumn("z_milli", expr(
+        """case when v_micro > 0
+          then cast(floor(cast(o1 * 1000000 - e1_micro as double)
+            / sqrt(cast(v_micro as double))) as bigint)
+          else null end"""))
+  }
+
   /** Directed association rules over per-key item sets — the
     * market-basket step AFTER [[cooccurrence]]'s undirected edge build:
     * for every ordered pair (antecedent → consequent) co-exhibited by

@@ -1110,6 +1110,54 @@ class EventsSpec extends SparkTestBase {
       Events.kaplanMeier(df, "k", "ts", lit("all"), censorDays = -1))
   }
 
+  test("nelsonAalen: exact hazard increments, censored thins risk, cumsum") {
+    def d(k: String, day: Int) = (k, ts(f"2026-01-${day + 1}%02d 12:00:00"))
+    // horizon day 10 (marker m, censored t=0). a,b churn t=1; c churn
+    // t=3. risk: t=1 -> {a,b,c}=3, t=3 -> {c}=1.
+    val df = (Seq(0, 1).map(d("a", _)) ++ Seq(0, 1).map(d("b", _)) ++
+      Seq(0, 3).map(d("c", _)) ++ Seq(10).map(d("m", _)))
+      .toDF("k", "ts")
+    val got = Events.nelsonAalen(df, "k", "ts", lit("all"), censorDays = 0)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getAs[Long]("h_term_micro"),
+          r.getAs[Long]("h_cum_micro")))).toMap
+    assert(got(1) === ((3L, 2L, 666666L, 666666L)))
+    assert(got(3) === ((1L, 1L, 1000000L, 1666666L)))
+    assert(got.size === 2)
+    // H ≈ −ln S sanity (loose): KM surv at t=3 is (1/3)·0 -> compare at
+    // t=1 only: −ln(1 − 2/3) = 1.0986 vs H = 0.666 + ... skip exact —
+    // monotone non-decreasing is the structural claim
+    assert(got(3)._4 >= got(1)._4)
+  }
+
+  test("logRank: identical groups z=0, hand asymmetric case, risk carry") {
+    def e(u: Long, day: Int) = (u, ts(f"2026-01-${day + 1}%02d 12:00:00"))
+    // symmetric: one churn at t=1 and one at t=3 per group; markers 5,6
+    // censored at the horizon (day 10), never in the t>=1 risk sets
+    val sym = (Seq(0, 1).map(e(1, _)) ++ Seq(0, 1).map(e(2, _)) ++
+      Seq(0, 3).map(e(3, _)) ++ Seq(0, 3).map(e(4, _)) ++
+      Seq(10).map(e(5, _)) ++ Seq(10).map(e(6, _)))
+      .toDF("u", "ts")
+    val z0 = Events.logRank(sym, "u", "ts", col("u") % 2 === 1, 0)
+      .collect().head
+    assert(z0.getAs[Long]("o1") * 1000000L === z0.getAs[Long]("e1_micro"))
+    assert(z0.getAs[Long]("z_milli") === 0L)
+    // asymmetric: g1 (odd users 1,3) churns at t=1, g0 (2,4) at t=3.
+    // pooled t=1: n=4, d=2, n1=2, d1=2 -> e=1e6, v=floor(16e6/48+.5)
+    // pooled t=3: n=2, d=2, n1=0 -> e=0, v=0
+    // z_milli = floor((2e6-1e6)/sqrt(333333)) = 1732
+    val asym = (Seq(0, 3).map(e(2, _)) ++ Seq(0, 3).map(e(4, _)) ++
+      Seq(0, 1).map(e(1, _)) ++ Seq(0, 1).map(e(3, _)) ++
+      Seq(10).map(e(6, _)) ++ Seq(10).map(e(5, _)))
+      .toDF("u", "ts")
+    val za = Events.logRank(asym, "u", "ts", col("u") % 2 === 1, 0)
+      .collect().head
+    assert((za.getAs[Long]("o1"), za.getAs[Long]("e1_micro"),
+      za.getAs[Long]("v_micro"), za.getAs[Long]("z_milli"))
+      === ((2L, 1000000L, 333333L, 1732L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("associationRules: hand metrics, direction asymmetry, min-support cut") {
     val df = Seq(
       (1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"), // dup membership ignored
