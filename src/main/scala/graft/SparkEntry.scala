@@ -5757,6 +5757,30 @@ object SparkEntry {
           (col("value") > 100).as("hit")),
         "p_milli", "hit", bins = 10)),
 
+    // Grid-blocked spatial radius self-join over integer planar coords
+    // (value/ts-derived scatter — the multiplicative-hash lattice gives
+    // ZERO pairs): exact squared distances, 3x3 cell candidates vs the
+    // oracle's deliberate all-pairs. Fully oracled.
+    "q_geo_pairs" -> ((s, dir) =>
+      graft.operators.Spatial.gridRadiusJoin(
+        t(s, dir, "events").filter(col("event_id") % 2 === 0)
+          .select(col("event_id").as("id"),
+            (floor(col("value") * 431).cast("long") % 100000L).as("x"),
+            (unix_micros(col("ts")) % 100000L).as("y")),
+        "id", "x", "y", radius = 500L)
+        .orderBy("id_a", "id_b")),
+
+    // Nearest neighbor within radius: argmin over the symmetrized pair
+    // set, (d2, nbr) struct min for deterministic ties. Fully oracled.
+    "q_geo_nn" -> ((s, dir) =>
+      graft.operators.Spatial.nearestInRadius(
+        t(s, dir, "events").filter(col("event_id") % 2 === 0)
+          .select(col("event_id").as("id"),
+            (floor(col("value") * 431).cast("long") % 100000L).as("x"),
+            (unix_micros(col("ts")) % 100000L).as("y")),
+        "id", "x", "y", radius = 500L)
+        .orderBy("id")),
+
     // Nelson-Aalen cumulative hazard per cohort: where the KM survival
     // PRODUCT is spec-only (float association order), the hazard SUM is
     // exact-integer end to end — term = d*1e6 div n_risk, running
@@ -11167,6 +11191,38 @@ object SparkEntry {
         |    * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
         |    * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS unc_micro
         |FROM terms GROUP BY n, n_pos, n_bins, sq_sum""".stripMargin,
+
+    // the oracle is the deliberately-quadratic all-pairs twin of the
+    // grid-blocked plan; pure integer arithmetic both sides
+    "q_geo_pairs" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    CAST(floor(value * 431) AS BIGINT) % 100000 AS x,
+        |    epoch_us(ts) % 100000 AS y
+        |  FROM events WHERE event_id % 2 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 250000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // argmin replay: row_number over (d2, nbr) per id
+    "q_geo_nn" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    CAST(floor(value * 431) AS BIGINT) % 100000 AS x,
+        |    epoch_us(ts) % 100000 AS y
+        |  FROM events WHERE event_id % 2 = 0),
+        |pairs AS (SELECT a.id AS id, b.id AS nbr,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM p a JOIN p b ON a.id <> b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= 250000)
+        |SELECT id, nbr, d2 FROM (
+        |  SELECT id, nbr, d2,
+        |         row_number() OVER (PARTITION BY id ORDER BY d2, nbr)
+        |           AS rn
+        |  FROM pairs) t
+        |WHERE rn = 1 ORDER BY id""".stripMargin,
 
     // the q_survival bookkeeping plus the exact-integer hazard column
     // pair; window sum(BIGINT) → HUGEINT, CAST back
