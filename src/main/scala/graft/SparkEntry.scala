@@ -5757,6 +5757,27 @@ object SparkEntry {
           (col("value") > 100).as("hit")),
         "p_milli", "hit", bins = 10)),
 
+    // STL-lite per-day decomposition: centered-MA trend + phase-mean
+    // seasonal + residual, exact cents*period integer space, sign-abs
+    // routed micro divisions. Fully oracled.
+    "q_stl" -> ((s, dir) =>
+      graft.operators.Events
+        .stlDecompose(t(s, dir, "events"), "ts", "value", period = 7)
+        .orderBy("day")),
+
+    // Qini / uplift curve over score deciles (id-arithmetic scores,
+    // odd-user treatment): banded DESC rank, exact prefix counts, one
+    // integer div for the control scaling. Fully oracled.
+    "q_qini" -> ((s, dir) =>
+      graft.operators.Eval.qiniCurve(
+        t(s, dir, "events").select(
+          ((col("event_id") * 31L) % 1001L).as("score"),
+          (pmod(col("user_id"), lit(2)) === 1).as("treat"),
+          (col("value") > 120).as("hit"),
+          col("event_id")),
+        "score", "treat", "hit", "event_id", k = 10)
+        .orderBy("decile")),
+
     // Grid-blocked spatial radius self-join over integer planar coords
     // (value/ts-derived scatter — the multiplicative-hash lattice gives
     // ZERO pairs): exact squared distances, 3x3 cell candidates vs the
@@ -11191,6 +11212,81 @@ object SparkEntry {
         |    * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
         |    * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS unc_micro
         |FROM terms GROUP BY n, n_pos, n_bins, sq_sum""".stripMargin,
+
+    // epoch-day integer axis (the q_seasonal pattern); sign-abs routed
+    // micro divisions; window sums CAST back from HUGEINT
+    "q_stl" ->
+      """WITH daily0 AS (
+        |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+        |              - DATE '1970-01-01' AS BIGINT) AS ed,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series((SELECT min(ed) FROM daily0),
+        |                                (SELECT max(ed) FROM daily0)))
+        |    AS ed),
+        |daily AS (
+        |  SELECT cal.ed, coalesce(cents, 0) AS cents
+        |  FROM cal LEFT JOIN daily0 ON daily0.ed = cal.ed),
+        |win AS (
+        |  SELECT ed, cents,
+        |    CAST(sum(cents) OVER (ORDER BY ed ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS BIGINT) AS win_sum,
+        |    count(*) OVER (ORDER BY ed ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS wn
+        |  FROM daily),
+        |i AS (
+        |  SELECT ed, cents, win_sum, CAST(ed % 7 AS INT) AS phase,
+        |         cents * 7 - win_sum AS num
+        |  FROM win WHERE wn = 7),
+        |ph AS (SELECT phase, CAST(count(*) AS BIGINT) AS pn,
+        |              CAST(sum(num) AS BIGINT) AS ps
+        |       FROM i GROUP BY 1),
+        |ph2 AS (SELECT phase, CAST(sign(ps) AS BIGINT)
+        |          * (abs(ps) * 1000000 // (pn * 7)) AS seasonal_micro
+        |        FROM ph)
+        |SELECT DATE '1970-01-01' + CAST(i.ed AS INT) AS day,
+        |  CAST(i.cents AS BIGINT) AS cents, i.phase,
+        |  CAST(sign(win_sum) AS BIGINT) * (abs(win_sum) * 1000000 // 7)
+        |    AS trend_micro,
+        |  seasonal_micro,
+        |  CAST(sign(num) AS BIGINT) * (abs(num) * 1000000 // 7)
+        |    - seasonal_micro AS resid_micro
+        |FROM i JOIN ph2 USING (phase)
+        |ORDER BY day""".stripMargin,
+
+    // banded-rank decile replay; control scaling one integer //, the
+    // uplift rate a subtraction of two non-negative divisions
+    "q_qini" ->
+      """WITH p AS (SELECT (event_id * 31) % 1001 AS v, event_id AS id,
+        |    user_id % 2 = 1 AS t,
+        |    CASE WHEN value > 120 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (ORDER BY v DESC, id) AS rk,
+        |             count(*) OVER () AS n FROM p),
+        |d AS (SELECT CAST((rk - 1) * 10 // n AS INT) AS decile, t, y
+        |      FROM r),
+        |g AS (SELECT decile,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS pos_t,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE y END) AS BIGINT) AS pos_c
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT decile, n_t, n_c, pos_t, pos_c,
+        |    CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+        |    CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+        |    CAST(sum(pos_t) OVER w AS BIGINT) AS cum_pos_t,
+        |    CAST(sum(pos_c) OVER w AS BIGINT) AS cum_pos_c
+        |  FROM g
+        |  WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT decile, n_t, n_c, pos_t, pos_c, cum_n_t, cum_n_c,
+        |  cum_pos_t, cum_pos_c,
+        |  cum_pos_t * 1000 - cum_pos_c * cum_n_t * 1000
+        |    // nullif(cum_n_c, 0) AS qini_milli,
+        |  pos_t * 1000 // nullif(n_t, 0)
+        |    - pos_c * 1000 // nullif(n_c, 0) AS uplift_milli
+        |FROM c ORDER BY decile""".stripMargin,
 
     // the oracle is the deliberately-quadratic all-pairs twin of the
     // grid-blocked plan; pure integer arithmetic both sides

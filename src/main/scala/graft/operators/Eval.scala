@@ -121,6 +121,68 @@ object Eval {
         expr("cum_pos * 1000 div nullif(__P, 0L)").as("capture_milli"))
   }
 
+  /** Qini / uplift curve over score deciles — [[liftTable]]'s
+    * treatment-aware sibling (Radcliffe 2007), the readout an uplift
+    * model gets instead of ROC: rank ALL subjects by score descending,
+    * split each cumulative prefix by treatment, and report
+    * `qini(k) = cumPos_t − cumPos_c·cumN_t/cumN_c` — incremental
+    * positives the treated prefix shows beyond the control prefix's
+    * rate. A random scorer's curve is ~0 everywhere; a perfect
+    * targeter front-loads it.
+    *
+    * EXACT-INTEGER formulation: counts are BIGINTs off the banded DESC
+    * rank ([[liftTable]]'s machinery — no global window), the control
+    * scaling is one integer `div` (all quantities non-negative; NULL
+    * when the control prefix is empty), and the per-decile uplift rate
+    * is a subtraction of two non-negative milli divisions (the
+    * CLAUDE-safe form). Judged `q_qini`, fully ORACLED; the
+    * null-effect zero curve and hand prefix arithmetic pinned in
+    * EvalSpec. */
+  def qiniCurve(df: DataFrame, scoreCol: String, treatCol: String,
+      labelCol: String, idCol: String, k: Int = 10,
+      bands: Int = 32): DataFrame = {
+    require(k >= 2 && k <= 100, s"k must be in 2..100: $k")
+    val per = graft.engine.Caches.persisted(
+      df.select(col(scoreCol).as("v"), col(idCol).as("__id"),
+        col(treatCol).cast("boolean").as("__t"),
+        col(labelCol).cast("long").as("__y")))
+    val bounds = broadcast(per.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      count(lit(1)).as("__N")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandDesc(
+        col("v"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__or", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__band"), col("__or"))
+    val wB = Window.partitionBy(col("__band"))
+      .orderBy(col("v").desc, col("__id"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Long.MinValue, 0)
+    banded.join(broadcast(offsets), "__band")
+      .withColumn("__rank", col("__or") + row_number().over(wB))
+      .withColumn("decile", expr(s"(__rank - 1) * $k div __N").cast("int"))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("pos_t"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("pos_c"))
+      .withColumn("cum_n_t", sum(col("n_t")).over(wCum))
+      .withColumn("cum_n_c", sum(col("n_c")).over(wCum))
+      .withColumn("cum_pos_t", sum(col("pos_t")).over(wCum))
+      .withColumn("cum_pos_c", sum(col("pos_c")).over(wCum))
+      .select(col("decile"), col("n_t"), col("n_c"), col("pos_t"),
+        col("pos_c"), col("cum_n_t"), col("cum_n_c"), col("cum_pos_t"),
+        col("cum_pos_c"),
+        expr("cum_pos_t * 1000 - cum_pos_c * cum_n_t * 1000" +
+          " div nullif(cum_n_c, 0L)").as("qini_milli"),
+        (expr("pos_t * 1000 div nullif(n_t, 0L)") -
+          expr("pos_c * 1000 div nullif(n_c, 0L)")).as("uplift_milli"))
+  }
+
   /** Confusion-matrix report at a list of decision thresholds — the
     * operating-point readout between [[aucExact]] (threshold-free) and
     * [[liftTable]] (rank-bucketed): scores quantize to milli BIGINTs

@@ -367,6 +367,28 @@ class EvalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("qiniCurve: hand prefix arithmetic, null-effect zero curve") {
+    // ids 1..8, score = 9−id (id 1 ranks first), treat = odd id, k = 2
+    def f(ys: Seq[Int]) =
+      (1L to 8L).zip(ys).map { case (id, y) =>
+        (id, 9.0 - id, id % 2 == 1, y) }.toDF("id", "s", "t", "y")
+    // top half: treated {1,3} both hit, controls {2,4} miss;
+    // bottom half: treated {5,7} miss, control 6 hits
+    val out = Eval.qiniCurve(f(Seq(1, 0, 1, 0, 0, 1, 0, 0)),
+        "s", "t", "y", "id", k = 2)
+      .orderBy("decile").collect()
+    assert(out.map(r => (r.getAs[Long]("cum_pos_t"),
+      r.getAs[Long]("cum_pos_c"), r.getAs[Long]("qini_milli"),
+      r.getAs[Long]("uplift_milli"))).toSeq
+      === Seq((2L, 0L, 2000L, 1000L), (2L, 1L, 1000L, -500L)))
+    // null effect: y depends on rank only, balanced arms → qini ≡ 0
+    val nul = Eval.qiniCurve(f(Seq(1, 1, 1, 1, 0, 0, 0, 0)),
+        "s", "t", "y", "id", k = 2)
+      .orderBy("decile").collect()
+    assert(nul.forall(_.getAs[Long]("qini_milli") === 0L))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("brierDecomposition: perfect, base-rate, anti-calibrated; Murphy identity") {
     def f(rows: Seq[(Long, Int)]) = rows.toDF("p", "y")
     // perfect: brier 0; REL 0; RES == UNC == 250000

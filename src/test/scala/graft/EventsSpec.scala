@@ -1130,6 +1130,30 @@ class EventsSpec extends SparkTestBase {
     assert(got(3)._4 >= got(1)._4)
   }
 
+  test("stlDecompose: pure trend, pure weekly cycle, interior cut, sign routing") {
+    def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
+    // pure linear trend (cents = 100·i over 15 days): centered MA of a
+    // line is the line → num = 0 → zero seasonal, zero residual
+    val lin = (0 until 15).map(i => (day(i), i * 1.0)).toDF("ts", "v")
+    val lt = Events.stlDecompose(lin, "ts", "v", period = 7)
+      .collect()
+    assert(lt.length === 15 - 6) // interior days only
+    assert(lt.forall(r => r.getAs[Long]("seasonal_micro") === 0L &&
+      r.getAs[Long]("resid_micro") === 0L))
+    assert(lt.forall(r =>
+      r.getAs[Long]("trend_micro") === r.getAs[Long]("cents") * 1000000L))
+    // pure weekly cycle over 21 days: residual exactly 0 at every
+    // interior day (per-day detrended equals its phase mean as a
+    // rational; both floors agree), seasonal nonzero with BOTH signs
+    val pat = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0)
+    val cyc = (0 until 21).map(i => (day(i), pat(i % 7))).toDF("ts", "v")
+    val ct = Events.stlDecompose(cyc, "ts", "v", period = 7).collect()
+    assert(ct.forall(_.getAs[Long]("resid_micro") === 0L))
+    assert(ct.exists(_.getAs[Long]("seasonal_micro") > 0L) &&
+      ct.exists(_.getAs[Long]("seasonal_micro") < 0L))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("logRank: identical groups z=0, hand asymmetric case, risk carry") {
     def e(u: Long, day: Int) = (u, ts(f"2026-01-${day + 1}%02d 12:00:00"))
     // symmetric: one churn at t=1 and one at t=3 per group; markers 5,6
