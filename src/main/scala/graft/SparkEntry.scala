@@ -5840,6 +5840,45 @@ object SparkEntry {
           "o_custkey" -> "o_orderstatus"))
         .orderBy("candidate")),
 
+    // Isotonic (PAV) calibration of id-arithmetic milli-scores vs the
+    // hit label, via the exact-integer minimax identity over the
+    // ~1001-bin pair triangle (constant in corpus size). Fully oracled.
+    "q_isotonic" -> ((s, dir) =>
+      graft.operators.Eval.isotonicCalibrate(
+        t(s, dir, "events").select(
+          ((col("event_id") * 31L) % 1001L).as("p"),
+          (col("value") > 100).as("hit")),
+        "p", "hit")
+        .orderBy("score_milli")),
+
+    // Centered 7-day moving MEDIAN of daily cents (doubled to stay
+    // BIGINT): the robust twin of the STL moving average; full windows
+    // only over the densified calendar. Fully oracled.
+    "q_moving_median" -> ((s, dir) =>
+      graft.operators.Events
+        .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
+        .orderBy("day")),
+
+    // Sorted-neighborhood ER blocking over the cents rank line:
+    // banded exact global rank, 2-cell bucket join, gap < 4.
+    // Fully oracled.
+    "q_sorted_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.sortedNeighborPairs(
+        t(s, dir, "events").filter(col("event_id") % 20 === 0)
+          .select(col("event_id").as("id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("c")),
+        "id", "c", window = 4)
+        .orderBy("id_a", "id_b")),
+
+    // Item-item cosine top-5 from order co-purchase (part buckets):
+    // one micro-floored sqrt, BIGINT-triple rank. Fully oracled.
+    "q_item_sim" -> ((s, dir) =>
+      graft.operators.Events.itemSimilarityTopK(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("k"),
+          (col("l_partkey") % 200L).as("i")),
+        "k", "i", minPairKeys = 3L, k = 5)
+        .orderBy("item", "rk")),
+
     // Bloom-prefiltered join: dim keys -> Bloom filter -> scan-stage
     // might_contain on the fact BEFORE the join. No false negatives, and
     // false positives die at the join, so the result is EXACTLY the
@@ -11488,6 +11527,100 @@ object SparkEntry {
         |    || CAST(o_orderstatus AS VARCHAR) END) = count(*))
         |FROM orders
         |ORDER BY candidate""".stripMargin,
+
+    // minimax PAV replay over the bin-pair triangle: suffix-min window
+    // per j, grouped max per i; all rates sign-abs micro divisions
+    "q_isotonic" ->
+      """WITH b AS (SELECT (event_id * 31) % 1001 AS score_milli,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT score_milli, n, hits,
+        |    row_number() OVER (ORDER BY score_milli) AS i,
+        |    CAST(sum(n) OVER (ORDER BY score_milli
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+        |    CAST(sum(hits) OVER (ORDER BY score_milli
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ch
+        |  FROM b),
+        |pairs AS (SELECT j.i AS j, k.i AS k,
+        |    k.ch - j.ch + j.hits AS dh, k.cn - j.cn + j.n AS dn
+        |  FROM idx j JOIN idx k ON j.i <= k.i),
+        |a AS (SELECT j, k, CAST(sign(dh) AS BIGINT)
+        |    * (abs(dh) * 1000000 // dn) AS rate FROM pairs),
+        |sm AS (SELECT j, k, min(rate) OVER (PARTITION BY j
+        |    ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS sufmin FROM a),
+        |f AS (SELECT k AS i, max(sufmin) AS fit_micro FROM sm GROUP BY 1)
+        |SELECT idx.score_milli, idx.n, idx.hits,
+        |  CAST(sign(idx.hits) AS BIGINT)
+        |    * (abs(idx.hits) * 1000000 // idx.n) AS raw_micro,
+        |  f.fit_micro
+        |FROM idx JOIN f ON f.i = idx.i
+        |ORDER BY score_milli""".stripMargin,
+
+    // doubled exact order statistic: DuckDB median over the 7-row
+    // centered window is the middle value; *2 returns it to BIGINT
+    "q_moving_median" ->
+      """WITH daily0 AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series((SELECT min(day) FROM daily0),
+        |                                (SELECT max(day) FROM daily0),
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |daily AS (
+        |  SELECT cal.day, coalesce(cents, 0) AS cents
+        |  FROM cal LEFT JOIN daily0 ON daily0.day = cal.day),
+        |win AS (
+        |  SELECT day, cents,
+        |    median(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS med,
+        |    count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS wn
+        |  FROM daily)
+        |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
+        |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // window-of-4 sliding pairs under the (cents, id) total order:
+    // plain row_number replay, rank-gap filter
+    "q_sorted_pairs" ->
+      """WITH p AS (SELECT event_id AS id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_id % 20 = 0),
+        |r AS (SELECT id, row_number() OVER (ORDER BY c, id) AS rk
+        |      FROM p)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(b.rk - a.rk AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // co-purchase cosine replay; the ONE micro-floored sqrt mirrored
+    // token-identically, rank over the quantized BIGINT triple
+    "q_item_sim" ->
+      """WITH ki AS (SELECT DISTINCT l_orderkey AS k,
+        |    l_partkey % 200 AS i FROM lineitem),
+        |n AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+        |      FROM ki GROUP BY 1),
+        |p AS (SELECT a.i AS ia, b.i AS ib,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ki a JOIN ki b ON a.k = b.k AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |s AS (SELECT ia, ib, n_both,
+        |    CAST(floor(CAST(n_both AS DOUBLE) * 1000000.0
+        |      / sqrt(CAST(na.ni * nb.ni AS DOUBLE))) AS BIGINT)
+        |      AS cos_micro
+        |  FROM p JOIN n na ON na.i = p.ia JOIN n nb ON nb.i = p.ib),
+        |sym AS (SELECT ia AS item, ib AS nbr, n_both, cos_micro FROM s
+        |        UNION ALL
+        |        SELECT ib, ia, n_both, cos_micro FROM s),
+        |r AS (SELECT item, nbr, n_both, cos_micro,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cos_micro DESC, n_both DESC, nbr) AS rk
+        |  FROM sym)
+        |SELECT item, CAST(rk AS BIGINT) AS rk, nbr, n_both, cos_micro
+        |FROM r WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
 
     // the bloom prefilter must be invisible in the output: the oracle is
     // the PLAIN inner join + aggregate (l_quantity is integral → BIGINT)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Barriers.BarrierOps
 
@@ -703,5 +704,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__first") === col("id"), 1L).otherwise(0L))
           .as("n_novel"))
+  }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo) — the third
+    * classic entity-resolution candidate generator next to the hash
+    * buckets of [[minHashLsh]] and the token grams of [[fuzzyPairs]]:
+    * sort the corpus by a blocking key, slide a window of `window`
+    * rows, and emit every pair that co-occurs in some window — i.e.
+    * all `(a, b)` with `0 < rank(b) − rank(a) < window` under the
+    * total order `(key, id)`. Catches near-matches whose representations
+    * hash apart but sort together (typo'd names, off-by-one amounts),
+    * with candidate count ≤ `N·(window−1)` — linear, never all-pairs.
+    *
+    * Scale: the exact global rank comes from [[graft.engine.Banding]]
+    * band offsets (never a single-partition window); pairs join
+    * rank-bucket `(rank−1) div window` to `{bucket, bucket−1}` — a
+    * 2-cell equi-join (the [[Spatial.gridRadiusJoin]] shape on the
+    * rank line), then the exact gap filter. Judged `q_sorted_pairs`,
+    * fully ORACLED; hand windows, bucket-boundary pairs and the
+    * window-1 degenerate (zero pairs) pinned in DedupSpec. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, keyCol: String,
+      window: Int, bands: Int = 32): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val per = graft.engine.Caches.persisted(
+      df.select(col(idCol).as("id"), col(keyCol).as("v")))
+    val bounds = broadcast(per.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("v"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__or", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__band"), col("__or"))
+    val wB = Window.partitionBy(col("__band"))
+      .orderBy(col("v"), col("id"))
+    val ranked = graft.engine.Caches.persisted(
+      banded.join(broadcast(offsets), "__band")
+        .withColumn("__rank", col("__or") + row_number().over(wB))
+        .withColumn("__bkt", expr(s"(__rank - 1) div $window"))
+        .select(col("id"), col("__rank"), col("__bkt")))
+    val probe = ranked.select(col("id").as("id_b"),
+      col("__rank").as("__rb"),
+      explode(array(col("__bkt"), col("__bkt") - 1)).as("__cell"))
+    ranked.join(probe, col("__bkt") === col("__cell") &&
+        col("__rank") < col("__rb") &&
+        col("__rb") - col("__rank") < lit(window.toLong))
+      .select(col("id").as("id_a"), col("id_b"),
+        (col("__rb") - col("__rank")).as("gap"))
   }
 }

@@ -816,4 +816,59 @@ object Eval {
             col("n").cast("double")) * lit(1000000.0) + lit(0.5))
           .cast("long").as("unc_micro"))
   }
+
+  /** Isotonic (monotone non-decreasing) calibration of a milli-score →
+    * hit-rate curve — the PAV (pool-adjacent-violators) fit expressed
+    * through the minimax identity
+    * `fit(i) = max_{j≤i} min_{k≥i} rate(j..k)` over per-distinct-score
+    * bins, which needs NO sequential pooling loop: every quantity is a
+    * windowed min / grouped max over the bin-pair triangle, so the fit
+    * is exactly the PAV block-mean solution while staying declarative.
+    *
+    * Judged-double discipline: bin rates are EXACT-INTEGER micros —
+    * `rate(j..k) = ΔH·10⁶ div ΔN` on prefix sums of hit/total counts
+    * (sign-abs routed; min/max over identically-quantized BIGINTs are
+    * engine-exact, and the minimax of ANY fixed score table is monotone
+    * by construction). Overflow-safe while `hits·10⁶ < 2^63` (~9e12
+    * labeled rows).
+    *
+    * Scale: rows partial-aggregate to per-distinct-score (n, hits)
+    * bins FIRST — the pair triangle is `bins²/2` (score domain, e.g.
+    * 1001 milli-scores ⇒ ~500k pairs, CONSTANT in corpus size); one
+    * window min over suffix-k per j and one grouped max per i. Judged
+    * `q_isotonic`, fully ORACLED; monotonicity, exact PAV block means
+    * on a hand violator case, and the already-monotone identity fit
+    * pinned in EvalSpec. */
+  def isotonicCalibrate(df: DataFrame, scoreMilliCol: String,
+      labelCol: String): DataFrame = {
+    val bins = graft.engine.Caches.persisted(
+      df.select(col(scoreMilliCol).cast("long").as("score_milli"),
+          col(labelCol).cast("long").as("__y"))
+        .groupBy(col("score_milli"))
+        .agg(count(lit(1)).as("n"), sum(col("__y")).as("hits")))
+    val wPfx = Window.orderBy("score_milli")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = graft.engine.Caches.persisted(bins
+      .withColumn("__i", row_number().over(Window.orderBy("score_milli")))
+      .withColumn("__cn", sum(col("n")).over(wPfx))
+      .withColumn("__ch", sum(col("hits")).over(wPfx)))
+    val pairs = idx.as("j").join(idx.as("k"), col("j.__i") <= col("k.__i"))
+      .select(col("j.__i").as("__j"), col("k.__i").as("__k"),
+        (col("k.__ch") - col("j.__ch") + col("j.hits")).as("__dh"),
+        (col("k.__cn") - col("j.__cn") + col("j.n")).as("__dn"))
+      .select(col("__j"), col("__k"),
+        expr("cast(sign(__dh) as bigint) * (abs(__dh) * 1000000 div __dn)")
+          .as("__rate"))
+    val wSuf = Window.partitionBy("__j").orderBy(col("__k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pairs
+      .withColumn("__sufmin", min(col("__rate")).over(wSuf))
+      .groupBy(col("__k").as("__i"))
+      .agg(max(col("__sufmin")).as("fit_micro"))
+    idx.join(fit, Seq("__i"))
+      .select(col("score_milli"), col("n"), col("hits"),
+        expr("cast(sign(hits) as bigint) * (abs(hits) * 1000000 div n)")
+          .as("raw_micro"),
+        col("fit_micro"))
+  }
 }

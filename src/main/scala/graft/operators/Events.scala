@@ -2749,4 +2749,103 @@ object Events {
         expr("n_both * 1000 div n_ant").as("confidence_milli"),
         expr("n_both * __N * 1000 div (n_ant * n_con)").as("lift_milli"))
   }
+
+  /** Centered moving MEDIAN of the daily series — the robust twin of
+    * the [[stlDecompose]] centered moving average: a single outlier day
+    * shifts the mean by Δ/period but leaves the median untouched, so
+    * this is the smoother to read when spikes are data errors rather
+    * than signal. The calendar densifies exactly as in STL (a silent
+    * day is a real 0-sum day) and only FULL windows emit (the first and
+    * last `period/2` days have no centered estimate — the STL interior
+    * rule).
+    *
+    * Judged-double discipline: the median is reported DOUBLED
+    * (`med2x_cents` = 2× the exact order statistic; for odd `period`
+    * that is just 2·middle) so it stays a pure BIGINT — the engine
+    * sorts each window's `period`-element array exactly, the oracle's
+    * `median()` doubles back to the same integer (exact while
+    * `|cents| < 2^52`, the float-mantissa bound).
+    *
+    * Scale: one data-scale aggregate to daily cents; the sort runs on
+    * `period`-element arrays over CALENDAR-scale rows (the interpreted
+    * array path is off the hot path by construction — days, not
+    * events). Judged `q_moving_median`, fully ORACLED; spike
+    * resistance vs the mean, full-window-only emission and the exact
+    * middle order statistic pinned in EventsSpec. */
+  def movingMedian(events: DataFrame, tsCol: String, valueCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 (centered window), got $period")
+    val half = period / 2
+    val sparse = events
+      .select(to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("cents"))
+    val daily = sparse
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-half, half)
+    daily
+      .withColumn("__arr", collect_list(col("cents")).over(w))
+      .filter(size(col("__arr")) === period)
+      .select(col("day"), col("cents"),
+        (element_at(array_sort(col("__arr")), half + 1) * 2L)
+          .as("med2x_cents"))
+  }
+
+  /** Item-item cosine similarity top-k from co-occurrence — the
+    * neighborhood model behind "customers who bought X also bought Y":
+    * over distinct (key, item) exhibits, each unordered item pair's
+    * cosine is `n_both / √(n_a·n_b)` (the co-count normalized by both
+    * items' popularity, so two niche items that always co-occur beat
+    * two blockbusters that co-occur incidentally), symmetrized and cut
+    * to each item's k best neighbors.
+    *
+    * Judged-double discipline: `cos_micro = ⌊n_both·10⁶ / √(n_a·n_b)⌋`
+    * takes the ONE micro-floored IEEE sqrt (the mannWhitney rule —
+    * identical expression order both engines); the top-k rank orders
+    * by the quantized `(cos_micro, n_both, nbr)` BIGINT triple, never
+    * a raw float (the q_keywords rule).
+    *
+    * Scale: the [[cooccurrence]] posture — distinct (key, item) FIRST,
+    * key-co-partitioned self-join bounded by per-key basket size,
+    * partial-agg to pair counts, config-scale item totals joined back;
+    * the rank window partitions BY ITEM (never global). Judged
+    * `q_item_sim`, fully ORACLED; hand cosine, popularity
+    * normalization, tie determinism and the k cut pinned in
+    * EventsSpec. */
+  def itemSimilarityTopK(df: DataFrame, keyCol: String, itemCol: String,
+      minPairKeys: Long = 2L, k: Int = 5): DataFrame = {
+    require(minPairKeys >= 1, s"minPairKeys must be >= 1: $minPairKeys")
+    require(k >= 1, s"k must be >= 1: $k")
+    val ki = graft.engine.Caches.persisted(
+      df.select(col(keyCol).as("__k"), col(itemCol).as("__i")).distinct())
+    val itemN = ki.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = ki.as("a").join(ki.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("__ia"), col("b.__i").as("__ib"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minPairKeys)
+    val scored = pairs
+      .join(itemN.select(col("__i").as("__ia"), col("__ni").as("__na")),
+        Seq("__ia"))
+      .join(itemN.select(col("__i").as("__ib"), col("__ni").as("__nb")),
+        Seq("__ib"))
+      .select(col("__ia"), col("__ib"), col("n_both"),
+        floor(col("n_both").cast("double") * lit(1000000.0) /
+          sqrt(expr("cast(__na * __nb as double)"))).cast("long")
+          .as("cos_micro"))
+    val sym = scored.select(col("__ia").as("item"), col("__ib").as("nbr"),
+        col("n_both"), col("cos_micro"))
+      .unionByName(scored.select(col("__ib").as("item"),
+        col("__ia").as("nbr"), col("n_both"), col("cos_micro")))
+    val wI = Window.partitionBy(col("item"))
+      .orderBy(col("cos_micro").desc, col("n_both").desc, col("nbr"))
+    sym.withColumn("rk", row_number().over(wI).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("item"), col("rk"), col("nbr"), col("n_both"),
+        col("cos_micro"))
+  }
 }

@@ -378,4 +378,29 @@ class DedupSpec extends SparkTestBase {
       2L -> ((1L, 1L)), 3L -> ((2L, 1L))))
     graft.engine.Caches.releaseAll()
   }
+
+  test("sortedNeighborPairs: windows, bucket boundaries, degenerate w=1") {
+    // ranks by (key, id): ids 10,20,30,40,50 with keys 5,1,3,1,9
+    // -> order: 20(1),40(1),30(3),10(5),50(9)
+    val df = Seq((10L, 5L), (20L, 1L), (30L, 3L), (40L, 1L), (50L, 9L))
+      .toDF("id", "key")
+    def run(w: Int) =
+      Dedup.sortedNeighborPairs(df, "id", "key", w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // w=2: adjacent ranks only (4 pairs, including across any bucket cut)
+    assert(run(2) === Set((20L, 40L, 1L), (40L, 30L, 1L),
+      (30L, 10L, 1L), (10L, 50L, 1L)))
+    // w=3: gaps 1 and 2
+    assert(run(3) === Set((20L, 40L, 1L), (40L, 30L, 1L),
+      (30L, 10L, 1L), (10L, 50L, 1L), (20L, 30L, 2L), (40L, 10L, 2L),
+      (30L, 50L, 2L)))
+    // w=1: a 1-row window holds no pairs
+    assert(run(1) === Set.empty)
+    // w >= n: all pairs (complete candidate set, n*(n-1)/2)
+    assert(run(5).size === 10)
+    // every pair is emitted exactly once (no bucket double-count):
+    // run(3) returned a Set; recheck multiplicity via collect length
+    assert(Dedup.sortedNeighborPairs(df, "id", "key", 3).count() === 7L)
+    graft.engine.Caches.releaseAll()
+  }
 }

@@ -419,4 +419,34 @@ class EvalSpec extends SparkTestBase {
       mixed.getAs[Long]("unc_micro")
     assert(math.abs(id - mixed.getAs[Long]("brier_micro")) <= 12L)
   }
+
+  test("isotonicCalibrate: PAV block means, monotone, identity fit") {
+    def f(rows: Seq[(Long, Int)]) = rows.toDF("p", "y")
+    // hand violator: bins 100 (rate 1) and 200 (rate 0) pool to 1/2;
+    // bin 300 (rate 1) stays above the pooled block
+    val v = Eval.isotonicCalibrate(
+      f(Seq((100L, 1), (200L, 0), (300L, 1))), "p", "y")
+      .orderBy("score_milli").collect()
+    assert(v.map(_.getAs[Long]("fit_micro")).toSeq
+      === Seq(500000L, 500000L, 1000000L))
+    // already monotone: fit == raw rate per bin (identity)
+    val mono = Eval.isotonicCalibrate(
+      f(Seq((100L, 0), (100L, 0), (200L, 1), (200L, 0), (300L, 1))),
+      "p", "y").orderBy("score_milli").collect()
+    assert(mono.map(r => r.getAs[Long]("fit_micro")).toSeq
+      === mono.map(r => r.getAs[Long]("raw_micro")).toSeq)
+    // all-violator: everything pools to the global mean
+    val all = Eval.isotonicCalibrate(
+      f(Seq((100L, 1), (200L, 1), (300L, 0), (400L, 0))), "p", "y")
+      .orderBy("score_milli").collect()
+    assert(all.map(_.getAs[Long]("fit_micro")).toSeq
+      === Seq.fill(4)(500000L))
+    // monotonicity is structural: check on a mixed case
+    val mixed = Eval.isotonicCalibrate(
+      f(Seq((1L, 1), (2L, 0), (3L, 0), (4L, 1), (5L, 0), (6L, 1),
+        (7L, 1), (8L, 0))), "p", "y")
+      .orderBy("score_milli").collect().map(_.getAs[Long]("fit_micro"))
+    assert(mixed.zip(mixed.tail).forall { case (a, b) => a <= b })
+    graft.engine.Caches.releaseAll()
+  }
 }

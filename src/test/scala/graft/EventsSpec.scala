@@ -1503,4 +1503,63 @@ class EventsSpec extends SparkTestBase {
     assert(r2(0).getTimestamp(1) === ts("2026-01-01 12:00:30"))
     graft.engine.Caches.releaseAll()
   }
+
+  test("movingMedian: spike resistance, full windows, calendar fill") {
+    def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
+    // constant 100 cents/day with one huge spike: the median ignores
+    // the spike everywhere (it is never the middle of 7), while the
+    // mean would shift every window containing it
+    val rows = (0 until 15).map(i =>
+      (day(i), if (i == 7) 9999.0 else 1.0)).toDF("ts", "v")
+    val mm = Events.movingMedian(rows, "ts", "v", period = 7)
+      .orderBy("day").collect()
+    assert(mm.length === 15 - 6) // full centered windows only
+    assert(mm.forall(_.getAs[Long]("med2x_cents") === 200L))
+    // a silent calendar day is a real 0: over days 1..7 with day 4
+    // missing, the window multiset is {0, six 100s} -> median 100
+    val gap = (0 until 7).filter(_ != 3).map(i => (day(i), 1.0))
+      .toDF("ts", "v")
+    val g = Events.movingMedian(gap, "ts", "v", period = 7).collect()
+    assert(g.length === 1 && g.head.getAs[Long]("med2x_cents") === 200L)
+    // even-position median: doubled statistic is the exact middle * 2
+    val asc = (0 until 7).map(i => (day(i), i * 1.0)).toDF("ts", "v")
+    val a = Events.movingMedian(asc, "ts", "v", period = 7).collect()
+    assert(a.head.getAs[Long]("med2x_cents") === 600L) // middle=300c
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("itemSimilarityTopK: hand cosine, popularity cut, ties, k cut") {
+    // baskets: items x,y always together (2 of 2); z in every basket
+    // (4): cos(x,y) = 2/sqrt(2*2) = 1.0; cos(x,z) = 2/sqrt(2*4) ~ .7071
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "z"), (3L, "w"),
+      (4L, "z"), (4L, "w"))
+      .toDF("k", "i")
+    val got = Events.itemSimilarityTopK(df, "k", "i",
+        minPairKeys = 2L, k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // perfect pair ranks first for both x and y
+    assert(got(("x", "y")) === ((1L, 2L, 1000000L)))
+    assert(got(("y", "x")) === ((1L, 2L, 1000000L)))
+    assert(got(("x", "z")) === ((2L, 2L, 707106L)))
+    assert(got(("w", "z")) === ((1L, 2L, 707106L)))
+    // z's neighbors: x,y,w all cos .7071 n_both 2 -> tie breaks by nbr
+    assert(got(("z", "w")) === ((1L, 2L, 707106L)))
+    assert(got(("z", "x")) === ((2L, 2L, 707106L)))
+    assert(got(("z", "y")) === ((3L, 2L, 707106L)))
+    // minPairKeys cuts singleton co-occurrences entirely
+    val cut = Events.itemSimilarityTopK(df, "k", "i",
+      minPairKeys = 3L, k = 5).collect()
+    assert(cut.isEmpty) // no pair co-occurs in 3 baskets
+    // k cut: z keeps only its single best neighbor
+    val k1 = Events.itemSimilarityTopK(df, "k", "i",
+        minPairKeys = 2L, k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(k1("z") === "w")
+    graft.engine.Caches.releaseAll()
+  }
 }
