@@ -5859,6 +5859,41 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // CUPED variance reduction: per-user pre/post cents split at the
+    // calendar midpoint, pooled theta over DECIMAL(38,0)/HUGEINT
+    // moments, chi2-pattern micro-quantized adjustments. Fully oracled.
+    "q_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("ed"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      val mid = broadcast(ev.agg(
+        expr("(min(ed) + max(ed)) div 2").as("__mid")))
+      val units = ev.crossJoin(mid)
+        .groupBy(col("user_id"),
+          (pmod(col("user_id"), lit(2)) === 1).as("treat"))
+        .agg(
+          sum(when(col("ed") < col("__mid"), col("c")).otherwise(0L))
+            .as("x"),
+          sum(when(col("ed") >= col("__mid"), col("c")).otherwise(0L))
+            .as("y"))
+      graft.operators.Eval.cuped(units, "treat", "x", "y")
+        .orderBy("treat")
+    }),
+
+    // SRM chi-square goodness-of-fit of arm unit counts vs design
+    // milli-weights; per-arm micro-quantized terms. Fully oracled.
+    "q_srm" -> ((s, dir) =>
+      graft.operators.Eval.srmCheck(
+        t(s, dir, "events").select(col("user_id"),
+          when(pmod(col("user_id"), lit(10)) < 4, "control")
+            .when(pmod(col("user_id"), lit(10)) < 8, "treat")
+            .when(pmod(col("user_id"), lit(10)) < 9, "holdout")
+            .otherwise("pilot").as("arm")),
+        "user_id", "arm",
+        Seq("control" -> 400L, "treat" -> 400L, "holdout" -> 100L,
+          "pilot" -> 100L))
+        .orderBy("arm")),
+
     // Sorted-neighborhood ER blocking over the cents rank line:
     // banded exact global rank, 2-cell bucket join, gap < 4.
     // Fully oracled.
@@ -11582,6 +11617,85 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // pooled-moment replay in HUGEINT, the three micro-quantizations
+    // mirrored token-identically on exact integer factors
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS ed,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |b AS (SELECT (min(ed) + max(ed)) // 2 AS mid FROM e),
+        |per AS (SELECT user_id % 2 = 1 AS treat,
+        |    CAST(sum(CASE WHEN ed < mid THEN c ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ed >= mid THEN c ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM e CROSS JOIN b GROUP BY user_id, 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy FROM per),
+        |arms AS (SELECT treat, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS gx,
+        |    CAST(sum(y) AS BIGINT) AS sum_y_cents
+        |  FROM per GROUP BY 1),
+        |j AS (SELECT treat, n, gx, sum_y_cents, nn, sx, sy,
+        |    CAST(nn AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS d,
+        |    CAST(nn AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS nm,
+        |    CAST(nn AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+        |  FROM arms CROSS JOIN tot),
+        |t2 AS (SELECT *,
+        |    CAST(sign(sum_y_cents) AS BIGINT)
+        |      * (abs(sum_y_cents) * 1000000 // n) AS mean_y_micro,
+        |    CASE WHEN d > 0 THEN CAST(floor(CAST(nm AS DOUBLE)
+        |      * 1000000.0 / CAST(d AS DOUBLE) + 0.5) AS BIGINT)
+        |      END AS theta_micro
+        |  FROM j)
+        |SELECT treat, n, sum_y_cents, mean_y_micro, theta_micro,
+        |  CASE WHEN d > 0 THEN mean_y_micro
+        |      - CAST(floor(CAST(theta_micro AS DOUBLE)
+        |        * CAST(gx * nn - sx * n AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) + 0.5)
+        |        AS BIGINT)
+        |    ELSE mean_y_micro END AS adj_mean_micro,
+        |  CASE WHEN d > 0 AND dy > 0 THEN
+        |      CAST(floor(CAST(nm AS DOUBLE) * CAST(nm AS DOUBLE)
+        |        * 1000000.0
+        |        / (CAST(d AS DOUBLE) * CAST(dy AS DOUBLE)) + 0.5)
+        |        AS BIGINT)
+        |    ELSE 0 END AS varred_micro
+        |FROM t2 ORDER BY treat""".stripMargin,
+
+    // goodness-of-fit replay: design VALUES list, distinct-unit
+    // counts, per-arm chi2 terms micro-quantized independently
+    "q_srm" ->
+      """WITH design(arm, expect_milli) AS (VALUES
+        |    ('control', CAST(400 AS BIGINT)), ('treat', 400),
+        |    ('holdout', 100), ('pilot', 100)),
+        |obs AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units FROM (
+        |    SELECT DISTINCT CASE WHEN user_id % 10 < 4 THEN 'control'
+        |        WHEN user_id % 10 < 8 THEN 'treat'
+        |        WHEN user_id % 10 < 9 THEN 'holdout'
+        |        ELSE 'pilot' END AS arm, user_id
+        |    FROM events) GROUP BY 1),
+        |cells AS (SELECT design.arm, design.expect_milli,
+        |    coalesce(obs.n_units, 0) AS n_units
+        |  FROM design LEFT JOIN obs ON obs.arm = design.arm),
+        |tot AS (SELECT CAST(sum(n_units) AS BIGINT) AS nn FROM cells),
+        |terms AS (SELECT arm, n_units,
+        |    nn * expect_milli AS expected_milliunits,
+        |    CAST(floor(CAST(1000 * n_units - nn * expect_milli
+        |        AS DOUBLE)
+        |      * CAST(1000 * n_units - nn * expect_milli AS DOUBLE)
+        |      * 1000000.0
+        |      / CAST(1000 * nn * expect_milli AS DOUBLE) + 0.5)
+        |      AS BIGINT) AS term_micro
+        |  FROM cells CROSS JOIN tot),
+        |chi AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+        |        FROM terms)
+        |SELECT arm, n_units, expected_milliunits, term_micro,
+        |       chi2_micro
+        |FROM terms CROSS JOIN chi ORDER BY arm""".stripMargin,
 
     // window-of-4 sliding pairs under the (cents, id) total order:
     // plain row_number replay, rank-gap filter

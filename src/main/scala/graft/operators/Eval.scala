@@ -839,6 +839,120 @@ object Eval {
     * `q_isotonic`, fully ORACLED; monotonicity, exact PAV block means
     * on a hand violator case, and the already-monotone identity fit
     * pinned in EvalSpec. */
+  /** CUPED variance reduction (Deng et al. 2013) — the A/B-test
+    * sensitivity lift every experimentation platform ships: adjust each
+    * unit's outcome `y` by its PRE-period covariate `x`,
+    * `ŷ = y − θ(x − x̄)` with `θ = cov(x,y)/var(x)` POOLED across arms
+    * (the standard, assignment-independent estimator), reporting per
+    * arm the raw and adjusted means plus the variance-reduction
+    * fraction `ρ²`.
+    *
+    * Judged-double discipline: moments are EXACT integer sums over
+    * cents (`Sx Sy Sxx Sxy Syy` in BIGINT, widened to DECIMAL(38,0) /
+    * HUGEINT for the 3-magnitude products `n·Sxx − Sx²` — the q_gini
+    * overflow rule); θ, the adjustment term and ρ² each take ONE
+    * `floor(·+0.5)` micro-quantization over pinned IEEE expressions on
+    * those exact factors (the chi2 pattern — identical both engines).
+    *
+    * Scale: one partial aggregate to the 1-row pooled moments
+    * (broadcast) + one to the per-arm readout — the input is already
+    * per-unit (config-scale after the caller's per-unit rollup); no
+    * window, no join wider than a 1-row cross. Judged `q_cuped`, fully
+    * ORACLED; perfect-covariate collapse, zero-covariance identity and
+    * a hand θ pinned in EvalSpec. */
+  def cuped(df: DataFrame, treatCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val per = df.select(col(treatCol).cast("boolean").as("treat"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val tot = broadcast(per.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(expr("cast(__x as decimal(38,0)) * __x")).as("__sxx"),
+      sum(expr("cast(__x as decimal(38,0)) * __y")).as("__sxy"),
+      sum(expr("cast(__y as decimal(38,0)) * __y")).as("__syy")))
+    val arms = per.groupBy(col("treat"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__gx"),
+        sum(col("__y")).as("sum_y_cents"))
+    arms.crossJoin(tot)
+      .withColumn("__d", expr(
+        "cast(__n as decimal(38,0)) * __sxx" +
+          " - cast(__sx as decimal(38,0)) * __sx"))
+      .withColumn("__nm", expr(
+        "cast(__n as decimal(38,0)) * __sxy" +
+          " - cast(__sx as decimal(38,0)) * __sy"))
+      .withColumn("__dy", expr(
+        "cast(__n as decimal(38,0)) * __syy" +
+          " - cast(__sy as decimal(38,0)) * __sy"))
+      .withColumn("theta_micro", when(expr("__d > 0"),
+        floor(expr("cast(__nm as double)") * lit(1000000.0) /
+          expr("cast(__d as double)") + lit(0.5)).cast("long")))
+      .withColumn("mean_y_micro",
+        expr("cast(sign(sum_y_cents) as bigint)" +
+          " * (abs(sum_y_cents) * 1000000 div n)"))
+      .withColumn("adj_mean_micro", when(expr("__d > 0"),
+        col("mean_y_micro") -
+          floor(col("theta_micro").cast("double") *
+            expr("cast(__gx * __n - __sx * n as double)") /
+            (col("n").cast("double") * col("__n").cast("double")) +
+            lit(0.5)).cast("long"))
+        .otherwise(col("mean_y_micro")))
+      .withColumn("varred_micro", when(expr("__d > 0 and __dy > 0"),
+        floor(expr("cast(__nm as double)") * expr("cast(__nm as double)") *
+          lit(1000000.0) /
+          (expr("cast(__d as double)") * expr("cast(__dy as double)")) +
+          lit(0.5)).cast("long")).otherwise(lit(0L)))
+      .select(col("treat"), col("n"), col("sum_y_cents"),
+        col("mean_y_micro"), col("theta_micro"), col("adj_mean_micro"),
+        col("varred_micro"))
+  }
+
+  /** Sample-ratio-mismatch (SRM) check — the first experiment-health
+    * gate: do the arms' DISTINCT-unit counts match the design ratios?
+    * A chi-square goodness-of-fit against expected milli-weights;
+    * SRM firing means randomization or logging is broken and every
+    * downstream metric is suspect. Emits one row per arm (observed,
+    * expected in milli-units, the arm's chi² term) with the total
+    * chi² repeated — threshold against the 95th percentile of
+    * `χ²(arms−1)` downstream.
+    *
+    * Judged-double discipline: `(1000·o − n·m)` is exact BIGINT; each
+    * arm term micro-quantizes `Δ²·10⁶ / (1000·n·m)` independently
+    * (chi2 pattern), the sum is order-independent. Overflow-safe while
+    * `(1000·o)² < 2^63 in double` — unit counts to ~9e14.
+    *
+    * Scale: one distinct + partial agg to per-arm unit counts
+    * (arm-cardinality output), design weights broadcast from a
+    * config-scale literal list. Judged `q_srm`, fully ORACLED;
+    * perfect-ratio zero, a hand 2-arm imbalance and the
+    * missing-arm-counts-as-zero edge pinned in EvalSpec. */
+  def srmCheck(df: DataFrame, unitCol: String, armCol: String,
+      expectedMilli: Seq[(String, Long)]): DataFrame = {
+    require(expectedMilli.nonEmpty && expectedMilli.map(_._2).sum == 1000L,
+      s"expected milli-weights must sum to 1000: $expectedMilli")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val design = broadcast(expectedMilli.toDF("arm", "expect_milli"))
+    val obs = df.select(col(armCol).cast("string").as("arm"),
+        col(unitCol).as("__u")).distinct()
+      .groupBy(col("arm")).agg(count(lit(1)).as("__o"))
+    val cells = design.join(obs, Seq("arm"), "left")
+      .select(col("arm"), col("expect_milli"),
+        coalesce(col("__o"), lit(0L)).as("n_units"))
+    val tot = broadcast(cells.agg(sum(col("n_units")).as("__n")))
+    val terms = cells.crossJoin(tot)
+      .select(col("arm"), col("n_units"),
+        (col("__n") * col("expect_milli")).as("expected_milliunits"),
+        floor(expr(
+          "cast(1000 * n_units - __n * expect_milli as double)") *
+          expr("cast(1000 * n_units - __n * expect_milli as double)") *
+          lit(1000000.0) /
+          expr("cast(1000 * __n * expect_milli as double)") + lit(0.5))
+          .cast("long").as("term_micro"))
+    val chi = broadcast(terms.agg(sum(col("term_micro")).as("chi2_micro")))
+    terms.crossJoin(chi)
+      .select(col("arm"), col("n_units"), col("expected_milliunits"),
+        col("term_micro"), col("chi2_micro"))
+  }
+
   def isotonicCalibrate(df: DataFrame, scoreMilliCol: String,
       labelCol: String): DataFrame = {
     val bins = graft.engine.Caches.persisted(

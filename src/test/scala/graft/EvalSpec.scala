@@ -420,6 +420,73 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(id - mixed.getAs[Long]("brier_micro")) <= 12L)
   }
 
+  test("cuped: perfect covariate collapses, zero variance no-op, hand theta") {
+    def f(rows: Seq[(Boolean, Long, Long)]) = rows.toDF("t", "x", "y")
+    // x == y: theta = 1, every adjusted mean collapses to the pooled
+    // mean x-bar = 250 cents -> 2_500_000 micro on both arms
+    val perf = Eval.cuped(
+      f(Seq((false, 100L, 100L), (false, 200L, 200L),
+        (true, 300L, 300L), (true, 400L, 400L))), "t", "x", "y")
+      .orderBy("treat").collect()
+    assert(perf.map(_.getAs[Long]("theta_micro")).toSeq
+      === Seq(1000000L, 1000000L))
+    assert(perf.map(_.getAs[Long]("adj_mean_micro")).toSeq
+      === Seq(250000000L, 250000000L))
+    assert(perf.map(_.getAs[Long]("varred_micro")).toSeq
+      === Seq(1000000L, 1000000L))
+    // constant covariate: var(x) = 0 -> theta null, adjusted == raw
+    val const = Eval.cuped(
+      f(Seq((false, 5L, 100L), (true, 5L, 300L))), "t", "x", "y")
+      .orderBy("treat").collect()
+    assert(const.forall(_.isNullAt(4)))
+    assert(const.map(_.getAs[Long]("adj_mean_micro")).toSeq
+      === const.map(_.getAs[Long]("mean_y_micro")).toSeq)
+    // hand theta: x in {0,2}, y = 10 + 3x -> cov/var = 3 exactly
+    val hand = Eval.cuped(
+      f(Seq((false, 0L, 10L), (false, 2L, 16L),
+        (true, 0L, 10L), (true, 2L, 16L))), "t", "x", "y")
+      .orderBy("treat").collect()
+    assert(hand.forall(_.getAs[Long]("theta_micro") === 3000000L))
+    // symmetric arms: adjusted means equal across arms
+    assert(hand(0).getAs[Long]("adj_mean_micro")
+      === hand(1).getAs[Long]("adj_mean_micro"))
+  }
+
+  test("srmCheck: perfect ratios zero, hand imbalance, missing arm") {
+    def f(rows: Seq[(Long, String)]) = rows.toDF("u", "arm")
+    // 2 units in a, 2 in b against 500/500: chi2 = 0
+    val even = Eval.srmCheck(
+      f(Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
+        (3L, "b"))), // duplicate unit rows collapse
+      "u", "arm", Seq("a" -> 500L, "b" -> 500L))
+      .orderBy("arm").collect()
+    assert(even.forall(_.getAs[Long]("term_micro") === 0L))
+    assert(even.forall(_.getAs[Long]("chi2_micro") === 0L))
+    assert(even.map(_.getAs[Long]("n_units")).toSeq === Seq(2L, 2L))
+    // hand imbalance: 3 vs 1 against 500/500, n=4, e=2 each:
+    // term = (3-2)^2/2 = .5 -> 500000 micro each, chi2 = 1e6
+    val skew = Eval.srmCheck(
+      f(Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))),
+      "u", "arm", Seq("a" -> 500L, "b" -> 500L))
+      .orderBy("arm").collect()
+    assert(skew.map(_.getAs[Long]("term_micro")).toSeq
+      === Seq(500000L, 500000L))
+    assert(skew.forall(_.getAs[Long]("chi2_micro") === 1000000L))
+    // an arm in the design with zero observed units still emits a row
+    val miss = Eval.srmCheck(
+      f(Seq((1L, "a"), (2L, "a"))),
+      "u", "arm", Seq("a" -> 500L, "b" -> 500L))
+      .orderBy("arm").collect()
+    assert(miss.length === 2)
+    assert(miss(1).getAs[Long]("n_units") === 0L)
+    // (2-1)^2/1 + (0-1)^2/1 = 2 -> 2e6 micro
+    assert(miss.forall(_.getAs[Long]("chi2_micro") === 2000000L))
+    // weights must sum to 1000
+    intercept[IllegalArgumentException] {
+      Eval.srmCheck(f(Seq((1L, "a"))), "u", "arm", Seq("a" -> 999L))
+    }
+  }
+
   test("isotonicCalibrate: PAV block means, monotone, identity fit") {
     def f(rows: Seq[(Long, Int)]) = rows.toDF("p", "y")
     // hand violator: bins 100 (rate 1) and 200 (rate 0) pool to 1/2;
