@@ -5859,6 +5859,32 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Jensen-Shannon divergence per value bin between calendar halves
+    // (temporal drift): reference-quantile bins, Laplace smoothing,
+    // one pinned IEEE term per bin row. Fully oracled.
+    "q_jsd" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("value"),
+        expr("unix_micros(ts) div 86400000000").as("ed"))
+      val mid = broadcast(ev.agg(
+        expr("(min(ed) + max(ed)) div 2").as("__mid")))
+      val seg = ev.crossJoin(mid)
+        .select(when(col("ed") < col("__mid"), "ref").otherwise("cur")
+          .as("seg"), col("value"))
+      graft.operators.Events.jsdBins(seg, "seg", "value", "ref", "cur")
+        .orderBy("bin")
+    }),
+
+    // Kleinberg 2-state burst detection over a deliberately bursty
+    // daily count series (3-of-10 calendar-phase filter): exact
+    // integer-cost Viterbi, decision strings mirrored in a recursive
+    // CTE. Fully oracled.
+    "q_bursts" -> ((s, dir) =>
+      graft.operators.Events.kleinbergBursts(
+        t(s, dir, "events").filter(
+          pmod(expr("unix_micros(ts) div 86400000000"), lit(10)) < 3),
+        "ts")
+        .orderBy("day")),
+
     // CUPED variance reduction: per-user pre/post cents split at the
     // calendar midpoint, pooled theta over DECIMAL(38,0)/HUGEINT
     // moments, chi2-pattern micro-quantized adjustments. Fully oracled.
@@ -11617,6 +11643,90 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // the q_psi machinery with the bounded symmetric term; midpoint
+    // recomputed inside the term (same double either way)
+    "q_jsd" ->
+      ("""WITH e0 AS (SELECT value, epoch_us(ts) // 86400000000 AS ed
+        |            FROM events),
+        |m AS (SELECT (min(ed) + max(ed)) // 2 AS mid FROM e0),
+        |e AS (SELECT CASE WHEN ed < mid THEN 'ref' ELSE 'cur' END
+        |        AS seg, value
+        |      FROM e0 CROSS JOIN m),
+        |b AS (SELECT quantile_cont(value,
+        |             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd
+        |      FROM e WHERE seg = 'ref'),
+        |binned AS (SELECT seg, ("""
+        + (1 to 9).map(i =>
+            s"CASE WHEN value > bnd[$i] THEN 1 ELSE 0 END").mkString(" + ") +
+        """) AS bin
+        |           FROM e CROSS JOIN b),
+        |c AS (SELECT bin,
+        |  CAST(sum(CASE WHEN seg = 'ref' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ref_n,
+        |  CAST(sum(CASE WHEN seg = 'cur' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cur_n
+        |  FROM binned GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS tr,
+        |             CAST(sum(cur_n) AS BIGINT) AS tc FROM c),
+        |d AS (SELECT axis.bin, COALESCE(ref_n, 0) AS ref_n,
+        |             COALESCE(cur_n, 0) AS cur_n
+        |      FROM axis LEFT JOIN c ON axis.bin = c.bin),
+        |p AS (SELECT d.bin, ref_n, cur_n,
+        |        CAST(ref_n + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+        |          AS pr,
+        |        CAST(cur_n + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)
+        |          AS pc
+        |      FROM d CROSS JOIN t)
+        |SELECT CAST(bin AS INT) AS bin, ref_n, cur_n,
+        |  0.5 * (pr * ln(pr / (0.5 * (pr + pc)))
+        |         + pc * ln(pc / (0.5 * (pr + pc)))) AS term
+        |FROM p ORDER BY 1""").stripMargin,
+
+    // Viterbi replay: micro-quantized Poisson costs, recursive CTE
+    // carrying (d0, d1) and both decision strings; ties prefer base
+    // on d0 <= d1, prefer staying burst on d0 + gamma < d1
+    "q_bursts" ->
+      """WITH RECURSIVE daily0 AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE (epoch_us(ts) // 86400000000) % 10 < 3
+        |  GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series((SELECT min(day) FROM daily0),
+        |                                (SELECT max(day) FROM daily0),
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |daily AS (
+        |  SELECT cal.day, coalesce(c, 0) AS c
+        |  FROM cal LEFT JOIN daily0 ON daily0.day = cal.day),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+        |               CAST(count(*) AS BIGINT) AS n FROM daily),
+        |costs AS (SELECT day, c AS n_events,
+        |    row_number() OVER (ORDER BY day) AS i,
+        |    CAST(floor(((CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+        |        - CAST(c AS DOUBLE)
+        |          * ln(CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c0,
+        |    CAST(floor(((3.0 * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))
+        |        - CAST(c AS DOUBLE)
+        |          * ln(3.0 * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS c1
+        |  FROM daily CROSS JOIN tot),
+        |v(i, d0, d1, p0, p1) AS (
+        |  SELECT i, c0, 2000000 + c1, '0', '1' FROM costs WHERE i = 1
+        |  UNION ALL
+        |  SELECT c.i, least(v.d0, v.d1) + c.c0,
+        |    least(v.d1, v.d0 + 2000000) + c.c1,
+        |    (CASE WHEN v.d0 <= v.d1 THEN v.p0 ELSE v.p1 END) || '0',
+        |    (CASE WHEN v.d0 + 2000000 < v.d1 THEN v.p0 ELSE v.p1 END)
+        |      || '1'
+        |  FROM v JOIN costs c ON c.i = v.i + 1),
+        |fin AS (SELECT CASE WHEN d0 <= d1 THEN p0 ELSE p1 END AS path
+        |        FROM v WHERE i = (SELECT max(i) FROM costs))
+        |SELECT day, n_events,
+        |       substring(path, CAST(i AS INT), 1) = '1' AS burst
+        |FROM costs CROSS JOIN fin ORDER BY day""".stripMargin,
 
     // pooled-moment replay in HUGEINT, the three micro-quantizations
     // mirrored token-identically on exact integer factors

@@ -1844,6 +1844,59 @@ object Events {
           .as("term"))
   }
 
+  /** Jensen-Shannon divergence per bin — [[psiBins]]'s bounded,
+    * symmetric sibling (JSD = ½KL(p‖m) + ½KL(q‖m), m the midpoint):
+    * where PSI explodes on near-empty bins, JSD is bounded by ln 2, so
+    * it's the drift score to alert on when segment sizes are wildly
+    * uneven. Same machinery end to end: reference-quantile bin edges
+    * (exact `percentile` ≡ `quantile_cont`), Laplace-smoothed bin
+    * probabilities, and ONE pinned IEEE expression per bin row
+    * (`0.5·(p·ln(p/m) + q·ln(q/m))` — composition order mirrored
+    * token-identically; per-bin rows mean no cross-engine sum order,
+    * the q_psi proof). Σterm ∈ [0, ln 2].
+    *
+    * Scale: identical to [[psiBins]] — one pass to bin counts
+    * (config-scale), broadcast edges and totals, bin-axis zero-fill.
+    * Judged `q_jsd` (first-half vs second-half calendar drift), fully
+    * ORACLED; identical-segments zero, disjoint-mass bound and
+    * smoothing floor pinned in EventsSpec. */
+  def jsdBins(events: DataFrame, groupCol: String, valueCol: String,
+      refGroup: String, curGroup: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 16, s"nBins must be in 2..16: $nBins")
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    val bnd = broadcast(events.filter(col(groupCol) === refGroup)
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))")
+        .as("__bnd")))
+    val both = events.filter(col(groupCol).isin(refGroup, curGroup))
+      .crossJoin(bnd)
+    val bin = probs.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col(valueCol) > element_at(col("__bnd"), i + 1), 1)
+        .otherwise(0)
+    }
+    val counts = both.withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(sum(when(col(groupCol) === refGroup, 1L).otherwise(0L))
+        .as("ref_n"),
+        sum(when(col(groupCol) === curGroup, 1L).otherwise(0L)).as("cur_n"))
+    val axis = events.sparkSession.range(0, nBins)
+      .select(col("id").cast("int").as("bin"))
+    val totals = broadcast(counts.agg(sum(col("ref_n")).as("__tr"),
+      sum(col("cur_n")).as("__tc")))
+    axis.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .crossJoin(totals)
+      .withColumn("__pr", (col("ref_n") + 1).cast("double") /
+        (col("__tr") + nBins).cast("double"))
+      .withColumn("__pc", (col("cur_n") + 1).cast("double") /
+        (col("__tc") + nBins).cast("double"))
+      .withColumn("__m", lit(0.5) * (col("__pr") + col("__pc")))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        (lit(0.5) * (col("__pr") * log(col("__pr") / col("__m")) +
+          col("__pc") * log(col("__pc") / col("__m")))).as("term"))
+  }
+
   /** Per-key activity autocorrelation — the ACF at lags `1..maxLag`
     * over each key's bucketed EVENT-COUNT series (weekly by default):
     * the periodicity detector next to [[seasonalIndices]] ("is there a
@@ -2847,5 +2900,77 @@ object Events {
       .filter(col("rk") <= k)
       .select(col("item"), col("rk"), col("nbr"), col("n_both"),
         col("cos_micro"))
+  }
+
+  /** Kleinberg burst detection (KDD 2002, 2-state automaton) over the
+    * dense daily count series — "WHEN was activity anomalously hot",
+    * the interval detector beside [[cusumDaily]] (single changepoint)
+    * and [[anomalyDays]] (pointwise): state 0 emits at the base rate
+    * `r₀ = T/n`, state 1 at `scale·r₀`, entering a burst costs `γ`, and
+    * the reported per-day flags are the exact min-cost (Viterbi) state
+    * path under Poisson likelihoods.
+    *
+    * Judged-double discipline: per-day per-state costs micro-quantize
+    * the pinned IEEE expression `r − c·ln r` (one `floor(·+0.5)` each,
+    * the chi2 pattern — the dropped `ln c!` term is state-independent);
+    * everything after is pure BIGINT min/plus DP, replayed bit-for-bit
+    * by a recursive CTE carrying `(d0, d1)` and the two decision
+    * strings (ties prefer the base state on `d0 ≤ d1`, prefer STAYING
+    * in a burst on `d0 + γ < d1` — spelled identically both sides; the
+    * q_holt sequential-recursion proof).
+    *
+    * Scale: one data-scale aggregate to daily counts; the DP folds over
+    * the CALENDAR-scale dense series in a single partition (days, not
+    * events — the movingMedian posture). Judged `q_bursts`, fully
+    * ORACLED; a planted 3× burst window, the γ→∞ all-base and γ=0
+    * free-switch limits pinned in EventsSpec. */
+  def kleinbergBursts(events: DataFrame, tsCol: String,
+      scale: Double = 3.0, gammaMicro: Long = 2000000L): DataFrame = {
+    require(scale > 1.0, s"burst rate scale must exceed 1: $scale")
+    require(gammaMicro >= 0, s"gammaMicro must be >= 0: $gammaMicro")
+    import events.sparkSession.implicits._
+    val sparse = events
+      .select(to_date(col(tsCol)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val daily = sparse
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = broadcast(daily.agg(sum(col("c")).as("__t"),
+      count(lit(1)).as("__n")))
+    val r0 = "(cast(__t as double) / cast(__n as double))"
+    val r1 = s"($scale * (cast(__t as double) / cast(__n as double)))"
+    val costs = daily.crossJoin(tot)
+      .select(col("day"), col("c").as("n_events"),
+        expr(s"cast(floor(($r0 - cast(c as double) * ln($r0))" +
+          " * 1000000.0 + 0.5) as bigint)").as("c0"),
+        expr(s"cast(floor(($r1 - cast(c as double) * ln($r1))" +
+          " * 1000000.0 + 0.5) as bigint)").as("c1"))
+    costs.repartition(1).sortWithinPartitions("day")
+      .as[(java.sql.Date, Long, Long, Long)]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          var d0 = 0L; var d1 = 0L; var p0 = ""; var p1 = ""
+          rows.foreach { case (_, _, c0, c1) =>
+            if (p0.isEmpty) {
+              d0 = c0; d1 = gammaMicro + c1; p0 = "0"; p1 = "1"
+            } else {
+              val nd0 = math.min(d0, d1) + c0
+              val np0 = (if (d0 <= d1) p0 else p1) + "0"
+              val nd1 = math.min(d1, d0 + gammaMicro) + c1
+              val np1 = (if (d0 + gammaMicro < d1) p0 else p1) + "1"
+              d0 = nd0; d1 = nd1; p0 = np0; p1 = np1
+            }
+          }
+          val path = if (d0 <= d1) p0 else p1
+          rows.iterator.zipWithIndex.map { case ((day, c, _, _), i) =>
+            (day, c, path.charAt(i) == '1')
+          }
+        }
+      }
+      .toDF("day", "n_events", "burst")
   }
 }

@@ -1528,6 +1528,51 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("jsdBins: identical zero, bounded by ln2, nonneg terms") {
+    def f(rows: Seq[(String, Double)]) = rows.toDF("seg", "v")
+    // identical ref/cur samples: pr == pc in every bin -> term 0.0
+    val same = (1 to 100).flatMap(i =>
+      Seq(("ref", i.toDouble), ("cur", i.toDouble)))
+    val z = Events.jsdBins(f(same), "seg", "v", "ref", "cur").collect()
+    assert(z.length === 10)
+    assert(z.forall(_.getAs[Double]("term") === 0.0))
+    // disjoint masses: sum approaches ln 2 but never exceeds it, and
+    // every per-bin term is non-negative (log-sum inequality)
+    val disj = (1 to 100).map(i => ("ref", i.toDouble)) ++
+      (1 to 100).map(i => ("cur", 1000.0 + i))
+    val d = Events.jsdBins(f(disj), "seg", "v", "ref", "cur").collect()
+    assert(d.forall(_.getAs[Double]("term") >= 0.0))
+    val total = d.map(_.getAs[Double]("term")).sum
+    assert(total > 0.3 && total <= math.log(2.0) + 1e-9)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("kleinbergBursts: planted burst, gamma extremes") {
+    def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
+    // counts: 10/day for days 0..9, 100/day for 10..14, 10/day 15..19
+    val rows = (0 until 20).flatMap { i =>
+      val n = if (i >= 10 && i < 15) 100 else 10
+      (0 until n).map(_ => Tuple1(day(i)))
+    }.toDF("ts")
+    val got = Events.kleinbergBursts(rows, "ts")
+      .orderBy("day").collect()
+    assert(got.length === 20)
+    assert(got.map(_.getAs[Boolean]("burst")).toSeq
+      === (0 until 20).map(i => i >= 10 && i < 15))
+    assert(got.map(_.getAs[Long]("n_events")).sum === 650L)
+    // a prohibitive entry cost suppresses every burst
+    val none = Events.kleinbergBursts(rows, "ts",
+      gammaMicro = 1000000000000L).collect()
+    assert(none.forall(!_.getAs[Boolean]("burst")))
+    // free switching: burst exactly where the burst state is cheaper
+    // pointwise (c1 < c0), i.e. the 100-count days
+    val free = Events.kleinbergBursts(rows, "ts", gammaMicro = 0L)
+      .orderBy("day").collect()
+    assert(free.map(_.getAs[Boolean]("burst")).toSeq
+      === (0 until 20).map(i => i >= 10 && i < 15))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("itemSimilarityTopK: hand cosine, popularity cut, ties, k cut") {
     // baskets: items x,y always together (2 of 2); z in every basket
     // (4): cos(x,y) = 2/sqrt(2*2) = 1.0; cos(x,z) = 2/sqrt(2*4) ~ .7071
