@@ -5859,6 +5859,29 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Column-mapping rename: two metadata-only renames interleaved
+    // with appends across three physical eras; the latest read
+    // coalesces every era into the final logical column. Fully oracled.
+    "q_table_rename" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val root = tmpPath("vtable_rename")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val o = t(s, dir, "orders")
+      def slice(r: Int, name: String) =
+        o.filter(col("o_orderkey") % 5 === r)
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as(name))
+      VersionedTable.create(s, root, slice(0, "amount"))
+      VersionedTable.renameColumn(s, root, "amount", "revenue")
+      VersionedTable.append(s, root, slice(1, "revenue"))
+      VersionedTable.renameColumn(s, root, "revenue", "rev_cents")
+      VersionedTable.append(s, root, slice(2, "rev_cents"))
+      VersionedTable.readLatest(s, root, mergeSchema = true)
+        .orderBy("k")
+    }),
+
     // Jensen-Shannon divergence per value bin between calendar halves
     // (temporal drift): reference-quantile bins, Laplace smoothing,
     // one pinned IEEE term per bin row. Fully oracled.
@@ -11643,6 +11666,15 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // renames are metadata-only: the unified read is exactly the
+    // three slices under the final logical name
+    "q_table_rename" ->
+      """SELECT o_orderkey AS k,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |         AS rev_cents
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)
+        |ORDER BY k""".stripMargin,
 
     // the q_psi machinery with the bounded symmetric term; midpoint
     // recomputed inside the term (same double either way)

@@ -1469,4 +1469,45 @@ class VersionedTableSpec extends SparkTestBase {
       VersionedTable.cloneTable(spark, src, full))
     graft.engine.Caches.releaseAll()
   }
+
+  test("renameColumn: metadata-only mapping, time travel, vacuum survival") {
+    import spark.implicits._
+    val root = freshRoot("rename")
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "amount"))
+    val m = VersionedTable.renameColumn(spark, root, "amount", "revenue")
+    assert(m.op === "rename-column" && m.version === 2)
+    // metadata-only: same data dirs as the base snapshot
+    assert(m.dataDirs === VersionedTable.dataDirsOf(spark, root, 1))
+    // the latest read exposes the new logical name over old bytes
+    assert(VersionedTable.readLatest(spark, root).columns.toSeq
+      === Seq("k", "revenue"))
+    // time travel to v1 still reads the PHYSICAL (old) name
+    assert(VersionedTable.readVersion(spark, root, 1).columns.toSeq
+      === Seq("k", "amount"))
+    // a post-rename append under the new name unifies across eras
+    VersionedTable.append(spark, root, Seq((3L, 30L)).toDF("k", "revenue"))
+    val uni = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uni.toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // chain of two renames folds oldest-first
+    VersionedTable.renameColumn(spark, root, "revenue", "rev_cents")
+    assert(VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .columns.toSeq === Seq("k", "rev_cents"))
+    // validation: missing source, existing target, self-rename
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "nope", "x"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "k", "rev_cents"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "k", "k"))
+    // vacuum to the latest version only: the rename manifests are
+    // pinned (mapping survives), old data dirs still coalesce
+    VersionedTable.append(spark, root, Seq((4L, 40L)).toDF("k", "rev_cents"))
+    VersionedTable.vacuum(spark, root, 1)
+    val after = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    graft.engine.Caches.releaseAll()
+  }
 }
