@@ -5859,6 +5859,21 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Strongly connected components over the union of two affine maps
+    // mod 300 (x -> 7x+1 is a permutation: disjoint cycles; x -> 3x
+    // adds merging chords): multi-pivot FW-BW min-label peeling vs the
+    // oracle's closure + mutual-pair min. Fully oracled.
+    "q_scc" -> ((s, dir) => {
+      val xs = t(s, dir, "orders")
+        .select((col("o_orderkey") % 300).as("x")).distinct()
+      val edges = xs.select(col("x").as("u"),
+          ((col("x") * 7 + 1) % 300).as("v"))
+        .unionByName(xs.select(col("x").as("u"),
+          ((col("x") * 3) % 300).as("v")))
+      graft.operators.Graph.stronglyConnected(edges, "u", "v")
+        .orderBy("node")
+    }),
+
     // Column-mapping rename: two metadata-only renames interleaved
     // with appends across three physical eras; the latest read
     // coalesces every era into the final logical column. Fully oracled.
@@ -11666,6 +11681,31 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // closure + mutual-reach min replay; self-loops dropped like the
+    // engine (u <> v), endpoints-only node universe
+    "q_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT x AS u, (x * 7 + 1) % 300 AS v FROM (
+        |      SELECT DISTINCT o_orderkey % 300 AS x FROM orders)
+        |    UNION ALL
+        |    SELECT x, (x * 3) % 300 FROM (
+        |      SELECT DISTINCT o_orderkey % 300 AS x FROM orders))
+        |  WHERE u <> v),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |n AS (SELECT DISTINCT node FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+        |mutual AS (SELECT a.u AS x, a.v AS y
+        |           FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u),
+        |lbl AS (SELECT n.node,
+        |          least(n.node, coalesce(min(m.y), n.node)) AS scc
+        |        FROM n LEFT JOIN mutual m ON m.x = n.node
+        |        GROUP BY n.node)
+        |SELECT node, scc FROM lbl ORDER BY node""".stripMargin,
 
     // renames are metadata-only: the unified read is exactly the
     // three slices under the final logical name

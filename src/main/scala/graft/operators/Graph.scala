@@ -904,4 +904,115 @@ object Graph {
       session.conf.set("spark.sql.constraintPropagation.enabled", prevCp)
     }
   }
+
+  /** Strongly connected components — the DIRECTED twin of
+    * [[Dedup.connectedComponents]] ([[cycleNodes]] says WHETHER a node
+    * sits on a cycle; this says WHICH nodes cycle together): labels
+    * every edge-endpoint node with the minimum id of its SCC, via
+    * multi-pivot forward-backward peeling (Fleischer et al. / the
+    * Slota coloring family): per round, propagate the min-id label
+    * along edges (`F` = min id that reaches v) and against them (`B` =
+    * min id v reaches); `F(v) = B(v) = m` forces `m ↔ v` mutual
+    * reachability, so all such v ARE exactly SCC(m) — every weak
+    * component peels at least its min-id node's SCC per round, and
+    * peeled nodes leave the active subgraph (paths through a peeled
+    * SCC can never certify a NEW mutual pair — any cycle touching it
+    * would have joined it).
+    *
+    * Scale: bare (long, long) edges; each propagation round is one
+    * key-partitioned join + min-aggregate with eager barrierCut
+    * (the CC posture), run at few shuffle partitions (closure graphs
+    * are metadata-scale). Cost is (peel rounds) × (graph diameter)
+    * FIXED per-round overhead — built for dependency / interaction
+    * graphs with few large SCCs (the common shape), not adversarial
+    * singleton chains (maxRounds guards; raise it for deep DAGs).
+    * Judged `q_scc` (union of two affine maps mod 300 — nontrivial
+    * cycle partition, oracled by a recursive-CTE closure + mutual-pair
+    * min), fully ORACLED; hand 2-cycle+tail, disjoint cycles, DAG
+    * all-singletons and label-is-member pinned in GraphSpec. */
+  def stronglyConnected(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 30, maxPropRounds: Int = 80): DataFrame = {
+    val session = edges.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val prevCp = session.conf.get(
+      "spark.sql.constraintPropagation.enabled", "true")
+    session.conf.set("spark.sql.constraintPropagation.enabled", "false")
+
+    // min-label propagation to fixpoint on the ACTIVE subgraph:
+    // lbl(v) = min id over {v} ∪ {u : u reaches v along e}
+    def minReach(nodes: DataFrame, e: DataFrame): DataFrame = {
+      var lbl = nodes.select(col("id"), col("id").as("lbl")).barrierCut
+      var r = 0
+      var changed = true
+      while (changed && r < maxPropRounds) {
+        val cand = e.join(
+            lbl.select(col("id").as("u"), col("lbl").as("__ul")), Seq("u"))
+          .groupBy(col("v").as("id")).agg(min(col("__ul")).as("__cl"))
+        val hop = lbl.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("__cl"), col("lbl"))).as("lbl"))
+        // pointer jumping (the CC hooking trick): a label IS a node id,
+        // so chase it one step — lbl(v) := min(lbl(v), lbl(lbl(v))) —
+        // turning O(cycle length) rounds into O(log)
+        val next = hop.as("a")
+          .join(hop.select(col("id").as("lbl"), col("lbl").as("__ll"))
+            .as("b"), Seq("lbl"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("__ll"), col("lbl"))).as("lbl"))
+          .barrierCut
+        changed = !next
+          .join(lbl.select(col("id").as("id"), col("lbl").as("__old")),
+            Seq("id"))
+          .filter(col("lbl") < col("__old")).isEmpty
+        lbl = next
+        r += 1
+      }
+      require(!changed, s"label propagation did not converge in" +
+        s" $maxPropRounds rounds (raise maxPropRounds)")
+      lbl
+    }
+
+    try {
+      val e0 = edges
+        .select(col(srcCol).cast("long").as("u"),
+          col(dstCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct().barrierCut
+      var active = e0.select(col("u").as("id"))
+        .union(e0.select(col("v").as("id"))).distinct().barrierCut
+      var aEdges = e0
+      var labeled: DataFrame = null
+      var round = 0
+      while (round < maxRounds && !active.isEmpty) {
+        val f = minReach(active, aEdges)
+        val b = minReach(active,
+          aEdges.select(col("v").as("u"), col("u").as("v")))
+        val fb = f.join(
+          b.select(col("id").as("id"), col("lbl").as("__b")), Seq("id"))
+          .barrierCut
+        val done = fb.filter(col("lbl") === col("__b"))
+          .select(col("id").as("node"), col("lbl").as("scc"))
+        labeled =
+          if (labeled == null) done.barrierCut
+          else labeled.select(col("node").as("node"), col("scc").as("scc"))
+            .union(done.select(col("node").as("node"), col("scc").as("scc")))
+            .barrierCut
+        active = fb.filter(col("lbl") =!= col("__b")).select("id")
+          .barrierCut
+        aEdges = aEdges
+          .join(active.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(active.select(col("id").as("v")), Seq("v"), "left_semi")
+          .barrierCut
+        round += 1
+      }
+      require(active.isEmpty,
+        s"SCC peeling did not converge in $maxRounds rounds")
+      if (labeled == null) // no edges at all: no endpoint nodes
+        session.range(0).select(col("id").as("node"), col("id").as("scc"))
+      else labeled
+    } finally {
+      session.conf.set("spark.sql.shuffle.partitions", prevParts)
+      session.conf.set("spark.sql.constraintPropagation.enabled", prevCp)
+    }
+  }
 }

@@ -428,4 +428,30 @@ class GraphSpec extends SparkTestBase {
     assert(!bridge(5L))
     graft.engine.Caches.releaseAll()
   }
+
+  test("stronglyConnected: cycle+tail, disjoint cycles, DAG, nested peel") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.stronglyConnected(edges.toDF("s", "d"), "s", "d").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2-cycle with a tail: {1,2} label 1, tail node singleton
+    assert(run(Seq((1L, 2L), (2L, 1L), (2L, 3L)))
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // disjoint cycles of different sizes
+    assert(run(Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 7L), (7L, 5L)))
+      === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+    // pure DAG: every node its own SCC
+    assert(run(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+      === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // needs a SECOND peel round: SCC {2,3} is reachable from 1 but
+    // cannot reach it, so F(2)=1 != B(2)=2 until node 1 peels
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 2L)))
+      === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+    // two mutually-unreachable cycles bridged through a middle node
+    // (the cycleNodes bridge case): three separate SCCs
+    assert(run(Seq((1L, 2L), (2L, 1L), (2L, 5L), (5L, 3L),
+      (3L, 4L), (4L, 3L)))
+      === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 3L -> 3L, 4L -> 3L))
+    graft.engine.Caches.releaseAll()
+  }
 }
