@@ -5859,6 +5859,16 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Shapley conversion attribution over a sparse touch slice
+    // (event_id % 199): exact phi*k! BIGINT over 2^4 coalition worths,
+    // purchase = conversion, other four types = channels. Fully oracled.
+    "q_shapley" -> ((s, dir) =>
+      graft.operators.Events.shapleyAttribution(
+        t(s, dir, "events").filter(col("event_id") % 199 === 0),
+        "user_id", "event_type", col("event_type") === "purchase",
+        Seq("click", "error", "signup", "view"))
+        .orderBy("channel")),
+
     // Strongly connected components over the union of two affine maps
     // mod 300 (x -> 7x+1 is a permutation: disjoint cycles; x -> 3x
     // adds merging chords): multi-pivot FW-BW min-label peeling vs the
@@ -11681,6 +11691,38 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // coalition-worth replay: exact-mask conversion counts, subset-sum
+    // worths, literal factorial weights (k=4: 6,2,2,6), phi*24 BIGINT
+    "q_shapley" ->
+      """WITH s AS (SELECT user_id,
+        |    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END AS bit,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events WHERE event_id % 199 = 0),
+        |u AS (SELECT user_id, CAST(sum(DISTINCT bit) AS BIGINT) AS mask,
+        |             CAST(max(conv) AS BIGINT) AS conv
+        |      FROM s GROUP BY 1),
+        |m AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS cu
+        |      FROM u GROUP BY 1),
+        |ss AS (SELECT unnest(generate_series(0, 15)) AS sub),
+        |v AS (SELECT sub, CAST(coalesce(sum(cu), 0) AS BIGINT) AS vs
+        |      FROM ss LEFT JOIN m ON (m.mask & ss.sub) = m.mask
+        |      GROUP BY 1),
+        |ch(name, bit) AS (VALUES ('click', CAST(1 AS BIGINT)),
+        |    ('error', 2), ('signup', 4), ('view', 8)),
+        |contrib AS (SELECT ch.name,
+        |    (CASE bit_count(va.sub) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |       WHEN 2 THEN 2 ELSE 6 END) * (vb.vs - va.vs) AS c
+        |  FROM ch JOIN v va ON (va.sub & ch.bit) = 0
+        |  JOIN v vb ON vb.sub = va.sub + ch.bit),
+        |p AS (SELECT name AS channel, CAST(sum(c) AS BIGINT)
+        |        AS phi_scaled
+        |      FROM contrib GROUP BY 1)
+        |SELECT channel, phi_scaled,
+        |  CAST(sign(phi_scaled) AS BIGINT)
+        |    * (abs(phi_scaled) * 1000000 // 24) AS phi_micro
+        |FROM p ORDER BY channel""".stripMargin,
 
     // closure + mutual-reach min replay; self-loops dropped like the
     // engine (u <> v), endpoints-only node universe

@@ -2902,6 +2902,72 @@ object Events {
         col("cos_micro"))
   }
 
+  /** Shapley-value conversion attribution — the coalition-game answer
+    * to "which channel actually earns the conversions" (the
+    * order-independent standard BEHIND position rules like
+    * [[attribution]]'s first/last/linear): each unit's touched-channel
+    * set is a bitmask, the coalition worth `v(S)` counts conversions of
+    * units whose whole touchset fits inside S, and channel i earns
+    * `φ_i = Σ_{S∌i} |S|!(k−1−|S|)!/k! · (v(S∪i) − v(S))` — the unique
+    * split that is efficient (`Σφ = v(full) − v(∅)`), symmetric and
+    * null-player-zero.
+    *
+    * EXACT integer end to end: `phi_scaled = φ·k!` is a pure-BIGINT
+    * weighted sum of worth differences (factorial weights are literal
+    * integers), `phi_micro` one sign-abs div. No floats anywhere.
+    *
+    * Scale: ONE data-scale pass to per-unit (bitmask, converted) —
+    * `sum(DISTINCT bit)` builds the mask in the same partial aggregate —
+    * then everything runs on CONFIG-scale frames: ≤2^k exact-mask rows,
+    * the 2^k subset axis, and the k·2^k marginal pairs (k ≤ 16
+    * enforced; k=4 ⇒ 64 pairs). Judged `q_shapley`, fully ORACLED;
+    * efficiency identity, null-player zero, symmetry and a
+    * hand-computed 2-channel split pinned in EventsSpec. */
+  def shapleyAttribution(df: DataFrame, unitCol: String,
+      channelCol: String, conv: Column,
+      channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 16,
+      s"1..16 channels: $channels")
+    require(channels.distinct.size == channels.size,
+      s"duplicate channel: $channels")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = channels.size
+    def fact(n: Int): Long = (1 to n).map(_.toLong).product
+    val bitOf = channels.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (c, i)) =>
+        when(col(channelCol) === c, lit(1L << i)).otherwise(acc)
+      }
+    val units = df
+      .select(col(unitCol).as("__u"), bitOf.as("__bit"),
+        conv.cast("long").as("__c"))
+      .groupBy(col("__u"))
+      .agg(sum_distinct(col("__bit")).as("__mask"), max(col("__c")).as("__c"))
+    val exact = units.groupBy(col("__mask"))
+      .agg(sum(col("__c")).as("__cu"))
+    val subs = spark.range(0, 1L << k).select(col("id").as("__s"))
+    val v = graft.engine.Caches.persisted(
+      subs.join(exact, expr("(__mask & __s) = __mask"), "left")
+        .groupBy(col("__s"))
+        .agg(coalesce(sum(col("__cu")), lit(0L)).as("__v")))
+    val ch = channels.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }.toDF("channel", "__bit")
+    val w = (0 until k).foldLeft(lit(0L)) { case (acc, s) =>
+      when(expr("bit_count(__s)") === s, lit(fact(s) * fact(k - 1 - s)))
+        .otherwise(acc)
+    }
+    broadcast(ch)
+      .join(v.as("a"), expr("(a.__s & __bit) = 0"))
+      .join(v.select(col("__s").as("__s2"), col("__v").as("__v2")).as("b"),
+        expr("b.__s2 = a.__s + __bit"))
+      .select(col("channel"), (w * (col("__v2") - col("__v"))).as("__t"))
+      .groupBy(col("channel"))
+      .agg(sum(col("__t")).as("phi_scaled"))
+      .select(col("channel"), col("phi_scaled"),
+        expr(s"cast(sign(phi_scaled) as bigint)" +
+          s" * (abs(phi_scaled) * 1000000 div ${fact(k)})").as("phi_micro"))
+  }
+
   /** Kleinberg burst detection (KDD 2002, 2-state automaton) over the
     * dense daily count series — "WHEN was activity anomalously hot",
     * the interval detector beside [[cusumDaily]] (single changepoint)

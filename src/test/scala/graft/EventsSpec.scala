@@ -1528,6 +1528,33 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("shapleyAttribution: hand split, efficiency, null player, symmetry") {
+    def f(rows: Seq[(Long, String)]) = rows.toDF("u", "ch")
+    val conv = col("ch") === "p"
+    // hand case: u1 {a} conv, u2 {a,b} conv, u3 {b} no, u4 {} conv
+    // -> v(0)=1 v(a)=2 v(b)=1 v(ab)=3; phi*2! = (a: 3, b: 1)
+    val base = Seq((1L, "a"), (1L, "p"), (2L, "a"), (2L, "b"), (2L, "p"),
+      (3L, "b"), (4L, "p"))
+    val got = Events.shapleyAttribution(f(base), "u", "ch", conv,
+      Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((3L, 1500000L)), "b" -> ((1L, 500000L))))
+    // null player: an untouched channel earns exactly 0, and the
+    // efficiency identity sum(phi*k!) = (v(full)-v(empty))*k! holds
+    val g3 = Events.shapleyAttribution(f(base), "u", "ch", conv,
+      Seq("a", "b", "c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g3("c") === 0L)
+    assert(g3.values.sum === 2L * 6L)
+    // symmetry: channels that always co-occur split equally
+    val sym = Events.shapleyAttribution(
+      f(Seq((1L, "a"), (1L, "b"), (1L, "p"), (2L, "x"))), "u", "ch",
+      conv, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sym("a") === sym("b"))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("jsdBins: identical zero, bounded by ln2, nonneg terms") {
     def f(rows: Seq[(String, Double)]) = rows.toDF("seg", "v")
     // identical ref/cur samples: pr == pc in every bin -> term 0.0
