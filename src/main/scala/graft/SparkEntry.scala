@@ -5859,6 +5859,23 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Haar wavelet pyramid over the first 16 days of the calendar:
+    // exact cents sums/differences per (level, block), level-0 approx
+    // row holds the window total. Fully oracled.
+    "q_haar" -> ((s, dir) =>
+      graft.operators.Events
+        .haarDecompose(t(s, dir, "events"), "ts", "value", levels = 4)
+        .orderBy("level", "pos")),
+
+    // Croston intermittent-demand smoothing per event type over a
+    // sparse demand slice: two pinned EWMAs on demand days only,
+    // recursive-CTE replay. Fully oracled.
+    "q_croston" -> ((s, dir) =>
+      graft.operators.Events.croston(
+        t(s, dir, "events").filter(col("event_id") % 97 === 0),
+        "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
+
     // Shapley conversion attribution over a sparse touch slice
     // (event_id % 199): exact phi*k! BIGINT over 2^4 coalition worths,
     // purchase = conversion, other four types = channels. Fully oracled.
@@ -11691,6 +11708,59 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // block-index replay: sign by half-block membership, integer
+    // shifts; the window extends past the observed tail as real 0s
+    "q_haar" ->
+      """WITH daily0 AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(0, 15)) AS i,
+        |                (SELECT min(day) FROM daily0) AS lo),
+        |series AS (SELECT i,
+        |    coalesce(cents, 0) AS c
+        |  FROM axis LEFT JOIN daily0
+        |    ON daily0.day = axis.lo + CAST(i AS INT)),
+        |lvl AS (SELECT unnest(generate_series(1, 4)) AS level),
+        |details AS (SELECT CAST(level AS INT) AS level,
+        |    CAST(i // (1 << level) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN i % (1 << level) < (1 << (level - 1))
+        |      THEN c ELSE -c END) AS BIGINT) AS coeff_cents
+        |  FROM series CROSS JOIN lvl GROUP BY 1, 2)
+        |SELECT level, pos, coeff_cents FROM details
+        |UNION ALL
+        |SELECT 0, 0, CAST(sum(c) AS BIGINT) FROM series
+        |ORDER BY level, pos""".stripMargin,
+
+    // demand-day recursion replay: (z, p) carried per key, dyadic
+    // alpha so 1-alpha is exact; forecast one pinned division
+    "q_croston" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE)
+        |      AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 97 = 0
+        |  GROUP BY 1, 2 HAVING sum(CAST(floor(value * 100 + 0.5)
+        |    AS BIGINT)) > 0),
+        |d AS (SELECT k, day, cents,
+        |    row_number() OVER (PARTITION BY k ORDER BY day) AS i,
+        |    day - lag(day) OVER (PARTITION BY k ORDER BY day) AS gap
+        |  FROM daily),
+        |r(k, i, day, cents, z, p) AS (
+        |  SELECT k, i, day, cents, CAST(cents AS DOUBLE),
+        |         CAST(1 AS DOUBLE)
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.k, d.i, d.day, d.cents,
+        |    0.25 * CAST(d.cents AS DOUBLE) + 0.75 * r.z,
+        |    0.25 * CAST(d.gap AS DOUBLE) + 0.75 * r.p
+        |  FROM r JOIN d ON d.k = r.k AND d.i = r.i + 1)
+        |SELECT k AS event_type, day, cents, z AS z_size,
+        |       p AS p_interval, z / p AS forecast
+        |FROM r ORDER BY event_type, day""".stripMargin,
 
     // coalition-worth replay: exact-mask conversion counts, subset-sum
     // worths, literal factorial weights (k=4: 6,2,2,6), phi*24 BIGINT

@@ -2902,6 +2902,106 @@ object Events {
         col("cos_micro"))
   }
 
+  /** Unnormalized Haar wavelet decomposition of the daily cents series
+    * — the multi-resolution change signature (which SCALES carry the
+    * signal: a one-day spike loads every level's local detail, a
+    * week-scale shift loads only the coarse levels; the classic
+    * time-series compression/fingerprint transform): over the FIRST
+    * `2^levels` days of the dense calendar, detail(l, p) =
+    * Σ(left half of block p at scale 2^l) − Σ(right half), plus the
+    * final approximation row (level 0) holding the window total.
+    *
+    * EXACT integer end to end: coefficients are sums/differences of
+    * cents — no √2 normalization (it's a constant per level; apply
+    * downstream if orthonormality matters), so the whole pyramid is
+    * BIGINT and hash-judges. Overflow-safe to 2^63 total cents.
+    *
+    * Scale: one data-scale aggregate to daily cents; the pyramid is a
+    * block-index groupBy over the (levels × window) CONFIG-scale grid —
+    * no window functions at all. Judged `q_haar`, fully ORACLED;
+    * hand 4-day pyramid, spike locality across levels and the
+    * constant-series all-zero-details property pinned in EventsSpec. */
+  def haarDecompose(events: DataFrame, tsCol: String, valueCol: String,
+      levels: Int = 4): DataFrame = {
+    require(levels >= 1 && levels <= 20, s"levels in 1..20: $levels")
+    val n = 1L << levels
+    val sparse = events
+      .select(to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("cents"))
+    val axis = sparse.agg(min(col("day")).as("lo"))
+      .select(explode(sequence(lit(0L), lit(n - 1))).as("i"), col("lo"))
+      .select(col("i"), date_add(col("lo"), col("i").cast("int")).as("day"))
+    val series = axis.join(sparse, Seq("day"), "left")
+      .select(col("i"), coalesce(col("cents"), lit(0L)).as("c"))
+    val lvls = events.sparkSession.range(1, levels + 1)
+      .select(col("id").cast("int").as("level"))
+    val details = series.crossJoin(broadcast(lvls))
+      .select(col("level"),
+        expr("i div shiftleft(1, level)").as("pos"),
+        when(expr("i % shiftleft(1, level) < shiftleft(1, level - 1)"),
+          col("c")).otherwise(-col("c")).as("__t"))
+      .groupBy(col("level"), col("pos"))
+      .agg(sum(col("__t")).as("coeff_cents"))
+    val approx = series.agg(sum(col("c")).as("coeff_cents"))
+      .select(lit(0).as("level"), lit(0L).as("pos"), col("coeff_cents"))
+    details.unionByName(approx)
+  }
+
+  /** Croston's method (1972) — the intermittent-demand member of the
+    * smoothing family ([[ewma]]: dense level; [[holtLinear]]: level +
+    * trend; this: sparse demand): on DEMAND DAYS ONLY, two exponential
+    * smoothers update — z (demand size) and p (inter-demand interval) —
+    * and the per-day rate forecast is `z/p`; zero days update nothing
+    * (the property that makes plain EWMA collapse toward 0 on sparse
+    * series and Croston not).
+    *
+    * Judged-double discipline: the q_holt sequential-recursion proof —
+    * a per-key mapPartitions fold over (day-ordered) demand days with
+    * PINNED IEEE ops (`α·y + (1−α)·z`, dyadic α so `1−α` is exact)
+    * replays bit-for-bit as a recursive CTE carrying (z, p); the
+    * forecast is one more pinned division. Init: first demand day sets
+    * z = demand, p = 1.
+    *
+    * Scale: one data-scale aggregate to per-key demand days, one
+    * key-partitioned sorted fold — no windows, no joins. Judged
+    * `q_croston`, fully ORACLED; hand two-step recursion, zero-day
+    * inertness vs EWMA and the gap bookkeeping pinned in EventsSpec. */
+  def croston(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("k"), col("day")).agg(sum(col("cents")).as("cents"))
+      .filter(col("cents") > 0)
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("day"))
+      .as[(String, java.sql.Date, Long)]
+      .mapPartitions { it =>
+        var key: String = null
+        var z = 0.0
+        var p = 0.0
+        var lastEd = 0L
+        it.map { case (k, day, c) =>
+          val ed = day.toLocalDate.toEpochDay
+          val y = c.toDouble
+          if (key == null || k != key) {
+            key = k; z = y; p = 1.0; lastEd = ed
+          } else {
+            val gap = (ed - lastEd).toDouble
+            z = alpha * y + (1 - alpha) * z
+            p = alpha * gap + (1 - alpha) * p
+            lastEd = ed
+          }
+          (k, day, c, z, p, z / p)
+        }
+      }
+      .toDF(keyCol, "day", "cents", "z_size", "p_interval", "forecast")
+  }
+
   /** Shapley-value conversion attribution — the coalition-game answer
     * to "which channel actually earns the conversions" (the
     * order-independent standard BEHIND position rules like

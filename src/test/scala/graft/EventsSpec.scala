@@ -1528,6 +1528,54 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("haarDecompose: hand pyramid, constant flat, spike locality") {
+    def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
+    // 4-day series [3,1,4,2] cents at levels=2:
+    // L1: (3-1)=2, (4-2)=2; L2: (3+1)-(4+2)=-2; approx 10
+    val hand = Seq((day(0), 0.03), (day(1), 0.01), (day(2), 0.04),
+      (day(3), 0.02)).toDF("ts", "v")
+    val h = Events.haarDecompose(hand, "ts", "v", levels = 2)
+      .orderBy("level", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(h === Map((0, 0L) -> 10L, (1, 0L) -> 2L, (1, 1L) -> 2L,
+      (2, 0L) -> -2L))
+    // constant series: every detail coefficient is exactly 0
+    val const = (0 until 16).map(i => (day(i), 1.0)).toDF("ts", "v")
+    val c = Events.haarDecompose(const, "ts", "v", levels = 4).collect()
+    assert(c.filter(_.getInt(0) > 0).forall(_.getLong(2) === 0L))
+    assert(c.find(_.getInt(0) === 0).get.getLong(2) === 1600L)
+    // a single spike loads EXACTLY ONE block per level
+    val spike = (0 until 16).map(i =>
+      (day(i), if (i == 5) 9.0 else 0.0)).toDF("ts", "v")
+    val s = Events.haarDecompose(spike, "ts", "v", levels = 4).collect()
+    (1 to 4).foreach { l =>
+      assert(s.count(r => r.getInt(0) == l && r.getLong(2) != 0L) === 1)
+    }
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("croston: hand recursion, zero-day inertness, per-key reset") {
+    def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
+    // demand on days 0 (1000c), 2 (2000c), 3 (3000c); silent day 1
+    val rows = Seq(("a", day(0), 10.0), ("a", day(2), 20.0),
+      ("a", day(3), 30.0), ("b", day(0), 10.0))
+      .toDF("k", "ts", "v")
+    val got = Events.croston(rows, "k", "ts", "v")
+      .orderBy("k", "day").collect()
+    assert(got.length === 4) // zero days emit nothing
+    val a = got.filter(_.getString(0) == "a")
+    assert(a(0).getDouble(3) === 1000.0 && a(0).getDouble(4) === 1.0)
+    // gap 2: z = .25*2000 + .75*1000 = 1250; p = .25*2 + .75*1 = 1.25
+    assert(a(1).getDouble(3) === 1250.0 && a(1).getDouble(4) === 1.25)
+    assert(a(1).getDouble(5) === 1000.0) // 1250/1.25 exactly
+    // gap 1: z = .25*3000 + .75*1250 = 1687.5; p = .25 + .9375
+    assert(a(2).getDouble(3) === 1687.5 && a(2).getDouble(4) === 1.1875)
+    // key b restarts cleanly
+    val b = got.filter(_.getString(0) == "b").head
+    assert(b.getDouble(3) === 1000.0 && b.getDouble(4) === 1.0)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("shapleyAttribution: hand split, efficiency, null player, symmetry") {
     def f(rows: Seq[(Long, String)]) = rows.toDF("u", "ch")
     val conv = col("ch") === "p"
