@@ -5859,6 +5859,41 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Minimum detectable effect at 80% power over per-user outcome
+    // cents (odd/even arms): HUGEINT moments, one pinned sqrt.
+    // Fully oracled.
+    "q_mde" -> ((s, dir) =>
+      graft.operators.Eval.minDetectableEffect(
+        t(s, dir, "events").groupBy(col("user_id"))
+          .agg(first(pmod(col("user_id"), lit(2)) === 1).as("treat"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .as("y")),
+        "treat", "y")),
+
+    // Fellegi-Sunter linkage of customer against a deterministically
+    // dirtied copy (name truncated on %3, cents nudged on %5), nation
+    // blocks, literal milli weights. Fully oracled.
+    "q_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val clean = c.select(col("c_custkey").as("id"),
+        col("c_nationkey").as("blk"), col("c_name").as("name"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      val dirty = c.select((col("c_custkey") + 1000000L).as("id"),
+        col("c_nationkey").as("blk"),
+        when(col("c_custkey") % 3 === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")).as("name"),
+        col("c_mktsegment").as("seg"),
+        (floor(col("c_acctbal") * 100 + lit(0.5)).cast("long") +
+          when(col("c_custkey") % 5 === 0, 1L).otherwise(0L)).as("cents"))
+      graft.operators.Dedup.linkageScore(clean, dirty, "id", "blk",
+        Seq(("name", 4000L, -1000L), ("seg", 1000L, -500L),
+          ("cents", 2000L, -800L)),
+        upperMilli = 5000L, lowerMilli = 2000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Haar wavelet pyramid over the first 16 days of the calendar:
     // exact cents sums/differences per (level, block), level-0 approx
     // row holds the window total. Fully oracled.
@@ -11708,6 +11743,71 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // moment replay in HUGEINT; variance in whole cents^2, MDE the
+    // one pinned sqrt micro-floored
+    "q_mde" ->
+      """WITH per AS (SELECT user_id, user_id % 2 = 1 AS t,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |arms AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM per GROUP BY 1),
+        |d AS (SELECT t, n,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dd
+        |  FROM arms),
+        |f AS (SELECT
+        |    CAST(sum(CASE WHEN NOT t THEN n END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN t THEN n END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN NOT t THEN dd END) AS d0,
+        |    sum(CASE WHEN t THEN dd END) AS d1
+        |  FROM d)
+        |SELECT n0, n1,
+        |  CASE WHEN n0 + n1 > 2 AND n0 > 0 AND n1 > 0 THEN
+        |    CAST(floor((CAST(d0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      + CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / CAST(n0 + n1 - 2 AS DOUBLE) + 0.5) AS BIGINT)
+        |    END AS pooled_var_cents2,
+        |  CASE WHEN n0 + n1 > 2 AND n0 > 0 AND n1 > 0 THEN
+        |    CAST(floor(2.8016 * sqrt((CAST(d0 AS DOUBLE)
+        |        / CAST(n0 AS DOUBLE)
+        |        + CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / CAST(n0 + n1 - 2 AS DOUBLE)
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT)
+        |    END AS mde_micro
+        |FROM f""".stripMargin,
+
+    // per-field null-safe agreement times literal milli weights;
+    // only the review queue (>= lower) is emitted
+    "q_linkage" ->
+      """WITH clean AS (SELECT c_custkey AS id, c_nationkey AS blk,
+        |    c_name AS name, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |dirty AS (SELECT c_custkey + 1000000 AS id, c_nationkey AS blk,
+        |    CASE WHEN c_custkey % 3 = 0
+        |      THEN substring(c_name, 1, length(c_name) - 1)
+        |      ELSE c_name END AS name,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |      + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS cents
+        |  FROM customer),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST((CASE WHEN a.name IS NOT DISTINCT FROM b.name
+        |        THEN 4000 ELSE -1000 END)
+        |      + (CASE WHEN a.seg IS NOT DISTINCT FROM b.seg
+        |        THEN 1000 ELSE -500 END)
+        |      + (CASE WHEN a.cents IS NOT DISTINCT FROM b.cents
+        |        THEN 2000 ELSE -800 END) AS BIGINT) AS score_milli
+        |  FROM clean a JOIN dirty b ON a.blk = b.blk)
+        |SELECT id_a, id_b, score_milli,
+        |  CASE WHEN score_milli >= 5000 THEN 'match'
+        |       ELSE 'possible' END AS verdict
+        |FROM p WHERE score_milli >= 2000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // block-index replay: sign by half-block membership, integer
     // shifts; the window extends past the observed tail as real 0s

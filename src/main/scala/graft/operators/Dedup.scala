@@ -706,6 +706,49 @@ object Dedup {
           .as("n_novel"))
   }
 
+  /** Fellegi–Sunter record-linkage scoring — the DECISION layer over a
+    * blocking candidate generator ([[sortedNeighborPairs]],
+    * [[minHashLsh]], or a plain block-key join as here): candidate
+    * pairs from an equi-join on the blocking key, a per-field
+    * agreement weight (log-odds in milli, agree positive / disagree
+    * negative — null-safe equality, so null-vs-null AGREES; route
+    * nulls upstream if that's wrong for a field), the pair score their
+    * sum, and the classic three-way verdict: `score ≥ upper` match,
+    * `≥ lower` possible (clerical review), below dropped.
+    *
+    * EXACT integer end to end: indicators × literal milli weights —
+    * nothing to quantize. Emits only `≥ lower` pairs (the review
+    * queue), so output is match-scale, not block-pair-scale.
+    *
+    * Scale: one equi-join on the block key (pair space = Σ block²,
+    * bounded by the caller's blocking choice — the standard ER
+    * contract), field compares evaluate scan-side in the join
+    * projection, no window. Judged `q_linkage` (customer vs a
+    * deterministically-dirtied copy, nation blocks), fully ORACLED;
+    * hand weights, null-safe agreement, threshold fences and the
+    * dropped-below-lower contract pinned in DedupSpec. */
+  def linkageScore(a: DataFrame, b: DataFrame, idCol: String,
+      blockCol: String, fields: Seq[(String, Long, Long)],
+      upperMilli: Long, lowerMilli: Long): DataFrame = {
+    require(fields.nonEmpty, "at least one compare field")
+    require(upperMilli >= lowerMilli, s"upper < lower: $upperMilli $lowerMilli")
+    def shaped(df: DataFrame, side: String) =
+      df.select((col(idCol).as(s"id_$side") +:
+        col(blockCol).as(s"__blk_$side") +:
+        fields.map { case (f, _, _) => col(f).as(s"__${side}_$f") }): _*)
+    val score = fields.foldLeft(lit(0L)) { case (acc, (f, agree, disagree)) =>
+      acc + when(col(s"__a_$f") <=> col(s"__b_$f"), lit(agree))
+        .otherwise(lit(disagree))
+    }
+    shaped(a, "a").join(shaped(b, "b"),
+        col("__blk_a") === col("__blk_b"))
+      .select(col("id_a"), col("id_b"), score.as("score_milli"))
+      .filter(col("score_milli") >= lowerMilli)
+      .withColumn("verdict",
+        when(col("score_milli") >= upperMilli, "match")
+          .otherwise("possible"))
+  }
+
   /** Sorted-neighborhood blocking (Hernández–Stolfo) — the third
     * classic entity-resolution candidate generator next to the hash
     * buckets of [[minHashLsh]] and the token grams of [[fuzzyPairs]]:

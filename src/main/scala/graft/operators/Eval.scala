@@ -953,6 +953,59 @@ object Eval {
         col("term_micro"), col("chi2_micro"))
   }
 
+  /** Minimum detectable effect — the pre-experiment power readout
+    * CUPED and [[Eval.srmCheck]] bracket: given the two arms' realized
+    * sizes and the pooled outcome variance, the smallest true
+    * difference a two-sample test would flag at α = .05 two-sided with
+    * 80% power: `MDE = (z_{α/2} + z_β)·√(s²·(1/n₀ + 1/n₁))` with the
+    * pinned constants 1.96 and 0.8416 (their sum spelled 2.8016).
+    *
+    * Judged-double discipline: per-arm sums-of-squares widen to
+    * DECIMAL(38,0)/HUGEINT (`D_g = n_g·Syy_g − Sy_g²`, the q_gini
+    * rule); the s² assembly and the ONE sqrt happen in a single pinned
+    * IEEE expression micro-floored once (mannWhitney rule). Output is
+    * one row: arm sizes, pooled variance (micro), MDE (micro-cents).
+    *
+    * Scale: one partial aggregate to the 2-arm moment rows, one 1-row
+    * readout; nothing else. Judged `q_mde`, fully ORACLED; hand
+    * variance, n-asymmetry direction and the zero-variance degenerate
+    * pinned in EvalSpec. */
+  def minDetectableEffect(df: DataFrame, treatCol: String,
+      yCol: String): DataFrame = {
+    val arms = df.select(col(treatCol).cast("boolean").as("__t"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__sy"),
+        sum(expr("cast(__y as decimal(38,0)) * __y")).as("__syy"))
+      .withColumn("__d", expr(
+        "cast(__n as decimal(38,0)) * __syy" +
+          " - cast(__sy as decimal(38,0)) * __sy"))
+    arms.agg(
+        sum(when(!col("__t"), col("__n"))).as("n0"),
+        sum(when(col("__t"), col("__n"))).as("n1"),
+        sum(when(!col("__t"), col("__d"))).as("__d0"),
+        sum(when(col("__t"), col("__d"))).as("__d1"))
+      .select(col("n0"), col("n1"),
+        // variance stays in whole cents² (micro-scaling a ~1e13
+        // variance would overflow the BIGINT cast — the q_gini rule)
+        when(expr("n0 + n1 > 2 and n0 > 0 and n1 > 0"),
+          floor((expr("cast(__d0 as double)") /
+            expr("cast(n0 as double)") +
+            expr("cast(__d1 as double)") / expr("cast(n1 as double)")) /
+            expr("cast(n0 + n1 - 2 as double)") +
+            lit(0.5)).cast("long")).as("pooled_var_cents2"),
+        when(expr("n0 + n1 > 2 and n0 > 0 and n1 > 0"),
+          floor(lit(2.8016) *
+            sqrt((expr("cast(__d0 as double)") /
+              expr("cast(n0 as double)") +
+              expr("cast(__d1 as double)") /
+              expr("cast(n1 as double)")) /
+              expr("cast(n0 + n1 - 2 as double)") *
+              (lit(1.0) / expr("cast(n0 as double)") +
+                lit(1.0) / expr("cast(n1 as double)"))) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("mde_micro"))
+  }
+
   def isotonicCalibrate(df: DataFrame, scoreMilliCol: String,
       labelCol: String): DataFrame = {
     val bins = graft.engine.Caches.persisted(

@@ -379,6 +379,36 @@ class DedupSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("linkageScore: weights, null-safe agree, thresholds, blocking") {
+    def f(rows: Seq[(Long, Long, String, String, Long)]) =
+      rows.toDF("id", "blk", "name", "seg", "cents")
+    val a = f(Seq((1L, 1L, "x", "s", 10L), (2L, 1L, null, "s", 10L)))
+    val b = f(Seq(
+      (11L, 1L, "x", "s", 10L),   // all agree: 7000 match
+      (12L, 1L, "y", "s", 10L),   // name off: 2000 possible (fence)
+      (13L, 1L, "y", "t", 10L),   // 500: dropped
+      (14L, 2L, "x", "s", 10L),   // other block: never paired
+      (15L, 1L, null, "s", 99L))) // null-null name AGREES: 4200
+    val got = graft.operators.Dedup.linkageScore(a, b, "id", "blk",
+      Seq(("name", 4000L, -1000L), ("seg", 1000L, -500L),
+        ("cents", 2000L, -800L)), 5000L, 2000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(got((1L, 11L)) === ((7000L, "match")))
+    assert(got((1L, 12L)) === ((2000L, "possible")))
+    assert(got((2L, 15L)) === ((4200L, "possible")))
+    // a1-vs-15: name x vs null disagrees AND cents 10 vs 99 disagree
+    // -> -1000+1000-800 dropped; a2-vs-11: null-vs-x name disagrees
+    // but cents agree -> exactly the 2000 fence
+    assert(!got.contains((1L, 13L)) && !got.contains((1L, 14L)))
+    assert(!got.contains((1L, 15L)))
+    assert(got((2L, 11L)) === ((2000L, "possible")))
+    // a2-vs-12: null vs y -1000, seg +1000, cents +2000 = 2000 kept
+    assert(got((2L, 12L)) === ((2000L, "possible")))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("sortedNeighborPairs: windows, bucket boundaries, degenerate w=1") {
     // ranks by (key, id): ids 10,20,30,40,50 with keys 5,1,3,1,9
     // -> order: 20(1),40(1),30(3),10(5),50(9)

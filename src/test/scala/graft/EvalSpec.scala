@@ -420,6 +420,30 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(id - mixed.getAs[Long]("brier_micro")) <= 12L)
   }
 
+  test("minDetectableEffect: hand variance, asymmetry, zero variance") {
+    def f(rows: Seq[(Boolean, Long)]) = rows.toDF("t", "y")
+    // control {0,2}, treat {1,3}: per-arm SS = 2, pooled var = 2
+    val hand = Eval.minDetectableEffect(
+      f(Seq((false, 0L), (false, 2L), (true, 1L), (true, 3L))),
+      "t", "y").collect().head
+    assert(hand.getAs[Long]("pooled_var_cents2") === 2L)
+    val want = math.floor(
+      2.8016 * math.sqrt(2.0 * (1.0 / 2.0 + 1.0 / 2.0)) * 1000000.0 + 0.5)
+      .toLong
+    assert(hand.getAs[Long]("mde_micro") === want)
+    // more data, same variance: MDE shrinks
+    val big = Eval.minDetectableEffect(
+      f(Seq.tabulate(100)(i => (i % 2 == 1, (i % 4).toLong * 2))),
+      "t", "y").collect().head
+    assert(big.getAs[Long]("mde_micro") < hand.getAs[Long]("mde_micro"))
+    // zero variance: MDE exactly 0 (floor(0 + .5) = 0 both engines)
+    val zero = Eval.minDetectableEffect(
+      f(Seq((false, 5L), (false, 5L), (true, 5L), (true, 5L))),
+      "t", "y").collect().head
+    assert(zero.getAs[Long]("pooled_var_cents2") === 0L)
+    assert(zero.getAs[Long]("mde_micro") === 0L)
+  }
+
   test("cuped: perfect covariate collapses, zero variance no-op, hand theta") {
     def f(rows: Seq[(Boolean, Long, Long)]) = rows.toDF("t", "x", "y")
     // x == y: theta = 1, every adjusted mean collapses to the pooled
