@@ -1043,7 +1043,12 @@ object VersionedTable {
     // MOR-resolved: compact is also what MATERIALIZES outstanding
     // tombstones (the subtraction is burned into the rewrite and the
     // manifest carries none forward — read-side anti-joins end here)
-    val snapshot = resolvedRead(spark, fs, rootP, base, mergeSchema = true)
+    // — and the rename-mapping debt: the rewrite lands under LOGICAL
+    // column names (applyRenames), so post-compact directories carry
+    // the current schema physically (identity when no renames exist)
+    val snapshot = applyRenames(
+      resolvedRead(spark, fs, rootP, base, mergeSchema = true),
+      renameChain(fs, rootP, base.version))
     val laidOut = clusterCol.fold(snapshot)(c =>
       snapshot.repartitionByRange(nRanges, col(c)).sortWithinPartitions(c))
     commit(fs, rootP, Manifest(v, "compact", base.version,

@@ -1508,6 +1508,15 @@ class VersionedTableSpec extends SparkTestBase {
     val after = VersionedTable.readLatest(spark, root, mergeSchema = true)
       .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(after.toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // compact SETTLES the mapping debt: the rewritten directory's
+    // physical schema IS the logical one
+    val cm = VersionedTable.compact(spark, root)
+    val physical = spark.read
+      .parquet(s"$root/${cm.dataDirs.head}").columns.toSeq
+    assert(physical === Seq("k", "rev_cents"))
+    assert(VersionedTable.readLatest(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
     graft.engine.Caches.releaseAll()
   }
 }
