@@ -5859,6 +5859,74 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Streaming SRM monitor: watermark-bounded distinct-unit counts
+    // per (window, arm) from two chained stateful operators; the
+    // per-window chi-square assembled batch-side over the sink.
+    // Fully oracled.
+    "q_stream_srm" -> ((s, dir) => {
+      import s.implicits._
+      val armed = t(s, dir, "events").select(col("ts"),
+        col("user_id"),
+        when(pmod(col("user_id"), lit(10)) < 4, "control")
+          .when(pmod(col("user_id"), lit(10)) < 8, "treat")
+          .when(pmod(col("user_id"), lit(10)) < 9, "holdout")
+          .otherwise("pilot").as("arm"))
+      val sink = runStream(s, "stream_srm",
+        Seq(("in", armed, "ts TIMESTAMP, user_id BIGINT, arm STRING")),
+        in => graft.streaming.Streams.srmUnitCountStream(
+          in("in"), "ts", "user_id", "arm", "1 hour", "30 minutes"))
+      val design = Seq(("control", 400L), ("treat", 400L),
+        ("holdout", 100L), ("pilot", 100L)).toDF("arm", "expect_milli")
+      val cells = sink.select("window_start").distinct()
+        .crossJoin(broadcast(design))
+        .join(sink, Seq("window_start", "arm"), "left")
+        .select(col("window_start"), col("arm"), col("expect_milli"),
+          coalesce(col("n_units"), lit(0L)).as("n_units"))
+      val tot = cells.groupBy("window_start")
+        .agg(sum(col("n_units")).as("__n"))
+      val terms = cells.join(tot, Seq("window_start"))
+        .select(col("window_start"), col("arm"), col("n_units"),
+          (col("__n") * col("expect_milli")).as("expected_milliunits"),
+          floor(expr(
+            "cast(1000 * n_units - __n * expect_milli as double)") *
+            expr("cast(1000 * n_units - __n * expect_milli as double)") *
+            lit(1000000.0) /
+            expr("cast(1000 * __n * expect_milli as double)") + lit(0.5))
+            .cast("long").as("term_micro"))
+      terms.join(terms.groupBy("window_start")
+          .agg(sum(col("term_micro")).as("chi2_micro")),
+        Seq("window_start"))
+        .orderBy("window_start", "arm")
+    }),
+
+    // Schema-enforced append: good slices land, a wrong-name append
+    // and a renamed-away physical name are REJECTED with the table
+    // untouched; the read is exactly the accepted slices. Fully oracled.
+    "q_table_enforce" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val root = tmpPath("vtable_enforce")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val o = t(s, dir, "orders")
+      def slice(r: Int, keyName: String, valName: String) =
+        o.filter(col("o_orderkey") % 4 === r)
+          .select(col("o_orderkey").as(keyName),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as(valName))
+      VersionedTable.create(s, root, slice(0, "k", "amount"))
+      VersionedTable.appendStrict(s, root, slice(1, "k", "amount"))
+      // wrong column name: rejected, table untouched
+      try VersionedTable.appendStrict(s, root, slice(2, "k", "amnt"))
+      catch { case _: IllegalArgumentException => () }
+      VersionedTable.renameColumn(s, root, "amount", "revenue")
+      // the renamed-away PHYSICAL name is now wrong too
+      try VersionedTable.appendStrict(s, root, slice(2, "k", "amount"))
+      catch { case _: IllegalArgumentException => () }
+      VersionedTable.appendStrict(s, root, slice(3, "k", "revenue"))
+      VersionedTable.readLatest(s, root, mergeSchema = true)
+        .orderBy("k")
+    }),
+
     // Minimum detectable effect at 80% power over per-user outcome
     // cents (odd/even arms): HUGEINT moments, one pinned sqrt.
     // Fully oracled.
@@ -11743,6 +11811,60 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // batch distinct-count replay under the final-watermark window
+    // filter (the q_stream_psi rule), then the q_srm chi2 per window
+    "q_stream_srm" ->
+      """WITH u AS (SELECT DISTINCT date_trunc('hour', ts)
+        |      AS window_start,
+        |    CASE WHEN user_id % 10 < 4 THEN 'control'
+        |      WHEN user_id % 10 < 8 THEN 'treat'
+        |      WHEN user_id % 10 < 9 THEN 'holdout'
+        |      ELSE 'pilot' END AS arm, user_id
+        |  FROM events),
+        |m AS (SELECT max(ts) AS mx FROM events),
+        |g AS (SELECT window_start, arm,
+        |        CAST(count(*) AS BIGINT) AS n_units
+        |      FROM u GROUP BY 1, 2),
+        |keep AS (SELECT g.* FROM g, m
+        |  WHERE window_start + INTERVAL 1 HOUR <= mx
+        |    - INTERVAL 30 MINUTE),
+        |design(arm, expect_milli) AS (VALUES
+        |    ('control', CAST(400 AS BIGINT)), ('treat', 400),
+        |    ('holdout', 100), ('pilot', 100)),
+        |wins AS (SELECT DISTINCT window_start FROM keep),
+        |cells AS (SELECT wins.window_start, design.arm,
+        |    design.expect_milli, coalesce(keep.n_units, 0) AS n_units
+        |  FROM wins CROSS JOIN design
+        |  LEFT JOIN keep ON keep.window_start = wins.window_start
+        |    AND keep.arm = design.arm),
+        |tot AS (SELECT window_start, CAST(sum(n_units) AS BIGINT) AS nn
+        |        FROM cells GROUP BY 1),
+        |terms AS (SELECT cells.window_start, cells.arm, cells.n_units,
+        |    nn * expect_milli AS expected_milliunits,
+        |    CAST(floor(CAST(1000 * n_units - nn * expect_milli
+        |        AS DOUBLE)
+        |      * CAST(1000 * n_units - nn * expect_milli AS DOUBLE)
+        |      * 1000000.0
+        |      / CAST(1000 * nn * expect_milli AS DOUBLE) + 0.5)
+        |      AS BIGINT) AS term_micro
+        |  FROM cells JOIN tot USING (window_start)),
+        |chi AS (SELECT window_start,
+        |          CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+        |        FROM terms GROUP BY 1)
+        |SELECT terms.window_start, arm, n_units, expected_milliunits,
+        |       term_micro, chi2_micro
+        |FROM terms JOIN chi USING (window_start)
+        |ORDER BY window_start, arm""".stripMargin,
+
+    // accept/reject replay: the committed content is exactly the
+    // accepted slices under the final logical name
+    "q_table_enforce" ->
+      """SELECT o_orderkey AS k,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |         AS revenue
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)
+        |ORDER BY k""".stripMargin,
 
     // moment replay in HUGEINT; variance in whole cents^2, MDE the
     // one pinned sqrt micro-floored

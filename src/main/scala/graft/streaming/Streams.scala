@@ -458,6 +458,29 @@ object Streams {
       .select(col("window.start").as("window_start"), col("bin"), col("n"))
   }
 
+  /** Streaming experiment-health feed — per-window DISTINCT-unit
+    * counts per arm, the input an online SRM monitor thresholds
+    * ([[graft.operators.Eval.srmCheck]] is the batch readout over it):
+    * a watermark-bounded streaming `dropDuplicates` on (window, arm,
+    * unit) — state evicts with the window, the q_stream_dedup_wm
+    * bounded-state discipline — feeds a windowed count; append mode
+    * emits each window once, when the watermark closes it (two chained
+    * stateful operators, both keyed on the event-time window). Judged
+    * `q_stream_srm` with the per-window chi-square assembled batch-side
+    * over the sink, fully ORACLED against the batch distinct-count
+    * replay under the final-watermark window filter. */
+  def srmUnitCountStream(events: DataFrame, tsCol: String,
+      unitCol: String, armCol: String, width: String,
+      watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(window(col(tsCol), width).as("w"), col(armCol).as("arm"),
+        col(unitCol).as("unit"))
+      .dropDuplicates("w", "arm", "unit")
+      .groupBy(col("w"), col("arm"))
+      .agg(count(lit(1)).as("n_units"))
+      .select(col("w.start").as("window_start"), col("arm"),
+        col("n_units"))
+
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

