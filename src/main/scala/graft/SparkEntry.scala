@@ -5859,6 +5859,23 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Laspeyres/Paasche/Fisher price indices 1996 -> 1997 over parts
+    // shipped in both years: exact same-period sums, micro-quantized
+    // cross terms, one Fisher sqrt. Fully oracled.
+    "q_price_index" -> ((s, dir) =>
+      graft.operators.Relational.priceIndex(
+        t(s, dir, "lineitem"), "l_partkey", "l_extendedprice",
+        "l_quantity", year(col("l_shipdate")), "1996", "1997")),
+
+    // Rolling 7-day Pearson correlation between click and purchase
+    // daily cents over the dense calendar: exact window moments, one
+    // pinned two-sqrt expression per day. Fully oracled.
+    "q_rolling_corr" -> ((s, dir) =>
+      graft.operators.Events.rollingCorr(
+        t(s, dir, "events"), "ts", "event_type", "value",
+        "click", "purchase", window = 7)
+        .orderBy("day")),
+
     // Streaming SRM monitor: watermark-bounded distinct-unit counts
     // per (window, arm) from two chained stateful operators; the
     // per-window chi-square assembled batch-side over the sink.
@@ -11811,6 +11828,85 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // per-item cross terms micro-quantized, same-period sums exact,
+    // the three index readouts mirrored token-identically
+    "q_price_index" ->
+      """WITH per AS (SELECT l_partkey AS i,
+        |    CAST(year(l_shipdate) AS VARCHAR) AS p,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS e,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2 HAVING sum(CAST(l_quantity AS BIGINT)) > 0),
+        |pairs AS (SELECT a.i, a.e AS e0, a.q AS q0, b.e AS e1,
+        |                b.q AS q1
+        |  FROM per a JOIN per b ON a.i = b.i
+        |  WHERE a.p = '1996' AND b.p = '1997'),
+        |terms AS (SELECT e0, e1,
+        |    CAST(floor(CAST(e1 * q0 AS DOUBLE) * 1000000.0
+        |      / CAST(q1 AS DOUBLE) + 0.5) AS BIGINT) AS lnum,
+        |    CAST(floor(CAST(e0 * q1 AS DOUBLE) * 1000000.0
+        |      / CAST(q0 AS DOUBLE) + 0.5) AS BIGINT) AS pden
+        |  FROM pairs),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(e0) AS BIGINT) AS sum_e0_cents,
+        |    CAST(sum(e1) AS BIGINT) AS sum_e1_cents,
+        |    CAST(sum(lnum) AS BIGINT) AS ln, CAST(sum(pden) AS BIGINT)
+        |      AS pd
+        |  FROM terms),
+        |idx AS (SELECT n_items, sum_e0_cents, sum_e1_cents,
+        |    CAST(floor(CAST(ln AS DOUBLE) * 1000.0
+        |      / (CAST(sum_e0_cents AS DOUBLE) * 1000000.0) + 0.5)
+        |      AS BIGINT) AS laspeyres_milli,
+        |    CAST(floor(CAST(sum_e1_cents AS DOUBLE) * 1000000000.0
+        |      / CAST(pd AS DOUBLE) + 0.5) AS BIGINT) AS paasche_milli
+        |  FROM agg)
+        |SELECT n_items, sum_e0_cents, sum_e1_cents, laspeyres_milli,
+        |  paasche_milli,
+        |  CAST(floor(sqrt(CAST(laspeyres_milli AS DOUBLE)
+        |    * CAST(paasche_milli AS DOUBLE)) + 0.5) AS BIGINT)
+        |    AS fisher_milli
+        |FROM idx""".stripMargin,
+
+    // exact window moments over the dense calendar, the one pinned
+    // two-sqrt expression mirrored; NULL on zero variance
+    "q_rolling_corr" ->
+      """WITH sparse AS (SELECT CAST(date_trunc('day', ts) AS DATE)
+        |      AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series((SELECT min(day) FROM sparse),
+        |                                (SELECT max(day) FROM sparse),
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |daily AS (SELECT cal.day, coalesce(x, 0) AS x,
+        |                 coalesce(y, 0) AS y
+        |          FROM cal LEFT JOIN sparse ON sparse.day = cal.day),
+        |win AS (SELECT day, x, y,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT day, x AS x_cents, y AS y_cents,
+        |  CASE WHEN 7 * sxx - sx * sx > 0 AND 7 * syy - sy * sy > 0
+        |    THEN CAST(floor(CAST(7 * sxy - sx * sy AS DOUBLE)
+        |      * 1000000.0
+        |      / (sqrt(CAST(7 * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(7 * syy - sy * sy AS DOUBLE))) + 0.5)
+        |      AS BIGINT) END AS r_micro
+        |FROM win WHERE n = 7 ORDER BY day""".stripMargin,
 
     // batch distinct-count replay under the final-watermark window
     // filter (the q_stream_psi rule), then the q_srm chi2 per window

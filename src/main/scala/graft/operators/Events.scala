@@ -2948,6 +2948,64 @@ object Events {
     details.unionByName(approx)
   }
 
+  /** Rolling correlation between two keys' daily series — "are these
+    * two metrics still moving together" as a CURVE ([[Relational.corr]]
+    * gives one global number; drift in this curve is how a broken
+    * instrumentation pipe or a decoupled metric pair shows up): over
+    * the dense calendar (silent day = real 0), a trailing `window`-day
+    * Pearson r per day, full windows only.
+    *
+    * Judged-double discipline: window moments are EXACT BIGINT sums of
+    * cents (and cents products — overflow-safe while
+    * `w·(daily cents)² < 2^63`, ~3e9 daily cents at w=7); each day's r
+    * is ONE pinned IEEE expression over them
+    * (`(nSxy−SxSy)·10⁶ / (√(nSxx−Sx²)·√(nSyy−Sy²))`, micro-floored,
+    * the mannWhitney rule with two sqrts in fixed order), NULL when
+    * either variance is 0.
+    *
+    * Scale: one data-scale aggregate to (day, x, y); windows run on
+    * the CALENDAR-scale frame. Judged `q_rolling_corr`, fully ORACLED;
+    * perfect/anti/constant windows and full-window-only emission
+    * pinned in EventsSpec. */
+  def rollingCorr(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, keyX: String, keyY: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 2, s"window >= 2: $window")
+    val sparse = events.filter(col(keyCol).isin(keyX, keyY))
+      .select(to_date(col(tsCol)).as("day"),
+        when(col(keyCol) === keyX,
+          floor(col(valueCol) * 100 + lit(0.5)).cast("long"))
+          .otherwise(0L).as("__x"),
+        when(col(keyCol) === keyY,
+          floor(col(valueCol) * 100 + lit(0.5)).cast("long"))
+          .otherwise(0L).as("__y"))
+      .groupBy("day")
+      .agg(sum(col("__x")).as("x"), sum(col("__y")).as("y"))
+    val daily = sparse
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-(window - 1), 0)
+    daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("x")).over(w))
+      .withColumn("__sy", sum(col("y")).over(w))
+      .withColumn("__sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("__syy", sum(col("y") * col("y")).over(w))
+      .withColumn("__sxy", sum(col("x") * col("y")).over(w))
+      .filter(col("__n") === window)
+      .select(col("day"), col("x").as("x_cents"), col("y").as("y_cents"),
+        when(expr(s"$window * __sxx - __sx * __sx > 0") &&
+          expr(s"$window * __syy - __sy * __sy > 0"),
+          floor(expr(s"cast($window * __sxy - __sx * __sy as double)") *
+            lit(1000000.0) /
+            (sqrt(expr(s"cast($window * __sxx - __sx * __sx as double)")) *
+              sqrt(expr(s"cast($window * __syy - __sy * __sy as double)"))) +
+            lit(0.5)).cast("long")).as("r_micro"))
+  }
+
   /** Croston's method (1972) — the intermittent-demand member of the
     * smoothing family ([[ewma]]: dense level; [[holtLinear]]: level +
     * trend; this: sparse demand): on DEMAND DAYS ONLY, two exponential

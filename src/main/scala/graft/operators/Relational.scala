@@ -2283,4 +2283,64 @@ object Relational {
       .withColumn("is_key",
         col("n_nulls") === 0L && col("ndv") === col("n_rows"))
   }
+
+  /** Laspeyres / Paasche / Fisher price indices between two periods —
+    * the economics-grade "did prices move, holding the basket fixed"
+    * readout ([[Events.periodOverPeriod]] compares raw totals; this
+    * separates PRICE movement from QUANTITY movement): over items
+    * present in BOTH periods, with unit prices the per-item
+    * revenue/quantity ratios, `L = Σp₁q₀ / Σp₀q₀` (base-period
+    * basket), `P = Σp₁q₁ / Σp₀q₁` (current basket), `F = √(L·P)`.
+    *
+    * Judged-double discipline: per-item cross terms `p₁·q₀ = E₁·Q₀/Q₁`
+    * micro-quantize independently (chi2 pattern — exact BIGINT
+    * numerators, one division each, order-independent sums); the two
+    * same-period denominators/numerators are EXACT (Σp_t·q_t = ΣE_t);
+    * each index is one pinned milli readout, Fisher one sqrt over the
+    * two already-floored millis. 1000 = flat.
+    *
+    * Scale: one partial aggregate to (item, period) rows, one
+    * item-keyed self-join of the two period slices, one 1-row readout.
+    * Judged `q_price_index`, fully ORACLED; hand doubled-price basket,
+    * both-periods-only membership and the L/P asymmetry under basket
+    * shift pinned in RelationalSpec. */
+  def priceIndex(df: DataFrame, itemCol: String, revenueCol: String,
+      qtyCol: String, period: Column, p0: String, p1: String): DataFrame = {
+    val per = df
+      .select(col(itemCol).as("__i"), period.cast("string").as("__p"),
+        floor(col(revenueCol) * 100 + lit(0.5)).cast("long").as("__e"),
+        col(qtyCol).cast("long").as("__q"))
+      .filter(col("__p").isin(p0, p1))
+      .groupBy(col("__i"), col("__p"))
+      .agg(sum(col("__e")).as("__e"), sum(col("__q")).as("__q"))
+      .filter(col("__q") > 0)
+    val both = per.filter(col("__p") === p0)
+      .select(col("__i"), col("__e").as("__e0"), col("__q").as("__q0"))
+      .join(per.filter(col("__p") === p1)
+        .select(col("__i"), col("__e").as("__e1"), col("__q").as("__q1")),
+        Seq("__i"))
+    both
+      .select(
+        floor(expr("cast(__e1 * __q0 as double)") * lit(1000000.0) /
+          expr("cast(__q1 as double)") + lit(0.5)).cast("long")
+          .as("__lnum"),
+        floor(expr("cast(__e0 * __q1 as double)") * lit(1000000.0) /
+          expr("cast(__q0 as double)") + lit(0.5)).cast("long")
+          .as("__pden"),
+        col("__e0"), col("__e1"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__e0")).as("sum_e0_cents"),
+        sum(col("__e1")).as("sum_e1_cents"),
+        sum(col("__lnum")).as("__ln"), sum(col("__pden")).as("__pd"))
+      .select(col("n_items"), col("sum_e0_cents"), col("sum_e1_cents"),
+        floor(expr("cast(__ln as double)") * lit(1000.0) /
+          (expr("cast(sum_e0_cents as double)") * lit(1000000.0)) +
+          lit(0.5)).cast("long").as("laspeyres_milli"),
+        floor(expr("cast(sum_e1_cents as double)") * lit(1000000000.0) /
+          expr("cast(__pd as double)") + lit(0.5)).cast("long")
+          .as("paasche_milli"))
+      .withColumn("fisher_milli",
+        floor(sqrt(expr("cast(laspeyres_milli as double)") *
+          expr("cast(paasche_milli as double)")) + lit(0.5)).cast("long"))
+  }
 }

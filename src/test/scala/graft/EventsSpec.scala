@@ -1528,6 +1528,38 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("rollingCorr: perfect/anti windows, zero variance null, full-only") {
+    def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
+    // x ascends 1..10, y = x: every full window r ~ +1
+    val up = (0 until 10).flatMap(i => Seq(
+      (day(i), "click", (i + 1).toDouble),
+      (day(i), "purchase", (i + 1).toDouble)))
+      .toDF("ts", "t", "v")
+    val pos = Events.rollingCorr(up, "ts", "t", "v", "click", "purchase")
+      .orderBy("day").collect()
+    assert(pos.length === 4) // days 7..10 only (full 7-day windows)
+    assert(pos.forall(r => math.abs(r.getAs[Long]("r_micro")
+      - 1000000L) <= 1L))
+    // y descends while x ascends: r ~ -1
+    val anti = (0 until 10).flatMap(i => Seq(
+      (day(i), "click", (i + 1).toDouble),
+      (day(i), "purchase", (10 - i).toDouble)))
+      .toDF("ts", "t", "v")
+    val neg = Events.rollingCorr(anti, "ts", "t", "v",
+      "click", "purchase").collect()
+    assert(neg.forall(r => math.abs(r.getAs[Long]("r_micro")
+      + 1000000L) <= 1L))
+    // constant y: zero variance -> NULL r
+    val flat = (0 until 10).flatMap(i => Seq(
+      (day(i), "click", (i + 1).toDouble),
+      (day(i), "purchase", 5.0)))
+      .toDF("ts", "t", "v")
+    val z = Events.rollingCorr(flat, "ts", "t", "v",
+      "click", "purchase").collect()
+    assert(z.forall(_.isNullAt(3)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("haarDecompose: hand pyramid, constant flat, spike locality") {
     def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
     // 4-day series [3,1,4,2] cents at levels=2:

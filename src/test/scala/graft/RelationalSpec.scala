@@ -1289,4 +1289,23 @@ class RelationalSpec extends SparkTestBase {
     assert(out("id,tag") === ((4L, 0L, true)))
     graft.engine.Caches.releaseAll()
   }
+
+  test("priceIndex: hand basket, both-periods membership, Fisher mean") {
+    // A: 2 @ $1 -> 1 @ $2 (doubled); B: 1 @ $.5 -> 2 @ $.5 (flat);
+    // C only in p0: excluded. L = 450/250 = 1.8, P = 300/200 = 1.5
+    val rows = Seq(
+      ("A", 2.00, 2L, "p0"), ("B", 0.50, 1L, "p0"), ("C", 9.0, 1L, "p0"),
+      ("A", 2.00, 1L, "p1"), ("B", 1.00, 2L, "p1"))
+      .toDF("item", "rev", "qty", "period")
+    val got = priceIndex(rows, "item", "rev", "qty",
+      col("period"), "p0", "p1").collect().head
+    assert(got.getAs[Long]("n_items") === 2L)
+    assert(got.getAs[Long]("sum_e0_cents") === 250L)
+    assert(got.getAs[Long]("sum_e1_cents") === 300L)
+    assert(got.getAs[Long]("laspeyres_milli") === 1800L)
+    assert(got.getAs[Long]("paasche_milli") === 1500L)
+    // sqrt(1800 * 1500) = 1643.16...
+    assert(got.getAs[Long]("fisher_milli") === 1643L)
+    graft.engine.Caches.releaseAll()
+  }
 }
