@@ -5859,6 +5859,22 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // DTW distance between click and purchase daily-cents curves:
+    // exact BIGINT min-plus DP, anti-diagonal recursive-CTE replay
+    // (property-tested over 40 shapes). Fully oracled.
+    "q_dtw" -> ((s, dir) =>
+      graft.operators.Events.dtwDistance(
+        t(s, dir, "events"), "ts", "event_type", "value",
+        "click", "purchase")),
+
+    // Behavioral edit-distance over id-adjacent user signature pairs
+    // (first 20 event initials under the (ts, id) total order):
+    // built-in levenshtein both engines. Fully oracled.
+    "q_seq_sim" -> ((s, dir) =>
+      graft.operators.Events.behaviorEditPairs(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_a")),
+
     // Laspeyres/Paasche/Fisher price indices 1996 -> 1997 over parts
     // shipped in both years: exact same-period sums, micro-quantized
     // cross terms, one Fisher sqrt. Fully oracled.
@@ -11828,6 +11844,76 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // anti-diagonal wavefront DP carried as two lists per recursion
+    // step; guards keep every list index in range (negative indices
+    // read from the end in DuckDB — the reason for the CASE fences)
+    "q_dtw" ->
+      """WITH RECURSIVE
+        |dx AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |cx AS (SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM dx), (SELECT max(day) FROM dx),
+        |    INTERVAL 1 DAY))::DATE AS day),
+        |sx AS (SELECT list(coalesce(c, 0) ORDER BY cx.day) AS x
+        |       FROM cx LEFT JOIN dx ON dx.day = cx.day),
+        |dy AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cy AS (SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM dy), (SELECT max(day) FROM dy),
+        |    INTERVAL 1 DAY))::DATE AS day),
+        |sy AS (SELECT list(coalesce(c, 0) ORDER BY cy.day) AS y
+        |       FROM cy LEFT JOIN dy ON dy.day = cy.day),
+        |dims AS (SELECT len(x) AS n, len(y) AS m FROM sx, sy),
+        |w(k, cur, prev) AS (
+        |  SELECT 2, [abs(x[1] - y[1])], CAST(NULL AS BIGINT[])
+        |  FROM sx, sy
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    (SELECT list_transform(
+        |       generate_series(greatest(1, k + 1 - m), least(n, k)),
+        |       i -> abs(x[i] - y[k + 1 - i]) + least(
+        |         CASE WHEN i - 1 >= greatest(1, k - 1 - m)
+        |               AND k - i >= 1 AND i - 1 >= 1
+        |           THEN prev2[i - 1 - greatest(1, k - 1 - m) + 1] END,
+        |         CASE WHEN i - 1 >= greatest(1, k - m) AND i - 1 >= 1
+        |           THEN cur2[i - 1 - greatest(1, k - m) + 1] END,
+        |         CASE WHEN i >= greatest(1, k - m) AND k - i >= 1
+        |               AND i <= n
+        |           THEN cur2[i - greatest(1, k - m) + 1] END))
+        |     FROM dims, sx, sy,
+        |       (SELECT w.cur AS cur2, coalesce(w.prev, []) AS prev2)),
+        |    cur
+        |  FROM w, dims WHERE k < n + m)
+        |SELECT CAST(n AS BIGINT) AS n_x, CAST(m AS BIGINT) AS n_y,
+        |  cur[1] AS dtw_cents,
+        |  cur[1] * 1000 // (n + m) AS dtw_milli_per_step
+        |FROM w, dims WHERE k = n + m""".stripMargin,
+
+    // per-user signatures under the (ts, id) total order; levenshtein
+    // has identical unit-cost semantics in both engines
+    "q_seq_sim" ->
+      """WITH r AS (SELECT user_id, substring(event_type, 1, 1) AS ini,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |sig AS (SELECT user_id, string_agg(ini, '' ORDER BY rn) AS s
+        |        FROM r WHERE rn <= 20 GROUP BY 1),
+        |p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |             a.s AS sa, b.s AS sb
+        |      FROM sig a JOIN sig b ON a.user_id % 2 = 0
+        |        AND b.user_id = a.user_id + 1)
+        |SELECT user_a, user_b,
+        |  CAST(length(sa) AS BIGINT) AS len_a,
+        |  CAST(length(sb) AS BIGINT) AS len_b,
+        |  CAST(levenshtein(sa, sb) AS BIGINT) AS dist,
+        |  1000 - CAST(levenshtein(sa, sb) AS BIGINT) * 1000
+        |    // greatest(length(sa), length(sb)) AS sim_milli
+        |FROM p ORDER BY user_a""".stripMargin,
 
     // per-item cross terms micro-quantized, same-period sums exact,
     // the three index readouts mirrored token-identically

@@ -1528,6 +1528,55 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("dtwDistance: identical zero, shift forgiveness, unequal lengths") {
+    def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
+    def rows(pairs: Seq[(Int, String, Double)]) =
+      pairs.map { case (d, k, v) => (day(d), k, v) }.toDF("ts", "k", "v")
+    // identical curves: DTW = 0
+    val same = rows((0 until 5).flatMap(i =>
+      Seq((i, "a", (i + 1).toDouble), (i, "b", (i + 1).toDouble))))
+    val s = Events.dtwDistance(same, "ts", "k", "v", "a", "b")
+      .collect().head
+    assert(s.getAs[Long]("dtw_cents") === 0L)
+    // a one-day-shifted spike: pointwise L1 is 18 dollars, DTW warps
+    // the time axis and scores 0
+    val shift = rows(Seq(
+      (0, "a", 0.0), (1, "a", 0.0), (2, "a", 9.0), (3, "a", 0.0),
+      (4, "a", 0.0),
+      (0, "b", 0.0), (1, "b", 9.0), (2, "b", 0.0), (3, "b", 0.0),
+      (4, "b", 0.0)))
+    val sh = Events.dtwDistance(shift, "ts", "k", "v", "a", "b")
+      .collect().head
+    assert(sh.getAs[Long]("dtw_cents") === 0L)
+    // unequal lengths: x=[5c], y=[1c,2c] -> D = |5-1| + |5-2| = 7
+    val uneq = rows(Seq((0, "a", 0.05),
+      (0, "b", 0.01), (1, "b", 0.02)))
+    val u = Events.dtwDistance(uneq, "ts", "k", "v", "a", "b")
+      .collect().head
+    assert((u.getAs[Long]("n_x"), u.getAs[Long]("n_y"),
+      u.getAs[Long]("dtw_cents")) === ((1L, 2L, 7L)))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("behaviorEditPairs: hand distance, tie order, length cap") {
+    def e(u: Long, i: Int, t: String) =
+      (u, ts(f"2026-01-01 10:${i}%02d:00"), i.toLong, t)
+    // u0: click,view -> "cv"; u1: click,error,view -> "cev": dist 1;
+    // u2/u3: 25 events each, single type: signatures cap at 20
+    val df = (Seq(e(0L, 1, "click"), e(0L, 2, "view"),
+      e(1L, 1, "click"), e(1L, 2, "error"), e(1L, 3, "view")) ++
+      (1 to 25).map(i => e(2L, i, "click")) ++
+      (1 to 25).map(i => e(3L, i, "view")))
+      .toDF("u", "ts", "id", "t")
+    val got = Events.behaviorEditPairs(df, "u", "ts", "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) === ((2L, 3L, 1L, 667L)))
+    // capped at 20 chars; all-c vs all-v distance = 20, sim 0
+    assert(got(2L) === ((20L, 20L, 20L, 0L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("rollingCorr: perfect/anti windows, zero variance null, full-only") {
     def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
     // x ascends 1..10, y = x: every full window r ~ +1
