@@ -5859,6 +5859,30 @@ object SparkEntry {
         .movingMedian(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("day")),
 
+    // Deterministic negative sampling over co-purchase positives:
+    // fixed mixing polynomial into the 200-item domain, one anti-join
+    // kills every actual positive. Fully oracled.
+    "q_neg_sample" -> ((s, dir) =>
+      graft.operators.Sampling.negativeSamples(
+        t(s, dir, "orders").join(t(s, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") % 300L).as("u"),
+            (col("l_partkey") % 200L).as("i")),
+        "u", "i", k = 3, nItems = 200L)
+        .orderBy("uid", "item", "label")),
+
+    // End-to-end recommender eval: item-item model trained on <=1996
+    // baskets, hit-rate@5 on 1997 multi-item baskets. Fully oracled.
+    "q_rec_eval" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"),
+          (col("l_partkey") % 200L).as("i"), year(col("l_shipdate")).as("y"))
+      graft.operators.Events.recsHitRate(
+        li.filter(col("y") <= 1996).select("k", "i"),
+        li.filter(col("y") === 1997).select("k", "i"),
+        "k", "i", minPairKeys = 3L, k = 5)
+    }),
+
     // DTW distance between click and purchase daily-cents curves:
     // exact BIGINT min-plus DP, anti-diagonal recursive-CTE replay
     // (property-tested over 40 shapes). Fully oracled.
@@ -11844,6 +11868,66 @@ object SparkEntry {
         |  FROM daily)
         |SELECT day, cents, CAST(med * 2 AS BIGINT) AS med2x_cents
         |FROM win WHERE wn = 7 ORDER BY day""".stripMargin,
+
+    // generator replay + anti-join; all operands non-negative so
+    // % == pmod == engine-identical
+    "q_neg_sample" ->
+      """WITH p AS (SELECT DISTINCT o_custkey % 300 AS uid,
+        |    l_partkey % 200 AS item
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |c AS (SELECT DISTINCT uid,
+        |    (uid * 2654435761 + item * 40503 + i * 97) % 200 AS item
+        |  FROM p CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 2)) AS i)),
+        |n AS (SELECT c.uid, c.item FROM c
+        |      LEFT JOIN p ON p.uid = c.uid AND p.item = c.item
+        |      WHERE p.uid IS NULL)
+        |SELECT uid, item, CAST(1 AS BIGINT) AS label FROM p
+        |UNION ALL
+        |SELECT uid, item, 0 FROM n
+        |ORDER BY uid, item, label""".stripMargin,
+
+    // full replay: the q_item_sim model on the train slice, then the
+    // basket-pair hit counting on the test slice
+    "q_rec_eval" ->
+      """WITH ki AS (SELECT DISTINCT l_orderkey AS k,
+        |    l_partkey % 200 AS i FROM lineitem
+        |  WHERE year(l_shipdate) <= 1996),
+        |n AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+        |      FROM ki GROUP BY 1),
+        |p AS (SELECT a.i AS ia, b.i AS ib,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ki a JOIN ki b ON a.k = b.k AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |s AS (SELECT ia, ib, n_both,
+        |    CAST(floor(CAST(n_both AS DOUBLE) * 1000000.0
+        |      / sqrt(CAST(na.ni * nb.ni AS DOUBLE))) AS BIGINT)
+        |      AS cos_micro
+        |  FROM p JOIN n na ON na.i = p.ia JOIN n nb ON nb.i = p.ib),
+        |sym AS (SELECT ia AS item, ib AS nbr, n_both, cos_micro FROM s
+        |        UNION ALL
+        |        SELECT ib, ia, n_both, cos_micro FROM s),
+        |r AS (SELECT item, nbr,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cos_micro DESC, n_both DESC, nbr) AS rk
+        |  FROM sym),
+        |model AS (SELECT item, nbr FROM r WHERE rk <= 5),
+        |tb AS (SELECT DISTINCT l_orderkey AS k, l_partkey % 200 AS i
+        |       FROM lineitem WHERE year(l_shipdate) = 1997),
+        |multi AS (SELECT k FROM tb GROUP BY k HAVING count(*) >= 2),
+        |evals AS (SELECT tb.k, tb.i FROM tb JOIN multi USING (k)),
+        |pr AS (SELECT a.k, a.i AS item, b.i AS nbr
+        |       FROM evals a JOIN tb b ON a.k = b.k AND a.i <> b.i),
+        |hits AS (SELECT DISTINCT k, item FROM pr
+        |         JOIN model USING (item, nbr)),
+        |agg AS (SELECT
+        |    (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM evals)
+        |      AS n_baskets,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM evals) AS n_evals,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hits) AS hits)
+        |SELECT n_baskets, n_evals, hits,
+        |       hits * 1000 // n_evals AS hit_rate_milli
+        |FROM agg""".stripMargin,
 
     // anti-diagonal wavefront DP carried as two lists per recursion
     // step; guards keep every list index in range (negative indices

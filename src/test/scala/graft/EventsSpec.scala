@@ -1528,6 +1528,22 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("recsHitRate: hand hits, single-item exclusion, cold items miss") {
+    def f(rows: Seq[(Long, String)]) = rows.toDF("k", "i")
+    // train: A,B co-occur in 3 baskets -> model A<->B (and C alone)
+    val train = f(Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (4L, "C")))
+    // test: {A,B} hits both ways; {A,C} misses both (B absent, C cold);
+    // {D} single-item basket excluded entirely
+    val test = f(Seq((10L, "A"), (10L, "B"), (11L, "A"), (11L, "C"),
+      (12L, "D")))
+    val got = Events.recsHitRate(train, test, "k", "i",
+      minPairKeys = 2L, k = 2).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((2L, 4L, 2L, 500L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("dtwDistance: identical zero, shift forgiveness, unequal lengths") {
     def day(i: Int) = ts(f"2026-01-${i + 1}%02d 12:00:00")
     def rows(pairs: Seq[(Int, String, Double)]) =

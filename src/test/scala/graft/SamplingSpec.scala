@@ -311,4 +311,24 @@ class SamplingSpec extends SparkTestBase {
     val m = alloc(Seq("a" -> 7L, "b" -> 11L, "c" -> 13L, "d" -> 2L), 97L)
     assert(m.values.sum === 97L)
   }
+
+  test("negativeSamples: positive exclusion, fan-out, determinism") {
+    import spark.implicits._
+    // nItems = 4; 2654435761 % 4 = 1, 40503 % 4 = 3, 97 % 4 = 1
+    // u1 items {0,1}: candidates {1,2} and {0,1} -> only 2 survives
+    val pos = Seq((1L, 0L), (1L, 1L), (2L, 3L)).toDF("u", "i")
+    val got = Sampling.negativeSamples(pos, "u", "i", k = 2, nItems = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // u2 item {3}: candidates (2+9)%4=3 (own positive, dies) and
+    // (3+1)%4=0 -> negative (2,0)
+    assert(got === Set((1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 0L),
+      (2L, 3L, 1L), (2L, 0L, 0L)))
+    // deterministic: a second run is bit-identical
+    val again = Sampling.negativeSamples(pos, "u", "i", 2, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(again === got)
+    graft.engine.Caches.releaseAll()
+  }
 }
