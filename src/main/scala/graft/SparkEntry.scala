@@ -6046,6 +6046,20 @@ object SparkEntry {
         Seq("click", "error", "signup", "view"))
         .orderBy("channel")),
 
+    // Network robustness: component structure before/after removing
+    // the 10 highest-degree hubs of the undirected affine-map graph.
+    // Fully oracled.
+    "q_robustness" -> ((s, dir) => {
+      val xs = t(s, dir, "orders")
+        .select((col("o_orderkey") % 300).as("x")).distinct()
+      val edges = xs.select(col("x").as("u"),
+          ((col("x") * 7 + 1) % 300).as("v"))
+        .unionByName(xs.select(col("x").as("u"),
+          ((col("x") * 3) % 300).as("v")))
+      graft.operators.Graph.robustnessReport(edges, "u", "v", topK = 10)
+        .orderBy("scenario")
+    }),
+
     // Strongly connected components over the union of two affine maps
     // mod 300 (x -> 7x+1 is a permutation: disjoint cycles; x -> 3x
     // adds merging chords): multi-pivot FW-BW min-label peeling vs the
@@ -12281,6 +12295,57 @@ object SparkEntry {
         |  CAST(sign(phi_scaled) AS BIGINT)
         |    * (abs(phi_scaled) * 1000000 // 24) AS phi_micro
         |FROM p ORDER BY channel""".stripMargin,
+
+    // canonical undirected edges, hub head by (degree desc, node),
+    // closure CC per scenario; kept-graph endpoints only (CC contract)
+    "q_robustness" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT greatest(u, v) AS a, least(u, v) AS b FROM (
+        |    SELECT x AS u, (x * 7 + 1) % 300 AS v FROM (
+        |      SELECT DISTINCT o_orderkey % 300 AS x FROM orders)
+        |    UNION ALL
+        |    SELECT x, (x * 3) % 300 FROM (
+        |      SELECT DISTINCT o_orderkey % 300 AS x FROM orders))
+        |  WHERE u <> v),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |          (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |hubs AS (SELECT n FROM
+        |           (SELECT n, row_number() OVER (ORDER BY d DESC, n)
+        |              AS rk FROM deg)
+        |         WHERE rk <= 10),
+        |kept AS (SELECT a, b FROM e
+        |         WHERE a NOT IN (SELECT n FROM hubs)
+        |           AND b NOT IN (SELECT n FROM hubs)),
+        |symf AS (SELECT u, v FROM
+        |  (SELECT a AS u, b AS v FROM e UNION ALL
+        |   SELECT b, a FROM e)),
+        |rf(u, v) AS (SELECT u, v FROM symf
+        |  UNION
+        |  SELECT r.u, s.v FROM rf r JOIN symf s ON r.v = s.u),
+        |cf AS (SELECT u AS id, least(u, min(v)) AS component
+        |       FROM rf GROUP BY u),
+        |ff AS (SELECT component, count(*) AS sz FROM cf GROUP BY 1),
+        |symk AS (SELECT u, v FROM
+        |  (SELECT a AS u, b AS v FROM kept UNION ALL
+        |   SELECT b, a FROM kept)),
+        |rk2(u, v) AS (SELECT u, v FROM symk
+        |  UNION
+        |  SELECT r.u, s.v FROM rk2 r JOIN symk s ON r.v = s.u),
+        |ck AS (SELECT u AS id, least(u, min(v)) AS component
+        |       FROM rk2 GROUP BY u),
+        |fk AS (SELECT component, count(*) AS sz FROM ck GROUP BY 1)
+        |SELECT 'dehubbed' AS scenario,
+        |  CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cc
+        |FROM fk
+        |UNION ALL
+        |SELECT 'full', CAST(coalesce(sum(sz), 0) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(max(sz), 0) AS BIGINT)
+        |FROM ff
+        |ORDER BY scenario""".stripMargin,
 
     // closure + mutual-reach min replay; self-loops dropped like the
     // engine (u <> v), endpoints-only node universe

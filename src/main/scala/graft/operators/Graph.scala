@@ -905,6 +905,71 @@ object Graph {
     }
   }
 
+  /** Network robustness under hub removal — the resilience audit a
+    * graph-shaped system (supply chain, service mesh, social spread)
+    * reads before trusting its redundancy: component structure of the
+    * undirected graph BEFORE and AFTER deleting the `topK`
+    * highest-degree hubs (ties broken by node id — deterministic).
+    * A graph whose `largest_cc` collapses when 10 hubs vanish is
+    * scale-free-fragile; one that barely moves is mesh-robust.
+    *
+    * EXACT integers throughout: degrees, component counts and sizes
+    * ([[Dedup.connectedComponents]] does the labeling; isolated
+    * survivors of hub removal leave the edge-endpoint universe — the
+    * CC node contract, mirrored by the oracle).
+    *
+    * Scale: canonical undirected distinct edges (16-byte rows), one
+    * degree aggregate, a TakeOrdered hub head (config-scale k), two
+    * anti-joins, and the CC posture twice. Judged `q_robustness`,
+    * fully ORACLED; star-collapse vs ring-resilience hands and the
+    * tie determinism pinned in GraphSpec. */
+  def robustnessReport(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK >= 1: $topK")
+    val e0 = graft.engine.Caches.persisted(edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("a"),
+        least(col("u"), col("v")).as("b"))
+      .distinct())
+    val deg = e0.select(col("a").as("n"))
+      .unionByName(e0.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val hubs = broadcast(deg.orderBy(col("d").desc, col("n")).limit(topK))
+    val kept = e0
+      .join(hubs.select(col("n").as("a")), Seq("a"), "left_anti")
+      .join(hubs.select(col("n").as("b")), Seq("b"), "left_anti")
+    // BOTH scenarios label in ONE connectedComponents pass: the
+    // dehubbed copy lives at node ids offset past the full graph's
+    // max (components can never cross the disjoint id spaces), so the
+    // iterative fixed cost — the dominant term — is paid once, not
+    // twice. The offset read is a 1-row config-scale collect.
+    val off = e0.agg(max(col("a")).as("m")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong))
+      .getOrElse(0L) + 1L
+    val fused = e0.unionByName(
+      kept.select((col("a") + off).as("a"), (col("b") + off).as("b")))
+    val sizes = graft.engine.Caches.persisted(
+      graft.operators.Dedup.connectedComponents(fused, "a", "b")
+        .withColumn("scenario",
+          when(col("id") < off, "full").otherwise("dehubbed"))
+        .groupBy(col("scenario"), col("component"))
+        .agg(count(lit(1)).as("__sz")))
+    val tags = e0.sparkSession.createDataFrame(
+      Seq(Tuple1("full"), Tuple1("dehubbed"))).toDF("scenario")
+    tags.join(
+        sizes.groupBy(col("scenario"))
+          .agg(sum(col("__sz")).as("n_nodes"),
+            count(lit(1)).as("n_components"),
+            max(col("__sz")).as("largest_cc")),
+        Seq("scenario"), "left")
+      .select(col("scenario"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_components"), lit(0L)).as("n_components"),
+        coalesce(col("largest_cc"), lit(0L)).as("largest_cc"))
+  }
+
   /** Strongly connected components — the DIRECTED twin of
     * [[Dedup.connectedComponents]] ([[cycleNodes]] says WHETHER a node
     * sits on a cycle; this says WHICH nodes cycle together): labels

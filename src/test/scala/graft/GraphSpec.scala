@@ -429,6 +429,32 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("robustnessReport: star collapse, ring resilience, hub tie-break") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], k: Int) =
+      Graph.robustnessReport(edges.toDF("s", "d"), "s", "d", k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // star(0; 1..5) + disjoint edge (10,11): removing the hub strands
+    // the leaves (they leave the edge universe); the edge survives
+    val star = run(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (0L, 5L), (10L, 11L)), 1)
+    assert(star("full") === ((8L, 2L, 6L)))
+    assert(star("dehubbed") === ((2L, 1L, 2L)))
+    // 5-ring: every node degree 2; removing one leaves a path
+    val ring = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 1L)), 1)
+    assert(ring("full") === ((5L, 1L, 5L)))
+    assert(ring("dehubbed") === ((4L, 1L, 4L)))
+    // two equal-degree stars: the tie breaks to the LOWER center id,
+    // so star 100 survives intact
+    val two = run(Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (100L, 101L), (100L, 102L), (100L, 103L)), 1)
+    assert(two("full") === ((8L, 2L, 4L)))
+    assert(two("dehubbed") === ((4L, 1L, 4L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("stronglyConnected: cycle+tail, disjoint cycles, DAG, nested peel") {
     import spark.implicits._
     def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
