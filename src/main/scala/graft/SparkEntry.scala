@@ -6046,6 +6046,24 @@ object SparkEntry {
         Seq("click", "error", "signup", "view"))
         .orderBy("channel")),
 
+    // Simpson diversity of event types per user cohort: exact
+    // same-pair probability in millis. Fully oracled.
+    "q_simpson" -> ((s, dir) =>
+      graft.operators.Relational.simpsonDiversity(
+        t(s, dir, "events").select(
+          pmod(col("user_id"), lit(10)).as("cohort"), col("event_type")),
+        "cohort", "event_type")
+        .orderBy("grp")),
+
+    // Odds ratio + relative risk of high-value outcomes under the
+    // odd-user exposure: exact 2x2 milli ratios. Fully oracled.
+    "q_odds_ratio" -> ((s, dir) =>
+      graft.operators.Relational.oddsRatio(
+        t(s, dir, "events").select(
+          (pmod(col("user_id"), lit(2)) === 1).as("e"),
+          (col("value") > 150).as("y")),
+        "e", "y")),
+
     // Network robustness: component structure before/after removing
     // the 10 highest-degree hubs of the undirected affine-map graph.
     // Fully oracled.
@@ -12295,6 +12313,45 @@ object SparkEntry {
         |  CAST(sign(phi_scaled) AS BIGINT)
         |    * (abs(phi_scaled) * 1000000 // 24) AS phi_micro
         |FROM p ORDER BY channel""".stripMargin,
+
+    // exact same-pair probability replay per cohort
+    "q_simpson" ->
+      """WITH cells AS (SELECT user_id % 10 AS grp, event_type AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS richness,
+        |    CAST(sum(n * (n - 1)) AS BIGINT) AS pairs
+        |  FROM cells GROUP BY 1)
+        |SELECT grp, n_rows, richness,
+        |  CASE WHEN n_rows >= 2
+        |    THEN pairs * 1000 // (n_rows * (n_rows - 1)) END
+        |    AS simpson_milli,
+        |  1000 - CASE WHEN n_rows >= 2
+        |    THEN pairs * 1000 // (n_rows * (n_rows - 1)) END
+        |    AS diversity_milli
+        |FROM g ORDER BY grp""".stripMargin,
+
+    // 2x2 cell replay; zero-cell fences mirrored
+    "q_odds_ratio" ->
+      """WITH t AS (SELECT user_id % 2 = 1 AS e, value > 150 AS y
+        |           FROM events),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM t)
+        |SELECT a, b, c, d,
+        |  CASE WHEN b > 0 AND c > 0 THEN a * d * 1000 // (b * c) END
+        |    AS or_milli,
+        |  CASE WHEN c > 0 AND a + b > 0
+        |    THEN a * (c + d) * 1000 // (c * (a + b)) END AS rr_milli
+        |FROM g""".stripMargin,
 
     // canonical undirected edges, hub head by (degree desc, node),
     // closure CC per scenario; kept-graph endpoints only (CC contract)

@@ -2304,6 +2304,69 @@ object Relational {
     * Judged `q_price_index`, fully ORACLED; hand doubled-price basket,
     * both-periods-only membership and the L/P asymmetry under basket
     * shift pinned in RelationalSpec. */
+  /** Simpson diversity index per group — the ecology-grade
+    * concentration readout next to [[columnEntropy]] (entropy weighs
+    * rare categories logarithmically; Simpson is the EXACT probability
+    * two random draws share a category, so it's dominance-sensitive
+    * and, unlike entropy, a pure rational): per group,
+    * `simpson_milli = Σnᵢ(nᵢ−1)·1000 div (N(N−1))` (1000 = monoculture)
+    * and its complement `diversity_milli`; richness = distinct
+    * categories. NULL when N < 2 (no pair to draw).
+    *
+    * EXACT integer end to end; overflow-safe while
+    * `nᵢ²·1000 < 2^63` (~3e9 rows per category — widen to
+    * DECIMAL(38,0) beyond, the q_gini rule).
+    *
+    * Scale: one partial aggregate to (group, category) counts, one to
+    * groups. Judged `q_simpson`, fully ORACLED; monoculture,
+    * two-of-each and the N<2 null pinned in RelationalSpec. */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("grp"),
+        col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    cells.groupBy(col("grp"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("richness"),
+        sum(expr("__n * (__n - 1)")).as("__pairs"))
+      .select(col("grp"), col("n_rows"), col("richness"),
+        when(col("n_rows") >= 2,
+          expr("__pairs * 1000 div (n_rows * (n_rows - 1))"))
+          .as("simpson_milli"))
+      .withColumn("diversity_milli", lit(1000L) - col("simpson_milli"))
+  }
+
+  /** Odds ratio + relative risk over a 2×2 exposure/outcome table —
+    * the epidemiology/incident-analysis companion to
+    * [[chi2Association]] (chi² says WHETHER exposure and outcome
+    * associate; these say HOW STRONGLY, in the units analysts quote):
+    * cells (a = exposed-hit, b = exposed-miss, c = unexposed-hit,
+    * d = unexposed-miss), `OR = ad/bc`, `RR = (a/(a+b))/(c/(c+d))` —
+    * both as exact integer millis (`a·d·1000 div (b·c)`;
+    * `a·(c+d)·1000 div (c·(a+b))`), NULL when a zero cell makes the
+    * ratio undefined. 1000 = no effect.
+    *
+    * Scale: one partial aggregate to the 4 cells, one 1-row readout;
+    * overflow-safe while `a·d·1000 < 2^63` (~3e9 rows a cell — the
+    * q_gini DECIMAL rule beyond). Judged `q_odds_ratio`, fully
+    * ORACLED; hand table, null fences and the RR≠OR distinction
+    * pinned in RelationalSpec. */
+  def oddsRatio(df: DataFrame, exposeCol: String,
+      outcomeCol: String): DataFrame = {
+    df.select(col(exposeCol).cast("boolean").as("__e"),
+        col(outcomeCol).cast("boolean").as("__y"))
+      .agg(
+        sum(when(col("__e") && col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__y"), 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        when(col("b") > 0 && col("c") > 0,
+          expr("a * d * 1000 div (b * c)")).as("or_milli"),
+        when(col("c") > 0 && expr("a + b > 0"),
+          expr("a * (c + d) * 1000 div (c * (a + b))")).as("rr_milli"))
+  }
+
   def priceIndex(df: DataFrame, itemCol: String, revenueCol: String,
       qtyCol: String, period: Column, p0: String, p1: String): DataFrame = {
     val per = df

@@ -1290,6 +1290,38 @@ class RelationalSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("simpsonDiversity: monoculture, two-of-each, N<2 null") {
+    def f(rows: Seq[(Long, String)]) = rows.toDF("g", "c")
+    val got = simpsonDiversity(f(Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"),           // monoculture: 1000
+      (2L, "x"), (2L, "x"), (2L, "y"), (2L, "y"), // 2+2: 2/12+2/12=333
+      (3L, "z"))),                                // single row: null
+      "g", "c").orderBy("grp").collect()
+    assert(got(0).getAs[Long]("simpson_milli") === 1000L)
+    assert(got(0).getAs[Long]("diversity_milli") === 0L)
+    assert(got(1).getAs[Long]("simpson_milli") === 333L)
+    assert(got(1).getAs[Long]("richness") === 2L)
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("oddsRatio: hand table, zero-cell fences, RR differs from OR") {
+    def f(rows: Seq[(Boolean, Boolean)]) = rows.toDF("e", "y")
+    // a=2 b=1 c=1 d=2: OR = 4/1 = 4000; RR = (2/3)/(1/3) = 2000
+    val hand = oddsRatio(f(Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false))), "e", "y")
+      .collect().head
+    assert((hand.getAs[Long]("a"), hand.getAs[Long]("b"),
+      hand.getAs[Long]("c"), hand.getAs[Long]("d")) === ((2L, 1L, 1L, 2L)))
+    assert(hand.getAs[Long]("or_milli") === 4000L)
+    assert(hand.getAs[Long]("rr_milli") === 2000L)
+    // zero unexposed-hit cell: both ratios undefined -> null
+    val z = oddsRatio(f(Seq((true, true), (true, false), (false, false))),
+      "e", "y").collect().head
+    assert(z.isNullAt(4) && z.isNullAt(5))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("priceIndex: hand basket, both-periods membership, Fisher mean") {
     // A: 2 @ $1 -> 1 @ $2 (doubled); B: 1 @ $.5 -> 2 @ $.5 (flat);
     // C only in p0: excluded. L = 450/250 = 1.8, P = 300/200 = 1.5
