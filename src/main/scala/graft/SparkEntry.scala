@@ -6064,6 +6064,49 @@ object SparkEntry {
           (col("value") > 150).as("y")),
         "e", "y")),
 
+    // McNemar paired-classifier test: two id-arithmetic predictors
+    // against the high-value label; exact discordant-cell chi2 millis.
+    // Fully oracled.
+    "q_mcnemar" -> ((s, dir) =>
+      graft.operators.Eval.mcnemar(
+        t(s, dir, "events").select(
+          (col("event_id") % 3 === 0).as("p1"),
+          (col("event_id") % 2 === 0).as("p2"),
+          (col("value") > 150).as("y")),
+        "p1", "p2", "y")),
+
+    // Cochran-Armitage trend over 5 dose rings with rate 1/(dose+2):
+    // exact BIGINT sums, one pinned IEEE sqrt chain. Fully oracled.
+    "q_cochran" -> ((s, dir) =>
+      graft.operators.Eval.cochranArmitage(
+        t(s, dir, "events").select(
+          pmod(col("user_id"), lit(5)).as("dose"),
+          (col("event_id") % (pmod(col("user_id"), lit(5)) + 2) === 0)
+            .as("y")),
+        "dose", "y")),
+
+    // Kendall's W concordance of 3 supplier-ring raters over 40 part
+    // items scored by max extended price: exact integer rank sums.
+    // Fully oracled.
+    "q_kendall_w" -> ((s, dir) =>
+      graft.operators.Eval.kendallW(
+        t(s, dir, "lineitem").select(
+          (col("l_partkey") % 40).as("item"),
+          (col("l_suppkey") % 3).as("rater"),
+          col("l_extendedprice").as("v")),
+        "item", "rater", "v")),
+
+    // Mantel-Haenszel pooled odds ratio across 7 user strata vs the
+    // crude OR: per-stratum micro terms, order-independent sums.
+    // Fully oracled.
+    "q_mantel" -> ((s, dir) =>
+      graft.operators.Relational.mantelHaenszel(
+        t(s, dir, "events").select(
+          pmod(col("user_id"), lit(7)).as("k"),
+          (pmod(col("user_id"), lit(2)) === 1).as("e"),
+          (col("value") > 150).as("y")),
+        "k", "e", "y")),
+
     // Network robustness: component structure before/after removing
     // the 10 highest-degree hubs of the undirected affine-map graph.
     // Fully oracled.
@@ -12351,6 +12394,108 @@ object SparkEntry {
         |    AS or_milli,
         |  CASE WHEN c > 0 AND a + b > 0
         |    THEN a * (c + d) * 1000 // (c * (a + b)) END AS rr_milli
+        |FROM g""".stripMargin,
+
+    // discordant-cell replay; continuity floor mirrored via greatest
+    "q_mcnemar" ->
+      """WITH t AS (SELECT
+        |    (event_id % 3 = 0) = (value > 150) AS r1,
+        |    (event_id % 2 = 0) = (value > 150) AS r2 FROM events),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS both_right,
+        |    CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_wrong
+        |  FROM t)
+        |SELECT both_right, b, c, both_wrong,
+        |  CASE WHEN b + c > 0
+        |    THEN (b - c) * (b - c) * 1000 // (b + c) END AS chi2_milli,
+        |  CASE WHEN b + c > 0
+        |    THEN greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+        |      * 1000 // (b + c) END AS chi2_cc_milli
+        |FROM g""".stripMargin,
+
+    // exact per-dose sums, the one pinned IEEE sqrt chain mirrored
+    // token-for-token
+    "q_cochran" ->
+      """WITH t AS (SELECT user_id % 5 AS s,
+        |    CASE WHEN event_id % ((user_id % 5) + 2) = 0
+        |      THEN 1 ELSE 0 END AS y FROM events),
+        |d AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS r FROM t GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS r,
+        |    CAST(sum(s * n) AS BIGINT) AS sn,
+        |    CAST(sum(s * r) AS BIGINT) AS sr,
+        |    CAST(sum(s * s * n) AS BIGINT) AS s2n,
+        |    CAST(count(*) AS BIGINT) AS n_doses FROM d)
+        |SELECT n, r, n_doses, n * sr - r * sn AS trend_num,
+        |  CASE WHEN r > 0 AND r < n AND n * s2n - sn * sn > 0 THEN
+        |    CAST(floor(CAST(n * sr - r * sn AS DOUBLE) * 1000000.0
+        |      / sqrt(CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) * CAST(s2n AS DOUBLE)
+        |           - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+        |        / CAST(n AS DOUBLE))) AS BIGINT) END AS z_micro
+        |FROM g""".stripMargin,
+
+    // deterministic tie-broken ranks per rater; exact S4 sum
+    "q_kendall_w" ->
+      """WITH cells AS (SELECT l_suppkey % 3 AS rater,
+        |    l_partkey % 40 AS item, max(l_extendedprice) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (SELECT item, CAST(row_number() OVER (
+        |    PARTITION BY rater ORDER BY v DESC, item) AS BIGINT) AS rk
+        |  FROM cells),
+        |sums AS (SELECT item, CAST(sum(rk) AS BIGINT) AS rsum
+        |  FROM ranked GROUP BY 1),
+        |dims AS (SELECT
+        |    CAST(count(DISTINCT rater) AS BIGINT) AS m,
+        |    CAST(count(DISTINCT item) AS BIGINT) AS n FROM cells),
+        |g AS (SELECT max(m) AS m_raters, max(n) AS n_items,
+        |    CAST(sum((2 * rsum - m * (n + 1))
+        |      * (2 * rsum - m * (n + 1))) AS BIGINT) AS s4
+        |  FROM sums, dims)
+        |SELECT m_raters, n_items,
+        |  CASE WHEN n_items > 1 THEN 3 * s4 * 1000
+        |    // (m_raters * m_raters
+        |       * (n_items * n_items * n_items - n_items)) END AS w_milli
+        |FROM g""".stripMargin,
+
+    // per-stratum micro terms then order-independent sums; crude OR
+    // rides along
+    "q_mantel" ->
+      """WITH t AS (SELECT user_id % 7 AS k, user_id % 2 = 1 AS e,
+        |    value > 150 AS y FROM events),
+        |s AS (SELECT k,
+        |    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM t GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(a) AS BIGINT) AS a_sum,
+        |    CAST(sum(b) AS BIGINT) AS b_sum,
+        |    CAST(sum(c) AS BIGINT) AS c_sum,
+        |    CAST(sum(d) AS BIGINT) AS d_sum,
+        |    CAST(sum(a * d * 1000000 // (a + b + c + d)) AS BIGINT)
+        |      AS num_micro,
+        |    CAST(sum(b * c * 1000000 // (a + b + c + d)) AS BIGINT)
+        |      AS den_micro
+        |  FROM s)
+        |SELECT n_strata, num_micro, den_micro,
+        |  CASE WHEN den_micro > 0
+        |    THEN num_micro * 1000 // den_micro END AS or_mh_milli,
+        |  CASE WHEN b_sum > 0 AND c_sum > 0
+        |    THEN a_sum * d_sum * 1000 // (b_sum * c_sum) END
+        |    AS or_crude_milli
         |FROM g""".stripMargin,
 
     // canonical undirected edges, hub head by (degree desc, node),

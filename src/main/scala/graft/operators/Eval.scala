@@ -1038,4 +1038,123 @@ object Eval {
           .as("raw_micro"),
         col("fit_micro"))
   }
+
+  /** McNemar's test for PAIRED binary classifiers — the A/B readout
+    * when both models score the SAME rows (accuracy deltas double-count
+    * the rows both get right/wrong; only the DISCORDANT cells carry
+    * information): `b` = rows model-1 gets right and model-2 wrong,
+    * `c` = the reverse, `chi2_milli = (b−c)²·1000 div (b+c)` and the
+    * continuity-corrected `chi2_cc_milli = max(|b−c|−1, 0)²·1000 div
+    * (b+c)`, both NULL when b+c = 0 (no disagreement — no test).
+    * EXACT integer end to end (~3.9 above the 3.84 1-df 5% line means
+    * reject).
+    *
+    * Scale: one partial aggregate to 4 cells, one 1-row readout;
+    * overflow-safe while `(b−c)²·1000 < 2^63` (~1.5e9 discordant rows
+    * — the q_gini DECIMAL rule beyond). Judged `q_mcnemar`, fully
+    * ORACLED; hand 2×2, symmetry null, zero-discordance fence and the
+    * continuity floor pinned in EvalSpec. */
+  def mcnemar(df: DataFrame, pred1Col: String, pred2Col: String,
+      labelCol: String): DataFrame = {
+    df.select(
+        (col(pred1Col).cast("boolean") === col(labelCol).cast("boolean"))
+          .as("__r1"),
+        (col(pred2Col).cast("boolean") === col(labelCol).cast("boolean"))
+          .as("__r2"))
+      .agg(
+        sum(when(col("__r1") && col("__r2"), 1L).otherwise(0L))
+          .as("both_right"),
+        sum(when(col("__r1") && !col("__r2"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__r1") && col("__r2"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__r1") && !col("__r2"), 1L).otherwise(0L))
+          .as("both_wrong"))
+      .select(col("both_right"), col("b"), col("c"), col("both_wrong"),
+        when(col("b") + col("c") > 0,
+          expr("(b - c) * (b - c) * 1000 div (b + c)")).as("chi2_milli"),
+        when(col("b") + col("c") > 0,
+          expr("""greatest(abs(b - c) - 1, 0L) * greatest(abs(b - c) - 1, 0L)
+            * 1000 div (b + c)""")).as("chi2_cc_milli"))
+  }
+
+  /** Cochran–Armitage trend test — does a binary outcome rate move
+    * MONOTONICALLY across ordered dose groups (rollout rings, spend
+    * tiers, model-size ladders)? Plain chi² ignores the ordering; this
+    * puts all its power on the linear trend. With integer scores `s`
+    * per group, `nᵢ` trials and `rᵢ` hits: the exact-BIGINT numerator
+    * `A = N·Σsᵢrᵢ − R·Σsᵢnᵢ` and denominator-squared
+    * `R(N−R)(N·Σsᵢ²nᵢ − (Σsᵢnᵢ)²)/N`, so
+    * `z = A / √(…)` — every sum exact, ONE pinned IEEE
+    * multiply/divide/√ chain micro-floored at the end (the
+    * [[mannWhitney]] judged-double convention; |z| > 1.96 rejects).
+    * NULL when R ∈ {0, N} or all rows share one dose (no variance).
+    *
+    * Scale: one partial aggregate to per-dose (n, r) rows, one 1-row
+    * readout. The double chain is exact-input while `N·Σs²n < 2^53`
+    * (~1e11 rows at single-digit scores). Judged `q_cochran`, fully
+    * ORACLED; hand trend, flat-rate z≈0, degenerate fences and sign
+    * direction pinned in EvalSpec. */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+      outcomeCol: String): DataFrame = {
+    df.select(col(doseCol).cast("long").as("__s"),
+        col(outcomeCol).cast("boolean").cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__r"))
+      .agg(sum(col("__n")).as("n"), sum(col("__r")).as("r"),
+        sum(expr("__s * __n")).as("__sn"),
+        sum(expr("__s * __r")).as("__sr"),
+        sum(expr("__s * __s * __n")).as("__s2n"),
+        count(lit(1)).as("n_doses"))
+      .select(col("n"), col("r"), col("n_doses"),
+        expr("n * __sr - r * __sn").as("trend_num"),
+        when(col("r") > 0 && col("r") < col("n") &&
+            expr("n * __s2n - __sn * __sn") > 0,
+          expr("""cast(floor(cast(n * __sr - r * __sn as double) * 1000000.0
+            / sqrt(cast(r as double) * cast(n - r as double)
+              * (cast(n as double) * cast(__s2n as double)
+                 - cast(__sn as double) * cast(__sn as double))
+              / cast(n as double))) as bigint)""")).as("z_micro"))
+  }
+
+  /** Kendall's W — concordance of m COMPLETE rankings of n items (do
+    * independent rankers/models/metrics order the catalog the same
+    * way?): ranks are `row_number` per rater over (value desc, item
+    * asc) so ties break deterministically and every rank is an exact
+    * integer; with `Rᵢ` the per-item rank sums,
+    * `S4 = Σᵢ(2Rᵢ − m(n+1))² = 4·Σ(Rᵢ − R̄)²` stays in BIGINT and
+    * `w_milli = 3·S4·1000 div (m²·(n³−n))` is exact (1000 = perfect
+    * agreement, 0 = no association). Requires a complete block design
+    * — every rater ranks every item (the fixture guarantees it; rows
+    * per (rater, item) are pre-aggregated by max so duplicates
+    * collapse deterministically).
+    *
+    * Scale: one partial aggregate to (rater, item) cells (m·n rows —
+    * config-scale), per-rater windows over n items, one 1-row readout;
+    * overflow-safe while `m²n³ < 2^63/3000` (~1e5 items at 100
+    * raters). Judged `q_kendall_w`, fully ORACLED; perfect/reversed
+    * agreement, the 3-rater hand value and the complete-design
+    * collapse pinned in EvalSpec. */
+  def kendallW(df: DataFrame, itemCol: String, raterCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df.groupBy(col(raterCol).as("__rater"),
+        col(itemCol).as("__item"))
+      .agg(max(col(valueCol)).as("__v"))
+    val ranked = cells.withColumn("__rk",
+      row_number().over(Window.partitionBy("__rater")
+        .orderBy(col("__v").desc, col("__item"))))
+    val sums = ranked.groupBy(col("__item"))
+      .agg(sum(col("__rk")).as("__rsum"))
+    val dims = cells.agg(
+      countDistinct(col("__rater")).as("__m"),
+      countDistinct(col("__item")).as("__n"))
+    sums.crossJoin(broadcast(dims))
+      .select(col("__item"), col("__rsum"), col("__m"), col("__n"))
+      .agg(max(col("__m")).as("m_raters"), max(col("__n")).as("n_items"),
+        sum(expr("""(2 * __rsum - __m * (__n + 1))
+          * (2 * __rsum - __m * (__n + 1))""")).as("__s4"))
+      .select(col("m_raters"), col("n_items"),
+        when(col("n_items") > 1,
+          expr("""3 * __s4 * 1000 div (m_raters * m_raters
+            * (n_items * n_items * n_items - n_items))"""))
+          .as("w_milli"))
+  }
 }

@@ -2406,4 +2406,48 @@ object Relational {
         floor(sqrt(expr("cast(laspeyres_milli as double)") *
           expr("cast(paasche_milli as double)")) + lit(0.5)).cast("long"))
   }
+
+  /** Mantel–Haenszel pooled odds ratio — [[oddsRatio]] adjusted for a
+    * confounding stratum (Simpson's-paradox protection: the crude 2×2
+    * can show an effect the within-stratum tables reverse): per
+    * stratum i with cells (aᵢ, bᵢ, cᵢ, dᵢ) and nᵢ rows,
+    * `OR_MH = Σᵢ aᵢdᵢ/nᵢ ÷ Σᵢ bᵢcᵢ/nᵢ`. Each term micro-quantizes
+    * independently (`aᵢ·dᵢ·10⁶ div nᵢ` — exact BIGINT numerator, one
+    * truncating division, operands non-negative so Spark `div` and
+    * DuckDB `//` agree), then the sums are order-independent (the chi2
+    * judged-double pattern). The crude (unstratified) OR rides along
+    * so the confounding gap is visible in one row; both NULL-fence a
+    * zero denominator. 1000 = no effect.
+    *
+    * Scale: one partial aggregate to per-stratum cells (config-scale),
+    * one 1-row readout; overflow-safe while `aᵢ·dᵢ·10⁶ < 2^63`
+    * (~3e6 rows a cell — the q_gini DECIMAL rule beyond). Judged
+    * `q_mantel`, fully ORACLED; a hand Simpson's-paradox pair of
+    * strata (crude reversed vs pooled), single-stratum ≡ crude and
+    * zero fences pinned in RelationalSpec. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposeCol: String, outcomeCol: String): DataFrame = {
+    df.select(col(stratumCol).as("__k"),
+        col(exposeCol).cast("boolean").as("__e"),
+        col(outcomeCol).cast("boolean").as("__y"))
+      .groupBy(col("__k"))
+      .agg(
+        sum(when(col("__e") && col("__y"), 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__e") && !col("__y"), 1L).otherwise(0L)).as("__b"),
+        sum(when(!col("__e") && col("__y"), 1L).otherwise(0L)).as("__c"),
+        sum(when(!col("__e") && !col("__y"), 1L).otherwise(0L)).as("__d"))
+      .select(col("__a"), col("__b"), col("__c"), col("__d"),
+        (col("__a") + col("__b") + col("__c") + col("__d")).as("__n"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("__a")).as("a_sum"), sum(col("__b")).as("b_sum"),
+        sum(col("__c")).as("c_sum"), sum(col("__d")).as("d_sum"),
+        sum(expr("__a * __d * 1000000 div __n")).as("num_micro"),
+        sum(expr("__b * __c * 1000000 div __n")).as("den_micro"))
+      .select(col("n_strata"), col("num_micro"), col("den_micro"),
+        when(col("den_micro") > 0,
+          expr("num_micro * 1000 div den_micro")).as("or_mh_milli"),
+        when(col("b_sum") > 0 && col("c_sum") > 0,
+          expr("a_sum * d_sum * 1000 div (b_sum * c_sum)"))
+          .as("or_crude_milli"))
+  }
 }

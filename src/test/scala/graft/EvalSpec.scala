@@ -540,4 +540,82 @@ class EvalSpec extends SparkTestBase {
     assert(mixed.zip(mixed.tail).forall { case (a, b) => a <= b })
     graft.engine.Caches.releaseAll()
   }
+
+  test("mcnemar: hand 2x2, symmetry null, zero-discordance fence, " +
+      "continuity floor") {
+    // y always true so pred == correctness; 3 rows p1-only right,
+    // 1 row p2-only right, 2 both right, 1 both wrong
+    val df = Seq(
+      (true, true, true), (true, true, true), (false, false, true),
+      (true, false, true), (true, false, true), (true, false, true),
+      (false, true, true)).toDF("p1", "p2", "y")
+    val r = Eval.mcnemar(df, "p1", "p2", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 3L, 1L, 1L)))
+    // chi2 = (3-1)^2/4 = 1.0; cc = (|2|-1)^2/4 = 0.25
+    assert(r.getLong(4) === 1000L && r.getLong(5) === 250L)
+    // b == c: statistic exactly 0, cc floors at (1-1)^2 = 0
+    val sym = Eval.mcnemar(Seq((true, false, true), (false, true, true))
+      .toDF("p1", "p2", "y"), "p1", "p2", "y").collect().head
+    assert(sym.getLong(4) === 0L && sym.getLong(5) === 0L)
+    // perfect agreement: no discordant pair, both stats NULL
+    val agree = Eval.mcnemar(Seq((true, true, true), (false, false, true))
+      .toDF("p1", "p2", "y"), "p1", "p2", "y").collect().head
+    assert(agree.isNullAt(4) && agree.isNullAt(5))
+  }
+
+  test("cochranArmitage: hand trend sign, flat-rate z~0, degenerate " +
+      "fences") {
+    // dose 0: 0/10 hit, dose 1: 5/10, dose 2: 10/10 — perfect up-trend
+    val up = (0 until 10).flatMap(i => Seq((0L, false), (2L, true)) ++
+      Seq((1L, i < 5))).toDF("dose", "y")
+    val r = Eval.cochranArmitage(up, "dose", "y").collect().head
+    assert(r.getLong(0) === 30L && r.getLong(1) === 15L)
+    assert(r.getLong(3) > 0L && r.getLong(4) > 1960000L) // strongly sig.
+    // reversed: same magnitude, negative sign
+    val down = up.select((lit(2L) - col("dose")).as("dose"), col("y"))
+    val d = Eval.cochranArmitage(down, "dose", "y").collect().head
+    assert(d.getLong(4) === -r.getLong(4) || d.getLong(4) === -r.getLong(4) - 1L)
+    // flat rate: numerator exactly 0
+    val flat = (0 until 12).map(i => (i % 3L, i % 2 == 0)).toDF("dose", "y")
+    val f = Eval.cochranArmitage(flat, "dose", "y").collect().head
+    assert(f.getLong(3) === 0L && f.getLong(4) === 0L)
+    // all-hit and single-dose: fenced NULL
+    assert(Eval.cochranArmitage(Seq((0L, true), (1L, true))
+      .toDF("dose", "y"), "dose", "y").collect().head.isNullAt(4))
+    assert(Eval.cochranArmitage(Seq((1L, true), (1L, false))
+      .toDF("dose", "y"), "dose", "y").collect().head.isNullAt(4))
+  }
+
+  test("kendallW: perfect and reversed agreement, hand 3-rater value, " +
+      "duplicate collapse") {
+    // 3 raters, identical value ordering over 4 items: W = 1000
+    val perfect = (0 until 3).flatMap(r =>
+      (0 until 4).map(i => (i.toLong, r.toLong, 100.0 - i)))
+      .toDF("item", "rater", "v")
+    assert(Eval.kendallW(perfect, "item", "rater", "v")
+      .collect().head.getLong(2) === 1000L)
+    // 2 raters in exact opposition over 4 items: every rank sum equals
+    // m(n+1)/2 = 5, S4 = 0, W = 0
+    val opposed = ((0 until 4).map(i => (i.toLong, 0L, 100.0 - i)) ++
+      (0 until 4).map(i => (i.toLong, 1L, 100.0 + i)))
+      .toDF("item", "rater", "v")
+    assert(Eval.kendallW(opposed, "item", "rater", "v")
+      .collect().head.getLong(2) === 0L)
+    // hand value: raters A/B agree (a>b>c), C says b>c>a: rank sums
+    // a=1+1+3=5, b=2+2+1=5, c=3+3+2=8; S4 with m=3,n=3: terms
+    // (2R-12)^2 = 4+4+16 = 24, W = 3*24/(9*24) = 1/3 → 333 milli
+    val hand = Seq(
+      (0L, 0L, 3.0), (1L, 0L, 2.0), (2L, 0L, 1.0),
+      (0L, 1L, 3.0), (1L, 1L, 2.0), (2L, 1L, 1.0),
+      (0L, 2L, 1.0), (1L, 2L, 3.0), (2L, 2L, 2.0))
+      .toDF("item", "rater", "v")
+    assert(Eval.kendallW(hand, "item", "rater", "v")
+      .collect().head.getLong(2) === 333L)
+    // duplicate (rater, item) rows collapse by max before ranking
+    val dup = Eval.kendallW(perfect.unionAll(
+      Seq((0L, 0L, -999.0)).toDF("item", "rater", "v")),
+      "item", "rater", "v").collect().head
+    assert(dup.getLong(2) === 1000L)
+  }
 }

@@ -1340,4 +1340,31 @@ class RelationalSpec extends SparkTestBase {
     assert(got.getAs[Long]("fisher_milli") === 1643L)
     graft.engine.Caches.releaseAll()
   }
+
+  test("mantelHaenszel: Simpson's-paradox pair, single-stratum = crude, " +
+      "zero fences") {
+    def f(rows: Seq[(Long, Boolean, Boolean)]) = rows.toDF("k", "e", "y")
+    // stratum 1: a=8,b=2,c=4,d=1 (n=15): OR=8*1/(2*4)=1, term ratio 1
+    // stratum 2: a=1,b=4,c=2,d=8 (n=15): OR=1*8/(4*2)=1 → pooled 1000
+    // crude: a=9,b=6,c=6,d=9 → OR=81/36=2250 — paradox visible
+    def cells(k: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((k, true, true)) ++ Seq.fill(b)((k, true, false)) ++
+      Seq.fill(c)((k, false, true)) ++ Seq.fill(d)((k, false, false))
+    val got = mantelHaenszel(
+      f(cells(1L, 8, 2, 4, 1) ++ cells(2L, 1, 4, 2, 8)), "k", "e", "y")
+      .collect().head
+    assert(got.getAs[Long]("n_strata") === 2L)
+    assert(got.getAs[Long]("or_mh_milli") === 1000L)
+    assert(got.getAs[Long]("or_crude_milli") === 2250L)
+    // one stratum: pooled == crude (floor-rounded micro terms)
+    val one = mantelHaenszel(f(cells(1L, 6, 3, 2, 4)), "k", "e", "y")
+      .collect().head
+    assert(one.getAs[Long]("or_mh_milli") ===
+      one.getAs[Long]("or_crude_milli"))
+    // every-stratum zero bc-product: pooled fenced NULL
+    val z = mantelHaenszel(f(cells(1L, 3, 0, 2, 4)), "k", "e", "y")
+      .collect().head
+    assert(z.isNullAt(z.fieldIndex("or_mh_milli")) &&
+      z.isNullAt(z.fieldIndex("or_crude_milli")))
+  }
 }
