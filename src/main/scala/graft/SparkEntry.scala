@@ -4812,6 +4812,36 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) =>
       graft.functions.TextOps.zipfFit(t(s, dir, "documents"), "text", 100)),
 
+    // Lexical-richness census over an injected sqrt-bucket vocabulary
+    // (~100 types with linearly growing sizes — the harness corpus has
+    // only ~24 types, the CLAUDE fixture rule): exact TTR / hapax /
+    // Yule's K integers. Fully oracled.
+    "q_lexical" -> ((s, dir) =>
+      graft.functions.TextOps.lexicalRichness(
+        t(s, dir, "orders").select(
+          concat(lit("w"),
+            floor(sqrt((col("o_orderkey") % 9973).cast("double")))
+              .cast("long").cast("string")).as("tok")),
+        "tok")),
+
+    // Flesch / FK readability over punctuation-injected text
+    // (' the ' -> '. ' mints sentence runs; replace scans identically
+    // left-to-right in both engines). Fully oracled.
+    "q_readability" -> ((s, dir) =>
+      graft.functions.TextOps.readability(
+        t(s, dir, "documents").select(col("doc_id"),
+          expr("replace(text, ' the ', '. ')").as("txt")),
+        "doc_id", "txt")
+        .orderBy("doc_id")),
+
+    // Adjacent-bigram PMI collocations at min-support 20: one
+    // micro-floored ln per cell (the q_mi idiom), BIGINT rank key.
+    // Fully oracled.
+    "q_collocations" -> ((s, dir) =>
+      graft.functions.TextOps.pmiCollocations(
+        t(s, dir, "documents"), "doc_id", "text", 20L)
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))),
+
     // Weekly-activity autocorrelation at lags 1..4: scaled-integer
     // mean-centering makes numerator/denominator exact BIGINT sums,
     // the one double is the final division (the twap rule). Densified
@@ -8469,6 +8499,70 @@ object SparkEntry {
         |       regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
         |         AS r2
         |FROM r""".stripMargin,
+
+    // per-type frequencies then one exact-integer readout row
+    "q_lexical" ->
+      """WITH toks AS (SELECT 'w' || CAST(CAST(floor(sqrt(
+        |      CAST(o_orderkey % 9973 AS DOUBLE))) AS BIGINT) AS VARCHAR)
+        |      AS tok FROM orders),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
+        |      GROUP BY 1),
+        |g AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax_types,
+        |    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dis_types,
+        |    CAST(sum(f * f) AS BIGINT) AS s2 FROM f)
+        |SELECT n_tokens, n_types, hapax_types, dis_types,
+        |  CASE WHEN n_tokens > 0
+        |    THEN n_types * 1000000 // n_tokens END AS ttr_micro,
+        |  CASE WHEN n_types > 0
+        |    THEN hapax_types * 1000 // n_types END AS hapax_milli,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (s2 - n_tokens) * 10000000 // (n_tokens * n_tokens) END
+        |    AS yule_k_milli
+        |FROM g""".stripMargin,
+
+    // run counting via the replace-length identity; truncating
+    // divisions on non-negative operands only
+    "q_readability" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' the ', '. ') AS txt
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(string_split(txt, ' ')) AS BIGINT) AS words,
+        |    greatest(CAST(length(regexp_replace(txt, '[.!?]+', '#', 'g'))
+        |      - length(regexp_replace(txt, '[.!?]+', '', 'g')) AS BIGINT),
+        |      1) AS sentences,
+        |    CAST(length(regexp_replace(lower(txt), '[aeiouy]+', '#', 'g'))
+        |      - length(regexp_replace(lower(txt), '[aeiouy]+', '', 'g'))
+        |      AS BIGINT) AS syllables
+        |  FROM d)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words > 0 THEN 206835 - 1015 * words // sentences
+        |    - 84600 * syllables // words END AS flesch_milli,
+        |  CASE WHEN words > 0 THEN 390 * words // sentences
+        |    + 11800 * syllables // words - 15590 END AS fk_grade_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // zipped adjacent-slice unnests form the bigram stream; marginals
+    // as windows over the vocab-squared cell table; one ln per cell
+    "q_collocations" ->
+      """WITH big AS (SELECT unnest(l[1:len(l)-1]) AS w1,
+        |    unnest(l[2:len(l)]) AS w2
+        |  FROM (SELECT string_split(text, ' ') AS l FROM documents)),
+        |cells AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |          FROM big GROUP BY 1, 2),
+        |m AS (SELECT w1, w2, n_pair,
+        |    CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_left,
+        |    CAST(sum(n_pair) OVER (PARTITION BY w2) AS BIGINT) AS n_right,
+        |    CAST(sum(n_pair) OVER () AS BIGINT) AS n_total FROM cells)
+        |SELECT w1, w2, n_pair, n_left, n_right,
+        |  CAST(floor(ln(CAST(n_pair * n_total AS DOUBLE)
+        |    / CAST(n_left * n_right AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS pmi_micro
+        |FROM m WHERE n_pair >= 20
+        |ORDER BY pmi_micro DESC, w1, w2""".stripMargin,
 
     // identical scaled-integer centering both sides: (n·x − S) terms
     // are exact, sums CAST BIGINT, the lone double is one division

@@ -906,4 +906,117 @@ object TextOps {
       .agg(count(lit(1)).as("vocab"))
       .select(col("checkpoint"), col("n_docs"), col("vocab"))
   }
+
+  /** Lexical-richness census of a token stream — the vocabulary-health
+    * readout next to [[heapsCurve]]/[[zipfFit]] (Heaps says how vocab
+    * GROWS, Zipf how it DECAYS; this is the one-row state): token and
+    * type counts, hapax/dis legomena (freq-1/freq-2 types — the
+    * long-tail share every tokenizer-budget decision reads),
+    * `ttr_micro = types·10⁶ div tokens`, and Yule's K — the
+    * length-invariant repeat-rate characteristic
+    * `K_milli = 10⁷·(Σf² − N) div N²` (higher = more repetitive; a
+    * pure rational, no ln anywhere). All EXACT integer.
+    *
+    * Scale: one partial aggregate to per-type frequencies, one 1-row
+    * readout; overflow-safe while `Σf²·10⁷ < 2^63` (~30M-row top type
+    * — the q_gini DECIMAL rule beyond). Judged `q_lexical` (injected
+    * sqrt-bucket vocabulary — the harness corpus has ~24 types, CLAUDE
+    * fixture rule), fully ORACLED; hand hapax/Yule values, monoculture
+    * and empty fences pinned in TextOpsSpec. */
+  def lexicalRichness(toks: DataFrame, tokenCol: String): DataFrame = {
+    toks.groupBy(col(tokenCol).as("__t"))
+      .agg(count(lit(1)).as("__f"))
+      .agg(sum(col("__f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__f") === 1L, 1L).otherwise(0L)).as("hapax_types"),
+        sum(when(col("__f") === 2L, 1L).otherwise(0L)).as("dis_types"),
+        sum(expr("__f * __f")).as("__s2"))
+      .select(
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_types"), col("hapax_types"), col("dis_types"),
+        when(col("n_tokens") > 0,
+          expr("n_types * 1000000 div n_tokens")).as("ttr_micro"),
+        when(col("n_types") > 0,
+          expr("hapax_types * 1000 div n_types")).as("hapax_milli"),
+        when(col("n_tokens") > 0,
+          expr("(__s2 - n_tokens) * 10000000 div (n_tokens * n_tokens)"))
+          .as("yule_k_milli"))
+  }
+
+  /** Flesch/Flesch–Kincaid readability per document — the classic
+    * surface-form difficulty scores a curation pipeline bins on
+    * (CCNet buckets by perplexity; readability is the zero-model
+    * sibling): words = single-space tokens (the [[tokens]] contract),
+    * sentences = `[.!?]+` runs (floored at 1 — headlines score as one
+    * sentence), syllables = `[aeiouy]+` vowel runs over the lowercased
+    * text (the standard heuristic). Runs are counted by the
+    * replace-length identity `len(sub(r,'#')) − len(sub(r,''))` so
+    * both engines count with plain regexp_replace. The two scores are
+    * exact-integer milli readouts (truncating divisions on
+    * non-negative operands): `flesch_milli = 206835 − 1015·w div s −
+    * 84600·syl div w`, `fk_grade_milli = 390·w div s + 11800·syl div w
+    * − 15590`.
+    *
+    * Scale: pure per-row scan-stage expressions, zero shuffle. Judged
+    * `q_readability`, fully ORACLED; hand sentence/syllable counts,
+    * the headline floor and the monosyllabic-vs-polysyllabic ordering
+    * pinned in TextOpsSpec. */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val txt = col(textCol)
+    def runs(src: Column, pattern: String): Column =
+      (length(regexp_replace(src, pattern, "#")) -
+        length(regexp_replace(src, pattern, ""))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        size(split(txt, " ")).cast("long").as("words"),
+        greatest(runs(txt, "[.!?]+"), lit(1L)).as("sentences"),
+        runs(lower(txt), "[aeiouy]+").as("syllables"))
+      .select(col("doc_id"), col("words"), col("sentences"),
+        col("syllables"),
+        when(col("words") > 0,
+          expr("""206835 - 1015 * words div sentences
+            - 84600 * syllables div words""")).as("flesch_milli"),
+        when(col("words") > 0,
+          expr("""390 * words div sentences
+            + 11800 * syllables div words - 15590""")).as("fk_grade_milli"))
+  }
+
+  /** PMI collocations — which adjacent token pairs co-occur FAR more
+    * than their marginals predict (multiword expressions, templated
+    * boilerplate, entity names): over the corpus bigram stream,
+    * `pmi_micro = ⌊ln(c_xy·N / (c_x·c_y))·10⁶⌋` with c_x/c_y the
+    * LEFT/RIGHT marginals of the bigram table (so the distribution
+    * sums to 1 exactly) — integer products cast exact-to-double, ONE
+    * ln, micro-floored (the q_mi judged-double idiom). Pairs below
+    * `minCount` are dropped (PMI's low-count pathology); rank key is
+    * the BIGINT micro value (the q_keywords float-rank rule).
+    *
+    * Scale: bigrams form per-doc (lead over (doc, pos) — no global
+    * window), partial-agg to vocab² cells; marginals are windows over
+    * the config-scale cell table. Judged `q_collocations`, fully
+    * ORACLED; hand PMI signs (attracted/repelled pairs), the marginal
+    * identity and min-count drop pinned in TextOpsSpec. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("__d"),
+      posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+    val big = toks
+      .withColumn("__w2",
+        lead(col("__w"), 1).over(W.partitionBy("__d").orderBy("__p")))
+      .filter(col("__w2").isNotNull)
+    val cells = big.groupBy(col("__w").as("w1"), col("__w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val total = broadcast(cells.agg(sum(col("n_pair")).as("n_total")))
+    cells
+      .withColumn("n_left", sum(col("n_pair")).over(W.partitionBy("w1")))
+      .withColumn("n_right", sum(col("n_pair")).over(W.partitionBy("w2")))
+      .crossJoin(total)
+      .filter(col("n_pair") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_left"),
+        col("n_right"),
+        expr("""cast(floor(ln(cast(n_pair * n_total as double)
+          / cast(n_left * n_right as double)) * 1000000.0) as bigint)""")
+          .as("pmi_micro"))
+  }
 }

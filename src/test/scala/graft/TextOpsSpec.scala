@@ -532,4 +532,69 @@ class TextOpsSpec extends SparkTestBase {
       TextOps.heapsCurve(docs, "doc_id", "text", 1))
     graft.engine.Caches.releaseAll()
   }
+
+  test("lexicalRichness: hand hapax/Yule values, monoculture extreme") {
+    import spark.implicits._
+    // freqs: a=3, b=2, c=1, d=1 → N=7, types=4, hapax=2, dis=1
+    // S2 = 9+4+1+1 = 15; K_milli = 1e7*(15-7)/49 = 1632653
+    val got = TextOps.lexicalRichness(
+      Seq("a", "a", "a", "b", "b", "c", "d").toDF("tok"), "tok")
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((7L, 4L, 2L, 1L)))
+    assert(got.getLong(4) === 571428L)   // 4e6/7
+    assert(got.getLong(5) === 500L)      // 2/4
+    assert(got.getLong(6) === 1632653L)
+    // monoculture: TTR→0 end, K = 1e7*(N²-N)/N² ≈ 1e7·(1-1/N)
+    val mono = TextOps.lexicalRichness(
+      Seq.fill(10)("x").toDF("tok"), "tok").collect().head
+    assert(mono.getLong(1) === 1L && mono.getLong(2) === 0L)
+    assert(mono.getLong(6) === (90L * 10000000L) / 100L)
+  }
+
+  test("readability: hand counts, headline floor, syllable ordering") {
+    import spark.implicits._
+    val got = TextOps.readability(Seq(
+        (1L, "the cat sat. the dog ran!"),   // 6 words, 2 sentences
+        (2L, "no punctuation here"),          // headline: floor to 1
+        (3L, "a a a a"), (4L, "extraordinary onomatopoeia"))
+      .toDF("id", "txt"), "id", "txt").orderBy("doc_id").collect()
+    // doc 1: words=6 (split keeps 'sat.'), sentences=2 ('.'+'!'),
+    // syllables: e-a-a-e-o-a-e-o-a → the(1) cat(1) sat(1) the(1)
+    // dog(1) ran(1) = 6 vowel runs
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3))
+      === ((6L, 2L, 6L)))
+    // flesch = 206835 - 1015*6/2 - 84600*6/6 = 206835-3045-84600
+    assert(got(0).getLong(4) === 119190L)
+    assert(got(1).getLong(2) === 1L)
+    // 4 monosyllables score easier than 2 polysyllabic words
+    assert(got(2).getLong(4) > got(3).getLong(4))
+    // extraordinary: e-o-a-o-i-a-y... runs: 'e','ao','i','a','y' = 5;
+    // onomatopoeia: 'o','o','a','o','oeia' = 5 → 10 total
+    assert(got(3).getLong(3) === 10L)
+  }
+
+  test("pmiCollocations: attracted/repelled signs, marginal identity, " +
+      "min-count drop") {
+    import spark.implicits._
+    // 'x y' always adjacent; 'a'/'b' never adjacent to each other
+    val docs = (0 until 8).map(i => (i.toLong, "x y a x y b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, "doc_id", "text", 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bigrams per doc: (x,y) (y,a) (a,x) (x,y) (y,b) — 5 per doc
+    assert(got(("x", "y"))._1 === 16L)
+    // n_total = 40; left marginal of x = 16, right of y = 16
+    assert(got(("x", "y"))._2 === 16L && got(("x", "y"))._3 === 16L)
+    // PMI(x,y) = ln(16*40/(16*16)) = ln(2.5) > 0
+    assert(got(("x", "y"))._4 === math.floor(math.log(2.5) * 1e6).toLong)
+    // (y,a) observed at chance-ish: ln(8*40/(16*8)) = ln(2.5)... no:
+    // y left-marginal 16, a right-marginal 8 → ln(8*40/(16*8)) = ln(2.5)
+    assert(got(("y", "a"))._4 === got(("x", "y"))._4)
+    // min-count drop: threshold above 8 kills the single-pair rows
+    val cut = TextOps.pmiCollocations(docs, "doc_id", "text", 9L)
+      .collect()
+    assert(cut.map(_.getString(0)).toSet === Set("x"))
+  }
 }
