@@ -3822,6 +3822,19 @@ object SparkEntry {
           m("ev"), "user_id", "ts", "event_id", 600L))
         .orderBy("event_id")),
 
+    // Streaming funnel via per-user custom state: one-batch
+    // AvailableNow replay equals the batch chained-min funnel per
+    // user. Fully oracled.
+    "q_stream_funnel" -> ((s, dir) =>
+      runStream(s, "stream_funnel",
+        Seq(("ev", t(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type"),
+          "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING")),
+        m => graft.streaming.Streams.funnelStream(
+          m("ev"), "user_id", "ts", "event_id", "event_type",
+          Seq("signup", "view", "click", "purchase")))
+        .orderBy("user_id")),
+
     // Streaming Holt smoother under a one-batch AvailableNow replay:
     // in-batch (ts, tie) sort before the fold makes the stream equal
     // the batch operator bit-for-bit — judged against the SAME
@@ -6094,6 +6107,35 @@ object SparkEntry {
           (col("value") > 150).as("y")),
         "e", "y")),
 
+    // Silhouette over three integer-coordinate clusters (squared-
+    // Euclidean metric): per-cluster sufficient statistics, no pair
+    // join. Fully oracled.
+    "q_silhouette" -> ((s, dir) =>
+      graft.operators.Vectors.silhouette2d(
+        t(s, dir, "orders").select(
+          ((col("o_orderkey") % 7) + (col("o_orderkey") % 3) * 50).as("x"),
+          ((col("o_custkey") % 5) + (col("o_orderkey") % 3) * 50).as("y"),
+          (col("o_orderkey") % 3).as("lbl")).distinct(),
+        "x", "y", "lbl")
+        .orderBy("lbl", "x", "y")),
+
+    // Daily SPRT on the high-value rate (p0=300, p1=400 milli, 5%
+    // symmetric error): constants micro-floored once, BIGINT daily
+    // deltas + running LLR. Fully oracled.
+    "q_sprt" -> ((s, dir) =>
+      graft.operators.Events.sprtDaily(
+        t(s, dir, "events").withColumn("hi", col("value") > 150),
+        "ts", "hi", 300L, 400L, 50L)
+        .orderBy("day")),
+
+    // Stationary distribution of the event-type Markov chain: 30
+    // pinned power-iteration steps over the row-normalized transition
+    // matrix, replayed by a 5-state recursive CTE. Fully oracled.
+    "q_stationary" -> ((s, dir) =>
+      graft.operators.Events.markovStationary(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type", 30)
+        .orderBy("state")),
+
     // McNemar paired-classifier test: two id-arithmetic predictors
     // against the high-value label; exact discordant-cell chi2 millis.
     // Fully oracled.
@@ -7139,6 +7181,31 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_idx""".stripMargin,
+
+    // per-user chained-min funnel state; anchor = deepest step's time
+    "q_stream_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'view' AND e.ts >= s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT s0.user_id,
+        |  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 4
+        |            WHEN s2.user_id IS NOT NULL THEN 3
+        |            WHEN s1.user_id IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS steps_done,
+        |  epoch_us(coalesce(s3.t, s2.t, s1.t, s0.t)) AS anchor_us
+        |FROM s0
+        |LEFT JOIN s1 ON s0.user_id = s1.user_id
+        |LEFT JOIN s2 ON s0.user_id = s2.user_id
+        |LEFT JOIN s3 ON s0.user_id = s3.user_id
+        |ORDER BY s0.user_id""".stripMargin,
 
     "q_funnel_window" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
@@ -12489,6 +12556,164 @@ object SparkEntry {
         |  CASE WHEN c > 0 AND a + b > 0
         |    THEN a * (c + d) * 1000 // (c * (a + b)) END AS rr_milli
         |FROM g""".stripMargin,
+
+    // sufficient-statistics silhouette; signed division via sign*abs
+    "q_silhouette" ->
+      """WITH pts AS (SELECT DISTINCT
+        |    (o_orderkey % 7) + (o_orderkey % 3) * 50 AS x,
+        |    (o_custkey % 5) + (o_orderkey % 3) * 50 AS y,
+        |    o_orderkey % 3 AS lbl FROM orders),
+        |st AS (SELECT lbl AS c_lbl, CAST(count(*) AS BIGINT) AS c_n,
+        |    CAST(sum(x) AS BIGINT) AS c_sx,
+        |    CAST(sum(y) AS BIGINT) AS c_sy,
+        |    CAST(sum(x * x + y * y) AS BIGINT) AS c_ss
+        |  FROM pts GROUP BY 1),
+        |terms AS (SELECT p.lbl, p.x, p.y, s.c_lbl, s.c_n,
+        |    s.c_n * (p.x * p.x + p.y * p.y) - 2 * p.x * s.c_sx
+        |      - 2 * p.y * s.c_sy + s.c_ss AS ssum
+        |  FROM pts p, st s),
+        |own AS (SELECT lbl, x, y,
+        |    CASE WHEN c_n > 1 THEN ssum * 1000000 // (c_n - 1) END
+        |      AS a_micro
+        |  FROM terms WHERE lbl = c_lbl),
+        |oth AS (SELECT lbl, x, y,
+        |    CAST(min(ssum * 1000000 // c_n) AS BIGINT) AS b_micro
+        |  FROM terms WHERE lbl <> c_lbl GROUP BY 1, 2, 3)
+        |SELECT o.lbl, o.x, o.y, o.a_micro, b.b_micro,
+        |  CASE WHEN o.a_micro IS NULL OR b.b_micro IS NULL
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(sign(b.b_micro - o.a_micro) AS BIGINT)
+        |      * (abs(b.b_micro - o.a_micro) * 1000
+        |         // greatest(o.a_micro, b.b_micro, 1)) END AS s_milli
+        |FROM own o LEFT JOIN oth b
+        |  ON o.lbl = b.lbl AND o.x = b.x AND o.y = b.y
+        |ORDER BY o.lbl, o.x, o.y""".stripMargin,
+
+    // constants micro-floored once from exact milli-rate ratios; the
+    // daily walk is pure BIGINT
+    "q_sprt" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hits
+        |  FROM events GROUP BY 1),
+        |k AS (SELECT
+        |    CAST(floor(ln(CAST(400 AS DOUBLE) / CAST(300 AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS ih,
+        |    CAST(floor(ln(CAST(600 AS DOUBLE) / CAST(700 AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS im,
+        |    CAST(floor(ln(CAST(950 AS DOUBLE) / CAST(50 AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS up),
+        |m AS (SELECT day, n, hits, hits * ih + (n - hits) * im
+        |        AS delta_micro, up FROM d, k),
+        |r AS (SELECT day, n, hits, delta_micro, up,
+        |    CAST(sum(delta_micro) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS llr_micro FROM m)
+        |SELECT day, n, hits, delta_micro, llr_micro,
+        |  CASE WHEN llr_micro >= up THEN 'accept_h1'
+        |       WHEN llr_micro <= -up THEN 'accept_h0'
+        |       ELSE 'continue' END AS verdict
+        |FROM r ORDER BY day""".stripMargin,
+
+    // 5-state recursive-CTE power iteration over the row-normalized
+    // transition matrix; term order mirrors the driver fold exactly
+    "q_stationary" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT event_type AS a, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p
+        |      WHERE b IS NOT NULL GROUP BY 1, 2),
+        |ty AS (SELECT unnest(['click','error','purchase','signup','view'])
+        |         AS t),
+        |grid AS (SELECT t1.t AS a, t2.t AS b FROM ty t1, ty t2),
+        |cell AS (SELECT g.a, g.b, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |         FROM grid g LEFT JOIN c ON g.a = c.a AND g.b = c.b),
+        |rs AS (SELECT a, CAST(sum(n) AS BIGINT) AS rsum FROM cell
+        |       GROUP BY 1),
+        |mm AS (SELECT
+        |    max(CASE WHEN cell.a = 'click' AND cell.b = 'click'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m00,
+        |    max(CASE WHEN cell.a = 'click' AND cell.b = 'error'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m01,
+        |    max(CASE WHEN cell.a = 'click' AND cell.b = 'purchase'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m02,
+        |    max(CASE WHEN cell.a = 'click' AND cell.b = 'signup'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m03,
+        |    max(CASE WHEN cell.a = 'click' AND cell.b = 'view'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m04,
+        |    max(CASE WHEN cell.a = 'error' AND cell.b = 'click'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m10,
+        |    max(CASE WHEN cell.a = 'error' AND cell.b = 'error'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m11,
+        |    max(CASE WHEN cell.a = 'error' AND cell.b = 'purchase'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m12,
+        |    max(CASE WHEN cell.a = 'error' AND cell.b = 'signup'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m13,
+        |    max(CASE WHEN cell.a = 'error' AND cell.b = 'view'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m14,
+        |    max(CASE WHEN cell.a = 'purchase' AND cell.b = 'click'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m20,
+        |    max(CASE WHEN cell.a = 'purchase' AND cell.b = 'error'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m21,
+        |    max(CASE WHEN cell.a = 'purchase' AND cell.b = 'purchase'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m22,
+        |    max(CASE WHEN cell.a = 'purchase' AND cell.b = 'signup'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m23,
+        |    max(CASE WHEN cell.a = 'purchase' AND cell.b = 'view'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m24,
+        |    max(CASE WHEN cell.a = 'signup' AND cell.b = 'click'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m30,
+        |    max(CASE WHEN cell.a = 'signup' AND cell.b = 'error'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m31,
+        |    max(CASE WHEN cell.a = 'signup' AND cell.b = 'purchase'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m32,
+        |    max(CASE WHEN cell.a = 'signup' AND cell.b = 'signup'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m33,
+        |    max(CASE WHEN cell.a = 'signup' AND cell.b = 'view'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m34,
+        |    max(CASE WHEN cell.a = 'view' AND cell.b = 'click'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m40,
+        |    max(CASE WHEN cell.a = 'view' AND cell.b = 'error'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m41,
+        |    max(CASE WHEN cell.a = 'view' AND cell.b = 'purchase'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m42,
+        |    max(CASE WHEN cell.a = 'view' AND cell.b = 'signup'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m43,
+        |    max(CASE WHEN cell.a = 'view' AND cell.b = 'view'
+        |      THEN CAST(n AS DOUBLE) / CAST(rsum AS DOUBLE) END) AS m44
+        |  FROM cell JOIN rs ON cell.a = rs.a),
+        |it AS (
+        |  SELECT 0 AS i, CAST(0.2 AS DOUBLE) AS p0v,
+        |    CAST(0.2 AS DOUBLE) AS p1v, CAST(0.2 AS DOUBLE) AS p2v,
+        |    CAST(0.2 AS DOUBLE) AS p3v, CAST(0.2 AS DOUBLE) AS p4v
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    p0v * m00 + p1v * m10 + p2v * m20 + p3v * m30 + p4v * m40,
+        |    p0v * m01 + p1v * m11 + p2v * m21 + p3v * m31 + p4v * m41,
+        |    p0v * m02 + p1v * m12 + p2v * m22 + p3v * m32 + p4v * m42,
+        |    p0v * m03 + p1v * m13 + p2v * m23 + p3v * m33 + p4v * m43,
+        |    p0v * m04 + p1v * m14 + p2v * m24 + p3v * m34 + p4v * m44
+        |  FROM it, mm WHERE i < 30),
+        |fin AS (SELECT * FROM it WHERE i = 30)
+        |SELECT state, n_out, pi_micro FROM (
+        |  SELECT 'click' AS state,
+        |    (SELECT rsum FROM rs WHERE a = 'click') AS n_out,
+        |    CAST(floor(p0v * 1000000.0) AS BIGINT) AS pi_micro FROM fin
+        |  UNION ALL SELECT 'error',
+        |    (SELECT rsum FROM rs WHERE a = 'error'),
+        |    CAST(floor(p1v * 1000000.0) AS BIGINT) FROM fin
+        |  UNION ALL SELECT 'purchase',
+        |    (SELECT rsum FROM rs WHERE a = 'purchase'),
+        |    CAST(floor(p2v * 1000000.0) AS BIGINT) FROM fin
+        |  UNION ALL SELECT 'signup',
+        |    (SELECT rsum FROM rs WHERE a = 'signup'),
+        |    CAST(floor(p3v * 1000000.0) AS BIGINT) FROM fin
+        |  UNION ALL SELECT 'view',
+        |    (SELECT rsum FROM rs WHERE a = 'view'),
+        |    CAST(floor(p4v * 1000000.0) AS BIGINT) FROM fin)
+        |ORDER BY state""".stripMargin,
 
     // discordant-cell replay; continuity floor mirrored via greatest
     "q_mcnemar" ->

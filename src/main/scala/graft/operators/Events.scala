@@ -3338,4 +3338,105 @@ object Events {
       }
       .toDF("day", "n_events", "burst")
   }
+
+  /** Daily SPRT — Wald's sequential probability ratio test over a
+    * binary outcome stream, the always-valid A/B monitor (fixed-N
+    * tests forbid peeking; SPRT is DESIGNED to be read every day):
+    * testing rate p1 against p0 at symmetric error `errMilli`, each
+    * day contributes `hits·ln(p1/p0) + misses·ln((1−p1)/(1−p0))` and
+    * the running log-likelihood ratio crosses `±ln((1−err)/err)` to
+    * accept. The two per-event increments and the bound are
+    * micro-floored ONCE each from exact milli-rate ratios (one ln
+    * over a ratio of exact integers — the q_bursts constant-
+    * quantization pattern), so the daily deltas and the cumulative
+    * sum are pure BIGINT and the verdict thresholds compare exactly.
+    *
+    * Scale: one partial aggregate to day rows, then config-scale
+    * day windows (the [[cusumDaily]] posture). Judged `q_sprt`,
+    * fully ORACLED; separation drift direction, null-rate wander
+    * inside the bounds and threshold-day agreement pinned in
+    * EventsSpec. */
+  def sprtDaily(events: DataFrame, tsCol: String, hitCol: String,
+      p0Milli: Long, p1Milli: Long, errMilli: Long): DataFrame = {
+    require(0 < p0Milli && p0Milli < p1Milli && p1Milli < 1000,
+      s"need 0 < p0 < p1 < 1000 milli: $p0Milli, $p1Milli")
+    require(0 < errMilli && errMilli < 500, s"errMilli in (0,500): $errMilli")
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"),
+        col(hitCol).cast("boolean").cast("long").as("__h"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum(col("__h")).as("hits"))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__ih", expr(s"""cast(floor(ln(cast($p1Milli as double)
+        / cast($p0Milli as double)) * 1000000.0) as bigint)"""))
+      .withColumn("__im", expr(s"""cast(floor(ln(
+        cast(${1000 - p1Milli} as double)
+        / cast(${1000 - p0Milli} as double)) * 1000000.0) as bigint)"""))
+      .withColumn("__up", expr(s"""cast(floor(ln(
+        cast(${1000 - errMilli} as double)
+        / cast($errMilli as double)) * 1000000.0) as bigint)"""))
+      .withColumn("delta_micro",
+        expr("hits * __ih + (n - hits) * __im"))
+      .withColumn("llr_micro", sum(col("delta_micro")).over(wRun))
+      .select(col("day"), col("n"), col("hits"), col("delta_micro"),
+        col("llr_micro"),
+        when(col("llr_micro") >= col("__up"), "accept_h1")
+          .when(col("llr_micro") <= -col("__up"), "accept_h0")
+          .otherwise("continue").as("verdict"))
+  }
+
+  /** Stationary distribution of the event-type Markov chain — where
+    * does the [[transitions]] matrix settle (the long-run share of
+    * attention per state, the PageRank of behavior): transition
+    * counts partial-aggregate to the K² cell table, the K×K
+    * row-normalized matrix collects to the driver (config-scale — the
+    * kmeans centroid rule), and `iters` power-iteration steps run as
+    * a pinned IEEE fold (`π·P`, terms added in ascending state order
+    * — the q_holt replay discipline, so a recursive-CTE replay equals
+    * it bit-for-bit). Start vector uniform `1.0/K`. Every state must
+    * have outgoing transitions (true of any corpus where types recur;
+    * enforced, not patched). Returns (state, n_out, pi_micro).
+    *
+    * Scale: the events table aggregates once; iteration cost is
+    * K²·iters on the driver — independent of corpus size. Judged
+    * `q_stationary`, fully ORACLED (5-state recursive-CTE replay);
+    * two-state hand chain, permutation-cycle uniformity and
+    * mass-conservation pinned in EventsSpec. */
+  def markovStationary(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 1000, s"iters in 1..1000: $iters")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val cells = events
+      .select(col(typeCol).as("__a"),
+        lead(col(typeCol), 1).over(w).as("__b"))
+      .filter(col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val cnt = Array.ofDim[Long](k, k)
+    cells.foreach { case (a, b, n) => cnt(idx(a))(idx(b)) = n }
+    val rowSum = cnt.map(_.sum)
+    require(rowSum.forall(_ > 0L),
+      s"every state needs outgoing transitions: ${states.zip(rowSum)}")
+    val m = Array.tabulate(k, k)((i, j) =>
+      cnt(i)(j).toDouble / rowSum(i).toDouble)
+    var p = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to iters) {
+      p = Array.tabulate(k) { j =>
+        var s = 0.0
+        var i = 0
+        while (i < k) { s += p(i) * m(i)(j); i += 1 }
+        s
+      }
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.indices.map(j => (states(j), rowSum(j),
+        math.floor(p(j) * 1000000.0).toLong))
+      .toDF("state", "n_out", "pi_micro")
+  }
 }

@@ -290,6 +290,59 @@ object Streams {
       .toDF(keyCol, tieCol, valueCol, "level", "trend")
   }
 
+  /** Streaming funnel — [[graft.operators.Events.funnel]] as per-user
+    * custom state (`flatMapGroupsWithState`): state is (steps_done,
+    * anchor_us) and each batch re-runs the batch operator's
+    * greedy-earliest anchoring over the group's rows — step i matches
+    * the MIN event time of its type at `ts >= anchor(i−1)` (computed
+    * by chained min-scans over the sorted buffer, not a single
+    * forward scan, so equal-timestamp events BEHIND the anchor match
+    * exactly as the batch chained-min semantics say). Users emit one
+    * (user, steps_done, anchor_us) progress row per batch once the
+    * entry step is seen; under a one-batch `AvailableNow` replay that
+    * is exactly the batch funnel per user — judged `q_stream_funnel`
+    * against the same chained-CTE oracle family as `q_funnel`. Across
+    * real micro-batches arrival order wins (a late earlier-anchor
+    * event cannot rewind a match) — the [[holtStream]] divergence
+    * contract, pinned in StreamingSpec.
+    *
+    * Scale: state is two longs per user; in-batch work is
+    * O(steps · group rows). */
+  def funnelStream(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val stepArr = steps.toIndexedSeq
+    events
+      .select(col(userCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("tsu"), col(tieCol).cast("long").as("tie"),
+        col(typeCol).cast("string").as("et"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Int, Long)]) =>
+          val rows = it.toSeq
+          var (done, anchor) = state.getOption.getOrElse((0, Long.MinValue))
+          var progressed = true
+          while (done < stepArr.length && progressed) {
+            val want = stepArr(done)
+            val next = rows.iterator
+              .filter(r => r._4 == want && (done == 0 || r._2 >= anchor))
+              .map(_._2)
+            if (next.hasNext) { anchor = next.min; done += 1 }
+            else progressed = false
+          }
+          if (done >= 1) {
+            state.update((done, anchor))
+            Iterator.single((k, done.toLong, anchor))
+          } else Iterator.empty
+      }
+      .toDF(userCol, "steps_done", "anchor_us")
+  }
+
   /** BOUNDED-STATE streaming dedup — the production counterpart of
     * [[exactDedupStream]] for corpora where "duplicate" means "repeated
     * within the recency horizon": rows are keyed by the same 128-bit text

@@ -1779,4 +1779,54 @@ class EventsSpec extends SparkTestBase {
     assert(k1("z") === "w")
     graft.engine.Caches.releaseAll()
   }
+
+  test("sprtDaily: drift directions, first-day identity, bound behavior") {
+    def mk(rows: Seq[(Int, Boolean)]) = rows.map { case (d, h) =>
+      (java.sql.Timestamp.valueOf(f"2026-01-${d + 1}%02d 10:00:00"), h) }
+      .toDF("ts", "hi")
+    // all hits: llr climbs by n*ln(4/3) a day and accepts H1
+    val up = Events.sprtDaily(
+      mk((0 until 20).flatMap(d => Seq.fill(10)((d, true)))),
+      "ts", "hi", 300L, 400L, 50L).orderBy("day").collect()
+    assert(up.head.getLong(3) === up.head.getLong(4)) // day1: llr = delta
+    assert(up.head.getLong(3) === 10L * 287682L)      // 10*floor(ln(4/3)e6)
+    assert(up.last.getString(5) === "accept_h1")
+    // all misses: llr falls by n*|ln(6/7)| and accepts H0
+    val dn = Events.sprtDaily(
+      mk((0 until 20).flatMap(d => Seq.fill(10)((d, false)))),
+      "ts", "hi", 300L, 400L, 50L).orderBy("day").collect()
+    assert(dn.head.getLong(3) === 10L * -154151L)     // floor rounds down
+    assert(dn.last.getString(5) === "accept_h0")
+    // one borderline day stays inside the bounds
+    val mid = Events.sprtDaily(mk(Seq((0, true), (0, false))),
+      "ts", "hi", 300L, 400L, 50L).collect().head
+    assert(mid.getString(5) === "continue")
+    intercept[IllegalArgumentException](
+      Events.sprtDaily(mk(Seq((0, true))), "ts", "hi", 400L, 300L, 50L))
+  }
+
+  test("markovStationary: alternating-cycle uniformity, hand 2-state " +
+      "limit, mass conservation, dead-state fence") {
+    def ev(types: Seq[String]) = types.zipWithIndex.map { case (t, i) =>
+      (1L, java.sql.Timestamp.valueOf(f"2026-01-01 10:${i}%02d:00"),
+        i.toLong, t) }.toDF("user_id", "ts", "event_id", "event_type")
+    // a<->b cycle: pi = (1/2, 1/2) at every even iterate
+    val cyc = Events.markovStationary(
+      ev(Seq("a", "b", "a", "b", "a")), "user_id", "ts", "event_id",
+      "event_type", 30).orderBy("state").collect()
+    assert(cyc.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("a", 2L, 500000L), ("b", 2L, 500000L)))
+    // P = [[3/4, 1/4], [1, 0]] has stationary (4/5, 1/5); 30 pinned
+    // iterations land within one micro of it
+    val hand = Events.markovStationary(
+      ev(Seq("a", "a", "a", "a", "b", "a")), "user_id", "ts",
+      "event_id", "event_type", 30).orderBy("state").collect()
+    val pa = hand(0).getLong(2)
+    assert(math.abs(pa - 800000L) <= 1L)
+    assert(math.abs(hand.map(_.getLong(2)).sum - 1000000L) <= 2L)
+    // a state with no outgoing transitions is a modeling error
+    intercept[IllegalArgumentException](
+      Events.markovStationary(ev(Seq("a", "b")), "user_id", "ts",
+        "event_id", "event_type", 10))
+  }
 }

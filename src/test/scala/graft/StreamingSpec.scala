@@ -525,4 +525,37 @@ class StreamingSpec extends SparkTestBase {
       graft.streaming.Streams.binnedDistributionStream(
         df, "ts", "value", Seq(6.0, 2.0), "1 hour", "30 minutes"))
   }
+
+  test("funnelStream: chained-min matches equal-ts behind the anchor, " +
+      "non-starters silent, cross-batch advance") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Streams.funnelStream(
+      in.toDS().toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type",
+      Seq("signup", "view", "click"))
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("append").start()
+    def micros(s: String) = ts(s).getTime * 1000L
+    try {
+      // user 1: the 09:00 view precedes signup (no match); the 10:00
+      // view shares the signup anchor's timestamp and SMALLER event_id
+      // — a forward scan would miss it, chained-min matches it
+      in.addData(
+        (1L, ts("2026-01-01 09:00:00"), 1L, "view"),
+        (1L, ts("2026-01-01 10:00:00"), 2L, "view"),
+        (1L, ts("2026-01-01 10:00:00"), 3L, "signup"),
+        (2L, ts("2026-01-01 10:00:00"), 4L, "click")) // never enters
+      q.processAllAvailable()
+      val b1 = spark.table("t_funnel")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(b1 === Set((1L, 2L, micros("2026-01-01 10:00:00"))))
+      // batch 2 advances from carried state (done=2, anchor 10:00)
+      in.addData((1L, ts("2026-01-01 11:00:00"), 5L, "click"))
+      q.processAllAvailable()
+      val b2 = spark.table("t_funnel")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(b2 === b1 + ((1L, 3L, micros("2026-01-01 11:00:00"))))
+    } finally q.stop()
+  }
 }

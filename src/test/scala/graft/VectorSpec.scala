@@ -601,4 +601,33 @@ class VectorSpec extends SparkTestBase {
     assert(got === expected)
     graft.engine.Caches.releaseAll()
   }
+
+  test("silhouette2d: hand values, singleton/single-cluster zero, " +
+      "separated beats merged") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) =
+      graft.operators.Vectors.silhouette2d(
+        rows.toDF("x", "y", "lbl"), "x", "y", "lbl")
+        .orderBy("lbl", "x", "y").collect()
+    // cluster 0 = {(0,0),(0,1)}, cluster 1 = {(10,0)} (squared metric)
+    val hand = run(Seq((0L, 0L, 0L), (0L, 1L, 0L), (10L, 0L, 1L)))
+    // (0,0): a = 1e6, b = 100e6 → s = 99e9 div 1e8 = 990
+    assert((hand(0).getLong(3), hand(0).getLong(4), hand(0).getLong(5))
+      === ((1000000L, 100000000L, 990L)))
+    // (0,1): b = 101e6 → floor identical 990
+    assert(hand(1).getLong(5) === 990L)
+    // singleton cluster: a NULL, s = 0 by convention, b still real
+    assert(hand(2).isNullAt(3) && hand(2).getLong(4) === 100500000L &&
+      hand(2).getLong(5) === 0L)
+    // single cluster overall: no b → 0
+    val solo = run(Seq((0L, 0L, 7L), (3L, 0L, 7L)))
+    assert(solo.forall(r => r.isNullAt(4) && r.getLong(5) === 0L))
+    // separated labeling scores all-positive; shuffled labels negative
+    val good = run(Seq((0L, 0L, 0L), (1L, 0L, 0L),
+      (100L, 0L, 1L), (101L, 0L, 1L)))
+    assert(good.forall(_.getLong(5) > 900L))
+    val bad = run(Seq((0L, 0L, 0L), (1L, 0L, 1L),
+      (100L, 0L, 0L), (101L, 0L, 1L)))
+    assert(bad.forall(_.getLong(5) < 0L))
+  }
 }
