@@ -1115,6 +1115,56 @@ object Eval {
               / cast(n as double))) as bigint)""")).as("z_micro"))
   }
 
+  /** Coarsened exact matching (CEM) + the matched ATT — the
+    * causal-adjustment step between raw diff-in-means and a model:
+    * units match exactly on a caller-coarsened stratum key (binned
+    * covariates concatenated to one string), strata missing either
+    * arm are PRUNED (the CEM common-support guarantee), and the
+    * average treatment effect on the treated reweights control means
+    * to the treated stratum mix: `ATT = Σ_s n_t,s·(μ_t,s − μ_c,s) /
+    * Σ_s n_t,s`. Judged-double discipline: outcomes to cents, stratum
+    * means micro-floored via truncating division (non-negative
+    * outcomes), the per-stratum diff and its n_t-weighted sum exact
+    * BIGINT, the final ATT one signed division (the q_assortativity
+    * rule). Output = matched per-stratum rows (with the control
+    * weight `w_milli = n_t·1000 div n_c` CEM would hand a downstream
+    * model) plus one 'TOTAL' row carrying the ATT.
+    *
+    * Scale: one partial aggregate to strata cells (config-scale), one
+    * 1-row total joined back — the corpus never shuffles twice.
+    * Judged `q_cem`, fully ORACLED; hand two-stratum ATT vs the
+    * confounded crude diff, pruning and the weight identity pinned in
+    * EvalSpec. */
+  def cemAtt(df: DataFrame, stratumCol: String, treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val cells = df.select(col(stratumCol).cast("string").as("stratum"),
+        col(treatCol).cast("boolean").as("__t"),
+        floor(col(outcomeCol) * 100 + lit(0.5)).cast("long").as("__c"))
+      .groupBy(col("stratum"))
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("__t"), col("__c")).otherwise(0L)).as("__st"),
+        sum(when(!col("__t"), col("__c")).otherwise(0L)).as("__sc"))
+      .filter(col("n_treat") > 0 && col("n_control") > 0)
+      .select(col("stratum"), col("n_treat"), col("n_control"),
+        expr("n_treat * 1000 div n_control").as("w_milli"),
+        expr("__st * 1000000 div n_treat").as("mt_micro"),
+        expr("__sc * 1000000 div n_control").as("mc_micro"))
+      .withColumn("diff_micro", col("mt_micro") - col("mc_micro"))
+    val per = graft.engine.Caches.persisted(cells)
+    val total = per.agg(sum(col("n_treat")).as("n_treat"),
+        sum(col("n_control")).as("n_control"),
+        sum(expr("n_treat * diff_micro")).as("__num"))
+      .select(lit("TOTAL").as("stratum"), col("n_treat"),
+        col("n_control"), lit(null).cast("long").as("w_milli"),
+        lit(null).cast("long").as("mt_micro"),
+        lit(null).cast("long").as("mc_micro"),
+        expr("""cast(sign(__num) as bigint)
+          * (abs(__num) div n_treat)""").as("diff_micro"))
+    per.unionByName(total)
+  }
+
   /** Kendall's W — concordance of m COMPLETE rankings of n items (do
     * independent rankers/models/metrics order the catalog the same
     * way?): ranks are `row_number` per rater over (value desc, item
