@@ -6179,6 +6179,18 @@ object SparkEntry {
           (col("value") > 150).as("y")),
         "k", "e", "y")),
 
+    // Coarsened exact matching ATT: strata = order priority, treated
+    // arm = orderkey % 3 == 0, outcome = total price in cents; signed
+    // micro divisions over DECIMAL intermediates, TOTAL row = ATT.
+    // Fully oracled.
+    "q_cem" -> ((s, dir) =>
+      graft.operators.Eval.cemAtt(
+        t(s, dir, "orders").select(
+          col("o_orderpriority").as("stratum"),
+          (col("o_orderkey") % 3 === 0).as("tr"),
+          col("o_totalprice").as("y")),
+        "stratum", "tr", "y").orderBy("stratum")),
+
     // Network robustness: component structure before/after removing
     // the 10 highest-degree hubs of the undirected affine-map graph.
     // Fully oracled.

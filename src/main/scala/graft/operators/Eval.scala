@@ -1123,18 +1123,21 @@ object Eval {
     * average treatment effect on the treated reweights control means
     * to the treated stratum mix: `ATT = Σ_s n_t,s·(μ_t,s − μ_c,s) /
     * Σ_s n_t,s`. Judged-double discipline: outcomes to cents, stratum
-    * means micro-floored via truncating division (non-negative
-    * outcomes), the per-stratum diff and its n_t-weighted sum exact
-    * BIGINT, the final ATT one signed division (the q_assortativity
-    * rule). Output = matched per-stratum rows (with the control
-    * weight `w_milli = n_t·1000 div n_c` CEM would hand a downstream
-    * model) plus one 'TOTAL' row carrying the ATT.
+    * means micro-floored via signed division (`sign·(abs div n)`, the
+    * q_assortativity rule, so negative outcome sums divide identically
+    * in Spark and DuckDB) over a DECIMAL(38,0) intermediate (cent-sum
+    * × 1e6 is three data-scale magnitudes — the q_gini overflow rule),
+    * the per-stratum diff and its n_t-weighted sum exact BIGINT, the
+    * final ATT one more signed division. Output = matched per-stratum
+    * rows (with the control weight `w_milli = n_t·1000 div n_c` CEM
+    * would hand a downstream model) plus one 'TOTAL' row carrying the
+    * ATT.
     *
     * Scale: one partial aggregate to strata cells (config-scale), one
     * 1-row total joined back — the corpus never shuffles twice.
     * Judged `q_cem`, fully ORACLED; hand two-stratum ATT vs the
-    * confounded crude diff, pruning and the weight identity pinned in
-    * EvalSpec. */
+    * confounded crude diff, common-support pruning, the weight
+    * identity and negative outcomes pinned in EvalSpec. */
   def cemAtt(df: DataFrame, stratumCol: String, treatCol: String,
       outcomeCol: String): DataFrame = {
     val cells = df.select(col(stratumCol).cast("string").as("stratum"),
@@ -1149,19 +1152,24 @@ object Eval {
       .filter(col("n_treat") > 0 && col("n_control") > 0)
       .select(col("stratum"), col("n_treat"), col("n_control"),
         expr("n_treat * 1000 div n_control").as("w_milli"),
-        expr("__st * 1000000 div n_treat").as("mt_micro"),
-        expr("__sc * 1000000 div n_control").as("mc_micro"))
+        expr("""cast(sign(__st) as bigint) *
+          cast((abs(cast(__st as decimal(38,0))) * 1000000)
+            div n_treat as bigint)""").as("mt_micro"),
+        expr("""cast(sign(__sc) as bigint) *
+          cast((abs(cast(__sc as decimal(38,0))) * 1000000)
+            div n_control as bigint)""").as("mc_micro"))
       .withColumn("diff_micro", col("mt_micro") - col("mc_micro"))
     val per = graft.engine.Caches.persisted(cells)
     val total = per.agg(sum(col("n_treat")).as("n_treat"),
         sum(col("n_control")).as("n_control"),
-        sum(expr("n_treat * diff_micro")).as("__num"))
+        sum(expr("cast(n_treat as decimal(38,0)) * diff_micro"))
+          .as("__num"))
       .select(lit("TOTAL").as("stratum"), col("n_treat"),
         col("n_control"), lit(null).cast("long").as("w_milli"),
         lit(null).cast("long").as("mt_micro"),
         lit(null).cast("long").as("mc_micro"),
         expr("""cast(sign(__num) as bigint)
-          * (abs(__num) div n_treat)""").as("diff_micro"))
+          * cast(abs(__num) div n_treat as bigint)""").as("diff_micro"))
     per.unionByName(total)
   }
 
