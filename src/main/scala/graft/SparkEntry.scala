@@ -12829,6 +12829,50 @@ object SparkEntry {
         |    AS or_crude_milli
         |FROM g""".stripMargin,
 
+    // cents quantized floor(y*100 + 0.5) token-identically (NOT
+    // round(): negative half-cents must round toward +inf on both
+    // sides); signed micro divisions over a HUGEINT intermediate
+    // mirror Spark's sign*(abs div n) over DECIMAL(38,0)
+    "q_cem" ->
+      """WITH t AS (SELECT o_orderpriority AS stratum,
+        |    o_orderkey % 3 = 0 AS tr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |cells AS (SELECT stratum,
+        |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(sum(CASE WHEN tr THEN c ELSE 0 END) AS BIGINT) AS st,
+        |    CAST(sum(CASE WHEN NOT tr THEN c ELSE 0 END) AS BIGINT)
+        |      AS sc
+        |  FROM t GROUP BY 1),
+        |per AS (SELECT stratum, n_treat, n_control,
+        |    n_treat * 1000 // n_control AS w_milli,
+        |    CAST(sign(st) AS BIGINT)
+        |      * CAST(abs(CAST(st AS HUGEINT)) * 1000000 // n_treat
+        |          AS BIGINT) AS mt_micro,
+        |    CAST(sign(sc) AS BIGINT)
+        |      * CAST(abs(CAST(sc AS HUGEINT)) * 1000000 // n_control
+        |          AS BIGINT) AS mc_micro
+        |  FROM cells WHERE n_treat > 0 AND n_control > 0),
+        |per2 AS (SELECT stratum, n_treat, n_control, w_milli,
+        |    mt_micro, mc_micro, mt_micro - mc_micro AS diff_micro
+        |  FROM per),
+        |g AS (SELECT CAST(sum(n_treat) AS BIGINT) AS n_treat,
+        |    CAST(sum(n_control) AS BIGINT) AS n_control,
+        |    sum(CAST(n_treat AS HUGEINT) * diff_micro) AS num
+        |  FROM per2)
+        |SELECT stratum, n_treat, n_control, w_milli, mt_micro,
+        |  mc_micro, diff_micro FROM per2
+        |UNION ALL
+        |SELECT 'TOTAL', n_treat, n_control, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(sign(num) AS BIGINT)
+        |    * CAST(abs(num) // n_treat AS BIGINT)
+        |FROM g
+        |ORDER BY stratum""".stripMargin,
+
     // canonical undirected edges, hub head by (degree desc, node),
     // closure CC per scenario; kept-graph endpoints only (CC contract)
     "q_robustness" ->

@@ -618,4 +618,59 @@ class EvalSpec extends SparkTestBase {
       "item", "rater", "v").collect().head
     assert(dup.getLong(2) === 1000L)
   }
+
+  test("cemAtt: two-stratum ATT vs confounded crude diff, " +
+      "common-support pruning, weight identity") {
+    // stratum A: 3 treated @10.00 / 1 control @8.00; stratum B:
+    // 1 treated @4.00 / 3 control @2.00 — the per-stratum effect is
+    // 2.00 everywhere but treatment concentrates in the high-outcome
+    // stratum, so the crude diff is confounded to 8.50-3.50 = 5.00
+    val df = (Seq.fill(3)(("A", true, 10.0)) ++ Seq(("A", false, 8.0)) ++
+      Seq(("B", true, 4.0)) ++ Seq.fill(3)(("B", false, 2.0)))
+      .toDF("s", "tr", "y")
+    val out = Eval.cemAtt(df, "s", "tr", "y").orderBy("stratum").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("A", "B", "TOTAL"))
+    val (a, b, tot) = (out(0), out(1), out(2))
+    assert((a.getLong(1), a.getLong(2)) === ((3L, 1L)))
+    // weight identity: w_milli = n_treat * 1000 div n_control
+    assert(a.getLong(3) === 3000L && b.getLong(3) === 333L)
+    assert(a.getLong(4) === 1000000000L && a.getLong(5) === 800000000L)
+    assert(a.getLong(6) === 200000000L && b.getLong(6) === 200000000L)
+    // matched ATT = 2.00; TOTAL row carries null per-stratum fields
+    assert(tot.getLong(1) === 4L && tot.getLong(2) === 4L)
+    assert(tot.isNullAt(3) && tot.isNullAt(4) && tot.isNullAt(5))
+    assert(tot.getLong(6) === 200000000L)
+    // the crude (single-stratum) diff IS confounded: 5.00
+    val crude = Eval.cemAtt(df.withColumn("all", lit("ALL")),
+      "all", "tr", "y").orderBy("stratum").collect()
+    assert(crude.last.getLong(6) === 500000000L)
+    // common-support pruning: a treated-only stratum contributes
+    // nothing — not a row, not weight in the TOTAL
+    val plusC = df.unionAll(Seq(("C", true, 100.0), ("C", true, 90.0))
+      .toDF("s", "tr", "y"))
+    val pruned = Eval.cemAtt(plusC, "s", "tr", "y")
+      .orderBy("stratum").collect()
+    assert(pruned.map(_.getString(0)).toSeq === Seq("A", "B", "TOTAL"))
+    assert(pruned.last.getLong(1) === 4L &&
+      pruned.last.getLong(6) === 200000000L)
+  }
+
+  test("cemAtt: negative half-cent outcomes through the signed " +
+      "division, empty-input TOTAL fence") {
+    // floor(y*100 + 0.5) rounds half-cents toward +inf: -1.005 → -100
+    // cents (not -101), -2.01 → -201; the signed micro division then
+    // truncates the ABS value: (-301e6) div 2 → -150500000
+    val neg = Seq(("N", true, -1.005), ("N", true, -2.01),
+      ("N", false, 1.0)).toDF("s", "tr", "y")
+    val n = Eval.cemAtt(neg, "s", "tr", "y").orderBy("stratum").collect()
+    assert(n.head.getLong(4) === -150500000L)
+    assert(n.head.getLong(5) === 100000000L)
+    assert(n.head.getLong(6) === -250500000L)
+    assert(n.last.getLong(6) === -250500000L)
+    // empty input: exactly one TOTAL row, every numeric field NULL
+    val empty = Eval.cemAtt(Seq.empty[(String, Boolean, Double)]
+      .toDF("s", "tr", "y"), "s", "tr", "y").collect()
+    assert(empty.length === 1 && empty.head.getString(0) === "TOTAL")
+    assert(empty.head.isNullAt(1) && empty.head.isNullAt(6))
+  }
 }
