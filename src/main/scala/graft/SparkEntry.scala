@@ -3417,8 +3417,10 @@ object SparkEntry {
 
     // Multimodal feature extraction (stub byte-histogram embedding)
     // composed with exact top-k vector search — the decode→embed→search
-    // pipeline shape. Histograms are kernel-derived → rows-only;
-    // MultimodalSpec pins the kernel semantics.
+    // pipeline shape. Histograms over the free-text corpus are
+    // kernel-derived → rows-only; the SAME pipeline is hash-judged by
+    // q_mm_sim_exact below, and MultimodalSpec pins the kernel
+    // semantics.
     "q_mm_sim" -> ((s, dir) => {
       val f = graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal.assetsFromText(
@@ -3428,6 +3430,41 @@ object SparkEntry {
       graft.operators.Vectors
         .bruteForceTopK(f, "asset_id", "embedding", q, "qid", "qv", 3)
         .select(col("qid"), col("neighbor"), col("sim"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Hash-judged twin of q_mm_sim (the q_vec_pca_recover recipe): the
+    // SAME decode→embed→search pipeline over a fixture whose byte
+    // histograms are exact by construction — group g = doc_id % 3 owns
+    // two dedicated histogram bins (chars '!0' / 'AP' / 'ap' land in
+    // bins 2..7, one char per bin), member m = doc_id div 3 mixes them
+    // with Pythagorean counts (1,0)/(3,4)/(4,3)/(12,5) whose norms
+    // (1,5,5,13) are exact integers. Cross-group cosines are exactly 0
+    // (disjoint bins), in-group cosines known rationals (3/5, 4/5,
+    // 12/13, 24/25, 56/65, 63/65) with gaps >= 0.009, so neighbor ids,
+    // ranks, and milli-floored sims are pure id arithmetic the oracle
+    // restates from a VALUES grid. A histogram/normalization/dot
+    // regression in the stub kernel hash-fails the round.
+    "q_mm_sim_exact" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 12)
+        .select(col("doc_id"),
+          expr("cast(doc_id % 3 as int)").as("g"),
+          expr("cast(doc_id div 3 as int)").as("m"))
+        .select(col("doc_id"),
+          concat(
+            expr("repeat(substr('!0APap', 2*g+1, 1), " +
+              "element_at(array(1,3,4,12), m+1))"),
+            expr("repeat(substr('!0APap', 2*g+2, 1), " +
+              "element_at(array(0,4,3,5), m+1))")).as("text"))
+      val f = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.assetsFromText(src, "text", "doc_id"))
+        .toDF()
+      val q = f.select(col("asset_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Vectors
+        .bruteForceTopK(f, "asset_id", "embedding", q, "qid", "qv", 3)
+        .select(col("qid"), col("rank"), col("neighbor"),
+          floor(col("sim") * 1000 + lit(0.5)).cast("long").as("sim_milli"))
         .orderBy("qid", "rank")
     }),
 
@@ -6969,6 +7006,23 @@ object SparkEntry {
         |       CAST(1 + ascii(substr(text, 1, 1)) % 16 AS INT) AS width,
         |       CAST(1 + ascii(substr(text, 2, 1)) % 16 AS INT) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // the twin's neighbor/rank/sim grid IS id arithmetic: member roles
+    // qm = qid div 3, neighbor id = qid % 3 + 3*nm; sims are the known
+    // rationals of the Pythagorean count mix, milli-floored by hand
+    // (3/5=600, 4/5=800, 12/13=923, 24/25=960, 56/65=862, 63/65=969)
+    "q_mm_sim_exact" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 12),
+        |v (qm, rk, nm, sim) AS (VALUES
+        |  (0, 1, 3, 923), (0, 2, 2, 800), (0, 3, 1, 600),
+        |  (1, 1, 2, 960), (1, 2, 3, 862), (1, 3, 0, 600),
+        |  (2, 1, 3, 969), (2, 2, 1, 960), (2, 3, 0, 800),
+        |  (3, 1, 2, 969), (3, 2, 0, 923), (3, 3, 1, 862))
+        |SELECT d.doc_id AS qid, CAST(v.rk AS INT) AS rank,
+        |  CAST(d.doc_id % 3 + 3 * v.nm AS BIGINT) AS neighbor,
+        |  CAST(v.sim AS BIGINT) AS sim_milli
+        |FROM d JOIN v ON v.qm = d.doc_id // 3
+        |ORDER BY qid, rank""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts, value,
