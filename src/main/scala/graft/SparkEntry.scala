@@ -6167,10 +6167,16 @@ object SparkEntry {
 
     // Stationary distribution of the event-type Markov chain: 30
     // pinned power-iteration steps over the row-normalized transition
-    // matrix, replayed by a 5-state recursive CTE. Fully oracled.
+    // matrix, replayed by a 5-state recursive CTE. Both sides pin the
+    // SAME 5-type grid BEFORE the lead() window (isin here, WHERE IN
+    // the oracle's p CTE), so a regenerated harness corpus growing a
+    // 6th event type degrades identically instead of silently
+    // mismatching row counts. Fully oracled.
     "q_stationary" -> ((s, dir) =>
       graft.operators.Events.markovStationary(
-        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type", 30)
+        t(s, dir, "events").filter(col("event_type").isin(
+          "click", "error", "purchase", "signup", "view")),
+        "user_id", "ts", "event_id", "event_type", 30)
         .orderBy("state")),
 
     // McNemar paired-classifier test: two id-arithmetic predictors
@@ -12688,7 +12694,9 @@ object SparkEntry {
       """WITH RECURSIVE p AS (
         |  SELECT event_type AS a, lead(event_type) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS b
-        |  FROM events),
+        |  FROM events
+        |  WHERE event_type IN
+        |    ('click','error','purchase','signup','view')),
         |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p
         |      WHERE b IS NOT NULL GROUP BY 1, 2),
         |ty AS (SELECT unnest(['click','error','purchase','signup','view'])

@@ -933,7 +933,11 @@ object TextOps {
         sum(expr("__f * __f")).as("__s2"))
       .select(
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        col("n_types"), col("hapax_types"), col("dis_types"),
+        col("n_types"),
+        // empty input: the conditional sums come back NULL from the
+        // zero-row aggregate — the census reads 0, like n_tokens
+        coalesce(col("hapax_types"), lit(0L)).as("hapax_types"),
+        coalesce(col("dis_types"), lit(0L)).as("dis_types"),
         when(col("n_tokens") > 0,
           expr("n_types * 1000000 div n_tokens")).as("ttr_micro"),
         when(col("n_types") > 0,

@@ -2865,16 +2865,38 @@ object Events {
     * Scale: the [[cooccurrence]] posture — distinct (key, item) FIRST,
     * key-co-partitioned self-join bounded by per-key basket size,
     * partial-agg to pair counts, config-scale item totals joined back;
-    * the rank window partitions BY ITEM (never global). Judged
-    * `q_item_sim`, fully ORACLED; hand cosine, popularity
-    * normalization, tie determinism and the k cut pinned in
+    * the rank window partitions BY ITEM (never global). The bound is
+    * ENFORCED: baskets above `maxBasketSize` are dropped from the model
+    * (logged to stderr) before the self-join, so one pathological key
+    * can't go quadratic at 100x (capped-input ⊆ uncapped and the
+    * non-binding default pinned in EventsSpec). Judged `q_item_sim`,
+    * fully ORACLED (cap non-binding on the fixture); hand cosine,
+    * popularity normalization, tie determinism and the k cut pinned in
     * EventsSpec. */
   def itemSimilarityTopK(df: DataFrame, keyCol: String, itemCol: String,
-      minPairKeys: Long = 2L, k: Int = 5): DataFrame = {
+      minPairKeys: Long = 2L, k: Int = 5,
+      maxBasketSize: Long = 10000L): DataFrame = {
     require(minPairKeys >= 1, s"minPairKeys must be >= 1: $minPairKeys")
     require(k >= 1, s"k must be >= 1: $k")
-    val ki = graft.engine.Caches.persisted(
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    val kiAll = graft.engine.Caches.persisted(
       df.select(col(keyCol).as("__k"), col(itemCol).as("__i")).distinct())
+    // Skew guard: one pathological basket (a crawler key touching every
+    // item) makes its key's partition quadratic in the self-join below —
+    // the classic 100x stall. Keys above the cap are DROPPED from the
+    // model (a basket that large carries no co-purchase signal anyway),
+    // and the drop is loud on stderr.
+    val big = kiAll.groupBy(col("__k")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > maxBasketSize)
+    val nBig = big.count()
+    val ki =
+      if (nBig == 0L) kiAll
+      else {
+        System.err.println(s"[graft] itemSimilarityTopK: dropped $nBig " +
+          s"basket(s) larger than $maxBasketSize items (pair-explosion guard)")
+        graft.engine.Caches.persisted(
+          kiAll.join(big.select(col("__k")), Seq("__k"), "left_anti"))
+      }
     val itemN = ki.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = ki.as("a").join(ki.as("b"),
         col("a.__k") === col("b.__k") && col("a.__i") < col("b.__i"))
@@ -2957,21 +2979,28 @@ object Events {
     * dies by. EXACT integers end to end (the model's rank is the
     * quantized-triple order, the eval pure counting).
     *
-    * Scale: model = the itemSimilarityTopK posture; eval = one
-    * basket-bounded test self-join (distinct pairs) + one equi-join
-    * against the k·|items| config-scale model. Judged `q_rec_eval`,
-    * fully ORACLED (the oracle replays model + eval end to end); hand
-    * hit/miss baskets, single-item-basket exclusion and the
-    * model-items-only contract pinned in EventsSpec. */
+    * Scale: model = the itemSimilarityTopK posture (cap threaded
+    * through); eval = one basket-bounded test self-join (distinct
+    * pairs, test baskets above `maxBasketSize` excluded — the same
+    * pair-explosion guard) + one equi-join against the k·|items|
+    * config-scale model. Judged `q_rec_eval`, fully ORACLED (the
+    * oracle replays model + eval end to end; cap non-binding on the
+    * fixture); hand hit/miss baskets, single-item-basket exclusion and
+    * the model-items-only contract pinned in EventsSpec. */
   def recsHitRate(train: DataFrame, test: DataFrame, keyCol: String,
-      itemCol: String, minPairKeys: Long = 3L, k: Int = 5): DataFrame = {
-    val model = itemSimilarityTopK(train, keyCol, itemCol, minPairKeys, k)
+      itemCol: String, minPairKeys: Long = 3L, k: Int = 5,
+      maxBasketSize: Long = 10000L): DataFrame = {
+    val model = itemSimilarityTopK(train, keyCol, itemCol, minPairKeys, k,
+        maxBasketSize)
       .select(col("item"), col("nbr"))
     val tb = graft.engine.Caches.persisted(
       test.select(col(keyCol).as("__k"), col(itemCol).as("item"))
         .distinct())
+    // the same pair-explosion guard bounds the TEST self-join: a test
+    // basket above the cap is excluded from evaluation entirely
     val multi = tb.groupBy(col("__k")).agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") >= 2).select(col("__k"))
+      .filter(col("__sz") >= 2 && col("__sz") <= maxBasketSize)
+      .select(col("__k"))
     val evals = tb.join(multi, Seq("__k"))
     val pairs = evals.as("a").join(tb.as("b"),
         col("a.__k") === col("b.__k") && col("a.item") =!= col("b.item"))
@@ -3400,19 +3429,38 @@ object Events {
     * enforced, not patched). Returns (state, n_out, pi_micro).
     *
     * Scale: the events table aggregates once; iteration cost is
-    * K²·iters on the driver — independent of corpus size. Judged
+    * K²·iters on the driver — independent of corpus size. The
+    * config-scale contract is ENFORCED: the distinct-state count is
+    * checked against `maxStates` on the distributed cell table BEFORE
+    * the K×K collect, so a URL-cardinality caller fails loudly with a
+    * rareCollapse pointer instead of flooding the driver. Judged
     * `q_stationary`, fully ORACLED (5-state recursive-CTE replay);
-    * two-state hand chain, permutation-cycle uniformity and
-    * mass-conservation pinned in EventsSpec. */
+    * two-state hand chain, permutation-cycle uniformity,
+    * mass-conservation and the maxStates guard pinned in EventsSpec. */
   def markovStationary(events: DataFrame, userCol: String, tsCol: String,
-      tieCol: String, typeCol: String, iters: Int): DataFrame = {
+      tieCol: String, typeCol: String, iters: Int,
+      maxStates: Int = 64): DataFrame = {
     require(iters >= 1 && iters <= 1000, s"iters in 1..1000: $iters")
+    require(maxStates >= 2 && maxStates <= 4096,
+      s"maxStates in 2..4096: $maxStates")
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
-    val cells = events
+    val cellsDf = graft.engine.Caches.persisted(events
       .select(col(typeCol).as("__a"),
         lead(col(typeCol), 1).over(w).as("__b"))
       .filter(col("__b").isNotNull)
-      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n")))
+    // config-scale contract, ENFORCED before anything reaches the
+    // driver: the K x K collect below is only sane for enum-like state
+    // columns. A URL-cardinality caller must rareCollapse first — fail
+    // loudly instead of collecting an unbounded cell table. The count
+    // runs over the already-aggregated (<= K^2 row) cell table.
+    val nStates = cellsDf.select(col("__a").as("s"))
+      .union(cellsDf.select(col("__b").as("s"))).distinct().count()
+    require(nStates <= maxStates,
+      s"markovStationary is a config-scale operator: found $nStates " +
+        s"distinct states (> maxStates=$maxStates); collapse the state " +
+        "column (e.g. Relational.rareCollapse) before calling")
+    val cells = cellsDf
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val states = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
     val idx = states.zipWithIndex.toMap

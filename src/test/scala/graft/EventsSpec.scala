@@ -1828,5 +1828,53 @@ class EventsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Events.markovStationary(ev(Seq("a", "b")), "user_id", "ts",
         "event_id", "event_type", 10))
+    // config-scale contract: the state-count guard fires BEFORE the
+    // K x K collect, pointing high-cardinality callers at rareCollapse
+    val wide = ev((0 until 8).map(i => s"s$i") ++ Seq("s0"))
+    val guard = intercept[IllegalArgumentException](
+      Events.markovStationary(wide, "user_id", "ts", "event_id",
+        "event_type", 10, maxStates = 4))
+    assert(guard.getMessage.contains("rareCollapse"))
+    // at the bound it still runs
+    assert(Events.markovStationary(wide, "user_id", "ts", "event_id",
+      "event_type", 10, maxStates = 8).count() === 8L)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("itemSimilarityTopK/recsHitRate: basket cap drops pathological " +
+      "keys, capped output is a subset, default cap non-binding") {
+    // one crawler basket touching 30 items next to two clean baskets
+    val crawler = (0 until 30).map(i => (99L, s"i$i"))
+    val clean = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+    val df = (clean ++ crawler).toDF("k", "i")
+    val capped = Events.itemSimilarityTopK(df, "k", "i",
+      minPairKeys = 1L, k = 5, maxBasketSize = 10L).collect()
+    val uncapped = Events.itemSimilarityTopK(df, "k", "i",
+      minPairKeys = 1L, k = 5).collect()
+    // capped model = exactly the clean-basket model: the crawler's
+    // pairs are gone, x<->y survives
+    assert(capped.map(r => (r.getString(0), r.getString(2))).toSet ===
+      Set(("x", "y"), ("y", "x")))
+    // capped pair set is a subset of the uncapped pair set
+    val up = uncapped.map(r => (r.getString(0), r.getString(2))).toSet
+    assert(capped.map(r => (r.getString(0), r.getString(2))).toSet
+      .subsetOf(up))
+    assert(up.size > 2)
+    // default cap doesn't bind on ordinary baskets: identical output
+    val dflt = Events.itemSimilarityTopK(df, "k", "i",
+      minPairKeys = 1L, k = 5, maxBasketSize = 10000L).collect()
+    assert(dflt.map(r => (r.getString(0), r.getString(2))).toSet === up)
+    // recsHitRate threads the cap: an oversized TEST basket is
+    // excluded from evaluation (no evals left -> hit rate over 2 evals
+    // of the clean test basket only)
+    val train = df
+    val test = (Seq((10L, "x"), (10L, "y")) ++
+      (0 until 30).map(i => (11L, s"i$i"))).toDF("k", "i")
+    val hr = Events.recsHitRate(train, test, "k", "i",
+      minPairKeys = 1L, k = 5, maxBasketSize = 10L).collect().head
+    // basket 11 excluded: 1 basket, 2 evals, both hit via x<->y
+    assert((hr.getLong(0), hr.getLong(1), hr.getLong(2), hr.getLong(3))
+      === ((1L, 2L, 2L, 1000L)))
+    graft.engine.Caches.releaseAll()
   }
 }

@@ -550,6 +550,12 @@ class TextOpsSpec extends SparkTestBase {
       Seq.fill(10)("x").toDF("tok"), "tok").collect().head
     assert(mono.getLong(1) === 1L && mono.getLong(2) === 0L)
     assert(mono.getLong(6) === (90L * 10000000L) / 100L)
+    // empty input: counts all 0 (not NULL), ratios fenced NULL
+    val empty = TextOps.lexicalRichness(
+      Seq.empty[String].toDF("tok"), "tok").collect().head
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2),
+      empty.getLong(3)) === ((0L, 0L, 0L, 0L)))
+    assert(empty.isNullAt(4) && empty.isNullAt(5) && empty.isNullAt(6))
   }
 
   test("readability: hand counts, headline floor, syllable ordering") {
