@@ -4189,6 +4189,14 @@ object SparkEntry {
             .as("cents")),
         "day", "cents")),
 
+    // Data-scale Pettitt over the RAW event stream (no daily
+    // pre-aggregate): per-value V off the banded ECDF, banded running
+    // U over the time axis, argmax split. Exact integers end to end.
+    // Fully oracled.
+    "q_pettitt_events" -> ((s, dir) =>
+      graft.operators.Events.pettittEvents(
+        t(s, dir, "events"), "ts", "event_id", "value")),
+
     // Plain-text source/sink round-trip (the 6th format next to
     // parquet/csv/json/orc/binary): tab-framed lines out via the text
     // sink, parsed back with a 2-limit split. Fully oracled from the
@@ -9619,6 +9627,31 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n, k AS t_star, u AS u_stat,
         |       abs(u) AS u_abs
         |FROM u WHERE rn < n ORDER BY abs(u) DESC, k LIMIT 1""".stripMargin,
+
+    // V(v) = 2*cnt_lt + cnt_eq - n off the value ECDF (the engine's
+    // banded form replayed with one global window), running U in
+    // (ts, tie) order, earliest-argmax split
+    "q_pettitt_events" ->
+      """WITH e AS (SELECT ts, event_id AS tie,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        |      FROM events),
+        |vals AS (SELECT x, CAST(count(*) AS BIGINT) AS t
+        |         FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM vals),
+        |ecdf AS (SELECT x, t,
+        |        CAST(coalesce(sum(t) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS clt
+        |      FROM vals),
+        |v AS (SELECT x, 2 * clt + t - nn.n AS v, nn.n FROM ecdf, nn),
+        |u AS (SELECT e.ts, e.tie, v.n,
+        |        CAST(sum(v.v) OVER (ORDER BY e.ts, e.tie
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u,
+        |        row_number() OVER (ORDER BY e.ts, e.tie) AS rn
+        |      FROM e JOIN v ON e.x = v.x)
+        |SELECT n, ts AS t_star, tie, u AS u_stat, abs(u) AS u_abs
+        |FROM u WHERE rn < n ORDER BY abs(u) DESC, ts, tie
+        |LIMIT 1""".stripMargin,
 
     "q_text_source" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -1453,9 +1453,9 @@ object Events {
     *
     * Scale: the SERIES contract ([[Eval.kendallTau]]'s rule) — input
     * is a per-period aggregate, calendar-scale, so the O(n²) pair join
-    * broadcasts; a data-scale V_t would ride the [[Eval.mannWhitney]]
-    * banded ECDF instead (V_t = 2·cnt_lt + cnt_eq − n), documented not
-    * built. Judged `q_pettitt` (daily revenue cents), fully ORACLED;
+    * broadcasts; the data-scale variant is [[pettittEvents]] (V_t =
+    * 2·cnt_lt + cnt_eq − n over the [[Eval.mannWhitney]] banded ECDF).
+    * Judged `q_pettitt` (daily revenue cents), fully ORACLED;
     * hand step series, tie-to-earliest and the U_n = 0 boundary pinned
     * in EventsSpec. */
   def pettitt(series: DataFrame, keyCol: String,
@@ -1475,6 +1475,86 @@ object Events {
       .filter(col("__rn") < col("__n")) // U_n ≡ 0: not a split
       .orderBy(abs(col("__u")).desc, col("k")).limit(1)
       .select(col("__n").as("n"), col("k").as("t_star"),
+        col("__u").as("u_stat"), abs(col("__u")).as("u_abs"))
+  }
+
+  /** Data-scale Pettitt changepoint over RAW events — the promise
+    * [[pettitt]]'s scaladoc used to carry, built: for the event stream
+    * in (ts, tie) order, the same `U_t = Σ_{i≤t,j>t} sign(x_i − x_j)`
+    * statistic without EITHER quadratic pass. Per-event V_t =
+    * Σ_j sign(x_t − x_j) collapses to per-DISTINCT-VALUE arithmetic
+    * `V(v) = 2·cnt_lt(v) + cnt_eq(v) − n` off the [[Eval.mannWhitney]]
+    * banded ECDF (cnt_eq counts v's own rows, so the self term
+    * contributes sign(0) = 0), and the running `U_t = Σ_{s≤t} V_s` is
+    * a SECOND [[graft.engine.Banding]] prefix sum over the TIME axis
+    * (epoch-micros bands, in-band windows ordered (ts, tie)) — never a
+    * global window. The changepoint is the split maximizing |U_t|,
+    * ties to the earliest (ts, tie); `U_n ≡ 0` (antisymmetry) so the
+    * last event is excluded as a split. Everything exact BIGINT: cents
+    * values, sign counts, running U (|U| ≤ n² — DECIMAL territory only
+    * past ~3e9 rows, documented).
+    *
+    * Scale: one partial agg to distinct-value counts, one banded ECDF
+    * over values, one hash join back on the value, one banded prefix
+    * sum over time, one TakeOrdered(1) readout. Band count is an
+    * implementation detail (any value gives identical results — pinned
+    * in EventsSpec). Judged `q_pettitt_events`, fully ORACLED; hand
+    * step series, series-operator equivalence, tie-to-earliest and
+    * band invariance pinned in EventsSpec. */
+  def pettittEvents(events: DataFrame, tsCol: String, tieCol: String,
+      valueCol: String, bands: Int = 32): DataFrame = {
+    val base = graft.engine.Caches.persisted(
+      events.select(col(tsCol).as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__x"),
+        unix_micros(col(tsCol)).as("__tm")))
+    // value axis: banded ECDF -> V per distinct value
+    val per = graft.engine.Caches.persisted(
+      base.groupBy(col("__x")).agg(count(lit(1)).as("__t")))
+    val vb = broadcast(per.agg(min(col("__x")).as("__lo"),
+      max(col("__x")).as("__hi"), sum(col("__t")).as("__n")))
+    val bandedV = per.crossJoin(vb).withColumn("__vband",
+      graft.engine.Banding.bandAsc(col("__x"), col("__lo"), col("__hi"),
+        bands))
+    val vOff = bandedV.groupBy(col("__vband"))
+      .agg(sum(col("__t")).as("__bn"))
+      .withColumn("__oc", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__vband")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__vband"), col("__oc"))
+    val wV = Window.partitionBy(col("__vband")).orderBy(col("__x"))
+      .rowsBetween(Long.MinValue, 0)
+    val vOfValue = bandedV.join(broadcast(vOff), "__vband")
+      .withColumn("__clt",
+        col("__oc") + sum(col("__t")).over(wV) - col("__t"))
+      .select(col("__x"),
+        (col("__clt") * 2 + col("__t") - col("__n")).as("__v"),
+        col("__n"))
+    // time axis: banded running sum of V in (ts, tie) order
+    val ev = base.join(vOfValue, "__x")
+    val tb = broadcast(base.agg(min(col("__tm")).as("__tlo"),
+      max(col("__tm")).as("__thi")))
+    val bandedT = ev.crossJoin(tb).withColumn("__tband",
+      graft.engine.Banding.bandAsc(col("__tm"), col("__tlo"),
+        col("__thi"), bands))
+    val tOff = bandedT.groupBy(col("__tband"))
+      .agg(sum(col("__v")).as("__bv"), count(lit(1)).as("__bc"))
+      .withColumn("__ov", coalesce(sum(col("__bv")).over(
+        Window.orderBy(col("__tband")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .withColumn("__orn", coalesce(sum(col("__bc")).over(
+        Window.orderBy(col("__tband")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__tband"), col("__ov"), col("__orn"))
+    val wT = Window.partitionBy(col("__tband"))
+      .orderBy(col("__tm"), col("tie"))
+    bandedT.join(broadcast(tOff), "__tband")
+      .withColumn("__u",
+        col("__ov") + sum(col("__v")).over(wT.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__rn", col("__orn") + row_number().over(wT))
+      .filter(col("__rn") < col("__n")) // U_n == 0: not a split
+      .orderBy(abs(col("__u")).desc, col("__tm"), col("tie")).limit(1)
+      .select(col("__n").as("n"), col("ts").as("t_star"), col("tie"),
         col("__u").as("u_stat"), abs(col("__u")).as("u_abs"))
   }
 

@@ -428,6 +428,47 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("pettittEvents: hand step series, series-operator equivalence, " +
+      "tie-to-earliest, band invariance") {
+    def ev(xs: Seq[Double]) = xs.zipWithIndex.map { case (x, i) =>
+      (java.sql.Timestamp.valueOf(f"2026-01-01 10:${i}%02d:00"),
+        i.toLong, x) }.toDF("ts", "tie", "v")
+    // clean level shift: V = (-3,-3,-3,+3,+3,+3), U = -3,-6,-9,-6,-3
+    val step = Events.pettittEvents(ev(Seq(1, 1, 1, 9, 9, 9)
+      .map(_.toDouble)), "ts", "tie", "v").collect().head
+    assert((step.getLong(0), step.getLong(2), step.getLong(3),
+      step.getLong(4)) === ((6L, 2L, -9L, 9L)))
+    assert(step.getTimestamp(1) ===
+      java.sql.Timestamp.valueOf("2026-01-01 10:02:00"))
+    // tie in |U|: earliest (ts, tie) wins — mirrors the series op
+    val tie = Events.pettittEvents(ev(Seq(1.0, 9.0, 1.0)),
+      "ts", "tie", "v").collect().head
+    assert(tie.getLong(2) === 0L && tie.getLong(3) === -1L &&
+      tie.getLong(4) === 1L)
+    assert(tie.getTimestamp(1) ===
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+    // equivalence with the O(n^2) series operator on a mixed series
+    // (integer values: the series op takes raw longs, this one cents)
+    val xs = Seq(3.0, 7.0, 3.0, 1.0, 9.0, 9.0, 2.0, 8.0, 1.0, 6.0,
+      6.0, 4.0)
+    val fromSeries = Events.pettitt(
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }
+        .toDF("k", "x"), "k", "x").collect().head
+    val fromEvents = Events.pettittEvents(ev(xs), "ts", "tie", "v")
+      .collect().head
+    assert(fromEvents.getLong(2) === fromSeries.getLong(1)) // same split
+    assert(fromEvents.getLong(3) === fromSeries.getLong(2))
+    assert(fromEvents.getLong(4) === fromSeries.getLong(3))
+    // banding is an implementation detail: 1 band == 32 bands == 7
+    for (b <- Seq(1, 7)) {
+      val alt = Events.pettittEvents(ev(xs), "ts", "tie", "v", bands = b)
+        .collect().head
+      assert(alt.getLong(2) === fromEvents.getLong(2) &&
+        alt.getLong(3) === fromEvents.getLong(3))
+    }
+    graft.engine.Caches.releaseAll()
+  }
+
   test("saxWords: quartile hand symbols, constant-series 'a' run, tie order") {
     val ev = Seq(
       (1L, 10L, "2026-01-01 10:00:00", 1.0),
