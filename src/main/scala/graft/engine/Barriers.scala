@@ -30,8 +30,8 @@ object Barriers {
 
   /** Materialize `df` eagerly and cut its lineage, reliably iff the
     * session has a checkpoint directory configured. */
-  def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+  def cut(df: DataFrame): DataFrame = {
+    val c = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // checkpoint(eager) runs TWO jobs — the eager count, then the
       // checkpoint-file write — and on an unpersisted plan the second
       // re-executes the full lineage, doubling every round of an
@@ -42,6 +42,20 @@ object Barriers {
       try df.checkpoint(eager = true)
       finally df.unpersist(blocking = false)
     } else df.localCheckpoint(eager = true)
+    // Checkpointing copies the ORIGINAL plan's sizeInBytes onto the new
+    // leaf, and the size-only stats visitor takes the PRODUCT of child
+    // sizes at every inner/outer join — so a cut→join→cut iteration
+    // compounds sizeInBytes multiplicatively across rounds. The BigInt
+    // stays semantically harmless (anything huge reads "don't
+    // broadcast") but its DIGIT COUNT grows geometrically, and after
+    // enough rounds the next cut's eager stats pass hangs for minutes
+    // inside BigInteger.multiply (hit by the SCC trim loop, r15).
+    // Rebuilding the frame over the already-materialized RDD resets the
+    // leaf to the honest default size; only frames past the absurdity
+    // bar (2^127 bytes) pay the Row round-trip.
+    if (c.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength <= 127) c
+    else df.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
 
   /** Postfix form: `plan.barrierCut` reads like the
     * `.localCheckpoint(true)` it replaces. */

@@ -67,4 +67,26 @@ class BarriersSpec extends SparkTestBase {
     val reliableMode = withCheckpointDir(run())
     assert(localMode === reliableMode)
   }
+
+  test("Barriers.cut caps inherited sizeInBytes across cut-join-cut rounds") {
+    // checkpointing copies the input plan's sizeInBytes onto the new
+    // leaf and joins take the PRODUCT of child sizes, so an iterated
+    // cut->join->cut loop compounds the stat multiplicatively — by
+    // round ~20 the BigInt has millions of digits and the next cut's
+    // eager stats pass hangs in BigInteger.multiply (the r15 SCC trim
+    // regression). The cap rebuilds any leaf past 2^127 bytes.
+    var df = Barriers.cut(Seq((1L, 2L), (2L, 3L)).toDF("u", "v"))
+    for (_ <- 1 to 25) {
+      val other = df.select(col("u").as("u2"), col("v").as("v2"))
+      df = Barriers.cut(
+        df.join(other, col("u") === col("u2"))
+          .join(other.select(col("u2").as("u3"), col("v2").as("v3")),
+            col("u") === col("u3"))
+          .select(col("u"), col("v")).limit(4))
+      assert(df.queryExecution.optimizedPlan.stats
+        .sizeInBytes.bitLength <= 127,
+        "inherited sizeInBytes escaped the cap")
+    }
+    assert(df.count() >= 0L) // the loop stays executable and fast
+  }
 }

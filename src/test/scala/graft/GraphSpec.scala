@@ -480,4 +480,23 @@ class GraphSpec extends SparkTestBase {
       === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 3L -> 3L, 4L -> 3L))
     graft.engine.Caches.releaseAll()
   }
+
+  test("stronglyConnected: deep chain into a cycle drains through trim " +
+      "within the default round budget") {
+    import spark.implicits._
+    // a 64-deep chain (ids 10..74) feeding a 3-cycle {1,2,3}: without
+    // the trim pre-pass, FW-BW peels ONE chain node per outer round
+    // (F = chain head, B = 1 via the cycle, equal only at the head)
+    // and blows the default maxRounds = 30; trim drains the acyclic
+    // periphery in cheap rounds instead
+    val chain = (10L until 74L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((74L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)))
+      .toDF("s", "d")
+    val got = Graph.stronglyConnected(edges, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 68)
+    (10L to 74L).foreach(i => assert(got(i) === i)) // chain: singletons
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    graft.engine.Caches.releaseAll()
+  }
 }
