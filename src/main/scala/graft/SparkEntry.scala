@@ -3872,6 +3872,49 @@ object SparkEntry {
           Seq("signup", "view", "click", "purchase")))
         .orderBy("user_id")),
 
+    // Exactly-once funnel state across query RESTARTS (the
+    // q_stream_restart pattern on flatMapGroupsWithState): batch 1 =
+    // the signup/view events only, then the query STOPS; batch 2 adds
+    // click/purchase and a NEW query resumes from the checkpoint — the
+    // recovered (steps_done, anchor) state must continue the greedy
+    // chained-min match, never rewind it. The append sink holds one
+    // progress row per user per batch it appeared in; the oracle
+    // replays both phases from the type split. Fully oracled.
+    "q_stream_funnel_restart" -> ((s, dir) => {
+      val root = tmpPath("stream_funnel_restart")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val ev = t(s, dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      def run(): Unit = {
+        val in = s.readStream.schema(
+            "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING")
+          .parquet(s"$root/in")
+        val q = graft.streaming.Streams.funnelStream(
+            in, "user_id", "ts", "event_id", "event_type",
+            Seq("signup", "view", "click", "purchase"))
+          .writeStream.format("parquet").option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      try {
+        ev.filter(col("event_type").isin("signup", "view"))
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+        run()
+        ev.filter(col("event_type").isin("click", "purchase"))
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+        run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      readTable(s, s"$root/out")
+        .orderBy("user_id", "steps_done", "anchor_us")
+    }),
+
     // Streaming Holt smoother under a one-batch AvailableNow replay:
     // in-batch (ts, tie) sort before the fold makes the stream equal
     // the batch operator bit-for-bit — judged against the SAME
@@ -7286,6 +7329,46 @@ object SparkEntry {
         |LEFT JOIN s2 ON s0.user_id = s2.user_id
         |LEFT JOIN s3 ON s0.user_id = s3.user_id
         |ORDER BY s0.user_id""".stripMargin,
+
+    // two-phase replay of the restart: batch 1 holds EVERY signup/view
+    // (so phase-1 anchors equal the full-table chained mins), batch 2
+    // every click/purchase; a batch-2 row emits per user with >= 1
+    // click/purchase event, continuing — never rewinding — the
+    // recovered (steps_done, anchor) state
+    "q_stream_funnel_restart" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'view' AND e.ts >= s0.t GROUP BY 1),
+        |p1 AS (SELECT s0.user_id,
+        |         CAST(CASE WHEN s1.user_id IS NOT NULL THEN 2 ELSE 1 END
+        |           AS BIGINT) AS steps_done,
+        |         coalesce(s1.t, s0.t) AS anchor
+        |       FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id),
+        |act2 AS (SELECT DISTINCT user_id FROM events
+        |         WHERE event_type IN ('click', 'purchase')),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN p1 ON e.user_id = p1.user_id AND p1.steps_done = 2
+        |       WHERE e.event_type = 'click' AND e.ts >= p1.anchor
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+        |       GROUP BY 1),
+        |p2 AS (SELECT p1.user_id,
+        |         CAST(CASE WHEN s3.user_id IS NOT NULL THEN 4
+        |                   WHEN s2.user_id IS NOT NULL THEN 3
+        |                   ELSE p1.steps_done END AS BIGINT) AS steps_done,
+        |         coalesce(s3.t, s2.t, p1.anchor) AS anchor
+        |       FROM p1
+        |       JOIN act2 ON p1.user_id = act2.user_id
+        |       LEFT JOIN s2 ON p1.user_id = s2.user_id
+        |       LEFT JOIN s3 ON p1.user_id = s3.user_id)
+        |SELECT user_id, steps_done, epoch_us(anchor) AS anchor_us FROM p1
+        |UNION ALL
+        |SELECT user_id, steps_done, epoch_us(anchor) AS anchor_us FROM p2
+        |ORDER BY user_id, steps_done, anchor_us""".stripMargin,
 
     "q_funnel_window" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events

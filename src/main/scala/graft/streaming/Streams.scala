@@ -304,7 +304,9 @@ object Streams {
     * against the same chained-CTE oracle family as `q_funnel`. Across
     * real micro-batches arrival order wins (a late earlier-anchor
     * event cannot rewind a match) — the [[holtStream]] divergence
-    * contract, pinned in StreamingSpec.
+    * contract, pinned in StreamingSpec. State survives query RESTARTS
+    * exactly-once: judged `q_stream_funnel_restart` (two AvailableNow
+    * queries over one checkpoint, type-split two-phase oracle).
     *
     * Scale: state is two longs per user; in-batch work is
     * O(steps · group rows). */
