@@ -4232,6 +4232,30 @@ object SparkEntry {
             .as("cents")),
         "day", "cents")),
 
+    // Bollinger breakout flags on the daily revenue series (win 7,
+    // 2 sigma): the band compare is pure integer (d^2 vs k^2 * var
+    // numerator over DECIMAL intermediates) — no sqrt anywhere.
+    // Fully oracled.
+    "q_bollinger" -> ((s, dir) =>
+      graft.operators.Events.bollingerFlags(
+        t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents")),
+        "day", "cents", win = 7, kSigma = 2)
+        .orderBy("k")),
+
+    // Mann-Kendall trend test on the daily revenue series: exact S and
+    // tie-corrected Var*18, one micro-floored sqrt for the
+    // continuity-corrected z. Fully oracled.
+    "q_mann_kendall" -> ((s, dir) =>
+      graft.operators.Events.mannKendall(
+        t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents")),
+        "day", "cents")),
+
     // Data-scale Pettitt over the RAW event stream (no daily
     // pre-aggregate): per-value V off the banded ECDF, banded running
     // U over the time axis, argmax split. Exact integers end to end.
@@ -4623,6 +4647,27 @@ object SparkEntry {
         t(s, dir, "events").withColumn("grp",
           col("event_type") === "purchase"),
         "value", "grp")),
+
+    // Stratified 5-fold assignment over orders (stratum = priority):
+    // round-robin on the fibHash shuffle rank; judged as the
+    // fold x stratum (count, key-sum) matrix so every assignment is
+    // pinned, not just the sizes. Fully oracled.
+    "q_kfold" -> ((s, dir) =>
+      graft.operators.Sampling.kFoldAssign(
+        t(s, dir, "orders").select(col("o_orderpriority").as("stratum"),
+          col("o_orderkey")),
+        col("stratum"), col("o_orderkey"), 5)
+        .groupBy("stratum", "fold")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("stratum", "fold")),
+
+    // Kruskal-Wallis H across the 5 event types: doubled tie-averaged
+    // ranks off the banded ECDF, per-term micro-truncated division
+    // with the full N(N+1) divisor folded in, exact tie correction.
+    // Fully oracled.
+    "q_kruskal" -> ((s, dir) =>
+      graft.operators.Eval.kruskalWallis(
+        t(s, dir, "events"), "value", "event_type")),
 
     // Kendall tau-b over the daily (activity count, revenue cents)
     // series: exact pair counts off the bounded calendar-scale series,
@@ -8119,6 +8164,57 @@ object SparkEntry {
     // doubled tie-averaged ranks: a tie group at cumulative offset c
     // with t members contributes t1·(2c + t + 1); z's sigma factors
     // are spelled in the plan's exact operation order
+    // fibHash replayed exactly (the q_shuffle_order spelling), fold =
+    // (hash-rank - 1) % 5 within each stratum
+    "q_kfold" ->
+      """WITH h AS (SELECT o_orderpriority AS stratum, o_orderkey,
+        |    CAST(floor(((o_orderkey * 2654435769) % 4294967296)
+        |         * 1000000.0 / 4294967296.0) AS BIGINT) AS bucket
+        |  FROM orders),
+        |f AS (SELECT stratum, o_orderkey,
+        |    CAST((row_number() OVER (PARTITION BY stratum
+        |      ORDER BY bucket, o_orderkey) - 1) % 5 AS INT) AS fold
+        |  FROM h)
+        |SELECT stratum, fold, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM f GROUP BY 1, 2 ORDER BY stratum, fold""".stripMargin,
+
+    // doubled tie-averaged ranks (2c + t + 1) per distinct cents
+    // value, per-term micro division with the full divisor folded in,
+    // signed tie-correction route — all HUGEINT-mirrored
+    "q_kruskal" ->
+      """WITH t AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |        event_type AS g FROM events),
+        |cells AS (SELECT v, g, CAST(count(*) AS BIGINT) AS t1
+        |          FROM t GROUP BY 1, 2),
+        |per AS (SELECT v, CAST(sum(t1) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1),
+        |b AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |        CAST(sum(t*t*t - t) AS BIGINT) AS ties FROM per),
+        |ranks AS (SELECT v,
+        |        2 * CAST(coalesce(sum(t) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) + t + 1 AS dr
+        |      FROM per),
+        |grp AS (SELECT g, CAST(sum(t1 * dr) AS BIGINT) AS r2,
+        |        CAST(sum(t1) AS BIGINT) AS ng
+        |      FROM cells JOIN ranks USING (v) GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |        CAST(sum(CAST(CAST(r2 AS HUGEINT) * r2 * 12000000
+        |          // (4 * ng * b.n * (b.n + 1)) AS BIGINT)) AS BIGINT)
+        |          AS s
+        |      FROM grp, b),
+        |f AS (SELECT b.n, agg.n_groups, b.ties,
+        |        CASE WHEN b.n >= 2 AND agg.n_groups >= 2
+        |          THEN agg.s - 3 * (b.n + 1) * 1000000 END AS h_micro
+        |      FROM b, agg)
+        |SELECT n, n_groups, h_micro,
+        |  CASE WHEN h_micro IS NOT NULL AND n*n*n - n - ties > 0 THEN
+        |    CAST(sign(h_micro) AS BIGINT) *
+        |    CAST(abs(CAST(h_micro AS HUGEINT)) * (n*n*n - n)
+        |      // (n*n*n - n - ties) AS BIGINT) END AS h_adj_micro
+        |FROM f""".stripMargin,
+
     "q_mwu" ->
       """WITH per AS (SELECT value AS v,
         |               CASE WHEN event_type = 'purchase'
@@ -9710,6 +9806,55 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n, k AS t_star, u AS u_stat,
         |       abs(u) AS u_abs
         |FROM u WHERE rn < n ORDER BY abs(u) DESC, k LIMIT 1""".stripMargin,
+
+    // the squared-compare band: d = 7c - s1, flag by
+    // d^2 vs 4*(7*s2 - s1^2) in HUGEINT — no sqrt on either side
+    "q_bollinger" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS x
+        |      FROM events GROUP BY 1),
+        |w AS (SELECT k, x,
+        |        CAST(sum(x) OVER (ORDER BY k
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS s1,
+        |        sum(CAST(x AS HUGEINT) * x) OVER (ORDER BY k
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s2,
+        |        row_number() OVER (ORDER BY k) AS rn
+        |      FROM d),
+        |f AS (SELECT k, x, s1, s2, x * 7 - s1 AS dd FROM w
+        |      WHERE rn >= 7)
+        |SELECT k, x, s1,
+        |  CAST(CASE WHEN CAST(dd AS HUGEINT) * dd >
+        |         4 * (7 * s2 - CAST(s1 AS HUGEINT) * s1)
+        |    THEN CASE WHEN dd > 0 THEN 1 ELSE -1 END
+        |    ELSE 0 END AS INT) AS flag
+        |FROM f ORDER BY k""".stripMargin,
+
+    // exact pair-sign S over the daily series, tie-corrected Var*18,
+    // the one sqrt chain spelled token-identically
+    "q_mann_kendall" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS x
+        |      FROM events GROUP BY 1),
+        |p AS (SELECT CAST(coalesce(sum(sign(b.x - a.x)), 0) AS BIGINT)
+        |        AS s_stat
+        |      FROM d a JOIN d b ON a.k < b.k),
+        |ti AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |        CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |          AS BIGINT) AS tt
+        |      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d
+        |            GROUP BY x)),
+        |f AS (SELECT ti.n, p.s_stat,
+        |        ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tt AS var18
+        |      FROM p, ti)
+        |SELECT n, s_stat, var18,
+        |  CASE WHEN n >= 2 AND var18 > 0 THEN
+        |    CAST(floor(CAST(s_stat - sign(s_stat) AS DOUBLE) * 1000000.0
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+        |  END AS z_micro
+        |FROM f""".stripMargin,
 
     // V(v) = 2*cnt_lt + cnt_eq - n off the value ECDF (the engine's
     // banded form replayed with one global window), running U in

@@ -445,6 +445,79 @@ object Eval {
       .select(col("n1"), col("n2"), col("r2"), col("u2"), col("z_micro"))
   }
 
+  /** Kruskal–Wallis H — [[mannWhitney]] generalized to k groups (the
+    * nonparametric one-way ANOVA): do ANY of the groups stochastically
+    * dominate, decided on ranks. Tie-averaged ranks stay exact by
+    * doubling (a tie group at cumulative offset c with t members has
+    * doubled average rank `2c + t + 1` — the spearman identity), so
+    * each group's doubled rank sum `r2_g` is an exact BIGINT and
+    * `H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)` evaluates as pure integer
+    * division: per-group
+    * `term_g = (r2_g²·12·10⁶) div (4·n_g·N·(N+1))` — micro-truncated
+    * per term then summed (the chi2 pattern), with the FULL divisor
+    * folded in so the result stays BIGINT while the numerator rides a
+    * DECIMAL(38,0)/HUGEINT intermediate (the q_gini rule) — then
+    * `h_micro = Σ term − 3(N+1)·10⁶`. The tie correction divides by
+    * `1 − Σ(t³−t)/(N³−N)`:
+    * `h_adj_micro = sign·(abs(h_micro)·(N³−N) div (N³−N−T))` (signed
+    * route — quantization can push a null-ish H a hair negative;
+    * all-tied input fences NULL). Values quantize to cents first so
+    * both engines rank the identical integer domain.
+    *
+    * Scale: one partial agg to (value, group) cells, the strictly-below
+    * cumulative is the [[aucExact]] banded ECDF over the distinct-value
+    * table — no global window, no pair enumeration; groups are
+    * config-scale. Overflow-safe while N < ~3e9 (r2² < 10^38). Judged
+    * `q_kruskal`, fully ORACLED; the 2-group H = z² consistency check,
+    * a hand 3-group case, separation extremes and the all-tied fence
+    * pinned in EvalSpec. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String,
+      bands: Int = 32): DataFrame = {
+    val cells = graft.engine.Caches.persisted(
+      df.select(floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("v"),
+          col(groupCol).cast("string").as("g"))
+        .groupBy("v", "g").agg(count(lit(1)).as("t1")))
+    val per = cells.groupBy("v").agg(sum(col("t1")).as("t"))
+    val bounds = broadcast(per.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      sum(col("t")).as("n"), sum(expr("t*t*t - t")).as("__ties")))
+    val banded = per.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("v"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(sum(col("t")).as("__bn"))
+      .withColumn("__oc", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__band"), col("__oc"))
+    val wB = Window.partitionBy(col("__band")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, 0)
+    val ranks = banded.join(broadcast(offsets), "__band")
+      .withColumn("__c", col("__oc") + sum(col("t")).over(wB) - col("t"))
+      .select(col("v"), (col("__c") * 2 + col("t") + 1).as("__dr"),
+        col("n"), col("__ties"))
+    val groups = cells.join(ranks, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("t1") * col("__dr")).as("__r2"),
+        sum(col("t1")).as("__ng"),
+        max(col("n")).as("n"), max(col("__ties")).as("__ties"))
+    groups
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_groups"),
+        max(col("__ties")).as("__t"),
+        sum(expr("""cast((cast(__r2 as decimal(38,0)) * __r2 * 12000000)
+          div (4 * __ng * n * (n + 1)) as bigint)""")).as("__s"))
+      .withColumn("h_micro",
+        when(col("n") >= 2 && col("n_groups") >= 2,
+          expr("__s - 3 * (n + 1) * 1000000")))
+      .select(col("n"), col("n_groups"), col("h_micro"),
+        when(col("h_micro").isNotNull &&
+            expr("n * n * n - n - __t") > 0,
+          expr("""cast(sign(h_micro) as bigint) *
+            cast((abs(cast(h_micro as decimal(38,0))) * (n * n * n - n))
+              div (n * n * n - n - __t) as bigint)"""))
+          .as("h_adj_micro"))
+  }
+
   /** Kendall tau-b — the concordant-pair rank correlation next to
     * [[Relational.spearman]]: of all observation pairs, how many order
     * the same way in x and in y (Kendall 1938), with the tau-b tie

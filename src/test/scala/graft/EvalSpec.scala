@@ -619,6 +619,33 @@ class EvalSpec extends SparkTestBase {
     assert(dup.getLong(2) === 1000L)
   }
 
+  test("kruskalWallis: hand 3-group value, 2-group separation, " +
+      "all-tied zero + fence, single-group fence") {
+    def df(rows: Seq[(Double, String)]) = rows.toDF("v", "g")
+    // groups a={1,2} b={3,4} c={5,6}: R = 3,7,11 over n=2 each,
+    // H = 12/42 * (9+49+121)/2 - 21 = 4.571428...
+    val hand = Eval.kruskalWallis(df(Seq((1.0, "a"), (2.0, "a"),
+      (3.0, "b"), (4.0, "b"), (5.0, "c"), (6.0, "c"))), "v", "g")
+      .collect().head
+    assert((hand.getLong(0), hand.getLong(1)) === ((6L, 3L)))
+    assert(hand.getLong(2) === 4571428L)
+    assert(hand.getLong(3) === 4571428L) // no ties: correction = identity
+    // clean 2-group separation: H = 12/42*(12+75) - 21 = 3.857142...
+    val sep = Eval.kruskalWallis(df(Seq((1.0, "a"), (2.0, "a"),
+      (3.0, "a"), (4.0, "b"), (5.0, "b"), (6.0, "b"))), "v", "g")
+      .collect().head
+    assert(sep.getLong(2) === 3857142L)
+    // all values tied: H exactly 0, correction denominator 0 -> NULL
+    val tied = Eval.kruskalWallis(df(Seq((5.0, "a"), (5.0, "a"),
+      (5.0, "b"), (5.0, "b"))), "v", "g").collect().head
+    assert(tied.getLong(2) === 0L && tied.isNullAt(3))
+    // one group: H undefined
+    val one = Eval.kruskalWallis(df(Seq((1.0, "a"), (2.0, "a"))),
+      "v", "g").collect().head
+    assert(one.isNullAt(2) && one.isNullAt(3))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("cemAtt: two-stratum ATT vs confounded crude diff, " +
       "common-support pruning, weight identity") {
     // stratum A: 3 treated @10.00 / 1 control @8.00; stratum B:

@@ -428,6 +428,63 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("bollingerFlags: hand spike/drop, constant window inside, " +
+      "warm-up exclusion, exact-boundary inside") {
+    def series(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("k", "x")
+    // win 3, k 1: the spike day breaks +1, the dip day -1, constant
+    // windows and spike-inflated-sigma windows stay 0
+    val got = Events.bollingerFlags(
+      series(Seq(10, 10, 10, 10, 100, 10, 10, 10, 4)), "k", "x",
+      win = 3, kSigma = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got.size === 7)          // warm-up: first win-1 rows absent
+    assert(!got.contains(0L) && !got.contains(1L))
+    assert(got(2L) === 0 && got(3L) === 0) // constant windows: d = 0
+    assert(got(4L) === 1)                  // the spike breaks out high
+    assert(got(5L) === 0 && got(6L) === 0) // sigma inflated by the spike
+    assert(got(8L) === -1)                 // the dip breaks out low
+    // every win=2, k=1 window sits EXACTLY on the band (d^2 = rhs):
+    // strict compare keeps it inside
+    val edge = Events.bollingerFlags(series(Seq(3, 9, 1)), "k", "x",
+      win = 2, kSigma = 1).collect().map(_.getInt(3))
+    assert(edge.toSeq === Seq(0, 0))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("mannKendall: monotone extremes, flat zero-variance fence, " +
+      "hand tie variance, single-point fence") {
+    def series(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("k", "x")
+    def z(s: Long, var18: Long): Long =
+      math.floor((s - math.signum(s.toDouble)) * 1000000.0 /
+        math.sqrt(var18.toDouble / 18.0)).toLong
+    // strictly increasing: S = n(n-1)/2, no ties
+    val up = Events.mannKendall(series(Seq(1, 2, 3, 4, 5)), "k", "x")
+      .collect().head
+    assert((up.getLong(0), up.getLong(1), up.getLong(2))
+      === ((5L, 10L, 300L)))
+    assert(up.getLong(3) === z(10L, 300L))
+    // strictly decreasing mirrors through the continuity correction
+    val dn = Events.mannKendall(series(Seq(5, 4, 3, 2, 1)), "k", "x")
+      .collect().head
+    assert(dn.getLong(1) === -10L && dn.getLong(3) === z(-10L, 300L))
+    // flat series: every pair tied, var18 = 0 -> fenced NULL
+    val flat = Events.mannKendall(series(Seq(7, 7, 7, 7, 7)), "k", "x")
+      .collect().head
+    assert(flat.getLong(1) === 0L && flat.getLong(2) === 0L &&
+      flat.isNullAt(3))
+    // hand tie variance: [1,1,2] -> S=2, tt=18, var18 = 66-18 = 48
+    val tie = Events.mannKendall(series(Seq(1, 1, 2)), "k", "x")
+      .collect().head
+    assert((tie.getLong(1), tie.getLong(2)) === ((2L, 48L)))
+    assert(tie.getLong(3) === z(2L, 48L))
+    // single point: no pairs, var18 = 0
+    val one = Events.mannKendall(series(Seq(3)), "k", "x").collect().head
+    assert(one.getLong(1) === 0L && one.isNullAt(3))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("pettittEvents: hand step series, series-operator equivalence, " +
       "tie-to-earliest, band invariance") {
     def ev(xs: Seq[Double]) = xs.zipWithIndex.map { case (x, i) =>

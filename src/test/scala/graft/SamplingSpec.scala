@@ -331,4 +331,32 @@ class SamplingSpec extends SparkTestBase {
     assert(again === got)
     graft.engine.Caches.releaseAll()
   }
+
+  test("kFoldAssign: per-stratum balance, reshuffle determinism, " +
+      "k=1 degenerate, small-stratum coverage") {
+    val df = (0L until 103L).map(i => (s"s${i % 3}", i)).toDF("g", "id")
+    val folds = Sampling.kFoldAssign(df, col("g"), col("id"), 5)
+      .select("g", "id", "fold").as[(String, Long, Int)].collect()
+    // balance: within each stratum fold sizes differ by at most 1
+    folds.groupBy(_._1).foreach { case (_, rows) =>
+      val sizes = rows.groupBy(_._3).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+      assert(rows.map(_._3).toSet === (0 until 5).toSet)
+    }
+    // assignment is a pure function of (stratum, key, k): identical
+    // after a reshuffle
+    val again = Sampling.kFoldAssign(df.repartition(7), col("g"),
+      col("id"), 5).select("g", "id", "fold")
+      .as[(String, Long, Int)].collect().toSet
+    assert(again === folds.toSet)
+    // k = 1: everything lands in fold 0
+    assert(Sampling.kFoldAssign(df, col("g"), col("id"), 1)
+      .select("fold").distinct().as[Int].collect().toSeq === Seq(0))
+    // a stratum smaller than k covers folds 0..|stratum|-1 exactly
+    val tiny = Sampling.kFoldAssign(
+      Seq(("t", 1L), ("t", 2L), ("t", 3L)).toDF("g", "id"),
+      col("g"), col("id"), 5)
+      .select("fold").as[Int].collect().sorted
+    assert(tiny.toSeq === Seq(0, 1, 2))
+  }
 }
