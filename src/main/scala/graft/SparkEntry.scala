@@ -4648,6 +4648,30 @@ object SparkEntry {
           col("event_type") === "purchase"),
         "value", "grp")),
 
+    // Neyman allocation of a 1000-sample budget across order
+    // priorities: weight = sqrt(N*Sx2 - Sx^2) exactly (one IEEE sqrt
+    // per stratum), largest-remainder apportionment. Fully oracled.
+    "q_neyman" -> ((s, dir) =>
+      graft.operators.Sampling.neymanAllocation(
+        t(s, dir, "orders").select(
+          col("o_orderpriority").as("g"), col("o_totalprice").as("y")),
+        "g", "y", 1000L)
+        .orderBy("grp")),
+
+    // Inclusion-dependency discovery over 4 derived orders columns
+    // (one nullable — the NULL-exclusion rule is live): full ordered
+    // pair grid with distinct/common counts. Fully oracled.
+    "q_ind_discover" -> ((s, dir) =>
+      graft.operators.Relational.inclusionDeps(
+        t(s, dir, "orders").select(
+          (col("o_custkey") % 50).as("ck50"),
+          (col("o_custkey") % 100).as("ck100"),
+          (col("o_orderkey") % 100).as("ok100"),
+          when(col("o_orderkey") % 7 === 0, col("o_orderkey") % 50)
+            .as("ok50n")),
+        Seq("ck50", "ck100", "ok100", "ok50n"))
+        .orderBy("lhs", "rhs")),
+
     // Stratified 5-fold assignment over orders (stratum = priority):
     // round-robin on the fibHash shuffle rank; judged as the
     // fold x stratum (count, key-sum) matrix so every assignment is
@@ -6342,6 +6366,20 @@ object SparkEntry {
           ((col("x") * 3) % 300).as("v")))
       graft.operators.Graph.robustnessReport(edges, "u", "v", topK = 10)
         .orderBy("scenario")
+    }),
+
+    // Double-sweep diameter estimate over the undirected affine-map
+    // graph: BFS from the min-id node, BFS again from the farthest
+    // node found; exact hop integers, TakeOrdered readouts.
+    // Fully oracled.
+    "q_diameter" -> ((s, dir) => {
+      val xs = t(s, dir, "orders")
+        .select((col("o_orderkey") % 300).as("x")).distinct()
+      val edges = xs.select(col("x").as("u"),
+          ((col("x") * 7 + 1) % 300).as("v"))
+        .unionByName(xs.select(col("x").as("u"),
+          ((col("x") * 3) % 300).as("v")))
+      graft.operators.Graph.diameterSweep(edges, "u", "v")
     }),
 
     // Strongly connected components over the union of two affine maps
@@ -8164,6 +8202,65 @@ object SparkEntry {
     // doubled tie-averaged ranks: a tie group at cumulative offset c
     // with t members contributes t1·(2c + t + 1); z's sigma factors
     // are spelled in the plan's exact operation order
+    // the q_apportion replay over sqrt-variance weights; one IEEE
+    // sqrt per stratum over the exact HUGEINT variance numerator
+    "q_neyman" ->
+      """WITH s AS (SELECT o_orderpriority AS g,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |      FROM orders),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS s1,
+        |        sum(CAST(c AS HUGEINT) * c) AS s2 FROM s GROUP BY 1),
+        |w AS (SELECT g, CAST(floor(sqrt(CAST(n * s2 -
+        |        CAST(s1 AS HUGEINT) * s1 AS DOUBLE))) AS BIGINT)
+        |        AS w_sd
+        |      FROM a),
+        |t AS (SELECT CAST(sum(w_sd) AS BIGINT) AS tt FROM w),
+        |b AS (SELECT g AS grp, w_sd,
+        |        CAST(1000 * w_sd // tt AS BIGINT) AS base,
+        |        CAST(1000 * w_sd % tt AS BIGINT) AS rem FROM w, t),
+        |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS lft FROM b),
+        |r AS (SELECT grp, w_sd, base, rem,
+        |        row_number() OVER (ORDER BY rem DESC, grp) AS rk
+        |      FROM b)
+        |SELECT grp, w_sd, base, rem,
+        |  CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r, l ORDER BY grp""".stripMargin,
+
+    // raw-value set containment (the Spark side joins on the 128-bit
+    // value hash — same sets); NULLs excluded on both sides
+    "q_ind_discover" ->
+      """WITH src AS (SELECT o_custkey % 50 AS ck50,
+        |        o_custkey % 100 AS ck100, o_orderkey % 100 AS ok100,
+        |        CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey % 50 END
+        |          AS ok50n
+        |      FROM orders),
+        |dd AS (SELECT DISTINCT c, v FROM (
+        |    SELECT 'ck50' AS c, CAST(ck50 AS VARCHAR) AS v FROM src
+        |    WHERE ck50 IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'ck100', CAST(ck100 AS VARCHAR) FROM src
+        |    WHERE ck100 IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'ok100', CAST(ok100 AS VARCHAR) FROM src
+        |    WHERE ok100 IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'ok50n', CAST(ok50n AS VARCHAR) FROM src
+        |    WHERE ok50n IS NOT NULL)),
+        |counts AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM dd
+        |           GROUP BY 1),
+        |com AS (SELECT l.c AS a, r.c AS b, CAST(count(*) AS BIGINT)
+        |          AS nc
+        |        FROM dd l JOIN dd r ON l.v = r.v AND l.c <> r.c
+        |        GROUP BY 1, 2)
+        |SELECT ca.c AS lhs, cb.c AS rhs, ca.n AS n_lhs,
+        |  CAST(coalesce(com.nc, 0) AS BIGINT) AS n_common,
+        |  coalesce(com.nc, 0) = ca.n AS holds
+        |FROM counts ca JOIN counts cb ON ca.c <> cb.c
+        |LEFT JOIN com ON com.a = ca.c AND com.b = cb.c
+        |ORDER BY lhs, rhs""".stripMargin,
+
     // fibHash replayed exactly (the q_shuffle_order spelling), fold =
     // (hash-rank - 1) % 5 within each stratum
     "q_kfold" ->
@@ -13246,6 +13343,37 @@ object SparkEntry {
         |  CAST(coalesce(max(sz), 0) AS BIGINT)
         |FROM ff
         |ORDER BY scenario""".stripMargin,
+
+    // recursive-CTE BFS replay of both sweeps; min(h) per node = the
+    // frontier BFS hop; ties to the smallest id at both argmaxes
+    "q_diameter" ->
+      """WITH RECURSIVE
+        |xs AS (SELECT DISTINCT o_orderkey % 300 AS x FROM orders),
+        |raw AS (SELECT DISTINCT u, v FROM (
+        |    SELECT x AS u, (x * 7 + 1) % 300 AS v FROM xs
+        |    UNION ALL
+        |    SELECT x, (x * 3) % 300 FROM xs) WHERE u <> v),
+        |e AS (SELECT DISTINCT u, v FROM (
+        |    SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw)),
+        |st AS (SELECT min(u) AS s FROM e),
+        |b1(id, h) AS (
+        |    SELECT s, 0 FROM st
+        |  UNION
+        |    SELECT e.v, b1.h + 1 FROM b1 JOIN e ON b1.id = e.u
+        |    WHERE b1.h < 64),
+        |d1 AS (SELECT id, CAST(min(h) AS INT) AS h FROM b1 GROUP BY 1),
+        |p1 AS (SELECT id, h FROM d1 ORDER BY h DESC, id LIMIT 1),
+        |b2(id, h) AS (
+        |    SELECT id, 0 FROM p1
+        |  UNION
+        |    SELECT e.v, b2.h + 1 FROM b2 JOIN e ON b2.id = e.u
+        |    WHERE b2.h < 64),
+        |d2 AS (SELECT id, CAST(min(h) AS INT) AS h FROM b2 GROUP BY 1),
+        |p2 AS (SELECT id, h FROM d2 ORDER BY h DESC, id LIMIT 1)
+        |SELECT st.s AS start, p1.id AS peripheral, p1.h AS ecc_start,
+        |  p2.id AS far_node, p2.h AS diameter_lb,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_reached
+        |FROM st, p1, p2""".stripMargin,
 
     // closure + mutual-reach min replay; self-loops dropped like the
     // engine (u <> v), endpoints-only node universe

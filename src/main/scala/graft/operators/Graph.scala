@@ -372,6 +372,59 @@ object Graph {
     visited
   }
 
+  /** Graph diameter lower bound via the classic DOUBLE BFS SWEEP
+    * (Magnien/Latapy/Habib): sweep 1 runs [[bfsHops]] from the min-id
+    * node and takes the farthest node reached (ties to the smallest
+    * id); sweep 2 runs from that peripheral node — its eccentricity is
+    * the double-sweep diameter estimate, exact on trees and within a
+    * small factor on real-world graphs (the full diameter is all-pairs
+    * — never computed distributed). Undirected: edges symmetrize and
+    * self-loops drop. On a DISCONNECTED graph the sweep covers the
+    * min-id node's component only (n_reached says how much), the
+    * per-component convention [[Dedup.connectedComponents]] callers
+    * compose with.
+    *
+    * Scale: two frontier BFS passes over bare (long, long) edges — the
+    * bfsHops posture (barrierCut rounds); the two argmax readouts are
+    * TakeOrdered(1). Judged `q_diameter`, fully ORACLED (recursive-CTE
+    * BFS replay of both sweeps); path-graph exactness, the star case,
+    * disconnected confinement and the tie-to-smallest-id sweep pinned
+    * in GraphSpec. */
+  def diameterSweep(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int = 64): DataFrame = {
+    val session = edges.sparkSession
+    import session.implicits._
+    val und = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val sym = graft.engine.Caches.persisted(
+      und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+        .distinct())
+    val starts = sym.agg(min(col("u")).as("s"))
+      .filter(col("s").isNotNull).as[Long].collect()
+    if (starts.isEmpty)
+      session.range(0).select(col("id").as("start"),
+        col("id").as("peripheral"), col("id").cast("int").as("ecc_start"),
+        col("id").as("far_node"), col("id").cast("int").as("diameter_lb"),
+        col("id").as("n_reached"))
+    else {
+      def sweep(seed: Long): (Long, Int, Long) = {
+        val vis = graft.engine.Caches.persisted(
+          bfsHops(sym, "u", "v", Seq(seed).toDF("id"), "id", maxHops))
+        val far = vis.orderBy(col("hops").desc, col("id")).limit(1)
+          .select(col("id"), col("hops"))
+          .as[(Long, Int)].collect().head
+        (far._1, far._2, vis.count())
+      }
+      val start = starts.head
+      val (p1, ecc1, n) = sweep(start)
+      val (p2, ecc2, _) = sweep(p1)
+      Seq((start, p1, ecc1, p2, ecc2, n))
+        .toDF("start", "peripheral", "ecc_start", "far_node",
+          "diameter_lb", "n_reached")
+    }
+  }
+
   /** Longest-path layering of a DAG (the ASAP schedule / critical-path
     * stage assignment; Kahn-style level numbering): `layer(v)` = length
     * of the longest path ending at v — 0 for sources, otherwise

@@ -796,6 +796,54 @@ object Relational {
     out.toDF("det", "dep", "n_det_classes", "n_pair_classes", "holds")
   }
 
+  /** Inclusion-dependency discovery (SPIDER-lite) — the FOREIGN-KEY
+    * CANDIDATE profiler next to [[fdDiscover]] (FDs say which columns
+    * determine others WITHIN a row; INDs say which columns' VALUE SETS
+    * nest across columns — the join-key discovery signal): for every
+    * ordered pair (a, b) of the profiled columns, does
+    * `distinct(a) ⊆ distinct(b)` hold, reported with the distinct and
+    * common counts so near-misses are visible. NULLs are excluded on
+    * both sides (the SQL FK convention: NULL references nothing).
+    * Values compare as strings (cross-type INDs like int-code vs
+    * string-code surface; cast upstream to narrow).
+    *
+    * Scale: one unpivot to (col, value) + distinct (the only
+    * data-scale shuffle — keyed by the 128-bit value hash, raw values
+    * never widen the exchange), per-column counts and the
+    * pair-intersection counts are aggregates over that distinct
+    * relation; the (col×col) output grid is config-scale. Judged
+    * `q_ind_discover`, fully ORACLED; a hand nest chain, the
+    * NULL-exclusion rule, a non-containment near-miss and reflexive
+    * exclusion pinned in RelationalSpec. */
+  def inclusionDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"profiling column list of 2..8 expected: ${cols.size}")
+    val stacked = cols.map(c =>
+        df.select(lit(c).as("__c"), col(c).cast("string").as("__v"))
+          .filter(col("__v").isNotNull))
+      .reduce(_.unionByName(_))
+    val d = graft.engine.Caches.persisted(
+      stacked
+        .select(col("__c"), xxhash64(col("__v")).as("__h1"),
+          xxhash64(col("__v"), lit(1L)).as("__h2"))
+        .distinct())
+    val counts = d.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+    val common = d.as("l")
+      .join(d.as("r"),
+        col("l.__h1") === col("r.__h1") && col("l.__h2") === col("r.__h2")
+          && col("l.__c") =!= col("r.__c"))
+      .groupBy(col("l.__c").as("__a"), col("r.__c").as("__b"))
+      .agg(count(lit(1)).as("__common"))
+    counts.select(col("__c").as("__a"), col("__n").as("n_lhs"))
+      .crossJoin(broadcast(
+        counts.select(col("__c").as("__b"), col("__n").as("__nb"))))
+      .filter(col("__a") =!= col("__b"))
+      .join(common, Seq("__a", "__b"), "left")
+      .select(col("__a").as("lhs"), col("__b").as("rhs"), col("n_lhs"),
+        coalesce(col("__common"), lit(0L)).as("n_common"),
+        (coalesce(col("__common"), lit(0L)) === col("n_lhs")).as("holds"))
+  }
+
   /** Business days strictly between two day-resolution instants —
     * calendar arithmetic in CLOSED FORM (no calendar table, no
     * explode): with epoch days `a ≤ b` and ISO weekday phase

@@ -429,6 +429,42 @@ object Sampling {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Neyman (optimal) stratified allocation — how many samples each
+    * stratum DESERVES, not how many it has: the variance-minimizing
+    * split of a sampling budget puts `n_h ∝ N_h·σ_h` (Neyman 1934 —
+    * volatile strata earn more samples than flat ones of equal size).
+    * The weight is EXACT-integer friendly: `N_h·σ_h = √(N_h·ΣX² −
+    * (ΣX)²)` (the population-σ identity cancels the 1/N_h), so each
+    * stratum takes ONE micro-floored IEEE sqrt of an exact
+    * DECIMAL(38,0)/HUGEINT variance numerator (cents², the q_gini
+    * rule), and the integer weights then route through [[apportion]]'s
+    * largest-remainder rule for the final counts. A zero-variance
+    * stratum weighs 0 and is allocated nothing — Neyman's actual
+    * verdict for a constant stratum (one probe suffices; callers
+    * needing minimums clamp downstream).
+    *
+    * Scale: one partial aggregate to stratum cells (config-scale — the
+    * mixRates contract), sqrt + apportionment over that relation.
+    * Judged `q_neyman`, fully ORACLED; the equal-size
+    * unequal-variance hand case, zero-variance exclusion, budget
+    * conservation and proportional-fallback equality (equal σ ⇒
+    * proportional) pinned in SamplingSpec. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget >= 0: $budget")
+    val w = df.select(col(stratumCol).cast("string").as("g"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s1"),
+        sum(expr("cast(__c as decimal(38,0)) * __c")).as("__s2"))
+      .select(col("g"),
+        expr("""cast(floor(sqrt(cast(__n * __s2 -
+          cast(__s1 as decimal(38,0)) * __s1 as double))) as bigint)""")
+          .as("w_sd"))
+    apportion(w, "g", "w_sd", budget)
+      .withColumnRenamed("n_rows", "w_sd")
+  }
+
   /** Deterministic negative sampling for recommender / contrastive
     * training pairs — every (user, item) positive contributes `k`
     * candidate negatives drawn by a FIXED mixing polynomial over a

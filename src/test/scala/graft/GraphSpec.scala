@@ -481,6 +481,32 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("diameterSweep: path exactness, star, disconnected confinement, " +
+      "tie to smallest id") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]) =
+      Graph.diameterSweep(edges.toDF("s", "d"), "s", "d").collect().head
+    // path 0-1-2-3-4: double sweep is EXACT on trees
+    val path = run(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)))
+    assert((path.getLong(0), path.getLong(1), path.getInt(2),
+      path.getLong(3), path.getInt(4), path.getLong(5))
+      === ((0L, 4L, 4, 0L, 4, 5L)))
+    // star around 0: ecc(0)=1, peripheral leaf 1, diameter 2
+    val star = run((1L to 5L).map(l => (0L, l)))
+    assert((star.getLong(0), star.getLong(1), star.getInt(2),
+      star.getInt(4)) === ((0L, 1L, 1, 2)))
+    assert(star.getLong(3) === 2L) // far node: smallest other leaf
+    // disconnected: the sweep stays in the min-id component
+    val disc = run(Seq((0L, 1L), (10L, 11L), (11L, 12L)))
+    assert((disc.getLong(0), disc.getInt(2), disc.getLong(5))
+      === ((0L, 1, 2L)))
+    // triangle: every ecc 1, ties break to the smallest id
+    val tri = run(Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+    assert((tri.getLong(1), tri.getInt(2), tri.getLong(3),
+      tri.getInt(4)) === ((1L, 1, 0L, 1)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("stronglyConnected: deep chain into a cycle drains through trim " +
       "within the default round budget") {
     import spark.implicits._

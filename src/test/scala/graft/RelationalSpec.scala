@@ -1367,4 +1367,29 @@ class RelationalSpec extends SparkTestBase {
     assert(z.isNullAt(z.fieldIndex("or_mh_milli")) &&
       z.isNullAt(z.fieldIndex("or_crude_milli")))
   }
+
+  test("inclusionDeps: nest chain, NULL exclusion, near-miss, " +
+      "reflexive exclusion") {
+    import spark.implicits._
+    // a = {1,2} nests in b = {1,2,3} nests in c = {1,2,3,4};
+    // d = {1,2,9} is a near-miss against c (9 missing); a's NULL row
+    // must not count toward its distinct set
+    val df = Seq(
+      (Some(1L), 1L, 1L, 1L), (Some(2L), 2L, 2L, 2L),
+      (None, 3L, 3L, 9L), (Some(1L), 1L, 4L, 1L))
+      .toDF("a", "b", "c", "d")
+    val got = graft.operators.Relational
+      .inclusionDeps(df, Seq("a", "b", "c", "d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size === 12) // 4*3 ordered pairs, no self-pairs
+    assert(got(("a", "b")) === ((2L, 2L, true)))   // NULL excluded
+    assert(got(("a", "c")) === ((2L, 2L, true)))
+    assert(got(("b", "c")) === ((3L, 3L, true)))
+    assert(got(("c", "b")) === ((4L, 3L, false)))  // reverse fails
+    assert(got(("d", "c")) === ((3L, 2L, false)))  // near-miss: 9 absent
+    assert(got(("a", "d")) === ((2L, 2L, true)))
+    graft.engine.Caches.releaseAll()
+  }
 }

@@ -332,6 +332,40 @@ class SamplingSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("neymanAllocation: volatility earns budget, zero-variance " +
+      "exclusion, conservation, equal-sigma proportional fallback") {
+    // two strata of 4 rows each: 'hi' has sd 10x 'lo' -> ~10/11 of
+    // the budget; weights are sqrt(N*Sx2 - Sx^2) in cents
+    val df = Seq(("hi", 0.0), ("hi", 20.0), ("hi", 0.0), ("hi", 20.0),
+      ("lo", 0.0), ("lo", 2.0), ("lo", 0.0), ("lo", 2.0))
+      .toDF("g", "y")
+    val got = Sampling.neymanAllocation(df, "g", "y", 110L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4)))).toMap
+    // w(hi) = sqrt(4*2000000 - 4000^2)... = sqrt(8e6*cents2 - ...)
+    // cents: hi = {0,2000}x2: s1=4000, s2=8e6 -> 4*8e6-16e6 = 16e6,
+    // w = 4000; lo = {0,200}x2: 4*80000-160000=160000, w = 400
+    assert(got("hi")._1 === 4000L && got("lo")._1 === 400L)
+    assert(got("hi")._2 === 100L && got("lo")._2 === 10L)
+    assert(got.values.map(_._2).sum === 110L) // conservation
+    // a zero-variance stratum weighs 0 and gets nothing
+    val withConst = df.unionAll(
+      Seq(("const", 5.0), ("const", 5.0)).toDF("g", "y"))
+    val z = Sampling.neymanAllocation(withConst, "g", "y", 110L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(z("const") === 0L && z.values.sum === 110L)
+    // equal sigma, unequal sizes: reduces to proportional allocation
+    // w = sqrt(N^2 sigma^2) = N*sigma: {0,2}x2 vs {0,2}x4
+    val prop = Seq(("a", 0.0), ("a", 2.0), ("a", 0.0), ("a", 2.0),
+      ("b", 0.0), ("b", 2.0), ("b", 0.0), ("b", 2.0),
+      ("b", 0.0), ("b", 2.0), ("b", 0.0), ("b", 2.0))
+      .toDF("g", "y")
+    val p = Sampling.neymanAllocation(prop, "g", "y", 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(p("a") === 10L && p("b") === 20L)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("kFoldAssign: per-stratum balance, reshuffle determinism, " +
       "k=1 degenerate, small-stratum coverage") {
     val df = (0L until 103L).map(i => (s"s${i % 3}", i)).toDF("g", "id")
