@@ -6397,6 +6397,35 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Delta-style replaceWhere: the F-status slice atomically replaced
+    // with doubled prices in ONE commit; the latest snapshot AND the
+    // pre-replace version both recomputed from predicates (append-only
+    // history stays addressable). Fully oracled.
+    "q_table_replace_where" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val root = tmpPath("vtable_replace")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") % 3 === 0)
+      VersionedTable.create(s, root, o)
+      VersionedTable.replaceWhere(s, root,
+        o.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        col("o_orderstatus") === "F")
+      def agg(df: DataFrame, ver: Int) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+              .as("cents"))
+          .withColumn("ver", lit(ver))
+      agg(VersionedTable.readLatest(s, root), 2)
+        .unionByName(agg(VersionedTable.readVersion(s, root, 1), 1))
+        .orderBy("ver", "o_orderstatus")
+    }),
+
     // Column-mapping rename: two metadata-only renames interleaved
     // with appends across three physical eras; the latest read
     // coalesces every era into the final logical column. Fully oracled.
@@ -13402,6 +13431,28 @@ object SparkEntry {
 
     // renames are metadata-only: the unified read is exactly the
     // three slices under the final logical name
+    // latest = non-F slice + the doubled-F backfill; ver 1 = the
+    // untouched create — both pure predicates over orders
+    "q_table_replace_where" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |      FROM orders WHERE o_orderkey % 3 = 0),
+        |cur AS (SELECT o_orderstatus, o_totalprice FROM base
+        |        WHERE o_orderstatus <> 'F'
+        |        UNION ALL
+        |        SELECT o_orderstatus, o_totalprice * 2 FROM base
+        |        WHERE o_orderstatus = 'F'),
+        |a2 AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |          AS BIGINT)) AS BIGINT) AS cents, 2 AS ver
+        |      FROM cur GROUP BY 1),
+        |a1 AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |          AS BIGINT)) AS BIGINT) AS cents, 1 AS ver
+        |      FROM base GROUP BY 1)
+        |SELECT o_orderstatus, n, cents, CAST(ver AS INT) AS ver
+        |FROM (SELECT * FROM a2 UNION ALL SELECT * FROM a1)
+        |ORDER BY ver, o_orderstatus""".stripMargin,
+
     "q_table_rename" ->
       """SELECT o_orderkey AS k,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)

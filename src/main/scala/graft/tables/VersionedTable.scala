@@ -833,6 +833,53 @@ object VersionedTable {
     tombs.filter(_._2.exists(dirSet)).map(_._1)
   }
 
+  /** Predicate-scoped atomic overwrite — Delta's `replaceWhere` (the
+    * idempotent-backfill write: "replace THIS day/partition/slice with
+    * THESE rows" as ONE commit, the contract nightly re-computations
+    * ship on): rows matching `cond` are deleted AND `df` is inserted
+    * in a single manifest, so readers never see the in-between state
+    * and a re-run replaces the slice again instead of duplicating it.
+    * Every incoming row must satisfy `cond` (enforced — Delta's own
+    * validation; otherwise a backfill could silently leak rows outside
+    * its slice and a re-run would double them). COW economics mirror
+    * [[deleteWhere]]: clean directories carry over by NAME, dirty ones
+    * rewrite MOR-resolved under the snapshot-union schema, the
+    * incoming batch lands in the same new directory.
+    *
+    * Judged `q_table_replace_where` (slice backfill with doubled
+    * prices; latest AND the pre-replace version both recomputed by the
+    * oracle from predicates — the append-only history stays
+    * addressable), fully ORACLED; out-of-slice rejection, no-match
+    * pure insert, clean-dir carry and re-run idempotence pinned in
+    * VersionedTableSpec. */
+  def replaceWhere(spark: SparkSession, root: String, df: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      probeParallelism: Int = 4): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    require(df.filter(!coalesce(cond, lit(false))).isEmpty,
+      "replaceWhere: every incoming row must satisfy the predicate")
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema
+    val tombs = tombScopes(fs, rootP, base)
+    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap),
+      tombs.filter(_._2.contains(d)).map(_._1))
+    val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
+      !resolved(d).filter(cond).isEmpty
+    }
+    val survivors =
+      if (dirty.isEmpty) None
+      else Some(dirty.map(resolved).reduce(_.unionByName(_))
+        .filter(!coalesce(cond, lit(false))))
+    val incoming = survivors.fold(df)(_.unionByName(df))
+    val dirs = clean :+ writeDataDir(incoming, rootP, v, base.partitionCols)
+    commit(fs, rootP, Manifest(v, "replace_where", base.version, dirs,
+      partitionCols = base.partitionCols,
+      deleteDirs = liveTombs(tombs, dirs)))
+  }
+
   /** Copy-on-write MERGE upsert on `keyCols`: directories holding a
     * matching key are rewritten with those rows replaced; unmatched
     * update rows land in the same new directory (insert). Last-writer-

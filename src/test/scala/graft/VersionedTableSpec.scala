@@ -60,6 +60,50 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readLatest(spark, root).count() === orders.count())
   }
 
+  test("replaceWhere: out-of-slice rejection, no-match pure insert, " +
+      "clean-dir carry, re-run idempotence") {
+    val root = freshRoot("replace_where")
+    VersionedTable.create(spark, root,
+      orders.filter(col("o_orderkey") <= 3000))
+    VersionedTable.append(spark, root,
+      orders.filter(col("o_orderkey") > 3000))
+    // every incoming row must satisfy the predicate (Delta validation)
+    intercept[IllegalArgumentException](
+      VersionedTable.replaceWhere(spark, root,
+        orders.filter(col("o_orderkey") > 200),
+        col("o_orderkey") <= 100))
+    // slice backfill: the <=100 slice replaced by a doubled-custkey
+    // copy; the untouched second dir carries over BY NAME
+    val backfill = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_custkey", col("o_custkey") * 2)
+    val m = VersionedTable.replaceWhere(spark, root, backfill,
+      col("o_orderkey") <= 100)
+    assert(m.dataDirs.contains("d-00000002"),
+      s"clean dir must survive by name: ${m.dataDirs}")
+    assert(!m.dataDirs.contains("d-00000001"))
+    val after = VersionedTable.readLatest(spark, root)
+    assert(after.count() === orders.count())
+    val doubled = after.filter(col("o_orderkey") <= 100)
+      .agg(sum(col("o_custkey"))).collect().head.getLong(0)
+    val orig = orders.filter(col("o_orderkey") <= 100)
+      .agg(sum(col("o_custkey"))).collect().head.getLong(0)
+    assert(doubled === 2 * orig)
+    // re-run replaces the slice again instead of duplicating it
+    VersionedTable.replaceWhere(spark, root, backfill,
+      col("o_orderkey") <= 100)
+    assert(VersionedTable.readLatest(spark, root).count() === orders.count())
+    // nothing matches: pure insert, every base dir carried by name
+    val fresh = freshRoot("replace_insert")
+    val v1 = VersionedTable.create(spark, fresh,
+      orders.filter(col("o_orderkey") <= 3000))
+    val m2 = VersionedTable.replaceWhere(spark, fresh,
+      orders.filter(col("o_orderkey") > 3000),
+      col("o_orderkey") > 3000)
+    assert(v1.dataDirs.forall(m2.dataDirs.contains))
+    assert(VersionedTable.readLatest(spark, fresh).count()
+      === orders.count())
+  }
+
   test("upsert replaces matched keys, inserts the rest; null-free contract") {
     val root = freshRoot("upsert")
     VersionedTable.create(spark, root, orders.filter(col("o_orderkey") <= 3000))
