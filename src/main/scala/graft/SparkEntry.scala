@@ -4232,6 +4232,17 @@ object SparkEntry {
             .as("cents")),
         "day", "cents")),
 
+    // Durbin-Watson residual autocorrelation of the daily-revenue OLS
+    // fit: scaled residuals are exact integers (n*D*residual), DW a
+    // pure integer ratio — no floats anywhere. Fully oracled.
+    "q_durbin_watson" -> ((s, dir) =>
+      graft.operators.Events.durbinWatson(
+        t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents")),
+        "day", "cents")),
+
     // Bollinger breakout flags on the daily revenue series (win 7,
     // 2 sigma): the band compare is pure integer (d^2 vs k^2 * var
     // numerator over DECIMAL intermediates) — no sqrt anywhere.
@@ -4684,6 +4695,26 @@ object SparkEntry {
         .groupBy("stratum", "fold")
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
         .orderBy("stratum", "fold")),
+
+    // Knee point of the daily-revenue curve: argmax |cross product|
+    // distance to the endpoint chord — exact integers, no floats.
+    // Fully oracled.
+    "q_knee" -> ((s, dir) =>
+      graft.operators.Events.kneePoint(
+        t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents")),
+        "day", "cents")),
+
+    // Cohen's d + Hedges g for purchase-vs-rest event values: exact
+    // variance numerators, one micro-floored IEEE chain for d, the
+    // (4N-12)/(4N-9) correction exact on the floored d. Fully oracled.
+    "q_cohens_d" -> ((s, dir) =>
+      graft.operators.Events.cohensD(
+        t(s, dir, "events").withColumn("grp",
+          col("event_type") === "purchase"),
+        "value", "grp")),
 
     // Kruskal-Wallis H across the 5 event types: doubled tie-averaged
     // ranks off the banded ECDF, per-term micro-truncated division
@@ -6366,6 +6397,20 @@ object SparkEntry {
           ((col("x") * 3) % 300).as("v")))
       graft.operators.Graph.robustnessReport(edges, "u", "v", topK = 10)
         .orderBy("scenario")
+    }),
+
+    // Rich-club coefficient ladder over the undirected affine-map
+    // graph (thresholds 0..4): exact suffix sums over the degree and
+    // min-endpoint-degree histograms. Fully oracled.
+    "q_rich_club" -> ((s, dir) => {
+      val xs = t(s, dir, "orders")
+        .select((col("o_orderkey") % 300).as("x")).distinct()
+      val edges = xs.select(col("x").as("u"),
+          ((col("x") * 7 + 1) % 300).as("v"))
+        .unionByName(xs.select(col("x").as("u"),
+          ((col("x") * 3) % 300).as("v")))
+      graft.operators.Graph.richClub(edges, "u", "v", Seq(0, 1, 2, 3, 4))
+        .orderBy("k")
     }),
 
     // Double-sweep diameter estimate over the undirected affine-map
@@ -8231,6 +8276,60 @@ object SparkEntry {
     // doubled tie-averaged ranks: a tie group at cumulative offset c
     // with t members contributes t1·(2c + t + 1); z's sigma factors
     // are spelled in the plan's exact operation order
+    // arg_min/arg_max endpoint chord, |cross| argmax with
+    // tie-to-earliest; endpoints excluded
+    "q_knee" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS k,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS y
+        |      FROM events GROUP BY 1),
+        |e AS (SELECT min(k) AS k1, max(k) AS kn,
+        |        arg_min(y, k) AS y1, arg_max(y, k) AS yn,
+        |        CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT e.n, e.k1, e.kn, d.k AS knee_k,
+        |  abs((e.kn - e.k1) * (d.y - e.y1)
+        |      - (e.yn - e.y1) * (d.k - e.k1)) AS cross_abs
+        |FROM d, e WHERE d.k <> e.k1 AND d.k <> e.kn
+        |ORDER BY cross_abs DESC, knee_k LIMIT 1""".stripMargin,
+
+    // exact HUGEINT variance numerators; the d chain spelled
+    // token-identically, g = sign*(abs(d)*(4N-12)) // (4N-9)
+    "q_cohens_d" ->
+      """WITH t AS (SELECT event_type = 'purchase' AS g,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |      FROM events),
+        |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS sx,
+        |        CAST(count(*) AS BIGINT) * sum(CAST(c AS HUGEINT) * c)
+        |          - CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT)
+        |          AS v
+        |      FROM t GROUP BY 1),
+        |f AS (SELECT
+        |        max(CASE WHEN g THEN n END) AS n_a,
+        |        max(CASE WHEN NOT g THEN n END) AS n_b,
+        |        max(CASE WHEN g THEN sx END) AS sxa,
+        |        max(CASE WHEN NOT g THEN sx END) AS sxb,
+        |        max(CASE WHEN g THEN v END) AS va,
+        |        max(CASE WHEN NOT g THEN v END) AS vb
+        |      FROM cells),
+        |d AS (SELECT n_a, n_b,
+        |        CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |            CAST(va AS DOUBLE) / n_a
+        |              + CAST(vb AS DOUBLE) / n_b > 0
+        |          THEN CAST(floor(CAST(sxa * n_b - sxb * n_a AS DOUBLE)
+        |            * 1000000.0 / (CAST(n_a * n_b AS DOUBLE)
+        |            * sqrt((CAST(va AS DOUBLE) / n_a
+        |                    + CAST(vb AS DOUBLE) / n_b)
+        |                   / CAST(n_a + n_b - 2 AS DOUBLE))))
+        |            AS BIGINT) END AS d_micro
+        |      FROM f)
+        |SELECT n_a, n_b, d_micro,
+        |  CASE WHEN d_micro IS NOT NULL THEN
+        |    CAST(sign(d_micro) AS BIGINT)
+        |    * (abs(d_micro) * (4 * (n_a + n_b) - 12)
+        |       // (4 * (n_a + n_b) - 9)) END AS g_micro
+        |FROM d""".stripMargin,
+
     // the q_apportion replay over sqrt-variance weights; one IEEE
     // sqrt per stratum over the exact HUGEINT variance numerator
     "q_neyman" ->
@@ -9932,6 +10031,34 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n, k AS t_star, u AS u_stat,
         |       abs(u) AS u_abs
         |FROM u WHERE rn < n ORDER BY abs(u) DESC, k LIMIT 1""".stripMargin,
+
+    // the scaled-residual identity E = D(nx-Sx) - NUM(nt-St) replayed
+    // in HUGEINT; DW = 1000*sum(dE^2) div sum(E^2)
+    "q_durbin_watson" ->
+      """WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS k,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS x
+        |      FROM events GROUP BY 1),
+        |s AS (SELECT k - (SELECT min(k) FROM d0) AS t, x FROM d0),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(t) AS BIGINT) AS st,
+        |        CAST(sum(t * t) AS BIGINT) AS st2,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(t * x) AS BIGINT) AS sxt FROM s),
+        |e AS (SELECT t, g.n,
+        |        CAST(g.n * g.st2 - g.st * g.st AS HUGEINT)
+        |          * (g.n * x - g.sx)
+        |        - CAST(g.n * g.sxt - g.sx * g.st AS HUGEINT)
+        |          * (g.n * t - g.st) AS ee
+        |      FROM s, g),
+        |l AS (SELECT n, ee, lag(ee) OVER (ORDER BY t) AS ep FROM e),
+        |f AS (SELECT max(n) AS n, sum(ee * ee) AS se2,
+        |        sum(CASE WHEN ep IS NOT NULL
+        |            THEN (ee - ep) * (ee - ep)
+        |            ELSE CAST(0 AS HUGEINT) END) AS sde2 FROM l)
+        |SELECT n, CASE WHEN n >= 2 AND se2 > 0
+        |  THEN CAST((1000 * sde2) // se2 AS BIGINT) END AS dw_milli
+        |FROM f""".stripMargin,
 
     // the squared-compare band: d = 7c - s1, flag by
     // d^2 vs 4*(7*s2 - s1^2) in HUGEINT — no sqrt on either side
@@ -13372,6 +13499,33 @@ object SparkEntry {
         |  CAST(coalesce(max(sz), 0) AS BIGINT)
         |FROM ff
         |ORDER BY scenario""".stripMargin,
+
+    // degree + min-endpoint-degree histograms replayed; per-threshold
+    // suffix sums, density in exact milli
+    "q_rich_club" ->
+      """WITH xs AS (SELECT DISTINCT o_orderkey % 300 AS x FROM orders),
+        |raw AS (SELECT DISTINCT greatest(u, v) AS a, least(u, v) AS b
+        |        FROM (SELECT x AS u, (x * 7 + 1) % 300 AS v FROM xs
+        |              UNION ALL
+        |              SELECT x, (x * 3) % 300 FROM xs)
+        |        WHERE u <> v),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |          SELECT a AS id FROM raw UNION ALL SELECT b FROM raw)
+        |        GROUP BY 1),
+        |ed AS (SELECT least(da.deg, db.deg) AS md FROM raw
+        |       JOIN deg da ON raw.a = da.id
+        |       JOIN deg db ON raw.b = db.id),
+        |ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS k),
+        |nk AS (SELECT k, CAST(coalesce(sum(CASE WHEN deg.deg > ks.k
+        |          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rich
+        |       FROM ks, deg GROUP BY 1),
+        |ek AS (SELECT k, CAST(coalesce(sum(CASE WHEN ed.md > ks.k
+        |          THEN 1 ELSE 0 END), 0) AS BIGINT) AS e_rich
+        |       FROM ks, ed GROUP BY 1)
+        |SELECT nk.k, nk.n_rich, ek.e_rich,
+        |  CASE WHEN nk.n_rich >= 2 THEN 2 * ek.e_rich * 1000
+        |    // (nk.n_rich * (nk.n_rich - 1)) END AS rc_milli
+        |FROM nk JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin,
 
     // recursive-CTE BFS replay of both sweeps; min(h) per node = the
     // frontier BFS hop; ties to the smallest id at both argmaxes

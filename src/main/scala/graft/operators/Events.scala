@@ -440,6 +440,89 @@ object Events {
           .otherwise(lit(null).cast("double")).as("df"))
   }
 
+  /** Knee / elbow point of a curve (the Kneedle-style chord rule made
+    * exact): the interior point maximizing distance to the chord
+    * between the curve's endpoints — where "diminishing returns" start
+    * on a k-selection, threshold-sweep or concentration curve. The
+    * distance ordering is the |cross product|
+    * `|(k_n−k_1)(y_i−y_1) − (y_n−y_1)(k_i−k_1)|` — the √-normalization
+    * is constant along the curve, so the argmax needs NO floats at
+    * all; ties break to the smallest key. Duplicate keys collapse by
+    * sum first; endpoints are excluded (their distance is identically
+    * 0), so a curve with no interior point (n ≤ 2) returns zero rows.
+    *
+    * Scale: one partial agg to the per-key series, a broadcast 1-row
+    * endpoint readout, one TakeOrdered(1). Overflow-safe while
+    * span·value < 2^63 (cents·calendar scale). Judged `q_knee` (daily
+    * revenue cents), fully ORACLED; the hand unit-elbow, tie to the
+    * earliest key, collinear zero-cross and the n≤2 empty edge pinned
+    * in EventsSpec. */
+  def kneePoint(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val s = graft.engine.Caches.persisted(
+      series.select(col(keyCol).cast("long").as("k"),
+          col(valueCol).cast("long").as("y"))
+        .groupBy("k").agg(sum(col("y")).as("y")))
+    val ends = broadcast(s.agg(min(col("k")).as("k1"),
+      max(col("k")).as("kn"), min_by(col("y"), col("k")).as("y1"),
+      max_by(col("y"), col("k")).as("yn"), count(lit(1)).as("n")))
+    s.crossJoin(ends)
+      .filter(col("k") =!= col("k1") && col("k") =!= col("kn"))
+      .select(col("n"), col("k1"), col("kn"), col("k").as("knee_k"),
+        abs(expr("(kn - k1) * (y - y1) - (yn - y1) * (k - k1)"))
+          .as("cross_abs"))
+      .orderBy(col("cross_abs").desc, col("knee_k")).limit(1)
+  }
+
+  /** Cohen's d + Hedges' g — the EFFECT SIZE beside [[welchTTest]]'s
+    * significance (a p-value says a difference exists; d says whether
+    * anyone should care): standardized mean difference over the pooled
+    * sample sd, `d = (m₁−m₂)/s_p`, `s_p² = (V₁/n₁ + V₂/n₂)/(N−2)` with
+    * `V_g = n_g·Σx² − (Σx)²` exact DECIMAL(38,0)/HUGEINT cents², the
+    * mean difference the exact integer `Σx₁·n₂ − Σx₂·n₁`, and ONE
+    * micro-floored IEEE chain for d (the cochranArmitage spelling
+    * discipline — mirror token-for-token). Hedges' g applies the
+    * small-sample correction `(4N−12)/(4N−9)` as a pure rational ON
+    * the floored d via the signed-division route — g stays
+    * integer-exact given d_micro. Fences: either side under 2 rows or
+    * zero pooled variance → NULL.
+    *
+    * Scale: two partial aggregates, one 1-row readout. Judged
+    * `q_cohens_d`, fully ORACLED; the hand ±7.07σ pair, sign
+    * antisymmetry, zero-variance fence and the g < d shrinkage pinned
+    * in EventsSpec. */
+  def cohensD(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).cast("boolean").as("__g"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__c"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__sx"),
+        sum(expr("cast(__c as decimal(38,0)) * __c")).as("__sxx"))
+    cells.agg(
+        max(when(col("__g"), col("__n"))).as("n_a"),
+        max(when(!col("__g"), col("__n"))).as("n_b"),
+        max(when(col("__g"), col("__sx"))).as("__sxa"),
+        max(when(!col("__g"), col("__sx"))).as("__sxb"),
+        max(when(col("__g"), expr("__n * __sxx - "
+          + "cast(__sx as decimal(38,0)) * __sx"))).as("__va"),
+        max(when(!col("__g"), expr("__n * __sxx - "
+          + "cast(__sx as decimal(38,0)) * __sx"))).as("__vb"))
+      .withColumn("d_micro",
+        when(col("n_a") >= 2 && col("n_b") >= 2 &&
+            expr("""cast(__va as double) / n_a
+              + cast(__vb as double) / n_b""") > 0,
+          expr("""cast(floor(cast(__sxa * n_b - __sxb * n_a as double)
+            * 1000000.0 / (cast(n_a * n_b as double)
+            * sqrt((cast(__va as double) / n_a
+                    + cast(__vb as double) / n_b)
+                   / cast(n_a + n_b - 2 as double)))) as bigint)""")))
+      .select(col("n_a"), col("n_b"), col("d_micro"),
+        when(col("d_micro").isNotNull,
+          expr("""cast(sign(d_micro) as bigint)
+            * (abs(d_micro) * (4 * (n_a + n_b) - 12)
+               div (4 * (n_a + n_b) - 9))""")).as("g_micro"))
+  }
+
   /** Per-key winsorization — the scaling trio's outlier-TAMING sibling:
     * values clamp to the exact per-key [pLo, pHi] quantiles instead of
     * being dropped ([[zScoreOutliers]]) or rescaled ([[robustScale]]) —
@@ -1316,6 +1399,56 @@ object Events {
           expr("""cast(floor(cast(s_stat - sign(s_stat) as double)
             * 1000000.0 / sqrt(cast(var18 as double) / 18.0))
             as bigint)""")))
+  }
+
+  /** Durbin–Watson statistic — residual autocorrelation of the daily
+    * OLS fit (the "is a trend line even the right model" diagnostic
+    * next to [[trendFit]]: DW ≈ 2 means independent residuals, → 0
+    * positive autocorrelation, → 4 alternation): with the OLS line
+    * over t = key − min(key), the SCALED residual
+    * `E_t = D·(n·x_t − Σx) − NUM·(n·t − Σt)` (NUM = nΣxt − ΣxΣt,
+    * D = nΣt² − (Σt)²) is an EXACT integer — n·D times the true
+    * residual — and the common factor cancels in
+    * `DW = Σ(E_t − E_{t−1})² / ΣE_t²`, so `dw_milli = 1000·Σ(ΔE)² div
+    * ΣE²` is a pure integer ratio: no floats anywhere. Squares ride
+    * DECIMAL(38,0)/HUGEINT (overflow-safe while `|E| < ~6·10^16`, i.e.
+    * 1000·Σ(ΔE)² < 10^38 — cents·calendar scale; rescale upstream past
+    * that). Perfect fits (ΣE² = 0) and n < 2 fence NULL.
+    *
+    * Scale: the SERIES contract ([[pettitt]]'s rule); one aggregate
+    * for the sums, one ordered lag pass. Judged `q_durbin_watson`
+    * (daily revenue cents), fully ORACLED; the alternating→4 and
+    * trending→small extremes, the perfect-line fence and a hand
+    * 3-point value pinned in EventsSpec. */
+  def durbinWatson(series: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val base = series.select(col(keyCol).cast("long").as("k"),
+      col(valueCol).cast("long").as("x"))
+    val lo = broadcast(base.agg(min(col("k")).as("__k0")))
+    val s = graft.engine.Caches.persisted(
+      base.crossJoin(lo).select((col("k") - col("__k0")).as("t"),
+        col("x")))
+    val sums = broadcast(s.agg(count(lit(1)).as("n"),
+      sum(col("t")).as("st"), sum(expr("t * t")).as("st2"),
+      sum(col("x")).as("sx"), sum(expr("t * x")).as("sxt")))
+    val e = s.crossJoin(sums)
+      .withColumn("__d", expr("n * st2 - st * st"))
+      .withColumn("__num", expr("n * sxt - sx * st"))
+      .withColumn("__e", expr(
+        """cast(__d as decimal(38,0)) * (n * x - sx)
+           - cast(__num as decimal(38,0)) * (n * t - st)"""))
+      .withColumn("__ep",
+        lag(col("__e"), 1).over(Window.orderBy(col("t"))))
+    e.agg(max(col("n")).as("n"),
+        sum(expr("__e * __e")).as("__se2"),
+        sum(when(col("__ep").isNotNull,
+          expr("(__e - __ep) * (__e - __ep)"))
+          .otherwise(expr("cast(0 as decimal(38,0))")))
+          .as("__sde2"))
+      .select(col("n"),
+        when(col("n") >= 2 && col("__se2") > 0,
+          expr("cast((1000 * __sde2) div __se2 as bigint)"))
+          .as("dw_milli"))
   }
 
   /** Bollinger breakout flags — the volatility-scaled control chart

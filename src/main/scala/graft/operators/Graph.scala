@@ -372,6 +372,56 @@ object Graph {
     visited
   }
 
+  /** Rich-club coefficient ladder (Zhou & Mondragón 2004) — do the
+    * hubs club together? For each degree threshold k, `R(k) = 2·E_k /
+    * (N_k(N_k−1))`: the realized edge density among the N_k nodes of
+    * degree > k. Rising R(k) = an elite core (interlocking hubs);
+    * flat/falling = hubs connect outward (the router-network shape).
+    * Everything reduces to TWO config-scale histograms — nodes by
+    * degree and edges by min(endpoint degree) — so the whole ladder is
+    * exact-integer suffix sums over them: `rc_milli = 2·E_k·1000 div
+    * (N_k(N_k−1))`, N_k < 2 fenced NULL. Undirected: edges
+    * canonicalize + dedupe, self-loops drop.
+    *
+    * Scale: one edge dedup, two degree joins, then histogram
+    * aggregates; the threshold ladder is a literal crossJoin. Judged
+    * `q_rich_club` (the affine-map graph over thresholds 0..4), fully
+    * ORACLED; the clique-core hand graph (R rises to 1000), the star
+    * (no club above the leaves' degree), empty-club fence and
+    * duplicate-edge collapse pinned in GraphSpec. */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), s"thresholds >= 0: $ks")
+    val session = edges.sparkSession
+    import session.implicits._
+    val e = graft.engine.Caches.persisted(
+      edges.select(col(srcCol).cast("long").as("u"),
+          col(dstCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("a"),
+          least(col("u"), col("v")).as("b"))
+        .distinct())
+    val deg = graft.engine.Caches.persisted(
+      e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg")))
+    val degHist = deg.groupBy("deg").agg(count(lit(1)).as("__nn"))
+    val edgeHist = e
+      .join(deg.select(col("id").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(least(col("__da"), col("__db")).as("__md"))
+      .groupBy("__md").agg(count(lit(1)).as("__ne"))
+    val kdf = ks.distinct.sorted.toDF("k")
+    val nk = kdf.join(degHist, col("deg") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum(col("__nn")), lit(0L)).as("n_rich"))
+    val ek = kdf.join(edgeHist, col("__md") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum(col("__ne")), lit(0L)).as("e_rich"))
+    nk.join(ek, Seq("k"))
+      .select(col("k"), col("n_rich"), col("e_rich"),
+        when(col("n_rich") >= 2,
+          expr("2 * e_rich * 1000 div (n_rich * (n_rich - 1))"))
+          .as("rc_milli"))
+  }
+
   /** Graph diameter lower bound via the classic DOUBLE BFS SWEEP
     * (Magnien/Latapy/Habib): sweep 1 runs [[bfsHops]] from the min-id
     * node and takes the farthest node reached (ties to the smallest

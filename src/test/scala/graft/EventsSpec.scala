@@ -428,6 +428,77 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("kneePoint: hand unit elbow, tie to earliest, collinear zero, " +
+      "too-short empty") {
+    def series(xs: Seq[(Long, Long)]) = xs.toDF("k", "x")
+    // L-shaped curve: flat then rising — the corner (2, 0) is the knee
+    // chord (0,0)->(4,20): cross at k=2: 4*(0-0) - 20*(2-0) = -40
+    val got = Events.kneePoint(series(Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 10L), (4L, 20L))), "k", "x").collect().head
+    assert((got.getLong(0), got.getLong(3), got.getLong(4))
+      === ((5L, 2L, 40L)))
+    // symmetric V: both interior points tie on |cross| -> earliest k
+    val tie = Events.kneePoint(series(Seq((0L, 10L), (1L, 0L),
+      (2L, 0L), (3L, 10L))), "k", "x").collect().head
+    assert(tie.getLong(3) === 1L)
+    // collinear: every cross 0, earliest interior point reported
+    val line = Events.kneePoint(series(Seq((0L, 0L), (1L, 5L),
+      (2L, 10L))), "k", "x").collect().head
+    assert(line.getLong(3) === 1L && line.getLong(4) === 0L)
+    // n <= 2: no interior point, zero rows
+    assert(Events.kneePoint(series(Seq((0L, 1L), (9L, 5L))), "k", "x")
+      .collect().isEmpty)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("cohensD: hand 7.07-sigma pair, floor antisymmetry, " +
+      "zero-variance fence, Hedges shrinkage") {
+    // a = {0, 2}, b = {10, 12} dollars: pooled sd = 1.4142..., mean
+    // diff -10 -> d = -7.0710678
+    val df = Seq((true, 0.0), (true, 2.0), (false, 10.0), (false, 12.0))
+      .toDF("g", "y")
+    val r = Events.cohensD(df, "y", "g").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getLong(2) === -7071068L)
+    assert(r.getLong(3) === -4040610L) // g = d * 4/7 at N=4
+    assert(math.abs(r.getLong(3)) < math.abs(r.getLong(2))) // shrinkage
+    // swapped groups: same magnitude up to the floor asymmetry
+    val sw = Events.cohensD(df.withColumn("g", !col("g")), "y", "g")
+      .collect().head
+    assert(sw.getLong(2) === 7071067L && sw.getLong(3) === 4040609L)
+    // both groups constant: zero pooled variance -> fenced NULL
+    val flat = Events.cohensD(Seq((true, 5.0), (true, 5.0),
+      (false, 7.0), (false, 7.0)).toDF("g", "y"), "y", "g")
+      .collect().head
+    assert(flat.isNullAt(2) && flat.isNullAt(3))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("durbinWatson: alternating hand value, convex positive " +
+      "autocorrelation, perfect-line fence, single-point fence") {
+    def series(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("k", "x")
+    // alternating 0/10 over 6 points: E = (-1800, 3960, -2880, 2880,
+    // -3960, 1800), sum E^2 = 54432000, sum dE^2 = 193104000 ->
+    // dw_milli = 3547 (near 4: alternation)
+    val alt = Events.durbinWatson(series(Seq(0, 10, 0, 10, 0, 10)),
+      "k", "x").collect().head
+    assert(alt.getLong(0) === 6L && alt.getLong(1) === 3547L)
+    // convex curve: residuals positively autocorrelated, DW below the
+    // independence value 2.0 (measured 1071 milli on this 6-pointer)
+    val convex = Events.durbinWatson(
+      series(Seq(0, 1, 4, 9, 16, 25)), "k", "x").collect().head
+    assert(convex.getLong(1) === 1071L)
+    // perfect line: every residual 0 -> fenced NULL
+    val line = Events.durbinWatson(series(Seq(3, 5, 7, 9)), "k", "x")
+      .collect().head
+    assert(line.isNullAt(1))
+    // single point: undefined
+    assert(Events.durbinWatson(series(Seq(42)), "k", "x")
+      .collect().head.isNullAt(1))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("bollingerFlags: hand spike/drop, constant window inside, " +
       "warm-up exclusion, exact-boundary inside") {
     def series(xs: Seq[Long]) =

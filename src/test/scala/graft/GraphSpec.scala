@@ -481,6 +481,32 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("richClub: clique core rises to 1000, star has no club, " +
+      "empty-club fence, duplicate collapse") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + two leaves on node 1: degs (5,3,3,3,1,1)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (1L, 6L))
+    val got = Graph.richClub(k4.toDF("s", "d"), "s", "d", Seq(0, 1, 3))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(0) === ((6L, 8L, 533L)))   // whole graph density
+    assert(got(1) === ((4L, 6L, 1000L)))  // the clique core is complete
+    assert(got(3) === ((1L, 0L, -1L)))    // club of one: fenced NULL
+    // star: above the leaves only the center remains -> no club
+    val star = Graph.richClub((1L to 5L).map(l => (0L, l)).toDF("s", "d"),
+      "s", "d", Seq(0, 1)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(star(0) === 6L && star(1) === 1L)
+    // duplicate / reversed edges collapse before any counting
+    val dup = Graph.richClub((k4 ++ Seq((2L, 1L), (1L, 2L)))
+      .toDF("s", "d"), "s", "d", Seq(1)).collect().head
+    assert((dup.getLong(1), dup.getLong(2), dup.getLong(3))
+      === ((4L, 6L, 1000L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("diameterSweep: path exactness, star, disconnected confinement, " +
       "tie to smallest id") {
     import spark.implicits._
