@@ -3225,6 +3225,33 @@ object SparkEntry {
         graft.operators.Vectors.annTopK(
           corpus, "doc_id", "vec", queries, "qid", "qv", 10, hamming = 2))),
 
+    // Matryoshka (MRL) truncation contract: search with only the
+    // FIRST HALF of each embedding (slice to 8 of 16 dims — the
+    // dimension-truncation deployment trade). Within-cluster ordering
+    // does NOT survive truncation (noise reorders it — measured), but
+    // CLUSTER GEOMETRY must: every truncated top-10 neighbor stays in
+    // the query's own cluster, which is id arithmetic (doc_id % 10 —
+    // the q_knn_acc contract). A truncation that broke separation
+    // hash-fails the round.
+    "q_vec_mrl_recall" -> ((s, dir) => {
+      import graft.operators.Vectors
+      val corpus = graft.engine.Caches.persisted(
+        Vectors.syntheticClustered(
+          t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", 10, dim = 16, noise = 0.08))
+      val queries = corpus.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"),
+          slice(col("vec"), 1, 8).as("__q8"))
+      Vectors.bruteForceTopK(
+          corpus.withColumn("__v8", slice(col("vec"), 1, 8)),
+          "doc_id", "__v8", queries, "qid", "__q8", 10)
+        .filter(pmod(col("neighbor"), lit(10)) ===
+          pmod(col("qid"), lit(10)))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 10)
+        .select("qid").orderBy("qid")
+    }),
+
     // IVF recall twin of q_vec_ann_recall — same fixture, same oracle
     // shape (ids clearing recall@10 >= 0.9, predicted by id arithmetic);
     // measured 10/10 hits for every query at sf0.01 AND sf0.1. PQ's
@@ -4622,6 +4649,14 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("bin")),
 
+    // ECE + MCE over the same calibration bins: bin-weighted and max
+    // |gap| in exact milli — nothing new floats. Fully oracled.
+    "q_ece" -> ((s, dir) =>
+      graft.operators.Eval.calibrationError(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label", "event_id")),
+
     // MCC + Cohen's kappa at one operating threshold: exact confusion
     // cells, exact-integer kappa (sign·abs div), IEEE-pinned one-sqrt
     // MCC micro. Fully oracled.
@@ -4695,6 +4730,28 @@ object SparkEntry {
         .groupBy("stratum", "fold")
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
         .orderBy("stratum", "fold")),
+
+    // SFT chat-template lint over the q_sft dialog fixture: per-conv
+    // shape verdict (opens system/user, ends assistant, alternates,
+    // no blanks) — exact counting, no floats. Fully oracled.
+    "q_sft_lint" -> ((s, dir) =>
+      graft.functions.TextOps.sftLint(
+        t(s, dir, "events").select(
+          col("user_id").as("conv"), col("event_id").as("seq"),
+          when(col("event_type") === "purchase", "assistant")
+            .when(col("event_type") === "error", "system")
+            .otherwise("user").as("role"),
+          concat(col("event_type"), lit("#"),
+            col("event_id").cast("string")).as("txt")),
+        "conv", "seq", "role", "txt")
+        .orderBy("conv")),
+
+    // Duplication profile over the synthetic duplicate corpus: exact
+    // cluster-size histogram + the TOTAL dup-rate row — the dataset-
+    // card readout before any dedup pass. Fully oracled.
+    "q_dup_profile" -> ((s, dir) =>
+      graft.operators.Dedup.dupProfile(synthDupDocs(s, dir), "text")
+        .orderBy("cluster_size")),
 
     // Knee point of the daily-revenue curve: argmax |cross product|
     // distance to the endpoint chord — exact integers, no floats.
@@ -8190,6 +8247,29 @@ object SparkEntry {
         |         - CAST(sum(y) AS BIGINT) * 1000 // count(*) AS gap_milli
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the q_calibration bin replay collapsed to weighted/max |gap|
+    "q_ece" ->
+      """WITH per AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT)
+        |               AS v, event_id AS id,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |               AS y
+        |             FROM events),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |r AS (SELECT v, y,
+        |        row_number() OVER (ORDER BY v DESC, id) AS rnk
+        |      FROM per),
+        |b AS (SELECT CAST((rnk - 1) * 10 // (SELECT n FROM nn)
+        |        AS INTEGER) AS bin, v, y FROM r),
+        |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(v) AS BIGINT) // count(*)
+        |          - CAST(sum(y) AS BIGINT) * 1000 // count(*) AS gap
+        |      FROM b GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n * abs(gap)) // sum(n) AS BIGINT) AS ece_milli,
+        |  CAST(max(abs(gap)) AS BIGINT) AS mce_milli
+        |FROM bins""".stripMargin,
+
     // kappa is exact-integer via sign·abs // (DuckDB floors, Spark div
     // truncates — identical routed through non-negatives); MCC's sqrt
     // is IEEE-pinned over exact <2^53 cell products
@@ -8276,6 +8356,59 @@ object SparkEntry {
     // doubled tie-averaged ranks: a tie group at cumulative offset c
     // with t members contributes t1·(2c + t + 1); z's sigma factors
     // are spelled in the plan's exact operation order
+    // arg_min/arg_max first/last roles; adjacency via lag over the
+    // non-system turn stream
+    "q_sft_lint" ->
+      """WITH turns AS (SELECT user_id AS conv, event_id AS seq,
+        |        CASE WHEN event_type = 'purchase' THEN 'assistant'
+        |             WHEN event_type = 'error' THEN 'system'
+        |             ELSE 'user' END AS role,
+        |        event_type || '#' || CAST(event_id AS VARCHAR) AS txt
+        |      FROM events),
+        |fl AS (SELECT conv, CAST(count(*) AS BIGINT) AS n_turns,
+        |        CAST(sum(CASE WHEN txt IS NULL OR trim(txt) = ''
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+        |        arg_min(role, seq) AS first_role,
+        |        arg_max(role, seq) AS last_role
+        |      FROM turns GROUP BY 1),
+        |ns AS (SELECT conv, seq, role,
+        |        lag(role) OVER (PARTITION BY conv ORDER BY seq) AS prev
+        |      FROM turns WHERE role <> 'system'),
+        |alt AS (SELECT conv,
+        |        CAST(sum(CASE WHEN prev IS NOT NULL AND prev = role
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        |        arg_min(role, seq) AS first_ns
+        |      FROM ns GROUP BY 1)
+        |SELECT fl.conv, fl.n_turns, fl.n_blank,
+        |  CAST(coalesce(alt.n_same, 0) AS BIGINT) AS n_adjacent_same,
+        |  fl.first_role IN ('system', 'user')
+        |    AND fl.last_role = 'assistant'
+        |    AND coalesce(alt.first_ns = 'user', FALSE)
+        |    AND coalesce(alt.n_same, 0) = 0
+        |    AND fl.n_blank = 0 AS valid
+        |FROM fl LEFT JOIN alt ON fl.conv = alt.conv
+        |ORDER BY fl.conv""".stripMargin,
+
+    // the synthetic groups ARE id arithmetic: doc_id % 250 classes;
+    // NULLS FIRST pinned on the TOTAL row's null cluster_size
+    "q_dup_profile" ->
+      """WITH g AS (SELECT doc_id % 250 AS grp FROM documents),
+        |sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS sz FROM g
+        |          GROUP BY 1),
+        |hist AS (SELECT sz AS cluster_size,
+        |        CAST(count(*) AS BIGINT) AS n_clusters,
+        |        CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |        CAST(NULL AS BIGINT) AS dup_rate_milli
+        |      FROM sizes GROUP BY 1),
+        |tot AS (SELECT CAST(NULL AS BIGINT) AS cluster_size,
+        |        CAST(count(*) AS BIGINT) AS n_clusters,
+        |        CAST(sum(sz) AS BIGINT) AS n_docs,
+        |        CAST((sum(sz) - count(*)) * 1000 // sum(sz) AS BIGINT)
+        |          AS dup_rate_milli
+        |      FROM sizes)
+        |SELECT * FROM hist UNION ALL SELECT * FROM tot
+        |ORDER BY cluster_size NULLS FIRST""".stripMargin,
+
     // arg_min/arg_max endpoint chord, |cross| argmax with
     // tie-to-earliest; endpoints excluded
     "q_knee" ->
@@ -11609,6 +11742,10 @@ object SparkEntry {
     // clears the recall@10 >= 0.9 bar, making the passing id set pure id
     // arithmetic — an ANN quality regression drops rows and fails here
     "q_vec_ann_recall" ->
+      """SELECT doc_id AS qid FROM documents
+        |WHERE doc_id % 50 = 0 ORDER BY qid""".stripMargin,
+
+    "q_vec_mrl_recall" ->
       """SELECT doc_id AS qid FROM documents
         |WHERE doc_id % 50 = 0 ORDER BY qid""".stripMargin,
 

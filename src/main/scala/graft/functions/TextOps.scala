@@ -830,6 +830,56 @@ object TextOps {
           .as("assistant_spans"))
   }
 
+  /** SFT chat-template lint — the validation gate in front of
+    * [[sftAssemble]] (assemble renders whatever it gets; lint says
+    * which conversations are SHAPED like training data): per
+    * conversation, does it open with system-or-user, end on an
+    * assistant turn, strictly alternate roles among non-system turns
+    * starting from user, and carry no blank contents. Reported as
+    * counts + one verdict so a pipeline can quarantine by reason
+    * (the [[graft.operators.Relational.expectations]] posture applied
+    * to dialogue shape). Exact counting/boolean logic — nothing
+    * floats.
+    *
+    * Scale: one conv-partitioned window for adjacency, two partial
+    * aggregates; seq must be unique per conversation (the sftAssemble
+    * contract). Judged `q_sft_lint` (the q_sft fixture — events-shaped
+    * dialogs, mostly invalid by construction, which is the point of a
+    * lint), fully ORACLED; the valid hand conversation, each broken
+    * invariant isolated, and the system-prefix allowance pinned in
+    * TextOpsSpec. */
+  def sftLint(turns: DataFrame, convCol: String, seqCol: String,
+      roleCol: String, textCol: String,
+      assistantRole: String = "assistant", userRole: String = "user",
+      systemRole: String = "system"): DataFrame = {
+    val all = turns.select(col(convCol).as("conv"),
+      col(seqCol).cast("long").as("__q"), col(roleCol).as("__role"),
+      col(textCol).as("__t"))
+    val fl = all.groupBy(col("conv")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("__t").isNull || trim(col("__t")) === "", 1L)
+        .otherwise(0L)).as("n_blank"),
+      min_by(col("__role"), col("__q")).as("__first"),
+      max_by(col("__role"), col("__q")).as("__last"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv")).orderBy(col("__q"))
+    val alt = all.filter(col("__role") =!= systemRole)
+      .withColumn("__prev", lag(col("__role"), 1).over(w))
+      .groupBy(col("conv")).agg(
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") === col("__role"), 1L).otherwise(0L))
+          .as("__same"),
+        min_by(col("__role"), col("__q")).as("__fns"))
+    fl.join(alt, Seq("conv"), "left")
+      .select(col("conv"), col("n_turns"), col("n_blank"),
+        coalesce(col("__same"), lit(0L)).as("n_adjacent_same"),
+        (col("__first").isin(systemRole, userRole) &&
+          col("__last") === assistantRole &&
+          coalesce(col("__fns") === userRole, lit(false)) &&
+          coalesce(col("__same"), lit(0L)) === 0 &&
+          col("n_blank") === 0).as("valid"))
+  }
+
   /** Zipf-law fit over the corpus vocabulary — the distributional
     * health check next to [[oovReport]]'s coverage view: natural text
     * follows `freq ∝ rank^s` with s ≈ −1 in log-log space; a corpus

@@ -47,6 +47,40 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Duplication profile — the curation readout [[exactDedup]] acts on
+    * (before deleting anything, know WHAT the duplication looks like):
+    * the cluster-size histogram of exact-duplicate groups — how many
+    * distinct texts appear once, twice, k times — plus a TOTAL row
+    * carrying corpus size, distinct-text count and
+    * `dup_rate_milli = (N − distinct)·1000 div N` (the share of rows a
+    * dedup pass would remove). The shape every dataset card reports
+    * and the saturation signal a crawl pipeline watches per batch.
+    *
+    * Scale: texts hash to the 128-bit key in the scan (text never
+    * shuffles), one partial agg to cluster sizes, one config-scale
+    * histogram agg. Judged `q_dup_profile` (the synthetic duplicate
+    * corpus), fully ORACLED; hand histogram, all-unique and
+    * monoculture extremes pinned in DedupSpec. */
+  def dupProfile(docs: DataFrame, textCol: String): DataFrame = {
+    val sizes = graft.engine.Caches.persisted(
+      docs.select(xxhash64(col(textCol)).as("__h1"),
+          xxhash64(col(textCol), lit(1L)).as("__h2"))
+        .groupBy("__h1", "__h2").agg(count(lit(1)).as("__sz")))
+    val hist = sizes.groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        lit(null).cast("long").as("dup_rate_milli"))
+    val total = sizes.agg(count(lit(1)).as("n_clusters"),
+        sum(col("__sz")).as("n_docs"))
+      .select(lit(null).cast("long").as("cluster_size"),
+        col("n_clusters"), col("n_docs"),
+        when(col("n_docs") > 0,
+          expr("(n_docs - n_clusters) * 1000 div n_docs"))
+          .as("dup_rate_milli"))
+    hist.unionByName(total)
+  }
+
   /** One row per (doc, shingle-hash): the word `width`-gram at each token
     * position hashed to 64 bits by the native
     * [[graft.functions.ShingleKernel]] codegen expression — straight out

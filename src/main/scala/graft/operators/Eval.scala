@@ -276,6 +276,27 @@ object Eval {
         expr("__sv div n - pos * 1000 div n").as("gap_milli"))
   }
 
+  /** Expected + maximum calibration error — [[calibrationBins]]
+    * collapsed to the two numbers papers report (Naeini et al. 2015):
+    * `ECE = Σ_b (n_b/N)·|conf_b − acc_b|` (the bin-weighted average
+    * miscalibration) and `MCE = max_b |conf_b − acc_b|` (the worst
+    * bin). Pure integer arithmetic ON the bins' exact milli gaps:
+    * `ece_milli = Σ n_b·|gap_milli| div N`, `mce_milli = max|gap|` —
+    * nothing new floats; the only quantization is the bins' own.
+    *
+    * Scale: the bins pipeline (banded equal-count ranking) + one
+    * k-row readout. Judged `q_ece`, fully ORACLED; perfectly
+    * calibrated → 0, anti-calibrated extreme, and ECE ≤ MCE pinned in
+    * EvalSpec. */
+  def calibrationError(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, k: Int = 10, bands: Int = 32): DataFrame =
+    calibrationBins(df, scoreCol, labelCol, idCol, k, bands)
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        sum(expr("n * abs(gap_milli)")).as("__w"),
+        max(abs(col("gap_milli"))).as("mce_milli"))
+      .select(col("n"), col("n_bins"),
+        expr("__w div n").as("ece_milli"), col("mce_milli"))
+
   /** Matthews correlation coefficient + Cohen's kappa at ONE decision
     * threshold — the single-number agreement readouts that stay honest
     * under class imbalance where accuracy and even F1 mislead

@@ -433,4 +433,23 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.sortedNeighborPairs(df, "id", "key", 3).count() === 7L)
     graft.engine.Caches.releaseAll()
   }
+
+  test("dupProfile: hand histogram, all-unique zero rate, monoculture") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Dedup.dupProfile(df, "text").collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+          r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // "a"x3 "b"x2 "c"x1: hist {1,2,3} one cluster each; N=6 D=3 -> 500
+    assert(rows(Seq("a", "a", "a", "b", "b", "c").toDF("text")) ===
+      Set((1L, 1L, 1L, -1L), (2L, 1L, 2L, -1L), (3L, 1L, 3L, -1L),
+        (-1L, 3L, 6L, 500L)))
+    // all unique: one histogram row, dup rate 0
+    assert(rows(Seq("x", "y", "z").toDF("text")) ===
+      Set((1L, 3L, 3L, -1L), (-1L, 3L, 3L, 0L)))
+    // monoculture: one cluster of 5, rate (5-1)/5 = 800 milli
+    assert(rows(Seq.fill(5)("m").toDF("text")) ===
+      Set((5L, 1L, 5L, -1L), (-1L, 1L, 5L, 800L)))
+    graft.engine.Caches.releaseAll()
+  }
 }

@@ -619,6 +619,31 @@ class EvalSpec extends SparkTestBase {
     assert(dup.getLong(2) === 1000L)
   }
 
+  test("calibrationError: perfect zero, anti-calibrated extreme, " +
+      "ECE <= MCE on a mixed fixture") {
+    def mk(rows: Seq[(Double, Int)]) = rows.zipWithIndex
+      .map { case ((s, y), i) => (i.toLong, s, y) }
+      .toDF("id", "score", "y")
+    // perfectly calibrated halves: every bin gap 0
+    val perfect = Eval.calibrationError(
+      mk(Seq.fill(10)((1.0, 1)) ++ Seq.fill(10)((0.0, 0))),
+      "score", "y", "id", k = 2).collect().head
+    assert((perfect.getLong(2), perfect.getLong(3)) === ((0L, 0L)))
+    // anti-calibrated: confident and always wrong
+    val anti = Eval.calibrationError(
+      mk(Seq.fill(10)((1.0, 0)) ++ Seq.fill(10)((0.0, 1))),
+      "score", "y", "id", k = 2).collect().head
+    assert((anti.getLong(2), anti.getLong(3)) === ((1000L, 1000L)))
+    // mixed: one clean bin, one off bin -> ECE strictly below MCE
+    val mixed = Eval.calibrationError(
+      mk(Seq.fill(10)((1.0, 1)) ++ Seq.fill(5)((0.0, 0))
+        ++ Seq.fill(5)((0.0, 1))),
+      "score", "y", "id", k = 2).collect().head
+    assert(mixed.getLong(2) < mixed.getLong(3))
+    assert(mixed.getLong(3) === 500L)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("kruskalWallis: hand 3-group value, 2-group separation, " +
       "all-tied zero + fence, single-group fence") {
     def df(rows: Seq[(Double, String)]) = rows.toDF("v", "g")

@@ -603,4 +603,35 @@ class TextOpsSpec extends SparkTestBase {
       .collect()
     assert(cut.map(_.getString(0)).toSet === Set("x"))
   }
+
+  test("sftLint: valid dialog, each broken invariant isolated, " +
+      "system-prefix allowance") {
+    import spark.implicits._
+    def lint(rows: Seq[(Long, Long, String, String)]) =
+      TextOps.sftLint(rows.toDF("conv", "seq", "role", "txt"),
+        "conv", "seq", "role", "txt")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getBoolean(4)))).toMap
+    val got = lint(Seq(
+      // conv 1: textbook — system prefix, u/a alternation, ends on a
+      (1L, 1L, "system", "be brief"), (1L, 2L, "user", "hi"),
+      (1L, 3L, "assistant", "hello"), (1L, 4L, "user", "why"),
+      (1L, 5L, "assistant", "because"),
+      // conv 2: ends on user
+      (2L, 1L, "user", "hi"), (2L, 2L, "assistant", "yo"),
+      (2L, 3L, "user", "gone"),
+      // conv 3: double user turn
+      (3L, 1L, "user", "a"), (3L, 2L, "user", "b"),
+      (3L, 3L, "assistant", "c"),
+      // conv 4: assistant speaks first
+      (4L, 1L, "assistant", "hi"),
+      // conv 5: blank content
+      (5L, 1L, "user", "  "), (5L, 2L, "assistant", "ok")))
+    assert(got(1L) === ((5L, 0L, 0L, true)))
+    assert(got(2L) === ((3L, 0L, 0L, false)))
+    assert(got(3L) === ((3L, 0L, 1L, false)))
+    assert(got(4L) === ((1L, 0L, 0L, false)))
+    assert(got(5L) === ((2L, 1L, 0L, false)))
+  }
 }
