@@ -4753,6 +4753,21 @@ object SparkEntry {
       graft.operators.Dedup.dupProfile(synthDupDocs(s, dir), "text")
         .orderBy("cluster_size")),
 
+    // Goh-Barabasi burstiness of per-user inter-event gaps: exact
+    // micros sums, one IEEE sqrt feeding both sides of the ratio.
+    // Fully oracled.
+    "q_burstiness" -> ((s, dir) =>
+      graft.operators.Events.burstiness(
+        t(s, dir, "events"), "user_id", "ts", "event_id")),
+
+    // Circadian profile per event type: 24-bin hour entropy
+    // (per-term micro-floored ln), peak hour + milli share.
+    // Fully oracled.
+    "q_circadian" -> ((s, dir) =>
+      graft.operators.Events.circadianProfile(
+        t(s, dir, "events"), "event_type", "ts")
+        .orderBy("key")),
+
     // Knee point of the daily-revenue curve: argmax |cross product|
     // distance to the endpoint chord — exact integers, no floats.
     // Fully oracled.
@@ -8408,6 +8423,54 @@ object SparkEntry {
         |      FROM sizes)
         |SELECT * FROM hist UNION ALL SELECT * FROM tot
         |ORDER BY cluster_size NULLS FIRST""".stripMargin,
+
+    // gaps via lag per user; the one sqrt spelled token-identically
+    // on both sides of the ratio
+    "q_burstiness" ->
+      """WITH g AS (SELECT epoch_us(ts)
+        |        - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS gp
+        |      FROM events),
+        |f AS (SELECT CAST(count(gp) AS BIGINT) AS n_gaps,
+        |        CAST(sum(gp) AS BIGINT) AS s1,
+        |        sum(CAST(gp AS HUGEINT) * gp) AS s2
+        |      FROM g WHERE gp IS NOT NULL)
+        |SELECT n_gaps,
+        |  CASE WHEN n_gaps > 0 THEN s1 // n_gaps END
+        |    AS mean_gap_micros,
+        |  CASE WHEN n_gaps >= 2 AND
+        |      sqrt(CAST(n_gaps * s2 - CAST(s1 AS HUGEINT) * s1
+        |        AS DOUBLE)) + CAST(s1 AS DOUBLE) > 0
+        |    THEN CAST(floor((sqrt(CAST(n_gaps * s2
+        |        - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+        |        - CAST(s1 AS DOUBLE)) * 1000.0
+        |      / (sqrt(CAST(n_gaps * s2 - CAST(s1 AS HUGEINT) * s1
+        |          AS DOUBLE)) + CAST(s1 AS DOUBLE))) AS BIGINT)
+        |  END AS b_milli
+        |FROM f""".stripMargin,
+
+    // hour-bin entropy with the per-term micro-floored ln (the
+    // columnEntropy pattern); peak by (count desc, hour)
+    "q_circadian" ->
+      """WITH per AS (SELECT event_type AS key, hour(ts) AS h,
+        |        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |tot AS (SELECT key, CAST(sum(c) AS BIGINT) AS n FROM per
+        |        GROUP BY 1),
+        |t AS (SELECT per.key, tot.n, per.c, per.h,
+        |        CAST(floor(-(CAST(per.c AS DOUBLE)
+        |            / CAST(tot.n AS DOUBLE))
+        |          * ln(CAST(per.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |          * 1000000.0) AS BIGINT) AS term,
+        |        row_number() OVER (PARTITION BY per.key
+        |          ORDER BY per.c DESC, per.h) AS rk
+        |      FROM per JOIN tot ON per.key = tot.key)
+        |SELECT key, max(n) AS n,
+        |  CAST(count(*) AS BIGINT) AS active_hours,
+        |  CAST(sum(term) AS BIGINT) AS entropy_micro,
+        |  CAST(max(CASE WHEN rk = 1 THEN h END) AS INT) AS peak_hour,
+        |  CAST(max(CASE WHEN rk = 1 THEN c END) * 1000 // max(n)
+        |    AS BIGINT) AS peak_share_milli
+        |FROM t GROUP BY key ORDER BY key""".stripMargin,
 
     // arg_min/arg_max endpoint chord, |cross| argmax with
     // tie-to-earliest; endpoints excluded

@@ -440,6 +440,82 @@ object Events {
           .otherwise(lit(null).cast("double")).as("df"))
   }
 
+  /** Goh–Barabási burstiness of the inter-event-time distribution —
+    * the single number separating periodic (−1), Poisson (0) and
+    * bursty (+1 end) arrival processes, the signature bot/crawler
+    * detectors and capacity planners read: `B = (σ−μ)/(σ+μ)` over the
+    * per-user gaps, which reduces to
+    * `(√(n·S2 − S1²) − S1) / (√(n·S2 − S1²) + S1)` — the 1/n cancels,
+    * S1/S2 are exact micros sums (S2 over DECIMAL(38,0)/HUGEINT), and
+    * the ONE IEEE sqrt feeds both numerator and denominator
+    * (micro-floored once at the end — the mannWhitney rule).
+    * Degenerate σ = μ = 0 (all gaps zero) fences NULL.
+    *
+    * Scale: one user-partitioned lag window to gaps, one 1-row
+    * readout. Judged `q_burstiness`, fully ORACLED; the periodic
+    * −1000 end, a hand bursty pair, the two-gap value and the
+    * single-event-user exclusion pinned in EventsSpec. */
+  def burstiness(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    events.select(col(userCol).as("__u"),
+        unix_micros(col(tsCol)).as("__t"), col(tieCol).as("__tie"))
+      .withColumn("__p", lag(col("__t"), 1).over(
+        Window.partitionBy(col("__u")).orderBy(col("__t"), col("__tie"))))
+      .filter(col("__p").isNotNull)
+      .select((col("__t") - col("__p")).as("__g"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__g")).as("__s1"),
+        sum(expr("cast(__g as decimal(38,0)) * __g")).as("__s2"))
+      .select(col("n_gaps"),
+        when(col("n_gaps") > 0, expr("__s1 div n_gaps"))
+          .as("mean_gap_micros"),
+        when(col("n_gaps") >= 2 &&
+            (expr("""sqrt(cast(n_gaps * __s2 -
+              cast(__s1 as decimal(38,0)) * __s1 as double))""") +
+              col("__s1").cast("double")) > 0,
+          expr("""cast(floor((sqrt(cast(n_gaps * __s2 -
+              cast(__s1 as decimal(38,0)) * __s1 as double))
+              - cast(__s1 as double)) * 1000.0
+            / (sqrt(cast(n_gaps * __s2 -
+              cast(__s1 as decimal(38,0)) * __s1 as double))
+              + cast(__s1 as double))) as bigint)"""))
+          .as("b_milli"))
+  }
+
+  /** Circadian activity profile — per key, WHEN in the day does it
+    * act: the 24-bin hour histogram's Shannon entropy (micro-floored
+    * per term then summed — the [[Relational.columnEntropy]] pattern;
+    * ln 24 ≈ 3.178 = flat around the clock, 0 = a single hour — the
+    * bot-vs-human and datacenter-vs-residential signal) plus the peak
+    * hour (ties to the earliest) and its milli share. Exact integers
+    * everywhere except the per-term quantized ln.
+    *
+    * Scale: one partial agg to (key, hour) cells — config-scale — and
+    * a per-key readout; no data-scale window. Judged `q_circadian`
+    * (per event_type), fully ORACLED; single-hour zero, two-hour
+    * ln 2, flat-clock maximum and the peak tie rule pinned in
+    * EventsSpec. */
+  def circadianProfile(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val per = events.select(col(keyCol).as("key"),
+        hour(col(tsCol)).as("__h"))
+      .groupBy("key", "__h").agg(count(lit(1)).as("__c"))
+    val tot = per.groupBy("key").agg(sum(col("__c")).as("__n"))
+    per.join(tot, "key")
+      .select(col("key"), col("__n"), col("__h"), col("__c"),
+        floor(-(col("__c").cast("double") / col("__n").cast("double")) *
+          log(col("__c").cast("double") / col("__n").cast("double")) *
+          lit(1000000.0)).cast("long").as("__t"))
+      .groupBy("key")
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("active_hours"),
+        sum(col("__t")).as("entropy_micro"),
+        max(struct(col("__c"), (-col("__h")).cast("long").as("__nh")))
+          .as("__pk"))
+      .select(col("key"), col("n"), col("active_hours"),
+        col("entropy_micro"),
+        (-col("__pk.__nh")).cast("int").as("peak_hour"),
+        expr("__pk.__c * 1000 div n").as("peak_share_milli"))
+  }
+
   /** Knee / elbow point of a curve (the Kneedle-style chord rule made
     * exact): the interior point maximizing distance to the chord
     * between the curve's endpoints — where "diminishing returns" start

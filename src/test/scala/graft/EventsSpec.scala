@@ -428,6 +428,63 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("burstiness: periodic -1000, hand two-gap, bursty positive, " +
+      "degenerate fences") {
+    def ev(rows: Seq[(Long, Int)]) = rows.zipWithIndex.map {
+      case ((u, sec), i) => (u,
+        java.sql.Timestamp.valueOf(f"2026-01-01 10:${sec / 60}%02d:" +
+          f"${sec % 60}%02d"), i.toLong) }.toDF("u", "ts", "tie")
+    // perfectly periodic: sigma = 0 -> B = -1000 exactly
+    val per = Events.burstiness(ev((0 to 4).map(s => (1L, s))),
+      "u", "ts", "tie").collect().head
+    assert(per.getLong(0) === 4L && per.getLong(2) === -1000L)
+    // gaps {1s, 3s}: B = (2e6-4e6)/(2e6+4e6) = -1/3 -> floor -334
+    val two = Events.burstiness(ev(Seq((1L, 0), (1L, 1), (1L, 4))),
+      "u", "ts", "tie").collect().head
+    assert(two.getLong(0) === 2L &&
+      two.getLong(1) === 2000000L && two.getLong(2) === -334L)
+    // bursty: three tight gaps then a 97s silence — positive B
+    // (B is bounded by (sqrt(n-1)-1)/(sqrt(n-1)+1) ~ 0.27 at n=4)
+    val b = Events.burstiness(
+      ev(Seq((1L, 0), (1L, 1), (1L, 2), (1L, 3), (1L, 100))),
+      "u", "ts", "tie").collect().head
+    assert(b.getLong(2) === 248L)
+    // single-event users contribute no gaps; one gap is not enough
+    val one = Events.burstiness(ev(Seq((1L, 0), (1L, 5), (2L, 0),
+      (3L, 0))), "u", "ts", "tie").collect().head
+    assert(one.getLong(0) === 1L && one.isNullAt(2))
+    // all-simultaneous: sigma = mu = 0 -> NULL
+    val zero = Events.burstiness(ev(Seq((1L, 0), (1L, 0), (1L, 0))),
+      "u", "ts", "tie").collect().head
+    assert(zero.getLong(0) === 2L && zero.isNullAt(2))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("circadianProfile: single-hour zero, two-hour ln2, flat-clock " +
+      "maximum, peak tie rule") {
+    def ev(hours: Seq[Int]) = hours.zipWithIndex.map { case (h, i) =>
+      ("k", java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00"),
+        i.toLong) }.toDF("key", "ts", "id")
+    val mono = Events.circadianProfile(ev(Seq(10, 10, 10)), "key", "ts")
+      .collect().head
+    assert((mono.getLong(1), mono.getLong(2), mono.getLong(3),
+      mono.getInt(4), mono.getLong(5)) === ((3L, 1L, 0L, 10, 1000L)))
+    // two equal hours: 2 * floor(0.5 * ln 2 * 1e6); peak tie -> hour 3
+    val two = Events.circadianProfile(ev(Seq(3, 3, 7, 7)), "key", "ts")
+      .collect().head
+    assert(two.getLong(3) ===
+      2L * math.floor(0.5 * math.log(2.0) * 1000000.0).toLong)
+    assert(two.getInt(4) === 3 && two.getLong(5) === 500L)
+    // flat clock: maximum entropy 24 * floor(ln(24)/24 * 1e6)
+    val flat = Events.circadianProfile(ev(0 until 24), "key", "ts")
+      .collect().head
+    assert(flat.getLong(2) === 24L)
+    assert(flat.getLong(3) ===
+      24L * math.floor(math.log(24.0) / 24.0 * 1000000.0).toLong)
+    assert(flat.getInt(4) === 0) // all tie -> earliest hour
+    graft.engine.Caches.releaseAll()
+  }
+
   test("kneePoint: hand unit elbow, tie to earliest, collinear zero, " +
       "too-short empty") {
     def series(xs: Seq[(Long, Long)]) = xs.toDF("k", "x")
