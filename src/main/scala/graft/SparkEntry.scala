@@ -4649,6 +4649,17 @@ object SparkEntry {
         "value", "label", "event_id")
         .orderBy("bin")),
 
+    // Quantile treatment effects at p = 250/500/750/900 milli for the
+    // q_cem arms (orderkey % 3 treated): exact-cents percentiles,
+    // deci-cent floors of identical doubles. Fully oracled.
+    "q_qte" -> ((s, dir) =>
+      graft.operators.Eval.qte(
+        t(s, dir, "orders").select(
+          (col("o_orderkey") % 3 === 0).as("tr"),
+          col("o_totalprice").as("y")),
+        "y", "tr", Seq(250, 500, 750, 900))
+        .orderBy("p_milli")),
+
     // ECE + MCE over the same calibration bins: bin-weighted and max
     // |gap| in exact milli — nothing new floats. Fully oracled.
     "q_ece" -> ((s, dir) =>
@@ -4693,6 +4704,18 @@ object SparkEntry {
         t(s, dir, "events").withColumn("grp",
           col("event_type") === "purchase"),
         "value", "grp")),
+
+    // Efraimidis-Spirakis weighted sample-without-replacement: top-100
+    // orders by the pico-floored ln(u)/w reservoir key over the
+    // replayable fibHash u. Fully oracled.
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.reservoirSample(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("w")),
+        col("o_orderkey"), col("w"), 100)
+        .select("o_orderkey", "es_pico")
+        .orderBy(col("es_pico").desc, col("o_orderkey"))),
 
     // Neyman allocation of a 1000-sample budget across order
     // priorities: weight = sqrt(N*Sx2 - Sx^2) exactly (one IEEE sqrt
@@ -8262,6 +8285,28 @@ object SparkEntry {
         |         - CAST(sum(y) AS BIGINT) * 1000 // count(*) AS gap_milli
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // quantile_cont == Spark percentile bit-for-bit (robustScale
+    // precedent); deci-cent floors of the shared doubles
+    "q_qte" ->
+      """WITH t AS (SELECT o_orderkey % 3 = 0 AS tr,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |      FROM orders),
+        |q AS (SELECT
+        |    quantile_cont(CASE WHEN tr THEN c END,
+        |      [0.25, 0.5, 0.75, 0.9]) AS qt,
+        |    quantile_cont(CASE WHEN NOT tr THEN c END,
+        |      [0.25, 0.5, 0.75, 0.9]) AS qc
+        |  FROM t),
+        |ps AS (SELECT unnest([1, 2, 3, 4]) AS ix,
+        |              unnest([250, 500, 750, 900]) AS p_milli)
+        |SELECT p_milli,
+        |  CAST(floor(qt[ix] * 10 + 0.5) AS BIGINT) AS q_treat_decicents,
+        |  CAST(floor(qc[ix] * 10 + 0.5) AS BIGINT)
+        |    AS q_control_decicents,
+        |  CAST(floor(qt[ix] * 10 + 0.5) AS BIGINT)
+        |    - CAST(floor(qc[ix] * 10 + 0.5) AS BIGINT) AS qte_decicents
+        |FROM ps, q ORDER BY p_milli""".stripMargin,
+
     // the q_calibration bin replay collapsed to weighted/max |gap|
     "q_ece" ->
       """WITH per AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT)
@@ -8525,6 +8570,21 @@ object SparkEntry {
         |    * (abs(d_micro) * (4 * (n_a + n_b) - 12)
         |       // (4 * (n_a + n_b) - 9)) END AS g_micro
         |FROM d""".stripMargin,
+
+    // fibHash u replayed (the q_shuffle_order spelling), the one
+    // ln-chain pico-floored identically; ties on the key
+    "q_weighted_sample" ->
+      """WITH h AS (SELECT o_orderkey,
+        |        CAST(floor(((o_orderkey * 2654435769) % 4294967296)
+        |          * 1000000.0 / 4294967296.0) AS BIGINT) AS bucket,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+        |      FROM orders),
+        |s AS (SELECT o_orderkey,
+        |        CAST(floor(ln(CAST(bucket + 1 AS DOUBLE) / 1000000.0)
+        |          * 1000000000000.0 / w) AS BIGINT) AS es_pico
+        |      FROM h WHERE w > 0)
+        |SELECT o_orderkey, es_pico FROM s
+        |ORDER BY es_pico DESC, o_orderkey LIMIT 100""".stripMargin,
 
     // the q_apportion replay over sqrt-variance weights; one IEEE
     // sqrt per stratum over the exact HUGEINT variance numerator

@@ -466,6 +466,56 @@ object Eval {
       .select(col("n1"), col("n2"), col("r2"), col("u2"), col("z_micro"))
   }
 
+  /** Quantile treatment effects — the DISTRIBUTIONAL view next to the
+    * mean-only [[cemAtt]]/diff-in-means readouts (a treatment that
+    * moves the median nothing but stretches the tail is invisible to
+    * an ATT): per requested quantile p, `QTE(p) = Q_treat(p) −
+    * Q_control(p)` over exact cents. Quantiles use Spark's exact
+    * `percentile` (linear interpolation over the sorted multiset) —
+    * bit-identical to DuckDB's `quantile_cont` (the robustScale
+    * precedent) — and the output micro-floors each side ONCE
+    * (`floor(q·10 + 0.5)` deci-cents of the SAME double both engines
+    * computed — the floor can't disagree). A missing arm reads NULL
+    * for its side (and for the effect).
+    *
+    * Scale: one full-sort-free percentile aggregate per arm (Spark's
+    * percentile is a partial-aggregating sketch-free exact impl;
+    * calendar/corpus scale applies — for 100 TB arms use the banded
+    * exact-percentile machinery instead). Judged `q_qte` (p ∈ {250,
+    * 500, 750, 900} milli), fully ORACLED; hand shift (constant QTE),
+    * tail-only stretch (median 0, p90 positive) and interpolation
+    * pinned in EvalSpec. */
+  def qte(df: DataFrame, valueCol: String, treatCol: String,
+      psMilli: Seq[Int]): DataFrame = {
+    require(psMilli.nonEmpty && psMilli.forall(p => p >= 0 && p <= 1000),
+      s"quantiles in 0..1000 milli: $psMilli")
+    val session = df.sparkSession
+    import session.implicits._
+    val cents = df.select(col(treatCol).cast("boolean").as("__t"),
+      floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__c"))
+    val ps = psMilli.distinct.sorted
+    val aggs = ps.flatMap(p => Seq(
+      expr(s"percentile(if(__t, __c, null), ${p / 1000.0})")
+        .as(s"__qt_$p"),
+      expr(s"percentile(if(not __t, __c, null), ${p / 1000.0})")
+        .as(s"__qc_$p")))
+    val row = cents.agg(aggs.head, aggs.tail: _*)
+    val pdf = ps.toDF("p_milli")
+    pdf.crossJoin(broadcast(row))
+      .select(col("p_milli") +: ps.flatMap(p => Seq(
+        when(col("p_milli") === p,
+          floor(col(s"__qt_$p") * 10 + lit(0.5)).cast("long"))
+          .as(s"__a_$p"),
+        when(col("p_milli") === p,
+          floor(col(s"__qc_$p") * 10 + lit(0.5)).cast("long"))
+          .as(s"__b_$p"))): _*)
+      .select(col("p_milli"),
+        coalesce(ps.map(p => col(s"__a_$p")): _*).as("q_treat_decicents"),
+        coalesce(ps.map(p => col(s"__b_$p")): _*).as("q_control_decicents"))
+      .withColumn("qte_decicents",
+        col("q_treat_decicents") - col("q_control_decicents"))
+  }
+
   /** Kruskal–Wallis H — [[mannWhitney]] generalized to k groups (the
     * nonparametric one-way ANOVA): do ANY of the groups stochastically
     * dominate, decided on ranks. Tie-averaged ranks stay exact by

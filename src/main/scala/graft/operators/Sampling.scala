@@ -429,6 +429,37 @@ object Sampling {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006)
+    * — k rows drawn with probability proportional to a weight, as one
+    * deterministic top-k: each row's reservoir key is `u^(1/w)`,
+    * order-equivalent to `ln(u)/w`, with `u ∈ (0,1]` from the
+    * REPLAYABLE [[fibHash]] bucket (no RNG state — re-runs and engines
+    * agree; a different salt upstream draws an independent sample).
+    * The score is pico-floored (`floor(ln(u)·10¹² / w)`, one IEEE
+    * chain both engines spell identically) so ranking never compares
+    * raw floats (the q_keywords rule); ties break on the key. Rows
+    * with non-positive weight are excluded (E-S domain).
+    *
+    * Scale: scan-stage scoring + TakeOrdered(k) — no shuffle, no
+    * window. The importance-sampling workhorse for training-data
+    * selection when [[sample]]'s uniform draw under-serves heavy
+    * documents. Judged `q_weighted_sample` (orders by total-price
+    * cents, k = 100), fully ORACLED; proportional-draw bias on a
+    * two-weight population, determinism under reshuffle, k ≥ n
+    * passthrough and the zero-weight exclusion pinned in
+    * SamplingSpec. */
+  def reservoirSample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (fibHash(key) + lit(1L)).cast("double") /
+      lit(BUCKETS.toDouble)
+    df.filter(weight > 0)
+      .withColumn("es_pico",
+        floor(log(u) * lit(1.0e12) / weight).cast("long"))
+      .orderBy(col("es_pico").desc, key)
+      .limit(k)
+  }
+
   /** Neyman (optimal) stratified allocation — how many samples each
     * stratum DESERVES, not how many it has: the variance-minimizing
     * split of a sampling budget puts `n_h ∝ N_h·σ_h` (Neyman 1934 —

@@ -619,6 +619,32 @@ class EvalSpec extends SparkTestBase {
     assert(dup.getLong(2) === 1000L)
   }
 
+  test("qte: constant shift, tail-only stretch, interpolation, " +
+      "missing-arm nulls") {
+    def mk(t: Seq[Double], c: Seq[Double]) =
+      (t.map((true, _)) ++ c.map((false, _))).toDF("tr", "y")
+    // treated = control + 5.00 everywhere: QTE constant 5000 deci-cents
+    val shift = Eval.qte(mk(Seq(6, 7, 8, 9, 10).map(_.toDouble),
+      Seq(1, 2, 3, 4, 5).map(_.toDouble)), "y", "tr", Seq(250, 500, 750))
+      .collect()
+    assert(shift.map(_.getLong(3)).toSeq === Seq(5000L, 5000L, 5000L))
+    // tail-only stretch: medians equal, p900 moves
+    val tail = Eval.qte(mk(Seq(1, 2, 3, 4, 100).map(_.toDouble),
+      Seq(1, 2, 3, 4, 5).map(_.toDouble)), "y", "tr", Seq(500, 900))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(tail(500) === 0L && tail(900) > 0L)
+    // interpolation: {0, 1.00} at p500 -> 0.50 = 500 deci-cents
+    val interp = Eval.qte(mk(Seq(0.0, 1.0), Seq(0.0, 0.0)), "y", "tr",
+      Seq(500)).collect().head
+    assert(interp.getLong(1) === 500L && interp.getLong(3) === 500L)
+    // missing control arm: its side (and the effect) read NULL
+    val solo = Eval.qte(Seq((true, 3.0)).toDF("tr", "y"), "y", "tr",
+      Seq(500)).collect().head
+    assert(solo.getLong(1) === 3000L && solo.isNullAt(2) &&
+      solo.isNullAt(3))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("calibrationError: perfect zero, anti-calibrated extreme, " +
       "ECE <= MCE on a mixed fixture") {
     def mk(rows: Seq[(Double, Int)]) = rows.zipWithIndex

@@ -332,6 +332,31 @@ class SamplingSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("reservoirSample: proportional bias, reshuffle determinism, " +
+      "k >= n passthrough, zero-weight exclusion") {
+    // 500 heavy (w=20) vs 500 light (w=1) rows: a 100-draw should be
+    // dominated by heavy rows (P[light beats heavy] is tiny per pair)
+    val df = (0L until 500L).map(i => (i, 20L)) ++
+      (500L until 1000L).map(i => (i, 1L))
+    val got = Sampling.reservoirSample(df.toDF("id", "w"),
+      col("id"), col("w"), 100).select("id").as[Long].collect().toSet
+    assert(got.size === 100)
+    assert(got.count(_ < 500L) > 85, s"heavy share: ${got.count(_ < 500L)}")
+    // deterministic under reshuffle
+    val again = Sampling.reservoirSample(df.toDF("id", "w").repartition(7),
+      col("id"), col("w"), 100).select("id").as[Long].collect().toSet
+    assert(again === got)
+    // k >= n: every positive-weight row survives
+    assert(Sampling.reservoirSample(
+      Seq((1L, 5L), (2L, 1L)).toDF("id", "w"), col("id"), col("w"), 10)
+      .count() === 2L)
+    // zero/negative weights are excluded from the draw
+    assert(Sampling.reservoirSample(
+      Seq((1L, 5L), (2L, 0L), (3L, -4L)).toDF("id", "w"),
+      col("id"), col("w"), 10).select("id").as[Long].collect().toSeq
+      === Seq(1L))
+  }
+
   test("neymanAllocation: volatility earns budget, zero-variance " +
       "exclusion, conservation, equal-sigma proportional fallback") {
     // two strata of 4 rows each: 'hi' has sd 10x 'lo' -> ~10/11 of
