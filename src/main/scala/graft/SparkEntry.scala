@@ -5147,6 +5147,14 @@ object SparkEntry {
         .acf(t(s, dir, "events"), "event_type", "ts", 4)
         .orderBy("event_type", "lag")),
 
+    // Ljung-Box portmanteau over the same weekly ACF machinery (m=4):
+    // per-lag milli-truncated terms with the full divisor folded in,
+    // exact integers end to end. Fully oracled.
+    "q_ljung_box" -> ((s, dir) =>
+      graft.operators.Events
+        .ljungBox(t(s, dir, "events"), "event_type", "ts", 4)
+        .orderBy("event_type")),
+
     // Directed association rules (support/confidence/lift in exact
     // integer millis) over per-user event-type sets — the market-
     // basket step after q_cooccur's edge build. Fully oracled.
@@ -9412,6 +9420,56 @@ object SparkEntry {
         |            ELSE NULL END AS acf
         |FROM num JOIN den ON num.k = den.k
         |ORDER BY 1, 2""".stripMargin,
+
+    // the q_acf machinery replayed, then per-lag milli terms with the
+    // full divisor folded in (HUGEINT num^2/den^2)
+    "q_ljung_box" ->
+      """WITH sparse AS (
+        |  SELECT event_type AS k,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |           AS bk,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT k, min(bk) AS lo, max(bk) AS hi FROM sparse
+        |        GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(lo, hi)) AS bk FROM rng),
+        |ser AS (SELECT g.k, g.bk, COALESCE(s.x, 0) AS x
+        |        FROM grid g LEFT JOIN sparse s
+        |          ON g.k = s.k AND g.bk = s.bk),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS s
+        |       FROM ser GROUP BY 1),
+        |led AS (SELECT ser.k AS k, bk, x, n, s,
+        |               lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+        |               lead(x, 3) OVER w AS x3, lead(x, 4) OVER w AS x4
+        |        FROM ser JOIN st ON ser.k = st.k
+        |        WINDOW w AS (PARTITION BY ser.k ORDER BY bk)),
+        |lagged AS (
+        |  SELECT k, n, s, x, 1 AS l, x1 AS xl FROM led
+        |  UNION ALL SELECT k, n, s, x, 2, x2 FROM led
+        |  UNION ALL SELECT k, n, s, x, 3, x3 FROM led
+        |  UNION ALL SELECT k, n, s, x, 4, x4 FROM led),
+        |num AS (SELECT k, l, max(n) AS n,
+        |               CAST(sum((n*x - s) * (n*xl - s)) AS BIGINT)
+        |                 AS acf_num
+        |        FROM lagged WHERE xl IS NOT NULL GROUP BY 1, 2),
+        |den AS (SELECT k, CAST(sum((n*x - s) * (n*x - s)) AS BIGINT)
+        |                 AS acf_den
+        |        FROM led GROUP BY 1),
+        |terms AS (SELECT num.k, num.n, num.l, den.acf_den,
+        |        CASE WHEN den.acf_den > 0 THEN
+        |          CAST((CAST(acf_num AS HUGEINT) * acf_num
+        |               * 1000 * num.n * (num.n + 2))
+        |            // ((num.n - num.l)
+        |               * (CAST(den.acf_den AS HUGEINT) * den.acf_den))
+        |            AS BIGINT) END AS t
+        |        FROM num JOIN den ON num.k = den.k
+        |        WHERE num.l < num.n)
+        |SELECT k AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS m_lags,
+        |  CASE WHEN max(acf_den) > 0 THEN CAST(sum(t) AS BIGINT) END
+        |    AS q_milli
+        |FROM terms GROUP BY k ORDER BY event_type""".stripMargin,
 
     // exact integer millis via // — engine-identical where float
     // division is not

@@ -2293,7 +2293,20 @@ object Events {
     * ORACLED; pure-period impulse series, zero-gap densification and
     * constant-series null pinned in EventsSpec. */
   def acf(events: DataFrame, keyCol: String, tsCol: String,
-      maxLag: Int, bucketDays: Int = 7): DataFrame = {
+      maxLag: Int, bucketDays: Int = 7): DataFrame =
+    acfNumDen(events, keyCol, tsCol, maxLag, bucketDays)
+      .select(col("k").as(keyCol), col("lag").cast("int").as("lag"),
+        col("acf_num"), col("acf_den"),
+        when(col("acf_den") > 0,
+          col("acf_num").cast("double") / col("acf_den").cast("double"))
+          .otherwise(lit(null).cast("double")).as("acf"))
+
+  /** Shared exact ACF machinery for [[acf]] and [[ljungBox]]: per
+    * (key, lag) the centered covariance numerator `Σ(n·x_t − s)
+    * (n·x_{t+k} − s)`, the shared denominator `Σ(n·x_t − s)²`, and n —
+    * all exact BIGINTs over the zero-densified bucket series. */
+  private def acfNumDen(events: DataFrame, keyCol: String, tsCol: String,
+      maxLag: Int, bucketDays: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
     require(bucketDays >= 1, s"bucketDays must be >= 1: $bucketDays")
     val sparse = events
@@ -2322,16 +2335,44 @@ object Events {
       .filter(col("__xl").isNotNull)
       .groupBy(col("k"), (col("__pos") + 1).as("lag"))
       .agg(sum(col("__c") * (col("n") * col("__xl") - col("s")))
-        .as("acf_num"))
+        .as("acf_num"), max(col("n")).as("n"))
     val den = terms.groupBy("k")
       .agg(sum(col("__c") * col("__c")).as("acf_den"))
     num.join(den, Seq("k"))
-      .select(col("k").as(keyCol), col("lag").cast("int").as("lag"),
-        col("acf_num"), col("acf_den"),
-        when(col("acf_den") > 0,
-          col("acf_num").cast("double") / col("acf_den").cast("double"))
-          .otherwise(lit(null).cast("double")).as("acf"))
   }
+
+  /** Ljung–Box portmanteau test — "is this series white noise at all"
+    * across the first m autocorrelations jointly (Ljung & Box 1978),
+    * the standard residual-diagnostics companion to [[acf]]'s per-lag
+    * view and [[durbinWatson]]'s lag-1 view:
+    * `Q = n(n+2)·Σ_{k≤m} ρ_k²/(n−k)`, compared to χ²(m). Exact-integer
+    * formulation over the shared ACF machinery: per lag,
+    * `t_k = (num_k²·1000·n·(n+2)) div ((n−k)·den²)` — milli-truncated
+    * per term with the FULL divisor folded in (the kruskalWallis
+    * spelling; num² rides DECIMAL(38,0)/HUGEINT, den² stays BIGINT
+    * while `den < 3e9` — the acf headroom rule), `q_milli = Σ t_k`.
+    * Lags ≥ n drop (their ρ is undefined); constant series (den = 0)
+    * fence NULL.
+    *
+    * Scale: the acf posture — keys × buckets, never event scale.
+    * Judged `q_ljung_box` (weekly buckets per event_type, m = 4),
+    * fully ORACLED; the white-noise-small vs periodic-large contrast,
+    * the single-lag Q = n(n+2)ρ₁²/(n−1) hand identity and the
+    * constant-series fence pinned in EventsSpec. */
+  def ljungBox(events: DataFrame, keyCol: String, tsCol: String,
+      maxLag: Int, bucketDays: Int = 7): DataFrame =
+    acfNumDen(events, keyCol, tsCol, maxLag, bucketDays)
+      .filter(col("lag") < col("n"))
+      .select(col("k"), col("n"), col("lag"), col("acf_den"),
+        when(col("acf_den") > 0, expr(
+          """cast((cast(acf_num as decimal(38,0)) * acf_num
+               * 1000 * n * (n + 2))
+             div ((n - lag) * (cast(acf_den as decimal(38,0)) * acf_den))
+             as bigint)""")).as("__t"))
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("m_lags"),
+        when(max(col("acf_den")) > 0, sum(col("__t")))
+          .otherwise(lit(null)).as("q_milli"))
 
   /** Cross-correlation function — [[acf]]'s two-series sibling ("does
     * marketing lead sales, and by how many weeks"): both types count

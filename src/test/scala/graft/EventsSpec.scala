@@ -428,6 +428,35 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("ljungBox: hand single-lag identity, impulse small vs " +
+      "alternating large, constant-series fence, lag cap") {
+    def ev(key: String, weekly: Seq[Int]) = weekly.zipWithIndex.flatMap {
+      case (c, w) => Seq.fill(c)((key,
+        java.sql.Timestamp.valueOf(s"1970-01-${1 + 7 * w} 10:00:00"))) }
+    def run(rows: Seq[(String, java.sql.Timestamp)], m: Int) =
+      Events.ljungBox(rows.toDF("k", "ts"), "k", "ts", m)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // alternating [2,0,2,0,2]: rho1 = -96/120, Q1 milli =
+    // (96^2*1000*35) div (4*120^2) = 5600 (the n(n+2)rho^2/(n-1) hand
+    // identity, milli-truncated with the folded divisor)
+    val alt = run(ev("a", Seq(2, 0, 2, 0, 2)), 1)
+    assert(alt("a") === ((5L, 1L, 5600L)))
+    // two far-apart impulses (the series densifies only between
+    // observed buckets, so both ends anchor): small Q
+    // rho1 = -4/30 -> t = (16*1000*35) div (4*900) = 155
+    val imp = run(ev("b", Seq(1, 0, 0, 0, 1)), 1)
+    assert(imp("b")._3 === 155L && imp("b")._3 < alt("a")._3)
+    // constant series: zero variance -> fenced NULL
+    val const = run(ev("c", Seq(1, 1, 1, 1)), 1)
+    assert(const("c")._3 === -1L)
+    // lags >= n drop: n = 3 weeks, maxLag 4 -> only 2 usable lags
+    val cap = run(ev("d", Seq(2, 0, 1)), 4)
+    assert(cap("d")._1 === 3L && cap("d")._2 === 2L)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("burstiness: periodic -1000, hand two-gap, bursty positive, " +
       "degenerate fences") {
     def ev(rows: Seq[(Long, Int)]) = rows.zipWithIndex.map {
