@@ -4717,6 +4717,22 @@ object SparkEntry {
         .select("o_orderkey", "es_pico")
         .orderBy(col("es_pico").desc, col("o_orderkey"))),
 
+    // Grubbs' single-outlier test over event values: exact BIGINT
+    // argmax of |n*x - S1|, one micro-floored sqrt chain for G.
+    // Fully oracled.
+    "q_grubbs" -> ((s, dir) =>
+      graft.operators.Eval.grubbsTest(
+        t(s, dir, "events").select(col("value").as("y")), "y")),
+
+    // Theil T inequality over per-customer order cents: exact
+    // rational ratios, per-distinct-value micro-floored ln terms (the
+    // chi2 pattern), signed final division. Fully oracled.
+    "q_theil" -> ((s, dir) =>
+      graft.operators.Relational.theilIndex(
+        t(s, dir, "orders").select(col("o_custkey").as("k"),
+          col("o_totalprice").as("y")),
+        "k", "y")),
+
     // Neyman allocation of a 1000-sample budget across order
     // priorities: weight = sqrt(N*Sx2 - Sx^2) exactly (one IEEE sqrt
     // per stratum), largest-remainder apportionment. Fully oracled.
@@ -8578,6 +8594,58 @@ object SparkEntry {
         |    * (abs(d_micro) * (4 * (n_a + n_b) - 12)
         |       // (4 * (n_a + n_b) - 9)) END AS g_micro
         |FROM d""".stripMargin,
+
+    // exact dev argmax with tie-to-smaller; the one sqrt chain
+    // spelled token-identically
+    "q_grubbs" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |        AS v FROM events),
+        |per AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM c
+        |        GROUP BY 1),
+        |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+        |        CAST(sum(m * v) AS BIGINT) AS s1,
+        |        sum(m * CAST(v AS HUGEINT) * v) AS s2 FROM per),
+        |d AS (SELECT tot.n, tot.s1, tot.s2, per.v,
+        |        abs(tot.n * per.v - tot.s1) AS dev
+        |      FROM per, tot ORDER BY dev DESC, per.v LIMIT 1)
+        |SELECT n, v AS outlier_cents,
+        |  CASE WHEN n >= 3 AND n * s2 - CAST(s1 AS HUGEINT) * s1 > 0
+        |    THEN CAST(floor(CAST(dev AS DOUBLE) * 1000000.0
+        |      / (CAST(n AS DOUBLE)
+        |         * sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1
+        |             AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))))
+        |      AS BIGINT) END AS g_micro
+        |FROM d""".stripMargin,
+
+    // per-distinct-value micro-floored ln terms over the exact
+    // rational v*n/S1; signed final division
+    "q_theil" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |          AS BIGINT)) AS BIGINT) AS cents
+        |      FROM orders GROUP BY 1),
+        |cells AS (SELECT cents, CAST(count(*) AS BIGINT) AS m
+        |          FROM per GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN cents > 0 THEN m ELSE 0 END) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(CASE WHEN cents > 0 THEN m * cents ELSE 0 END)
+        |      AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN cents <= 0 THEN m ELSE 0 END) AS BIGINT)
+        |      AS n_dropped
+        |  FROM cells),
+        |t AS (SELECT tot.n, tot.n_dropped,
+        |    CAST(floor(CAST(m AS DOUBLE)
+        |      * (CAST(cents AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |         / CAST(tot.s1 AS DOUBLE))
+        |      * ln(CAST(cents AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |           / CAST(tot.s1 AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS term
+        |  FROM cells, tot WHERE cents > 0)
+        |SELECT n, n_dropped,
+        |  CASE WHEN n > 0 THEN CAST(sign(sum(term)) AS BIGINT)
+        |    * (abs(CAST(sum(term) AS BIGINT)) // n) END AS theil_micro
+        |FROM t GROUP BY n, n_dropped""".stripMargin,
 
     // fibHash u replayed (the q_shuffle_order spelling), the one
     // ln-chain pico-floored identically; ties on the key

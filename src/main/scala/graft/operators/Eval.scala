@@ -466,6 +466,45 @@ object Eval {
       .select(col("n1"), col("n2"), col("r2"), col("u2"), col("z_micro"))
   }
 
+  /** Grubbs' test — is the single most extreme value a statistical
+    * outlier (Grubbs 1950), the principled replacement for eyeballing
+    * a max: `G = max|x − x̄| / s` compared against the t-derived
+    * critical value. Exact-integer core: the argmax of `|n·x − S1|`
+    * over distinct cents values is pure BIGINT (ties to the SMALLER
+    * value — pinned), the sample variance numerator `n·S2 − S1²` rides
+    * DECIMAL(38,0)/HUGEINT, and G takes the ONE micro-floored IEEE
+    * chain `|dev|·10⁶ / (n·√((nS2−S1²)/(n(n−1))))` (the cochran
+    * spelling discipline). Fences: n < 3 or zero variance → NULL G
+    * (the outlier value still reports).
+    *
+    * Scale: one partial agg to distinct-value multiplicities, a
+    * broadcast total, one TakeOrdered(1). Judged `q_grubbs`, fully
+    * ORACLED; the exact 1.5 hand case (√202500 = 450), the symmetric
+    * tie-to-smaller rule, zero-variance and n<3 fences pinned in
+    * EvalSpec. */
+  def grubbsTest(df: DataFrame, valueCol: String): DataFrame = {
+    val per = graft.engine.Caches.persisted(
+      df.select(floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+          .as("__c"))
+        .groupBy("__c").agg(count(lit(1)).as("__m")))
+    val tot = broadcast(per.agg(sum(col("__m")).as("n"),
+      sum(col("__m") * col("__c")).as("__s1"),
+      sum(expr("__m * cast(__c as decimal(38,0)) * __c")).as("__s2")))
+    per.crossJoin(tot)
+      .select(col("n"), col("__s1"), col("__s2"), col("__c"),
+        abs(col("n") * col("__c") - col("__s1")).as("__dev"))
+      .orderBy(col("__dev").desc, col("__c")).limit(1)
+      .select(col("n"), col("__c").as("outlier_cents"),
+        when(col("n") >= 3 &&
+            expr("n * __s2 - cast(__s1 as decimal(38,0)) * __s1") > 0,
+          expr("""cast(floor(cast(__dev as double) * 1000000.0
+            / (cast(n as double)
+               * sqrt(cast(n * __s2 -
+                   cast(__s1 as decimal(38,0)) * __s1 as double)
+                 / cast(n * (n - 1) as double)))) as bigint)"""))
+          .as("g_micro"))
+  }
+
   /** Quantile treatment effects — the DISTRIBUTIONAL view next to the
     * mean-only [[cemAtt]]/diff-in-means readouts (a treatment that
     * moves the median nothing but stretches the tail is invisible to

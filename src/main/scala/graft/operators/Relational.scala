@@ -844,6 +844,55 @@ object Relational {
         (coalesce(col("__common"), lit(0L)) === col("n_lhs")).as("holds"))
   }
 
+  /** Theil T index — the DECOMPOSABLE inequality measure next to
+    * [[gini]]/[[Relational.lorenz]] (Gini ranks, Theil weighs:
+    * `T = (1/n)·Σ (x/μ)·ln(x/μ)`, 0 = perfect equality, ln n = one
+    * key owns everything; unlike Gini it splits exactly into
+    * within-group + between-group terms, which is why concentration
+    * audits report it). Judged-double discipline: per DISTINCT cents
+    * value v with multiplicity m, the ratio `v·n/S1` is an exact
+    * rational both engines divide identically, the term
+    * `floor(m·(v·n/S1)·ln(v·n/S1)·10⁶)` micro-quantizes ONCE (the chi2
+    * pattern — value-grouped, so multiplicity never re-orders float
+    * sums), and `theil_micro = Σ terms div n`. Non-positive values
+    * are excluded (ln domain — the standard income-inequality
+    * convention) and reported in `n_dropped`.
+    *
+    * Scale: one partial agg to per-key cents, one to distinct-value
+    * multiplicities (config-scale for money-like domains), a 1-row
+    * readout. Judged `q_theil` (per-customer order cents), fully
+    * ORACLED; perfect-equality zero, the ln n monopoly extreme, a
+    * hand two-level value and the non-positive exclusion pinned in
+    * RelationalSpec. */
+  def theilIndex(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.select(col(keyCol).as("__k"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("__cents"))
+      .groupBy("__k").agg(sum(col("__cents")).as("cents"))
+    val cells = graft.engine.Caches.persisted(
+      per.groupBy(col("cents")).agg(count(lit(1)).as("__m")))
+    val tot = broadcast(cells.agg(
+      sum(when(col("cents") > 0, col("__m")).otherwise(0L)).as("n"),
+      sum(when(col("cents") > 0, col("__m") * col("cents"))
+        .otherwise(0L)).as("__s1"),
+      sum(when(col("cents") <= 0, col("__m")).otherwise(0L))
+        .as("n_dropped")))
+    cells.crossJoin(tot)
+      .filter(col("cents") > 0)
+      .select(col("n"), col("__s1"), col("n_dropped"),
+        floor(col("__m").cast("double") *
+          (col("cents").cast("double") * col("n").cast("double") /
+            col("__s1").cast("double")) *
+          log(col("cents").cast("double") * col("n").cast("double") /
+            col("__s1").cast("double")) * lit(1000000.0))
+          .cast("long").as("__t"))
+      .groupBy(col("n"), col("n_dropped"))
+      .agg(sum(col("__t")).as("__sum"))
+      .select(col("n"), col("n_dropped"),
+        when(col("n") > 0, expr("""cast(sign(__sum) as bigint)
+          * (abs(__sum) div n)""")).as("theil_micro"))
+  }
+
   /** Business days strictly between two day-resolution instants —
     * calendar arithmetic in CLOSED FORM (no calendar table, no
     * explode): with epoch days `a ≤ b` and ISO weekday phase

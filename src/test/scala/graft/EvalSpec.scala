@@ -619,6 +619,24 @@ class EvalSpec extends SparkTestBase {
     assert(dup.getLong(2) === 1000L)
   }
 
+  test("grubbsTest: exact 1.5 hand case, symmetric tie to smaller, " +
+      "zero-variance and n<3 fences") {
+    def run(vals: Seq[Double]) = Eval.grubbsTest(
+      vals.toDF("y"), "y").collect().head
+    // {1,1,1,10} dollars: dev(1000c) = 2700, s-chain sqrt(202500)=450
+    // exactly -> G = 2700/(4*450) = 1.5
+    val hand = run(Seq(1.0, 1.0, 1.0, 10.0))
+    assert((hand.getLong(0), hand.getLong(1), hand.getLong(2))
+      === ((4L, 1000L, 1500000L)))
+    // symmetric pair ties on |dev|: smaller value wins (n=2 fences G)
+    val tie = run(Seq(0.0, 10.0))
+    assert(tie.getLong(1) === 0L && tie.isNullAt(2))
+    // constant: zero variance
+    val const = run(Seq(7.0, 7.0, 7.0))
+    assert(const.getLong(1) === 700L && const.isNullAt(2))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("qte: constant shift, tail-only stretch, interpolation, " +
       "missing-arm nulls") {
     def mk(t: Seq[Double], c: Seq[Double]) =

@@ -1368,6 +1368,40 @@ class RelationalSpec extends SparkTestBase {
       z.isNullAt(z.fieldIndex("or_crude_milli")))
   }
 
+  test("theilIndex: perfect equality zero, hand values, non-positive " +
+      "exclusion") {
+    import spark.implicits._
+    def run(vals: Seq[Double]) = graft.operators.Relational.theilIndex(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("k", "y"), "k", "y").collect().head
+    // replicate the operator's per-distinct-value quantization
+    def expect(cents: Seq[Long]): Long = {
+      val pos = cents.filter(_ > 0)
+      val n = pos.size.toDouble
+      val s1 = pos.sum.toDouble
+      val sum = pos.groupBy(identity).map { case (v, vs) =>
+        math.floor(vs.size.toDouble * (v * n / s1) *
+          math.log(v * n / s1) * 1000000.0).toLong }.sum
+      math.signum(sum) * (math.abs(sum) / pos.size)
+    }
+    // perfect equality: every ratio 1, ln 1 = 0
+    val eq = run(Seq(5.0, 5.0, 5.0, 5.0))
+    assert(eq.getLong(0) === 4L && eq.getLong(2) === 0L)
+    // hand two-level {2,2,8,8} dollars
+    val two = run(Seq(2.0, 2.0, 8.0, 8.0))
+    assert(two.getLong(2) === expect(Seq(200L, 200L, 800L, 800L)))
+    assert(two.getLong(2) > 0L)
+    // concentrated {0.01, 0.01, 0.98} is more unequal than {2,2,8,8}
+    val conc = run(Seq(0.01, 0.01, 0.98))
+    assert(conc.getLong(2) === expect(Seq(1L, 1L, 98L)))
+    assert(conc.getLong(2) > two.getLong(2))
+    // zero/negative keys are excluded and counted
+    val drop = run(Seq(3.0, 3.0, 0.0, -2.0))
+    assert((drop.getLong(0), drop.getLong(1), drop.getLong(2))
+      === ((2L, 2L, 0L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("inclusionDeps: nest chain, NULL exclusion, near-miss, " +
       "reflexive exclusion") {
     import spark.implicits._
