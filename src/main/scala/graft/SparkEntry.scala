@@ -591,11 +591,14 @@ object SparkEntry {
       val keys = base.filter(col("o_orderkey") % 7 === 0 || col("year") === 1995)
         .select(col("o_orderkey"))
       graft.operators.Relational.deleteKeys(s, path, "year", "o_orderkey", keys)
+      // Judged sum rides cents-BIGINT fixed per row BEFORE aggregation
+      // (the q_sliding_window recipe) — identical IEEE ops in both
+      // engines, order-independent; retires the lone decimal-judged row.
       readTable(s, path)
         .groupBy("year")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("total"))
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("total_cents"))
         .orderBy("year")
     }),
 
@@ -2745,6 +2748,42 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Newman modularity of the mod-5 block partition over the clique
+    // graph PLUS every-7th-block bridges (so cross-community edges
+    // exist and Q < 1): per-community dq_micro = sign-routed
+    // (4m·e_c − d_c²)·10⁶ div 4m² over DECIMAL intermediates, global
+    // q_micro = truncate-then-sum. Pure arithmetic — fully ORACLED.
+    "q_modularity" -> ((s, dir) => {
+      val n = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), expr("o_orderkey div 5").as("blk"))
+      val clique = n.as("l").join(n.as("r"),
+          col("l.blk") === col("r.blk") && col("l.k") < col("r.k"))
+        .select(col("l.k").as("src"), col("r.k").as("dst"))
+      val mins = n.groupBy("blk").agg(min(col("k")).as("mk"))
+      val bridges = mins.as("x").join(mins.as("y"),
+          col("y.blk") === col("x.blk") + 1 && col("x.blk") % 7 === 0)
+        .select(col("x.mk").as("src"), col("y.mk").as("dst"))
+      graft.operators.Graph.modularity(
+        clique.union(bridges), "src", "dst",
+        n.select(col("k").as("id"), col("blk").as("lbl")), "id", "lbl")
+        .orderBy("label")
+    }),
+
+    // Eigenvector centrality by 2-round L1-normalized power iteration
+    // over the part→supplier graph (undirected-ized): the teleport-free
+    // sibling of q_pagerank; scores micro-quantized (the q_hits
+    // float-sort-key rule). Oracle = the unrolled recurrence.
+    "q_eigen" -> ((s, dir) =>
+      graft.operators.Graph.eigenvectorCentrality(
+        t(s, dir, "lineitem")
+          .select(pmod(col("l_partkey"), lit(100)).as("src"),
+            pmod(col("l_suppkey"), lit(100)).as("dst")),
+        "src", "dst", iterations = 2)
+        .select(col("id"),
+          floor(col("score") * lit(1e7) + lit(0.5)).cast("long")
+            .as("score_micro"))
+        .orderBy("id")),
+
     // k-core decomposition (Montresor H-index iteration) over an
     // engineered fixture whose coreness is known in closed form — a
     // K6 clique (core 5), a 10-cycle (core 2) and an 11-vertex star
@@ -4833,6 +4872,14 @@ object SparkEntry {
     // Fully oracled.
     "q_kruskal" -> ((s, dir) =>
       graft.operators.Eval.kruskalWallis(
+        t(s, dir, "events"), "value", "event_type")),
+
+    // One-way ANOVA F across the 5 event types — the parametric
+    // sibling of q_kruskal on the same cells: exact cents
+    // sums-of-squares (milli-truncated per group, the chi2 pattern),
+    // DECIMAL(38,0) intermediates, signed-div F. Fully oracled.
+    "q_anova" -> ((s, dir) =>
+      graft.operators.Eval.anovaF(
         t(s, dir, "events"), "value", "event_type")),
 
     // Kendall tau-b over the daily (activity count, revenue cents)
@@ -7275,7 +7322,8 @@ object SparkEntry {
     "q_forget" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS year,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS total_cents
         |FROM orders
         |WHERE o_orderkey % 7 <> 0 AND year(o_orderdate) <> 1995
         |GROUP BY 1 ORDER BY year""".stripMargin,
@@ -8758,7 +8806,8 @@ object SparkEntry {
         |      FROM cells JOIN ranks USING (v) GROUP BY 1),
         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
         |        CAST(sum(CAST(CAST(r2 AS HUGEINT) * r2 * 12000000
-        |          // (4 * ng * b.n * (b.n + 1)) AS BIGINT)) AS BIGINT)
+        |          // (CAST(4 AS HUGEINT) * ng * b.n * (b.n + 1))
+        |          AS BIGINT)) AS BIGINT)
         |          AS s
         |      FROM grp, b),
         |f AS (SELECT b.n, agg.n_groups, b.ties,
@@ -8770,6 +8819,37 @@ object SparkEntry {
         |    CAST(sign(h_micro) AS BIGINT) *
         |    CAST(abs(CAST(h_micro AS HUGEINT)) * (n*n*n - n)
         |      // (n*n*n - n - ties) AS BIGINT) END AS h_adj_micro
+        |FROM f""".stripMargin,
+
+    // exact cents sums-of-squares: per-group S²·1000 // n_g truncated
+    // then summed (the chi2 pattern), HUGEINT intermediates, signed-div
+    // F in micro — token-identical to the operator
+    "q_anova" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |        event_type AS g FROM events),
+        |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |        CAST(sum(c) AS BIGINT) AS s,
+        |        CAST(sum(c * c) AS BIGINT) AS q,
+        |        CAST(CAST(sum(c) AS HUGEINT) * sum(c) * 1000
+        |          // count(*) AS BIGINT) AS a
+        |      FROM c GROUP BY 1),
+        |agg AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_groups,
+        |        CAST(sum(s) AS BIGINT) AS st,
+        |        CAST(sum(q) AS BIGINT) AS qt,
+        |        CAST(sum(a) AS BIGINT) AS at FROM cells),
+        |f AS (SELECT n, n_groups,
+        |        at - CAST(CAST(st AS HUGEINT) * st * 1000 // n AS BIGINT)
+        |          AS ssb_milli,
+        |        CAST(CAST(qt AS HUGEINT) * 1000 - at AS BIGINT)
+        |          AS ssw_milli
+        |      FROM agg)
+        |SELECT n, n_groups, ssb_milli, ssw_milli,
+        |  CASE WHEN n_groups >= 2 AND n > n_groups AND ssw_milli > 0 THEN
+        |    CAST(sign(ssb_milli) AS BIGINT) *
+        |    CAST(abs(CAST(ssb_milli AS HUGEINT)) * (n - n_groups) * 1000000
+        |      // (CAST(ssw_milli AS HUGEINT) * (n_groups - 1)) AS BIGINT)
+        |  END AS f_micro
         |FROM f""".stripMargin,
 
     "q_mwu" ->
@@ -11662,6 +11742,79 @@ object SparkEntry {
         |       CASE WHEN s.m >= 3 THEN s.mn ELSE b.k END AS label
         |FROM b JOIN s ON b.blk = s.blk ORDER BY node""".stripMargin,
 
+    // per-community sign-routed micro division over HUGEINT, global Q
+    // = truncate-then-sum (the chi2 pattern); helper UNIONs stay
+    // inside subqueries (the DuckDB recursive-CTE trap)
+    "q_modularity" ->
+      """WITH n AS (SELECT o_orderkey AS k, o_orderkey // 5 AS blk
+        |           FROM orders),
+        |ce AS (SELECT l.k AS s, r.k AS d FROM n l JOIN n r
+        |       ON l.blk = r.blk AND l.k < r.k),
+        |mins AS (SELECT blk, min(k) AS mk FROM n GROUP BY 1),
+        |be AS (SELECT x.mk AS s, y.mk AS d FROM mins x JOIN mins y
+        |       ON y.blk = x.blk + 1 AND x.blk % 7 = 0),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |      FROM (SELECT s, d FROM ce UNION ALL SELECT s, d FROM be)
+        |      WHERE s <> d),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |nd AS (SELECT DISTINCT id
+        |       FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1),
+        |lab AS (SELECT nd.id, coalesce(n.blk, nd.id) AS lbl
+        |        FROM nd LEFT JOIN n ON n.k = nd.id),
+        |dsum AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+        |           CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS d_c
+        |         FROM lab LEFT JOIN deg ON deg.id = lab.id GROUP BY 1),
+        |ein AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_in
+        |        FROM e JOIN lab la ON la.id = e.a
+        |               JOIN lab lb ON lb.id = e.b
+        |        WHERE la.lbl = lb.lbl GROUP BY 1),
+        |per AS (SELECT dsum.lbl AS label, dsum.n_nodes,
+        |          CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+        |          dsum.d_c,
+        |          CAST(sign(CAST(4 AS HUGEINT) * m.m * coalesce(ein.e_in, 0)
+        |              - CAST(dsum.d_c AS HUGEINT) * dsum.d_c) AS BIGINT) *
+        |          CAST(abs(CAST(4 AS HUGEINT) * m.m * coalesce(ein.e_in, 0)
+        |              - CAST(dsum.d_c AS HUGEINT) * dsum.d_c) * 1000000
+        |            // (CAST(4 AS HUGEINT) * m.m * m.m) AS BIGINT)
+        |            AS dq_micro
+        |        FROM dsum LEFT JOIN ein ON ein.lbl = dsum.lbl, m),
+        |tot AS (SELECT CAST(sum(dq_micro) AS BIGINT) AS q_micro FROM per)
+        |SELECT label, n_nodes, e_in, d_c, dq_micro, q_micro
+        |FROM per, tot ORDER BY label""".stripMargin,
+
+    // the teleport-free power iteration unrolled twice: x0 = 1/n,
+    // raw = neighbor sum, L1 normalizer with the zero-sum guard —
+    // token-identical to the operator's round
+    "q_eigen" ->
+      """WITH f AS (SELECT DISTINCT l_partkey % 100 AS a,
+        |                           l_suppkey % 100 AS b FROM lineitem),
+        |e AS (SELECT DISTINCT a, b
+        |      FROM (SELECT a, b FROM f WHERE a <> b
+        |            UNION ALL SELECT b, a FROM f WHERE a <> b)),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r1r AS (SELECT e.b AS id, sum(1e0 / nn.n) AS raw
+        |        FROM e CROSS JOIN nn GROUP BY e.b),
+        |s1 AS (SELECT sum(raw) AS s FROM r1r),
+        |x1 AS (SELECT nodes.id,
+        |         CASE WHEN s1.s > 0
+        |              THEN coalesce(r1r.raw, 0e0) / s1.s
+        |              ELSE 0e0 END AS score
+        |       FROM nodes CROSS JOIN s1 LEFT JOIN r1r ON r1r.id = nodes.id),
+        |r2r AS (SELECT e.b AS id, sum(x1.score) AS raw
+        |        FROM e JOIN x1 ON x1.id = e.a GROUP BY e.b),
+        |s2 AS (SELECT sum(raw) AS s FROM r2r),
+        |x2 AS (SELECT nodes.id,
+        |         CASE WHEN s2.s > 0
+        |              THEN coalesce(r2r.raw, 0e0) / s2.s
+        |              ELSE 0e0 END AS score
+        |       FROM nodes CROSS JOIN s2 LEFT JOIN r2r ON r2r.id = nodes.id)
+        |SELECT id, CAST(floor(score * 1e7 + 0.5) AS BIGINT) AS score_micro
+        |FROM x2 ORDER BY id""".stripMargin,
+
     "q_cc_labels" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
@@ -13097,10 +13250,14 @@ object SparkEntry {
 
     // full replay: the q_item_sim model on the train slice, then the
     // basket-pair hit counting on the test slice
+    // ki0/ok replay the train-side maxBasketSize=10000 cap; the test
+    // side caps in `multi` (2 <= basket <= 10000) — mirrors recsHitRate
     "q_rec_eval" ->
-      """WITH ki AS (SELECT DISTINCT l_orderkey AS k,
+      """WITH ki0 AS (SELECT DISTINCT l_orderkey AS k,
         |    l_partkey % 200 AS i FROM lineitem
         |  WHERE year(l_shipdate) <= 1996),
+        |ok AS (SELECT k FROM ki0 GROUP BY 1 HAVING count(*) <= 10000),
+        |ki AS (SELECT ki0.k, ki0.i FROM ki0 JOIN ok USING (k)),
         |n AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
         |      FROM ki GROUP BY 1),
         |p AS (SELECT a.i AS ia, b.i AS ib,
@@ -13122,7 +13279,8 @@ object SparkEntry {
         |model AS (SELECT item, nbr FROM r WHERE rk <= 5),
         |tb AS (SELECT DISTINCT l_orderkey AS k, l_partkey % 200 AS i
         |       FROM lineitem WHERE year(l_shipdate) = 1997),
-        |multi AS (SELECT k FROM tb GROUP BY k HAVING count(*) >= 2),
+        |multi AS (SELECT k FROM tb GROUP BY k
+        |          HAVING count(*) >= 2 AND count(*) <= 10000),
         |evals AS (SELECT tb.k, tb.i FROM tb JOIN multi USING (k)),
         |pr AS (SELECT a.k, a.i AS item, b.i AS nbr
         |       FROM evals a JOIN tb b ON a.k = b.k AND a.i <> b.i),
@@ -14178,9 +14336,15 @@ object SparkEntry {
 
     // co-purchase cosine replay; the ONE micro-floored sqrt mirrored
     // token-identically, rank over the quantized BIGINT triple
+    // ki0/ok replay the maxBasketSize=10000 pair-explosion cap (baskets
+    // above the cap are dropped from the model on the Spark side too —
+    // non-binding on this fixture, but both engines must drop the same
+    // keys if the harness ever grows a pathological basket)
     "q_item_sim" ->
-      """WITH ki AS (SELECT DISTINCT l_orderkey AS k,
+      """WITH ki0 AS (SELECT DISTINCT l_orderkey AS k,
         |    l_partkey % 200 AS i FROM lineitem),
+        |ok AS (SELECT k FROM ki0 GROUP BY 1 HAVING count(*) <= 10000),
+        |ki AS (SELECT ki0.k, ki0.i FROM ki0 JOIN ok USING (k)),
         |n AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
         |      FROM ki GROUP BY 1),
         |p AS (SELECT a.i AS ia, b.i AS ib,

@@ -577,7 +577,12 @@ object Eval {
     * Scale: one partial agg to (value, group) cells, the strictly-below
     * cumulative is the [[aucExact]] banded ECDF over the distinct-value
     * table — no global window, no pair enumeration; groups are
-    * config-scale. Overflow-safe while N < ~3e9 (r2² < 10^38). Judged
+    * config-scale. The per-term divisor 4·n_g·N·(N+1) rides
+    * DECIMAL(38,0) (would ANSI-overflow BIGINT past N ≈ 1.3e6 with a
+    * dominant group); remaining BIGINT bounds: the tie correction's
+    * N³−N caps N < ~2e6 and Σ(t³−t) caps any single value's
+    * multiplicity < ~2e6 — past that, quantize coarser first. The
+    * r2² numerator is safe while N < ~3e9 (r2² < 10^38). Judged
     * `q_kruskal`, fully ORACLED; the 2-group H = z² consistency check,
     * a hand 3-group case, separation extremes and the all-tied fence
     * pinned in EvalSpec. */
@@ -615,7 +620,8 @@ object Eval {
       .agg(max(col("n")).as("n"), count(lit(1)).as("n_groups"),
         max(col("__ties")).as("__t"),
         sum(expr("""cast((cast(__r2 as decimal(38,0)) * __r2 * 12000000)
-          div (4 * __ng * n * (n + 1)) as bigint)""")).as("__s"))
+          div (cast(4 as decimal(38,0)) * __ng * n * (n + 1)) as bigint)"""))
+          .as("__s"))
       .withColumn("h_micro",
         when(col("n") >= 2 && col("n_groups") >= 2,
           expr("__s - 3 * (n + 1) * 1000000")))
@@ -626,6 +632,60 @@ object Eval {
             cast((abs(cast(h_micro as decimal(38,0))) * (n * n * n - n))
               div (n * n * n - n - __t) as bigint)"""))
           .as("h_adj_micro"))
+  }
+
+  /** One-way ANOVA F — the PARAMETRIC sibling of [[kruskalWallis]] on
+    * the same (value, group) cells: does any group MEAN differ, decided
+    * on variances — `F = (SSB/(k−1)) / (SSW/(N−k))` with
+    * `SSB = Σ_g S_g²/n_g − S²/N` and `SSW = Σ_g Q_g − Σ_g S_g²/n_g`
+    * (the sums-of-squares identity — no mean subtraction, so every
+    * term is exact integer arithmetic over cents: `c = ⌊100v+0.5⌋`,
+    * `S_g = Σc`, `Q_g = Σc²`).
+    *
+    * Judged-double discipline: each group's `S_g²·1000 div n_g` is
+    * milli-truncated THEN summed (the chi2 pattern), numerators ride
+    * DECIMAL(38,0) (the q_gini rule), and
+    * `f_micro = sign(ssb)·(|ssb|·(N−k)·10⁶ div (ssw·(k−1)))` routes the
+    * signed div rule (truncation can push a null-effect SSB a hair
+    * negative). F is NULL when k < 2, N ≤ k, or SSW ≤ 0 (all groups
+    * internally constant — F is infinite, not a number).
+    *
+    * Scale: ONE partial aggregate to config-scale group cells, then
+    * 1-row arithmetic — no window, no pair join, corpus scanned once.
+    * Overflow bounds: Q_g = Σc² caps rows·max-cents² < 10^18
+    * (~10^8 rows at 56k-cent values — document per corpus); S_g² and
+    * all downstream products ride DECIMAL(38,0). Judged `q_anova`,
+    * fully ORACLED; the 2-group F = t² (pooled) consistency check,
+    * hand 3-group values, the SSW = 0 fence and the k = 1 fence pinned
+    * in EvalSpec. */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val cells = df
+      .select(floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("c"),
+        col(groupCol).cast("string").as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("__ng"), sum(col("c")).as("__s"),
+        sum(expr("c * c")).as("__q"))
+      .withColumn("__a", expr(
+        """cast((cast(__s as decimal(38,0)) * __s * 1000) div __ng
+           as bigint)"""))
+    cells
+      .agg(sum(col("__ng")).as("n"), count(lit(1)).as("n_groups"),
+        sum(col("__s")).as("__st"), sum(col("__q")).as("__qt"),
+        sum(col("__a")).as("__at"))
+      .withColumn("ssb_milli", expr(
+        """__at - cast((cast(__st as decimal(38,0)) * __st * 1000) div n
+           as bigint)"""))
+      .withColumn("ssw_milli", expr(
+        "cast(cast(__qt as decimal(38,0)) * 1000 - __at as bigint)"))
+      .select(col("n"), col("n_groups"), col("ssb_milli"), col("ssw_milli"),
+        when(col("n_groups") >= 2 && col("n") > col("n_groups") &&
+            col("ssw_milli") > 0,
+          expr("""cast(sign(ssb_milli) as bigint) *
+            cast((abs(cast(ssb_milli as decimal(38,0))) * (n - n_groups)
+              * 1000000)
+              div (cast(ssw_milli as decimal(38,0)) * (n_groups - 1))
+              as bigint)"""))
+          .as("f_micro"))
   }
 
   /** Kendall tau-b — the concordant-pair rank correlation next to

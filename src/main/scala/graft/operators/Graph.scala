@@ -578,6 +578,133 @@ object Graph {
     labels.select(col("id"), col("lbl").as("label"))
   }
 
+  /** Newman modularity of a labeled partition (Newman & Girvan 2004;
+    * Newman 2004 — public): the standard quality score for community
+    * assignments — `Q = Σ_c [e_c/m − (d_c/2m)²]`, the within-community
+    * edge fraction minus what a degree-preserving random rewiring would
+    * put there. This is the missing JUDGE for the graph family's own
+    * outputs: [[labelPropagation]] and [[Dedup.connectedComponents]]
+    * produce labelings, and nothing measured their quality until now.
+    *
+    * Exact-integer discipline: per community
+    * `dq_micro = sign(num)·(|num|·10⁶ div 4m²)` with
+    * `num = 4m·e_c − d_c²` — numerator and divisor ride DECIMAL(38,0)
+    * (4m·e_c and d_c² both hit 4m², BIGINT-overflow past m ≈ 1.5e9;
+    * the q_gini rule), signed because a community wired mostly outward
+    * goes negative (the signed div rule — Spark `div` truncates, DuckDB
+    * `//` floors, identical only via sign·abs). The global score is the
+    * SUM of the per-community micro-truncated terms (truncate-then-sum,
+    * the chi2 pattern — a defined contract both engines replay
+    * token-identically), repeated on every row as `q_micro`.
+    *
+    * Semantics: the graph canonicalizes to UNDIRECTED DISTINCT edges
+    * (a<b, self-loops dropped — a self-loop is neither a within- nor a
+    * cross-community edge under the e_c/m decomposition used here);
+    * nodes are those incident to an edge; a node missing from `labels`
+    * falls back to its own id as a singleton community (the
+    * LPA/CC coalesce convention). Σ_c d_c = 2m by construction.
+    *
+    * Scale: one distinct-edge canonicalization, a node-scale degree
+    * aggregate, two label joins on bare longs, and community-scale
+    * output — no windows, no pair enumeration; m enters as a broadcast
+    * 1-row aggregate. Judged `q_modularity` (mod-5 order-key cliques
+    * with every-7th-block bridges, labels = the block id — closed-form
+    * arithmetic on both sides), fully ORACLED; hand two-triangle-bridge
+    * values, the trivial-partition Q = 0 identity, negative singleton
+    * terms and the unlabeled-node fallback pinned in GraphSpec. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val canon = graft.engine.Caches.persisted(
+      edges.select(
+          least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+          greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    val lbl = labels.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    val nodes = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id"))).distinct()
+    val labeled = graft.engine.Caches.persisted(
+      nodes.join(lbl, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl")))
+    val m = broadcast(canon.agg(count(lit(1)).as("__m")))
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__d"))
+    val dSum = labeled.join(deg, Seq("id"), "left")
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__d"), lit(0L))).as("d_c"))
+    val eIn = canon
+      .join(labeled.select(col("id").as("a"), col("lbl").as("__la")), "a")
+      .join(labeled.select(col("id").as("b"), col("lbl").as("__lb")), "b")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("lbl")).agg(count(lit(1)).as("e_in"))
+    val per = dSum.join(eIn, Seq("lbl"), "left")
+      .crossJoin(m)
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .withColumn("__num", expr(
+        """cast(4 as decimal(38,0)) * __m * e_in -
+           cast(d_c as decimal(38,0)) * d_c"""))
+      .select(col("lbl").as("label"), col("n_nodes"), col("e_in"),
+        col("d_c"),
+        expr("""cast(sign(__num) as bigint) *
+          cast((abs(__num) * 1000000)
+            div (cast(4 as decimal(38,0)) * __m * __m) as bigint)""")
+          .as("dq_micro"))
+    per.crossJoin(broadcast(per.agg(sum(col("dq_micro")).as("q_micro"))))
+  }
+
+  /** Eigenvector centrality by fixed-round power iteration (Bonacich
+    * 1987 — public): the principal-eigenvector score `x ∝ A·x` that
+    * completes the centrality family (degree / [[pageRank]] /
+    * [[personalizedPageRank]] / [[hits]] / [[coreness]]) — PageRank
+    * minus the teleport: influence flows along edges undamped, so a
+    * node is central when its NEIGHBORS are central, with no floor for
+    * isolated regions. Each round multiplies by the adjacency matrix
+    * and L1-normalizes (scores sum to 1 — unnormalized iteration
+    * diverges at the spectral-radius rate); fixed rounds for
+    * oracle-expressibility, exactly the PR-family rationale. The graph
+    * canonicalizes to undirected distinct edges, self-loops dropped.
+    * Caveat inherited from the mathematics: on a BIPARTITE graph the
+    * power iteration oscillates between the two classes rather than
+    * converging (pinned in GraphSpec) — callers on bipartite-ish
+    * graphs want [[hits]], which models the two roles explicitly.
+    *
+    * Scale: the [[pageRank]] economics exactly — each round is one
+    * (long, double) hash join + partial-agg sum plus a broadcast 1-row
+    * normalizer, `barrierCut` per round. Judged `q_eigen` (the
+    * part→supplier graph, 2 rounds, micro-quantized scores — the
+    * q_hits float-sort-key rule), fully ORACLED via the unrolled
+    * recurrence; triangle-with-pendant hand values, 4-clique
+    * uniformity, L1 invariant and bipartite oscillation pinned in
+    * GraphSpec. */
+  def eigenvectorCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val fwd = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = graft.engine.Caches.persisted(
+      fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val nodes = und.select(col("a").as("id")).distinct().barrierCut
+    val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    var x = nodes.crossJoin(n)
+      .select(col("id"), (lit(1.0) / col("__n")).as("score")).barrierCut
+    for (_ <- 1 to iterations) {
+      val raw = und.join(x.select(col("id").as("a"), col("score")), "a")
+        .groupBy(col("b").as("id")).agg(sum(col("score")).as("raw"))
+      val s = broadcast(raw.agg(sum(col("raw")).as("__s")))
+      x = nodes.join(raw, Seq("id"), "left").crossJoin(s)
+        .select(col("id"),
+          when(col("__s") > 0,
+            coalesce(col("raw"), lit(0.0)) / col("__s"))
+            .otherwise(lit(0.0)).as("score"))
+        .barrierCut
+    }
+    x
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999 — public): the
     * OTHER classic link-analysis recurrence — an authority is pointed
     * at by good hubs, a hub points at good authorities:

@@ -443,7 +443,11 @@ object Sampling {
     * Scale: scan-stage scoring + TakeOrdered(k) — no shuffle, no
     * window. The importance-sampling workhorse for training-data
     * selection when [[sample]]'s uniform draw under-serves heavy
-    * documents. Judged `q_weighted_sample` (orders by total-price
+    * documents. Key domain inherits [[fibHash]]'s contract: `key`
+    * must be a NON-NEGATIVE integer < ~3.4e9 (key·2654435769 must fit
+    * int64 under ANSI) — callers with large or hashed keys pre-bucket
+    * via `pmod(xxhash64(...), BUCKETS)` first, exactly like
+    * [[sample]]'s keyHash. Judged `q_weighted_sample` (orders by total-price
     * cents, k = 100), fully ORACLED; proportional-draw bias on a
     * two-weight population, determinism under reshuffle, k ≥ n
     * passthrough and the zero-weight exclusion pinned in

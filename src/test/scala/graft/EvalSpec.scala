@@ -769,4 +769,33 @@ class EvalSpec extends SparkTestBase {
     assert(empty.length === 1 && empty.head.getString(0) === "TOTAL")
     assert(empty.head.isNullAt(1) && empty.head.isNullAt(6))
   }
+
+  test("anovaF: hand 2-group values, F = pooled-t² consistency, " +
+      "SSW = 0 and k = 1 fences") {
+    // A = {1, 2, 3}, B = {2, 4} dollars → cents S_A=600 S_B=600:
+    // SSB = 120000+180000−288000 = 12000 cents², SSW = 340000−300000
+    // = 40000 cents², F = (12000/1)/(40000/3) = 0.9 — and the pooled
+    // two-sample t on the same data squares to exactly 0.9
+    val two = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0),
+      ("b", 4.0)).toDF("g", "v")
+    val r = Eval.anovaF(two, "v", "g").collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 12000000L) // ssb_milli
+    assert(r.getLong(3) === 40000000L) // ssw_milli
+    assert(r.getLong(4) === 900000L)   // f_micro = 0.9e6 = t²
+    // pooled t by hand: diff = -1.0, sp² = SSW/(N-2) cents² = 40000/3,
+    // t² = 10000 / (sp²·(1/3+1/2)) = 0.9
+    val t2 = 10000.0 / ((40000.0 / 3) * (1.0 / 3 + 1.0 / 2))
+    assert(math.abs(t2 - r.getLong(4) / 1e6) < 1e-9)
+    // internally-constant groups with different means: SSW = 0 →
+    // F is infinite, reported NULL; SSB stays positive
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val f0 = Eval.anovaF(flat, "v", "g").collect().head
+    assert(f0.getLong(3) === 0L && f0.isNullAt(4))
+    assert(f0.getLong(2) === 10000000L) // SSB = 10000 cents²
+    // a single group has no between-variance to test
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Eval.anovaF(one, "v", "g").collect().head.isNullAt(4))
+  }
 }

@@ -551,4 +551,82 @@ class GraphSpec extends SparkTestBase {
     assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
     graft.engine.Caches.releaseAll()
   }
+
+  test("modularity: two-triangle bridge hand values, trivial partition " +
+      "zero, negative singletons, unlabeled fallback") {
+    import spark.implicits._
+    // two triangles {0,1,2} and {3,4,5} joined by the bridge 2-3:
+    // m = 7, per-triangle e_c = 3, d_c = 7, num = 4·7·3 − 49 = 35,
+    // dq_micro = 35e6 div 196 = 178571 each, Q_micro = 357142 (5/14)
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L)).toDF("s", "d")
+    val two = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
+      (5L, 20L)).toDF("id", "lbl")
+    val got = Graph.modularity(edges, "s", "d", two, "id", "lbl")
+      .orderBy("label").collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") === 3L)
+      assert(r.getAs[Long]("e_in") === 3L)
+      assert(r.getAs[Long]("d_c") === 7L)
+      assert(r.getAs[Long]("dq_micro") === 178571L)
+      assert(r.getAs[Long]("q_micro") === 357142L)
+    }
+    // the trivial one-community partition scores EXACTLY zero
+    // (e = m and d = 2m cancel)
+    val one = (0L to 5L).map(i => (i, 99L)).toDF("id", "lbl")
+    val flat = Graph.modularity(edges, "s", "d", one, "id", "lbl").collect()
+    assert(flat.length === 1 && flat(0).getAs[Long]("q_micro") === 0L)
+    // all-singleton partition: every term is −d²·1e6 div 196
+    val solo = (0L to 5L).map(i => (i, i)).toDF("id", "lbl")
+    val neg = Graph.modularity(edges, "s", "d", solo, "id", "lbl")
+      .collect().map(r => r.getAs[Long]("label") -> r.getAs[Long]("dq_micro"))
+      .toMap
+    assert(neg(0L) === -20408L && neg(2L) === -45918L)
+    // a node missing from labels falls back to its own id
+    val part = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("id", "lbl")
+    val fb = Graph.modularity(edges, "s", "d", part, "id", "lbl")
+      .collect().map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("e_in"),
+          r.getAs[Long]("d_c"))).toMap
+    assert(fb(5L) === ((1L, 0L, 2L)))
+    assert(fb(20L) === ((2L, 1L, 5L)))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("eigenvectorCentrality: clique uniform, triangle-pendant hand " +
+      "values, L1 invariant, bipartite oscillation") {
+    import spark.implicits._
+    // 4-clique: full symmetry — every round stays uniform 0.25
+    val k4 = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j))
+      .toDF("s", "d")
+    Graph.eigenvectorCentrality(k4, "s", "d", 3)
+      .as[(Long, Double)].collect()
+      .foreach { case (_, x) => assert(math.abs(x - 0.25) < 1e-12) }
+    // triangle {0,1,2} with pendant 3 on node 0: exact rationals —
+    // x1 = (3,2,2,1)/8, x2 = (5,5,5,3)/18, x3 = (13,10,10,5)/38
+    val tp = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val x3 = Graph.eigenvectorCentrality(tp, "s", "d", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(x3(0L) - 13.0 / 38) < 1e-12)
+    assert(math.abs(x3(1L) - 10.0 / 38) < 1e-12)
+    assert(math.abs(x3(2L) - 10.0 / 38) < 1e-12)
+    assert(math.abs(x3(3L) - 5.0 / 38) < 1e-12)
+    assert(math.abs(x3.values.sum - 1.0) < 1e-12) // L1 invariant
+    // bipartite star: the iteration OSCILLATES with period 2 (the
+    // documented caveat) — odd depths peak the center, even depths
+    // return to uniform
+    val star = (1L to 4L).map(l => (0L, l)).toDF("s", "d")
+    val s1 = Graph.eigenvectorCentrality(star, "s", "d", 1)
+      .as[(Long, Double)].collect().toMap
+    val s2 = Graph.eigenvectorCentrality(star, "s", "d", 2)
+      .as[(Long, Double)].collect().toMap
+    val s3 = Graph.eigenvectorCentrality(star, "s", "d", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(s1(0L) - 0.5) < 1e-12 && math.abs(s1(1L) - 0.125) < 1e-12)
+    s2.values.foreach(x => assert(math.abs(x - 0.2) < 1e-12))
+    assert(math.abs(s3(0L) - 0.5) < 1e-12)
+    graft.engine.Caches.releaseAll()
+  }
 }
