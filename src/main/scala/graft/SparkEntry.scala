@@ -1244,6 +1244,40 @@ object SparkEntry {
           lit(allA.size).as("dirs_total_after"))
     }),
 
+    // Z-order OPTIMIZE at the format layer (q_table_cluster's 2-D
+    // sibling): residue-scattered appends span BOTH key ranges in
+    // every dir (4/4 read for any box probe); the Morton rank-bucket
+    // rewrite gives each dir a small axis-aligned box and the same
+    // probe keeps only overlapping buckets — the 2-D skip rate
+    // recomputed by the oracle via a bit-exact SQL Morton interleave
+    // + rank arithmetic. Fully oracled.
+    "q_table_zorder" -> ((s, dir) => {
+      val root = tmpPath("vtable_zorder")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      VersionedTable.create(s, root,
+        orders.filter(col("o_orderkey") % 4 === 0))
+      (1 to 3).foreach(r => VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") % 4 === r)))
+      val (keptB, allB) = VersionedTable.pruneDirsBox(s, root,
+        "o_orderkey", 1000L, 8000L, "o_custkey", 40L, 120L)
+      VersionedTable.optimizeZOrder(s, root, "o_orderkey", "o_custkey",
+        8, "o_orderkey")
+      val (keptA, allA) = VersionedTable.pruneDirsBox(s, root,
+        "o_orderkey", 1000L, 8000L, "o_custkey", 40L, 120L)
+      VersionedTable.readWhereBox(s, root,
+        "o_orderkey", 1000L, 8000L, "o_custkey", 40L, 120L)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_custkey")).as("cust_sum"))
+        .select(col("n"), col("key_sum"), col("cust_sum"),
+          lit(keptB.size).as("dirs_read_before"),
+          lit(allB.size).as("dirs_total_before"),
+          lit(keptA.size).as("dirs_read_after"),
+          lit(allA.size).as("dirs_total_after"))
+    }),
+
     // Deep CLONE: byte-for-byte snapshot materialization (latest and
     // VERSION AS OF 1), fresh one-commit history, MoR tombstones carried,
     // post-clone appends isolated both ways — every aggregate and dir
@@ -7182,6 +7216,42 @@ object SparkEntry {
         |    AS dirs_total_before,
         |  (SELECT CAST(count(*) AS INTEGER) FROM ad
         |   WHERE mn <= 8000 AND mx >= 1000) AS dirs_read_after,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM ad) AS dirs_total_after
+        |FROM sel""".stripMargin,
+
+    // the bit-exact SQL Morton (a in even bits, b in odd — property-
+    // tested against the kernel), exact rank buckets over (z, key),
+    // per-bucket 2-D boxes vs the probe box on both sides
+    "q_table_zorder" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |bd AS (SELECT k % 4 AS r, min(k) AS mnk, max(k) AS mxk,
+        |              min(c) AS mnc, max(c) AS mxc FROM o GROUP BY 1),
+        |zz AS (SELECT k, c,
+        |         CAST(list_sum(list_transform(generate_series(0, 31),
+        |           i -> (((k >> i) & 1) << (2*i))
+        |              + (((c >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+        |       FROM o),
+        |rk AS (SELECT k, c, row_number() OVER (ORDER BY z, k) AS rnk
+        |       FROM zz),
+        |bk AS (SELECT (rnk - 1) * 8 // (SELECT n FROM nn) AS b, k, c
+        |       FROM rk),
+        |ad AS (SELECT b, min(k) AS mnk, max(k) AS mxk,
+        |              min(c) AS mnc, max(c) AS mxc FROM bk GROUP BY 1),
+        |sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(k) AS BIGINT) AS key_sum,
+        |               CAST(sum(c) AS BIGINT) AS cust_sum
+        |        FROM o WHERE k BETWEEN 1000 AND 8000
+        |          AND c BETWEEN 40 AND 120)
+        |SELECT sel.n, sel.key_sum, sel.cust_sum,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM bd
+        |   WHERE mnk <= 8000 AND mxk >= 1000
+        |     AND mnc <= 120 AND mxc >= 40) AS dirs_read_before,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM bd)
+        |    AS dirs_total_before,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM ad
+        |   WHERE mnk <= 8000 AND mxk >= 1000
+        |     AND mnc <= 120 AND mxc >= 40) AS dirs_read_after,
         |  (SELECT CAST(count(*) AS INTEGER) FROM ad) AS dirs_total_after
         |FROM sel""".stripMargin,
 

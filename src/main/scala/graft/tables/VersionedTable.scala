@@ -1261,6 +1261,124 @@ object VersionedTable {
       deleteDirs = liveTombs(tombs, dirs)))
   }
 
+  /** OPTIMIZE ... ZORDER BY (a, b) — [[optimizeClustered]]'s
+    * TWO-dimensional sibling at the format layer (Delta `OPTIMIZE
+    * ZORDER BY`): every live row lands in one of `k` rank-disjoint
+    * directories split by EXACT equal-count rank buckets over the
+    * Morton interleave `graft_zorder2(a, b)` (the
+    * [[graft.operators.Relational.writeZOrdered]] kernel — low 32 bits
+    * of each dimension, a in even bits, b in odd), so each directory's
+    * `_stats` sidecar bounds a small axis-aligned BOX in BOTH columns
+    * at once and [[pruneDirsBox]] skips directories for 2-D box
+    * predicates — the layout a single-column clustered rewrite cannot
+    * give (sorting by `a` leaves `b` spanning its full range in every
+    * directory). The z value is layout, not data: it never lands in
+    * the rewrite. Outstanding MOR tombstones fold in; empty buckets
+    * (n < k) are simply not written.
+    *
+    * Contract inherited from the kernel: both columns must encode as
+    * NON-NEGATIVE longs no wider than 32 bits (higher bits mask off —
+    * pre-encode wider domains to ranks/ordinals first).
+    *
+    * Scale: identical plan economics to [[optimizeClustered]] — banded
+    * global rank (no single-partition window), the ranked frame
+    * persists once, k config-scale bucket writes. Judged
+    * `q_table_zorder` with the 2-D skip RATE itself oracled (bucket
+    * boxes recomputed by rank arithmetic over a bit-exact SQL Morton);
+    * box locality vs the 1-D rewrite, tomb folding and the n < k edge
+    * pinned in VersionedTableSpec. */
+  def optimizeZOrder(spark: SparkSession, root: String,
+      colA: String, colB: String, k: Int, tieCol: String,
+      bands: Int = 32): Manifest = {
+    require(k >= 2 && k <= 256, s"k must be in 2..256: $k")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    val v = base.version + 1
+    val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
+      base.partitionCols.nonEmpty).schema
+    val tombs = tombScopes(fs, rootP, base)
+    def dirTombs(d: String): Seq[String] =
+      tombs.filter(_._2.contains(d)).map(_._1)
+    val resolvedAll = base.dataDirs.map(d => applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)))
+      .reduce(_.unionByName(_))
+      .withColumn("__z", call_function("graft_zorder2",
+        col(colA).cast("long"), col(colB).cast("long")))
+    val W = org.apache.spark.sql.expressions.Window
+    val bounds = broadcast(resolvedAll.agg(
+      min(col("__z")).as("__lo"), max(col("__z")).as("__hi"),
+      count(lit(1)).as("__n")))
+    val banded = resolvedAll.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("__z"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(
+        W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__band"), col("__off"))
+    val wB = W.partitionBy(col("__band")).orderBy(col("__z"), col(tieCol))
+    val ranked = graft.engine.Caches.persisted(
+      banded.join(broadcast(offsets), "__band")
+        .withColumn("__rank", col("__off") + row_number().over(wB))
+        .withColumn("__bucket", expr(s"(__rank - 1) * $k div __n")))
+    val present = ranked.select(col("__bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: ≤ k values
+    val fields = snap.fieldNames.map(col).toSeq
+    val dirs = present.map { b =>
+      writeDataDir(ranked.filter(col("__bucket") === b).select(fields: _*),
+        rootP, v, base.partitionCols)
+    }.toSeq
+    commit(fs, rootP, Manifest(v, "optimize-zorder", base.version, dirs,
+      partitionCols = base.partitionCols,
+      deleteDirs = liveTombs(tombs, dirs)))
+  }
+
+  /** Two-dimensional data-skipping probe — [[pruneDirs]] on a BOX:
+    * (directories that may hold a row with `colA` in [loA, hiA] AND
+    * `colB` in [loB, hiB], all directories). A directory survives only
+    * when BOTH per-column sidecar ranges overlap — the read-side
+    * complement of [[optimizeZOrder]] (each post-rewrite directory
+    * bounds a small box, so a box probe keeps few). Conservative
+    * exactly like pruneDirs: missing stats keep the directory. */
+  def pruneDirsBox(spark: SparkSession, root: String,
+      colA: String, loA: Any, hiA: Any,
+      colB: String, loB: Any, hiB: Any,
+      version: Int = 0): (Seq[String], Seq[String]) = {
+    val (keptA, all) = pruneDirs(spark, root, colA, loA, hiA, version)
+    val (keptB, _) = pruneDirs(spark, root, colB, loB, hiB, version)
+    val kb = keptB.toSet
+    (keptA.filter(kb), all)
+  }
+
+  /** Snapshot box read with 2-D directory skipping: scans only the
+    * [[pruneDirsBox]] survivors, then filters both BETWEENs within
+    * (pushed to parquet row-group stats as in [[readWhereBetween]]).
+    * LocalDateTime bounds instantize to UTC exactly like the 1-D
+    * read. */
+  def readWhereBox(spark: SparkSession, root: String,
+      colA: String, loA: Any, hiA: Any,
+      colB: String, loB: Any, hiB: Any,
+      version: Int = 0, mergeSchema: Boolean = false): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val v = if (version > 0) version else requireExists(spark, root)
+    val m = readManifest(fs, rootP, v)
+    val (kept, all) = pruneDirsBox(spark, root, colA, loA, hiA,
+      colB, loB, hiB, v)
+    val dirs = if (kept.nonEmpty) kept else all.take(1)
+    def instantized(x: Any): Any = x match {
+      case ldt: java.time.LocalDateTime =>
+        ldt.toInstant(java.time.ZoneOffset.UTC)
+      case other => other
+    }
+    val pred =
+      col(colA) >= lit(instantized(loA)) &&
+        col(colA) <= lit(instantized(hiA)) &&
+        col(colB) >= lit(instantized(loB)) &&
+        col(colB) <= lit(instantized(hiB))
+    resolvedRead(spark, fs, rootP, m.copy(dataDirs = dirs),
+      mergeSchema = mergeSchema || m.deleteDirs.nonEmpty).filter(pred)
+  }
+
   /** The data directories of snapshot `version` (latest when 0) — the
     * metadata surface that audits physical layout: carry-by-name across
     * selective OPTIMIZE, vacuum scope checks, dir-count assertions.

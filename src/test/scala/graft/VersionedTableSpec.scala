@@ -1469,6 +1469,75 @@ class VersionedTableSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("optimizeZOrder: aligned grid buckets are exact 8x8 boxes, 2-D skip " +
+      "beats 1-D, box read content, tomb folding, n < k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val root = freshRoot("zorder")
+    // dense 32x32 grid scattered by parity: both dirs span both ranges
+    val grid = (for (a <- 0L to 31L; b <- 0L to 31L) yield (a * 32 + b, a, b))
+      .toDF("id", "a", "b")
+    VersionedTable.create(spark, root, grid.filter(col("id") % 2 === 0))
+    VersionedTable.append(spark, root, grid.filter(col("id") % 2 === 1))
+    val (kb, ab) = VersionedTable.pruneDirsBox(spark, root,
+      "a", 0L, 7L, "b", 0L, 7L)
+    assert(ab.size === 2 && kb.size === 2, "scattered: nothing skips")
+    val m = VersionedTable.optimizeZOrder(spark, root, "a", "b", 16, "id")
+    assert(m.op === "optimize-zorder")
+    val dirs = VersionedTable.dataDirsOf(spark, root)
+    assert(dirs.size === 16)
+    // n = 1024 = 16·64 dense aligned cells: every rank bucket is a
+    // contiguous z range of 64 = one ALIGNED 8x8 box, exactly
+    dirs.foreach { d =>
+      val x = spark.read.parquet(s"$root/$d")
+        .agg(fmin(col("a")), fmax(col("a")), fmin(col("b")), fmax(col("b")),
+          org.apache.spark.sql.functions.count(col("id"))).head
+      assert(x.getLong(4) === 64L)
+      assert(x.getLong(0) % 8 === 0 && x.getLong(1) - x.getLong(0) === 7L)
+      assert(x.getLong(2) % 8 === 0 && x.getLong(3) - x.getLong(2) === 7L)
+    }
+    // the 8x8 probe box now reads exactly ONE directory; the same
+    // probe against a 1-D clustered rewrite of the same grid reads k/4
+    // (sorting by a leaves b spanning 0..31 in every bucket)
+    val (ka, aa) = VersionedTable.pruneDirsBox(spark, root,
+      "a", 0L, 7L, "b", 0L, 7L)
+    assert(aa.size === 16 && ka.size === 1)
+    val box = VersionedTable.readWhereBox(spark, root,
+      "a", 0L, 7L, "b", 0L, 7L)
+    assert(box.count() === 64L)
+    assert(box.agg(org.apache.spark.sql.functions.sum(col("id"))).head.getLong(0)
+      === (for (a <- 0L to 7L; b <- 0L to 7L) yield a * 32 + b).sum)
+    val root1d = freshRoot("zorder_1d")
+    VersionedTable.create(spark, root1d, grid)
+    VersionedTable.optimizeClustered(spark, root1d, "a", 16, "id")
+    val (k1, a1) = VersionedTable.pruneDirsBox(spark, root1d,
+      "a", 0L, 7L, "b", 0L, 7L)
+    assert(a1.size === 16 && k1.size === 4, "1-D layout cannot skip on b")
+    // tombstones fold into the rewrite: content identical, none carried
+    val root2 = freshRoot("zorder_mor")
+    VersionedTable.create(spark, root2, grid.filter(col("id") % 2 === 0))
+    VersionedTable.append(spark, root2, grid.filter(col("id") % 2 === 1))
+    VersionedTable.deleteKeysMor(spark, root2,
+      grid.filter(col("id") % 64 === 0).select("id"))
+    val want = VersionedTable.readLatest(spark, root2)
+    val wantN = want.count() // 1008
+    val m2 = VersionedTable.optimizeZOrder(spark, root2, "a", "b", 4, "id")
+    assert(m2.deleteDirs.isEmpty, "folded tombstones are not carried")
+    val got = VersionedTable.readLatest(spark, root2)
+    assert(got.count() === wantN)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // n < k writes only the non-empty rank buckets; k = 1 rejected
+    val root3 = freshRoot("zorder_small")
+    VersionedTable.create(spark, root3,
+      Seq((1L, 1L, 2L), (2L, 2L, 1L), (3L, 3L, 3L)).toDF("id", "a", "b"))
+    VersionedTable.optimizeZOrder(spark, root3, "a", "b", 8, "id")
+    assert(VersionedTable.dataDirsOf(spark, root3).size === 3)
+    assert(VersionedTable.readLatest(spark, root3).count() === 3)
+    intercept[IllegalArgumentException](
+      VersionedTable.optimizeZOrder(spark, root3, "a", "b", 1, "id"))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("cloneTable: snapshot equality, as-of, independence, constraints, fresh history") {
     import spark.implicits._
     val src = freshRoot("clone_src")
