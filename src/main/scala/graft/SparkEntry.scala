@@ -2968,6 +2968,31 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // C4-style blocklist gate (Raffel et al. 2020 §2.2): bad-word
+    // fraction + domain blocklist, both as config relations. Fixture
+    // injects BOTH violation kinds — every 11th doc gets two planted
+    // bad words (plus the natural corpus token 'slow' in the list, so
+    // the 20-milli threshold bites on real text too) and every doc
+    // whose site residue is 3 or 7 carries a blocked domain. The
+    // oracle replays the domain check through the same regex, not the
+    // fixture arithmetic. Fully oracled.
+    "q_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 11 === 0, lit(" badword1 badword2"))
+              .otherwise(lit(""))).as("text"),
+          concat(lit("https://site"), col("doc_id") % 97,
+            lit(".example.com/p/"), col("doc_id")).as("url"))
+      graft.operators.QualityFilters.blocklistReport(
+        docs, "doc_id", "text", "url",
+        Seq("slow", "BADWORD1", "badword2").toDF("w"),
+        Seq("site3.example.com", "SITE7.example.com").toDF("d"),
+        maxBadMilli = 20L)
+        .orderBy("doc_id")
+    }),
+
     // Gopher LINE-SHAPE rules (bullet starts / ellipsis ends / duplicate
     // lines) over the shared multi-line fixture (see multilineFixture —
     // the q_star_schema derive-from-harness trick). Fully oracled via
@@ -12036,6 +12061,35 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    // the domain flag replays the SAME url regex (not the residue
+    // arithmetic); token membership is case-folded; // floors ==
+    // Spark div truncation on the non-negative counts
+    "q_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+        |        text || CASE WHEN doc_id % 11 = 0
+        |          THEN ' badword1 badword2' ELSE '' END AS text,
+        |        'https://site' || (doc_id % 97) || '.example.com/p/'
+        |          || doc_id AS url
+        |      FROM documents),
+        |t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |      FROM d),
+        |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(count(CASE WHEN tok IN ('slow', 'badword1',
+        |          'badword2') THEN 1 END) AS BIGINT) AS bad_hits
+        |      FROM t GROUP BY 1),
+        |dom AS (SELECT doc_id, list_has_any(
+        |          regexp_extract_all(lower(url),
+        |            'https?://([a-z0-9.-]+)', 1),
+        |          ['site3.example.com', 'site7.example.com'])
+        |          AS domain_blocked
+        |        FROM d)
+        |SELECT w.doc_id, w.n_tokens, w.bad_hits,
+        |       bad_hits * 1000 // n_tokens AS bad_milli,
+        |       dom.domain_blocked,
+        |       (bad_hits * 1000 // n_tokens <= 20
+        |         AND NOT domain_blocked) AS pass
+        |FROM w JOIN dom USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_gopher_lines" ->
       (s"WITH d AS ($multilineFixtureSql),\n" +

@@ -113,4 +113,55 @@ object QualityFilters {
       lit(0.3) * abs(avgLen - lit(5.0))
     lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  /** C4-style blocklist curation gate (Raffel et al. 2020 §2.2 —
+    * public): the CONTENT-POLICY gate beside the SHAPE gates above —
+    * C4 drops any page containing a word from a bad-word list and any
+    * page from a blocked domain. Both lists are caller-supplied
+    * one-column CONFIG RELATIONS (zero egress — the published lists
+    * ship as fixture tables), compared case-insensitively. Per
+    * document the report carries `n_tokens`, `bad_hits` (tokens in the
+    * word list, with multiplicity), the exact-integer fraction
+    * `bad_milli = bad_hits·1000 div n_tokens`, `domain_blocked` (any
+    * [[TextOps.urlDomains]] hit of `urlCol` in the domain list) and
+    * `pass = bad_milli ≤ maxBadMilli AND NOT domain_blocked` —
+    * `maxBadMilli = 0` is C4's actual any-occurrence-drops rule; a
+    * small threshold keeps prose that merely QUOTES a listed word.
+    * Compose with [[gopherLite]] for the full curation stack (shape ∧
+    * content).
+    *
+    * Plan shape: the domain flag is scan-stage (`arrays_overlap`
+    * against the collected config-scale domain list — codegen'd, zero
+    * shuffle) and rides the token explode into the per-doc aggregate,
+    * so the ONLY shuffle is the q_oov-posture doc-keyed partial agg;
+    * the word list broadcasts into a left join whose null-ness is the
+    * hit flag. Judged `q_blocklist` (fixture injects both violation
+    * kinds), fully ORACLED; threshold boundary, multiplicity, empty
+    * lists and case folding pinned in TextOpsSpec. */
+  def blocklistReport(docs: DataFrame, idCol: String, textCol: String,
+      urlCol: String, badWords: DataFrame, blockedDomains: DataFrame,
+      maxBadMilli: Long = 0L): DataFrame = {
+    require(maxBadMilli >= 0, s"maxBadMilli must be >= 0: $maxBadMilli")
+    val bw = broadcast(badWords.select(
+      lower(col(badWords.columns.head)).as("__bw")).distinct())
+    val bd = blockedDomains.select(
+        lower(col(blockedDomains.columns.head)).as("__bd")).distinct()
+      .collect().map(_.getString(0)).toSeq // config-scale policy list
+    val blocked =
+      if (bd.isEmpty) lit(false)
+      else arrays_overlap(TextOps.urlDomains(col(urlCol)),
+        array(bd.map(lit(_)): _*))
+    val toks = docs.select(col(idCol), blocked.as("__dblk"),
+      explode(split(lower(col(textCol)), " ")).as("__t"))
+    toks.join(bw, toks("__t") === bw("__bw"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__bw")).as("bad_hits"),
+        max(col("__dblk")).as("domain_blocked"))
+      .withColumn("bad_milli", expr("bad_hits * 1000 div n_tokens"))
+      .withColumn("pass",
+        col("bad_milli") <= maxBadMilli && !col("domain_blocked"))
+      .select(col(idCol), col("n_tokens"), col("bad_hits"),
+        col("bad_milli"), col("domain_blocked"), col("pass"))
+  }
 }

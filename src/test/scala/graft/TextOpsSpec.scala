@@ -634,4 +634,44 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(4L) === ((1L, 0L, 0L, false)))
     assert(got(5L) === ((2L, 1L, 0L, false)))
   }
+
+  test("blocklistReport: threshold boundary, multiplicity, case folding, " +
+      "domain gate, empty lists pass everything") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 tokens, 0 bad: passes at any threshold
+      (1L, "a b c d e f g h i j", "https://ok.example.com/x"),
+      // 10 tokens, 1 bad (case-folded BAD vs list 'bad'): 100 milli
+      (2L, "BAD b c d e f g h i j", "https://ok.example.com/x"),
+      // 10 tokens, 2 bad WITH multiplicity: 200 milli
+      (3L, "bad bad c d e f g h i j", "https://ok.example.com/x"),
+      // clean text, blocked domain (case-folded in the LIST)
+      (4L, "a b c", "https://Evil.example.com/x"),
+      // exactly AT the threshold: 1/10 = 100 milli passes at 100
+      (5L, "bad b c d e f g h i j", "http://ok.example.com")
+    ).toDF("id", "text", "url")
+    val bad = Seq("bad", "UNUSED").toDF("w")
+    val dom = Seq("EVIL.example.com").toDF("d")
+    def run(maxMilli: Long) =
+      graft.operators.QualityFilters.blocklistReport(
+        docs, "id", "text", "url", bad, dom, maxMilli)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getBoolean(4), r.getBoolean(5)))).toMap
+    val got = run(100L)
+    assert(got(1L) === ((10L, 0L, 0L, false, true)))
+    assert(got(2L) === ((10L, 1L, 100L, false, true))) // at threshold
+    assert(got(3L) === ((10L, 2L, 200L, false, false)))
+    assert(got(4L) === ((3L, 0L, 0L, true, false)))
+    assert(got(5L) === ((10L, 1L, 100L, false, true)))
+    // C4's actual rule: any occurrence drops
+    val strict = run(0L)
+    assert(strict(2L)._5 === false && strict(1L)._5 === true)
+    // empty policy relations gate nothing
+    val open = graft.operators.QualityFilters.blocklistReport(
+      docs, "id", "text", "url",
+      Seq.empty[String].toDF("w"), Seq.empty[String].toDF("d"), 0L)
+      .collect()
+    assert(open.forall(_.getBoolean(5)))
+  }
 }
