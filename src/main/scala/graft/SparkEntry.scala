@@ -332,6 +332,20 @@ object SparkEntry {
       expr("repeat('a', CASE WHEN doc_id % 4 > 0 THEN 16 " +
         "ELSE CAST(3 + (doc_id div 4) % 13 AS INT) END)").as("text"))
 
+  /** CAPPED two-char syllable corpus for the unigram-LM trainer
+    * (doc_id < 60 — dense ids make it IDENTICAL at every SF, the
+    * q_mmr capped-corpus convention; EM survivor sets are ratio-
+    * sensitive, so an SF-scaled corpus would flip prune decisions):
+    * 20× 'abab', 20× 'ababab', 10× 'abq', 10× 'qq'. Shared by
+    * `q_unigram_tok` / `q_unigram_encode` so the halves cannot
+    * drift. */
+  private def unigramFixture(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        expr("CASE WHEN doc_id % 6 IN (0, 1) THEN 'abab' " +
+          "WHEN doc_id % 6 IN (2, 3) THEN 'ababab' " +
+          "WHEN doc_id % 6 = 4 THEN 'abq' ELSE 'qq' END").as("text"))
+
   /** One entry per implemented operator from SURVEY.md §2 — see
     * [[queries]] for the published (cache-scoped) map. */
   private def queryImpls: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3137,6 +3151,40 @@ object SparkEntry {
       val m = graft.functions.TextOps.learnBpeMerges(f, "text", 4)
       graft.functions.TextOps.bpeEncode(f, "doc_id", "text", m)
         .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM (SentencePiece) trainer on the capped syllable
+    // corpus: 2 hard-EM rounds at vocabSize 6 keep {abab, ab, abq} +
+    // the alphabet {a, b, q} — 'qq' ties 'abq' at usage 10 and loses
+    // the prune on piece order, so round 2 re-segments qq as [q, q]
+    // (usage 20) while a/b keep the floor count 1. Counts and the
+    // ln-derived logp_micro are closed-form over the fixed corpus.
+    // Fully ORACLED.
+    "q_unigram_tok" -> ((s, dir) =>
+      graft.functions.TextOps.learnUnigramVocab(
+        unigramFixture(s, dir), "text",
+        vocabSize = 6, maxPieceLen = 4, emRounds = 2)
+        .orderBy("piece")),
+
+    // Unigram encode over the full corpus (syllable ladder 'ab'×k,
+    // k = 1 + doc_id%6, plus an unknown 'x' on every 7th doc) with the
+    // capped-trained vocab: cost(abab) < 2·cost(ab), so even k → k/2
+    // abab pieces and odd k → ONE leading 'ab' (the longer-last-piece
+    // tie rule) + abab's; 'x' falls back to a single penalty-cost
+    // token. n_tokens AND the joined token string are closed-form.
+    // Fully ORACLED.
+    "q_unigram_encode" -> ((s, dir) => {
+      val v = graft.functions.TextOps.learnUnigramVocab(
+        unigramFixture(s, dir), "text",
+        vocabSize = 6, maxPieceLen = 4, emRounds = 2)
+      val enc = t(s, dir, "documents").select(col("doc_id"),
+        concat(expr("repeat('ab', CAST(1 + doc_id % 6 AS INT))"),
+          when(col("doc_id") % 7 === 0, lit("x")).otherwise(lit("")))
+          .as("text"))
+      graft.functions.TextOps.unigramEncode(enc, "doc_id", "text", v)
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("toks"))
         .orderBy("doc_id")
     }),
 
@@ -12442,6 +12490,49 @@ object SparkEntry {
     "q_dsir_select" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 250 < 10 ORDER BY doc_id""".stripMargin,
+
+    // closed-form hard-EM survivors over the CAPPED corpus (identical
+    // at every SF): usage counts from the provable round-2
+    // segmentations (abab←{abab,ababab}, ab←ababab, q←2·qq, char
+    // floor 1), logp = the micro-quantized ln over those exact
+    // integers — no EM in the oracle at all (the q_bpe_merges recipe)
+    "q_unigram_tok" ->
+      """WITH d AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 6 IN (0, 1) THEN 'abab'
+        |             WHEN doc_id % 6 IN (2, 3) THEN 'ababab'
+        |             WHEN doc_id % 6 = 4 THEN 'abq' ELSE 'qq' END AS w
+        |      FROM documents WHERE doc_id < 60),
+        |n AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |u AS (SELECT * FROM (
+        |      SELECT 'abab' AS piece,
+        |        (SELECT n FROM n WHERE w = 'abab')
+        |          + (SELECT n FROM n WHERE w = 'ababab') AS cnt
+        |      UNION ALL SELECT 'ab', (SELECT n FROM n WHERE w = 'ababab')
+        |      UNION ALL SELECT 'abq', (SELECT n FROM n WHERE w = 'abq')
+        |      UNION ALL SELECT 'q', 2 * (SELECT n FROM n WHERE w = 'qq')
+        |      UNION ALL SELECT 'a', 1
+        |      UNION ALL SELECT 'b', 1)),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM u)
+        |SELECT piece, CAST(cnt AS BIGINT) AS count,
+        |       -CAST(floor((ln(tt) - ln(cnt)) * 1000000 + 0.5) AS BIGINT)
+        |         AS logp_micro
+        |FROM u, t ORDER BY piece""".stripMargin,
+
+    // the syllable ladder's Viterbi is closed-form: even k → k/2
+    // abab's, odd k → ONE leading 'ab' (longer-last-piece tie rule),
+    // unknown 'x' emits itself
+    "q_unigram_encode" ->
+      """WITH p AS (SELECT doc_id, CAST(1 + doc_id % 6 AS BIGINT) AS k,
+        |        (doc_id % 7 = 0) AS xf FROM documents),
+        |b AS (SELECT doc_id, k, xf,
+        |        (CASE WHEN k % 2 = 1 THEN 'ab ' ELSE '' END)
+        |          || repeat('abab ', CAST(k // 2 AS INT)) AS base
+        |      FROM p)
+        |SELECT doc_id,
+        |  CAST(k // 2 + k % 2 + CASE WHEN xf THEN 1 ELSE 0 END AS INT)
+        |    AS n_tokens,
+        |  CASE WHEN xf THEN base || 'x' ELSE rtrim(base) END AS toks
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // the forced ladder: merge k is (a^2^k, a^2^k), generated
     // arithmetically — no BPE in the oracle at all

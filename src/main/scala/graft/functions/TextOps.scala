@@ -787,6 +787,182 @@ object TextOps {
       .toDF(idCol, "tokens")
   }
 
+  /** Unigram-LM piece costs from counts — the shared quantization both
+    * the trainer's E-step and [[unigramEncode]] use:
+    * `cost_micro(p) = ⌊(ln T − ln c_p)·10⁶ + 0.5⌋`, i.e. −ln p(piece)
+    * micro-quantized ONCE per piece over exact integer counts (the
+    * q_bursts Viterbi recipe — one IEEE ln per factor, spelled
+    * token-identically in the oracle), so every downstream
+    * segmentation decision is pure BIGINT min/plus. */
+  private[graft] def unigramCosts(vocab: Map[String, Long]): Map[String, Long] = {
+    val lnT = math.log(vocab.valuesIterator.sum.toDouble)
+    vocab.map { case (p, c) =>
+      p -> math.floor((lnT - math.log(c.toDouble)) * 1e6 + 0.5).toLong }
+  }
+
+  /** Viterbi segmentation of one word under micro-quantized piece
+    * costs: minimize (Σ cost, then piece count, then prefer the LONGER
+    * last piece — i.e. smallest last-piece start, recursively), a total
+    * deterministic order both engines can replay. A single character
+    * absent from the vocabulary segments as itself at `unkCost` (the
+    * char-fallback an encoder needs on unseen text; training corpora
+    * always carry their own alphabet so it never fires there). */
+  private[graft] def unigramSegment(w: String, costs: Map[String, Long],
+      maxLen: Int, unkCost: Long): IndexedSeq[String] = {
+    val m = w.length
+    val INF = Long.MaxValue
+    val cost = Array.fill(m + 1)(INF)
+    val np = Array.fill(m + 1)(Int.MaxValue)
+    val back = Array.fill(m + 1)(-1)
+    cost(0) = 0L
+    np(0) = 0
+    var i = 1
+    while (i <= m) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (cost(j) != INF) {
+          val pc = costs.get(w.substring(j, i)) match {
+            case Some(c) => c
+            case None => if (i - j == 1) unkCost else -1L
+          }
+          if (pc >= 0L) {
+            val cc = cost(j) + pc
+            val nn = np(j) + 1
+            // ascending j: the FIRST (cost, npieces) winner keeps the
+            // smallest last-piece start = the longest last piece
+            if (cc < cost(i) || (cc == cost(i) && nn < np(i))) {
+              cost(i) = cc; np(i) = nn; back(i) = j
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    require(cost(m) != INF, s"unigramSegment: unreachable word '$w'")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var k = m
+    while (k > 0) { val j = back(k); out += w.substring(j, k); k = j }
+    out.reverse.toIndexedSeq
+  }
+
+  /** Unigram-LM (SentencePiece) vocabulary training (Kudo 2018,
+    * "Subword Regularization" — public), the OTHER production tokenizer
+    * trainer beside [[learnBpeMerges]]: where BPE grows pieces
+    * bottom-up by merging, unigram starts from a substring seed and
+    * PRUNES — each round segments every word by Viterbi under the
+    * current piece probabilities (hard-EM: the deterministic,
+    * oracle-replayable variant of Kudo's forward-backward E-step),
+    * re-estimates counts from usage, and keeps the `vocabSize` most
+    * used pieces. Single characters of the corpus alphabet are ALWAYS
+    * retained (Kudo's coverage guarantee; an unused char keeps a floor
+    * count of 1), so every word stays encodable. Ties: usage desc then
+    * piece ascending (prune), and the [[unigramSegment]] order
+    * (segmentation). Returns `(piece, count, logp_micro)` with
+    * `logp_micro = −cost_micro` under the final counts.
+    *
+    * Scale — the [[learnBpeMerges]] factoring exactly: the corpus is
+    * scanned ONCE into a vocabulary-scale (word, count) relation; the
+    * substring seed explodes ≤ len·maxPieceLen pieces per distinct
+    * word (capped to the top `seedSize` multi-char pieces + the
+    * alphabet); every EM round is one distributed Viterbi flatMap over
+    * the word relation (the documented mapPartitions-class escalation,
+    * as in [[bpeEncode]]) + one vocab-scale partial-agg, with the
+    * current vocab riding the closure (bounded by `seedSize` ≤ 2²⁰ —
+    * the markovStationary-style guard; it IS the trained artifact,
+    * like the collected BPE merge table). Judged `q_unigram_tok` on
+    * the capped two-char syllable corpus (closed-form survivors —
+    * the q_bpe_merges recipe); subword sharing, prune tie, char
+    * floor and segmentation ties pinned in TextOpsSpec. */
+  def learnUnigramVocab(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, emRounds: Int = 2,
+      seedSize: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be >= 1: $emRounds")
+    require(seedSize >= 1 && seedSize <= (1 << 20),
+      s"seedSize must be in [1, 2^20] (the vocab rides the closure): " +
+        s"$seedSize")
+    val words = graft.engine.Caches.persisted(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].toDF("w", "n"))
+    val chars: Seq[String] = words.as[(String, Long)]
+      .flatMap { case (w, _) => w.map(_.toString) }
+      .distinct().collect().toSeq.sorted
+    val mpl = maxPieceLen
+    val seedAll = words.as[(String, Long)]
+      .flatMap { case (w, n) =>
+        for {
+          i <- 0 until w.length
+          k <- 1 to math.min(mpl, w.length - i)
+        } yield (w.substring(i, i + k), n)
+      }
+      .toDF("p", "c")
+      .groupBy(col("p")).agg(sum(col("c")).as("c"))
+    val seedMulti = seedAll.filter(length(col("p")) > 1)
+      .orderBy(col("c").desc, col("p")).limit(seedSize)
+    var vocab: Map[String, Long] = seedAll
+      .filter(length(col("p")) === 1).unionByName(seedMulti)
+      .as[(String, Long)].collect().toMap
+    for (_ <- 1 to emRounds) {
+      val costs = unigramCosts(vocab)
+      val usage: Map[String, Long] = words.as[(String, Long)]
+        .flatMap { case (w, n) =>
+          unigramSegment(w, costs, mpl, -1L).map(p => (p, n)) }
+        .toDF("p", "c")
+        .groupBy(col("p")).agg(sum(col("c")).as("c"))
+        .as[(String, Long)].collect().toMap
+      val kept = chars.map(c => c -> math.max(usage.getOrElse(c, 0L), 1L))
+      val multi = usage.iterator.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - chars.size))
+      vocab = (kept ++ multi).toMap
+    }
+    val finalCosts = unigramCosts(vocab)
+    vocab.toSeq.sortBy(_._1)
+      .map { case (p, c) => (p, c, -finalCosts(p)) }
+      .toDF("piece", "count", "logp_micro")
+  }
+
+  /** Apply a trained unigram vocabulary to the corpus: per document,
+    * whitespace tokens segment by [[unigramSegment]] Viterbi under the
+    * vocabulary's micro-quantized costs; characters the vocabulary
+    * never saw emit as single-char tokens at a defined penalty cost
+    * (`⌊ln T·10⁶ + 0.5⌋ + 10⁶` — a count-below-1 piece, so any in-vocab
+    * segmentation wins when one exists). The vocabulary is collected
+    * once (config-scale — it IS the trained artifact, the [[bpeEncode]]
+    * convention) and rides the closure of a typed map over the corpus.
+    * Judged `q_unigram_encode` (token counts AND the joined token
+    * string are closed-form on the syllable ladder), fully ORACLED;
+    * the unknown-char fallback pinned in TextOpsSpec. */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val collected = vocab.select(col("piece"), col("count"))
+      .as[(String, Long)].collect()
+    require(collected.nonEmpty, "unigramEncode: empty vocabulary")
+    val counts = collected.toMap
+    require(counts.size == collected.length,
+      "unigramEncode: duplicate pieces in the vocabulary")
+    val costs = unigramCosts(counts)
+    val maxLen = counts.keysIterator.map(_.length).max
+    val unk = math.floor(
+      math.log(counts.valuesIterator.sum.toDouble) * 1e6 + 0.5).toLong +
+      1000000L
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1).iterator.filter(_.nonEmpty)
+          .flatMap(w => unigramSegment(w, costs, maxLen, unk)).toSeq
+        (id, toks)
+      }
+      .toDF(idCol, "tokens")
+  }
+
   /** SFT chat-template assembly with loss-mask spans — the
     * supervised-fine-tuning data-prep step between curation and
     * tokenization: each conversation's turns render as

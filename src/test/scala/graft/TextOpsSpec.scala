@@ -635,6 +635,63 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(5L) === ((2L, 1L, 0L, false)))
   }
 
+  test("learnUnigramVocab: hand-EM survivors, prune tie on piece order, " +
+      "char floor, the round-2 re-segmentation effect") {
+    import spark.implicits._
+    // the capped syllable corpus inline: 20x abab, 20x ababab,
+    // 10x abq, 10x qq
+    val docs = ((1 to 20).map(_ => "abab") ++ (1 to 20).map(_ => "ababab")
+      ++ (1 to 10).map(_ => "abq") ++ (1 to 10).map(_ => "qq"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val v = graft.functions.TextOps.learnUnigramVocab(
+      docs, "text", vocabSize = 6, maxPieceLen = 4, emRounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // survivors and exact counts (T = 92); logp = -floor((lnT-lnc)*1e6+.5)
+    def lp(c: Long) = -math.floor(
+      (math.log(92.0) - math.log(c.toDouble)) * 1e6 + 0.5).toLong
+    assert(v === Map(
+      "a" -> ((1L, lp(1))), "b" -> ((1L, lp(1))),   // char floor
+      "ab" -> ((20L, lp(20))), "abab" -> ((40L, lp(40))),
+      "abq" -> ((10L, lp(10))), "q" -> ((20L, lp(20)))))
+    assert(!v.contains("qq")) // lost the count-10 prune tie to 'abq'
+    // ONE round: qq was still in the round-1 vocab, so q never got
+    // segmented out and keeps only the floor count — the EM round is
+    // what re-estimates it to 20
+    val v1 = graft.functions.TextOps.learnUnigramVocab(
+      docs, "text", vocabSize = 6, maxPieceLen = 4, emRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v1("q") === 1L)
+    assert(v("q")._1 === 20L)
+  }
+
+  test("unigramSegment: longer-last-piece tie, fewer-pieces tie, " +
+      "unknown-char fallback in encode") {
+    import spark.implicits._
+    // equal costs for ab and abab: 'ababab' has two 2-piece optima —
+    // the tie resolves to the LONGER LAST piece
+    val costs = Map("a" -> 100L, "b" -> 100L, "ab" -> 10L, "abab" -> 10L)
+    assert(graft.functions.TextOps.unigramSegment("ababab", costs, 4, 9999L)
+      === IndexedSeq("ab", "abab"))
+    // strictly cheaper big piece: even length is all abab
+    assert(graft.functions.TextOps.unigramSegment("abababab", costs, 4, 9999L)
+      === IndexedSeq("abab", "abab"))
+    // fewer pieces win a cost tie: [abab] (10) beats [ab, ab] (20);
+    // with ab at 5 the split (10) TIES abab (10) and npieces decides
+    val tie = Map("a" -> 100L, "b" -> 100L, "ab" -> 5L, "abab" -> 10L)
+    assert(graft.functions.TextOps.unigramSegment("abab", tie, 4, 9999L)
+      === IndexedSeq("abab"))
+    // encode end-to-end: unknown char emits itself after in-vocab spans
+    val vocab = Seq(("a", 1L), ("b", 1L), ("ab", 20L), ("abab", 40L),
+      ("q", 20L), ("abq", 10L)).toDF("piece", "count")
+    val enc = graft.functions.TextOps.unigramEncode(
+      Seq((1L, "abx abababab"), (2L, "zz")).toDF("id", "text"),
+      "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(1L) === Seq("ab", "x", "abab", "abab"))
+    assert(enc(2L) === Seq("z", "z"))
+  }
+
   test("blocklistReport: threshold boundary, multiplicity, case folding, " +
       "domain gate, empty lists pass everything") {
     import spark.implicits._
