@@ -4989,6 +4989,53 @@ object SparkEntry {
       graft.operators.Eval.anovaF(
         t(s, dir, "events"), "value", "event_type")),
 
+    // Brown-Forsythe (median-centered Levene) variance-homogeneity
+    // test on the same cells — checks the assumption q_anova makes:
+    // the ANOVA F over doubled-cent |deviations from the group
+    // median| (2·median is an exact BIGINT on both engines). Fully
+    // oracled.
+    "q_levene" -> ((s, dir) =>
+      graft.operators.Eval.brownForsythe(
+        t(s, dir, "events"), "value", "event_type")),
+
+    // Cochran's Q over a BALANCED user-bucket × event-type binary
+    // panel (grid-completed with explicit zeros; x = bucket saw a
+    // type-j event with integral value ≡ 0 mod 3): the k-treatment
+    // McNemar. Exact BIGINT identity, one truncated milli division.
+    // Fully oracled.
+    "q_cochran_q" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 400).as("subj"), col("event_type"),
+          when(floor(col("value")) % 3 === 0, 1L).otherwise(0L).as("hit"))
+      val obs = ev.groupBy("subj", "event_type")
+        .agg(max(col("hit")).as("x"))
+      val grid = ev.select("subj").distinct()
+        .crossJoin(ev.select("event_type").distinct())
+      graft.operators.Eval.cochranQ(
+        grid.join(obs, Seq("subj", "event_type"), "left")
+          .withColumn("x", coalesce(col("x"), lit(0L))),
+        "subj", "event_type", "x")
+    }),
+
+    // Cronbach's alpha over the user-bucket × event-type panel of
+    // per-cell cents sums (grid-completed with zeros): internal
+    // consistency of the five "items". Exact integer variance
+    // numerators, signed milli division. Fully oracled.
+    "q_cronbach" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 300).as("subj"), col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val obs = ev.groupBy("subj", "event_type")
+        .agg(sum(col("cents")).as("c"))
+      val grid = ev.select("subj").distinct()
+        .crossJoin(ev.select("event_type").distinct())
+      graft.operators.Eval.cronbachAlpha(
+        grid.join(obs, Seq("subj", "event_type"), "left")
+          .withColumn("v", coalesce(col("c"), lit(0L)).cast("double") / 100.0)
+          .select("subj", "event_type", "v"),
+        "subj", "event_type", "v")
+    }),
+
     // Kendall tau-b over the daily (activity count, revenue cents)
     // series: exact pair counts off the bounded calendar-scale series,
     // one IEEE sqrt for tau micro. Fully oracled.
@@ -8993,6 +9040,112 @@ object SparkEntry {
         |    CAST(abs(CAST(ssb_milli AS HUGEINT)) * (n - n_groups) * 1000000
         |      // (CAST(ssw_milli AS HUGEINT) * (n_groups - 1)) AS BIGINT)
         |  END AS f_micro
+        |FROM f""".stripMargin,
+
+    // the q_anova machinery over doubled-cent |c - median| deviations;
+    // 2*quantile_cont(0.5) is an exact integer on both engines (both
+    // average the two middle order stats)
+    "q_levene" ->
+      """WITH c0 AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |        event_type AS g FROM events),
+        |md AS (SELECT g, CAST(round(quantile_cont(v, 0.5) * 2) AS BIGINT)
+        |         AS m2 FROM c0 GROUP BY 1),
+        |c AS (SELECT abs(2 * c0.v - md.m2) AS c, c0.g
+        |      FROM c0 JOIN md USING (g)),
+        |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |        CAST(sum(c) AS BIGINT) AS s,
+        |        CAST(sum(c * c) AS BIGINT) AS q,
+        |        CAST(CAST(sum(c) AS HUGEINT) * sum(c) * 1000
+        |          // count(*) AS BIGINT) AS a
+        |      FROM c GROUP BY 1),
+        |agg AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_groups,
+        |        CAST(sum(s) AS BIGINT) AS st,
+        |        CAST(sum(q) AS BIGINT) AS qt,
+        |        CAST(sum(a) AS BIGINT) AS at FROM cells),
+        |f AS (SELECT n, n_groups,
+        |        at - CAST(CAST(st AS HUGEINT) * st * 1000 // n AS BIGINT)
+        |          AS ssb_milli,
+        |        CAST(CAST(qt AS HUGEINT) * 1000 - at AS BIGINT)
+        |          AS ssw_milli
+        |      FROM agg)
+        |SELECT n, n_groups, ssb_milli, ssw_milli,
+        |  CASE WHEN n_groups >= 2 AND n > n_groups AND ssw_milli > 0 THEN
+        |    CAST(sign(ssb_milli) AS BIGINT) *
+        |    CAST(abs(CAST(ssb_milli AS HUGEINT)) * (n - n_groups) * 1000000
+        |      // (CAST(ssw_milli AS HUGEINT) * (n_groups - 1)) AS BIGINT)
+        |  END AS f_micro
+        |FROM f""".stripMargin,
+
+    // balanced grid with explicit zeros, exact Cochran identity:
+    // Q = (k-1)·Σ(k·C_j - N)² / (k·(k·N - ΣR²)), one milli division
+    "q_cochran_q" ->
+      """WITH ev AS (SELECT user_id % 400 AS subj, event_type,
+        |        CASE WHEN CAST(floor(value) AS BIGINT) % 3 = 0
+        |          THEN 1 ELSE 0 END AS hit
+        |      FROM events),
+        |obs AS (SELECT subj, event_type, CAST(max(hit) AS BIGINT) AS x
+        |        FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT s.subj, t.event_type
+        |         FROM (SELECT DISTINCT subj FROM ev) s,
+        |              (SELECT DISTINCT event_type FROM ev) t),
+        |p AS (SELECT grid.subj, grid.event_type, coalesce(obs.x, 0) AS x
+        |      FROM grid LEFT JOIN obs USING (subj, event_type)),
+        |r AS (SELECT subj, CAST(sum(x) AS BIGINT) AS r FROM p GROUP BY 1),
+        |ra AS (SELECT CAST(count(*) AS BIGINT) AS b,
+        |        CAST(sum(r * r) AS BIGINT) AS rr,
+        |        CAST(sum(r) AS BIGINT) AS n FROM r),
+        |cc AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS c
+        |       FROM p GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cc),
+        |agg AS (SELECT kk.k, ra.b, ra.n, ra.rr,
+        |        sum(CAST(kk.k * cc.c - ra.n AS HUGEINT)
+        |          * (kk.k * cc.c - ra.n)) AS num
+        |      FROM cc, kk, ra GROUP BY 1, 2, 3, 4)
+        |SELECT k, b, n,
+        |  CAST(CAST(k AS HUGEINT) * n - rr AS BIGINT) AS den_core,
+        |  CASE WHEN CAST(k AS HUGEINT) * n - rr > 0 AND k >= 2 THEN
+        |    CAST((k - 1) * num * 1000
+        |      // (CAST(k AS HUGEINT) * (CAST(k AS HUGEINT) * n - rr))
+        |      AS BIGINT)
+        |  END AS q_milli
+        |FROM agg""".stripMargin,
+
+    // exact integer variance NUMERATORS (n·Σx² − (Σx)²; the n²
+    // denominators cancel in the alpha ratio), signed milli division
+    "q_cronbach" ->
+      """WITH ev AS (SELECT user_id % 300 AS subj, event_type,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM events),
+        |obs AS (SELECT subj, event_type, CAST(sum(cents) AS BIGINT) AS c
+        |        FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT s.subj, t.event_type
+        |         FROM (SELECT DISTINCT subj FROM ev) s,
+        |              (SELECT DISTINCT event_type FROM ev) t),
+        |p AS (SELECT grid.subj, grid.event_type, coalesce(obs.c, 0) AS c
+        |      FROM grid LEFT JOIN obs USING (subj, event_type)),
+        |it AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+        |        CAST(sum(c) AS BIGINT) AS s,
+        |        CAST(sum(c * c) AS BIGINT) AS q
+        |       FROM p GROUP BY 1),
+        |ia AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        sum(CAST(ni AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |          AS vi
+        |       FROM it),
+        |sj AS (SELECT subj, CAST(sum(c) AS BIGINT) AS ts FROM p GROUP BY 1),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(ts) AS BIGINT) AS st,
+        |        sum(CAST(ts AS HUGEINT) * ts) AS qt FROM sj),
+        |f AS (SELECT ia.k, sa.n, ia.vi,
+        |        CAST(sa.n AS HUGEINT) * sa.qt
+        |          - CAST(sa.st AS HUGEINT) * sa.st AS vt
+        |      FROM ia, sa)
+        |SELECT k, n, CAST(vi // n AS BIGINT) AS sum_item_var_n,
+        |       CAST(vt // n AS BIGINT) AS total_var_n,
+        |       CASE WHEN k >= 2 AND vt > 0 THEN
+        |         CAST(sign(vt - vi) AS BIGINT) *
+        |         CAST(abs(CAST(k AS HUGEINT) * (vt - vi)) * 1000
+        |           // ((k - 1) * vt) AS BIGINT) END AS alpha_milli
         |FROM f""".stripMargin,
 
     "q_mwu" ->

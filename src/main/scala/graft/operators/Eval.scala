@@ -658,9 +658,18 @@ object Eval {
     * fully ORACLED; the 2-group F = t² (pooled) consistency check,
     * hand 3-group values, the SSW = 0 fence and the k = 1 fence pinned
     * in EvalSpec. */
-  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    anovaOnUnits(df.select(
+      floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("c"),
+      col(groupCol).cast("string").as("g")), "c", "g")
+
+  /** [[anovaF]]'s integer core over an ALREADY-QUANTIZED unit column —
+    * shared with [[brownForsythe]], whose deviations are doubled cents
+    * rather than cents. Identical arithmetic contract. */
+  private[graft] def anovaOnUnits(df: DataFrame, unitCol: String,
+      groupCol: String): DataFrame = {
     val cells = df
-      .select(floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("c"),
+      .select(col(unitCol).cast("long").as("c"),
         col(groupCol).cast("string").as("g"))
       .groupBy("g")
       .agg(count(lit(1)).as("__ng"), sum(col("c")).as("__s"),
@@ -686,6 +695,153 @@ object Eval {
               div (cast(ssw_milli as decimal(38,0)) * (n_groups - 1))
               as bigint)"""))
           .as("f_micro"))
+  }
+
+  /** Brown–Forsythe robust variance-homogeneity test (Brown &
+    * Forsythe 1974 — the median-centered Levene 1960 statistic): do
+    * the groups have equal SPREAD — the assumption [[anovaF]] makes
+    * and nothing else here checks. The statistic is exactly the ANOVA
+    * F computed over per-row absolute deviations from the GROUP
+    * MEDIAN (median-centering is what makes it robust to heavy
+    * tails — Levene's original mean-centering chases outliers).
+    *
+    * Exact-integer route: deviations are DOUBLED cents
+    * `d = |2c − m2_g|`, where `m2_g = round(2·median_g)` is an exact
+    * BIGINT for any group (odd n → 2·middle, even n → the sum of the
+    * two middle order stats — both engines' 0.5-quantile interpolation
+    * lands on .0/.5 exactly, and the doubling clears the half); the F
+    * machinery is [[anovaOnUnits]] verbatim, so every downstream
+    * number is the shared judged contract (in doubled-cent units).
+    *
+    * Scale: the exact per-group median is one sort-based percentile
+    * aggregate (the robust_agg posture — a group's values buffer in
+    * its aggregation; groups are config-scale categories), medians
+    * broadcast back, one scan for deviations, then the one-aggregate
+    * F. Judged `q_levene`, fully ORACLED; equal-spread vs inflated-
+    * spread hand values, outlier robustness vs the mean-centered
+    * variant and the constant-group fence pinned in EvalSpec. */
+  def brownForsythe(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val cents = df.select(
+      floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("c"),
+      col(groupCol).cast("string").as("g"))
+    val med = cents.groupBy("g")
+      .agg(round(expr("percentile(c, 0.5)") * 2).cast("long").as("__m2"))
+    anovaOnUnits(
+      cents.join(broadcast(med), "g")
+        .select(abs(col("c") * 2 - col("__m2")).as("d"), col("g")),
+      "d", "g")
+  }
+
+  /** Cochran's Q test (Cochran 1950 — public): did the success RATE
+    * differ across k paired binary treatments — the k-treatment
+    * generalization of [[mcnemar]] (k = 2 collapses to it), the
+    * repeated-measures sibling of the chi-square family. Over a
+    * balanced subject×treatment 0/1 matrix in LONG form:
+    * `Q = (k−1)·Σ_j (k·C_j − N)² / (k·(k·N − Σ_i R_i²))` with
+    * `C_j` the treatment totals, `R_i` the subject totals, `N = ΣC =
+    * ΣR` — every term an exact BIGINT, `q_milli` one truncated
+    * division over DECIMAL(38,0) intermediates (q_gini rule). NULL
+    * when the denominator is 0 (every subject constant across
+    * treatments — no within-subject variation to test); Q is χ²(k−1)
+    * under H₀. The input must be BALANCED (every subject observed
+    * under every treatment — encode missing as 0 explicitly);
+    * balance is REQUIRED (checked: n = b·k).
+    *
+    * Scale: one partial agg to subject rows (R_i), one to treatment
+    * totals — both single-pass; subjects at data scale ride a
+    * groupBy, treatments are config-scale. Judged `q_cochran_q`,
+    * fully ORACLED; the k = 2 ≡ McNemar(uncorrected) identity, hand
+    * values, all-constant fence and the balance check pinned in
+    * EvalSpec. */
+  def cochranQ(df: DataFrame, subjectCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val x = df.select(col(subjectCol).as("s"),
+      col(treatmentCol).cast("string").as("t"),
+      when(col(valueCol).cast("long") =!= 0L, 1L).otherwise(0L).as("x"))
+    val rows = x.groupBy("s").agg(sum(col("x")).as("__r"),
+      count(lit(1)).as("__kr"))
+    val rAgg = broadcast(rows.agg(count(lit(1)).as("b"),
+      sum(expr("__r * __r")).as("__rr"), sum(col("__r")).as("__n"),
+      min(col("__kr")).as("__kmin"), max(col("__kr")).as("__kmax")))
+    val cols = x.groupBy("t").agg(sum(col("x")).as("__c"))
+    cols.crossJoin(broadcast(cols.groupBy().agg(count(lit(1)).as("k"))
+        .select(col("k"))))
+      .crossJoin(rAgg)
+      .agg(max(col("k")).as("k"), max(col("b")).as("b"),
+        max(col("__n")).as("n"), max(col("__rr")).as("__rr"),
+        max(col("__kmin")).as("__kmin"), max(col("__kmax")).as("__kmax"),
+        sum(expr("""cast(k * __c - __n as decimal(38,0))
+          * (k * __c - __n)""")).as("__num"))
+      .select(col("k"), col("b"), col("n"),
+        expr("cast(cast(k as decimal(38,0)) * n - __rr as bigint)")
+          .as("den_core"),
+        when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k"),
+          expr("raise_error('cochranQ: unbalanced subject panel')"))
+          .otherwise(
+            when(expr("cast(k as decimal(38,0)) * n - __rr") > 0 &&
+                col("k") >= 2,
+              expr("""cast(((k - 1) * __num * 1000)
+                div (cast(k as decimal(38,0))
+                  * (cast(k as decimal(38,0)) * n - __rr)) as bigint)""")))
+          .as("q_milli"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient (Cronbach
+    * 1951 — public): do k item scores measure one underlying trait —
+    * the reliability gate a survey/labeling pipeline runs before
+    * averaging rater items into a single score.
+    * `α = k/(k−1) · (1 − ΣV_item / V_total)` over a BALANCED
+    * subject×item panel, with every variance carried as its exact
+    * integer NUMERATOR `V = n·Σx² − (Σx)²` (cents; the n² denominators
+    * cancel between numerator and denominator of the ratio).
+    * `alpha_milli = sign·(|k·(V_t − ΣV_i)|·1000 div ((k−1)·V_t))` —
+    * signed (α < 0 happens on negatively-correlated items), DECIMAL
+    * intermediates (q_gini rule), NULL when V_t = 0 or k < 2.
+    * Balance REQUIRED (missing cells bias ΣV_i — encode absent
+    * observations as explicit zeros upstream; checked like
+    * [[cochranQ]]).
+    *
+    * Scale: one partial agg per item (config-scale), one per subject
+    * for the total column, 1-row arithmetic. Judged `q_cronbach`,
+    * fully ORACLED; the parallel-items closed form
+    * (α = k·ρ/(1+(k−1)ρ) on an exchangeable fixture), independent-
+    * items ≈ 0, negative-covariance sign and the V_t = 0 fence pinned
+    * in EvalSpec. */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val x = df.select(col(subjectCol).as("s"),
+      col(itemCol).cast("string").as("i"),
+      floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("c"))
+    val items = x.groupBy("i").agg(count(lit(1)).as("__ni"),
+      sum(col("c")).as("__s"), sum(expr("c * c")).as("__q"))
+    val subj = x.groupBy("s").agg(sum(col("c")).as("__ts"),
+      count(lit(1)).as("__ki"))
+    val iAgg = items.agg(count(lit(1)).as("k"),
+      min(col("__ni")).as("__nmin"), max(col("__ni")).as("__nmax"),
+      sum(expr("""cast(cast(__ni as decimal(38,0)) * __q -
+        cast(__s as decimal(38,0)) * __s as decimal(38,0))"""))
+        .as("__vi"))
+    val sAgg = subj.agg(count(lit(1)).as("n"),
+      min(col("__ki")).as("__kmin"), max(col("__ki")).as("__kmax"),
+      sum(col("__ts")).as("__st"),
+      sum(expr("cast(__ts as decimal(38,0)) * __ts")).as("__qt"))
+    broadcast(iAgg).crossJoin(broadcast(sAgg))
+      .withColumn("__vt", expr(
+        """cast(n as decimal(38,0)) * __qt -
+           cast(__st as decimal(38,0)) * __st"""))
+      .select(col("k"), col("n"),
+        expr("cast(__vi div n as bigint)").as("sum_item_var_n"),
+        expr("cast(__vt div n as bigint)").as("total_var_n"),
+        when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k") ||
+            col("__nmin") =!= col("n") || col("__nmax") =!= col("n"),
+          expr("raise_error('cronbachAlpha: unbalanced subject panel')"))
+          .otherwise(
+            when(col("k") >= 2 && col("__vt") > 0,
+              expr("""cast(sign(__vt - __vi) as bigint) *
+                cast((abs(cast(k as decimal(38,0)) * (__vt - __vi)) * 1000)
+                  div ((k - 1) * __vt) as bigint)""")))
+          .as("alpha_milli"))
   }
 
   /** Kendall tau-b — the concordant-pair rank correlation next to

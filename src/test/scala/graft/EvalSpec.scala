@@ -798,4 +798,95 @@ class EvalSpec extends SparkTestBase {
     val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
     assert(Eval.anovaF(one, "v", "g").collect().head.isNullAt(4))
   }
+
+  test("brownForsythe: hand doubled-cent deviations, equal-spread zero, " +
+      "median robustness to one outlier") {
+    // A = 1..5 (median 3), B = odd 1..9 (median 5): doubled deviations
+    // (400,200,0,200,400) vs (800,400,0,400,800) → SSB = 144000 u²,
+    // SSW = 560000 u², F = (144000/1)/(560000/8) = 2.057142
+    val two = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("a", _)) ++
+      Seq(1.0, 3.0, 5.0, 7.0, 9.0).map(("b", _))).toDF("g", "v")
+    val r = Eval.brownForsythe(two, "v", "g").collect().head
+    assert(r.getLong(2) === 144000000L && r.getLong(3) === 560000000L)
+    assert(r.getLong(4) === 2057142L)
+    // identical spread in different locations: deviations coincide,
+    // SSB is exactly zero
+    val shift = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("b", _))).toDF("g", "v")
+    val z = Eval.brownForsythe(shift, "v", "g").collect().head
+    assert(z.getLong(2) === 0L && z.getLong(4) === 0L)
+    // median centering: one huge outlier moves ITS OWN deviation only —
+    // the group median (and every other row's deviation) is unchanged,
+    // which mean-centering cannot claim
+    val base = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("b", _))).toDF("g", "v")
+    val withOut = (Seq(1.0, 2.0, 3.0, 4.0, 500.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("b", _))).toDF("g", "v")
+    val fBase = Eval.brownForsythe(base, "v", "g").collect().head
+    assert(fBase.getLong(2) === 0L) // identical groups
+    val fOut = Eval.brownForsythe(withOut, "v", "g").collect().head
+    // group a's median is still 3.00: rows 1..4 keep deviations
+    // (400,200,0,200); only the outlier row's deviation changed
+    assert(fOut.getLong(0) === 10L && fOut.getLong(2) > 0L)
+  }
+
+  test("cochranQ: hand 3x4 table, k = 2 equals uncorrected McNemar, " +
+      "all-constant fence, unbalanced panel rejected") {
+    // rows (1,1,0),(1,0,0),(1,1,1),(1,0,0): C = (4,2,1), N = 7,
+    // ΣR² = 15 → Q = 2·42/(3·6) = 4.666 → 4666 milli
+    val t3 = Seq(
+      (1L, "a", 1L), (1L, "b", 1L), (1L, "c", 0L),
+      (2L, "a", 1L), (2L, "b", 0L), (2L, "c", 0L),
+      (3L, "a", 1L), (3L, "b", 1L), (3L, "c", 1L),
+      (4L, "a", 1L), (4L, "b", 0L), (4L, "c", 0L)).toDF("s", "t", "x")
+    val r = Eval.cochranQ(t3, "s", "t", "x").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L && r.getLong(2) === 7L)
+    assert(r.getLong(3) === 6L && r.getLong(4) === 4666L)
+    // k = 2: Q = (b−c)²/(b+c) — 3 discordant (1,0), 1 discordant (0,1)
+    // → (3−1)²/4 = 1.0
+    val t2 = Seq(
+      (1L, "x", 1L), (1L, "y", 0L), (2L, "x", 1L), (2L, "y", 0L),
+      (3L, "x", 1L), (3L, "y", 0L), (4L, "x", 0L), (4L, "y", 1L),
+      (5L, "x", 1L), (5L, "y", 1L), (6L, "x", 1L), (6L, "y", 1L),
+      (7L, "x", 0L), (7L, "y", 0L)).toDF("s", "t", "x")
+    assert(Eval.cochranQ(t2, "s", "t", "x").collect().head
+      .getLong(4) === 1000L)
+    // every subject constant across treatments: denominator 0 → NULL
+    val const = Seq((1L, "x", 1L), (1L, "y", 1L), (2L, "x", 0L),
+      (2L, "y", 0L)).toDF("s", "t", "x")
+    assert(Eval.cochranQ(const, "s", "t", "x").collect().head.isNullAt(4))
+    // a missing cell is an error, not a silent zero
+    val unbal = Seq((1L, "x", 1L), (1L, "y", 0L), (2L, "x", 1L))
+      .toDF("s", "t", "x")
+    intercept[Exception](Eval.cochranQ(unbal, "s", "t", "x").collect())
+  }
+
+  test("cronbachAlpha: duplicated item alpha 1000, hand 0.75 case, " +
+      "negative covariance sign, zero-total-variance fence, unbalanced " +
+      "panel rejected") {
+    def panel(rows: Seq[(Long, String, Double)]) = rows.toDF("s", "i", "v")
+    // item2 ≡ item1 → alpha exactly 1
+    val dup = panel((1L to 4L).flatMap(s =>
+      Seq((s, "i1", s.toDouble), (s, "i2", s.toDouble))))
+    assert(Eval.cronbachAlpha(dup, "s", "i", "v").collect().head
+      .getLong(4) === 1000L)
+    // hand case: i1 = (1,2,3,4), i2 = (2,1,4,3): V1 = V2 = 20·10⁴,
+    // Vt = 64·10⁴ → alpha = 2·24/64 = 0.75
+    val hand = panel(Seq((1L, "i1", 1.0), (2L, "i1", 2.0), (3L, "i1", 3.0),
+      (4L, "i1", 4.0), (1L, "i2", 2.0), (2L, "i2", 1.0), (3L, "i2", 4.0),
+      (4L, "i2", 3.0)))
+    assert(Eval.cronbachAlpha(hand, "s", "i", "v").collect().head
+      .getLong(4) === 750L)
+    // anti-correlated items: alpha goes NEGATIVE through the signed route
+    val neg = panel(Seq((1L, "i1", 1.0), (2L, "i1", 2.0), (3L, "i1", 3.0),
+      (1L, "i2", 3.0), (2L, "i2", 1.0), (3L, "i2", 2.0)))
+    assert(Eval.cronbachAlpha(neg, "s", "i", "v").collect().head
+      .getLong(4) === -2000L)
+    // perfectly anti-parallel items: every subject total equal → Vt = 0
+    val flat = panel(Seq((1L, "i1", 1.0), (2L, "i1", 2.0),
+      (1L, "i2", 2.0), (2L, "i2", 1.0)))
+    assert(Eval.cronbachAlpha(flat, "s", "i", "v").collect().head.isNullAt(4))
+    val unbal = panel(Seq((1L, "i1", 1.0), (1L, "i2", 2.0), (2L, "i1", 3.0)))
+    intercept[Exception](Eval.cronbachAlpha(unbal, "s", "i", "v").collect())
+  }
 }
