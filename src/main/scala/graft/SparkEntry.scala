@@ -2817,6 +2817,19 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Katz centrality (2 fixed rounds, alpha 0.1, beta 1.0) over the
+    // part→supplier graph: attenuated path counts with the beta floor —
+    // the family member between degree and eigenvector. Raw doubles
+    // under the driver's float tolerance (the q_pagerank precedent);
+    // oracle = the unrolled recurrence.
+    "q_katz" -> ((s, dir) =>
+      graft.operators.Graph.katzCentrality(
+        t(s, dir, "lineitem")
+          .select(pmod(col("l_partkey"), lit(100)).as("src"),
+            pmod(col("l_suppkey"), lit(100)).as("dst")),
+        "src", "dst", iterations = 2)
+        .orderBy("id")),
+
     // Eigenvector centrality by 2-round L1-normalized power iteration
     // over the part→supplier graph (undirected-ized): the teleport-free
     // sibling of q_pagerank; scores micro-quantized (the q_hits
@@ -3767,6 +3780,15 @@ object SparkEntry {
       graft.operators.Events
         .seasonalIndices(t(s, dir, "events"), "ts", "value", period = 7)
         .orderBy("phase")),
+
+    // Seasonal-naive forecast backtest per event type: MASE =
+    // Σ|x_t − x_{t−7}| ·1000 div Σ|x_t − x_{t−1}| over the densified
+    // per-key daily cents series (both lags present). Exact BIGINT
+    // numerators, one truncated division. Fully oracled.
+    "q_mase" -> ((s, dir) =>
+      graft.operators.Events.maseBacktest(
+        t(s, dir, "events"), "event_type", "ts", "value", season = 7)
+        .orderBy("key")),
 
     // Sliding-window aggregation (2h windows hopping hourly): each
     // event lands in two windows via one Expand — no self-join, no
@@ -7740,6 +7762,36 @@ object SparkEntry {
         |         (count(*) * 700.0) AS seasonal
         |FROM p GROUP BY phase
         |ORDER BY phase""".stripMargin,
+
+    // per-key densified daily cents, both lags in one window, exact
+    // BIGINT error sums, HUGEINT-routed milli division
+    "q_mase" ->
+      """WITH sp AS (SELECT event_type AS key,
+        |        CAST(date_trunc('day', ts) AS DATE) AS day,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS c
+        |      FROM events GROUP BY 1, 2),
+        |rng AS (SELECT key, min(day) AS lo, max(day) AS hi
+        |        FROM sp GROUP BY 1),
+        |dense AS (SELECT key,
+        |        unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+        |          AS day
+        |      FROM rng),
+        |d AS (SELECT dense.key, dense.day, coalesce(sp.c, 0) AS c
+        |      FROM dense LEFT JOIN sp
+        |        ON sp.key = dense.key AND sp.day = dense.day),
+        |l AS (SELECT key, c,
+        |        lag(c, 1) OVER (PARTITION BY key ORDER BY day) AS l1,
+        |        lag(c, 7) OVER (PARTITION BY key ORDER BY day) AS ls
+        |      FROM d)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs(c - ls)) AS BIGINT) AS sae_seasonal,
+        |       CAST(sum(abs(c - l1)) AS BIGINT) AS sae_naive,
+        |       CASE WHEN sum(abs(c - l1)) > 0 THEN
+        |         CAST(CAST(sum(abs(c - ls)) AS HUGEINT) * 1000
+        |           // sum(abs(c - l1)) AS BIGINT) END AS mase_milli
+        |FROM l WHERE ls IS NOT NULL GROUP BY key
+        |ORDER BY key""".stripMargin,
 
     "q_gaps" ->
       """WITH l AS (
@@ -12080,6 +12132,23 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(dq_micro) AS BIGINT) AS q_micro FROM per)
         |SELECT label, n_nodes, e_in, d_c, dq_micro, q_micro
         |FROM per, tot ORDER BY label""".stripMargin,
+
+    // the Katz recurrence unrolled twice: x0 = beta, no degree
+    // normalization, beta floor on zero-in-degree nodes
+    "q_katz" ->
+      """WITH e AS (SELECT DISTINCT l_partkey % 100 AS src,
+        |                           l_suppkey % 100 AS dst FROM lineitem),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |x0 AS (SELECT id, 1e0 AS score FROM nodes),
+        |m1 AS (SELECT e.dst AS id, sum(x0.score) AS m
+        |       FROM e JOIN x0 ON x0.id = e.src GROUP BY 1),
+        |x1 AS (SELECT nodes.id, 1e0 + 0.1e0 * coalesce(m1.m, 0) AS score
+        |       FROM nodes LEFT JOIN m1 ON m1.id = nodes.id),
+        |m2 AS (SELECT e.dst AS id, sum(x1.score) AS m
+        |       FROM e JOIN x1 ON x1.id = e.src GROUP BY 1),
+        |x2 AS (SELECT nodes.id, 1e0 + 0.1e0 * coalesce(m2.m, 0) AS score
+        |       FROM nodes LEFT JOIN m2 ON m2.id = nodes.id)
+        |SELECT id, score FROM x2 ORDER BY id""".stripMargin,
 
     // the teleport-free power iteration unrolled twice: x0 = 1/n,
     // raw = neighbor sum, L1 normalizer with the zero-sum guard —

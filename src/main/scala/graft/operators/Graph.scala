@@ -757,6 +757,48 @@ object Graph {
     hub.join(auth, "id")
   }
 
+  /** Katz centrality by fixed-round iteration (Katz 1953 — public):
+    * `x_{i+1}(v) = β + α·Σ_{u→v} x_i(u)`, x₀ = β — the attenuated
+    * path-count centrality between degree (α→0) and
+    * [[eigenvectorCentrality]] (β→0, renormalized): a node earns
+    * influence from ALL walks reaching it, damped α per hop, with the
+    * β floor keeping zero-in-degree nodes visible (where eigenvector
+    * centrality zeroes entire source-only regions). Directed, over
+    * distinct edges; fixed rounds for oracle-expressibility (the PR
+    * family rationale — callers pick α below 1/λ_max for a contracting
+    * iteration; the fixed-round output is well-defined for any α).
+    *
+    * Scale: the [[pageRank]] economics minus the degree join — one
+    * (long, double) hash join + partial-agg sum per round,
+    * `barrierCut` per round. Judged `q_katz` (part→supplier graph,
+    * 2 rounds, raw doubles under the driver's float tolerance — the
+    * q_pagerank precedent), fully ORACLED via the unrolled
+    * recurrence; path/star hand values and the α → degree limit
+    * pinned in GraphSpec. */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, alpha: Double = 0.1,
+      beta: Double = 1.0): DataFrame = {
+    require(iterations >= 1 && alpha > 0 && beta > 0)
+    val e = graft.engine.Caches.persisted(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().barrierCut
+    var x = nodes.select(col("id"), lit(beta).as("score")).barrierCut
+    for (_ <- 1 to iterations) {
+      val inMass = e
+        .join(x.select(col("id").as("src"), col("score")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("score")).as("__m"))
+      x = nodes.join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(beta) + lit(alpha) * coalesce(col("__m"), lit(0.0)))
+            .as("score"))
+        .barrierCut
+    }
+    x
+  }
+
   /** PERSONALIZED PageRank (Haveliwala, WWW 2002 — public): the random
     * walk teleports back to the SEED SET instead of everywhere, so rank
     * concentrates in the seeds' neighborhood — "importance relative to

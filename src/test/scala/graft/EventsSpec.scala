@@ -2132,4 +2132,39 @@ class EventsSpec extends SparkTestBase {
       === ((1L, 2L, 2L, 1000L)))
     graft.engine.Caches.releaseAll()
   }
+
+  test("maseBacktest: perfect weekly 0, constant NULL, step series " +
+      "punishes the seasonal forecast, gaps densify to zero days") {
+    def series(key: String, vals: Seq[Double]) = vals.zipWithIndex.map {
+      case (v, i) => (key, ts(f"2026-01-${i + 1}%02d 12:00:00"), v)
+    }
+    // 14 days cycling 1..7 twice: x_t == x_{t-7} exactly -> MASE 0
+    val weekly = series("w", (0 until 14).map(i => (i % 7 + 1).toDouble))
+    // constant: naive error 0 -> NULL
+    val const = series("c", Seq.fill(10)(5.0))
+    // a level shift at day 8: seasonal error pays it for 7 days,
+    // naive pays once -> MASE = 7000
+    val step = series("s", Seq.fill(7)(0.0) ++ Seq.fill(7)(10.0))
+    val df = (weekly ++ const ++ step).toDF("k", "ts", "v")
+    val got = graft.operators.Events.maseBacktest(df, "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("w") === ((7L, 0L, 12L * 100L, 0L)))
+    assert(got("c")._4 === -1L)
+    assert(got("s") === ((7L, 7L * 1000L, 1000L, 7000L)))
+    // a silent day is a real zero: days 1..3 and 11..13 present, the
+    // 7-day gap densifies, so day 11 (= t10) sees x_{t-7} = day 4 = 0
+    val gappy = (series("g", Seq(2.0, 2.0, 2.0)) ++
+      Seq(10, 11, 12).map(d => ("g", ts(f"2026-01-$d%02d 12:00:00"), 2.0)))
+      .toDF("k", "ts", "v")
+    val g = graft.operators.Events.maseBacktest(gappy, "k", "ts", "v")
+      .collect().head
+    // dense days 1..12, eval days 8..12: seasonal errors (200, 200,
+    // 0, 200, 200) = 800 cents against days 1..5; naive errors all 0
+    // except the day-10 re-entry (200) -> MASE 4000
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4))
+      === ((5L, 800L, 200L, 4000L)))
+    graft.engine.Caches.releaseAll()
+  }
 }

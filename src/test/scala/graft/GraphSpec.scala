@@ -629,4 +629,31 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(s3(0L) - 0.5) < 1e-12)
     graft.engine.Caches.releaseAll()
   }
+
+  test("katzCentrality: path hand values, star floor, small-alpha " +
+      "degree limit") {
+    import spark.implicits._
+    // path 1→2→3 at α = 0.1, β = 1: x2 = (1, 1.1, 1.11) — node 3
+    // earns the 2-hop walk's attenuated credit
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val p = Graph.katzCentrality(path, "s", "d", 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(p(1L) - 1.0) < 1e-12)
+    assert(math.abs(p(2L) - 1.1) < 1e-12)
+    assert(math.abs(p(3L) - 1.11) < 1e-12)
+    // star leaves→center: center 1 + 4α, leaves keep the β floor
+    // (eigenvector centrality would zero the source-only leaves)
+    val star = (1L to 4L).map(l => (l, 0L)).toDF("s", "d")
+    val st = Graph.katzCentrality(star, "s", "d", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(st(0L) - 1.4) < 1e-12)
+    (1L to 4L).foreach(l => assert(math.abs(st(l) - 1.0) < 1e-12))
+    // α → 0: (x − β)/(αβ) after one round recovers the in-degree
+    val g = Seq((1L, 2L), (3L, 2L), (1L, 3L)).toDF("s", "d")
+    val tiny = Graph.katzCentrality(g, "s", "d", 1, alpha = 1e-9)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs((tiny(2L) - 1.0) / 1e-9 - 2.0) < 1e-3)
+    assert(math.abs((tiny(3L) - 1.0) / 1e-9 - 1.0) < 1e-3)
+    graft.engine.Caches.releaseAll()
+  }
 }
