@@ -3201,6 +3201,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Fill-in-the-middle PSM transform: split points are fractional
+    // offsets with two planted hygiene cases — every 11th doc's start
+    // beyond len (clamps), every 13th doc's bounds swapped (reorders).
+    // Pure substring arithmetic. Fully oracled.
+    "q_fim" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      val start = when(col("doc_id") % 11 === 0, col("len") * 2)
+        .when(col("doc_id") % 13 === 0,
+          expr("len * (doc_id % 3 + 4) div 6"))
+        .otherwise(expr("len * (doc_id % 3 + 1) div 6"))
+      val end = when(col("doc_id") % 13 === 0,
+          expr("len * (doc_id % 3 + 1) div 6"))
+        .otherwise(expr("len * (doc_id % 3 + 4) div 6"))
+      graft.functions.TextOps.fimTransform(
+        d.withColumn("s0", start).withColumn("e0", end),
+        "doc_id", "text", "s0", "e0")
+        .orderBy("doc_id")
+    }),
+
+    // Per-doc unigram-LM cost under the capped-trained vocab — the
+    // perplexity-style quality signal, exact-integer judged: the
+    // ladder's piece multiset is closed-form, so the cost sum is
+    // count arithmetic times the two ln-derived micro costs (+ the
+    // unk penalty on every 7th doc). Fully oracled.
+    "q_unigram_score" -> ((s, dir) => {
+      val v = graft.functions.TextOps.learnUnigramVocab(
+        unigramFixture(s, dir), "text",
+        vocabSize = 6, maxPieceLen = 4, emRounds = 2)
+      val enc = t(s, dir, "documents").select(col("doc_id"),
+        concat(expr("repeat('ab', CAST(1 + doc_id % 6 AS INT))"),
+          when(col("doc_id") % 7 === 0, lit("x")).otherwise(lit("")))
+          .as("text"))
+      graft.functions.TextOps.unigramScore(enc, "doc_id", "text", v)
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup (the third member of the dedup family): 64-bit
     // shingle-set fingerprints, pigeonhole band join, bit_count verify.
     // Fingerprints are xxhash64-derived → not DuckDB-expressible → judged
@@ -4835,6 +4872,20 @@ object SparkEntry {
         t(s, dir, "events").withColumn("label",
           (col("event_type") === "purchase").cast("int")),
         "value", "label", "event_id")),
+
+    // Hosmer-Lemeshow goodness-of-fit over score deciles: p = the
+    // cents-fraction pseudo-probability, O vs E = Σp̂ per bin,
+    // variance-normalized exact-integer terms, χ² df repeated per row
+    // (the modularity readout convention). Fully oracled.
+    "q_hosmer" -> ((s, dir) =>
+      graft.operators.Eval.hosmerLemeshow(
+        t(s, dir, "events").select(
+          ((floor(col("value") * 100 + lit(0.5)).cast("long") % 1000L)
+            .cast("double") / 1000.0).as("p"),
+          (col("event_type") === "purchase").cast("int").as("label"),
+          col("event_id")),
+        "p", "label", "event_id")
+        .orderBy("bin")),
 
     // MCC + Cohen's kappa at one operating threshold: exact confusion
     // cells, exact-integer kappa (sign·abs div), IEEE-pinned one-sqrt
@@ -8620,6 +8671,37 @@ object SparkEntry {
         |  CAST(floor(qt[ix] * 10 + 0.5) AS BIGINT)
         |    - CAST(floor(qc[ix] * 10 + 0.5) AS BIGINT) AS qte_decicents
         |FROM ps, q ORDER BY p_milli""".stripMargin,
+
+    // the q_ece binning with the prediction SUM kept; degenerate bins
+    // (e = 0 or e = 1000n) carry NULL terms and drop from the χ² sum
+    "q_hosmer" ->
+      """WITH per AS (SELECT
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS v,
+        |        event_id AS id,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |      FROM events),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |r AS (SELECT v, y,
+        |        row_number() OVER (ORDER BY v DESC, id) AS rnk
+        |      FROM per),
+        |b AS (SELECT CAST((rnk - 1) * 10 // (SELECT n FROM nn) AS INT)
+        |        AS bin, v, y FROM r),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS pos,
+        |        CAST(sum(v) AS BIGINT) AS sv FROM b GROUP BY 1),
+        |t AS (SELECT bin, n, pos, sv AS exp_milli,
+        |        CASE WHEN sv > 0 AND sv < n * 1000 THEN
+        |          CAST((CAST(1000 * pos - sv AS HUGEINT)
+        |              * (1000 * pos - sv) * n * 1000000)
+        |            // (CAST(sv AS HUGEINT) * (1000 * n - sv)) AS BIGINT)
+        |        END AS term_micro
+        |      FROM g),
+        |tot AS (SELECT CAST(sum(term_micro) AS BIGINT) AS hl_micro,
+        |        CASE WHEN count(term_micro) >= 3
+        |          THEN CAST(count(term_micro) - 2 AS BIGINT) END AS df_chi2
+        |      FROM t)
+        |SELECT bin, n, pos, exp_milli, term_micro, hl_micro, df_chi2
+        |FROM t, tot ORDER BY bin""".stripMargin,
 
     // the q_calibration bin replay collapsed to weighted/max |gap|
     "q_ece" ->
@@ -12739,6 +12821,76 @@ object SparkEntry {
         |       -CAST(floor((ln(tt) - ln(cnt)) * 1000000 + 0.5) AS BIGINT)
         |         AS logp_micro
         |FROM u, t ORDER BY piece""".stripMargin,
+
+    // the clamp/swap hygiene replayed arithmetically, then pure
+    // 1-based substring assembly (identical semantics both engines)
+    "q_fim" ->
+      """WITH d AS (SELECT doc_id, text,
+        |        CAST(length(text) AS BIGINT) AS len FROM documents),
+        |p AS (SELECT doc_id, text, len,
+        |        CASE WHEN doc_id % 11 = 0 THEN len * 2
+        |             WHEN doc_id % 13 = 0
+        |               THEN len * (doc_id % 3 + 4) // 6
+        |             ELSE len * (doc_id % 3 + 1) // 6 END AS s0,
+        |        CASE WHEN doc_id % 13 = 0
+        |               THEN len * (doc_id % 3 + 1) // 6
+        |             ELSE len * (doc_id % 3 + 4) // 6 END AS e0
+        |      FROM d),
+        |c AS (SELECT doc_id, text, len,
+        |        least(greatest(0, least(s0, len)),
+        |              greatest(0, least(e0, len))) AS s,
+        |        greatest(greatest(0, least(s0, len)),
+        |                 greatest(0, least(e0, len))) AS e
+        |      FROM p)
+        |SELECT doc_id,
+        |  '<PRE>' || substring(text, 1, CAST(s AS INT))
+        |    || '<SUF>' || substring(text, CAST(e + 1 AS INT),
+        |                            CAST(len AS INT))
+        |    || '<MID>' || substring(text, CAST(s + 1 AS INT),
+        |                            CAST(e - s AS INT)) AS fim_text,
+        |  s AS n_prefix, e - s AS n_middle, len - e AS n_suffix
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the trained costs re-derived by the SAME ln arithmetic as
+    // q_unigram_tok, then the ladder's closed-form piece multiset
+    "q_unigram_score" ->
+      """WITH d AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 6 IN (0, 1) THEN 'abab'
+        |             WHEN doc_id % 6 IN (2, 3) THEN 'ababab'
+        |             WHEN doc_id % 6 = 4 THEN 'abq' ELSE 'qq' END AS w
+        |      FROM documents WHERE doc_id < 60),
+        |n AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |u AS (SELECT * FROM (
+        |      SELECT 'abab' AS piece,
+        |        (SELECT n FROM n WHERE w = 'abab')
+        |          + (SELECT n FROM n WHERE w = 'ababab') AS cnt
+        |      UNION ALL SELECT 'ab', (SELECT n FROM n WHERE w = 'ababab')
+        |      UNION ALL SELECT 'abq', (SELECT n FROM n WHERE w = 'abq')
+        |      UNION ALL SELECT 'q', 2 * (SELECT n FROM n WHERE w = 'qq')
+        |      UNION ALL SELECT 'a', 1
+        |      UNION ALL SELECT 'b', 1)),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM u),
+        |costs AS (SELECT
+        |    CAST(floor((ln(tt) - ln((SELECT cnt FROM u
+        |      WHERE piece = 'abab'))) * 1000000 + 0.5) AS BIGINT) AS c4,
+        |    CAST(floor((ln(tt) - ln((SELECT cnt FROM u
+        |      WHERE piece = 'ab'))) * 1000000 + 0.5) AS BIGINT) AS c2,
+        |    CAST(floor(ln(tt) * 1000000 + 0.5) AS BIGINT) + 1000000
+        |      AS cunk
+        |  FROM t),
+        |p AS (SELECT doc_id, CAST(1 + doc_id % 6 AS BIGINT) AS k,
+        |        (doc_id % 7 = 0) AS xf FROM documents)
+        |SELECT doc_id,
+        |  CAST(k // 2 + k % 2 + CASE WHEN xf THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_pieces,
+        |  CAST((k // 2) * c4 + (k % 2) * c2
+        |    + CASE WHEN xf THEN cunk ELSE 0 END AS BIGINT)
+        |    AS cost_micro_sum,
+        |  CAST(((k // 2) * c4 + (k % 2) * c2
+        |      + CASE WHEN xf THEN cunk ELSE 0 END)
+        |    // (k // 2 + k % 2 + CASE WHEN xf THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS mean_cost_micro
+        |FROM p, costs ORDER BY doc_id""".stripMargin,
 
     // the syllable ladder's Viterbi is closed-form: even k → k/2
     // abab's, odd k → ONE leading 'ab' (longer-last-piece tie rule),

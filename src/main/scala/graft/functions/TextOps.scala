@@ -963,6 +963,85 @@ object TextOps {
       .toDF(idCol, "tokens")
   }
 
+  /** Per-document unigram-LM cost under a trained vocabulary — the
+    * perplexity-style QUALITY SIGNAL the tokenizer family feeds back
+    * into curation (a doc whose Viterbi segmentation is expensive per
+    * piece is out-of-domain for the vocab — the [[unigramLmScore]]
+    * idea at the subword level, and exact-integer judged where that
+    * one floats): `cost_micro_sum = Σ cost_micro(piece)` over the
+    * [[unigramSegment]] segmentation (unknown chars at the
+    * [[unigramEncode]] penalty), `mean_cost_micro = sum div n_pieces`.
+    * Same collected-vocab typed-map shape as the encoder. Judged
+    * `q_unigram_score` (ladder arithmetic over the capped-trained
+    * vocab), fully ORACLED; monotonicity vs an in-vocab doc pinned in
+    * TextOpsSpec. */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val collected = vocab.select(col("piece"), col("count"))
+      .as[(String, Long)].collect()
+    require(collected.nonEmpty, "unigramScore: empty vocabulary")
+    val counts = collected.toMap
+    val costs = unigramCosts(counts)
+    val maxLen = counts.keysIterator.map(_.length).max
+    val unk = math.floor(
+      math.log(counts.valuesIterator.sum.toDouble) * 1e6 + 0.5).toLong +
+      1000000L
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val pieces = text.split(" ", -1).iterator.filter(_.nonEmpty)
+          .flatMap(w => unigramSegment(w, costs, maxLen, unk)).toSeq
+        val total = pieces.iterator.map(p => costs.getOrElse(p, unk)).sum
+        (id, pieces.length.toLong, total,
+          if (pieces.isEmpty) -1L else total / pieces.length)
+      }
+      .toDF(idCol, "n_pieces", "cost_micro_sum", "mean_cost_micro")
+      .withColumn("mean_cost_micro",
+        when(col("n_pieces") === 0L, lit(null).cast("long"))
+          .otherwise(col("mean_cost_micro")))
+  }
+
+  /** Fill-in-the-middle training transform (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle" —
+    * public): rearrange each document into PSM order —
+    * `<PRE>prefix<SUF>suffix<MID>middle` — so a causal LM learns to
+    * infill: it sees the surrounding context first and produces the
+    * excised middle at the end, where the loss lives. Split positions
+    * come from caller-supplied COLUMNS (character offsets — a
+    * deterministic policy like fractional offsets or fibHash jitter
+    * stays replayable; this operator is the assembly + hygiene step):
+    * both clamp into [0, len] and order as s ≤ e (`least`/`greatest` —
+    * defined clamping, not an error, so a policy computed on a
+    * different column's length can't crash the pipeline). Output
+    * carries the three span lengths for budget accounting. Pure
+    * scan-stage substring arithmetic — zero shuffle, fully
+    * DuckDB-expressible. Judged `q_fim`, fully ORACLED; reassembly
+    * identity (prefix+middle+suffix = original), clamping and empty
+    * spans pinned in TextOpsSpec. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      startCol: String, endCol: String,
+      preTok: String = "<PRE>", sufTok: String = "<SUF>",
+      midTok: String = "<MID>"): DataFrame = {
+    val len = length(col(textCol)).cast("long")
+    val s0 = greatest(lit(0L), least(col(startCol).cast("long"), len))
+    val e0 = greatest(lit(0L), least(col(endCol).cast("long"), len))
+    docs.withColumn("__s", least(s0, e0))
+      .withColumn("__e", greatest(s0, e0))
+      .select(col(idCol),
+        concat(lit(preTok),
+          expr(s"substring($textCol, 1, cast(__s as int))"),
+          lit(sufTok),
+          expr(s"""substring($textCol, cast(__e + 1 as int),
+            cast(length($textCol) as int))"""),
+          lit(midTok),
+          expr(s"substring($textCol, cast(__s + 1 as int), " +
+            "cast(__e - __s as int))")).as("fim_text"),
+        col("__s").as("n_prefix"),
+        (col("__e") - col("__s")).as("n_middle"),
+        (len - col("__e")).as("n_suffix"))
+  }
+
   /** SFT chat-template assembly with loss-mask spans — the
     * supervised-fine-tuning data-prep step between curation and
     * tokenization: each conversation's turns render as

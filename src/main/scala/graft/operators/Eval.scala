@@ -244,7 +244,20 @@ object Eval {
     * perfectly-calibrated zero gaps, constant-scorer single-mean and
     * bin-count exactness pinned in EvalSpec. */
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
-      idCol: String, k: Int = 10, bands: Int = 32): DataFrame = {
+      idCol: String, k: Int = 10, bands: Int = 32): DataFrame =
+    scoreBins(df, scoreCol, labelCol, idCol, k, bands)
+      .select(col("bin"), col("n"), col("pos"),
+        expr("__sv div n").as("mean_pred_milli"),
+        expr("pos * 1000 div n").as("obs_rate_milli"),
+        expr("__sv div n - pos * 1000 div n").as("gap_milli"))
+
+  /** The shared equal-count score-decile relation under
+    * [[calibrationBins]] / [[hosmerLemeshow]]: per bin (desc-rank
+    * equal-count over milli scores, the liftTable total order) the
+    * row count `n`, positive count `pos`, and the exact milli
+    * prediction sum `__sv`. */
+  private def scoreBins(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, k: Int, bands: Int): DataFrame = {
     require(k >= 2 && k <= 100, s"k must be in 2..100: $k")
     val per = graft.engine.Caches.persisted(
       df.select(
@@ -270,10 +283,47 @@ object Eval {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
         sum(col("v")).as("__sv"))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit statistic (Hosmer & Lemeshow
+    * 1980 — public): does the PROBABILITY MODEL fit — per score
+    * decile, observed positives O against expected E = Σp̂, summed as
+    * `HL = Σ_g (O−E)²/(E(1−E/n_g))`, χ²(g−2) under fit. The formal
+    * TEST beside [[calibrationError]]'s descriptive gap summary (ECE
+    * weights |gap|; HL variance-normalizes it, so a tight bin's small
+    * gap can matter more than a loose bin's large one).
+    *
+    * Exact-integer route on the [[calibrationBins]] relation: with
+    * `e = Σ score_milli` (exact — the per-row milli quantization is
+    * the only float step), each bin's term is
+    * `term_micro = (1000·O − e)²·n·10⁶ div (e·(1000n − e))` over
+    * DECIMAL(38,0) (q_gini rule; all factors non-negative). A
+    * degenerate bin (e = 0 or e = 1000n — zero modeled variance)
+    * carries a NULL term and drops from the sum; `hl_micro` and
+    * `df_chi2 = used − 2` (NULL when < 1) repeat on every row, the
+    * [[Graph.modularity]] readout convention.
+    *
+    * Scale: the bins pipeline + a k-row readout. The DECIMAL(38,0)
+    * numerator caps bin size at ~3e7 rows ((1000n)²·n·10⁶ < 10³⁸) —
+    * raise k to keep bins under that at extreme corpus sizes. Judged
+    * `q_hosmer`, fully ORACLED; the perfectly-calibrated small case,
+    * the degenerate-bin fence and ECE-vs-HL divergence pinned in
+    * EvalSpec. */
+  def hosmerLemeshow(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, k: Int = 10, bands: Int = 32): DataFrame = {
+    val per = scoreBins(df, scoreCol, labelCol, idCol, k, bands)
       .select(col("bin"), col("n"), col("pos"),
-        expr("__sv div n").as("mean_pred_milli"),
-        expr("pos * 1000 div n").as("obs_rate_milli"),
-        expr("__sv div n - pos * 1000 div n").as("gap_milli"))
+        col("__sv").as("exp_milli"),
+        when(col("__sv") > 0 && col("__sv") < col("n") * 1000L,
+          expr("""cast((cast(1000 * pos - __sv as decimal(38,0))
+              * (1000 * pos - __sv) * n * 1000000)
+            div (cast(__sv as decimal(38,0)) * (1000 * n - __sv))
+            as bigint)"""))
+          .as("term_micro"))
+    per.crossJoin(broadcast(per.agg(
+      sum(col("term_micro")).as("hl_micro"),
+      when(count(col("term_micro")) >= 3,
+        count(col("term_micro")) - 2).as("df_chi2"))))
   }
 
   /** Expected + maximum calibration error — [[calibrationBins]]

@@ -799,6 +799,35 @@ class EvalSpec extends SparkTestBase {
     assert(Eval.anovaF(one, "v", "g").collect().head.isNullAt(4))
   }
 
+  test("hosmerLemeshow: calibrated zero, hand miscalibrated terms, " +
+      "degenerate bin drops, df fence") {
+    import spark.implicits._
+    def rows(p: Double, n: Int, pos: Int) =
+      (0 until n).map(i => (p, if (i < pos) 1 else 0))
+    def df(xs: Seq[(Double, Int)]) = xs.zipWithIndex
+      .map { case ((p, y), i) => (i.toLong, p, y) }.toDF("id", "p", "y")
+    // within-bin calibrated: E = O in both deciles -> HL exactly 0
+    val cal = df(rows(0.8, 10, 8) ++ rows(0.2, 10, 2))
+    val c = Eval.hosmerLemeshow(cal, "p", "y", "id", k = 2)
+      .orderBy("bin").collect()
+    assert(c.forall(_.getLong(4) === 0L))
+    assert(c.head.getLong(5) === 0L && c.head.isNullAt(6)) // df: 2 bins < 3
+    // hand miscalibration: bin(p=.5, O=7) term 1600000,
+    // bin(p=.1, O=3) term 4444444
+    val mis = df(rows(0.5, 10, 7) ++ rows(0.1, 10, 3))
+    val m = Eval.hosmerLemeshow(mis, "p", "y", "id", k = 2)
+      .orderBy("bin").collect()
+    assert(m(0).getLong(4) === 1600000L)
+    assert(m(1).getLong(4) === 4444444L)
+    assert(m(0).getLong(5) === 6044444L)
+    // p = 0 everywhere in a bin: zero modeled variance, term NULL and
+    // excluded from the sum
+    val degen = df(rows(0.5, 10, 7) ++ rows(0.0, 10, 0))
+    val d = Eval.hosmerLemeshow(degen, "p", "y", "id", k = 2)
+      .orderBy("bin").collect()
+    assert(d(1).isNullAt(4) && d(0).getLong(5) === 1600000L)
+  }
+
   test("brownForsythe: hand doubled-cent deviations, equal-spread zero, " +
       "median robustness to one outlier") {
     // A = 1..5 (median 3), B = odd 1..9 (median 5): doubled deviations

@@ -692,6 +692,54 @@ class TextOpsSpec extends SparkTestBase {
     assert(enc(2L) === Seq("z", "z"))
   }
 
+  test("fimTransform: PSM assembly, reassembly identity, clamping, " +
+      "swapped bounds, empty spans") {
+    import spark.implicits._
+    def fim(rows: Seq[(Long, String, Long, Long)]) =
+      graft.functions.TextOps.fimTransform(
+        rows.toDF("id", "text", "s", "e"), "id", "text", "s", "e")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val got = fim(Seq(
+      (1L, "0123456789", 3L, 7L),   // plain split
+      (2L, "0123456789", -5L, 99L), // clamps to [0, len]
+      (3L, "0123456789", 7L, 3L),   // swapped -> reordered
+      (4L, "0123456789", 4L, 4L),   // empty middle
+      (5L, "", 3L, 7L)))            // empty doc
+    assert(got(1L) === (("<PRE>012<SUF>789<MID>3456", 3L, 4L, 3L)))
+    assert(got(2L) === (("<PRE><SUF><MID>0123456789", 0L, 10L, 0L)))
+    assert(got(3L) === got(1L)) // least/greatest reorder
+    assert(got(4L) === (("<PRE>0123<SUF>456789<MID>", 4L, 0L, 6L)))
+    assert(got(5L) === (("<PRE><SUF><MID>", 0L, 0L, 0L)))
+    // reassembly identity: prefix + middle + suffix = original
+    val r1 = got(1L)._1
+    val pre = r1.substring(5, 5 + 3)
+    val suf = r1.substring(5 + 3 + 5, 5 + 3 + 5 + 3)
+    val mid = r1.substring(5 + 3 + 5 + 3 + 5)
+    assert(pre + mid + suf === "0123456789")
+  }
+
+  test("unigramScore: piece-cost arithmetic, unk penalty dominates, " +
+      "empty-doc null mean") {
+    import spark.implicits._
+    val vocab = Seq(("a", 1L), ("b", 1L), ("ab", 20L), ("abab", 40L),
+      ("q", 20L), ("abq", 10L)).toDF("piece", "count")
+    def cost(c: Long) = math.floor(
+      (math.log(92.0) - math.log(c.toDouble)) * 1e6 + 0.5).toLong
+    val unk = math.floor(math.log(92.0) * 1e6 + 0.5).toLong + 1000000L
+    val got = graft.functions.TextOps.unigramScore(
+      Seq((1L, "abab abab"), (2L, "zz"), (3L, "")).toDF("id", "text"),
+      "id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 2 * cost(40), cost(40))))
+    assert(got(2L) === ((2L, 2 * unk, unk)))
+    assert(got(3L) === ((0L, 0L, -1L)))
+    assert(got(2L)._3 > got(1L)._3) // out-of-domain text costs more
+  }
+
   test("blocklistReport: threshold boundary, multiplicity, case folding, " +
       "domain gate, empty lists pass everything") {
     import spark.implicits._
