@@ -5090,6 +5090,36 @@ object SparkEntry {
         "subj", "event_type", "x")
     }),
 
+    // Friedman rank test over the user-bucket × event-type panel
+    // (blocks absorb per-bucket level differences): doubled
+    // tie-averaged within-block ranks, exact chi2 milli + tie
+    // correction. Fully oracled.
+    "q_friedman" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 250).as("subj"), col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val obs = ev.groupBy("subj", "event_type")
+        .agg(sum(col("cents")).as("c"))
+      val grid = ev.select("subj").distinct()
+        .crossJoin(ev.select("event_type").distinct())
+      graft.operators.Eval.friedmanTest(
+        grid.join(obs, Seq("subj", "event_type"), "left")
+          .withColumn("v", coalesce(col("c"), lit(0L)).cast("double") / 100.0)
+          .select("subj", "event_type", "v"),
+        "subj", "event_type", "v")
+    }),
+
+    // Operating-point selection under asymmetric costs (FN 1.7:0.3
+    // FP): the Youden-J argmax and the cost argmin over every realized
+    // threshold, exact integers off the banded descending ECDF, ties
+    // to the lowest threshold. Fully oracled.
+    "q_threshold_opt" -> ((s, dir) =>
+      graft.operators.Eval.bestThreshold(
+        t(s, dir, "events").withColumn("label",
+          (col("event_type") === "purchase").cast("int")),
+        "value", "label", cFpMilli = 300L, cFnMilli = 1700L)
+        .orderBy("criterion")),
+
     // Cronbach's alpha over the user-bucket × event-type panel of
     // per-cell cents sums (grid-completed with zeros): internal
     // consistency of the five "items". Exact integer variance
@@ -9244,6 +9274,87 @@ object SparkEntry {
         |      AS BIGINT)
         |  END AS q_milli
         |FROM agg""".stripMargin,
+
+    // within-block doubled tie-averaged ranks off the block-local pair
+    // join, 3000·ΣR2² identity (doubling turns 12 into 3), HUGEINT
+    // intermediates, signed tie-correction route
+    "q_friedman" ->
+      """WITH ev AS (SELECT user_id % 250 AS subj, event_type,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM events),
+        |obs AS (SELECT subj, event_type, CAST(sum(cents) AS BIGINT) AS c
+        |        FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT s.subj, t.event_type
+        |         FROM (SELECT DISTINCT subj FROM ev) s,
+        |              (SELECT DISTINCT event_type FROM ev) t),
+        |p AS (SELECT grid.subj AS b, grid.event_type AS t,
+        |        coalesce(obs.c, 0) AS v
+        |      FROM grid LEFT JOIN obs USING (subj, event_type)),
+        |kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM p),
+        |bb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM p),
+        |tt AS (SELECT CAST(coalesce(sum(tv * tv * tv - tv), 0) AS BIGINT)
+        |         AS tc
+        |       FROM (SELECT b, v, CAST(count(*) AS BIGINT) AS tv
+        |             FROM p GROUP BY 1, 2)),
+        |dr AS (SELECT l.b, l.t,
+        |        CAST(sum(CASE WHEN r.v < l.v THEN 2 ELSE 0 END)
+        |          + sum(CASE WHEN r.v = l.v THEN 1 ELSE 0 END) + 1
+        |          AS BIGINT) AS dr
+        |      FROM p l JOIN p r ON l.b = r.b GROUP BY 1, 2),
+        |r2 AS (SELECT t, CAST(sum(dr) AS BIGINT) AS r2
+        |       FROM dr GROUP BY 1),
+        |agg AS (SELECT kk.k, bb.nb, tt.tc,
+        |        sum(CAST(r2 AS HUGEINT) * r2) AS s2
+        |      FROM r2, kk, bb, tt GROUP BY 1, 2, 3),
+        |f AS (SELECT k, nb AS b_blocks, tc,
+        |        CAST((3000 * s2) // (nb * k * (k + 1))
+        |          - 3000 * nb * (k + 1) AS BIGINT) AS chi2_milli
+        |      FROM agg)
+        |SELECT k, b_blocks, chi2_milli,
+        |  CASE WHEN b_blocks * k * (k * k - 1) - tc > 0 THEN
+        |    CAST(sign(chi2_milli) AS BIGINT) *
+        |    CAST(abs(CAST(chi2_milli AS HUGEINT))
+        |        * (b_blocks * k * (k * k - 1))
+        |      // (b_blocks * k * (k * k - 1) - tc) AS BIGINT)
+        |  END AS chi2_adj_milli
+        |FROM f""".stripMargin,
+
+    // descending-cumulative confusion cells at every realized
+    // threshold; both argopt rows as ordered LIMIT-1 subqueries, ties
+    // to the lowest threshold
+    "q_threshold_opt" ->
+      """WITH per AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT)
+        |        AS v,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |      FROM events),
+        |g AS (SELECT v, CAST(sum(y) AS BIGINT) AS p,
+        |        CAST(sum(1 - y) AS BIGINT) AS n
+        |      FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all,
+        |        CAST(sum(n) AS BIGINT) AS tn_all FROM g),
+        |c AS (SELECT v AS threshold_milli,
+        |        CAST(sum(p) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+        |        CAST(sum(n) OVER (ORDER BY v DESC) AS BIGINT) AS fp
+        |      FROM g),
+        |s AS (SELECT threshold_milli, tp, fp,
+        |        tot.tn_all - fp AS tn, tot.tp_all - tp AS fn,
+        |        CAST(CAST(tp AS HUGEINT) * 1000000 // tot.tp_all
+        |            AS BIGINT)
+        |          - CAST(CAST(fp AS HUGEINT) * 1000000 // tot.tn_all
+        |            AS BIGINT) AS j_micro,
+        |        CAST((tot.tp_all - tp) * 1700 + fp * 300 AS BIGINT)
+        |          AS cost_milli
+        |      FROM c, tot)
+        |SELECT * FROM (
+        |  SELECT 'youden' AS criterion, threshold_milli, tp, fp, tn, fn,
+        |         j_micro, cost_milli
+        |  FROM s ORDER BY j_micro DESC, threshold_milli LIMIT 1)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'min_cost', threshold_milli, tp, fp, tn, fn,
+        |         j_micro, cost_milli
+        |  FROM s ORDER BY cost_milli, threshold_milli LIMIT 1)
+        |ORDER BY criterion""".stripMargin,
 
     // exact integer variance NUMERATORS (n·Σx² − (Σx)²; the n²
     // denominators cancel in the alpha ratio), signed milli division

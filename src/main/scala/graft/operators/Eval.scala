@@ -399,6 +399,85 @@ object Eval {
           as bigint)""").as("kappa_micro"))
   }
 
+  /** Operating-point selection: the Youden-J-optimal and the
+    * expected-cost-optimal decision thresholds in one sweep (Youden
+    * 1950; cost curves, Drummond & Holte 2006 — public). Where
+    * [[mccKappa]] SCORES a caller-chosen threshold, this CHOOSES one:
+    * over every realized threshold (predict positive iff
+    * `score ≥ s` for each distinct milli score), pick (a) the J
+    * maximizer `J = tpr − fpr` and (b) the minimizer of
+    * `cost = fn·c_fn + fp·c_fp`. Exact integers throughout:
+    * `j_micro = tp·10⁶ div P − fp·10⁶ div N` (a difference of two
+    * non-negative truncated divisions — the documented-safe shape),
+    * `cost_milli = (P − tp)·cFnMilli + fp·cFpMilli`. Ties resolve to
+    * the LOWEST threshold (the more-recall operating point), pinned on
+    * both sides. Returns two labeled rows (`criterion` ∈ 'youden',
+    * 'min_cost'); empty when either class is absent (no tradeoff to
+    * optimize — spec-pinned fence).
+    *
+    * Scale: the [[aucExact]] posture — rows partial-aggregate to
+    * per-distinct-score (pos, neg) counts FIRST, the descending
+    * cumulative rides the banded ECDF (no global window), and each
+    * selection is a TakeOrdered(1). Judged `q_threshold_opt`, fully
+    * ORACLED; hand sweep, tie rule, cost-vs-J divergence under
+    * asymmetric costs and the one-class fence pinned in EvalSpec. */
+  def bestThreshold(df: DataFrame, scoreCol: String, labelCol: String,
+      cFpMilli: Long = 1000L, cFnMilli: Long = 1000L,
+      bands: Int = 32): DataFrame = {
+    require(cFpMilli >= 0 && cFnMilli >= 0)
+    val per = graft.engine.Caches.persisted(
+      df.select(floor(col(scoreCol) * 1000 + lit(0.5)).cast("long").as("v"),
+          col(labelCol).cast("long").as("__y"))
+        .groupBy("v")
+        .agg(sum(col("__y")).as("__p"),
+          sum(lit(1L) - col("__y")).as("__n")))
+    val bounds = broadcast(per.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi"),
+      sum(col("__p")).as("__ptot"), sum(col("__n")).as("__ntot")))
+    val banded = per.crossJoin(bounds)
+      .filter(col("__ptot") > 0 && col("__ntot") > 0)
+      .withColumn("__band", graft.engine.Banding.bandDesc(
+        col("v"), col("__lo"), col("__hi"), bands))
+      // drop the totals before the offsets self-join (re-attached
+      // below) — shared lineage would make __P/__N ambiguous
+      .select(col("v"), col("__p"), col("__n"), col("__band"))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(sum(col("__p")).as("__bp"), sum(col("__n")).as("__bn"))
+      .withColumn("__op", coalesce(sum(col("__bp")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .withColumn("__on", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("__band"), col("__op"), col("__on"))
+    val wB = Window.partitionBy(col("__band")).orderBy(col("v").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val sweep = graft.engine.Caches.persisted(
+      banded.join(broadcast(offsets), "__band")
+        .withColumn("tp", col("__op") + sum(col("__p")).over(wB))
+        .withColumn("fp", col("__on") + sum(col("__n")).over(wB))
+        .crossJoin(broadcast(bounds.select(
+          col("__ptot").as("__pt"), col("__ntot").as("__nt"))))
+        .select(col("v").as("threshold_milli"), col("tp"), col("fp"),
+          (col("__nt") - col("fp")).as("tn"),
+          (col("__pt") - col("tp")).as("fn"),
+          expr("""cast(cast(tp as decimal(38,0)) * 1000000 div __pt
+              as bigint)
+            - cast(cast(fp as decimal(38,0)) * 1000000 div __nt
+              as bigint)""").as("j_micro"),
+          ((col("__pt") - col("tp")) * lit(cFnMilli) +
+            col("fp") * lit(cFpMilli)).as("cost_milli")))
+    val youden = sweep
+      .orderBy(col("j_micro").desc, col("threshold_milli"))
+      .limit(1).withColumn("criterion", lit("youden"))
+    val cheapest = sweep
+      .orderBy(col("cost_milli"), col("threshold_milli"))
+      .limit(1).withColumn("criterion", lit("min_cost"))
+    youden.unionByName(cheapest)
+      .select(col("criterion"), col("threshold_milli"), col("tp"),
+        col("fp"), col("tn"), col("fn"), col("j_micro"), col("cost_milli"))
+  }
+
   /** Average precision — the area under the precision–recall curve as
     * rankers are actually scored (the step-sum convention: the mean of
     * precision@rank over POSITIVE rows, total order pinned to
@@ -835,6 +914,70 @@ object Eval {
                 div (cast(k as decimal(38,0))
                   * (cast(k as decimal(38,0)) * n - __rr)) as bigint)""")))
           .as("q_milli"))
+  }
+
+  /** Friedman rank test (Friedman 1937 — public): did any treatment
+    * shift the distribution, decided on WITHIN-BLOCK ranks — the
+    * repeated-measures sibling of [[kruskalWallis]] (blocks absorb
+    * between-subject variation) and the ordinal sibling of
+    * [[cochranQ]]. Over a balanced block×treatment panel: per block,
+    * doubled tie-averaged ranks (`2c + t + 1`, the kruskal identity —
+    * exact BIGINTs) from a within-block pair join (k cells per block,
+    * k config-scale); with doubled rank sums `R2_j`,
+    * `chi2_milli = (3000·ΣR2_j²) div (b·k·(k+1)) − 3000·b·(k+1)`
+    * (the 12/(bk(k+1))·ΣR² − 3b(k+1) statistic — doubling turns 12
+    * into 3), DECIMAL(38,0) intermediates. The tie correction divides
+    * by `1 − ΣΣ(t³−t)/(b·k·(k²−1))`:
+    * `chi2_adj_milli = sign·(|chi2|·bkK div (bkK − T))` with
+    * `K = k²−1` (signed: milli truncation can push a null-effect χ²
+    * one milli negative); NULL when every block is fully tied.
+    * χ²(k−1) under H₀. Balance REQUIRED (raise_error in-plan, the
+    * [[cochranQ]] convention).
+    *
+    * Scale: the pair join is block-local (b·k² rows, k config-scale),
+    * everything else partial aggregates. Judged `q_friedman`, fully
+    * ORACLED; the strict-order hand case (χ² = 8), a ties case, the
+    * all-tied fence and the balance check pinned in EvalSpec. */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val x = graft.engine.Caches.persisted(
+      df.select(col(blockCol).as("b"),
+        col(treatmentCol).cast("string").as("t"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("v")))
+    val kAgg = broadcast(x.select(col("t")).distinct()
+      .agg(count(lit(1)).as("k")))
+    val bAgg = broadcast(x.groupBy(col("b"))
+      .agg(count(lit(1)).as("__kb"))
+      .agg(count(lit(1)).as("nb"), min(col("__kb")).as("__kmin"),
+        max(col("__kb")).as("__kmax")))
+    val tAgg = broadcast(x.groupBy(col("b"), col("v"))
+      .agg(count(lit(1)).as("__tv"))
+      .agg(coalesce(sum(expr("__tv * __tv * __tv - __tv")), lit(0L))
+        .as("__T")))
+    val dr = x.as("l").join(x.as("r"), col("l.b") === col("r.b"))
+      .groupBy(col("l.b"), col("l.t"))
+      .agg((sum(when(col("r.v") < col("l.v"), 2L).otherwise(0L)) +
+        sum(when(col("r.v") === col("l.v"), 1L).otherwise(0L)) + 1L)
+        .as("__dr"))
+    dr.groupBy(col("t")).agg(sum(col("__dr")).as("__r2"))
+      .crossJoin(kAgg).crossJoin(bAgg).crossJoin(tAgg)
+      .agg(max(col("k")).as("k"), max(col("nb")).as("b_blocks"),
+        max(col("__kmin")).as("__kmin"), max(col("__kmax")).as("__kmax"),
+        max(col("__T")).as("__T"),
+        sum(expr("cast(__r2 as decimal(38,0)) * __r2")).as("__s2"))
+      .withColumn("chi2_milli",
+        when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k"),
+          expr("raise_error('friedmanTest: unbalanced block panel')"))
+          .otherwise(expr(
+            """cast((3000 * __s2) div (b_blocks * k * (k + 1))
+               - 3000 * b_blocks * (k + 1) as bigint)""")))
+      .select(col("k"), col("b_blocks"), col("chi2_milli"),
+        when(expr("b_blocks * k * (k * k - 1) - __T") > 0,
+          expr("""cast(sign(chi2_milli) as bigint) *
+            cast((abs(cast(chi2_milli as decimal(38,0)))
+                * (b_blocks * k * (k * k - 1)))
+              div (b_blocks * k * (k * k - 1) - __T) as bigint)"""))
+          .as("chi2_adj_milli"))
   }
 
   /** Cronbach's alpha internal-consistency coefficient (Cronbach

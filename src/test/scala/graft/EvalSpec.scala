@@ -828,6 +828,34 @@ class EvalSpec extends SparkTestBase {
     assert(d(1).isNullAt(4) && d(0).getLong(5) === 1600000L)
   }
 
+  test("bestThreshold: hand sweep, asymmetric-cost divergence, tie to " +
+      "lowest threshold, one-class fence") {
+    import spark.implicits._
+    // scores .9/.8 positive-heavy, .2/.1 negative-heavy
+    val df = Seq((0.9, 1), (0.9, 1), (0.8, 1), (0.8, 0), (0.2, 0),
+      (0.2, 1), (0.1, 0), (0.1, 0)).zipWithIndex
+      .map { case ((s, y), i) => (i.toLong, s, y) }.toDF("id", "s", "y")
+    // sweep: thr 900: tp2 fp0 -> J = 500000-0; thr 800: tp3 fp1 ->
+    // 750000-250000=500000; thr 200: tp4 fp2 -> 1000000-500000=500000;
+    // thr 100: tp4 fp4 -> 0. Three-way J tie -> LOWEST threshold 200
+    val eq = graft.operators.Eval.bestThreshold(df, "s", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6),
+          r.getLong(7)))).toMap
+    assert(eq("youden") === ((200L, 4L, 2L, 500000L, 2000L)))
+    // symmetric costs: thr 900 cost = 2fn*1000=2000, thr 200 cost =
+    // 0fn+2fp=2000, thr 800: 1fn+1fp = 2000 -> tie -> lowest = 200
+    assert(eq("min_cost")._1 === 200L)
+    // expensive FP pushes the cost optimum up, J unchanged
+    val cfp = graft.operators.Eval.bestThreshold(df, "s", "y",
+      cFpMilli = 10000L, cFnMilli = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cfp("youden") === 200L && cfp("min_cost") === 900L)
+    // one-class input: nothing to trade off
+    val onec = Seq((1L, 0.5, 1), (2L, 0.6, 1)).toDF("id", "s", "y")
+    assert(graft.operators.Eval.bestThreshold(onec, "s", "y").count() === 0L)
+  }
+
   test("brownForsythe: hand doubled-cent deviations, equal-spread zero, " +
       "median robustness to one outlier") {
     // A = 1..5 (median 3), B = odd 1..9 (median 5): doubled deviations
@@ -888,6 +916,30 @@ class EvalSpec extends SparkTestBase {
     val unbal = Seq((1L, "x", 1L), (1L, "y", 0L), (2L, "x", 1L))
       .toDF("s", "t", "x")
     intercept[Exception](Eval.cochranQ(unbal, "s", "t", "x").collect())
+  }
+
+  test("friedmanTest: strict-order chi2 8000, tie correction 4500 -> " +
+      "6000, all-tied fence, unbalanced panel rejected") {
+    import spark.implicits._
+    def strict(b: Long) = Seq((b, "a", 1.0), (b, "b", 2.0), (b, "c", 3.0))
+    def tied(b: Long) = Seq((b, "a", 5.0), (b, "b", 5.0), (b, "c", 5.0))
+    // 4 strictly-ordered blocks: doubled ranks (2,4,6) each ->
+    // chi2 = 12/(4*3*4)*(16+64+144) - 3*4*4 = 8, no ties
+    val s4 = (1L to 4L).flatMap(strict).toDF("b", "t", "v")
+    val r = Eval.friedmanTest(s4, "b", "t", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((3L, 4L, 8000L, 8000L)))
+    // 3 strict + 1 fully-tied block: chi2 4.5, correction factor
+    // 1 - 24/96 -> adjusted exactly 6
+    val mix = ((1L to 3L).flatMap(strict) ++ tied(4L)).toDF("b", "t", "v")
+    val m = Eval.friedmanTest(mix, "b", "t", "v").collect().head
+    assert(m.getLong(2) === 4500L && m.getLong(3) === 6000L)
+    // every block tied: chi2 0 and the correction denominator hits 0
+    val all = (1L to 4L).flatMap(tied).toDF("b", "t", "v")
+    val a = Eval.friedmanTest(all, "b", "t", "v").collect().head
+    assert(a.getLong(2) === 0L && a.isNullAt(3))
+    val unbal = (strict(1L) ++ strict(2L).tail).toDF("b", "t", "v")
+    intercept[Exception](Eval.friedmanTest(unbal, "b", "t", "v").collect())
   }
 
   test("cronbachAlpha: duplicated item alpha 1000, hand 0.75 case, " +
