@@ -1258,6 +1258,56 @@ object SparkEntry {
           lit(allA.size).as("dirs_total_after"))
     }),
 
+    // IDENTITY column at the format layer: three residue batches get
+    // generated ids continuing from the sidecar max — dense 1..N with
+    // a rank-arithmetic mapping (batch offset + within-batch rank by
+    // order key) the oracle replays. Fully oracled.
+    "q_table_identity" -> ((s, dir) => {
+      val root = tmpPath("vtable_identity")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      VersionedTable.createWithIdentity(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0), "rid", "o_orderkey")
+      (1 to 2).foreach(r => VersionedTable.appendWithIdentity(s, root,
+        orders.filter(col("o_orderkey") % 3 === r), "rid", "o_orderkey"))
+      VersionedTable.readLatest(s, root)
+        .select("rid", "o_orderkey", "o_custkey")
+        .orderBy("rid")
+    }),
+
+    // Hash-bucketed OPTIMIZE: the point lookup that min/max stats
+    // cannot serve (every residue dir spans the full key range) reads
+    // ONE directory after the rewrite — the probe's fibHash bucket,
+    // recomputed by the oracle through the same arithmetic. Fully
+    // oracled.
+    "q_table_bucket" -> ((s, dir) => {
+      val root = tmpPath("vtable_bucket")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      VersionedTable.create(s, root,
+        orders.filter(col("o_orderkey") % 4 === 0))
+      (1 to 3).foreach(r => VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") % 4 === r)))
+      val probe = orders.filter(col("o_orderkey") % 4 === 1)
+        .agg(min(col("o_orderkey"))).head.getLong(0)
+      val (kb, ab) = VersionedTable.pruneDirs(s, root,
+        "o_orderkey", probe, probe)
+      VersionedTable.optimizeBucketed(s, root, "o_orderkey", 8)
+      val b = VersionedTable.bucketOf(probe, 8)
+      val (ka, aa) = VersionedTable.pruneDirs(s, root, "_bucket", b, b)
+      VersionedTable.readKeyBucketed(s, root, "o_orderkey", probe, 8)
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+        .select(col("n"), col("cust_sum"),
+          lit(kb.size).as("dirs_read_before"),
+          lit(ab.size).as("dirs_total_before"),
+          lit(ka.size).as("dirs_read_after"),
+          lit(aa.size).as("dirs_total_after"))
+    }),
+
     // Z-order OPTIMIZE at the format layer (q_table_cluster's 2-D
     // sibling): residue-scattered appends span BOTH key ranges in
     // every dir (4/4 read for any box probe); the Morton rank-bucket
@@ -7441,6 +7491,50 @@ object SparkEntry {
         |   WHERE mn <= 8000 AND mx >= 1000) AS dirs_read_after,
         |  (SELECT CAST(count(*) AS INTEGER) FROM ad) AS dirs_total_after
         |FROM sel""".stripMargin,
+
+    // batch offset + within-batch rank by order key — the generated
+    // ids are pure rank arithmetic over the residue slices
+    "q_table_identity" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |        o_orderkey % 3 AS r FROM orders),
+        |n AS (SELECT r, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |off AS (SELECT r, CAST(coalesce(sum(n) OVER (ORDER BY r
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS off
+        |        FROM n),
+        |rk AS (SELECT k, c, r,
+        |        row_number() OVER (PARTITION BY r ORDER BY k) AS rnk
+        |       FROM o)
+        |SELECT CAST(off.off + rk.rnk AS BIGINT) AS rid,
+        |       rk.k AS o_orderkey, rk.c AS o_custkey
+        |FROM rk JOIN off USING (r) ORDER BY rid""".stripMargin,
+
+    // the probe's fibHash bucket recomputed through the identical
+    // arithmetic; before-rewrite skip from residue min/max ranges
+    "q_table_bucket" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+        |pb AS (SELECT min(k) AS pk FROM o WHERE k % 4 = 1),
+        |bd AS (SELECT k % 4 AS r, min(k) AS mn, max(k) AS mx
+        |       FROM o GROUP BY 1),
+        |hb AS (SELECT k,
+        |        CAST(floor(CAST((k * 2654435769) % 4294967296 AS DOUBLE)
+        |          * 1000000.0 / 4294967296.0) AS BIGINT) % 8 AS b
+        |       FROM o),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM hb),
+        |tb AS (SELECT hb.b FROM hb, pb WHERE hb.k = pb.pk),
+        |ra AS (SELECT CAST(count(*) AS INTEGER) AS ra
+        |       FROM (SELECT DISTINCT b FROM hb) d, tb WHERE d.b = tb.b)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o, pb WHERE o.k = pb.pk)
+        |    AS n,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM o, pb WHERE o.k = pb.pk)
+        |    AS cust_sum,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM bd, pb
+        |   WHERE mn <= pk AND mx >= pk) AS dirs_read_before,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM bd)
+        |    AS dirs_total_before,
+        |  (SELECT ra FROM ra) AS dirs_read_after,
+        |  (SELECT CAST(nb AS INTEGER) FROM nb) AS dirs_total_after""".stripMargin,
 
     // the bit-exact SQL Morton (a in even bits, b in odd — property-
     // tested against the kernel), exact rank buckets over (z, key),

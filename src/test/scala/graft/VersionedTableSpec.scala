@@ -1538,6 +1538,87 @@ class VersionedTableSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("identity append: dense continuation, sidecar-vs-scan start, " +
+      "monotonic past MOR deletes, duplicate order rejected") {
+    import spark.implicits._
+    val root = freshRoot("identity")
+    val b1 = Seq((10L, "a"), (30L, "b"), (20L, "c")).toDF("k", "s")
+    VersionedTable.createWithIdentity(spark, root, b1, "rid", "k")
+    val got1 = VersionedTable.readLatest(spark, root)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rid")).toMap
+    assert(got1 === Map(10L -> 1L, 20L -> 2L, 30L -> 3L)) // rank by k
+    VersionedTable.appendWithIdentity(spark, root,
+      Seq((5L, "d"), (99L, "e")).toDF("k", "s"), "rid", "k")
+    val got2 = VersionedTable.readLatest(spark, root)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rid")).toMap
+    assert(got2(5L) === 4L && got2(99L) === 5L) // continues from max
+    // delete the newest sidecar: the next append falls back to a scan
+    // and still continues correctly
+    val (fs, _) = (new org.apache.hadoop.fs.Path(root))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) -> ()
+    VersionedTable.dataDirsOf(spark, root).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$d/_stats"), false)
+    }
+    VersionedTable.appendWithIdentity(spark, root,
+      Seq((7L, "f")).toDF("k", "s"), "rid", "k")
+    assert(VersionedTable.readLatest(spark, root)
+      .agg(org.apache.spark.sql.functions.max(col("rid"))).head
+      .getLong(0) === 6L)
+    // MOR-delete the max-id row: ids stay monotonic, never reused
+    VersionedTable.deleteKeysMor(spark, root, Seq(Tuple1(7L)).toDF("k"))
+    VersionedTable.appendWithIdentity(spark, root,
+      Seq((8L, "g")).toDF("k", "s"), "rid", "k")
+    val ids = VersionedTable.readLatest(spark, root)
+      .select("rid").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L, 4L, 5L, 7L)) // 6 deleted, not reused
+    intercept[IllegalArgumentException](
+      VersionedTable.appendWithIdentity(spark, root,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "s"), "rid", "k"))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("optimizeBucketed: per-dir constant bucket, point read touches " +
+      "one dir, content identity, tomb folding, double rewrite rejected") {
+    import spark.implicits._
+    val root = freshRoot("bucketed")
+    val df = (1L to 200L).map(k => (k, k * 7)).toDF("k", "p")
+    VersionedTable.create(spark, root, df.filter(col("k") % 2 === 0))
+    VersionedTable.append(spark, root, df.filter(col("k") % 2 === 1))
+    VersionedTable.deleteKeysMor(spark, root,
+      df.filter(col("k") % 50 === 0).select("k"))
+    val want = VersionedTable.readLatest(spark, root)
+    val wantN = want.count() // 196
+    val m = VersionedTable.optimizeBucketed(spark, root, "k", 8)
+    assert(m.op === "optimize-bucket" && m.deleteDirs.isEmpty)
+    val dirs = VersionedTable.dataDirsOf(spark, root)
+    // every dir holds exactly one bucket value, matching bucketOf
+    dirs.foreach { d =>
+      val bs = spark.read.parquet(s"$root/$d")
+        .select("_bucket", "k").collect()
+      val distinct = bs.map(_.getLong(0)).distinct
+      assert(distinct.length === 1)
+      bs.foreach(r => assert(
+        VersionedTable.bucketOf(r.getLong(1), 8) === r.getLong(0)))
+    }
+    // content identical modulo the layout column
+    val got = VersionedTable.readLatest(spark, root).drop("_bucket")
+    assert(got.count() === wantN)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // point lookup reads exactly one directory and finds the row;
+    // a deleted key's read is empty
+    val hit = VersionedTable.readKeyBucketed(spark, root, "k", 123L, 8)
+    assert(hit.collect().map(r => (r.getLong(0), r.getLong(1)))
+      === Array((123L, 861L)))
+    val b = VersionedTable.bucketOf(123L, 8)
+    val (ka, aa) = VersionedTable.pruneDirs(spark, root, "_bucket", b, b)
+    assert(ka.size === 1 && aa.size === dirs.size)
+    assert(VersionedTable.readKeyBucketed(spark, root, "k", 50L, 8)
+      .isEmpty) // tombstone folded into the rewrite
+    intercept[IllegalArgumentException](
+      VersionedTable.optimizeBucketed(spark, root, "k", 8))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("cloneTable: snapshot equality, as-of, independence, constraints, fresh history") {
     import spark.implicits._
     val src = freshRoot("clone_src")
