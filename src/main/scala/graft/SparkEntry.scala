@@ -3070,6 +3070,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Luhn card-number audit — the VALIDATION behind PII pattern
+    // matching: every doc plants a 16-digit candidate whose check
+    // digit is doc_id%10 (valid or not decided by the checksum both
+    // engines replay), every 5th doc a known-valid card, and a short
+    // run the 13..19 length gate drops. Fully oracled.
+    "q_luhn" -> ((s, dir) =>
+      TextOps.luhnAudit(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" 4"), lpad(col("doc_id").cast("string"), 14, "0"),
+            (col("doc_id") % 10).cast("string"),
+            when(col("doc_id") % 5 === 0, lit(" 4532015112830366"))
+              .otherwise(lit("")),
+            lit(" 12345")).as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Gopher LINE-SHAPE rules (bullet starts / ellipsis ends / duplicate
     // lines) over the shared multi-line fixture (see multilineFixture —
     // the q_star_schema derive-from-harness trick). Fully oracled via
@@ -5104,6 +5121,29 @@ object SparkEntry {
       graft.operators.Eval.kruskalWallis(
         t(s, dir, "events"), "value", "event_type")),
 
+    // Per-stratum E-S weighted sampling: 50 orders per order status,
+    // drawn proportional to total-price cents under the replayable
+    // fibHash draw — the window-free ObjectHashAggregate top-k per
+    // stratum. Fully oracled (the oracle replays draw and rank).
+    "q_weighted_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.reservoirSampleStratified(
+        t(s, dir, "orders").select(col("o_orderstatus"),
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("w")),
+        "o_orderstatus", col("o_orderkey"), col("w"), 50)
+        .orderBy("stratum", "rank")),
+
+    // Jonckheere-Terpstra ordered-trend test: did order value trend
+    // MONOTONICALLY across order years — doubled pairwise-U sum over
+    // the banded per-group ECDF on the merged value grid, with the
+    // doubled null expectation alongside. Fully oracled.
+    "q_jonckheere" -> ((s, dir) =>
+      graft.operators.Eval.jonckheereTerpstra(
+        t(s, dir, "orders").select(col("o_totalprice").as("v"),
+          year(col("o_orderdate")).cast("long").as("yr")),
+        "v", "yr")),
+
     // One-way ANOVA F across the 5 event types — the parametric
     // sibling of q_kruskal on the same cells: exact cents
     // sums-of-squares (milli-truncated per group, the chi2 pattern),
@@ -6494,6 +6534,20 @@ object SparkEntry {
             (unix_micros(col("ts")) % 100000L).as("y")),
         "id", "x", "y", radius = 500L)
         .orderBy("id_a", "id_b")),
+
+    // Geohash cell keys at precision 6 over value/id-derived degrees,
+    // plus the 4-char parent cell (the prefix property): one IEEE
+    // floor per dimension, kernel Morton interleave, shift/mask base32.
+    // Fully oracled via the validated SQL Morton mirror.
+    "q_geohash" -> ((s, dir) => {
+      val gh = graft.operators.Spatial.geohash(
+        pmod(col("value"), lit(180.0)) - lit(90.0),
+        (col("event_id") % 360).cast("double") - lit(180.0), 6)
+      t(s, dir, "events")
+        .select(col("event_id"), gh.as("gh"))
+        .withColumn("cell", substring(col("gh"), 1, 4))
+        .orderBy("event_id")
+    }),
 
     // Nearest neighbor within radius: argmin over the symmetrized pair
     // set, (d2, nbr) struct min for deterministic ties. Fully oracled.
@@ -9158,6 +9212,25 @@ object SparkEntry {
         |SELECT o_orderkey, es_pico FROM s
         |ORDER BY es_pico DESC, o_orderkey LIMIT 100""".stripMargin,
 
+    // the q_weighted_sample draw ranked WITHIN each stratum
+    "q_weighted_stratified" ->
+      """WITH h AS (SELECT o_orderstatus AS stratum, o_orderkey,
+        |        CAST(floor(((o_orderkey * 2654435769) % 4294967296)
+        |          * 1000000.0 / 4294967296.0) AS BIGINT) AS bucket,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+        |      FROM orders),
+        |s AS (SELECT stratum, o_orderkey,
+        |        CAST(floor(ln(CAST(bucket + 1 AS DOUBLE) / 1000000.0)
+        |          * 1000000000000.0 / w) AS BIGINT) AS es_pico
+        |      FROM h WHERE w > 0),
+        |r AS (SELECT stratum, o_orderkey, es_pico,
+        |        row_number() OVER (PARTITION BY stratum
+        |          ORDER BY es_pico DESC, o_orderkey) AS rank
+        |      FROM s)
+        |SELECT stratum, CAST(rank AS INT) AS rank,
+        |       o_orderkey AS sampled_key, es_pico
+        |FROM r WHERE rank <= 50 ORDER BY stratum, rank""".stripMargin,
+
     // the q_apportion replay over sqrt-variance weights; one IEEE
     // sqrt per stratum over the exact HUGEINT variance numerator
     "q_neyman" ->
@@ -9268,6 +9341,43 @@ object SparkEntry {
         |    CAST(abs(CAST(h_micro AS HUGEINT)) * (n*n*n - n)
         |      // (n*n*n - n - ties) AS BIGINT) END AS h_adj_micro
         |FROM f""".stripMargin,
+
+    // merged-grid per-group ECDF via windows (the banded machinery's
+    // SQL mirror), earlier-groups prefix per value, doubled-U identity
+    "q_jonckheere" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |        AS v, CAST(year(o_orderdate) AS BIGINT) AS o
+        |      FROM orders),
+        |cells AS (SELECT v, o, CAST(count(*) AS BIGINT) AS n
+        |          FROM c GROUP BY 1, 2),
+        |grid AS (SELECT vv.v, oo.o, coalesce(cells.n, 0) AS n0
+        |         FROM (SELECT DISTINCT v FROM cells) vv
+        |         CROSS JOIN (SELECT DISTINCT o FROM cells) oo
+        |         LEFT JOIN cells ON cells.v = vv.v AND cells.o = oo.o),
+        |b AS (SELECT v, o, n0,
+        |        CAST(coalesce(sum(n0) OVER (PARTITION BY o ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS blt
+        |      FROM grid),
+        |t AS (SELECT v, o, n0,
+        |        CAST(coalesce(sum(blt) OVER (PARTITION BY v ORDER BY o
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS clt,
+        |        CAST(coalesce(sum(n0) OVER (PARTITION BY v ORDER BY o
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS teq
+        |      FROM b),
+        |sz AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ng) AS BIGINT) AS n,
+        |        sum(CAST(ng AS HUGEINT) * ng) AS sq
+        |      FROM (SELECT o, CAST(sum(n) AS BIGINT) AS ng
+        |            FROM cells GROUP BY 1)),
+        |jt AS (SELECT sum(CAST(n0 AS HUGEINT) * (2 * clt + teq)) AS jt2
+        |       FROM t WHERE n0 > 0)
+        |SELECT sz.k, sz.n, CAST(jt.jt2 AS BIGINT) AS jt2,
+        |  CAST((CAST(sz.n AS HUGEINT) * sz.n - sz.sq) // 2 AS BIGINT)
+        |    AS e_jt2
+        |FROM sz, jt""".stripMargin,
 
     // exact cents sums-of-squares: per-group S²·1000 // n_g truncated
     // then summed (the chi2 pattern), HUGEINT intermediates, signed-div
@@ -12619,6 +12729,38 @@ object SparkEntry {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY event_id""".stripMargin,
 
+    // digit runs through the 13..19 gate, the checksum replayed per
+    // candidate (doubled-digit digit-sum = 2d//10 + 2d%10, one
+    // uniform formula both engines)
+    "q_luhn" ->
+      """WITH d AS (SELECT doc_id,
+        |        text || ' 4' || lpad(CAST(doc_id AS VARCHAR), 14, '0')
+        |          || CAST(doc_id % 10 AS VARCHAR)
+        |          || CASE WHEN doc_id % 5 = 0
+        |               THEN ' 4532015112830366' ELSE '' END
+        |          || ' 12345' AS text
+        |      FROM documents),
+        |r AS (SELECT doc_id,
+        |        unnest(list_filter(regexp_extract_all(text, '[0-9]+', 0),
+        |          x -> length(x) BETWEEN 13 AND 19)) AS run
+        |      FROM d),
+        |v AS (SELECT doc_id, run,
+        |        (list_sum(list_transform(generate_series(1, length(run)),
+        |          i -> CASE WHEN i % 2 = 1
+        |            THEN CAST(substring(run, length(run) - i + 1, 1)
+        |                   AS BIGINT)
+        |            ELSE CAST(substring(run, length(run) - i + 1, 1)
+        |                   AS BIGINT) * 2 // 10
+        |               + CAST(substring(run, length(run) - i + 1, 1)
+        |                   AS BIGINT) * 2 % 10 END))
+        |          % 10 = 0) AS ok
+        |      FROM r)
+        |SELECT d.doc_id, CAST(count(v.run) AS BIGINT) AS n_candidates,
+        |       CAST(count(CASE WHEN v.ok THEN 1 END) AS BIGINT)
+        |         AS n_luhn_valid
+        |FROM d LEFT JOIN v USING (doc_id)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // the domain flag replays the SAME url regex (not the residue
     // arithmetic); token membership is case-folded; // floors ==
     // Spark div truncation on the non-negative counts
@@ -13767,6 +13909,42 @@ object SparkEntry {
         |  pos_t * 1000 // nullif(n_t, 0)
         |    - pos_c * 1000 // nullif(n_c, 0) AS uplift_milli
         |FROM c ORDER BY decile""".stripMargin,
+
+    // one IEEE floor per dimension, the property-tested SQL Morton
+    // (lat even bits, lon odd at even precision), explicit base32
+    // concatenation — token-identical to the kernel path
+    "q_geohash" ->
+      """WITH p AS (SELECT event_id,
+        |        (value % 180.0) - 90.0 AS lat,
+        |        CAST(event_id % 360 AS DOUBLE) - 180.0 AS lon
+        |      FROM events),
+        |q AS (SELECT event_id,
+        |        greatest(0, least(CAST(floor((lon + 180.0) / 360.0
+        |          * 32768.0) AS BIGINT), 32767)) AS li,
+        |        greatest(0, least(CAST(floor((lat + 90.0) / 180.0
+        |          * 32768.0) AS BIGINT), 32767)) AS ti
+        |      FROM p),
+        |z AS (SELECT event_id,
+        |        CAST(list_sum(list_transform(generate_series(0, 14),
+        |          i -> (((ti >> i) & 1) << (2*i))
+        |             + (((li >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+        |      FROM q),
+        |g AS (SELECT event_id,
+        |     substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |       CAST(((z >> 25) & 31) + 1 AS INT), 1)
+        |  || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |       CAST(((z >> 20) & 31) + 1 AS INT), 1)
+        |  || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |       CAST(((z >> 15) & 31) + 1 AS INT), 1)
+        |  || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |       CAST(((z >> 10) & 31) + 1 AS INT), 1)
+        |  || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |       CAST(((z >> 5) & 31) + 1 AS INT), 1)
+        |  || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |       CAST((z & 31) + 1 AS INT), 1) AS gh
+        |      FROM z)
+        |SELECT event_id, gh, substring(gh, 1, 4) AS cell
+        |FROM g ORDER BY event_id""".stripMargin,
 
     // the oracle is the deliberately-quadratic all-pairs twin of the
     // grid-blocked plan; pure integer arithmetic both sides

@@ -233,6 +233,51 @@ object TextOps {
         PHONE_RE, "<phone>").as("clean"))
   }
 
+  /** Luhn checksum validation over a digit-string Column (Luhn 1960,
+    * US patent 2,950,048 — public domain): the checksum every payment
+    * card number satisfies — from the RIGHT, double every second
+    * digit, take its digit sum, total ≡ 0 mod 10. The digit sum of a
+    * doubled digit is `2d div 10 + 2d mod 10` (one uniform formula,
+    * no branch — both engines spell it identically). Evaluates with
+    * interpreted HOFs — acceptable per CANDIDATE (rare spans), the
+    * sftAssemble escalation, never per token. */
+  def luhnValid(c: Column): Column = {
+    val n = length(c)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0L),
+      (acc, i) => {
+        val d = substring(c, (n - i + lit(1)).cast("int"), lit(1))
+          .cast("long")
+        acc + when(i % 2 === 1, d)
+          .otherwise(floor(d * 2 / 10).cast("long") + (d * 2) % 10)
+      })
+    n > 0 && total % 10 === 0
+  }
+
+  /** Card-number audit — the VALIDATION pass behind [[redactPii]]'s
+    * pattern matching (a 16-digit run is only payment-card PII if the
+    * Luhn checksum holds — validation is what keeps order ids and
+    * timestamps out of the redaction counts): per document, extract
+    * contiguous digit runs, keep the card-length ones (13..19 digits,
+    * PAN range), and split them by [[luhnValid]]. Returns
+    * (id, n_candidates, n_luhn_valid). Scan-stage
+    * `regexp_extract_all` + per-candidate checksum (candidates are
+    * rare by construction); fully RE2/DuckDB-expressible. Judged
+    * `q_luhn` (fixture plants a valid/invalid pair per doc — the
+    * check digit computed by the same arithmetic on both sides), fully
+    * ORACLED; known-card vectors, the off-by-one rejection and length
+    * gates pinned in TextOpsSpec. */
+  def luhnAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val runs = filter(
+      regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0)),
+      r => length(r) >= 13 && length(r) <= 19)
+    docs.select(col(idCol), explode_outer(runs).as("__r"))
+      .groupBy(col(idCol))
+      .agg(count(col("__r")).as("n_candidates"),
+        count(when(luhnValid(col("__r")), 1)).as("n_luhn_valid"))
+  }
+
   /** Inter-document boilerplate removal (the CCNet/RefinedWeb line-level
     * pass, public): drop every LINE that occurs in at least `minDf`
     * distinct docs — headers, footers, cookie banners — and reassemble

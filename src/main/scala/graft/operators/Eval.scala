@@ -1037,6 +1037,79 @@ object Eval {
           .as("alpha_milli"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternatives test (Jonckheere 1954;
+    * Terpstra 1952 — public): is there a MONOTONE trend across ordered
+    * groups — the dose-response question [[kruskalWallis]] cannot ask
+    * (KW detects ANY difference; JT gains power by betting on the
+    * ordering) and the across-GROUPS sibling of the across-TIME
+    * Mann–Kendall. `JT = Σ_{i<j} U_ij` over all ordered group pairs,
+    * carried DOUBLED (ties count once, the Mann–Whitney convention):
+    * `jt2 = Σ_{v,g} n_g(v)·(2·C_{<g}(<v) + T_{<g}(v))` with
+    * `C_{<g}(<v)` the count in earlier groups strictly below v and
+    * `T_{<g}(v)` the earlier-group ties at v — all exact BIGINTs.
+    * Alongside: the doubled null expectation
+    * `e_jt2 = (n² − Σn_g²) div 2` (so `jt2 > e_jt2` reads "increasing
+    * trend"); z-scores need the tie-corrected variance and stay with
+    * the caller (documented).
+    *
+    * Group order is the CALLER's: `orderCol` must be a numeric column
+    * constant within each group (year, dose level, bucket ordinal).
+    *
+    * Scale: one partial agg to (value, group) cells; the strictly-
+    * below cumulative is the banded per-group ECDF over the merged
+    * distinct-value grid (grid = distinct values × k groups — no
+    * global window, no pair enumeration); the earlier-groups prefix is
+    * a per-value window over k config-scale rows. Judged
+    * `q_jonckheere` (order value cents across order YEARS), fully
+    * ORACLED; hand 3-group table, the k = 2 ≡ Mann–Whitney 2U
+    * identity, reversed-trend symmetry (jt2 + jt2_rev = 2·e_jt2 on
+    * tie-free data) pinned in EvalSpec. */
+  def jonckheereTerpstra(df: DataFrame, valueCol: String,
+      orderCol: String, bands: Int = 32): DataFrame = {
+    val cells = graft.engine.Caches.persisted(
+      df.select(floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("v"),
+          col(orderCol).cast("long").as("o"))
+        .groupBy("v", "o").agg(count(lit(1)).as("n")))
+    val groups = cells.select(col("o")).distinct()
+    val grid = graft.engine.Caches.persisted(
+      cells.select(col("v")).distinct().crossJoin(broadcast(groups))
+        .join(cells, Seq("v", "o"), "left")
+        .select(col("v"), col("o"), coalesce(col("n"), lit(0L)).as("n0")))
+    val bounds = broadcast(grid.agg(
+      min(col("v")).as("__lo"), max(col("v")).as("__hi")))
+    val banded = grid.crossJoin(bounds)
+      .withColumn("__band", graft.engine.Banding.bandAsc(
+        col("v"), col("__lo"), col("__hi"), bands))
+    val offsets = banded.groupBy(col("o"), col("__band"))
+      .agg(sum(col("n0")).as("__bn"))
+      .withColumn("__ob", coalesce(sum(col("__bn")).over(
+        Window.partitionBy(col("o")).orderBy(col("__band"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("o"), col("__band"), col("__ob"))
+    val wB = Window.partitionBy(col("o"), col("__band")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, -1)
+    val ecdf = banded.join(broadcast(offsets), Seq("o", "__band"))
+      .withColumn("__blt",
+        col("__ob") + coalesce(sum(col("n0")).over(wB), lit(0L)))
+      .select(col("v"), col("o"), col("n0"), col("__blt"))
+    val wv = Window.partitionBy(col("v")).orderBy(col("o"))
+      .rowsBetween(Long.MinValue, -1)
+    val terms = ecdf
+      .withColumn("__clt", coalesce(sum(col("__blt")).over(wv), lit(0L)))
+      .withColumn("__teq", coalesce(sum(col("n0")).over(wv), lit(0L)))
+      .filter(col("n0") > 0)
+    val sizes = broadcast(cells.groupBy("o").agg(sum(col("n")).as("__ng"))
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sum(expr("cast(__ng as decimal(38,0)) * __ng")).as("__sq")))
+    terms.agg(sum(expr(
+        "cast(n0 as decimal(38,0)) * (2 * __clt + __teq)")).as("__jt2"))
+      .crossJoin(sizes)
+      .select(col("k"), col("n"),
+        expr("cast(__jt2 as bigint)").as("jt2"),
+        expr("""cast((cast(n as decimal(38,0)) * n - __sq) div 2
+          as bigint)""").as("e_jt2"))
+  }
+
   /** Kendall tau-b — the concordant-pair rank correlation next to
     * [[Relational.spearman]]: of all observation pairs, how many order
     * the same way in x and in y (Kendall 1938), with the tau-b tie

@@ -464,6 +464,36 @@ object Sampling {
       .limit(k)
   }
 
+  /** PER-STRATUM weighted sampling without replacement —
+    * [[reservoirSample]]'s grouped form: k rows per stratum, drawn
+    * with probability ∝ weight WITHIN each stratum (the per-source
+    * selection a mixture pipeline runs after [[mixRates]] decides the
+    * budgets — every source keeps its own weighted draw, none starves
+    * another). Identical E-S scoring (same replayable fibHash draw,
+    * same pico-floored key, same [[fibHash]] key-domain contract);
+    * the per-stratum top-k rides
+    * [[graft.operators.Relational.topKPerKey]]'s ObjectHashAggregate
+    * partial merge — (ord desc, tie asc) is exactly (es_pico desc, key
+    * asc), the single-stratum order — so the exchange carries ≤
+    * strata·k rows and there is NO WindowExec, NO global sort.
+    * Returns (stratum, rank, sampled_key, es_pico). Judged
+    * `q_weighted_stratified`, fully ORACLED; single-stratum ≡
+    * reservoirSample equality, per-stratum count, independence across
+    * strata and zero-weight exclusion pinned in SamplingSpec. */
+  def reservoirSampleStratified(df: DataFrame, stratumCol: String,
+      key: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (fibHash(key) + lit(1L)).cast("double") /
+      lit(BUCKETS.toDouble)
+    val scored = df.filter(weight > 0)
+      .select(col(stratumCol).as("__stratum"), key.as("__key"),
+        floor(log(u) * lit(1.0e12) / weight).cast("long").as("__es"))
+    graft.operators.Relational.topKPerKey(
+      scored, "__stratum", "__es", "__key", k)
+      .select(col("key").as("stratum"), col("rank"),
+        col("tie").as("sampled_key"), col("ord").as("es_pico"))
+  }
+
   /** Neyman (optimal) stratified allocation — how many samples each
     * stratum DESERVES, not how many it has: the variance-minimizing
     * split of a sampling budget puts `n_h ∝ N_h·σ_h` (Neyman 1934 —

@@ -87,4 +87,50 @@ object Spatial {
       .agg(min(struct(col("d2"), col("nbr"))).as("__m"))
       .select(col("id"), col("__m.nbr").as("nbr"), col("__m.d2").as("d2"))
   }
+
+  /** Geohash base32 alphabet (Niemeyer 2008 — public domain). */
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash encoding of (lat, lon) degrees at `precision` characters
+    * (Niemeyer 2008 — public domain): the standard hierarchical cell
+    * key — a PREFIX of a geohash is the containing coarser cell, which
+    * is what makes it the grouping/blocking surface for world-scale
+    * point data (per-cell rollups, prefix-range reads, coarse
+    * candidate blocking feeding [[gridRadiusJoin]]'s exact pass).
+    *
+    * Exact formulation: each dimension quantizes to its bit budget by
+    * ONE IEEE floor (`⌊(lon+180)/360·2^L⌋`, clamped into range — the
+    * only float step, spelled token-identically in the oracle), the
+    * interleave rides the `graft_zorder2` kernel (lon takes the FIRST
+    * bit, so the kernel's argument order flips with the bit-count
+    * parity), and the base32 characters are shift/mask arithmetic —
+    * no per-character loop leaves codegen. Judged `q_geohash`, fully
+    * ORACLED (the SQL Morton mirror); the canonical
+    * (57.64911, 10.40744) → `u4pruydqqvj` vector, the prefix
+    * property, pole/antimeridian clamps and cell-prefix grouping
+    * pinned in SpatialSpec. */
+  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12,
+      s"precision must be in 1..12: $precision")
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    def quantize(x: Column, off: Double, range: Double, bits: Int) =
+      greatest(lit(0L), least(
+        floor((x + lit(off)) / lit(range) * lit(math.pow(2.0, bits)))
+          .cast("long"),
+        lit((1L << bits) - 1)))
+    val lonI = quantize(lon, 180.0, 360.0, lonBits)
+    val latI = quantize(lat, 90.0, 180.0, latBits)
+    // even total: lon occupies the ODD kernel positions (b-slot);
+    // odd total: the EVEN positions (a-slot) — lon always leads
+    val z =
+      if (totalBits % 2 == 0) call_function("graft_zorder2", latI, lonI)
+      else call_function("graft_zorder2", lonI, latI)
+    concat((0 until precision).map { i =>
+      val idx = shiftright(z, 5 * (precision - 1 - i))
+        .bitwiseAND(lit(31L)).cast("int")
+      substring(lit(GeohashAlphabet), idx + lit(1), lit(1))
+    }: _*)
+  }
 }

@@ -918,6 +918,30 @@ class EvalSpec extends SparkTestBase {
     intercept[Exception](Eval.cochranQ(unbal, "s", "t", "x").collect())
   }
 
+  test("jonckheereTerpstra: hand 3-group perfect trend, tie halving, " +
+      "reversed symmetry, k = 2 doubled Mann-Whitney") {
+    import spark.implicits._
+    def jt(rows: Seq[(Double, Long)]) =
+      Eval.jonckheereTerpstra(rows.toDF("v", "o"), "v", "o")
+        .collect().head
+    // g1 = {1,2} < g2 = {3} < g3 = {4,5}: every cross pair concordant
+    // -> JT = 8, doubled 16; e_jt2 = (25 - 9)/2 = 8
+    val perfect = Seq((1.0, 1L), (2.0, 1L), (3.0, 2L), (4.0, 3L),
+      (5.0, 3L))
+    val p = jt(perfect)
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
+      === ((3L, 5L, 16L, 8L)))
+    // reversed group order: jt2 collapses to 0 and fwd + rev = 2·e
+    val r = jt(perfect.map { case (v, o) => (v, -o) })
+    assert(r.getLong(2) === 0L && p.getLong(2) + r.getLong(2)
+      === 2 * p.getLong(3))
+    // ties count once in the doubled statistic: g1 = {1,1},
+    // g2 = {1,2}: 2U = 2·2 + 2 = 6
+    val t = jt(Seq((1.0, 1L), (1.0, 1L), (1.0, 2L), (2.0, 2L)))
+    assert((t.getLong(2), t.getLong(3)) === ((6L, 4L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("friedmanTest: strict-order chi2 8000, tie correction 4500 -> " +
       "6000, all-tied fence, unbalanced panel rejected") {
     import spark.implicits._

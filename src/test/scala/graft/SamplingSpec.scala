@@ -418,4 +418,37 @@ class SamplingSpec extends SparkTestBase {
       .select("fold").as[Int].collect().sorted
     assert(tiny.toSeq === Seq(0, 1, 2))
   }
+
+  test("reservoirSampleStratified: single-stratum equals the flat draw, " +
+      "per-stratum counts, cross-stratum independence, zero weights out") {
+    import spark.implicits._
+    val a = (1L to 40L).map(k => ("a", k, (k % 7 + 1).toDouble))
+    val b = (101L to 140L).map(k => ("b", k, (k % 5 + 1).toDouble))
+    val df = (a ++ b).toDF("g", "k", "w")
+    val strat = Sampling.reservoirSampleStratified(
+      df, "g", col("k"), col("w"), 5)
+      .as[(String, Int, Long, Long)].collect()
+    assert(strat.count(_._1 == "a") === 5 && strat.count(_._1 == "b") === 5)
+    // stratum a's draw == the flat reservoirSample over a alone
+    val flat = Sampling.reservoirSample(
+      a.toDF("g", "k", "w"), col("k"), col("w"), 5)
+      .select("k", "es_pico").as[(Long, Long)].collect()
+      .map(x => (x._1, x._2)).toSeq
+    val sa = strat.filter(_._1 == "a").sortBy(_._2)
+      .map(x => (x._3, x._4)).toSeq
+    assert(sa === flat)
+    // adding stratum b did not perturb a (the per-key draw is pure)
+    val aOnly = Sampling.reservoirSampleStratified(
+      a.toDF("g", "k", "w"), "g", col("k"), col("w"), 5)
+      .as[(String, Int, Long, Long)].collect().sortBy(_._2)
+      .map(x => (x._3, x._4)).toSeq
+    assert(aOnly === sa)
+    // zero/negative weights never sampled
+    val wz = Seq(("z", 1L, 0.0), ("z", 2L, -1.0), ("z", 3L, 2.0))
+      .toDF("g", "k", "w")
+    val z = Sampling.reservoirSampleStratified(
+      wz, "g", col("k"), col("w"), 5)
+      .as[(String, Int, Long, Long)].collect()
+    assert(z.map(_._3).toSeq === Seq(3L))
+  }
 }

@@ -61,4 +61,24 @@ class SpatialSpec extends SparkTestBase {
     assert(!out.contains(4L) && out.size === 3)
     graft.engine.Caches.releaseAll()
   }
+
+  test("geohash: canonical vector, prefix property, pole/antimeridian " +
+      "clamps, odd and even precisions") {
+    import spark.implicits._
+    def gh(lat: Double, lon: Double, p: Int): String =
+      Seq((lat, lon)).toDF("lat", "lon")
+        .select(graft.operators.Spatial.geohash(
+          org.apache.spark.sql.functions.col("lat"),
+          org.apache.spark.sql.functions.col("lon"), p))
+        .head.getString(0)
+    // the classic Niemeyer test point, odd precision 11
+    assert(gh(57.64911, 10.40744, 11) === "u4pruydqqvj")
+    // the prefix property: coarser precision = prefix of finer
+    assert(gh(57.64911, 10.40744, 6) === "u4pruy")
+    assert(gh(57.64911, 10.40744, 1) === "u")
+    // boundary clamps: the poles/antimeridian stay in-range
+    assert(gh(-90.0, -180.0, 6) === "000000")
+    assert(gh(90.0, 180.0, 6) === "zzzzzz")
+    assert(gh(0.0, 0.0, 8) === "s0000000")
+  }
 }

@@ -692,6 +692,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(enc(2L) === Seq("z", "z"))
   }
 
+  test("luhnAudit: known card vectors, off-by-one rejection, length " +
+      "gates, no-candidate doc") {
+    import spark.implicits._
+    // direct checksum vectors (the classic test numbers)
+    val v = Seq((1L, "79927398713"), (2L, "79927398710"),
+      (3L, "4532015112830366"), (4L, ""))
+      .toDF("id", "s")
+      .select(col("id"), graft.functions.TextOps.luhnValid(col("s")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v(1L) && !v(2L) && v(3L) && !v(4L))
+    val audit = graft.functions.TextOps.luhnAudit(Seq(
+      // one valid 16-digit, its off-by-one twin, a short run (gated)
+      (1L, "pay 4532015112830366 or 4532015112830367 ref 12345"),
+      // 12 digits: below the PAN gate even though Luhn-valid
+      (2L, "code 799273987100 end"),
+      // no digits at all
+      (3L, "plain words only")).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit(1L) === ((2L, 1L)))
+    assert(audit(2L) === ((0L, 0L)))
+    assert(audit(3L) === ((0L, 0L)))
+  }
+
   test("fimTransform: PSM assembly, reassembly identity, clamping, " +
       "swapped bounds, empty spans") {
     import spark.implicits._
