@@ -1055,54 +1055,75 @@ object Eval {
     * Group order is the CALLER's: `orderCol` must be a numeric column
     * constant within each group (year, dose level, bucket ordinal).
     *
-    * Scale: one partial agg to (value, group) cells; the strictly-
-    * below cumulative is the banded per-group ECDF over the merged
-    * distinct-value grid (grid = distinct values × k groups — no
-    * global window, no pair enumeration); the earlier-groups prefix is
-    * a per-value window over k config-scale rows. Judged
+    * Scale: one partial agg to (value, group) cells, then the groups
+    * (a config-scale ordered factor, collected under the `maxGroups`
+    * guard — the markovStationary rule) PIVOT to literal columns: one
+    * banded pass over the distinct-value relation carries all k ECDFs
+    * in a single window, and the earlier-groups prefixes are literal
+    * column sums — no global window, no per-value micro-partition
+    * window (the first cut's 600k-partition cost), no pair
+    * enumeration. Judged
     * `q_jonckheere` (order value cents across order YEARS), fully
     * ORACLED; hand 3-group table, the k = 2 ≡ Mann–Whitney 2U
     * identity, reversed-trend symmetry (jt2 + jt2_rev = 2·e_jt2 on
     * tie-free data) pinned in EvalSpec. */
   def jonckheereTerpstra(df: DataFrame, valueCol: String,
-      orderCol: String, bands: Int = 32): DataFrame = {
+      orderCol: String, bands: Int = 32, maxGroups: Int = 64): DataFrame = {
     val cells = graft.engine.Caches.persisted(
       df.select(floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("v"),
           col(orderCol).cast("long").as("o"))
         .groupBy("v", "o").agg(count(lit(1)).as("n")))
-    val groups = cells.select(col("o")).distinct()
-    val grid = graft.engine.Caches.persisted(
-      cells.select(col("v")).distinct().crossJoin(broadcast(groups))
-        .join(cells, Seq("v", "o"), "left")
-        .select(col("v"), col("o"), coalesce(col("n"), lit(0L)).as("n0")))
-    val bounds = broadcast(grid.agg(
+    // groups are a config-scale ordered factor (dose levels, years) —
+    // collected once so every per-group quantity becomes a literal
+    // COLUMN: one banded pass over distinct values, no per-value
+    // window (600k single-value partitions was the first cut's cost)
+    val groups: Seq[Long] = cells.select(col("o")).distinct()
+      .orderBy(col("o")).collect().map(_.getLong(0)).toSeq
+    require(groups.size >= 2 && groups.size <= maxGroups,
+      s"ordered groups must number 2..$maxGroups: ${groups.size}")
+    val k = groups.size
+    val pv = cells.groupBy(col("v"))
+      .agg(groups.zipWithIndex.map { case (g, j) =>
+        sum(when(col("o") === g, col("n")).otherwise(0L)).as(s"__n$j")
+      }.head, groups.zipWithIndex.tail.map { case (g, j) =>
+        sum(when(col("o") === g, col("n")).otherwise(0L)).as(s"__n$j")
+      }: _*)
+    val bounds = broadcast(pv.agg(
       min(col("v")).as("__lo"), max(col("v")).as("__hi")))
-    val banded = grid.crossJoin(bounds)
+    val banded = pv.crossJoin(bounds)
       .withColumn("__band", graft.engine.Banding.bandAsc(
         col("v"), col("__lo"), col("__hi"), bands))
-    val offsets = banded.groupBy(col("o"), col("__band"))
-      .agg(sum(col("n0")).as("__bn"))
-      .withColumn("__ob", coalesce(sum(col("__bn")).over(
-        Window.partitionBy(col("o")).orderBy(col("__band"))
-          .rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select(col("o"), col("__band"), col("__ob"))
-    val wB = Window.partitionBy(col("o"), col("__band")).orderBy(col("v"))
+    val offsets = banded.groupBy(col("__band"))
+      .agg(groups.indices.map(j =>
+        sum(col(s"__n$j")).as(s"__bn$j")).head,
+        groups.indices.tail.map(j =>
+          sum(col(s"__n$j")).as(s"__bn$j")): _*)
+    val wOff = Window.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)
+    val offCum = groups.indices.foldLeft(offsets) { (d, j) =>
+      d.withColumn(s"__ob$j",
+        coalesce(sum(col(s"__bn$j")).over(wOff), lit(0L)))
+    }.select(col("__band") +: groups.indices.map(j => col(s"__ob$j")): _*)
+    val wB = Window.partitionBy(col("__band")).orderBy(col("v"))
       .rowsBetween(Long.MinValue, -1)
-    val ecdf = banded.join(broadcast(offsets), Seq("o", "__band"))
-      .withColumn("__blt",
-        col("__ob") + coalesce(sum(col("n0")).over(wB), lit(0L)))
-      .select(col("v"), col("o"), col("n0"), col("__blt"))
-    val wv = Window.partitionBy(col("v")).orderBy(col("o"))
-      .rowsBetween(Long.MinValue, -1)
-    val terms = ecdf
-      .withColumn("__clt", coalesce(sum(col("__blt")).over(wv), lit(0L)))
-      .withColumn("__teq", coalesce(sum(col("n0")).over(wv), lit(0L)))
-      .filter(col("n0") > 0)
+    val ecdf = groups.indices.foldLeft(
+      banded.join(broadcast(offCum), "__band")) { (d, j) =>
+      d.withColumn(s"__blt$j",
+        col(s"__ob$j") + coalesce(sum(col(s"__n$j")).over(wB), lit(0L)))
+    }
+    // earlier-groups prefixes are literal column sums (k config-scale)
+    val termExpr = groups.indices.map { j =>
+      val clt =
+        if (j == 0) "cast(0 as bigint)"
+        else (0 until j).map(i => s"__blt$i").mkString(" + ")
+      val teq =
+        if (j == 0) "cast(0 as bigint)"
+        else (0 until j).map(i => s"__n$i").mkString(" + ")
+      s"cast(__n$j as decimal(38,0)) * (2 * ($clt) + ($teq))"
+    }.mkString(" + ")
     val sizes = broadcast(cells.groupBy("o").agg(sum(col("n")).as("__ng"))
       .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
         sum(expr("cast(__ng as decimal(38,0)) * __ng")).as("__sq")))
-    terms.agg(sum(expr(
-        "cast(n0 as decimal(38,0)) * (2 * __clt + __teq)")).as("__jt2"))
+    ecdf.agg(sum(expr(termExpr)).as("__jt2"))
       .crossJoin(sizes)
       .select(col("k"), col("n"),
         expr("cast(__jt2 as bigint)").as("jt2"),
