@@ -2846,6 +2846,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Conversation-tree path flattening over a blocks-of-8 branched
+    // forest (dense doc ids: chain 0–4, branch {5, 6–7}): one training
+    // path per leaf with full ancestry. The oracle walks the same
+    // forest with a recursive CTE. Fully oracled.
+    "q_conv_paths" -> ((s, dir) =>
+      graft.operators.Graph.rootPaths(
+        t(s, dir, "documents").select(col("doc_id").as("id"),
+          when(col("doc_id") % 8 === 0, lit(null).cast("long"))
+            .when(col("doc_id") % 8 === 6, col("doc_id") - 2)
+            .otherwise(col("doc_id") - 1).as("parent"),
+          concat(lit("t"), col("doc_id")).as("txt")),
+        "id", "parent", "txt")
+        .orderBy("leaf_id")),
+
     // Newman modularity of the mod-5 block partition over the clique
     // graph PLUS every-7th-block bridges (so cross-community edges
     // exist and Q < 1): per-community dq_micro = sign-routed
@@ -4953,6 +4967,17 @@ object SparkEntry {
           col("event_id")),
         "p", "label", "event_id")
         .orderBy("bin")),
+
+    // Quadratic-weighted kappa over two derived ordinal raters: exact
+    // (i−j)²-weighted confusion vs marginal expectation, one signed
+    // milli division. Fully oracled.
+    "q_qwk" -> ((s, dir) =>
+      graft.operators.Eval.quadraticKappa(
+        t(s, dir, "events").select(
+          (floor(col("value") * 100 + lit(0.5)).cast("long") % 5L)
+            .as("pred"),
+          (col("user_id") % 5L).as("label")),
+        "pred", "label")),
 
     // MCC + Cohen's kappa at one operating threshold: exact confusion
     // cells, exact-integer kappa (sign·abs div), IEEE-pinned one-sqrt
@@ -12486,6 +12511,51 @@ object SparkEntry {
         |SELECT b.k AS node,
         |       CASE WHEN s.m >= 3 THEN s.mn ELSE b.k END AS label
         |FROM b JOIN s ON b.blk = s.blk ORDER BY node""".stripMargin,
+
+    // exact weighted-confusion identity: 1 − n·Do/De in signed milli
+    "q_qwk" ->
+      """WITH x AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) % 5
+        |        AS i, user_id % 5 AS j FROM events),
+        |o AS (SELECT i, j, CAST(count(*) AS BIGINT) AS c
+        |      FROM x GROUP BY 1, 2),
+        |r AS (SELECT i, CAST(sum(c) AS BIGINT) AS ri FROM o GROUP BY 1),
+        |cc AS (SELECT j, CAST(sum(c) AS BIGINT) AS cj FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM o),
+        |dd AS (SELECT sum(CAST((i - j) * (i - j) AS HUGEINT) * c) AS dv
+        |       FROM o),
+        |de AS (SELECT sum(CAST((r.i - cc.j) * (r.i - cc.j) AS HUGEINT)
+        |          * ri * cj) AS ev,
+        |        CAST(count(DISTINCT r.i) AS BIGINT) AS ki,
+        |        CAST(count(DISTINCT cc.j) AS BIGINT) AS kj
+        |      FROM r, cc)
+        |SELECT nn.n, greatest(de.ki, de.kj) AS n_classes,
+        |  CAST(dd.dv AS BIGINT) AS do_sum, CAST(de.ev AS BIGINT) AS de_n,
+        |  CASE WHEN de.ev > 0 THEN
+        |    CAST(sign(de.ev - nn.n * dd.dv) AS BIGINT) *
+        |    CAST(abs(de.ev - nn.n * dd.dv) * 1000 // de.ev AS BIGINT)
+        |  END AS qwk_milli
+        |FROM nn, dd, de""".stripMargin,
+
+    // the recursive-CTE walk of the same forest: roots = null or
+    // dangling parents, leaves = never referenced as a parent
+    "q_conv_paths" ->
+      """WITH RECURSIVE d AS (SELECT doc_id AS id,
+        |        CASE WHEN doc_id % 8 = 0 THEN NULL
+        |             WHEN doc_id % 8 = 6 THEN doc_id - 2
+        |             ELSE doc_id - 1 END AS parent,
+        |        't' || doc_id AS txt
+        |      FROM documents),
+        |p AS (SELECT id, 1 AS depth, txt AS path FROM d
+        |      WHERE parent IS NULL
+        |         OR parent NOT IN (SELECT id FROM d)
+        |      UNION ALL
+        |      SELECT d.id, p.depth + 1, p.path || ' | ' || d.txt
+        |      FROM d JOIN p ON d.parent = p.id)
+        |SELECT id AS leaf_id, CAST(depth AS INT) AS depth, path,
+        |       false AS truncated
+        |FROM p
+        |WHERE id NOT IN (SELECT parent FROM d WHERE parent IS NOT NULL)
+        |ORDER BY leaf_id""".stripMargin,
 
     // per-community sign-routed micro division over HUGEINT, global Q
     // = truncate-then-sum (the chi2 pattern); helper UNIONs stay

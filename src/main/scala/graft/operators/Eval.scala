@@ -1037,6 +1037,54 @@ object Eval {
           .as("alpha_milli"))
   }
 
+  /** Quadratic-weighted kappa (Cohen 1968, "Weighted kappa" — public):
+    * agreement on an ORDINAL scale — the labeling-QA standard
+    * (severity grades, star ratings, rubric scores) where plain kappa
+    * ([[mccKappa]]) treats a 1-vs-5 disagreement the same as 1-vs-2.
+    * Disagreements weight by `(i−j)²`:
+    * `QWK = 1 − n·Σw·O / Σw·(r_i·c_j)` over the confusion matrix O
+    * and its marginals — every term an exact BIGINT off one
+    * (pred, label) count aggregate, `qwk_milli` one signed truncated
+    * division over DECIMAL(38,0) (q_gini rule; QWK < 0 on
+    * worse-than-chance raters). NULL when the expected-disagreement
+    * denominator is 0 (both raters constant). Classes must be
+    * integer ordinals (config-scale by construction).
+    *
+    * Scale: one partial agg to the K² confusion cells, marginals and
+    * the K²-cell expectation as config-scale aggregates/joins. The
+    * reported `do_sum`/`de_n` BIGINTs bound n < ~6e8/K (De ≤ K²n²);
+    * past that keep the milli only. Judged
+    * `q_qwk`, fully ORACLED; perfect 1000, hand off-by-one vs
+    * far-miss asymmetry, constant-rater fence and the plain-kappa
+    * divergence pinned in EvalSpec. */
+  def quadraticKappa(df: DataFrame, predCol: String,
+      labelCol: String): DataFrame = {
+    val o = graft.engine.Caches.persisted(
+      df.select(col(predCol).cast("long").as("i"),
+          col(labelCol).cast("long").as("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("c")))
+    val r = o.groupBy("i").agg(sum(col("c")).as("ri"))
+    val ccol = o.groupBy("j").agg(sum(col("c")).as("cj"))
+    val nAgg = broadcast(o.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("__cells")))
+    val doSum = o.agg(sum(expr(
+      "cast((i - j) * (i - j) as decimal(38,0)) * c")).as("__do"))
+    val deSum = r.crossJoin(ccol) // K x K config-scale
+      .agg(sum(expr(
+        "cast((i - j) * (i - j) as decimal(38,0)) * ri * cj")).as("__de"),
+        countDistinct(col("i")).as("__ki"),
+        countDistinct(col("j")).as("__kj"))
+    broadcast(doSum).crossJoin(broadcast(deSum)).crossJoin(nAgg)
+      .select(col("n"),
+        greatest(col("__ki"), col("__kj")).as("n_classes"),
+        expr("cast(__do as bigint)").as("do_sum"),
+        expr("cast(__de as bigint)").as("de_n"),
+        when(expr("__de") > 0,
+          expr("""cast(sign(__de - n * __do) as bigint) *
+            cast((abs(__de - n * __do) * 1000) div __de as bigint)"""))
+          .as("qwk_milli"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternatives test (Jonckheere 1954;
     * Terpstra 1952 — public): is there a MONOTONE trend across ordered
     * groups — the dose-response question [[kruskalWallis]] cannot ask

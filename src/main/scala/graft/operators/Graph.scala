@@ -655,6 +655,71 @@ object Graph {
     per.crossJoin(broadcast(per.agg(sum(col("dq_micro")).as("q_micro"))))
   }
 
+  /** Root-to-leaf path flattening over a parent-pointer forest — the
+    * conversation-tree linearization an SFT pipeline runs before
+    * [[graft.functions.TextOps.sftAssemble]] (branched chats — edits,
+    * regenerations, A/B continuations — become one training sequence
+    * per LEAF, each carrying its full ancestry): every leaf emits
+    * `(leaf_id, depth, path, truncated)` with `path` the
+    * `sep`-joined texts from its root down. A node whose parent is
+    * NULL or ABSENT from the relation is a root (upstream filtering
+    * creates dangling parents; silently dropping those subtrees would
+    * lose documents). Paths still open at `maxDepth` emit with
+    * `truncated = true` rather than disappearing.
+    *
+    * Scale: hop-bounded frontier iteration (the [[bfsHops]] economics
+    * — one hash join per level on bare longs + the accumulated path
+    * string, `barrierCut` per round, union children re-aliased to
+    * mint fresh exprIds — the cycleNodes union rule); depth is
+    * config-bounded by `maxDepth`, and each level's frontier only
+    * carries OPEN paths. Judged `q_conv_paths` (a blocks-of-8
+    * branched forest over dense doc ids — the oracle walks the same
+    * forest with a recursive CTE), fully ORACLED; branch coverage,
+    * dangling-parent roots, truncation flag and single-node trees
+    * pinned in GraphSpec. */
+  def rootPaths(nodes: DataFrame, idCol: String, parentCol: String,
+      textCol: String, maxDepth: Int = 32,
+      sep: String = " | "): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 128,
+      s"maxDepth must be in 1..128: $maxDepth")
+    val t = graft.engine.Caches.persisted(
+      nodes.select(col(idCol).cast("long").as("id"),
+        col(parentCol).cast("long").as("parent"),
+        col(textCol).cast("string").as("txt")))
+    val ids = t.select(col("id").as("parent")).distinct()
+    val parentsOf = graft.engine.Caches.persisted(
+      t.select(col("parent").as("id")).filter(col("id").isNotNull)
+        .distinct())
+    def fresh(df: DataFrame): DataFrame =
+      df.select(col("id").as("id"), col("depth").as("depth"),
+        col("path").as("path"))
+    val roots = t.join(ids, Seq("parent"), "left_anti")
+      .select(col("id"), lit(1).as("depth"), col("txt").as("path"))
+      .barrierCut
+    var out = fresh(roots.join(parentsOf, Seq("id"), "left_anti"))
+      .withColumn("truncated", lit(false))
+    var frontier = roots.join(parentsOf, Seq("id"), "left_semi")
+      .barrierCut
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = t
+        .join(frontier.select(col("id").as("parent"), col("depth"),
+          col("path")), "parent")
+        .select(col("id"), (col("depth") + 1).as("depth"),
+          concat(col("path"), lit(sep), col("txt")).as("path"))
+        .barrierCut
+      out = out.unionByName(
+        fresh(next.join(parentsOf, Seq("id"), "left_anti"))
+          .withColumn("truncated", lit(false)))
+      frontier = next.join(parentsOf, Seq("id"), "left_semi").barrierCut
+      depth += 1
+    }
+    out = out.unionByName(
+      fresh(frontier).withColumn("truncated", lit(true)))
+    out.select(col("id").as("leaf_id"), col("depth"), col("path"),
+      col("truncated"))
+  }
+
   /** Eigenvector centrality by fixed-round power iteration (Bonacich
     * 1987 — public): the principal-eigenvector score `x ∝ A·x` that
     * completes the centrality family (degree / [[pageRank]] /

@@ -918,6 +918,30 @@ class EvalSpec extends SparkTestBase {
     intercept[Exception](Eval.cochranQ(unbal, "s", "t", "x").collect())
   }
 
+  test("quadraticKappa: perfect 1000, off-by-one beats far-miss, " +
+      "anti-agreement -1000, degenerate fence") {
+    import spark.implicits._
+    def qwk(rows: Seq[(Long, Long)]) =
+      Eval.quadraticKappa(rows.toDF("p", "l"), "p", "l").collect().head
+    val perfect = qwk(Seq((0L, 0L), (1L, 1L), (2L, 2L), (1L, 1L)))
+    assert(perfect.getLong(4) === 1000L)
+    // same 3 agreements + ONE disagreement: the near miss (0 vs 1)
+    // scores 800, the far miss (0 vs 2) only 384 — plain kappa would
+    // not distinguish them
+    val near = qwk(Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 1L)))
+    assert((near.getLong(2), near.getLong(3), near.getLong(4))
+      === ((1L, 20L, 800L)))
+    val far = qwk(Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 2L)))
+    assert((far.getLong(2), far.getLong(3), far.getLong(4))
+      === ((4L, 26L, 384L)))
+    // systematic inversion on {0,2}: exactly -1
+    val anti = qwk(Seq((0L, 2L), (0L, 2L), (2L, 0L), (2L, 0L)))
+    assert(anti.getLong(4) === -1000L)
+    // both raters constant: no expected disagreement to normalize by
+    assert(qwk(Seq((1L, 1L), (1L, 1L))).isNullAt(4))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("jonckheereTerpstra: hand 3-group perfect trend, tie halving, " +
       "reversed symmetry, k = 2 doubled Mann-Whitney") {
     import spark.implicits._

@@ -630,6 +630,37 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("rootPaths: branch coverage, dangling-parent root, single node, " +
+      "truncation flag") {
+    import spark.implicits._
+    // chain 1-2-3 branching at 3 into {4, 5}; isolated 9; 10's parent
+    // is ABSENT (dangling -> root) with child 11
+    val nodes = Seq(
+      (1L, Option.empty[Long], "a"), (2L, Some(1L), "b"),
+      (3L, Some(2L), "c"), (4L, Some(3L), "d"), (5L, Some(3L), "e"),
+      (9L, Option.empty[Long], "z"),
+      (10L, Some(99L), "x"), (11L, Some(10L), "y"))
+      .toDF("id", "parent", "txt")
+    val full = Graph.rootPaths(nodes, "id", "parent", "txt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(full === Map(
+      4L -> ((4, "a | b | c | d", false)),
+      5L -> ((4, "a | b | c | e", false)),
+      9L -> ((1, "z", false)),
+      11L -> ((2, "x | y", false))))
+    // a depth cap emits still-open paths flagged, not silently dropped
+    val capped = Graph.rootPaths(nodes, "id", "parent", "txt",
+      maxDepth = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(capped(9L) === ((1, "z", false)))
+    assert(capped(11L) === ((2, "x | y", false)))
+    assert(capped(2L) === ((2, "a | b", true)))
+    assert(!capped.contains(4L) && !capped.contains(5L))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("katzCentrality: path hand values, star floor, small-alpha " +
       "degree limit") {
     import spark.implicits._
