@@ -3956,6 +3956,36 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Tolerance-bounded as-of: the latest purchase counts only within
+    // a 6-hour staleness budget — matches older than the tolerance
+    // null out. Judged against DuckDB's native ASOF + interval gap.
+    "q_asof_tol" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Events.asofJoinTolerance(
+        clicks, purchases, "user_id", "ts", "value", "recent_purchase",
+        toleranceMicros = 6L * 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          col("recent_purchase"))
+        .orderBy("event_id")
+    }),
+
+    // Rank-aware recommender eval: MRR over the same train/test split
+    // as q_rec_eval — reciprocal of the best model rank among
+    // co-present neighbors, misses contribute zero. Fully oracled.
+    "q_mrr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"),
+          (col("l_partkey") % 200L).as("i"), year(col("l_shipdate")).as("y"))
+      graft.operators.Events.recsMrr(
+        li.filter(col("y") <= 1996).select("k", "i"),
+        li.filter(col("y") === 1997).select("k", "i"),
+        "k", "i", minPairKeys = 3L, k = 5)
+    }),
+
     // Forward as-of: each click gets the NEXT purchase at or after it
     // (time-to-conversion shape) — asofJoin mirrored, same one-shuffle
     // tag-union, judged against DuckDB's forward ASOF. Fully oracled.
@@ -11485,6 +11515,21 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
 
+    // native ASOF for the match, then the staleness budget as an
+    // interval gap filter on the matched right timestamp
+    "q_asof_tol" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS v FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts AS click_ts,
+        |  CASE WHEN r.ts IS NOT NULL
+        |        AND l.ts - r.ts <= INTERVAL 6 HOUR THEN r.v
+        |  END AS recent_purchase
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
     "q_asof_fwd" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'click'),
@@ -14336,6 +14381,50 @@ object SparkEntry {
         |SELECT n_baskets, n_evals, hits,
         |       hits * 1000 // n_evals AS hit_rate_milli
         |FROM agg""".stripMargin,
+
+    // the q_rec_eval replay with the model RANK kept: reciprocal of
+    // the best co-present rank, misses contribute zero, // floors on
+    // the non-negative sums
+    "q_mrr" ->
+      """WITH ki0 AS (SELECT DISTINCT l_orderkey AS k,
+        |    l_partkey % 200 AS i FROM lineitem
+        |  WHERE year(l_shipdate) <= 1996),
+        |ok AS (SELECT k FROM ki0 GROUP BY 1 HAVING count(*) <= 10000),
+        |ki AS (SELECT ki0.k, ki0.i FROM ki0 JOIN ok USING (k)),
+        |n AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+        |      FROM ki GROUP BY 1),
+        |p AS (SELECT a.i AS ia, b.i AS ib,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ki a JOIN ki b ON a.k = b.k AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |s AS (SELECT ia, ib, n_both,
+        |    CAST(floor(CAST(n_both AS DOUBLE) * 1000000.0
+        |      / sqrt(CAST(na.ni * nb.ni AS DOUBLE))) AS BIGINT)
+        |      AS cos_micro
+        |  FROM p JOIN n na ON na.i = p.ia JOIN n nb ON nb.i = p.ib),
+        |sym AS (SELECT ia AS item, ib AS nbr, n_both, cos_micro FROM s
+        |        UNION ALL
+        |        SELECT ib, ia, n_both, cos_micro FROM s),
+        |r AS (SELECT item, nbr,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cos_micro DESC, n_both DESC, nbr) AS rk
+        |  FROM sym),
+        |model AS (SELECT item, nbr, rk FROM r WHERE rk <= 5),
+        |tb AS (SELECT DISTINCT l_orderkey AS k, l_partkey % 200 AS i
+        |       FROM lineitem WHERE year(l_shipdate) = 1997),
+        |multi AS (SELECT k FROM tb GROUP BY k
+        |          HAVING count(*) >= 2 AND count(*) <= 10000),
+        |evals AS (SELECT tb.k, tb.i FROM tb JOIN multi USING (k)),
+        |pr AS (SELECT a.k, a.i AS item, b.i AS nbr
+        |       FROM evals a JOIN tb b ON a.k = b.k AND a.i <> b.i),
+        |best AS (SELECT pr.k, pr.item, min(model.rk) AS mr
+        |         FROM pr JOIN model USING (item, nbr) GROUP BY 1, 2),
+        |agg AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM evals) AS n_evals,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM best) AS n_hits,
+        |    (SELECT CAST(coalesce(sum(1000000 // mr), 0) AS BIGINT)
+        |     FROM best) AS s)
+        |SELECT n_evals, n_hits, s // n_evals AS mrr_micro FROM agg""".stripMargin,
 
     // anti-diagonal wavefront DP carried as two lists per recursion
     // step; guards keep every list index in range (negative indices

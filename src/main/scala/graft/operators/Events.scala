@@ -177,6 +177,44 @@ object Events {
       .drop("__p", "__is_left")
   }
 
+  /** TOLERANCE-bounded as-of join — [[asofJoin]] with a staleness
+    * budget: each left row gets the latest right payload at or before
+    * its timestamp ONLY when that match is at most `toleranceMicros`
+    * old (the quote-staleness rule every market/telemetry join ships
+    * with — an hours-old "latest" reading is usually worse than none).
+    * Same one-shuffle tag-union shape; the window carries the matched
+    * right TIMESTAMP alongside the payload (two `last(ignoreNulls)`
+    * over the same frame — null together by construction) and the
+    * tolerance check nulls the stale match. Timestamp columns only
+    * (the gap compares in epoch micros). Judged `q_asof_tol` against
+    * DuckDB's native ASOF with the interval gap filter; the
+    * at-tolerance boundary (inclusive), zero tolerance ≡ same-instant
+    * only, and the no-match passthrough pinned in EventsSpec. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCol: String, asofCol: String,
+      toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0, s"tolerance must be >= 0: $toleranceMicros")
+    val r = right
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(payloadCol)).as("__p"))
+      .withColumn("__rts", col(tsCol))
+      .withColumn("__is_left", lit(0))
+    val l = left.withColumn("__is_left", lit(1))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__mp", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__mts", last(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .withColumn(asofCol,
+        when(col("__mts").isNotNull &&
+          unix_micros(col(tsCol)) - unix_micros(col("__mts")) <=
+            toleranceMicros,
+          col("__mp")))
+      .drop("__p", "__rts", "__is_left", "__mp", "__mts")
+  }
+
   /** Range (interval) join — the second "operator Spark lacks" composed
     * from existing ops: all pairs with equal `keyCol` whose timestamps
     * lie within `toleranceMinutes` of each other.
@@ -3472,6 +3510,47 @@ object Events {
     nEval.crossJoin(nHit)
       .select(col("n_baskets"), col("n_evals"), col("hits"),
         expr("hits * 1000 div n_evals").as("hit_rate_milli"))
+  }
+
+  /** Mean reciprocal rank — [[recsHitRate]]'s RANK-AWARE sibling (the
+    * hit rate says whether a correct item made the list; MRR says how
+    * HIGH — a model that always buries the hit at rank k scores the
+    * same hit rate but 1/k the MRR): per eval item, the reciprocal of
+    * the BEST model rank among neighbors co-present in its test basket
+    * (`rr_micro = 10⁶ div min_rank`, exact — the model's rank is
+    * already the quantized-triple order), misses contribute 0, and
+    * `mrr_micro = Σ rr div n_evals`. Identical train/test plumbing,
+    * cap and guards to the hit rate. Judged `q_mrr`, fully ORACLED
+    * (the q_rec_eval oracle with the rank kept); the
+    * buried-vs-top-hit asymmetry and the miss-contributes-zero
+    * contract pinned in EventsSpec. */
+  def recsMrr(train: DataFrame, test: DataFrame, keyCol: String,
+      itemCol: String, minPairKeys: Long = 3L, k: Int = 5,
+      maxBasketSize: Long = 10000L): DataFrame = {
+    val model = itemSimilarityTopK(train, keyCol, itemCol, minPairKeys, k,
+        maxBasketSize)
+      .select(col("item"), col("nbr"), col("rk"))
+    val tb = graft.engine.Caches.persisted(
+      test.select(col(keyCol).as("__k"), col(itemCol).as("item"))
+        .distinct())
+    val multi = tb.groupBy(col("__k")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") >= 2 && col("__sz") <= maxBasketSize)
+      .select(col("__k"))
+    val evals = tb.join(multi, Seq("__k"))
+    val pairs = evals.as("a").join(tb.as("b"),
+        col("a.__k") === col("b.__k") && col("a.item") =!= col("b.item"))
+      .select(col("a.__k").as("__k"), col("a.item").as("item"),
+        col("b.item").as("nbr"))
+    val best = pairs.join(model, Seq("item", "nbr"))
+      .groupBy(col("__k"), col("item"))
+      .agg(min(col("rk")).as("__r"))
+      .select(expr("cast(1000000 div __r as bigint)").as("__rr"))
+    val nEval = broadcast(evals.agg(count(lit(1)).as("n_evals")))
+    best.agg(count(lit(1)).as("n_hits"),
+        coalesce(sum(col("__rr")), lit(0L)).as("__s"))
+      .crossJoin(nEval)
+      .select(col("n_evals"), col("n_hits"),
+        expr("__s div n_evals").as("mrr_micro"))
   }
 
   /** Dynamic-time-warping distance between two keys' daily series —

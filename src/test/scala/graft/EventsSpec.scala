@@ -2133,6 +2133,47 @@ class EventsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("asofJoinTolerance: stale match nulls, boundary inclusive, " +
+      "zero tolerance = same instant, no-match passthrough") {
+    val clicks = Seq(
+      (1L, 10L, ts("2026-01-01 12:00:00")), // 30 min stale -> kept
+      (2L, 10L, ts("2026-01-01 14:00:00")), // 2.5 h stale -> nulled
+      (3L, 10L, ts("2026-01-01 11:30:00")), // same instant -> kept
+      (4L, 10L, ts("2026-01-01 12:30:00")), // exactly AT tolerance
+      (5L, 20L, ts("2026-01-01 12:00:00"))) // no purchases at all
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((10L, ts("2026-01-01 11:30:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    def run(tolMicros: Long) = graft.operators.Events.asofJoinTolerance(
+      clicks, purchases, "user_id", "ts", "value", "v", tolMicros)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    val hour = run(3600L * 1000000L)
+    assert(hour === Map(1L -> 5.0, 2L -> -1.0, 3L -> 5.0, 4L -> 5.0,
+      5L -> -1.0))
+    val zero = run(0L)
+    assert(zero === Map(1L -> -1.0, 2L -> -1.0, 3L -> 5.0, 4L -> -1.0,
+      5L -> -1.0))
+  }
+
+  test("recsMrr: buried hit scores half, miss contributes zero") {
+    // model from {1,2}x3 and {1,3}x3: item 1's neighbors tie on count
+    // and rank by nbr asc -> (2 at rank 1, 3 at rank 2); items 2 and 3
+    // each have only neighbor 1 at rank 1
+    val train = ((101L to 103L).flatMap(k => Seq((k, 1L), (k, 2L))) ++
+      (104L to 106L).flatMap(k => Seq((k, 1L), (k, 3L))))
+      .toDF("k", "i")
+    // basket {1,3}: item 1 finds 3 at rank 2 (rr 500000), item 3 finds
+    // 1 at rank 1 (rr 1000000); basket {2,3}: both items miss
+    val test = Seq((201L, 1L), (201L, 3L), (202L, 2L), (202L, 3L))
+      .toDF("k", "i")
+    val r = graft.operators.Events.recsMrr(train, test, "k", "i",
+      minPairKeys = 3L, k = 5).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      === ((4L, 2L, 375000L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("maseBacktest: perfect weekly 0, constant NULL, step series " +
       "punishes the seasonal forecast, gaps densify to zero days") {
     def series(key: String, vals: Seq[Double]) = vals.zipWithIndex.map {
