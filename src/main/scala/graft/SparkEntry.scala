@@ -2881,6 +2881,16 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Discrete power-law tail MLE over the part→supplier degree
+    // distribution (Clauset et al. 2009): micro-quantized ln terms per
+    // DISTINCT degree, one DECIMAL division. Fully oracled.
+    "q_degree_tail" -> ((s, dir) =>
+      graft.operators.Graph.degreeTailAlpha(
+        t(s, dir, "lineitem")
+          .select(pmod(col("l_partkey"), lit(100)).as("src"),
+            pmod(col("l_suppkey"), lit(100)).as("dst")),
+        "src", "dst", dMin = 2L)),
+
     // Katz centrality (2 fixed rounds, alpha 0.1, beta 1.0) over the
     // part→supplier graph: attenuated path counts with the beta floor —
     // the family member between degree and eigenvector. Raw doubles
@@ -12644,6 +12654,28 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(dq_micro) AS BIGINT) AS q_micro FROM per)
         |SELECT label, n_nodes, e_in, d_c, dq_micro, q_micro
         |FROM per, tot ORDER BY label""".stripMargin,
+
+    // per-distinct-degree ln terms over exact integer arguments
+    // (2d / (2·dmin−1) keeps both integral), HUGEINT-routed division
+    "q_degree_tail" ->
+      """WITH f AS (SELECT DISTINCT l_partkey % 100 AS s,
+        |        l_suppkey % 100 AS d FROM lineitem),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |      FROM f WHERE s <> d),
+        |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+        |       FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        |       GROUP BY 1),
+        |c AS (SELECT deg, CAST(count(*) AS BIGINT) AS c FROM dg
+        |      WHERE deg >= 2 GROUP BY 1),
+        |agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_tail,
+        |        CAST(sum(c * CAST(floor((ln(2 * deg) - ln(3))
+        |          * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
+        |      FROM c)
+        |SELECT CAST(2 AS BIGINT) AS d_min, n_tail, s_micro,
+        |  CASE WHEN s_micro > 0 THEN
+        |    CAST(1000 + CAST(n_tail AS HUGEINT) * 1000000000 // s_micro
+        |      AS BIGINT) END AS alpha_milli
+        |FROM agg""".stripMargin,
 
     // the Katz recurrence unrolled twice: x0 = beta, no degree
     // normalization, beta floor on zero-in-degree nodes

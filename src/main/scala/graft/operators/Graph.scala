@@ -822,6 +822,53 @@ object Graph {
     hub.join(auth, "id")
   }
 
+  /** Power-law tail exponent of the DEGREE distribution — the
+    * discrete maximum-likelihood estimator (Clauset, Shalizi & Newman
+    * 2009, eq. 3.7 — public): `α̂ = 1 + n·[Σ ln(d_i/(d_min−½))]⁻¹`
+    * over nodes with degree ≥ d_min. The scale-free diagnostic beside
+    * [[graft.functions.TextOps]]' Zipf fit (q_zipf fits token
+    * frequencies; this fits the GRAPH's hub structure — α ∈ [2, 3] is
+    * the scale-free band, larger means thinner tails than a crawl
+    * graph should have, a data-quality smell for link corpora).
+    *
+    * Judged-double discipline: each distinct degree contributes
+    * `cnt_d·⌊(ln(2d) − ln(2·d_min−1))·10⁶ + 0.5⌋` — two IEEE ln over
+    * exact INTEGER arguments micro-quantized once (the chi2/MI
+    * pattern; `d/(d_min−½) = 2d/(2d_min−1)` keeps both arguments
+    * integral), then `alpha_milli = 1000 + (n·10⁹) div s_micro` over
+    * DECIMAL(38,0). NULL when the tail is empty (s_micro is strictly
+    * positive otherwise — 2d > 2·d_min−1 for every tail degree).
+    *
+    * Scale: degrees are one partial agg over distinct undirected
+    * edges; the tail aggregates per DISTINCT DEGREE (ln computed once
+    * per degree value, not per node). Judged `q_degree_tail`, fully
+    * ORACLED; a hand two-degree tail, the d_min cut, the all-d_min
+    * fence and direction independence pinned in GraphSpec. */
+  def degreeTailAlpha(edges: DataFrame, srcCol: String, dstCol: String,
+      dMin: Long = 2L): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1: $dMin")
+    val canon = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= dMin)
+      .groupBy(col("d")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("n_tail"),
+        sum(expr(s"""__c * cast(floor((ln(2 * d) - ln(${2 * dMin - 1}))
+          * 1000000 + 0.5) as bigint)""")).as("s_micro"))
+      .select(lit(dMin).as("d_min"), col("n_tail"), col("s_micro"),
+        when(col("s_micro") > 0, expr(
+          """cast(1000 + (cast(n_tail as decimal(38,0)) * 1000000000)
+            div s_micro as bigint)"""))
+          .as("alpha_milli"))
+  }
+
   /** Katz centrality by fixed-round iteration (Katz 1953 — public):
     * `x_{i+1}(v) = β + α·Σ_{u→v} x_i(u)`, x₀ = β — the attenuated
     * path-count centrality between degree (α→0) and

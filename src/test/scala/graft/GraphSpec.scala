@@ -630,6 +630,31 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("degreeTailAlpha: hand path tail, dmin cut, direction and " +
+      "duplicate-edge invariance, empty-tail fence") {
+    import spark.implicits._
+    // path 0-1-2-3-4: degrees (1,2,2,2,1); tail d >= 2 is three nodes
+    // at degree 2 -> alpha = 1 + 3/(3·ln(4/3)) via the micro contract
+    val path = (0L until 4L).map(i => (i, i + 1)).toDF("s", "d")
+    val r = Graph.degreeTailAlpha(path, "s", "d").collect().head
+    val term = math.floor((math.log(4.0) - math.log(3.0)) * 1e6 + 0.5)
+      .toLong
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 3L * term)
+    assert(r.getLong(3) === 1000L + 3000000000L / (3L * term))
+    // direction + duplicate edges do not change degrees
+    val messy = ((0L until 4L).map(i => (i + 1, i)) ++ Seq((0L, 1L)))
+      .toDF("s", "d")
+    assert(Graph.degreeTailAlpha(messy, "s", "d").collect().head
+      .getLong(3) === r.getLong(3))
+    // the cut excludes sub-dmin nodes: dMin 3 on the path empties the
+    // tail -> NULL estimator
+    val e = Graph.degreeTailAlpha(path, "s", "d", dMin = 3L)
+      .collect().head
+    assert(e.isNullAt(1) && e.isNullAt(3))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("rootPaths: branch coverage, dangling-parent root, single node, " +
       "truncation flag") {
     import spark.implicits._
