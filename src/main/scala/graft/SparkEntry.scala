@@ -1258,6 +1258,26 @@ object SparkEntry {
           lit(allA.size).as("dirs_total_after"))
     }),
 
+    // Cross-version drift at the format layer: v2 appends a +500
+    // shifted residue slice; PSI between v1 and v2 (bins = v1's exact
+    // deciles) attributes the shift per bin. Fully oracled (the q_psi
+    // replay over the version slices).
+    "q_table_drift" -> ((s, dir) => {
+      val root = tmpPath("vtable_drift")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      import graft.tables.VersionedTable
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      VersionedTable.create(s, root,
+        orders.filter(col("o_orderkey") % 2 === 0))
+      VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+      VersionedTable.versionDrift(s, root, "o_totalprice", 1, 2)
+        .orderBy("bin")
+    }),
+
     // IDENTITY column at the format layer: three residue batches get
     // generated ids continuing from the sidecar max — dense 1..N with
     // a rank-arithmetic mapping (batch offset + within-batch rank by
@@ -7610,6 +7630,46 @@ object SparkEntry {
         |   WHERE mn <= 8000 AND mx >= 1000) AS dirs_read_after,
         |  (SELECT CAST(count(*) AS INTEGER) FROM ad) AS dirs_total_after
         |FROM sel""".stripMargin,
+
+    // the q_psi replay over the two version slices: v1 = even keys,
+    // v2 = even ∪ (odd + 500); bins are v1's exact deciles
+    "q_table_drift" ->
+      ("""WITH ref AS (SELECT o_totalprice AS v FROM orders
+        |             WHERE o_orderkey % 2 = 0),
+        |cur AS (SELECT o_totalprice AS v FROM orders
+        |        WHERE o_orderkey % 2 = 0
+        |        UNION ALL
+        |        SELECT o_totalprice + 500.0 FROM orders
+        |        WHERE o_orderkey % 2 = 1),
+        |b AS (SELECT quantile_cont(v,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd
+        |      FROM ref),
+        |e AS (SELECT 'from' AS g, v FROM ref
+        |      UNION ALL SELECT 'to', v FROM cur),
+        |binned AS (SELECT g, ("""
+        + (1 to 9).map(i =>
+            s"CASE WHEN v > bnd[$i] THEN 1 ELSE 0 END").mkString(" + ") +
+        """) AS bin
+        |           FROM e CROSS JOIN b),
+        |c AS (SELECT bin,
+        |  CAST(sum(CASE WHEN g = 'from' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ref_n,
+        |  CAST(sum(CASE WHEN g = 'to' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cur_n
+        |  FROM binned GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS tr,
+        |             CAST(sum(cur_n) AS BIGINT) AS tc FROM c),
+        |d AS (SELECT axis.bin, COALESCE(ref_n, 0) AS ref_n,
+        |             COALESCE(cur_n, 0) AS cur_n
+        |      FROM axis LEFT JOIN c ON axis.bin = c.bin)
+        |SELECT CAST(d.bin AS INT) AS bin, ref_n, cur_n,
+        |       (CAST(ref_n + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+        |        - CAST(cur_n + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+        |       * ln((CAST(ref_n + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+        |             / (CAST(cur_n + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)))
+        |         AS term
+        |FROM d, t ORDER BY bin""").stripMargin,
 
     // batch offset + within-batch rank by order key — the generated
     // ids are pure rank arithmetic over the residue slices

@@ -1548,6 +1548,29 @@ object VersionedTable {
       mergeSchema = mergeSchema || m.deleteDirs.nonEmpty).filter(pred)
   }
 
+  /** Cross-VERSION drift report — the ML-monitoring question asked at
+    * the format layer: did `valueCol`'s distribution shift between two
+    * snapshots of this table (a bad backfill, a schema-era change, an
+    * upstream regression — caught at commit review, before a model
+    * retrains on it). Composes [[readVersion]] over both snapshots
+    * into [[graft.operators.Events.psiBins]]: bins are the FROM
+    * snapshot's exact deciles, per-bin PSI terms attribute the drift
+    * to where it happened. All the PSI economics apply (one quantile
+    * pass on the reference, scan-stage binning, ≤ nBins output).
+    * Judged `q_table_drift` (an appended shifted slice between v1 and
+    * v2 — the oracle replays both version slices through the q_psi
+    * machinery), fully ORACLED; identical-versions zero and
+    * shifted-append attribution pinned in VersionedTableSpec. */
+  def versionDrift(spark: SparkSession, root: String, valueCol: String,
+      fromVersion: Int, toVersion: Int, nBins: Int = 10): DataFrame = {
+    val a = readVersion(spark, root, fromVersion, mergeSchema = true)
+      .select(col(valueCol).as("__v")).withColumn("__ver", lit("from"))
+    val b = readVersion(spark, root, toVersion, mergeSchema = true)
+      .select(col(valueCol).as("__v")).withColumn("__ver", lit("to"))
+    graft.operators.Events.psiBins(
+      a.unionByName(b), "__ver", "__v", "from", "to", nBins)
+  }
+
   /** The data directories of snapshot `version` (latest when 0) — the
     * metadata surface that audits physical layout: carry-by-name across
     * selective OPTIMIZE, vacuum scope checks, dir-count assertions.

@@ -1619,6 +1619,29 @@ class VersionedTableSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("versionDrift: the same version scores exactly zero, a shifted " +
+      "append lands its mass in the top bin") {
+    import spark.implicits._
+    val root = freshRoot("drift")
+    val base = (1L to 200L).map(k => (k, (k % 50).toDouble)).toDF("k", "v")
+    VersionedTable.create(spark, root, base)
+    // v1 against itself: every bin's counts coincide, term exactly 0.0
+    val same = VersionedTable.versionDrift(spark, root, "v", 1, 1)
+      .collect()
+    assert(same.length === 10)
+    same.foreach(r => assert(r.getDouble(3) === 0.0))
+    // a far-above-range append: all new mass lands in the TOP bin,
+    // whose term goes strictly positive
+    VersionedTable.append(spark, root,
+      (1L to 100L).map(k => (2000L + k, 999.0)).toDF("k", "v"))
+    val drift = VersionedTable.versionDrift(spark, root, "v", 1, 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(drift(9)._2 === drift(9)._1 + 100L)
+    assert(drift(9)._3 > 0.0)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("cloneTable: snapshot equality, as-of, independence, constraints, fresh history") {
     import spark.implicits._
     val src = freshRoot("clone_src")
