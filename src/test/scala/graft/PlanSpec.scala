@@ -442,6 +442,15 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("reservoirSampleStratified rides the window-free top-k plan") {
+    val plan = executedPlan(
+      SparkEntry.queries("q_weighted_stratified")(spark, sfDir))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object hash aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into the plan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
