@@ -6623,10 +6623,13 @@ object SparkEntry {
     // Geohash cell keys at precision 6 over value/id-derived degrees,
     // plus the 4-char parent cell (the prefix property): one IEEE
     // floor per dimension, kernel Morton interleave, shift/mask base32.
-    // Fully oracled via the validated SQL Morton mirror.
+    // Fully oracled via the validated SQL Morton mirror; lat derives
+    // from abs(value) % 180 — exact and engine-agnostic for ANY sign
+    // of a future events.value era (pmod vs DuckDB % diverge on
+    // negatives).
     "q_geohash" -> ((s, dir) => {
       val gh = graft.operators.Spatial.geohash(
-        pmod(col("value"), lit(180.0)) - lit(90.0),
+        (abs(col("value")) % lit(180.0)) - lit(90.0),
         (col("event_id") % 360).cast("double") - lit(180.0), 6)
       t(s, dir, "events")
         .select(col("event_id"), gh.as("gh"))
@@ -14119,10 +14122,14 @@ object SparkEntry {
 
     // one IEEE floor per dimension, the property-tested SQL Morton
     // (lat even bits, lon odd at even precision), explicit base32
-    // concatenation — token-identical to the kernel path
+    // concatenation — token-identical to the kernel path; lat rides
+    // abs(value) % 180.0 on BOTH sides (abs is IEEE-exact, and fmod
+    // of a non-negative input agrees bit-for-bit across engines —
+    // DuckDB's sign-following % vs Spark pmod only diverge on
+    // negatives, which a future testdata era could produce)
     "q_geohash" ->
       """WITH p AS (SELECT event_id,
-        |        (value % 180.0) - 90.0 AS lat,
+        |        (abs(value) % 180.0) - 90.0 AS lat,
         |        CAST(event_id % 360 AS DOUBLE) - 180.0 AS lon
         |      FROM events),
         |q AS (SELECT event_id,

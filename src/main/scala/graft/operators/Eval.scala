@@ -875,7 +875,9 @@ object Eval {
     * treatments — no within-subject variation to test); Q is χ²(k−1)
     * under H₀. The input must be BALANCED (every subject observed
     * under every treatment — encode missing as 0 explicitly);
-    * balance is REQUIRED (checked: n = b·k).
+    * balance is REQUIRED (checked per subject: row count AND
+    * count(DISTINCT treatment) both equal k — a duplicated treatment
+    * row can't mask a missing cell).
     *
     * Scale: one partial agg to subject rows (R_i), one to treatment
     * totals — both single-pass; subjects at data scale ride a
@@ -889,10 +891,11 @@ object Eval {
       col(treatmentCol).cast("string").as("t"),
       when(col(valueCol).cast("long") =!= 0L, 1L).otherwise(0L).as("x"))
     val rows = x.groupBy("s").agg(sum(col("x")).as("__r"),
-      count(lit(1)).as("__kr"))
+      count(lit(1)).as("__kr"), countDistinct(col("t")).as("__kd"))
     val rAgg = broadcast(rows.agg(count(lit(1)).as("b"),
       sum(expr("__r * __r")).as("__rr"), sum(col("__r")).as("__n"),
-      min(col("__kr")).as("__kmin"), max(col("__kr")).as("__kmax")))
+      min(col("__kr")).as("__kmin"), max(col("__kr")).as("__kmax"),
+      min(col("__kd")).as("__dmin")))
     val cols = x.groupBy("t").agg(sum(col("x")).as("__c"))
     cols.crossJoin(broadcast(cols.groupBy().agg(count(lit(1)).as("k"))
         .select(col("k"))))
@@ -900,12 +903,14 @@ object Eval {
       .agg(max(col("k")).as("k"), max(col("b")).as("b"),
         max(col("__n")).as("n"), max(col("__rr")).as("__rr"),
         max(col("__kmin")).as("__kmin"), max(col("__kmax")).as("__kmax"),
+        max(col("__dmin")).as("__dmin"),
         sum(expr("""cast(k * __c - __n as decimal(38,0))
           * (k * __c - __n)""")).as("__num"))
       .select(col("k"), col("b"), col("n"),
         expr("cast(cast(k as decimal(38,0)) * n - __rr as bigint)")
           .as("den_core"),
-        when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k"),
+        when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k") ||
+            col("__dmin") =!= col("k"),
           expr("raise_error('cochranQ: unbalanced subject panel')"))
           .otherwise(
             when(expr("cast(k as decimal(38,0)) * n - __rr") > 0 &&
@@ -947,9 +952,9 @@ object Eval {
     val kAgg = broadcast(x.select(col("t")).distinct()
       .agg(count(lit(1)).as("k")))
     val bAgg = broadcast(x.groupBy(col("b"))
-      .agg(count(lit(1)).as("__kb"))
+      .agg(count(lit(1)).as("__kb"), countDistinct(col("t")).as("__kd"))
       .agg(count(lit(1)).as("nb"), min(col("__kb")).as("__kmin"),
-        max(col("__kb")).as("__kmax")))
+        max(col("__kb")).as("__kmax"), min(col("__kd")).as("__dmin")))
     val tAgg = broadcast(x.groupBy(col("b"), col("v"))
       .agg(count(lit(1)).as("__tv"))
       .agg(coalesce(sum(expr("__tv * __tv * __tv - __tv")), lit(0L))
@@ -963,10 +968,11 @@ object Eval {
       .crossJoin(kAgg).crossJoin(bAgg).crossJoin(tAgg)
       .agg(max(col("k")).as("k"), max(col("nb")).as("b_blocks"),
         max(col("__kmin")).as("__kmin"), max(col("__kmax")).as("__kmax"),
-        max(col("__T")).as("__T"),
+        max(col("__dmin")).as("__dmin"), max(col("__T")).as("__T"),
         sum(expr("cast(__r2 as decimal(38,0)) * __r2")).as("__s2"))
       .withColumn("chi2_milli",
-        when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k"),
+        when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k") ||
+            col("__dmin") =!= col("k"),
           expr("raise_error('friedmanTest: unbalanced block panel')"))
           .otherwise(expr(
             """cast((3000 * __s2) div (b_blocks * k * (k + 1))
@@ -1009,7 +1015,7 @@ object Eval {
     val items = x.groupBy("i").agg(count(lit(1)).as("__ni"),
       sum(col("c")).as("__s"), sum(expr("c * c")).as("__q"))
     val subj = x.groupBy("s").agg(sum(col("c")).as("__ts"),
-      count(lit(1)).as("__ki"))
+      count(lit(1)).as("__ki"), countDistinct(col("i")).as("__kdi"))
     val iAgg = items.agg(count(lit(1)).as("k"),
       min(col("__ni")).as("__nmin"), max(col("__ni")).as("__nmax"),
       sum(expr("""cast(cast(__ni as decimal(38,0)) * __q -
@@ -1017,6 +1023,7 @@ object Eval {
         .as("__vi"))
     val sAgg = subj.agg(count(lit(1)).as("n"),
       min(col("__ki")).as("__kmin"), max(col("__ki")).as("__kmax"),
+      min(col("__kdi")).as("__dmin"),
       sum(col("__ts")).as("__st"),
       sum(expr("cast(__ts as decimal(38,0)) * __ts")).as("__qt"))
     broadcast(iAgg).crossJoin(broadcast(sAgg))
@@ -1027,6 +1034,7 @@ object Eval {
         expr("cast(__vi div n as bigint)").as("sum_item_var_n"),
         expr("cast(__vt div n as bigint)").as("total_var_n"),
         when(col("__kmin") =!= col("k") || col("__kmax") =!= col("k") ||
+            col("__dmin") =!= col("k") ||
             col("__nmin") =!= col("n") || col("__nmax") =!= col("n"),
           expr("raise_error('cronbachAlpha: unbalanced subject panel')"))
           .otherwise(

@@ -183,9 +183,14 @@ object Events {
     * old (the quote-staleness rule every market/telemetry join ships
     * with — an hours-old "latest" reading is usually worse than none).
     * Same one-shuffle tag-union shape; the window carries the matched
-    * right TIMESTAMP alongside the payload (two `last(ignoreNulls)`
-    * over the same frame — null together by construction) and the
-    * tolerance check nulls the stale match. Timestamp columns only
+    * right row as ONE struct `(ts, payload)` through a single
+    * `last(ignoreNulls)` — a right row with a NULL payload is still a
+    * non-null struct, so the matched timestamp and payload can never
+    * decouple onto different right rows — and the tolerance check
+    * nulls the stale match. Corollary: when the LATEST right row's
+    * payload is NULL, the result is NULL (the matched row's payload,
+    * exactly what a native ASOF join returns) — it does NOT fall back
+    * to an older non-null payload. Timestamp columns only
     * (the gap compares in epoch micros). Judged `q_asof_tol` against
     * DuckDB's native ASOF with the interval gap filter; the
     * at-tolerance boundary (inclusive), zero tolerance ≡ same-instant
@@ -197,22 +202,22 @@ object Events {
     val r = right
       .groupBy(col(keyCol), col(tsCol))
       .agg(max(col(payloadCol)).as("__p"))
-      .withColumn("__rts", col(tsCol))
+      .withColumn("__m", struct(col(tsCol).as("rts"), col("__p").as("p")))
+      .drop("__p")
       .withColumn("__is_left", lit(0))
     val l = left.withColumn("__is_left", lit(1))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__mp", last(col("__p"), ignoreNulls = true).over(w))
-      .withColumn("__mts", last(col("__rts"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
       .withColumn(asofCol,
-        when(col("__mts").isNotNull &&
-          unix_micros(col(tsCol)) - unix_micros(col("__mts")) <=
+        when(col("__m").isNotNull &&
+          unix_micros(col(tsCol)) - unix_micros(col("__m.rts")) <=
             toleranceMicros,
-          col("__mp")))
-      .drop("__p", "__rts", "__is_left", "__mp", "__mts")
+          col("__m.p")))
+      .drop("__is_left", "__m")
   }
 
   /** Range (interval) join — the second "operator Spark lacks" composed

@@ -665,7 +665,16 @@ object Graph {
     * NULL or ABSENT from the relation is a root (upstream filtering
     * creates dangling parents; silently dropping those subtrees would
     * lose documents). Paths still open at `maxDepth` emit with
-    * `truncated = true` rather than disappearing.
+    * `truncated = true` rather than disappearing. Nodes trapped in a
+    * parent-pointer CYCLE (corrupt data — a→b→a — no ancestor chain
+    * reaches a root, so the frontier never visits them) emit one
+    * orphan row each with `depth = 0`, `path` = own text and
+    * `truncated = true` instead of vanishing: depth 0 is the orphan
+    * sentinel (real paths start at depth 1). Descendants of a
+    * maxDepth-truncated path are NOT orphans — the truncated row
+    * already flags that loss — so reachability is completed below the
+    * cut frontier (id-only semi-naive descent, new ids only, so a
+    * cycle cannot loop it) before the orphan anti-join.
     *
     * Scale: hop-bounded frontier iteration (the [[bfsHops]] economics
     * — one hash join per level on bare longs + the accumulated path
@@ -693,6 +702,7 @@ object Graph {
     def fresh(df: DataFrame): DataFrame =
       df.select(col("id").as("id"), col("depth").as("depth"),
         col("path").as("path"))
+    def freshIds(df: DataFrame): DataFrame = df.select(col("id").as("id"))
     val roots = t.join(ids, Seq("parent"), "left_anti")
       .select(col("id"), lit(1).as("depth"), col("txt").as("path"))
       .barrierCut
@@ -700,6 +710,7 @@ object Graph {
       .withColumn("truncated", lit(false))
     var frontier = roots.join(parentsOf, Seq("id"), "left_semi")
       .barrierCut
+    var reached = freshIds(roots).barrierCut
     var depth = 1
     while (depth < maxDepth && !frontier.isEmpty) {
       val next = t
@@ -711,11 +722,26 @@ object Graph {
       out = out.unionByName(
         fresh(next.join(parentsOf, Seq("id"), "left_anti"))
           .withColumn("truncated", lit(false)))
+      reached = reached.unionByName(freshIds(next)).barrierCut
       frontier = next.join(parentsOf, Seq("id"), "left_semi").barrierCut
       depth += 1
     }
     out = out.unionByName(
       fresh(frontier).withColumn("truncated", lit(true)))
+    // Complete reachability below the maxDepth cut so descendants of a
+    // truncated path don't read as orphans; new-ids-only keeps a cycle
+    // from ever re-feeding the descent.
+    var f2 = freshIds(frontier).barrierCut
+    while (!f2.isEmpty) {
+      val nxt = t.join(f2.select(col("id").as("parent")), "parent")
+        .select(col("id"))
+        .join(reached, Seq("id"), "left_anti").distinct().barrierCut
+      reached = reached.unionByName(freshIds(nxt)).barrierCut
+      f2 = nxt
+    }
+    val orphans = t.join(reached, Seq("id"), "left_anti")
+      .select(col("id"), lit(0).as("depth"), col("txt").as("path"))
+    out = out.unionByName(orphans.withColumn("truncated", lit(true)))
     out.select(col("id").as("leaf_id"), col("depth"), col("path"),
       col("truncated"))
   }

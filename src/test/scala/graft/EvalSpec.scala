@@ -916,6 +916,11 @@ class EvalSpec extends SparkTestBase {
     val unbal = Seq((1L, "x", 1L), (1L, "y", 0L), (2L, "x", 1L))
       .toDF("s", "t", "x")
     intercept[Exception](Eval.cochranQ(unbal, "s", "t", "x").collect())
+    // a duplicated treatment row cannot MASK a missing cell: subject 2
+    // has x twice and no y — row count k, distinct treatments k-1
+    val masked = Seq((1L, "x", 1L), (1L, "y", 0L),
+      (2L, "x", 1L), (2L, "x", 0L)).toDF("s", "t", "x")
+    intercept[Exception](Eval.cochranQ(masked, "s", "t", "x").collect())
   }
 
   test("quadraticKappa: perfect 1000, off-by-one beats far-miss, " +
@@ -988,6 +993,13 @@ class EvalSpec extends SparkTestBase {
     assert(a.getLong(2) === 0L && a.isNullAt(3))
     val unbal = (strict(1L) ++ strict(2L).tail).toDF("b", "t", "v")
     intercept[Exception](Eval.friedmanTest(unbal, "b", "t", "v").collect())
+    // duplicate-masking: block 2 repeats treatment a, drops c —
+    // row count k but distinct treatments k-1 must still reject
+    val masked = (strict(1L) ++
+      Seq((2L, "a", 1.0), (2L, "a", 2.0), (2L, "b", 3.0)))
+      .toDF("b", "t", "v")
+    intercept[Exception](
+      Eval.friedmanTest(masked, "b", "t", "v").collect())
   }
 
   test("cronbachAlpha: duplicated item alpha 1000, hand 0.75 case, " +
@@ -1017,5 +1029,12 @@ class EvalSpec extends SparkTestBase {
     assert(Eval.cronbachAlpha(flat, "s", "i", "v").collect().head.isNullAt(4))
     val unbal = panel(Seq((1L, "i1", 1.0), (1L, "i2", 2.0), (2L, "i1", 3.0)))
     intercept[Exception](Eval.cronbachAlpha(unbal, "s", "i", "v").collect())
+    // CROSS-compensating duplicates (s1 has i1 twice/no i2, s2 has i2
+    // twice/no i1): every row AND item count matches, only the
+    // per-subject distinct-item check catches it
+    val crossed = panel(Seq((1L, "i1", 1.0), (1L, "i1", 2.0),
+      (2L, "i2", 3.0), (2L, "i2", 4.0)))
+    intercept[Exception](
+      Eval.cronbachAlpha(crossed, "s", "i", "v").collect())
   }
 }

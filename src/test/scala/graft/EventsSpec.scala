@@ -2156,6 +2156,30 @@ class EventsSpec extends SparkTestBase {
       5L -> -1.0))
   }
 
+  test("asofJoinTolerance: null payload on the latest right row stays " +
+      "with its own timestamp (no stale decoupled payload)") {
+    // right: 11:00 -> 5.0, 11:45 -> NULL. A click at 12:00 with 30 min
+    // tolerance matches the 11:45 row (in budget) whose payload is
+    // NULL — it must NOT surface the 11:00 payload (60 min stale)
+    // against the 11:45 timestamp.
+    val clicks = Seq((1L, 10L, ts("2026-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, ts("2026-01-01 11:00:00"), Some(5.0)),
+      (10L, ts("2026-01-01 11:45:00"), Option.empty[Double]))
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.Events.asofJoinTolerance(
+      clicks, purchases, "user_id", "ts", "value", "v",
+      30L * 60L * 1000000L).collect().head
+    assert(out.isNullAt(3))
+    // with a 90 min budget the matched row is STILL 11:45 (the latest
+    // right row defines the match, native-ASOF style) -> still NULL
+    val wide = graft.operators.Events.asofJoinTolerance(
+      clicks, purchases, "user_id", "ts", "value", "v",
+      90L * 60L * 1000000L).collect().head
+    assert(wide.isNullAt(3))
+  }
+
   test("recsMrr: buried hit scores half, miss contributes zero") {
     // model from {1,2}x3 and {1,3}x3: item 1's neighbors tie on count
     // and rank by nbr asc -> (2 at rank 1, 3 at rank 2); items 2 and 3

@@ -686,6 +686,36 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("rootPaths: parent-pointer cycles emit flagged orphans, never " +
+      "vanish; truncated descendants are NOT orphans") {
+    import spark.implicits._
+    // healthy tree 1->2; corrupt cycle 6<->7 with child 8 hanging off 7
+    val nodes = Seq(
+      (1L, Option.empty[Long], "a"), (2L, Some(1L), "b"),
+      (6L, Some(7L), "p"), (7L, Some(6L), "q"), (8L, Some(7L), "r"))
+      .toDF("id", "parent", "txt")
+    val full = Graph.rootPaths(nodes, "id", "parent", "txt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(full === Map(
+      2L -> ((2, "a | b", false)),
+      6L -> ((0, "p", true)),   // depth 0 = the orphan sentinel
+      7L -> ((0, "q", true)),
+      8L -> ((0, "r", true))))
+    // a deep chain cut by maxDepth: nodes below the cut are reachable
+    // (the truncated row flags the loss) and must NOT read as orphans
+    val chain = Seq(
+      (1L, Option.empty[Long], "a"), (2L, Some(1L), "b"),
+      (3L, Some(2L), "c"), (4L, Some(3L), "d"))
+      .toDF("id", "parent", "txt")
+    val capped = Graph.rootPaths(chain, "id", "parent", "txt",
+      maxDepth = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(3)))).toMap
+    assert(capped === Map(2L -> ((2, true))))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("katzCentrality: path hand values, star floor, small-alpha " +
       "degree limit") {
     import spark.implicits._
