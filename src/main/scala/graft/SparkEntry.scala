@@ -7109,6 +7109,42 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Column-mapping DROP: metadata-only drop then a re-add append —
+    // three eras judged at once: v1 (pre-drop values addressable), v2
+    // (column GONE), v3 (fresh identity: only re-added rows carry
+    // values, the dead era reads null). Fully oracled.
+    "q_table_drop" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val root = tmpPath("vtable_drop")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val o = t(s, dir, "orders")
+      def slice(r: Int) =
+        o.filter(col("o_orderkey") % 5 === r)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("cents"))
+      VersionedTable.create(s, root, slice(0))    // v1
+      VersionedTable.dropColumn(s, root, "cents") // v2: metadata-only
+      VersionedTable.append(s, root, slice(1))    // v3: re-add, fresh
+      def agg(df: DataFrame, ver: Int) =
+        df.groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), count(col("cents")).as("n_cents"),
+            sum(col("cents")).as("cents"))
+          .withColumn("ver", lit(ver))
+      val v2 = VersionedTable.readVersion(s, root, 2).groupBy(col("status"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_cents", lit(0L))
+        .withColumn("cents", lit(null).cast("long"))
+        .withColumn("ver", lit(2))
+      agg(VersionedTable.readVersion(s, root, 1), 1)
+        .unionByName(v2)
+        .unionByName(
+          agg(VersionedTable.readLatest(s, root, mergeSchema = true), 3))
+        .orderBy("ver", "status")
+    }),
+
     // Jensen-Shannon divergence per value bin between calendar halves
     // (temporal drift): reference-quantile bins, Laplace smoothing,
     // one pinned IEEE term per bin row. Fully oracled.
@@ -15387,6 +15423,34 @@ object SparkEntry {
         |         AS rev_cents
         |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)
         |ORDER BY k""".stripMargin,
+
+    // v1 = the pre-drop slice intact; v2 = the column gone (count only);
+    // v3 = dead era null, only the re-added slice carries values
+    "q_table_drop" ->
+      """WITH base AS (SELECT o_orderstatus AS status,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders WHERE o_orderkey % 5 = 0),
+        |ad AS (SELECT o_orderstatus AS status,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders WHERE o_orderkey % 5 = 1),
+        |a1 AS (SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(cents) AS BIGINT) AS n_cents,
+        |        CAST(sum(cents) AS BIGINT) AS cents, 1 AS ver
+        |      FROM base GROUP BY 1),
+        |a2 AS (SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(0 AS BIGINT) AS n_cents,
+        |        CAST(NULL AS BIGINT) AS cents, 2 AS ver
+        |      FROM base GROUP BY 1),
+        |a3 AS (SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(c2) AS BIGINT) AS n_cents,
+        |        CAST(sum(c2) AS BIGINT) AS cents, 3 AS ver
+        |      FROM (SELECT status, CAST(NULL AS BIGINT) AS c2 FROM base
+        |            UNION ALL SELECT status, cents AS c2 FROM ad)
+        |      GROUP BY 1)
+        |SELECT status, n, n_cents, cents, CAST(ver AS INT) AS ver
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3)
+        |ORDER BY ver, status""".stripMargin,
 
     // the q_psi machinery with the bounded symmetric term; midpoint
     // recomputed inside the term (same double either way)

@@ -450,10 +450,13 @@ object VersionedTable {
     val tombs = tombScopes(fs, rootP, base)
     def dirTombs(d: String): Seq[String] =
       tombs.filter(_._2.contains(d)).map(_._1)
+    val drops = dropChain(fs, rootP, base.version)
     val resolvedAll = graft.engine.Caches.persisted(
-      base.dataDirs.map(d => applyTombs(spark, rootP,
-        readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)))
-        .reduce(_.unionByName(_))
+      pruneDeadCols(spark, rootP,
+        base.dataDirs.map(d => maskDeadDir(applyTombs(spark, rootP,
+          readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops))
+          .reduce(_.unionByName(_)),
+        base.dataDirs, drops)
         .withColumn("_bucket", pmod(
           graft.operators.Sampling.fibHash(col(keyCol).cast("long")),
           lit(nBuckets.toLong))))
@@ -620,7 +623,8 @@ object VersionedTable {
   }
 
   private def readDirs(spark: SparkSession, root: Path, dirs: Seq[String],
-      mergeSchema: Boolean = false, partitioned: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false, partitioned: Boolean = false,
+      tagDirs: Boolean = false): DataFrame = {
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
     // hive-partitioned dirs cannot share one multi-path read (partition
@@ -628,9 +632,19 @@ object VersionedTable {
     // read each dir as its own root and union by name — O(commits) plans,
     // the same order as the manifest itself
     if (partitioned && dirs.size > 1)
-      dirs.map(d => reader.parquet(new Path(root, d).toString))
-        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
-    else reader.parquet(dirs.map(d => new Path(root, d).toString): _*)
+      dirs.map { d =>
+        val df = reader.parquet(new Path(root, d).toString)
+        if (tagDirs) df.withColumn(DirCol, lit(d)) else df
+      }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    else {
+      val df = reader.parquet(dirs.map(d => new Path(root, d).toString): _*)
+      if (!tagDirs) df
+      else if (dirs.size == 1) df.withColumn(DirCol, lit(dirs.head))
+      // multi-path single scan: derive the tag from the file path (the
+      // _metadata column resolves on a file-source relation)
+      else df.withColumn(DirCol,
+        regexp_extract(col("_metadata.file_path"), "(d-\\d{8})", 1))
+    }
   }
 
   /** Per-dir read pinned to an explicit (snapshot-union) schema: columns
@@ -639,10 +653,13 @@ object VersionedTable {
     * one read per directory (partition discovery then has a single
     * root), unioned by name. */
   private def readDirsAs(spark: SparkSession, root: Path, dirs: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    dirs.map(d => spark.read.schema(schema)
-        .parquet(new Path(root, d).toString))
-      .reduce(_.unionByName(_))
+      schema: org.apache.spark.sql.types.StructType,
+      tagDirs: Boolean = false): DataFrame =
+    dirs.map { d =>
+      val df = spark.read.schema(schema)
+        .parquet(new Path(root, d).toString)
+      if (tagDirs) df.withColumn(DirCol, lit(d)) else df
+    }.reduce(_.unionByName(_))
 
   // ---- merge-on-read tombstones ----------------------------------------
 
@@ -694,9 +711,11 @@ object VersionedTable {
     * tombstones present the read always pins the snapshot-union schema
     * (groups on either side of a schema evolution must align). */
   private def resolvedRead(spark: SparkSession, fs: FileSystem, root: Path,
-      m: Manifest, mergeSchema: Boolean): DataFrame =
+      m: Manifest, mergeSchema: Boolean,
+      tagDirs: Boolean = false): DataFrame =
     if (m.deleteDirs.isEmpty)
-      readDirs(spark, root, m.dataDirs, mergeSchema, m.partitionCols.nonEmpty)
+      readDirs(spark, root, m.dataDirs, mergeSchema, m.partitionCols.nonEmpty,
+        tagDirs)
     else {
       val snap = readDirs(spark, root, m.dataDirs, mergeSchema = true,
         m.partitionCols.nonEmpty).schema
@@ -704,7 +723,8 @@ object VersionedTable {
       m.dataDirs.groupBy(d => tombs.filter(_._2.contains(d)).map(_._1))
         .toSeq.sortBy(_._2.head) // deterministic plan shape
         .map { case (ts, dirs) =>
-          applyTombs(spark, root, readDirsAs(spark, root, dirs, snap), ts)
+          applyTombs(spark, root,
+            readDirsAs(spark, root, dirs, snap, tagDirs), ts)
         }
         .reduce(_.unionByName(_))
     }
@@ -793,8 +813,7 @@ object VersionedTable {
       mergeSchema: Boolean = false): DataFrame = {
     val (fs, rootP) = fsOf(spark, root)
     val m = readManifest(fs, rootP, v)
-    applyRenames(resolvedRead(spark, fs, rootP, m, mergeSchema),
-      renameChain(fs, rootP, v))
+    mappedRead(spark, fs, rootP, m, v, mergeSchema)
   }
 
   // ---- column-mapping renames -------------------------------------------
@@ -865,12 +884,17 @@ object VersionedTable {
   /** Renames committed at or before `upTo`, oldest first. */
   private def renameChain(fs: FileSystem, root: Path,
       upTo: Int): Seq[(String, String)] =
+    renameOps(fs, root, upTo).map { case (_, f, t) => (f, t) }
+
+  /** Renames with their commit versions, oldest first. */
+  private def renameOps(fs: FileSystem, root: Path,
+      upTo: Int): Seq[(Int, String, String)] =
     existingVersions(fs, root).filter(_ <= upTo).sorted
       .map(readManifest(fs, root, _))
       .filter(_.op == "rename-column")
       .map { m =>
         val Array(_, f, t) = m.tag.split(":", 3)
-        (f, t)
+        (m.version, f, t)
       }
 
   /** Fold the rename chain over a resolved snapshot: mixed-era frames
@@ -886,6 +910,159 @@ object VersionedTable {
       else if (cs.contains(from)) d.withColumnRenamed(from, to)
       else d
     }
+
+  // ---- column-mapping drops -----------------------------------------------
+
+  /** Reserved per-row directory tag used by drop-aware reads (the
+    * `tagDirs` plumbing); never present in any returned frame. */
+  private val DirCol = "__graft_dir"
+
+  /** One drop-column commit's PHYSICAL death warrant: `dead` maps each
+    * physical column name that carried the dropped logical column to
+    * the set of directories whose data predates the relevant mapping
+    * commit — the pairs whose VALUES are dead. The same physical name
+    * in a later directory (a re-add, or an unrelated name reuse) is
+    * live. Directory sets are frozen at commit time from the
+    * manifests, so they shrink naturally as rewrites/vacuum retire
+    * old directories. */
+  private final case class DropState(logical: String, version: Int,
+      dead: Map[String, Set[String]])
+
+  /** Drop-column commits at or before `upTo`, oldest first, each with
+    * its physical sources resolved through the rename chain BEFORE it
+    * (per-source era scoping: a physical name renamed away at `vr` is
+    * dead only in directories present at `vr` — a later append reusing
+    * the bare name is a different column and stays live). */
+  private def dropChain(fs: FileSystem, root: Path,
+      upTo: Int): Seq[DropState] =
+    existingVersions(fs, root).filter(_ <= upTo).sorted
+      .map(readManifest(fs, root, _))
+      .filter(_.op == "drop-column")
+      .map { m =>
+        val c = m.tag.split(":", 2)(1)
+        var dead = Map(c -> m.dataDirs.toSet)
+        renameOps(fs, root, m.version).sortBy(-_._1).foreach {
+          case (vr, f, t) =>
+            if (dead.contains(t) && !dead.contains(f))
+              dead += f -> readManifest(fs, root, vr).dataDirs.toSet
+        }
+        DropState(c, m.version, dead)
+      }
+
+  private def isDead(drops: Seq[DropState], p: String, d: String): Boolean =
+    drops.exists(_.dead.get(p).exists(_.contains(d)))
+
+  /** Per-directory dead-value masking for COW rewrites: a rewrite reads
+    * directory `d` and re-emits rows under a NEW directory name that no
+    * drop's era set contains — carrying dead values across would
+    * resurrect them, so they are nulled here (schema stays pinned; the
+    * union alignment and any probe predicate analysis are untouched —
+    * a predicate over a dropped column sees nulls, the same contract as
+    * a directory predating a schema evolution). */
+  private def maskDeadDir(df: DataFrame, d: String,
+      drops: Seq[DropState]): DataFrame =
+    if (drops.isEmpty) df
+    else {
+      val cols = df.columns.toSet
+      drops.flatMap(_.dead).filter { case (p, dirs) =>
+        cols.contains(p) && dirs.contains(d)
+      }.foldLeft(df) { case (a, (p, _)) =>
+        a.withColumn(p, lit(null).cast(a.schema(p).dataType))
+      }
+    }
+
+  /** Drop from `df` every physical column that is dead-or-absent in ALL
+    * of `srcDirs` — the presence rule that keeps a dropped column OUT
+    * of the schema until a genuine re-add writes it again: footers are
+    * consulted only for directories outside every death set (config-
+    * scale driver reads, only when drops exist). */
+  private def pruneDeadCols(spark: SparkSession, root: Path, df: DataFrame,
+      srcDirs: Seq[String], drops: Seq[DropState]): DataFrame =
+    if (drops.isEmpty) df
+    else {
+      val footers = scala.collection.mutable.Map.empty[String, Set[String]]
+      def footerHas(d: String, p: String): Boolean =
+        footers.getOrElseUpdate(d, spark.read
+          .parquet(new Path(root, d).toString).schema.fieldNames.toSet)
+          .contains(p)
+      val prunable = drops.flatMap(_.dead.keys).distinct
+        .filter(df.columns.contains)
+        .filter(p => srcDirs.forall(d =>
+          isDead(drops, p, d) || !footerHas(d, p)))
+      df.drop(prunable: _*)
+    }
+
+  /** The full mapped read: drop masking (per-row via the [[DirCol]]
+    * tag), dead-column pruning, then the rename fold — what
+    * [[readVersion]] and [[compact]] share. The no-drop path is the
+    * untagged fast path (zero plan overhead). */
+  private def mappedRead(spark: SparkSession, fs: FileSystem, rootP: Path,
+      m: Manifest, v: Int, mergeSchema: Boolean): DataFrame = {
+    val drops = dropChain(fs, rootP, v)
+    val renames = renameChain(fs, rootP, v)
+    if (drops.isEmpty)
+      applyRenames(resolvedRead(spark, fs, rootP, m, mergeSchema), renames)
+    else {
+      val raw = resolvedRead(spark, fs, rootP, m, mergeSchema,
+        tagDirs = true)
+      val masked = drops.flatMap(_.dead).foldLeft(raw) {
+        case (a, (p, dirs)) =>
+          val maskDirs = m.dataDirs.filter(dirs)
+          if (maskDirs.isEmpty || !a.columns.contains(p)) a
+          else a.withColumn(p,
+            when(!col(DirCol).isin(maskDirs: _*), col(p)))
+      }
+      val pruned = pruneDeadCols(spark, rootP, masked, m.dataDirs, drops)
+      applyRenames(pruned, renames).drop(DirCol)
+    }
+  }
+
+  /** Drop a column WITHOUT rewriting any data — the other half of
+    * mapping-based schema evolution next to [[renameColumn]] (Delta
+    * `ALTER TABLE DROP COLUMN` under column mapping): a metadata-only
+    * commit (`op = "drop-column"`); reads at or after it no longer see
+    * the column, while time travel to any earlier version still does —
+    * the bytes stay where they are and the READ surface hides them.
+    * Re-adding the name later (a plain [[append]] carrying it) creates
+    * a FRESH column: old-era values never resurface (per-directory era
+    * masking — the drop manifest freezes which directories predate it),
+    * rows that predate the re-add read null. COW rewrites null dead
+    * values before moving bytes to new directories and [[compact]]/
+    * mapped [[cloneTable]] materialize the narrowed schema physically.
+    * Drop-column manifests are PINNED by [[vacuum]] exactly like
+    * rename manifests (the era sets and the mapping must outlive the
+    * retention window).
+    *
+    * Validated against the CURRENT logical schema: the column must
+    * exist, must not be a partition column, must not be the last
+    * column, and must not be referenced by an active CHECK constraint
+    * (post-drop appends could never satisfy it). Physical-era surfaces
+    * ([[changes]] CDF, [[streamSince]], [[tableStats]]) keep exposing
+    * per-directory physical schemas — the [[renameColumn]] posture.
+    * Judged `q_table_drop`, fully ORACLED; time-travel visibility,
+    * re-add freshness, rename interplay, rewrite non-resurrection and
+    * compact materialization pinned in VersionedTableSpec. */
+  def dropColumn(spark: SparkSession, root: String,
+      colName: String): Manifest = {
+    require(colName.matches("[A-Za-z0-9_]+"),
+      s"column name must be [A-Za-z0-9_]+: $colName")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    require(!base.partitionCols.contains(colName),
+      s"cannot drop partition column: $colName")
+    val cols = readLatest(spark, root, mergeSchema = true).columns.toSet
+    require(cols.contains(colName), s"no such column: $colName")
+    require(cols.size > 1, s"cannot drop the last column: $colName")
+    val pat = java.util.regex.Pattern.compile("\\b" + colName + "\\b")
+    val referenced = activeConstraints(fs, rootP)
+      .filter { case (_, e) => pat.matcher(e).find() }
+    require(referenced.isEmpty,
+      s"cannot drop $colName: referenced by CHECK constraint(s) " +
+        referenced.map(_._1).mkString(", "))
+    commit(fs, rootP, Manifest(base.version + 1, "drop-column",
+      base.version, base.dataDirs, s"drop:$colName",
+      base.partitionCols, base.deleteDirs))
+  }
 
   /** The snapshot current AT a wall-clock instant (Delta `TIMESTAMP AS
     * OF`): the highest retained version whose manifest file was
@@ -975,17 +1152,19 @@ object VersionedTable {
     // folds its tombstones in (survivors re-emit under a NEW name, so
     // carried tombstones never double-apply)
     val tombs = tombScopes(fs, rootP, base)
-    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+    val drops = dropChain(fs, rootP, base.version)
+    def resolved(d: String): DataFrame = maskDeadDir(applyTombs(spark, rootP,
       readDirsAs(spark, rootP, Seq(d), snap),
-      tombs.filter(_._2.contains(d)).map(_._1))
+      tombs.filter(_._2.contains(d)).map(_._1)), d, drops)
     val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
       !resolved(d).filter(cond).isEmpty
     }
     val dirs =
       if (dirty.isEmpty) base.dataDirs
       else clean :+ writeDataDir(
-        dirty.map(resolved).reduce(_.unionByName(_))
-          .filter(!coalesce(cond, lit(false))),
+        pruneDeadCols(spark, rootP,
+          dirty.map(resolved).reduce(_.unionByName(_))
+            .filter(!coalesce(cond, lit(false))), dirty, drops),
         rootP, v, base.partitionCols)
     commit(fs, rootP, Manifest(v, "delete", base.version, dirs,
       partitionCols = base.partitionCols,
@@ -1032,16 +1211,18 @@ object VersionedTable {
     val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
       base.partitionCols.nonEmpty).schema
     val tombs = tombScopes(fs, rootP, base)
-    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+    val drops = dropChain(fs, rootP, base.version)
+    def resolved(d: String): DataFrame = maskDeadDir(applyTombs(spark, rootP,
       readDirsAs(spark, rootP, Seq(d), snap),
-      tombs.filter(_._2.contains(d)).map(_._1))
+      tombs.filter(_._2.contains(d)).map(_._1)), d, drops)
     val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
       !resolved(d).filter(cond).isEmpty
     }
     val survivors =
       if (dirty.isEmpty) None
-      else Some(dirty.map(resolved).reduce(_.unionByName(_))
-        .filter(!coalesce(cond, lit(false))))
+      else Some(pruneDeadCols(spark, rootP,
+        dirty.map(resolved).reduce(_.unionByName(_))
+          .filter(!coalesce(cond, lit(false))), dirty, drops))
     val incoming = survivors.fold(df)(_.unionByName(df))
     val dirs = clean :+ writeDataDir(incoming, rootP, v, base.partitionCols)
     commit(fs, rootP, Manifest(v, "replace_where", base.version, dirs,
@@ -1070,15 +1251,17 @@ object VersionedTable {
     // MOR-resolved per-dir view (see deleteWhere): tombstoned rows are
     // neither probed dirty nor resurrected by a rewrite
     val tombs = tombScopes(fs, rootP, base)
-    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+    val drops = dropChain(fs, rootP, base.version)
+    def resolved(d: String): DataFrame = maskDeadDir(applyTombs(spark, rootP,
       readDirsAs(spark, rootP, Seq(d), snap),
-      tombs.filter(_._2.contains(d)).map(_._1))
+      tombs.filter(_._2.contains(d)).map(_._1)), d, drops)
     val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
       !resolved(d).join(keys, keyCols, "left_semi").isEmpty
     }
     val survivors = if (dirty.isEmpty) None
-      else Some(dirty.map(resolved).reduce(_.unionByName(_))
-        .join(keys, keyCols, "left_anti"))
+      else Some(pruneDeadCols(spark, rootP,
+        dirty.map(resolved).reduce(_.unionByName(_))
+          .join(keys, keyCols, "left_anti"), dirty, drops))
     // allowMissingColumns: survivors and updates may sit on either side
     // of a schema evolution; the union schema fills the gap with nulls
     val merged = survivors.fold(updates)(
@@ -1140,9 +1323,10 @@ object VersionedTable {
     val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
       base.partitionCols.nonEmpty).schema
     val tombs = tombScopes(fs, rootP, base)
-    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
+    val drops = dropChain(fs, rootP, base.version)
+    def resolved(d: String): DataFrame = maskDeadDir(applyTombs(spark, rootP,
       readDirsAs(spark, rootP, Seq(d), snap),
-      tombs.filter(_._2.contains(d)).map(_._1))
+      tombs.filter(_._2.contains(d)).map(_._1)), d, drops)
     val (dirty, clean) = partitionDirty(base.dataDirs, probeParallelism) { d =>
       !resolved(d).join(keys, keyCols, "left_semi").isEmpty
     }
@@ -1171,7 +1355,7 @@ object VersionedTable {
         .select(snap.fieldNames.map { f =>
           if (srcExtra.contains(f)) col(s"s_$f").as(f) else col(f)
         }.toSeq: _*)
-      kept.unionByName(updated)
+      pruneDeadCols(spark, rootP, kept.unionByName(updated), dirty, drops)
     }
     // all matches live in dirty directories (that is what dirty MEANS),
     // so unmatched = source minus the dirty union's keys. Inserts are
@@ -1218,6 +1402,16 @@ object VersionedTable {
     val snap = readDirs(spark, rootP, base.dataDirs, mergeSchema = true,
       base.partitionCols.nonEmpty).schema
     val cols = snap.fieldNames.toSeq
+    // CDC deletes are exact MULTISET row matches on physical values
+    // (exceptAll) — drop masking would null values out from under them,
+    // and skipping the mask would let the rewrite resurrect dead values
+    // under a fresh directory name. Neither is acceptable: require the
+    // mapping debt settled (compact) before replaying CDC onto
+    // directories a drop-column commit predates.
+    require(!dropChain(fs, rootP, base.version).exists(
+        _.dead.values.exists(_.exists(base.dataDirs.contains))),
+      "applyChanges: snapshot carries dropped-column directories — " +
+        "compact() first to materialize the column mapping")
     def shaped(tag: String): DataFrame = graft.engine.Caches.persisted(
       delta.filter(col("_change") === tag).select(cols.map(col): _*))
     val deletes = shaped("delete")
@@ -1279,12 +1473,12 @@ object VersionedTable {
     // MOR-resolved: compact is also what MATERIALIZES outstanding
     // tombstones (the subtraction is burned into the rewrite and the
     // manifest carries none forward — read-side anti-joins end here)
-    // — and the rename-mapping debt: the rewrite lands under LOGICAL
-    // column names (applyRenames), so post-compact directories carry
-    // the current schema physically (identity when no renames exist)
-    val snapshot = applyRenames(
-      resolvedRead(spark, fs, rootP, base, mergeSchema = true),
-      renameChain(fs, rootP, base.version))
+    // — and the column-mapping debt: the rewrite lands under LOGICAL
+    // column names with dropped columns masked and pruned (mappedRead),
+    // so post-compact directories carry the current schema physically
+    // (identity when no renames/drops exist)
+    val snapshot = mappedRead(spark, fs, rootP, base, base.version,
+      mergeSchema = true)
     val laidOut = clusterCol.fold(snapshot)(c =>
       snapshot.repartitionByRange(nRanges, col(c)).sortWithinPartitions(c))
     commit(fs, rootP, Manifest(v, "compact", base.version,
@@ -1339,8 +1533,9 @@ object VersionedTable {
     val tombs = tombScopes(fs, rootP, base)
     def dirTombs(d: String): Seq[String] =
       tombs.filter(_._2.contains(d)).map(_._1)
-    def resolved(d: String): DataFrame = applyTombs(spark, rootP,
-      readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d))
+    val drops = dropChain(fs, rootP, base.version)
+    def resolved(d: String): DataFrame = maskDeadDir(applyTombs(spark, rootP,
+      readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops)
     val small: Set[String] = maxRows.fold(Set.empty[String]) { t =>
       base.dataDirs.filter(d =>
         readStats(fs, rootP, d).fold(true)(_.rows <= t)).toSet
@@ -1357,7 +1552,8 @@ object VersionedTable {
     val foldsTombs = qualifying.exists(d => dirTombs(d).nonEmpty)
     if (qualifying.size < 2 && !foldsTombs) base
     else {
-      val packed = qualifying.map(resolved).reduce(_.unionByName(_))
+      val packed = pruneDeadCols(spark, rootP,
+        qualifying.map(resolved).reduce(_.unionByName(_)), qualifying, drops)
       val dirs = clean :+ writeDataDir(packed, rootP, v, base.partitionCols)
       commit(fs, rootP, Manifest(v, "optimize", base.version, dirs,
         partitionCols = base.partitionCols,
@@ -1398,9 +1594,12 @@ object VersionedTable {
     val tombs = tombScopes(fs, rootP, base)
     def dirTombs(d: String): Seq[String] =
       tombs.filter(_._2.contains(d)).map(_._1)
-    val resolvedAll = base.dataDirs.map(d => applyTombs(spark, rootP,
-      readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)))
-      .reduce(_.unionByName(_))
+    val drops = dropChain(fs, rootP, base.version)
+    val resolvedAll = pruneDeadCols(spark, rootP,
+      base.dataDirs.map(d => maskDeadDir(applyTombs(spark, rootP,
+        readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops))
+        .reduce(_.unionByName(_)),
+      base.dataDirs, drops)
     val W = org.apache.spark.sql.expressions.Window
     val cc = col(clusterCol)
     val bounds = broadcast(resolvedAll.agg(
@@ -1420,7 +1619,9 @@ object VersionedTable {
         .withColumn("__bucket", expr(s"(__rank - 1) * $k div __n")))
     val present = ranked.select(col("__bucket")).distinct()
       .collect().map(_.getLong(0)).sorted // bounded: ≤ k values
-    val fields = snap.fieldNames.map(col).toSeq
+    // data columns of the (possibly drop-pruned) resolved frame, not the
+    // raw snapshot union — a pruned dead column must stay out
+    val fields = resolvedAll.columns.map(col).toSeq
     val dirs = present.map { b =>
       writeDataDir(ranked.filter(col("__bucket") === b).select(fields: _*),
         rootP, v, base.partitionCols)
@@ -1468,9 +1669,12 @@ object VersionedTable {
     val tombs = tombScopes(fs, rootP, base)
     def dirTombs(d: String): Seq[String] =
       tombs.filter(_._2.contains(d)).map(_._1)
-    val resolvedAll = base.dataDirs.map(d => applyTombs(spark, rootP,
-      readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)))
-      .reduce(_.unionByName(_))
+    val drops = dropChain(fs, rootP, base.version)
+    val resolvedAll = pruneDeadCols(spark, rootP,
+      base.dataDirs.map(d => maskDeadDir(applyTombs(spark, rootP,
+        readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops))
+        .reduce(_.unionByName(_)),
+      base.dataDirs, drops)
       .withColumn("__z", call_function("graft_zorder2",
         col(colA).cast("long"), col(colB).cast("long")))
     val W = org.apache.spark.sql.expressions.Window
@@ -1492,7 +1696,9 @@ object VersionedTable {
         .withColumn("__bucket", expr(s"(__rank - 1) * $k div __n")))
     val present = ranked.select(col("__bucket")).distinct()
       .collect().map(_.getLong(0)).sorted // bounded: ≤ k values
-    val fields = snap.fieldNames.map(col).toSeq
+    // the z value is layout (never written); data columns come from the
+    // (possibly drop-pruned) resolved frame, not the raw snapshot union
+    val fields = resolvedAll.columns.filterNot(_ == "__z").map(col).toSeq
     val dirs = present.map { b =>
       writeDataDir(ranked.filter(col("__bucket") === b).select(fields: _*),
         rootP, v, base.partitionCols)
@@ -2600,6 +2806,9 @@ object VersionedTable {
     * of it. A zero-copy SHALLOW clone would need absolute-path dir
     * references, which manifests deliberately reject (`d-\d{8}` only —
     * the source's vacuum could silently eat a shallow clone's bytes).
+    * A source carrying column-mapping debt (renames/drops) clones by
+    * MATERIALIZATION instead of byte copy: the clone's fresh history
+    * has no mapping chain, so the logical schema is written physically.
     * Judged `q_table_clone`, fully ORACLED; snapshot equality,
     * as-of-version clone, post-clone independence both ways and
     * constraint carry-over pinned in VersionedTableSpec. */
@@ -2611,19 +2820,32 @@ object VersionedTable {
     val v = asOfVersion.getOrElse(requireExists(spark, srcRoot))
     val m = readManifest(sfs, srcP, v)
     val conf = spark.sparkContext.hadoopConfiguration
-    (m.dataDirs ++ m.deleteDirs).distinct.foreach { d =>
-      require(org.apache.hadoop.fs.FileUtil.copy(
-        sfs, new Path(srcP, d), dfs, new Path(dstP, d), false, conf),
-        s"clone copy failed for $d")
-    }
+    val mapped = renameChain(sfs, srcP, v).nonEmpty ||
+      dropChain(sfs, srcP, v).nonEmpty
+    val dirs =
+      if (!mapped) {
+        // byte-copy fast path: no mapping debt, directories carry as-is
+        (m.dataDirs ++ m.deleteDirs).distinct.foreach { d =>
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            sfs, new Path(srcP, d), dfs, new Path(dstP, d), false, conf),
+            s"clone copy failed for $d")
+        }
+        m.dataDirs
+      } else
+        // a mapped source MATERIALIZES: the clone's fresh history has no
+        // mapping chain to re-apply, so the rewrite lands the logical
+        // schema physically (renames folded, dropped columns out, MOR
+        // tombstones burned in) — the compact economics, paid once
+        Seq(writeDataDir(mappedRead(spark, sfs, srcP, m, v,
+          mergeSchema = true), dstP, 1, m.partitionCols))
     activeConstraints(sfs, srcP).foreach { case (name, e) =>
       val out = dfs.create(new Path(constraintsDir(dstP), name), false)
       try out.write(e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    commit(dfs, dstP, Manifest(1, "clone", 0, m.dataDirs,
+    commit(dfs, dstP, Manifest(1, "clone", 0, dirs,
       tag = s"clone-v$v", partitionCols = m.partitionCols,
-      deleteDirs = m.deleteDirs))
+      deleteDirs = if (mapped) Nil else m.deleteDirs))
   }
 
   def vacuum(spark: SparkSession, root: String, keepVersions: Int): Seq[String] = {
@@ -2650,14 +2872,18 @@ object VersionedTable {
         .flatMap(n => readBranchRef(fs, rootP, n).map { case (f, h) => (n, f, h) })
     }
     val pinned = tagged ++ branchRefs.map(_._2)
-    // rename-commit MANIFESTS survive too — they carry the column-
-    // mapping chain every post-rename read applies (renameColumn) —
-    // but unlike tag pins they do NOT pin their data directories:
-    // the mapping outlives the snapshot it was committed against
-    // (time travel TO a vacuumed rename version is gone, its mapping
-    // is not)
+    // column-mapping MANIFESTS (rename AND drop commits) survive too —
+    // they carry the mapping chain every post-mapping read applies
+    // (renameColumn / dropColumn: a drop manifest also freezes the
+    // directory era set its masking needs) — but unlike tag pins they
+    // do NOT pin their data directories: the mapping outlives the
+    // snapshot it was committed against (time travel TO a vacuumed
+    // mapping version is gone, its mapping is not)
     val renames = have.toSeq.sorted
-      .filter(v => readManifest(fs, rootP, v).op == "rename-column").toSet
+      .filter { v =>
+        val op = readManifest(fs, rootP, v).op
+        op == "rename-column" || op == "drop-column"
+      }.toSet
     val branchDirs = branchRefs.flatMap { case (n, f, h) =>
       val m = branchHeadManifest(fs, rootP, n, f, h)
       m.dataDirs ++ m.deleteDirs

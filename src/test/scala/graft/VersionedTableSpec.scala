@@ -1761,4 +1761,137 @@ class VersionedTableSpec extends SparkTestBase {
       === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
     graft.engine.Caches.releaseAll()
   }
+
+  test("dropColumn: metadata-only, time travel, re-add freshness, " +
+      "validations") {
+    import spark.implicits._
+    val root = freshRoot("drop")
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "amount", "note"))
+    val m = VersionedTable.dropColumn(spark, root, "note")
+    assert(m.op === "drop-column" && m.version === 2)
+    // metadata-only: same data dirs as the base snapshot
+    assert(m.dataDirs === VersionedTable.dataDirsOf(spark, root, 1))
+    assert(VersionedTable.readLatest(spark, root).columns.toSeq
+      === Seq("k", "amount"))
+    assert(VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .columns.toSeq === Seq("k", "amount"))
+    // time travel to v1 still reads the column and its values
+    assert(VersionedTable.readVersion(spark, root, 1).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    // re-add by append: a FRESH column — pre-drop rows read NULL, the
+    // dead bytes never resurface
+    VersionedTable.append(spark, root,
+      Seq((3L, 30L, "c")).toDF("k", "amount", "note"))
+    val re = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) "-" else r.getString(2)))
+    assert(re.toSeq === Seq((1L, "-"), (2L, "-"), (3L, "c")))
+    // appendStrict enforces the post-drop logical schema
+    intercept[IllegalArgumentException](VersionedTable.appendStrict(
+      spark, root, Seq((9L, 90L)).toDF("k", "amount")))
+    // validations: missing column, last column, partition column,
+    // CHECK-constraint reference
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root, "nope"))
+    val solo = freshRoot("drop_solo")
+    VersionedTable.create(spark, solo, Seq(1L).toDF("k"))
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, solo, "k"))
+    val part = freshRoot("drop_partcol")
+    VersionedTable.create(spark, part,
+      Seq((1L, "p1"), (2L, "p2")).toDF("k", "p"), partitionCols = Seq("p"))
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, part, "p"))
+    val con = freshRoot("drop_con")
+    VersionedTable.create(spark, con,
+      Seq((1L, 10L)).toDF("k", "amount"))
+    VersionedTable.addConstraint(spark, con, "pos", "amount > 0")
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, con, "amount"))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("dropColumn: rename interplay, COW rewrites never resurrect, " +
+      "compact and clone materialize, vacuum pins the mapping") {
+    import spark.implicits._
+    val root = freshRoot("drop_rw")
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "amount", "note"))
+    VersionedTable.renameColumn(spark, root, "note", "comment") // v2
+    VersionedTable.dropColumn(spark, root, "comment")           // v3
+    assert(VersionedTable.readLatest(spark, root).columns.toSeq
+      === Seq("k", "amount"))
+    // pre-drop version reads the LOGICAL renamed column with its values
+    assert(VersionedTable.readVersion(spark, root, 2).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      === Seq((1L, "x"), (2L, "y")))
+    // a COW rewrite moves old bytes under a new directory name — the
+    // dead column must not ride along (neither physical source)
+    VersionedTable.deleteWhere(spark, root, col("k") === 2L)   // v4
+    assert(VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .columns.toSeq === Seq("k", "amount"))
+    VersionedTable.dataDirsOf(spark, root,
+        VersionedTable.latestVersion(spark, root)).foreach { d =>
+      val phys = spark.read.parquet(s"$root/$d").columns.toSet
+      assert(!phys.contains("note") && !phys.contains("comment"))
+    }
+    // re-add under the logical name, then rewrite BOTH eras into one
+    // directory: fresh values survive, dead era stays null
+    VersionedTable.append(spark, root,
+      Seq((3L, 30L, "fresh")).toDF("k", "amount", "comment")) // v5
+    VersionedTable.compactWhere(spark, root,
+      maxRows = Some(Long.MaxValue))                          // v6
+    val mixed = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) "-" else r.getString(2)))
+    assert(mixed.toSeq === Seq((1L, "-"), (3L, "fresh")))
+    // compact materializes the narrowed+renamed schema physically
+    val cm = VersionedTable.compact(spark, root)
+    val physical = spark.read
+      .parquet(s"$root/${cm.dataDirs.head}").columns.toSeq
+    assert(physical === Seq("k", "amount", "comment"))
+    // a mapped clone materializes too: fresh history, no mapping debt
+    val dst = freshRoot("drop_clone")
+    val clm = VersionedTable.cloneTable(spark, root, dst)
+    assert(VersionedTable.readLatest(spark, dst, mergeSchema = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) "-" else r.getString(2)))
+      .toSeq === Seq((1L, "-"), (3L, "fresh")))
+    assert(spark.read.parquet(s"$dst/${clm.dataDirs.head}")
+      .columns.toSet.intersect(Set("note")) === Set.empty)
+    // vacuum pins the mapping manifests; the survivors still read right
+    VersionedTable.vacuum(spark, root, 1)
+    assert(VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) "-" else r.getString(2)))
+      .toSeq === Seq((1L, "-"), (3L, "fresh")))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("dropColumn on a partitioned multi-directory table masks per era") {
+    import spark.implicits._
+    val root = freshRoot("drop_part")
+    VersionedTable.create(spark, root,
+      Seq((1L, 5L, "p1"), (2L, 6L, "p2")).toDF("k", "v", "p"),
+      partitionCols = Seq("p"))
+    VersionedTable.append(spark, root,
+      Seq((3L, 7L, "p1")).toDF("k", "v", "p"))
+    VersionedTable.dropColumn(spark, root, "v")
+    assert(VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .columns.toSet === Set("k", "p"))
+    // re-add: only the new era carries values
+    VersionedTable.append(spark, root,
+      Seq((4L, 8L, "p2")).toDF("k", "v", "p"))
+    val out = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect()
+      .map { r =>
+        val vi = r.fieldIndex("v")
+        (r.getLong(r.fieldIndex("k")),
+          if (r.isNullAt(vi)) -1L else r.getLong(vi))
+      }
+    assert(out.toSeq === Seq((1L, -1L), (2L, -1L), (3L, -1L), (4L, 8L)))
+    graft.engine.Caches.releaseAll()
+  }
 }
