@@ -5489,6 +5489,24 @@ object SparkEntry {
         .orderBy("conv", "span_start")
     }),
 
+    // DPO preference-pair assembly: per prompt the highest/lowest-rated
+    // responses (deterministic smallest-tie-key breaks), no-strict-
+    // preference prompts dropped, composed with the prompt-keyed
+    // leak-free split (fibHash replayed in SQL). Fully oracled.
+    "q_pref_pairs" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("prompt_id"),
+        concat(lit("resp-"), col("event_id").cast("string")).as("resp"),
+        (abs(floor(col("value") * 100 + lit(0.5)).cast("long")) % 7)
+          .as("rating"),
+        col("event_id").as("tie"))
+      graft.functions.TextOps
+        .prefPairs(ev, "prompt_id", "resp", "rating", "tie")
+        .withColumn("split", graft.operators.Sampling.splitColumn(
+          graft.operators.Sampling.fibHash(col("prompt_id")), 0.1, 0.1))
+        .orderBy("prompt_id")
+    }),
+
     // Hierarchy/BOM rollup (sum-of-path-products semiring) over the
     // arithmetic div-8 forest on order keys: extended quantity per
     // ancestor, exact BIGINT; oracle = DuckDB recursive CTE extending
@@ -10171,6 +10189,39 @@ object SparkEntry {
         |FROM o JOIN c ON o.conv = c.conv
         |WHERE role = 'assistant'
         |ORDER BY conv, span_start""".stripMargin,
+
+    // argmax/argmin replayed as window ranks; the split replays the
+    // q_split fibHash arithmetic; all-tied prompts fall to the strict
+    // rating filter
+    "q_pref_pairs" ->
+      """WITH r AS (SELECT user_id AS prompt_id,
+        |        'resp-' || CAST(event_id AS VARCHAR) AS resp,
+        |        abs(CAST(floor(value * 100 + 0.5) AS BIGINT)) % 7
+        |          AS rating,
+        |        event_id AS tie
+        |      FROM events),
+        |w AS (SELECT prompt_id, resp, rating,
+        |        row_number() OVER (PARTITION BY prompt_id
+        |          ORDER BY rating DESC, tie ASC) AS rc,
+        |        row_number() OVER (PARTITION BY prompt_id
+        |          ORDER BY rating ASC, tie ASC) AS rr
+        |      FROM r),
+        |a AS (SELECT prompt_id,
+        |        max(CASE WHEN rc = 1 THEN resp END) AS chosen,
+        |        max(CASE WHEN rr = 1 THEN resp END) AS rejected,
+        |        CAST(max(rating) AS BIGINT) AS chosen_rating,
+        |        CAST(min(rating) AS BIGINT) AS rejected_rating,
+        |        CAST(count(*) AS BIGINT) AS n_responses
+        |      FROM w GROUP BY 1)
+        |SELECT prompt_id, chosen, rejected, chosen_rating,
+        |  rejected_rating, n_responses,
+        |  CASE WHEN b < 100000 THEN 'test'
+        |       WHEN b < 200000 THEN 'val' ELSE 'train' END AS split
+        |FROM (SELECT *, CAST(floor(((prompt_id * 2654435769)
+        |        % 4294967296) * 1000000.0 / 4294967296.0) AS BIGINT) AS b
+        |      FROM a)
+        |WHERE chosen_rating > rejected_rating
+        |ORDER BY prompt_id""".stripMargin,
 
     // the plus-times closure as a monotone recursive CTE, extending
     // only through ancestors that exist as child nodes (mirrors the

@@ -1180,6 +1180,54 @@ object TextOps {
           col("n_blank") === 0).as("valid"))
   }
 
+  /** Preference-pair (DPO/RLHF) assembly — the post-training artifact
+    * next to [[sftAssemble]]'s SFT sequences (Rafailov et al. 2023 —
+    * public): from rated responses `(prompt, response, rating, tie)`,
+    * one `(chosen, rejected)` pair per prompt — chosen = the highest-
+    * rated response, rejected = the lowest-rated; prompts with no
+    * STRICT preference (all responses equally rated, or a single
+    * response) are dropped — a pair that doesn't separate teaches
+    * nothing. Ties within the max (or min) rating break
+    * DETERMINISTICALLY to the smallest `tie` key; the tie key must be
+    * unique within each prompt (checked in-plan — the
+    * [[graft.tables.VersionedTable.appendWithIdentity]] order-key
+    * contract: duplicate keys would make the pair nondeterministic).
+    * Compose with [[graft.operators.Sampling.leakFreeSplit]] KEYED ON
+    * THE PROMPT so a prompt's pair can never straddle a train/eval
+    * boundary (judged that way).
+    *
+    * Scale: ONE partial aggregate — both extremes ride
+    * `max/min(struct(rating, tie, response))` (map-side combine; no
+    * window, no self-join), so the shuffle carries one row per prompt
+    * however many responses each has. Judged `q_pref_pairs`, fully
+    * ORACLED (the oracle replays the same argmax/argmin as window
+    * ranks); rating ties, all-tied and single-response drops pinned in
+    * TextOpsSpec. */
+  def prefPairs(responses: DataFrame, promptCol: String,
+      responseCol: String, ratingCol: String,
+      tieCol: String): DataFrame = {
+    val x = responses.select(col(promptCol).as("prompt_id"),
+      col(responseCol).cast("string").as("__resp"),
+      col(ratingCol).cast("long").as("__rating"),
+      col(tieCol).cast("long").as("__tie"))
+    x.groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_responses"),
+        countDistinct(col("__tie")).as("__ntie"),
+        max(struct(col("__rating").as("r"), (-col("__tie")).as("nt"),
+          col("__resp").as("resp"))).as("__c"),
+        min(struct(col("__rating").as("r"), col("__tie").as("t"),
+          col("__resp").as("resp"))).as("__r"))
+      .filter(col("__c.r") > col("__r.r"))
+      .select(col("prompt_id"),
+        when(col("__ntie") =!= col("n_responses"),
+          expr("raise_error('prefPairs: duplicate tie key in a prompt')"))
+          .otherwise(col("__c.resp")).as("chosen"),
+        col("__r.resp").as("rejected"),
+        col("__c.r").as("chosen_rating"),
+        col("__r.r").as("rejected_rating"),
+        col("n_responses"))
+  }
+
   /** Zipf-law fit over the corpus vocabulary — the distributional
     * health check next to [[oovReport]]'s coverage view: natural text
     * follows `freq ∝ rank^s` with s ≈ −1 in log-log space; a corpus

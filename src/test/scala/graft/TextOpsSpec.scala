@@ -635,6 +635,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(5L) === ((2L, 1L, 0L, false)))
   }
 
+  test("prefPairs: extremes with deterministic tie-breaks, all-tied and " +
+      "single-response prompts dropped, duplicate tie key rejected") {
+    import spark.implicits._
+    def pairs(rows: Seq[(Long, String, Long, Long)]) =
+      TextOps.prefPairs(rows.toDF("p", "resp", "rating", "tie"),
+        "p", "resp", "rating", "tie")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+    val got = pairs(Seq(
+      // prompt 1: clear separation
+      (1L, "bad", 1L, 11L), (1L, "good", 5L, 12L), (1L, "mid", 3L, 13L),
+      // prompt 2: max tied between tie keys 21/22 -> smallest wins;
+      // min tied between 23/24 -> smallest wins
+      (2L, "top-a", 4L, 21L), (2L, "top-b", 4L, 22L),
+      (2L, "low-a", 2L, 23L), (2L, "low-b", 2L, 24L),
+      // prompt 3: all tied -> dropped
+      (3L, "x", 3L, 31L), (3L, "y", 3L, 32L),
+      // prompt 4: single response -> dropped
+      (4L, "only", 5L, 41L)))
+    assert(got === Map(
+      1L -> (("good", "bad", 5L, 1L, 3L)),
+      2L -> (("top-a", "low-a", 4L, 2L, 4L))))
+    // a duplicated tie key makes the pair nondeterministic: rejected
+    val dup = Seq((1L, "a", 5L, 7L), (1L, "b", 1L, 7L))
+    intercept[Exception](pairs(dup))
+  }
+
   test("learnUnigramVocab: hand-EM survivors, prune tie on piece order, " +
       "char floor, the round-2 re-segmentation effect") {
     import spark.implicits._
