@@ -3278,6 +3278,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BYTE-level BPE end-to-end: train on the ASCII ladder (byte ladder
+    // == char ladder there), encode with a 2-byte char ('é')
+    // appended to every 5th doc — its UTF-8 bytes are outside the
+    // learned table, so they surface as exactly 2 extra byte tokens
+    // (the no-UNK byte signature). n_tokens stays pure arithmetic:
+    // binary decomposition + 2·(doc_id % 5 = 0). Fully oracled.
+    "q_bpe_bytes" -> ((s, dir) => {
+      val f = bpeFixture(s, dir)
+      val m = graft.functions.TextOps.learnBpeMergesBytes(f, "text", 4)
+      val aug = f.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit("\u00e9")).otherwise(lit("")))
+          .as("text"))
+      graft.functions.TextOps.bpeEncodeBytes(aug, "doc_id", "text", m)
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Unigram-LM (SentencePiece) trainer on the capped syllable
     // corpus: 2 hard-EM rounds at vocabSize 6 keep {abab, ab, abq} +
     // the alphabet {a, b, q} — 'qq' ties 'abq' at usage 10 and loses
@@ -13570,6 +13588,20 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(CASE WHEN L = 16 THEN 1
         |                 ELSE bit_count(CAST(L AS BIGINT)) END AS INT)
+        |         AS n_tokens
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the byte ladder equals the char ladder on ASCII; the appended
+    // 2-byte char contributes exactly 2 unmerged byte tokens
+    "q_bpe_bytes" ->
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 > 0 THEN 16
+        |         ELSE 3 + (doc_id // 4) % 13 END AS L
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN L = 16 THEN 1
+        |                 ELSE bit_count(CAST(L AS BIGINT)) END
+        |            + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS INT)
         |         AS n_tokens
         |FROM f ORDER BY doc_id""".stripMargin,
 

@@ -721,7 +721,38 @@ object TextOps {
     * run corpus, ~10x count margins per round — see the query comment);
     * multi-character and tie cases pinned in TextOpsSpec. */
   def learnBpeMerges(docs: DataFrame, textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int): DataFrame =
+    learnBpeCore(docs, textCol, numMerges, charSyms)
+
+  /** BYTE-level BPE vocabulary learning — the GPT-2/LLaMA tokenizer
+    * form of [[learnBpeMerges]] (Radford et al. 2019 — public): the
+    * seed alphabet is the 256 BYTES of each word's UTF-8 encoding
+    * (each byte carried as its one-char latin-1 string, so merged
+    * symbols are plain string concatenations), which removes UNK by
+    * construction — any text is coverable from the byte alphabet,
+    * where a char-level trainer meets unseen characters. On pure-ASCII
+    * text the byte and char ladders are IDENTICAL (every ASCII char is
+    * its own byte — pinned as a property in TextOpsSpec); a multi-byte
+    * character seeds as its 2-4 bytes and merges back together only if
+    * frequent enough to earn it. Trainer factoring, tie rules and
+    * scale shape are [[learnBpeMerges]]'s verbatim (shared core).
+    * Judged `q_bpe_bytes`; non-ASCII hand ladder pinned in
+    * TextOpsSpec. */
+  def learnBpeMergesBytes(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame =
+    learnBpeCore(docs, textCol, numMerges, byteSyms)
+
+  private def charSyms(w: String): IndexedSeq[String] =
+    w.map(_.toString).toIndexedSeq
+
+  /** UTF-8 bytes as one-char latin-1 strings (codepoint = byte value):
+    * concatenation-closed, so merges stay plain strings. */
+  private def byteSyms(w: String): IndexedSeq[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => String.valueOf((b & 0xFF).toChar)).toIndexedSeq
+
+  private def learnBpeCore(docs: DataFrame, textCol: String,
+      numMerges: Int, split: String => IndexedSeq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.engine.Barriers.BarrierOps
@@ -731,7 +762,7 @@ object TextOps {
       .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString).toIndexedSeq: Seq[String], n) }
+      .map { case (w, n) => (split(w): Seq[String], n) }
       .toDF("syms", "n")
       .barrierCut
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -776,8 +807,12 @@ object TextOps {
     * ranks that fire. Equivalence vs the naive replay is
     * property-pinned in TextOpsSpec. */
   private[graft] def bpeEncodeWord(w: String,
+      ranks: Map[(String, String), Int]): IndexedSeq[String] =
+    bpeEncodeSyms(charSyms(w), ranks)
+
+  private[graft] def bpeEncodeSyms(syms0: IndexedSeq[String],
       ranks: Map[(String, String), Int]): IndexedSeq[String] = {
-    var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+    var syms: IndexedSeq[String] = syms0
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue
@@ -812,7 +847,26 @@ object TextOps {
     * ladder fixture), fully ORACLED; rank-priority ≡ naive-replay
     * equivalence property-pinned in TextOpsSpec. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      merges: DataFrame): DataFrame = {
+      merges: DataFrame): DataFrame =
+    bpeEncodeCore(docs, idCol, textCol, merges, charSyms)
+
+  /** Byte-level encode under a [[learnBpeMergesBytes]] table: words
+    * split to UTF-8 bytes (latin-1 one-char strings), then the same
+    * rank-priority merge as [[bpeEncode]] — no UNK is possible (every
+    * byte is in the seed alphabet). Token strings are latin-1 byte
+    * sequences: exactly ASCII on ASCII input, raw-byte carriers
+    * otherwise (the GPT-2 representation minus its cosmetic unicode
+    * remap). Judged `q_bpe_bytes` (encode counts over a fixture whose
+    * every-5th doc carries a 2-byte char — the +2-token byte
+    * signature); ASCII equivalence + the non-ASCII hand case pinned in
+    * TextOpsSpec. */
+  def bpeEncodeBytes(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame =
+    bpeEncodeCore(docs, idCol, textCol, merges, byteSyms)
+
+  private def bpeEncodeCore(docs: DataFrame, idCol: String,
+      textCol: String, merges: DataFrame,
+      split: String => IndexedSeq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val collected = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
@@ -826,7 +880,7 @@ object TextOps {
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.split(" ", -1).iterator.filter(_.nonEmpty)
-          .flatMap(w => bpeEncodeWord(w, ranks)).toSeq
+          .flatMap(w => bpeEncodeSyms(split(w), ranks)).toSeq
         (id, toks)
       }
       .toDF(idCol, "tokens")

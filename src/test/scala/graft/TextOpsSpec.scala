@@ -448,6 +448,44 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("byte-level BPE: char equivalence on ASCII, multi-byte chars " +
+      "seed as their bytes and merge back when frequent, no UNK") {
+    import spark.implicits._
+    // ASCII corpus: byte ladder == char ladder, merge for merge
+    val ascii = Seq((1L, "abab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val mc = TextOps.learnBpeMerges(ascii, "text", 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val mb = TextOps.learnBpeMergesBytes(ascii, "text", 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(mb === mc)
+    val ec = TextOps.bpeEncode(ascii, "doc_id", "text",
+      TextOps.learnBpeMerges(ascii, "text", 2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val eb = TextOps.bpeEncodeBytes(ascii, "doc_id", "text",
+      TextOps.learnBpeMergesBytes(ascii, "text", 2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(eb === ec)
+    // 'é' = UTF-8 bytes 0xC3 0xA9 = latin-1 chars (Ã, ©): a corpus of
+    // "éé" words earns merge 0 = (Ã, ©) — the byte pair INSIDE the
+    // char, which a char-level trainer can never even see
+    val c3 = "\u00c3"; val a9 = "\u00a9"
+    val nonAscii = Seq((1L, "\u00e9\u00e9 \u00e9\u00e9")).toDF("doc_id", "text")
+    val nm = TextOps.learnBpeMergesBytes(nonAscii, "text", 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(nm === Seq((c3, a9)))
+    // encode with that merge: each é comes back as ONE token carrying
+    // its two raw bytes — and an UNSEEN char ('ü' = 0xC3 0xBC) still
+    // encodes from the byte alphabet (no UNK), sharing no token
+    val probe = Seq((1L, "\u00e9\u00fc")).toDF("doc_id", "text")
+    val toks = TextOps.bpeEncodeBytes(probe, "doc_id", "text",
+      TextOps.learnBpeMergesBytes(nonAscii, "text", 1))
+      .collect().head.getSeq[String](1).toSeq
+    assert(toks === Seq(c3 + a9, c3, "\u00bc"))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("keywords: global df scores a slice; rare terms outrank common; k cuts; ties on token") {
     import spark.implicits._
     val docs = Seq(
