@@ -2939,6 +2939,25 @@ object SparkEntry {
             .as("score_micro"))
         .orderBy("id")),
 
+    // k-source Brandes betweenness on the capped path+diamond fixture
+    // with every node a source: exact — path bc(i) = 2·i·(11−i)
+    // ordered pairs (closed form), the diamond's sigma=2 split puts
+    // every node at exactly 1; dependencies are exact binary
+    // rationals, micro-quantized (the q_hits rule). Fully oracled.
+    "q_betweenness" -> ((s, dir) => {
+      import s.implicits._
+      val path = t(s, dir, "documents").filter(col("doc_id") < 11)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      val diamond = Seq((100L, 101L), (100L, 102L), (101L, 103L),
+        (102L, 103L)).toDF("a", "b")
+      graft.operators.Graph.betweenness(
+        path.unionByName(diamond), "a", "b", k = 64)
+        .select(col("id"),
+          floor(col("bc") * lit(1e6) + lit(0.5)).cast("long")
+            .as("bc_micro"))
+        .orderBy("id")
+    }),
+
     // k-core decomposition (Montresor H-index iteration) over an
     // engineered fixture whose coreness is known in closed form — a
     // K6 clique (core 5), a 10-cycle (core 2) and an 11-vertex star
@@ -12891,6 +12910,19 @@ object SparkEntry {
         |       FROM nodes CROSS JOIN s2 LEFT JOIN r2r ON r2r.id = nodes.id)
         |SELECT id, CAST(floor(score * 1e7 + 0.5) AS BIGINT) AS score_micro
         |FROM x2 ORDER BY id""".stripMargin,
+
+    // closed forms: the 12-node path's ordered-pair count through node
+    // i is 2·i·(11−i); every diamond node carries exactly 1.0
+    "q_betweenness" ->
+      """SELECT id, bc_micro FROM (
+        |  SELECT doc_id AS id,
+        |         CAST(2 * doc_id * (11 - doc_id) * 1000000 AS BIGINT)
+        |           AS bc_micro
+        |  FROM documents WHERE doc_id < 12
+        |  UNION ALL
+        |  SELECT CAST(id AS BIGINT), CAST(1000000 AS BIGINT)
+        |  FROM (VALUES (100), (101), (102), (103)) t(id))
+        |ORDER BY id""".stripMargin,
 
     "q_cc_labels" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -716,6 +716,35 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("betweenness: path closed form, star center, diamond sigma " +
+      "split, k-subset sources") {
+    import spark.implicits._
+    // path 0-1-2-3-4, all sources: bc(i) = 2·i·(4−i) ordered pairs
+    val path = (0L to 3L).map(i => (i, i + 1)).toDF("s", "d")
+    val p = Graph.betweenness(path, "s", "d", k = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(p === Map(0L -> 0.0, 1L -> 6.0, 2L -> 8.0, 3L -> 6.0,
+      4L -> 0.0))
+    // star: all 12 ordered leaf pairs route through the center
+    val star = (1L to 4L).map(l => (0L, l)).toDF("s", "d")
+    val st = Graph.betweenness(star, "s", "d", k = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(st(0L) === 12.0 && (1L to 4L).forall(st(_) === 0.0))
+    // diamond 0-1/0-2/1-3/2-3: two shortest paths per far pair split
+    // the dependency — every node lands on exactly 1.0
+    val dia = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val dm = Graph.betweenness(dia, "s", "d", k = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(dm === Map(0L -> 1.0, 1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    // k < |V|: only sources {0, 1} traverse the 0-1-2 path — the lone
+    // contribution is s = 0's pair (0, 2) through node 1
+    val p3 = Seq((0L, 1L), (1L, 2L)).toDF("s", "d")
+    val sub = Graph.betweenness(p3, "s", "d", k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(sub === Map(0L -> 0.0, 1L -> 1.0, 2L -> 0.0))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("katzCentrality: path hand values, star floor, small-alpha " +
       "degree limit") {
     import spark.implicits._
