@@ -2901,6 +2901,37 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // One Louvain local-move sweep from SINGLETON labels over the
+    // bridged-clique graph: the division-free integer move rule
+    // (2m·k − d·(Σtot − [own]·d), argmax tie to smallest label) is
+    // replayed in SQL joins, and BOTH partitions' modularity ride
+    // along — q_new > q_old is visible in the judged frame itself.
+    // Fully oracled.
+    "q_louvain" -> ((s, dir) => {
+      val n = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), expr("o_orderkey div 5").as("blk"))
+      val clique = n.as("l").join(n.as("r"),
+          col("l.blk") === col("r.blk") && col("l.k") < col("r.k"))
+        .select(col("l.k").as("src"), col("r.k").as("dst"))
+      val mins = n.groupBy("blk").agg(min(col("k")).as("mk"))
+      val bridges = mins.as("x").join(mins.as("y"),
+          col("y.blk") === col("x.blk") + 1 && col("x.blk") % 7 === 0)
+        .select(col("x.mk").as("src"), col("y.mk").as("dst"))
+      val edges = graft.engine.Caches.persisted(clique.union(bridges))
+      val init = n.select(col("k").as("id"), col("k").as("lbl"))
+      val moved = graft.operators.Graph.louvainMove(
+        edges, "src", "dst", init, "id", "lbl")
+      val qOld = graft.operators.Graph.modularity(
+        edges, "src", "dst", init, "id", "lbl")
+        .agg(max(col("q_micro")).as("q_old_micro"))
+      val qNew = graft.operators.Graph.modularity(
+        edges, "src", "dst",
+        moved.select(col("id"), col("label").as("lbl")), "id", "lbl")
+        .agg(max(col("q_micro")).as("q_new_micro"))
+      moved.crossJoin(broadcast(qOld)).crossJoin(broadcast(qNew))
+        .orderBy("id")
+    }),
+
     // Discrete power-law tail MLE over the part→supplier degree
     // distribution (Clauset et al. 2009): micro-quantized ln terms per
     // DISTINCT degree, one DECIMAL division. Fully oracled.
@@ -12841,6 +12872,63 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(dq_micro) AS BIGINT) AS q_micro FROM per)
         |SELECT label, n_nodes, e_in, d_c, dq_micro, q_micro
         |FROM per, tot ORDER BY label""".stripMargin,
+
+    // the full synchronous sweep replayed: singleton labels make
+    // k_{v,c} = 1 per neighbor and tot(c) = deg(c); argmax = window
+    // rank (score desc, label asc); both modularities recomputed with
+    // the q_modularity arithmetic
+    "q_louvain" ->
+      """WITH n AS (SELECT o_orderkey AS k, o_orderkey // 5 AS blk
+        |           FROM orders),
+        |ce AS (SELECT l.k AS s, r.k AS d FROM n l JOIN n r
+        |       ON l.blk = r.blk AND l.k < r.k),
+        |mins AS (SELECT blk, min(k) AS mk FROM n GROUP BY 1),
+        |be AS (SELECT x.mk AS s, y.mk AS d FROM mins x JOIN mins y
+        |       ON y.blk = x.blk + 1 AND x.blk % 7 = 0),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |      FROM (SELECT s, d FROM ce UNION ALL SELECT s, d FROM be)
+        |      WHERE s <> d),
+        |u AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+        |        FROM u GROUP BY 1),
+        |cand AS (SELECT id, c, max(k) AS k FROM (
+        |    SELECT a AS id, b AS c, CAST(1 AS BIGINT) AS k FROM u
+        |    UNION ALL
+        |    SELECT id, id AS c, CAST(0 AS BIGINT) AS k FROM deg)
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT cand.id, cand.c,
+        |         CAST(2 AS HUGEINT) * m.m * cand.k
+        |         - CAST(dv.d AS HUGEINT) * (dc.d -
+        |             CASE WHEN cand.c = cand.id THEN dv.d ELSE 0 END)
+        |           AS score
+        |       FROM cand JOIN deg dv ON dv.id = cand.id
+        |            JOIN deg dc ON dc.id = cand.c, m),
+        |mv AS (SELECT id, c,
+        |         row_number() OVER (PARTITION BY id
+        |           ORDER BY score DESC, c ASC) AS rn
+        |       FROM sc),
+        |nw AS (SELECT id, c AS label FROM mv WHERE rn = 1),
+        |qold AS (SELECT CAST(sum(-CAST((CAST(d AS HUGEINT) * d * 1000000)
+        |             // (CAST(4 AS HUGEINT) * m.m * m.m) AS BIGINT))
+        |           AS BIGINT) AS q_old_micro
+        |         FROM deg, m),
+        |dsum AS (SELECT nw.label AS lbl, CAST(sum(deg.d) AS BIGINT) AS d_c
+        |         FROM nw JOIN deg ON deg.id = nw.id GROUP BY 1),
+        |ein AS (SELECT la.label AS lbl, CAST(count(*) AS BIGINT) AS e_in
+        |        FROM e JOIN nw la ON la.id = e.a JOIN nw lb ON lb.id = e.b
+        |        WHERE la.label = lb.label GROUP BY 1),
+        |per AS (SELECT CAST(4 AS HUGEINT) * m.m * coalesce(ein.e_in, 0)
+        |          - CAST(dsum.d_c AS HUGEINT) * dsum.d_c AS num,
+        |          m.m AS mm
+        |        FROM dsum LEFT JOIN ein ON ein.lbl = dsum.lbl, m),
+        |qnew AS (SELECT CAST(sum(CAST(sign(num) AS BIGINT) *
+        |             CAST((abs(num) * 1000000)
+        |               // (CAST(4 AS HUGEINT) * mm * mm) AS BIGINT))
+        |           AS BIGINT) AS q_new_micro
+        |         FROM per)
+        |SELECT nw.id, nw.label, qold.q_old_micro, qnew.q_new_micro
+        |FROM nw, qold, qnew ORDER BY id""".stripMargin,
 
     // per-distinct-degree ln terms over exact integer arguments
     // (2d / (2·dmin−1) keeps both integral), HUGEINT-routed division

@@ -655,6 +655,75 @@ object Graph {
     per.crossJoin(broadcast(per.agg(sum(col("dq_micro")).as("q_micro"))))
   }
 
+  /** One Louvain LOCAL-MOVE sweep (Blondel et al. 2008 — public): every
+    * node simultaneously evaluates moving to a neighbor's community and
+    * takes the best strictly-ordered gain — the refinement step that
+    * turns a labeling ([[labelPropagation]] output, CC labels, or the
+    * singleton start) into a better partition, JUDGED by
+    * [[modularity]] itself (the r16 row finally made partition quality
+    * measurable; this operator is its first consumer). One synchronous
+    * sweep, not the sequential fixpoint: deterministic, oracle-
+    * replayable, and the standard distributed formulation (sequential
+    * Louvain's node order is inherently serial).
+    *
+    * The move rule needs NO division: for candidate community `c` of
+    * node `v` (its neighbors' communities plus its own),
+    * `score(c) = 2m·k_{v,c} − d_v·(Σtot(c) − [c = own]·d_v)` orders
+    * exactly like the Newman ΔQ (both sides of the comparison share
+    * the 1/2m² factor) — all exact integers through DECIMAL(38,0)
+    * (the q_gini rule), argmax per node via ONE partial-agg
+    * `max(struct(score, −label))` so ties go to the SMALLEST label
+    * (window-free, the TopKAgg posture). Graph canonicalization is
+    * [[modularity]]'s verbatim (undirected distinct, self-loops
+    * dropped, unlabeled nodes fall back to their id).
+    *
+    * Scale: degree + community-total partial aggs, the neighbor-label
+    * join on bare longs (≤ 2m rows), candidate rows ≤ 2m + |V| — no
+    * windows, no pair enumeration, m broadcast. Judged `q_louvain`
+    * (the bridged-clique fixture from SINGLETON labels — the full
+    * sweep replayed in SQL, with before/after `q_micro` carried on
+    * every row), fully ORACLED; strict Q improvement, the stay-put
+    * case on an already-optimal partition and the tie rule pinned in
+    * GraphSpec. */
+  def louvainMove(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val canon = graft.engine.Caches.persisted(
+      edges.select(
+          least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+          greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    val und = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+    val nodes = und.select(col("a").as("id")).distinct()
+    val lbl = labels.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    val labeled = graft.engine.Caches.persisted(
+      nodes.join(lbl, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl")))
+    val m = broadcast(canon.agg(count(lit(1)).as("__m")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("__d"))
+    val tot = labeled.join(deg, Seq("id"))
+      .groupBy(col("lbl").as("c")).agg(sum(col("__d")).as("__tot"))
+    val k = und
+      .join(labeled.select(col("id").as("b"), col("lbl").as("c")), "b")
+      .groupBy(col("a").as("id"), col("c")).agg(count(lit(1)).as("__k"))
+    // own community is always a candidate (k 0 when no neighbor shares
+    // it; max() recovers the true k when one does)
+    val cand = k.unionByName(
+        labeled.select(col("id"), col("lbl").as("c"), lit(0L).as("__k")))
+      .groupBy(col("id"), col("c")).agg(max(col("__k")).as("__k"))
+    cand.join(labeled, Seq("id")).join(deg, Seq("id"))
+      .join(tot, Seq("c")).crossJoin(m)
+      .withColumn("__score", expr(
+        """cast(2 as decimal(38,0)) * __m * __k -
+           cast(__d as decimal(38,0)) *
+             (__tot - if(c = lbl, __d, cast(0 as bigint)))"""))
+      .groupBy(col("id"))
+      .agg(max(struct(col("__score").as("s"), (-col("c")).as("nc"),
+        col("c").as("c"))).as("__b"))
+      .select(col("id"), col("__b.c").as("label"))
+  }
+
   /** Root-to-leaf path flattening over a parent-pointer forest — the
     * conversation-tree linearization an SFT pipeline runs before
     * [[graft.functions.TextOps.sftAssemble]] (branched chats — edits,

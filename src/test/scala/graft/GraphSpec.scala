@@ -716,6 +716,35 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("louvainMove: hand sweep values with the smallest-label tie " +
+      "rule, strict Q improvement, stay-put on an optimal partition") {
+    import spark.implicits._
+    // two triangles bridged at 3-4, singleton start; hand argmax:
+    // m = 7, scores 2m·k − d_v·d_c; node 3 ties {1,2} at 8 → 1,
+    // node 4 ties {5,6} at 8 → 5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("s", "d")
+    val init = (1L to 6L).map(i => (i, i))
+    val mv = Graph.louvainMove(edges, "s", "d", init.toDF("id", "lbl"),
+      "id", "lbl").as[(Long, Long)].collect().toMap
+    assert(mv === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 6L,
+      6L -> 5L))
+    def q(lab: Seq[(Long, Long)]): Long =
+      Graph.modularity(edges, "s", "d", lab.toDF("id", "lbl"),
+        "id", "lbl").select("q_micro").collect().head.getLong(0)
+    assert(q(mv.toSeq) > q(init))
+    // an already-optimal two-triangle partition: every node's only
+    // candidate is its own community — nobody moves
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L)).toDF("s", "d")
+    val opt = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L))
+    val stay = Graph.louvainMove(tri, "s", "d", opt.toDF("id", "lbl"),
+      "id", "lbl").as[(Long, Long)].collect().toMap
+    assert(stay === opt.toMap)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("betweenness: path closed form, star center, diamond sigma " +
       "split, k-subset sources") {
     import spark.implicits._
