@@ -3164,6 +3164,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming twin of the C4 blocklist gate (batch/stream curation
+    // parity, the q_stream_curate posture): the same fixture and
+    // policy lists, verdicts stateless scan-stage (any-occurrence =
+    // the batch gate's maxBadMilli = 0 point), lists inlined as
+    // broadcast constants. Oracle = the shared gate CTE. Fully oracled.
+    "q_stream_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 11 === 0, lit(" badword1 badword2"))
+              .otherwise(lit(""))).as("text"),
+          concat(lit("https://site"), col("doc_id") % 97,
+            lit(".example.com/p/"), col("doc_id")).as("url"))
+      runStream(s, "stream_blocklist",
+        Seq(("in", docs, "doc_id LONG, text STRING, url STRING")),
+        in => graft.streaming.Streams.blocklistGateStream(
+          in("in"), "doc_id", "text", "url",
+          Seq("slow", "BADWORD1", "badword2").toDF("w"),
+          Seq("site3.example.com", "SITE7.example.com").toDF("d")))
+        .orderBy("doc_id")
+    }),
+
     // Luhn card-number audit — the VALIDATION behind PII pattern
     // matching: every doc plants a 16-digit candidate whose check
     // digit is doc_id%10 (valid or not decided by the checksum both
@@ -13224,6 +13247,31 @@ object SparkEntry {
         |       (bad_hits * 1000 // n_tokens <= 20
         |         AND NOT domain_blocked) AS pass
         |FROM w JOIN dom USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the shared gate CTE (q_blocklist's fixture + domain regex) at the
+    // any-occurrence point: pass = no bad token AND no blocked domain
+    "q_stream_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+        |        text || CASE WHEN doc_id % 11 = 0
+        |          THEN ' badword1 badword2' ELSE '' END AS text,
+        |        'https://site' || (doc_id % 97) || '.example.com/p/'
+        |          || doc_id AS url
+        |      FROM documents)
+        |SELECT doc_id,
+        |       list_has_any(string_split(lower(text), ' '),
+        |         ['slow', 'badword1', 'badword2']) AS bad_any,
+        |       list_has_any(
+        |         regexp_extract_all(lower(url),
+        |           'https?://([a-z0-9.-]+)', 1),
+        |         ['site3.example.com', 'site7.example.com'])
+        |         AS domain_blocked,
+        |       (NOT list_has_any(string_split(lower(text), ' '),
+        |          ['slow', 'badword1', 'badword2'])
+        |        AND NOT list_has_any(
+        |          regexp_extract_all(lower(url),
+        |            'https?://([a-z0-9.-]+)', 1),
+        |          ['site3.example.com', 'site7.example.com'])) AS pass
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_gopher_lines" ->
       (s"WITH d AS ($multilineFixtureSql),\n" +

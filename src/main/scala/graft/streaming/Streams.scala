@@ -32,6 +32,44 @@ object Streams {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Streaming C4 blocklist gate — the content-policy twin of the
+    * streaming Gopher gate (q_stream_curate), giving the curation
+    * surface batch/stream parity for
+    * [[graft.operators.QualityFilters.blocklistReport]]: per arriving
+    * document a STATELESS scan-stage verdict — `bad_any` (any token in
+    * the bad-word list — C4's actual any-occurrence-drops rule, the
+    * batch gate's `maxBadMilli = 0` point), `domain_blocked` (any
+    * [[graft.functions.TextOps.urlDomains]] hit in the domain list)
+    * and `pass = !bad_any && !domain_blocked`. Both policy lists are
+    * config-scale relations collected ONCE at plan time and inlined as
+    * array literals (the broadcast-constant posture — no state store,
+    * no watermark, no per-batch join; `arrays_overlap` is codegen'd),
+    * so the stream is a pure map whatever its volume. Case-folded like
+    * the batch gate. Judged `q_stream_blocklist` against the shared
+    * gate CTE (the q_gopher no-drift pattern); list edges pinned in
+    * StreamingSpec. */
+  def blocklistGateStream(docs: DataFrame, idCol: String, textCol: String,
+      urlCol: String, badWords: DataFrame,
+      blockedDomains: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bw = badWords.select(lower(col(badWords.columns.head)).as("w"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val bd = blockedDomains
+      .select(lower(col(blockedDomains.columns.head)).as("d"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val badAny =
+      if (bw.isEmpty) lit(false)
+      else arrays_overlap(split(lower(col(textCol)), " "),
+        array(bw.map(lit(_)): _*))
+    val blocked =
+      if (bd.isEmpty) lit(false)
+      else arrays_overlap(graft.functions.TextOps.urlDomains(col(urlCol)),
+        array(bd.map(lit(_)): _*))
+    docs.select(col(idCol), badAny.as("bad_any"),
+      blocked.as("domain_blocked"),
+      (!badAny && !blocked).as("pass"))
+  }
+
   /** Streaming tumbling-window aggregation: identical logical plan to
     * [[Events.tumblingAgg]] plus an event-time watermark. In append mode
     * a window emits once the watermark passes its end; state is bounded

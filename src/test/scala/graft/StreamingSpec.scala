@@ -280,6 +280,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("blocklistGateStream: stateless verdicts match the batch gate's " +
+      "any-occurrence point; case folding; empty lists pass everything") {
+    implicit val ctx = spark.sqlContext
+    val bw = Seq("BADWORD").toDF("w")
+    val bd = Seq("Blocked.Example.com").toDF("d")
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.blocklistGateStream(
+        in.toDF.toDF("doc_id", "text", "url"),
+        "doc_id", "text", "url", bw, bd)
+      .writeStream.format("memory").queryName("t_blk")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "clean prose here", "https://ok.example.com/a"),
+        (2L, "has BadWord inside", "https://ok.example.com/b"),
+        (3L, "clean again", "https://blocked.example.com/c"),
+        (4L, "badword AND https://BLOCKED.example.com/d both",
+          "https://blocked.example.com/d"))
+      q.processAllAvailable()
+      val got = spark.table("t_blk")
+        .as[(Long, Boolean, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === Map(
+        1L -> ((false, false, true)),
+        2L -> ((true, false, false)),
+        3L -> ((false, true, false)),
+        4L -> ((true, true, false))))
+    } finally q.stop()
+    // empty policy lists: everything passes (the batch gate's contract)
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = Streams.blocklistGateStream(
+        in2.toDF.toDF("doc_id", "text", "url"), "doc_id", "text", "url",
+        spark.emptyDataset[String].toDF("w"),
+        spark.emptyDataset[String].toDF("d"))
+      .writeStream.format("memory").queryName("t_blk2")
+      .outputMode("append").start()
+    try {
+      in2.addData((9L, "badword everywhere", "https://blocked.example.com"))
+      q2.processAllAvailable()
+      assert(spark.table("t_blk2").as[(Long, Boolean, Boolean, Boolean)]
+        .collect().toSeq === Seq((9L, false, false, true)))
+    } finally q2.stop()
+  }
+
   test("exactDedupStream emits first occurrence only, across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Streams.DocRow]
