@@ -2906,9 +2906,11 @@ object SparkEntry {
     // (2m·k − d·(Σtot − [own]·d), argmax tie to smallest label) is
     // replayed in SQL joins, and BOTH partitions' modularity ride
     // along — q_new > q_old is visible in the judged frame itself.
-    // Fully oracled.
+    // Key cap 30000 bounds the THREE graph passes (move + 2
+    // modularity) — identical at sf0.01, fixed cost above. Fully
+    // oracled.
     "q_louvain" -> ((s, dir) => {
-      val n = t(s, dir, "orders")
+      val n = t(s, dir, "orders").filter(col("o_orderkey") < 30000)
         .select(col("o_orderkey").as("k"), expr("o_orderkey div 5").as("blk"))
       val clique = n.as("l").join(n.as("r"),
           col("l.blk") === col("r.blk") && col("l.k") < col("r.k"))
@@ -2986,6 +2988,21 @@ object SparkEntry {
         .select(col("id"),
           floor(col("bc") * lit(1e6) + lit(0.5)).cast("long")
             .as("bc_micro"))
+        .orderBy("id")
+    }),
+
+    // k-source harmonic centrality on the same path+diamond fixture:
+    // every term is an exact integer ((2e6 + d) div 2d), the sum pure
+    // BIGINT — the oracle recomputes pairwise path distances as |i−j|
+    // and the diamond's 2·(d=1) + 1·(d=2) closed form. Fully oracled.
+    "q_harmonic" -> ((s, dir) => {
+      import s.implicits._
+      val path = t(s, dir, "documents").filter(col("doc_id") < 11)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      val diamond = Seq((100L, 101L), (100L, 102L), (101L, 103L),
+        (102L, 103L)).toDF("a", "b")
+      graft.operators.Graph.harmonicCentrality(
+        path.unionByName(diamond), "a", "b", k = 64)
         .orderBy("id")
     }),
 
@@ -3201,6 +3218,23 @@ object SparkEntry {
             when(col("doc_id") % 5 === 0, lit(" 4532015112830366"))
               .otherwise(lit("")),
             lit(" 12345")).as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // IBAN mod-97 audit — q_luhn's bank-account sibling: every doc
+    // plants a doc_id-derived candidate (check digits doc_id%100 —
+    // validity decided by the SAME char fold in both engines), every
+    // 5th doc a known-valid vector, and a short run the shape gate
+    // drops. Fully oracled (DuckDB list_reduce replays the fold).
+    "q_iban" -> ((s, dir) =>
+      TextOps.ibanAudit(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" DE"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lpad(col("doc_id").cast("string"), 18, "0"),
+            when(col("doc_id") % 5 === 0, lit(" DE68210501700012345678"))
+              .otherwise(lit("")),
+            lit(" DE12ABC")).as("text")),
         "doc_id", "text")
         .orderBy("doc_id")),
 
@@ -7252,6 +7286,32 @@ object SparkEntry {
         .unionByName(
           agg(VersionedTable.readLatest(s, root, mergeSchema = true), 3))
         .orderBy("ver", "status")
+    }),
+
+    // GENERATED ALWAYS AS at the format layer: declare after v1, append
+    // WITHOUT the column — the append path computes it; v1-era rows
+    // read null under mergeSchema (the schema-evolution rule). The
+    // oracle recomputes the generation expression over the append
+    // slice only. Fully oracled.
+    "q_table_gen" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val root = tmpPath("vtable_gen")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      VersionedTable.create(s, root, o.filter(col("k") % 5 === 0))
+      VersionedTable.addGeneratedColumn(s, root, "cents",
+        "cast(floor(price * 100 + 0.5) as bigint)")
+      VersionedTable.append(s, root,
+        o.filter(col("k") % 5 === 1)) // cents computed by the path
+      VersionedTable.readLatest(s, root, mergeSchema = true)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), count(col("cents")).as("n_gen"),
+          sum(col("cents")).as("cents"))
+        .orderBy("status")
     }),
 
     // Jensen-Shannon divergence per value bin between calendar halves
@@ -12902,7 +12962,7 @@ object SparkEntry {
     // the q_modularity arithmetic
     "q_louvain" ->
       """WITH n AS (SELECT o_orderkey AS k, o_orderkey // 5 AS blk
-        |           FROM orders),
+        |           FROM orders WHERE o_orderkey < 30000),
         |ce AS (SELECT l.k AS s, r.k AS d FROM n l JOIN n r
         |       ON l.blk = r.blk AND l.k < r.k),
         |mins AS (SELECT blk, min(k) AS mk FROM n GROUP BY 1),
@@ -13021,6 +13081,21 @@ object SparkEntry {
         |       FROM nodes CROSS JOIN s2 LEFT JOIN r2r ON r2r.id = nodes.id)
         |SELECT id, CAST(floor(score * 1e7 + 0.5) AS BIGINT) AS score_micro
         |FROM x2 ORDER BY id""".stripMargin,
+
+    // the pairwise path distance is |i−j|; each term replays the exact
+    // integer quantization (2e6+d) // (2d); diamond nodes all 2500000
+    "q_harmonic" ->
+      """WITH p AS (SELECT doc_id AS id FROM documents WHERE doc_id < 12),
+        |ph AS (SELECT a.id,
+        |        CAST(sum((2000000 + abs(a.id - b.id))
+        |          // (2 * abs(a.id - b.id))) AS BIGINT) AS harmonic_micro
+        |       FROM p a JOIN p b ON a.id <> b.id GROUP BY 1)
+        |SELECT id, harmonic_micro FROM (
+        |  SELECT id, harmonic_micro FROM ph
+        |  UNION ALL
+        |  SELECT CAST(id AS BIGINT), CAST(2500000 AS BIGINT)
+        |  FROM (VALUES (100), (101), (102), (103)) t(id))
+        |ORDER BY id""".stripMargin,
 
     // closed forms: the 12-node path's ordered-pair count through node
     // i is 2·i·(11−i); every diamond node carries exactly 1.0
@@ -13218,6 +13293,35 @@ object SparkEntry {
         |         AS n_luhn_valid
         |FROM d LEFT JOIN v USING (doc_id)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the mod-97 char fold replayed via list_reduce (sentinel '0' as
+    // the init — DuckDB's two-arg reduce); shape gate = the same
+    // anchored regex; validated against the ISO arithmetic in python
+    // before landing (the DTW property-test convention)
+    "q_iban" ->
+      """WITH d AS (SELECT doc_id,
+        |        text || ' DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |          || lpad(CAST(doc_id AS VARCHAR), 18, '0')
+        |          || CASE WHEN doc_id % 5 = 0
+        |               THEN ' DE68210501700012345678' ELSE '' END
+        |          || ' DE12ABC' AS text
+        |      FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_filter(regexp_extract_all(text, '[A-Z0-9]+'),
+        |          x -> regexp_full_match(x,
+        |            '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}')) AS cands
+        |      FROM d)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(list_sum(list_transform(cands, x ->
+        |    CASE WHEN list_reduce(list_prepend('0',
+        |        string_split(substr(x, 5) || substr(x, 1, 4), '')),
+        |      (acc, ch) -> CAST(CASE WHEN ch BETWEEN '0' AND '9'
+        |          THEN (CAST(acc AS BIGINT) * 10 + ascii(ch) - 48) % 97
+        |          ELSE (CAST(acc AS BIGINT) * 100 + ascii(ch) - 55) % 97
+        |        END AS VARCHAR)) = '1' THEN 1 ELSE 0 END)), 0) AS BIGINT)
+        |    AS n_iban_valid
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the domain flag replays the SAME url regex (not the residue
     // arithmetic); token membership is case-folded; // floors ==
@@ -15702,6 +15806,21 @@ object SparkEntry {
         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
         |      UNION ALL SELECT * FROM a3)
         |ORDER BY ver, status""".stripMargin,
+
+    // pre-declaration era reads null; the append slice carries the
+    // recomputed generation expression
+    "q_table_gen" ->
+      """WITH base AS (SELECT o_orderstatus AS status,
+        |        CAST(NULL AS BIGINT) AS cents
+        |      FROM orders WHERE o_orderkey % 5 = 0),
+        |ad AS (SELECT o_orderstatus AS status,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders WHERE o_orderkey % 5 = 1)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(cents) AS BIGINT) AS n_gen,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM ad)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     // the q_psi machinery with the bounded symmetric term; midpoint
     // recomputed inside the term (same double either way)

@@ -278,6 +278,51 @@ object TextOps {
         count(when(luhnValid(col("__r")), 1)).as("n_luhn_valid"))
   }
 
+  /** IBAN mod-97 validation (ISO 13616 / ISO 7064 — public): rearrange
+    * (body after position 4, then the first 4 chars), map letters to
+    * two digits (A=10..Z=35), and the resulting integer must be
+    * ≡ 1 (mod 97). The number runs to 68 digits, so the remainder is
+    * FOLDED char by char (`acc·10+d` / `acc·100+v`, mod 97 each step —
+    * exact integers, and DuckDB's `list_reduce` replays the fold
+    * token-identically). Interpreted HOF on rare candidate spans — the
+    * [[luhnValid]] escalation. */
+  def ibanValid(c: Column): Column = {
+    val re = concat(c.substr(lit(5), length(c)), c.substr(lit(1), lit(4)))
+    val total = aggregate(
+      sequence(lit(1), length(re)),
+      lit(0L),
+      (acc, i) => {
+        val a = ascii(re.substr(i.cast("int"), lit(1))).cast("long")
+        when(a >= 48 && a <= 57, (acc * 10 + a - 48) % 97)
+          .otherwise((acc * 100 + a - 55) % 97)
+      })
+    total === 1
+  }
+
+  /** IBAN audit — [[luhnAudit]]'s bank-account sibling (the other
+    * checksum-validated PII class a redaction pipeline must verify
+    * before counting): per document, extract standalone uppercase
+    * alphanumeric runs shaped like an IBAN (2 letters + 2 check digits
+    * + 11..30 alphanumerics — the ISO length envelope), and split them
+    * by [[ibanValid]]. Returns (id, n_candidates, n_iban_valid).
+    * Scan-stage `regexp_extract_all` + shape filter + per-candidate
+    * fold (candidates rare by construction); fully DuckDB-expressible
+    * (`regexp_full_match` + `list_reduce`). Judged `q_iban` (fixture
+    * plants a doc_id-derived candidate whose validity BOTH engines
+    * decide by the same fold, plus a known-valid vector on every 5th
+    * doc and a too-short run the shape gate drops), fully ORACLED;
+    * known vectors, check-digit off-by-one and length gates pinned in
+    * TextOpsSpec. */
+  def ibanAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val runs = filter(
+      regexp_extract_all(col(textCol), lit("[A-Z0-9]+"), lit(0)),
+      r => r.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"))
+    docs.select(col(idCol), explode_outer(runs).as("__r"))
+      .groupBy(col(idCol))
+      .agg(count(col("__r")).as("n_candidates"),
+        count(when(ibanValid(col("__r")), 1)).as("n_iban_valid"))
+  }
+
   /** Inter-document boilerplate removal (the CCNet/RefinedWeb line-level
     * pass, public): drop every LINE that occurs in at least `minDf`
     * distinct docs — headers, footers, cookie banners — and reassemble

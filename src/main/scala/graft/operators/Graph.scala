@@ -896,6 +896,13 @@ object Graph {
     require(k >= 1 && k <= 4096, s"k must be in 1..4096: $k")
     require(maxDepth >= 1 && maxDepth <= 64,
       s"maxDepth must be in 1..64: $maxDepth")
+    // per-level FIXED cost (checkpoint + shuffle rounds) dominates the
+    // hop loops — plan them at few partitions (the cycleNodes rule),
+    // restored after
+    val session = edges.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
     val fwd = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -922,8 +929,9 @@ object Graph {
         .barrierCut
       if (nxt.isEmpty) done = true
       else {
+        // a union of already-cut level leaves — shallow lineage, no
+        // extra barrier needed (each barrierCut is a scheduling round)
         visited = visited.unionByName(nxt.select(col("s"), col("v")))
-          .barrierCut
         levels += nxt
         frontier = nxt
         d += 1
@@ -955,6 +963,80 @@ object Graph {
         .groupBy(col("v").as("id")).agg(sum(col("delta")).as("bc")),
       Seq("id"), "left")
       .select(col("id"), coalesce(col("bc"), lit(0.0)).as("bc"))
+      .barrierCut // materialize under the loop's partition count
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** k-source harmonic centrality (Marchiori & Latora 2000; Boldi &
+    * Vigna 2014 axiomatization — public): `H(v) = Σ_{s≠v} 1/d(s,v)`,
+    * the closeness variant that is WELL-DEFINED on disconnected graphs
+    * (unreachable pairs contribute 0, no infinite-distance blowup) —
+    * the distance-based sibling of [[betweenness]] on the same k-source
+    * machinery (exact when k ≥ |V|, the Brandes–Pich sampling form
+    * otherwise; sources = the k smallest ids, deterministic).
+    *
+    * Exact-integer contract: each term is micro-quantized AS AN
+    * INTEGER — `⌊10⁶/d + ½⌋ = (2·10⁶ + d) div (2d)`, pure BIGINT
+    * arithmetic — and `harmonic_micro` is their sum, so the result is
+    * order-independent and replays bit-for-bit in any engine (the
+    * chi2 truncate-then-sum pattern, with ZERO floats anywhere).
+    *
+    * Scale: one hop-bounded forward BFS keyed (source, node) — the
+    * [[betweenness]] forward phase minus path counting; frontier rows
+    * ≤ k·|V| total, barrierCut per level. Judged `q_harmonic` (the
+    * betweenness path+diamond fixture, all nodes sources — closed-form
+    * harmonic-number sums), fully ORACLED; path/star hand values,
+    * disconnected-component zeros and the k-subset pinned in
+    * GraphSpec. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxDepth: Int = 16): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in 1..4096: $k")
+    require(maxDepth >= 1 && maxDepth <= 64,
+      s"maxDepth must be in 1..64: $maxDepth")
+    // hop loop at few partitions — the betweenness/cycleNodes rule
+    val session = edges.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+    val fwd = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = graft.engine.Caches.persisted(
+      fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val nodes = und.select(col("a").as("id")).distinct().barrierCut
+    val sources = nodes.orderBy(col("id")).limit(k)
+      .select(col("id").as("s")).barrierCut
+    var frontier = sources.select(col("s"), col("s").as("v")).barrierCut
+    var visited = frontier
+    // per-node micro-term accumulator, grown level by level
+    var acc = nodes.select(col("id"), lit(0L).as("h")).limit(0)
+    var d = 1
+    var done = frontier.isEmpty
+    while (d <= maxDepth && !done) {
+      val nxt = frontier.join(und, col("v") === col("a"))
+        .select(col("s"), col("b").as("v")).distinct()
+        .join(visited, Seq("s", "v"), "left_anti")
+        .barrierCut
+      if (nxt.isEmpty) done = true
+      else {
+        // term = ⌊10⁶/d + ½⌋ = (2·10⁶ + d) div (2d), exact in longs;
+        // both accumulators union already-cut leaves — no extra barrier
+        acc = acc.unionByName(
+          nxt.groupBy(col("v").as("id"))
+            .agg((count(lit(1)) * lit((2000000L + d) / (2L * d))).as("h")))
+        visited = visited.unionByName(
+          nxt.select(col("s").as("s"), col("v").as("v")))
+        frontier = nxt
+        d += 1
+      }
+    }
+    nodes.join(
+      acc.groupBy(col("id")).agg(sum(col("h")).as("harmonic_micro")),
+      Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
+      .barrierCut // materialize under the loop's partition count
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999 — public): the

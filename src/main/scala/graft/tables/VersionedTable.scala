@@ -308,7 +308,8 @@ object VersionedTable {
       tag: String = "", maxRetries: Int = 5): Manifest = {
     val (fs, rootP) = fsOf(spark, root)
     val base = readManifest(fs, rootP, requireExists(spark, root))
-    val dir = writeDataDir(df, rootP, base.version + 1, base.partitionCols)
+    val dir = writeDataDir(applyGenerated(fs, rootP, df), rootP,
+      base.version + 1, base.partitionCols)
     commitAppendLoop(fs, rootP, dir, tag, base.version, maxRetries)
   }
 
@@ -873,9 +874,12 @@ object VersionedTable {
     * in VersionedTableSpec. */
   def appendStrict(spark: SparkSession, root: String, df: DataFrame,
       tag: String = ""): Manifest = {
+    val (fs, rootP) = fsOf(spark, root)
     val want = readLatest(spark, root, mergeSchema = true).columns.toSet
     val got = df.columns.toSet
-    require(got == want,
+    // GENERATED columns may be omitted — append computes them
+    val gen = activeGenerated(fs, rootP).map(_._1).toSet
+    require(got == want || got == want -- gen,
       s"schema mismatch: append has ${got.toSeq.sorted.mkString(",")}," +
         s" table has ${want.toSeq.sorted.mkString(",")}")
     append(spark, root, df, tag)
@@ -1059,6 +1063,14 @@ object VersionedTable {
     require(referenced.isEmpty,
       s"cannot drop $colName: referenced by CHECK constraint(s) " +
         referenced.map(_._1).mkString(", "))
+    // an INPUT of a generated column can't go (appends would fail to
+    // compute it); the generated column ITSELF retires its declaration
+    val genRef = activeGenerated(fs, rootP)
+      .filter { case (n, e) => n != colName && pat.matcher(e).find() }
+    require(genRef.isEmpty,
+      s"cannot drop $colName: generated column(s) " +
+        s"${genRef.map(_._1).mkString(", ")} compute from it")
+    dropGeneratedColumn(spark, root, colName)
     commit(fs, rootP, Manifest(base.version + 1, "drop-column",
       base.version, base.dataDirs, s"drop:$colName",
       base.partitionCols, base.deleteDirs))
@@ -2250,6 +2262,98 @@ object VersionedTable {
     activeConstraints(fs, rootP).toDF("name", "expression")
   }
 
+  // ---- generated columns --------------------------------------------------
+
+  private def generatedDir(root: Path): Path =
+    new Path(new Path(root, LogDir), "generated")
+
+  private def activeGenerated(fs: FileSystem, root: Path): Seq[(String, String)] = {
+    val d = generatedDir(root)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath).sortBy(_.getName).map { p =>
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        p.getName -> new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+  }
+
+  /** Compute missing generated columns / validate supplied ones on the
+    * append path (the enforcement scope — see [[addGeneratedColumn]]). */
+  private def applyGenerated(fs: FileSystem, root: Path,
+      df: DataFrame): DataFrame =
+    activeGenerated(fs, root).foldLeft(df) { case (d, (n, e)) =>
+      if (!d.columns.contains(n)) d.withColumn(n, expr(e))
+      else {
+        val bad = !d.filter(!coalesce(col(n) === expr(e), lit(true))).isEmpty
+        if (bad)
+          throw new ConstraintViolationException(
+            s"append rejected: column '$n' is GENERATED ALWAYS AS ($e) " +
+              "and the supplied values disagree with the expression")
+        d
+      }
+    }
+
+  /** Declare a GENERATED column (Delta `GENERATED ALWAYS AS` at this
+    * format layer): from now on the APPEND path ([[append]] /
+    * [[appendStrict]] — which lets callers omit the column — /
+    * [[appendIfAbsent]]) computes `name` from `sqlExpr` when the
+    * incoming frame lacks it, and REJECTS a frame that supplies values
+    * disagreeing with the expression (NULL-supplied rows pass, the SQL
+    * CHECK convention — a pre-declaration-era rewrite carrying nulls
+    * must survive). Declaring generation for an EXISTING column
+    * validates the current snapshot first (the [[addConstraint]]
+    * posture); declaring a NEW name only validates that the expression
+    * analyzes — rows from earlier eras read the column as null under
+    * `mergeSchema` (the schema-evolution rule; backfill = a COW
+    * rewrite if wanted). Scope is deliberately the append path:
+    * [[upsert]]/[[merge]]/[[applyChanges]] treat it as a plain column
+    * (COW rewrites only move existing physical values and cannot
+    * invent wrong ones). [[dropColumn]] of the generated column
+    * retires the declaration with it; dropping an INPUT of the
+    * expression is rejected there (same dependency rule as CHECK
+    * constraints). Judged `q_table_gen`, fully ORACLED;
+    * compute/validate/reject, strict-append omission, existing-column
+    * validation and the drop interplay pinned in VersionedTableSpec. */
+  def addGeneratedColumn(spark: SparkSession, root: String, name: String,
+      sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"), s"illegal column name: $name")
+    val (fs, rootP) = fsOf(spark, root)
+    val base = readManifest(fs, rootP, requireExists(spark, root))
+    require(!base.partitionCols.contains(name),
+      s"cannot generate partition column: $name")
+    val cur = readLatest(spark, root, mergeSchema = true)
+    if (cur.columns.contains(name)) {
+      val bad = !cur
+        .filter(!coalesce(col(name) === expr(sqlExpr), lit(true))).isEmpty
+      if (bad)
+        throw new ConstraintViolationException(
+          s"cannot declare '$name' GENERATED ALWAYS AS ($sqlExpr): " +
+            "existing rows disagree with the expression")
+    } else cur.select(expr(sqlExpr)) // analysis-only schema check
+    val dst = new Path(generatedDir(rootP), name)
+    val out = fs.create(dst, false) // exclusive: duplicate declare fails
+    try out.write(sqlExpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Retire a generated-column declaration; the column itself (and any
+    * committed values) stays. Returns whether it existed. */
+  def dropGeneratedColumn(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    fs.delete(new Path(generatedDir(rootP), name), false)
+  }
+
+  /** Active generated-column declarations as (name, expression). */
+  def tableGeneratedColumns(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    import spark.implicits._
+    activeGenerated(fs, rootP).toDF("name", "expression")
+  }
+
   // ---- directory-level column statistics & data skipping ---------------
 
   /** Sidecar file inside a data directory holding footer-scraped column
@@ -2840,6 +2944,11 @@ object VersionedTable {
           mergeSchema = true), dstP, 1, m.partitionCols))
     activeConstraints(sfs, srcP).foreach { case (name, e) =>
       val out = dfs.create(new Path(constraintsDir(dstP), name), false)
+      try out.write(e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    activeGenerated(sfs, srcP).foreach { case (name, e) =>
+      val out = dfs.create(new Path(generatedDir(dstP), name), false)
       try out.write(e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }

@@ -716,6 +716,39 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("harmonicCentrality: path harmonic numbers, star closed form, " +
+      "disconnected zeros, k-subset sources") {
+    import spark.implicits._
+    // path 0-1-2-3-4, all sources: terms (2e6+d) div (2d)
+    val path = (0L to 3L).map(i => (i, i + 1)).toDF("s", "d")
+    val p = Graph.harmonicCentrality(path, "s", "d", k = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(p === Map(
+      0L -> (1000000L + 500000L + 333333L + 250000L),
+      1L -> (2000000L + 500000L + 333333L),
+      2L -> (2000000L + 1000000L),
+      3L -> (2000000L + 500000L + 333333L),
+      4L -> (1000000L + 500000L + 333333L + 250000L)))
+    // star: center sees 4 at d=1; each leaf 1 + 3 at d=2
+    val star = (1L to 4L).map(l => (0L, l)).toDF("s", "d")
+    val st = Graph.harmonicCentrality(star, "s", "d", k = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(st(0L) === 4000000L && (1L to 4L).forall(st(_) === 2500000L))
+    // two disconnected pairs: only the in-component source counts
+    val disc = Seq((0L, 1L), (10L, 11L)).toDF("s", "d")
+    val dc = Graph.harmonicCentrality(disc, "s", "d", k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(dc === Map(0L -> 1000000L, 1L -> 1000000L,
+      10L -> 1000000L, 11L -> 1000000L))
+    // k = 2 on the 0-1-2 path: sources {0, 1} only
+    val p3 = Seq((0L, 1L), (1L, 2L)).toDF("s", "d")
+    val sub = Graph.harmonicCentrality(p3, "s", "d", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(sub === Map(0L -> 1000000L, 1L -> 1000000L,
+      2L -> 1500000L))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("louvainMove: hand sweep values with the smallest-label tie " +
       "rule, strict Q improvement, stay-put on an optimal partition") {
     import spark.implicits._

@@ -782,6 +782,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(audit(3L) === ((0L, 0L)))
   }
 
+  test("ibanAudit: known vector valid, check-digit off-by-one invalid, " +
+      "letters-BBAN fold, shape and case gates") {
+    import spark.implicits._
+    // direct fold vectors
+    val v = Seq((1L, "DE68210501700012345678"),   // valid (mod-97 = 1)
+      (2L, "DE69210501700012345678"),             // off-by-one check
+      (3L, "GB82WEST12345678901234"))             // letters fold, mod 25
+      .toDF("id", "s")
+      .select(col("id"), graft.functions.TextOps.ibanValid(col("s")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v(1L) && !v(2L) && !v(3L))
+    val audit = graft.functions.TextOps.ibanAudit(Seq(
+      (1L, "pay DE68210501700012345678 now"),
+      (2L, "pay DE69210501700012345678 now"),
+      // letters in the BBAN still a CANDIDATE (shape allows), invalid
+      (3L, "ref GB82WEST12345678901234 thanks"),
+      // too short for the shape gate; lowercase never extracted
+      (4L, "short DE12ABC and de68210501700012345678"),
+      (5L, "plain words only")).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit(1L) === ((1L, 1L)))
+    assert(audit(2L) === ((1L, 0L)))
+    assert(audit(3L) === ((1L, 0L)))
+    assert(audit(4L) === ((0L, 0L)))
+    assert(audit(5L) === ((0L, 0L)))
+  }
+
   test("fimTransform: PSM assembly, reassembly identity, clamping, " +
       "swapped bounds, empty spans") {
     import spark.implicits._

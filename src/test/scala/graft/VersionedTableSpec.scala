@@ -1870,6 +1870,50 @@ class VersionedTableSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("generated columns: computed on append, validated when supplied, " +
+      "strict omission allowed, existing-column declaration, drop " +
+      "interplay") {
+    import spark.implicits._
+    val root = freshRoot("gen")
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "amount"))
+    VersionedTable.addGeneratedColumn(spark, root, "dbl", "amount * 2")
+    // append WITHOUT the column: computed
+    VersionedTable.append(spark, root, Seq((3L, 30L)).toDF("k", "amount"))
+    val got = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq === Seq((1L, -1L), (2L, -1L), (3L, 60L)))
+    // appendStrict may omit the generated column
+    VersionedTable.appendStrict(spark, root, Seq((4L, 40L)).toDF("k", "amount"))
+    // correct manual values pass; wrong ones are rejected untouched
+    VersionedTable.append(spark, root,
+      Seq((5L, 50L, 100L)).toDF("k", "amount", "dbl"))
+    val v = VersionedTable.latestVersion(spark, root)
+    intercept[VersionedTable.ConstraintViolationException](
+      VersionedTable.append(spark, root,
+        Seq((6L, 60L, 999L)).toDF("k", "amount", "dbl")))
+    assert(VersionedTable.latestVersion(spark, root) === v)
+    // NULL-supplied rows pass (the CHECK null convention)
+    VersionedTable.append(spark, root,
+      Seq((7L, 70L, Option.empty[Long])).toDF("k", "amount", "dbl"))
+    // declaring generation for an EXISTING column validates the rows
+    intercept[VersionedTable.ConstraintViolationException](
+      VersionedTable.addGeneratedColumn(spark, root, "amount", "k * 1000"))
+    // dropping an INPUT is rejected; dropping the generated column
+    // retires its declaration (a re-add is plain data again)
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root, "amount"))
+    VersionedTable.dropColumn(spark, root, "dbl")
+    assert(VersionedTable.tableGeneratedColumns(spark, root).count() === 0)
+    VersionedTable.append(spark, root,
+      Seq((8L, 80L, 5L)).toDF("k", "amount", "dbl")) // no longer gated
+    val re = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .filter(col("k") === 8L).collect().head
+    assert(re.getLong(re.fieldIndex("dbl")) === 5L)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("dropColumn on a partitioned multi-directory table masks per era") {
     import spark.implicits._
     val root = freshRoot("drop_part")
