@@ -3403,6 +3403,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility report over the byte-BPE-encoded ladder:
+    // tokens-per-word and chars-per-token as exact milli integers —
+    // the tokenizer-eval summary; every count closed-form (1 word per
+    // doc, chars = L, tokens = binary decomposition). Fully oracled.
+    "q_fertility" -> ((s, dir) => {
+      val f = bpeFixture(s, dir)
+      val m = graft.functions.TextOps.learnBpeMergesBytes(f, "text", 4)
+      val enc = graft.functions.TextOps
+        .bpeEncodeBytes(f, "doc_id", "text", m)
+      graft.functions.TextOps.fertilityReport(
+        f.join(enc, "doc_id"), "text", "tokens")
+    }),
+
     // Unigram-LM (SentencePiece) trainer on the capped syllable
     // corpus: 2 hard-EM rounds at vocabSize 6 keep {abab, ab, abq} +
     // the alphabet {a, b, q} — 'qq' ties 'abq' at usage 10 and loses
@@ -3592,6 +3605,23 @@ object SparkEntry {
         .bruteForceTopK(e, "vec_id", "v", q, "qid", "qv", 5)
         .select(col("qid"), col("neighbor"), col("sim"), col("rank"))
         .orderBy("qid", "rank")
+    }),
+
+    // Cross-modal retrieval eval (CLIP recall@k protocol): even vec_ids
+    // query the odd-id "image" side with qid+1 planted partners; every
+    // judged number is exact-integer counting over the shared brute
+    // force (near-zero recall on random embeddings is the honest value
+    // — the planted-partner contract is pinned in VectorSpec on the
+    // clustered fixture). Fully oracled.
+    "q_mm_retrieval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val txt = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val img = e.filter(col("vec_id") % 2 === 1)
+      val truth = txt.select(col("qid"), (col("qid") + 1).as("tid"))
+      graft.operators.Vectors.retrievalRecall(
+        img, "vec_id", "v", txt, "qid", "qv", truth, "qid", "tid", k = 10)
     }),
 
     // k-NN label prediction: majority label of the 5 nearest corpus
@@ -5612,6 +5642,23 @@ object SparkEntry {
         .select(col("conv"), col("text"), col("sp.start").as("span_start"),
           col("sp.end").as("span_end"))
         .orderBy("conv", "span_start")
+    }),
+
+    // Per-assistant-turn SFT example extraction over the q_sft fixture:
+    // (context, target) pairs by exact substring arithmetic on the
+    // assembled rendering — context ends at the assistant header,
+    // target is the span. Fully oracled via the shared assembly CTE.
+    "q_sft_examples" -> ((s, dir) => {
+      val turns = t(s, dir, "events").select(
+        col("user_id").as("conv"), col("event_id").as("seq"),
+        when(col("event_type") === "purchase", "assistant")
+          .when(col("event_type") === "error", "system")
+          .otherwise("user").as("role"),
+        concat(col("event_type"), lit("#"),
+          col("event_id").cast("string")).as("txt"))
+      graft.functions.TextOps
+        .sftExamples(turns, "conv", "seq", "role", "txt")
+        .orderBy("conv", "example_idx")
     }),
 
     // DPO preference-pair assembly: per prompt the highest/lowest-rated
@@ -10341,6 +10388,40 @@ object SparkEntry {
         |WHERE role = 'assistant'
         |ORDER BY conv, span_start""".stripMargin,
 
+    // the q_sft assembly CTE + substrings: context = prefix through the
+    // assistant header (span_start chars), target = the span itself;
+    // example_idx ranks spans within the conversation
+    "q_sft_examples" ->
+      """WITH t AS (SELECT user_id AS conv, event_id AS seq,
+        |             CASE WHEN event_type = 'purchase' THEN 'assistant'
+        |                  WHEN event_type = 'error' THEN 'system'
+        |                  ELSE 'user' END AS role,
+        |             event_type || '#' || CAST(event_id AS VARCHAR)
+        |               AS txt
+        |           FROM events),
+        |r AS (SELECT conv, seq, role, txt,
+        |             '<|' || role || '|>' || txt || '<|end|>' AS rend
+        |      FROM t),
+        |o AS (SELECT conv, seq, role, txt, rend,
+        |        CAST(sum(length(rend)) OVER (PARTITION BY conv
+        |             ORDER BY seq ROWS UNBOUNDED PRECEDING)
+        |           - length(rend) AS BIGINT) AS off
+        |      FROM r),
+        |c AS (SELECT conv, string_agg(rend, '' ORDER BY seq) AS text
+        |      FROM o GROUP BY 1),
+        |sp AS (SELECT o.conv, c.text,
+        |         off + length(role) + 4 AS s,
+        |         off + length(role) + 4 + length(txt) AS e
+        |       FROM o JOIN c ON o.conv = c.conv
+        |       WHERE role = 'assistant')
+        |SELECT conv,
+        |       CAST(row_number() OVER (PARTITION BY conv ORDER BY s)
+        |         - 1 AS BIGINT) AS example_idx,
+        |       substring(text, 1, CAST(s AS INT)) AS context,
+        |       substring(text, CAST(s + 1 AS INT), CAST(e - s AS INT))
+        |         AS target
+        |FROM sp ORDER BY conv, example_idx""".stripMargin,
+
     // argmax/argmin replayed as window ranks; the split replays the
     // q_split fibHash arithmetic; all-tied prompts fall to the strict
     // rating filter
@@ -13519,6 +13600,36 @@ object SparkEntry {
         |SELECT qid, neighbor, sim, rank FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // the q_vec_topk pair/rank machinery WITHOUT the self-id exclusion
+    // (cross-modal sides share id space by design), then pure integer
+    // counting over the truth join
+    "q_mm_retrieval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e
+        |      WHERE vec_id % 2 = 0 AND vec_id < 40),
+        |img AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        |pairs AS (SELECT qid, vec_id AS neighbor,
+        |            list_cosine_similarity(qv, v) AS sim
+        |          FROM q, img),
+        |top AS (SELECT qid, neighbor, rank FROM (
+        |    SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, neighbor) AS rank FROM pairs)
+        |  WHERE rank <= 10),
+        |tr AS (SELECT qid, qid + 1 AS neighbor FROM q),
+        |j AS (SELECT tr.qid, top.rank
+        |      FROM tr LEFT JOIN top
+        |        ON top.qid = tr.qid AND top.neighbor = tr.neighbor)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(CASE WHEN rank = 1 THEN 1 END) AS BIGINT)
+        |         AS hits_at_1,
+        |       CAST(count(rank) AS BIGINT) AS hits_at_k,
+        |       CAST(count(rank) * 1000 // count(*) AS BIGINT)
+        |         AS recall_milli,
+        |       CAST(coalesce(CAST(sum(1000000 // rank) AS BIGINT), 0)
+        |         // count(*) AS BIGINT) AS mrr_micro
+        |FROM j""".stripMargin,
+
     // same pair/rank machinery as q_vec_topk, then the majority vote
     // with the (votes DESC, label ASC) argmax spelled out
     "q_knn" ->
@@ -13862,6 +13973,27 @@ object SparkEntry {
         |                 ELSE bit_count(CAST(L AS BIGINT)) END AS INT)
         |         AS n_tokens
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // every count closed-form on the ladder: 1 word per doc, chars = L,
+    // tokens = the binary decomposition (1 for the merged a^16)
+    "q_fertility" ->
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 > 0 THEN 16
+        |         ELSE 3 + (doc_id // 4) % 13 END AS L
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(*) AS BIGINT) AS n_words,
+        |        CAST(sum(CASE WHEN L = 16 THEN 1
+        |          ELSE bit_count(CAST(L AS BIGINT)) END) AS BIGINT)
+        |          AS n_tokens,
+        |        CAST(sum(L) AS BIGINT) AS n_chars
+        |      FROM f)
+        |SELECT n_docs, n_words, n_tokens, n_chars,
+        |       CAST(n_tokens * 1000 // n_words AS BIGINT)
+        |         AS fertility_milli,
+        |       CAST(n_chars * 1000 // n_tokens AS BIGINT)
+        |         AS chars_per_token_milli
+        |FROM a""".stripMargin,
 
     // the byte ladder equals the char ladder on ASCII; the appended
     // 2-byte char contributes exactly 2 unmerged byte tokens

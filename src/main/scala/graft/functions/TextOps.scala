@@ -931,6 +931,35 @@ object TextOps {
       .toDF(idCol, "tokens")
   }
 
+  /** Tokenizer fertility report (the standard tokenizer-eval summary —
+    * Rust et al. 2021 "How Good is Your Tokenizer?" — public): over an
+    * ENCODED corpus (any encoder's (text, tokens) output —
+    * [[bpeEncode]], [[bpeEncodeBytes]], [[unigramEncode]]), ONE row of
+    * exact integers: `n_docs`, `n_words` (whitespace tokens),
+    * `n_tokens`, `n_chars`, `fertility_milli = tokens·1000 div words`
+    * (tokens per word — the headline number; ~1.1-1.3 is healthy for
+    * English, high values flag a vocabulary mismatched to the corpus)
+    * and `chars_per_token_milli = chars·1000 div tokens` (compression —
+    * the context-budget number). Encoder-agnostic on purpose: compare
+    * two candidate vocabularies by running it twice. One partial
+    * aggregate over native size/length columns — zero HOFs, zero
+    * shuffle beyond the 1-row agg. Judged `q_fertility` (the BPE byte
+    * ladder — words/chars/tokens all closed-form), fully ORACLED;
+    * div-by-zero fences pinned in TextOpsSpec. */
+  def fertilityReport(encoded: DataFrame, textCol: String,
+      tokensCol: String): DataFrame =
+    encoded.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(split(col(textCol), " "))), lit(0L)).as("n_words"),
+      coalesce(sum(size(col(tokensCol))), lit(0L)).as("n_tokens"),
+      coalesce(sum(length(col(textCol))), lit(0L)).as("n_chars"))
+      .select(col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        when(col("n_words") > 0,
+          expr("n_tokens * 1000 div n_words")).as("fertility_milli"),
+        when(col("n_tokens") > 0,
+          expr("n_chars * 1000 div n_tokens")).as("chars_per_token_milli"))
+
   /** Unigram-LM piece costs from counts — the shared quantization both
     * the trainer's E-step and [[unigramEncode]] use:
     * `cost_micro(p) = ⌊(ln T − ln c_p)·10⁶ + 0.5⌋`, i.e. −ln p(piece)
@@ -1228,6 +1257,36 @@ object TextOps {
           struct(col("__s").as("start"), col("__e").as("end")))))
           .as("assistant_spans"))
   }
+
+  /** Per-assistant-turn SFT EXAMPLE extraction — the other consumer
+    * view of [[sftAssemble]]'s rendering (assemble emits one sequence
+    * + loss-mask spans for packed training; this emits one
+    * (context, target) PAIR per assistant turn — the view preference
+    * scorers, rejection samplers and eval harnesses consume): for each
+    * assistant turn, `context` = the rendered conversation UP TO AND
+    * INCLUDING its `<|assistant|>` header, `target` = the turn's text,
+    * `example_idx` = its 0-based position among the conversation's
+    * assistant turns. Pure substring arithmetic over the assembled
+    * text and its exact spans — `context || target` is a prefix of the
+    * full rendering by construction (pinned), so nothing is ever
+    * re-tokenized inconsistently between the two views.
+    *
+    * Scale: [[sftAssemble]]'s economics plus one posexplode —
+    * conversations are KB-scale by the same contract. Judged
+    * `q_sft_examples` (the q_sft fixture; oracle = the shared
+    * assembly CTE + substrings), fully ORACLED; multi-turn contexts,
+    * the prefix identity and no-assistant conversations pinned in
+    * TextOpsSpec. */
+  def sftExamples(turns: DataFrame, convCol: String, seqCol: String,
+      roleCol: String, textCol: String,
+      assistantRole: String = "assistant"): DataFrame =
+    sftAssemble(turns, convCol, seqCol, roleCol, textCol, assistantRole)
+      .select(col(convCol), col("text"),
+        posexplode(col("assistant_spans")).as(Seq("__i", "__sp")))
+      .select(col(convCol), col("__i").cast("long").as("example_idx"),
+        expr("substring(text, 1, cast(__sp.start as int))").as("context"),
+        expr("""substring(text, cast(__sp.start + 1 as int),
+          cast(__sp.end - __sp.start as int))""").as("target"))
 
   /** SFT chat-template lint — the validation gate in front of
     * [[sftAssemble]] (assemble renders whatever it gets; lint says

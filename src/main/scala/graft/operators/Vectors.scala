@@ -92,6 +92,54 @@ object Vectors {
         (-col("best.neg")).as("label_pred"))
   }
 
+  /** Cross-modal / ground-truth retrieval evaluation (the CLIP-style
+    * text↔image recall@k protocol, Radford et al. 2021 — public): given
+    * a query relation, a corpus relation (typically ANOTHER modality's
+    * embeddings) and a `truth` alignment (qid, id) of planted partners,
+    * ONE summary row: `n_pairs`, `hits_at_1`, `hits_at_k`,
+    * `recall_milli = hits·1000 div n` and
+    * `mrr_micro = Σ(10⁶ div rank) div n` — every number an exact
+    * integer over the brute-force top-k ranking (sim desc, id asc
+    * ties). Unlike [[bruteForceTopK]] there is NO self-id exclusion:
+    * cross-modal sides legitimately share ids (image_id == caption_id
+    * is the usual alignment), and excluding them would erase every
+    * partner.
+    *
+    * Scale: queries broadcast × corpus streamed on the `graft_dot`
+    * kernel (the bruteForceTopK economics — swap an ANN shortlist in
+    * for the 100 TB corpus; the counting is search-agnostic); the
+    * top-k window shuffles (qid, id, sim) triples only; the truth join
+    * is qid-keyed. Judged `q_mm_retrieval` (even→odd vec_id split with
+    * qid+1 partners — the numbers are near-zero on random embeddings
+    * and that is fine: both engines replay the identical brute force;
+    * the VALUE contract — planted partners recovered — is pinned on
+    * the separated clustered fixture in VectorSpec, the q_knn_acc
+    * convention), fully ORACLED. */
+  def retrievalRecall(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      truth: DataFrame, truthQidCol: String, truthIdCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in 1..1000: $k")
+    val pairs = corpus
+      .crossJoin(broadcast(queries))
+      .select(col(qidCol).as("qid"), col(idCol).as("neighbor"),
+        cosine(col(qvecCol), col(vecCol)).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    val top = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    truth.select(col(truthQidCol).as("qid"), col(truthIdCol).as("neighbor"))
+      .join(top.select(col("qid"), col("neighbor"), col("rank")),
+        Seq("qid", "neighbor"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("rank") === 1, 1)).as("hits_at_1"),
+        count(col("rank")).as("hits_at_k"),
+        coalesce(sum(expr("1000000 div rank")), lit(0L)).as("__rr"))
+      .select(col("n_pairs"), col("hits_at_1"), col("hits_at_k"),
+        expr("hits_at_k * 1000 div n_pairs").as("recall_milli"),
+        expr("__rr div n_pairs").as("mrr_micro"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes for SimHash
     * bucketing: `numPlanes` x `dim` doubles from a fixed seed. Driver-side
     * constants folded into the plan as literals. */

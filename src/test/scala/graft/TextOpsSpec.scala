@@ -486,6 +486,24 @@ class TextOpsSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("fertilityReport: hand counts, encoder-agnostic, zero fences") {
+    import spark.implicits._
+    // 2 docs: "ab cd" -> 3 tokens, "xyz" -> 2 tokens
+    val enc = Seq(
+      (1L, "ab cd", Seq("a", "b", "cd")),
+      (2L, "xyz", Seq("xy", "z"))).toDF("id", "text", "tokens")
+    val r = TextOps.fertilityReport(enc, "text", "tokens").collect().head
+    // docs 2, words 3, tokens 5, chars 8 -> fert 1666, cpt 1600
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((2L, 3L, 5L, 8L, 1666L, 1600L)))
+    // empty corpus: zero counts, milli ratios null (not a crash)
+    val e = TextOps.fertilityReport(
+      Seq.empty[(Long, String, Seq[String])].toDF("id", "text", "tokens"),
+      "text", "tokens").collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) === ((0L, 0L, 0L)))
+    assert(e.isNullAt(4) && e.isNullAt(5))
+  }
+
   test("keywords: global df scores a slice; rare terms outrank common; k cuts; ties on token") {
     import spark.implicits._
     val docs = Seq(
@@ -671,6 +689,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(3L) === ((3L, 0L, 1L, false)))
     assert(got(4L) === ((1L, 0L, 0L, false)))
     assert(got(5L) === ((2L, 1L, 0L, false)))
+  }
+
+  test("sftExamples: per-assistant-turn pairs, prefix identity, " +
+      "no-assistant conversations emit nothing") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 1L, "system", "be brief"), (1L, 2L, "user", "hi"),
+      (1L, 3L, "assistant", "hello"), (1L, 4L, "user", "why"),
+      (1L, 5L, "assistant", "because"),
+      (2L, 1L, "user", "alone")).toDF("conv", "seq", "role", "txt")
+    val got = TextOps.sftExamples(turns, "conv", "seq", "role", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    val p = "<|system|>be brief<|end|><|user|>hi<|end|><|assistant|>"
+    assert(got((1L, 0L)) === ((p, "hello")))
+    assert(got((1L, 1L)) === ((
+      p + "hello<|end|><|user|>why<|end|><|assistant|>", "because")))
+    assert(!got.keySet.exists(_._1 == 2L))
+    // prefix identity: context || target is a prefix of the assembly
+    val full = TextOps.sftAssemble(turns, "conv", "seq", "role", "txt")
+      .filter(col("conv") === 1L).collect().head.getString(1)
+    got.foreach { case ((c, _), (ctx, tgt)) =>
+      if (c == 1L) assert(full.startsWith(ctx + tgt)) }
   }
 
   test("prefPairs: extremes with deterministic tie-breaks, all-tied and " +

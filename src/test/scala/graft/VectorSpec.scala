@@ -36,6 +36,39 @@ class VectorSpec extends SparkTestBase {
     assert(out === Seq(1L, 2L, 3L)) // by descending cosine to (1,0,0)
   }
 
+  test("retrievalRecall: planted cross-modal partners recovered on the " +
+      "clustered fixture; hand ranks; shared-id alignment counts") {
+    import spark.implicits._
+    // text ids 0..39, image ids 1000..1039: +1000 preserves id % 20
+    // (the cluster), so text i's partner 1000+i sits in ITS cluster;
+    // 2 texts / 2 images per separated cluster → partner always top-2
+    val ids = (0L until 40L).toDF("id")
+    val txt = Vectors.syntheticClustered(ids, "id", 20, 16, 0.01)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val img = Vectors.syntheticClustered(
+      ids.select((col("id") + 1000L).as("id")), "id", 20, 16, 0.01)
+    val truth = txt.select(col("qid"), (col("qid") + 1000L).as("tid"))
+    val r = Vectors.retrievalRecall(img, "id", "vec", txt, "qid", "qv",
+      truth, "qid", "tid", 2).collect().head
+    assert(r.getLong(0) === 40L && r.getLong(2) === 40L &&
+      r.getLong(3) === 1000L)
+    // hand ranks, SAME-id alignment (no self exclusion): the corpus
+    // carries the exact query vector under the query's own id
+    val q2 = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val c2 = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val hit = Vectors.retrievalRecall(c2, "id", "vec", q2, "qid", "qv",
+      Seq((1L, 1L)).toDF("qid", "tid"), "qid", "tid", 2).collect().head
+    assert((hit.getLong(0), hit.getLong(1), hit.getLong(2),
+      hit.getLong(3), hit.getLong(4)) === ((1L, 1L, 1L, 1000L, 1000000L)))
+    // a partner outside the top-k is a miss, not an error
+    val miss = Vectors.retrievalRecall(c2, "id", "vec", q2, "qid", "qv",
+      Seq((1L, 3L)).toDF("qid", "tid"), "qid", "tid", 2).collect().head
+    assert((miss.getLong(2), miss.getLong(3), miss.getLong(4))
+      === ((0L, 0L, 0L)))
+    graft.engine.Caches.releaseAll()
+  }
+
   /** 10 tight clusters (noise 0.1) of 50 points on the 32-sphere, seed 7 —
     * the deterministic corpus whose hamming=2 multi-probe recall was
     * measured at 0.92. */
