@@ -2921,8 +2921,12 @@ object SparkEntry {
         .select(col("x.mk").as("src"), col("y.mk").as("dst"))
       val edges = graft.engine.Caches.persisted(clique.union(bridges))
       val init = n.select(col("k").as("id"), col("k").as("lbl"))
-      val moved = graft.operators.Graph.louvainMove(
-        edges, "src", "dst", init, "id", "lbl")
+      // persisted: the move plan feeds the output AND the q_new
+      // modularity (which joins it twice) — unpersisted it re-executes
+      // 3+ times (16.4s -> ~5s in the r17 anchor probe)
+      val moved = graft.engine.Caches.persisted(
+        graft.operators.Graph.louvainMove(
+          edges, "src", "dst", init, "id", "lbl"))
       val qOld = graft.operators.Graph.modularity(
         edges, "src", "dst", init, "id", "lbl")
         .agg(max(col("q_micro")).as("q_old_micro"))
@@ -3020,6 +3024,22 @@ object SparkEntry {
       val star = (21L to 30L).map(l => (20L, l))
       val edges = (clique ++ cycle ++ star).toDF("src", "dst")
       graft.operators.Graph.coreness(edges, "src", "dst").orderBy("id")
+    }),
+
+    // 4-truss of the q_kcore fixture + a pendant triangle (0, 1, 40):
+    // cycle/star edges have zero support, the pendant's edges support 1
+    // — removal CASCADES, leaving exactly the K6 pairs (closed form,
+    // the FIXTURES.md convention; support peeling is not a monotone
+    // recursive CTE).
+    "q_ktruss" -> ((s, dir) => {
+      import s.implicits._
+      val clique = for (i <- 0L to 5L; j <- (i + 1) to 5L) yield (i, j)
+      val cycle = (0L to 9L).map(i => (10L + i, 10L + (i + 1) % 10))
+      val star = (21L to 30L).map(l => (20L, l))
+      val pendant = Seq((0L, 40L), (1L, 40L))
+      val edges = (clique ++ cycle ++ star ++ pendant).toDF("src", "dst")
+      graft.operators.Graph.kTruss(edges, "src", "dst", k = 4)
+        .orderBy("a", "b")
     }),
 
     // Weighted shortest paths (hop-bounded Bellman-Ford) over the same
@@ -12750,6 +12770,12 @@ object SparkEntry {
         |UNION ALL SELECT CAST(i AS BIGINT), 2 FROM range(10, 20) t(i)
         |UNION ALL SELECT CAST(i AS BIGINT), 1 FROM range(20, 31) t(i)
         |ORDER BY id""".stripMargin,
+
+    // closed form: the 4-truss is exactly the K6 pair lattice
+    "q_ktruss" ->
+      """SELECT CAST(i AS BIGINT) AS a, CAST(j AS BIGINT) AS b
+        |FROM range(0, 6) t(i), range(0, 6) u(j)
+        |WHERE i < j ORDER BY a, b""".stripMargin,
 
     // same graph as q_bfs with weights; the CTE walks (id, hops, cost)
     // triples so the hop bound and the weight minimum stay separate —

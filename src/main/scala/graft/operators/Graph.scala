@@ -1391,6 +1391,72 @@ object Graph {
     coreness(edges, srcCol, dstCol).filter(col("core") >= k).select("id")
   }
 
+  /** k-TRUSS subgraph (Cohen 2008 — public): the maximal subgraph in
+    * which every EDGE sits in at least k−2 triangles — [[coreness]]'s
+    * triangle-based sibling one rung up the density ladder (a k-truss
+    * is always inside the (k−1)-core, but demands cohesion k-core
+    * can't: a star has core 1 everywhere yet contains no triangle at
+    * all). The community-mining nucleus for curation: link farms that
+    * survive degree-based peeling still die here unless their links
+    * actually close triangles.
+    *
+    * Algorithm: iterative support peeling to the FIXPOINT — per round,
+    * each surviving edge's support = its common-neighbor count (two
+    * hash joins on bare longs: (a,x) ∧ (b,x) → count per (a,b); never
+    * a neighbor-list explode), edges below k−2 drop, and removals
+    * cascade until no edge moves (round cap with the loud [[coreness]]
+    * estimate warning — a capped result is a SUPERSET of the truss).
+    * Graph canonicalizes to undirected distinct edges, self-loops
+    * dropped; returns the surviving canonical `(a, b)` pairs.
+    *
+    * Scale: each round is two joins + one partial-agg count over edge
+    * rows, `barrierCut` per round at few shuffle partitions (the
+    * hop-loop rule); cascade depth bounds rounds. Judged `q_ktruss`
+    * (the q_kcore clique/cycle/star fixture plus a pendant triangle
+    * whose removal CASCADES — 4-truss = exactly the K6 pairs, closed
+    * form, the FIXTURES.md convention); lone-triangle 3-truss,
+    * cascade, direction/self-loop invariance pinned in GraphSpec. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in 2..1000: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val session = edges.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val minSup = k - 2L
+      var e = edges.select(
+          least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+          greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+            .as("b"))
+        .filter(col("a") =!= col("b")).distinct().barrierCut
+      var n = e.count()
+      var changed = n > 0 && minSup > 0
+      var round = 0
+      while (changed && round < maxRounds) {
+        round += 1
+        val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        val sup = e
+          .join(und.select(col("a"), col("b").as("x")), "a")
+          .join(und.select(col("a").as("b"), col("b").as("x")),
+            Seq("b", "x"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__sup"))
+        val next = e.join(sup, Seq("a", "b"), "left")
+          .filter(coalesce(col("__sup"), lit(0L)) >= minSup)
+          .select(col("a"), col("b")).barrierCut
+        val n2 = next.count()
+        changed = n2 != n
+        n = n2
+        e = next
+      }
+      if (changed)
+        System.err.println(s"[graft] kTruss: round cap $maxRounds " +
+          "exhausted with edges still dropping — result is a SUPERSET " +
+          "of the k-truss; raise maxRounds for exact")
+      e
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** One synchronous LPA round — exposed package-private so PlanSpec can
     * pin its shape pre-barrier (the barrier executes rounds eagerly, so
     * the returned frame's plan no longer contains them): join + two

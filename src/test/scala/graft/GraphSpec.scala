@@ -716,6 +716,32 @@ class GraphSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("kTruss: clique survives, pendant triangle cascades out at k=4, " +
+      "lone triangle is a 3-truss, direction/self-loop invariance") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val clique = for (i <- 0L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val cycle = (0L to 9L).map(i => (10L + i, 10L + (i + 1) % 10))
+    val pendant = Seq((0L, 40L), (1L, 40L))
+    val edges = (clique ++ cycle ++ pendant).toDF("s", "d")
+    // k=4: cycle support 0 (no triangles), pendant edges support 1 —
+    // removed; the shared clique edge (0,1) drops 5 -> 4, still >= 2
+    assert(pairs(Graph.kTruss(edges, "s", "d", 4)) === clique.toSet)
+    // the pendant triangle IS a 3-truss member (support 1 >= 1)
+    assert(pairs(Graph.kTruss(edges, "s", "d", 3))
+      === clique.toSet ++ pendant ++ Seq((0L, 1L)))
+    // k=2: every distinct edge survives (support floor 0; canonical a<b)
+    assert(pairs(Graph.kTruss(edges, "s", "d", 2))
+      === (clique ++ cycle ++ pendant)
+        .map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet)
+    // direction/duplicate/self-loop invariance
+    val messy = edges.select($"d".as("s"), $"s".as("d"))
+      .union(edges).union(Seq((3L, 3L)).toDF("s", "d"))
+    assert(pairs(Graph.kTruss(messy, "s", "d", 4)) === clique.toSet)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("harmonicCentrality: path harmonic numbers, star closed form, " +
       "disconnected zeros, k-subset sources") {
     import spark.implicits._
