@@ -451,6 +451,39 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("prefPairs plans the window-free partial-agg argmax") {
+    import spark.implicits._
+    val plan = executedPlan(graft.functions.TextOps.prefPairs(
+      Seq((1L, "a", 5L, 1L), (1L, "b", 1L, 2L))
+        .toDF("p", "resp", "rating", "tie"),
+      "p", "resp", "rating", "tie"))
+    assert(plan.contains("partial"), s"expected partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into the plan:\n$plan")
+  }
+
+  test("louvainMove plans joins + partial-agg argmax, never a window " +
+      "or pair enumeration") {
+    import spark.implicits._
+    val plan = executedPlan(graft.operators.Graph.louvainMove(
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d"),
+      "s", "d", Seq((1L, 1L)).toDF("id", "lbl"), "id", "lbl"))
+    assert(!plan.contains("Window"), s"window leaked into the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian leaked into the plan:\n$plan")
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("blocklistGateStream verdicts are scan-stage: no join, no " +
+      "aggregate, no shuffle (pure map at any volume)") {
+    import spark.implicits._
+    val plan = executedPlan(graft.streaming.Streams.blocklistGateStream(
+      Seq((1L, "t", "u")).toDF("doc_id", "text", "url"),
+      "doc_id", "text", "url",
+      Seq("bad").toDF("w"), Seq("d.com").toDF("d")))
+    assert(!plan.contains("Exchange"), s"shuffle leaked into the plan:\n$plan")
+    assert(!plan.contains("Join"), s"join leaked into the plan:\n$plan")
+  }
+
   test("no judged query plans a cartesian product") {
     // The ANN/brute-force vector joins are inequality-join by design but
     // keep an equi component (bucket) or broadcast; nothing should fall
