@@ -1914,6 +1914,50 @@ class VersionedTableSpec extends SparkTestBase {
     graft.engine.Caches.releaseAll()
   }
 
+  test("dropColumn: upsert, merge and clustered/bucketed OPTIMIZE " +
+      "rewrites never resurrect dead values") {
+    import spark.implicits._
+    def fresh(name: String): String = {
+      val root = freshRoot(name)
+      VersionedTable.create(spark, root,
+        Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "amount", "note"))
+      VersionedTable.dropColumn(spark, root, "note")
+      root
+    }
+    def noNote(root: String): Unit = {
+      assert(!VersionedTable.readLatest(spark, root, mergeSchema = true)
+        .columns.contains("note"))
+      VersionedTable.dataDirsOf(spark, root,
+          VersionedTable.latestVersion(spark, root)).foreach { d =>
+        assert(!spark.read.parquet(s"$root/$d").columns.contains("note"))
+      }
+    }
+    // upsert rewrites the dirty dir under a fresh name
+    val up = fresh("drop_upsert")
+    VersionedTable.upsert(spark, up,
+      Seq((1L, 11L)).toDF("k", "amount"), Seq("k"))
+    noNote(up)
+    assert(VersionedTable.readLatest(spark, up, mergeSchema = true)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq === Seq((1L, 11L), (2L, 20L)))
+    // merge (update + insert clauses) through the same rewrite path
+    val mg = fresh("drop_merge")
+    VersionedTable.merge(spark, mg,
+      Seq((2L, 22L), (3L, 30L)).toDF("k", "amount"), Seq("k"),
+      updateWhen = Some(org.apache.spark.sql.functions.lit(true)))
+    noNote(mg)
+    // clustered + bucketed OPTIMIZE rewrite the WHOLE snapshot
+    val oc = fresh("drop_optc")
+    VersionedTable.optimizeClustered(spark, oc, "amount", k = 2,
+      tieCol = "k")
+    noNote(oc)
+    val ob = fresh("drop_optb")
+    VersionedTable.optimizeBucketed(spark, ob, "k", nBuckets = 2)
+    assert(!VersionedTable.readLatest(spark, ob, mergeSchema = true)
+      .columns.contains("note"))
+    graft.engine.Caches.releaseAll()
+  }
+
   test("dropColumn on a partitioned multi-directory table masks per era") {
     import spark.implicits._
     val root = freshRoot("drop_part")
