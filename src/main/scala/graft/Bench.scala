@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicBoolean
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
@@ -24,12 +25,93 @@ import java.nio.file.{Files, Paths}
   * arguable — min-of-3 estimates the noise floor, and the spread makes the
   * residual uncertainty visible to the judge).
   *
+  * DEADLINE POLICY (r18 — BENCH_r17 was rc 124/parsed null: the full
+  * best-of-3 × 469-query sweep outgrew the driver's wall-clock window and
+  * the perf gate went blind). The run budget is SPARK_GRAFT_BENCH_DEADLINE_S
+  * seconds (default 2700) measured from THIS JVM's start (sbt launch/compile
+  * happen before the fork; the default leaves that margin inside an ~3600 s
+  * driver cap). Degradation is graceful and visible, never a dead parse:
+  *   - past 55% of deadline, remaining queries get 1 timed run instead of
+  *     best-of-N (those rows carry no `spread` entry — the existing marker
+  *     for fewer runs);
+  *   - past 92%, remaining queries are SKIPPED entirely and listed in the
+  *     summary's `skipped` count (rows absent from `queries` — a partial
+  *     profile the driver can still parse beats a timeout);
+  *   - warm-up stops early past 40% (later queries run cold — noisy but
+  *     timed beats killed).
+  * A JVM shutdown hook emits the partial summary + file if the process is
+  * terminated before the normal emit (driver timeout sends SIGTERM), so
+  * the stdout contract — exactly one compact line — holds on every exit
+  * path.
+  *
   * SPARK_GRAFT_BENCH_QUERIES=q_a,q_b restricts the run (local iteration).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val jvmStart = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    def elapsedS: Double = (System.currentTimeMillis() - jvmStart) / 1e3
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "2700").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+
+    // Shared, hook-visible state: every structure the emitter reads is
+    // filled incrementally so a partial emit is always well-formed.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val skipped = scala.collection.mutable.LinkedHashSet[String]()
+    val emitted = new AtomicBoolean(false)
+    // Guards every read/write of the four state maps: the shutdown hook
+    // snapshots them from its own thread while the bench loop is mutating.
+    val stateLock = new Object
+
+    // Escape ALL control chars too — an error message with a tab (common
+    // in AnalysisException schema fragments) must not break the driver's
+    // parse of this single stdout line (same contract as Verify's q()).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // The driver parses Bench's stdout JSON and choked once the full
+    // per-query payload outgrew ~4KB (r5: BENCH_r05 parsed:null — the perf
+    // gate was blind that round). stdout carries EXACTLY ONE compact
+    // summary line (<200 bytes regardless of query count) so any parse
+    // strategy — first line, last line, whole stream — succeeds; the
+    // per-query/spread/error detail stays in the bench_out.json file
+    // channel (committed per round) and is echoed to stderr for humans.
+    def emit(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
+      val (res, errs0, sprd, skip) = stateLock.synchronized {
+        (results.toSeq, errors.toSeq, spreads.toSeq, skipped.toSeq)
+      }
+      val qs = res.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val errs = errs0.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val spr = sprd.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val skp = skip.map(jstr).mkString("[", ",", "]")
+      val total = res.collect { case (_, v) if v >= 0 => v }.sum
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spr,"skipped":$skp,"partial":$partial,"runs":$nRuns,"sf":"$sfDir"}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+      try Files.writeString(Paths.get(out), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+      System.err.println(line)
+      val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${res.size},"n_errors":${errs0.size},"n_skipped":${skip.size},"partial":$partial,"runs":$nRuns,"sf":"$sfDir"}"""
+      println(summary)
+      System.out.flush(); System.err.flush()
+    }
+    // Registered BEFORE the SparkSession build: a driver timeout can land
+    // during the ~20 s of Spark/table bootstrap, and a hook registered
+    // after it would never run (observed while testing this policy — the
+    // SIGTERM arrived mid-schemaDrift and the round stayed blind).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,6 +126,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
+
     // Warm-up: run EVERY query shape once at the smallest SF. A bare
     // table-count warm-up leaves ~10s of JIT + codegen-compiler + window/
     // json/shuffle-path initialization charged to whichever query happens
@@ -51,79 +134,62 @@ object Bench {
     // q_doc_fingerprint 14.3s vs 3.2s isolated). Caches are dropped after
     // so measured runs keep their own persist() behavior.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    selected.foreach { case (_, fn) =>
-      try fn(spark, warmDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
-    }
-    spark.catalog.clearCache()
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to nRuns).iterator.map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable =>
-          // A failed query must be VISIBLE, not a plausible-looking timing
-          // (r3 VERDICT item 6): record the error and report -1 as its time.
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // queries that persist() internally would otherwise pile cached
-        // relations across the whole run, charging late queries for early
-        // queries' memory pressure
-        spark.catalog.clearCache()
-        // localCheckpoint blocks (the barrier family's per-round state)
-        // are freed by the ContextCleaner only after a GC proves the RDDs
-        // unreachable; on an 8g heap with low allocation pressure that
-        // lag let blocks pile across best-of-3 repeats and showed up as
-        // multi-second spreads (r8: q_split_leakfree 15.5s max−min).
-        // Prompting a GC here — off the measured path — bounds each
-        // repeat to its own blocks while honoring reachability (a block
-        // still referenced by a live frame is never touched).
-        System.gc()
-        dt
-      }.takeWhile(_ => !errors.contains(name)).toSeq // an error ends the query's runs
-      if (errors.contains(name)) name -> -1.0
-      else {
-        spreads(name) = times.max - times.min
-        name -> times.min
+    var warmStopped = false
+    selected.foreach { case (name, fn) =>
+      if (!warmStopped && elapsedS > 0.40 * deadlineS) {
+        warmStopped = true
+        System.err.println(f"[bench] warm-up stopped at $elapsedS%.0f s (40%% of deadline) before $name")
+      }
+      if (!warmStopped) {
+        try fn(spark, warmDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
       }
     }
-    // Escape ALL control chars too — an error message with a tab (common
-    // in AnalysisException schema fragments) must not break the driver's
-    // parse of this single stdout line (same contract as Verify's q()).
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
-    val spr = spreads.map { case (k, v) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spr,"runs":$nRuns,"sf":"$sfDir"}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    // The driver parses Bench's stdout JSON and choked once the full
-    // per-query payload outgrew ~4KB (r5: BENCH_r05 parsed:null — the perf
-    // gate was blind that round). stdout now carries EXACTLY ONE compact
-    // summary line (<200 bytes regardless of query count) so any parse
-    // strategy — first line, last line, whole stream — succeeds; the
-    // per-query/spread/error detail stays in the bench_out.json file
-    // channel (committed per round) and is echoed to stderr for humans.
-    System.err.println(line)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"runs":$nRuns,"sf":"$sfDir"}"""
-    println(summary)
+    spark.catalog.clearCache()
+
+    selected.foreach { case (name, fn) =>
+      if (elapsedS > 0.92 * deadlineS) {
+        if (skipped.isEmpty)
+          System.err.println(f"[bench] deadline: skipping remaining queries from $name at $elapsedS%.0f s")
+        stateLock.synchronized { skipped += name }
+      } else {
+        val runsHere = if (elapsedS > 0.55 * deadlineS) 1 else nRuns
+        val times = (1 to runsHere).iterator.map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case e: Throwable =>
+            // A failed query must be VISIBLE, not a plausible-looking timing
+            // (r3 VERDICT item 6): record the error and report -1 as its time.
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+            stateLock.synchronized { errors(name) = msg }
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // queries that persist() internally would otherwise pile cached
+          // relations across the whole run, charging late queries for early
+          // queries' memory pressure
+          spark.catalog.clearCache()
+          // localCheckpoint blocks (the barrier family's per-round state)
+          // are freed by the ContextCleaner only after a GC proves the RDDs
+          // unreachable; on an 8g heap with low allocation pressure that
+          // lag let blocks pile across best-of-3 repeats and showed up as
+          // multi-second spreads (r8: q_split_leakfree 15.5s max−min).
+          // Prompting a GC here — off the measured path — bounds each
+          // repeat to its own blocks while honoring reachability (a block
+          // still referenced by a live frame is never touched).
+          System.gc()
+          dt
+        }.takeWhile(_ => !errors.contains(name)).toSeq // an error ends the query's runs
+        stateLock.synchronized {
+          if (errors.contains(name)) results(name) = -1.0
+          else {
+            if (times.size > 1) spreads(name) = times.max - times.min
+            results(name) = times.min
+          }
+        }
+      }
+    }
+    emit(partial = false)
     spark.stop()
   }
 }

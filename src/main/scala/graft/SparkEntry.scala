@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Caches, Tables}
+import graft.engine.Barriers.BarrierOps
 import graft.functions.TextOps
 import graft.operators.Dedup
 import graft.operators.Relational._
@@ -2885,20 +2886,31 @@ object SparkEntry {
     // exist and Q < 1): per-community dq_micro = sign-routed
     // (4m·e_c − d_c²)·10⁶ div 4m² over DECIMAL intermediates, global
     // q_micro = truncate-then-sum. Pure arithmetic — fully ORACLED.
+    // Key cap 6000 added in r18: the uncapped fixture BUILD was
+    // data-scale (8.1 s/run at sf0.1 — bench budget, r17 VERDICT item
+    // 1c); identical at every SF whose orders carry keys < 6000, and
+    // the operator's data-scale plan is unchanged.
     "q_modularity" -> ((s, dir) => {
-      val n = t(s, dir, "orders")
-        .select(col("o_orderkey").as("k"), expr("o_orderkey div 5").as("blk"))
-      val clique = n.as("l").join(n.as("r"),
-          col("l.blk") === col("r.blk") && col("l.k") < col("r.k"))
-        .select(col("l.k").as("src"), col("r.k").as("dst"))
-      val mins = n.groupBy("blk").agg(min(col("k")).as("mk"))
-      val bridges = mins.as("x").join(mins.as("y"),
-          col("y.blk") === col("x.blk") + 1 && col("x.blk") % 7 === 0)
-        .select(col("x.mk").as("src"), col("y.mk").as("dst"))
-      graft.operators.Graph.modularity(
-        clique.union(bridges), "src", "dst",
-        n.select(col("k").as("id"), col("blk").as("lbl")), "id", "lbl")
-        .orderBy("label")
+      // capped fixture + many small joins: materialize under few
+      // shuffle partitions (the betweenness/cycleNodes rule — the
+      // per-stage task count IS the cost here, not data volume)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val n = t(s, dir, "orders").filter(col("o_orderkey") < 6000)
+          .select(col("o_orderkey").as("k"), expr("o_orderkey div 5").as("blk"))
+        val clique = n.as("l").join(n.as("r"),
+            col("l.blk") === col("r.blk") && col("l.k") < col("r.k"))
+          .select(col("l.k").as("src"), col("r.k").as("dst"))
+        val mins = n.groupBy("blk").agg(min(col("k")).as("mk"))
+        val bridges = mins.as("x").join(mins.as("y"),
+            col("y.blk") === col("x.blk") + 1 && col("x.blk") % 7 === 0)
+          .select(col("x.mk").as("src"), col("y.mk").as("dst"))
+        graft.operators.Graph.modularity(
+          clique.union(bridges), "src", "dst",
+          n.select(col("k").as("id"), col("blk").as("lbl")), "id", "lbl")
+          .orderBy("label").barrierCut
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // One Louvain local-move sweep from SINGLETON labels over the
@@ -2906,37 +2918,54 @@ object SparkEntry {
     // (2m·k − d·(Σtot − [own]·d), argmax tie to smallest label) is
     // replayed in SQL joins, and BOTH partitions' modularity ride
     // along — q_new > q_old is visible in the judged frame itself.
-    // Key cap 30000 bounds the THREE graph passes (move + 2
-    // modularity) — identical at sf0.01, fixed cost above. Fully
-    // oracled.
+    // Key cap bounds the THREE graph passes (move + 2 modularity) —
+    // identical at every SF carrying keys < cap, fixed cost above.
+    // Cap tightened 30000 → 6000 in r18 (bench budget, r17 VERDICT
+    // item 1c). Fully oracled.
     "q_louvain" -> ((s, dir) => {
-      val n = t(s, dir, "orders").filter(col("o_orderkey") < 30000)
-        .select(col("o_orderkey").as("k"), expr("o_orderkey div 5").as("blk"))
-      val clique = n.as("l").join(n.as("r"),
-          col("l.blk") === col("r.blk") && col("l.k") < col("r.k"))
-        .select(col("l.k").as("src"), col("r.k").as("dst"))
-      val mins = n.groupBy("blk").agg(min(col("k")).as("mk"))
-      val bridges = mins.as("x").join(mins.as("y"),
-          col("y.blk") === col("x.blk") + 1 && col("x.blk") % 7 === 0)
-        .select(col("x.mk").as("src"), col("y.mk").as("dst"))
-      val edges = graft.engine.Caches.persisted(clique.union(bridges))
-      val init = n.select(col("k").as("id"), col("k").as("lbl"))
-      // persisted: the move plan feeds the output AND the q_new
-      // modularity (which joins it twice) — unpersisted it re-executes
-      // 3+ times (16.4s -> ~5s in the r17 anchor probe)
-      val moved = graft.engine.Caches.persisted(
-        graft.operators.Graph.louvainMove(
-          edges, "src", "dst", init, "id", "lbl"))
-      val qOld = graft.operators.Graph.modularity(
-        edges, "src", "dst", init, "id", "lbl")
-        .agg(max(col("q_micro")).as("q_old_micro"))
-      val qNew = graft.operators.Graph.modularity(
-        edges, "src", "dst",
-        moved.select(col("id"), col("label").as("lbl")), "id", "lbl")
-        .agg(max(col("q_micro")).as("q_new_micro"))
-      moved.crossJoin(broadcast(qOld)).crossJoin(broadcast(qNew))
-        .orderBy("id")
+      // the q_modularity low-partition materialization rule: three
+      // graph passes over a capped fixture are stage-count-bound
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val n = t(s, dir, "orders").filter(col("o_orderkey") < 6000)
+          .select(col("o_orderkey").as("k"), expr("o_orderkey div 5").as("blk"))
+        val clique = n.as("l").join(n.as("r"),
+            col("l.blk") === col("r.blk") && col("l.k") < col("r.k"))
+          .select(col("l.k").as("src"), col("r.k").as("dst"))
+        val mins = n.groupBy("blk").agg(min(col("k")).as("mk"))
+        val bridges = mins.as("x").join(mins.as("y"),
+            col("y.blk") === col("x.blk") + 1 && col("x.blk") % 7 === 0)
+          .select(col("x.mk").as("src"), col("y.mk").as("dst"))
+        val edges = graft.engine.Caches.persisted(clique.union(bridges))
+        val init = n.select(col("k").as("id"), col("k").as("lbl"))
+        // persisted: the move plan feeds the output AND the q_new
+        // modularity (which joins it twice) — unpersisted it re-executes
+        // 3+ times (16.4s -> ~5s in the r17 anchor probe)
+        val moved = graft.engine.Caches.persisted(
+          graft.operators.Graph.louvainMove(
+            edges, "src", "dst", init, "id", "lbl"))
+        // singleton-label modularity has a degree-only closed form
+        // (e_in = 0 for every community ⇒ dq = −d²·10⁶ div 4m² — the
+        // SAME arithmetic the oracle's qold CTE uses), saving a full
+        // modularity pass (r18 stage-count trim)
+        val und = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+        val qOld = und.groupBy("id").agg(count(lit(1)).as("__d"))
+          .crossJoin(broadcast(edges.agg((count(lit(1))).as("__m"))))
+          .agg(sum(expr(
+            """-cast((cast(__d as decimal(38,0)) * __d * 1000000)
+               div (cast(4 as decimal(38,0)) * __m * __m) as bigint)"""))
+            .as("q_old_micro"))
+        val qNew = graft.operators.Graph.modularity(
+          edges, "src", "dst",
+          moved.select(col("id"), col("label").as("lbl")), "id", "lbl")
+          .agg(max(col("q_micro")).as("q_new_micro"))
+        moved.crossJoin(broadcast(qOld)).crossJoin(broadcast(qNew))
+          .orderBy("id").barrierCut
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
+
 
     // Discrete power-law tail MLE over the part→supplier degree
     // distribution (Clauset et al. 2009): micro-quantized ln terms per
@@ -2977,13 +3006,17 @@ object SparkEntry {
         .orderBy("id")),
 
     // k-source Brandes betweenness on the capped path+diamond fixture
-    // with every node a source: exact — path bc(i) = 2·i·(11−i)
+    // with every node a source: exact — path bc(i) = 2·i·(5−i)
     // ordered pairs (closed form), the diamond's sigma=2 split puts
     // every node at exactly 1; dependencies are exact binary
     // rationals, micro-quantized (the q_hits rule). Fully oracled.
+    // Path trimmed 12 → 6 nodes in r18: each BFS level is a fixed
+    // scheduling round (not data volume) and the 11-level loop ate
+    // ~16 s/run of the bench budget across this pair (r17 VERDICT
+    // item 1c) — the closed-form oracle survives at any length.
     "q_betweenness" -> ((s, dir) => {
       import s.implicits._
-      val path = t(s, dir, "documents").filter(col("doc_id") < 11)
+      val path = t(s, dir, "documents").filter(col("doc_id") < 5)
         .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
       val diamond = Seq((100L, 101L), (100L, 102L), (101L, 103L),
         (102L, 103L)).toDF("a", "b")
@@ -2999,9 +3032,10 @@ object SparkEntry {
     // every term is an exact integer ((2e6 + d) div 2d), the sum pure
     // BIGINT — the oracle recomputes pairwise path distances as |i−j|
     // and the diamond's 2·(d=1) + 1·(d=2) closed form. Fully oracled.
+    // Path trimmed 12 → 6 nodes in r18 (the q_betweenness note).
     "q_harmonic" -> ((s, dir) => {
       import s.implicits._
-      val path = t(s, dir, "documents").filter(col("doc_id") < 11)
+      val path = t(s, dir, "documents").filter(col("doc_id") < 5)
         .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
       val diamond = Seq((100L, 101L), (100L, 102L), (101L, 103L),
         (102L, 103L)).toDF("a", "b")
@@ -13025,7 +13059,7 @@ object SparkEntry {
     // inside subqueries (the DuckDB recursive-CTE trap)
     "q_modularity" ->
       """WITH n AS (SELECT o_orderkey AS k, o_orderkey // 5 AS blk
-        |           FROM orders),
+        |           FROM orders WHERE o_orderkey < 6000),
         |ce AS (SELECT l.k AS s, r.k AS d FROM n l JOIN n r
         |       ON l.blk = r.blk AND l.k < r.k),
         |mins AS (SELECT blk, min(k) AS mk FROM n GROUP BY 1),
@@ -13069,7 +13103,7 @@ object SparkEntry {
     // the q_modularity arithmetic
     "q_louvain" ->
       """WITH n AS (SELECT o_orderkey AS k, o_orderkey // 5 AS blk
-        |           FROM orders WHERE o_orderkey < 30000),
+        |           FROM orders WHERE o_orderkey < 6000),
         |ce AS (SELECT l.k AS s, r.k AS d FROM n l JOIN n r
         |       ON l.blk = r.blk AND l.k < r.k),
         |mins AS (SELECT blk, min(k) AS mk FROM n GROUP BY 1),
@@ -13192,7 +13226,7 @@ object SparkEntry {
     // the pairwise path distance is |i−j|; each term replays the exact
     // integer quantization (2e6+d) // (2d); diamond nodes all 2500000
     "q_harmonic" ->
-      """WITH p AS (SELECT doc_id AS id FROM documents WHERE doc_id < 12),
+      """WITH p AS (SELECT doc_id AS id FROM documents WHERE doc_id < 6),
         |ph AS (SELECT a.id,
         |        CAST(sum((2000000 + abs(a.id - b.id))
         |          // (2 * abs(a.id - b.id))) AS BIGINT) AS harmonic_micro
@@ -13204,14 +13238,14 @@ object SparkEntry {
         |  FROM (VALUES (100), (101), (102), (103)) t(id))
         |ORDER BY id""".stripMargin,
 
-    // closed forms: the 12-node path's ordered-pair count through node
-    // i is 2·i·(11−i); every diamond node carries exactly 1.0
+    // closed forms: the 6-node path's ordered-pair count through node
+    // i is 2·i·(5−i); every diamond node carries exactly 1.0
     "q_betweenness" ->
       """SELECT id, bc_micro FROM (
         |  SELECT doc_id AS id,
-        |         CAST(2 * doc_id * (11 - doc_id) * 1000000 AS BIGINT)
+        |         CAST(2 * doc_id * (5 - doc_id) * 1000000 AS BIGINT)
         |           AS bc_micro
-        |  FROM documents WHERE doc_id < 12
+        |  FROM documents WHERE doc_id < 6
         |  UNION ALL
         |  SELECT CAST(id AS BIGINT), CAST(1000000 AS BIGINT)
         |  FROM (VALUES (100), (101), (102), (103)) t(id))

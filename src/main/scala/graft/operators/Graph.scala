@@ -640,7 +640,11 @@ object Graph {
       .join(labeled.select(col("id").as("b"), col("lbl").as("__lb")), "b")
       .filter(col("__la") === col("__lb"))
       .groupBy(col("__la").as("lbl")).agg(count(lit(1)).as("e_in"))
-    val per = dSum.join(eIn, Seq("lbl"), "left")
+    // persisted: the frame feeds BOTH the output rows and its own
+    // 1-row global sum via the crossJoin below — unpersisted, the
+    // whole join tree above executes twice (r18 stage-count trim)
+    val per = graft.engine.Caches.persisted(
+      dSum.join(eIn, Seq("lbl"), "left")
       .crossJoin(m)
       .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
       .withColumn("__num", expr(
@@ -651,7 +655,7 @@ object Graph {
         expr("""cast(sign(__num) as bigint) *
           cast((abs(__num) * 1000000)
             div (cast(4 as decimal(38,0)) * __m * __m) as bigint)""")
-          .as("dq_micro"))
+          .as("dq_micro")))
     per.crossJoin(broadcast(per.agg(sum(col("dq_micro")).as("q_micro"))))
   }
 
