@@ -941,6 +941,12 @@ object Graph {
         d += 1
       }
     }
+    // silent truncation understates scores with no signal — warn like
+    // kTruss's round cap (r17 ADVICE)
+    if (!done)
+      System.err.println(s"[graft] betweenness: depth cap $maxDepth " +
+        "reached with the frontier still open — scores may be " +
+        "understated for pairs beyond the cap; raise maxDepth")
     // backward: dependency accumulation, deepest level first (δ = 0
     // there — no successors); each level joins only the one below it
     var below = freshL(levels.last).withColumn("delta", lit(0.0))
@@ -1034,6 +1040,12 @@ object Graph {
         d += 1
       }
     }
+    // the betweenness depth-cap warning (r17 ADVICE): silent
+    // truncation would understate H(v) with no signal
+    if (!done)
+      System.err.println(s"[graft] harmonicCentrality: depth cap " +
+        s"$maxDepth reached with the frontier still open — scores may " +
+        "be understated for pairs beyond the cap; raise maxDepth")
     nodes.join(
       acc.groupBy(col("id")).agg(sum(col("h")).as("harmonic_micro")),
       Seq("id"), "left")

@@ -642,9 +642,13 @@ object VersionedTable {
       if (!tagDirs) df
       else if (dirs.size == 1) df.withColumn(DirCol, lit(dirs.head))
       // multi-path single scan: derive the tag from the file path (the
-      // _metadata column resolves on a file-source relation)
+      // _metadata column resolves on a file-source relation). Anchored
+      // to the file's PARENT component: an unanchored first-match would
+      // mis-tag every row under a table root that itself contains a
+      // d-NNNNNNNN path segment (e.g. a date-stamped parent dir), and
+      // dead-value masking would silently never fire (r17 ADVICE).
       else df.withColumn(DirCol,
-        regexp_extract(col("_metadata.file_path"), "(d-\\d{8})", 1))
+        regexp_extract(col("_metadata.file_path"), "(d-\\d{8})/[^/]*$", 1))
     }
   }
 
@@ -833,11 +837,16 @@ object VersionedTable {
     * `mergeSchema = true`, the schema-evolution rule).
     *
     * Contract edges: the mapping applies at the READ surface —
-    * physical-era operations ([[changes]] CDF, [[streamSince]]) expose
-    * each directory's physical schema unchanged, and mutating ops
-    * against mixed-era snapshots see physical names ([[compact]]
-    * materializes the logical schema and retires the mapping debt, the
-    * same read-pays/compact-settles economics as MOR tombstones).
+    * physical-era operations ([[changes]] CDF, [[streamSince]],
+    * [[tableStats]], and the SKIP-READ family
+    * [[readWhereBetween]]/[[readWhereEquals]]/[[readKeyBucketed]],
+    * whose sidecar-pruned dir scans are keyed to physical footers)
+    * expose each directory's physical schema unchanged — a dropped
+    * column's values stay readable there until settled — and mutating
+    * ops against mixed-era snapshots see physical names ([[compact]]
+    * materializes the logical schema and retires the mapping AND
+    * masking debt, the same read-pays/compact-settles economics as MOR
+    * tombstones).
     * Rename-commit manifests are PINNED by [[vacuum]] (like tags) so
     * the mapping survives any retention sweep while directories that
     * predate it can still be read. Validated against the CURRENT
@@ -981,7 +990,8 @@ object VersionedTable {
     * consulted only for directories outside every death set (config-
     * scale driver reads, only when drops exist). */
   private def pruneDeadCols(spark: SparkSession, root: Path, df: DataFrame,
-      srcDirs: Seq[String], drops: Seq[DropState]): DataFrame =
+      srcDirs: Seq[String], drops: Seq[DropState],
+      exempt: Set[String] = Set.empty): DataFrame =
     if (drops.isEmpty) df
     else {
       val footers = scala.collection.mutable.Map.empty[String, Set[String]]
@@ -991,6 +1001,7 @@ object VersionedTable {
           .contains(p)
       val prunable = drops.flatMap(_.dead.keys).distinct
         .filter(df.columns.contains)
+        .filterNot(exempt)
         .filter(p => srcDirs.forall(d =>
           isDead(drops, p, d) || !footerHas(d, p)))
       df.drop(prunable: _*)
@@ -1041,8 +1052,12 @@ object VersionedTable {
     * exist, must not be a partition column, must not be the last
     * column, and must not be referenced by an active CHECK constraint
     * (post-drop appends could never satisfy it). Physical-era surfaces
-    * ([[changes]] CDF, [[streamSince]], [[tableStats]]) keep exposing
-    * per-directory physical schemas — the [[renameColumn]] posture.
+    * ([[changes]] CDF, [[streamSince]], [[tableStats]], and the
+    * skip-read family [[readWhereBetween]]/[[readWhereEquals]]/
+    * [[readKeyBucketed]] — sidecar pruning is keyed to physical
+    * footers) keep exposing per-directory physical schemas, so dropped
+    * values remain readable THERE until [[compact]] settles the drop —
+    * the [[renameColumn]] posture.
     * Judged `q_table_drop`, fully ORACLED; time-travel visibility,
     * re-add freshness, rename interplay, rewrite non-resurrection and
     * compact materialization pinned in VersionedTableSpec. */
@@ -1070,10 +1085,15 @@ object VersionedTable {
     require(genRef.isEmpty,
       s"cannot drop $colName: generated column(s) " +
         s"${genRef.map(_._1).mkString(", ")} compute from it")
-    dropGeneratedColumn(spark, root, colName)
-    commit(fs, rootP, Manifest(base.version + 1, "drop-column",
-      base.version, base.dataDirs, s"drop:$colName",
+    val committed = commit(fs, rootP, Manifest(base.version + 1,
+      "drop-column", base.version, base.dataDirs, s"drop:$colName",
       base.partitionCols, base.deleteDirs))
+    // AFTER the commit succeeds: retiring the declaration first left a
+    // failed (racing-writer) commit with the column still live but its
+    // generated-column contract gone, so later appends silently stopped
+    // computing/validating it (r17 ADVICE)
+    dropGeneratedColumn(spark, root, colName)
+    committed
   }
 
   /** The snapshot current AT a wall-clock instant (Delta `TIMESTAMP AS
@@ -1367,7 +1387,15 @@ object VersionedTable {
         .select(snap.fieldNames.map { f =>
           if (srcExtra.contains(f)) col(s"s_$f").as(f) else col(f)
         }.toSeq: _*)
-      pruneDeadCols(spark, rootP, kept.unionByName(updated), dirty, drops)
+      // columns the UPDATE clause writes from the source are exempt from
+      // dead-column pruning: after drop+re-add, a column can be dead in
+      // every dirty dir yet carry source-supplied update values — pruning
+      // would silently discard them while same-commit inserts kept theirs
+      // (r17 ADVICE). Delete-only merges (no update clause) still prune.
+      val updExempt = if (updateWhen.isDefined)
+        srcExtra.filter(snap.fieldNames.contains).toSet else Set.empty[String]
+      pruneDeadCols(spark, rootP, kept.unionByName(updated), dirty, drops,
+        exempt = updExempt)
     }
     // all matches live in dirty directories (that is what dirty MEANS),
     // so unmatched = source minus the dirty union's keys. Inserts are

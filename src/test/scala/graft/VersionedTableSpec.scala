@@ -1982,4 +1982,63 @@ class VersionedTableSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1L, -1L), (2L, -1L), (3L, -1L), (4L, 8L)))
     graft.engine.Caches.releaseAll()
   }
+
+  test("drop-aware reads stay era-correct under a d-NNNNNNNN root segment") {
+    import spark.implicits._
+    // the multi-path single-scan tag derives the era from the file path;
+    // an unanchored first-match would grab THIS parent segment for every
+    // row, masking would never fire and dropped values would resurface
+    // (r17 ADVICE)
+    val root = freshRoot("d-12345678/anchor")
+    VersionedTable.create(spark, root,
+      Seq((1L, "old1"), (2L, "old2")).toDF("k", "note"))
+    VersionedTable.append(spark, root, Seq((3L, "old3")).toDF("k", "note"))
+    VersionedTable.dropColumn(spark, root, "note")
+    VersionedTable.append(spark, root, Seq((4L, "fresh")).toDF("k", "note"))
+    val out = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect()
+      .map { r =>
+        val ni = r.fieldIndex("note")
+        (r.getLong(0), if (r.isNullAt(ni)) "-" else r.getString(ni))
+      }
+    assert(out.toSeq ===
+      Seq((1L, "-"), (2L, "-"), (3L, "-"), (4L, "fresh")))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("merge updates a re-added column in dead-era directories " +
+      "(source-supplied values survive pruning)") {
+    import spark.implicits._
+    val root = freshRoot("drop_merge_readd")
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "amount", "note"))
+    VersionedTable.dropColumn(spark, root, "note")
+    // source supplies note for an UPDATE (k=1, dead-era dir) and an
+    // INSERT (k=3): both must land; the untouched row stays masked null
+    VersionedTable.merge(spark, root,
+      Seq((1L, 11L, "nu"), (3L, 30L, "ni")).toDF("k", "amount", "note"),
+      Seq("k"))
+    val out = VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .orderBy("k").collect()
+      .map { r =>
+        val ni = r.fieldIndex("note")
+        (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("amount")),
+          if (r.isNullAt(ni)) "-" else r.getString(ni))
+      }
+    assert(out.toSeq ===
+      Seq((1L, 11L, "nu"), (2L, 20L, "-"), (3L, 30L, "ni")))
+    // delete-only merges still prune: no update clause, no exemption
+    val del = freshRoot("drop_merge_delonly")
+    VersionedTable.create(spark, del,
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "amount", "note"))
+    VersionedTable.dropColumn(spark, del, "note")
+    VersionedTable.merge(spark, del,
+      Seq((1L, 0L, "zz")).toDF("k", "amount", "note"), Seq("k"),
+      updateWhen = None,
+      deleteWhen = Some(org.apache.spark.sql.functions.lit(true)),
+      insertUnmatched = false)
+    assert(!VersionedTable.readLatest(spark, del, mergeSchema = true)
+      .columns.contains("note"))
+    graft.engine.Caches.releaseAll()
+  }
 }
