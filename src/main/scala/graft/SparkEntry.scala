@@ -7389,6 +7389,79 @@ object SparkEntry {
         .orderBy("ver", "status")
     }),
 
+    // SHALLOW clone at the format layer: zero-copy fork (the clone's
+    // first snapshot points at the donor's directories), then BOTH
+    // sides diverge — the donor appends one slice, the clone another
+    // plus a COW upsert over borrowed bytes — and both tables'
+    // aggregates are judged side by side. Fully oracled.
+    "q_table_clone_shallow" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val src = tmpPath("vtable_shsrc")
+      val dst = tmpPath("vtable_shdst")
+      Seq(src, dst).foreach { r =>
+        val hp = new org.apache.hadoop.fs.Path(r)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val o = t(s, dir, "orders")
+      def slice(r: Int) =
+        o.filter(col("o_orderkey") % 5 === r)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("status"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("cents"))
+      VersionedTable.create(s, src, slice(0))
+      VersionedTable.append(s, src, slice(1))
+      VersionedTable.cloneShallow(s, src, dst)
+      VersionedTable.append(s, src, slice(3))    // donor diverges
+      VersionedTable.append(s, dst, slice(2))    // clone diverges
+      // COW upsert on the clone rewrites a BORROWED directory into a
+      // clone-local one (values doubled on slice-0 keys % 25)
+      VersionedTable.upsert(s, dst,
+        slice(0).filter(col("k") % 25 === 0)
+          .withColumn("cents", col("cents") * 2), Seq("k"))
+      def agg(root: String, side: String) =
+        VersionedTable.readLatest(s, root)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("side", lit(side))
+      agg(src, "donor").unionByName(agg(dst, "clone"))
+        .orderBy("side", "status")
+    }),
+
+    // Column TYPE widening at the format layer: int-era create, widen
+    // v -> bigint (metadata-only), a genuinely-bigint append AND a
+    // narrow int append after the widen — the mixed-era read upcasts
+    // and aggregates as bigint; the same aggregates re-read after
+    // compact (ver 2) prove the rewrite materializes the wide type
+    // without changing values. Fully oracled (the oracle replays both
+    // eras from the orders slices).
+    "q_table_widen" -> ((s, dir) => {
+      import graft.tables.VersionedTable
+      val root = tmpPath("vtable_widen")
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val o = t(s, dir, "orders")
+      def slice(r: Int) =
+        o.filter(col("o_orderkey") % 5 === r)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("status"),
+            pmod(col("o_orderkey"), lit(1000)).cast("int").as("v"))
+      VersionedTable.create(s, root, slice(0))            // v1: int era
+      VersionedTable.widenColumn(s, root, "v", "bigint")  // v2: metadata
+      VersionedTable.append(s, root, slice(1)             // v3: wide era
+        .withColumn("v", col("v").cast("long") + lit(3000000000L)))
+      VersionedTable.append(s, root, slice(2))            // v4: narrow era
+      def agg(df: DataFrame, ver: Int) =
+        df.groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+            max(col("v")).as("max_v"))
+          .withColumn("ver", lit(ver))
+      val mixed = agg(VersionedTable.readLatest(s, root), 1)
+      VersionedTable.compact(s, root)                     // v5: materialize
+      mixed.unionByName(agg(VersionedTable.readLatest(s, root), 2))
+        .orderBy("ver", "status")
+    }),
+
     // GENERATED ALWAYS AS at the format layer: declare after v1, append
     // WITHOUT the column — the append path computes it; v1-era rows
     // read null under mergeSchema (the schema-evolution rule). The
@@ -15997,6 +16070,48 @@ object SparkEntry {
         |SELECT status, n, n_cents, cents, CAST(ver AS INT) AS ver
         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
         |      UNION ALL SELECT * FROM a3)
+        |ORDER BY ver, status""".stripMargin,
+
+    // donor = slices 0,1,3; clone = slices 0,1,2 with %25 slice-0 keys
+    // upserted to doubled cents
+    "q_table_clone_shallow" ->
+      """WITH sl AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |        o_orderkey % 5 AS r
+        |      FROM orders),
+        |donor AS (SELECT status, cents FROM sl WHERE r IN (0, 1, 3)),
+        |clone AS (SELECT status,
+        |        CASE WHEN r = 0 AND k % 25 = 0 THEN cents * 2
+        |             ELSE cents END AS cents
+        |      FROM sl WHERE r IN (0, 1, 2)),
+        |u AS (SELECT 'donor' AS side, status, cents FROM donor
+        |      UNION ALL SELECT 'clone', status, cents FROM clone)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents, side
+        |FROM u GROUP BY status, side
+        |ORDER BY side, status""".stripMargin,
+
+    // both eras replayed from the slices; ver 1 (mixed-era read) and
+    // ver 2 (post-compact) carry the SAME numbers — the judged claim
+    // is that widening and the compact rewrite preserve every value
+    "q_table_widen" ->
+      """WITH rows0 AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(o_orderkey % 1000 AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus,
+        |         CAST(o_orderkey % 1000 AS BIGINT) + 3000000000
+        |  FROM orders WHERE o_orderkey % 5 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_orderkey % 1000 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 5 = 2),
+        |a AS (SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(v) AS BIGINT) AS sum_v,
+        |        CAST(max(v) AS BIGINT) AS max_v
+        |      FROM rows0 GROUP BY 1)
+        |SELECT status, n, sum_v, max_v, CAST(ver AS INT) AS ver
+        |FROM a CROSS JOIN (VALUES (1), (2)) t(ver)
         |ORDER BY ver, status""".stripMargin,
 
     // pre-declaration era reads null; the append slice carries the

@@ -2041,4 +2041,230 @@ class VersionedTableSpec extends SparkTestBase {
       .columns.contains("note"))
     graft.engine.Caches.releaseAll()
   }
+
+  test("cloneShallow: zero-copy fork, divergence, donor vacuum pins, " +
+      "detach releases, clone-of-clone chains") {
+    import spark.implicits._
+    val src = freshRoot("shallow_src")
+    VersionedTable.create(spark, src,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    VersionedTable.append(spark, src, Seq((3L, 30L)).toDF("k", "v"))
+    val dst = freshRoot("shallow_dst")
+    val cm = VersionedTable.cloneShallow(spark, src, dst)
+    assert(cm.op === "clone-shallow")
+    // ZERO data files under the clone root before any write
+    val dfs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!dfs.listStatus(new org.apache.hadoop.fs.Path(dst))
+      .exists(st => st.getPath.getName.matches("d-\\d{8}")))
+    // the clone reads the donor's rows
+    assert(VersionedTable.readLatest(spark, dst).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // divergence: writes on either side stay invisible to the other
+    VersionedTable.append(spark, dst, Seq((4L, 40L)).toDF("k", "v"))
+    VersionedTable.upsert(spark, dst, Seq((1L, 11L)).toDF("k", "v"),
+      Seq("k"))
+    VersionedTable.append(spark, src, Seq((9L, 90L)).toDF("k", "v"))
+    assert(VersionedTable.readLatest(spark, dst).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(VersionedTable.readLatest(spark, src).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L), (2L, 20L), (3L, 30L), (9L, 90L)))
+    // donor vacuum PINS borrowed dirs: rewrite everything donor-side,
+    // vacuum to 1 — the clone must still read its fork snapshot
+    VersionedTable.compact(spark, src)
+    VersionedTable.vacuum(spark, src, 1)
+    assert(VersionedTable.readLatest(spark, dst).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // clone-of-clone resolves through the chain
+    val dst2 = freshRoot("shallow_dst2")
+    VersionedTable.cloneShallow(spark, dst, dst2)
+    assert(VersionedTable.readLatest(spark, dst2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // detach + vacuum reclaims what only the clone pinned
+    assert(VersionedTable.detachClone(spark, src, dst))
+    assert(!VersionedTable.detachClone(spark, src, dst))
+    val swept = VersionedTable.vacuum(spark, src, 1)
+    assert(swept.nonEmpty) // the borrowed pre-compact dirs go now
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("cloneShallow carries mapping chains and constraints; deep clone " +
+      "of widened/shallow sources materializes") {
+    import spark.implicits._
+    val src = freshRoot("shallow_map_src")
+    VersionedTable.create(spark, src,
+      Seq((1, 10), (2, 20)).toDF("k", "amount"))
+    VersionedTable.renameColumn(spark, src, "amount", "cents")
+    VersionedTable.widenColumn(spark, src, "cents", "bigint")
+    VersionedTable.addConstraint(spark, src, "k_pos", "k > 0")
+    val dst = freshRoot("shallow_map_dst")
+    VersionedTable.cloneShallow(spark, src, dst)
+    val got = VersionedTable.readLatest(spark, dst, mergeSchema = true)
+    assert(got.schema("cents").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(got.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      === Seq((1, 10L), (2, 20L)))
+    // the carried CHECK constraint gates clone appends
+    intercept[VersionedTable.ConstraintViolationException](
+      VersionedTable.append(spark, dst,
+        Seq((-5, 50L)).toDF("k", "cents")))
+    // deep clone of a WIDENED source materializes the wide type
+    val deep = freshRoot("deep_of_widened")
+    val dm = VersionedTable.cloneTable(spark, src, deep)
+    val phys = spark.read.parquet(s"$deep/${dm.dataDirs.head}").schema
+    assert(phys("cents").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // deep clone of a SHALLOW clone materializes (no cross-root chain)
+    val deep2 = freshRoot("deep_of_shallow")
+    VersionedTable.cloneTable(spark, dst, deep2)
+    assert(VersionedTable.readLatest(spark, deep2).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      === Seq((1, 10L), (2, 20L)))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("dropColumn kills rename-era bytes carried by a COW rewrite; " +
+      "a re-add append stops the extension (reuse stays live)") {
+    import spark.implicits._
+    // rename → merge (the rewrite copies `amount` bytes with VALUES
+    // into a fresh dir) → drop: the dropped values must not resurface
+    // (measured leak before the r18 dropChain carry extension)
+    val root = freshRoot("ren_carry_drop")
+    VersionedTable.create(spark, root,
+      Seq((1, 10L), (9, 90L)).toDF("k", "amount"))
+    VersionedTable.renameColumn(spark, root, "amount", "cents")
+    VersionedTable.append(spark, root, Seq((2, 20L)).toDF("k", "cents"))
+    VersionedTable.merge(spark, root,
+      Seq((1, 99L)).toDF("k", "other"), Seq("k"))
+    // the rewrite dir really does carry the physical old name + values
+    assert(VersionedTable.dataDirsOf(spark, root,
+      VersionedTable.latestVersion(spark, root)).exists(d =>
+      spark.read.parquet(s"$root/$d").columns.contains("amount")))
+    VersionedTable.dropColumn(spark, root, "cents")
+    val post = VersionedTable.readLatest(spark, root, mergeSchema = true)
+    assert(post.columns.toSeq === Seq("k"))
+    // reuse after the rename stays live: an APPEND re-adding the old
+    // physical name stops the carry extension, so a LATER rewrite's
+    // carried copy of the re-added values survives the drop of the new
+    // logical name (the fold then reads them through the rename chain)
+    val ru = freshRoot("ren_reuse_drop")
+    VersionedTable.create(spark, ru, Seq((1, 10L)).toDF("k", "amount"))
+    VersionedTable.renameColumn(spark, ru, "amount", "cents")
+    VersionedTable.append(spark, ru,
+      Seq((2, 8L, 20L)).toDF("k", "amount", "cents")) // re-add amount
+    VersionedTable.upsert(spark, ru,
+      Seq((3, 30L)).toDF("k", "cents"), Seq("k")) // pure insert, no carry
+    VersionedTable.dropColumn(spark, ru, "cents")
+    val rud = VersionedTable.readLatest(spark, ru, mergeSchema = true)
+    // the reused amount is LIVE in its post-reuse dir (k=2 keeps 8,
+    // read through the rename fold); the pre-rename era stays dead
+    val vals = rud.orderBy("k").collect().map { r =>
+      val ci = r.fieldIndex("cents")
+      (r.getInt(0), if (r.isNullAt(ci)) -1L else r.getLong(ci))
+    }
+    assert(vals.toSeq === Seq((1, -1L), (2, 8L), (3, -1L)))
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("widenColumn: metadata-only promotion, mixed-era reads upcast, " +
+      "appends accepted in either width, compact materializes") {
+    import spark.implicits._
+    val root = freshRoot("widen")
+    VersionedTable.create(spark, root,
+      Seq((1, 10), (2, 20)).toDF("k", "v"))                 // int, int
+    VersionedTable.widenColumn(spark, root, "v", "bigint")  // v2
+    // post-widen appends in EITHER width land
+    VersionedTable.append(spark, root,
+      Seq((3, 30L)).toDF("k", "v"))                         // wide append
+    VersionedTable.append(spark, root,
+      Seq((4, 40)).toDF("k", "v"))                          // narrow append
+    val df = VersionedTable.readLatest(spark, root)
+    assert(df.schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(df.orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq === Seq((1, 10L), (2, 20L), (3, 30L), (4, 40L)))
+    // arithmetic over the mixed eras behaves as bigint
+    assert(df.agg(sum(col("v"))).head.getLong(0) === 100L)
+    // time travel BEFORE the widen reads the narrow type
+    assert(VersionedTable.readVersion(spark, root, 1).schema("v").dataType
+      === org.apache.spark.sql.types.IntegerType)
+    // compact materializes the wide type physically
+    val cm = VersionedTable.compact(spark, root)
+    val phys = spark.read.parquet(s"$root/${cm.dataDirs.head}").schema
+    assert(phys("v").dataType === org.apache.spark.sql.types.LongType)
+    // validation: narrowing / sideways / unknown targets are rejected
+    intercept[IllegalArgumentException](
+      VersionedTable.widenColumn(spark, root, "v", "int"))
+    intercept[IllegalArgumentException](
+      VersionedTable.widenColumn(spark, root, "v", "double"))
+    intercept[IllegalArgumentException](
+      VersionedTable.widenColumn(spark, root, "nope", "bigint"))
+    // float -> double on a second column
+    val fr = freshRoot("widen_f")
+    VersionedTable.create(spark, fr,
+      Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x"))
+    VersionedTable.widenColumn(spark, fr, "x", "double")
+    VersionedTable.append(spark, fr, Seq((3, 3.5d)).toDF("k", "x"))
+    val fd = VersionedTable.readLatest(spark, fr)
+    assert(fd.schema("x").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(fd.agg(sum(col("x"))).head.getDouble(0) === 7.5d)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("widenColumn: rename/drop interplay, COW rewrite over mixed " +
+      "widths, vacuum pins the widen manifest") {
+    import spark.implicits._
+    // rename-then-widen: old dirs hold the pre-rename narrow name
+    val root = freshRoot("widen_ren")
+    VersionedTable.create(spark, root, Seq((1, 10)).toDF("k", "amount"))
+    VersionedTable.renameColumn(spark, root, "amount", "cents")   // v2
+    VersionedTable.widenColumn(spark, root, "cents", "bigint")    // v3
+    VersionedTable.append(spark, root, Seq((2, 20L)).toDF("k", "cents"))
+    val out = VersionedTable.readLatest(spark, root, mergeSchema = true)
+    assert(out.schema("cents").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(out.orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq === Seq((1, 10L), (2, 20L)))
+    // widen-then-rename keeps reading wide through the new name
+    val wr = freshRoot("widen_ren2")
+    VersionedTable.create(spark, wr, Seq((1, 10)).toDF("k", "amount"))
+    VersionedTable.widenColumn(spark, wr, "amount", "bigint")
+    VersionedTable.renameColumn(spark, wr, "amount", "cents")
+    VersionedTable.append(spark, wr, Seq((2, 20)).toDF("k", "cents"))
+    val out2 = VersionedTable.readLatest(spark, wr, mergeSchema = true)
+    assert(out2.schema("cents").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(out2.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq === Seq((1, 10L), (2, 20L)))
+    // COW rewrite (upsert) across mixed widths lands the wide type
+    VersionedTable.upsert(spark, root,
+      Seq((1, 11L)).toDF("k", "cents"), Seq("k"))
+    val up = VersionedTable.readLatest(spark, root, mergeSchema = true)
+    assert(up.orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq === Seq((1, 11L), (2, 20L)))
+    // widen-then-drop: the column dies, reads stay consistent
+    VersionedTable.dropColumn(spark, root, "cents")
+    assert(!VersionedTable.readLatest(spark, root, mergeSchema = true)
+      .columns.contains("cents"))
+    // vacuum pins the widen manifest: deep-history reads still upcast
+    val vr = freshRoot("widen_vac")
+    VersionedTable.create(spark, vr, Seq((1, 10)).toDF("k", "v"))
+    VersionedTable.widenColumn(spark, vr, "v", "bigint")
+    (2 to 6).foreach(i =>
+      VersionedTable.append(spark, vr, Seq((i, i * 10)).toDF("k", "v")))
+    VersionedTable.vacuum(spark, vr, 2)
+    val vv = VersionedTable.readLatest(spark, vr)
+    assert(vv.schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(vv.agg(sum(col("v"))).head.getLong(0) === 210L)
+    graft.engine.Caches.releaseAll()
+  }
 }
