@@ -2937,14 +2937,17 @@ object SparkEntry {
         val bridges = mins.as("x").join(mins.as("y"),
             col("y.blk") === col("x.blk") + 1 && col("x.blk") % 7 === 0)
           .select(col("x.mk").as("src"), col("y.mk").as("dst"))
-        val edges = graft.engine.Caches.persisted(clique.union(bridges))
+        // barrierCut, not persist (r18): persist caches the data but every
+        // downstream plan still EMBEDS the full fixture/move logical tree,
+        // and the three-pass composition below (move + q_old + q_new +
+        // final crossJoins) made Catalyst re-optimize that composed tree
+        // on every AQE stage — measured 2-4 s DRIVER GAPS between jobs,
+        // 16.6 s total. Cutting at the composition points flattens each
+        // pass to leaf scans: 16.6 s -> ~3 s solo, identical rows.
+        val edges = clique.union(bridges).barrierCut
         val init = n.select(col("k").as("id"), col("k").as("lbl"))
-        // persisted: the move plan feeds the output AND the q_new
-        // modularity (which joins it twice) — unpersisted it re-executes
-        // 3+ times (16.4s -> ~5s in the r17 anchor probe)
-        val moved = graft.engine.Caches.persisted(
-          graft.operators.Graph.louvainMove(
-            edges, "src", "dst", init, "id", "lbl"))
+        val moved = graft.operators.Graph.louvainMove(
+          edges, "src", "dst", init, "id", "lbl").barrierCut
         // singleton-label modularity has a degree-only closed form
         // (e_in = 0 for every community ⇒ dq = −d²·10⁶ div 4m² — the
         // SAME arithmetic the oracle's qold CTE uses), saving a full
@@ -2956,11 +2959,11 @@ object SparkEntry {
           .agg(sum(expr(
             """-cast((cast(__d as decimal(38,0)) * __d * 1000000)
                div (cast(4 as decimal(38,0)) * __m * __m) as bigint)"""))
-            .as("q_old_micro"))
+            .as("q_old_micro")).barrierCut
         val qNew = graft.operators.Graph.modularity(
           edges, "src", "dst",
           moved.select(col("id"), col("label").as("lbl")), "id", "lbl")
-          .agg(max(col("q_micro")).as("q_new_micro"))
+          .agg(max(col("q_micro")).as("q_new_micro")).barrierCut
         moved.crossJoin(broadcast(qOld)).crossJoin(broadcast(qNew))
           .orderBy("id").barrierCut
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -302,6 +302,11 @@ object Dedup {
     var cur = stat(edges)
     var round = 0
     var converged = false
+    // loop partitions sized to the measured edge count (r18: the
+    // cycleNodes few-partition rule, size-derived — stat() already
+    // counted, so sizing costs nothing). Contraction only shrinks the
+    // edge set, so the initial count bounds every round.
+    graft.engine.Loops.sized(pairs.sparkSession, cur._1) {
     while (!converged && round < maxRounds) {
       // large-star: symmetrize; per node u, point each larger neighbor at
       // m = min(neighborhood ∪ {u}). Emitted edges are larger -> smaller.
@@ -343,6 +348,7 @@ object Dedup {
     nodes.join(edges.groupBy("u").agg(min(col("v")).as("__c")),
         nodes("id") === col("u"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    } // Loops.sized
   }
 
   /** Incremental ingest with dedup-on-arrival — the first genuinely

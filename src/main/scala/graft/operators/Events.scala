@@ -3491,9 +3491,13 @@ object Events {
   def recsHitRate(train: DataFrame, test: DataFrame, keyCol: String,
       itemCol: String, minPairKeys: Long = 3L, k: Int = 5,
       maxBasketSize: Long = 10000L): DataFrame = {
-    val model = itemSimilarityTopK(train, keyCol, itemCol, minPairKeys, k,
+    // barrierCut (r18): the model is config-scale (≤ k rows per item) but
+    // its LOGICAL plan (self-join + window over the train set) would
+    // otherwise be re-optimized inside every eval-side join below.
+    val model = graft.engine.Barriers.cut(
+      itemSimilarityTopK(train, keyCol, itemCol, minPairKeys, k,
         maxBasketSize)
-      .select(col("item"), col("nbr"))
+      .select(col("item"), col("nbr")))
     val tb = graft.engine.Caches.persisted(
       test.select(col(keyCol).as("__k"), col(itemCol).as("item"))
         .distinct())
@@ -3532,9 +3536,11 @@ object Events {
   def recsMrr(train: DataFrame, test: DataFrame, keyCol: String,
       itemCol: String, minPairKeys: Long = 3L, k: Int = 5,
       maxBasketSize: Long = 10000L): DataFrame = {
-    val model = itemSimilarityTopK(train, keyCol, itemCol, minPairKeys, k,
+    // barrierCut (r18): same economics as recsHitRate's model cut.
+    val model = graft.engine.Barriers.cut(
+      itemSimilarityTopK(train, keyCol, itemCol, minPairKeys, k,
         maxBasketSize)
-      .select(col("item"), col("nbr"), col("rk"))
+      .select(col("item"), col("nbr"), col("rk")))
     val tb = graft.engine.Caches.persisted(
       test.select(col(keyCol).as("__k"), col(itemCol).as("item"))
         .distinct())

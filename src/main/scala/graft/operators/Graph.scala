@@ -354,22 +354,26 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct())
-    var visited = seeds.select(col(seedCol).cast("long").as("id"))
-      .distinct().withColumn("hops", lit(0)).barrierCut
-    var frontier = visited.select("id")
-    var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
-      val next = frontier.join(e, col("id") === col("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
-        .barrierCut
-      visited = visited
-        .union(next.withColumn("hops", lit(h)))
-        .barrierCut
-      frontier = next
-      h += 1
+    // loop partitions sized to the measured edge count (r18: the
+    // cycleNodes few-partition rule, size-derived instead of constant)
+    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
+      var visited = seeds.select(col(seedCol).cast("long").as("id"))
+        .distinct().withColumn("hops", lit(0)).barrierCut
+      var frontier = visited.select("id")
+      var h = 1
+      while (h <= maxHops && !frontier.isEmpty) {
+        val next = frontier.join(e, col("id") === col("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .barrierCut
+        visited = visited
+          .union(next.withColumn("hops", lit(h)))
+          .barrierCut
+        frontier = next
+        h += 1
+      }
+      visited
     }
-    visited
   }
 
   /** Rich-club coefficient ladder (Zhou & Mondragón 2004) — do the
@@ -501,6 +505,8 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct())
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var layers = nodes.withColumn("layer", lit(0)).barrierCut
@@ -533,6 +539,7 @@ object Graph {
       }
     }
     layers
+    } // Loops.sized
   }
 
   /** Synchronous label propagation (Raghavan, Albert, Kumara 2007 —
@@ -571,11 +578,14 @@ object Graph {
       col(dstCol).cast("long").as("b"))
     val und = graft.engine.Caches.persisted(
       fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).barrierCut
-    for (_ <- 1 to iterations)
-      labels = lpaRound(und, labels).barrierCut
-    labels.select(col("id"), col("lbl").as("label"))
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, und.count()) {
+      var labels = und.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")).barrierCut
+      for (_ <- 1 to iterations)
+        labels = lpaRound(und, labels).barrierCut
+      labels.select(col("id"), col("lbl").as("label"))
+    }
   }
 
   /** Newman modularity of a labeled partition (Newman & Girvan 2004;
@@ -640,10 +650,14 @@ object Graph {
       .join(labeled.select(col("id").as("b"), col("lbl").as("__lb")), "b")
       .filter(col("__la") === col("__lb"))
       .groupBy(col("__la").as("lbl")).agg(count(lit(1)).as("e_in"))
-    // persisted: the frame feeds BOTH the output rows and its own
-    // 1-row global sum via the crossJoin below — unpersisted, the
-    // whole join tree above executes twice (r18 stage-count trim)
-    val per = graft.engine.Caches.persisted(
+    // barrierCut, not persist: the frame feeds BOTH the output rows and
+    // its own 1-row global sum via the crossJoin below. A persist caches
+    // the DATA but the crossJoin still embeds this whole join tree TWICE
+    // in the logical plan, and Catalyst re-optimizes that doubled tree on
+    // every AQE stage materialization — measured as multi-second DRIVER
+    // GAPS between jobs in the r18 louvain probe. The cut flattens the
+    // plan to a leaf; downstream planning is then O(1) in this tree.
+    val per = (
       dSum.join(eIn, Seq("lbl"), "left")
       .crossJoin(m)
       .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
@@ -655,7 +669,7 @@ object Graph {
         expr("""cast(sign(__num) as bigint) *
           cast((abs(__num) * 1000000)
             div (cast(4 as decimal(38,0)) * __m * __m) as bigint)""")
-          .as("dq_micro")))
+          .as("dq_micro"))).barrierCut
     per.crossJoin(broadcast(per.agg(sum(col("dq_micro")).as("q_micro"))))
   }
 
@@ -901,17 +915,18 @@ object Graph {
     require(maxDepth >= 1 && maxDepth <= 64,
       s"maxDepth must be in 1..64: $maxDepth")
     // per-level FIXED cost (checkpoint + shuffle rounds) dominates the
-    // hop loops — plan them at few partitions (the cycleNodes rule),
-    // restored after
+    // hop loops — plan them at few partitions (the cycleNodes rule,
+    // size-derived since r18), restored after
     val session = edges.sparkSession
-    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
-    session.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
     val fwd = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     val und = graft.engine.Caches.persisted(
       fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions",
+      graft.engine.Loops.partitionsFor(session, und.count()).toString)
+    try {
     val nodes = und.select(col("a").as("id")).distinct().barrierCut
     val sources = nodes.orderBy(col("id")).limit(k)
       .select(col("id").as("s")).barrierCut
@@ -1004,15 +1019,17 @@ object Graph {
     require(maxDepth >= 1 && maxDepth <= 64,
       s"maxDepth must be in 1..64: $maxDepth")
     // hop loop at few partitions — the betweenness/cycleNodes rule
+    // (size-derived since r18)
     val session = edges.sparkSession
-    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
-    session.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
     val fwd = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     val und = graft.engine.Caches.persisted(
       fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions",
+      graft.engine.Loops.partitionsFor(session, und.count()).toString)
+    try {
     val nodes = und.select(col("a").as("id")).distinct().barrierCut
     val sources = nodes.orderBy(col("id")).limit(k)
       .select(col("id").as("s")).barrierCut
@@ -1305,19 +1322,24 @@ object Graph {
     // raw frame (one extra source scan per call otherwise): parallel
     // edges collapse to their min first, so any negative raw weight
     // survives into e's min and this one small action sees it
-    val minW = e.agg(min(col("w"))).head.get(0)
+    // one pass serves both gates: the negative-weight check and the
+    // size-derived loop partition count (r18)
+    val gate = e.agg(min(col("w")), count(lit(1))).head
+    val minW = gate.get(0)
     require(minW == null || minW.asInstanceOf[Long] >= 0L,
       "shortestPaths requires non-negative edge weights")
-    var dist = seeds.select(col(seedCol).cast("long").as("id"))
-      .distinct().withColumn("dist", lit(0L)).barrierCut
-    for (_ <- 1 to maxHops) {
-      dist = dist.join(e, col("id") === col("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy("id").agg(min(col("dist")).as("dist"))
-        .barrierCut
+    graft.engine.Loops.sized(edges.sparkSession, gate.getLong(1)) {
+      var dist = seeds.select(col(seedCol).cast("long").as("id"))
+        .distinct().withColumn("dist", lit(0L)).barrierCut
+      for (_ <- 1 to maxHops) {
+        dist = dist.join(e, col("id") === col("src"))
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+          .unionByName(dist)
+          .groupBy("id").agg(min(col("dist")).as("dist"))
+          .barrierCut
+      }
+      dist
     }
-    dist
   }
 
   /** k-core DECOMPOSITION (coreness): each vertex's maximum k such that
@@ -1359,6 +1381,8 @@ object Graph {
       .filter(col("a") =!= col("b"))
     val und = graft.engine.Caches.persisted(
       fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, und.count()) {
     var c = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("c"))
       .barrierCut
     var changed = 1L
@@ -1396,6 +1420,7 @@ object Graph {
         s"with $changed estimates still moving — result is an upper-bound " +
         "estimate, not the converged coreness; raise maxRounds for exact")
     c.select(col("id"), col("c").cast("int").as("core"))
+    } // Loops.sized
   }
 
   /** The k-core vertex set: exactly {v : coreness(v) ≥ k} — derived
@@ -1437,16 +1462,18 @@ object Graph {
     require(k >= 2 && k <= 1000, s"k must be in 2..1000: $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val session = edges.sparkSession
+    val minSup = k - 2L
+    var e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a") =!= col("b")).distinct().barrierCut
+    var n = e.count()
     val prevParts = session.conf.get("spark.sql.shuffle.partitions")
-    session.conf.set("spark.sql.shuffle.partitions", "4")
+    // loop partitions sized to the measured edge count (r18 rule)
+    session.conf.set("spark.sql.shuffle.partitions",
+      graft.engine.Loops.partitionsFor(session, n).toString)
     try {
-      val minSup = k - 2L
-      var e = edges.select(
-          least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
-          greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
-            .as("b"))
-        .filter(col("a") =!= col("b")).distinct().barrierCut
-      var n = e.count()
       var changed = n > 0 && minSup > 0
       var round = 0
       while (changed && round < maxRounds) {
@@ -1571,9 +1598,15 @@ object Graph {
     // the loop's cost is per-round FIXED overhead (checkpoint +
     // shuffle-partition count), not data volume — a dependency-graph
     // closure is metadata-scale, so plan the rounds at few partitions
-    // (the streaming-fixed-cost lesson); restored after the loop
+    // (the streaming-fixed-cost lesson; size-derived since r18);
+    // restored after the loop
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .distinct().barrierCut
     val prevParts = session.conf.get("spark.sql.shuffle.partitions")
-    session.conf.set("spark.sql.shuffle.partitions", "4")
+    session.conf.set("spark.sql.shuffle.partitions",
+      graft.engine.Loops.partitionsFor(session, e0.count()).toString)
     // constraint propagation is an optimizer aid, and on this loop's
     // checkpoint + self-join + union chain Spark's Union constraint
     // rewriting throws AttributeMap key-not-found (constraints leak
@@ -1583,10 +1616,6 @@ object Graph {
       "spark.sql.constraintPropagation.enabled", "true")
     session.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try {
-      val e0 = edges
-        .select(col(srcCol).cast("long").as("u"),
-          col(dstCol).cast("long").as("v"))
-        .distinct().barrierCut
       // SEMI-NAIVE evaluation (the datalog rule): only the FRONTIER —
       // pairs first derived last round — joins the base edges; rejoining
       // the whole closure every round multiplied saturated pairs by the
@@ -1742,8 +1771,14 @@ object Graph {
       maxRounds: Int = 30, maxPropRounds: Int = 80,
       maxTrimRounds: Int = 20): DataFrame = {
     val session = edges.sparkSession
+    val e0pre = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().barrierCut
     val prevParts = session.conf.get("spark.sql.shuffle.partitions")
-    session.conf.set("spark.sql.shuffle.partitions", "4")
+    // loop partitions sized to the measured edge count (r18 rule)
+    session.conf.set("spark.sql.shuffle.partitions",
+      graft.engine.Loops.partitionsFor(session, e0pre.count()).toString)
     val prevCp = session.conf.get(
       "spark.sql.constraintPropagation.enabled", "true")
     session.conf.set("spark.sql.constraintPropagation.enabled", "false")
@@ -1783,10 +1818,7 @@ object Graph {
     }
 
     try {
-      val e0 = edges
-        .select(col(srcCol).cast("long").as("u"),
-          col(dstCol).cast("long").as("v"))
-        .filter(col("u") =!= col("v")).distinct().barrierCut
+      val e0 = e0pre
       var active = e0.select(col("u").as("id"))
         .union(e0.select(col("v").as("id"))).distinct().barrierCut
       var aEdges = e0

@@ -499,7 +499,11 @@ object VersionedTable {
     def dirTombs(d: String): Seq[String] =
       tombs.filter(_._2.contains(d)).map(_._1)
     val drops = dropChain(fs, rootP, base.version)
-    val resolvedAll = graft.engine.Caches.persisted(
+    // barrierCut, not persist (r18): each of the ≤ nBuckets bucket writes
+    // below re-PLANS the frame it filters — a persist caches data but
+    // Catalyst still re-optimizes the full per-dir mask/prune union per
+    // write job. The cut flattens it to a leaf once.
+    val resolvedAll = graft.engine.Barriers.cut(
       pruneDeadCols(spark, rootP,
         base.dataDirs.map(d => maskDeadDir(applyTombs(spark, rootP,
           readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops))
@@ -1900,11 +1904,14 @@ object VersionedTable {
     def dirTombs(d: String): Seq[String] =
       tombs.filter(_._2.contains(d)).map(_._1)
     val drops = dropChain(fs, rootP, base.version)
-    val resolvedAll = pruneDeadCols(spark, rootP,
-      base.dataDirs.map(d => maskDeadDir(applyTombs(spark, rootP,
-        readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops))
-        .reduce(_.unionByName(_)),
-      base.dataDirs, drops)
+    // barrierCut (r18): the frame feeds the bounds agg, the banding join
+    // AND every bucket write — cut once so each consumer plans a leaf.
+    val resolvedAll = graft.engine.Barriers.cut(
+      pruneDeadCols(spark, rootP,
+        base.dataDirs.map(d => maskDeadDir(applyTombs(spark, rootP,
+          readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops))
+          .reduce(_.unionByName(_)),
+        base.dataDirs, drops))
     val W = org.apache.spark.sql.expressions.Window
     val cc = col(clusterCol)
     val bounds = broadcast(resolvedAll.agg(
@@ -1918,7 +1925,7 @@ object VersionedTable {
         W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
       .select(col("__band"), col("__off"))
     val wB = W.partitionBy(col("__band")).orderBy(cc, col(tieCol))
-    val ranked = graft.engine.Caches.persisted(
+    val ranked = graft.engine.Barriers.cut(
       banded.join(broadcast(offsets), "__band")
         .withColumn("__rank", col("__off") + row_number().over(wB))
         .withColumn("__bucket", expr(s"(__rank - 1) * $k div __n")))
@@ -1974,13 +1981,17 @@ object VersionedTable {
     def dirTombs(d: String): Seq[String] =
       tombs.filter(_._2.contains(d)).map(_._1)
     val drops = dropChain(fs, rootP, base.version)
-    val resolvedAll = pruneDeadCols(spark, rootP,
-      base.dataDirs.map(d => maskDeadDir(applyTombs(spark, rootP,
-        readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops))
-        .reduce(_.unionByName(_)),
-      base.dataDirs, drops)
-      .withColumn("__z", call_function("graft_zorder2",
-        col(colA).cast("long"), col(colB).cast("long")))
+    // barrierCut (r18): same economics as optimizeClustered — one cut,
+    // every downstream consumer (bounds, banding, bucket writes) plans
+    // a leaf instead of re-optimizing the per-dir mask/prune union.
+    val resolvedAll = graft.engine.Barriers.cut(
+      pruneDeadCols(spark, rootP,
+        base.dataDirs.map(d => maskDeadDir(applyTombs(spark, rootP,
+          readDirsAs(spark, rootP, Seq(d), snap), dirTombs(d)), d, drops))
+          .reduce(_.unionByName(_)),
+        base.dataDirs, drops)
+        .withColumn("__z", call_function("graft_zorder2",
+          col(colA).cast("long"), col(colB).cast("long"))))
     val W = org.apache.spark.sql.expressions.Window
     val bounds = broadcast(resolvedAll.agg(
       min(col("__z")).as("__lo"), max(col("__z")).as("__hi"),
@@ -1994,7 +2005,7 @@ object VersionedTable {
         W.orderBy(col("__band")).rowsBetween(Long.MinValue, -1)), lit(0L)))
       .select(col("__band"), col("__off"))
     val wB = W.partitionBy(col("__band")).orderBy(col("__z"), col(tieCol))
-    val ranked = graft.engine.Caches.persisted(
+    val ranked = graft.engine.Barriers.cut(
       banded.join(broadcast(offsets), "__band")
         .withColumn("__rank", col("__off") + row_number().over(wB))
         .withColumn("__bucket", expr(s"(__rank - 1) * $k div __n")))
