@@ -71,29 +71,32 @@ object Graph {
         col(wCol).cast("double").as("w"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .barrierCut
-    val nodeIds = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().barrierCut
-    val nodes = nodeIds
-      .crossJoin(broadcast(nodeIds.agg(count(lit(1)).as("__n"))))
-    val wDeg = e.groupBy("src").agg(sum(col("w")).as("__wd"))
-    var ranks = nodes.select(col("id"), (lit(1.0) / col("__n")).as("rank"))
-      .barrierCut
-    for (_ <- 1 to iterations) {
-      val inMass = e
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
-        .join(wDeg, "src")
-        .select(col("dst").as("id"),
-          (col("rank") * col("w") / col("__wd")).as("__c"))
-        .groupBy("id").agg(sum(col("__c")).as("__mass"))
-      ranks = nodes
-        .join(inMass, Seq("id"), "left")
-        .select(col("id"),
-          (lit(1 - damping) / col("__n") +
-            lit(damping) * coalesce(col("__mass"), lit(0.0))).as("rank"))
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
+      val nodeIds = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct().barrierCut
+      val nodes = nodeIds
+        .crossJoin(broadcast(nodeIds.agg(count(lit(1)).as("__n"))))
+      val wDeg = e.groupBy("src").agg(sum(col("w")).as("__wd"))
+      var ranks = nodes.select(col("id"), (lit(1.0) / col("__n")).as("rank"))
         .barrierCut
+      for (_ <- 1 to iterations) {
+        val inMass = e
+          .join(ranks.select(col("id").as("src"), col("rank")), "src")
+          .join(wDeg, "src")
+          .select(col("dst").as("id"),
+            (col("rank") * col("w") / col("__wd")).as("__c"))
+          .groupBy("id").agg(sum(col("__c")).as("__mass"))
+        ranks = nodes
+          .join(inMass, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1 - damping) / col("__n") +
+              lit(damping) * coalesce(col("__mass"), lit(0.0))).as("rank"))
+          .barrierCut
+      }
+      ranks
     }
-    ranks
   }
 
   /** Exact triangle count by degree-ordered edge orientation (the
@@ -865,6 +868,8 @@ object Graph {
       .filter(col("a") =!= col("b"))
     val und = graft.engine.Caches.persisted(
       fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, und.count()) {
     val nodes = und.select(col("a").as("id")).distinct().barrierCut
     val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
     var x = nodes.crossJoin(n)
@@ -881,6 +886,7 @@ object Graph {
         .barrierCut
     }
     x
+    } // Loops.sized
   }
 
   /** k-source betweenness centrality (Brandes 2001; k-source sampling
@@ -1097,6 +1103,8 @@ object Graph {
     val e = graft.engine.Caches.persisted(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).distinct())
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().barrierCut
@@ -1122,6 +1130,7 @@ object Graph {
         "hub").barrierCut
     }
     hub.join(auth, "id")
+    } // Loops.sized
   }
 
   /** Power-law tail exponent of the DEGREE distribution — the
@@ -1196,6 +1205,8 @@ object Graph {
     val e = graft.engine.Caches.persisted(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).distinct())
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().barrierCut
@@ -1211,6 +1222,7 @@ object Graph {
         .barrierCut
     }
     x
+    } // Loops.sized
   }
 
   /** PERSONALIZED PageRank (Haveliwala, WWW 2002 — public): the random
@@ -1239,6 +1251,8 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct().barrierCut
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
     val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -1267,6 +1281,7 @@ object Graph {
         .barrierCut
     }
     ranks
+    } // Loops.sized
   }
 
   /** Hop-bounded weighted shortest paths (Bellman-Ford relaxation —
