@@ -793,6 +793,8 @@ object Graph {
       df.select(col("id").as("id"), col("depth").as("depth"),
         col("path").as("path"))
     def freshIds(df: DataFrame): DataFrame = df.select(col("id").as("id"))
+    // loop partitions sized to the measured node count (r18 rule)
+    graft.engine.Loops.sized(nodes.sparkSession, t.count()) {
     val roots = t.join(ids, Seq("parent"), "left_anti")
       .select(col("id"), lit(1).as("depth"), col("txt").as("path"))
       .barrierCut
@@ -834,6 +836,7 @@ object Graph {
     out = out.unionByName(orphans.withColumn("truncated", lit(true)))
     out.select(col("id").as("leaf_id"), col("depth"), col("path"),
       col("truncated"))
+    } // Loops.sized
   }
 
   /** Eigenvector centrality by fixed-round power iteration (Bonacich
@@ -1557,6 +1560,8 @@ object Graph {
       edges.select(col(childCol).cast("long").as("c"),
         col(parentCol).cast("long").as("p"),
         col(qtyCol).cast("long").as("q")))
+    // loop partitions sized to the measured edge count (r18 rule)
+    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
     var frontier = e.select(col("c").as("descendant"),
       col("p").as("ancestor"), col("q").as("qty")).barrierCut
     var out = frontier
@@ -1582,6 +1587,7 @@ object Graph {
     // the final aggregate sums them per (ancestor, descendant) pair
     out.groupBy(col("ancestor"), col("descendant"))
       .agg(sum(col("qty")).as("qty"))
+    } // Loops.sized
   }
 
   /** Cycle detection over a DIRECTED graph — the DAG validator: a node
