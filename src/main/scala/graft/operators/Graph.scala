@@ -508,8 +508,9 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct())
-    // loop partitions sized to the measured edge count (r18 rule)
-    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
+    // NOT Loops.sized (r18, measured): layer frames are node-scale and
+    // every round rewrites them (q_topo_layers 1.7 -> 2.4 s at 4
+    // partitions) — compute-bound like hierarchyRollup.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var layers = nodes.withColumn("layer", lit(0)).barrierCut
@@ -542,7 +543,6 @@ object Graph {
       }
     }
     layers
-    } // Loops.sized
   }
 
   /** Synchronous label propagation (Raghavan, Albert, Kumara 2007 —
@@ -1560,8 +1560,9 @@ object Graph {
       edges.select(col(childCol).cast("long").as("c"),
         col(parentCol).cast("long").as("p"),
         col(qtyCol).cast("long").as("q")))
-    // loop partitions sized to the measured edge count (r18 rule)
-    graft.engine.Loops.sized(edges.sparkSession, e.count()) {
+    // NOT Loops.sized (r18, measured): the ancestor-closure frontier is
+    // DATA-scale and grows with depth (q_bom 4.0 -> 5.3 s at 4
+    // partitions) — this loop is compute-bound, not scheduling-bound.
     var frontier = e.select(col("c").as("descendant"),
       col("p").as("ancestor"), col("q").as("qty")).barrierCut
     var out = frontier
@@ -1587,7 +1588,6 @@ object Graph {
     // the final aggregate sums them per (ancestor, descendant) pair
     out.groupBy(col("ancestor"), col("descendant"))
       .agg(sum(col("qty")).as("qty"))
-    } // Loops.sized
   }
 
   /** Cycle detection over a DIRECTED graph — the DAG validator: a node
