@@ -921,11 +921,15 @@ object TextOps {
     val ranks = collected.toMap
     require(ranks.size == collected.length,
       "bpeEncode: duplicate (lhs, rhs) pairs in the merge table")
+    // Broadcast the merge table instead of riding the task closure:
+    // one copy per executor, not one per task (scale hygiene — the
+    // table is config-scale but closures reserialize per task).
+    val bcRanks = spark.sparkContext.broadcast(ranks)
     docs.select(col(idCol), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.split(" ", -1).iterator.filter(_.nonEmpty)
-          .flatMap(w => bpeEncodeSyms(split(w), ranks)).toSeq
+          .flatMap(w => bpeEncodeSyms(split(w), bcRanks.value)).toSeq
         (id, toks)
       }
       .toDF(idCol, "tokens")
@@ -1108,7 +1112,7 @@ object TextOps {
     * (`⌊ln T·10⁶ + 0.5⌋ + 10⁶` — a count-below-1 piece, so any in-vocab
     * segmentation wins when one exists). The vocabulary is collected
     * once (config-scale — it IS the trained artifact, the [[bpeEncode]]
-    * convention) and rides the closure of a typed map over the corpus.
+    * convention) and broadcast to the typed map over the corpus.
     * Judged `q_unigram_encode` (token counts AND the joined token
     * string are closed-form on the syllable ladder), fully ORACLED;
     * the unknown-char fallback pinned in TextOpsSpec. */
@@ -1127,10 +1131,11 @@ object TextOps {
     val unk = math.floor(
       math.log(counts.valuesIterator.sum.toDouble) * 1e6 + 0.5).toLong +
       1000000L
+    val bcCosts = spark.sparkContext.broadcast(costs)
     docs.select(col(idCol), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.split(" ", -1).iterator.filter(_.nonEmpty)
-          .flatMap(w => unigramSegment(w, costs, maxLen, unk)).toSeq
+          .flatMap(w => unigramSegment(w, bcCosts.value, maxLen, unk)).toSeq
         (id, toks)
       }
       .toDF(idCol, "tokens")
@@ -1161,8 +1166,10 @@ object TextOps {
     val unk = math.floor(
       math.log(counts.valuesIterator.sum.toDouble) * 1e6 + 0.5).toLong +
       1000000L
+    val bcCosts = spark.sparkContext.broadcast(costs)
     docs.select(col(idCol), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
+        val costs = bcCosts.value
         val pieces = text.split(" ", -1).iterator.filter(_.nonEmpty)
           .flatMap(w => unigramSegment(w, costs, maxLen, unk)).toSeq
         val total = pieces.iterator.map(p => costs.getOrElse(p, unk)).sum
