@@ -57,9 +57,40 @@ object Barriers {
     else df.sparkSession.createDataFrame(c.rdd, c.schema)
   }
 
+  /** [[cut]] plus the materialized ROW COUNT — measured by the same job
+    * that does the materialization. Spark's eager checkpoint runs a
+    * `count()` over the checkpointed RDD internally and DISCARDS the
+    * result; this keeps it, so hop loops can test convergence
+    * ("frontier empty", "edge set stopped shrinking") without a second
+    * per-round action. At 2 actions/round across dozens of rounds per
+    * query, that second job (scheduling + a fresh Catalyst pass) was a
+    * measurable slice of the CC-family wall time (r18).
+    *
+    * The reliable-checkpoint posture falls back to [[cut]] + one count
+    * job over the materialized leaf — that posture already pays a
+    * distributed-FS write per round, and results are identical either
+    * way (BarriersSpec pins both modes). The rebuilt leaf carries
+    * honest (count, count×width) stats instead of the copied-origin
+    * sizeInBytes, so the compounding-product hang [[cut]] guards
+    * against cannot arise here. */
+  def cutCounted(df: DataFrame): (DataFrame, Long) =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val c = cut(df)
+      (c, c.count())
+    } else {
+      // the Dataset.localCheckpoint(eager) mechanics, inlined so the
+      // materializing count() is kept: copy (UnsafeRow buffers are
+      // reused per partition), mark, count-to-materialize, rewrap
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      val n = rdd.count()
+      (org.apache.spark.sql.GraftSqlBridge.fromCheckpointedRdd(df, rdd, n), n)
+    }
+
   /** Postfix form: `plan.barrierCut` reads like the
     * `.localCheckpoint(true)` it replaces. */
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
     def barrierCut: DataFrame = cut(df)
+    def barrierCutCounted: (DataFrame, Long) = cutCounted(df)
   }
 }

@@ -360,19 +360,27 @@ object Graph {
     // loop partitions sized to the measured edge count (r18: the
     // cycleNodes few-partition rule, size-derived instead of constant)
     graft.engine.Loops.sized(edges.sparkSession, e.count()) {
-      var visited = seeds.select(col(seedCol).cast("long").as("id"))
-        .distinct().withColumn("hops", lit(0)).barrierCut
+      // ONE action per hop (r18): next materializes inside visited's
+      // cut (it is referenced only by the union), the frontier
+      // re-derives from the cut frame by level, and convergence reads
+      // off the cut's OWN row count (cutCounted) — "no new nodes" ⟺
+      // the count stopped growing — instead of a per-round isEmpty job.
+      var (visited, nVis) = graft.engine.Barriers.cutCounted(
+        seeds.select(col(seedCol).cast("long").as("id"))
+          .distinct().withColumn("hops", lit(0)))
       var frontier = visited.select("id")
       var h = 1
-      while (h <= maxHops && !frontier.isEmpty) {
+      var growing = nVis > 0
+      while (h <= maxHops && growing) {
         val next = frontier.join(e, col("id") === col("src"))
           .select(col("dst").as("id")).distinct()
           .join(visited.select("id"), Seq("id"), "left_anti")
-          .barrierCut
-        visited = visited
-          .union(next.withColumn("hops", lit(h)))
-          .barrierCut
-        frontier = next
+        val (v2, n2) = graft.engine.Barriers.cutCounted(
+          visited.union(next.withColumn("hops", lit(h))))
+        growing = n2 > nVis
+        visited = v2
+        nVis = n2
+        frontier = visited.filter(col("hops") === h).select("id")
         h += 1
       }
       visited
@@ -525,12 +533,13 @@ object Graph {
       val cand = frontier.join(e, col("id") === col("src"))
         .select(col("dst").as("id"), (col("layer") + 1).as("layer"))
         .groupBy("id").agg(max(col("layer")).as("layer"))
-      val improved = cand.as("c")
+      // convergence off the cut's own count (cutCounted, r18): no
+      // separate isEmpty job per round
+      val (improved, nImp) = graft.engine.Barriers.cutCounted(cand.as("c")
         .join(layers.select(col("id"), col("layer").as("old")).as("l"), "id")
         .filter(col("c.layer") > col("old"))
-        .select(col("id"), col("c.layer").as("layer"))
-        .barrierCut
-      changed = !improved.isEmpty
+        .select(col("id"), col("c.layer").as("layer")))
+      changed = nImp > 0
       if (changed) {
         layers = layers.as("l")
           .join(improved.select(col("id"), col("layer").as("upd")).as("i"),
@@ -800,11 +809,13 @@ object Graph {
       .barrierCut
     var out = fresh(roots.join(parentsOf, Seq("id"), "left_anti"))
       .withColumn("truncated", lit(false))
-    var frontier = roots.join(parentsOf, Seq("id"), "left_semi")
-      .barrierCut
+    // convergence off each cut's own count (cutCounted, r18): no
+    // separate isEmpty job per round in either loop
+    var (frontier, nFrontier) = graft.engine.Barriers.cutCounted(
+      roots.join(parentsOf, Seq("id"), "left_semi"))
     var reached = freshIds(roots).barrierCut
     var depth = 1
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && nFrontier > 0) {
       val next = t
         .join(frontier.select(col("id").as("parent"), col("depth"),
           col("path")), "parent")
@@ -814,22 +825,31 @@ object Graph {
       out = out.unionByName(
         fresh(next.join(parentsOf, Seq("id"), "left_anti"))
           .withColumn("truncated", lit(false)))
-      reached = reached.unionByName(freshIds(next)).barrierCut
-      frontier = next.join(parentsOf, Seq("id"), "left_semi").barrierCut
+      // union of already-cut level leaves — shallow lineage, no extra
+      // barrier needed (the betweenness accumulator rule, r18)
+      reached = reached.unionByName(freshIds(next))
+      val fc = graft.engine.Barriers.cutCounted(
+        next.join(parentsOf, Seq("id"), "left_semi"))
+      frontier = fc._1
+      nFrontier = fc._2
       depth += 1
     }
     out = out.unionByName(
       fresh(frontier).withColumn("truncated", lit(true)))
     // Complete reachability below the maxDepth cut so descendants of a
     // truncated path don't read as orphans; new-ids-only keeps a cycle
-    // from ever re-feeding the descent.
-    var f2 = freshIds(frontier).barrierCut
-    while (!f2.isEmpty) {
-      val nxt = t.join(f2.select(col("id").as("parent")), "parent")
-        .select(col("id"))
-        .join(reached, Seq("id"), "left_anti").distinct().barrierCut
-      reached = reached.unionByName(freshIds(nxt)).barrierCut
-      f2 = nxt
+    // from ever re-feeding the descent. The frontier's count is already
+    // known from the loop above — the projection preserves it.
+    var f2 = freshIds(frontier)
+    var nF2 = nFrontier
+    while (nF2 > 0) {
+      val (nxt, nNxt) = graft.engine.Barriers.cutCounted(
+        t.join(f2.select(col("id").as("parent")), "parent")
+          .select(col("id"))
+          .join(reached, Seq("id"), "left_anti").distinct())
+      reached = reached.unionByName(freshIds(nxt))
+      f2 = freshIds(nxt)
+      nF2 = nNxt
     }
     val orphans = t.join(reached, Seq("id"), "left_anti")
       .select(col("id"), lit(0).as("depth"), col("txt").as("path"))
@@ -943,19 +963,22 @@ object Graph {
       col("v").as("v"), col("sigma").as("sigma"))
     // forward: per-level (source, node, sigma) — σ sums over parents
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var frontier = sources.select(col("s"), col("s").as("v"),
-      lit(1L).as("sigma")).barrierCut
+    val (f0, nF0) = graft.engine.Barriers.cutCounted(
+      sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma")))
+    var frontier = f0
     var visited = frontier.select(col("s"), col("v")).barrierCut
     levels += frontier
     var d = 0
-    var done = frontier.isEmpty
+    var done = nF0 == 0L
     while (d < maxDepth && !done) {
-      val nxt = frontier.join(und, col("v") === col("a"))
-        .select(col("s"), col("b").as("v"), col("sigma"))
-        .join(visited, Seq("s", "v"), "left_anti")
-        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma"))
-        .barrierCut
-      if (nxt.isEmpty) done = true
+      // convergence off the cut's own count (cutCounted, r18): no
+      // separate isEmpty job per level
+      val (nxt, nNxt) = graft.engine.Barriers.cutCounted(
+        frontier.join(und, col("v") === col("a"))
+          .select(col("s"), col("b").as("v"), col("sigma"))
+          .join(visited, Seq("s", "v"), "left_anti")
+          .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma")))
+      if (nNxt == 0L) done = true
       else {
         // a union of already-cut level leaves — shallow lineage, no
         // extra barrier needed (each barrierCut is a scheduling round)
@@ -1042,18 +1065,22 @@ object Graph {
     val nodes = und.select(col("a").as("id")).distinct().barrierCut
     val sources = nodes.orderBy(col("id")).limit(k)
       .select(col("id").as("s")).barrierCut
-    var frontier = sources.select(col("s"), col("s").as("v")).barrierCut
+    val (f0, nF0) = graft.engine.Barriers.cutCounted(
+      sources.select(col("s"), col("s").as("v")))
+    var frontier = f0
     var visited = frontier
     // per-node micro-term accumulator, grown level by level
     var acc = nodes.select(col("id"), lit(0L).as("h")).limit(0)
     var d = 1
-    var done = frontier.isEmpty
+    var done = nF0 == 0L
     while (d <= maxDepth && !done) {
-      val nxt = frontier.join(und, col("v") === col("a"))
-        .select(col("s"), col("b").as("v")).distinct()
-        .join(visited, Seq("s", "v"), "left_anti")
-        .barrierCut
-      if (nxt.isEmpty) done = true
+      // convergence off the cut's own count (cutCounted, r18): no
+      // separate isEmpty job per level
+      val (nxt, nNxt) = graft.engine.Barriers.cutCounted(
+        frontier.join(und, col("v") === col("a"))
+          .select(col("s"), col("b").as("v")).distinct()
+          .join(visited, Seq("s", "v"), "left_anti"))
+      if (nNxt == 0L) done = true
       else {
         // term = ⌊10⁶/d + ½⌋ = (2·10⁶ + d) div (2d), exact in longs;
         // both accumulators union already-cut leaves — no extra barrier
@@ -1422,11 +1449,13 @@ object Graph {
           org.apache.spark.sql.expressions.Window.currentRow)
       val h = grouped.withColumn("cum", sum(col("cnt")).over(w))
         .groupBy("id").agg(max(least(col("cb"), col("cum"))).as("h"))
+      // the previous estimate rides along as c0 so the changed-count is
+      // a bare filter over the cut leaf, not a join back to c (r18)
       val next = c.join(h, Seq("id"))
-        .select(col("id"), least(col("c"), col("h")).as("c"))
+        .select(col("id"), least(col("c"), col("h")).as("c"),
+          col("c").as("c0"))
         .barrierCut
-      changed = next.join(c.withColumnRenamed("c", "c0"), "id")
-        .filter(col("c") =!= col("c0")).count()
+      changed = next.filter(col("c") =!= col("c0")).count()
       c = next
     }
     // a capped run is an estimate, not the fixpoint — say so out loud
@@ -1481,12 +1510,11 @@ object Graph {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val session = edges.sparkSession
     val minSup = k - 2L
-    var e = edges.select(
+    var (e, n) = graft.engine.Barriers.cutCounted(edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
           .as("b"))
-      .filter(col("a") =!= col("b")).distinct().barrierCut
-    var n = e.count()
+      .filter(col("a") =!= col("b")).distinct())
     val prevParts = session.conf.get("spark.sql.shuffle.partitions")
     // loop partitions sized to the measured edge count (r18 rule)
     session.conf.set("spark.sql.shuffle.partitions",
@@ -1502,10 +1530,13 @@ object Graph {
           .join(und.select(col("a").as("b"), col("b").as("x")),
             Seq("b", "x"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__sup"))
-        val next = e.join(sup, Seq("a", "b"), "left")
-          .filter(coalesce(col("__sup"), lit(0L)) >= minSup)
-          .select(col("a"), col("b")).barrierCut
-        val n2 = next.count()
+        // the filter only ever REMOVES edges, so an unchanged count is
+        // an unchanged set — convergence off the cut's own count
+        // (cutCounted, r18): no separate count job per round
+        val (next, n2) = graft.engine.Barriers.cutCounted(
+          e.join(sup, Seq("a", "b"), "left")
+            .filter(coalesce(col("__sup"), lit(0L)) >= minSup)
+            .select(col("a"), col("b")))
         changed = n2 != n
         n = n2
         e = next
@@ -1570,14 +1601,15 @@ object Graph {
     var more = true
     while (more && round < maxRounds) {
       round += 1
-      val next = frontier
+      // convergence off the cut's own count (cutCounted, r18): no
+      // separate limit(1).count job per round
+      val (next, nNext) = graft.engine.Barriers.cutCounted(frontier
         .join(e.select(col("c").as("ancestor"), col("p").as("__p2"),
           col("q").as("__q2")), "ancestor")
         .groupBy(col("descendant"), col("__p2").as("ancestor"))
         .agg(sum(col("qty") * col("__q2")).as("qty"))
-        .select(col("descendant"), col("ancestor"), col("qty"))
-        .barrierCut
-      more = next.limit(1).count() > 0
+        .select(col("descendant"), col("ancestor"), col("qty")))
+      more = nNext > 0
       if (more) { out = out.unionByName(next); frontier = next }
     }
     if (more && round >= maxRounds)
@@ -1621,13 +1653,13 @@ object Graph {
     // closure is metadata-scale, so plan the rounds at few partitions
     // (the streaming-fixed-cost lesson; size-derived since r18);
     // restored after the loop
-    val e0 = edges
+    val (e0, nE0) = graft.engine.Barriers.cutCounted(edges
       .select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
-      .distinct().barrierCut
+      .distinct())
     val prevParts = session.conf.get("spark.sql.shuffle.partitions")
     session.conf.set("spark.sql.shuffle.partitions",
-      graft.engine.Loops.partitionsFor(session, e0.count()).toString)
+      graft.engine.Loops.partitionsFor(session, nE0).toString)
     // constraint propagation is an optimizer aid, and on this loop's
     // checkpoint + self-join + union chain Spark's Union constraint
     // rewriting throws AttributeMap key-not-found (constraints leak
@@ -1655,11 +1687,12 @@ object Graph {
         // trips on checkpointed self-join attribute ids here (AttributeMap
         // key-not-found during analysis); the anti join is also the
         // cheaper plan (no distinct on the right side)
-        val fresh = derived
+        // convergence off the cut's own count (cutCounted, r18): no
+        // separate isEmpty job per round
+        val (fresh, nFresh) = graft.engine.Barriers.cutCounted(derived
           .join(reach.select(col("u").as("ru"), col("v").as("rv")),
-            col("u") === col("ru") && col("v") === col("rv"), "left_anti")
-          .barrierCut
-        done = fresh.isEmpty
+            col("u") === col("ru") && col("v") === col("rv"), "left_anti"))
+        done = nFresh == 0L
         if (!done) {
           // explicit aliases mint NEW exprIds on both union children:
           // localCheckpoint preserves attribute ids, so reach and fresh
@@ -1792,14 +1825,14 @@ object Graph {
       maxRounds: Int = 30, maxPropRounds: Int = 80,
       maxTrimRounds: Int = 20): DataFrame = {
     val session = edges.sparkSession
-    val e0pre = edges
+    val (e0pre, nE0pre) = graft.engine.Barriers.cutCounted(edges
       .select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct().barrierCut
+      .filter(col("u") =!= col("v")).distinct())
     val prevParts = session.conf.get("spark.sql.shuffle.partitions")
     // loop partitions sized to the measured edge count (r18 rule)
     session.conf.set("spark.sql.shuffle.partitions",
-      graft.engine.Loops.partitionsFor(session, e0pre.count()).toString)
+      graft.engine.Loops.partitionsFor(session, nE0pre).toString)
     val prevCp = session.conf.get(
       "spark.sql.constraintPropagation.enabled", "true")
     session.conf.set("spark.sql.constraintPropagation.enabled", "false")
@@ -1814,9 +1847,13 @@ object Graph {
         val cand = e.join(
             lbl.select(col("id").as("u"), col("lbl").as("__ul")), Seq("u"))
           .groupBy(col("v").as("id")).agg(min(col("__ul")).as("__cl"))
+        // the PREVIOUS label rides along as __old so the convergence
+        // check is a bare filter over the cut leaf, not a join back to
+        // lbl (one cheap job per round instead of a join job — r18)
         val hop = lbl.join(cand, Seq("id"), "left")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("__cl"), col("lbl"))).as("lbl"))
+            least(col("lbl"), coalesce(col("__cl"), col("lbl"))).as("lbl"),
+            col("lbl").as("__old"))
         // pointer jumping (the CC hooking trick): a label IS a node id,
         // so chase it one step — lbl(v) := min(lbl(v), lbl(lbl(v))) —
         // turning O(cycle length) rounds into O(log)
@@ -1824,18 +1861,16 @@ object Graph {
           .join(hop.select(col("id").as("lbl"), col("lbl").as("__ll"))
             .as("b"), Seq("lbl"), "left")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("__ll"), col("lbl"))).as("lbl"))
+            least(col("lbl"), coalesce(col("__ll"), col("lbl"))).as("lbl"),
+            col("__old"))
           .barrierCut
-        changed = !next
-          .join(lbl.select(col("id").as("id"), col("lbl").as("__old")),
-            Seq("id"))
-          .filter(col("lbl") < col("__old")).isEmpty
+        changed = next.filter(col("lbl") < col("__old")).count() > 0
         lbl = next
         r += 1
       }
       require(!changed, s"label propagation did not converge in" +
         s" $maxPropRounds rounds (raise maxPropRounds)")
-      lbl
+      lbl.select(col("id"), col("lbl"))
     }
 
     try {

@@ -68,6 +68,26 @@ class BarriersSpec extends SparkTestBase {
     assert(localMode === reliableMode)
   }
 
+  test("Barriers.cutCounted: rows + count identical in both modes") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .filter(col("k") =!= 2L)
+    def check(): Unit = {
+      val (cut, n) = Barriers.cutCounted(df)
+      assert(n === 2L)
+      assert(cut.as[(Long, String)].collect().toSeq.sorted ===
+        Seq((1L, "a"), (3L, "c")))
+      // the frame is a flat leaf (lineage cut) and REUSABLE
+      assert(cut.count() === 2L)
+      // honest leaf stats: the measured row count rides the plan
+      assert(cut.queryExecution.optimizedPlan.stats
+        .sizeInBytes.bitLength <= 127)
+      val (cutE, nE) = Barriers.cutCounted(df.filter(col("k") < 0))
+      assert(nE === 0L && cutE.isEmpty)
+    }
+    check() // localCheckpoint path
+    withCheckpointDir(check()) // reliable path
+  }
+
   test("Barriers.cut caps inherited sizeInBytes across cut-join-cut rounds") {
     // checkpointing copies the input plan's sizeInBytes onto the new
     // leaf and joins take the PRODUCT of child sizes, so an iterated
