@@ -87,6 +87,65 @@ object Barriers {
       (org.apache.spark.sql.GraftSqlBridge.fromCheckpointedRdd(df, rdd, n), n)
     }
 
+  /** Order-independent 64-bit XOR accumulator for
+    * [[cutFingerprinted]]. */
+  private final class XorAccumulator
+      extends org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long] {
+    private var v = 0L
+    override def isZero: Boolean = v == 0L
+    override def copy(): XorAccumulator = {
+      val a = new XorAccumulator; a.v = v; a
+    }
+    override def reset(): Unit = v = 0L
+    override def add(x: java.lang.Long): Unit = v ^= x.longValue
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long])
+        : Unit = v ^= o.value.longValue
+    override def value: java.lang.Long = v
+  }
+
+  /** [[cutCounted]] plus an order-independent XOR of `hash(row)` over
+    * the materialized rows, folded by the SAME job (per-partition
+    * accumulation) — the convergence FINGERPRINT of
+    * [[graft.operators.Dedup.connectedComponents]] for free. Fingerprint
+    * only: an accumulator update from a re-executed task can double-fold
+    * (Spark's exactly-once guarantee covers actions, not
+    * transformations), so callers MUST confirm a match with an exact
+    * check before acting on it — the CC contract already does
+    * (`exceptAll` on the convergence round); a spurious MISmatch merely
+    * costs one extra round, re-fingerprinted fresh. The
+    * reliable-checkpoint posture folds (count, xor) in one extra pass
+    * over the materialized leaf instead. `hash` reads the physical
+    * InternalRow — callers know their column layout. */
+  def cutFingerprinted(df: DataFrame,
+      hash: org.apache.spark.sql.catalyst.InternalRow => Long)
+      : (DataFrame, Long, Long) =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val c = cut(df)
+      val (n, x) = c.queryExecution.toRdd.mapPartitions { it =>
+        var n = 0L; var x = 0L
+        it.foreach { r => n += 1; x ^= hash(r) }
+        Iterator((n, x))
+      }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 ^ b._2))
+      (c, n, x)
+    } else {
+      val sc = df.sparkSession.sparkContext
+      val xAcc = new XorAccumulator
+      sc.register(xAcc, "graft.cutFingerprint")
+      val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            val r = it.next(); xAcc.add(hash(r)); r.copy()
+          }
+        }
+      }
+      rdd.localCheckpoint()
+      val n = rdd.count()
+      (org.apache.spark.sql.GraftSqlBridge.fromCheckpointedRdd(df, rdd, n),
+        n, xAcc.value.longValue)
+    }
+
   /** Postfix form: `plan.barrierCut` reads like the
     * `.localCheckpoint(true)` it replaces. */
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {

@@ -280,32 +280,36 @@ object Dedup {
     // dropped here, so the node set below intentionally ignores nodes
     // that ONLY self-pair — matching the recursive-CTE oracle, which also
     // only sees nodes of real edges
-    val initial = pairs
+    // convergence fingerprint: (edge count, XOR of per-edge hashes) —
+    // cheap, order-independent, overflow-free (a SUM of hashes trips
+    // ANSI long overflow), collision-safe for all practical purposes,
+    // and since r18 folded INTO the materialization job itself
+    // (Barriers.cutFingerprinted) so a round is ONE action, not
+    // cut + a second fingerprint aggregate. The physical rows are
+    // (u: long, v: long) at ordinals 0/1 — both non-null by
+    // construction.
+    val hashUV = (r: org.apache.spark.sql.catalyst.InternalRow) =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(r.getLong(1),
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+          r.getLong(0), 42L))
+    val (initial, n0, x0) = graft.engine.Barriers.cutFingerprinted(pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct().barrierCut
+      .distinct(), hashUV)
     // derive nodes from the CHECKPOINTED edges, not from `pairs`: the
     // caller's pair-generation plan (e.g. the whole jaccardJoin) would
     // otherwise re-execute when the final join materializes
     val nodes = initial.select(col("u").as("id"))
       .union(initial.select(col("v").as("id"))).distinct()
     var edges = initial
-    // convergence fingerprint: (edge count, XOR of edge hashes) — cheap,
-    // order-independent, overflow-free (a SUM of hashes trips ANSI long
-    // overflow), and collision-safe for all practical purposes
-    def stat(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
-    var cur = stat(edges)
+    var cur = (n0, x0)
     var round = 0
     var converged = false
     // loop partitions sized to the measured edge count (r18: the
-    // cycleNodes few-partition rule, size-derived — stat() already
-    // counted, so sizing costs nothing). Contraction only shrinks the
-    // edge set, so the initial count bounds every round.
+    // cycleNodes few-partition rule, size-derived — the fingerprint
+    // already counted, so sizing costs nothing). Contraction only
+    // shrinks the edge set, so the initial count bounds every round.
     graft.engine.Loops.sized(pairs.sparkSession, cur._1) {
     while (!converged && round < maxRounds) {
       // large-star: symmetrize; per node u, point each larger neighbor at
@@ -320,12 +324,13 @@ object Dedup {
       // small-star: per node u over larger->smaller edges, point u and all
       // its smaller neighbors at the minimum of that in-neighborhood.
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val next = ls.join(ssMin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(ssMin.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct().barrierCut // eager: lineage cut + barrier
-      val nextStat = stat(next)
+      val (next, nN, xN) = graft.engine.Barriers.cutFingerprinted(
+        ls.join(ssMin, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(ssMin.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct(), hashUV) // eager: lineage cut + barrier + fingerprint
+      val nextStat = (nN, xN)
       // previous rounds' checkpoint RDDs are freed by the ContextCleaner
       // once dereferenced (Dataset.unpersist does not reach RDD-level
       // checkpoint caches); bounded: one edge set per round
