@@ -41,12 +41,29 @@ object Tables {
     }
   }
 
+  /** Per-session memo of the SOURCE FRAMES below — METADATA reuse only
+    * (the resolved file listing + footer schema), exactly what a
+    * catalog-registered table gives a production session for free. No
+    * data and no results are cached: the returned frame is a bare
+    * logical scan whose every action re-reads the parquet in full
+    * (PlanSpec pins pushdown through it; the bench contract is
+    * untouched). Keyed by session identity so test suites with multiple
+    * sessions never share state; harness inputs are immutable for a
+    * session's lifetime, which is what makes the listing reusable. */
+  private val sourceFrames =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   /** S2: parquet scan of a harness table. Filters/projections composed on
     * top of this are pushed into the parquet reader by Catalyst
     * (PushedFilters / ReadSchema — verified in PlanSpec). Requires
     * [[bootstrap]] to have run for the `events` nanos handling.
     */
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    sourceFrames.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir, name),
+      _ => build(spark, sfDir, name))
+
+  private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val df =
       if (name != "events") raw
