@@ -1840,7 +1840,9 @@ object Graph {
     // min-label propagation to fixpoint on the ACTIVE subgraph:
     // lbl(v) = min id over {v} ∪ {u : u reaches v along e}
     def minReach(nodes: DataFrame, e: DataFrame): DataFrame = {
-      var lbl = nodes.select(col("id"), col("id").as("lbl")).barrierCut
+      // nodes is always a cut leaf here — the init projection needs no
+      // barrier of its own (r18)
+      var lbl = nodes.select(col("id"), col("id").as("lbl"))
       var r = 0
       var changed = true
       while (changed && r < maxPropRounds) {
@@ -1875,8 +1877,9 @@ object Graph {
 
     try {
       val e0 = e0pre
-      var active = e0.select(col("u").as("id"))
-        .union(e0.select(col("v").as("id"))).distinct().barrierCut
+      var (active, nActive) = graft.engine.Barriers.cutCounted(
+        e0.select(col("u").as("id"))
+          .union(e0.select(col("v").as("id"))).distinct())
       var aEdges = e0
       var labeled: DataFrame = null
 
@@ -1887,7 +1890,7 @@ object Graph {
       def trim(): Unit = {
         var t = 0
         var trimming = true
-        while (trimming && t < maxTrimRounds && !active.isEmpty) {
+        while (trimming && t < maxTrimRounds && nActive > 0) {
           // plans stay UNCUT until a drop is confirmed: on the common
           // cyclic-core round where nothing trims, the whole check is
           // ONE job (the isEmpty), not three barrier materializations
@@ -1897,16 +1900,22 @@ object Graph {
           val dropped = active.join(both, Seq("id"), "left_anti")
           if (dropped.isEmpty) trimming = false
           else {
+            // cut only the NEW singleton rows; labeled itself stays a
+            // lazy union of cut leaves (the betweenness accumulator
+            // rule, r18) — re-cutting the whole labeled set per trim
+            // round re-materialized O(total labeled) every time
             val singles = dropped
               .select(col("id").as("node"), col("id").as("scc"))
+              .barrierCut
             labeled =
-              if (labeled == null) singles.barrierCut
+              if (labeled == null) singles
               else labeled
                 .select(col("node").as("node"), col("scc").as("scc"))
                 .union(singles
                   .select(col("node").as("node"), col("scc").as("scc")))
-                .barrierCut
-            active = both.barrierCut
+            val ac = graft.engine.Barriers.cutCounted(both)
+            active = ac._1
+            nActive = ac._2
             aEdges = aEdges
               .join(active.select(col("id").as("u")), Seq("u"), "left_semi")
               .join(active.select(col("id").as("v")), Seq("v"), "left_semi")
@@ -1917,9 +1926,9 @@ object Graph {
       }
 
       var round = 0
-      while (round < maxRounds && !active.isEmpty) {
+      while (round < maxRounds && nActive > 0) {
         trim()
-        if (active.isEmpty) {
+        if (nActive == 0) {
           round += 1
         } else {
           val f = minReach(active, aEdges)
@@ -1928,15 +1937,18 @@ object Graph {
           val fb = f.join(
             b.select(col("id").as("id"), col("lbl").as("__b")), Seq("id"))
             .barrierCut
+          // done is a bare filter over the cut fb leaf — union it
+          // lazily (the betweenness accumulator rule, r18)
           val done = fb.filter(col("lbl") === col("__b"))
             .select(col("id").as("node"), col("lbl").as("scc"))
           labeled =
-            if (labeled == null) done.barrierCut
+            if (labeled == null) done
             else labeled.select(col("node").as("node"), col("scc").as("scc"))
               .union(done.select(col("node").as("node"), col("scc").as("scc")))
-              .barrierCut
-          active = fb.filter(col("lbl") =!= col("__b")).select("id")
-            .barrierCut
+          val ac = graft.engine.Barriers.cutCounted(
+            fb.filter(col("lbl") =!= col("__b")).select("id"))
+          active = ac._1
+          nActive = ac._2
           aEdges = aEdges
             .join(active.select(col("id").as("u")), Seq("u"), "left_semi")
             .join(active.select(col("id").as("v")), Seq("v"), "left_semi")
@@ -1944,7 +1956,7 @@ object Graph {
           round += 1
         }
       }
-      require(active.isEmpty,
+      require(nActive == 0,
         s"SCC peeling did not converge in $maxRounds rounds")
       if (labeled == null) // no edges at all: no endpoint nodes
         session.range(0).select(col("id").as("node"), col("id").as("scc"))
